@@ -1,0 +1,660 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.normalize.Normalize
+
+/** One pending join edge (reference: src/elusion.rs:149-154 `Join`). */
+case class JoinClause(frame: GraftFrame, conditions: Seq[String], joinType: String)
+
+/** Deferred post-query rewrites — the reference wraps the final SELECT in
+  * CTEs for these (src/elusion.rs:2352-2366, 3613-3616); we apply them as
+  * DataFrame transforms on the query result at `.elusion()` time, which is
+  * the same observable semantics without a string round-trip.
+  */
+sealed trait DeferredOp
+case class FillNullOp(cols: Seq[String], value: String) extends DeferredOp
+case class DropNullOp(cols: Seq[String]) extends DeferredOp
+case class FillDownOp(cols: Seq[String], orderCols: Seq[String]) extends DeferredOp
+case class SkipRowsOp(n: Long, orderCols: Seq[String]) extends DeferredOp
+
+/** Pending-clause state mirroring the reference's `CustomDataFrame` struct
+  * (src/elusion.rs:157-188): normalized SQL text fragments per clause plus
+  * raw copies for alias resolution.
+  */
+case class QueryState(
+    selects: Vector[String] = Vector.empty,
+    rawSelects: Vector[String] = Vector.empty,
+    aggs: Vector[String] = Vector.empty,
+    groupBy: Vector[String] = Vector.empty,
+    where: Vector[String] = Vector.empty,
+    having: Vector[String] = Vector.empty,
+    orderBy: Vector[String] = Vector.empty,
+    limitN: Option[Long] = None,
+    joins: Vector[JoinClause] = Vector.empty,
+    windows: Vector[String] = Vector.empty,
+    deferred: Vector[DeferredOp] = Vector.empty,
+    groupByAll: Boolean = false) {
+  def isEmpty: Boolean =
+    selects.isEmpty && aggs.isEmpty && groupBy.isEmpty && where.isEmpty &&
+      having.isEmpty && orderBy.isEmpty && limitN.isEmpty && joins.isEmpty &&
+      windows.isEmpty && deferred.isEmpty
+}
+
+object GraftFrame {
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def freshView(alias: String): String =
+    s"graft_${alias}_${viewCounter.incrementAndGet()}"
+
+  /** Wrap an existing DataFrame under an alias (reference
+    * `AliasedDataFrame`, src/elusion.rs:274-277). Column names are
+    * lowercase-normalized like every reference load.
+    */
+  def apply(df: DataFrame, alias: String): GraftFrame = {
+    val cols = df.columns.map(Normalize.normalizeColumnName)
+    val normed = if (cols.sameElements(df.columns)) df else df.toDF(cols.toIndexedSeq: _*)
+    new GraftFrame(normed, alias, QueryState())
+  }
+
+  /** `SELECT 1 AS dummy` single-row frame (src/elusion.rs:322-367). */
+  def empty(spark: SparkSession): GraftFrame =
+    apply(spark.range(1).select(lit(1).as("dummy")), "empty")
+}
+
+/** A Spark-first re-expression of the reference's `CustomDataFrame`
+  * (reference: src/elusion.rs:157-188): a lazy `DataFrame` plus a typed
+  * clause state. Builder calls normalize their string arguments and append
+  * to the state; the terminal `.elusion(alias)` constructs ONE Spark SQL
+  * statement over per-call-unique temp views and lets Catalyst/AQE plan and
+  * execute it (the reference hands the analogous string to DataFusion,
+  * src/elusion.rs:3568-3619, 3702).
+  *
+  * Scale notes vs the reference: nothing is ever collected to the driver —
+  * the reference eagerly materializes every load and every `.elusion()`
+  * into in-memory Arrow batches (src/elusion.rs:3844-3911), which caps it
+  * at single-node RAM. Here results stay lazy/distributed; use
+  * `.elusionCached` to pin a pipeline stage (persist MEMORY_AND_DISK).
+  */
+class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
+  import Normalize._
+
+  def spark: SparkSession = df.sparkSession
+  private def withState(s: QueryState) = new GraftFrame(df, alias, s)
+
+  // ───────────────────────── projection / filtering ──────────────────────
+
+  /** `select` with string expressions, `AS` aliases, `*` / `alias.*`
+    * star-expansion with first-wins base-name dedup and `::` cast rewrite
+    * (reference src/elusion.rs:2972-3147, dedup 3073-3095).
+    */
+  def select(exprs: String*): GraftFrame = {
+    val expanded = exprs.flatMap(expandStar)
+    withState(state.copy(
+      selects = state.selects ++ expanded.map(normalizeExpression),
+      rawSelects = state.rawSelects ++ expanded))
+  }
+
+  private def allSources: Seq[(String, DataFrame)] =
+    (alias -> df) +: state.joins.map(j => j.frame.alias -> j.frame.df)
+
+  /** Expand `*` and `tbl.*` from known schemas, deduping by base column
+    * name, first occurrence wins (src/elusion.rs:3073-3095).
+    */
+  private def expandStar(e: String): Seq[String] = e.trim match {
+    case "*" =>
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      allSources.flatMap { case (a, d) =>
+        d.columns.toSeq.collect { case c if seen.add(c.toLowerCase) => s"$a.$c" }
+      }
+    case s if s.endsWith(".*") =>
+      val a = s.dropRight(2).toLowerCase
+      allSources.find(_._1.toLowerCase == a) match {
+        case Some((_, d)) => d.columns.toSeq.map(c => s"$a.$c")
+        case None => Seq(s)
+      }
+    case other => Seq(other)
+  }
+
+  /** WHERE condition, ANDed with previous (src/elusion.rs:1050-1073). */
+  def filter(condition: String): GraftFrame =
+    withState(state.copy(where = state.where :+ normalizeCondition(condition)))
+
+  def filterMany(conditions: String*): GraftFrame =
+    conditions.foldLeft(this)(_ filter _)
+
+  /** Computed string-function columns appended to the SELECT list; when a
+    * GROUP BY is active the bare expression joins the grouping list
+    * (src/elusion.rs:1192-1225).
+    */
+  def stringFunctions(exprs: String*): GraftFrame = appendComputed(exprs)
+
+  /** Same contract for datetime expressions (src/elusion.rs:1192-1225). */
+  def datetimeFunctions(exprs: String*): GraftFrame = appendComputed(exprs)
+
+  private def appendComputed(exprs: Seq[String]): GraftFrame = {
+    val normed = exprs.map(normalizeExpression)
+    val addToGroup =
+      if (state.groupBy.nonEmpty || state.groupByAll)
+        normed.map(e => splitAlias(e)._1).filter(isGroupable)
+      else Vector.empty
+    withState(state.copy(
+      selects = state.selects ++ normed,
+      rawSelects = state.rawSelects ++ exprs,
+      groupBy = state.groupBy ++ addToGroup))
+  }
+
+  /** Scalar JSON key extraction from a JSON-string column:
+    * `json("props.'$Key' AS k")` (reference does string hacking with
+    * POSITION/SUBSTRING, src/elusion.rs:3150-3221; `get_json_object` is the
+    * Spark-native equivalent with identical results).
+    */
+  def json(exprs: String*): GraftFrame = {
+    val converted = exprs.map { e =>
+      val (body, aliasOpt) = splitAlias(e)
+      val m = """^([A-Za-z_][A-Za-z0-9_.]*)\.'\$([^']+)'$""".r.findFirstMatchIn(body.trim)
+      m match {
+        case Some(g) =>
+          val col = g.group(1).toLowerCase
+          val key = g.group(2)
+          val a = aliasOpt.getOrElse(key.toLowerCase)
+          s"get_json_object($col, '$$.$key') AS $a"
+        case None => e
+      }
+    }
+    select(converted: _*)
+  }
+
+  /** JSON-array extraction `col.'$Value:Id=X' AS a` — find the object in a
+    * JSON array whose Id equals X and pull Value
+    * (src/elusion.rs:3224-3323). Implemented with from_json + filter over
+    * the parsed array instead of regex hacking.
+    */
+  def jsonArray(exprs: String*): GraftFrame = {
+    val converted = exprs.map { e =>
+      val (body, aliasOpt) = splitAlias(e)
+      val m = """^([A-Za-z_][A-Za-z0-9_.]*)\.'\$([A-Za-z0-9_]+):([A-Za-z0-9_]+)=([^']+)'$""".r
+        .findFirstMatchIn(body.trim)
+      m match {
+        case Some(g) =>
+          val (col, valueKey, idKey, idVal) =
+            (g.group(1).toLowerCase, g.group(2), g.group(3), g.group(4))
+          val a = aliasOpt.getOrElse(valueKey.toLowerCase)
+          s"""filter(from_json($col, 'array<map<string,string>>'), x -> x['$idKey'] = '$idVal')[0]['$valueKey'] AS $a"""
+        case None => e
+      }
+    }
+    select(converted: _*)
+  }
+
+  // ───────────────────────────── aggregation ─────────────────────────────
+
+  /** `.agg()` — only expressions passing the aggregate-head gate are kept,
+    * silently dropped otherwise (reference src/elusion.rs:1229-1251,
+    * normalize.rs:930-939).
+    */
+  def agg(exprs: String*): GraftFrame = {
+    val kept = exprs.filter(passesAggregateGate)
+    withState(state.copy(aggs = state.aggs ++ kept.map(normalizeExpression)))
+  }
+
+  /** GROUP BY columns / expressions; aliases resolve back to their original
+    * select expression (src/elusion.rs:963-996).
+    */
+  def groupBy(cols: String*): GraftFrame = {
+    val resolved = cols.map(c => resolveAliasToOriginal(normalizeExpression(c)))
+    withState(state.copy(groupBy = state.groupBy ++ resolved))
+  }
+
+  /** GROUP BY every groupable selected column (non-aggregate, non-window),
+    * alias-aware (src/elusion.rs:999-1046).
+    */
+  def groupByAll(): GraftFrame = withState(state.copy(groupByAll = true))
+
+  /** HAVING, may reference aggregate aliases (src/elusion.rs:1077-1101). */
+  def having(condition: String): GraftFrame =
+    withState(state.copy(having = state.having :+ normalizeCondition(condition)))
+
+  def havingMany(conditions: String*): GraftFrame =
+    conditions.foldLeft(this)(_ having _)
+
+  private def resolveAliasToOriginal(c: String): String = {
+    val target = c.trim.toLowerCase
+    state.selects.iterator
+      .map(splitAlias)
+      .collectFirst { case (expr, Some(a)) if a == target => expr }
+      .getOrElse(c)
+  }
+
+  // ─────────────────────────────── windows ───────────────────────────────
+
+  /** One raw SQL window expression per call, appended to the SELECT list
+    * (reference src/elusion.rs:1161-1165; surface per README.md:2759-2804:
+    * aggregates/ranking/analytic functions over PARTITION BY / ORDER BY /
+    * ROWS BETWEEN frames — all Catalyst built-ins).
+    */
+  def window(expr: String): GraftFrame =
+    withState(state.copy(windows = state.windows :+ normalizeWindowExpression(expr)))
+
+  // ─────────────────────────────── joins ─────────────────────────────────
+
+  /** Join with string conditions ANDed; types INNER, LEFT, RIGHT, FULL,
+    * LEFT SEMI, LEFT ANTI, RIGHT SEMI, RIGHT ANTI, LEFT MARK
+    * (src/elusion.rs:905-960; README.md:2752-2758). RIGHT SEMI/ANTI are
+    * realized by swapping sides at SQL construction; LEFT MARK via a
+    * distinct-key left join + flag (SURVEY §4.3 rewrite).
+    */
+  def join(other: GraftFrame, condition: String, joinType: String = "INNER"): GraftFrame =
+    joinOn(other, Seq(condition), joinType)
+
+  def joinOn(other: GraftFrame, conditions: Seq[String], joinType: String): GraftFrame = {
+    val jt = joinType.trim.toUpperCase.replace('_', ' ')
+    withState(state.copy(joins = state.joins :+
+      JoinClause(other, conditions.map(normalizeCondition), jt)))
+  }
+
+  def joinMany(edges: (GraftFrame, String, String)*): GraftFrame =
+    edges.foldLeft(this) { case (f, (o, c, t)) => f.join(o, c, t) }
+
+  /** LEFT MARK join rewrite (SURVEY §4.3): exists-with-flag via a left
+    * join against the distinct right keys — `mark` is true iff a match
+    * exists. The right side reduces to distinct keys first, so the join
+    * never duplicates left rows and the distinct side is broadcast-able.
+    */
+  def markJoin(other: GraftFrame, leftKey: String, rightKey: String,
+      mark: String): GraftFrame = {
+    val rightDistinct = other.toDF.select(col(rightKey)).distinct()
+      .withColumn(mark, lit(true))
+    val out = toDF.join(rightDistinct, col(leftKey) === col(rightKey), "left")
+      .withColumn(mark, coalesce(col(mark), lit(false)))
+      .drop(rightKey)
+    GraftFrame(out, alias)
+  }
+
+  // ───────────────────────── sort / limit / slices ───────────────────────
+
+  /** ASC/DESC per column; invalid direction is an error
+    * (src/elusion.rs:1103-1152).
+    */
+  def orderBy(cols: Seq[String], dirs: Seq[String]): GraftFrame = {
+    require(cols.length == dirs.length, "orderBy: cols and dirs length mismatch")
+    val entries = cols.zip(dirs).map { case (c, d) =>
+      val dir = d.trim.toUpperCase
+      require(dir == "ASC" || dir == "DESC", s"orderBy: bad direction '$d'")
+      s"${normalizeExpression(c)} $dir"
+    }
+    withState(state.copy(orderBy = state.orderBy ++ entries))
+  }
+
+  def orderByMany(pairs: (String, String)*): GraftFrame =
+    orderBy(pairs.map(_._1), pairs.map(_._2))
+
+  def limit(n: Long): GraftFrame = withState(state.copy(limitN = Some(n)))
+
+  // ──────────────────────── null handling (deferred) ─────────────────────
+
+  /** Sentinel-aware null fill: NULL, '', '-', '?', 'NaN', 'NULL', 'NA',
+    * 'N/A', 'NONE' (case-insens.) all count as null for string columns
+    * (src/elusion.rs:2539-2640).
+    */
+  def fillNull(cols: Seq[String], value: String): GraftFrame =
+    withState(state.copy(deferred = state.deferred :+ FillNullOp(cols.map(_.toLowerCase), value)))
+
+  /** Drop rows where any given column is null / a null sentinel
+    * (src/elusion.rs:2674-2708).
+    */
+  def dropNull(cols: Seq[String]): GraftFrame =
+    withState(state.copy(deferred = state.deferred :+ DropNullOp(cols.map(_.toLowerCase))))
+
+  /** Carry last non-null value downward. The reference assumes file order
+    * (src/elusion.rs:2369-2470); partitioned execution has no file order,
+    * so an explicit `orderCols` total order is required here — the
+    * documented ordering contract from SURVEY §7.4.3.
+    */
+  def fillDown(cols: Seq[String], orderCols: Seq[String]): GraftFrame =
+    withState(state.copy(deferred = state.deferred :+ FillDownOp(cols.map(_.toLowerCase), orderCols)))
+
+  /** Skip first n rows under an explicit total order
+    * (src/elusion.rs:2473-2510 — same ROW_NUMBER rewrite, order pinned).
+    */
+  def skipRows(n: Long, orderCols: Seq[String]): GraftFrame =
+    withState(state.copy(deferred = state.deferred :+ SkipRowsOp(n, orderCols)))
+
+  // ───────────────────────────── execution ───────────────────────────────
+
+  /** Construct the single SQL statement from the clause state (reference
+    * `construct_sql`, src/elusion.rs:3568-3619 + sqlbuilder/sqlbuild.rs).
+    */
+  def sqlText: String = buildSql()._1
+
+  private def buildSql(): (String, Seq[(String, DataFrame)]) = {
+    // RIGHT SEMI / RIGHT ANTI: swap sides (Spark SQL has only LEFT forms).
+    state.joins.find(j => j.joinType == "RIGHT SEMI" || j.joinType == "RIGHT ANTI") match {
+      case Some(j) if state.joins.length == 1 =>
+        val swappedType = if (j.joinType == "RIGHT SEMI") "LEFT SEMI" else "LEFT ANTI"
+        val swapped = new GraftFrame(j.frame.df, j.frame.alias,
+          state.copy(joins = Vector(JoinClause(this.dropState, j.conditions, swappedType))))
+        return swapped.buildSql()
+      case _ => ()
+    }
+
+    val registrations = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    val baseView = GraftFrame.freshView(alias)
+    registrations += baseView -> df
+
+    val selectParts0 = (state.aggs ++ state.selects ++ state.windows).distinct
+    val selectParts = if (selectParts0.isEmpty) Seq("*") else selectParts0
+
+    val groupCols: Seq[String] =
+      if (state.groupByAll)
+        (state.selects.map(splitAlias(_)._1).filter(isGroupable) ++ state.groupBy).distinct
+      else state.groupBy.distinct
+
+    val joinsSql = state.joins.map { j =>
+      val v = GraftFrame.freshView(j.frame.alias)
+      registrations += v -> j.frame.df
+      val jt = j.joinType match {
+        case "LEFT MARK" => "LEFT" // handled below via mark flag
+        case t => t
+      }
+      s"$jt JOIN $v AS ${j.frame.alias} ON ${j.conditions.mkString(" AND ")}"
+    }
+
+    val sb = new StringBuilder
+    sb.append("SELECT ").append(selectParts.mkString(", "))
+    sb.append(s" FROM $baseView AS $alias")
+    joinsSql.foreach(j => sb.append(" ").append(j))
+    if (state.where.nonEmpty) sb.append(" WHERE ").append(state.where.mkString(" AND "))
+    if (groupCols.nonEmpty) sb.append(" GROUP BY ").append(groupCols.mkString(", "))
+    if (state.having.nonEmpty) sb.append(" HAVING ").append(state.having.mkString(" AND "))
+    if (state.orderBy.nonEmpty) sb.append(" ORDER BY ").append(state.orderBy.mkString(", "))
+    state.limitN.foreach(n => sb.append(s" LIMIT $n"))
+    (sb.toString, registrations.toSeq)
+  }
+
+  private def dropState: GraftFrame = new GraftFrame(df, alias, QueryState())
+
+  /** Run the pending query, return a fresh frame registered under
+    * `resultAlias` (reference `.elusion(alias)`, src/elusion.rs:3662-3943 —
+    * minus the collect-to-driver, which would cap scale at driver RAM).
+    */
+  def elusion(resultAlias: String): GraftFrame = {
+    val out = execute()
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Like `elusion` but persists (MEMORY_AND_DISK) and forces the result —
+    * the scale-safe analogue of the reference's eager MemTable
+    * materialization; use between pipeline stages that re-read the result.
+    */
+  def elusionCached(resultAlias: String): GraftFrame = {
+    val out = execute().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // pin, matching reference pinned-at-elusion semantics
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Evaluate the clause state to a plain DataFrame (no view registered). */
+  def toDF: DataFrame = execute()
+
+  private def execute(): DataFrame = {
+    val base =
+      if (state.isEmpty) df
+      else {
+        val (sql, regs) = buildSql()
+        regs.foreach { case (v, d) => d.createOrReplaceTempView(v) }
+        spark.sql(sql)
+      }
+    state.deferred.foldLeft(base)(applyDeferred)
+  }
+
+  /** Null sentinels for string columns (src/elusion.rs:2558-2568). */
+  private def sentinelNull(c: org.apache.spark.sql.Column) =
+    c.isNull || trim(c).isin("", "-", "?") ||
+      upper(trim(c)).isin("NULL", "NA", "N/A", "NONE", "NAN")
+
+  private def applyDeferred(d: DataFrame, op: DeferredOp): DataFrame = op match {
+    case FillNullOp(cols, value) =>
+      cols.foldLeft(d) { (cur, cName) =>
+        val f = cur.schema(cName)
+        val c = col(cName)
+        f.dataType match {
+          case StringType =>
+            cur.withColumn(cName, when(sentinelNull(c), lit(value)).otherwise(c))
+          case dt =>
+            cur.withColumn(cName, coalesce(c, lit(value).cast(dt)))
+        }
+      }
+    case DropNullOp(cols) =>
+      cols.foldLeft(d) { (cur, cName) =>
+        val c = col(cName)
+        cur.schema(cName).dataType match {
+          case StringType => cur.where(!sentinelNull(c))
+          case _ => cur.where(c.isNotNull)
+        }
+      }
+    case FillDownOp(cols, orderCols) =>
+      // Single ordered window: correct everywhere, but a global sort. At
+      // cluster scale prefer per-partition fill + boundary fix; the global
+      // window keeps exact reference semantics (LAST_VALUE IGNORE NULLS
+      // OVER unbounded-preceding frame, src/elusion.rs:2441-2448).
+      val w = Window.orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cols.foldLeft(d) { (cur, cName) =>
+        val c = col(cName)
+        val cleaned = cur.schema(cName).dataType match {
+          case StringType => when(sentinelNull(c), lit(null)).otherwise(c)
+          case _ => c
+        }
+        cur.withColumn(cName, last(cleaned, ignoreNulls = true).over(w))
+      }
+    case SkipRowsOp(n, orderCols) =>
+      val w = Window.orderBy(orderCols.map(col): _*)
+      d.withColumn("graft_rn", row_number().over(w))
+        .where(col("graft_rn") > n).drop("graft_rn")
+  }
+
+  // ──────────────────────── set operations (eager) ───────────────────────
+  // The reference defers these into UNION SQL text (src/elusion.rs:1427-
+  // 1880); Spark's own set operators have identical semantics, so we apply
+  // them directly — still lazy plans, no materialization.
+
+  /** Positional UNION with dedup (src/elusion.rs:1427-1581). */
+  def union(other: GraftFrame): GraftFrame =
+    GraftFrame(toDF.union(other.toDF).distinct(), alias)
+
+  def unionMany(others: GraftFrame*): GraftFrame =
+    GraftFrame(others.foldLeft(toDF)(_ union _.toDF).distinct(), alias)
+
+  /** Positional UNION ALL (src/elusion.rs:1584-1737). */
+  def unionAll(other: GraftFrame): GraftFrame =
+    GraftFrame(toDF.union(other.toDF), alias)
+
+  def unionAllMany(others: GraftFrame*): GraftFrame =
+    GraftFrame(others.foldLeft(toDF)(_ union _.toDF), alias)
+
+  /** Physical concatenation — same thing as unionAll in Spark
+    * (src/elusion.rs:1254-1425).
+    */
+  def append(other: GraftFrame): GraftFrame = unionAll(other)
+  def appendMany(others: GraftFrame*): GraftFrame = unionAllMany(others: _*)
+
+  /** EXCEPT distinct (src/elusion.rs:1739-1808). */
+  def except(other: GraftFrame): GraftFrame =
+    GraftFrame(toDF.except(other.toDF), alias)
+
+  /** INTERSECT distinct (src/elusion.rs:1811-1880). */
+  def intersect(other: GraftFrame): GraftFrame =
+    GraftFrame(toDF.intersect(other.toDF), alias)
+
+  // ─────────────────────────── reshaping (eager) ─────────────────────────
+
+  /** Pivot: reference does a driver-side DISTINCT scan then per-value
+    * COALESCE(agg(CASE...),0) columns (src/elusion.rs:1883-2065). Spark's
+    * native pivot performs the same distinct scan inside the engine; we
+    * match the COALESCE(...,0) default via na.fill on the new columns.
+    */
+  def pivot(rowKeys: Seq[String], pivotCol: String, valueCol: String,
+      aggFn: String): GraftFrame = {
+    val d = toDF
+    val gb = d.groupBy(rowKeys.map(col): _*).pivot(pivotCol)
+    val piv = aggFn.toLowerCase match {
+      case "sum" => gb.sum(valueCol)
+      case "avg" | "mean" => gb.avg(valueCol)
+      case "min" => gb.min(valueCol)
+      case "max" => gb.max(valueCol)
+      case "count" => gb.count()
+      case other => throw new IllegalArgumentException(s"pivot: unsupported agg '$other'")
+    }
+    val newCols = piv.columns.filterNot(rowKeys.contains)
+    GraftFrame(piv.na.fill(0, newCols.toIndexedSeq), alias)
+  }
+
+  /** Unpivot / melt (reference emits UNION ALL per value column,
+    * src/elusion.rs:2068-2166; Spark's stack() is one pass).
+    */
+  def unpivot(idCols: Seq[String], valueCols: Seq[String],
+      nameCol: String, valueCol: String): GraftFrame = {
+    val d = toDF
+    val stackExpr = valueCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+    val out = d.selectExpr(
+      idCols.map(c => s"`$c`") :+
+        s"stack(${valueCols.length}, $stackExpr) as (`$nameCol`, `$valueCol`)": _*)
+    GraftFrame(out, alias)
+  }
+
+  // ───────────────────────────── dedup (eager) ───────────────────────────
+
+  /** Keep one row per key. The reference's ROW_NUMBER ... WHERE rn=1 picks
+    * an arbitrary first (src/elusion.rs:3348-3563); `orderCols` pins the
+    * survivor deterministically (required for a reproducible oracle).
+    */
+  def dropDuplicatesByColumn(cols: Seq[String], orderCols: Seq[String] = Nil): GraftFrame = {
+    val d = toDF
+    val out =
+      if (orderCols.isEmpty) d.dropDuplicates(cols)
+      else {
+        val w = Window.partitionBy(cols.map(col): _*).orderBy(orderCols.map(col): _*)
+        d.withColumn("graft_rn", row_number().over(w))
+          .where(col("graft_rn") === 1).drop("graft_rn")
+      }
+    GraftFrame(out, alias)
+  }
+
+  def dropDuplicates(): GraftFrame = GraftFrame(toDF.distinct(), alias)
+
+  // ─────────────────────── slices / introspection ────────────────────────
+
+  def head(n: Int): GraftFrame = GraftFrame(toDF.limit(n), alias)
+
+  /** Order-undefined tail, like the reference's LIMIT n OFFSET total-n
+    * (src/elusion.rs:2711-2969).
+    */
+  def tail(n: Int): GraftFrame = {
+    val d = toDF
+    val rows = d.tail(n)
+    GraftFrame(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), d.schema), alias)
+  }
+
+  def peek(n: Int = 5): Unit = { toDF.show(n, truncate = false) }
+  def display(): Unit = toDF.show(15, truncate = false)
+  def dfSchema(): Unit = df.printSchema()
+
+  /** Print the generated SQL (src/elusion.rs:4567-4595). */
+  def displayQuery(): Unit = println(sqlText)
+
+  /** SQL + complexity grade (src/elusion.rs:4598-4667). */
+  def displayQueryWithInfo(): Unit = {
+    val sql = sqlText
+    val joins = state.joins.length
+    val fns = """[a-z_]+\(""".r.findAllIn(sql.toLowerCase).length
+    val grade =
+      if (joins > 3 || fns > 20) "complex"
+      else if (joins > 1 || fns > 8) "moderate" else "simple"
+    println(s"$sql\n-- joins=$joins functions=$fns complexity=$grade")
+  }
+
+  // ───────────────────────────── statistics ──────────────────────────────
+
+  /** Per-column count/count-nonnull/avg/min/max/stddev
+    * (src/elusion.rs:4682-4759).
+    */
+  def stats(cols: Seq[String]): DataFrame = {
+    val d = toDF
+    val rows = cols.map { c =>
+      val agg = d.select(
+        count(lit(1)).as("total"),
+        count(col(c)).as("non_null"),
+        avg(col(c).cast(DoubleType)).as("avg"),
+        min(col(c).cast(DoubleType)).as("min"),
+        max(col(c).cast(DoubleType)).as("max"),
+        stddev_samp(col(c).cast(DoubleType)).as("stddev")).first()
+      (c, agg.getLong(0), agg.getLong(1),
+        Option(agg.get(2)).map(_.toString.toDouble).getOrElse(Double.NaN),
+        Option(agg.get(3)).map(_.toString.toDouble).getOrElse(Double.NaN),
+        Option(agg.get(4)).map(_.toString.toDouble).getOrElse(Double.NaN),
+        Option(agg.get(5)).map(_.toString.toDouble).getOrElse(Double.NaN))
+    }
+    val sp = spark; import sp.implicits._
+    rows.toDF("column", "total_count", "non_null_count", "mean", "min", "max", "std_dev")
+  }
+
+  def displayStats(cols: Seq[String]): Unit = stats(cols).show(truncate = false)
+
+  /** Null count + percentage per column (src/elusion.rs:4762-4839). */
+  def nullAnalysis(cols: Seq[String] = Nil): DataFrame = {
+    val d = toDF
+    val use = if (cols.isEmpty) d.columns.toSeq else cols
+    val exprs = use.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).cast(LongType).as(s"${c}__nulls"),
+        count(lit(1)).cast(LongType).as(s"${c}__total"))
+    }
+    val r = d.select(exprs: _*).first()
+    val sp = spark; import sp.implicits._
+    use.zipWithIndex.map { case (c, i) =>
+      val nulls = r.getLong(2 * i); val total = r.getLong(2 * i + 1)
+      (c, nulls, total, if (total == 0) 0.0 else nulls.toDouble * 100.0 / total)
+    }.toDF("column", "null_count", "total_count", "null_percentage")
+  }
+
+  def displayNullAnalysis(cols: Seq[String] = Nil): Unit =
+    nullAnalysis(cols).show(truncate = false)
+
+  /** Pairwise Pearson correlation — ONE pass with corr aggregates instead
+    * of the reference's O(n²) separate queries (src/elusion.rs:4842-4893;
+    * SURVEY §4.1 anti-optimization note).
+    */
+  def correlationMatrix(cols: Seq[String]): DataFrame = {
+    val d = toDF
+    val pairs = for (a <- cols; b <- cols) yield
+      corr(col(a).cast(DoubleType), col(b).cast(DoubleType)).as(s"${a}__${b}")
+    val r = d.select(pairs: _*).first()
+    val sp = spark; import sp.implicits._
+    cols.zipWithIndex.flatMap { case (a, i) =>
+      cols.zipWithIndex.map { case (b, j) =>
+        (a, b, Option(r.get(i * cols.length + j)).map(_.toString.toDouble).getOrElse(Double.NaN))
+      }
+    }.toDF("col_a", "col_b", "correlation")
+  }
+
+  def displayCorrelationMatrix(cols: Seq[String]): Unit =
+    correlationMatrix(cols).show(truncate = false)
+
+  /** Single cell as string (reference extract_value_from_df). */
+  def extractValue(colName: String): String = {
+    val r = toDF.select(colName).first()
+    Option(r.get(0)).map(_.toString).getOrElse("null")
+  }
+
+  /** First row as name→string map (reference extract_row_from_df). */
+  def extractRow(): Map[String, String] = {
+    val d = toDF
+    val r = d.first()
+    d.columns.zipWithIndex.map { case (c, i) =>
+      c -> Option(r.get(i)).map(_.toString).getOrElse("null")
+    }.toMap
+  }
+}

@@ -1,13 +1,633 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Loaders, Writers}
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStreams
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the M5 training-data extensions), and for every
+  * SQL-expressible entry a DuckDB oracle with IDENTICAL output column
+  * names and types (counts/lengths cast to BIGINT on both sides since
+  * DuckDB widens differently; double aggregates rounded on both sides;
+  * timestamps emitted as formatted strings to avoid tz-encoding skew).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, n: String): GraftFrame =
+    Loaders.loadParquet(s, s"$dir/$n.parquet", n)
+
+  /** Flagship query on sf0.001 — 3-way join + agg via the builder DSL. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), "lineitem.l_orderkey = orders.o_orderkey", "INNER")
+      .join(t(spark, dir, "customer"), "orders.o_custkey = customer.c_custkey", "INNER")
+      .select("customer.c_mktsegment")
+      .agg("ROUND(SUM(lineitem.l_extendedprice * (1 - lineitem.l_discount)), 2) AS revenue",
+        "COUNT(*) AS n_lines")
+      .groupBy("customer.c_mktsegment")
+      .orderByMany(("revenue", "DESC"))
+      .elusion("flagship").toDF
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── §2.3 projection / filtering ──────────────────────────────────────
+  private val relational: Map[String, Q] = Map(
+    "q_select_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter("l_quantity > 45").toDF),
+
+    "q_filter_many" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+        .filterMany("l_quantity > 30", "l_discount < 0.05", "l_returnflag = 'N'").toDF),
+
+    // §2.5 aggregation
+    "q_agg_groupby" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .agg("ROUND(SUM(l_quantity), 2) AS sum_qty",
+          "ROUND(SUM(l_extendedprice), 2) AS sum_price",
+          "ROUND(AVG(l_discount), 6) AS avg_disc",
+          "COUNT(*) AS cnt")
+        .groupBy("l_returnflag", "l_linestatus").toDF),
+
+    "q_group_by_all" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .agg("COUNT(*) AS cnt", "ROUND(SUM(l_quantity), 2) AS sum_qty")
+        .groupByAll().toDF),
+
+    "q_having" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_suppkey")
+        .agg("CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sum_qty")
+        .groupBy("l_suppkey")
+        .having("sum_qty > 15000").toDF),
+
+    // §2.4 joins
+    "q_join_inner" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), "orders.o_custkey = customer.c_custkey", "INNER")
+        .select("customer.c_mktsegment")
+        .agg("COUNT(*) AS n_orders", "ROUND(SUM(orders.o_totalprice), 2) AS total")
+        .groupBy("customer.c_mktsegment").toDF),
+
+    "q_join_3way" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), "lineitem.l_orderkey = orders.o_orderkey", "INNER")
+        .join(t(s, d, "customer"), "orders.o_custkey = customer.c_custkey", "INNER")
+        .select("customer.c_mktsegment")
+        .agg("ROUND(SUM(lineitem.l_extendedprice * (1 - lineitem.l_discount)), 2) AS revenue",
+          "COUNT(*) AS n_lines")
+        .groupBy("customer.c_mktsegment").toDF),
+
+    "q_join_left" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), "customer.c_custkey = orders.o_custkey", "LEFT")
+        .select("customer.c_mktsegment")
+        .agg("COUNT(orders.o_orderkey) AS n_orders", "COUNT(*) AS n_rows")
+        .groupBy("customer.c_mktsegment").toDF),
+
+    "q_join_right" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), "orders.o_custkey = customer.c_custkey", "RIGHT")
+        .select("customer.c_mktsegment")
+        .agg("COUNT(orders.o_orderkey) AS n_orders", "COUNT(*) AS n_rows")
+        .groupBy("customer.c_mktsegment").toDF),
+
+    "q_join_full" -> ((s, d) =>
+      t(s, d, "nation")
+        .join(t(s, d, "supplier"), "nation.n_nationkey = supplier.s_nationkey", "FULL")
+        .select("nation.n_name")
+        .agg("COUNT(supplier.s_suppkey) AS n_supp", "COUNT(*) AS n_rows")
+        .groupBy("nation.n_name").toDF),
+
+    "q_join_semi" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          "orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_quantity > 49",
+          "LEFT SEMI")
+        .select("o_orderpriority")
+        .agg("COUNT(*) AS n")
+        .groupBy("o_orderpriority").toDF),
+
+    "q_join_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          "customer.c_custkey = orders.o_custkey AND orders.o_totalprice > 400000",
+          "LEFT ANTI")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n")
+        .groupBy("c_mktsegment").toDF),
+
+    "q_right_semi" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "supplier"),
+          "lineitem.l_suppkey = supplier.s_suppkey AND lineitem.l_quantity > 49",
+          "RIGHT SEMI")
+        .select("s_nationkey")
+        .agg("COUNT(*) AS n")
+        .groupBy("s_nationkey").toDF),
+
+    "q_right_anti" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "supplier"),
+          "lineitem.l_suppkey = supplier.s_suppkey AND lineitem.l_quantity > 49 AND lineitem.l_discount > 0.09",
+          "RIGHT ANTI")
+        .select("s_nationkey")
+        .agg("COUNT(*) AS n")
+        .groupBy("s_nationkey").toDF),
+
+    "q_mark_join" -> ((s, d) => {
+      val bigLines = GraftFrame(
+        t(s, d, "lineitem").df.where(col("l_quantity") > 49), "bigline")
+      t(s, d, "orders")
+        .markJoin(bigLines, "o_orderkey", "l_orderkey", "has_big")
+        .select("has_big").agg("COUNT(*) AS n").groupBy("has_big").toDF
+    }),
+
+    // §2.6 windows
+    "q_window_running" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_linenumber")
+        .window("ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty")
+        .toDF),
+
+    "q_window_rank" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_custkey", "o_orderkey")
+        .window("RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk")
+        .window("DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk")
+        .window("ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn")
+        .window("ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS prnk")
+        .window("ROUND(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS cdist")
+        .toDF),
+
+    "q_window_ntile" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey")
+        .window("NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket")
+        .toDF),
+
+    "q_window_lag_lead" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey")
+        .window("LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price")
+        .window("LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price")
+        .toDF),
+
+    "q_window_frames" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey")
+        // integral cents keep the sliding-frame avg bit-identical across
+        // engines (double summation order differs under segment trees, and
+        // Spark rounds the decimal string while DuckDB rounds the binary
+        // double — integer cents sidestep both)
+        .window("CAST(ROUND(AVG(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS mov_avg_cents")
+        .window("FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_price")
+        .window("LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price")
+        .window("NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price")
+        .toDF),
+
+    // §2.7 sort / limit
+    "q_head" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderByMany(("l_orderkey", "ASC"), ("l_linenumber", "ASC"))
+        .limit(20).toDF),
+
+    // §2.8 set operations & reshaping
+    "q_union" -> ((s, d) => {
+      val a = t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+        .filter("o_orderstatus = 'F'")
+      val b = t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+        .filter("o_totalprice > 200000")
+      a.union(b).agg("COUNT(*) AS n").groupBy("o_orderstatus")
+        .select("o_orderstatus").toDF
+    }),
+
+    "q_union_all" -> ((s, d) => {
+      val a = t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+        .filter("o_orderstatus = 'F'")
+      val b = t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+        .filter("o_totalprice > 200000")
+      a.unionAll(b).agg("COUNT(*) AS n").groupBy("o_orderstatus")
+        .select("o_orderstatus").toDF
+    }),
+
+    "q_except" -> ((s, d) => {
+      val a = t(s, d, "orders").select("o_orderkey").filter("o_orderstatus = 'O'")
+      val b = t(s, d, "orders").select("o_orderkey").filter("o_totalprice > 100000")
+      a.except(b)
+        .agg("COUNT(*) AS n", "MIN(o_orderkey) AS min_k", "MAX(o_orderkey) AS max_k").toDF
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      val a = t(s, d, "orders").select("o_orderkey").filter("o_orderstatus = 'O'")
+      val b = t(s, d, "orders").select("o_orderkey").filter("o_totalprice > 100000")
+      a.intersect(b)
+        .agg("COUNT(*) AS n", "MIN(o_orderkey) AS min_k", "MAX(o_orderkey) AS max_k").toDF
+    }),
+
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .pivot(Seq("o_orderpriority"), "o_orderstatus", "o_totalprice", "sum")
+        .select("o_orderpriority", "ROUND(F, 2) AS f", "ROUND(O, 2) AS o",
+          "ROUND(P, 2) AS p").toDF),
+
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "part")
+        .unpivot(Seq("p_partkey"), Seq("p_retailprice", "p_size"), "metric", "value")
+        .toDF),
+
+    // §2.9 null handling & dedup
+    "q_fill_null" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "NULLIF(o_orderstatus, 'O') AS st")
+        .fillNull(Seq("st"), "MISSING").toDF),
+
+    "q_drop_null" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "NULLIF(o_orderstatus, 'F') AS st")
+        .dropNull(Seq("st")).toDF),
+
+    "q_fill_down" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey",
+          "CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS st")
+        .fillDown(Seq("st"), Seq("o_orderkey")).toDF),
+
+    "q_skip_rows" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .skipRows(10, Seq("o_orderkey")).toDF),
+
+    "q_drop_duplicates" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .dropDuplicatesByColumn(Seq("l_suppkey", "l_returnflag"),
+          Seq("l_orderkey", "l_linenumber"))
+        .select("l_suppkey", "l_returnflag", "l_orderkey", "l_linenumber").toDF),
+
+    // §2.10 scalar function surface
+    "q_string_fns" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("c_custkey", "c_name")
+        .stringFunctions(
+          "UPPER(c_name) AS up_name",
+          "CONCAT(c_mktsegment, '-', c_name) AS seg_name",
+          "SUBSTR(c_name, 10, 5) AS name_part",
+          "CAST(LENGTH(c_name) AS BIGINT) AS name_len",
+          "REPLACE(c_name, 'Customer', 'Cust') AS short_name",
+          "LPAD(c_custkey::VARCHAR, 10, '0') AS padded",
+          "SPLIT_PART(c_name, '#', 2) AS num_part",
+          "REVERSE(c_name) AS rev_name")
+        .toDF),
+
+    "q_datetime_fns" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey")
+        .datetimeFunctions(
+          "CAST(YEAR(o_orderdate) AS BIGINT) AS yr",
+          "CAST(MONTH(o_orderdate) AS BIGINT) AS mo",
+          "CAST(DAY(o_orderdate) AS BIGINT) AS dy",
+          "DATE_FORMAT(o_orderdate, 'yyyy-MM') AS ym",
+          "CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start",
+          "CAST(o_orderdate AS DATE) AS od")
+        .toDF),
+
+    "q_math_fns" -> ((s, d) =>
+      t(s, d, "part")
+        .select("p_partkey",
+          "ROUND(SQRT(p_retailprice), 6) AS sqrt_price",
+          "ROUND(ABS(p_retailprice - 1000), 2) AS abs_diff",
+          "CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_p",
+          "CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_p",
+          "ROUND(LN(p_retailprice), 6) AS ln_p",
+          "ROUND(POWER(p_size, 2), 1) AS size_sq")
+        .toDF),
+
+    "q_case_cast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber",
+          "CASE WHEN l_quantity >= 40 THEN 'HIGH' WHEN l_quantity >= 20 THEN 'MED' ELSE 'LOW' END AS qty_band",
+          "CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int",
+          "CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_int")
+        .toDF),
+
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .json("props.'$k' AS k_val")
+        .agg("COUNT(*) AS n")
+        .groupBy("k_val").toDF),
+
+    // raw SQL (reference sql! macro)
+    "q_raw_sql" -> ((s, d) =>
+      Loaders.sql(s,
+        "SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal " +
+          "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+        "rawq", t(s, d, "customer"), t(s, d, "nation")).toDF),
+
+    // §2.11 statistics
+    "q_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg("COUNT(*) AS total_rows",
+          "COUNT(l_quantity) AS non_null_qty",
+          "ROUND(AVG(l_quantity), 4) AS mean_qty",
+          "ROUND(MIN(l_extendedprice), 2) AS min_price",
+          "ROUND(MAX(l_extendedprice), 2) AS max_price",
+          "ROUND(STDDEV(l_quantity), 4) AS std_qty").toDF),
+
+    "q_null_analysis" -> ((s, d) =>
+      t(s, d, "orders")
+        .agg("COUNT(*) - COUNT(o_orderkey) AS orderkey_nulls",
+          "COUNT(*) - COUNT(o_totalprice) AS totalprice_nulls",
+          "COUNT(*) AS total_rows").toDF),
+
+    "q_correlation" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg("ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price",
+          "ROUND(CORR(l_discount, l_tax), 4) AS corr_disc_tax").toDF),
+
+    // calendar sources (§2.1)
+    "q_calendar" -> ((s, d) =>
+      Loaders.dateRangeTable(s, "2024-01-01", "2024-12-31", "cal")
+        .select("date", "year::BIGINT AS yr", "month::BIGINT AS mo",
+          "day::BIGINT AS dy", "quarter::BIGINT AS qtr", "week_num::BIGINT AS wk",
+          "day_of_week::BIGINT AS dow", "day_of_year::BIGINT AS doy",
+          "week_start", "month_start", "quarter_start", "year_start", "is_weekend")
+        .toDF),
+
+    "q_calendar_formatted" -> ((s, d) =>
+      Loaders.formattedDateRangeTable(s, "2024-02-27", "2024-03-02", "cal",
+        Seq("compact_date", "year_month", "iso_date"))
+        .select("date", "date_compact_date", "date_year_month", "date_iso_date")
+        .toDF),
+
+    // CSV smart loader round-trip (§2.1) + single-file writer (§2.2)
+    "q_csv_roundtrip" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_rt.csv"
+      Writers.writeCsvSingle(t(s, d, "customer").toDF, "overwrite", path)
+      Loaders.loadCsv(s, path, "customer_rt")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }))
+
+  // ── M5 extensions: dedup / similarity / text / multimodal / events ───
+  private val extensions: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents").df, "text", "doc_id")),
+
+    "q_dedup_norm" -> ((s, d) =>
+      Dedup.exactNormalized(t(s, d, "documents").df, "text", "doc_id")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents").df, "text", "doc_id",
+        numHashes = 32, bands = 16, shingleWords = 3, jaccardThreshold = 0.1)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents").df, "text", "doc_id", maxHamming = 16)),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents").df, "text", "doc_id",
+        shingleWords = 2, threshold = 0.1)),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(t(s, d, "embeddings").df, "embedding", "vec_id",
+        threshold = 0.2)),
+
+    "q_sim_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("corpus_id"), col("cosine"),
+          col("rank").cast("bigint").as("rnk"))
+    }),
+
+    "q_sim_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, bits = 8)
+        .select(col("query_id"), col("corpus_id"), col("cosine"),
+          col("rank").cast("bigint").as("rnk"))
+    }),
+
+    "q_sim_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("corpus_id"), col("cosine"),
+          col("rank").cast("bigint").as("rnk"))
+    }),
+
+    "q_text_tokens" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("bigint").as("ws_tokens"),
+        TF.bpeTokenCount(col("text")).cast("bigint").as("bpe_tokens"))),
+
+    "q_text_quality" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars_calc"),
+        TF.tokenCount(col("text")).cast("bigint").as("word_count"),
+        round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TF.digitRatio(col("text")), 6).as("digit_ratio"),
+        round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TF.meanWordLength(col("text")), 6).as("mean_word_len"))),
+
+    "q_text_langid" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        TF.langId(col("text")).as("detected_lang"))),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        TF.fingerprintKey(col("text")).as("fp_key"))),
+
+    "q_multimodal" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.fromDocuments(t(s, d, "documents").df, "doc_id", "text"))
+        .select(col("media_id"), col("modality"),
+          col("byte_size").cast("bigint").as("byte_size"),
+          col("content_digest"))),
+
+    "q_events_tumbling" -> ((s, d) =>
+      EventStreams.tumblingCounts(t(s, d, "events").df, "ts", "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))),
+
+    "q_events_session" -> ((s, d) =>
+      EventStreams.sessionize(t(s, d, "events").df, "ts", "user_id",
+        "30 minutes", tieBreak = Seq("event_id"))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"))))
+
+  def queries: Map[String, Q] = relational ++ extensions
+
+  // ── DuckDB oracles (identical column names; see header note) ─────────
+  def oracleSql: Map[String, String] = Map(
+    "q_select_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45",
+
+    "q_filter_many" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05 AND l_returnflag = 'N'",
+
+    "q_agg_groupby" ->
+      "SELECT round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc, count(*) AS cnt, l_returnflag, l_linestatus FROM lineitem GROUP BY l_returnflag, l_linestatus",
+
+    "q_group_by_all" ->
+      "SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, l_returnflag, l_linestatus FROM lineitem GROUP BY l_returnflag, l_linestatus",
+
+    "q_having" ->
+      "SELECT CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty, l_suppkey FROM lineitem GROUP BY l_suppkey HAVING sum_qty > 15000",
+
+    "q_join_inner" ->
+      "SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS total, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+
+    "q_join_3way" ->
+      "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lines, c_mktsegment FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+
+    "q_join_left" ->
+      "SELECT count(o_orderkey) AS n_orders, count(*) AS n_rows, c_mktsegment FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_mktsegment",
+
+    "q_join_right" ->
+      "SELECT count(o_orderkey) AS n_orders, count(*) AS n_rows, c_mktsegment FROM orders RIGHT JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+
+    "q_join_full" ->
+      "SELECT count(s_suppkey) AS n_supp, count(*) AS n_rows, n_name FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey GROUP BY n_name",
+
+    "q_join_semi" ->
+      "SELECT count(*) AS n, o_orderpriority FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49) GROUP BY o_orderpriority",
+
+    "q_join_anti" ->
+      "SELECT count(*) AS n, c_mktsegment FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) GROUP BY c_mktsegment",
+
+    "q_right_semi" ->
+      "SELECT count(*) AS n, s_nationkey FROM supplier WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49) GROUP BY s_nationkey",
+
+    "q_right_anti" ->
+      "SELECT count(*) AS n, s_nationkey FROM supplier WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49 AND l_discount > 0.09) GROUP BY s_nationkey",
+
+    "q_mark_join" ->
+      "SELECT has_big, count(*) AS n FROM (SELECT o_orderkey, EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49) AS has_big FROM orders) GROUP BY has_big",
+
+    "q_window_running" ->
+      "SELECT l_suppkey, l_orderkey, l_linenumber, round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty FROM lineitem",
+
+    "q_window_rank" ->
+      "SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn, round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS prnk, round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS cdist FROM orders",
+
+    "q_window_ntile" ->
+      "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders",
+
+    "q_window_lag_lead" ->
+      "SELECT o_orderkey, o_custkey, lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price, lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price FROM orders",
+
+    "q_window_frames" ->
+      "SELECT o_orderkey, o_custkey, CAST(round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS mov_avg_cents, first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_price, last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price, nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price FROM orders",
+
+    "q_head" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20",
+
+    "q_union" ->
+      "SELECT count(*) AS n, o_orderstatus FROM (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' UNION SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000) GROUP BY o_orderstatus",
+
+    "q_union_all" ->
+      "SELECT count(*) AS n, o_orderstatus FROM (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000) GROUP BY o_orderstatus",
+
+    "q_except" ->
+      "SELECT count(*) AS n, min(o_orderkey) AS min_k, max(o_orderkey) AS max_k FROM (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)",
+
+    "q_intersect" ->
+      "SELECT count(*) AS n, min(o_orderkey) AS min_k, max(o_orderkey) AS max_k FROM (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)",
+
+    "q_pivot" ->
+      "SELECT o_orderpriority, round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS f, round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS o, round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS p FROM orders GROUP BY o_orderpriority",
+
+    "q_unpivot" ->
+      "SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part UNION ALL SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part",
+
+    "q_fill_null" ->
+      "SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'), 'MISSING') AS st FROM orders",
+
+    "q_drop_null" ->
+      "SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders WHERE nullif(o_orderstatus, 'F') IS NOT NULL",
+
+    "q_fill_down" ->
+      "SELECT o_orderkey, last_value(st IGNORE NULLS) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st FROM (SELECT o_orderkey, CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS st FROM orders)",
+
+    "q_skip_rows" ->
+      "SELECT o_orderkey, o_totalprice FROM orders QUALIFY row_number() OVER (ORDER BY o_orderkey) > 10",
+
+    "q_drop_duplicates" ->
+      "SELECT l_suppkey, l_returnflag, l_orderkey, l_linenumber FROM lineitem QUALIFY row_number() OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY l_orderkey, l_linenumber) = 1",
+
+    "q_string_fns" ->
+      "SELECT c_custkey, c_name, upper(c_name) AS up_name, concat(c_mktsegment, '-', c_name) AS seg_name, substr(c_name, 10, 5) AS name_part, CAST(length(c_name) AS BIGINT) AS name_len, replace(c_name, 'Customer', 'Cust') AS short_name, lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, split_part(c_name, '#', 2) AS num_part, reverse(c_name) AS rev_name FROM customer",
+
+    "q_datetime_fns" ->
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo, CAST(day(o_orderdate) AS BIGINT) AS dy, strftime(o_orderdate, '%Y-%m') AS ym, CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, CAST(o_orderdate AS DATE) AS od FROM orders",
+
+    "q_math_fns" ->
+      "SELECT p_partkey, round(sqrt(p_retailprice), 6) AS sqrt_price, round(abs(p_retailprice - 1000), 2) AS abs_diff, CAST(floor(p_retailprice) AS BIGINT) AS floor_p, CAST(ceil(p_retailprice) AS BIGINT) AS ceil_p, round(ln(p_retailprice), 6) AS ln_p, round(pow(p_size, 2), 1) AS size_sq FROM part",
+
+    "q_case_cast" ->
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_quantity >= 40 THEN 'HIGH' WHEN l_quantity >= 20 THEN 'MED' ELSE 'LOW' END AS qty_band, CAST(floor(l_quantity) AS BIGINT) AS qty_int, CAST(floor(l_extendedprice) AS BIGINT) AS price_int FROM lineitem",
+
+    "q_json_extract" ->
+      "SELECT count(*) AS n, json_extract_string(props, '$.k') AS k_val FROM events GROUP BY k_val",
+
+    "q_raw_sql" ->
+      "SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+
+    "q_stats" ->
+      "SELECT count(*) AS total_rows, count(l_quantity) AS non_null_qty, round(avg(l_quantity), 4) AS mean_qty, round(min(l_extendedprice), 2) AS min_price, round(max(l_extendedprice), 2) AS max_price, round(stddev(l_quantity), 4) AS std_qty FROM lineitem",
+
+    "q_null_analysis" ->
+      "SELECT count(*) - count(o_orderkey) AS orderkey_nulls, count(*) - count(o_totalprice) AS totalprice_nulls, count(*) AS total_rows FROM orders",
+
+    "q_correlation" ->
+      "SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, round(corr(l_discount, l_tax), 4) AS corr_disc_tax FROM lineitem",
+
+    "q_calendar" ->
+      "SELECT CAST(range AS DATE) AS date, CAST(year(range) AS BIGINT) AS yr, CAST(month(range) AS BIGINT) AS mo, CAST(day(range) AS BIGINT) AS dy, CAST(quarter(range) AS BIGINT) AS qtr, CAST(weekofyear(range) AS BIGINT) AS wk, CAST(isodow(range) AS BIGINT) AS dow, CAST(dayofyear(range) AS BIGINT) AS doy, CAST(date_trunc('week', range) AS DATE) AS week_start, CAST(date_trunc('month', range) AS DATE) AS month_start, CAST(date_trunc('quarter', range) AS DATE) AS quarter_start, CAST(date_trunc('year', range) AS DATE) AS year_start, isodow(range) >= 6 AS is_weekend FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2025-01-01', INTERVAL 1 DAY)",
+
+    "q_calendar_formatted" ->
+      "SELECT CAST(range AS DATE) AS date, strftime(range, '%Y%m%d') AS date_compact_date, strftime(range, '%Y-%m') AS date_year_month, strftime(range, '%Y-%m-%d') AS date_iso_date FROM range(TIMESTAMP '2024-02-27', TIMESTAMP '2024-03-03', INTERVAL 1 DAY)",
+
+    "q_csv_roundtrip" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY text",
+
+    "q_dedup_norm" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))",
+
+    "q_dedup_embedding" ->
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2",
+
+    "q_sim_topk" ->
+      "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine, CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS BIGINT) AS rnk FROM embeddings c, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q WHERE c.vec_id <> q.vec_id QUALIFY rnk <= 10",
+
+    "q_text_tokens" ->
+      "SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens FROM documents",
+
+    "q_text_quality" ->
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS word_count, round(CAST(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio, round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio, round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE) / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS stopword_ratio, round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS mean_word_len FROM documents",
+
+    "q_text_fingerprint" ->
+      "SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))), ' ') AS fp_key FROM documents",
+
+    "q_events_tumbling" ->
+      "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2",
+
+    "q_events_session" ->
+      "WITH marked AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s, event_id FROM (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, count(*) AS n_events FROM sess GROUP BY user_id, sid")
 }

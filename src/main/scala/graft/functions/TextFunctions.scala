@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines —
+  * beyond-reference extensions (SURVEY §7.2 M5): language-ID, quality
+  * scoring, token counting, document fingerprinting. All are pure
+  * `functions._` Column compositions (whole-stage-codegen-friendly, no
+  * UDFs) so they stay inside Tungsten at 100 TB.
+  */
+object TextFunctions {
+
+  /** Tokens: lowercased word sequences. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — a cheap proxy for BPE
+    * vocabulary growth used for corpus sizing.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Minimal per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic. Deterministic and tiny by design — the
+    * documents fixture vocabulary is English-ish so `en` dominates.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "un", "una", "para"),
+    "it" -> Seq("il", "la", "e", "di", "che", "non", "un", "una", "per", "con"))
+
+  /** Stopword hit count for one language. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val sw = array(Stopwords(lang).map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Language-ID: argmax of stopword hit rate across languages, 'und'
+    * (undetermined) when nothing matches. Ties break by language-code
+    * order for determinism.
+    */
+  def langId(text: Column): Column = {
+    val langs = Stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+    // struct ordering compares hits first, then lang — deterministic
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-score components (length / punctuation / stopword ratios —
+    * SURVEY north-star text analysis). All ratios in [0,1].
+    */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}]", "")).cast("double") / length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(stopwordHits(text, "en").cast("double") / n)
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents with
+    * low punctuation/digit noise and a natural stopword rate.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - digitRatio(text) * 5.0)
+    val swScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.2 + digitPenalty * 0.2 + swScore * 0.2), 6)
+  }
+
+  /** Canonical fingerprint key (OpenRefine-style): sorted distinct
+    * lowercase tokens joined by a single space. Two documents with the
+    * same token multiset collapse to one key.
+    */
+  def fingerprintKey(text: Column): Column =
+    concat_ws(" ", array_sort(array_distinct(
+      filter(tokens(text), t => length(t) > 0))))
+
+  /** 64-bit fingerprint of the canonical key (xxhash64 — stable across
+    * Spark versions and partitionings).
+    */
+  def fingerprint64(text: Column): Column = xxhash64(fingerprintKey(text))
+
+  /** Normalized text for near-dup pipelines: lowercase, strip
+    * punctuation, collapse whitespace.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Word n-gram shingles over normalized text (default n=3). */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(normalizeText(text), " ")
+    val cnt = size(toks)
+    when(cnt < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), cnt - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles over normalized text (default n=5). */
+  def charShingles(text: Column, n: Int = 5): Column = {
+    val s = normalizeText(text)
+    val len = length(s)
+    when(len <= n, array(s)).otherwise(
+      array_distinct(transform(sequence(lit(1), len - n + 1),
+        i => s.substr(i, lit(n)))))
+  }
+}

