@@ -264,11 +264,12 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     */
   def markJoin(other: GraftFrame, leftKey: String, rightKey: String,
       mark: String): GraftFrame = {
-    val rightDistinct = other.toDF.select(col(rightKey)).distinct()
+    val rk = "graft_mark_key" // unique name avoids ambiguity when keys match
+    val rightDistinct = other.toDF.select(col(rightKey).as(rk)).distinct()
       .withColumn(mark, lit(true))
-    val out = toDF.join(rightDistinct, col(leftKey) === col(rightKey), "left")
+    val out = toDF.join(rightDistinct, col(leftKey) === col(rk), "left")
       .withColumn(mark, coalesce(col(mark), lit(false)))
-      .drop(rightKey)
+      .drop(rk)
     GraftFrame(out, alias)
   }
 
@@ -405,9 +406,49 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
       else {
         val (sql, regs) = buildSql()
         regs.foreach { case (v, d) => d.createOrReplaceTempView(v) }
-        spark.sql(sql)
+        try spark.sql(sql)
+        catch {
+          case e: Throwable =>
+            throw GraftError.translate(e, sql,
+              allSources.flatMap(_._2.columns).distinct)
+        }
       }
     state.deferred.foldLeft(base)(applyDeferred)
+  }
+
+  // ─────────────── result streaming (reference §2.13) ────────────────
+  // The reference's "streaming" is a pull-based result iterator over the
+  // finished query (src/elusion.rs:8173-8206) — NOT event-time streaming
+  // (that's graft.streaming.EventStreams). toLocalIterator fetches one
+  // partition at a time, so the driver never holds the whole result.
+
+  /** Pull-based row iterator over the pending query's result. */
+  def stream(): Iterator[Row] = toDF.toLocalIterator().asScala
+
+  /** Per-partition callback on executors (reference stream_process). */
+  def streamProcess(f: Iterator[Row] => Unit): Unit =
+    toDF.foreachPartition(f)
+
+  /** Iterate result partitions, printing progress + a first sample, never
+    * materializing (reference elusion_streaming, src/elusion.rs:8041-8136).
+    */
+  def elusionStreaming(resultAlias: String, sampleRows: Int = 5): Long = {
+    var n = 0L
+    var shown = false
+    stream().foreach { r =>
+      if (!shown) { println(s"[$resultAlias] first row: $r"); shown = true }
+      n += 1
+      if (n % 100000 == 0) println(s"[$resultAlias] $n rows...")
+    }
+    println(s"[$resultAlias] done: $n rows")
+    n
+  }
+
+  private implicit class JIterOps[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext
+      def next() = it.next()
+    }
   }
 
   /** Null sentinels for string columns (src/elusion.rs:2558-2568). */

@@ -369,6 +369,94 @@ object SparkEntry {
         .select("date", "date_compact_date", "date_year_month", "date_iso_date")
         .toDF),
 
+    // star expansion with base-name dedup + elusion chaining
+    "q_select_star" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), "lineitem.l_orderkey = orders.o_orderkey", "INNER")
+        .select("*")
+        .elusion("star_stage")
+        .agg("COUNT(*) AS n", "CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sq",
+          "ROUND(SUM(o_totalprice), 2) AS sp").toDF),
+
+    // multi-stage materialized pipeline (reference benchmark.rs:641-747 shape)
+    "q_multistage" -> ((s, d) => {
+      val stage1 = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), "lineitem.l_orderkey = orders.o_orderkey", "INNER")
+        .select("orders.o_orderpriority", "lineitem.l_quantity",
+          "CAST(MONTH(orders.o_orderdate) AS BIGINT) AS mo")
+        .elusionCached("ms_stage1")
+      val stage2 = stage1
+        .select("o_orderpriority", "mo")
+        .agg("CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS qty")
+        .groupBy("o_orderpriority", "mo")
+        .elusion("ms_stage2")
+      val out = stage2
+        .select("o_orderpriority", "mo", "qty")
+        .window("RANK() OVER (PARTITION BY o_orderpriority ORDER BY qty DESC, mo) AS rnk")
+        .toDF
+      stage1.df.unpersist()
+      out
+    }),
+
+    // materialized view + query cache (reference cashandview.rs)
+    "q_materialized_view" -> ((s, d) => {
+      val frame = t(s, d, "orders").select("o_orderpriority")
+        .agg("COUNT(*) AS n", "ROUND(SUM(o_totalprice), 2) AS total")
+        .groupBy("o_orderpriority")
+      graft.operators.MaterializedViews.create(frame, "mv_orders")
+      val got = graft.operators.MaterializedViews.get("mv_orders").get.toDF
+      graft.operators.MaterializedViews.drop("mv_orders")
+      got
+    }),
+
+    "q_query_cache" -> ((s, d) => {
+      val mk = () => t(s, d, "customer").select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(AVG(c_acctbal), 4) AS avg_bal")
+        .groupBy("c_mktsegment")
+      val cache = new graft.operators.QueryCache(maxEntries = 10)
+      cache.elusionWithCache(mk(), "qc1")
+      val hit = cache.elusionWithCache(mk(), "qc2") // second run: cache hit
+      val out = hit.toDF
+      out.count() // force before invalidate unpersists
+      val res = out.collect()
+      cache.invalidate()
+      s.createDataFrame(java.util.Arrays.asList(res: _*), out.schema)
+    }),
+
+    // JSON loader semantics (numbers stay numeric, strings stay strings)
+    "q_json_load" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/documents_rt.json"
+      Writers.writeJsonSingle(t(s, d, "documents").toDF, path)
+      Loaders.loadJson(s, path, "docs_json")
+        .select("lang")
+        .agg("COUNT(*) AS n", "CAST(FLOOR(SUM(n_chars)) AS BIGINT) AS chars")
+        .groupBy("lang").toDF
+    }),
+
+    // folder loader: two shards UNION ALL'd back to the full table
+    "q_folder_load" -> ((s, d) => {
+      val dir = "/root/repo/target/tmp/folder_rt"
+      val c = t(s, d, "customer").toDF
+      Writers.writeCsvSingle(c.where(col("c_custkey") % 2 === 0), "overwrite", s"$dir/even.csv")
+      Writers.writeCsvSingle(c.where(col("c_custkey") % 2 === 1), "overwrite", s"$dir/odd.csv")
+      Loaders.loadFolder(s, dir, "customer_shards")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
+    // user-declared schema load (reference with_schema.rs)
+    "q_with_schema" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_schema.csv"
+      Writers.writeCsvSingle(t(s, d, "customer").toDF, "overwrite", path)
+      Loaders.loadWithSchema(s, path, "customer_ws", Seq(
+        "c_custkey" -> "int64", "c_name" -> "string", "c_nationkey" -> "int32",
+        "c_acctbal" -> "float64", "c_mktsegment" -> "string"))
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // CSV smart loader round-trip (§2.1) + single-file writer (§2.2)
     "q_csv_roundtrip" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_rt.csv"
@@ -389,10 +477,10 @@ object SparkEntry {
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents").df, "text", "doc_id",
-        numHashes = 32, bands = 16, shingleWords = 3, jaccardThreshold = 0.1)),
+        numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.3)),
 
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents").df, "text", "doc_id", maxHamming = 16)),
+      Dedup.simhashPairs(t(s, d, "documents").df, "text", "doc_id", maxHamming = 10)),
 
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents").df, "text", "doc_id",
@@ -602,6 +690,27 @@ object SparkEntry {
       "SELECT CAST(range AS DATE) AS date, strftime(range, '%Y%m%d') AS date_compact_date, strftime(range, '%Y-%m') AS date_year_month, strftime(range, '%Y-%m-%d') AS date_iso_date FROM range(TIMESTAMP '2024-02-27', TIMESTAMP '2024-03-03', INTERVAL 1 DAY)",
 
     "q_csv_roundtrip" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_select_star" ->
+      "SELECT count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS sq, round(sum(o_totalprice), 2) AS sp FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+
+    "q_multistage" ->
+      "SELECT o_orderpriority, mo, qty, rank() OVER (PARTITION BY o_orderpriority ORDER BY qty DESC, mo) AS rnk FROM (SELECT o_orderpriority, CAST(month(o_orderdate) AS BIGINT) AS mo, CAST(floor(sum(l_quantity)) AS BIGINT) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority, mo)",
+
+    "q_materialized_view" ->
+      "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, o_orderpriority FROM orders GROUP BY o_orderpriority",
+
+    "q_query_cache" ->
+      "SELECT count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_json_load" ->
+      "SELECT count(*) AS n, CAST(floor(sum(n_chars)) AS BIGINT) AS chars, lang FROM documents GROUP BY lang",
+
+    "q_folder_load" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_with_schema" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_dedup_exact" ->

@@ -107,8 +107,16 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
-  /** Word n-gram shingles over normalized text (default n=3). */
-  def wordShingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingles over normalized text (default n=3). Native
+    * single-pass expression — see graft.plans.WordShingles for why the
+    * built-ins composition (kept below as wordShinglesHof) is too slow on
+    * the LSH hot path.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    graft.plans.ShingleExpression.wordShingles(text, n)
+
+  /** Built-ins-only variant (cross-check for the native expression). */
+  def wordShinglesHof(text: Column, n: Int = 3): Column = {
     val toks = split(normalizeText(text), " ")
     val cnt = size(toks)
     when(cnt < n, array(concat_ws(" ", toks)))

@@ -92,7 +92,8 @@ object Normalize {
   }
 
   private val CastRe =
-    """(\([^()]*\)|'[^']*'|[A-Za-z_][A-Za-z0-9_.]*|[0-9]+(?:\.[0-9]+)?)::([A-Za-z0-9_]+)""".r
+    ("""([A-Za-z_][A-Za-z0-9_.]*\([^()]*(?:\([^()]*\)[^()]*)*\)""" + // f(...) incl. one nesting
+      """|\([^()]*\)|'[^']*'|[A-Za-z_][A-Za-z0-9_.]*|[0-9]+(?:\.[0-9]+)?)::([A-Za-z0-9_]+)""").r
 
   /** Rewrite `expr::TYPE` → `CAST(expr AS type)` (normalize.rs:175-188).
     * Applied repeatedly so chained casts resolve.

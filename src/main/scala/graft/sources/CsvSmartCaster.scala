@@ -36,7 +36,9 @@ object CsvSmartCaster {
   private val FloatRe =
     ("""^[+-]?[$€£¥₹]?\s?(""" +
       """\d{1,3}(,\d{3})+(\.\d+)?""" + "|" + // US thousands
-      """\d{1,3}(\.\d{3})+(,\d+)?""" + "|" + // EU thousands
+      """\d{1,3}(\.\d{3})+(,\d+)""" + "|" +  // EU thousands (decimal comma
+                                             // REQUIRED — '999.999.999' is
+                                             // String, csv.rs:868-917)
       """\d+[.,]\d+""" + "|" +               // plain decimal (either mark)
       """\d+""" +                            // int-with-symbol
       """)%?$""").r

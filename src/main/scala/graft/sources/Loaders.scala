@@ -76,7 +76,16 @@ object Loaders {
     * arrays/objects are serialized back to JSON strings.
     */
   def loadJson(spark: SparkSession, path: String, alias: String): GraftFrame = {
-    val raw = spark.read.option("multiLine", "true").json(path)
+    // array files ([...]) need multiLine; JSONL must NOT use it
+    val isArray = {
+      val in = new java.io.BufferedReader(new java.io.FileReader(path))
+      try {
+        var c = in.read()
+        while (c != -1 && Character.isWhitespace(c)) c = in.read()
+        c == '['
+      } finally in.close()
+    }
+    val raw = spark.read.option("multiLine", isArray.toString).json(path)
     val flat = raw.schema.fields.map { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)

@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Builder-DSL spec: the relational surface of SURVEY §2 on tiny frames. */
+class GraftFrameSpec extends SparkSpec {
+
+  private lazy val sales: GraftFrame = {
+    val sp = spark; import sp.implicits._
+    GraftFrame(Seq(
+      (1, "a", 10.0, "x"), (2, "a", 20.0, "y"), (3, "b", 30.0, "x"),
+      (4, "b", 40.0, "y"), (5, "c", 50.0, "x")
+    ).toDF("ID", "Grp", "Amount", "Tag"), "sales")
+  }
+
+  private lazy val dims: GraftFrame = {
+    val sp = spark; import sp.implicits._
+    GraftFrame(Seq(("a", "alpha"), ("b", "beta")).toDF("Grp", "Name"), "dims")
+  }
+
+  test("load lowercases column names") {
+    assert(sales.df.columns.toSeq == Seq("id", "grp", "amount", "tag"))
+  }
+
+  test("select + filter + orderBy + limit via generated SQL") {
+    val out = sales.select("id", "amount").filter("amount > 15")
+      .orderByMany(("id", "DESC")).limit(2).toDF.collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(5, 4))
+  }
+
+  test("agg gate drops non-aggregates silently (reference parity)") {
+    val f = sales.select("grp")
+      .agg("SUM(amount) AS total", "UPPER(tag) AS nope", "COUNT(*) AS n")
+      .groupBy("grp")
+    assert(!f.sqlText.contains("nope"))
+    val out = f.toDF.collect().map(r => (r.getString(r.fieldIndex("grp")),
+      r.getDouble(r.fieldIndex("total")))).toMap
+    assert(out == Map("a" -> 30.0, "b" -> 70.0, "c" -> 50.0))
+  }
+
+  test("groupByAll groups by every non-aggregate selected column") {
+    val out = sales.select("grp", "tag").agg("SUM(amount) AS total").groupByAll()
+      .toDF.collect()
+    assert(out.length == 5) // (a,x),(a,y),(b,x),(b,y),(c,x)
+  }
+
+  test("having filters on aggregate alias") {
+    val out = sales.select("grp").agg("SUM(amount) AS total").groupBy("grp")
+      .having("total > 40").toDF.collect()
+    assert(out.map(_.getAs[String]("grp")).toSet == Set("b", "c"))
+  }
+
+  test("groupBy resolves select alias back to expression") {
+    val out = sales.select("UPPER(grp) AS g").agg("COUNT(*) AS n").groupBy("g")
+      .toDF.collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("n")).toMap
+    assert(out == Map("A" -> 2L, "B" -> 2L, "C" -> 1L))
+  }
+
+  test("star select expands and dedupes by base name, first wins") {
+    val f = sales.join(dims, "sales.grp = dims.grp", "INNER").select("*")
+    val cols = f.toDF.columns.toSeq
+    assert(cols == Seq("id", "grp", "amount", "tag", "name")) // grp deduped
+  }
+
+  test("inner/left/semi/anti/mark joins") {
+    val inner = sales.join(dims, "sales.grp = dims.grp", "INNER").toDF
+    assert(inner.count() == 4)
+    val left = sales.join(dims, "sales.grp = dims.grp", "LEFT").toDF
+    assert(left.count() == 5)
+    val semi = sales.join(dims, "sales.grp = dims.grp", "LEFT SEMI").toDF
+    assert(semi.count() == 4)
+    val anti = sales.join(dims, "sales.grp = dims.grp", "LEFT ANTI").toDF
+    assert(anti.collect().map(_.getAs[Int]("id")).toSeq == Seq(5))
+    val mark = sales.markJoin(dims, "grp", "grp", "has_dim").toDF
+    assert(mark.where("has_dim").count() == 4)
+    assert(mark.where("NOT has_dim").count() == 1)
+  }
+
+  test("right semi swaps sides") {
+    val rs = sales.join(dims, "sales.grp = dims.grp", "RIGHT_SEMI")
+      .select("name").toDF
+    assert(rs.collect().map(_.getString(0)).toSet == Set("alpha", "beta"))
+  }
+
+  test("window expression appended to select") {
+    val out = sales.select("id", "grp")
+      .window("ROW_NUMBER() OVER (PARTITION BY grp ORDER BY amount DESC) AS rn")
+      .toDF.where("rn = 1").collect().map(_.getAs[Int]("id")).toSet
+    assert(out == Set(2, 4, 5))
+  }
+
+  test("union dedups, unionAll keeps, except/intersect distinct") {
+    val a = sales.select("grp").filter("amount <= 30")  // a,a,b
+    val b = sales.select("grp").filter("amount >= 30")  // b,b,c
+    assert(a.union(b).toDF.count() == 3)       // a,b,c
+    assert(a.unionAll(b).toDF.count() == 6)
+    assert(a.except(b).toDF.collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(a.intersect(b).toDF.collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("pivot matches manual coalesce-sum-case with zero default") {
+    val p = sales.pivot(Seq("grp"), "tag", "amount", "sum").toDF
+    val row = p.where("grp = 'c'").first()
+    assert(row.getAs[Double]("x") == 50.0)
+    assert(row.getAs[Double]("y") == 0.0) // COALESCE(...,0) parity
+  }
+
+  test("unpivot melts value columns") {
+    val u = sales.unpivot(Seq("id"), Seq("amount"), "metric", "value").toDF
+    assert(u.count() == 5)
+    assert(u.columns.toSeq == Seq("id", "metric", "value"))
+  }
+
+  test("fillNull handles string sentinels, dropNull drops them") {
+    val sp = spark; import sp.implicits._
+    val dirty = GraftFrame(Seq(("1", "Berlin"), ("2", ""), ("3", "N/A"),
+      ("4", "-"), ("5", "Paris")).toDF("id", "city"), "dirty")
+    val filled = dirty.fillNull(Seq("city"), "UNKNOWN").toDF
+    assert(filled.where("city = 'UNKNOWN'").count() == 3)
+    val dropped = dirty.dropNull(Seq("city")).toDF
+    assert(dropped.collect().map(_.getString(1)).toSet == Set("Berlin", "Paris"))
+  }
+
+  test("fillDown carries last non-null forward in given order (A5)") {
+    val sp = spark; import sp.implicits._
+    val d = GraftFrame(Seq((1, "Berlin"), (2, null), (3, "null"), (4, "N/A"),
+      (5, "Paris"), (6, "-")).toDF("id", "city"), "fd")
+    val out = d.fillDown(Seq("city"), Seq("id")).toDF
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("Berlin", "Berlin", "Berlin", "Berlin", "Paris", "Paris"))
+  }
+
+  test("skipRows drops first n under explicit order") {
+    val out = sales.skipRows(2, Seq("id")).toDF.collect().map(_.getAs[Int]("id")).toSet
+    assert(out == Set(3, 4, 5))
+  }
+
+  test("dropDuplicatesByColumn keeps deterministic survivor") {
+    val out = sales.dropDuplicatesByColumn(Seq("tag"), Seq("id")).toDF
+      .collect().map(_.getAs[Int]("id")).toSet
+    assert(out == Set(1, 2)) // first id per tag
+  }
+
+  test("elusion registers a reusable view and chains") {
+    val stage1 = sales.select("grp", "amount").filter("amount > 10")
+      .elusion("stage1")
+    val out = stage1.select("grp").agg("SUM(amount) AS t").groupBy("grp")
+      .toDF.collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Double]("t")).toMap
+    assert(out == Map("a" -> 20.0, "b" -> 70.0, "c" -> 50.0))
+    assert(spark.catalog.tableExists("stage1"))
+  }
+
+  test("elusionCached pins results against later source mutation") {
+    val sp = spark; import sp.implicits._
+    val src = Seq((1, 10.0)).toDF("id", "v")
+    src.createOrReplaceTempView("mut_src")
+    val f = GraftFrame(spark.table("mut_src"), "m").elusionCached("pinned")
+    Seq((1, 99.0)).toDF("id", "v").createOrReplaceTempView("mut_src")
+    assert(f.toDF.first().getDouble(1) == 10.0) // still the old value
+    f.df.unpersist()
+  }
+
+  test("stats / nullAnalysis / correlationMatrix shapes") {
+    val st = sales.stats(Seq("amount"))
+    val r = st.first()
+    assert(r.getAs[Long]("total_count") == 5 && r.getAs[Double]("mean") == 30.0)
+    val na = sales.nullAnalysis(Seq("amount")).first()
+    assert(na.getAs[Long]("null_count") == 0)
+    val cm = sales.correlationMatrix(Seq("id", "amount")).collect()
+    assert(cm.length == 4)
+    assert(math.abs(cm.find(r => r.getString(0) == "id" && r.getString(1) == "amount")
+      .get.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("head and tail slice rows") {
+    assert(sales.head(2).toDF.count() == 2)
+    assert(sales.tail(2).toDF.count() == 2)
+  }
+
+  test("extractValue / extractRow") {
+    val one = sales.select("id", "grp").orderByMany(("id", "ASC")).limit(1)
+      .elusion("one_row")
+    assert(one.extractValue("id") == "1")
+    assert(one.extractRow()("grp") == "a")
+  }
+
+  test("json extraction via get_json_object") {
+    val sp = spark; import sp.implicits._
+    val j = GraftFrame(Seq((1, """{"Key2":"2022-09-15"}"""))
+      .toDF("id", "col"), "j")
+    val out = j.json("col.'$Key2' AS reg_date").select("id").toDF.first()
+    assert(out.getAs[String]("reg_date") == "2022-09-15")
+  }
+
+  test("jsonArray extraction finds object by id key (A6)") {
+    val sp = spark; import sp.implicits._
+    val arr = """[{"Id":"Date","Value":"2022-09-15"},{"Id":"MadeBy","Value":"Bor"}]"""
+    val j = GraftFrame(Seq((1, arr)).toDF("id", "col"), "ja")
+    val out = j.jsonArray("col.'$Value:Id=Date' AS d", "col.'$Value:Id=MadeBy' AS m")
+      .select("id").toDF.first()
+    assert(out.getAs[String]("d") == "2022-09-15")
+    assert(out.getAs[String]("m") == "Bor")
+  }
+
+  test("orderBy rejects bad direction") {
+    intercept[IllegalArgumentException] {
+      sales.orderBy(Seq("id"), Seq("SIDEWAYS"))
+    }
+  }
+
+  test("raw sql entry registers frames under their aliases") {
+    val out = graft.sources.Loaders.sql(spark,
+      "SELECT s.grp, SUM(s.amount) AS t FROM sales s JOIN dims ON s.grp = dims.grp GROUP BY s.grp",
+      "rawr", sales, dims).toDF.collect()
+    assert(out.length == 2)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.normalize
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference normalizer's golden-string tests
+  * (reference src/normalizers/normalize.rs:1162-1643 — the SURVEY §5 spec).
+  */
+class NormalizeSpec extends AnyFunSuite {
+  import Normalize._
+
+  test("postgres casts rewrite to CAST(... AS ...)") {
+    assert(rewriteCasts("godina::TEXT") == "CAST(godina AS STRING)")
+    assert(rewriteCasts("x::INTEGER + 1") == "CAST(x AS INT) + 1")
+    assert(rewriteCasts("(a + b)::DOUBLE") == "CAST((a + b) AS DOUBLE)")
+    assert(rewriteCasts("'12'::BIGINT") == "CAST('12' AS BIGINT)")
+    assert(rewriteCasts("t.col::VARCHAR") == "CAST(t.col AS STRING)")
+  }
+
+  test("chained casts resolve") {
+    assert(rewriteCasts("x::INT::TEXT") == "CAST(CAST(x AS INT) AS STRING)")
+  }
+
+  test("lowercasing preserves string literals") {
+    assert(lowerOutsideQuotes("UPPER(Name) AS N") == "upper(name) as n")
+    assert(lowerOutsideQuotes("CASE WHEN x = 'TOP_5' THEN 'A' END") ==
+      "case when x = 'TOP_5' then 'A' end")
+    assert(lowerOutsideQuotes("CONCAT(Region, ' - Rank ')") ==
+      "concat(region, ' - Rank ')")
+  }
+
+  test("escaped quotes stay inside literals") {
+    assert(lowerOutsideQuotes("X = 'O''Brien AND Y'") == "x = 'O''Brien AND Y'")
+  }
+
+  test("alias splitting is paren- and quote-aware") {
+    assert(splitAlias("SUM(x) AS total") == ("SUM(x)", Some("total")))
+    assert(splitAlias("CAST(a AS INT)") == ("CAST(a AS INT)", None))
+    assert(splitAlias("CONCAT(a, ' AS ', b) AS label") ==
+      ("CONCAT(a, ' AS ', b)", Some("label")))
+    assert(splitAlias("x") == ("x", None))
+  }
+
+  test("aggregate gate admits aggregate heads and scalar-math wrappers") {
+    assert(passesAggregateGate("SUM(x) AS s"))
+    assert(passesAggregateGate("ROUND(SUM(x), 2) AS s")) // reference parity
+    assert(passesAggregateGate("COUNT(*) AS n"))
+    assert(!passesAggregateGate("UPPER(name) AS u"))
+    assert(!passesAggregateGate("x + 1 AS y"))
+  }
+
+  test("containsAggregate sees nested aggregates; groupable excludes them") {
+    assert(containsAggregate("ROUND(SUM(x), 2)"))
+    assert(!containsAggregate("ROUND(x, 2)"))
+    assert(isGroupable("UPPER(name)"))
+    assert(!isGroupable("SUM(x)"))
+    assert(!isGroupable("ROW_NUMBER() OVER (ORDER BY x)"))
+  }
+
+  test("column name normalization: lowercase, trim, spaces to underscores") {
+    assert(normalizeColumnName("  First Name ") == "first_name")
+    assert(normalizeColumnName("AGE") == "age")
+  }
+
+  test("header sanitation dedupes with numeric suffixes") {
+    assert(sanitizeHeaders(Seq("Name", "name", "Total $", "")) ==
+      Seq("name", "name_2", "total", "col"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.plans.HashExpressions
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
+      (3L, "The quick brown fox, jumps over the lazy dog!"),   // normalized dup
+      (4L, "the quick brown fox jumps over the sleepy dog"),   // near dup (1 word)
+      (5L, "completely different text about spark engines here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(out(1L) == 2L) // docs 1+2 collapse
+    assert(out.values.sum == 5L)
+  }
+
+  test("normalized dedup also collapses punctuation/case variants") {
+    val out = Dedup.exactNormalized(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(out(1L) == 3L) // 1,2,3 collapse
+  }
+
+  test("exactSurvivors keeps one row per text, smallest id") {
+    val ids = Dedup.exactSurvivors(docs, "text", "doc_id").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleWords = 3, jaccardThreshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dups always collide
+    assert(pairs.exists { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L, 3L, 4L)) && (a, b) != (1L, 2L) })
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("simhash pairs: identical docs at hamming 0, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Int]("hamming"))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("ngram jaccard computes exact similarity on collided pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleWords = 2, threshold = 0.1)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // 1 vs 4: 8 bigrams each, 6 shared -> 6/10
+    assert(pairs.get((1L, 4L)).forall(j => math.abs(j - 0.6) < 1e-6))
+  }
+
+  private lazy val vecs = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+      (3L, Array(0.0f, 0.95f, 0.05f, 0.0f)), // near 2
+      (4L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("embedding cosine pairs above threshold (exact path)") {
+    val pairs = Dedup.embeddingCosinePairs(vecs, "embedding", "vec_id",
+      threshold = 0.98)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val q = vecs.where(col("vec_id") === 0L)
+    val out = Similarity.bruteForceTopK(vecs, q, "embedding", "vec_id", k = 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Long]("corpus_id")).toSeq
+    assert(out == Seq(1L, 4L)) // cos(0,1)≈0.994 > cos(0,4)=0.5 > cos(0,2)=0
+  }
+
+  test("LSH top-k returns a subset of brute-force ranking (recall path)") {
+    val q = vecs.where(col("vec_id") === 0L)
+    val out = Similarity.lshTopK(vecs, q, "embedding", "vec_id", k = 2,
+      bits = 2, dim = 4)
+    val ids = out.collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(ids.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
+  test("IVF top-k with full probe matches brute force top-1") {
+    val q = vecs.where(col("vec_id") === 0L)
+    val out = Similarity.ivfTopK(vecs, q, "embedding", "vec_id", k = 1,
+      nlist = 2, nprobe = 2).collect()
+    assert(out.head.getAs[Long]("corpus_id") == 1L)
+  }
+
+  test("minhash sketch: deterministic, k longs, dup texts identical sketches") {
+    val sk = docs.select(col("doc_id"),
+      HashExpressions.minhashSketch(TF.wordShingles(col("text"), 3), 16).as("s"))
+      .collect().map(r => r.getAs[Long](0) -> r.getSeq[Long](1)).toMap
+    assert(sk.values.forall(_.length == 16))
+    assert(sk(1L) == sk(2L))
+    assert(sk(1L) != sk(5L))
+  }
+
+  test("simhash64: deterministic and registered for SQL") {
+    HashExpressions.register(spark)
+    docs.createOrReplaceTempView("sh_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(split(lower(text), ' ')) AS h FROM sh_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql(1L) == viaSql(2L))
+    val viaSql2 = spark.sql(
+      "SELECT minhash_sketch(split(lower(text), ' '), 8) AS s FROM sh_docs LIMIT 1")
+      .first().getSeq[Long](0)
+    assert(viaSql2.length == 8)
+  }
+
+  test("sign-LSH bucket is deterministic and collides for near vectors") {
+    val b = vecs.select(col("vec_id"),
+      VF.signLshBucket(col("embedding"), 6, 4).as("b"))
+      .collect().map(r => r.getAs[Long](0) -> r.getAs[Long](1)).toMap
+    val b2 = vecs.select(col("vec_id"),
+      VF.signLshBucket(col("embedding"), 6, 4).as("b"))
+      .collect().map(r => r.getAs[Long](0) -> r.getAs[Long](1)).toMap
+    assert(b == b2)
+    assert(b(0L) == b(1L)) // near vectors share sign pattern
+  }
+}

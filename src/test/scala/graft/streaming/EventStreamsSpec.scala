@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val batch = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 10:20:00"), 1, "click", 2.0),
+      Ev(3, t("2024-01-01 11:10:00"), 1, "buy", 3.0),   // > 30min gap: new session
+      Ev(4, t("2024-01-01 10:40:00"), 2, "click", 4.0),
+      Ev(5, t("2024-01-01 10:55:00"), 2, "click", 5.0)
+    ).toDF
+  }
+
+  test("tumbling window counts (batch semantics)") {
+    val out = EventStreams.tumblingCounts(batch, "ts", "1 hour")
+      .collect().map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "click", 4L),
+      ("2024-01-01 11:00:00.0", "buy", 1L)))
+  }
+
+  test("sliding window double-counts overlaps") {
+    val out = EventStreams.slidingCounts(batch, "ts", "1 hour", "30 minutes")
+      .collect().map(r => r.getAs[Timestamp]("window_start").toString ->
+        r.getAs[Long]("n_events")).toMap
+    assert(out("2024-01-01 10:00:00.0") == 4L)
+    assert(out("2024-01-01 09:30:00.0") == 2L)
+  }
+
+  test("batch sessionize: 30-minute gap splits sessions") {
+    val out = EventStreams.sessionize(batch, "ts", "user_id", "30 minutes",
+      tieBreak = Seq("event_id"))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events"))).toSet
+    assert(out == Set(
+      (1L, "2024-01-01 10:05:00.0", 2L),
+      (1L, "2024-01-01 11:10:00.0", 1L),
+      (2L, "2024-01-01 10:40:00.0", 2L)))
+  }
+
+  test("streaming tumbling counts over MemoryStream match batch") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(batch.as[Ev].collect().toSeq: _*)
+    val q = EventStreams.tumblingCounts(mem.toDF, "ts", "1 hour",
+      watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("tumb_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tumb_out").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 4L),
+        ("2024-01-01 11:00:00.0", "buy", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming session_window closes sessions after watermark") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(batch.as[Ev].collect().toSeq: _*)
+    val q = EventStreams.sessionize(mem.toDF, "ts", "user_id", "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
+      assert(rows == Set((1L, 2L), (1L, 1L), (2L, 2L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running user stats") {
+    val out = EventStreams.runningUserStats(batch, "user_id")(spark)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("duration parsing") {
+    assert(EventStreams.parseDurationSeconds("30 minutes") == 1800)
+    assert(EventStreams.parseDurationSeconds("1 hour") == 3600)
+    intercept[IllegalArgumentException] {
+      EventStreams.parseDurationSeconds("fortnight")
+    }
+  }
+}
