@@ -457,6 +457,24 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // XML loader (reference xml.rs Standard mode): roundtrip via generated file
+    "q_xml_load" -> ((s, d) => {
+      val rows = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      val xml = rows.map(r =>
+        s"<customer><c_custkey>${r.getLong(0)}</c_custkey>" +
+          s"<c_mktsegment>${r.getString(1)}</c_mktsegment>" +
+          s"<c_acctbal>${r.getDouble(2)}</c_acctbal></customer>")
+        .mkString("<customers>", "", "</customers>")
+      val path = java.nio.file.Paths.get("/root/repo/target/tmp/customer_rt.xml")
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, xml)
+      sources.XmlLoader.load(s, path.toString, "cust_xml", Some("customer"))
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal::DOUBLE), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // CSV smart loader round-trip (§2.1) + single-file writer (§2.2)
     "q_csv_roundtrip" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_rt.csv"
@@ -711,6 +729,9 @@ object SparkEntry {
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_with_schema" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_xml_load" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_dedup_exact" ->

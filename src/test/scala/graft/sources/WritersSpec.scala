@@ -57,6 +57,17 @@ class WritersSpec extends SparkSpec {
     assert(spark.read.json(p).count() == 2)
   }
 
+  test("folder loader with filename column prepends source file name") {
+    val sp = spark; import sp.implicits._
+    val dir = tmp("folder_fn")
+    Writers.writeCsvSingle(Seq((1L, "a")).toDF("id", "v"), "overwrite", s"$dir/one.csv")
+    Writers.writeCsvSingle(Seq((2L, "b")).toDF("id", "v"), "overwrite", s"$dir/two.csv")
+    val f = Loaders.loadFolderWithFilenameColumn(spark, dir, "fns")
+    assert(f.df.columns.head == "filename_added")
+    val names = f.df.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("filename_added")).toMap
+    assert(names == Map(1L -> "one.csv", 2L -> "two.csv"))
+  }
+
   test("delta-layout writer partitions by column") {
     val p = tmp("delta_tbl")
     Writers.writeDeltaTable(df, "overwrite", p, partitionBy = Seq("name"))
