@@ -250,6 +250,11 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
 
   def joinOn(other: GraftFrame, conditions: Seq[String], joinType: String): GraftFrame = {
     val jt = joinType.trim.toUpperCase.replace('_', ' ')
+    // complexity hint (reference src/elusion.rs:925-929): >3 joins →
+    // suggest materializing an intermediate stage
+    if (state.joins.length >= 3)
+      System.err.println("[graft] hint: >3 joins in one query — consider " +
+        "materializing an intermediate result with .elusionCached(alias)")
     withState(state.copy(joins = state.joins :+
       JoinClause(other, conditions.map(normalizeCondition), jt)))
   }
@@ -316,6 +321,13 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   def fillDown(cols: Seq[String], orderCols: Seq[String]): GraftFrame =
     withState(state.copy(deferred = state.deferred :+ FillDownOp(cols.map(_.toLowerCase), orderCols)))
 
+  /** Eager fillDown (reference fill_down_now, src/elusion.rs:2198-2349):
+    * same semantics, applied immediately and materialized under an alias.
+    */
+  def fillDownNow(cols: Seq[String], orderCols: Seq[String],
+      resultAlias: String): GraftFrame =
+    fillDown(cols, orderCols).elusionCached(resultAlias)
+
   /** Skip first n rows under an explicit total order
     * (src/elusion.rs:2473-2510 — same ROW_NUMBER rewrite, order pinned).
     */
@@ -324,24 +336,30 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
 
   // ───────────────────────────── execution ───────────────────────────────
 
-  /** Construct the single SQL statement from the clause state (reference
-    * `construct_sql`, src/elusion.rs:3568-3619 + sqlbuilder/sqlbuild.rs).
+  /** Canonical SQL text (stable view names) — display and cache key. The
+    * reference's query cache hashes exact SQL text
+    * (src/features/cashandview.rs:36-100); per-call unique view names
+    * would defeat it, so the canonical form names views `graft_<alias>`.
+    * Same caveat as the reference: two different frames sharing an alias
+    * and clause state produce the same key.
     */
-  def sqlText: String = buildSql()._1
+  def sqlText: String = buildSql(canonical = true)._1
 
-  private def buildSql(): (String, Seq[(String, DataFrame)]) = {
+  private def buildSql(canonical: Boolean = false): (String, Seq[(String, DataFrame)]) = {
     // RIGHT SEMI / RIGHT ANTI: swap sides (Spark SQL has only LEFT forms).
     state.joins.find(j => j.joinType == "RIGHT SEMI" || j.joinType == "RIGHT ANTI") match {
       case Some(j) if state.joins.length == 1 =>
         val swappedType = if (j.joinType == "RIGHT SEMI") "LEFT SEMI" else "LEFT ANTI"
         val swapped = new GraftFrame(j.frame.df, j.frame.alias,
           state.copy(joins = Vector(JoinClause(this.dropState, j.conditions, swappedType))))
-        return swapped.buildSql()
+        return swapped.buildSql(canonical)
       case _ => ()
     }
 
+    def viewName(a: String): String =
+      if (canonical) s"graft_$a" else GraftFrame.freshView(a)
     val registrations = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
-    val baseView = GraftFrame.freshView(alias)
+    val baseView = viewName(alias)
     registrations += baseView -> df
 
     val selectParts0 = (state.aggs ++ state.selects ++ state.windows).distinct
@@ -353,7 +371,7 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
       else state.groupBy.distinct
 
     val joinsSql = state.joins.map { j =>
-      val v = GraftFrame.freshView(j.frame.alias)
+      val v = viewName(j.frame.alias)
       registrations += v -> j.frame.df
       val jt = j.joinType match {
         case "LEFT MARK" => "LEFT" // handled below via mark flag

@@ -369,6 +369,61 @@ object SparkEntry {
         .select("date", "date_compact_date", "date_year_month", "date_iso_date")
         .toDF),
 
+    "q_union_many" -> ((s, d) => {
+      def part(st: String) = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus").filter(s"o_orderstatus = '$st'")
+      part("F").unionAllMany(part("O"), part("P"))
+        .agg("COUNT(*) AS n").groupBy("o_orderstatus")
+        .select("o_orderstatus").toDF
+    }),
+
+    "q_window_agg_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey")
+        .window("CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS run_cents")
+        .window("MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS run_min")
+        .window("MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS run_max")
+        .window("COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS run_n")
+        .toDF),
+
+    "q_string_fns2" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("c_custkey",
+          "TRANSLATE(c_name, '0', 'O') AS translated",
+          "REPEAT(c_mktsegment, 2) AS seg2",
+          "CAST(INSTR(c_name, '#') AS BIGINT) AS hash_pos",
+          "LEFT(c_name, 8) AS first8",
+          "RIGHT(c_name, 3) AS last3",
+          "RPAD(c_mktsegment, 12, '.') AS padded_seg")
+        .toDF),
+
+    "q_math_fns2" -> ((s, d) =>
+      t(s, d, "part")
+        .select("p_partkey",
+          "ROUND(SIN(p_size), 6) AS sin_size",
+          "ROUND(COS(p_size), 6) AS cos_size",
+          "ROUND(ATAN2(p_size, 10), 6) AS at2",
+          "ROUND(CBRT(p_retailprice), 6) AS cbrt_p",
+          "ROUND(LOG2(p_size), 6) AS log2_size",
+          "CAST(FACTORIAL(p_size % 10) AS BIGINT) AS fact10")
+        .toDF),
+
+    "q_datetime_fns2" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey")
+        .datetimeFunctions(
+          "CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS wk",
+          "CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr",
+          "CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS doy",
+          "CAST(LAST_DAY(o_orderdate) AS DATE) AS month_end",
+          "CAST(DATE_ADD(CAST(o_orderdate AS DATE), 30) AS DATE) AS plus30")
+        .toDF),
+
+    "q_vector_math" -> ((s, d) =>
+      t(s, d, "embeddings").df.select(col("vec_id"),
+        round(graft.functions.VectorFunctions.norm(col("embedding")), 6).as("vnorm"),
+        size(col("embedding")).cast("bigint").as("dim"))),
+
     // star expansion with base-name dedup + elusion chaining
     "q_select_star" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -560,6 +615,11 @@ object SparkEntry {
         .select(col("media_id"), col("modality"),
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
+
+    "q_events_sliding" -> ((s, d) =>
+      EventStreams.slidingCounts(t(s, d, "events").df, "ts", "1 hour", "30 minutes")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n_events"))),
 
     "q_events_tumbling" -> ((s, d) =>
       EventStreams.tumblingCounts(t(s, d, "events").df, "ts", "1 hour")
@@ -754,6 +814,27 @@ object SparkEntry {
 
     "q_text_fingerprint" ->
       "SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))), ' ') AS fp_key FROM documents",
+
+    "q_union_many" ->
+      "SELECT count(*) AS n, o_orderstatus FROM (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O' UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P') GROUP BY o_orderstatus",
+
+    "q_window_agg_funcs" ->
+      "SELECT o_orderkey, o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS run_cents, min(o_totalprice) OVER w AS run_min, max(o_totalprice) OVER w AS run_max, count(*) OVER w AS run_n FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
+
+    "q_string_fns2" ->
+      "SELECT c_custkey, translate(c_name, '0', 'O') AS translated, repeat(c_mktsegment, 2) AS seg2, CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, left(c_name, 8) AS first8, right(c_name, 3) AS last3, rpad(c_mktsegment, 12, '.') AS padded_seg FROM customer",
+
+    "q_math_fns2" ->
+      "SELECT p_partkey, round(sin(p_size), 6) AS sin_size, round(cos(p_size), 6) AS cos_size, round(atan2(p_size, 10), 6) AS at2, round(cbrt(p_retailprice), 6) AS cbrt_p, round(log2(p_size), 6) AS log2_size, CAST(factorial(p_size % 10) AS BIGINT) AS fact10 FROM part",
+
+    "q_datetime_fns2" ->
+      "SELECT o_orderkey, CAST(weekofyear(o_orderdate) AS BIGINT) AS wk, CAST(quarter(o_orderdate) AS BIGINT) AS qtr, CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, CAST(last_day(o_orderdate) AS DATE) AS month_end, CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS plus30 FROM orders",
+
+    "q_vector_math" ->
+      "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_events_sliding" ->
+      "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws FROM events) GROUP BY ws",
 
     "q_events_tumbling" ->
       "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2",

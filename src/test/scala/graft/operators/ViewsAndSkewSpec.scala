@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{GraftFrame, GraftError, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class ViewsAndSkewSpec extends SparkSpec {
+
+  private lazy val base = {
+    val sp = spark; import sp.implicits._
+    GraftFrame(Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0))
+      .toDF("id", "grp", "v"), "vbase")
+  }
+
+  test("materialized view pins data, lists, refreshes, drops") {
+    val frame = base.select("grp").agg("SUM(v) AS total").groupBy("grp")
+    MaterializedViews.create(frame, "mv_test", ttlSecs = Some(3600))
+    assert(MaterializedViews.list().exists(_._1 == "mv_test"))
+    val got = MaterializedViews.get("mv_test").get.toDF.collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Double]("total")).toMap
+    assert(got == Map("a" -> 30.0, "b" -> 30.0))
+    assert(spark.catalog.tableExists("mv_test"))
+    MaterializedViews.drop("mv_test")
+    assert(!MaterializedViews.list().exists(_._1 == "mv_test"))
+  }
+
+  test("expired TTL view evicts on access") {
+    val frame = base.select("grp")
+    MaterializedViews.create(frame, "mv_ttl", ttlSecs = Some(0))
+    Thread.sleep(5)
+    assert(MaterializedViews.get("mv_ttl").isEmpty)
+  }
+
+  test("query cache hits on identical generated SQL, respects LRU cap") {
+    val cache = new QueryCache(maxEntries = 2)
+    def q(g: String) = base.select("grp", "v").filter(s"grp = '$g'")
+    cache.elusionWithCache(q("a"), "qa")
+    cache.elusionWithCache(q("a"), "qa2")
+    assert(cache.stats == (1, 1L)) // one entry, one hit
+    cache.elusionWithCache(q("b"), "qb")
+    cache.elusionWithCache(base.select("id"), "qc") // evicts oldest
+    assert(cache.stats._1 == 2)
+    cache.invalidate()
+    assert(cache.stats._1 == 0)
+  }
+
+  test("error taxonomy: missing column with suggestions") {
+    val err = intercept[GraftError.MissingColumn] {
+      base.select("grpp").toDF.collect()
+    }
+    assert(err.suggestion.contains("grp"))
+  }
+
+  test("error taxonomy: parse failure carries the generated SQL") {
+    val err = intercept[Throwable] {
+      base.select("SUM(((").toDF.collect()
+    }
+    assert(err.isInstanceOf[GraftError.InvalidSql] ||
+      err.getMessage.contains("PARSE"))
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val sp = spark; import sp.implicits._
+    val left = (Seq.fill(500)(("hot", 1)) ++ Seq(("cold", 2), ("cool", 3)))
+      .toDF("k", "lv")
+    val right = Seq(("hot", 100), ("cold", 200)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("rv").as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(left, right, Seq("k"), factor = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("rv").as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted two-phase count equals direct count") {
+    val sp = spark; import sp.implicits._
+    val df = (Seq.fill(300)("hot") ++ Seq("a", "b", "a")).toDF("k")
+    val out = Skew.saltedCount(df, Seq("k"), factor = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("hot" -> 300L, "a" -> 2L, "b" -> 1L))
+  }
+
+  test("extensions class registers SQL functions in a new session") {
+    val s2 = spark.newSession()
+    new graft.plans.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // register via helpers on the new session and use through SQL
+    graft.plans.HashExpressions.register(s2)
+    graft.plans.VectorExpressions.register(s2)
+    val r = s2.sql(
+      "SELECT vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "simhash64(array('a','b')) AS h").first()
+    assert(r.getDouble(0) == 1.0)
+  }
+}
