@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by the native expressions' interpreted eval AND
+  * their generated code — `doGenCode` emits a single static call, so the
+  * surrounding operators stay inside one whole-stage-codegen span while
+  * the kernel remains an ordinary JVM loop.
+  */
+object NativeOps {
+
+  def dot(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += (if (lf) a.getFloat(i).toDouble else a.getDouble(i)) *
+        (if (rf) b.getFloat(i).toDouble else b.getDouble(i))
+      i += 1
+    }
+    acc
+  }
+
+  def cosine(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def l2(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = (if (lf) a.getFloat(i).toDouble else a.getDouble(i)) -
+        (if (rf) b.getFloat(i).toDouble else b.getDouble(i))
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  def minhash(arr: ArrayData, k: Int): GenericArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def wordShingles(input: UTF8String, n: Int): GenericArrayData = {
+    val s = input.toString
+    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { tokens += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) tokens += sb.toString
+    val out: Array[AnyRef] =
+      if (tokens.length < n) Array(UTF8String.fromString(tokens.mkString(" ")))
+      else {
+        val m = tokens.length - n + 1
+        val arr = new Array[AnyRef](m)
+        val b = new java.lang.StringBuilder(32)
+        var j = 0
+        while (j < m) {
+          b.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) b.append(' ')
+            b.append(tokens(j + k))
+            k += 1
+          }
+          arr(j) = UTF8String.fromString(b.toString)
+          j += 1
+        }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+}

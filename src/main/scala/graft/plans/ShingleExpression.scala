@@ -1,9 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -18,50 +17,19 @@ import org.apache.spark.sql.graftshim.GraftSqlShim
   * a document in single-digit microseconds.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    // tokenize: ascii-lowercased [a-z0-9]+ runs (all else is separator —
-    // identical to regexp_replace("[^a-z0-9\\s]", " ") + split("\\s+"))
-    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
-    val sb = new java.lang.StringBuilder(16)
-    var i = 0
-    while (i < s.length) {
-      val c0 = s.charAt(i)
-      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
-      else if (sb.length > 0) { tokens += sb.toString; sb.setLength(0) }
-      i += 1
-    }
-    if (sb.length > 0) tokens += sb.toString
+  // tokenize: ascii-lowercased [a-z0-9]+ runs (all else is separator —
+  // identical to regexp_replace("[^a-z0-9\\s]", " ") + split("\\s+"));
+  // kernel shared with codegen lives in NativeOps.wordShingles
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.wordShingles(input.asInstanceOf[UTF8String], n)
 
-    val out: Array[AnyRef] =
-      if (tokens.length < n) {
-        Array(UTF8String.fromString(tokens.mkString(" ")))
-      } else {
-        val m = tokens.length - n + 1
-        val arr = new Array[AnyRef](m)
-        val b = new java.lang.StringBuilder(32)
-        var j = 0
-        while (j < m) {
-          b.setLength(0)
-          var k = 0
-          while (k < n) {
-            if (k > 0) b.append(' ')
-            b.append(tokens(j + k))
-            k += 1
-          }
-          arr(j) = UTF8String.fromString(b.toString)
-          j += 1
-        }
-        arr
-      }
-    new GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeOps.wordShingles($c, $n)")
 
   override def prettyName: String = "word_shingles"
   override protected def withNewChildInternal(newChild: Expression): WordShingles =

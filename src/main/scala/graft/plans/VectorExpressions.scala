@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -12,11 +12,13 @@ import org.apache.spark.sql.graftshim.GraftSqlShim
   * The built-in route (`zip_with` + `aggregate`) allocates a lambda frame
   * per element — ~90 µs per 64-dim pair measured at sf0.1, which made the
   * all-pairs cosine dedup the bench bottleneck (183 s). One tight loop per
-  * row brings it to microseconds. Accumulation is sequential double
-  * (index order), matching the DuckDB oracle's list_cosine_similarity
+  * row (NativeOps kernels) brings it to microseconds, and `doGenCode`
+  * emits a single static call so surrounding operators stay in one
+  * whole-stage-codegen span. Accumulation is sequential double (index
+  * order), matching the DuckDB oracle's list_cosine_similarity
   * bit-for-bit.
   */
-abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
@@ -26,25 +28,30 @@ abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallb
       s"$prettyName expects array<float|double>, got $other")
   }
 
-  @inline protected final def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-}
+  protected lazy val lf: Boolean = elemIsFloat(left)
+  protected lazy val rf: Boolean = elemIsFloat(right)
 
-case class DotProduct(left: Expression, right: Expression)
-    extends VectorBinaryExpression {
-  private lazy val lf = elemIsFloat(left)
-  private lazy val rf = elemIsFloat(right)
+  /** NativeOps kernel name — shared by eval and codegen. */
+  protected def kernel: String
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += get(a, i, lf) * get(b, i, rf); i += 1 }
-    java.lang.Double.valueOf(acc)
+    java.lang.Double.valueOf(kernel match {
+      case "dot" => NativeOps.dot(a, b, lf, rf)
+      case "cosine" => NativeOps.cosine(a, b, lf, rf)
+      case "l2" => NativeOps.l2(a, b, lf, rf)
+    })
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.NativeOps.$kernel($a, $b, $lf, $rf)")
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override protected def kernel: String = "dot"
   override def prettyName: String = "vec_dot"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -53,24 +60,7 @@ case class DotProduct(left: Expression, right: Expression)
 /** Cosine similarity in one pass (dot + both norms); 0.0 on zero norm. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
-  private lazy val lf = elemIsFloat(left)
-  private lazy val rf = elemIsFloat(right)
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = get(a, i, lf); val y = get(b, i, rf)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
-  }
-
+  override protected def kernel: String = "cosine"
   override def prettyName: String = "vec_cosine"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -78,19 +68,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 case class L2Distance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
-  private lazy val lf = elemIsFloat(left)
-  private lazy val rf = elemIsFloat(right)
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { val d = get(a, i, lf) - get(b, i, rf); acc += d * d; i += 1 }
-    java.lang.Double.valueOf(math.sqrt(acc))
-  }
-
+  override protected def kernel: String = "l2"
   override def prettyName: String = "vec_l2"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
