@@ -512,6 +512,29 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // parquet append-rewrite writer (reference write_to_parquet append)
+    "q_write_append" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_app.parquet"
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      val c = t(s, d, "customer").toDF
+      Writers.writeParquetSingle(c, "overwrite", path)
+      Writers.writeParquetSingle(c, "append", path)
+      Loaders.loadParquet(s, path, "customer_app")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
+    // string/datetime functions auto-join the GROUP BY when grouping is
+    // active (reference src/elusion.rs:1192-1225)
+    "q_stringfn_groupby" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n")
+        .groupBy("c_mktsegment")
+        .stringFunctions("SUBSTR(c_mktsegment, 1, 1) AS seg_initial")
+        .toDF),
+
     // XML loader (reference xml.rs Standard mode): roundtrip via generated file
     "q_xml_load" -> ((s, d) => {
       val rows = t(s, d, "customer").toDF
@@ -562,6 +585,10 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosinePairs(t(s, d, "embeddings").df, "embedding", "vec_id",
         threshold = 0.2)),
+
+    "q_dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(t(s, d, "embeddings").df, "embedding", "vec_id",
+        threshold = 0.2, lshBits = 6, dim = 64)),
 
     "q_sim_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
@@ -793,6 +820,12 @@ object SparkEntry {
 
     "q_xml_load" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_write_append" ->
+      "SELECT count(*) * 2 AS n, round(sum(c_acctbal) * 2, 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_stringfn_groupby" ->
+      "SELECT count(*) AS n, c_mktsegment, substr(c_mktsegment, 1, 1) AS seg_initial FROM customer GROUP BY c_mktsegment, substr(c_mktsegment, 1, 1)",
 
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY text",

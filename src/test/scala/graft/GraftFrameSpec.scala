@@ -203,6 +203,24 @@ class GraftFrameSpec extends SparkSpec {
     assert(out.getAs[String]("m") == "Bor")
   }
 
+  test("empty() yields the single-row dummy frame") {
+    val e = GraftFrame.empty(spark)
+    assert(e.toDF.collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(e.toDF.columns.toSeq == Seq("dummy"))
+  }
+
+  test("stream() pulls rows without materializing; streamProcess visits partitions") {
+    val n = sales.select("id").stream().size
+    assert(n == 5)
+    val acc = spark.sparkContext.longAccumulator("rows")
+    sales.streamProcess(it => acc.add(it.size))
+    assert(acc.value == 5)
+  }
+
+  test("elusionStreaming counts rows with progress") {
+    assert(sales.select("id").elusionStreaming("probe") == 5)
+  }
+
   test("orderBy rejects bad direction") {
     intercept[IllegalArgumentException] {
       sales.orderBy(Seq("id"), Seq("SIDEWAYS"))

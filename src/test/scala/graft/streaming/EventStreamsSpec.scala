@@ -94,6 +94,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("streaming parquet sink writes append-mode results") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/tmp/streamsink")).toString
+    val mem = MemoryStream[Ev]
+    mem.addData(batch.as[Ev].collect().toSeq: _*)
+    val q = EventStreams.toParquetSink(
+      mem.toDF.withWatermark("ts", "0 seconds"),
+      s"$dir/out", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 5)
+  }
+
   test("duration parsing") {
     assert(EventStreams.parseDurationSeconds("30 minutes") == 1800)
     assert(EventStreams.parseDurationSeconds("1 hour") == 3600)
