@@ -369,6 +369,14 @@ object SparkEntry {
         .select("date", "date_compact_date", "date_year_month", "date_iso_date")
         .toDF),
 
+    "q_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_returnflag")
+        .agg("COUNT(DISTINCT l_orderkey) AS n_orders",
+          "COUNT(DISTINCT l_partkey) AS n_parts",
+          "COUNT(*) AS n_rows")
+        .groupBy("l_returnflag").toDF),
+
     "q_union_many" -> ((s, d) => {
       def part(st: String) = t(s, d, "orders")
         .select("o_orderkey", "o_orderstatus").filter(s"o_orderstatus = '$st'")
@@ -847,6 +855,9 @@ object SparkEntry {
 
     "q_text_fingerprint" ->
       "SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))), ' ') AS fp_key FROM documents",
+
+    "q_count_distinct" ->
+      "SELECT count(DISTINCT l_orderkey) AS n_orders, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows, l_returnflag FROM lineitem GROUP BY l_returnflag",
 
     "q_union_many" ->
       "SELECT count(*) AS n, o_orderstatus FROM (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O' UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P') GROUP BY o_orderstatus",
