@@ -115,6 +115,21 @@ object Writers {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed managed table — the co-located-join path for repeated big
+    * joins on the same key (SURVEY scale note: "bucketing for co-located
+    * joins"). Two tables bucketed the same way join with ZERO exchanges:
+    * Catalyst sees the matching output partitioning and skips the shuffle
+    * entirely. At 100 TB this converts every repeated fact-to-fact join
+    * from a full shuffle into a local zip of bucket files.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.format("parquet").saveAsTable(table)
+  }
+
   /** Delta-table writer (reference src/features/delta.rs:196-420:
     * overwrite/append/merge-schema + partition columns). The runtime ships
     * no delta jar, so this writes the same layout as partitioned parquet

@@ -48,6 +48,17 @@ object CsvClassifierProps extends Properties("CsvClassifier") {
       c == VString || c == VBoolean || c == VNull
     }
 
+  property("normalizeExpression is idempotent") = {
+    import graft.normalize.Normalize
+    val exprGen = Gen.oneOf(
+      "SUM(x) AS total", "UPPER(Name)", "a::TEXT", "CASE WHEN x = 'Y' THEN 1 END",
+      "ROUND(AVG(price), 2) AS p", "CONCAT(a, ' - ', b) AS label")
+    forAll(exprGen) { e =>
+      val once = Normalize.normalizeExpression(e)
+      Normalize.normalizeExpression(once) == once
+    }
+  }
+
   property("vote honors the >80% majority rule") =
     forAll(Gen.listOfN(20, Gen.oneOf("12", "x"))) { vs =>
       val expectInt = vs.count(_ == "12").toDouble / vs.size > 0.8

@@ -96,6 +96,17 @@ class CsvSmartCasterSpec extends SparkSpec {
     assert(df.where("city IS NOT NULL").count() == 2)
   }
 
+  test("CRLF line endings and UTF-8 BOM load cleanly (csv.rs:1723-1830)") {
+    val bom = "﻿"
+    val path = writeTemp("crlf_bom.csv",
+      bom + "name,age\r\nJohn,25\r\nJane,30\r\n")
+    val df = CsvSmartCaster.load(spark, path)
+    assert(df.columns.toSeq == Seq("name", "age"))
+    assert(df.schema("age").dataType.typeName == "long")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("John", 25L), ("Jane", 30L)))
+  }
+
   test("EU-formatted numbers: 1.234,56 parses as 1234.56") {
     val path = writeTemp("eu.csv", "v\n\"1.234,56\"\n\"2.345,67\"\n\"7,5\"\n")
     val df = CsvSmartCaster.load(spark, path)

@@ -68,6 +68,37 @@ class WritersSpec extends SparkSpec {
     assert(names == Map(1L -> "one.csv", 2L -> "two.csv"))
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val sp = spark; import sp.implicits._
+    val facts = (1 to 1000).map(i => (i.toLong % 50, i.toDouble)).toDF("k", "v")
+    val dims = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    for (t <- Seq("bkt_facts", "bkt_dims")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(loc)) {
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    Writers.writeBucketedTable(facts, "bkt_facts", Seq("k"), 8, sortCols = Seq("k"))
+    Writers.writeBucketedTable(dims, "bkt_dims", Seq("k"), 8, sortCols = Seq("k"))
+    // force the sort-merge path: broadcast would (correctly) win on this
+    // tiny dim, but the point is the bucket-aligned no-shuffle join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_facts").join(spark.table("bkt_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free join, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE bkt_facts")
+      spark.sql("DROP TABLE bkt_dims")
+    }
+  }
+
   test("delta-layout writer partitions by column") {
     val p = tmp("delta_tbl")
     Writers.writeDeltaTable(df, "overwrite", p, partitionBy = Seq("name"))
