@@ -495,20 +495,20 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
         }
       }
     case FillDownOp(cols, orderCols) =>
-      // Single ordered window: correct everywhere, but a global sort. At
-      // cluster scale prefer per-partition fill + boundary fix; the global
-      // window keeps exact reference semantics (LAST_VALUE IGNORE NULLS
-      // OVER unbounded-preceding frame, src/elusion.rs:2441-2448).
-      val w = Window.orderBy(orderCols.map(col): _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cols.foldLeft(d) { (cur, cName) =>
-        val c = col(cName)
-        val cleaned = cur.schema(cName).dataType match {
-          case StringType => when(sentinelNull(c), lit(null)).otherwise(c)
-          case _ => c
+      // Reference semantics (LAST_VALUE IGNORE NULLS over unbounded-
+      // preceding frame, src/elusion.rs:2441-2448) executed distributed:
+      // string sentinels become real nulls first, then the two-phase
+      // range-partitioned fill (see FillDownScalable — no global
+      // single-partition window).
+      val cleaned = cols.foldLeft(d) { (cur, cName) =>
+        cur.schema(cName).dataType match {
+          case StringType =>
+            val c = col(cName)
+            cur.withColumn(cName, when(sentinelNull(c), lit(null)).otherwise(c))
+          case _ => cur
         }
-        cur.withColumn(cName, last(cleaned, ignoreNulls = true).over(w))
       }
+      graft.operators.FillDownScalable.fillDown(cleaned, cols, orderCols)
     case SkipRowsOp(n, orderCols) =>
       val w = Window.orderBy(orderCols.map(col): _*)
       d.withColumn("graft_rn", row_number().over(w))

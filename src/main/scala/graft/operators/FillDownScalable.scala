@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed fill-down (last-observation-carried-forward).
+  *
+  * The naive implementation is a global window with no PARTITION BY, which
+  * Spark executes on a single partition — a non-starter at scale (and it
+  * warns loudly). This version:
+  *
+  *  1. range-partitions + sorts by the explicit order columns (the
+  *     operator's ordering contract, SURVEY §7.4.3),
+  *  2. pass A: per partition, records the trailing non-null value of each
+  *     fill column — numPartitions tiny rows collected to the driver,
+  *  3. pass B: per partition, fills nulls with a running value seeded from
+  *     the previous partitions' prefix.
+  *
+  * Pass B is per-partition imperative logic over sorted rows — the one
+  * case SURVEY's design notes reserve for the RDD API. Output values
+  * depend only on the global order, so partition-boundary placement never
+  * changes the result.
+  */
+object FillDownScalable {
+
+  def fillDown(df: DataFrame, cols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ranged = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val schema = ranged.schema
+    val idx = cols.map(schema.fieldIndex).toArray
+
+    // pass A: trailing non-null per partition (tiny driver collect)
+    val lasts: Array[(Int, Array[Any])] = ranged.rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        val last = Array.fill[Any](idx.length)(null)
+        it.foreach { r =>
+          var j = 0
+          while (j < idx.length) {
+            val v = r.get(idx(j)); if (v != null) last(j) = v; j += 1
+          }
+        }
+        Iterator.single((pid, last))
+    }.collect()
+
+    // prefix(p) = last non-null over partitions [0, p)
+    val maxPid = if (lasts.isEmpty) 0 else lasts.map(_._1).max
+    val byPid = lasts.toMap
+    val prefixes = new Array[Array[Any]](maxPid + 2)
+    prefixes(0) = Array.fill[Any](idx.length)(null)
+    for (p <- 0 to maxPid) {
+      val cur = prefixes(p)
+      val here = byPid.getOrElse(p, Array.fill[Any](idx.length)(null))
+      prefixes(p + 1) = Array.tabulate[Any](idx.length)(j =>
+        if (here(j) != null) here(j) else cur(j))
+    }
+
+    // pass B: running fill seeded from the prefix
+    val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = prefixes(math.min(pid, prefixes.length - 1)).clone()
+      it.map { r =>
+        val arr = r.toSeq.toArray
+        var j = 0
+        while (j < idx.length) {
+          val ci = idx(j)
+          if (arr(ci) == null) arr(ci) = run(j) else run(j) = arr(ci)
+          j += 1
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
