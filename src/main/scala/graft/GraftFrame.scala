@@ -510,9 +510,8 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
       }
       graft.operators.FillDownScalable.fillDown(cleaned, cols, orderCols)
     case SkipRowsOp(n, orderCols) =>
-      val w = Window.orderBy(orderCols.map(col): _*)
-      d.withColumn("graft_rn", row_number().over(w))
-        .where(col("graft_rn") > n).drop("graft_rn")
+      // distributed global row-number (no single-partition window)
+      graft.operators.GlobalOrder.skipRows(d, n, orderCols)
   }
 
   // ──────────────────────── set operations (eager) ───────────────────────

@@ -80,6 +80,23 @@ class ViewsAndSkewSpec extends SparkSpec {
     assert(out == Map("hot" -> 300L, "a" -> 2L, "b" -> 1L))
   }
 
+  test("distributed row number / skip / ntile match the window semantics") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 103).map(i => (103 - i, s"v$i")).toDF("k", "v")
+    val rn = GlobalOrder.withRowNumber(df, Seq("k"), "rn")
+      .orderBy("k").collect().map(_.getAs[Long]("rn")).toSeq
+    assert(rn == (1L to 103L))
+    val skipped = GlobalOrder.skipRows(df, 100, Seq("k"))
+      .collect().map(_.getAs[Int]("k")).toSet
+    assert(skipped == Set(100, 101, 102))
+    val viaWindow = df.withColumn("bucket",
+      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy("k")))
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[Int]("bucket")).toMap
+    val viaHelper = GlobalOrder.ntile(df, 4, Seq("k"))
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[Int]("bucket")).toMap
+    assert(viaHelper == viaWindow)
+  }
+
   test("extensions class registers SQL functions in a new session") {
     val s2 = spark.newSession()
     new graft.plans.GraftExtensions().apply(
