@@ -636,6 +636,14 @@ object SparkEntry {
         round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         round(TF.meanWordLength(col("text")), 6).as("mean_word_len"))),
 
+    "q_corpus_profile" -> ((s, d) =>
+      graft.operators.Corpus.profile(t(s, d, "documents").df, "text", "lang")),
+
+    "q_corpus_split" -> ((s, d) =>
+      graft.operators.Corpus.hashSplit(t(s, d, "documents").df, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))),
+
     "q_text_langid" -> ((s, d) =>
       t(s, d, "documents").df.select(col("doc_id"),
         TF.langId(col("text")).as("detected_lang"))),
@@ -846,6 +854,9 @@ object SparkEntry {
 
     "q_sim_topk" ->
       "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine, CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS BIGINT) AS rnk FROM embeddings c, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q WHERE c.vec_id <> q.vec_id QUALIFY rnk <= 10",
+
+    "q_corpus_profile" ->
+      "SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars, CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens, round(avg(CAST(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) AS DOUBLE) / length(text)), 6) AS avg_punct_ratio, round(avg(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(lower(text)), '\\s+'))), 6) AS avg_word_len FROM documents GROUP BY lang",
 
     "q_text_tokens" ->
       "SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens FROM documents",
