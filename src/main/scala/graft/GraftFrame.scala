@@ -519,9 +519,14 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   // 1880); Spark's own set operators have identical semantics, so we apply
   // them directly — still lazy plans, no materialization.
 
+  private def translating[A](f: => A): A =
+    try f catch {
+      case e: Throwable => throw GraftError.translate(e, "", df.columns.toSeq)
+    }
+
   /** Positional UNION with dedup (src/elusion.rs:1427-1581). */
   def union(other: GraftFrame): GraftFrame =
-    GraftFrame(toDF.union(other.toDF).distinct(), alias)
+    GraftFrame(translating(toDF.union(other.toDF).distinct()), alias)
 
   def unionMany(others: GraftFrame*): GraftFrame =
     GraftFrame(others.foldLeft(toDF)(_ union _.toDF).distinct(), alias)
@@ -541,11 +546,11 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
 
   /** EXCEPT distinct (src/elusion.rs:1739-1808). */
   def except(other: GraftFrame): GraftFrame =
-    GraftFrame(toDF.except(other.toDF), alias)
+    GraftFrame(translating(toDF.except(other.toDF)), alias)
 
   /** INTERSECT distinct (src/elusion.rs:1811-1880). */
   def intersect(other: GraftFrame): GraftFrame =
-    GraftFrame(toDF.intersect(other.toDF), alias)
+    GraftFrame(translating(toDF.intersect(other.toDF)), alias)
 
   // ─────────────────────────── reshaping (eager) ─────────────────────────
 

@@ -17,4 +17,8 @@ object GraftSqlShim {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     ClassicConversions.castToImpl(spark).sessionState.functionRegistry
+
+  /** Parse-only check against the session's SQL parser. */
+  def parses(spark: SparkSession, sql: String): Boolean =
+    ClassicConversions.castToImpl(spark).sessionState.sqlParser.parsePlan(sql) != null
 }

@@ -58,6 +58,15 @@ class ViewsAndSkewSpec extends SparkSpec {
       err.getMessage.contains("PARSE"))
   }
 
+  test("error taxonomy: set-operation column mismatch") {
+    val sp = spark; import sp.implicits._
+    val other = GraftFrame(Seq((1, "x")).toDF("a", "b"), "two_cols")
+    val err = intercept[GraftError.SetOperationError] {
+      base.union(other)
+    }
+    assert(err.suggestion.contains("column count"))
+  }
+
   test("salted join equals plain join on skewed data") {
     val sp = spark; import sp.implicits._
     val left = (Seq.fill(500)(("hot", 1)) ++ Seq(("cold", 2), ("cool", 3)))
