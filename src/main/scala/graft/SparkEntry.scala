@@ -561,6 +561,17 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // Excel loader/writer (reference excel.rs): xlsx roundtrip
+    "q_excel_load" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_rt.xlsx"
+      sources.ExcelLoader.write(t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")), path)
+      sources.ExcelLoader.load(s, path, "cust_xlsx")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // CSV smart loader round-trip (§2.1) + single-file writer (§2.2)
     "q_csv_roundtrip" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_rt.csv"
@@ -835,6 +846,9 @@ object SparkEntry {
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_xml_load" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_excel_load" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_write_append" ->

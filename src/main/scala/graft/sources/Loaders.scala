@@ -42,6 +42,8 @@ object Loaders {
     else if (lower.endsWith(".csv")) loadCsv(spark, path, alias)
     else if (lower.endsWith(".json")) loadJson(spark, path, alias)
     else if (lower.endsWith(".xml")) XmlLoader.load(spark, path, alias)
+    else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+      ExcelLoader.load(spark, path, alias)
     else if (lower.endsWith(".parquet")) loadParquet(spark, path, alias)
     else if (f.isDirectory) loadParquet(spark, path, alias)
     else throw new IllegalArgumentException(s"load: unsupported file type for $path")

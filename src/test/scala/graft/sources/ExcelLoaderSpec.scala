@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+class ExcelLoaderSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val dir = Paths.get("target/tmp/excel")
+    Files.createDirectories(dir)
+    dir.resolve(name).toString
+  }
+
+  private lazy val df = {
+    val sp = spark; import sp.implicits._
+    Seq(("John", 25L, 50000.5, true), ("Jane", 30L, 75000.0, false),
+      ("O<dd> & \"Co\"", 35L, 60000.25, true))
+      .toDF("Name", "Age", "Salary", "Active")
+  }
+
+  test("xlsx roundtrip: typed cells come back with smart-cast types") {
+    val p = tmp("people.xlsx")
+    ExcelLoader.write(df, p)
+    val back = ExcelLoader.load(spark, p, "people")
+    val types = back.df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types == Map("name" -> "string", "age" -> "long",
+      "salary" -> "double", "active" -> "boolean"))
+    val rows = back.df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(rows == Set(("John", 25L, 50000.5, true), ("Jane", 30L, 75000.0, false),
+      ("O<dd> & \"Co\"", 35L, 60000.25, true))) // XML escaping survives
+  }
+
+  test("extension dispatch routes .xlsx") {
+    val p = tmp("dispatch.xlsx")
+    ExcelLoader.write(df, p)
+    assert(Loaders.load(spark, p, "xd").df.count() == 3)
+  }
+
+  test("builder chain over an excel-loaded frame") {
+    val p = tmp("chain.xlsx")
+    ExcelLoader.write(df, p)
+    val out = ExcelLoader.load(spark, p, "ppl")
+      .filter("age > 26")
+      .agg("COUNT(*) AS n").toDF.first()
+    assert(out.getAs[Long]("n") == 2)
+  }
+
+  test("nulls render as empty cells and load back as null") {
+    val sp = spark; import sp.implicits._
+    val withNull = Seq(("a", java.lang.Double.valueOf(1.5)),
+      ("b", null.asInstanceOf[java.lang.Double])).toDF("k", "v")
+    val p = tmp("nulls.xlsx")
+    ExcelLoader.write(withNull, p)
+    val back = ExcelLoader.load(spark, p, "nx").df
+    assert(back.where("v IS NULL").count() == 1)
+  }
+}
