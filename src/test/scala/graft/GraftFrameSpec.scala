@@ -227,6 +227,29 @@ class GraftFrameSpec extends SparkSpec {
     }
   }
 
+  test("calendar golden rows (A8): leap day, quarter, weekend, month start") {
+    val cal = graft.sources.Loaders
+      .dateRangeTable(spark, "2024-02-27", "2024-03-02", "cal").toDF
+    assert(cal.count() == 5) // leap day present
+    assert(cal.where("date = DATE '2024-02-29'").count() == 1)
+    val r = cal.where("date = DATE '2024-03-02'").first()
+    assert(r.getAs[Int]("quarter") == 1)
+    assert(r.getAs[Boolean]("is_weekend"))
+    assert(r.getAs[java.sql.Date]("month_start").toString == "2024-03-01")
+  }
+
+  test("all 15 named calendar formats render") {
+    val fmts = graft.sources.Loaders.DateFormats.keys.toSeq
+    val cal = graft.sources.Loaders
+      .formattedDateRangeTable(spark, "2024-06-15", "2024-06-15", "cal", fmts).toDF
+    val row = cal.first()
+    assert(fmts.forall(f => row.getAs[String](s"date_$f") != null))
+    assert(row.getAs[String]("date_compact_date") == "20240615")
+    assert(row.getAs[String]("date_eu_date") == "15.06.2024")
+    assert(row.getAs[String]("date_us_date") == "06/15/2024")
+    assert(row.getAs[String]("date_year_month") == "2024-06")
+  }
+
   test("raw sql entry registers frames under their aliases") {
     val out = graft.sources.Loaders.sql(spark,
       "SELECT s.grp, SUM(s.amount) AS t FROM sales s JOIN dims ON s.grp = dims.grp GROUP BY s.grp",
