@@ -878,6 +878,16 @@ object SparkEntry {
     "q_text_quality" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS word_count, round(CAST(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio, round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio, round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE) / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS stopword_ratio, round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS mean_word_len FROM documents",
 
+    "q_text_langid" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+      val structs = graft.functions.TextFunctions.Stopwords.toSeq.sortBy(_._1)
+        .map { case (lang, words) =>
+          s"struct_pack(hits := ${hits(words)}, lang := '$lang')"
+        }.mkString(", ")
+      s"SELECT doc_id, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS detected_lang FROM (SELECT doc_id, list_aggregate([$structs], 'max') AS best FROM documents)"
+    },
+
     "q_text_fingerprint" ->
       "SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))), ' ') AS fp_key FROM documents",
 
