@@ -620,7 +620,7 @@ object SparkEntry {
     "q_sim_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
-        "embedding", "vec_id", k = 10, bits = 8)
+        "embedding", "vec_id", k = 10, bits = 4, numTables = 16)
         .select(col("query_id"), col("corpus_id"), col("cosine"),
           col("rank").cast("bigint").as("rnk"))
     }),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{VectorFunctions => V}
@@ -34,35 +34,37 @@ object Similarity {
         col("rank"))
   }
 
-  /** Sign-LSH bucketed ANN: corpus and queries bucketed by r-bit
-    * hyperplane signs; candidates come only from the query's bucket (plus
-    * optional multi-probe neighbors at Hamming distance 1), then exact
-    * cosine rank within candidates. Recall < 1, cost ~ corpus/2^r per
-    * query — the shape that survives 100 TB.
+  /** Sign-LSH bucketed ANN with L independent hash tables: a neighbor at
+    * angle θ agrees with one b-bit signature with P=(1-θ/π)^b, so a single
+    * table caps recall hard (measured 0.17 on the 64-dim fixture at b=6);
+    * L tables lift it to 1-(1-p)^L (~0.8 at L=8). Candidates are id pairs
+    * only — vectors re-join after bucket dedup, so the table explode
+    * shuffles ~24-byte rows, and exact cosine ranks the candidate set.
+    * Cost ~ L × corpus/2^b per query — the shape that survives 100 TB.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int, bits: Int = 8, dim: Int = 64,
-      multiProbe: Boolean = true): DataFrame = {
+      vecCol: String, idCol: String, k: Int, bits: Int = 6, dim: Int = 64,
+      numTables: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .withColumn("bkt", V.signLshBucket(col("cv"), bits, dim))
-    val probes =
-      if (multiProbe)
-        array((0 to bits).map {
-          case 0 => lit(0L)
-          case i => lit(1L << (i - 1))
-        }: _*)
-      else array(lit(0L))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qb", V.signLshBucket(col("qv"), bits, dim))
-      .withColumn("bkt", explode(transform(probes, m => col("qb").bitwiseXOR(m))))
-      .drop("qb")
-    val joined = c.join(broadcast(q), Seq("bkt"))
+    def buckets(v: Column) = array((0 until numTables).map(l =>
+      struct(lit(l).as("tbl"),
+        V.signLshBucket(v, bits, dim, seed = 42L + l).as("bkt"))): _*)
+    val cb = c.select(col("corpus_id"), explode(buckets(col("cv"))).as("tb"))
+      .select(col("corpus_id"), col("tb.tbl"), col("tb.bkt"))
+    val qb = q.select(col("query_id"), explode(buckets(col("qv"))).as("tb"))
+      .select(col("query_id"), col("tb.tbl"), col("tb.bkt"))
+    val cand = cb.join(broadcast(qb), Seq("tbl", "bkt"))
       .where(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id")
+      .dropDuplicates("query_id", "corpus_id")
+    val joined = cand
+      .join(c, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
-    joined.dropDuplicates("query_id", "corpus_id")
-      .withColumn("rank", row_number().over(w))
+    joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))

@@ -105,6 +105,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Long]("corpus_id") == 1L)
   }
 
+  test("LSH and IVF recall vs brute force on the real embeddings fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10))
+    // fixture neighbors sit at cosine 0.24-0.39 (θ≈70°) — a hard regime
+    // for sign-LSH, so recall needs shallow signatures and many tables
+    val lsh = topSet(Similarity.lshTopK(emb, queries, "embedding", "vec_id",
+      k = 10, bits = 4, dim = 64, numTables = 16))
+    val ivf = topSet(Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+      k = 10, nlist = 8, nprobe = 4))
+    val lshRecall = (lsh intersect exact).size.toDouble / exact.size
+    val ivfRecall = (ivf intersect exact).size.toDouble / exact.size
+    assert(lshRecall > 0.5, s"LSH recall too low: $lshRecall")
+    assert(ivfRecall > 0.5, s"IVF recall too low: $ivfRecall")
+  }
+
   test("minhash sketch: deterministic, k longs, dup texts identical sketches") {
     val sk = docs.select(col("doc_id"),
       HashExpressions.minhashSketch(TF.wordShingles(col("text"), 3), 16).as("s"))
