@@ -141,24 +141,39 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding cosine near-dup pairs. `lshBits = 0` → exact blocked
-    * comparison via a range-partitioned self join (only for verification
-    * scale); lshBits > 0 → sign-LSH bucketing, the 100 TB path (pairs only
-    * within identical sign buckets).
+  /** Embedding cosine near-dup pairs. `lshBits = 0` → exact all-pairs
+    * comparison (verification scale only); lshBits > 0 → multi-table
+    * sign-LSH candidate generation, the 100 TB path: candidates are id
+    * pairs from any of `lshTables` seeded hyperplane signatures (explode
+    * carries ids only), vectors re-join for the exact cosine filter.
     */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, lshBits: Int = 0, dim: Int = 64): DataFrame = {
+      threshold: Double, lshBits: Int = 0, dim: Int = 64,
+      lshTables: Int = 8): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val (a, b, cond) =
-      if (lshBits > 0) {
-        val bucketed = base.withColumn("bkt", V.signLshBucket(col("v"), lshBits, dim))
-        (bucketed.alias("a"), bucketed.alias("b"),
-          col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
-      } else (base.alias("a"), base.alias("b"), col("a.id") < col("b.id"))
-    a.join(b, cond)
-      .withColumn("cos", V.cosine(col("a.v"), col("b.v")))
+    if (lshBits == 0) {
+      // exact path: vectors stay inline, one nested-loop pass
+      return base.alias("a").join(base.alias("b"), col("a.id") < col("b.id"))
+        .withColumn("cos", V.cosine(col("a.v"), col("b.v")))
+        .where(col("cos") >= threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(col("cos"), 6).as("cosine"))
+    }
+    val bucketed = base.select(col("id"),
+      explode(array((0 until lshTables).map(l =>
+        struct(lit(l).as("tbl"),
+          V.signLshBucket(col("v"), lshBits, dim, seed = 42L + l).as("bkt"))): _*))
+        .as("tb"))
+      .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+    bucketed.alias("a").join(bucketed.alias("b"),
+      col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos", V.cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("cos"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 }
