@@ -250,6 +250,21 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
 
   def joinOn(other: GraftFrame, conditions: Seq[String], joinType: String): GraftFrame = {
     val jt = joinType.trim.toUpperCase.replace('_', ' ')
+    // LEFT MARK has no SQL surface form — the mark flag needs the
+    // distinct-key rewrite, so route callers to markJoin() instead of
+    // silently emitting a row-duplicating LEFT join.
+    if (jt == "LEFT MARK")
+      throw GraftError.JoinError(
+        "LEFT MARK is not expressible in the SQL builder path — use " +
+          "markJoin(other, leftKey, rightKey, markColumn)")
+    // RIGHT SEMI/ANTI are realized by swapping sides at SQL construction,
+    // which is only well-defined for a sole join — fail fast instead of
+    // emitting SQL Spark's parser rejects.
+    val isRightSided = jt == "RIGHT SEMI" || jt == "RIGHT ANTI"
+    if ((isRightSided && state.joins.nonEmpty) ||
+        state.joins.exists(j => j.joinType == "RIGHT SEMI" || j.joinType == "RIGHT ANTI"))
+      throw GraftError.JoinError(
+        "RIGHT SEMI/ANTI joins are supported only as the sole join of a query")
     // complexity hint (reference src/elusion.rs:925-929): >3 joins →
     // suggest materializing an intermediate stage
     if (state.joins.length >= 3)
@@ -373,10 +388,7 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     val joinsSql = state.joins.map { j =>
       val v = viewName(j.frame.alias)
       registrations += v -> j.frame.df
-      val jt = j.joinType match {
-        case "LEFT MARK" => "LEFT" // handled below via mark flag
-        case t => t
-      }
+      val jt = j.joinType // LEFT MARK is rejected at joinOn() time
       s"$jt JOIN $v AS ${j.frame.alias} ON ${j.conditions.mkString(" AND ")}"
     }
 
@@ -643,23 +655,26 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   // ───────────────────────────── statistics ──────────────────────────────
 
   /** Per-column count/count-nonnull/avg/min/max/stddev
-    * (src/elusion.rs:4682-4759).
+    * (src/elusion.rs:4682-4759). ONE Spark job for all columns — 5×cols+1
+    * aggregates in a single select (the same single-pass shape as
+    * correlationMatrix), not one full scan per column.
     */
   def stats(cols: Seq[String]): DataFrame = {
     val d = toDF
-    val rows = cols.map { c =>
-      val agg = d.select(
-        count(lit(1)).as("total"),
-        count(col(c)).as("non_null"),
-        avg(col(c).cast(DoubleType)).as("avg"),
-        min(col(c).cast(DoubleType)).as("min"),
-        max(col(c).cast(DoubleType)).as("max"),
-        stddev_samp(col(c).cast(DoubleType)).as("stddev")).first()
-      (c, agg.getLong(0), agg.getLong(1),
-        Option(agg.get(2)).map(_.toString.toDouble).getOrElse(Double.NaN),
-        Option(agg.get(3)).map(_.toString.toDouble).getOrElse(Double.NaN),
-        Option(agg.get(4)).map(_.toString.toDouble).getOrElse(Double.NaN),
-        Option(agg.get(5)).map(_.toString.toDouble).getOrElse(Double.NaN))
+    val aggExprs = count(lit(1)).as("graft_total") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        avg(col(c).cast(DoubleType)).as(s"${c}__avg"),
+        min(col(c).cast(DoubleType)).as(s"${c}__min"),
+        max(col(c).cast(DoubleType)).as(s"${c}__max"),
+        stddev_samp(col(c).cast(DoubleType)).as(s"${c}__sd"))
+    }
+    val r = d.select(aggExprs: _*).first()
+    def num(i: Int): Double =
+      Option(r.get(i)).map(_.toString.toDouble).getOrElse(Double.NaN)
+    val total = r.getLong(0)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val base = 1 + i * 5
+      (c, total, r.getLong(base), num(base + 1), num(base + 2), num(base + 3), num(base + 4))
     }
     val sp = spark; import sp.implicits._
     rows.toDF("column", "total_count", "non_null_count", "mean", "min", "max", "std_dev")

@@ -169,11 +169,14 @@ object SparkEntry {
         .window("ROUND(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS cdist")
         .toDF),
 
+    // NTILE with no PARTITION BY — the scale-killing single-partition
+    // window — routes through GlobalOrder.ntile: range-partition + counts
+    // collect + local counter, semantics-identical bucket assignment.
     "q_window_ntile" -> ((s, d) =>
-      t(s, d, "orders")
-        .select("o_orderkey")
-        .window("NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket")
-        .toDF),
+      graft.operators.GlobalOrder.ntile(
+        t(s, d, "orders").df.select(col("o_orderkey"), col("o_totalprice")),
+        4, Seq("o_totalprice", "o_orderkey"))
+        .select(col("o_orderkey"), col("bucket"))),
 
     "q_window_lag_lead" -> ((s, d) =>
       t(s, d, "orders")

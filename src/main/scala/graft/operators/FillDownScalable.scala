@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed fill-down (last-observation-carried-forward).
   *
@@ -30,12 +29,16 @@ object FillDownScalable {
     val ranged = df
       .repartitionByRange(parts, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // No persist: pass A and pass B share ranged's lazy-val RDD lineage, so
+    // the range shuffle's map outputs are reused across the two jobs and
+    // only the partition-local sort re-runs. Persisting (round 1) leaked
+    // the cached blocks for the session lifetime.
+    val rangedRdd = ranged.rdd
     val schema = ranged.schema
     val idx = cols.map(schema.fieldIndex).toArray
 
     // pass A: trailing non-null per partition (tiny driver collect)
-    val lasts: Array[(Int, Array[Any])] = ranged.rdd.mapPartitionsWithIndex {
+    val lasts: Array[(Int, Array[Any])] = rangedRdd.mapPartitionsWithIndex {
       (pid, it) =>
         val last = Array.fill[Any](idx.length)(null)
         it.foreach { r =>
@@ -60,7 +63,7 @@ object FillDownScalable {
     }
 
     // pass B: running fill seeded from the prefix
-    val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rdd = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       val run = prefixes(math.min(pid, prefixes.length - 1)).clone()
       it.map { r =>
         val arr = r.toSeq.toArray

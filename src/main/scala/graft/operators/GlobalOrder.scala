@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed global ordering primitives. A `ROW_NUMBER() OVER (ORDER BY
   * …)` with no PARTITION BY collapses to one partition; these helpers keep
@@ -21,15 +20,21 @@ object GlobalOrder {
     val ranged = df
       .repartitionByRange(parts, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = ranged.rdd.mapPartitionsWithIndex((pid, it) =>
+    // No persist: Dataset.rdd is a lazy val, so the counts pass and the
+    // numbering pass share one lineage and Spark reuses the range-shuffle
+    // map outputs across the two jobs — the only recompute is the
+    // partition-local sort. A persist here (round 1) pinned the ranged
+    // blocks for the session lifetime (block-manager leak under repeated
+    // pipeline use).
+    val rangedRdd = ranged.rdd
+    val counts = rangedRdd.mapPartitionsWithIndex((pid, it) =>
       Iterator.single((pid, it.size.toLong))).collect().toMap
     val maxPid = if (counts.isEmpty) 0 else counts.keys.max
     val offsets = new Array[Long](maxPid + 2)
     for (p <- 0 to maxPid)
       offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L)
     val schema = StructType(df.schema.fields :+ StructField(rnCol, LongType, nullable = false))
-    val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rdd = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       var rn = offsets(math.min(pid, offsets.length - 1))
       it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
     }

@@ -111,8 +111,11 @@ object CsvSmartCaster {
       val t = trim(regexp_replace(trim(c), """[$€£¥₹\s]""", ""))
       val isPct = t.endsWith(lit("%"))
       val noPct = regexp_replace(t, "%$", "")
-      // EU style: dots as thousands, comma as decimal mark
-      val isEu = noPct.rlike("""^[+-]?(\d{1,3}(\.\d{3})+(,\d+)?|\d+,\d+)$""")
+      // EU style: dots as thousands, comma as decimal mark. The decimal
+      // comma is REQUIRED (matches the classifier above and csv.rs branch
+      // order): '0.123' / '12.345' are plain decimals, NOT EU thousands —
+      // an optional comma here silently inflated them 1000×.
+      val isEu = noPct.rlike("""^[+-]?(\d{1,3}(\.\d{3})+(,\d+)|\d+,\d+)$""")
       val normalized = when(isEu,
         regexp_replace(regexp_replace(noPct, """\.""", ""), ",", "."))
         .otherwise(regexp_replace(noPct, ",", ""))

@@ -36,8 +36,12 @@ object Loaders {
     */
   def load(spark: SparkSession, path: String, alias: String): GraftFrame = {
     val lower = path.toLowerCase
-    val f = new java.io.File(path)
-    if (f.isDirectory && new java.io.File(f, "_delta_log").exists())
+    // Directory/delta checks via Hadoop FS so dispatch works on HDFS/S3
+    // paths, not just local disk.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory
+    if (isDir && fs.exists(new org.apache.hadoop.fs.Path(hPath, "_delta_log")))
       loadDelta(spark, path, alias)
     else if (lower.endsWith(".csv")) loadCsv(spark, path, alias)
     else if (lower.endsWith(".json")) loadJson(spark, path, alias)
@@ -45,7 +49,7 @@ object Loaders {
     else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
       ExcelLoader.load(spark, path, alias)
     else if (lower.endsWith(".parquet")) loadParquet(spark, path, alias)
-    else if (f.isDirectory) loadParquet(spark, path, alias)
+    else if (isDir) loadParquet(spark, path, alias)
     else throw new IllegalArgumentException(s"load: unsupported file type for $path")
   }
 
@@ -54,14 +58,20 @@ object Loaders {
 
   /** Spark 4 rejects parquet TIMESTAMP(NANOS); sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` so such columns arrive as
-    * LongType nanos — convert any `*ts*`-named long column back to a
-    * microsecond timestamp (integer `div`, no double round-trip: nanos
-    * exceed 2^53).
+    * LongType nanos — convert any ts-named long column (`ts`, `*_ts`,
+    * `ts_*`) back to a microsecond timestamp (integer `div`, no double
+    * round-trip: nanos exceed 2^53). The name test is deliberately
+    * suffix/prefix-anchored so plain counters like `counts` never match.
     */
+  private def isTsName(name: String): Boolean = {
+    val n = name.toLowerCase
+    n == "ts" || n.endsWith("_ts") || n.startsWith("ts_")
+  }
+
   private def normalizeNanoTimestamps(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == LongType && f.name.toLowerCase == "ts")
-        d.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+      if (f.dataType == LongType && isTsName(f.name))
+        d.withColumn(f.name, expr(s"timestamp_micros(`${f.name}` div 1000)"))
       else d
     }
 
@@ -149,13 +159,19 @@ object Loaders {
 
   private def loadFolderImpl(spark: SparkSession, dir: String, alias: String,
       withFilename: Boolean): GraftFrame = {
-    val files = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && f.getName.toLowerCase.matches(".*\\.(csv|json|parquet)$"))
-      .sortBy(_.getName)
+    // List via the Hadoop FileSystem API, not java.io.File: the folder may
+    // live on HDFS/S3/… in a real deployment — local-FS listing breaks the
+    // 100 TB story (only the listing is driver-side; reads stay lazy).
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(s => s.isFile &&
+        s.getPath.getName.toLowerCase.matches(".*\\.(csv|json|parquet)$"))
+      .sortBy(_.getPath.getName)
     require(files.nonEmpty, s"loadFolder: no supported files in $dir")
     val frames = files.map { f =>
-      val g = load(spark, f.getAbsolutePath, alias).df
-      if (withFilename) g.select(lit(f.getName).as("filename_added") +: g.columns.map(col).toSeq: _*)
+      val g = load(spark, f.getPath.toUri.getPath, alias).df
+      if (withFilename) g.select(lit(f.getPath.getName).as("filename_added") +: g.columns.map(col).toSeq: _*)
       else g
     }
     val first = frames.head

@@ -94,11 +94,42 @@ object Writers {
       d.write.mode(SaveMode.Overwrite).parquet(p))
   }
 
-  /** JSON array file, one object per row, pretty-printable
-    * (src/elusion.rs:5013-5178 hand-rolls the same shape).
+  /** JSON array file, one object per row (src/elusion.rs:5013-5178
+    * hand-rolls the same shape): `[` … `]` with comma-separated objects,
+    * each on its own line; `pretty = true` indents the objects. Spark
+    * writes JSON-lines to a temp dir, then the single-file move streams the
+    * part lines into the array wrapper (driver-bound like every `*Single`
+    * writer — the upstream compute stays parallel; use writeJsonDir-style
+    * paths for cluster-scale output).
     */
-  def writeJsonSingle(df: DataFrame, path: String, pretty: Boolean = false): Unit =
-    writeSingle(df, path, ".json")((d, p) => d.write.mode(SaveMode.Overwrite).json(p))
+  def writeJsonSingle(df: DataFrame, path: String, pretty: Boolean = false): Unit = {
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + "_graft_tmp")
+    deleteRecursive(tmp)
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(tmp.toString)
+    val part = findPart(tmp, ".json")
+    if (target.toAbsolutePath.getParent != null)
+      Files.createDirectories(target.toAbsolutePath.getParent)
+    val out = Files.newBufferedWriter(target)
+    try {
+      out.write("[")
+      val lines = Files.lines(part)
+      try {
+        var first = true
+        lines.forEach { line =>
+          if (line.nonEmpty) {
+            if (!first) out.write(",")
+            out.write("\n")
+            if (pretty) out.write("  ")
+            out.write(line)
+            first = false
+          }
+        }
+      } finally lines.close()
+      out.write("\n]\n")
+    } finally out.close()
+    deleteRecursive(tmp)
+  }
 
   /** Directory writers — the cluster-scale path (one file per partition,
     * optional partitioning columns; Spark-native modes).

@@ -82,6 +82,26 @@ class GraftFrameSpec extends SparkSpec {
     assert(rs.collect().map(_.getString(0)).toSet == Set("alpha", "beta"))
   }
 
+  test("RIGHT SEMI/ANTI fail fast when combined with another join") {
+    val e1 = intercept[GraftError.JoinError] {
+      sales.join(dims, "sales.grp = dims.grp", "INNER")
+        .join(dims, "sales.grp = dims.grp", "RIGHT_SEMI")
+    }
+    assert(e1.getMessage.contains("sole join"))
+    val e2 = intercept[GraftError.JoinError] {
+      sales.join(dims, "sales.grp = dims.grp", "RIGHT_ANTI")
+        .join(dims, "sales.grp = dims.grp", "INNER")
+    }
+    assert(e2.getMessage.contains("sole join"))
+  }
+
+  test("LEFT MARK through the SQL join path is rejected with a markJoin pointer") {
+    val e = intercept[GraftError.JoinError] {
+      sales.join(dims, "sales.grp = dims.grp", "LEFT MARK")
+    }
+    assert(e.getMessage.contains("markJoin"))
+  }
+
   test("window expression appended to select") {
     val out = sales.select("id", "grp")
       .window("ROW_NUMBER() OVER (PARTITION BY grp ORDER BY amount DESC) AS rn")

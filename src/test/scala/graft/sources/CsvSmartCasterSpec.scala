@@ -113,4 +113,22 @@ class CsvSmartCasterSpec extends SparkSpec {
     val vals = df.collect().map(_.getDouble(0)).sorted
     assert(vals.sameElements(Array(7.5, 1234.56, 2345.67)))
   }
+
+  test("plain decimals with 3 fractional digits are NOT EU thousands (0.123 stays 0.123)") {
+    // regression: the EU branch once made the decimal comma optional, so
+    // '0.123' matched, dots were stripped, and values inflated 1000×
+    val path = writeTemp("plain3.csv", "v\n0.123\n12.345\n999.999\n1.5\n")
+    val df = CsvSmartCaster.load(spark, path)
+    val vals = df.collect().map(_.getDouble(0)).sorted
+    assert(vals.sameElements(Array(0.123, 1.5, 12.345, 999.999)))
+  }
+
+  test("EU thousands still require the decimal comma in the cast path") {
+    // mixed column: true EU values and plain decimals coexist — each row
+    // is normalized by its own shape
+    val path = writeTemp("eu_mixed.csv", "v\n\"1.234,5\"\n0.123\n\"12.345.678,99\"\n")
+    val df = CsvSmartCaster.load(spark, path)
+    val vals = df.collect().map(_.getDouble(0)).sorted
+    assert(vals.sameElements(Array(0.123, 1234.5, 12345678.99)))
+  }
 }

@@ -54,7 +54,35 @@ class WritersSpec extends SparkSpec {
   test("json single file roundtrip") {
     val p = tmp("out.json")
     Writers.writeJsonSingle(df, p)
-    assert(spark.read.json(p).count() == 2)
+    assert(Loaders.loadJson(spark, p, "rt").df.count() == 2)
+    // external contract: a JSON ARRAY file, not JSON-lines
+    val text = Files.readString(Paths.get(p)).trim
+    assert(text.startsWith("[") && text.endsWith("]"))
+  }
+
+  test("json pretty writer indents one object per line") {
+    val p = tmp("pretty.json")
+    Writers.writeJsonSingle(df, p, pretty = true)
+    val lines = Files.readAllLines(Paths.get(p))
+    assert(lines.get(0) == "[")
+    assert(lines.get(1).startsWith("  {"))
+    assert(Loaders.loadJson(spark, p, "rt2").df.count() == 2)
+  }
+
+  test("ts-named long columns normalize from nanos on parquet load (event_ts)") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("nanos_ts")
+    // 2024-01-01T00:00:00.123456789Z as nanos-since-epoch in a long column
+    val nanos = 1704067200L * 1000000000L + 123456789L
+    Seq((1L, nanos)).toDF("id", "event_ts").write.mode("overwrite").parquet(p)
+    val back = Loaders.loadParquet(spark, p, "nts").df
+    assert(back.schema("event_ts").dataType.typeName == "timestamp")
+    val t = back.first().getAs[java.sql.Timestamp]("event_ts")
+    assert(t.toInstant.toString == "2024-01-01T00:00:00.123456Z") // micros precision
+    // plain long columns that merely contain 'ts' are untouched
+    val p2 = tmp("counts_col")
+    Seq((1L, 5L)).toDF("id", "counts").write.mode("overwrite").parquet(p2)
+    assert(Loaders.loadParquet(spark, p2, "cts").df.schema("counts").dataType.typeName == "long")
   }
 
   test("folder loader with filename column prepends source file name") {
