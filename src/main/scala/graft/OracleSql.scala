@@ -1,0 +1,169 @@
+package graft
+
+import graft.functions.{VectorFunctions => V}
+import graft.operators.Corpus
+
+/** DuckDB oracle-SQL builders for the extension queries whose round-1 rows
+  * were `no_oracle`. Two strategies:
+  *
+  *  1. **Exact brute force** (minhash / ngram / simhash): the Spark side
+  *     emits *verified* pairs with exact scores, so DuckDB can recompute
+  *     the identical pair set by brute force at oracle scale. Scores are
+  *     raw doubles from integer division (bit-identical across engines);
+  *     hashes are MD5-derived (md5() exists in both engines — the 60-bit
+  *     value is the first 15 hex chars, `('0x' || substr(md5(x), 1, 15))
+  *     ::BIGINT` in DuckDB, `conv(substring(md5(x), 1, 15), 16, 10)` in
+  *     Spark, a high-60-bits-of-digest kernel in native code).
+  *
+  *  2. **Algorithm replication** (sign-LSH ANN / embedding dedup / IVF):
+  *     the hyperplanes are generated driver-side
+  *     ([[V.hyperplanes]] — deterministic splitmix64), so the SAME
+  *     constants are embedded into the oracle SQL as list literals and
+  *     DuckDB replays bucketing → candidates → exact re-rank step for
+  *     step. `Double.toString` round-trips, so the embedded literals parse
+  *     back to bit-identical doubles.
+  */
+object OracleSql {
+
+  /** Normalized word tokens of `documents.text` — must match
+    * TextFunctions.normalizeText + split(" ") and the native
+    * NativeOps.wordShingles tokenizer (lowercase, non-alnum → separator).
+    */
+  private val tokensExpr =
+    "string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+
+  /** 60-bit MD5 hash of a string expression. */
+  private def md5Hash60(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Exact n-word-shingle Jaccard pairs ≥ threshold over `documents` —
+    * brute force via an inverted shingle index (identical math to
+    * Dedup.ngramJaccardPairs; also the ground truth for the minhash-LSH
+    * pair set, whose candidate recall is ~1 at the declared parameters:
+    * planted pairs sit at j ≥ 0.9 where P(miss) = (1-0.9^4)^32 < 1e-14).
+    */
+  def jaccardPairs(n: Int, threshold: Double): String = {
+    val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
+      "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+      "inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i " +
+      "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sizes AS (SELECT doc_id, len(s) AS n FROM sh) " +
+      "SELECT ia AS id_a, ib AS id_b, i::DOUBLE / (sa.n + sb.n - i) AS jaccard " +
+      "FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
+      s"WHERE i::DOUBLE / (sa.n + sb.n - i) >= $threshold"
+  }
+
+  /** Brute-force MD5-SimHash pairs with hamming ≤ maxHamming — recomputes
+    * the per-token 60-bit hash, the ±1 bit votes (ties → 1, matching
+    * NativeOps.simhashMd5) and the full pairwise hamming matrix.
+    */
+  def simhashPairs(maxHamming: Int, bits: Int = 60): String =
+    s"WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS t FROM documents), " +
+      s"th AS (SELECT doc_id, ${md5Hash60("t")} AS h FROM toks), " +
+      "bv AS (SELECT doc_id, b, CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
+      "THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bit " +
+      s"FROM th, range($bits) r(b) GROUP BY doc_id, b), " +
+      "sh AS (SELECT doc_id, sum(bit)::BIGINT AS sh FROM bv GROUP BY doc_id) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh))::BIGINT AS hamming " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      s"WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming"
+
+  /** Replicated deterministic hash split — identical md5-derived bucket and
+    * identical boundary arithmetic (shared via Corpus.splitBounds).
+    */
+  def corpusSplit(splits: Seq[(String, Double)], salt: String = "graft",
+      buckets: Long = 1000000L): String = {
+    val cases = Corpus.splitBounds(splits, buckets)
+      .map { case (nm, lo, hi) => s"WHEN h >= $lo AND h < $hi THEN '$nm'" }
+      .mkString(" ")
+    s"SELECT split, count(*) AS n FROM (SELECT CASE $cases ELSE '${splits.last._1}' END AS split " +
+      s"FROM (SELECT ${md5Hash60(s"'$salt' || doc_id::VARCHAR")} % $buckets AS h FROM documents)) " +
+      "GROUP BY split"
+  }
+
+  /** Multimodal feature extraction over the documents-as-media wrapper:
+    * byte size (strlen = UTF-8 bytes, matching the binary payload) and the
+    * 60-bit MD5 content digest of the same payload bytes.
+    */
+  val multimodal: String =
+    "SELECT doc_id AS media_id, 'image' AS modality, strlen(text)::BIGINT AS byte_size, " +
+      s"${md5Hash60("text")} AS content_digest FROM documents"
+
+  // ── sign-LSH replication ──────────────────────────────────────────────
+
+  /** VALUES rows (tbl, bit, plane) embedding the driver-side hyperplane
+    * constants for tables l ∈ [0, tables) seeded 42+l — the exact planes
+    * V.signLshBucket uses.
+    */
+  private def planesValues(bits: Int, tables: Int, dim: Int): String =
+    (0 until tables).flatMap { l =>
+      V.hyperplanes(bits, dim, seed = 42L + l).zipWithIndex.map { case (p, i) =>
+        s"($l, $i, [${p.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(", ")
+
+  /** CTEs: `planes` (the embedded hyperplanes) and `cb` (every vector's
+    * bucket id per table — sign bits of the plane dot products, packed).
+    */
+  private def bucketsCte(bits: Int, tables: Int, dim: Int): String =
+    s"planes(tbl, bit, p) AS (VALUES ${planesValues(bits, tables, dim)}), " +
+      "cb AS (SELECT e.vec_id AS id, pl.tbl AS tbl, " +
+      "sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.p) >= 0 " +
+      "THEN (1::BIGINT << pl.bit) ELSE 0::BIGINT END)::BIGINT AS bkt " +
+      "FROM embeddings e, planes pl GROUP BY e.vec_id, pl.tbl)"
+
+  /** Replicated multi-table sign-LSH near-dup pairs: bucket-collision
+    * candidates → exact cosine ≥ threshold (Dedup.embeddingCosinePairs
+    * with lshBits > 0, step for step).
+    */
+  def embeddingLshPairs(threshold: Double, bits: Int, tables: Int,
+      dim: Int = 64): String =
+    s"WITH ${bucketsCte(bits, tables, dim)}, " +
+      "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM cb a JOIN cb b " +
+      "ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id < b.id) " +
+      "SELECT id_a, id_b, round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine " +
+      "FROM cand JOIN embeddings ea ON id_a = ea.vec_id JOIN embeddings eb ON id_b = eb.vec_id " +
+      s"WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= $threshold"
+
+  /** Replicated multi-table sign-LSH ANN top-k (Similarity.lshTopK):
+    * queries are corpus vectors with vec_id < maxQueryId.
+    */
+  def simLshTopK(k: Int, bits: Int, tables: Int, dim: Int = 64,
+      maxQueryId: Long = 5L): String =
+    s"WITH ${bucketsCte(bits, tables, dim)}, " +
+      "cand AS (SELECT DISTINCT q.id AS query_id, c.id AS corpus_id FROM cb c JOIN cb q " +
+      s"ON c.tbl = q.tbl AND c.bkt = q.bkt WHERE q.id < $maxQueryId AND c.id <> q.id) " +
+      "SELECT query_id, corpus_id, round(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk FROM (" +
+      "SELECT cand.query_id, cand.corpus_id, " +
+      "list_cosine_similarity(ec.embedding::DOUBLE[], eq.embedding::DOUBLE[]) AS cos, " +
+      "row_number() OVER (PARTITION BY cand.query_id " +
+      "ORDER BY list_cosine_similarity(ec.embedding::DOUBLE[], eq.embedding::DOUBLE[]) DESC, cand.corpus_id ASC) AS rnk " +
+      "FROM cand JOIN embeddings ec ON cand.corpus_id = ec.vec_id " +
+      "JOIN embeddings eq ON cand.query_id = eq.vec_id) " +
+      s"WHERE rnk <= $k"
+
+  /** Replicated IVF top-k (Similarity.ivfTopK): first-nlist-ids centroids,
+    * nearest-centroid assignment (squared-distance ordering ≡ the Spark
+    * side's sqrt ordering — monotonic), nprobe probed lists, exact cosine
+    * re-rank.
+    */
+  def simIvfTopK(k: Int, nlist: Int, nprobe: Int, maxQueryId: Long = 5L): String =
+    "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"cent AS (SELECT vec_id AS cent_id, v AS centv FROM c ORDER BY vec_id LIMIT $nlist), " +
+      "asg AS (SELECT vec_id, v, cent_id AS list_id FROM (" +
+      "SELECT c.vec_id, c.v, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn = 1), " +
+      s"q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $maxQueryId), " +
+      "ql AS (SELECT query_id, qv, cent_id AS list_id FROM (" +
+      "SELECT q.query_id, q.qv, cent.cent_id, row_number() OVER (PARTITION BY q.query_id " +
+      s"ORDER BY list_distance(q.qv, cent.centv) ASC, cent.cent_id ASC) AS rn FROM q, cent) WHERE rn <= $nprobe) " +
+      "SELECT query_id, corpus_id, round(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk FROM (" +
+      "SELECT ql.query_id, a.vec_id AS corpus_id, list_cosine_similarity(a.v, ql.qv) AS cos, " +
+      "row_number() OVER (PARTITION BY ql.query_id " +
+      "ORDER BY list_cosine_similarity(a.v, ql.qv) DESC, a.vec_id ASC) AS rnk " +
+      "FROM asg a JOIN ql ON a.list_id = ql.list_id WHERE a.vec_id <> ql.query_id) " +
+      s"WHERE rnk <= $k"
+}

@@ -15,6 +15,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wipe the output dir first: a renamed/removed query must not leave a
+    // stale result directory behind for the comparer to pick up
+    val outPath = Paths.get(outDir)
+    if (Files.exists(outPath)) {
+      Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

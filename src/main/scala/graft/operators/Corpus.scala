@@ -24,19 +24,37 @@ object Corpus {
 
   /** Deterministic hash split: every row lands in exactly one named split
     * with probability proportional to its weight, stable across runs,
-    * partitionings and cluster sizes (keyed on xxhash64 of the id column —
-    * never `rand()`, which breaks on retry/recompute).
+    * partitionings and cluster sizes — never `rand()`, which breaks on
+    * retry/recompute. Keyed on the first 15 hex chars of
+    * md5(salt || id) so the assignment is reproducible in ANY engine with
+    * an md5() function (train/val/test membership must survive engine
+    * migrations; the DuckDB oracle recomputes the identical assignment).
     */
+  /** Per-split [lo, hi) bucket boundaries — one arithmetic shared by
+    * hashSplit and the DuckDB oracle builder so they can never drift.
+    */
+  def splitBounds(splits: Seq[(String, Double)],
+      buckets: Long = 1000000L): Seq[(String, Long, Long)] = {
+    val total = splits.map(_._2).sum
+    var cum = 0.0
+    splits.map { case (name, w) =>
+      val lo = (cum / total * buckets).toLong
+      val hi = ((cum + w) / total * buckets).toLong
+      cum += w
+      (name, lo, hi)
+    }
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
-    val total = splits.map(_._2).sum
     val buckets = 1000000L
-    val h = pmod(xxhash64(lit(salt), col(idCol)), lit(buckets))
-    val (expr, _) = splits.foldLeft((lit(null).cast("string"), 0.0)) {
-      case ((acc, cum), (name, w)) =>
-        val hi = ((cum + w) / total * buckets).toLong
-        val lo = (cum / total * buckets).toLong
-        (when(h >= lo && h < hi, lit(name)).otherwise(acc), cum + w)
+    val h = pmod(
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(buckets))
+    val expr = splitBounds(splits, buckets).foldLeft(lit(null).cast("string")) {
+      case (acc, (name, lo, hi)) =>
+        when(h >= lo && h < hi, lit(name)).otherwise(acc)
     }
     // rows at the very top boundary (h == buckets-ish rounding) fall into
     // the last split via the final otherwise-null guard

@@ -95,50 +95,89 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh"))).cast("double") /
           size(array_union(col("sh_a"), col("sh"))))
       .where(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // raw double, no SQL rounding: both engines divide the same two ints,
+      // so the doubles are bit-identical and round() boundary skew is moot
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs: 64-bit sketch, band on 4×16-bit chunks
-    * (hamming ≤ small ⇒ at least one identical chunk), verify hamming
-    * distance ≤ maxHamming via bit_count(xor).
+  /** SimHash near-dup pairs with GUARANTEED recall at `maxHamming`:
+    * `bits`-wide MD5-token SimHash (cross-engine reproducible — see
+    * [[graft.plans.SimHashMd5]]), banded into `maxHamming + 1` blocks. By
+    * pigeonhole, a pair differing in ≤ maxHamming bits leaves at least one
+    * of the maxHamming+1 blocks identical, so every qualifying pair
+    * collides in some block — no recall hole (the round-1 4×16-bit banding
+    * only guaranteed hamming ≤ 3 but defaulted maxHamming = 10). Verify is
+    * exact bit_count(xor) ≤ maxHamming on collided pairs.
+    *
+    * Scale shape: blocks× id-only explode (≈24-byte rows), bucket
+    * self-join per (block, chunk-value); larger maxHamming ⇒ more, narrower
+    * blocks ⇒ denser buckets — the standard recall/cost dial of
+    * permute-and-block SimHash dedup.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, bits: Int = 60): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      "simhashPairs: need 0 <= maxHamming < bits")
+    val blocks = maxHamming + 1
+    val base = bits / blocks
+    val extra = bits % blocks
+    val widths = Seq.tabulate(blocks)(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val hashed = df.select(col(idCol).as("id"),
-      HashExpressions.simhash64(split(T.normalizeText(col(textCol)), " ")).as("sh"))
+      HashExpressions.simhashMd5(split(T.normalizeText(col(textCol)), " "), bits).as("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
-      explode(array((0 to 3).map(i => struct(lit(i).as("chunk"),
-        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("c"))
+      explode(array((0 until blocks).map(i => struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("sh"), offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1)).as("ck"))): _*)).as("c"))
       .select(col("id"), col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
     val a = chunked.alias("a"); val b = chunked.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("bigint").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Direct n-gram Jaccard similarity over candidate pairs blocked by
-    * shared rare shingle — exact result, used as the oracle-side-checkable
-    * variant (blocking on min shingle hash keeps it O(n·s), not O(n²)).
+  /** EXACT n-gram Jaccard pairs via an inverted shingle index: explode
+    * distinct shingles, self-join equal shingles (so intersection counts
+    * accumulate per pair), then jaccard = i / (|A| + |B| − i). Complete for
+    * any threshold > 0 — a pair with Jaccard ≥ t > 0 shares ≥ 1 shingle and
+    * therefore appears in the index join; no blocking, no recall bias
+    * (the round-1 1-perm min-shingle blocking was recall-biased while the
+    * docstring claimed exactness).
+    *
+    * Scale note: posting-list self-join cost is Σ df(g)² over shingle doc
+    * frequencies — for 100 TB corpora cap ultra-common shingles with
+    * `maxDocFreq` (> 0), which bounds the quadratic term but loses pairs
+    * whose ONLY shared shingles are capped-out stop-shingles; leave 0 for
+    * the exact contract.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleWords: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Long = 0L): DataFrame = {
+    require(threshold > 0.0, "ngramJaccardPairs: threshold must be > 0")
     val sh = df.select(col(idCol).as("id"),
       array_distinct(T.wordShingles(col(textCol), shingleWords)).as("shingles"))
-    // block on each document's min shingle hash: any pair with Jaccard>0
-    // over identical min-hash shingle collides (1-perm LSH, recall-biased)
-    val blocked = sh.withColumn("blk",
-      array_min(transform(col("shingles"), s => xxhash64(s))))
-    val a = blocked.alias("a"); val b = blocked.alias("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
+    val posting0 = sh.select(col("id"), explode(col("shingles")).as("g"))
+    val posting =
+      if (maxDocFreq > 0L) {
+        val freq = posting0.groupBy("g").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq).select("g")
+        posting0.join(freq, Seq("g"))
+      } else posting0
+    val inter = posting.alias("a").join(posting.alias("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
-          size(array_union(col("a.shingles"), col("b.shingles"))))
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .where(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Embedding cosine near-dup pairs. `lshBits = 0` → exact all-pairs

@@ -40,17 +40,27 @@ object Multimodal {
         (length(col(textCol)) % 768).cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** STUB decode kernel — deterministic fake standing in for a real codec:
-    * "decoding" a payload yields its byte length and a stable 64-bit
-    * content digest. A real deployment swaps `decodeBytes` for the codec
-    * call; everything around it (batching, schema, partitioning) stays.
+    * "decoding" a payload yields its byte length and a stable 60-bit
+    * content digest (high 60 bits of MD5 — reproducible by any engine's
+    * md5(), which is how the DuckDB oracle checks it). A real deployment
+    * swaps `decodeBytes` for the codec call; everything around it
+    * (batching, schema, partitioning) stays.
     */
   private[operators] def decodeBytes(payload: Array[Byte]): (Int, Long) = {
     // ??? real codec goes here — deterministic fake below
-    var h = 0xcbf29ce484222325L // FNV-1a
-    var i = 0
-    while (i < payload.length) { h ^= (payload(i) & 0xff).toLong; h *= 0x100000001b3L; i += 1 }
-    (payload.length, h)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(payload)
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    (payload.length, h >>> 4)
   }
 
   val featureSchema: StructType = StructType(Seq(

@@ -71,6 +71,38 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Oracle-replicable SimHash: `bits`-wide (≤ 60) sketch over MD5-derived
+  * token hashes — slower per token than the XXH64 variant but computable
+  * bit-for-bit by any engine with md5() (the DuckDB correctness oracle
+  * brute-forces the same sketch). Use SimHash64 when cross-engine
+  * reproducibility is not needed.
+  */
+case class SimHashMd5(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 60, "simhash_md5: bits must be in (0, 60]")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_md5 expects array<string>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(NativeOps.simhashMd5(input.asInstanceOf[ArrayData], bits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeOps.simhashMd5($c, $bits)")
+
+  override def prettyName: String = "simhash_md5"
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column-level API. */
   def minhashSketch(shingles: Column, k: Int): Column =
@@ -78,6 +110,9 @@ object HashExpressions {
 
   def simhash64(tokens: Column): Column =
     GraftSqlShim.column(SimHash64(GraftSqlShim.expression(tokens)))
+
+  def simhashMd5(tokens: Column, bits: Int = 60): Column =
+    GraftSqlShim.column(SimHashMd5(GraftSqlShim.expression(tokens), bits))
 
   /** Register `minhash_sketch(arr, k)` / `simhash64(arr)` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -91,6 +91,53 @@ object NativeOps {
     out
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit token hash = the first 15 hex chars of MD5, i.e. the high 60
+    * bits of the first 8 digest bytes. MD5 (not XXH64) so the hash — and
+    * therefore the whole SimHash — is reproducible in any engine with an
+    * md5() function: the DuckDB oracle computes the identical value via
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`.
+    */
+  def md5Hash60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    h >>> 4
+  }
+
+  /** SimHash over `bits` (≤ 60) MD5-derived token-hash bits: per-token ±1
+    * votes per bit position, vote ≥ 0 ⇒ output bit set. Frequency-weighted
+    * (duplicate tokens vote repeatedly), matching the SQL replication
+    * `sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) >= 0`.
+    */
+  def simhashMd5(arr: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Hash60(arr.getUTF8String(i))
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   def wordShingles(input: UTF8String, n: Int): GenericArrayData = {
     val s = input.toString
     val tokens = new scala.collection.mutable.ArrayBuffer[String](64)

@@ -49,9 +49,31 @@ class DedupSimilaritySpec extends SparkSpec {
   test("simhash pairs: identical docs at hamming 0, unrelated far") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
-        r.getAs[Int]("hamming"))).toMap
-    assert(pairs((1L, 2L)) == 0)
+        r.getAs[Long]("hamming"))).toMap
+    assert(pairs((1L, 2L)) == 0L)
     assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("simhash banding has NO recall hole: complete vs brute force at hamming 8-10") {
+    // the round-1 4×16-bit banding only guaranteed recall for hamming ≤ 3;
+    // the maxHamming+1-block scheme guarantees it by pigeonhole at ANY
+    // maxHamming — prove completeness against an exhaustive all-pairs
+    // hamming matrix on the real fixture, well past the old hole
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (maxH <- Seq(8, 10)) {
+      val banded = Dedup.simhashPairs(fixture, "text", "doc_id", maxHamming = maxH)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      val sketches = fixture.select(col("doc_id"),
+        HashExpressions.simhashMd5(
+          split(TF.normalizeText(col("text")), " ")).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val brute = (for {
+        (ia, ha) <- sketches; (ib, hb) <- sketches if ia < ib
+        if java.lang.Long.bitCount(ha ^ hb) <= maxH
+      } yield (ia, ib)).toSet
+      assert(banded == brute,
+        s"maxHamming=$maxH: banding missed ${(brute -- banded).size} pairs / extra ${(banded -- brute).size}")
+    }
   }
 
   test("ngram jaccard computes exact similarity on collided pairs") {
@@ -80,6 +102,19 @@ class DedupSimilaritySpec extends SparkSpec {
       threshold = 0.98)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("embedding LSH pairs are a high-recall subset of the exact pair set") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = pairSet(Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+      threshold = 0.2))
+    val lsh = pairSet(Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+      threshold = 0.2, lshBits = 4, dim = 64, lshTables = 16))
+    assert(lsh.subsetOf(exact), "LSH must never emit a below-threshold pair")
+    val recall = if (exact.isEmpty) 1.0 else (lsh intersect exact).size.toDouble / exact.size
+    assert(recall > 0.5, s"LSH pair recall too low: $recall")
   }
 
   test("brute-force top-k ranks by cosine with id tie-break") {
