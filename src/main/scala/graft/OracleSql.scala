@@ -57,19 +57,30 @@ object OracleSql {
   }
 
   /** Brute-force MD5-SimHash pairs with hamming ≤ maxHamming — recomputes
-    * the per-token 60-bit hash, the ±1 bit votes (ties → 1, matching
-    * NativeOps.simhashMd5) and the full pairwise hamming matrix.
+    * the per-token 60-bit digest words (word w = hex chars [15w+1, 15w+15]
+    * of md5, matching NativeOps.md5Words), the ±1 bit votes (ties → 1,
+    * matching NativeOps.simhashMd5Wide) and the full pairwise hamming
+    * matrix summed across fingerprint words.
     */
-  def simhashPairs(maxHamming: Int, bits: Int = 60): String =
+  def simhashPairs(maxHamming: Int, bits: Int = 120): String = {
+    val words = (bits + 59) / 60
+    val ws = 0 until words
+    def width(w: Int) = math.min(60, bits - 60 * w)
+    val hCols = ws.map(w =>
+      s"('0x' || substr(md5(t), ${1 + 15 * w}, 15))::BIGINT AS h$w").mkString(", ")
+    val bitCols = ws.map(w =>
+      s"CASE WHEN b < ${width(w)} AND sum(CASE WHEN (h$w >> b) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
+        s"THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bit$w").mkString(", ")
+    val shCols = ws.map(w => s"sum(bit$w)::BIGINT AS sh$w").mkString(", ")
+    val hamming = ws.map(w => s"bit_count(xor(a.sh$w, b.sh$w))").mkString(" + ")
     s"WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS t FROM documents), " +
-      s"th AS (SELECT doc_id, ${md5Hash60("t")} AS h FROM toks), " +
-      "bv AS (SELECT doc_id, b, CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
-      "THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bit " +
-      s"FROM th, range($bits) r(b) GROUP BY doc_id, b), " +
-      "sh AS (SELECT doc_id, sum(bit)::BIGINT AS sh FROM bv GROUP BY doc_id) " +
-      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh))::BIGINT AS hamming " +
+      s"th AS (SELECT doc_id, $hCols FROM toks), " +
+      s"bv AS (SELECT doc_id, b, $bitCols FROM th, range(60) r(b) GROUP BY doc_id, b), " +
+      s"sh AS (SELECT doc_id, $shCols FROM bv GROUP BY doc_id) " +
+      s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, ($hamming)::BIGINT AS hamming " +
       "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-      s"WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming"
+      s"WHERE $hamming <= $maxHamming"
+  }
 
   /** Replicated deterministic hash split — identical md5-derived bucket and
     * identical boundary arithmetic (shared via Corpus.splitBounds).

@@ -102,39 +102,59 @@ object Dedup {
 
   /** SimHash near-dup pairs with GUARANTEED recall at `maxHamming`:
     * `bits`-wide MD5-token SimHash (cross-engine reproducible — see
-    * [[graft.plans.SimHashMd5]]), banded into `maxHamming + 1` blocks. By
-    * pigeonhole, a pair differing in ≤ maxHamming bits leaves at least one
-    * of the maxHamming+1 blocks identical, so every qualifying pair
-    * collides in some block — no recall hole (the round-1 4×16-bit banding
-    * only guaranteed hamming ≤ 3 but defaulted maxHamming = 10). Verify is
-    * exact bit_count(xor) ≤ maxHamming on collided pairs.
+    * [[graft.plans.SimHashMd5Wide]]; fingerprint = ceil(bits/60) 60-bit
+    * words), banded into `maxHamming + 1` blocks. By pigeonhole, a pair
+    * differing in ≤ maxHamming bits leaves at least one of the
+    * maxHamming+1 blocks identical, so every qualifying pair collides in
+    * some block — no recall hole. Verify is exact Σ bit_count(xor) ≤
+    * maxHamming on collided pairs.
     *
-    * Scale shape: blocks× id-only explode (≈24-byte rows), bucket
-    * self-join per (block, chunk-value); larger maxHamming ⇒ more, narrower
-    * blocks ⇒ denser buckets — the standard recall/cost dial of
-    * permute-and-block SimHash dedup.
+    * Scale shape: blocks× explode of (id, block, chunk, fingerprint)
+    * rows (~48 B), bucket self-join per (block, chunk-value). Bucket-local
+    * join cost is Σ bucket², so chunk CARDINALITY is the scale dial: the
+    * default 120-bit fingerprint gives 7 blocks × 17-18 bits = 131k-262k
+    * bucket values per block — the round-2 60-bit default (≤ 512 values
+    * per block) went quadratic past ~10^5 docs and is kept only for
+    * explicit bits ≤ 60 callers.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 6, bits: Int = 60): DataFrame = {
+      maxHamming: Int = 6, bits: Int = 120): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       "simhashPairs: need 0 <= maxHamming < bits")
+    val words = (bits + 59) / 60
     val blocks = maxHamming + 1
     val base = bits / blocks
     val extra = bits % blocks
     val widths = Seq.tabulate(blocks)(i => if (i < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
     val hashed = df.select(col(idCol).as("id"),
-      HashExpressions.simhashMd5(split(T.normalizeText(col(textCol)), " "), bits).as("sh"))
+      HashExpressions.simhashMd5Wide(
+        split(T.normalizeText(col(textCol)), " "), bits).as("sh"))
+    // chunk i covers fingerprint bits [offset, offset+width) — may straddle
+    // the 60-bit word boundary, in which case low bits come from word w and
+    // high bits from word w+1
+    def word(side: String, w: Int): Column = element_at(col(s"$side.sh"), w + 1)
+    def chunkVal(o: Int, wdt: Int): Column = {
+      val mask = lit((1L << wdt) - 1)
+      val w0 = o / 60; val off = o % 60
+      val base = shiftrightunsigned(element_at(col("sh"), w0 + 1), off)
+      val full =
+        if (off + wdt <= 60) base
+        else base.bitwiseOR(shiftleft(element_at(col("sh"), w0 + 2), 60 - off))
+      full.bitwiseAND(mask)
+    }
     val chunked = hashed.select(col("id"), col("sh"),
       explode(array((0 until blocks).map(i => struct(lit(i).as("chunk"),
-        shiftrightunsigned(col("sh"), offsets(i))
-          .bitwiseAND(lit((1L << widths(i)) - 1)).as("ck"))): _*)).as("c"))
+        chunkVal(offsets(i), widths(i)).as("ck"))): _*)).as("c"))
       .select(col("id"), col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
     val a = chunked.alias("a"); val b = chunked.alias("b")
+    val hamming = (0 until words)
+      .map(w => bit_count(word("a", w).bitwiseXOR(word("b", w))))
+      .reduce(_ + _)
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("bigint").as("hamming"))
+        hamming.cast("bigint").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }

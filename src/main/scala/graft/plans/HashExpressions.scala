@@ -103,6 +103,38 @@ case class SimHashMd5(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Wide (≤ 120-bit) oracle-replicable SimHash: fingerprint emitted as
+  * ceil(bits/60) 60-bit words in an array<bigint>. Word w of each token
+  * hash is hex chars [15w+1, 15w+15] of md5 — still brute-forceable by any
+  * engine with md5(). See [[NativeOps.simhashMd5Wide]] for why width
+  * matters at scale.
+  */
+case class SimHashMd5Wide(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 120, "simhash_md5_wide: bits must be in (0, 120]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_md5_wide expects array<string>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.simhashMd5Wide(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeOps.simhashMd5Wide($c, $bits)")
+
+  override def prettyName: String = "simhash_md5_wide"
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Wide =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column-level API. */
   def minhashSketch(shingles: Column, k: Int): Column =
@@ -113,6 +145,9 @@ object HashExpressions {
 
   def simhashMd5(tokens: Column, bits: Int = 60): Column =
     GraftSqlShim.column(SimHashMd5(GraftSqlShim.expression(tokens), bits))
+
+  def simhashMd5Wide(tokens: Column, bits: Int = 120): Column =
+    GraftSqlShim.column(SimHashMd5Wide(GraftSqlShim.expression(tokens), bits))
 
   /** Register `minhash_sketch(arr, k)` / `simhash64(arr)` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -112,6 +112,27 @@ object NativeOps {
     h >>> 4
   }
 
+  /** All 60-bit words of a token's MD5 digest: word w = hex chars
+    * [15w+1, 15w+15] of the digest (1-indexed), i.e. nibbles [15w, 15w+15).
+    * DuckDB computes the identical value via
+    * `('0x' || substr(md5(t), 1 + 15*w, 15))::BIGINT`. The 32-hex-char
+    * digest yields two full words (w = 0, 1) — 120 reproducible bits.
+    */
+  def md5Words(s: UTF8String, words: Int): Array[Long] = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // hi = bytes 0-7 (nibbles 0-15), lo = bytes 8-15 (nibbles 16-31)
+    var hi = 0L; var lo = 0L
+    var k = 0
+    while (k < 8) { hi = (hi << 8) | (d(k) & 0xffL); k += 1 }
+    while (k < 16) { lo = (lo << 8) | (d(k) & 0xffL); k += 1 }
+    val out = new Array[Long](words)
+    out(0) = hi >>> 4 // nibbles 0-14
+    if (words > 1) out(1) = ((hi & 0xfL) << 56) | (lo >>> 8) // nibbles 15-29
+    out
+  }
+
   /** SimHash over `bits` (≤ 60) MD5-derived token-hash bits: per-token ±1
     * votes per bit position, vote ≥ 0 ⇒ output bit set. Frequency-weighted
     * (duplicate tokens vote repeatedly), matching the SQL replication
@@ -136,6 +157,35 @@ object NativeOps {
     var b = 0
     while (b < bits) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** Wide SimHash: `bits` (≤ 120) across ceil(bits/60) 60-bit fingerprint
+    * words — word w votes on bits [60w, 60w + min(60, bits-60w)) using the
+    * matching 60-bit MD5 digest word of each token. Widening past 60 bits
+    * is what keeps permute-and-block bucket cardinality high at scale:
+    * 7 blocks × 17 bits = 128k bucket values per block vs the 512 a 60-bit
+    * fingerprint allows (the round-2 quadratic ceiling).
+    */
+  def simhashMd5Wide(arr: ArrayData, bits: Int): GenericArrayData = {
+    val words = (bits + 59) / 60
+    val votes = new Array[Int](bits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val hw = md5Words(arr.getUTF8String(i), words)
+        var b = 0
+        while (b < bits) {
+          if (((hw(b / 60) >>> (b % 60)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](words)
+    var b = 0
+    while (b < bits) { if (votes(b) >= 0) out(b / 60) |= (1L << (b % 60)); b += 1 }
+    new GenericArrayData(out)
   }
 
   def wordShingles(input: UTF8String, n: Int): GenericArrayData = {

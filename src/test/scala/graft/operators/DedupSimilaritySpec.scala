@@ -55,24 +55,46 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("simhash banding has NO recall hole: complete vs brute force at hamming 8-10") {
-    // the round-1 4×16-bit banding only guaranteed recall for hamming ≤ 3;
-    // the maxHamming+1-block scheme guarantees it by pigeonhole at ANY
+    // the maxHamming+1-block scheme guarantees recall by pigeonhole at ANY
     // maxHamming — prove completeness against an exhaustive all-pairs
-    // hamming matrix on the real fixture, well past the old hole
+    // hamming matrix on the real fixture (120-bit two-word fingerprints,
+    // including chunks that straddle the 60-bit word boundary)
     val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (maxH <- Seq(8, 10)) {
       val banded = Dedup.simhashPairs(fixture, "text", "doc_id", maxHamming = maxH)
         .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
       val sketches = fixture.select(col("doc_id"),
-        HashExpressions.simhashMd5(
+        HashExpressions.simhashMd5Wide(
           split(TF.normalizeText(col("text")), " ")).as("sh"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
       val brute = (for {
         (ia, ha) <- sketches; (ib, hb) <- sketches if ia < ib
-        if java.lang.Long.bitCount(ha ^ hb) <= maxH
+        if ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum <= maxH
       } yield (ia, ib)).toSet
       assert(banded == brute,
         s"maxHamming=$maxH: banding missed ${(brute -- banded).size} pairs / extra ${(banded -- brute).size}")
+    }
+  }
+
+  test("wide simhash word 1 matches a DuckDB-replicable direct computation") {
+    // word 1 = hex chars 16-30 of md5 — straddles the digest's byte 7;
+    // pin the extraction against an independent BigInteger computation
+    val toks = Seq("alpha", "bravo", "charlie", "z")
+    val viaNative = {
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(t => org.apache.spark.unsafe.types.UTF8String.fromString(t)).toArray[Any])
+      (0 until toks.length).map { i =>
+        graft.plans.NativeOps.md5Words(
+          org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)), 2)
+      }
+    }
+    toks.zip(viaNative).foreach { case (t, words) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(words(0) == java.lang.Long.parseLong(hex.substring(0, 15), 16),
+        s"word0 mismatch for '$t'")
+      assert(words(1) == java.lang.Long.parseLong(hex.substring(15, 30), 16),
+        s"word1 mismatch for '$t'")
     }
   }
 
