@@ -20,6 +20,7 @@ object Bench {
     "q_string_fns", "q_datetime_fns", "q_pivot", "q_drop_duplicates",
     "q_multistage",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
+    "q_dedup_embedding_tight",
     "q_sim_topk", "q_sim_lsh", "q_text_quality", "q_text_langid",
     "q_events_tumbling", "q_events_session")
 

@@ -103,6 +103,31 @@ object OracleSql {
     "SELECT doc_id AS media_id, 'image' AS modality, strlen(text)::BIGINT AS byte_size, " +
       s"${md5Hash60("text")} AS content_digest FROM documents"
 
+  /** The `embeddings` corpus augmented with perturbed near-dup copies:
+    * copy i gets vec_id + idOffset and v'[j] = v[j] + eps * v[(j+1) mod
+    * dim] (cosine ≈ 1 − eps²/2 to its source). The fixture's organic max
+    * pair cosine is ~0.51, so augmentation is what puts genuine pairs into
+    * the near-dup regime a high-threshold dedup query grades. Arithmetic
+    * is plain double ops in both engines — bit-identical.
+    */
+  def augmentedEmbeddingsCte(idOffset: Long, eps: Double, dim: Int): String =
+    "aug AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+      s"UNION ALL SELECT vec_id + $idOffset, " +
+      s"list_transform(range($dim), i -> embedding[i + 1]::DOUBLE + $eps * " +
+      s"embedding[(i + 1) % $dim + 1]::DOUBLE) FROM embeddings)"
+
+  /** Genuine brute-force cosine pairs ≥ threshold over the augmented
+    * corpus — does NOT replay the LSH, so it checks the pruning path's
+    * recall, not just its determinism.
+    */
+  def embeddingTightPairs(threshold: Double, idOffset: Long = 100000L,
+      eps: Double = 0.02, dim: Int = 64): String =
+    s"WITH ${augmentedEmbeddingsCte(idOffset, eps, dim)} " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_cosine_similarity(a.v, b.v), 6) AS cosine " +
+      "FROM aug a JOIN aug b ON a.vec_id < b.vec_id " +
+      s"WHERE list_cosine_similarity(a.v, b.v) >= $threshold"
+
   // ── sign-LSH replication ──────────────────────────────────────────────
 
   /** VALUES rows (tbl, bit, plane) embedding the driver-side hyperplane

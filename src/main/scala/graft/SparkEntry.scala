@@ -19,6 +19,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, n: String): GraftFrame =
     Loaders.loadParquet(s, s"$dir/$n.parquet", n)
 
+  /** Embeddings corpus ∪ perturbed copies (id + 100000, v'[j] = v[j] +
+    * 0.02·v[(j+1) mod 64], cosine ≈ 0.9998 to the source) — constructs the
+    * near-dup pairs the fixture lacks so the tight (pruning-regime) LSH
+    * query grades genuine recall. Mirrors OracleSql.augmentedEmbeddingsCte
+    * term for term: plain double arithmetic, bit-identical across engines.
+    */
+  private def perturbedEmbeddings(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val pert = emb.select((col("vec_id") + lit(100000L)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + 0.02 * " +
+        "CAST(element_at(embedding, (i + 1) % 64 + 1) AS DOUBLE))").as("embedding"))
+    base.unionAll(pert)
+  }
+
   /** Flagship query on sf0.001 — 3-way join + agg via the builder DSL. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -619,6 +634,18 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(t(s, d, "embeddings").df, "embedding", "vec_id",
         threshold = 0.2)),
 
+    // the PRUNING regime: near-dup threshold with fine buckets (bits=16 ×
+    // 8 tables ⇒ candidate ratio ≪ 1, vs the low-threshold query above
+    // whose bits=4 × 16 admits most pairs). The fixture has no organic
+    // pairs above cosine 0.52, so the corpus is augmented with perturbed
+    // copies (cosine ≈ 0.9998 to their source — see perturbedEmbeddings);
+    // the oracle brute-forces the same augmented corpus with NO LSH
+    // replay, so a recall miss would fail the gate.
+    "q_dedup_embedding_tight" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(perturbedEmbeddings(t(s, d, "embeddings").df),
+        "embedding", "vec_id", threshold = 0.9, lshBits = 16, dim = 64,
+        lshTables = 8)),
+
     "q_sim_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
@@ -875,6 +902,10 @@ object SparkEntry {
 
     "q_dedup_embedding_exact" ->
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2",
+
+    // genuine brute force over the augmented corpus — checks LSH recall
+    "q_dedup_embedding_tight" ->
+      OracleSql.embeddingTightPairs(threshold = 0.9),
 
     // replication oracles: same hyperplane literals, same algorithm steps
     "q_dedup_embedding" ->

@@ -200,11 +200,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Distinct candidate id pairs from multi-table sign-LSH bucketing of an
+    * `(id, v)` frame — the pruning stage of [[embeddingCosinePairs]],
+    * exposed so specs can measure the candidate ratio (candidates /
+    * all-pairs) a parameterization actually achieves.
+    */
+  def signLshCandidates(base: DataFrame, lshBits: Int, dim: Int,
+      lshTables: Int): DataFrame = {
+    val bucketed = base.select(col("id"),
+      explode(array((0 until lshTables).map(l =>
+        struct(lit(l).as("tbl"),
+          V.signLshBucket(col("v"), lshBits, dim, seed = 42L + l).as("bkt"))): _*))
+        .as("tb"))
+      .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+    bucketed.alias("a").join(bucketed.alias("b"),
+      col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Embedding cosine near-dup pairs. `lshBits = 0` → exact all-pairs
     * comparison (verification scale only); lshBits > 0 → multi-table
     * sign-LSH candidate generation, the 100 TB path: candidates are id
     * pairs from any of `lshTables` seeded hyperplane signatures (explode
     * carries ids only), vectors re-join for the exact cosine filter.
+    *
+    * Parameterization is the pruning dial: low bits + many tables (4/16)
+    * is the high-recall regime for weakly-similar thresholds but admits
+    * most pairs as candidates; the near-dup regime (threshold ≥ 0.9) wants
+    * bits 12-16 × 4-8 tables, where buckets are fine enough that the
+    * candidate ratio collapses while hamming-near vectors still collide.
     */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, lshBits: Int = 0, dim: Int = 64,
@@ -218,17 +244,7 @@ object Dedup {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           round(col("cos"), 6).as("cosine"))
     }
-    val bucketed = base.select(col("id"),
-      explode(array((0 until lshTables).map(l =>
-        struct(lit(l).as("tbl"),
-          V.signLshBucket(col("v"), lshBits, dim, seed = 42L + l).as("bkt"))): _*))
-        .as("tb"))
-      .select(col("id"), col("tb.tbl"), col("tb.bkt"))
-    bucketed.alias("a").join(bucketed.alias("b"),
-      col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    signLshCandidates(base, lshBits, dim, lshTables)
       .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", V.cosine(col("va"), col("vb")))

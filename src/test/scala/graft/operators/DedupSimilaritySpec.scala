@@ -139,6 +139,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"LSH pair recall too low: $recall")
   }
 
+  test("tight-regime LSH (bits=16 × 8 tables) prunes hard AND keeps full recall") {
+    // the pruning regime: near-dup pairs at cosine ≈ 0.9998 (perturbed
+    // copies), fine buckets. Assert (1) the candidate set is a small
+    // fraction of all pairs — this is what makes LSH the scale path —
+    // and (2) the verified pair set equals the exact brute-force set
+    val sp = spark
+    val emb = sp.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val pert = emb.select((col("vec_id") + lit(100000L)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + 0.02 * " +
+        "CAST(element_at(embedding, (i + 1) % 64 + 1) AS DOUBLE))").as("embedding"))
+    val aug = base.unionAll(pert)
+    val n = aug.count()
+    val allPairs = n * (n - 1) / 2.0
+    val cand = Dedup.signLshCandidates(
+      aug.select(col("vec_id").as("id"), col("embedding").as("v")),
+      lshBits = 16, dim = 64, lshTables = 8).count()
+    val ratio = cand / allPairs
+    info(f"candidate ratio: $cand pairs of ${allPairs.toLong} (${ratio * 100}%.3f%%)")
+    assert(ratio < 0.05, f"tight LSH params should prune; got ratio $ratio%.4f")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = pairSet(Dedup.embeddingCosinePairs(aug, "embedding", "vec_id",
+      threshold = 0.9, lshBits = 16, dim = 64, lshTables = 8))
+    val exact = pairSet(Dedup.embeddingCosinePairs(aug, "embedding", "vec_id",
+      threshold = 0.9))
+    assert(lsh == exact,
+      s"tight LSH missed ${(exact -- lsh).size} / extra ${(lsh -- exact).size} pairs")
+    assert(exact.size >= emb.count(), "every perturbed copy must pair with its source")
+  }
+
   test("brute-force top-k ranks by cosine with id tie-break") {
     val q = vecs.where(col("vec_id") === 0L)
     val out = Similarity.bruteForceTopK(vecs, q, "embedding", "vec_id", k = 2)
