@@ -26,9 +26,18 @@ object FillDownScalable {
   def fillDown(df: DataFrame, cols: Seq[String], orderCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val ranged = df
-      .repartitionByRange(parts, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
+    // Deterministic tiebreak: pass A and pass B each re-sort re-fetched
+    // shuffle blocks, and shuffle fetch order is nondeterministic — if
+    // orderCols ties, the trailing value pass A records could come from a
+    // different tie-ordering than pass B observes. A full-row hash appended
+    // to the sort key makes the order total (up to identical rows, which
+    // carry identical fill values), so both passes see one global order.
+    val tbCol = "graft_fd_tiebreak"
+    val keyed = df.withColumn(tbCol, xxhash64(struct(df.columns.map(col): _*)))
+    val keys = (orderCols :+ tbCol).map(col)
+    val ranged = keyed
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
     // No persist: pass A and pass B share ranged's lazy-val RDD lineage, so
     // the range shuffle's map outputs are reused across the two jobs and
     // only the partition-local sort re-runs. Persisting (round 1) leaked
@@ -76,6 +85,6 @@ object FillDownScalable {
         Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
       }
     }
-    spark.createDataFrame(rdd, schema)
+    spark.createDataFrame(rdd, schema).drop(tbCol)
   }
 }

@@ -54,26 +54,65 @@ object Loaders {
   }
 
   def loadParquet(spark: SparkSession, path: String, alias: String): GraftFrame =
-    GraftFrame(normalizeNanoTimestamps(spark.read.parquet(path)), alias)
+    GraftFrame(normalizeNanoTimestamps(spark, path,
+      spark.read.parquet(path)), alias)
 
   /** Spark 4 rejects parquet TIMESTAMP(NANOS); sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` so such columns arrive as
-    * LongType nanos — convert any ts-named long column (`ts`, `*_ts`,
-    * `ts_*`) back to a microsecond timestamp (integer `div`, no double
-    * round-trip: nanos exceed 2^53). The name test is deliberately
-    * suffix/prefix-anchored so plain counters like `counts` never match.
+    * LongType nanos — convert them back to microsecond timestamps
+    * (integer `div`, no double round-trip: nanos exceed 2^53).
+    *
+    * Which long columns were nano-timestamps is decided by the parquet
+    * FOOTER's logical-type annotation, not a column-name heuristic (a
+    * round-2 name test silently corrupted legitimate long columns named
+    * `*_ts`). One footer read of one file, driver-side, via the Hadoop FS
+    * API — works on any filesystem.
     */
-  private def isTsName(name: String): Boolean = {
-    val n = name.toLowerCase
-    n == "ts" || n.endsWith("_ts") || n.startsWith("ts_")
+  private def nanoTsColumns(spark: SparkSession, path: String): Set[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val hPath = new HPath(path)
+      val fs = hPath.getFileSystem(conf)
+      val status = fs.getFileStatus(hPath)
+      // a parquet "path" may be a single file or a directory of part files
+      val file: Option[HPath] =
+        if (status.isFile) Some(hPath)
+        else fs.listStatus(hPath).collectFirst {
+          case s if s.isFile && s.getPath.getName.endsWith(".parquet") => s.getPath
+        }
+      file match {
+        case None => Set.empty
+        case Some(f) =>
+          import org.apache.parquet.hadoop.ParquetFileReader
+          import org.apache.parquet.hadoop.util.HadoopInputFile
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+          try {
+            val schema = reader.getFooter.getFileMetaData.getSchema
+            (0 until schema.getFieldCount).flatMap { i =>
+              val t = schema.getType(i)
+              if (t.isPrimitive) t.getLogicalTypeAnnotation match {
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    if ts.getUnit == TimeUnit.NANOS => Some(t.getName)
+                case _ => None
+              } else None
+            }.toSet
+          } finally reader.close()
+      }
+    } catch { case _: Throwable => Set.empty } // footer unreadable → no rewrite
   }
 
-  private def normalizeNanoTimestamps(df: DataFrame): DataFrame =
+  private def normalizeNanoTimestamps(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    lazy val nanoCols = nanoTsColumns(spark, path) // footer read only if longs exist
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == LongType && isTsName(f.name))
+      if (f.dataType == LongType && nanoCols.contains(f.name))
         d.withColumn(f.name, expr(s"timestamp_micros(`${f.name}` div 1000)"))
       else d
     }
+  }
 
   /** Delta read. The runtime has no delta jar, so this reads the latest
     * snapshot's parquet footprint — unlike the reference, which reads delta
@@ -89,9 +128,14 @@ object Loaders {
     * arrays/objects are serialized back to JSON strings.
     */
   def loadJson(spark: SparkSession, path: String, alias: String): GraftFrame = {
-    // array files ([...]) need multiLine; JSONL must NOT use it
+    // array files ([...]) need multiLine; JSONL must NOT use it. Sniff the
+    // first non-whitespace byte through the Hadoop FS API so the check
+    // works on HDFS/S3 paths, not just local disk.
     val isArray = {
-      val in = new java.io.BufferedReader(new java.io.FileReader(path))
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(hPath), java.nio.charset.StandardCharsets.UTF_8))
       try {
         var c = in.read()
         while (c != -1 && Character.isWhitespace(c)) c = in.read()
@@ -170,7 +214,11 @@ object Loaders {
       .sortBy(_.getPath.getName)
     require(files.nonEmpty, s"loadFolder: no supported files in $dir")
     val frames = files.map { f =>
-      val g = load(spark, f.getPath.toUri.getPath, alias).df
+      // full qualified path (scheme + authority kept): on s3a://bucket/dir
+      // or hdfs://nn/dir the per-file load must re-open the SAME
+      // filesystem — .toUri.getPath would strip bucket/authority and
+      // resolve against the default FS
+      val g = load(spark, f.getPath.toString, alias).df
       if (withFilename) g.select(lit(f.getPath.getName).as("filename_added") +: g.columns.map(col).toSeq: _*)
       else g
     }

@@ -69,20 +69,35 @@ class WritersSpec extends SparkSpec {
     assert(Loaders.loadJson(spark, p, "rt2").df.count() == 2)
   }
 
-  test("ts-named long columns normalize from nanos on parquet load (event_ts)") {
+  test("nano-ts normalization keys on the parquet footer annotation, not names") {
     val sp = spark; import sp.implicits._
-    val p = tmp("nanos_ts")
-    // 2024-01-01T00:00:00.123456789Z as nanos-since-epoch in a long column
-    val nanos = 1704067200L * 1000000000L + 123456789L
-    Seq((1L, nanos)).toDF("id", "event_ts").write.mode("overwrite").parquet(p)
+    // positive: the fixture's ts column IS annotated TIMESTAMP(NANOS) in
+    // the footer → arrives as long (nanosAsLong) and converts to micros
+    val ev = Loaders.loadParquet(spark, "/root/testdata/sf0.001/events.parquet", "ev").df
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    // negative: a ts-NAMED plain long column (no annotation) must stay
+    // long — the round-2 name heuristic silently corrupted these
+    val p = tmp("named_ts")
+    Seq((1L, 123456789L)).toDF("id", "event_ts").write.mode("overwrite").parquet(p)
     val back = Loaders.loadParquet(spark, p, "nts").df
-    assert(back.schema("event_ts").dataType.typeName == "timestamp")
-    val t = back.first().getAs[java.sql.Timestamp]("event_ts")
-    assert(t.toInstant.toString == "2024-01-01T00:00:00.123456Z") // micros precision
-    // plain long columns that merely contain 'ts' are untouched
-    val p2 = tmp("counts_col")
-    Seq((1L, 5L)).toDF("id", "counts").write.mode("overwrite").parquet(p2)
-    assert(Loaders.loadParquet(spark, p2, "cts").df.schema("counts").dataType.typeName == "long")
+    assert(back.schema("event_ts").dataType.typeName == "long")
+    assert(back.first().getAs[Long]("event_ts") == 123456789L)
+  }
+
+  test("folder loader accepts an explicit file: URI (scheme preserved per file)") {
+    val sp = spark; import sp.implicits._
+    val dir = tmp("folder_uri")
+    Writers.writeCsvSingle(Seq((1L, "a")).toDF("id", "v"), "overwrite", s"$dir/one.csv")
+    Writers.writeCsvSingle(Seq((2L, "b")).toDF("id", "v"), "overwrite", s"$dir/two.csv")
+    val uri = "file:" + Paths.get(dir).toAbsolutePath
+    assert(Loaders.loadFolder(spark, uri, "furi").df.count() == 2)
+  }
+
+  test("json loader array-sniff works through an explicit file: URI") {
+    val p = tmp("uri.json")
+    Writers.writeJsonSingle(df, p)
+    val uri = "file:" + Paths.get(p).toAbsolutePath
+    assert(Loaders.loadJson(spark, uri, "juri").df.count() == 2)
   }
 
   test("folder loader with filename column prepends source file name") {
