@@ -538,6 +538,20 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // real delta-protocol roundtrip: overwrite + append commits through
+    // DeltaLog, read back through load()'s _delta_log dispatch branch
+    "q_delta_roundtrip" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta"
+      val c = t(s, d, "customer").toDF
+      Writers.writeDeltaTable(c, "overwrite", path, partitionBy = Seq("c_mktsegment"))
+      Writers.writeDeltaTable(c.where(col("c_custkey") % 10 === 0), "append", path,
+        partitionBy = Seq("c_mktsegment"))
+      Loaders.load(s, path, "customer_delta")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // parquet append-rewrite writer (reference write_to_parquet append)
     "q_write_append" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_app.parquet"
@@ -890,6 +904,9 @@ object SparkEntry {
 
     "q_write_append" ->
       "SELECT count(*) * 2 AS n, round(sum(c_acctbal) * 2, 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_delta_roundtrip" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey % 10 = 0) GROUP BY c_mktsegment",
 
     "q_stringfn_groupby" ->
       "SELECT count(*) AS n, c_mktsegment, substr(c_mktsegment, 1, 1) AS seg_initial FROM customer GROUP BY c_mktsegment, substr(c_mktsegment, 1, 1)",

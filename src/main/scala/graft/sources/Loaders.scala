@@ -114,13 +114,20 @@ object Loaders {
     }
   }
 
-  /** Delta read. The runtime has no delta jar, so this reads the latest
-    * snapshot's parquet footprint — unlike the reference, which reads delta
-    * parquet with pruning disabled (src/elusion.rs:6656-6660, an
-    * anti-optimization SURVEY §4.1 flags), we keep pruning on.
+  /** Delta read: replay the `_delta_log` snapshot (adds − removes) and
+    * read exactly the active files — see [[DeltaLog.read]]. Unlike the
+    * reference, which reads delta parquet with pruning disabled
+    * (src/elusion.rs:6656-6660, an anti-optimization SURVEY §4.1 flags),
+    * we keep pruning on. Falls back to a plain parquet read when the
+    * directory has no log (pre-delta layouts).
     */
-  def loadDelta(spark: SparkSession, path: String, alias: String): GraftFrame =
-    GraftFrame(spark.read.parquet(path), alias)
+  def loadDelta(spark: SparkSession, path: String, alias: String): GraftFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "_delta_log")))
+      GraftFrame(DeltaLog.read(spark, path), alias)
+    else GraftFrame(spark.read.parquet(path), alias)
+  }
 
   /** JSON load matching the reference's inference semantics
     * (src/helper_funcs/infer_schema_json.rs:4-68): numbers stay numbers,

@@ -162,19 +162,12 @@ object Writers {
   }
 
   /** Delta-table writer (reference src/features/delta.rs:196-420:
-    * overwrite/append/merge-schema + partition columns). The runtime ships
-    * no delta jar, so this writes the same layout as partitioned parquet
-    * with mergeSchema honored; with delta-spark on the classpath switch
-    * `format("parquet")` to `format("delta")` — the call shape is
-    * identical.
+    * overwrite/append/merge-schema + partition columns). Writes a REAL
+    * `_delta_log` (protocol + metaData + add commit actions, numbered
+    * versions) over Spark-written parquet — see [[DeltaLog]] for the
+    * protocol subset.
     */
   def writeDeltaTable(df: DataFrame, mode: String, path: String,
-      partitionBy: Seq[String] = Nil): Unit = {
-    val m = mode.toLowerCase match {
-      case "merge" => "append"
-      case other => other
-    }
-    val w = df.write.mode(m).option("mergeSchema", "true")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-  }
+      partitionBy: Seq[String] = Nil): Unit =
+    DeltaLog.write(df, mode, path, partitionBy)
 }

@@ -142,10 +142,40 @@ class WritersSpec extends SparkSpec {
     }
   }
 
-  test("delta-layout writer partitions by column") {
+  test("delta writer produces a real _delta_log and load() dispatches on it") {
+    val sp = spark; import sp.implicits._
     val p = tmp("delta_tbl")
     Writers.writeDeltaTable(df, "overwrite", p, partitionBy = Seq("name"))
     assert(Files.isDirectory(Paths.get(p, "name=a")))
-    assert(spark.read.parquet(p).count() == 2)
+    val v0 = Paths.get(p, "_delta_log", "0" * 20 + ".json")
+    assert(Files.isRegularFile(v0), "version-0 commit must exist")
+    val lines0 = Files.readAllLines(v0)
+    assert(lines0.get(0).contains("\"protocol\""))
+    assert(lines0.get(1).contains("\"schemaString\""))
+    assert(lines0.get(1).contains("\"partitionColumns\":[\"name\"]"))
+    // append commits version 1 with add actions for the NEW files only
+    Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"), "append", p,
+      partitionBy = Seq("name"))
+    val v1 = Paths.get(p, "_delta_log", "0" * 19 + "1.json")
+    assert(Files.isRegularFile(v1), "append must commit the next version")
+    assert(!Files.readString(v1).contains("\"protocol\""))
+    // extension dispatch hits the _delta_log branch; snapshot = 3 rows
+    val back = Loaders.load(spark, p, "dback").df
+    assert(back.count() == 3)
+    assert(back.columns.contains("name")) // partition col re-inferred
+    assert(back.where(org.apache.spark.sql.functions.col("name") === "c").count() == 1)
+  }
+
+  test("delta snapshot reader ignores files not referenced by the log") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_orphan")
+    Writers.writeDeltaTable(df, "overwrite", p)
+    // an orphan parquet dropped into the dir (failed job debris) must be
+    // invisible to the snapshot — this is what distinguishes a delta read
+    // from a plain directory read
+    Seq((99L, "zz", 9.9)).toDF("id", "name", "v")
+      .write.mode("append").parquet(p)
+    assert(spark.read.parquet(p).count() == 3)          // dir read sees it
+    assert(Loaders.load(spark, p, "dsnap").df.count() == 2) // snapshot doesn't
   }
 }
