@@ -39,8 +39,10 @@ object OracleSql {
   /** Exact n-word-shingle Jaccard pairs ≥ threshold over `documents` —
     * brute force via an inverted shingle index (identical math to
     * Dedup.ngramJaccardPairs; also the ground truth for the minhash-LSH
-    * pair set, whose candidate recall is ~1 at the declared parameters:
-    * planted pairs sit at j ≥ 0.9 where P(miss) = (1-0.9^4)^32 < 1e-14).
+    * pair set — valid as an EQUALITY check only when the threshold sits
+    * above the LSH S-curve knee, where P(miss) = (1-t^r)^b is negligible
+    * for every qualifying pair on any corpus, e.g. < 1e-10 at t=0.85,
+    * r=4, b=32).
     */
   def jaccardPairs(n: Int, threshold: Double): String = {
     val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")

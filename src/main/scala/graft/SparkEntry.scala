@@ -344,6 +344,18 @@ object SparkEntry {
         .agg("COUNT(*) AS n")
         .groupBy("k_val").toDF),
 
+    // json_array extraction `col.'$Value:Id=X'`: the fixture has no
+    // JSON-array column, so one is synthesized from customer fields; the
+    // Spark side genuinely parses it (from_json + filter + [0]), while the
+    // oracle derives the same answer from the base columns
+    "q_json_array" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("CONCAT('[{\"id\":\"1\",\"value\":\"', c_name, '\"},{\"id\":\"2\",\"value\":\"', c_mktsegment, '\"}]') AS arr")
+        .elusion("ja_stage")
+        .jsonArray("arr.'$value:id=2' AS seg")
+        .agg("COUNT(*) AS n")
+        .groupBy("seg").toDF),
+
     // raw SQL (reference sql! macro)
     "q_raw_sql" -> ((s, d) =>
       Loaders.sql(s,
@@ -622,9 +634,13 @@ object SparkEntry {
     "q_dedup_norm" -> ((s, d) =>
       Dedup.exactNormalized(t(s, d, "documents").df, "text", "doc_id")),
 
+    // threshold 0.85 sits above the r=4/b=32 S-curve knee (P(miss) < 1e-10
+    // for any qualifying pair), so exact set equality against the
+    // brute-force oracle is sound on ANY corpus — not an artifact of this
+    // fixture's pair distribution (which is all j ≥ 0.9: same 25 rows)
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents").df, "text", "doc_id",
-        numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.3)),
+        numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85)),
 
     // guaranteed-recall permute-and-block banding: maxHamming+1 blocks
     "q_dedup_simhash" -> ((s, d) =>
@@ -854,6 +870,9 @@ object SparkEntry {
     "q_json_extract" ->
       "SELECT count(*) AS n, json_extract_string(props, '$.k') AS k_val FROM events GROUP BY k_val",
 
+    "q_json_array" ->
+      "SELECT count(*) AS n, c_mktsegment AS seg FROM customer GROUP BY c_mktsegment",
+
     "q_raw_sql" ->
       "SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
 
@@ -936,7 +955,7 @@ object SparkEntry {
 
     // exact brute-force oracles over documents
     "q_dedup_minhash" ->
-      OracleSql.jaccardPairs(n = 3, threshold = 0.3),
+      OracleSql.jaccardPairs(n = 3, threshold = 0.85),
 
     "q_dedup_ngram" ->
       OracleSql.jaccardPairs(n = 2, threshold = 0.1),

