@@ -21,15 +21,36 @@ object XmlLoader {
 
   sealed trait XmlMode
   case object Standard extends XmlMode
+  case object Cartesian extends XmlMode
   case object Auto extends XmlMode
 
+  /** Auto routing mirrors the reference's mode detector
+    * (xml.rs:1841-1862): a record whose SAME parent repeats ≥ 2 DIFFERENT
+    * child element types is a multi-relationship record → Cartesian; a
+    * single repeating child type (header-detail) or flat records →
+    * Standard.
+    */
   def load(spark: SparkSession, path: String, alias: String,
-      recordTag: Option[String] = None): GraftFrame = {
+      recordTag: Option[String] = None,
+      mode: XmlMode = Auto): GraftFrame = {
     val root = XML.loadFile(path)
     val tag = recordTag.getOrElse(detectRecordTag(root))
     val records = (root \\ tag).collect { case e: Elem => e }
     require(records.nonEmpty, s"loadXml: no <$tag> records in $path")
+    val effective = mode match {
+      case Auto =>
+        if (records.exists(r => repeatedChildTypes(r).size >= 2)) Cartesian
+        else Standard
+      case m => m
+    }
+    effective match {
+      case Cartesian => cartesianFlatten(spark, records, alias)
+      case _ => standardFlatten(spark, records, alias)
+    }
+  }
 
+  private def standardFlatten(spark: SparkSession, records: Seq[Elem],
+      alias: String): GraftFrame = {
     // column set = union of scalar child tags + attributes over all records
     val cols = scala.collection.mutable.LinkedHashSet.empty[String]
     records.foreach { r =>
@@ -48,6 +69,70 @@ object XmlLoader {
       }.toMap
       Row.fromSeq(colSeq.map(c => children.orElse(attrs).lift(c).orNull))
     }
+    toFrame(spark, colSeq, rows, alias)
+  }
+
+  /** Child element labels occurring ≥ 2 times within a record. */
+  private def repeatedChildTypes(r: Elem): Seq[String] = {
+    val counts = r.child.collect { case e: Elem => e.label }
+      .groupBy(identity).view.mapValues(_.size)
+    counts.filter(_._2 >= 2).keys.toSeq.sorted
+  }
+
+  /** Cartesian mode (reference xml.rs:675-800): scalar fields of the
+    * record repeat onto every output row; each repeated child type forms a
+    * group whose instances' fields are prefixed `<group>_<field>` (or just
+    * `<group>` for text-only instances); output = cross product of the
+    * groups' instance lists, one row per combination.
+    */
+  private def cartesianFlatten(spark: SparkSession, records: Seq[Elem],
+      alias: String): GraftFrame = {
+    val cols = scala.collection.mutable.LinkedHashSet.empty[String]
+    val allRows = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    // group membership is decided at FILE level (the reference analyzes
+    // the whole document): a child type repeating in ANY record is a group
+    // everywhere, so a record holding a single instance still contributes
+    // that instance's fields rather than dropping them
+    val fileGroups = records.flatMap(repeatedChildTypes).distinct.sorted
+    records.foreach { r =>
+      val repeated = fileGroups.toSet
+      val attrs = r.attributes.asAttrMap.map { case (k, v) =>
+        Normalize.normalizeColumnName(k) -> v
+      }
+      val singles = r.child.collect {
+        case e: Elem if isScalar(e) && !repeated.contains(e.label) =>
+          Normalize.normalizeColumnName(e.label) -> e.text.trim
+      }.toMap
+      val base = attrs ++ singles
+      base.keys.foreach(cols += _)
+      // group label → instance field-maps, in document order
+      val groups: Seq[(String, Seq[Map[String, String]])] =
+        fileGroups.filter(l => r.child.exists {
+          case e: Elem => e.label == l; case _ => false
+        }).map { label =>
+          val instances = r.child.collect {
+            case e: Elem if e.label == label =>
+              if (isScalar(e))
+                Map(Normalize.normalizeColumnName(label) -> e.text.trim)
+              else e.child.collect { case c: Elem if isScalar(c) =>
+                Normalize.normalizeColumnName(s"${label}_${c.label}") -> c.text.trim
+              }.toMap
+          }
+          instances.flatMap(_.keys).foreach(cols += _)
+          label -> instances.toSeq
+        }
+      val combos = groups.foldLeft(Seq(base)) { case (acc, (_, instances)) =>
+        for (partial <- acc; inst <- instances) yield partial ++ inst
+      }
+      allRows ++= combos
+    }
+    val colSeq = cols.toSeq
+    toFrame(spark, colSeq,
+      allRows.toSeq.map(m => Row.fromSeq(colSeq.map(m.get(_).orNull))), alias)
+  }
+
+  private def toFrame(spark: SparkSession, colSeq: Seq[String],
+      rows: Seq[Row], alias: String): GraftFrame = {
     val schema = StructType(colSeq.map(c => StructField(c, StringType)))
     GraftFrame(spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema), alias)

@@ -52,4 +52,51 @@ class XmlLoaderSpec extends SparkSpec {
       .toDF.collect()
     assert(out.map(_.getAs[Double]("p")).toSeq == Seq(45.0, 30.0))
   }
+
+  test("cartesian mode: multi-relationship record crosses its repeated groups") {
+    // one customer with 2 orders × 2 addresses ⇒ 4 combination rows,
+    // scalar fields repeated onto each (reference xml.rs Cartesian mode);
+    // auto detection routes here because ≥2 child types repeat
+    val xml =
+      """<root>
+        |  <customer>
+        |    <name>ada</name>
+        |    <order><oid>1</oid><amt>10</amt></order>
+        |    <order><oid>2</oid><amt>20</amt></order>
+        |    <address>home</address>
+        |    <address>work</address>
+        |  </customer>
+        |  <customer>
+        |    <name>kay</name>
+        |    <order><oid>3</oid><amt>30</amt></order>
+        |    <address>hq</address>
+        |  </customer>
+        |</root>""".stripMargin
+    val p = writeTemp("cart.xml", xml)
+    val df = XmlLoader.load(spark, p, "cart", Some("customer")).df
+    assert(df.columns.toSet ==
+      Set("name", "order_oid", "order_amt", "address"))
+    val rows = df.collect().map(r => (r.getAs[String]("name"),
+      r.getAs[String]("order_oid"), r.getAs[String]("address"))).toSet
+    assert(rows == Set(
+      ("ada", "1", "home"), ("ada", "1", "work"),
+      ("ada", "2", "home"), ("ada", "2", "work"),
+      ("kay", "3", "hq")))
+    // explicit Standard on the same file must NOT cross-product
+    val std = XmlLoader.load(spark, p, "cart_std", Some("customer"),
+      mode = XmlLoader.Standard).df
+    assert(std.count() == 2)
+  }
+
+  test("auto mode keeps header-detail (single repeated type) in standard") {
+    val xml =
+      """<root>
+        |  <item><sku>a</sku></item>
+        |  <item><sku>b</sku></item>
+        |</root>""".stripMargin
+    val p = writeTemp("hd.xml", xml)
+    val df = XmlLoader.load(spark, p, "hd").df
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("sku"))
+  }
 }
