@@ -564,6 +564,22 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // JSON-spec document form of with_schema (reference schema_from_json)
+    "q_with_schema_json" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_schema_json.csv"
+      Writers.writeCsvSingle(t(s, d, "customer").toDF, "overwrite", path)
+      Loaders.loadWithSchemaJson(s, path, "customer_wsj",
+        """{"fields":[
+          |{"name":"c_custkey","type":"i64","nullable":false},
+          |{"name":"c_name","type":"string"},
+          |{"name":"c_nationkey","type":"i32"},
+          |{"name":"c_acctbal","type":"f64"},
+          |{"name":"c_mktsegment","type":"varchar"}]}""".stripMargin)
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // parquet append-rewrite writer (reference write_to_parquet append)
     "q_write_append" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_app.parquet"
@@ -913,6 +929,9 @@ object SparkEntry {
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_with_schema" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_with_schema_json" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_xml_load" ->

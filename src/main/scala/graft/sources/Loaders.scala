@@ -181,15 +181,33 @@ object Loaders {
     * type names int8/…/uint…/float…/string/bool/date/timestamp/binary.
     */
   def loadWithSchema(spark: SparkSession, path: String, alias: String,
-      schema: Seq[(String, String)]): GraftFrame = {
-    val fields = schema.map { case (n, t) => StructField(n, SchemaSpec.sparkType(t)) }
-    val st = StructType(fields)
+      schema: Seq[(String, String)]): GraftFrame =
+    loadWithSchemaStruct(spark, path, alias,
+      StructType(schema.map { case (n, t) => StructField(n, SchemaSpec.sparkType(t)) }))
+
+  /** JSON-spec document form (reference with_schema.rs:338-392):
+    * `{"fields":[{"name":"id","type":"i64","nullable":false}, …]}`.
+    */
+  def loadWithSchemaJson(spark: SparkSession, path: String, alias: String,
+      jsonSpec: String): GraftFrame =
+    loadWithSchemaStruct(spark, path, alias, SchemaSpec.fromJsonSpec(jsonSpec))
+
+  private def loadWithSchemaStruct(spark: SparkSession, path: String,
+      alias: String, st: StructType): GraftFrame = {
     val lower = path.toLowerCase
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df =
       if (lower.endsWith(".csv"))
         spark.read.option("header", "true").schema(st).csv(path)
       else if (lower.endsWith(".json"))
         spark.read.option("multiLine", "true").schema(st).json(path)
+      else if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "_delta_log")))
+        // delta-with-schema (reference load_delta_with_schema,
+        // with_schema.rs:299-335): declared schema over the log's
+        // active-file snapshot
+        spark.read.schema(st).option("basePath", path)
+          .parquet(DeltaLog.activeFiles(spark, path): _*)
       else spark.read.schema(st).parquet(path)
     GraftFrame(df, alias)
   }
@@ -328,19 +346,46 @@ object Loaders {
   */
 object SchemaSpec {
   def sparkType(name: String): DataType = name.trim.toLowerCase match {
-    case "int8" => ByteType
-    case "int16" => ShortType
-    case "int32" | "int" | "integer" => IntegerType
-    case "int64" | "bigint" | "long" => LongType
-    case "uint8" | "uint16" => IntegerType // Spark has no unsigned; widen
-    case "uint32" | "uint64" => LongType
-    case "float32" | "float" => FloatType
-    case "float64" | "double" => DoubleType
+    case "int8" | "i8" => ByteType
+    case "int16" | "i16" => ShortType
+    case "int32" | "i32" | "int" | "integer" => IntegerType
+    case "int64" | "i64" | "bigint" | "long" => LongType
+    case "uint8" | "u8" | "uint16" | "u16" => IntegerType // Spark has no unsigned; widen
+    case "uint32" | "u32" | "uint64" | "u64" => LongType
+    case "float32" | "f32" | "float" => FloatType
+    case "float64" | "f64" | "double" => DoubleType
     case "string" | "text" | "varchar" | "utf8" => StringType
     case "bool" | "boolean" => BooleanType
     case "date" | "date32" => DateType
     case "timestamp" => TimestampType
     case "binary" => BinaryType
-    case other => throw new IllegalArgumentException(s"unknown schema type '$other'")
+    case other => throw new IllegalArgumentException(s"Unsupported data type: '$other'")
+  }
+
+  /** Parse the JSON schema-spec document (reference schema_from_json,
+    * with_schema.rs:338-392): `fields` array of {name, type, nullable?},
+    * nullable defaulting true, reference-matching error strings.
+    */
+  def fromJsonSpec(spec: String): StructType = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val root =
+      try new ObjectMapper().readTree(spec)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"Invalid JSON schema specification: ${e.getMessage}")
+      }
+    val fields = if (root == null) null else root.get("fields")
+    if (fields == null || !fields.isArray)
+      throw new IllegalArgumentException("Schema must contain 'fields' array")
+    val out = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    fields.forEach { f =>
+      val name = Option(f.get("name")).filter(_.isTextual).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException("Field must have 'name'"))
+      val tpe = Option(f.get("type")).filter(_.isTextual).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException("Field must have 'type'"))
+      val nullable = Option(f.get("nullable")).map(_.asBoolean(true)).getOrElse(true)
+      out += StructField(name, sparkType(tpe), nullable)
+    }
+    StructType(out.toSeq)
   }
 }
