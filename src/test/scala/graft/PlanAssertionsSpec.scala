@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the scale-critical properties the operators
+  * promise: filter/projection pushdown reaching the parquet scan, broadcast
+  * joins for small dimensions, no accidental cartesian products in the LSH
+  * candidate paths, and single-shuffle window execution. These pin the PLAN
+  * (what a 1000-executor cluster would run), not just the result.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("selected filter reaches the parquet scan as PushedFilters + pruned ReadSchema") {
+    val df = SparkEntry.queries("q_select_filter")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters") &&
+      p.replaceAll("\\s", "").contains("PushedFilters:[IsNotNull(l_quantity),GreaterThan(l_quantity"),
+      s"filter not pushed to scan:\n$p")
+    // projection pruning: the scan must NOT read all 16 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("3-way join broadcasts the small dimension tables") {
+    val df = SparkEntry.queries("q_join_3way")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("LSH candidate paths never degrade to cartesian/nested-loop joins") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
+        "q_dedup_embedding_tight", "q_sim_lsh")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"),
+        s"$q plan contains a cartesian product:\n$p")
+    }
+  }
+
+  test("partitioned running window executes with a single exchange") {
+    val df = SparkEntry.queries("q_window_running")(spark, sf)
+    val p = plan(df)
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"expected at most one shuffle, found $exchanges:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window operator in plan:\n$p")
+  }
+
+  test("exact dedup shuffles 8-byte hash keys, not document bodies") {
+    val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val p = plan(df)
+    // partial (map-side) aggregation must run before the exchange so only
+    // (hash, min-id, count) rows shuffle — visible as two HashAggregate
+    // levels around one Exchange
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation:\n$p")
+    val exchangeLine = p.linesIterator.find(_.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(exchangeLine.contains("graft_h"), s"shuffle not keyed on the hash: $exchangeLine")
+    assert(!exchangeLine.contains("text"), "document text must not be a shuffle key")
+  }
+}
