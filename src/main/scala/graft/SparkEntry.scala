@@ -220,6 +220,14 @@ object SparkEntry {
         .orderByMany(("l_orderkey", "ASC"), ("l_linenumber", "ASC"))
         .limit(20).toDF),
 
+    // ordered tail: last 20 by key (deterministic because the frame is
+    // globally ordered first; the driver's compare is order-insensitive)
+    "q_tail" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderByMany(("o_orderkey", "ASC"))
+        .tail(20).toDF),
+
     // §2.8 set operations & reshaping
     "q_union" -> ((s, d) => {
       val a = t(s, d, "orders").select("o_orderkey", "o_orderstatus")
@@ -837,6 +845,9 @@ object SparkEntry {
 
     "q_head" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20",
+
+    "q_tail" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 20",
 
     "q_union" ->
       "SELECT count(*) AS n, o_orderstatus FROM (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' UNION SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000) GROUP BY o_orderstatus",
