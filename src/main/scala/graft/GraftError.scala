@@ -50,6 +50,32 @@ object GraftError {
   final case class LimitExceeded(detail: String) extends GraftError(
     s"Limit exceeded: $detail", "Reduce the configured resource limit usage")
 
+  final case class OrderByError(detail: String, columns: Seq[String])
+      extends GraftError(
+        s"ORDER BY error: $detail" +
+          (if (columns.nonEmpty) s" (columns: ${columns.mkString(", ")})" else ""),
+        "Direction must be ASC or DESC (case-insensitive)")
+
+  final case class SchemaError(detail: String) extends GraftError(
+    s"Schema error: $detail",
+    """Schema spec shape: {"fields":[{"name":…,"type":…,"nullable":…}]} with supported type names (i8…i64, u8…u64, f32/f64, string, bool, date, timestamp, binary)""")
+
+  final case class WriteError(path: String, operation: String, reason: String)
+      extends GraftError(
+        s"Write error during $operation at '$path': $reason",
+        "Check the write mode (overwrite/append/merge) and that appended columns match the existing data")
+
+  final case class PartitionError(detail: String, partitionColumns: Seq[String])
+      extends GraftError(
+        s"Partition error: $detail" +
+          (if (partitionColumns.nonEmpty) s" (partition columns: ${partitionColumns.mkString(", ")})" else ""),
+        "Appends must declare the table's existing partition columns; use overwrite to change partitioning")
+
+  final case class InvalidOperation(operation: String, reason: String)
+      extends GraftError(
+        s"Invalid operation '$operation': $reason",
+        "See the loader/writer surface in README.md for supported formats, modes and arguments")
+
   /** Simple edit-distance suggestion, like the reference's
     * find_similar_columns helper.
     */

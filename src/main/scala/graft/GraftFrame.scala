@@ -299,10 +299,12 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     * (src/elusion.rs:1103-1152).
     */
   def orderBy(cols: Seq[String], dirs: Seq[String]): GraftFrame = {
-    require(cols.length == dirs.length, "orderBy: cols and dirs length mismatch")
+    if (cols.length != dirs.length)
+      throw GraftError.OrderByError("cols and dirs length mismatch", cols)
     val entries = cols.zip(dirs).map { case (c, d) =>
       val dir = d.trim.toUpperCase
-      require(dir == "ASC" || dir == "DESC", s"orderBy: bad direction '$d'")
+      if (dir != "ASC" && dir != "DESC")
+        throw GraftError.OrderByError(s"bad direction '$d'", cols)
       s"${normalizeExpression(c)} $dir"
     }
     withState(state.copy(orderBy = state.orderBy ++ entries))
@@ -581,7 +583,7 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
       case "min" => gb.min(valueCol)
       case "max" => gb.max(valueCol)
       case "count" => gb.count()
-      case other => throw new IllegalArgumentException(s"pivot: unsupported agg '$other'")
+      case other => throw GraftError.InvalidOperation("pivot", s"unsupported agg '$other'")
     }
     val newCols = piv.columns.filterNot(rowKeys.contains)
     GraftFrame(piv.na.fill(0, newCols.toIndexedSeq), alias)

@@ -84,6 +84,33 @@ object DeltaLog {
       s""""createdTime":${System.currentTimeMillis()}}}"""
   }
 
+  /** Partition columns of the latest metaData action in the log (newest
+    * commit wins — merge commits refresh metaData). Driver-side Jackson
+    * parse of the tiny commit files.
+    */
+  private def latestPartitionColumns(fs: FileSystem, log: HPath): Option[Seq[String]] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    existingVersions(fs, log).reverse.iterator.flatMap { v =>
+      val in = fs.open(new HPath(log, commitName(v)))
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        out.toString("UTF-8")
+      } finally in.close()
+      text.linesIterator.flatMap { line =>
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        val md = if (node == null) null else node.get("metaData")
+        val pc = if (md == null) null else md.get("partitionColumns")
+        if (pc != null && pc.isArray) {
+          val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+          pc.forEach(c => cols += c.asText)
+          Some(cols.toSeq)
+        } else None
+      }.toSeq.lastOption // last metaData within the newest commit that has one
+    }.nextOption()
+  }
+
   private def existingVersions(fs: FileSystem, log: HPath): Seq[Long] =
     if (!fs.exists(log)) Nil
     else fs.listStatus(log).toSeq
@@ -105,6 +132,17 @@ object DeltaLog {
     require(Set("overwrite", "append", "merge").contains(m),
       s"writeDeltaTable: bad mode '$mode'")
     val fresh = m == "overwrite" || existingVersions(fs, logDir(tbl)).isEmpty
+    if (!fresh) {
+      // appends must match the table's declared partitioning — silently
+      // mixing layouts would corrupt partition inference on read
+      latestPartitionColumns(fs, logDir(tbl)).foreach { tableCols =>
+        if (tableCols != partitionBy)
+          throw graft.GraftError.PartitionError(
+            s"append declares partitioning (${partitionBy.mkString(", ")}) " +
+              s"but the table was written with (${tableCols.mkString(", ")})",
+            tableCols)
+      }
+    }
     if (m == "overwrite" && fs.exists(tbl)) fs.delete(tbl, true)
 
     val before = if (fresh) Map.empty[String, FileStatus] else dataFiles(fs, tbl)

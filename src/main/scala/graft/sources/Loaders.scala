@@ -50,7 +50,8 @@ object Loaders {
       ExcelLoader.load(spark, path, alias)
     else if (lower.endsWith(".parquet")) loadParquet(spark, path, alias)
     else if (isDir) loadParquet(spark, path, alias)
-    else throw new IllegalArgumentException(s"load: unsupported file type for $path")
+    else throw graft.GraftError.InvalidOperation("load",
+      s"unsupported file type for $path")
   }
 
   def loadParquet(spark: SparkSession, path: String, alias: String): GraftFrame =
@@ -237,7 +238,9 @@ object Loaders {
       .filter(s => s.isFile &&
         s.getPath.getName.toLowerCase.matches(".*\\.(csv|json|parquet)$"))
       .sortBy(_.getPath.getName)
-    require(files.nonEmpty, s"loadFolder: no supported files in $dir")
+    if (files.isEmpty)
+      throw graft.GraftError.InvalidOperation("load_folder",
+        s"no supported files (csv/json/parquet) in $dir")
     val frames = files.map { f =>
       // full qualified path (scheme + authority kept): on s3a://bucket/dir
       // or hdfs://nn/dir the per-file load must re-open the SAME
@@ -359,7 +362,7 @@ object SchemaSpec {
     case "date" | "date32" => DateType
     case "timestamp" => TimestampType
     case "binary" => BinaryType
-    case other => throw new IllegalArgumentException(s"Unsupported data type: '$other'")
+    case other => throw graft.GraftError.SchemaError(s"Unsupported data type: '$other'")
   }
 
   /** Parse the JSON schema-spec document (reference schema_from_json,
@@ -371,18 +374,18 @@ object SchemaSpec {
     val root =
       try new ObjectMapper().readTree(spec)
       catch { case e: Exception =>
-        throw new IllegalArgumentException(
+        throw graft.GraftError.SchemaError(
           s"Invalid JSON schema specification: ${e.getMessage}")
       }
     val fields = if (root == null) null else root.get("fields")
     if (fields == null || !fields.isArray)
-      throw new IllegalArgumentException("Schema must contain 'fields' array")
+      throw graft.GraftError.SchemaError("Schema must contain 'fields' array")
     val out = scala.collection.mutable.ArrayBuffer.empty[StructField]
     fields.forEach { f =>
       val name = Option(f.get("name")).filter(_.isTextual).map(_.asText)
-        .getOrElse(throw new IllegalArgumentException("Field must have 'name'"))
+        .getOrElse(throw graft.GraftError.SchemaError("Field must have 'name'"))
       val tpe = Option(f.get("type")).filter(_.isTextual).map(_.asText)
-        .getOrElse(throw new IllegalArgumentException("Field must have 'type'"))
+        .getOrElse(throw graft.GraftError.SchemaError("Field must have 'type'"))
       val nullable = Option(f.get("nullable")).map(_.asBoolean(true)).getOrElse(true)
       out += StructField(name, sparkType(tpe), nullable)
     }

@@ -55,14 +55,16 @@ object Writers {
         val existing = spark.read
           .option("header", opts.header.toString).option("sep", opts.delimiter)
           .csv(path)
-        require(existing.columns.sorted.sameElements(df.columns.sorted),
-          s"append: column mismatch (${existing.columns.mkString(",")} vs ${df.columns.mkString(",")})")
+        if (!existing.columns.sorted.sameElements(df.columns.sorted))
+          throw graft.GraftError.WriteError(path, "write_to_csv append",
+            s"column mismatch (${existing.columns.mkString(",")} vs ${df.columns.mkString(",")})")
         // align types: existing (all-string) columns cast to df's schema
         val aligned = existing.select(df.schema.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
         aligned.unionByName(df)
       case "append" => df
-      case other => throw new IllegalArgumentException(s"writeCsv: bad mode '$other'")
+      case other => throw graft.GraftError.WriteError(path, "write_to_csv",
+        s"bad mode '$other'")
     }
     writeSingle(out, path, ".csv") { (d, p) =>
       d.write.mode(SaveMode.Overwrite)
@@ -84,11 +86,13 @@ object Writers {
       case "overwrite" => df
       case "append" if Files.exists(Paths.get(path)) =>
         val existing = df.sparkSession.read.parquet(path)
-        require(existing.columns.sorted.sameElements(df.columns.sorted),
-          "append: column mismatch")
+        if (!existing.columns.sorted.sameElements(df.columns.sorted))
+          throw graft.GraftError.WriteError(path, "write_to_parquet append",
+            s"column mismatch (${existing.columns.mkString(",")} vs ${df.columns.mkString(",")})")
         existing.unionByName(df)
       case "append" => df
-      case other => throw new IllegalArgumentException(s"writeParquet: bad mode '$other'")
+      case other => throw graft.GraftError.WriteError(path, "write_to_parquet",
+        s"bad mode '$other'")
     }
     writeSingle(out, path, ".parquet")((d, p) =>
       d.write.mode(SaveMode.Overwrite).parquet(p))

@@ -242,9 +242,10 @@ class GraftFrameSpec extends SparkSpec {
   }
 
   test("orderBy rejects bad direction") {
-    intercept[IllegalArgumentException] {
+    val e = intercept[graft.GraftError.OrderByError] {
       sales.orderBy(Seq("id"), Seq("SIDEWAYS"))
     }
+    assert(e.getMessage.contains("SIDEWAYS") && e.getMessage.contains("id"))
   }
 
   test("calendar golden rows (A8): leap day, quarter, weekend, month start") {

@@ -25,7 +25,7 @@ class SchemaJsonSpec extends SparkSpec {
 
   test("fromJsonSpec rejects malformed specs with reference-matching errors") {
     def msg(spec: String): String =
-      intercept[IllegalArgumentException](SchemaSpec.fromJsonSpec(spec)).getMessage
+      intercept[graft.GraftError.SchemaError](SchemaSpec.fromJsonSpec(spec)).getMessage
     assert(msg("""{"columns":[]}""").contains("must contain 'fields' array"))
     assert(msg("""not json""").contains("Invalid JSON schema specification"))
     assert(msg("""{"fields":[{"type":"i64"}]}""").contains("Field must have 'name'"))

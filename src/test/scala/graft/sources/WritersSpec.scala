@@ -38,9 +38,10 @@ class WritersSpec extends SparkSpec {
     val sp = spark; import sp.implicits._
     val p = tmp("bad.csv")
     Writers.writeCsvSingle(df, "overwrite", p)
-    intercept[IllegalArgumentException] {
+    val e = intercept[graft.GraftError.WriteError] {
       Writers.writeCsvSingle(Seq((1L, "x")).toDF("id", "other"), "append", p)
     }
+    assert(e.getMessage.contains("column mismatch"))
   }
 
   test("single-file parquet roundtrip and append") {
@@ -164,6 +165,21 @@ class WritersSpec extends SparkSpec {
     assert(back.count() == 3)
     assert(back.columns.contains("name")) // partition col re-inferred
     assert(back.where(org.apache.spark.sql.functions.col("name") === "c").count() == 1)
+  }
+
+  test("delta append with a different partition spec is a PartitionError") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_part_guard")
+    Writers.writeDeltaTable(df, "overwrite", p, partitionBy = Seq("name"))
+    val e = intercept[graft.GraftError.PartitionError] {
+      Writers.writeDeltaTable(Seq((9L, "z", 9.9)).toDF("id", "name", "v"),
+        "append", p) // no partitionBy — would silently mix layouts
+    }
+    assert(e.getMessage.contains("name"))
+    // matching spec still appends fine
+    Writers.writeDeltaTable(Seq((9L, "z", 9.9)).toDF("id", "name", "v"),
+      "append", p, partitionBy = Seq("name"))
+    assert(Loaders.load(spark, p, "pg").df.count() == 3)
   }
 
   test("delta snapshot reader ignores files not referenced by the log") {
