@@ -724,6 +724,19 @@ object SparkEntry {
           col("rank").cast("bigint").as("rnk"))
     }),
 
+    // the at-rest IVF path: index persisted partitioned by list_id, probe
+    // reads only the probed lists via partition pruning — same ranking
+    // contract as q_sim_ivf, so the same oracle grades it
+    "q_sim_ivf_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val idx = "/root/repo/target/tmp/ivf_index_graded"
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 16)
+      Similarity.ivfTopKIndexed(idx, emb.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, nprobe = 4)
+        .select(col("query_id"), col("corpus_id"), col("cosine"),
+          col("rank").cast("bigint").as("rnk"))
+    }),
+
     "q_text_tokens" -> ((s, d) =>
       t(s, d, "documents").df.select(col("doc_id"),
         TF.tokenCount(col("text")).cast("bigint").as("ws_tokens"),
@@ -981,6 +994,9 @@ object SparkEntry {
       OracleSql.simLshTopK(k = 10, bits = 4, tables = 16),
 
     "q_sim_ivf" ->
+      OracleSql.simIvfTopK(k = 10, nlist = 16, nprobe = 4),
+
+    "q_sim_ivf_indexed" ->
       OracleSql.simIvfTopK(k = 10, nlist = 16, nprobe = 4),
 
     // exact brute-force oracles over documents

@@ -74,8 +74,8 @@ object Similarity {
     * first nlist corpus vectors by id — deterministic without a kmeans
     * dependency), assign every corpus vector to its nearest centroid (one
     * broadcast pass), and at query time probe the nprobe nearest lists.
-    * At scale, `assigned` is written bucketed by `list_id` so a probe
-    * reads only its lists' files.
+    * For the at-rest variant that probes with partition pruning, see
+    * [[buildIvfIndex]] / [[ivfTopKIndexed]].
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nlist: Int = 16,
@@ -83,12 +83,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = c.orderBy(col("corpus_id")).limit(nlist)
       .select(col("corpus_id").as("cent_id"), col("cv").as("centv"))
-    val assigned = c.join(broadcast(centroids))
-      .withColumn("d", V.l2Distance(col("cv"), col("centv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("corpus_id")).orderBy(col("d").asc, col("cent_id").asc)))
-      .where(col("rn") === 1)
-      .select(col("corpus_id"), col("cv"), col("cent_id").as("list_id"))
+    val assigned = assignToLists(c, centroids)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qLists = q.join(broadcast(centroids))
       .withColumn("d", V.l2Distance(col("qv"), col("centv")))
@@ -96,6 +91,62 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cent_id").asc)))
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
+    val joined = assigned.join(broadcast(qLists), Seq("list_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", V.cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  private def assignToLists(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.join(broadcast(centroids))
+      .withColumn("d", V.l2Distance(col("cv"), col("centv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("corpus_id")).orderBy(col("d").asc, col("cent_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("corpus_id"), col("cv"), col("cent_id").as("list_id"))
+
+  /** Persist the IVF index: the corpus assignment written PARTITIONED BY
+    * list_id (one directory per inverted list) plus the centroid table at
+    * `<path>_centroids`. This is the at-rest layout a 100 TB corpus needs:
+    * a probe then reads only its lists' files via partition pruning
+    * instead of scanning the corpus ([[ivfTopKIndexed]] asserts the
+    * pruning in its spec).
+    */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      path: String, nlist: Int = 16): Unit = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val centroids = c.orderBy(col("corpus_id")).limit(nlist)
+      .select(col("corpus_id").as("cent_id"), col("cv").as("centv"))
+    centroids.write.mode("overwrite").parquet(s"${path}_centroids")
+    assignToLists(c, centroids).write.mode("overwrite")
+      .partitionBy("list_id").parquet(path)
+  }
+
+  /** Probe a persisted IVF index: nearest nprobe centroids per query, then
+    * read ONLY those lists' partitions (the probed list-id set is tiny —
+    * ≤ nprobe × queries — so it collects to a literal isin filter that
+    * Catalyst turns into partition pruning), exact cosine re-rank.
+    */
+  def ivfTopKIndexed(indexPath: String, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"${indexPath}_centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qLists = q.join(broadcast(centroids))
+      .withColumn("d", V.l2Distance(col("qv"), col("centv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cent_id").asc)))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
+    val probed = qLists.select("list_id").distinct()
+      .collect().map(_.getLong(0))
+    val assigned = spark.read.parquet(indexPath)
+      .where(col("list_id").isin(probed.toIndexedSeq: _*))
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))

@@ -233,6 +233,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfRecall > 0.5, s"IVF recall too low: $ivfRecall")
   }
 
+  test("persisted IVF index matches in-memory IVF and probes with partition pruning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val idx = "target/tmp/ivf_index"
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 8)
+    val indexed = Similarity.ivfTopKIndexed(idx, queries, "embedding", "vec_id",
+      k = 10, nprobe = 4)
+    // pruning proof: the scan must carry a PartitionFilters entry on
+    // list_id, i.e. a probe reads only its lists' directories
+    val plan = indexed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("ivf_index") && l.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("list_id IN") || scanLine.contains("list_id#"),
+      s"no partition pruning on list_id:\n$plan")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Int]("rank"))).toSet
+    val inMemory = Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+      k = 10, nlist = 8, nprobe = 4)
+    assert(rows(indexed) == rows(inMemory),
+      "indexed probe must reproduce the in-memory IVF ranking")
+  }
+
   test("minhash sketch: deterministic, k longs, dup texts identical sketches") {
     val sk = docs.select(col("doc_id"),
       HashExpressions.minhashSketch(TF.wordShingles(col("text"), 3), 16).as("s"))
