@@ -784,6 +784,15 @@ object SparkEntry {
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))),
 
+    // streaming-ingest dedup, batch form: first occurrence per
+    // (user, type) — the stream side (dropDuplicatesWithinWatermark,
+    // bounded state) is MemoryStream-spec-verified
+    "q_events_dedup" -> ((s, d) =>
+      EventStreams.dedupEvents(t(s, d, "events").df, "ts",
+        Seq("user_id", "event_type"), tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))),
+
     "q_events_session" -> ((s, d) =>
       EventStreams.sessionize(t(s, d, "events").df, "ts", "user_id",
         "30 minutes", tieBreak = Seq("event_id"))
@@ -1066,6 +1075,9 @@ object SparkEntry {
 
     "q_events_tumbling" ->
       "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2",
+
+    "q_events_dedup" ->
+      "SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1",
 
     "q_events_session" ->
       "WITH marked AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s, event_id FROM (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, count(*) AS n_events FROM sess GROUP BY user_id, sid")

@@ -70,6 +70,26 @@ object EventStreams {
     }
   }
 
+  /** Exact dedup on an event stream — the streaming-ingest dedup shape a
+    * training pipeline needs in front of its corpus. Streaming path:
+    * `dropDuplicatesWithinWatermark` (state-store-backed suppression whose
+    * state is BOUNDED by the watermark horizon — a plain dropDuplicates
+    * on a stream retains every key forever and OOMs at 100 TB/day).
+    * Batch path: deterministic first-occurrence keep (earliest by
+    * `tsCol`, then `tieBreak`) — the form the DuckDB oracle verifies.
+    */
+  def dedupEvents(events: DataFrame, tsCol: String, idCols: Seq[String],
+      watermark: String = "10 minutes", tieBreak: Seq[String] = Nil): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+    else {
+      val w = Window.partitionBy(idCols.map(col): _*)
+        .orderBy((tsCol +: tieBreak).map(col): _*)
+      events.withColumn("graft_rn", row_number().over(w))
+        .where(col("graft_rn") === 1).drop("graft_rn")
+    }
+
   private[streaming] def parseDurationSeconds(s: String): Long = {
     val m = """(\d+)\s*(second|minute|hour|day)s?""".r.findFirstMatchIn(s.toLowerCase)
       .getOrElse(throw new IllegalArgumentException(s"bad duration '$s'"))

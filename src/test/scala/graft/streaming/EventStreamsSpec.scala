@@ -115,4 +115,34 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.parseDurationSeconds("fortnight")
     }
   }
+
+  test("batch dedupEvents keeps the earliest occurrence per key") {
+    val out = EventStreams.dedupEvents(batch, "ts", Seq("user_id", "event_type"),
+      tieBreak = Seq("event_id"))
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(out == Set(1L, 3L, 4L)) // first click/user1, buy/user1, click/user2
+  }
+
+  test("streaming dedupEvents suppresses duplicates across microbatches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupEvents(mem.toDF, "ts", Seq("user_id", "event_type"),
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // duplicate keys split ACROSS batches — suppression must come from
+      // the state store, not intra-batch dedup
+      mem.addData(Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(2, t("2024-01-01 10:20:00"), 1, "click", 2.0), // dup of (1, click)
+        Ev(3, t("2024-01-01 10:25:00"), 1, "buy", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      assert(ids == Set(1L, 3L), s"expected duplicate suppressed, got $ids")
+    } finally q.stop()
+  }
 }
