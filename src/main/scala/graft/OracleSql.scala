@@ -97,6 +97,30 @@ object OracleSql {
       "GROUP BY split"
   }
 
+  /** End-to-end curation pipeline oracle: replicate qualityScore (same
+    * component formulas as the q_text_quality oracle), first-occurrence
+    * exact dedup, and the md5 hash split, then roll up per split.
+    */
+  def corpusCurate(minScore: Double, splits: Seq[(String, Double)],
+      salt: String = "graft", buckets: Long = 1000000L): String = {
+    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    val pr = "CAST(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) AS DOUBLE) / length(text)"
+    val dr = "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)"
+    val sw = s"CAST(len(list_filter($toks, x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE) / len($toks)"
+    val score = s"round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 + " +
+      s"greatest(0.0, 1.0 - ($pr) * 5.0) * 0.2 + " +
+      s"greatest(0.0, 1.0 - ($dr) * 5.0) * 0.2 + " +
+      s"least(($sw) * 4.0, 1.0) * 0.2, 6)"
+    val cases = Corpus.splitBounds(splits, buckets)
+      .map { case (nm, lo, hi) => s"WHEN h >= $lo AND h < $hi THEN '$nm'" }
+      .mkString(" ")
+    s"WITH gated AS (SELECT doc_id, text FROM documents WHERE $score >= $minScore), " +
+      "surv AS (SELECT doc_id, text FROM gated QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1), " +
+      s"assigned AS (SELECT text, CASE $cases ELSE '${splits.last._1}' END AS split " +
+      s"FROM (SELECT text, ${md5Hash60(s"'$salt' || doc_id::VARCHAR")} % $buckets AS h FROM surv)) " +
+      "SELECT split, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars FROM assigned GROUP BY split"
+  }
+
   /** Multimodal feature extraction over the documents-as-media wrapper:
     * byte size (strlen = UTF-8 bytes, matching the binary payload) and the
     * 60-bit MD5 content digest of the same payload bytes.

@@ -759,6 +759,22 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))),
 
+    // the full curation pipeline as ONE lazy plan: quality gate → exact
+    // dedup survivors → deterministic hash split → per-split rollup.
+    // Three shuffles total (dedup window, split is map-side, final agg);
+    // every stage is the operator graded individually elsewhere
+    "q_corpus_curate" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.Corpus.hashSplit(
+        Dedup.exactSurvivors(
+          graft.operators.Corpus.qualityFilter(docs, "text", minScore = 0.5),
+          "text", "doc_id"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("bigint").as("chars"))
+    }),
+
     "q_text_langid" -> ((s, d) =>
       t(s, d, "documents").df.select(col("doc_id"),
         TF.langId(col("text")).as("detected_lang"))),
@@ -1020,6 +1036,10 @@ object SparkEntry {
 
     "q_corpus_split" ->
       OracleSql.corpusSplit(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+
+    "q_corpus_curate" ->
+      OracleSql.corpusCurate(minScore = 0.5,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
 
     "q_multimodal" ->
       OracleSql.multimodal,
