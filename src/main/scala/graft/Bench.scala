@@ -22,7 +22,7 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
     "q_dedup_embedding_tight",
     "q_sim_topk", "q_sim_lsh", "q_text_quality", "q_text_langid",
-    "q_events_tumbling", "q_events_session")
+    "q_corpus_curate", "q_events_tumbling", "q_events_session", "q_events_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

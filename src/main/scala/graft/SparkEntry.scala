@@ -751,6 +751,19 @@ object SparkEntry {
         round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         round(TF.meanWordLength(col("text")), 6).as("mean_word_len"))),
 
+    // salted join: identical rows to the plain join (the salt only
+    // decorrelates partition assignment), so the plain-join SQL is a
+    // genuine oracle for the skew-mitigation path
+    "q_skew_join" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+        t(s, d, "lineitem").df.select(col("l_orderkey"), col("l_quantity")),
+        t(s, d, "orders").df.select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        keys = Seq("l_orderkey"), factor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum(col("l_quantity"))).cast("bigint").as("qty"))),
+
     "q_corpus_profile" -> ((s, d) =>
       graft.operators.Corpus.profile(t(s, d, "documents").df, "text", "lang")),
 
@@ -1036,6 +1049,9 @@ object SparkEntry {
 
     "q_corpus_split" ->
       OracleSql.corpusSplit(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+
+    "q_skew_join" ->
+      "SELECT o_orderpriority, count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",
 
     "q_corpus_curate" ->
       OracleSql.corpusCurate(minScore = 0.5,
