@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import scala.collection.mutable.ListBuffer
 
@@ -120,10 +120,12 @@ object DeltaLog {
   /** Write `df` as a delta table: parquet data files + a numbered commit.
     * mode: overwrite (wipe + version 0), append (next version, add
     * actions for the new files only), merge (append + refreshed metaData
-    * carrying the merged schema).
+    * carrying the merged schema). Every `checkpointInterval` commits the
+    * reconciled snapshot is checkpointed (see [[writeCheckpoint]]) so log
+    * replay stays O(interval) commits instead of O(history).
     */
   def write(df: DataFrame, mode: String, path: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val tbl = new HPath(path)
@@ -134,13 +136,24 @@ object DeltaLog {
     val fresh = m == "overwrite" || existingVersions(fs, logDir(tbl)).isEmpty
     if (!fresh) {
       // appends must match the table's declared partitioning — silently
-      // mixing layouts would corrupt partition inference on read
-      latestPartitionColumns(fs, logDir(tbl)).foreach { tableCols =>
-        if (tableCols != partitionBy)
+      // mixing layouts would corrupt partition inference on read. Falls
+      // back to the checkpoint's metaData when older commits were cleaned.
+      val tableCols = latestPartitionColumns(fs, logDir(tbl))
+        .orElse(lastCheckpointVersion(fs, logDir(tbl)).flatMap { v =>
+          val cp = spark.read.parquet(
+            new HPath(logDir(tbl), f"$v%020d.checkpoint.parquet").toString)
+          if (cp.columns.contains("metaData")) {
+            val rows = cp.where(col("metaData").isNotNull)
+              .select(col("metaData.partitionColumns")).collect()
+            rows.headOption.map(_.getSeq[String](0))
+          } else None
+        })
+      tableCols.foreach { cols =>
+        if (cols != partitionBy)
           throw graft.GraftError.PartitionError(
             s"append declares partitioning (${partitionBy.mkString(", ")}) " +
-              s"but the table was written with (${tableCols.mkString(", ")})",
-            tableCols)
+              s"but the table was written with (${cols.mkString(", ")})",
+            cols)
       }
     }
     if (m == "overwrite" && fs.exists(tbl)) fs.delete(tbl, true)
@@ -174,31 +187,122 @@ object DeltaLog {
     finally out.close()
     if (!fs.rename(tmp, commit))
       throw new IllegalStateException(s"delta commit rename failed: $commit")
+    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(spark, path, version)
   }
 
-  /** Table dir has a delta log → snapshot = adds − removes across all
-    * commits. Parsing uses Spark's own JSON reader (tiny driver-side job,
-    * no extra dependency); our writer never emits removes but replaying
-    * them keeps the reader correct on logs other writers produced.
+  /** Checkpoint version `v`: the RECONCILED snapshot (active add rows +
+    * latest metaData + protocol) written as
+    * `_delta_log/%020d.checkpoint.parquet` plus the `_last_checkpoint`
+    * pointer. Readers then replay from the checkpoint and only the
+    * commits after it — and commits ≤ v become garbage-collectable, which
+    * is what keeps a long-lived 100 TB table's log replay bounded.
+    */
+  def writeCheckpoint(spark: SparkSession, path: String, version: Long): Unit = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = logDir(tbl)
+    // sources: the previous checkpoint (older commits may be gone) plus
+    // the commits after it, up to `version`
+    val prevCp = lastCheckpointVersion(fs, log).filter(_ < version)
+    val prev = prevCp.map(v => spark.read.parquet(
+      new HPath(log, f"$v%020d.checkpoint.parquet").toString))
+    val commits = existingVersions(fs, log)
+      .filter(v => v <= version && prevCp.forall(v > _))
+      .map(v => new HPath(log, commitName(v)).toString)
+    val logF = spark.read.json(commits: _*)
+      .withColumn("graft_f", org.apache.spark.sql.functions.input_file_name())
+    def part(df: DataFrame, c: String): Option[DataFrame] =
+      if (df.columns.contains(c)) Some(df.where(col(c).isNotNull).select(col(c)))
+      else None
+    val removed: Set[String] = part(logF, "remove")
+      .map(_.select(col("remove.path")).collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val addSources = prev.flatMap(part(_, "add")).toSeq ++ part(logF, "add").toSeq
+    val adds = addSources
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map(_.where(!col("add.path").isin(removed.toSeq: _*)))
+    // newest metaData/protocol: commits win over the previous checkpoint
+    def newest(c: String): Option[DataFrame] =
+      part(logF.orderBy(col("graft_f").desc), c).filter(!_.isEmpty)
+        .map(_.limit(1)).orElse(prev.flatMap(part(_, c)).map(_.limit(1)))
+    val parts = adds.toSeq ++ newest("metaData").toSeq ++ newest("protocol").toSeq
+    val snapshot = parts
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    // single checkpoint file: write to a temp dir, move the part file in
+    val tmpDir = new HPath(log, s".cp_tmp_$version")
+    snapshot.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val partFile = fs.listStatus(tmpDir)
+      .find(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
+    val cpFile = new HPath(log, f"$version%020d.checkpoint.parquet")
+    fs.delete(cpFile, false)
+    if (!fs.rename(partFile.getPath, cpFile))
+      throw new IllegalStateException(s"checkpoint rename failed: $cpFile")
+    fs.delete(tmpDir, true)
+    val lc = fs.create(new HPath(log, "_last_checkpoint"), true)
+    try lc.write(s"""{"version":$version,"size":${snapshot.count()}}""".getBytes("UTF-8"))
+    finally lc.close()
+  }
+
+  /** Version of the newest checkpoint per `_last_checkpoint`, if any. */
+  private def lastCheckpointVersion(fs: FileSystem, log: HPath): Option[Long] = {
+    val p = new HPath(log, "_last_checkpoint")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      Option(node.get("version")).map(_.asLong)
+    } catch { case _: Exception => None }
+  }
+
+  /** Table dir has a delta log → snapshot = adds − removes, replayed from
+    * the newest checkpoint (if any) plus only the commits after it — old
+    * commits may have been cleaned up. Parsing uses Spark's own JSON/
+    * parquet readers (tiny driver-side jobs, no extra dependency); our
+    * writer never emits removes but replaying them keeps the reader
+    * correct on logs other writers produced.
     */
   def activeFiles(spark: SparkSession, path: String): Seq[String] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val commits = existingVersions(fs, logDir(tbl))
-      .map(v => new HPath(logDir(tbl), commitName(v)).toString)
-    if (commits.isEmpty) return Nil
-    val log = spark.read.json(commits: _*)
-    val adds =
-      if (log.columns.contains("add"))
-        log.where(col("add").isNotNull).select(col("add.path"))
+    val log = logDir(tbl)
+    val cpVersion = lastCheckpointVersion(fs, log)
+    val cpAdds: Seq[String] = cpVersion.toSeq.flatMap { v =>
+      val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
+      if (cp.columns.contains("add"))
+        cp.where(col("add").isNotNull).select(col("add.path"))
           .collect().map(_.getString(0)).toSeq
       else Nil
-    val removes =
-      if (log.columns.contains("remove"))
-        log.where(col("remove").isNotNull).select(col("remove.path"))
-          .collect().map(_.getString(0)).toSet
-      else Set.empty[String]
-    adds.filterNot(removes).map(rel => new HPath(tbl, rel).toString)
+    }
+    val commits = existingVersions(fs, log)
+      .filter(v => cpVersion.forall(v > _))
+      .map(v => new HPath(log, commitName(v)).toString)
+    if (commits.isEmpty && cpAdds.isEmpty) return Nil
+    val (commitAdds, removes) =
+      if (commits.isEmpty) (Nil, Set.empty[String])
+      else {
+        val logF = spark.read.json(commits: _*)
+        val a =
+          if (logF.columns.contains("add"))
+            logF.where(col("add").isNotNull).select(col("add.path"))
+              .collect().map(_.getString(0)).toSeq
+          else Nil
+        val r =
+          if (logF.columns.contains("remove"))
+            logF.where(col("remove").isNotNull).select(col("remove.path"))
+              .collect().map(_.getString(0)).toSet
+          else Set.empty[String]
+        (a, r)
+      }
+    (cpAdds ++ commitAdds).filterNot(removes)
+      .map(rel => new HPath(tbl, rel).toString)
   }
 
   /** Snapshot read: the log's active files, partition columns re-inferred

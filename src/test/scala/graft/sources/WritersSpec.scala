@@ -182,6 +182,30 @@ class WritersSpec extends SparkSpec {
     assert(Loaders.load(spark, p, "pg").df.count() == 3)
   }
 
+  test("delta checkpoint bounds log replay: reads survive cleaned-up commits") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_checkpoint")
+    def row(i: Long) = Seq((i, s"n$i", i * 1.0)).toDF("id", "name", "v")
+    Writers.writeDeltaTable(row(0), "overwrite", p) // v0
+    DeltaLog.write(row(1), "append", p, checkpointInterval = 2) // v1
+    DeltaLog.write(row(2), "append", p, checkpointInterval = 2) // v2 → checkpoint
+    val cp = Paths.get(p, "_delta_log", "0" * 19 + "2.checkpoint.parquet")
+    assert(Files.isRegularFile(cp), "checkpoint parquet must exist at v2")
+    assert(Files.readString(Paths.get(p, "_delta_log", "_last_checkpoint"))
+      .contains("\"version\":2"))
+    DeltaLog.write(row(3), "append", p, checkpointInterval = 2) // v3 after cp
+    // clean up everything the checkpoint supersedes — per the protocol,
+    // readers must reconstruct state from checkpoint + later commits only
+    for (v <- 0 to 2)
+      Files.delete(Paths.get(p, "_delta_log", ("0" * 19 + v.toString) + ".json"))
+    val back = Loaders.load(spark, p, "cp_back").df
+    assert(back.count() == 4, "snapshot must include checkpointed + later adds")
+    assert(back.select("id").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    // partition guard still works when only the checkpoint holds metaData
+    DeltaLog.write(row(4), "append", p, checkpointInterval = 2) // v4 → checkpoint
+    assert(Loaders.load(spark, p, "cp_back2").df.count() == 5)
+  }
+
   test("delta snapshot reader ignores files not referenced by the log") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_orphan")
