@@ -29,11 +29,23 @@ object FillDownScalable {
     // Deterministic tiebreak: pass A and pass B each re-sort re-fetched
     // shuffle blocks, and shuffle fetch order is nondeterministic — if
     // orderCols ties, the trailing value pass A records could come from a
-    // different tie-ordering than pass B observes. A full-row hash appended
-    // to the sort key makes the order total (up to identical rows, which
-    // carry identical fill values), so both passes see one global order.
+    // different tie-ordering than pass B observes. A row hash appended to
+    // the sort key makes the order total up to rows identical in the
+    // hashed columns — which include every fill column, so interchangeable
+    // rows carry identical fill values. Hash input is restricted to
+    // hashable types (xxhash64 rejects maps).
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val hashCols = (orderCols ++ cols).distinct
+      .filter(c => hashable(df.schema(c).dataType))
+      .map(col)
     val tbCol = "graft_fd_tiebreak"
-    val keyed = df.withColumn(tbCol, xxhash64(struct(df.columns.map(col): _*)))
+    val keyed = df.withColumn(tbCol,
+      if (hashCols.nonEmpty) xxhash64(struct(hashCols: _*)) else lit(0L))
     val keys = (orderCols :+ tbCol).map(col)
     val ranged = keyed
       .repartitionByRange(parts, keys: _*)

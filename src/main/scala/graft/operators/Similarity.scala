@@ -85,12 +85,7 @@ object Similarity {
       .select(col("corpus_id").as("cent_id"), col("cv").as("centv"))
     val assigned = assignToLists(c, centroids)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qLists = q.join(broadcast(centroids))
-      .withColumn("d", V.l2Distance(col("qv"), col("centv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cent_id").asc)))
-      .where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
+    val qLists = probeLists(q, centroids, nprobe)
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
@@ -101,6 +96,18 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
+
+  /** Each query's `nprobe` nearest centroid lists (deterministic cent_id
+    * tie-break) — shared by the in-memory and indexed probe paths.
+    */
+  private def probeLists(q: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    q.join(broadcast(centroids))
+      .withColumn("d", V.l2Distance(col("qv"), col("centv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cent_id").asc)))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
 
   private def assignToLists(c: DataFrame, centroids: DataFrame): DataFrame =
     c.join(broadcast(centroids))
@@ -137,14 +144,12 @@ object Similarity {
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"${indexPath}_centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qLists = q.join(broadcast(centroids))
-      .withColumn("d", V.l2Distance(col("qv"), col("centv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cent_id").asc)))
-      .where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
+    val qLists = probeLists(q, centroids, nprobe)
+    // collect list ids as raw values so the isin literals keep the
+    // partition column's native type (a long literal against an int
+    // partition column would defeat pruning; a getLong would crash)
     val probed = qLists.select("list_id").distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.get(0))
     val assigned = spark.read.parquet(indexPath)
       .where(col("list_id").isin(probed.toIndexedSeq: _*))
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))

@@ -36,6 +36,15 @@ object DeltaLog {
 
   private def logDir(tbl: HPath) = new HPath(tbl, "_delta_log")
 
+  private def readString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      out.toString("UTF-8")
+    } finally in.close()
+  }
+
   private def commitName(version: Long) = f"$version%020d.json"
 
   /** Recursive data-file listing (relative path → status), excluding the
@@ -92,12 +101,7 @@ object DeltaLog {
     import com.fasterxml.jackson.databind.ObjectMapper
     val mapper = new ObjectMapper()
     existingVersions(fs, log).reverse.iterator.flatMap { v =>
-      val in = fs.open(new HPath(log, commitName(v)))
-      val text = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-        out.toString("UTF-8")
-      } finally in.close()
+      val text = readString(fs, new HPath(log, commitName(v)))
       text.linesIterator.flatMap { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         val md = if (node == null) null else node.get("metaData")
@@ -133,8 +137,14 @@ object DeltaLog {
     val m = mode.toLowerCase
     require(Set("overwrite", "append", "merge").contains(m),
       s"writeDeltaTable: bad mode '$mode'")
-    val fresh = m == "overwrite" || existingVersions(fs, logDir(tbl)).isEmpty
-    if (!fresh) {
+    // "fresh" = this commit starts a new log (version 0). Overwrite always
+    // does; append/merge only when the log doesn't exist yet. In the
+    // latter case any parquet already in the directory is BOOTSTRAPPED
+    // into the version-0 snapshot, never wiped — an append must not
+    // destroy a pre-delta table.
+    val hasLog = existingVersions(fs, logDir(tbl)).nonEmpty
+    val fresh = m == "overwrite" || !hasLog
+    if (hasLog && m != "overwrite") {
       // appends must match the table's declared partitioning — silently
       // mixing layouts would corrupt partition inference on read. Falls
       // back to the checkpoint's metaData when older commits were cleaned.
@@ -156,13 +166,36 @@ object DeltaLog {
             cols)
       }
     }
+    if (!hasLog && m != "overwrite" && partitionBy.nonEmpty &&
+        dataFiles(fs, tbl).nonEmpty)
+      throw graft.GraftError.PartitionError(
+        "cannot bootstrap a partitioned delta table by appending to an " +
+          "existing non-delta directory (layouts would mix); overwrite instead",
+        partitionBy)
     if (m == "overwrite" && fs.exists(tbl)) fs.delete(tbl, true)
 
-    val before = if (fresh) Map.empty[String, FileStatus] else dataFiles(fs, tbl)
-    val w = df.write.mode(if (fresh) "overwrite" else "append")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-    val after = dataFiles(fs, tbl)
-    val newFiles = (after -- before.keySet).toSeq.sortBy(_._1)
+    // Stage-and-move: write the new files into a staging dir and rename
+    // them into the table, so the commit's add set is known from the
+    // (small) staging listing — an append never needs to list the whole
+    // table, whose file count is unbounded at scale. Version-0 commits
+    // (overwrite or bootstrap) list the table once to pick up everything
+    // present, including bootstrapped pre-delta files.
+    val stage = new HPath(tbl, s".graft_stage_${java.util.UUID.randomUUID()}")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    val staged = dataFiles(fs, stage)
+    staged.foreach { case (rel, _) =>
+      val target = new HPath(tbl, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(new HPath(stage, rel), target))
+        throw new IllegalStateException(s"delta data move failed: $target")
+    }
+    fs.delete(stage, true)
+    val newFiles: Seq[(String, FileStatus)] =
+      if (fresh) dataFiles(fs, tbl).toSeq.sortBy(_._1) // incl. bootstrapped files
+      else staged.keys.toSeq.sorted
+        .map(rel => rel -> fs.getFileStatus(new HPath(tbl, rel)))
 
     val version = if (fresh) 0L
       else existingVersions(fs, logDir(tbl)).lastOption.map(_ + 1).getOrElse(0L)
@@ -224,8 +257,9 @@ object DeltaLog {
       .map(_.where(!col("add.path").isin(removed.toSeq: _*)))
     // newest metaData/protocol: commits win over the previous checkpoint
     def newest(c: String): Option[DataFrame] =
-      part(logF.orderBy(col("graft_f").desc), c).filter(!_.isEmpty)
-        .map(_.limit(1)).orElse(prev.flatMap(part(_, c)).map(_.limit(1)))
+      part(logF.orderBy(col("graft_f").desc), c).map(_.limit(1))
+        .filter(!_.isEmpty) // probe runs on the 1-row plan, not the full log
+        .orElse(prev.flatMap(part(_, c)).map(_.limit(1)))
     val parts = adds.toSeq ++ newest("metaData").toSeq ++ newest("protocol").toSeq
     val snapshot = parts
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -241,8 +275,10 @@ object DeltaLog {
     if (!fs.rename(partFile.getPath, cpFile))
       throw new IllegalStateException(s"checkpoint rename failed: $cpFile")
     fs.delete(tmpDir, true)
+    // size from the just-written single file — not a second full log replay
+    val size = spark.read.parquet(cpFile.toString).count()
     val lc = fs.create(new HPath(log, "_last_checkpoint"), true)
-    try lc.write(s"""{"version":$version,"size":${snapshot.count()}}""".getBytes("UTF-8"))
+    try lc.write(s"""{"version":$version,"size":$size}""".getBytes("UTF-8"))
     finally lc.close()
   }
 
@@ -250,12 +286,7 @@ object DeltaLog {
   private def lastCheckpointVersion(fs: FileSystem, log: HPath): Option[Long] = {
     val p = new HPath(log, "_last_checkpoint")
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-      out.toString("UTF-8")
-    } finally in.close()
+    val text = readString(fs, p)
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
       Option(node.get("version")).map(_.asLong)

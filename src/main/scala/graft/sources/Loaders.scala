@@ -76,11 +76,21 @@ object Loaders {
       val hPath = new HPath(path)
       val fs = hPath.getFileSystem(conf)
       val status = fs.getFileStatus(hPath)
-      // a parquet "path" may be a single file or a directory of part files
+      // a parquet "path" may be a single file, a directory of part files,
+      // or a PARTITIONED directory whose top level holds only col=val
+      // subdirs — walk recursively to the first data file
       val file: Option[HPath] =
         if (status.isFile) Some(hPath)
-        else fs.listStatus(hPath).collectFirst {
-          case s if s.isFile && s.getPath.getName.endsWith(".parquet") => s.getPath
+        else {
+          val it = fs.listFiles(hPath, true)
+          var found: Option[HPath] = None
+          while (found.isEmpty && it.hasNext) {
+            val s = it.next()
+            val name = s.getPath.getName
+            if (s.isFile && name.endsWith(".parquet") && !name.startsWith("."))
+              found = Some(s.getPath)
+          }
+          found
         }
       file match {
         case None => Set.empty
@@ -102,7 +112,15 @@ object Loaders {
             }.toSet
           } finally reader.close()
       }
-    } catch { case _: Throwable => Set.empty } // footer unreadable → no rewrite
+    } catch {
+      // a failed probe must be visible, not indistinguishable from "no
+      // nano columns" — on a transient FS error the rewrite silently
+      // varying between retries would be nondeterministic corruption
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] WARN nano-ts footer probe failed for $path: ${e.getMessage}")
+        Set.empty
+    }
   }
 
   private def normalizeNanoTimestamps(spark: SparkSession, path: String,

@@ -77,6 +77,13 @@ object EventStreams {
     * on a stream retains every key forever and OOMs at 100 TB/day).
     * Batch path: deterministic first-occurrence keep (earliest by
     * `tsCol`, then `tieBreak`) — the form the DuckDB oracle verifies.
+    *
+    * Survivor contract differs between the paths, by design: both keep
+    * exactly one row per key, but the stream keeps the FIRST-ARRIVING
+    * duplicate (processing order; `tieBreak` has no effect) while batch
+    * keeps the earliest by EVENT time — with out-of-order arrivals inside
+    * the watermark, replaying the same data in batch can pick a different
+    * surviving row for a key. Key SETS always agree.
     */
   def dedupEvents(events: DataFrame, tsCol: String, idCols: Seq[String],
       watermark: String = "10 minutes", tieBreak: Seq[String] = Nil): DataFrame =

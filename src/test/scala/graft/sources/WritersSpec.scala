@@ -206,6 +206,26 @@ class WritersSpec extends SparkSpec {
     assert(Loaders.load(spark, p, "cp_back2").df.count() == 5)
   }
 
+  test("delta append to a pre-delta parquet dir bootstraps instead of wiping") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_bootstrap")
+    // legacy data written without any _delta_log
+    df.write.mode("overwrite").parquet(p)
+    Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"), "append", p)
+    // the version-0 commit must cover BOTH the pre-existing and new files
+    val back = Loaders.load(spark, p, "boot").df
+    assert(back.count() == 3, "append must preserve pre-delta rows")
+    assert(back.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // bootstrapping WITH partitioning over existing flat files would mix
+    // layouts — rejected
+    val p2 = tmp("delta_bootstrap_part")
+    df.write.mode("overwrite").parquet(p2)
+    intercept[graft.GraftError.PartitionError] {
+      Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"),
+        "append", p2, partitionBy = Seq("name"))
+    }
+  }
+
   test("delta snapshot reader ignores files not referenced by the log") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_orphan")
