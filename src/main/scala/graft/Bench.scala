@@ -44,14 +44,23 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = headline.map { name =>
+    // median-of-3 at the target SF: a single run per query is
+    // noise-dominated (two queries swung 50 % between rounds with zero
+    // code change), so per-query deltas only mean anything over repeats
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).foreach(_ => ()); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { SparkEntry.queries(name)(spark, sfDir).foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
+    }
+    val results = headline.map { name =>
+      val runs = Seq.fill(reps)(timeOnce(name))
+      val median =
+        if (runs.exists(_ < 0)) -1.0
+        else runs.sorted.apply(runs.length / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

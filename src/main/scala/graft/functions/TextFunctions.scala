@@ -97,9 +97,21 @@ object TextFunctions {
       filter(tokens(text), t => length(t) > 0))))
 
   /** 64-bit fingerprint of the canonical key (xxhash64 — stable across
-    * Spark versions and partitionings).
+    * Spark versions and partitionings). As a DEDUP KEY this has the
+    * 64-bit birthday collision risk (~27 expected false-merges at
+    * 3×10¹⁰ docs) — use [[fingerprint128]] when grouping a corpus on it.
     */
   def fingerprint64(text: Column): Column = xxhash64(fingerprintKey(text))
+
+  /** 128-bit fingerprint of the canonical key as a struct of two
+    * independently-seeded xxhash64 words — collision-safe at corpus scale
+    * (n²/2¹²⁹ birthday term). Same construction as
+    * [[graft.operators.Dedup]]'s internal grouping key.
+    */
+  def fingerprint128(text: Column): Column = {
+    val k = fingerprintKey(text)
+    struct(xxhash64(lit(1L), k).as("h1"), xxhash64(lit(2L), k).as("h2"))
+  }
 
   /** Normalized text for near-dup pipelines: lowercase, strip
     * punctuation, collapse whitespace.

@@ -17,29 +17,44 @@ import graft.plans.HashExpressions
   */
 object Dedup {
 
+  /** 128-bit dedup key: two independently-seeded xxhash64 words (seed goes
+    * in as a prefix column, the same trick as [[graft.plans.SimHashMd5Wide]]
+    * widening). A single 64-bit key silently FALSE-MERGES distinct
+    * documents at corpus scale — birthday expectation n²/2⁶⁵ ≈ 0.03
+    * collisions at 10⁹ docs but ~27 at 3×10¹⁰, i.e. real data loss in
+    * exactly the regime this suite targets. Two words push that to n²/2¹²⁹
+    * ≈ 1.3×10⁻¹⁸ at 3×10¹⁰ docs. Shuffle rows grow 8 B (16 B key + id vs
+    * 8 B + id) — still never the document body.
+    */
+  private def key128(c: Column): Column =
+    struct(xxhash64(lit(1L), c).as("h1"), xxhash64(lit(2L), c).as("h2"))
+
   /** Exact dedup on raw text: one row per distinct text, smallest id
-    * survives. A single hash-partition shuffle on xxhash64(text) — at
-    * 100 TB group on the 64-bit hash, not the full text, so shuffle rows
-    * carry 8 bytes + id instead of the document body.
+    * survives. A single hash-partition shuffle on a 128-bit key of the
+    * text (see [[key128]]) — at 100 TB group on the hash, not the full
+    * text, so shuffle rows carry 16 bytes + id instead of the document
+    * body.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), col(textCol), xxhash64(col(textCol)).as("graft_h"))
+    df.select(col(idCol), key128(col(textCol)).as("graft_h"))
       .groupBy(col("graft_h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .drop("graft_h")
 
   /** Exact dedup after text normalization (lowercase, strip punctuation,
     * collapse whitespace) — catches trivially-reformatted duplicates.
+    * Groups on the 128-bit key of the normalized text, not the text
+    * itself, for the same shuffle-width reason as [[exact]].
     */
   def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), T.normalizeText(col(textCol)).as("graft_norm"))
-      .groupBy(col("graft_norm"))
+    df.select(col(idCol), key128(T.normalizeText(col(textCol))).as("graft_h"))
+      .groupBy(col("graft_h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
-      .drop("graft_norm")
+      .drop("graft_h")
 
   /** Survivor set of exact dedup: rows whose id is the keeper. */
   def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    val w = Window.partitionBy(key128(col(textCol))).orderBy(col(idCol))
     df.withColumn("graft_rn", row_number().over(w))
       .where(col("graft_rn") === 1).drop("graft_rn")
   }

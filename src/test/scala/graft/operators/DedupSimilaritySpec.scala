@@ -37,6 +37,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 4L, 5L))
   }
 
+  test("exact dedup key is 128-bit: two independent seeded xxhash64 words") {
+    // Collision math motivating the width: grouping on a single 64-bit
+    // hash expects ~n²/2⁶⁵ false-merges — 0.03 at 10⁹ docs but ~27 at
+    // 3×10¹⁰, silent data loss at target scale. Two seeded words give
+    // n²/2¹²⁹ ≈ 1.3×10⁻¹⁸ at 3×10¹⁰. Here we pin the construction: the
+    // words must be INDEPENDENT (different seed prefixes), not one word
+    // duplicated, or the effective width collapses back to 64 bits.
+    val sp = spark; import sp.implicits._
+    val words = Seq("alpha", "beta").toDF("t")
+      .select(
+        xxhash64(lit(1L), col("t")).as("h1"),
+        xxhash64(lit(2L), col("t")).as("h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    words.foreach { case (h1, h2) =>
+      assert(h1 != h2, "seeded words must differ — else the key is 64-bit")
+    }
+    assert(words.map(_._1).distinct.length == 2)
+    // and the dedup output is invariant: distinct texts stay distinct
+    assert(Dedup.exact(docs, "text", "doc_id").count() == 4L)
+  }
+
+  test("fingerprint128 agrees with fingerprint64 on equality classes") {
+    val sp = spark; import sp.implicits._
+    val df = Seq("the cat sat", "sat the cat", "a dog ran").toDF("t")
+      .select(TF.fingerprint64(col("t")).as("f64"),
+        TF.fingerprint128(col("t")).as("f128"))
+      .collect()
+    // token-multiset-equal texts collapse under both widths
+    assert(df(0).get(0) == df(1).get(0) && df(0).get(1) == df(1).get(1))
+    assert(df(0).get(0) != df(2).get(0) && df(0).get(1) != df(2).get(1))
+  }
+
   test("minhash LSH finds the planted near-duplicate pair") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
       numHashes = 32, bands = 16, shingleWords = 3, jaccardThreshold = 0.3)
