@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.GraftFrame
 import graft.normalize.Normalize
-import java.io.{FileInputStream, FileOutputStream}
+import org.apache.hadoop.fs.{Path => HPath}
 import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 import scala.xml.XML
 
@@ -25,7 +25,7 @@ object ExcelLoader {
   // ───────────────────────────── reader ─────────────────────────────────
 
   def load(spark: SparkSession, path: String, alias: String): GraftFrame = {
-    val parts = readZip(path)
+    val parts = readZip(spark, path)
     val sheetXmlName = parts.keys
       .find(_.matches("xl/worksheets/sheet1\\.xml"))
       .orElse(parts.keys.find(_.startsWith("xl/worksheets/")))
@@ -70,13 +70,35 @@ object ExcelLoader {
   private def colIndex(letters: String): Int =
     letters.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
 
-  private def readZip(path: String): Map[String, String] = {
-    val zis = new ZipInputStream(new FileInputStream(path))
+  /** Open via the Hadoop FS API (HDFS/S3/file: paths all work) and sniff
+    * the container by magic bytes, the way calamine dispatches on content
+    * (reference src/features/excel.rs:385-645): `PK` → OOXML zip (even if
+    * the file is named `.xls` — mislabeled xlsx is common), the OLE2
+    * signature D0 CF 11 E0 → genuine legacy BIFF, which this reader does
+    * not parse → typed InvalidOperation, not an opaque zip error.
+    */
+  private def readZip(spark: SparkSession, path: String): Map[String, String] = {
+    val hPath = new HPath(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.BufferedInputStream(fs.open(hPath))
     try {
+      in.mark(8)
+      val magic = new Array[Byte](4)
+      val n = in.readNBytes(magic, 0, 4)
+      in.reset()
+      if (n >= 4 && magic(0) == 0xD0.toByte && magic(1) == 0xCF.toByte &&
+          magic(2) == 0x11.toByte && magic(3) == 0xE0.toByte)
+        throw graft.GraftError.InvalidOperation("load_excel",
+          s"$path is a legacy binary .xls (BIFF/OLE2) workbook; this reader " +
+            "supports OOXML .xlsx only — re-save the file as .xlsx")
+      if (n < 2 || magic(0) != 'P'.toByte || magic(1) != 'K'.toByte)
+        throw graft.GraftError.InvalidOperation("load_excel",
+          s"$path is not an xlsx workbook (missing zip signature)")
+      val zis = new ZipInputStream(in)
       Iterator.continually(zis.getNextEntry).takeWhile(_ != null).map { e =>
         e.getName -> new String(zis.readAllBytes(), "UTF-8")
       }.toMap
-    } finally zis.close()
+    } finally in.close()
   }
 
   // ───────────────────────────── writer ─────────────────────────────────
@@ -144,9 +166,12 @@ object ExcelLoader {
         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
         """</Relationships>"""
 
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(path).toAbsolutePath.getParent)
-    val zos = new ZipOutputStream(new FileOutputStream(path))
+    // write through the Hadoop FS API so xlsx sinks work on any
+    // filesystem, not just local disk (same fix class as folder/JSON loads)
+    val hPath = new HPath(path)
+    val fs = hPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    Option(hPath.getParent).foreach(fs.mkdirs(_))
+    val zos = new ZipOutputStream(fs.create(hPath, true))
     try {
       def put(name: String, content: String): Unit = {
         zos.putNextEntry(new ZipEntry(name))

@@ -252,13 +252,15 @@ object Loaders {
     // 100 TB story (only the listing is driver-side; reads stay lazy).
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every dispatchable format, matching the reference's folder loader
+    // (src/elusion.rs:6765-7265 handles csv/json/parquet/xml/xlsx alike)
     val files = fs.listStatus(hPath)
       .filter(s => s.isFile &&
-        s.getPath.getName.toLowerCase.matches(".*\\.(csv|json|parquet)$"))
+        s.getPath.getName.toLowerCase.matches(".*\\.(csv|json|parquet|xml|xlsx|xls)$"))
       .sortBy(_.getPath.getName)
     if (files.isEmpty)
       throw graft.GraftError.InvalidOperation("load_folder",
-        s"no supported files (csv/json/parquet) in $dir")
+        s"no supported files (csv/json/parquet/xml/xlsx) in $dir")
     val frames = files.map { f =>
       // full qualified path (scheme + authority kept): on s3a://bucket/dir
       // or hdfs://nn/dir the per-file load must re-open the SAME

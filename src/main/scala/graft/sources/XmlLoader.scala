@@ -28,14 +28,20 @@ object XmlLoader {
     * (xml.rs:1841-1862): a record whose SAME parent repeats ≥ 2 DIFFERENT
     * child element types is a multi-relationship record → Cartesian; a
     * single repeating child type (header-detail) or flat records →
-    * Standard.
+    * Standard. Wrapper elements (a tag holding only a homogeneous list,
+    * like `<orders><order/>…</orders>`) are spliced transparently before
+    * both detection and flattening.
     */
   def load(spark: SparkSession, path: String, alias: String,
       recordTag: Option[String] = None,
       mode: XmlMode = Auto): GraftFrame = {
-    val root = XML.loadFile(path)
+    // open via the Hadoop FS API so xml loads work on HDFS/S3/file: paths
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hPath)
+    val root = try XML.load(in) finally in.close()
     val tag = recordTag.getOrElse(detectRecordTag(root))
-    val records = (root \\ tag).collect { case e: Elem => e }
+    val records = (root \\ tag).collect { case e: Elem => spliceWrappers(e) }
     require(records.nonEmpty, s"loadXml: no <$tag> records in $path")
     val effective = mode match {
       case Auto =>
@@ -47,6 +53,34 @@ object XmlLoader {
       case Cartesian => cartesianFlatten(spark, records, alias)
       case _ => standardFlatten(spark, records, alias)
     }
+  }
+
+  /** A wrapper is an element with no attributes, no text of its own, whose
+    * element children are homogeneous (one label) and either repeat or are
+    * themselves non-scalar — `<orders><order>…</order>…</orders>`. Splice
+    * it away (children move up) so relationship detection and Cartesian
+    * grouping see `customer → order` directly, the way the reference's
+    * analyzer tracks full paths rather than only direct children
+    * (xml.rs:172-615). A single SCALAR homogeneous child
+    * (`<address><city>X</city></address>`) is a field holder, not a
+    * wrapper, and is kept.
+    */
+  private def isWrapper(e: Elem): Boolean = {
+    val elems = e.child.collect { case c: Elem => c }
+    e.attributes.isEmpty &&
+      e.child.forall(c => c.isInstanceOf[Elem] || c.text.trim.isEmpty) &&
+      elems.nonEmpty && elems.map(_.label).distinct.size == 1 &&
+      (elems.size >= 2 || !isScalar(elems.head))
+  }
+
+  private def spliceWrappers(e: Elem): Elem = {
+    val newChildren = e.child.flatMap {
+      case c: Elem if isWrapper(c) =>
+        c.child.collect { case g: Elem => spliceWrappers(g) }
+      case c: Elem => Seq(spliceWrappers(c))
+      case other => Seq(other)
+    }
+    e.copy(child = newChildren)
   }
 
   private def standardFlatten(spark: SparkSession, records: Seq[Elem],
@@ -140,21 +174,57 @@ object XmlLoader {
 
   private def isScalar(e: Elem): Boolean = !e.child.exists(_.isInstanceOf[Elem])
 
-  /** Auto mode: the repeating element (count > 1) whose children are
-    * scalar, preferring the most frequent (reference XmlAnalyzer's
-    * repeating-element detection, xml.rs:172-615).
+  /** Auto-mode record-element selection via relationship + cardinality
+    * analysis (reference XmlAnalyzer, xml.rs:172-615: per-parent child
+    * counts → Cardinality, multi-element patterns = parents with ≥ 2
+    * repeating child groups, ranked by max_count × parent_count impact).
+    *
+    * 1. Walk the wrapper-spliced tree recording, for every (parent label,
+    *    child label) relationship, the child count inside each parent
+    *    INSTANCE — per-instance max ≥ 2 means one-to-many, the analog of
+    *    the reference's `Cardinality::OneToMany`.
+    * 2. A parent with ≥ 2 DISTINCT one-to-many child groups is a
+    *    multi-entity record (reference find_multi_element_patterns) — the
+    *    highest-impact one wins. This is what keeps two sibling repeating
+    *    entities (`<customer><order/><order/><address/><address/>`)
+    *    flattening as customer×orders×addresses instead of silently
+    *    picking whichever child is globally most frequent and dropping
+    *    the rest.
+    * 3. Otherwise fall back to the most frequent repeating element
+    *    (reference find_most_frequent_element), the header-detail / flat
+    *    collection case.
     */
   private[sources] def detectRecordTag(root: Elem): String = {
+    val spliced = spliceWrappers(root)
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    def walk(n: Node): Unit = n.child.foreach {
-      case e: Elem =>
-        if (isScalar(e) || e.child.exists(_.isInstanceOf[Elem]))
-          counts(e.label) = counts.getOrElse(e.label, 0) + 1
-        walk(e)
-      case _ => ()
+    // (parent label, child label) → per-parent-instance counts
+    val rel = scala.collection.mutable.LinkedHashMap.empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    val parentInstances = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def walk(e: Elem): Unit = {
+      val elems = e.child.collect { case c: Elem => c }
+      if (elems.nonEmpty) {
+        parentInstances(e.label) = parentInstances.getOrElse(e.label, 0) + 1
+        elems.groupBy(_.label).foreach { case (cl, cs) =>
+          rel.getOrElseUpdate((e.label, cl), scala.collection.mutable.ArrayBuffer.empty) += cs.size
+        }
+      }
+      elems.foreach { c =>
+        counts(c.label) = counts.getOrElse(c.label, 0) + 1
+        walk(c)
+      }
     }
-    walk(root)
-    counts.filter(_._2 > 1).maxByOption(_._2).map(_._1)
+    walk(spliced)
+    // one-to-many groups per parent, with reference-style impact weight
+    val oneToMany = rel.toSeq.collect {
+      case ((p, c), occ) if occ.max >= 2 => (p, c, occ.max * occ.size)
+    }
+    val multiEntity = oneToMany.groupBy(_._1).collect {
+      case (p, groups) if groups.map(_._2).distinct.size >= 2 =>
+        p -> groups.map(_._3).sum
+    }
+    multiEntity.toSeq.sortBy { case (p, impact) => (-impact, p) }.headOption
+      .map(_._1)
+      .orElse(counts.filter(_._2 > 1).maxByOption(_._2).map(_._1))
       .getOrElse(root.child.collectFirst { case e: Elem => e.label }
         .getOrElse(root.label))
   }

@@ -46,6 +46,41 @@ class ExcelLoaderSpec extends SparkSpec {
     assert(out.getAs[Long]("n") == 2)
   }
 
+  test("file:-URI xlsx roundtrip goes through the Hadoop FS API") {
+    val p = tmp("uri.xlsx")
+    ExcelLoader.write(df, p)
+    val uri = Paths.get(p).toAbsolutePath.toUri.toString // file:///…
+    assert(uri.startsWith("file:"))
+    assert(ExcelLoader.load(spark, uri, "u").df.count() == 3)
+  }
+
+  test("genuine BIFF .xls is rejected with a typed error, not a zip failure") {
+    val p = tmp("legacy.xls")
+    // OLE2 compound-document signature that opens every real BIFF .xls
+    val ole2 = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+    Files.write(Paths.get(p), ole2 ++ Array.fill[Byte](512)(0))
+    val e = intercept[graft.GraftError.InvalidOperation] {
+      Loaders.load(spark, p, "x")
+    }
+    assert(e.getMessage.contains("BIFF"))
+    assert(e.getMessage.contains("re-save the file as .xlsx"))
+  }
+
+  test("mislabeled xlsx named .xls still loads (content sniff, not extension)") {
+    val p = tmp("mislabeled.xls")
+    ExcelLoader.write(df, p)
+    assert(Loaders.load(spark, p, "m").df.count() == 3)
+  }
+
+  test("non-excel bytes give a typed missing-signature error") {
+    val p = tmp("garbage.xlsx")
+    Files.write(Paths.get(p), "this is not a zip".getBytes)
+    val e = intercept[graft.GraftError.InvalidOperation] {
+      ExcelLoader.load(spark, p, "g")
+    }
+    assert(e.getMessage.contains("zip signature"))
+  }
+
   test("nulls render as empty cells and load back as null") {
     val sp = spark; import sp.implicits._
     val withNull = Seq(("a", java.lang.Double.valueOf(1.5)),

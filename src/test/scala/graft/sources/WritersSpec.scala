@@ -101,6 +101,22 @@ class WritersSpec extends SparkSpec {
     assert(Loaders.loadJson(spark, uri, "juri").df.count() == 2)
   }
 
+  test("folder loader unions every dispatchable format (csv + xlsx + xml)") {
+    val sp = spark; import sp.implicits._
+    val dir = tmp("folder_mixed")
+    // string columns everywhere so the per-loader smart-cast votes agree
+    Writers.writeCsvSingle(Seq(("ada", "paris")).toDF("name", "city"),
+      "overwrite", s"$dir/a.csv")
+    ExcelLoader.write(Seq(("kay", "lyon")).toDF("name", "city"), s"$dir/b.xlsx")
+    Files.writeString(Paths.get(s"$dir/c.xml"),
+      "<root><row><name>iva</name><city>nice</city></row>" +
+        "<row><name>udo</name><city>bonn</city></row></root>")
+    val out = Loaders.loadFolder(spark, dir, "mixed").df
+    assert(out.count() == 4)
+    assert(out.select("name").collect().map(_.getString(0)).toSet ==
+      Set("ada", "kay", "iva", "udo"))
+  }
+
   test("folder loader with filename column prepends source file name") {
     val sp = spark; import sp.implicits._
     val dir = tmp("folder_fn")

@@ -88,6 +88,74 @@ class XmlLoaderSpec extends SparkSpec {
     assert(std.count() == 2)
   }
 
+  test("auto mode picks the multi-entity parent, not the most frequent child") {
+    // two sibling repeating entities inside customer: the old heuristic
+    // (globally most frequent repeating element) would pick order (4 > 2
+    // customers) and silently drop names and addresses — the analyzer's
+    // relationship/cardinality pass must pick customer and cross its groups
+    val xml =
+      """<root>
+        |  <customer>
+        |    <name>ada</name>
+        |    <order><oid>1</oid></order>
+        |    <order><oid>2</oid></order>
+        |    <address><city>x</city></address>
+        |    <address><city>y</city></address>
+        |  </customer>
+        |  <customer>
+        |    <name>kay</name>
+        |    <order><oid>3</oid></order>
+        |    <order><oid>4</oid></order>
+        |    <address><city>z</city></address>
+        |  </customer>
+        |</root>""".stripMargin
+    val p = writeTemp("multi.xml", xml)
+    assert(XmlLoader.detectRecordTag(scala.xml.XML.loadString(xml)) == "customer")
+    val df = XmlLoader.load(spark, p, "me").df
+    assert(df.columns.toSet == Set("name", "order_oid", "address_city"))
+    // ada: 2 orders × 2 addresses = 4 rows; kay: 2 × 1 = 2
+    assert(df.count() == 6)
+    assert(df.where("name = 'ada'").count() == 4)
+  }
+
+  test("wrapper elements are transparent to detection and flattening") {
+    // same entities but list-wrapped (<orders><order/>…</orders>): the
+    // analyzer must see customer → order through the wrapper, and the
+    // Cartesian flatten must cross the spliced groups
+    val xml =
+      """<root>
+        |  <customer>
+        |    <name>ada</name>
+        |    <orders>
+        |      <order><oid>1</oid></order>
+        |      <order><oid>2</oid></order>
+        |    </orders>
+        |    <addresses>
+        |      <address><city>x</city></address>
+        |      <address><city>y</city></address>
+        |    </addresses>
+        |  </customer>
+        |</root>""".stripMargin
+    val p = writeTemp("wrapped.xml", xml)
+    assert(XmlLoader.detectRecordTag(scala.xml.XML.loadString(xml)) == "customer")
+    val df = XmlLoader.load(spark, p, "wr").df
+    assert(df.columns.toSet == Set("name", "order_oid", "address_city"))
+    assert(df.count() == 4)
+    // a field holder with one scalar child is NOT a wrapper
+    val holder = "<root><rec><address><city>x</city></address><v>1</v></rec>" +
+      "<rec><address><city>y</city></address><v>2</v></rec></root>"
+    val hp = writeTemp("holder.xml", holder)
+    val hdf = XmlLoader.load(spark, hp, "hold", Some("rec")).df
+    assert(hdf.count() == 2 && hdf.columns.contains("v"))
+  }
+
+  test("xml load works through an explicit file: URI (Hadoop FS open)") {
+    val p = writeTemp("uri.xml", catalog)
+    val uri = Paths.get(p).toAbsolutePath.toUri.toString
+    assert(uri.startsWith("file:"))
+    assert(XmlLoader.load(spark, uri, "xuri").df.count() == 3)
+  }
+
   test("auto mode keeps header-detail (single repeated type) in standard") {
     val xml =
       """<root>
