@@ -21,7 +21,7 @@ object Bench {
     "q_multistage",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
     "q_dedup_embedding_tight",
-    "q_sim_topk", "q_sim_lsh", "q_text_quality", "q_text_langid",
+    "q_sim_topk", "q_sim_lsh", "q_sim_lsh_tight", "q_text_quality", "q_text_langid",
     "q_corpus_curate", "q_events_tumbling", "q_events_session", "q_events_dedup")
 
   def main(args: Array[String]): Unit = {

@@ -154,6 +154,26 @@ object OracleSql {
       "FROM aug a JOIN aug b ON a.vec_id < b.vec_id " +
       s"WHERE list_cosine_similarity(a.v, b.v) >= $threshold"
 
+  /** Genuine brute-force ANN top-k over the augmented corpus with the
+    * perturbed copies as queries — no LSH replay, so it grades the
+    * pruning-regime lshTopK's RECALL: each perturbed query's true nearest
+    * neighbor is its source vector (cosine ≈ 1 − eps²/2, far above the
+    * fixture's organic 0.51 ceiling), and the fine-bucket LSH must
+    * surface exactly it. k stays 1 because ranks ≥ 2 are organic
+    * non-near vectors a pruning parameterization rightly never admits.
+    */
+  def simLshTightTopK(k: Int = 1, idOffset: Long = 100000L,
+      eps: Double = 0.02, dim: Int = 64, nQueries: Int = 20): String =
+    s"WITH ${augmentedEmbeddingsCte(idOffset, eps, dim)} " +
+      "SELECT query_id, corpus_id, round(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk FROM (" +
+      "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+      "list_cosine_similarity(c.v, q.v) AS cos, " +
+      "row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC) AS rnk " +
+      s"FROM aug c, (SELECT vec_id, v FROM aug WHERE vec_id >= $idOffset AND vec_id < $idOffset + $nQueries) q " +
+      "WHERE c.vec_id <> q.vec_id) " +
+      s"WHERE rnk <= $k"
+
   // ── sign-LSH replication ──────────────────────────────────────────────
 
   /** VALUES rows (tbl, bit, plane) embedding the driver-side hyperplane

@@ -47,17 +47,7 @@ object Similarity {
       numTables: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    def buckets(v: Column) = array((0 until numTables).map(l =>
-      struct(lit(l).as("tbl"),
-        V.signLshBucket(v, bits, dim, seed = 42L + l).as("bkt"))): _*)
-    val cb = c.select(col("corpus_id"), explode(buckets(col("cv"))).as("tb"))
-      .select(col("corpus_id"), col("tb.tbl"), col("tb.bkt"))
-    val qb = q.select(col("query_id"), explode(buckets(col("qv"))).as("tb"))
-      .select(col("query_id"), col("tb.tbl"), col("tb.bkt"))
-    val cand = cb.join(broadcast(qb), Seq("tbl", "bkt"))
-      .where(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "corpus_id")
-      .dropDuplicates("query_id", "corpus_id")
+    val cand = lshCandidates(corpus, queries, vecCol, idCol, bits, dim, numTables)
     val joined = cand
       .join(c, Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
@@ -68,6 +58,31 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
+  }
+
+  /** The (query_id, corpus_id) candidate set of [[lshTopK]]'s bucketing
+    * stage — any-table signature collision, ids only. Exposed so specs can
+    * measure the candidate RATIO (candidates / queries×corpus) a
+    * parameterization achieves: the pruning regime (bits 12-16) should
+    * collapse the ratio to ≪ 1 while hamming-near neighbors still collide
+    * in some table.
+    */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, bits: Int, dim: Int = 64,
+      numTables: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    def buckets(v: Column) = array((0 until numTables).map(l =>
+      struct(lit(l).as("tbl"),
+        V.signLshBucket(v, bits, dim, seed = 42L + l).as("bkt"))): _*)
+    val cb = c.select(col("corpus_id"), explode(buckets(col("cv"))).as("tb"))
+      .select(col("corpus_id"), col("tb.tbl"), col("tb.bkt"))
+    val qb = q.select(col("query_id"), explode(buckets(col("qv"))).as("tb"))
+      .select(col("query_id"), col("tb.tbl"), col("tb.bkt"))
+    cb.join(broadcast(qb), Seq("tbl", "bkt"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id")
+      .dropDuplicates("query_id", "corpus_id")
   }
 
   /** IVF-style coarse index: pick nlist deterministic seed centroids (the

@@ -240,6 +240,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ids.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
+  test("tight-regime ANN (bits=16 × 8 tables) prunes hard AND finds the true top-1") {
+    // mirror of the tight dedup gate for the SEARCH path: perturbed
+    // copies are the queries, their source vectors the true nearest
+    // neighbors (cosine ≈ 0.9998); fine buckets must collapse the
+    // candidate ratio while still surfacing exactly the brute-force top-1
+    val sp = spark
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val pert = emb.select((col("vec_id") + lit(100000L)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + 0.02 * " +
+        "CAST(element_at(embedding, (i + 1) % 64 + 1) AS DOUBLE))").as("embedding"))
+    val aug = base.unionAll(pert)
+    val queries = aug.where(col("vec_id") >= 100000L && col("vec_id") < 100020L)
+    val corpusN = aug.count(); val queryN = queries.count()
+    val cand = Similarity.lshCandidates(aug, queries, "embedding", "vec_id",
+      bits = 16, dim = 64, numTables = 8).count()
+    val ratio = cand.toDouble / (corpusN * queryN)
+    info(f"ANN candidate ratio: $cand of ${corpusN * queryN} query×corpus (${ratio * 100}%.3f%%)")
+    assert(ratio < 0.05, f"tight ANN params should prune; got ratio $ratio%.4f")
+    def top1(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    val lsh = top1(Similarity.lshTopK(aug, queries, "embedding", "vec_id",
+      k = 1, bits = 16, numTables = 8))
+    val exact = top1(Similarity.bruteForceTopK(aug, queries, "embedding", "vec_id", k = 1))
+    assert(lsh == exact, s"pruning-regime ANN must find every true top-1; " +
+      s"missed ${(exact.keySet -- lsh.keySet).size}, wrong ${lsh.count { case (q, c) => exact.get(q).exists(_ != c) }}")
+    // and each query's true neighbor is its perturbation source
+    assert(exact.forall { case (q, c) => c == q - 100000L })
+  }
+
   test("IVF top-k with full probe matches brute force top-1") {
     val q = vecs.where(col("vec_id") === 0L)
     val out = Similarity.ivfTopK(vecs, q, "embedding", "vec_id", k = 1,
