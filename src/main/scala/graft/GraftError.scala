@@ -2,11 +2,15 @@ package graft
 
 import org.apache.spark.sql.AnalysisException
 
-/** Rich error taxonomy mirroring the reference's 18-variant ElusionError
+/** Rich error taxonomy mirroring the reference's ElusionError
   * (reference src/custom_error/cust_error.rs:14-108 + the
   * AnalysisException→variant mapping at src/elusion.rs:3702-3842):
   * Spark `AnalysisException`s are pattern-matched into targeted variants
-  * with a suggestion line.
+  * with a suggestion line. Every reference variant is covered except the
+  * engine/connector passthroughs (DataFusion → we re-throw the original
+  * AnalysisException when no variant matches; Io → loader errors surface
+  * as typed InvalidOperation/WriteError; OneLakeError → connector
+  * non-goal per SURVEY §7.5; Custom → typed variants instead).
   */
 sealed abstract class GraftError(message: String, val suggestion: String)
     extends RuntimeException(s"$message\nSuggestion: $suggestion")
@@ -76,6 +80,41 @@ object GraftError {
         s"Invalid operation '$operation': $reason",
         "See the loader/writer surface in README.md for supported formats, modes and arguments")
 
+  final case class MissingColumnWithContext(column: String,
+      available: Seq[String], context: String, location: String)
+      extends GraftError(
+        s"Column '$column' not found — $context (in $location)",
+        if (available.nonEmpty)
+          s"Did you mean one of: ${closest(column, available).mkString(", ")}?"
+        else "Check the column list with dfSchema()")
+
+  final case class AggregationError(function: String, column: String,
+      detail: String) extends GraftError(
+    s"Aggregation error in $function($column): $detail",
+    "Check .agg([...]) syntax: aggregate calls cannot nest, and argument columns must exist in the source tables")
+
+  final case class LimitError(value: Long, detail: String) extends GraftError(
+    s"Limit error: $detail (got $value)",
+    "Use a positive row count")
+
+  final case class GroupByAllWindowError(missingColumn: String,
+      windowContext: String) extends GraftError(
+    s"group_by_all() + window function issue: the window function needs column '$missingColumn' but it is not in .select() — $windowContext",
+    s"Add '$missingColumn' to .select([...]), or use manual .group_by([...]) listing only the columns you want grouped")
+
+  final case class GroupByAllDependencyError(missingColumn: String,
+      dependencyContext: String) extends GraftError(
+    s"group_by_all() dependency issue: column '$missingColumn' is referenced but not selected — $dependencyContext",
+    s"group_by_all() groups by ALL selected columns, so it needs '$missingColumn' selected first. Either add it to .select([...]), switch to manual .group_by([...]), or remove the reference to '$missingColumn'")
+
+  final case class GroupByAllCompatibilityError(missingColumns: Seq[String],
+      windowDependencies: Seq[(String, String)]) extends GraftError(
+    s"group_by_all() incompatibility: columns ${missingColumns.mkString("'", "', '", "'")} are referenced by window/aggregate expressions but not selected" +
+      (if (windowDependencies.nonEmpty)
+        s"; window dependencies: ${windowDependencies.map { case (w, c) => s"$c (in $w)" }.mkString("; ")}"
+      else ""),
+    "Add the missing columns to .select([...]) or use manual .group_by([...])")
+
   /** Simple edit-distance suggestion, like the reference's
     * find_similar_columns helper.
     */
@@ -95,6 +134,9 @@ object GraftError {
   private val UnresolvedWithSuggestion =
     """(?s).*A column, variable, or function parameter with name `?([^`\s]+)`?.*""".r
   private val MissingAgg = """(?s).*MISSING_AGGREGATION.*""".r
+  private val NestedAgg =
+    """(?s).*(NESTED_AGGREGATE_FUNCTION|GROUP_BY_AGGREGATE).*""".r
+  private val AggCall = """([a-z_]+)\s*\(\s*([a-z_][a-z0-9_.]*)?""".r
   private val MissingGroupBy = """(?s).*MISSING_GROUP_BY.*""".r
   private val Ambiguous = """(?s).*AMBIGUOUS_REFERENCE[^`]*`([^`]+)`.*""".r
   private val ParseError = """(?s).*PARSE_SYNTAX_ERROR(.*)""".r
@@ -108,6 +150,13 @@ object GraftError {
     e match {
       case ae: AnalysisException =>
         ae.getMessage match {
+          case NestedAgg(_) =>
+            // nested aggregates / aggregate in GROUP BY — reference
+            // AggregationError (cust_error.rs:69-74, elusion.rs:3806-3817)
+            val (fn, c) = AggCall.findFirstMatchIn(ae.getMessage.toLowerCase)
+              .map(m => (m.group(1), Option(m.group(2)).getOrElse("?")))
+              .getOrElse(("aggregate", "?"))
+            AggregationError(fn, c, firstLine(ae))
           case MissingAgg() | MissingGroupBy() => GroupByError(firstLine(ae))
           case Ambiguous(c) => DuplicateColumn(c)
           case UnresolvedColumn(c) => MissingColumn(c, available)
@@ -116,7 +165,14 @@ object GraftError {
           case CastError(_, _) => InvalidDataType(firstLine(ae))
           case m if m.contains("window") || m.contains("OVER") =>
             WindowFunctionError(firstLine(ae))
-          case UnresolvedWithSuggestion(c) => MissingColumn(c, available)
+          case UnresolvedWithSuggestion(c) =>
+            // looser unresolved-reference shape: we know the SQL that
+            // failed, so attach it (reference MissingColumnWithContext,
+            // cust_error.rs:16-22 / elusion.rs:3723-3729)
+            if (sql.nonEmpty)
+              MissingColumnWithContext(c, available, "reference could not be resolved",
+                sql.take(120))
+            else MissingColumn(c, available)
           case _ => ae
         }
       case other => other

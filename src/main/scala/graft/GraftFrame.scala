@@ -313,7 +313,10 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   def orderByMany(pairs: (String, String)*): GraftFrame =
     orderBy(pairs.map(_._1), pairs.map(_._2))
 
-  def limit(n: Long): GraftFrame = withState(state.copy(limitN = Some(n)))
+  def limit(n: Long): GraftFrame = {
+    if (n <= 0) throw GraftError.LimitError(n, "limit() requires a positive row count")
+    withState(state.copy(limitN = Some(n)))
+  }
 
   // ──────────────────────── null handling (deferred) ─────────────────────
 
@@ -432,7 +435,51 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   /** Evaluate the clause state to a plain DataFrame (no view registered). */
   def toDF: DataFrame = execute()
 
+  /** Pre-execution dependency validation for group_by_all() (reference
+    * validate_group_by_all_compatibility + create_group_by_all_error,
+    * src/elusion.rs:3947-4297): GROUP BY ALL can only group SELECTED
+    * columns, so a window or aggregate expression referencing a column
+    * outside the select surface (selected expressions, their aliases,
+    * manual group_by additions, aggregate aliases) is a guaranteed
+    * analysis failure — fail fast with the taxonomy's targeted variants
+    * instead of surfacing a raw AnalysisException.
+    */
+  private def validateGroupByAll(): Unit = {
+    val surface: Set[String] = {
+      val sel = state.selects.flatMap { s =>
+        val (e, a) = splitAlias(s)
+        val el = e.trim.toLowerCase
+        val lastSeg =
+          if (el.matches("[a-z_][a-z0-9_]*(\\.[a-z_][a-z0-9_]*)*"))
+            Seq(el.split('.').last)
+          else Nil
+        Seq(el) ++ a ++ lastSeg
+      }
+      val aggAliases = state.aggs.flatMap(a => splitAlias(a)._2)
+      (sel ++ state.groupBy.map(_.trim.toLowerCase) ++ aggAliases).toSet
+    }
+    def missing(deps: Seq[String]): Seq[String] = deps.filterNot(d =>
+      surface.contains(d) || surface.contains(d.split('.').last))
+    val windowMissing: Seq[(String, String)] = state.windows.flatMap { w =>
+      missing(Normalize.columnDependencies(splitAlias(w)._1)).map(d => (w, d))
+    }
+    val aggMissing: Seq[String] = state.aggs.flatMap { a =>
+      missing(Normalize.columnDependencies(splitAlias(a)._1))
+    }.distinct.filterNot(windowMissing.map(_._2).contains)
+    val all = (windowMissing.map(_._2) ++ aggMissing).distinct
+    if (all.size > 1)
+      throw GraftError.GroupByAllCompatibilityError(all, windowMissing)
+    windowMissing.headOption.foreach { case (w, d) =>
+      throw GraftError.GroupByAllWindowError(d, s"window expression: $w")
+    }
+    aggMissing.headOption.foreach { d =>
+      throw GraftError.GroupByAllDependencyError(d,
+        "referenced by an aggregate expression outside its aggregate call")
+    }
+  }
+
   private def execute(): DataFrame = {
+    if (state.groupByAll) validateGroupByAll()
     val base =
       if (state.isEmpty) df
       else {
@@ -624,7 +671,11 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
 
   // ─────────────────────── slices / introspection ────────────────────────
 
-  def head(n: Int): GraftFrame = GraftFrame(toDF.limit(n), alias)
+  def head(n: Int): GraftFrame = {
+    // reference head()/limit(0) guard (src/elusion.rs:2711-2719)
+    if (n <= 0) throw GraftError.LimitError(n, "head() limit cannot be zero")
+    GraftFrame(toDF.limit(n), alias)
+  }
 
   /** Order-undefined tail, like the reference's LIMIT n OFFSET total-n
     * (src/elusion.rs:2711-2969).

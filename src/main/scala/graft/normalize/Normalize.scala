@@ -190,6 +190,64 @@ object Normalize {
     */
   def normalizeWindowExpression(e: String): String = normalizeExpression(e)
 
+  /** Tokens that are never column references in dependency extraction:
+    * SQL keywords, window-frame words, interval units, cast type names.
+    */
+  private val DependencyStopWords: Set[String] =
+    Set("over", "partition", "by", "order", "rows", "range", "between",
+      "and", "or", "not", "unbounded", "preceding", "following", "current",
+      "row", "asc", "desc", "as", "case", "when", "then", "else", "end",
+      "null", "true", "false", "distinct", "interval", "is", "in", "like",
+      "rlike", "exists", "from", "nulls", "first", "last", "ignore",
+      "respect", "filter", "within", "group", "escape", "day", "days",
+      "month", "months", "year", "years", "hour", "hours", "minute",
+      "minutes", "second", "seconds", "week", "weeks") ++
+      CastTypes.keySet ++ CastTypes.values.map(_.toLowerCase)
+
+  /** The column identifiers an expression DEPENDS on for grouping
+    * purposes: bare or dot-qualified identifiers that are not function
+    * calls, not keywords/type names, and not inside a true-aggregate call
+    * body (columns inside `SUM(...)` are aggregated, not grouped — so
+    * `SUM(x) OVER (PARTITION BY b)` depends only on `b`, while
+    * `LAG(price) OVER (...)` depends on `price`). Heuristic tokenizer,
+    * not a parser — the reference extracts dependencies with regexes
+    * (src/elusion.rs:4041-4071); this version tracks paren depth so
+    * nested calls resolve correctly.
+    */
+  def columnDependencies(expr: String): Seq[String] = {
+    val s = lowerOutsideQuotes(expr)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    var depth = 0
+    var skipDepth = -1 // ≥ 0 ⇒ inside an aggregate call entered at that depth
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inStr = !inStr; i += 1 }
+      else if (inStr) i += 1
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (skipDepth >= 0 && depth <= skipDepth) skipDepth = -1
+        i += 1
+      } else if ((c.isLetter || c == '_') &&
+          (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '.'))) {
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit ||
+            s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+        val tok = s.substring(start, i)
+        var j = i
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        val isFn = j < s.length && s.charAt(j) == '('
+        if (skipDepth < 0) {
+          if (isFn) { if (TrueAggregates.contains(tok)) skipDepth = depth }
+          else if (!DependencyStopWords.contains(tok)) out += tok
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
   /** Filter/HAVING condition normalization with string-literal protection
     * (normalize.rs:805-897).
     */

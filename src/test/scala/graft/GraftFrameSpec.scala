@@ -44,6 +44,59 @@ class GraftFrameSpec extends SparkSpec {
     assert(out.length == 5) // (a,x),(a,y),(b,x),(b,y),(c,x)
   }
 
+  test("groupByAll + window referencing an unselected column fails fast with the taxonomy error") {
+    val err = intercept[GraftError.GroupByAllWindowError] {
+      sales.select("grp").agg("SUM(amount) AS total")
+        .window("ROW_NUMBER() OVER (PARTITION BY tag ORDER BY grp) AS rn")
+        .groupByAll().toDF.collect()
+    }
+    assert(err.getMessage.contains("tag"))
+    assert(err.suggestion.contains(".select"))
+    assert(err.suggestion.contains("group_by"))
+  }
+
+  test("groupByAll + aggregate expression depending on an unselected column") {
+    // y sits OUTSIDE the aggregate call, so GROUP BY ALL would need it
+    // grouped — but it is not selected
+    val err = intercept[GraftError.GroupByAllDependencyError] {
+      sales.select("grp").agg("ROUND(SUM(amount) + id, 2) AS weird")
+        .groupByAll().toDF.collect()
+    }
+    assert(err.getMessage.contains("id"))
+  }
+
+  test("groupByAll with several missing columns reports the compatibility error") {
+    val err = intercept[GraftError.GroupByAllCompatibilityError] {
+      sales.select("grp").agg("SUM(amount) AS total")
+        .window("ROW_NUMBER() OVER (PARTITION BY tag) AS rn")
+        .window("RANK() OVER (ORDER BY id) AS rk")
+        .groupByAll().toDF.collect()
+    }
+    assert(err.missingColumns.toSet == Set("tag", "id"))
+    assert(err.windowDependencies.nonEmpty)
+  }
+
+  test("groupByAll window deps satisfied by select list / agg alias still run") {
+    val out = sales.select("grp", "tag").agg("SUM(amount) AS total")
+      .window("RANK() OVER (PARTITION BY grp ORDER BY tag) AS rk")
+      .groupByAll().toDF.collect()
+    assert(out.length == 5)
+  }
+
+  test("head/limit of zero raise LimitError, not a silent empty frame") {
+    intercept[GraftError.LimitError] { sales.head(0) }
+    intercept[GraftError.LimitError] { sales.limit(0) }
+    intercept[GraftError.LimitError] { sales.limit(-3) }
+  }
+
+  test("nested aggregate surfaces as AggregationError") {
+    val err = intercept[GraftError.AggregationError] {
+      sales.select("grp").agg("SUM(AVG(amount)) AS bad").groupBy("grp")
+        .toDF.collect()
+    }
+    assert(err.suggestion.toLowerCase.contains("aggregate"))
+  }
+
   test("having filters on aggregate alias") {
     val out = sales.select("grp").agg("SUM(amount) AS total").groupBy("grp")
       .having("total > 40").toDF.collect()

@@ -56,6 +56,23 @@ class NormalizeSpec extends AnyFunSuite {
     assert(!isGroupable("ROW_NUMBER() OVER (ORDER BY x)"))
   }
 
+  test("columnDependencies: window deps exclude aggregate bodies and keywords") {
+    // aggregate args are aggregated, not grouped — only b is a dependency
+    assert(columnDependencies("SUM(x) OVER (PARTITION BY b)") == Seq("b"))
+    // non-aggregate function args ARE dependencies
+    assert(columnDependencies("LAG(price) OVER (PARTITION BY dept ORDER BY ts)") ==
+      Seq("price", "dept", "ts"))
+    // frame keywords, cast targets, literals and numbers are not columns
+    assert(columnDependencies(
+      "AVG(v) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)") == Seq("d"))
+    assert(columnDependencies("CAST(x AS BIGINT) + y") == Seq("x", "y"))
+    assert(columnDependencies("ROUND(SUM(amount) + id, 2)") == Seq("id"))
+    assert(columnDependencies("CASE WHEN a > 1 THEN 'x' ELSE b::TEXT END") ==
+      Seq("a", "b"))
+    // qualified identifiers survive as-is; scientific literals don't leak
+    assert(columnDependencies("t.col + 1e5") == Seq("t.col"))
+  }
+
   test("column name normalization: lowercase, trim, spaces to underscores") {
     assert(normalizeColumnName("  First Name ") == "first_name")
     assert(normalizeColumnName("AGE") == "age")
