@@ -227,14 +227,31 @@ object OracleSql {
       "JOIN embeddings eq ON cand.query_id = eq.vec_id) " +
       s"WHERE rnk <= $k"
 
-  /** Replicated IVF top-k (Similarity.ivfTopK): first-nlist-ids centroids,
-    * nearest-centroid assignment (squared-distance ordering ≡ the Spark
-    * side's sqrt ordering — monotonic), nprobe probed lists, exact cosine
-    * re-rank.
+  /** Replicated IVF top-k (Similarity.ivfTopK): first-nlist-ids seed
+    * centroids refined by `refineIterations` Lloyd steps (per-list
+    * element-wise mean, summed as DECIMAL(38,18) so the reduction is
+    * exact and order-independent in both engines — a double sum would
+    * vary with Spark's partial-aggregation order), nearest-centroid
+    * assignment (squared-distance ordering ≡ the Spark side's sqrt
+    * ordering — monotonic), nprobe probed lists, exact cosine re-rank.
     */
-  def simIvfTopK(k: Int, nlist: Int, nprobe: Int, maxQueryId: Long = 5L): String =
+  def simIvfTopK(k: Int, nlist: Int, nprobe: Int, maxQueryId: Long = 5L,
+      refineIterations: Int = 1, dim: Int = 64): String = {
+    val centCte = (0 until refineIterations)
+      .foldLeft(s"cent0 AS (SELECT vec_id AS cent_id, v AS centv FROM c ORDER BY vec_id LIMIT $nlist)" -> "cent0") {
+        case ((cte, prev), it) =>
+          val a = s"asg_r$it"; val nxt = s"cent${it + 1}"
+          (cte +
+            s", $a AS (SELECT vec_id, v, cent_id AS list_id FROM (" +
+            s"SELECT c.vec_id, c.v, $prev.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
+            s"ORDER BY list_distance(c.v, $prev.centv) ASC, $prev.cent_id ASC) AS rn FROM c, $prev) WHERE rn = 1)" +
+            s", $nxt AS (SELECT list_id AS cent_id, list(m ORDER BY i) AS centv FROM (" +
+            s"SELECT list_id, i, CAST(sum(CAST(v[i + 1] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m " +
+            s"FROM $a, range($dim) r(i) GROUP BY list_id, i) GROUP BY list_id)", nxt)
+      }
+    val (centChain, cent) = centCte
     "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-      s"cent AS (SELECT vec_id AS cent_id, v AS centv FROM c ORDER BY vec_id LIMIT $nlist), " +
+      s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +
       "asg AS (SELECT vec_id, v, cent_id AS list_id FROM (" +
       "SELECT c.vec_id, c.v, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
       "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn = 1), " +
@@ -248,4 +265,5 @@ object OracleSql {
       "ORDER BY list_cosine_similarity(a.v, ql.qv) DESC, a.vec_id ASC) AS rnk " +
       "FROM asg a JOIN ql ON a.list_id = ql.list_id WHERE a.vec_id <> ql.query_id) " +
       s"WHERE rnk <= $k"
+  }
 }

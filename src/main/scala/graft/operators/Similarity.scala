@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.functions.{VectorFunctions => V}
 
 /** Approximate-nearest-neighbor similarity search over an embedding column
@@ -94,10 +95,9 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, refineIterations: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val centroids = c.orderBy(col("corpus_id")).limit(nlist)
-      .select(col("corpus_id").as("cent_id"), col("cv").as("centv"))
+    val centroids = seedAndRefine(c, nlist, refineIterations)
     val assigned = assignToLists(c, centroids)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qLists = probeLists(q, centroids, nprobe)
@@ -124,6 +124,38 @@ object Similarity {
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
 
+  /** Seed centroids (first nlist corpus vectors by id) refined by
+    * `iterations` deterministic Lloyd steps: assign every vector to its
+    * nearest centroid, replace each centroid with its list's element-wise
+    * mean. Seed centroids are corpus members, so every list holds at
+    * least its own seed — no empty-list repair needed on the first step.
+    *
+    * Determinism: a plain double sum depends on partial-aggregation
+    * order, so the same corpus could yield different centroids run to
+    * run (and break the replication oracle). Values are summed as
+    * DECIMAL(38,18) — exact, order-independent — and the mean is
+    * double(sum)/count. Refinement balances the lists, which is what
+    * bounds probe cost: with raw seeds a hot region funnels into one
+    * list and that list's scan dominates; after a Lloyd step list sizes
+    * concentrate toward corpus/nlist (measured in the spec).
+    */
+  private def seedAndRefine(c: DataFrame, nlist: Int,
+      iterations: Int): DataFrame = {
+    val seeds = c.orderBy(col("corpus_id")).limit(nlist)
+      .select(col("corpus_id").as("cent_id"), col("cv").as("centv"))
+    (0 until iterations).foldLeft(seeds) { (cents, _) =>
+      assignToLists(c, cents)
+        .select(col("list_id"), posexplode(col("cv")).as(Seq("pos", "val")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg((sum(col("val").cast(DecimalType(38, 18))).cast(DoubleType) /
+          count(lit(1))).as("m"))
+        .groupBy(col("list_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centv"))
+        .select(col("list_id").as("cent_id"), col("centv"))
+    }
+  }
+
   private def assignToLists(c: DataFrame, centroids: DataFrame): DataFrame =
     c.join(broadcast(centroids))
       .withColumn("d", V.l2Distance(col("cv"), col("centv")))
@@ -140,10 +172,9 @@ object Similarity {
     * pruning in its spec).
     */
   def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
-      path: String, nlist: Int = 16): Unit = {
+      path: String, nlist: Int = 16, refineIterations: Int = 1): Unit = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val centroids = c.orderBy(col("corpus_id")).limit(nlist)
-      .select(col("corpus_id").as("cent_id"), col("cv").as("centv"))
+    val centroids = seedAndRefine(c, nlist, refineIterations)
     centroids.write.mode("overwrite").parquet(s"${path}_centroids")
     assignToLists(c, centroids).write.mode("overwrite")
       .partitionBy("list_id").parquet(path)

@@ -296,6 +296,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfRecall > 0.5, s"IVF recall too low: $ivfRecall")
   }
 
+  test("Lloyd refinement balances IVF lists and is partitioning-deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    def listSizes(refine: Int): Seq[Long] = {
+      val dir = s"target/tmp/ivf_refine_$refine"
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir,
+        nlist = 8, refineIterations = refine)
+      spark.read.parquet(dir).groupBy("list_id").count()
+        .collect().map(_.getAs[Long]("count")).toSeq
+    }
+    val seeded = listSizes(0); val refined = listSizes(1)
+    def spread(s: Seq[Long]) = s.max - s.min
+    info(s"list sizes seeds=${seeded.sorted.mkString(",")} refined=${refined.sorted.mkString(",")}")
+    // balancing is the point: the largest/smallest list gap must shrink
+    // (seed centroids are arbitrary corpus members; a Lloyd step moves
+    // each centroid to its region's mean, evening out assignment counts)
+    assert(spread(refined) < spread(seeded),
+      s"refinement should balance lists: spread ${spread(seeded)} -> ${spread(refined)}")
+    // determinism: the same corpus under a different partitioning yields
+    // bit-identical centroids (DECIMAL sums are order-independent)
+    def cents(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] = {
+      val dir = "target/tmp/ivf_refine_det"
+      Similarity.buildIvfIndex(df, "embedding", "vec_id", dir,
+        nlist = 8, refineIterations = 1)
+      spark.read.parquet(s"${dir}_centroids").collect()
+        .map(r => r.getAs[Long]("cent_id") ->
+          r.getSeq[Double](r.fieldIndex("centv")).toSeq).toMap
+    }
+    val a = cents(emb.repartition(3))
+    val b = cents(emb.repartition(17, col("vec_id")))
+    assert(a == b, "refined centroids must not depend on input partitioning")
+    // recall contract survives refinement
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10))
+    val refinedIvf = topSet(Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+      k = 10, nlist = 8, nprobe = 4, refineIterations = 1))
+    val recall = (refinedIvf intersect exact).size.toDouble / exact.size
+    assert(recall > 0.5, s"refined IVF recall too low: $recall")
+  }
+
   test("persisted IVF index matches in-memory IVF and probes with partition pruning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)
