@@ -8,46 +8,25 @@ import org.apache.hadoop.fs.{Path => HPath}
 import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 import scala.xml.XML
 
-/** Minimal XLSX reader/writer (reference src/features/excel.rs: calamine
+/** Minimal Excel reader/writer (reference src/features/excel.rs: calamine
   * load with header sanitize + dedupe + per-column type detection;
   * rust_xlsxwriter typed-cell writer).
   *
   * XLSX is a zip of XML parts; this implementation reads/writes the
   * minimal part set (workbook, one worksheet, shared strings) with no
-  * external dependency. Values load as strings and run through the same
-  * majority-vote smart caster as CSV (so `50000.5`/`true`/dates behave
-  * identically across loaders). Formula caching, styles, and Excel serial
-  * date rendering are out of scope — numbers arrive as their cached
-  * values.
+  * external dependency. Legacy `.xls` (BIFF8/OLE2, sniffed by magic
+  * bytes, not extension) routes to [[BiffReader]]. Values load as
+  * strings and run through the same majority-vote smart caster as CSV
+  * (so `50000.5`/`true`/dates behave identically across loaders).
+  * Formula caching, styles, and Excel serial date rendering are out of
+  * scope — numbers arrive as their cached values.
   */
 object ExcelLoader {
 
   // ───────────────────────────── reader ─────────────────────────────────
 
   def load(spark: SparkSession, path: String, alias: String): GraftFrame = {
-    val parts = readZip(spark, path)
-    val sheetXmlName = parts.keys
-      .find(_.matches("xl/worksheets/sheet1\\.xml"))
-      .orElse(parts.keys.find(_.startsWith("xl/worksheets/")))
-      .getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
-    val shared: IndexedSeq[String] = parts.get("xl/sharedStrings.xml")
-      .map(x => (XML.loadString(x) \\ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
-      .getOrElse(IndexedSeq.empty)
-    val sheet = XML.loadString(parts(sheetXmlName))
-    val rows: Seq[Map[Int, String]] = (sheet \\ "row").map { r =>
-      (r \ "c").flatMap { c =>
-        val ref = (c \ "@r").text
-        val colIdx = colIndex(ref.takeWhile(_.isLetter))
-        val t = (c \ "@t").text
-        val value = t match {
-          case "s" => (c \ "v").headOption.map(v => shared(v.text.trim.toInt))
-          case "inlineStr" => Some((c \\ "t").map(_.text).mkString)
-          case "b" => (c \ "v").headOption.map(v => if (v.text.trim == "1") "true" else "false")
-          case _ => (c \ "v").headOption.map(_.text)
-        }
-        value.map(colIdx -> _)
-      }.toMap
-    }
+    val rows = readRows(spark, path)
     require(rows.nonEmpty, s"loadExcel: empty sheet in $path")
     val width = rows.map(m => if (m.isEmpty) 0 else m.keys.max + 1).max
     val headers = Normalize.sanitizeHeaders(
@@ -74,31 +53,53 @@ object ExcelLoader {
     * the container by magic bytes, the way calamine dispatches on content
     * (reference src/features/excel.rs:385-645): `PK` → OOXML zip (even if
     * the file is named `.xls` — mislabeled xlsx is common), the OLE2
-    * signature D0 CF 11 E0 → genuine legacy BIFF, which this reader does
-    * not parse → typed InvalidOperation, not an opaque zip error.
+    * signature D0 CF 11 E0 → legacy BIFF8, parsed by [[BiffReader]].
+    * Anything else gets a typed InvalidOperation, not an opaque zip error.
     */
-  private def readZip(spark: SparkSession, path: String): Map[String, String] = {
+  private def readRows(spark: SparkSession, path: String): Seq[Map[Int, String]] = {
     val hPath = new HPath(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = new java.io.BufferedInputStream(fs.open(hPath))
-    try {
-      in.mark(8)
-      val magic = new Array[Byte](4)
-      val n = in.readNBytes(magic, 0, 4)
-      in.reset()
-      if (n >= 4 && magic(0) == 0xD0.toByte && magic(1) == 0xCF.toByte &&
-          magic(2) == 0x11.toByte && magic(3) == 0xE0.toByte)
-        throw graft.GraftError.InvalidOperation("load_excel",
-          s"$path is a legacy binary .xls (BIFF/OLE2) workbook; this reader " +
-            "supports OOXML .xlsx only — re-save the file as .xlsx")
-      if (n < 2 || magic(0) != 'P'.toByte || magic(1) != 'K'.toByte)
-        throw graft.GraftError.InvalidOperation("load_excel",
-          s"$path is not an xlsx workbook (missing zip signature)")
-      val zis = new ZipInputStream(in)
-      Iterator.continually(zis.getNextEntry).takeWhile(_ != null).map { e =>
+    val in = fs.open(hPath)
+    val bytes = try in.readAllBytes() finally in.close()
+    if (bytes.length >= 4 && bytes(0) == 0xD0.toByte && bytes(1) == 0xCF.toByte &&
+        bytes(2) == 0x11.toByte && bytes(3) == 0xE0.toByte)
+      return BiffReader.rows(bytes)
+    if (bytes.length < 2 || bytes(0) != 'P'.toByte || bytes(1) != 'K'.toByte)
+      throw graft.GraftError.InvalidOperation("load_excel",
+        s"$path is not an Excel workbook (neither zip nor OLE2 signature)")
+    xlsxRows(bytes, path)
+  }
+
+  private def xlsxRows(bytes: Array[Byte], path: String): Seq[Map[Int, String]] = {
+    val parts = {
+      val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      try Iterator.continually(zis.getNextEntry).takeWhile(_ != null).map { e =>
         e.getName -> new String(zis.readAllBytes(), "UTF-8")
       }.toMap
-    } finally in.close()
+      finally zis.close()
+    }
+    val sheetXmlName = parts.keys
+      .find(_.matches("xl/worksheets/sheet1\\.xml"))
+      .orElse(parts.keys.find(_.startsWith("xl/worksheets/")))
+      .getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
+    val shared: IndexedSeq[String] = parts.get("xl/sharedStrings.xml")
+      .map(x => (XML.loadString(x) \\ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
+      .getOrElse(IndexedSeq.empty)
+    val sheet = XML.loadString(parts(sheetXmlName))
+    (sheet \\ "row").map { r =>
+      (r \ "c").flatMap { c =>
+        val ref = (c \ "@r").text
+        val colIdx = colIndex(ref.takeWhile(_.isLetter))
+        val t = (c \ "@t").text
+        val value = t match {
+          case "s" => (c \ "v").headOption.map(v => shared(v.text.trim.toInt))
+          case "inlineStr" => Some((c \\ "t").map(_.text).mkString)
+          case "b" => (c \ "v").headOption.map(v => if (v.text.trim == "1") "true" else "false")
+          case _ => (c \ "v").headOption.map(_.text)
+        }
+        value.map(colIdx -> _)
+      }.toMap
+    }
   }
 
   // ───────────────────────────── writer ─────────────────────────────────
