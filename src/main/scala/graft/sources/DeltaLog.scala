@@ -15,12 +15,18 @@ import scala.collection.mutable.ListBuffer
   * directly: `_delta_log/%020d.json` commits of newline-delimited actions
   * over Spark-written parquet data files. Readers replay adds − removes.
   *
-  * Scope (documented, not hidden): no checkpoints, no concurrent-writer
-  * conflict detection (single-writer pipelines), overwrite wipes the
-  * table directory like the reference does (`fs::remove_dir_all`,
-  * delta.rs:231). Data file paths are stored relative with no
-  * percent-encoding (Spark part-file names and `col=val` partition
-  * segments need none).
+  * Concurrency: appends use optimistic concurrency — each commit carries
+  * a commitInfo txn id, lands via rename-if-absent, and VERIFIES it owns
+  * the numbered slot by reading it back (local-FS rename can silently
+  * replace; on HDFS the rename itself refuses). A loser rebases to the
+  * next version and retries: append/merge add-file sets are disjoint, so
+  * the rebase is always safe. Two concurrent OVERWRITES are inherently
+  * destructive and fail typed instead of retrying.
+  *
+  * Scope (documented, not hidden): overwrite wipes the table directory
+  * like the reference does (`fs::remove_dir_all`, delta.rs:231). Data
+  * file paths are stored relative with no percent-encoding (Spark
+  * part-file names and `col=val` partition segments need none).
   */
 object DeltaLog {
 
@@ -197,29 +203,58 @@ object DeltaLog {
       else staged.keys.toSeq.sorted
         .map(rel => rel -> fs.getFileStatus(new HPath(tbl, rel)))
 
-    val version = if (fresh) 0L
-      else existingVersions(fs, logDir(tbl)).lastOption.map(_ + 1).getOrElse(0L)
-    val actions = ListBuffer.empty[String]
-    if (version == 0L) actions += protocolAction
-    if (version == 0L || m == "merge") {
-      // merge commits refresh metaData with the post-write merged schema
-      val schema =
-        if (m == "merge")
-          spark.read.option("mergeSchema", "true").parquet(path).schema
-        else df.schema
-      actions += metaDataAction(schema.json, partitionBy)
+    val txnId = java.util.UUID.randomUUID().toString
+    def actionsFor(version: Long): String = {
+      val actions = ListBuffer.empty[String]
+      actions += s"""{"commitInfo":{"operation":"${m.toUpperCase}","txnId":"$txnId"}}"""
+      if (version == 0L) actions += protocolAction
+      if (version == 0L || m == "merge") {
+        // merge commits refresh metaData with the post-write merged schema
+        val schema =
+          if (m == "merge")
+            spark.read.option("mergeSchema", "true").parquet(path).schema
+          else df.schema
+        actions += metaDataAction(schema.json, partitionBy)
+      }
+      newFiles.foreach { case (rel, st) => actions += addAction(rel, st) }
+      actions.mkString("\n") + "\n"
     }
-    newFiles.foreach { case (rel, st) => actions += addAction(rel, st) }
 
-    // commit atomically: temp file + rename into the numbered slot
+    // Optimistic commit: stage the content, rename into the numbered slot
+    // only if it's free, then verify ownership by reading the slot back —
+    // local-FS rename silently replaces, so the loser of a race discovers
+    // it here (on HDFS the rename itself fails when the slot is taken).
+    // Append/merge losers rebase: their add set is new files no other
+    // writer knows about, so re-committing at the next version is safe.
     fs.mkdirs(logDir(tbl))
-    val commit = new HPath(logDir(tbl), commitName(version))
-    val tmp = new HPath(logDir(tbl), s".${commitName(version)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(tmp, commit))
-      throw new IllegalStateException(s"delta commit rename failed: $commit")
+    var version = if (fresh) 0L
+      else existingVersions(fs, logDir(tbl)).lastOption.map(_ + 1).getOrElse(0L)
+    var committed = false
+    var attempts = 0
+    val maxAttempts = 20
+    while (!committed && attempts < maxAttempts) {
+      attempts += 1
+      val commit = new HPath(logDir(tbl), commitName(version))
+      val tmp = new HPath(logDir(tbl), s".${commitName(version)}.$txnId.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(actionsFor(version).getBytes("UTF-8"))
+      finally out.close()
+      val renamed = !fs.exists(commit) && fs.rename(tmp, commit)
+      val won = renamed && readString(fs, commit).contains(txnId)
+      if (won) committed = true
+      else {
+        fs.delete(tmp, false)
+        if (m == "overwrite")
+          throw graft.GraftError.WriteError(path, "overwrite",
+            s"version-$version commit lost to a concurrent writer — " +
+              "concurrent overwrites are destructive and are not retried")
+        version = math.max(version + 1,
+          existingVersions(fs, logDir(tbl)).lastOption.map(_ + 1).getOrElse(0L))
+      }
+    }
+    if (!committed)
+      throw graft.GraftError.WriteError(path, m,
+        s"gave up after $maxAttempts optimistic-commit attempts (heavy concurrent writer load?)")
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, path, version)
   }

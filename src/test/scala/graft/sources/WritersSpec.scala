@@ -167,9 +167,10 @@ class WritersSpec extends SparkSpec {
     val v0 = Paths.get(p, "_delta_log", "0" * 20 + ".json")
     assert(Files.isRegularFile(v0), "version-0 commit must exist")
     val lines0 = Files.readAllLines(v0)
-    assert(lines0.get(0).contains("\"protocol\""))
-    assert(lines0.get(1).contains("\"schemaString\""))
-    assert(lines0.get(1).contains("\"partitionColumns\":[\"name\"]"))
+    assert(lines0.get(0).contains("\"commitInfo\""))
+    assert(lines0.get(1).contains("\"protocol\""))
+    assert(lines0.get(2).contains("\"schemaString\""))
+    assert(lines0.get(2).contains("\"partitionColumns\":[\"name\"]"))
     // append commits version 1 with add actions for the NEW files only
     Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"), "append", p,
       partitionBy = Seq("name"))
@@ -181,6 +182,44 @@ class WritersSpec extends SparkSpec {
     assert(back.count() == 3)
     assert(back.columns.contains("name")) // partition col re-inferred
     assert(back.where(org.apache.spark.sql.functions.col("name") === "c").count() == 1)
+  }
+
+  test("delta append rebases past a commit slot taken by a concurrent writer") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_race")
+    Writers.writeDeltaTable(df, "overwrite", p)
+    // simulate a concurrent writer winning version 1 between our version
+    // computation and our rename: pre-place a foreign commit in the slot
+    val foreign = Paths.get(p, "_delta_log", "0" * 19 + "1.json")
+    Files.writeString(foreign,
+      """{"commitInfo":{"operation":"APPEND","txnId":"someone-else"}}""" + "\n")
+    Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"), "append", p)
+    // our commit must have rebased to version 2, not clobbered version 1
+    assert(Files.readString(foreign).contains("someone-else"))
+    val v2 = Paths.get(p, "_delta_log", "0" * 19 + "2.json")
+    assert(Files.isRegularFile(v2), "losing writer must rebase to the next version")
+    assert(Files.readString(v2).contains("\"add\""))
+    assert(Loaders.load(spark, p, "race").df.count() == 3) // nothing lost
+  }
+
+  test("two concurrent delta appends both land, on distinct versions") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_race2")
+    Writers.writeDeltaTable(df, "overwrite", p)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = Writers.writeDeltaTable(
+            Seq((10L + i, s"t$i", i.toDouble)).toDF("id", "name", "v"), "append", p)
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val versions = Files.list(Paths.get(p, "_delta_log")).toArray.map(_.toString)
+      .filter(_.endsWith(".json")).sorted
+    assert(versions.length == 3, s"expected 3 commits, got ${versions.toSeq}")
+    assert(Loaders.load(spark, p, "race2").df.count() == 4) // 2 base + 2 appends
   }
 
   test("delta append with a different partition spec is a PartitionError") {
