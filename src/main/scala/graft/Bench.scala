@@ -22,7 +22,8 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
     "q_dedup_embedding_tight",
     "q_sim_topk", "q_sim_lsh", "q_sim_lsh_tight", "q_text_quality", "q_text_langid",
-    "q_corpus_curate", "q_events_tumbling", "q_events_session", "q_events_dedup")
+    "q_corpus_curate", "q_decontaminate",
+    "q_events_tumbling", "q_events_session", "q_events_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

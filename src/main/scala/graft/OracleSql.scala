@@ -84,6 +84,36 @@ object OracleSql {
       s"WHERE $hamming <= $maxHamming"
   }
 
+  /** Replicated contamination scan (Corpus.contamination): inverted
+    * shingle index joined corpus × eval (eval = doc_id < maxEvalId),
+    * shared-distinct-shingle counts ≥ minShared. Same shingle builder as
+    * [[jaccardPairs]].
+    */
+  def contamination(n: Int, maxEvalId: Long, minShared: Long): String = {
+    val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
+      "ex AS (SELECT doc_id, unnest(s) AS g FROM sh) " +
+      "SELECT c.doc_id AS doc_id, e.doc_id AS eval_id, CAST(count(*) AS BIGINT) AS shared_shingles " +
+      s"FROM ex c JOIN (SELECT * FROM ex WHERE doc_id < $maxEvalId) e ON c.g = e.g " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $minShared"
+  }
+
+  /** Replicated deterministic stratified sample (Corpus.stratifiedSample):
+    * identical md5 bucket and FLOOR'd rate threshold (Spark's long cast
+    * truncates; DuckDB's rounds — FLOOR aligns them).
+    */
+  def stratifiedSample(rates: Seq[(String, Double)], defaultRate: Double,
+      salt: String = "graft", buckets: Long = 1000000L): String = {
+    val rateExpr = rates.foldRight(defaultRate.toString) { case ((g, r), acc) =>
+      s"CASE WHEN lang = '$g' THEN $r ELSE $acc END"
+    }
+    s"SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+      s"${md5Hash60(s"'$salt' || doc_id::VARCHAR")} % $buckets AS h FROM documents) " +
+      s"WHERE h < CAST(FLOOR(($rateExpr) * $buckets) AS BIGINT)"
+  }
+
   /** Replicated deterministic hash split — identical md5-derived bucket and
     * identical boundary arithmetic (shared via Corpus.splitBounds).
     */

@@ -782,6 +782,24 @@ object SparkEntry {
     "q_corpus_profile" -> ((s, d) =>
       graft.operators.Corpus.profile(t(s, d, "documents").df, "text", "lang")),
 
+    // data-mixing: per-language keep rates, deterministic md5 bucket (no
+    // rand() — membership survives retries and engine migration; the
+    // oracle recomputes the identical assignment)
+    "q_sample_stratified" -> ((s, d) =>
+      graft.operators.Corpus.stratifiedSample(t(s, d, "documents").df,
+        "doc_id", "lang", Seq("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))),
+
+    // decontamination: corpus docs sharing ≥ 2 distinct 3-gram shingles
+    // with the eval set (here: doc_id < 20) — broadcast eval posting list,
+    // corpus never shuffles before the flag aggregation
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.Corpus.contamination(docs,
+        docs.where(col("doc_id") < 20), "text", "doc_id",
+        shingleWords = 3, minShared = 2L)
+    }),
+
     "q_corpus_split" -> ((s, d) =>
       graft.operators.Corpus.hashSplit(t(s, d, "documents").df, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1068,6 +1086,12 @@ object SparkEntry {
 
     "q_corpus_split" ->
       OracleSql.corpusSplit(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+
+    "q_sample_stratified" ->
+      OracleSql.stratifiedSample(Seq("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1),
+
+    "q_decontaminate" ->
+      OracleSql.contamination(n = 3, maxEvalId = 20L, minShared = 2L),
 
     "q_skew_join" ->
       "SELECT o_orderpriority, count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",

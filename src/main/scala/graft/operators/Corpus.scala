@@ -66,4 +66,62 @@ object Corpus {
     */
   def qualityFilter(docs: DataFrame, textCol: String, minScore: Double): DataFrame =
     docs.where(T.qualityScore(col(textCol)) >= minScore)
+
+  /** Deterministic per-stratum sampling — the data-mixing primitive: each
+    * group (language, domain, source) keeps rows at its OWN rate, e.g.
+    * `Seq("en" -> 0.1, "de" -> 0.5)`, rows of unlisted groups at
+    * `defaultRate`. Same md5-bucket trick as [[hashSplit]]: membership is
+    * a pure function of (salt, id), so it is stable across runs, retries,
+    * partitionings and engines — `rand()`-based sampling resamples on
+    * every task retry, silently changing the corpus mid-job. Map-side
+    * only: no shuffle, no group-size skew concern at any scale.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    val buckets = 1000000L
+    val h = pmod(
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(buckets))
+    val rateExpr = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.where(h < (rateExpr * buckets).cast("long"))
+  }
+
+  /** Eval-set contamination scan — the decontamination primitive every
+    * pre-training pipeline needs: corpus documents sharing ≥ `minShared`
+    * distinct word n-gram shingles with any eval document are flagged
+    * (training on eval data invalidates the eval). Inverted-index join on
+    * the shingle, exactly like Dedup.ngramJaccardPairs, but the eval side
+    * is small by definition so Spark broadcasts its posting list — the
+    * corpus never shuffles, each corpus partition streams against the
+    * broadcast eval shingles. Returns one row per contaminated
+    * (corpus doc, eval doc) pair with the shared-shingle count.
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, shingleWords: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    def posting(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
+    posting(corpus, "doc_id_c").join(
+        broadcast(posting(evalSet, "eval_id")), Seq("g"))
+      .groupBy(col("doc_id_c"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .where(col("shared_shingles") >= minShared)
+      .select(col("doc_id_c").as("doc_id"), col("eval_id"), col("shared_shingles"))
+  }
+
+  /** Drop every corpus document contaminated against the eval set — the
+    * apply-side of [[contamination]] (left-anti join on the flagged ids).
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, shingleWords: Int = 3,
+      minShared: Long = 1L): DataFrame =
+    corpus.join(
+      contamination(corpus, evalSet, textCol, idCol, shingleWords, minShared)
+        .select(col("doc_id").as("graft_contaminated_id")).distinct(),
+      corpus(idCol) === col("graft_contaminated_id"), "left_anti")
 }

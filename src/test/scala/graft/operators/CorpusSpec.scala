@@ -40,6 +40,57 @@ class CorpusSpec extends SparkSpec {
     assert(a != b)
   }
 
+  test("stratified sample: per-group rates, deterministic, map-side") {
+    val sp = spark; import sp.implicits._
+    val mixed = (1 to 400).map(i =>
+      (i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de")).toDF("doc_id", "text", "lang")
+    val rates = Seq("en" -> 0.5, "de" -> 0.1)
+    val s1 = Corpus.stratifiedSample(mixed, "doc_id", "lang", rates)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val s2 = Corpus.stratifiedSample(mixed.repartition(7), "doc_id", "lang", rates)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(s1 == s2, "sample membership must not depend on partitioning")
+    val en = s1.count(_ % 2 == 0); val de = s1.count(_ % 2 == 1)
+    assert(en > 60 && en < 140, s"~50% of 200 en docs expected, got $en")
+    assert(de > 5 && de < 45, s"~10% of 200 de docs expected, got $de")
+    // unlisted groups follow defaultRate (here: keep everything)
+    val zh = (1 to 100).map(i => (1000L + i, s"z $i", "zh")).toDF("doc_id", "text", "lang")
+    assert(Corpus.stratifiedSample(zh, "doc_id", "lang", rates,
+      defaultRate = 1.0).count() == 100)
+    // no shuffle: the filter is map-side
+    val plan = Corpus.stratifiedSample(mixed, "doc_id", "lang", rates)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
+  }
+
+  test("contamination flags eval-overlapping docs; decontaminate drops them") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark execution plans"),
+      (3L, "someone copied the quick brown fox jumps over the lazy dog verbatim"),
+      (4L, "shares nothing with any evaluation prompt at all")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val flagged = Corpus.contamination(corpus, evalSet, "text", "doc_id",
+      shingleWords = 3, minShared = 2L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("shared_shingles")))
+    assert(flagged.map(_._1).toSet == Set(1L, 3L), s"got ${flagged.toSeq}")
+    assert(flagged.forall(_._2 == 100L))
+    assert(flagged.forall(_._3 >= 2L))
+    val clean = Corpus.decontaminate(corpus, evalSet, "text", "doc_id",
+      shingleWords = 3, minShared = 2L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(clean == Set(2L, 4L))
+    // the eval posting list is broadcast — corpus side must not exchange
+    // before the flag aggregation
+    val plan = Corpus.contamination(corpus, evalSet, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side should broadcast:\n$plan")
+  }
+
   test("quality filter keeps high-quality docs only") {
     val sp = spark; import sp.implicits._
     val mixed = Seq(
