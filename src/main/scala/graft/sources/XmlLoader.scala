@@ -50,7 +50,7 @@ object XmlLoader {
       case m => m
     }
     effective match {
-      case Cartesian => cartesianFlatten(spark, records, alias)
+      case Cartesian => cartesianFlatten(spark, records, alias, auto = mode == Auto)
       case _ => standardFlatten(spark, records, alias)
     }
   }
@@ -113,14 +113,27 @@ object XmlLoader {
     counts.filter(_._2 >= 2).keys.toSeq.sorted
   }
 
-  /** Cartesian mode (reference xml.rs:675-800): scalar fields of the
+  /** Multi-group flatten (reference xml.rs:667-785): scalar fields of the
     * record repeat onto every output row; each repeated child type forms a
     * group whose instances' fields are prefixed `<group>_<field>` (or just
-    * `<group>` for text-only instances); output = cross product of the
-    * groups' instance lists, one row per combination.
+    * `<group>` for text-only instances). How the groups COMBINE follows
+    * the reference's `determine_combination_strategy` (xml.rs:507-518):
+    *
+    *  - ≥ 3 groups → **parallel arrays**: instances zipped index-wise up
+    *    to the longest group, shorter groups padded with nulls — a cross
+    *    product of many groups would explode multiplicatively.
+    *  - every group's per-record max ≤ 3 → **cartesian product**: one row
+    *    per combination (small and usually genuinely relational).
+    *  - otherwise (one large group) → **header-detail**: one row per
+    *    instance of the LARGEST group; other groups are dropped, like the
+    *    reference's first-group-only `header_detail_combinations`
+    *    (deviation: we pick the largest group, not HashMap iteration
+    *    order, so the choice is deterministic).
+    *
+    * Explicit `Cartesian` mode always cross-products; `Auto` selects.
     */
   private def cartesianFlatten(spark: SparkSession, records: Seq[Elem],
-      alias: String): GraftFrame = {
+      alias: String, auto: Boolean = false): GraftFrame = {
     val cols = scala.collection.mutable.LinkedHashSet.empty[String]
     val allRows = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
     // group membership is decided at FILE level (the reference analyzes
@@ -128,6 +141,20 @@ object XmlLoader {
     // everywhere, so a record holding a single instance still contributes
     // that instance's fields rather than dropping them
     val fileGroups = records.flatMap(repeatedChildTypes).distinct.sorted
+    // per-group max instance count across the file drives the strategy
+    def instanceCount(r: Elem, label: String): Int =
+      r.child.count { case e: Elem => e.label == label; case _ => false }
+    val maxCounts: Map[String, Int] = fileGroups.map(l =>
+      l -> records.map(instanceCount(_, l)).max).toMap
+    val strategy: String =
+      if (!auto) "cartesian"
+      else if (fileGroups.length >= 3) "parallel"
+      else if (fileGroups.forall(l => maxCounts(l) <= 3)) "cartesian"
+      else "header_detail"
+    val detailGroup: Option[String] =
+      if (strategy == "header_detail") maxCounts.toSeq.sortBy { case (l, n) => (-n, l) }
+        .headOption.map(_._1)
+      else None
     records.foreach { r =>
       val repeated = fileGroups.toSet
       val attrs = r.attributes.asAttrMap.map { case (k, v) =>
@@ -155,8 +182,23 @@ object XmlLoader {
           instances.flatMap(_.keys).foreach(cols += _)
           label -> instances.toSeq
         }
-      val combos = groups.foldLeft(Seq(base)) { case (acc, (_, instances)) =>
-        for (partial <- acc; inst <- instances) yield partial ++ inst
+      val combos: Seq[Map[String, String]] = strategy match {
+        case "parallel" =>
+          val maxLen = groups.map(_._2.length).maxOption.getOrElse(0)
+          if (maxLen == 0) Seq(base)
+          else (0 until maxLen).map { i =>
+            groups.foldLeft(base) { case (acc, (_, instances)) =>
+              if (i < instances.length) acc ++ instances(i) else acc
+            }
+          }
+        case "header_detail" =>
+          groups.find { case (l, _) => detailGroup.contains(l) }
+            .map { case (_, instances) => instances.map(base ++ _) }
+            .getOrElse(Seq(base))
+        case _ =>
+          groups.foldLeft(Seq(base)) { case (acc, (_, instances)) =>
+            for (partial <- acc; inst <- instances) yield partial ++ inst
+          }
       }
       allRows ++= combos
     }

@@ -156,6 +156,54 @@ class XmlLoaderSpec extends SparkSpec {
     assert(XmlLoader.load(spark, uri, "xuri").df.count() == 3)
   }
 
+  test("three or more repeating groups zip as parallel arrays, not a cross product") {
+    // reference determine_combination_strategy (xml.rs:507-518): ≥3 groups
+    // → ParallelArrays. A cross product would be 3×2×2 = 12 rows; the
+    // parallel zip yields max-length rows with shorter groups null-padded
+    val xml =
+      """<root>
+        |  <rec>
+        |    <id>1</id>
+        |    <a>a1</a><a>a2</a><a>a3</a>
+        |    <b>b1</b><b>b2</b>
+        |    <c>c1</c><c>c2</c>
+        |  </rec>
+        |</root>""".stripMargin
+    val p = writeTemp("parallel.xml", xml)
+    val df = XmlLoader.load(spark, p, "par").df
+    assert(df.count() == 3) // longest group length, not 3×2×2 = 12
+    val rows = df.collect().map(r => (r.getAs[String]("a"),
+      r.getAs[String]("b"), r.getAs[String]("c"))).toSet
+    assert(rows == Set(("a1", "b1", "c1"), ("a2", "b2", "c2"), ("a3", null, null)))
+    assert(df.select("id").distinct().count() == 1) // base repeats onto each row
+  }
+
+  test("one large repeating group with a small sibling flattens header-detail") {
+    // max instance count 4 > 3 with two groups → HeaderDetail: one row per
+    // instance of the LARGEST group; the small group's fields are dropped
+    // (the reference keeps only its chosen group too, xml.rs:730-741)
+    val xml =
+      """<root>
+        |  <order>
+        |    <oid>9</oid>
+        |    <line><sku>s1</sku></line>
+        |    <line><sku>s2</sku></line>
+        |    <line><sku>s3</sku></line>
+        |    <line><sku>s4</sku></line>
+        |    <note>rush</note><note>gift</note>
+        |  </order>
+        |</root>""".stripMargin
+    val p = writeTemp("hd2.xml", xml)
+    val df = XmlLoader.load(spark, p, "hd2", Some("order")).df
+    assert(df.count() == 4) // one per line, not 4×2 combinations
+    assert(df.select("line_sku").collect().map(_.getString(0)).toSet ==
+      Set("s1", "s2", "s3", "s4"))
+    assert(df.select("oid").distinct().collect().map(_.getString(0)).toSeq == Seq("9"))
+    // explicit Cartesian overrides the auto strategy: full 4×2 cross
+    assert(XmlLoader.load(spark, p, "hd2c", Some("order"),
+      mode = XmlLoader.Cartesian).df.count() == 8)
+  }
+
   test("auto mode keeps header-detail (single repeated type) in standard") {
     val xml =
       """<root>
