@@ -207,6 +207,62 @@ object XmlLoader {
       allRows.toSeq.map(m => Row.fromSeq(colSeq.map(m.get(_).orNull))), alias)
   }
 
+  /** Standard-flatten ONE record to a column→value map — pure and
+    * serializable, shared by the driver path and the distributed folder
+    * path below.
+    */
+  private[sources] def recordToMap(r: Elem): Map[String, String] = {
+    val attrs = r.attributes.asAttrMap.map { case (k, v) =>
+      Normalize.normalizeColumnName(k) -> v
+    }
+    val children = r.child.collect { case e: Elem if isScalar(e) =>
+      Normalize.normalizeColumnName(e.label) -> e.text.trim
+    }.toMap
+    attrs ++ children
+  }
+
+  /** Distributed folder-of-XML-documents load — the 100 TB shape for XML
+    * is many files, not one big one, and the single-file loader (and
+    * `loadFolder`'s per-file dispatch) parses on the driver. Here the
+    * schema is fixed from ONE driver-side sample file (first by name —
+    * the same first-file-wins contract as the reference's folder loader,
+    * src/elusion.rs:6765-7265), then every file parses on the EXECUTORS
+    * via wholeTextFiles: columns missing in a file are null, extra
+    * columns are dropped. Standard flatten only (scalar records) — the
+    * multi-group strategies need whole-document analysis and stay on the
+    * single-file path.
+    */
+  def loadFolderDistributed(spark: SparkSession, dir: String, alias: String,
+      recordTag: Option[String] = None): GraftFrame = {
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hDir)
+      .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xml"))
+      .map(_.getPath).sortBy(_.getName)
+    if (files.isEmpty)
+      throw graft.GraftError.InvalidOperation("load_folder_xml",
+        s"no .xml files in $dir")
+    // schema pass: one driver parse of the first file
+    val sample = load(spark, files.head.toString, alias, recordTag)
+    val cols = sample.df.columns.toSeq
+    val tag = recordTag.getOrElse {
+      val in = fs.open(files.head)
+      val root = try XML.load(in) finally in.close()
+      detectRecordTag(root)
+    }
+    val schema = StructType(cols.map(c => StructField(c, StringType)))
+    val rows = spark.sparkContext
+      .wholeTextFiles(files.map(_.toString).mkString(","))
+      .flatMap { case (_, content) =>
+        val root = XML.loadString(content)
+        (root \\ tag).collect { case e: Elem =>
+          val m = recordToMap(spliceWrappers(e))
+          Row.fromSeq(cols.map(m.get(_).orNull))
+        }
+      }
+    GraftFrame(spark.createDataFrame(rows, schema), alias)
+  }
+
   private def toFrame(spark: SparkSession, colSeq: Seq[String],
       rows: Seq[Row], alias: String): GraftFrame = {
     val schema = StructType(colSeq.map(c => StructField(c, StringType)))

@@ -91,6 +91,33 @@ class CorpusSpec extends SparkSpec {
       s"eval side should broadcast:\n$plan")
   }
 
+  test("quality gate + stratified sample run unchanged on a stream") {
+    // both operators are stateless Column predicates, so the SAME code
+    // curates a Structured Streaming ingest — no batch/stream divergence
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val goodText = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest for a while longer than expected " +
+      "today with friends and a calm steady pace that is natural text " * 2
+    mem.addData((1 to 50).map(i =>
+      (i.toLong, if (i % 5 == 0) "@@@@ 123 !!!!" else goodText,
+        if (i % 2 == 0) "en" else "de")): _*)
+    val curated = Corpus.stratifiedSample(
+      Corpus.qualityFilter(
+        mem.toDF.toDF("doc_id", "text", "lang"), "text", minScore = 0.5),
+      "doc_id", "lang", Seq("en" -> 1.0, "de" -> 0.0))
+    val q = curated.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("curate_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      // survivors: even ids (en, rate 1.0) that pass the gate (not % 5 == 0)
+      assert(ids == (2 to 50 by 2).filterNot(_ % 5 == 0).map(_.toLong).toSet)
+    } finally q.stop()
+  }
+
   test("quality filter keeps high-quality docs only") {
     val sp = spark; import sp.implicits._
     val mixed = Seq(

