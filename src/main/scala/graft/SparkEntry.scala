@@ -546,6 +546,29 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // the at-scale XML shape: many files, parsed on the executors
+    // (wholeTextFiles), schema fixed from the first file
+    "q_xml_folder" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get("/root/repo/target/tmp/xml_folder_rt")
+      java.nio.file.Files.createDirectories(dir)
+      val rows = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+        val xml = chunk.map(r =>
+          s"<customer><c_custkey>${r.getLong(0)}</c_custkey>" +
+            s"<c_mktsegment>${r.getString(1)}</c_mktsegment>" +
+            s"<c_acctbal>${r.getDouble(2)}</c_acctbal></customer>")
+          .mkString("<customers>", "", "</customers>")
+        java.nio.file.Files.writeString(dir.resolve(s"part$i.xml"), xml)
+      }
+      sources.XmlLoader.loadFolderDistributed(s, dir.toString, "cust_xml_dist",
+        Some("customer"))
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n",
+          "ROUND(SUM(c_acctbal::DOUBLE), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // user-declared schema load (reference with_schema.rs)
     "q_with_schema" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_schema.csv"
@@ -1030,6 +1053,9 @@ object SparkEntry {
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_xml_load" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_xml_folder" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_excel_load" ->
