@@ -852,6 +852,23 @@ object SparkEntry {
       t(s, d, "documents").df.select(col("doc_id"),
         TF.fingerprintKey(col("text")).as("fp_key"))),
 
+    // PII is planted per row (the fixture has none) so the redaction is
+    // genuinely exercised; the oracle replays the same regex chain
+    "q_text_redact" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        TF.redactPii(concat(col("text"),
+          lit(" reach me at u"), col("doc_id").cast("string"),
+          lit("@example.com or (555) 123-4567 via 10.0.0.1 today")))
+          .as("redacted"))),
+
+    // planted duplicate lines make the line signal non-trivial on the
+    // single-line fixture docs; the word signal runs on the raw text
+    "q_text_repetition" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        round(TF.dupLineRatio(concat(col("text"),
+          lit("\nrepeat me\nrepeat me"))), 6).as("dup_line_ratio"),
+        round(TF.dupWordRatio(col("text")), 6).as("dup_word_ratio"))),
+
     "q_multimodal" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.fromDocuments(t(s, d, "documents").df, "doc_id", "text"))
@@ -1118,6 +1135,29 @@ object SparkEntry {
 
     "q_decontaminate" ->
       OracleSql.contamination(n = 3, maxEvalId = 20L, minShared = 2L),
+
+    "q_text_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+?\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}"
+      "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' reach me at u' || doc_id::VARCHAR || '@example.com or (555) 123-4567 via 10.0.0.1 today', " +
+        s"'$email', '[REDACTED]', 'g'), " +
+        s"'$ip', '[REDACTED]', 'g'), " +
+        s"'$phone', '[REDACTED]', 'g') AS redacted FROM documents"
+    },
+
+    "q_text_repetition" -> {
+      val lines = "list_filter(list_transform(string_split(" +
+        "text || chr(10) || 'repeat me' || chr(10) || 'repeat me', chr(10)), " +
+        "l -> trim(l)), l -> length(l) > 0)"
+      val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+      s"SELECT doc_id, round(CASE WHEN len($lines) = 0 THEN 0.0 ELSE " +
+        s"1.0 - len(list_distinct($lines))::DOUBLE / len($lines) END, 6) AS dup_line_ratio, " +
+        s"round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE " +
+        s"1.0 - len(list_distinct($toks))::DOUBLE / len($toks) END, 6) AS dup_word_ratio " +
+        "FROM documents"
+    },
 
     "q_skew_join" ->
       "SELECT o_orderpriority, count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",

@@ -113,6 +113,45 @@ object TextFunctions {
     struct(xxhash64(lit(1L), k).as("h1"), xxhash64(lit(2L), k).as("h2"))
   }
 
+  // PII patterns kept to constructs with identical semantics in Java
+  // regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+  // repetition, \b/\d/\s — no backreferences or lookaround.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+?\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}"
+
+  /** PII redaction for training corpora: emails, IPv4 addresses and
+    * phone-shaped numbers replaced with a marker. Order matters — IPs
+    * before phones, or the phone pattern would eat dotted quads. Pure
+    * codegen'd regexp_replace chain, no UDF.
+    */
+  def redactPii(text: Column, marker: String = "[REDACTED]"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, marker),
+        Ipv4Re, marker),
+      PhoneRe, marker)
+
+  /** Fraction of non-empty lines that are duplicates of an earlier line —
+    * the Gopher-style boilerplate signal (nav bars, footers, license
+    * headers repeat; prose doesn't). 0 for texts of ≤ 1 line.
+    */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    when(size(lines) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines))
+  }
+
+  /** Fraction of whitespace tokens that are repeats — high values mark
+    * keyword-stuffed or generated boilerplate.
+    */
+  def dupWordRatio(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(tokens(text))).cast("double") / size(tokens(text)))
+
   /** Normalized text for near-dup pipelines: lowercase, strip
     * punctuation, collapse whitespace.
     */

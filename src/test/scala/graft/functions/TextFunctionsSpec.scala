@@ -70,6 +70,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sh == Seq("abc", "bcd"))
   }
 
+  test("redactPii masks emails, IPv4s and phone numbers, leaves prose") {
+    val in = "mail a.b-c@foo.io, call (555) 123-4567 or +1 555.123.4567, " +
+      "host 10.0.0.1, price 50000.25 stays, year 2024 stays"
+    val out = one(redactPii(col("text")), in).asInstanceOf[String]
+    assert(!out.contains("foo.io") && !out.contains("123-4567") &&
+      !out.contains("10.0.0.1"))
+    assert(out.contains("price 50000.25 stays"))
+    assert(out.contains("year 2024 stays"))
+    assert(out.contains("[REDACTED]"))
+  }
+
+  test("dup ratios: boilerplate scores high, prose scores zero") {
+    val boiler = "nav home\nnav home\nnav home\nunique line"
+    val dl = one(dupLineRatio(col("text")), boiler).asInstanceOf[Double]
+    assert(math.abs(dl - 0.5) < 1e-9) // 4 lines, 2 distinct
+    assert(one(dupLineRatio(col("text")), "one line only").asInstanceOf[Double] == 0.0)
+    val dw = one(dupWordRatio(col("text")), "spam spam spam ham").asInstanceOf[Double]
+    assert(math.abs(dw - 0.5) < 1e-9) // 4 tokens, 2 distinct
+    assert(one(dupWordRatio(col("text")), "all words differ here").asInstanceOf[Double] == 0.0)
+  }
+
   test("qualityScore in [0,1], higher for natural text") {
     val natural = one(qualityScore(col("text")),
       "the quick brown fox jumps over the lazy dog and runs to the forest with a friend " * 5)
