@@ -102,12 +102,16 @@ object Corpus {
     */
   def contamination(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, shingleWords: Int = 3,
-      minShared: Long = 1L): DataFrame = {
+      minShared: Long = 1L, broadcastEval: Boolean = true): DataFrame = {
     def posting(df: DataFrame, as: String) =
       df.select(col(idCol).as(as),
         explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
+    // eval benchmarks are small by definition; pass broadcastEval = false
+    // for the rare huge-eval case to fall back to a shuffle join instead
+    // of forcing an executor-memory-sized broadcast
+    val evalPosting = posting(evalSet, "eval_id")
     posting(corpus, "doc_id_c").join(
-        broadcast(posting(evalSet, "eval_id")), Seq("g"))
+        if (broadcastEval) broadcast(evalPosting) else evalPosting, Seq("g"))
       .groupBy(col("doc_id_c"), col("eval_id"))
       .agg(count(lit(1)).as("shared_shingles"))
       .where(col("shared_shingles") >= minShared)
