@@ -223,7 +223,12 @@ object Normalize {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') { inStr = !inStr; i += 1 }
+      // inside a literal, honor backslash escapes (Spark's default string
+      // parsing): `'o\'brien'` must not toggle out of the string, or the
+      // tail would be tokenized as column identifiers and the group_by_all
+      // validation would reject a query Spark executes fine
+      if (inStr && c == '\\') i += 2
+      else if (c == '\'') { inStr = !inStr; i += 1 }
       else if (inStr) i += 1
       else if (c == '(') { depth += 1; i += 1 }
       else if (c == ')') {

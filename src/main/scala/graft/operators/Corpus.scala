@@ -45,13 +45,20 @@ object Corpus {
     }
   }
 
-  def hashSplit(df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
-    val buckets = 1000000L
-    val h = pmod(
+  /** The deterministic md5 bucket shared by [[hashSplit]] and
+    * [[stratifiedSample]] — ONE expression (and one DuckDB twin in
+    * OracleSql) so the two assignment paths can never drift.
+    */
+  private def bucketHash(idCol: String, salt: String, buckets: Long) =
+    pmod(
       conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15), 16, 10)
         .cast("long"),
       lit(buckets))
+
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    val buckets = 1000000L
+    val h = bucketHash(idCol, salt, buckets)
     val expr = splitBounds(splits, buckets).foldLeft(lit(null).cast("string")) {
       case (acc, (name, lo, hi)) =>
         when(h >= lo && h < hi, lit(name)).otherwise(acc)
@@ -80,14 +87,10 @@ object Corpus {
       rates: Seq[(String, Double)], defaultRate: Double = 1.0,
       salt: String = "graft"): DataFrame = {
     val buckets = 1000000L
-    val h = pmod(
-      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15), 16, 10)
-        .cast("long"),
-      lit(buckets))
     val rateExpr = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
       when(col(groupCol) === g, lit(r)).otherwise(acc)
     }
-    df.where(h < (rateExpr * buckets).cast("long"))
+    df.where(bucketHash(idCol, salt, buckets) < (rateExpr * buckets).cast("long"))
   }
 
   /** Eval-set contamination scan — the decontamination primitive every

@@ -78,8 +78,9 @@ object BiffReader {
     def chain(start: Int): Seq[Int] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Int]
       var s = start
-      while (s != EndOfChain && s != FreeSect && out.length <= fat.length) {
-        if (s < 0 || s >= fat.length) fail(s"OLE2 FAT chain out of range at sector $s")
+      while (s != EndOfChain && s != FreeSect) {
+        if (s < 0 || s >= fat.length) fail(s"corrupt OLE2 container (FAT chain sector $s out of range)")
+        if (out.length > fat.length) fail("corrupt OLE2 container (cyclic FAT chain)")
         out += s
         s = fat(s)
       }
@@ -90,6 +91,7 @@ object BiffReader {
       val out = new Array[Byte](sects.length * sectorSize)
       sects.zipWithIndex.foreach { case (s, i) =>
         val off = sectorOffset(s)
+        if (off >= data.length) fail(s"corrupt OLE2 container (sector $s past end of file)")
         System.arraycopy(data, off, out, i * sectorSize, math.min(sectorSize, data.length - off))
       }
       out
@@ -121,7 +123,14 @@ object BiffReader {
       val out = new Array[Byte](target.size.toInt)
       var s = target.start
       var pos = 0
+      var steps = 0
+      val maxSteps = miniFatRaw.length / 4 + 1
       while (s != EndOfChain && s != FreeSect && pos < target.size) {
+        if (s < 0 || (s + 1) * miniSize > miniContainer.length ||
+            4 * s + 4 > miniFatRaw.length)
+          fail(s"corrupt OLE2 container (mini-stream sector $s out of range)")
+        if (steps > maxSteps) fail("corrupt OLE2 container (cyclic mini-FAT chain)")
+        steps += 1
         val n = math.min(miniSize, target.size.toInt - pos)
         System.arraycopy(miniContainer, s * miniSize, out, pos, n)
         pos += n
@@ -158,8 +167,11 @@ object BiffReader {
     private var seg = 0
     private var pos = 0
     private def remainingInSeg: Int = segs(seg).len - pos
-    private def advanceSeg(): Unit = { seg += 1; pos = 0 }
-    def atBoundary: Boolean = remainingInSeg == 0 && seg + 1 < segs.length
+    private def advanceSeg(): Unit = {
+      seg += 1
+      if (seg >= segs.length) fail("BIFF SST truncated (ran past the last CONTINUE record)")
+      pos = 0
+    }
     def readU8(): Int = {
       if (remainingInSeg == 0) advanceSeg()
       val v = wb(segs(seg).start + pos) & 0xFF

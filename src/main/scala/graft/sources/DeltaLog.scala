@@ -16,11 +16,14 @@ import scala.collection.mutable.ListBuffer
   * over Spark-written parquet data files. Readers replay adds − removes.
   *
   * Concurrency: appends use optimistic concurrency — each commit carries
-  * a commitInfo txn id, lands via rename-if-absent, and VERIFIES it owns
-  * the numbered slot by reading it back (local-FS rename can silently
-  * replace; on HDFS the rename itself refuses). A loser rebases to the
-  * next version and retries: append/merge add-file sets are disjoint, so
-  * the rebase is always safe. Two concurrent OVERWRITES are inherently
+  * a commitInfo txn id and must win its numbered slot atomically. On the
+  * local FS the slot is claimed with link(2) (atomic create-exclusive —
+  * rename would silently replace, and even a read-back verify leaves a
+  * replace-after-verify window); on HDFS-like stores tmp+rename is used
+  * (their rename refuses an existing destination) with a read-back
+  * verify as a belt for lax-rename stores. A loser rebases to the next
+  * version and retries: append/merge add-file sets are disjoint, so the
+  * rebase is always safe. Two concurrent OVERWRITES are inherently
   * destructive and fail typed instead of retrying.
   *
   * Scope (documented, not hidden): overwrite wipes the table directory
@@ -239,8 +242,28 @@ object DeltaLog {
       val out = fs.create(tmp, true)
       try out.write(actionsFor(version).getBytes("UTF-8"))
       finally out.close()
-      val renamed = !fs.exists(commit) && fs.rename(tmp, commit)
-      val won = renamed && readString(fs, commit).contains(txnId)
+      // Local FS: rename(2) silently REPLACES the destination, so even a
+      // read-back verify has a window (A renames+verifies, B replaces —
+      // both believe they won). link(2) is a true atomic
+      // create-exclusive: the slot either acquires our fully-written
+      // bytes or the call fails. HDFS-like stores keep the rename path,
+      // whose rename refuses an existing destination; the read-back
+      // verify stays as a belt for stores with lax rename semantics.
+      val won =
+        if ("file" == fs.getUri.getScheme) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(commit.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            fs.delete(tmp, false)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          val renamed = !fs.exists(commit) && fs.rename(tmp, commit)
+          renamed && readString(fs, commit).contains(txnId)
+        }
       if (won) committed = true
       else {
         fs.delete(tmp, false)

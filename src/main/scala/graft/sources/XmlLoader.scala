@@ -242,13 +242,20 @@ object XmlLoader {
     if (files.isEmpty)
       throw graft.GraftError.InvalidOperation("load_folder_xml",
         s"no .xml files in $dir")
-    // schema pass: one driver parse of the first file
-    val sample = load(spark, files.head.toString, alias, recordTag)
-    val cols = sample.df.columns.toSeq
-    val tag = recordTag.getOrElse {
+    // schema pass: ONE driver parse of the first file, standard-flattened
+    // with the same recordToMap the executors run — deriving the schema
+    // through Auto-mode load() could pick a multi-group strategy whose
+    // columns (order_oid, …) the executor-side standard flatten would
+    // never populate
+    val (tag, cols) = {
       val in = fs.open(files.head)
       val root = try XML.load(in) finally in.close()
-      detectRecordTag(root)
+      val t = recordTag.getOrElse(detectRecordTag(root))
+      val records = (root \\ t).collect { case e: Elem => spliceWrappers(e) }
+      require(records.nonEmpty, s"loadFolderDistributed: no <$t> records in ${files.head}")
+      val c = scala.collection.mutable.LinkedHashSet.empty[String]
+      records.foreach(r => recordToMap(r).keys.foreach(c += _))
+      (t, c.toSeq)
     }
     val schema = StructType(cols.map(c => StructField(c, StringType)))
     val rows = spark.sparkContext
@@ -297,11 +304,9 @@ object XmlLoader {
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // (parent label, child label) → per-parent-instance counts
     val rel = scala.collection.mutable.LinkedHashMap.empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
-    val parentInstances = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def walk(e: Elem): Unit = {
       val elems = e.child.collect { case c: Elem => c }
       if (elems.nonEmpty) {
-        parentInstances(e.label) = parentInstances.getOrElse(e.label, 0) + 1
         elems.groupBy(_.label).foreach { case (cl, cs) =>
           rel.getOrElseUpdate((e.label, cl), scala.collection.mutable.ArrayBuffer.empty) += cs.size
         }

@@ -71,6 +71,11 @@ class NormalizeSpec extends AnyFunSuite {
       Seq("a", "b"))
     // qualified identifiers survive as-is; scientific literals don't leak
     assert(columnDependencies("t.col + 1e5") == Seq("t.col"))
+    // backslash-escaped quotes stay inside the literal (Spark default
+    // parsing) — 'brien' must not surface as a phantom column dependency
+    assert(columnDependencies(
+      "lag(x) over (order by case when name = 'o\\'brien' then 0 else 1 end)") ==
+      Seq("x", "name"))
   }
 
   test("column name normalization: lowercase, trim, spaces to underscores") {
