@@ -358,11 +358,28 @@ object DeltaLog {
     * writer never emits removes but replaying them keeps the reader
     * correct on logs other writers produced.
     */
-  def activeFiles(spark: SparkSession, path: String): Seq[String] = {
+  def activeFiles(spark: SparkSession, path: String): Seq[String] =
+    activeFilesAsOf(spark, path, None)
+
+  /** Active files of the snapshot at `versionAsOf` (None = latest).
+    * Time travel replays only commits ≤ the requested version; the
+    * checkpoint is used only when it doesn't overshoot the target
+    * (checkpoints fold earlier commits, so a checkpoint NEWER than the
+    * requested version can't seed the replay).
+    */
+  def activeFilesAsOf(spark: SparkSession, path: String,
+      versionAsOf: Option[Long]): Seq[String] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
+    versionAsOf.foreach { v =>
+      if (!fs.exists(new HPath(log, commitName(v))))
+        throw graft.GraftError.InvalidOperation("load_delta",
+          s"version $v does not exist in $path (versions: " +
+            s"${existingVersions(fs, log).mkString(", ")})")
+    }
     val cpVersion = lastCheckpointVersion(fs, log)
+      .filter(cp => versionAsOf.forall(cp <= _))
     val cpAdds: Seq[String] = cpVersion.toSeq.flatMap { v =>
       val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
       if (cp.columns.contains("add"))
@@ -371,7 +388,7 @@ object DeltaLog {
       else Nil
     }
     val commits = existingVersions(fs, log)
-      .filter(v => cpVersion.forall(v > _))
+      .filter(v => cpVersion.forall(v > _) && versionAsOf.forall(v <= _))
       .map(v => new HPath(log, commitName(v)).toString)
     if (commits.isEmpty && cpAdds.isEmpty) return Nil
     val (commitAdds, removes) =
@@ -396,13 +413,38 @@ object DeltaLog {
 
   /** Snapshot read: the log's active files, partition columns re-inferred
     * from `col=val` paths via basePath, schema merged across files.
+    * `versionAsOf` time-travels to an earlier snapshot.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val files = activeFiles(spark, path)
+  def read(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val files = activeFilesAsOf(spark, path, versionAsOf)
     require(files.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
     spark.read
       .option("mergeSchema", "true")
       .option("basePath", path)
       .parquet(files: _*)
+  }
+
+  /** Delete data files not referenced by the CURRENT snapshot — the
+    * cleanup that bounds a long-lived table's directory growth (overwrite
+    * wipes, but failed writes and replaced-by-checkpoint history leave
+    * orphans). Time travel to versions whose files are vacuumed away
+    * stops working, like real delta VACUUM; the log itself is kept.
+    * Returns the deleted relative paths.
+    */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
+    // qualify each active path the same way as `base` — activeFiles
+    // returns paths built from the caller's (possibly relative) table
+    // path, and an unqualified string would never strip to a relative key
+    val active: Set[String] = activeFiles(spark, path)
+      .map(f => fs.makeQualified(new HPath(f)).toUri.getPath
+        .stripPrefix(base).stripPrefix("/"))
+      .toSet
+    val orphans = dataFiles(fs, tbl).keys.filterNot(active).toSeq.sorted
+    orphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
+    orphans
   }
 }

@@ -52,7 +52,7 @@ class PlanAssertionsSpec extends SparkSpec {
       s"no window operator in plan:\n$p")
   }
 
-  test("exact dedup shuffles 8-byte hash keys, not document bodies") {
+  test("exact dedup shuffles 16-byte hash keys, not document bodies") {
     val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val p = plan(df)
     // partial (map-side) aggregation must run before the exchange so only

@@ -184,6 +184,37 @@ class WritersSpec extends SparkSpec {
     assert(back.where(org.apache.spark.sql.functions.col("name") === "c").count() == 1)
   }
 
+  test("delta time travel reads earlier snapshots; vacuum drops orphans") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_tt")
+    Writers.writeDeltaTable(df, "overwrite", p) // v0: 2 rows
+    Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"),
+      "append", p) // v1: 3 rows
+    Writers.writeDeltaTable(Seq((4L, "d", 4.5)).toDF("id", "name", "v"),
+      "append", p) // v2: 4 rows
+    assert(DeltaLog.read(spark, p).count() == 4)
+    assert(DeltaLog.read(spark, p, versionAsOf = Some(1L)).count() == 3)
+    assert(DeltaLog.read(spark, p, versionAsOf = Some(0L)).count() == 2)
+    val e = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.read(spark, p, versionAsOf = Some(9L))
+    }
+    assert(e.getMessage.contains("version 9"))
+    // plant an orphan data file (e.g. debris of a failed write): invisible
+    // to the snapshot, removed by vacuum; live files stay
+    val orphan = Paths.get(p, "part-junk.parquet")
+    Seq((99L, "junk", 0.0)).toDF("id", "name", "v")
+      .coalesce(1).write.mode("overwrite").parquet(tmp("delta_tt_junk"))
+    val junkPart = Files.list(Paths.get(tmp("delta_tt_junk"))).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(junkPart, orphan)
+    assert(DeltaLog.read(spark, p).count() == 4) // orphan invisible
+    val removed = DeltaLog.vacuum(spark, p)
+    assert(removed == Seq("part-junk.parquet"), s"got $removed")
+    assert(!Files.exists(orphan))
+    assert(DeltaLog.read(spark, p).count() == 4) // live data untouched
+  }
+
   test("delta append rebases past a commit slot taken by a concurrent writer") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_race")
