@@ -595,6 +595,20 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // time travel: version 0 of the same table q_delta_roundtrip builds
+    // (overwrite + append) must read back as the PRE-append snapshot
+    "q_delta_time_travel" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_tt"
+      val c = t(s, d, "customer").toDF
+      Writers.writeDeltaTable(c, "overwrite", path, partitionBy = Seq("c_mktsegment"))
+      Writers.writeDeltaTable(c.where(col("c_custkey") % 10 === 0), "append", path,
+        partitionBy = Seq("c_mktsegment"))
+      Loaders.loadDelta(s, path, "customer_tt", versionAsOf = Some(0L))
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // JSON-spec document form of with_schema (reference schema_from_json)
     "q_with_schema_json" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_schema_json.csv"
@@ -1083,6 +1097,10 @@ object SparkEntry {
 
     "q_delta_roundtrip" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey % 10 = 0) GROUP BY c_mktsegment",
+
+    // version 0 = the table before the append
+    "q_delta_time_travel" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_stringfn_groupby" ->
       "SELECT count(*) AS n, c_mktsegment, substr(c_mktsegment, 1, 1) AS seg_initial FROM customer GROUP BY c_mktsegment, substr(c_mktsegment, 1, 1)",

@@ -140,11 +140,15 @@ object Loaders {
     * we keep pruning on. Falls back to a plain parquet read when the
     * directory has no log (pre-delta layouts).
     */
-  def loadDelta(spark: SparkSession, path: String, alias: String): GraftFrame = {
+  def loadDelta(spark: SparkSession, path: String, alias: String,
+      versionAsOf: Option[Long] = None): GraftFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "_delta_log")))
-      GraftFrame(DeltaLog.read(spark, path), alias)
+      GraftFrame(DeltaLog.read(spark, path, versionAsOf), alias)
+    else if (versionAsOf.nonEmpty)
+      throw graft.GraftError.InvalidOperation("load_delta",
+        s"versionAsOf requires a _delta_log; $path has none")
     else GraftFrame(spark.read.parquet(path), alias)
   }
 
