@@ -36,11 +36,13 @@ case class QueryState(
     joins: Vector[JoinClause] = Vector.empty,
     windows: Vector[String] = Vector.empty,
     deferred: Vector[DeferredOp] = Vector.empty,
-    groupByAll: Boolean = false) {
+    groupByAll: Boolean = false,
+    groupMode: String = "PLAIN", // PLAIN | CUBE | ROLLUP | SETS
+    groupingSets: Vector[Vector[String]] = Vector.empty) {
   def isEmpty: Boolean =
     selects.isEmpty && aggs.isEmpty && groupBy.isEmpty && where.isEmpty &&
       having.isEmpty && orderBy.isEmpty && limitN.isEmpty && joins.isEmpty &&
-      windows.isEmpty && deferred.isEmpty
+      windows.isEmpty && deferred.isEmpty && groupingSets.isEmpty
 }
 
 object GraftFrame {
@@ -211,6 +213,33 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     * alias-aware (src/elusion.rs:999-1046).
     */
   def groupByAll(): GraftFrame = withState(state.copy(groupByAll = true))
+
+  /** GROUP BY CUBE — every subset of the grouping columns in one pass
+    * (SURVEY §2.5 marked cube/rollup as surface Spark provides for free;
+    * the reference only passes GROUPING() through, normalize.rs:46).
+    * Spark plans this as a single Expand + hash aggregate, so the input is
+    * scanned once no matter how many grouping combinations it emits.
+    */
+  def groupByCube(cols: String*): GraftFrame = groupedMode("CUBE", cols)
+
+  /** GROUP BY ROLLUP — hierarchical prefixes of the grouping columns
+    * (n+1 grouping sets), same single-scan Expand plan as [[groupByCube]].
+    */
+  def groupByRollup(cols: String*): GraftFrame = groupedMode("ROLLUP", cols)
+
+  /** GROUP BY GROUPING SETS — explicit grouping combinations; each set is
+    * one Seq of columns, `Seq()` is the grand total.
+    */
+  def groupByGroupingSets(sets: Seq[String]*): GraftFrame = {
+    val resolved = sets.map(_.map(c =>
+      resolveAliasToOriginal(normalizeExpression(c))).toVector).toVector
+    withState(state.copy(groupingSets = resolved, groupMode = "SETS"))
+  }
+
+  private def groupedMode(mode: String, cols: Seq[String]): GraftFrame = {
+    val resolved = cols.map(c => resolveAliasToOriginal(normalizeExpression(c)))
+    withState(state.copy(groupBy = state.groupBy ++ resolved, groupMode = mode))
+  }
 
   /** HAVING, may reference aggregate aliases (src/elusion.rs:1077-1101). */
   def having(condition: String): GraftFrame =
@@ -402,7 +431,16 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     sb.append(s" FROM $baseView AS $alias")
     joinsSql.foreach(j => sb.append(" ").append(j))
     if (state.where.nonEmpty) sb.append(" WHERE ").append(state.where.mkString(" AND "))
-    if (groupCols.nonEmpty) sb.append(" GROUP BY ").append(groupCols.mkString(", "))
+    state.groupMode match {
+      case "SETS" =>
+        sb.append(" GROUP BY GROUPING SETS (")
+          .append(state.groupingSets.map(s => s"(${s.mkString(", ")})").mkString(", "))
+          .append(")")
+      case m @ ("CUBE" | "ROLLUP") if groupCols.nonEmpty =>
+        sb.append(s" GROUP BY $m (").append(groupCols.mkString(", ")).append(")")
+      case _ =>
+        if (groupCols.nonEmpty) sb.append(" GROUP BY ").append(groupCols.mkString(", "))
+    }
     if (state.having.nonEmpty) sb.append(" HAVING ").append(state.having.mkString(" AND "))
     if (state.orderBy.nonEmpty) sb.append(" ORDER BY ").append(state.orderBy.mkString(", "))
     state.limitN.foreach(n => sb.append(s" LIMIT $n"))
@@ -479,6 +517,10 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   }
 
   private def execute(): DataFrame = {
+    if (state.groupByAll && state.groupMode != "PLAIN")
+      throw GraftError.GroupByError(
+        "group_by_all cannot combine with cube/rollup/grouping sets — " +
+          "the ALL expansion and the multi-set expansion are ambiguous together")
     if (state.groupByAll) validateGroupByAll()
     val base =
       if (state.isEmpty) df

@@ -85,6 +85,34 @@ object SparkEntry {
         .groupBy("l_suppkey")
         .having("sum_qty > 15000").toDF),
 
+    // §2.5 multi-set aggregation — cube/rollup/grouping sets (SURVEY §2.5
+    // noted these as Spark-free surface; one Expand + hash-agg, single scan).
+    // GROUPING() flags disambiguate margin rows from genuine NULL values.
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .agg("ROUND(SUM(l_quantity), 2) AS sum_qty", "COUNT(*) AS cnt",
+          "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag",
+          "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status")
+        .groupByRollup("l_returnflag", "l_linestatus").toDF),
+
+    "q_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .agg("COUNT(*) AS cnt", "ROUND(SUM(o_totalprice), 2) AS total",
+          "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status",
+          "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio")
+        .groupByCube("o_orderstatus", "o_orderpriority").toDF),
+
+    "q_grouping_sets" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .agg("COUNT(*) AS cnt", "ROUND(SUM(c_acctbal), 2) AS bal",
+          "CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg",
+          "CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat")
+        .groupByGroupingSets(
+          Seq("c_mktsegment", "c_nationkey"), Seq("c_mktsegment"), Seq()).toDF),
+
     // §2.4 joins
     "q_join_inner" -> ((s, d) =>
       t(s, d, "orders")
@@ -935,6 +963,27 @@ object SparkEntry {
 
     "q_having" ->
       "SELECT CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty, l_suppkey FROM lineitem GROUP BY l_suppkey HAVING sum_qty > 15000",
+
+    "q_rollup" ->
+      ("SELECT round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt, " +
+        "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, " +
+        "l_returnflag, l_linestatus " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+    "q_cube" ->
+      ("SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total, " +
+        "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, " +
+        "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio, " +
+        "o_orderstatus, o_orderpriority " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+
+    "q_grouping_sets" ->
+      ("SELECT count(*) AS cnt, round(sum(c_acctbal), 2) AS bal, " +
+        "CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg, " +
+        "CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat, " +
+        "c_mktsegment, c_nationkey " +
+        "FROM customer GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())"),
 
     "q_join_inner" ->
       "SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS total, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",

@@ -83,6 +83,38 @@ class GraftFrameSpec extends SparkSpec {
     assert(out.length == 5)
   }
 
+  test("groupByCube emits every grouping combination with GROUPING flags") {
+    val out = sales.select("grp", "tag")
+      .agg("COUNT(*) AS n", "CAST(GROUPING(grp) AS BIGINT) AS g_grp",
+        "CAST(GROUPING(tag) AS BIGINT) AS g_tag")
+      .groupByCube("grp", "tag").toDF.collect()
+    // 5 (grp,tag) pairs + 3 grp margins + 2 tag margins + 1 grand total
+    assert(out.length == 11)
+    val grand = out.filter(r => r.getLong(r.fieldIndex("g_grp")) == 1 &&
+      r.getLong(r.fieldIndex("g_tag")) == 1)
+    assert(grand.map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("groupByRollup emits only hierarchical prefixes") {
+    val out = sales.select("grp", "tag").agg("COUNT(*) AS n")
+      .groupByRollup("grp", "tag").toDF.collect()
+    assert(out.length == 9) // 5 pairs + 3 grp subtotals + 1 grand total
+  }
+
+  test("groupByGroupingSets honors explicit sets including the grand total") {
+    val out = sales.select("grp").agg("COUNT(*) AS n")
+      .groupByGroupingSets(Seq("grp"), Seq()).toDF.collect()
+    assert(out.length == 4) // 3 grp groups + grand total
+  }
+
+  test("group_by_all combined with cube/rollup is rejected") {
+    val err = intercept[GraftError.GroupByError] {
+      sales.select("grp").agg("COUNT(*) AS n")
+        .groupByCube("grp").groupByAll().toDF.collect()
+    }
+    assert(err.getMessage.contains("cube"))
+  }
+
   test("head/limit of zero raise LimitError, not a silent empty frame") {
     intercept[GraftError.LimitError] { sales.head(0) }
     intercept[GraftError.LimitError] { sales.limit(0) }
