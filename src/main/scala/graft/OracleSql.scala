@@ -58,6 +58,21 @@ object OracleSql {
       s"WHERE i::DOUBLE / (sa.n + sb.n - i) >= $threshold"
   }
 
+  /** Connected-component cluster assignment over the brute-force Jaccard
+    * pair set: a recursive CTE closes the reachability relation (seeded
+    * with every doc reaching itself), then cluster_id = min reachable id —
+    * the same component-min contract as Dedup.connectedComponents, computed
+    * by a completely different algorithm (transitive closure vs label
+    * propagation), so agreement checks the clustering itself.
+    */
+  def dedupClusters(n: Int, threshold: Double): String =
+    "WITH RECURSIVE pr AS (" + jaccardPairs(n, threshold) + "), " +
+      "und AS (SELECT id_a AS s, id_b AS t FROM pr " +
+      "UNION SELECT id_b, id_a FROM pr), " +
+      "reach(v, r) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT u.t, reach.r FROM reach JOIN und u ON u.s = reach.v) " +
+      "SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v"
+
   /** Brute-force MD5-SimHash pairs with hamming ≤ maxHamming — recomputes
     * the per-token 60-bit digest words (word w = hex chars [15w+1, 15w+15]
     * of md5, matching NativeOps.md5Words), the ±1 bit votes (ties → 1,

@@ -740,6 +740,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents").df, "text", "doc_id",
         shingleWords = 2, threshold = 0.1)),
 
+    // pairs → CLUSTERS: min-label-propagation connected components over the
+    // exact Jaccard pair set; the oracle recomputes components by recursive
+    // transitive closure (a different algorithm), so hash equality grades
+    // the clustering contract itself, not a replay
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Dedup.dedupClusters(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleWords = 2, threshold = 0.1))
+    }),
+
     // the GRADED embedding-dedup path is the scale path: multi-table
     // sign-LSH candidates + exact cosine filter; the oracle replays the
     // same hyperplanes (driver-side literals embedded in the SQL)
@@ -1190,6 +1201,9 @@ object SparkEntry {
 
     "q_dedup_ngram" ->
       OracleSql.jaccardPairs(n = 2, threshold = 0.1),
+
+    "q_dedup_clusters" ->
+      OracleSql.dedupClusters(n = 2, threshold = 0.1),
 
     "q_dedup_simhash" ->
       OracleSql.simhashPairs(maxHamming = 6),

@@ -219,6 +219,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair set — turns the
+    * PAIRS the LSH/inverted-index variants emit into the CLUSTERS a dedup
+    * actually deletes by: every doc in a component shares its component's
+    * minimum id as `cluster_id`.
+    *
+    * Algorithm: distributed min-label propagation — each round every vertex
+    * takes the minimum label over itself and its neighbors (one id-keyed
+    * join + one groupBy-min, i.e. two hash-partition shuffles per round on
+    * (id, label) rows only). Rounds needed = component diameter, which for
+    * near-dup graphs is small by construction: LSH components are
+    * clique-dense (every qualifying pair is itself an edge), so diameter
+    * rarely exceeds 3-4 even at corpus scale. `localCheckpoint` truncates
+    * lineage each round so the plan does not grow with the iteration count.
+    * Throws if `maxIter` rounds fail to converge (an unconverged labeling
+    * would silently SPLIT components — data loss in reverse), which at the
+    * default 30 means a 30-hop-diameter chain: not a near-dup graph.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .dropDuplicates("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") < col("o.label")).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it or pre-cluster")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster assignment for EVERY document: components of `pairs` get their
+    * component-min id, docs in no pair are their own singleton cluster.
+    * Output: (idCol, cluster_id).
+    */
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.select(col(idCol)).distinct()
+      .join(connectedComponents(pairs).withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+
+  /** Survivor rows after cluster dedup: one representative (the
+    * component-min id) per cluster, full original row retained via an
+    * id-keyed semi join — the frame that continues down the pipeline.
+    */
+  def clusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(
+      dedupClusters(df, idCol, pairs)
+        .where(col(idCol) === col("cluster_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Distinct candidate id pairs from multi-table sign-LSH bucketing of an
     * `(id, v)` frame — the pruning stage of [[embeddingCosinePairs]],
     * exposed so specs can measure the candidate ratio (candidates /

@@ -25,6 +25,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.values.sum == 5L)
   }
 
+  test("connectedComponents labels a multi-hop chain with its min id") {
+    val sp = spark; import sp.implicits._
+    // path 1-2-3-4-5-6-7-8 (diameter 7 forces several propagation rounds),
+    // triangle 10-11-12, edgeless 99 absent from pairs entirely
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (10L, 12L)
+    ).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(!cc.contains(99L))
+  }
+
+  test("connectedComponents throws rather than emit a split component") {
+    val sp = spark; import sp.implicits._
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+  }
+
+  test("dedupClusters assigns singletons their own id; survivors keep one row per cluster") {
+    val assigned = Dedup.dedupClusters(docs, "doc_id",
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleWords = 2,
+        threshold = 0.5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1,2,3,4 share 2-gram Jaccard ≥ 0.5 (chain suffices); 5 is alone
+    assert(assigned(1L) == 1L && assigned(2L) == 1L && assigned(5L) == 5L)
+    assert(assigned.size == 5)
+    val survivors = Dedup.clusterSurvivors(docs, "doc_id",
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleWords = 2,
+        threshold = 0.5)).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(survivors.toSeq == assigned.values.toSeq.distinct.sorted)
+  }
+
   test("normalized dedup also collapses punctuation/case variants") {
     val out = Dedup.exactNormalized(docs, "text", "doc_id").collect()
       .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
