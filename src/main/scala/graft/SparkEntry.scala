@@ -740,6 +740,21 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents").df, "text", "doc_id",
         shingleWords = 2, threshold = 0.1)),
 
+    // incremental dedup: batch = 100 exact re-crawls (doc_id+10000) + 100
+    // revised docs (doc_id+20000, text suffixed). Bloom prefilter prunes
+    // the join; the exact 128-bit anti-join makes the result independent
+    // of fpp — the oracle is a plain NOT EXISTS over text equality
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val batch = docs.where(col("doc_id") < 100)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            concat(col("text"), lit(" (revised)")).as("text")))
+      Dedup.incrementalSurvivors(batch, docs, "text", "doc_id",
+        expectedCorpusDocs = 1000L)
+    }),
+
     // pairs → CLUSTERS: min-label-propagation connected components over the
     // exact Jaccard pair set; the oracle recomputes components by recursive
     // transitive closure (a different algorithm), so hash equality grades
@@ -1204,6 +1219,15 @@ object SparkEntry {
 
     "q_dedup_clusters" ->
       OracleSql.dedupClusters(n = 2, threshold = 0.1),
+
+    "q_dedup_incremental" ->
+      ("WITH batch AS (" +
+        "SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100 " +
+        "UNION ALL " +
+        "SELECT doc_id + 20000 AS doc_id, text || ' (revised)' AS text " +
+        "FROM documents WHERE doc_id >= 100 AND doc_id < 200) " +
+        "SELECT b.doc_id, b.text FROM batch b " +
+        "WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)"),
 
     "q_dedup_simhash" ->
       OracleSql.simhashPairs(maxHamming = 6),

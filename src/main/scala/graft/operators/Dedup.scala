@@ -219,6 +219,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental dedup: rows of `batch` whose text does NOT already occur
+    * in `corpus` — the "dedup tonight's crawl against everything ingested
+    * so far" path, where re-shuffling the full corpus per batch would
+    * dominate the pipeline.
+    *
+    * Scale shape: a Bloom filter over the corpus's 64-bit text hashes
+    * (built once, broadcast) prefilters the batch — `mightContain = false`
+    * rows are PROVABLY new and skip the join entirely, so only
+    * (dup-rate + fpp) of the batch shuffles into the exact check. The
+    * check itself is a 128-bit-key anti-join against the corpus keys, so
+    * Bloom false positives are corrected, never silently dropped: the
+    * result is EXACT regardless of `fpp`. The corpus side still scans once
+    * per call — persist `corpusKeys128` (or bucket the corpus by the key)
+    * when running many batches against the same corpus.
+    *
+    * The Bloom build is an eager Spark action (treeAggregate; bitset OR is
+    * order-independent, so the filter — and everything downstream — stays
+    * deterministic). The `mightContainLong` probe is a scalar UDF, the one
+    * place a UDF is warranted: Spark exposes no SQL surface for sketch
+    * probes, and the exactness contract never depends on it.
+    */
+  def incrementalSurvivors(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, expectedCorpusDocs: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bloomHash = xxhash64(lit(3L), col(textCol))
+    val bf = corpus.select(bloomHash.as("graft_bh"))
+      .stat.bloomFilter("graft_bh", math.max(expectedCorpusDocs, 1L), fpp)
+    val bfB = batch.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val definitelyNew = batch.where(!mightContain(bloomHash))
+    val maybeDup = batch.where(mightContain(bloomHash))
+    val corpusKeys = corpusKeys128(corpus, textCol)
+    val confirmedNew = maybeDup.join(corpusKeys,
+      key128(col(textCol)) === col("graft_ck"), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+  }
+
+  /** Distinct 128-bit corpus keys for reuse across repeated
+    * [[incrementalSurvivors]] batches — persist or write this once instead
+    * of re-deriving it from the corpus text every batch.
+    */
+  def corpusKeys128(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(key128(col(textCol)).as("graft_ck")).distinct()
+
   /** Connected components over an undirected near-dup pair set — turns the
     * PAIRS the LSH/inverted-index variants emit into the CLUSTERS a dedup
     * actually deletes by: every doc in a component shares its component's

@@ -25,6 +25,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.values.sum == 5L)
   }
 
+  test("incrementalSurvivors returns exactly the texts absent from the corpus") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "delta"), (12L, "beta"), (13L, "epsilon"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalSurvivors(batch, corpus, "text", "doc_id",
+      expectedCorpusDocs = 10L).collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(11L, 13L))
+  }
+
+  test("incrementalSurvivors stays exact even when the bloom filter saturates") {
+    val sp = spark; import sp.implicits._
+    // expectedCorpusDocs=1 with 400 corpus keys drives fpp toward 1: every
+    // batch row becomes a bloom 'maybe', and only the exact anti-join stands
+    // between a false positive and data loss
+    val corpus = (0L until 400L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
+    val batch = (0L until 50L).map(i => (1000L + i, s"new doc $i")).toDF("doc_id", "text")
+    val out = Dedup.incrementalSurvivors(batch, corpus, "text", "doc_id",
+      expectedCorpusDocs = 1L, fpp = 0.5).collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == (1000L until 1050L).toSeq)
+  }
+
   test("connectedComponents labels a multi-hop chain with its min id") {
     val sp = spark; import sp.implicits._
     // path 1-2-3-4-5-6-7-8 (diameter 7 forces several propagation rounds),
