@@ -755,6 +755,24 @@ object SparkEntry {
         expectedCorpusDocs = 1000L)
     }),
 
+    // boilerplate detection: the fixture corpus has no shared lines, so the
+    // query plants two footers (doc_id%2 / doc_id%3) and the gate must
+    // recover exactly those two paragraphs with exact doc frequencies
+    "q_text_boilerplate" -> ((s, d) => {
+      val aug = t(s, d, "documents").df.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nSubscribe to our newsletter!")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\nAll rights reserved.")).otherwise(lit(""))).as("text"))
+      graft.operators.Corpus.boilerplateParagraphs(aug, "text", "doc_id", minDocFreq = 50L)
+    }),
+
+    // vocabulary profile: top-10 tokens per language, deterministic
+    // binary-collation tiebreak on the term
+    "q_top_terms" -> ((s, d) =>
+      graft.operators.Corpus.topTerms(t(s, d, "documents").df, "text", "lang", k = 10)),
+
     // pairs → CLUSTERS: min-label-propagation connected components over the
     // exact Jaccard pair set; the oracle recomputes components by recursive
     // transitive closure (a different algorithm), so hash equality grades
@@ -1219,6 +1237,21 @@ object SparkEntry {
 
     "q_dedup_clusters" ->
       OracleSql.dedupClusters(n = 2, threshold = 0.1),
+
+    "q_text_boilerplate" ->
+      ("WITH aug AS (SELECT doc_id, text " +
+        "|| CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Subscribe to our newsletter!' ELSE '' END " +
+        "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'All rights reserved.' ELSE '' END AS text " +
+        "FROM documents), " +
+        "lines AS (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS p FROM aug) " +
+        "SELECT p AS paragraph, count(DISTINCT doc_id) AS doc_freq FROM lines " +
+        "WHERE length(p) > 0 GROUP BY p HAVING count(DISTINCT doc_id) >= 50"),
+
+    "q_top_terms" ->
+      ("WITH toks AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term FROM documents), " +
+        "counts AS (SELECT lang, term, count(*) AS cnt FROM toks WHERE length(term) >= 1 GROUP BY lang, term), " +
+        "ranked AS (SELECT lang, term, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rnk FROM counts) " +
+        "SELECT lang, term, cnt, rnk FROM ranked WHERE rnk <= 10"),
 
     "q_dedup_incremental" ->
       ("WITH batch AS (" +

@@ -93,6 +93,72 @@ object Corpus {
     df.where(bucketHash(idCol, salt, buckets) < (rateExpr * buckets).cast("long"))
   }
 
+  /** Boilerplate paragraph detection: non-empty trimmed lines occurring in
+    * ≥ `minDocFreq` DISTINCT documents (nav bars, cookie banners, footers —
+    * the classic web-corpus noise). One explode + one groupBy; Spark's
+    * partial distinct aggregation keeps the per-(paragraph, doc) pairs
+    * map-side combined before the shuffle. At 100 TB the shuffle key is the
+    * paragraph string itself — acceptable because boilerplate lines are
+    * short by nature, but for pathological corpora group on a 128-bit hash
+    * and re-join a representative (same trick as Dedup.exact).
+    */
+  def boilerplateParagraphs(docs: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Long): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), "\n")).as("p0"))
+      .select(col(idCol), trim(col("p0")).as("paragraph"))
+      .where(length(col("paragraph")) > 0)
+      .groupBy("paragraph")
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocFreq)
+
+  /** Remove boilerplate lines (per [[boilerplateParagraphs]]) from every
+    * document, preserving the order of surviving lines. The boilerplate
+    * set is at most |corpus| / minDocFreq entries, so it broadcasts; the
+    * rebuild is a posexplode → anti-join → sort-by-position reassembly.
+    * Documents consisting ENTIRELY of boilerplate come back as empty
+    * strings rather than vanishing — dropping them is a quality-gate
+    * decision, not a dedup side effect.
+    */
+  def stripBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Long): DataFrame = {
+    val bp = boilerplateParagraphs(docs, textCol, idCol, minDocFreq)
+      .select(col("paragraph").as("graft_bp"))
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val rebuilt = lines
+      .join(broadcast(bp), trim(col("line")) === col("graft_bp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as(textCol))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
+  /** Top-k most frequent whitespace tokens per group (language, source,
+    * domain) — the vocabulary profile used for corpus mixing and drift
+    * checks. Ties break on the term's binary collation so ranks are
+    * deterministic and engine-portable. Shape: explode → map-side-combined
+    * groupBy((group, term)) → per-group window top-k; the window partition
+    * holds one group's distinct VOCABULARY (not its token stream), which
+    * natural-language corpora bound in the low millions per group.
+    */
+  def topTerms(docs: DataFrame, textCol: String, groupCol: String,
+      k: Int, minTermLength: Int = 1): DataFrame = {
+    val counts = docs.select(col(groupCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) >= minTermLength)
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(col("cnt").desc, col("term").asc)))
+      .where(col("rnk") <= k)
+      .select(col(groupCol), col("term"), col("cnt"), col("rnk").cast("bigint").as("rnk"))
+  }
+
   /** Eval-set contamination scan — the decontamination primitive every
     * pre-training pipeline needs: corpus documents sharing ≥ `minShared`
     * distinct word n-gram shingles with any eval document are flagged

@@ -32,6 +32,45 @@ class CorpusSpec extends SparkSpec {
     assert(counts.keySet.subsetOf(Set("train", "val", "test")))
   }
 
+  private lazy val webDocs = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      (1L, "unique story one\nSubscribe now!\nCopyright 2026"),
+      (2L, "another body here\nSubscribe now!\nCopyright 2026"),
+      (3L, "third article text\n  Subscribe now!  \nsomething else"),
+      (4L, "Subscribe now!\nCopyright 2026"), // all boilerplate
+      (5L, "free-standing document with no footer at all")
+    ).toDF("doc_id", "text")
+  }
+
+  test("boilerplateParagraphs finds high-doc-freq lines, trimmed, ignoring blanks") {
+    val bp = Corpus.boilerplateParagraphs(webDocs, "text", "doc_id", minDocFreq = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bp == Map("Subscribe now!" -> 4L, "Copyright 2026" -> 3L))
+  }
+
+  test("stripBoilerplate removes flagged lines, keeps order, empties all-boilerplate docs") {
+    val out = Corpus.stripBoilerplate(webDocs, "text", "doc_id", minDocFreq = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique story one")
+    assert(out(3L) == "third article text\nsomething else")
+    assert(out(4L) == "")
+    assert(out(5L) == "free-standing document with no footer at all")
+  }
+
+  test("topTerms ranks per group with deterministic term tiebreak") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "b b a a c", "en"), (2L, "b z", "en"),
+      (3L, "x y", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.topTerms(df, "text", "lang", k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // en: b=3, a=2; de: x=1,y=1 tie → term asc
+    assert(out.toSet == Set(("en", "b", 3L, 1L), ("en", "a", 2L, 2L),
+      ("de", "x", 1L, 1L), ("de", "y", 1L, 2L)))
+  }
+
   test("different salt produces a different assignment") {
     val a = Corpus.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
