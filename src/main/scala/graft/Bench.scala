@@ -15,13 +15,15 @@ object Bench {
     * nothing at our SFs (documents/embeddings are fixed-size tables).
     */
   val headline: Seq[String] = Seq(
-    "q_agg_groupby", "q_group_by_all", "q_count_distinct", "q_join_3way",
+    "q_agg_groupby", "q_group_by_all", "q_count_distinct", "q_cube",
+    "q_join_3way",
     "q_join_semi", "q_window_running", "q_window_rank", "q_window_agg_funcs",
     "q_string_fns", "q_datetime_fns", "q_pivot", "q_drop_duplicates",
     "q_multistage",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
-    "q_dedup_embedding_tight",
+    "q_dedup_embedding_tight", "q_dedup_clusters", "q_dedup_incremental",
     "q_sim_topk", "q_sim_lsh", "q_sim_lsh_tight", "q_text_quality", "q_text_langid",
+    "q_text_boilerplate", "q_top_terms",
     "q_corpus_curate", "q_decontaminate",
     "q_events_tumbling", "q_events_session", "q_events_dedup")
 

@@ -223,12 +223,10 @@ object DeltaLog {
       actions.mkString("\n") + "\n"
     }
 
-    // Optimistic commit: stage the content, rename into the numbered slot
-    // only if it's free, then verify ownership by reading the slot back —
-    // local-FS rename silently replaces, so the loser of a race discovers
-    // it here (on HDFS the rename itself fails when the slot is taken).
-    // Append/merge losers rebase: their add set is new files no other
-    // writer knows about, so re-committing at the next version is safe.
+    // Optimistic commit: stage the content, acquire the numbered slot only
+    // if it's free ([[acquireCommitSlot]]). Append/merge losers rebase:
+    // their add set is new files no other writer knows about, so
+    // re-committing at the next version is safe.
     fs.mkdirs(logDir(tbl))
     var version = if (fresh) 0L
       else existingVersions(fs, logDir(tbl)).lastOption.map(_ + 1).getOrElse(0L)
@@ -237,36 +235,9 @@ object DeltaLog {
     val maxAttempts = 20
     while (!committed && attempts < maxAttempts) {
       attempts += 1
-      val commit = new HPath(logDir(tbl), commitName(version))
-      val tmp = new HPath(logDir(tbl), s".${commitName(version)}.$txnId.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(actionsFor(version).getBytes("UTF-8"))
-      finally out.close()
-      // Local FS: rename(2) silently REPLACES the destination, so even a
-      // read-back verify has a window (A renames+verifies, B replaces —
-      // both believe they won). link(2) is a true atomic
-      // create-exclusive: the slot either acquires our fully-written
-      // bytes or the call fails. HDFS-like stores keep the rename path,
-      // whose rename refuses an existing destination; the read-back
-      // verify stays as a belt for stores with lax rename semantics.
-      val won =
-        if ("file" == fs.getUri.getScheme) {
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(commit.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            fs.delete(tmp, false)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-        } else {
-          val renamed = !fs.exists(commit) && fs.rename(tmp, commit)
-          renamed && readString(fs, commit).contains(txnId)
-        }
+      val won = acquireCommitSlot(fs, logDir(tbl), version, txnId, actionsFor(version))
       if (won) committed = true
       else {
-        fs.delete(tmp, false)
         if (m == "overwrite")
           throw graft.GraftError.WriteError(path, "overwrite",
             s"version-$version commit lost to a concurrent writer — " +
@@ -280,6 +251,43 @@ object DeltaLog {
         s"gave up after $maxAttempts optimistic-commit attempts (heavy concurrent writer load?)")
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, path, version)
+  }
+
+  /** Atomically acquire commit slot `version`: stage `content` to a tmp
+    * file, then take the slot create-exclusively. Returns true iff THIS
+    * writer's bytes own the slot; a lost slot is never clobbered.
+    *
+    * Local FS: rename(2) silently REPLACES the destination, so even a
+    * read-back verify has a window (A renames+verifies, B replaces — both
+    * believe they won). link(2) is a true atomic create-exclusive: the
+    * slot either acquires our fully-written bytes or the call fails.
+    * HDFS-like stores keep the rename path, whose rename refuses an
+    * existing destination; the read-back verify stays as a belt for
+    * stores with lax rename semantics.
+    */
+  private[sources] def acquireCommitSlot(fs: FileSystem, log: HPath,
+      version: Long, txnId: String, content: String): Boolean = {
+    val commit = new HPath(log, commitName(version))
+    val tmp = new HPath(log, s".${commitName(version)}.$txnId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    val won =
+      if ("file" == fs.getUri.getScheme) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(commit.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        val renamed = !fs.exists(commit) && fs.rename(tmp, commit)
+        renamed && readString(fs, commit).contains(txnId)
+      }
+    fs.delete(tmp, false)
+    won
   }
 
   /** Checkpoint version `v`: the RECONCILED snapshot (active add rows +

@@ -233,6 +233,24 @@ class WritersSpec extends SparkSpec {
     assert(Loaders.load(spark, p, "race").df.count() == 3) // nothing lost
   }
 
+  test("acquireCommitSlot wins a free slot, loses a taken one without clobbering") {
+    val p = tmp("delta_slot")
+    Files.createDirectories(Paths.get(p, "_delta_log"))
+    val log = new org.apache.hadoop.fs.Path(p, "_delta_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slotFile = Paths.get(p, "_delta_log", "0" * 19 + "7.json")
+    assert(DeltaLog.acquireCommitSlot(fs, log, 7L, "txn-a", "winner-bytes\n"))
+    assert(Files.readString(slotFile) == "winner-bytes\n")
+    // second writer targeting the same slot must lose AND must not replace
+    // the winner's bytes (rename-replace is exactly the local-FS hazard)
+    assert(!DeltaLog.acquireCommitSlot(fs, log, 7L, "txn-b", "loser-bytes\n"))
+    assert(Files.readString(slotFile) == "winner-bytes\n")
+    // no tmp debris left behind by either attempt
+    val debris = Files.list(Paths.get(p, "_delta_log")).toArray.map(_.toString)
+      .filter(_.contains(".tmp"))
+    assert(debris.isEmpty, s"tmp debris: ${debris.toSeq}")
+  }
+
   test("two concurrent delta appends both land, on distinct versions") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_race2")
