@@ -235,6 +235,11 @@ class WritersSpec extends SparkSpec {
 
   test("acquireCommitSlot wins a free slot, loses a taken one without clobbering") {
     val p = tmp("delta_slot")
+    // self-clean: slot files from a previous run would shadow the free-slot case
+    if (Files.exists(Paths.get(p))) {
+      Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
     Files.createDirectories(Paths.get(p, "_delta_log"))
     val log = new org.apache.hadoop.fs.Path(p, "_delta_log")
     val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
