@@ -777,6 +777,31 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
 
   def displayStats(cols: Seq[String]): Unit = stats(cols).show(truncate = false)
 
+  /** Exact interpolated percentiles over the cols × ps grid — ONE Spark job
+    * (the same single-pass shape as [[stats]]). Uses Catalyst's exact
+    * `percentile` aggregate, which shares the ANSI PERCENTILE_CONT linear
+    * interpolation definition (rank p·(n−1), value = lo + frac·(hi−lo)),
+    * so profiles are reproducible across engines. Prefer
+    * `percentile_approx` only when the sort-based exact aggregate's
+    * per-group memory at extreme cardinalities outweighs exactness.
+    */
+  def percentiles(cols: Seq[String], ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "percentiles: every p must be in [0, 1]")
+    val d = toDF
+    val exprs = cols.flatMap { c =>
+      ps.map(p => expr(s"percentile($c, ${p}d)").as(s"${c}__$p"))
+    }
+    val r = d.select(exprs: _*).first()
+    val sp = spark; import sp.implicits._
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      ps.zipWithIndex.map { case (p, j) =>
+        (c, p, Option(r.get(i * ps.length + j))
+          .map(_.toString.toDouble).getOrElse(Double.NaN))
+      }
+    }.toDF("col_name", "p", "value")
+  }
+
   /** Null count + percentage per column (src/elusion.rs:4762-4839). */
   def nullAnalysis(cols: Seq[String] = Nil): DataFrame = {
     val d = toDF

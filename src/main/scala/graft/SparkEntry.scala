@@ -755,6 +755,14 @@ object SparkEntry {
         expectedCorpusDocs = 1000L)
     }),
 
+    // §2.11 exact percentiles — one job for the whole grid; ANSI
+    // PERCENTILE_CONT interpolation on both engines
+    "q_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .percentiles(Seq("l_quantity", "l_extendedprice"),
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("col_name"), col("p"), round(col("value"), 6).as("value"))),
+
     // boilerplate detection: the fixture corpus has no shared lines, so the
     // query plants two footers (doc_id%2 / doc_id%3) and the gate must
     // recover exactly those two paragraphs with exact doc frequencies
@@ -1237,6 +1245,13 @@ object SparkEntry {
 
     "q_dedup_clusters" ->
       OracleSql.dedupClusters(n = 2, threshold = 0.1),
+
+    "q_percentile" ->
+      Seq("l_quantity", "l_extendedprice").flatMap(c =>
+        Seq(0.25, 0.5, 0.75, 0.95).map(p =>
+          s"SELECT '$c' AS col_name, CAST($p AS DOUBLE) AS p, " +
+            s"round(quantile_cont($c, $p), 6) AS value FROM lineitem"))
+        .mkString(" UNION ALL "),
 
     "q_text_boilerplate" ->
       ("WITH aug AS (SELECT doc_id, text " +
