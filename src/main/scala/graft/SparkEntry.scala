@@ -781,15 +781,19 @@ object SparkEntry {
     "q_top_terms" -> ((s, d) =>
       graft.operators.Corpus.topTerms(t(s, d, "documents").df, "text", "lang", k = 10)),
 
-    // pairs → CLUSTERS: min-label-propagation connected components over the
-    // exact Jaccard pair set; the oracle recomputes components by recursive
-    // transitive closure (a different algorithm), so hash equality grades
-    // the clustering contract itself, not a replay
+    // pairs → CLUSTERS: pointer-jumping connected components over the
+    // MinHash-LSH pair set — the pipeline a 100 TB dedup actually runs
+    // (LSH candidates, not exact inverted-index pairs, feed clustering).
+    // Threshold 0.85 sits above the r=4/b=32 S-curve knee, so the LSH pair
+    // set equals the exact Jaccard pair set and the oracle can recompute
+    // the components independently: brute-force Jaccard pairs + recursive
+    // transitive closure — a different pair generator AND a different
+    // clustering algorithm than the Spark side
     "q_dedup_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents").df
       Dedup.dedupClusters(docs, "doc_id",
-        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-          shingleWords = 2, threshold = 0.1))
+        Dedup.minhashLshPairs(docs, "text", "doc_id",
+          numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85))
     }),
 
     // the GRADED embedding-dedup path is the scale path: multi-table
@@ -1244,7 +1248,7 @@ object SparkEntry {
       OracleSql.jaccardPairs(n = 2, threshold = 0.1),
 
     "q_dedup_clusters" ->
-      OracleSql.dedupClusters(n = 2, threshold = 0.1),
+      OracleSql.dedupClusters(n = 3, threshold = 0.85),
 
     "q_percentile" ->
       Seq("l_quantity", "l_extendedprice").flatMap(c =>

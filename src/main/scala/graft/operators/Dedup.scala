@@ -268,33 +268,51 @@ object Dedup {
     * actually deletes by: every doc in a component shares its component's
     * minimum id as `cluster_id`.
     *
-    * Algorithm: distributed min-label propagation — each round every vertex
-    * takes the minimum label over itself and its neighbors (one id-keyed
-    * join + one groupBy-min, i.e. two hash-partition shuffles per round on
-    * (id, label) rows only). Rounds needed = component diameter, which for
-    * near-dup graphs is small by construction: LSH components are
-    * clique-dense (every qualifying pair is itself an edge), so diameter
-    * rarely exceeds 3-4 even at corpus scale. `localCheckpoint` truncates
-    * lineage each round so the plan does not grow with the iteration count.
-    * Throws if `maxIter` rounds fail to converge (an unconverged labeling
-    * would silently SPLIT components — data loss in reverse), which at the
-    * default 30 means a 30-hop-diameter chain: not a near-dup graph.
+    * Algorithm: distributed min-label propagation with POINTER JUMPING —
+    * each round every vertex takes the minimum label over itself and its
+    * neighbors (one id-keyed join + one groupBy-min on (id, label) rows
+    * only), then follows its label's own label (one self-join of the small
+    * label frame). The jump step composes reaches (r → 2r+2 per round), so
+    * rounds grow with log(diameter), not diameter — a 10⁶-hop chain
+    * converges in ~20 rounds where plain propagation needs 10⁶.
+    * `localCheckpoint` truncates lineage each round so the plan does not
+    * grow with the iteration count, and the pairs input is persisted once
+    * so an expensive upstream (an LSH or inverted-index join) is never
+    * recomputed per round. Throws if `maxIter` rounds fail to converge (an
+    * unconverged labeling would silently SPLIT components — data loss in
+    * reverse); the default 30 covers any diameter a physical graph can
+    * reach (2³⁰ hops).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist(mem)
+    p.count() // materialize ONCE before the two union branches scan it
+    val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
       .dropDuplicates("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(mem)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // fresh aliases on every derived column: labels/prop/stepped would
+      // otherwise share attribute ids across the self-referencing unions
+      // and joins, which trips Catalyst's union constraint rewriting
       val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionAll(prop)
-        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
+        .select(col("dst").as("id"), col("label").as("label"))
+      val stepped = labels.select(col("id").as("id"), col("label").as("label"))
+        .unionAll(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      // pointer jump: label(v) ← min(label(v), label(label(v))). Labels are
+      // always vertex ids, so the lookup side is the same frame.
+      val next = stepped.alias("x").join(
+          stepped.select(col("id").as("jid"), col("label").as("jlabel")).alias("j"),
+          col("x.label") === col("j.jid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("jlabel"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .where(col("n.label") < col("o.label")).count()
@@ -303,10 +321,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
-          "component diameter exceeds maxIter; raise it or pre-cluster")
+          s"component diameter exceeds ~2^$maxIter hops; raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
