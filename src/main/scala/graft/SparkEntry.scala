@@ -694,6 +694,26 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // distributed single-file XML (the Wikipedia-dump shape): same content
+    // as q_xml_load but read through the split-by-closing-tag text source,
+    // so the byte ranges parse on executors, not the driver
+    "q_xml_bigfile" -> ((s, d) => {
+      val rows = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      val xml = rows.map(r =>
+        s"<customer><c_custkey>${r.getLong(0)}</c_custkey>" +
+          s"<c_mktsegment>${r.getString(1)}</c_mktsegment>" +
+          s"<c_acctbal>${r.getDouble(2)}</c_acctbal></customer>")
+        .mkString("<?xml version=\"1.0\"?>\n<customers>\n", "\n", "\n</customers>")
+      val path = java.nio.file.Paths.get("/root/repo/target/tmp/customer_big.xml")
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, xml)
+      sources.XmlLoader.loadSingleFileDistributed(s, path.toString, "cust_bigxml", "customer")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal::DOUBLE), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // Excel loader/writer (reference excel.rs): xlsx roundtrip
     "q_excel_load" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_rt.xlsx"
@@ -1189,6 +1209,9 @@ object SparkEntry {
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_xml_load" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_xml_bigfile" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_xml_folder" ->

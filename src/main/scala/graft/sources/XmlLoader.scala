@@ -270,6 +270,116 @@ object XmlLoader {
     GraftFrame(spark.createDataFrame(rows, schema), alias)
   }
 
+  /** Distributed SINGLE-file XML load — the Wikipedia-dump shape: one
+    * multi-GB document with millions of repeated records, where a
+    * driver-side DOM parse (the [[load]] path) caps out at driver RAM.
+    * Spark's text source reads the file with the record's closing tag as
+    * the line separator, so byte ranges split across executors (the
+    * custom-delimiter line reader stitches records straddling split
+    * boundaries); each fragment then parses independently with the same
+    * recordToMap flatten as the folder-distributed path. The schema comes
+    * from the FIRST record, streamed from the file head with bounded
+    * driver I/O — never a whole-file read. Missing columns are null,
+    * extra columns are dropped (first-record-wins, the folder contract).
+    *
+    * Split-by-tag contract (shared with every tag-delimited XML splitter):
+    * the record element must not nest inside itself, closers must be the
+    * literal `</tag>` (no `</tag >`), records must not be self-closed, and
+    * comments/CDATA containing the closer are unsupported.
+    */
+  def loadSingleFileDistributed(spark: SparkSession, path: String,
+      alias: String, recordTag: String): GraftFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val closer = s"</$recordTag>"
+    val head = readHeadThrough(fs, hPath, closer.getBytes("UTF-8"))
+    val headText = new String(head, "UTF-8")
+    val startIdx = recordStart(headText, recordTag)
+    val closeIdx = headText.indexOf(closer)
+    if (startIdx < 0 || closeIdx < startIdx)
+      throw graft.GraftError.InvalidOperation("load_xml_distributed",
+        s"no complete <$recordTag> record in the first " +
+          s"${head.length} bytes of $path")
+    val first = XML.loadString(headText.substring(startIdx, closeIdx + closer.length))
+    val cols = {
+      val c = scala.collection.mutable.LinkedHashSet.empty[String]
+      recordToMap(spliceWrappers(first)).keys.foreach(c += _)
+      c.toSeq
+    }
+    require(cols.nonEmpty, s"loadSingleFileDistributed: first <$recordTag> " +
+      "record has no scalar fields or attributes")
+    val schema = StructType(cols.map(c => StructField(c, StringType)))
+    val tag = recordTag
+    val rows = spark.read.option("lineSep", closer).textFile(path)
+      .rdd.flatMap { frag =>
+        val idx = recordStart(frag, tag)
+        if (idx < 0) None // preamble-only or trailing </root> fragment
+        else {
+          val m = recordToMap(spliceWrappers(
+            XML.loadString(frag.substring(idx) + s"</$tag>").asInstanceOf[Elem]))
+          Some(Row.fromSeq(cols.map(m.get(_).orNull)))
+        }
+      }
+    GraftFrame(spark.createDataFrame(rows, schema), alias)
+  }
+
+  /** Index of the first genuine `<tag…` open (next char closes or is
+    * whitespace — not a longer tag name sharing the prefix), −1 if none.
+    */
+  private[sources] def recordStart(frag: String, tag: String): Int = {
+    val open = "<" + tag
+    var i = frag.indexOf(open)
+    while (i >= 0) {
+      val after = i + open.length
+      if (after < frag.length) {
+        val c = frag.charAt(after)
+        if (c == '>' || c.isWhitespace) return i
+      }
+      i = frag.indexOf(open, i + 1)
+    }
+    -1
+  }
+
+  /** Read the file head up to and including the first occurrence of
+    * `marker` (byte search — the marker is ASCII, which UTF-8 guarantees
+    * cannot occur inside a multi-byte sequence), capped at 64 MB.
+    */
+  private def readHeadThrough(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, marker: Array[Byte],
+      cap: Int = 64 << 20): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 20)
+      var scanned = 0
+      var done = false
+      while (!done && bos.size < cap) {
+        val n = in.read(buf)
+        if (n < 0) done = true
+        else {
+          bos.write(buf, 0, n)
+          val arr = bos.toByteArray
+          val from = math.max(0, scanned - marker.length + 1)
+          val hit = indexOfBytes(arr, marker, from)
+          if (hit >= 0) { done = true; return arr.take(hit + marker.length) }
+          scanned = arr.length
+        }
+      }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i <= hay.length - needle.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
   private def toFrame(spark: SparkSession, colSeq: Seq[String],
       rows: Seq[Row], alias: String): GraftFrame = {
     val schema = StructType(colSeq.map(c => StructField(c, StringType)))

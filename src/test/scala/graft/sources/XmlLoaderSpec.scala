@@ -222,6 +222,49 @@ class XmlLoaderSpec extends SparkSpec {
       mode = XmlLoader.Cartesian).df.count() == 8)
   }
 
+  test("distributed single-file load parses records, first-record schema, null fill") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<dump>
+        |  <page id="1"><title>Alpha</title><views>10</views></page>
+        |  <page id="2"><title>Beta</title><views>20</views><extra>zz</extra></page>
+        |  <page id="3"><title>Gamma</title></page>
+        |</dump>""".stripMargin
+    val p = writeTemp("dump.xml", xml)
+    val df = XmlLoader.loadSingleFileDistributed(spark, p, "dump", "page").df
+    assert(df.columns.toSeq == Seq("id", "title", "views")) // first-record schema; extra dropped
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1),
+      Option(r.getString(2)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("1", "Alpha", Some("10")),
+      ("2", "Beta", Some("20")), ("3", "Gamma", None)))
+  }
+
+  test("distributed single-file load survives byte-range splits mid-record") {
+    val n = 500
+    val recs = (1 to n).map(i =>
+      s"""<page id="$i"><title>t$i</title><views>${i * 7}</views></page>""")
+    val p = writeTemp("bigdump.xml",
+      recs.mkString("<?xml version=\"1.0\"?>\n<dump>\n", "\n", "\n</dump>"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // ~2 KB ranges over an ~20 KB file: records straddle every boundary
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      val ds = XmlLoader.loadSingleFileDistributed(spark, p, "bigdump", "page").df
+      assert(ds.rdd.getNumPartitions > 1, "file must actually split")
+      assert(ds.count() == n)
+      val sum = ds.select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("views").cast("long"))).first().getLong(0)
+      assert(sum == (1 to n).map(_ * 7L).sum)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("distributed single-file load rejects a file without the record tag") {
+    val p = writeTemp("norec.xml", "<root><other>x</other></root>")
+    intercept[graft.GraftError.InvalidOperation] {
+      XmlLoader.loadSingleFileDistributed(spark, p, "norec", "page")
+    }
+  }
+
   test("auto mode keeps header-detail (single repeated type) in standard") {
     val xml =
       """<root>
