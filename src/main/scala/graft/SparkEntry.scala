@@ -694,6 +694,30 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // delta copy-on-write MERGE: base table, upsert (10 updates + 2
+    // inserts), snapshot read-back — the oracle recomputes the merged
+    // state relationally (updates ∪ non-matched base)
+    "q_delta_upsert" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/delta_upsert_q"
+      val base = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .where(col("c_custkey") <= 100)
+      Writers.writeDeltaTable(base, "overwrite", path)
+      val updates = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"))
+        .where(col("c_custkey") <= 10)
+        .unionAll(s.range(1).select(lit(100001L).as("c_custkey"),
+          lit("SYNTH").as("c_mktsegment"), lit(50.0).as("c_acctbal")))
+        .unionAll(s.range(1).select(lit(100002L).as("c_custkey"),
+          lit("SYNTH").as("c_mktsegment"), lit(60.0).as("c_acctbal")))
+      Writers.upsertDeltaTable(updates, Seq("c_custkey"), path)
+      Loaders.load(s, path, "delta_upsert_q")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // distributed single-file XML (the Wikipedia-dump shape): same content
     // as q_xml_load but read through the split-by-closing-tag text source,
     // so the byte ranges parse on executors, not the driver
@@ -1213,6 +1237,15 @@ object SparkEntry {
 
     "q_xml_bigfile" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    "q_delta_upsert" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 100), " +
+        "upd AS (SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal FROM customer WHERE c_custkey <= 10 " +
+        "UNION ALL SELECT 100001, 'SYNTH', 50.0 UNION ALL SELECT 100002, 'SYNTH', 60.0), " +
+        "merged AS (SELECT * FROM upd UNION ALL SELECT * FROM base b " +
+        "WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)) " +
+        "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment " +
+        "FROM merged GROUP BY c_mktsegment"),
 
     "q_xml_folder" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
 
 import scala.collection.mutable.ListBuffer
 
@@ -288,6 +288,109 @@ object DeltaLog {
       }
     fs.delete(tmp, false)
     won
+  }
+
+  /** Copy-on-write UPSERT (MERGE keyed on `keys`): update rows replace
+    * snapshot rows with matching keys, unmatched update rows insert. Only
+    * the files that CONTAIN a matched key are rewritten — untouched files
+    * stay referenced, so the write cost scales with the touched-file
+    * footprint, not the table. The commit pairs `remove` actions for the
+    * touched files with `add` actions for their replacements, the same
+    * actions real delta MERGE emits, so any replaying reader (ours or
+    * delta-rs) sees the swap atomically.
+    *
+    * Concurrency: unlike append, a lost commit slot is NOT rebased — the
+    * remove set was computed against a snapshot that is now stale, and
+    * re-committing it could resurrect rows a concurrent writer removed.
+    * Losers throw; the caller re-runs the whole upsert against the fresh
+    * snapshot. `updates` must be key-unique (two update rows with the same
+    * key would both land — classic MERGE cardinality contract).
+    */
+  def upsert(updates: DataFrame, keys: Seq[String], path: String): Unit = {
+    require(keys.nonEmpty, "upsert: need at least one key column")
+    val spark = updates.sparkSession
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
+    val snap = read(spark, path).withColumn("graft_file", input_file_name())
+    val updKeys = updates.select(keys.map(col): _*).distinct()
+    val touchedUris = snap.join(updKeys, keys, "left_semi")
+      .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
+    val survivors = snap
+      .where(col("graft_file").isInCollection(touchedUris))
+      .join(updKeys, keys, "left_anti")
+      .drop("graft_file")
+    commitRewrite(spark, path, "UPSERT",
+      touchedUris.map(uriToRel(base, _)).sorted,
+      survivors.unionByName(updates.select(survivors.columns.map(col): _*)))
+  }
+
+  /** Copy-on-write DELETE of the rows matching `predicate` (SQL text over
+    * the snapshot's columns). Same touched-file shape and same
+    * stale-loser-throws concurrency contract as [[upsert]]. Returns the
+    * number of rewritten files (0 = nothing matched, no commit written).
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: String): Int = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
+    val snap = read(spark, path).withColumn("graft_file", input_file_name())
+    val touchedUris = snap.where(expr(predicate))
+      .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
+    if (touchedUris.isEmpty) return 0
+    val survivors = snap
+      .where(col("graft_file").isInCollection(touchedUris))
+      .where(!expr(predicate))
+      .drop("graft_file")
+    commitRewrite(spark, path, "DELETE", touchedUris.map(uriToRel(base, _)).sorted,
+      survivors)
+    touchedUris.length
+  }
+
+  private def uriToRel(qualifiedBase: String, uri: String): String =
+    new java.net.URI(uri).getPath.stripPrefix(qualifiedBase).stripPrefix("/")
+
+  /** Stage `addDf` into the table and commit one version with `remove`
+    * actions for `removesRel` plus `add` actions for the staged files.
+    * A lost commit slot throws (see [[upsert]] — rewrites cannot rebase).
+    */
+  private def commitRewrite(spark: SparkSession, path: String, op: String,
+      removesRel: Seq[String], addDf: DataFrame,
+      checkpointInterval: Int = 10): Unit = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = logDir(tbl)
+    val version = existingVersions(fs, log).lastOption.map(_ + 1).getOrElse(
+      throw graft.GraftError.InvalidOperation(op.toLowerCase,
+        s"$path is not a delta table (no _delta_log)"))
+    val partitionBy = latestPartitionColumns(fs, log).getOrElse(Nil)
+    val stage = new HPath(tbl, s".graft_stage_${java.util.UUID.randomUUID()}")
+    val w = addDf.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    val staged = dataFiles(fs, stage)
+    staged.foreach { case (rel, _) =>
+      val target = new HPath(tbl, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(new HPath(stage, rel), target))
+        throw new IllegalStateException(s"delta data move failed: $target")
+    }
+    fs.delete(stage, true)
+    val txnId = java.util.UUID.randomUUID().toString
+    val actions = ListBuffer.empty[String]
+    actions += s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
+    val now = System.currentTimeMillis()
+    removesRel.foreach(r => actions +=
+      s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":true}}""")
+    staged.keys.toSeq.sorted.foreach { rel =>
+      actions += addAction(rel, fs.getFileStatus(new HPath(tbl, rel)))
+    }
+    if (!acquireCommitSlot(fs, log, version, txnId, actions.mkString("\n") + "\n"))
+      throw graft.GraftError.WriteError(path, op.toLowerCase,
+        s"version-$version commit lost to a concurrent writer — the rewrite's " +
+          "remove set is stale; re-run the operation against the fresh snapshot")
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(spark, path, version)
   }
 
   /** Checkpoint version `v`: the RECONCILED snapshot (active add rows +

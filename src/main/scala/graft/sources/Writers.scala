@@ -174,4 +174,13 @@ object Writers {
   def writeDeltaTable(df: DataFrame, mode: String, path: String,
       partitionBy: Seq[String] = Nil): Unit =
     DeltaLog.write(df, mode, path, partitionBy)
+
+  /** Copy-on-write MERGE/UPSERT into a delta table — see [[DeltaLog.upsert]]. */
+  def upsertDeltaTable(updates: DataFrame, keys: Seq[String], path: String): Unit =
+    DeltaLog.upsert(updates, keys, path)
+
+  /** Copy-on-write DELETE from a delta table — see [[DeltaLog.deleteWhere]]. */
+  def deleteFromDeltaTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, predicate: String): Int =
+    DeltaLog.deleteWhere(spark, path, predicate)
 }

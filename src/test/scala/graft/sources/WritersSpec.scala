@@ -233,6 +233,48 @@ class WritersSpec extends SparkSpec {
     assert(Loaders.load(spark, p, "race").df.count() == 3) // nothing lost
   }
 
+  test("delta upsert rewrites only touched files; history stays time-travelable") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_upsert")
+    Writers.writeDeltaTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"),
+      "overwrite", p)
+    Writers.writeDeltaTable(Seq((3L, "c", 3.0)).toDF("id", "name", "v"), "append", p)
+    val filesBefore = DeltaLog.activeFiles(spark, p).toSet
+    // update id=2, insert id=10
+    Writers.upsertDeltaTable(Seq((2L, "B2", 20.0), (10L, "j", 10.0)).toDF("id", "name", "v"),
+      Seq("id"), p)
+    val out = DeltaLog.read(spark, p).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out == Map(1L -> ("a", 1.0), 2L -> ("B2", 20.0),
+      3L -> ("c", 3.0), 10L -> ("j", 10.0)))
+    // copy-on-write minimality: the append file (id=3, no matched key) is
+    // still the SAME physical file in the new snapshot
+    val filesAfter = DeltaLog.activeFiles(spark, p).toSet
+    val v1File = filesBefore.filter(f => filesAfter.contains(f))
+    assert(v1File.nonEmpty, "untouched file must survive the rewrite unrewritten")
+    // the commit carries remove actions and the old version still reads
+    val v2 = java.nio.file.Paths.get(p, "_delta_log", "0" * 19 + "2.json")
+    assert(Files.readString(v2).contains("\"remove\""))
+    assert(DeltaLog.read(spark, p, versionAsOf = Some(1L)).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("delta deleteWhere removes matching rows; no-match is a no-commit no-op") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_delete")
+    Writers.writeDeltaTable(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "name", "v"),
+      "overwrite", p)
+    assert(Writers.deleteFromDeltaTable(spark, p, "id = 2") > 0)
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val versions = Files.list(Paths.get(p, "_delta_log")).toArray.map(_.toString)
+      .count(_.endsWith(".json"))
+    assert(Writers.deleteFromDeltaTable(spark, p, "id = 999") == 0)
+    val versionsAfter = Files.list(Paths.get(p, "_delta_log")).toArray.map(_.toString)
+      .count(_.endsWith(".json"))
+    assert(versionsAfter == versions, "no-match delete must not commit a version")
+  }
+
   test("acquireCommitSlot wins a free slot, loses a taken one without clobbering") {
     val p = tmp("delta_slot")
     // self-clean: slot files from a previous run would shadow the free-slot case
