@@ -825,6 +825,10 @@ object SparkEntry {
     "q_top_terms" -> ((s, d) =>
       graft.operators.Corpus.topTerms(t(s, d, "documents").df, "text", "lang", k = 10)),
 
+    // length profile: 100-char bins, integer arithmetic on both engines
+    "q_length_hist" -> ((s, d) =>
+      graft.operators.Corpus.lengthHistogram(t(s, d, "documents").df, "text", 100L)),
+
     // pairs → CLUSTERS: pointer-jumping connected components over the
     // MinHash-LSH pair set — the pipeline a 100 TB dedup actually runs
     // (LSH candidates, not exact inverted-index pairs, feed clustering).
@@ -1321,6 +1325,10 @@ object SparkEntry {
         "lines AS (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS p FROM aug) " +
         "SELECT p AS paragraph, count(DISTINCT doc_id) AS doc_freq FROM lines " +
         "WHERE length(p) > 0 GROUP BY p HAVING count(DISTINCT doc_id) >= 50"),
+
+    "q_length_hist" ->
+      ("SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bin, " +
+        "count(*) AS n_docs FROM documents GROUP BY bin"),
 
     "q_top_terms" ->
       ("WITH toks AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term FROM documents), " +

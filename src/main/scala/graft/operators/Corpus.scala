@@ -136,6 +136,18 @@ object Corpus {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Document-length histogram: rows per `binWidth`-char bucket (bin =
+    * inclusive lower bound). Map-side-combined single shuffle; the bin
+    * arithmetic is integer, so the profile is bit-identical on any engine.
+    */
+  def lengthHistogram(docs: DataFrame, textCol: String,
+      binWidth: Long = 100L): DataFrame = {
+    require(binWidth > 0, "lengthHistogram: binWidth must be positive")
+    docs.select(
+        (floor(length(col(textCol)).cast("long") / binWidth) * binWidth).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Top-k most frequent whitespace tokens per group (language, source,
     * domain) — the vocabulary profile used for corpus mixing and drift
     * checks. Ties break on the term's binary collation so ranks are

@@ -64,4 +64,35 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(exchangeLine.contains("graft_h"), s"shuffle not keyed on the hash: $exchangeLine")
     assert(!exchangeLine.contains("text"), "document text must not be a shuffle key")
   }
+
+  test("incremental dedup's exact check broadcasts the corpus keys") {
+    // the anti-join side is 16-byte keys — at any realistic corpus-key
+    // volume per executor it must broadcast, never shuffle the batch
+    val df = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected a broadcast anti-join for the exact check:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cube aggregates through a single Expand + partial/final aggregation") {
+    val df = SparkEntry.queries("q_cube")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("Expand"), s"cube must plan as Expand, not a union of scans:\n$p")
+    // one scan only: Expand multiplies rows AFTER the single parquet read
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"cube must scan the input once:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation around the shuffle:\n$p")
+  }
+
+  test("top-terms counts partial-aggregate before the shuffle") {
+    val df = SparkEntry.queries("q_top_terms")(spark, sf)
+    val p = plan(df)
+    // the token stream must combine map-side: HashAggregate below the
+    // exchange keyed on (lang, term)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation for term counts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
