@@ -500,26 +500,28 @@ object DeltaLog {
     }
     val commits = existingVersions(fs, log)
       .filter(v => cpVersion.forall(v > _) && versionAsOf.forall(v <= _))
-      .map(v => new HPath(log, commitName(v)).toString)
     if (commits.isEmpty && cpAdds.isEmpty) return Nil
-    val (commitAdds, removes) =
-      if (commits.isEmpty) (Nil, Set.empty[String])
-      else {
-        val logF = spark.read.json(commits: _*)
-        val a =
-          if (logF.columns.contains("add"))
-            logF.where(col("add").isNotNull).select(col("add.path"))
-              .collect().map(_.getString(0)).toSeq
-          else Nil
-        val r =
-          if (logF.columns.contains("remove"))
-            logF.where(col("remove").isNotNull).select(col("remove.path"))
-              .collect().map(_.getString(0)).toSet
-          else Set.empty[String]
-        (a, r)
+    // Fold commits in VERSION ORDER — a path removed at v2 and re-added at
+    // v5 (RESTORE does exactly this) must end active; a global
+    // adds-minus-removes set would keep it dead forever. Driver-side
+    // Jackson parse: commit files are tiny, and checkpoints bound how many
+    // replay.
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val active = scala.collection.mutable.LinkedHashSet.empty[String]
+    cpAdds.foreach(active += _)
+    commits.foreach { v =>
+      readString(fs, new HPath(log, commitName(v))).linesIterator.foreach { line =>
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        if (node != null) {
+          val add = node.get("add")
+          val rem = node.get("remove")
+          if (add != null && add.get("path") != null) active += add.get("path").asText
+          if (rem != null && rem.get("path") != null) active -= rem.get("path").asText
+        }
       }
-    (cpAdds ++ commitAdds).filterNot(removes)
-      .map(rel => new HPath(tbl, rel).toString)
+    }
+    active.toSeq.map(rel => new HPath(tbl, rel).toString)
   }
 
   /** Snapshot read: the log's active files, partition columns re-inferred
@@ -534,6 +536,67 @@ object DeltaLog {
       .option("mergeSchema", "true")
       .option("basePath", path)
       .parquet(files: _*)
+  }
+
+  /** Commit history, newest first: (version, operation, txnId) from each
+    * commit's commitInfo. Versions folded into a cleaned-up checkpoint no
+    * longer have commit files and are not listed — same visibility rule as
+    * time travel.
+    */
+  def history(spark: SparkSession, path: String): Seq[(Long, String, String)] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = logDir(tbl)
+    val mapper = new ObjectMapper()
+    existingVersions(fs, log).reverse.map { v =>
+      val info = readString(fs, new HPath(log, commitName(v))).linesIterator
+        .flatMap { line =>
+          val node = try mapper.readTree(line) catch { case _: Exception => null }
+          Option(if (node == null) null else node.get("commitInfo"))
+        }.nextOption()
+      (v,
+        info.flatMap(i => Option(i.get("operation"))).map(_.asText).getOrElse(""),
+        info.flatMap(i => Option(i.get("txnId"))).map(_.asText).getOrElse(""))
+    }
+  }
+
+  /** RESTORE to `version`: commit a new version whose remove set is the
+    * files active NOW but not at the target, and whose add set is the
+    * files active at the target but not now — the table's latest snapshot
+    * becomes byte-identical to the historical one while history (and time
+    * travel to the interim versions) is preserved. Fails if the target's
+    * files were vacuumed away.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Unit = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
+    def rel(abs: String): String =
+      fs.makeQualified(new HPath(abs)).toUri.getPath.stripPrefix(base).stripPrefix("/")
+    val target = activeFilesAsOf(spark, path, Some(version)).map(rel).toSet
+    val current = activeFiles(spark, path).map(rel).toSet
+    target.foreach { r =>
+      if (!fs.exists(new HPath(tbl, r)))
+        throw graft.GraftError.InvalidOperation("restore",
+          s"file $r of version $version was vacuumed — cannot restore")
+    }
+    val removes = (current -- target).toSeq.sorted
+    val adds = (target -- current).toSeq.sorted
+    val log = logDir(tbl)
+    val next = existingVersions(fs, log).lastOption.map(_ + 1).getOrElse(0L)
+    val txnId = java.util.UUID.randomUUID().toString
+    val actions = ListBuffer.empty[String]
+    actions += s"""{"commitInfo":{"operation":"RESTORE","txnId":"$txnId"}}"""
+    val now = System.currentTimeMillis()
+    removes.foreach(r => actions +=
+      s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":true}}""")
+    adds.foreach { r =>
+      actions += addAction(r, fs.getFileStatus(new HPath(tbl, r)))
+    }
+    if (!acquireCommitSlot(fs, log, next, txnId, actions.mkString("\n") + "\n"))
+      throw graft.GraftError.WriteError(path, "restore",
+        s"version-$next commit lost to a concurrent writer — re-run restore")
   }
 
   /** Delete data files not referenced by the CURRENT snapshot — the

@@ -259,6 +259,24 @@ class WritersSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("delta history lists operations; restore reinstates an old snapshot additively") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_restore")
+    Writers.writeDeltaTable(Seq((1L, "a", 1.0)).toDF("id", "name", "v"), "overwrite", p)
+    Writers.writeDeltaTable(Seq((2L, "b", 2.0)).toDF("id", "name", "v"), "append", p)
+    Writers.deleteFromDeltaTable(spark, p, "id = 1")
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val ops = DeltaLog.history(spark, p).map { case (v, op, _) => v -> op }
+    assert(ops == Seq(2L -> "DELETE", 1L -> "APPEND", 0L -> "OVERWRITE"))
+    // restore to version 1 (both rows) — a NEW version, history intact
+    DeltaLog.restore(spark, p, 1L)
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(DeltaLog.history(spark, p).head._2 == "RESTORE")
+    // the interim delete state is still time-travelable
+    assert(DeltaLog.read(spark, p, versionAsOf = Some(2L)).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("delta deleteWhere removes matching rows; no-match is a no-commit no-op") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_delete")
