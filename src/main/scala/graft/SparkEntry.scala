@@ -637,6 +637,37 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // stats-based file skipping: orders laid out in o_orderkey ranges, a
+    // selective predicate read through DeltaLog.readWhere (only files
+    // whose add-action stats admit the range are opened — DeltaStats);
+    // the oracle recomputes the filtered agg from the raw table
+    "q_delta_skipping" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_skip"
+      val o = t(s, d, "orders").toDF
+      Writers.writeDeltaTable(
+        o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+        "overwrite", path)
+      Loaders.loadDeltaWhere(s, path, "orders_skip",
+        "o_orderkey BETWEEN 1000 AND 5000 AND o_totalprice > 100000")
+        .select("o_orderpriority")
+        .agg("COUNT(*) AS n", "ROUND(SUM(o_totalprice), 2) AS total")
+        .groupBy("o_orderpriority").toDF
+    }),
+
+    // OPTIMIZE: 12 small files bin-packed into one (dataChange=false
+    // remove+add commit) — the read-back must be byte-identical to the
+    // pre-optimize table
+    "q_delta_optimize" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_opt"
+      val c = t(s, d, "customer").toDF
+      Writers.writeDeltaTable(c.repartition(12), "overwrite", path)
+      Writers.optimizeDeltaTable(s, path)
+      Loaders.load(s, path, "customer_opt")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // JSON-spec document form of with_schema (reference schema_from_json)
     "q_with_schema_json" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_schema_json.csv"
@@ -1262,6 +1293,14 @@ object SparkEntry {
 
     "q_delta_roundtrip" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey % 10 = 0) GROUP BY c_mktsegment",
+
+    "q_delta_skipping" ->
+      ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, o_orderpriority " +
+        "FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_totalprice > 100000 " +
+        "GROUP BY o_orderpriority"),
+
+    "q_delta_optimize" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     // version 0 = the table before the append
     "q_delta_time_travel" ->

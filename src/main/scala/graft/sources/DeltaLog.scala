@@ -82,13 +82,22 @@ object DeltaLog {
         k -> java.net.URLDecoder.decode(v, "UTF-8")
     }
 
-  private def addAction(relPath: String, s: FileStatus): String = {
+  private def addAction(relPath: String, s: FileStatus,
+      stats: Option[String] = None, dataChange: Boolean = true): String = {
     val pv = partitionValues(relPath)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    val statsField = stats.map(j => s""","stats":"${esc(j)}"""").getOrElse("")
     s"""{"add":{"path":"${esc(relPath)}","partitionValues":{$pv},""" +
       s""""size":${s.getLen},"modificationTime":${s.getModificationTime},""" +
-      s""""dataChange":true}}"""
+      s""""dataChange":$dataChange$statsField}}"""
   }
+
+  /** Footer-harvested stats for a data file of the table (see
+    * [[DeltaStats.harvest]]) — O(1) metadata read per NEW file at commit
+    * time, never a data scan.
+    */
+  private def statsFor(fs: FileSystem, tbl: HPath, relPath: String): Option[String] =
+    DeltaStats.harvest(fs.getConf, new HPath(tbl, relPath))
 
   private def protocolAction: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
@@ -124,6 +133,48 @@ object DeltaLog {
     }.nextOption()
   }
 
+  /** Table partition columns from the newest metaData — commits first,
+    * checkpoint fallback when older commits were cleaned up.
+    */
+  private def tablePartitionColumns(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Option[Seq[String]] =
+    latestPartitionColumns(fs, logDir(tbl))
+      .orElse(lastCheckpointVersion(fs, logDir(tbl)).flatMap { v =>
+        val cp = spark.read.parquet(
+          new HPath(logDir(tbl), f"$v%020d.checkpoint.parquet").toString)
+        if (cp.columns.contains("metaData")) {
+          val rows = cp.where(col("metaData").isNotNull)
+            .select(col("metaData.partitionColumns")).collect()
+          rows.headOption.map(_.getSeq[String](0))
+        } else None
+      })
+
+  /** Table schema JSON (metaData.schemaString) — newest commit first,
+    * checkpoint fallback. Same visibility rule as partition columns.
+    */
+  private def tableSchemaJson(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Option[String] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val log = logDir(tbl)
+    val fromCommits = existingVersions(fs, log).reverse.iterator.flatMap { v =>
+      readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        val md = if (node == null) null else node.get("metaData")
+        val ss = if (md == null) null else md.get("schemaString")
+        if (ss != null && ss.isTextual) Some(ss.asText) else None
+      }.toSeq.lastOption
+    }.nextOption()
+    fromCommits.orElse(lastCheckpointVersion(fs, log).flatMap { v =>
+      val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
+      if (cp.columns.contains("metaData")) {
+        val rows = cp.where(col("metaData").isNotNull)
+          .select(col("metaData.schemaString")).collect()
+        rows.headOption.map(_.getString(0))
+      } else None
+    })
+  }
+
   private def existingVersions(fs: FileSystem, log: HPath): Seq[Long] =
     if (!fs.exists(log)) Nil
     else fs.listStatus(log).toSeq
@@ -157,16 +208,7 @@ object DeltaLog {
       // appends must match the table's declared partitioning — silently
       // mixing layouts would corrupt partition inference on read. Falls
       // back to the checkpoint's metaData when older commits were cleaned.
-      val tableCols = latestPartitionColumns(fs, logDir(tbl))
-        .orElse(lastCheckpointVersion(fs, logDir(tbl)).flatMap { v =>
-          val cp = spark.read.parquet(
-            new HPath(logDir(tbl), f"$v%020d.checkpoint.parquet").toString)
-          if (cp.columns.contains("metaData")) {
-            val rows = cp.where(col("metaData").isNotNull)
-              .select(col("metaData.partitionColumns")).collect()
-            rows.headOption.map(_.getSeq[String](0))
-          } else None
-        })
+      val tableCols = tablePartitionColumns(spark, fs, tbl)
       tableCols.foreach { cols =>
         if (cols != partitionBy)
           throw graft.GraftError.PartitionError(
@@ -219,7 +261,8 @@ object DeltaLog {
           else df.schema
         actions += metaDataAction(schema.json, partitionBy)
       }
-      newFiles.foreach { case (rel, st) => actions += addAction(rel, st) }
+      newFiles.foreach { case (rel, st) =>
+        actions += addAction(rel, st, statsFor(fs, tbl, rel)) }
       actions.mkString("\n") + "\n"
     }
 
@@ -356,7 +399,8 @@ object DeltaLog {
     */
   private def commitRewrite(spark: SparkSession, path: String, op: String,
       removesRel: Seq[String], addDf: DataFrame,
-      checkpointInterval: Int = 10): Unit = {
+      checkpointInterval: Int = 10, dataChange: Boolean = true,
+      numFiles: Option[Int] = None): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
@@ -365,7 +409,8 @@ object DeltaLog {
         s"$path is not a delta table (no _delta_log)"))
     val partitionBy = latestPartitionColumns(fs, log).getOrElse(Nil)
     val stage = new HPath(tbl, s".graft_stage_${java.util.UUID.randomUUID()}")
-    val w = addDf.write.mode("overwrite")
+    val toWrite = numFiles.map(addDf.coalesce).getOrElse(addDf)
+    val w = toWrite.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
     val staged = dataFiles(fs, stage)
@@ -381,9 +426,10 @@ object DeltaLog {
     actions += s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
     val now = System.currentTimeMillis()
     removesRel.foreach(r => actions +=
-      s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":true}}""")
+      s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":$dataChange}}""")
     staged.keys.toSeq.sorted.foreach { rel =>
-      actions += addAction(rel, fs.getFileStatus(new HPath(tbl, rel)))
+      actions += addAction(rel, fs.getFileStatus(new HPath(tbl, rel)),
+        statsFor(fs, tbl, rel), dataChange = dataChange)
     }
     if (!acquireCommitSlot(fs, log, version, txnId, actions.mkString("\n") + "\n"))
       throw graft.GraftError.WriteError(path, op.toLowerCase,
@@ -479,7 +525,16 @@ object DeltaLog {
     * requested version can't seed the replay).
     */
   def activeFilesAsOf(spark: SparkSession, path: String,
-      versionAsOf: Option[Long]): Seq[String] = {
+      versionAsOf: Option[Long]): Seq[String] =
+    activeAddsAsOf(spark, path, versionAsOf)
+      .map(a => new HPath(new HPath(path), a.rel).toString)
+
+  /** Full `add` metadata (partition values, stats, size) of the active
+    * snapshot — the input to stats-based file skipping
+    * ([[DeltaStats.prune]]) and to [[optimize]]'s bin packing.
+    */
+  def activeAddsAsOf(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None): Seq[DeltaStats.AddEntry] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
@@ -489,13 +544,33 @@ object DeltaLog {
           s"version $v does not exist in $path (versions: " +
             s"${existingVersions(fs, log).mkString(", ")})")
     }
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val mapper = new ObjectMapper()
+    def entryOf(node: JsonNode): Option[DeltaStats.AddEntry] = {
+      val p = node.get("path")
+      if (p == null) return None
+      val pv = Map.newBuilder[String, String]
+      Option(node.get("partitionValues")).foreach(_.fields().forEachRemaining { e =>
+        pv += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)
+      })
+      Some(DeltaStats.AddEntry(p.asText, pv.result(),
+        Option(node.get("stats")).filter(_.isTextual).map(_.asText),
+        Option(node.get("size")).map(_.asLong(0L)).getOrElse(0L)))
+    }
     val cpVersion = lastCheckpointVersion(fs, log)
       .filter(cp => versionAsOf.forall(cp <= _))
-    val cpAdds: Seq[String] = cpVersion.toSeq.flatMap { v =>
+    // checkpoint adds round-trip through to_json so commit-line adds and
+    // checkpointed adds parse identically (stats stays the JSON string the
+    // writer recorded)
+    val cpAdds: Seq[DeltaStats.AddEntry] = cpVersion.toSeq.flatMap { v =>
       val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
       if (cp.columns.contains("add"))
-        cp.where(col("add").isNotNull).select(col("add.path"))
-          .collect().map(_.getString(0)).toSeq
+        cp.where(col("add").isNotNull)
+          .select(org.apache.spark.sql.functions.to_json(col("add")))
+          .collect().flatMap { r =>
+            val node = try mapper.readTree(r.getString(0)) catch { case _: Exception => null }
+            Option(node).flatMap(entryOf)
+          }.toSeq
       else Nil
     }
     val commits = existingVersions(fs, log)
@@ -506,22 +581,20 @@ object DeltaLog {
     // adds-minus-removes set would keep it dead forever. Driver-side
     // Jackson parse: commit files are tiny, and checkpoints bound how many
     // replay.
-    import com.fasterxml.jackson.databind.ObjectMapper
-    val mapper = new ObjectMapper()
-    val active = scala.collection.mutable.LinkedHashSet.empty[String]
-    cpAdds.foreach(active += _)
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, DeltaStats.AddEntry]
+    cpAdds.foreach(a => active(a.rel) = a)
     commits.foreach { v =>
       readString(fs, new HPath(log, commitName(v))).linesIterator.foreach { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         if (node != null) {
           val add = node.get("add")
           val rem = node.get("remove")
-          if (add != null && add.get("path") != null) active += add.get("path").asText
+          if (add != null) entryOf(add).foreach(a => active(a.rel) = a)
           if (rem != null && rem.get("path") != null) active -= rem.get("path").asText
         }
       }
     }
-    active.toSeq.map(rel => new HPath(tbl, rel).toString)
+    active.values.toSeq
   }
 
   /** Snapshot read: the log's active files, partition columns re-inferred
@@ -536,6 +609,138 @@ object DeltaLog {
       .option("mergeSchema", "true")
       .option("basePath", path)
       .parquet(files: _*)
+  }
+
+  /** Predicate-pruned snapshot read: replay the log, skip every file whose
+    * add-action stats (and partition values) prove the predicate can match
+    * no row ([[DeltaStats.prune]]), read only the survivors, re-apply the
+    * full predicate. At 100 TB this is the difference between opening a
+    * handful of files and scanning the table: the pruning cost is a
+    * driver-side pass over add metadata, zero data I/O. Conservative by
+    * construction — unknown stats keep the file, and the re-applied
+    * predicate makes pruning invisible to results.
+    */
+  def readWhere(spark: SparkSession, path: String, predicate: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = activeAddsAsOf(spark, path, versionAsOf)
+    require(adds.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
+    val schemaOpt = tableSchemaJson(spark, fs, tbl).flatMap { js =>
+      try Some(org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Exception => None }
+    }
+    val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+    val kept = schemaOpt match {
+      case Some(schema) => DeltaStats.prune(spark, predicate, schema, pcols, adds)
+      case None => adds
+    }
+    if (kept.isEmpty) {
+      // provably-empty result: an empty relation with the table schema —
+      // no file is opened at all
+      val schema = schemaOpt.getOrElse(read(spark, path, versionAsOf).schema)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .where(expr(predicate))
+    } else
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(kept.map(a => new HPath(tbl, a.rel).toString): _*)
+        .where(expr(predicate))
+  }
+
+  /** How many files [[readWhere]] would open for `predicate` vs the
+    * snapshot total — the observable skipping ratio (spec-asserted; also a
+    * planning aid: ~(kept/total) of the table gets scanned).
+    */
+  def skippingStats(spark: SparkSession, path: String,
+      predicate: String): (Int, Int) = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = activeAddsAsOf(spark, path, None)
+    val schemaOpt = tableSchemaJson(spark, fs, tbl).flatMap { js =>
+      try Some(org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Exception => None }
+    }
+    val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+    val kept = schemaOpt.map(s => DeltaStats.prune(spark, predicate, s, pcols, adds))
+      .getOrElse(adds)
+    (kept.size, adds.size)
+  }
+
+  /** OPTIMIZE: bin-pack the snapshot's small files (< `targetBytes`) into
+    * ~targetBytes outputs — remove+add with `dataChange=false`, so
+    * downstream incremental readers know no rows changed. With `zorderBy`,
+    * ALL files are rewritten clustered on the interleaved-bit z-order of
+    * the given columns, which concentrates each column's value ranges into
+    * few files and multiplies [[readWhere]] skipping on every z-ordered
+    * column (not just a lexicographic leading one).
+    *
+    * Scale shape: bucket boundaries come from one distributed
+    * `approxQuantile` pass per z-column (driver holds 256 doubles each);
+    * the z-key is a codegen'd column expression; the rewrite shuffles once
+    * (`repartitionByRange` on the z-key). No windows, no driver data.
+    * Returns the number of files compacted (0 = nothing to do).
+    */
+  def optimize(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Int = {
+    val adds = activeAddsAsOf(spark, path, None)
+    val victims = if (zorderBy.nonEmpty) adds else adds.filter(_.size < targetBytes)
+    if (victims.size <= 1 && zorderBy.isEmpty) return 0
+    if (victims.isEmpty) return 0
+    val tbl = new HPath(path)
+    val files = victims.map(a => new HPath(tbl, a.rel).toString)
+    val totalBytes = math.max(1L, victims.map(_.size).sum)
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.option("mergeSchema", "true").option("basePath", path)
+      .parquet(files: _*)
+    val (toWrite, packed) =
+      if (zorderBy.isEmpty) (df, Some(nOut))
+      else (zorderCluster(df, zorderBy, nOut), None)
+    commitRewrite(spark, path, "OPTIMIZE", victims.map(_.rel).sorted, toWrite,
+      dataChange = false, numFiles = packed)
+    victims.size
+  }
+
+  /** Cluster `df` into `nOut` range partitions of the z-order key of
+    * `cols`: per column, a 256-bucket quantile id (boundaries via one
+    * `approxQuantile` pass, bucket = codegen'd count-of-boundaries-≤-value
+    * over the 255-literal array), then the bucket ids' bits interleaved so
+    * proximity in EVERY column maps to proximity in the key.
+    */
+  private def zorderCluster(df: DataFrame, cols: Seq[String], nOut: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "zorder: need at least one column")
+    val bits = 8 // 256 buckets per column
+    val n = cols.length
+    val bucketCols = cols.zipWithIndex.map { case (c, i) =>
+      // quantile boundaries (255 cut points between 256 buckets); constant
+      // column or all-null → single bucket 0
+      val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+      if (bounds.isEmpty) lit(0L)
+      else {
+        val arr = array(bounds.toSeq.map(lit): _*)
+        // bucket id = #boundaries ≤ value (codegen'd fold, no UDF); nulls
+        // land in bucket 0
+        val v = col(c).cast("double")
+        aggregate(arr, lit(0L),
+          (acc, b) => acc + when(v.isNotNull && v >= b, 1L).otherwise(0L))
+      }
+    }
+    // interleave: bit j of bucket i → z-bit j*n + i
+    val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+      cols.indices.foldLeft(acc) { (a, i) =>
+        a + shiftleft(shiftright(bucketCols(i), j) % 2, j * n + i)
+      }
+    }
+    df.withColumn("graft_zkey", zkey)
+      .repartitionByRange(nOut, col("graft_zkey"))
+      .sortWithinPartitions("graft_zkey")
+      .drop("graft_zkey")
   }
 
   /** Commit history, newest first: (version, operation, txnId) from each
@@ -592,7 +797,8 @@ object DeltaLog {
     removes.foreach(r => actions +=
       s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":true}}""")
     adds.foreach { r =>
-      actions += addAction(r, fs.getFileStatus(new HPath(tbl, r)))
+      actions += addAction(r, fs.getFileStatus(new HPath(tbl, r)),
+        statsFor(fs, tbl, r))
     }
     if (!acquireCommitSlot(fs, log, next, txnId, actions.mkString("\n") + "\n"))
       throw graft.GraftError.WriteError(path, "restore",

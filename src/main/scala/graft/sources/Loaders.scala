@@ -152,6 +152,20 @@ object Loaders {
     else GraftFrame(spark.read.parquet(path), alias)
   }
 
+  /** Predicate-pruned delta read: only files whose add-action stats may
+    * satisfy `predicate` are opened — see [[DeltaLog.readWhere]]. The full
+    * predicate is re-applied, so results equal `loadDelta(...).filter`.
+    */
+  def loadDeltaWhere(spark: SparkSession, path: String, alias: String,
+      predicate: String, versionAsOf: Option[Long] = None): GraftFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(hPath, "_delta_log")))
+      throw graft.GraftError.InvalidOperation("load_delta",
+        s"predicate-pruned read requires a _delta_log; $path has none")
+    GraftFrame(DeltaLog.readWhere(spark, path, predicate, versionAsOf), alias)
+  }
+
   /** JSON load matching the reference's inference semantics
     * (src/helper_funcs/infer_schema_json.rs:4-68): numbers stay numbers,
     * booleans and everything non-numeric become strings, nested

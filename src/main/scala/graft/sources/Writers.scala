@@ -183,4 +183,11 @@ object Writers {
   def deleteFromDeltaTable(spark: org.apache.spark.sql.SparkSession,
       path: String, predicate: String): Int =
     DeltaLog.deleteWhere(spark, path, predicate)
+
+  /** OPTIMIZE a delta table: bin-pack small files (optionally z-order
+    * clustered on `zorderBy`) — see [[DeltaLog.optimize]].
+    */
+  def optimizeDeltaTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024, zorderBy: Seq[String] = Nil): Int =
+    DeltaLog.optimize(spark, path, targetBytes, zorderBy)
 }

@@ -1,0 +1,181 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Delta file statistics, stats-based skipping, and OPTIMIZE.
+  *
+  * The contract under test: every predicate-pruned read returns EXACTLY
+  * what a full-scan filter returns (pruning is invisible), while
+  * `skippingStats` proves files were actually skipped; OPTIMIZE preserves
+  * the snapshot byte-for-byte while changing the file layout.
+  */
+class DeltaSkippingSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val dir = java.nio.file.Paths.get("target/tmp/deltaskip")
+    java.nio.file.Files.createDirectories(dir)
+    dir.resolve(name).toString
+  }
+
+  private def rm(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** 1000 rows in 10 range-disjoint files: file i holds EXACTLY ids
+    * [100i, 100i+99] (ten 1-file commits — deterministic tiling, and the
+    * appends exercise per-commit stats too).
+    */
+  private def writeRanged(path: String): Unit = {
+    rm(path)
+    val df = spark.range(1000).select(
+      col("id"),
+      (col("id") / lit(100)).cast("long").as("bucket"),
+      concat(lit("name_"), format_string("%04d", col("id"))).as("name"),
+      when(col("id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("id").cast("double") * 1.5).as("score"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") / lit(10)).cast("int")).as("d"))
+    (0 until 10).foreach { i =>
+      val part = df.where(col("id") >= i * 100 && col("id") < (i + 1) * 100).coalesce(1)
+      Writers.writeDeltaTable(part, if (i == 0) "overwrite" else "append", path)
+    }
+  }
+
+  test("add actions carry footer stats (numRecords, min/max, nullCount)") {
+    val p = tmp("stats_present")
+    writeRanged(p)
+    val adds = DeltaLog.activeAddsAsOf(spark, p)
+    assert(adds.size == 10)
+    assert(adds.forall(_.stats.isDefined))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nodes = adds.map(a => mapper.readTree(a.stats.get))
+    assert(nodes.map(_.get("numRecords").asLong).sum == 1000L)
+    // id bounds across files tile [0, 999] disjointly
+    val idMins = nodes.map(_.get("minValues").get("id").asLong).sorted
+    val idMaxs = nodes.map(_.get("maxValues").get("id").asLong).sorted
+    assert(idMins == (0L to 900L by 100L).toList)
+    assert(idMaxs == (99L to 999L by 100L).toList)
+    // nullable column records its null count; total = multiples of 7
+    assert(nodes.map(_.get("nullCount").get("score").asLong).sum == 143L)
+    // string and date columns got bounds too
+    assert(nodes.head.get("minValues").get("name").asText.startsWith("name_"))
+    assert(nodes.head.get("minValues").get("d").asText.matches("\\d{4}-\\d{2}-\\d{2}"))
+  }
+
+  test("range predicate prunes files and matches the full-scan result") {
+    val p = tmp("skip_range")
+    writeRanged(p)
+    val pred = "id >= 250 AND id < 450"
+    val (kept, total) = DeltaLog.skippingStats(spark, p, pred)
+    assert(total == 10)
+    assert(kept <= 3, s"expected <=3 files kept, got $kept") // ids 250..449 live in files 2,3,4
+    val pruned = DeltaLog.readWhere(spark, p, pred)
+    val full = DeltaLog.read(spark, p).where(expr(pred))
+    assert(rowsOf(pruned) == rowsOf(full))
+    assert(pruned.count() == 200)
+  }
+
+  test("equality, IN, string, date and flipped-literal predicates all prune correctly") {
+    val p = tmp("skip_shapes")
+    writeRanged(p)
+    val preds = Seq(
+      "id = 42" -> 1,
+      "id IN (5, 905)" -> 2,
+      "name = 'name_0123'" -> 1,
+      "d >= DATE'2024-04-05'" -> 1, // epoch day 95 → ids 950..999, last file only
+      "500 <= id" -> 5,
+      "score > 1495.5" -> 1)
+    preds.foreach { case (pred, maxKept) =>
+      val (kept, total) = DeltaLog.skippingStats(spark, p, pred)
+      assert(total == 10)
+      assert(kept <= maxKept, s"$pred kept $kept files, expected <= $maxKept")
+      val pruned = DeltaLog.readWhere(spark, p, pred)
+      val full = DeltaLog.read(spark, p).where(expr(pred))
+      assert(rowsOf(pruned) == rowsOf(full), s"rows diverge for: $pred")
+    }
+  }
+
+  test("null-aware pruning: IS NULL keeps files with nulls, comparisons honor nullCount") {
+    val p = tmp("skip_nulls")
+    writeRanged(p)
+    val isNull = DeltaLog.readWhere(spark, p, "score IS NULL")
+    assert(isNull.count() == 143)
+    val notNull = DeltaLog.readWhere(spark, p, "score IS NOT NULL AND id < 100")
+    assert(notNull.count() == 85)
+  }
+
+  test("provably-empty predicate opens zero files but keeps schema and emptiness") {
+    val p = tmp("skip_empty")
+    writeRanged(p)
+    val (kept, _) = DeltaLog.skippingStats(spark, p, "id > 5000")
+    assert(kept == 0)
+    val df = DeltaLog.readWhere(spark, p, "id > 5000")
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("id", "bucket", "name", "score", "d"))
+  }
+
+  test("unsupported predicate shapes fall back to keeping all files, results still exact") {
+    val p = tmp("skip_fallback")
+    writeRanged(p)
+    val pred = "id % 2 = 0 OR name LIKE 'name_00%'"
+    val (kept, total) = DeltaLog.skippingStats(spark, p, pred)
+    assert(kept == total) // no pruning claimed
+    assert(rowsOf(DeltaLog.readWhere(spark, p, pred)) ==
+      rowsOf(DeltaLog.read(spark, p).where(expr(pred))))
+  }
+
+  test("partition values prune partition-column predicates") {
+    val p = tmp("skip_parts")
+    rm(p)
+    val sp = spark; import sp.implicits._
+    val df = sp.range(200).select(col("id"),
+      (col("id") % 4).cast("string").as("seg"))
+    Writers.writeDeltaTable(df, "overwrite", p, partitionBy = Seq("seg"))
+    val (kept, total) = DeltaLog.skippingStats(spark, p, "seg = '2'")
+    assert(kept < total, s"partition pruning should drop files ($kept/$total)")
+    val pruned = DeltaLog.readWhere(spark, p, "seg = '2'")
+    assert(pruned.count() == 50)
+    assert(pruned.select(countDistinct(col("seg"))).first.getLong(0) == 1L)
+  }
+
+  test("optimize bin-packs small files, preserves rows, keeps history dataChange=false") {
+    val p = tmp("optimize_pack")
+    writeRanged(p)
+    val before = DeltaLog.read(spark, p)
+    val beforeRows = rowsOf(before)
+    val compacted = DeltaLog.optimize(spark, p, targetBytes = 1L << 30)
+    assert(compacted == 10)
+    val addsAfter = DeltaLog.activeAddsAsOf(spark, p)
+    assert(addsAfter.size == 1, s"expected 1 packed file, got ${addsAfter.size}")
+    assert(rowsOf(DeltaLog.read(spark, p)) == beforeRows)
+    // history records the OPTIMIZE commit; time travel to the pre-optimize
+    // version (9 = the last append) still sees the 10-file layout
+    assert(DeltaLog.history(spark, p).head._2 == "OPTIMIZE")
+    assert(DeltaLog.activeAddsAsOf(spark, p, Some(9L)).size == 10)
+  }
+
+  test("optimize zorder clusters both columns so either predicate skips most files") {
+    val p = tmp("optimize_z")
+    rm(p)
+    val sp = spark; import sp.implicits._
+    // x and y deliberately uncorrelated: row-order locality on one is
+    // random on the other; z-order restores locality on BOTH
+    val df = sp.range(4000).select(
+      col("id"),
+      (col("id") % 64).cast("double").as("x"),
+      ((col("id") * 37) % 64).cast("double").as("y"))
+    Writers.writeDeltaTable(df.repartition(16), "overwrite", p)
+    DeltaLog.optimize(spark, p, targetBytes = 4L * 1024, zorderBy = Seq("x", "y"))
+    val addsAfter = DeltaLog.activeAddsAsOf(spark, p)
+    assert(addsAfter.size > 3, s"need several files to show skipping, got ${addsAfter.size}")
+    for (pred <- Seq("x < 8", "y < 8")) {
+      val (kept, total) = DeltaLog.skippingStats(spark, p, pred)
+      assert(kept < total, s"$pred kept all $total files after zorder")
+      assert(rowsOf(DeltaLog.readWhere(spark, p, pred)) ==
+        rowsOf(DeltaLog.read(spark, p).where(expr(pred))))
+    }
+  }
+}
