@@ -142,6 +142,42 @@ object OracleSql {
       "GROUP BY split"
   }
 
+  /** Replicated deterministic shuffle (Corpus.shuffle): same 60-bit md5
+    * order key, same (hash, id) tiebreak; the window ROW_NUMBER here is
+    * fine at oracle scale — the Spark side uses the distributed
+    * GlobalOrder equivalent.
+    */
+  def corpusShuffle(salt: String = "graft-shuffle"): String =
+    "SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos " +
+      s"FROM (SELECT doc_id, ${md5Hash60(s"'$salt' || doc_id::VARCHAR")} AS h FROM documents)"
+
+  /** Replicated mixture (Corpus.mixture): per-source WHERE + per-source
+    * salted bucket + FLOOR'd threshold (Spark's `.toLong` truncates, so
+    * FLOOR aligns the engines), UNION ALL'd like the plan-level concat.
+    */
+  def corpusMixture(sources: Seq[(String, String, Double)],
+      salt: String = "graft-mix", buckets: Long = 1000000L): String =
+    sources.map { case (name, whereSql, rate) =>
+      s"SELECT doc_id, lang, '$name' AS mix_source FROM (" +
+        s"SELECT doc_id, lang, ${md5Hash60(s"'$salt:$name' || doc_id::VARCHAR")} % $buckets AS h " +
+        s"FROM documents WHERE $whereSql) " +
+        s"WHERE h < CAST(FLOOR($rate * $buckets) AS BIGINT)"
+    }.mkString(" UNION ALL ")
+
+  /** Replicated sequence packing (Corpus.packSequences): same token
+    * count, same shuffle order, cumulative sum via window (oracle scale),
+    * same chunk arithmetic — `//` is DuckDB's integer division, matching
+    * Spark's FLOOR over non-negative operands.
+    */
+  def packSequences(budget: Long, salt: String = "graft-pack"): String =
+    "WITH t AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS BIGINT) AS n_tokens, " +
+      s"${md5Hash60(s"'$salt' || doc_id::VARCHAR")} AS h FROM documents), " +
+      "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY h, doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+      s"SELECT doc_id, n_tokens, CAST((cum - n_tokens) // $budget AS BIGINT) AS first_chunk, " +
+      s"CAST(greatest((cum - n_tokens) // $budget, (cum - 1) // $budget) AS BIGINT) AS last_chunk FROM c"
+
   /** End-to-end curation pipeline oracle: replicate qualityScore (same
     * component formulas as the q_text_quality oracle), first-occurrence
     * exact dedup, and the md5 hash split, then roll up per split.

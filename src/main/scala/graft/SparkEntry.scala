@@ -1005,6 +1005,30 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))),
 
+    // deterministic epoch order: global shuffle_pos under the md5 hash
+    // order, assigned by the distributed GlobalOrder range-partition
+    // numbering (never ROW_NUMBER-over-nothing's single reducer)
+    "q_corpus_shuffle" -> ((s, d) =>
+      graft.operators.Corpus.shuffle(t(s, d, "documents").df, "doc_id")
+        .select(col("doc_id"), col("shuffle_pos"))),
+
+    // corpus mixing: 100% of English + 30% of the rest, deterministic
+    // per-source hash sampling, tagged provenance
+    "q_corpus_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.Corpus.mixture(Seq(
+        ("wiki", docs.where(col("lang") === "en"), 1.0),
+        ("web", docs.where(col("lang") =!= "en"), 0.3)), "doc_id")
+        .select(col("doc_id"), col("lang"), col("mix_source"))
+    }),
+
+    // sequence packing: concat-then-chunk at 1000 tokens — each doc's
+    // first/last training chunk under the deterministic shuffle order;
+    // running totals via the distributed prefix-sum, not a global window
+    "q_corpus_pack" -> ((s, d) =>
+      graft.operators.Corpus.packSequences(t(s, d, "documents").df,
+        "doc_id", "text", budgetTokens = 1000L)),
+
     // the full curation pipeline as ONE lazy plan: quality gate → exact
     // dedup survivors → deterministic hash split → per-split rollup.
     // Three shuffles total (dedup window, split is map-side, final agg);
@@ -1392,6 +1416,13 @@ object SparkEntry {
 
     "q_sample_stratified" ->
       OracleSql.stratifiedSample(Seq("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1),
+
+    "q_corpus_shuffle" -> OracleSql.corpusShuffle(),
+
+    "q_corpus_mixture" -> OracleSql.corpusMixture(Seq(
+      ("wiki", "lang = 'en'", 1.0), ("web", "lang <> 'en'", 0.3))),
+
+    "q_corpus_pack" -> OracleSql.packSequences(budget = 1000L),
 
     "q_decontaminate" ->
       OracleSql.contamination(n = 3, maxEvalId = 20L, minShared = 2L),

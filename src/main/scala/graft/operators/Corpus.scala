@@ -93,6 +93,73 @@ object Corpus {
     df.where(bucketHash(idCol, salt, buckets) < (rateExpr * buckets).cast("long"))
   }
 
+  /** Shared 60-bit md5 order key for [[shuffle]] / [[packSequences]] —
+    * like [[bucketHash]] but un-modded: a total order, engine-portable
+    * (DuckDB: `('0x' || substr(md5(salt || id), 1, 15))::BIGINT`).
+    */
+  private def orderHash(idCol: String, salt: String) =
+    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Deterministic global shuffle: a 1-based `shuffle_pos` under the
+    * md5(salt‖id) order — the training-data ordering primitive. Unlike
+    * `ORDER BY rand()` this is stable across runs, retries and engines
+    * (same salt ⇒ same permutation, so a resumed job sees the same epoch
+    * order), and unlike `ROW_NUMBER() OVER (ORDER BY …)` it never
+    * collapses to one reducer: [[GlobalOrder.withRowNumber]] range
+    * partitions on the hash and seeds per-partition counters from an
+    * O(partitions) driver map. Ties (60-bit hash collisions) break on id.
+    */
+  def shuffle(df: DataFrame, idCol: String,
+      salt: String = "graft-shuffle", posCol: String = "shuffle_pos"): DataFrame =
+    GlobalOrder.withRowNumber(
+      df.withColumn("graft_h", orderHash(idCol, salt)),
+      Seq("graft_h", idCol), posCol).drop("graft_h")
+
+  /** Weighted mixture construction: each source keeps a deterministic
+    * hash-sampled `rate` of its rows (per-source salt, so the same id in
+    * two sources draws independently), tagged with `mix_source` — the
+    * corpus-mixing primitive (e.g. 100 % wiki + 30 % web + 5 % code).
+    * Map-side only per source; the union is a plan-level concat, no
+    * shuffle at any scale. Rates > 1 are rejected — epoch repetition is a
+    * training-loop concern, not row duplication.
+    */
+  def mixture(sources: Seq[(String, DataFrame, Double)], idCol: String,
+      salt: String = "graft-mix"): DataFrame = {
+    require(sources.nonEmpty, "mixture: need at least one source")
+    val buckets = 1000000L
+    sources.map { case (name, df, rate) =>
+      require(rate >= 0.0 && rate <= 1.0, s"mixture: rate for '$name' must be in [0,1]")
+      df.where(bucketHash(idCol, s"$salt:$name", buckets) < (rate * buckets).toLong)
+        .withColumn("mix_source", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Sequence packing (concat-then-chunk): documents are laid out in the
+    * deterministic [[shuffle]] order, token counts accumulate, and the
+    * stream is cut every `budgetTokens` — each doc reports the training
+    * chunks it lands in (`first_chunk`/`last_chunk`; docs straddle cuts,
+    * exactly like a real pre-training pipeline's packed sequences). The
+    * running total comes from [[GlobalOrder.withRunningTotal]] (range
+    * partition + O(partitions) prefix offsets), not a global window — the
+    * layout of a 100 TB corpus must not serialize through one reducer.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, salt: String = "graft-pack"): DataFrame = {
+    require(budgetTokens > 0, "packSequences: budgetTokens must be positive")
+    val base = docs.select(col(idCol),
+        T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("graft_h", orderHash(idCol, salt))
+    val cum = GlobalOrder.withRunningTotal(base, Seq("graft_h", idCol),
+      "n_tokens", "graft_cum")
+    cum.select(col(idCol), col("n_tokens"),
+      floor((col("graft_cum") - col("n_tokens")) / budgetTokens).cast("long")
+        .as("first_chunk"),
+      greatest(
+        floor((col("graft_cum") - col("n_tokens")) / budgetTokens),
+        floor((col("graft_cum") - 1) / budgetTokens)).cast("long").as("last_chunk"))
+  }
+
   /** Boilerplate paragraph detection: non-empty trimmed lines occurring in
     * ≥ `minDocFreq` DISTINCT documents (nav bars, cookie banners, footers —
     * the classic web-corpus noise). One explode + one groupBy; Spark's

@@ -41,6 +41,42 @@ object GlobalOrder {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Append the running total of `valueCol` (a LONG column) under the
+    * given total order — inclusive of the current row, i.e. the window
+    * `SUM(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`, without the
+    * single-reducer collapse that window carries: range partition +
+    * per-partition sums (O(partitions) driver collect) + a locally-seeded
+    * running accumulator, the same shape as [[withRowNumber]].
+    */
+  def withRunningTotal(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      totalCol: String = "graft_running"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val valueIdx = df.schema.fieldIndex(valueCol)
+    require(df.schema(valueIdx).dataType == LongType,
+      s"withRunningTotal: $valueCol must be LONG (cast first)")
+    val ranged = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val rangedRdd = ranged.rdd
+    val sums = rangedRdd.mapPartitionsWithIndex((pid, it) =>
+      Iterator.single((pid, it.map(r =>
+        if (r.isNullAt(valueIdx)) 0L else r.getLong(valueIdx)).sum))).collect().toMap
+    val maxPid = if (sums.isEmpty) 0 else sums.keys.max
+    val offsets = new Array[Long](maxPid + 2)
+    for (p <- 0 to maxPid)
+      offsets(p + 1) = offsets(p) + sums.getOrElse(p, 0L)
+    val schema = StructType(df.schema.fields :+ StructField(totalCol, LongType, nullable = false))
+    val rdd = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(math.min(pid, offsets.length - 1))
+      it.map { r =>
+        acc += (if (r.isNullAt(valueIdx)) 0L else r.getLong(valueIdx))
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Drop the first n rows under the order (scalable skipRows). */
   def skipRows(df: DataFrame, n: Long, orderCols: Seq[String]): DataFrame =
     withRowNumber(df, orderCols).where(col("graft_rn") > n).drop("graft_rn")

@@ -157,6 +157,65 @@ class CorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shuffle assigns a stable 1..N permutation, independent of input partitioning") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val a = Corpus.shuffle(docs, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos")).toMap
+    val b = Corpus.shuffle(docs.repartition(7), "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(a == b) // partitioning-independent
+    assert(a.values.toSeq.sorted == (1L to 200L)) // a permutation
+    assert(a != (1 to 200).map(i => i.toLong -> i.toLong).toMap) // actually shuffled
+    // a different salt gives a different permutation
+    val c = Corpus.shuffle(docs, "doc_id", salt = "epoch-2").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(c != a)
+  }
+
+  test("mixture keeps per-source rates deterministically and tags provenance") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 1000).map(i => (i.toLong, "x")).toDF("doc_id", "text")
+    val mixed = Corpus.mixture(Seq(
+      ("full", docs, 1.0), ("third", docs, 0.3), ("none", docs, 0.0)), "doc_id")
+    val bySource = mixed.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("full") == 1000L)
+    assert(!bySource.contains("none"))
+    assert(bySource("third") > 230 && bySource("third") < 370) // ~300 ± hash noise
+    // deterministic: the same call selects the same rows
+    val t1 = mixed.where(col("mix_source") === "third").select("doc_id").collect().toSet
+    val t2 = Corpus.mixture(Seq(("third", docs, 0.3)), "doc_id")
+      .select("doc_id").collect().toSet
+    assert(t1 == t2)
+    assertThrows[IllegalArgumentException](
+      Corpus.mixture(Seq(("over", docs, 1.5)), "doc_id"))
+  }
+
+  test("packSequences: chunk spans follow the running token total exactly") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, Seq.fill(i % 17 + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Corpus.packSequences(docs, "doc_id", "text", budgetTokens = 50L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("first_chunk"), r.getAs[Long]("last_chunk")))
+    assert(packed.length == 100)
+    // reconstruct the stream order independently and verify every span
+    val hashed = packed.sortBy { case (id, _, _, _) => id }
+    val ordered = Corpus.shuffle(docs, "doc_id", salt = "graft-pack").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos")).toMap
+    var cum = 0L
+    hashed.map { case (id, n, f, l) => (ordered(id), id, n, f, l) }
+      .sortBy(_._1).foreach { case (_, id, n, f, l) =>
+        assert(f == cum / 50, s"doc $id first_chunk")
+        assert(l == math.max(cum / 50, (cum + n - 1) / 50), s"doc $id last_chunk")
+        cum += n
+      }
+    // chunks tile the stream: no chunk index gaps
+    val allChunks = packed.flatMap { case (_, _, f, l) => f to l }.toSet
+    assert(allChunks == (0L to allChunks.max).toSet)
+  }
+
   test("quality filter keeps high-quality docs only") {
     val sp = spark; import sp.implicits._
     val mixed = Seq(
