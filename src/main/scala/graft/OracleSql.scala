@@ -316,9 +316,12 @@ object OracleSql {
     * assignment (squared-distance ordering ≡ the Spark side's sqrt
     * ordering — monotonic), nprobe probed lists, exact cosine re-rank.
     */
-  def simIvfTopK(k: Int, nlist: Int, nprobe: Int, maxQueryId: Long = 5L,
-      refineIterations: Int = 1, dim: Int = 64): String = {
-    val centCte = (0 until refineIterations)
+  /** The seed-and-Lloyd-refine centroid CTE chain over a CTE `c(vec_id,
+    * v)` — shared by [[simIvfTopK]] and [[semanticSurvivors]] so the two
+    * replications can never drift. Returns (chain, finalCteName).
+    */
+  private def centroidChain(nlist: Int, refineIterations: Int, dim: Int): (String, String) =
+    (0 until refineIterations)
       .foldLeft(s"cent0 AS (SELECT vec_id AS cent_id, v AS centv FROM c ORDER BY vec_id LIMIT $nlist)" -> "cent0") {
         case ((cte, prev), it) =>
           val a = s"asg_r$it"; val nxt = s"cent${it + 1}"
@@ -330,7 +333,29 @@ object OracleSql {
             s"SELECT list_id, i, CAST(sum(CAST(v[i + 1] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m " +
             s"FROM $a, range($dim) r(i) GROUP BY list_id, i) GROUP BY list_id)", nxt)
       }
-    val (centChain, cent) = centCte
+
+  /** Replicated SemDeDup survivors (Dedup.semanticSurvivors) over the
+    * augmented corpus: same Lloyd centroids, same nearest-centroid
+    * assignment, same within-cluster dominated-by-lower-id drop rule.
+    */
+  def semanticSurvivors(threshold: Double, nlist: Int, refineIterations: Int = 1,
+      idOffset: Long = 100000L, eps: Double = 0.02, dim: Int = 64): String = {
+    val (centChain, cent) = centroidChain(nlist, refineIterations, dim)
+    s"WITH ${augmentedEmbeddingsCte(idOffset, eps, dim)}, " +
+      "c AS (SELECT vec_id, v FROM aug), " +
+      s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +
+      "asg AS (SELECT vec_id, v, cent_id AS list_id FROM (" +
+      "SELECT c.vec_id, c.v, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn = 1), " +
+      "drp AS (SELECT DISTINCT b.vec_id AS d FROM asg a JOIN asg b " +
+      "ON a.list_id = b.list_id AND a.vec_id < b.vec_id " +
+      s"WHERE list_cosine_similarity(a.v, b.v) >= $threshold) " +
+      "SELECT vec_id FROM c WHERE NOT EXISTS (SELECT 1 FROM drp WHERE d = vec_id)"
+  }
+
+  def simIvfTopK(k: Int, nlist: Int, nprobe: Int, maxQueryId: Long = 5L,
+      refineIterations: Int = 1, dim: Int = 64): String = {
+    val (centChain, cent) = centroidChain(nlist, refineIterations, dim)
     "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +
       "asg AS (SELECT vec_id, v, cent_id AS list_id FROM (" +

@@ -900,6 +900,14 @@ object SparkEntry {
         "embedding", "vec_id", threshold = 0.9, lshBits = 16, dim = 64,
         lshTables = 8)),
 
+    // SemDeDup: cluster-scoped semantic dedup over the perturbed corpus —
+    // Lloyd clusters bound the pairwise compare, lower-id survivor wins;
+    // the oracle replays centroids, assignment, and drop rule exactly
+    "q_dedup_semantic" -> ((s, d) =>
+      Dedup.semanticSurvivors(perturbedEmbeddings(t(s, d, "embeddings").df),
+        "embedding", "vec_id", threshold = 0.99, nlist = 16)
+        .select(col("vec_id"))),
+
     "q_sim_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
@@ -1345,6 +1353,10 @@ object SparkEntry {
     // genuine brute force over the augmented corpus — checks LSH recall
     "q_dedup_embedding_tight" ->
       OracleSql.embeddingTightPairs(threshold = 0.9),
+
+    // replication: Lloyd centroids + assignment + drop rule replayed
+    "q_dedup_semantic" ->
+      OracleSql.semanticSurvivors(threshold = 0.99, nlist = 16),
 
     // replication oracles: same hyperplane literals, same algorithm steps
     "q_dedup_embedding" ->

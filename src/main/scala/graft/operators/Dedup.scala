@@ -401,4 +401,37 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embeddings (the deterministic
+    * Lloyd machinery IVF already uses — [[Similarity.seedAndRefine]]),
+    * then compare pairs ONLY within a cluster and drop every row
+    * dominated by a lower-id row at cosine ≥ `threshold`. Returns the
+    * surviving rows of `df`.
+    *
+    * Scale shape: the within-cluster self-join shuffles each vector once
+    * on `list_id`, and the quadratic is bounded per cluster at
+    * ~(corpus/nlist)² — `nlist` is the dial that trades recall (near-dups
+    * split across cluster boundaries are missed, the SemDeDup
+    * approximation) against cost; the paper runs ~100k clusters at
+    * web scale. First-occurrence-wins is the same survivor contract as
+    * [[exactSurvivors]]: a row is dropped iff SOME lower-id row in its
+    * cluster clears the threshold (chains do not revive — if a<b<c with
+    * only a~b and b~c, c still drops because b dominates it, matching the
+    * paper's drop-all-but-one-per-similar-group intent deterministically).
+    */
+  def semanticSurvivors(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nlist: Int = 16, refineIterations: Int = 1): DataFrame = {
+    val c = df.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val centroids = Similarity.seedAndRefine(c, nlist, refineIterations)
+    val asg = Similarity.assignToLists(c, centroids)
+    val a = asg.select(col("list_id"), col("corpus_id").as("a_id"), col("cv").as("av"))
+    val b = asg.select(col("list_id"), col("corpus_id").as("b_id"), col("cv").as("bv"))
+    val dropped = a.join(b, Seq("list_id"))
+      .where(col("a_id") < col("b_id"))
+      .where(V.cosine(col("av"), col("bv")) >= threshold)
+      .select(col("b_id").as("graft_drop_id")).distinct()
+    df.join(dropped, col(idCol) === col("graft_drop_id"), "left_anti")
+  }
 }

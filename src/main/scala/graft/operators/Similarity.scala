@@ -139,7 +139,7 @@ object Similarity {
     * list and that list's scan dominates; after a Lloyd step list sizes
     * concentrate toward corpus/nlist (measured in the spec).
     */
-  private def seedAndRefine(c: DataFrame, nlist: Int,
+  private[operators] def seedAndRefine(c: DataFrame, nlist: Int,
       iterations: Int): DataFrame = {
     val seeds = c.orderBy(col("corpus_id")).limit(nlist)
       .select(col("corpus_id").as("cent_id"), col("cv").as("centv"))
@@ -156,7 +156,7 @@ object Similarity {
     }
   }
 
-  private def assignToLists(c: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def assignToLists(c: DataFrame, centroids: DataFrame): DataFrame =
     c.join(broadcast(centroids))
       .withColumn("d", V.l2Distance(col("cv"), col("centv")))
       .withColumn("rn", row_number().over(

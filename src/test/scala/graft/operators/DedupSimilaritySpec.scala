@@ -283,6 +283,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.size >= emb.count(), "every perturbed copy must pair with its source")
   }
 
+  test("semantic dedup drops nearly all perturbed copies, keeps all sources") {
+    // SemDeDup quality gate: the perturbed corpus has one near-identical
+    // copy per source (cosine ≈ 0.9998). Cluster-scoped dedup must kill a
+    // copy whenever it lands in its source's cluster — which is nearly
+    // always, since the pair is closer to each other than to anything
+    // else. Sources (lower ids) must ALL survive: first-occurrence wins.
+    val sp = spark
+    val emb = sp.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val pert = emb.select((col("vec_id") + lit(100000L)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + 0.02 * " +
+        "CAST(element_at(embedding, (i + 1) % 64 + 1) AS DOUBLE))").as("embedding"))
+    val aug = base.unionAll(pert)
+    val nBase = base.count()
+    val survivors = Dedup.semanticSurvivors(aug, "embedding", "vec_id",
+      threshold = 0.99, nlist = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val keptSources = survivors.count(_ < 100000L)
+    val keptCopies = survivors.count(_ >= 100000L)
+    info(s"sources kept: $keptSources/$nBase, copies kept: $keptCopies/$nBase")
+    assert(keptSources == nBase, "no source (lower id) may be dropped")
+    assert(keptCopies <= nBase / 10,
+      s"semantic dedup should drop ≥90% of near-identical copies, kept $keptCopies")
+    // determinism across partitionings
+    val survivors2 = Dedup.semanticSurvivors(aug.repartition(13), "embedding",
+      "vec_id", threshold = 0.99, nlist = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors2 == survivors)
+  }
+
   test("brute-force top-k ranks by cosine with id tie-break") {
     val q = vecs.where(col("vec_id") === 0L)
     val out = Similarity.bruteForceTopK(vecs, q, "embedding", "vec_id", k = 2)
