@@ -142,4 +142,33 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .start()
+
+  /** Streaming delta sink: each micro-batch becomes one numbered APPEND
+    * commit in the table's `_delta_log` (foreachBatch → [[graft.sources.
+    * DeltaLog.write]]), so a batch reader — or [[graft.sources.DeltaLog.
+    * readWhere]]'s stats pruning — sees every ingested batch atomically,
+    * with per-file stats, checkpoints bounding replay, and OPTIMIZE
+    * available for the small-files the micro-batches pile up.
+    *
+    * Exactly-once caveat, stated not hidden: Structured Streaming replays
+    * an unacknowledged batch after a crash, and a replayed `write` appends
+    * a SECOND commit (delta's idempotent-writer txn-version dance is out
+    * of scope) — `batchId` is recorded in each commit's data as
+    * `graft_batch_id`, so downstream dedup on it restores effective
+    * exactly-once. Empty batches commit nothing.
+    */
+  def toDeltaSink(df: DataFrame, path: String, checkpoint: String,
+      partitionBy: Seq[String] = Nil,
+      triggerMs: Long = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.DeltaLog.write(
+            batch.withColumn("graft_batch_id", lit(batchId)),
+            mode = "append", path = path, partitionBy = partitionBy)
+      }
+      .start()
 }

@@ -108,6 +108,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 5)
   }
 
+  test("streaming delta sink: one APPEND commit per micro-batch, stats on every add") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/tmp/streamdelta")).toString
+    val tbl = s"$dir/events_delta"
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ckpt"), true)
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.toDeltaSink(mem.toDF, tbl, s"$dir/ckpt")
+    try {
+      mem.addData(batch.as[Ev].collect().take(3).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(batch.as[Ev].collect().drop(3).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // two batches → two commits (versions 0 and 1), all APPENDs
+    val hist = graft.sources.DeltaLog.history(spark, tbl)
+    assert(hist.map(_._1) == Seq(1L, 0L), s"expected versions 1,0 got $hist")
+    assert(hist.forall(_._2 == "APPEND"))
+    val back = graft.sources.DeltaLog.read(spark, tbl)
+    assert(back.count() == 5)
+    assert(back.select("graft_batch_id").distinct().count() == 2)
+    // the delta machinery composes: stats exist, skipping works on them
+    assert(graft.sources.DeltaLog.activeAddsAsOf(spark, tbl).forall(_.stats.isDefined))
+    val ids = graft.sources.DeltaLog.readWhere(spark, tbl, "event_id >= 4")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(4L, 5L))
+  }
+
   test("duration parsing") {
     assert(EventStreams.parseDurationSeconds("30 minutes") == 1800)
     assert(EventStreams.parseDurationSeconds("1 hour") == 3600)
