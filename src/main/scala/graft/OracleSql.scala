@@ -178,6 +178,20 @@ object OracleSql {
       s"SELECT doc_id, n_tokens, CAST((cum - n_tokens) // $budget AS BIGINT) AS first_chunk, " +
       s"CAST(greatest((cum - n_tokens) // $budget, (cum - 1) // $budget) AS BIGINT) AS last_chunk FROM c"
 
+  /** Replicated chunking (Corpus.chunkDocuments): same whitespace
+    * tokenization (verbatim case), same ceil-div chunk count, same
+    * 1-based inclusive slices — DuckDB's parallel unnests zip, giving
+    * (chunk_idx, chunk_text) pairs like Spark's posexplode.
+    */
+  def chunkDocuments(chunk: Int, overlap: Int): String = {
+    val stride = chunk - overlap
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents), " +
+      s"n AS (SELECT doc_id, tk, greatest(1, (len(tk) - $overlap + $stride - 1) // $stride) AS nc FROM t) " +
+      "SELECT doc_id, CAST(unnest(range(nc)) AS BIGINT) AS chunk_idx, " +
+      s"unnest(list_transform(range(nc), i -> array_to_string(tk[(i * $stride + 1):(i * $stride + $chunk)], ' '))) AS chunk_text " +
+      "FROM n"
+  }
+
   /** End-to-end curation pipeline oracle: replicate qualityScore (same
     * component formulas as the q_text_quality oracle), first-occurrence
     * exact dedup, and the md5 hash split, then roll up per split.

@@ -1037,6 +1037,12 @@ object SparkEntry {
       graft.operators.Corpus.packSequences(t(s, d, "documents").df,
         "doc_id", "text", budgetTokens = 1000L)),
 
+    // RAG chunking: 64-token windows with 16-token overlap, verbatim
+    // text — pure codegen'd array expressions, no shuffle
+    "q_corpus_chunks" -> ((s, d) =>
+      graft.operators.Corpus.chunkDocuments(t(s, d, "documents").df,
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
+
     // the full curation pipeline as ONE lazy plan: quality gate → exact
     // dedup survivors → deterministic hash split → per-split rollup.
     // Three shuffles total (dedup window, split is map-side, final agg);
@@ -1435,6 +1441,8 @@ object SparkEntry {
       ("wiki", "lang = 'en'", 1.0), ("web", "lang <> 'en'", 0.3))),
 
     "q_corpus_pack" -> OracleSql.packSequences(budget = 1000L),
+
+    "q_corpus_chunks" -> OracleSql.chunkDocuments(chunk = 64, overlap = 16),
 
     "q_decontaminate" ->
       OracleSql.contamination(n = 3, maxEvalId = 20L, minShared = 2L),

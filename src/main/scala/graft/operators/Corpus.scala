@@ -160,6 +160,36 @@ object Corpus {
         floor((col("graft_cum") - 1) / budgetTokens)).cast("long").as("last_chunk"))
   }
 
+  /** Overlapping token-window chunking — the RAG/embedding-pipeline
+    * primitive: each document becomes ceil((n_tokens − overlap) / stride)
+    * chunks of `chunkTokens` whitespace tokens, consecutive chunks sharing
+    * `overlapTokens` (stride = chunk − overlap; the last chunk may be
+    * short). Pure per-row codegen'd array expressions (split → slice →
+    * join) + one posexplode — no shuffle, no UDF, embarrassingly parallel
+    * at any scale. Tokenization splits on whitespace WITHOUT lowercasing:
+    * chunk text must stay verbatim.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkDocuments: chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "chunkDocuments: need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("graft_tk"))
+      .withColumn("graft_nc",
+        greatest(lit(1L),
+          floor((size(col("graft_tk")) - overlapTokens + stride - 1) / stride)
+            .cast("long")))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), col("graft_nc") - 1),
+          i => array_join(
+            slice(col("graft_tk"), (i * stride + 1).cast("int"), lit(chunkTokens)),
+            " "))).as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"))
+  }
+
   /** Boilerplate paragraph detection: non-empty trimmed lines occurring in
     * ≥ `minDocFreq` DISTINCT documents (nav bars, cookie banners, footers —
     * the classic web-corpus noise). One explode + one groupBy; Spark's

@@ -216,6 +216,28 @@ class CorpusSpec extends SparkSpec {
     assert(allChunks == (0L to allChunks.max).toSet)
   }
 
+  test("chunkDocuments: overlapping windows reconstruct the token stream") {
+    val sp = spark; import sp.implicits._
+    val text40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text40), (2L, "only three tokens"), (3L, "")).toDF("doc_id", "text")
+    val chunks = Corpus.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 16, overlapTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // stride 12: chunks at tokens 1-16, 13-28, 25-40 → ceil((40-4)/12) = 3
+    assert(d1.length == 3)
+    assert(d1(0) == (1 to 16).map(i => s"w$i").mkString(" "))
+    assert(d1(1) == (13 to 28).map(i => s"w$i").mkString(" "))
+    assert(d1(2) == (25 to 40).map(i => s"w$i").mkString(" "))
+    // consecutive chunks share exactly the 4-token overlap
+    assert(d1(0).split(" ").takeRight(4).toSeq == d1(1).split(" ").take(4).toSeq)
+    // short and empty docs produce exactly one chunk, text verbatim
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("only three tokens"))
+    assert(chunks.filter(_._1 == 3L).map(_._3).toSeq == Seq(""))
+    assertThrows[IllegalArgumentException](
+      Corpus.chunkDocuments(docs, "doc_id", "text", 8, 8))
+  }
+
   test("quality filter keeps high-quality docs only") {
     val sp = spark; import sp.implicits._
     val mixed = Seq(
