@@ -73,6 +73,36 @@ object OracleSql {
       "UNION SELECT u.t, reach.r FROM reach JOIN und u ON u.s = reach.v) " +
       "SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v"
 
+  /** The quality-score formula shared by the curate and best-survivor
+    * oracles — must stay term-identical to TextFunctions.qualityScore.
+    */
+  private def qualityScoreSql: String = {
+    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    val pr = "CAST(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) AS DOUBLE) / length(text)"
+    val dr = "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)"
+    val sw = s"CAST(len(list_filter($toks, x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE) / len($toks)"
+    s"round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 + " +
+      s"greatest(0.0, 1.0 - ($pr) * 5.0) * 0.2 + " +
+      s"greatest(0.0, 1.0 - ($dr) * 5.0) * 0.2 + " +
+      s"least(($sw) * 4.0, 1.0) * 0.2, 6)"
+  }
+
+  /** Best-per-cluster survivors (Dedup.clusterSurvivorsBy with
+    * qualityScore): transitive-closure clusters (a different algorithm
+    * than the Spark side's label propagation, so the clustering itself is
+    * cross-checked) + max-quality/min-id pick per cluster.
+    */
+  def clusterSurvivorsByQuality(n: Int, threshold: Double): String =
+    "WITH RECURSIVE pr AS (" + jaccardPairs(n, threshold) + "), " +
+      "und AS (SELECT id_a AS s, id_b AS t FROM pr " +
+      "UNION SELECT id_b, id_a FROM pr), " +
+      "reach(v, r) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT u.t, reach.r FROM reach JOIN und u ON u.s = reach.v), " +
+      "cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v) " +
+      "SELECT d.doc_id FROM documents d JOIN cl ON d.doc_id = cl.doc_id " +
+      s"QUALIFY row_number() OVER (PARTITION BY cl.cluster_id " +
+      s"ORDER BY $qualityScoreSql DESC, d.doc_id ASC) = 1"
+
   /** Brute-force MD5-SimHash pairs with hamming ≤ maxHamming — recomputes
     * the per-token 60-bit digest words (word w = hex chars [15w+1, 15w+15]
     * of md5, matching NativeOps.md5Words), the ±1 bit votes (ties → 1,
@@ -198,14 +228,7 @@ object OracleSql {
     */
   def corpusCurate(minScore: Double, splits: Seq[(String, Double)],
       salt: String = "graft", buckets: Long = 1000000L): String = {
-    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
-    val pr = "CAST(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) AS DOUBLE) / length(text)"
-    val dr = "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)"
-    val sw = s"CAST(len(list_filter($toks, x -> x IN ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE) / len($toks)"
-    val score = s"round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 + " +
-      s"greatest(0.0, 1.0 - ($pr) * 5.0) * 0.2 + " +
-      s"greatest(0.0, 1.0 - ($dr) * 5.0) * 0.2 + " +
-      s"least(($sw) * 4.0, 1.0) * 0.2, 6)"
+    val score = qualityScoreSql
     val cases = Corpus.splitBounds(splits, buckets)
       .map { case (nm, lo, hi) => s"WHEN h >= $lo AND h < $hi THEN '$nm'" }
       .mkString(" ")

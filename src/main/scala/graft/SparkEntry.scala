@@ -875,6 +875,16 @@ object SparkEntry {
           numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85))
     }),
 
+    // best-per-cluster survivors: same pair generation and clustering,
+    // but the kept representative maximizes quality score (ties → min id)
+    "q_dedup_best" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Dedup.clusterSurvivorsBy(docs, "doc_id", TF.qualityScore(col("text")),
+        Dedup.minhashLshPairs(docs, "text", "doc_id",
+          numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85))
+        .select(col("doc_id"))
+    }),
+
     // the GRADED embedding-dedup path is the scale path: multi-table
     // sign-LSH candidates + exact cosine filter; the oracle replays the
     // same hyperplanes (driver-side literals embedded in the SQL)
@@ -1390,6 +1400,9 @@ object SparkEntry {
 
     "q_dedup_clusters" ->
       OracleSql.dedupClusters(n = 3, threshold = 0.85),
+
+    "q_dedup_best" ->
+      OracleSql.clusterSurvivorsByQuality(n = 3, threshold = 0.85),
 
     "q_percentile" ->
       Seq("l_quantity", "l_extendedprice").flatMap(c =>

@@ -350,6 +350,28 @@ object Dedup {
         .where(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Survivor rows after cluster dedup keeping the BEST row per cluster
+    * (max `score`, ties on min id) instead of [[clusterSurvivors]]'s
+    * min-id — the curation-grade variant: when near-dups differ (one copy
+    * truncated, one boilerplate-wrapped), the kept representative should
+    * be the highest-quality one, not the accident of id order. The
+    * per-cluster window is safe at scale: near-dup components are small
+    * by construction (a giant component means the threshold is wrong, and
+    * [[connectedComponents]] already bounds that pathology's cost).
+    */
+  def clusterSurvivorsBy(df: DataFrame, idCol: String, score: Column,
+      pairs: DataFrame): DataFrame = {
+    val clustered = dedupClusters(df, idCol, pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("graft_score").desc, col(idCol).asc)
+    df.withColumn("graft_score", score)
+      .join(clustered, Seq(idCol))
+      .withColumn("graft_rn", row_number().over(w))
+      .where(col("graft_rn") === 1)
+      .drop("graft_rn", "graft_score", "cluster_id")
+  }
+
   /** Distinct candidate id pairs from multi-table sign-LSH bucketing of an
     * `(id, v)` frame — the pruning stage of [[embeddingCosinePairs]],
     * exposed so specs can measure the candidate ratio (candidates /

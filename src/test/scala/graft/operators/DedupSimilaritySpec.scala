@@ -283,6 +283,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.size >= emb.count(), "every perturbed copy must pair with its source")
   }
 
+  test("clusterSurvivorsBy keeps the max-score row per component, min-id on ties") {
+    val sp = spark; import sp.implicits._
+    // component {1,2,3} via chain pairs (1-2, 2-3); 4 is a singleton
+    val docs = Seq((1L, "a", 0.5), (2L, "b", 0.9), (3L, "c", 0.9), (4L, "d", 0.1))
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.clusterSurvivorsBy(docs, "doc_id", col("score"), pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 and 3 tie at 0.9 → min id 2 wins; singleton 4 survives untouched
+    assert(kept == Set(2L, 4L))
+  }
+
   test("semantic dedup drops nearly all perturbed copies, keeps all sources") {
     // SemDeDup quality gate: the perturbed corpus has one near-identical
     // copy per source (cosine ≈ 0.9998). Cluster-scoped dedup must kill a
