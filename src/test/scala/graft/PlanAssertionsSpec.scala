@@ -95,4 +95,18 @@ class PlanAssertionsSpec extends SparkSpec {
       s"expected partial+final aggregation for term counts:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("mixture and chunking stay shuffle-free (map-side only)") {
+    for (q <- Seq("q_corpus_mixture", "q_corpus_chunks")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+    }
+  }
+
+  test("semantic dedup broadcasts centroids, shuffles only on list_id") {
+    val p = plan(SparkEntry.queries("q_dedup_semantic")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment should broadcast the centroid side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in SemDeDup:\n$p")
+  }
 }
