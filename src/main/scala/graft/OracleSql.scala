@@ -58,6 +58,24 @@ object OracleSql {
       s"WHERE i::DOUBLE / (sa.n + sb.n - i) >= $threshold"
   }
 
+  /** Brute-force CROSS-set Jaccard pairs: batch (doc_id < batchMaxId) ×
+    * corpus (doc_id ≥ batchMaxId) — the ground truth for
+    * Dedup.incrementalNearDupPairs, same knee caveat as [[jaccardPairs]].
+    */
+  def crossJaccardPairs(n: Int, threshold: Double, batchMaxId: Long): String = {
+    val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
+      "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+      "inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i " +
+      s"FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < $batchMaxId AND b.doc_id >= $batchMaxId GROUP BY 1, 2), " +
+      "sizes AS (SELECT doc_id, len(s) AS n FROM sh) " +
+      "SELECT ia AS batch_id, ib AS corpus_id, i::DOUBLE / (sa.n + sb.n - i) AS jaccard " +
+      "FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
+      s"WHERE i::DOUBLE / (sa.n + sb.n - i) >= $threshold"
+  }
+
   /** Connected-component cluster assignment over the brute-force Jaccard
     * pair set: a recursive CTE closes the reachability relation (seeded
     * with every doc reaching itself), then cluster_id = min reachable id —

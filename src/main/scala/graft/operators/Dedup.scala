@@ -83,22 +83,7 @@ object Dedup {
     // r=4, b=32) — below the knee, expect a recall floor, not equality
     // with an exact method (ngramJaccardPairs is the exact alternative).
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    // Banded rows carry ONLY (id, band, bh) — never the shingle arrays.
-    // Exploding b band rows per doc multiplies shuffle volume by b, so the
-    // payload must stay at ~24 bytes/row; shingles re-join by id afterwards
-    // for the candidates only (two id-keyed joins ≪ b× array shuffle).
-    val banded = df.select(
-      col(idCol).as("id"),
-      HashExpressions.minhashSketch(
-        T.wordShingles(col(textCol), shingleWords), numHashes).as("sketch"))
-      .select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("sketch"), b * r + 1, lit(r)), _.cast("string")))).as("bh"))))
-          .as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val banded = minhashBandIndex(df, textCol, idCol, numHashes, bands, shingleWords)
     val cand = banded.alias("a").join(banded.alias("b"),
       col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
@@ -217,6 +202,74 @@ object Dedup {
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The (id, band, bh) MinHash band rows of a corpus — the persistable
+    * NEAR-dup index. Banded rows carry ONLY (id, band, bh) — never the
+    * shingle arrays. Exploding b band rows per doc multiplies shuffle
+    * volume by b, so the payload must stay at ~24 bytes/row; shingles
+    * re-join by id afterwards for candidates only. Write this once per
+    * corpus (parquet/delta) and hand it to [[incrementalNearDupPairs]] so
+    * nightly batches never re-sketch the corpus.
+    */
+  def minhashBandIndex(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleWords: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    df.select(
+      col(idCol).as("id"),
+      HashExpressions.minhashSketch(
+        T.wordShingles(col(textCol), shingleWords), numHashes).as("sketch"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("sketch"), b * r + 1, lit(r)), _.cast("string")))).as("bh"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** Incremental NEAR-dup: batch documents matched against an existing
+    * corpus via MinHash banding — "is tonight's crawl a near-copy of
+    * anything already ingested", the cross-corpus companion of
+    * [[incrementalSurvivors]] (which is exact-match only). Returns
+    * (batch_id, corpus_id, jaccard) pairs ≥ threshold, verified exactly.
+    *
+    * Scale shape: the corpus side is `corpusIndex` — the persisted
+    * [[minhashBandIndex]], built ONCE — so a nightly batch costs
+    * sketch(batch) + one join of the corpus index against the (small,
+    * broadcast) batch bands; corpus text is re-read only for the
+    * candidate ids (semi-join-pruned) during exact verification. The same
+    * completeness contract as [[minhashLshPairs]] applies: equality with
+    * brute force holds above the banding S-curve knee.
+    */
+  def incrementalNearDupPairs(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 64, bands: Int = 16,
+      shingleWords: Int = 3, jaccardThreshold: Double = 0.5,
+      corpusIndex: Option[DataFrame] = None,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val idx = corpusIndex.getOrElse(
+        minhashBandIndex(corpus, textCol, idCol, numHashes, bands, shingleWords))
+      .select(col("id").as("corpus_id"), col("band"), col("bh"))
+    val batchBands0 = minhashBandIndex(batch, textCol, idCol, numHashes,
+      bands, shingleWords).select(col("id").as("batch_id"), col("band"), col("bh"))
+    val batchBands = if (broadcastBatch) broadcast(batchBands0) else batchBands0
+    val cand = idx.join(batchBands, Seq("band", "bh"))
+      .where(col("corpus_id") =!= col("batch_id"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    def shingles(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      array_distinct(T.wordShingles(col(textCol), shingleWords)).as(s"sh_$as"))
+    val corpusPruned = corpus.join(
+      cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    cand
+      .join(shingles(batch, "batch_id"), Seq("batch_id"))
+      .join(shingles(corpusPruned, "corpus_id"), Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_batch_id"), col("sh_corpus_id"))).cast("double") /
+          size(array_union(col("sh_batch_id"), col("sh_corpus_id"))))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** Incremental dedup: rows of `batch` whose text does NOT already occur

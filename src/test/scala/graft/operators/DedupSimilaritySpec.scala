@@ -283,6 +283,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.size >= emb.count(), "every perturbed copy must pair with its source")
   }
 
+  test("incremental near-dup: persisted index path matches fresh sketching, batch broadcasts") {
+    val sp = spark
+    val docs = sp.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val batch = docs.where(col("doc_id") < 50)
+    val corpus = docs.where(col("doc_id") >= 50)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    val fresh = Dedup.incrementalNearDupPairs(batch, corpus, "text", "doc_id",
+      numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85)
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/tmp/incrnear")).toString
+    Dedup.minhashBandIndex(corpus, "text", "doc_id", 128, 32, 3)
+      .write.mode("overwrite").parquet(s"$dir/idx")
+    val viaIndex = Dedup.incrementalNearDupPairs(batch, corpus, "text", "doc_id",
+      numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85,
+      corpusIndex = Some(sp.read.parquet(s"$dir/idx")))
+    assert(pairSet(fresh) == pairSet(viaIndex))
+    assert(pairSet(fresh).nonEmpty)
+    // the batch band side must broadcast — the corpus index never re-shuffles
+    val p = viaIndex.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"batch bands should broadcast:\n$p")
+  }
+
   test("clusterSurvivorsBy keeps the max-score row per component, min-id on ties") {
     val sp = spark; import sp.implicits._
     // component {1,2,3} via chain pairs (1-2, 2-3); 4 is a singleton
