@@ -212,6 +212,28 @@ object OracleSql {
         s"WHERE h < CAST(FLOOR($rate * $buckets) AS BIGINT)"
     }.mkString(" UNION ALL ")
 
+  /** Replicated oversampling (Corpus.oversample): floor(w) full copies
+    * via a range cross join + the fractional hash draw as the last epoch.
+    */
+  def corpusOversample(weight: Double, salt: String = "graft-epoch",
+      buckets: Long = 1000000L): String = {
+    val full = math.floor(weight).toLong
+    val frac = weight - full
+    val parts = Seq(
+      if (full > 0)
+        Some(s"SELECT doc_id, CAST(e AS BIGINT) AS epoch FROM documents, range($full) r(e)")
+      else None,
+      if (frac > 0)
+        Some(s"SELECT doc_id, CAST($full AS BIGINT) AS epoch FROM (" +
+          s"SELECT doc_id, ${md5Hash60(s"'$salt' || doc_id::VARCHAR")} % $buckets AS h " +
+          // frac is a full-precision double literal — force DOUBLE math,
+          // DuckDB would otherwise parse it as a wide DECIMAL and overflow
+          // on the buckets multiply
+          s"FROM documents) WHERE h < CAST(FLOOR(CAST($frac AS DOUBLE) * $buckets) AS BIGINT)")
+      else None).flatten
+    parts.mkString(" UNION ALL ")
+  }
+
   /** Replicated sequence packing (Corpus.packSequences): same token
     * count, same shuffle order, cumulative sum via window (oracle scale),
     * same chunk arithmetic — `//` is DuckDB's integer division, matching

@@ -1070,6 +1070,13 @@ object SparkEntry {
       graft.operators.Corpus.chunkDocuments(t(s, d, "documents").df,
         "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
 
+    // epoch oversampling at weight 2.3: two full copies + a deterministic
+    // 30% fractional draw as epoch 2
+    "q_corpus_oversample" -> ((s, d) =>
+      graft.operators.Corpus.oversample(t(s, d, "documents").df,
+        "doc_id", weight = 2.3)
+        .select(col("doc_id"), col("epoch"))),
+
     // the full curation pipeline as ONE lazy plan: quality gate → exact
     // dedup survivors → deterministic hash split → per-split rollup.
     // Three shuffles total (dedup window, split is map-side, final agg);
@@ -1476,6 +1483,8 @@ object SparkEntry {
     "q_corpus_pack" -> OracleSql.packSequences(budget = 1000L),
 
     "q_corpus_chunks" -> OracleSql.chunkDocuments(chunk = 64, overlap = 16),
+
+    "q_corpus_oversample" -> OracleSql.corpusOversample(weight = 2.3),
 
     "q_decontaminate" ->
       OracleSql.contamination(n = 3, maxEvalId = 20L, minShared = 2L),

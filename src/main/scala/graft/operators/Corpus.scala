@@ -135,6 +135,34 @@ object Corpus {
     }.reduce(_.unionByName(_))
   }
 
+  /** Deterministic oversampling for mixture weights > 1 (the "wiki ×2.3"
+    * case [[mixture]] deliberately rejects): every row repeats
+    * floor(weight) times tagged `epoch` 0..floor−1, plus one fractional
+    * draw (the [[bucketHash]] sample at rate weight−floor) as the final
+    * epoch — so expected multiplicity is exactly `weight`, membership is
+    * a pure function of (salt, id), and a resumed job regenerates the
+    * same epochs. The repeat is a codegen'd sequence-explode, no shuffle;
+    * downstream [[shuffle]] (salted per epoch if desired) restores
+    * interleaving.
+    */
+  def oversample(df: DataFrame, idCol: String, weight: Double,
+      salt: String = "graft-epoch"): DataFrame = {
+    require(weight > 0, "oversample: weight must be positive")
+    val full = math.floor(weight).toLong
+    val frac = weight - full
+    val buckets = 1000000L
+    val copies =
+      if (full > 0)
+        Some(df.withColumn("epoch", explode(sequence(lit(0L), lit(full - 1)))))
+      else None
+    val fractional =
+      if (frac > 0)
+        Some(df.where(bucketHash(idCol, salt, buckets) < (frac * buckets).toLong)
+          .withColumn("epoch", lit(full)))
+      else None
+    (copies.toSeq ++ fractional.toSeq).reduce(_.unionByName(_))
+  }
+
   /** Sequence packing (concat-then-chunk): documents are laid out in the
     * deterministic [[shuffle]] order, token counts accumulate, and the
     * stream is cut every `budgetTokens` — each doc reports the training

@@ -216,6 +216,25 @@ class CorpusSpec extends SparkSpec {
     assert(allChunks == (0L to allChunks.max).toSet)
   }
 
+  test("oversample: floor copies + deterministic fractional epoch") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 1000).map(i => (i.toLong, "x")).toDF("doc_id", "text")
+    val out = Corpus.oversample(docs, "doc_id", weight = 2.3)
+    val byEpoch = out.groupBy("epoch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byEpoch(0L) == 1000L && byEpoch(1L) == 1000L)
+    assert(byEpoch(2L) > 230 && byEpoch(2L) < 370) // ~300 ± hash noise
+    // deterministic fractional membership
+    val f1 = out.where(col("epoch") === 2).select("doc_id").collect().toSet
+    val f2 = Corpus.oversample(docs.repartition(5), "doc_id", 2.3)
+      .where(col("epoch") === 2).select("doc_id").collect().toSet
+    assert(f1 == f2)
+    // weight < 1 degenerates to a pure sample at epoch 0
+    val frac = Corpus.oversample(docs, "doc_id", 0.5)
+    assert(frac.select("epoch").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assertThrows[IllegalArgumentException](Corpus.oversample(docs, "doc_id", 0.0))
+  }
+
   test("chunkDocuments: overlapping windows reconstruct the token stream") {
     val sp = spark; import sp.implicits._
     val text40 = (1 to 40).map(i => s"w$i").mkString(" ")
