@@ -99,6 +99,32 @@ object DeltaLog {
   private def statsFor(fs: FileSystem, tbl: HPath, relPath: String): Option[String] =
     DeltaStats.harvest(fs.getConf, new HPath(tbl, relPath))
 
+  /** Stats for a whole commit's new files. Small commits read footers on
+    * the driver; past 32 files the reads fan out as one executor job
+    * (broadcast Hadoop conf) — a 100k-file bootstrap commit must not
+    * serialize 100k metadata round-trips through the driver.
+    */
+  private def statsForAll(spark: SparkSession, fs: FileSystem, tbl: HPath,
+      rels: Seq[String]): Map[String, Option[String]] =
+    if (rels.size <= 32) rels.map(r => r -> statsFor(fs, tbl, r)).toMap
+    else {
+      // Hadoop Configuration is not serializable (and Spark's wrapper is
+      // spark-private): ship the entry list and rebuild per partition
+      val entries: Array[(String, String)] = {
+        val buf = Array.newBuilder[(String, String)]
+        fs.getConf.iterator().forEachRemaining(e => buf += e.getKey -> e.getValue)
+        buf.result()
+      }
+      val tblStr = fs.makeQualified(tbl).toString
+      spark.sparkContext.parallelize(rels, math.min(rels.size, 64))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          entries.foreach { case (k, v) => conf.set(k, v) }
+          it.map(rel => rel -> DeltaStats.harvest(conf, new HPath(tblStr, rel)))
+        }
+        .collect().toMap
+    }
+
   private def protocolAction: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
@@ -249,6 +275,9 @@ object DeltaLog {
         .map(rel => rel -> fs.getFileStatus(new HPath(tbl, rel)))
 
     val txnId = java.util.UUID.randomUUID().toString
+    // once per write, not per retry: retries rebase the version number,
+    // never the file set
+    val statsByRel = statsForAll(spark, fs, tbl, newFiles.map(_._1))
     def actionsFor(version: Long): String = {
       val actions = ListBuffer.empty[String]
       actions += s"""{"commitInfo":{"operation":"${m.toUpperCase}","txnId":"$txnId"}}"""
@@ -262,7 +291,7 @@ object DeltaLog {
         actions += metaDataAction(schema.json, partitionBy)
       }
       newFiles.foreach { case (rel, st) =>
-        actions += addAction(rel, st, statsFor(fs, tbl, rel)) }
+        actions += addAction(rel, st, statsByRel.getOrElse(rel, None)) }
       actions.mkString("\n") + "\n"
     }
 
@@ -427,9 +456,11 @@ object DeltaLog {
     val now = System.currentTimeMillis()
     removesRel.foreach(r => actions +=
       s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":$dataChange}}""")
-    staged.keys.toSeq.sorted.foreach { rel =>
+    val stagedRels = staged.keys.toSeq.sorted
+    val statsByRel = statsForAll(spark, fs, tbl, stagedRels)
+    stagedRels.foreach { rel =>
       actions += addAction(rel, fs.getFileStatus(new HPath(tbl, rel)),
-        statsFor(fs, tbl, rel), dataChange = dataChange)
+        statsByRel.getOrElse(rel, None), dataChange = dataChange)
     }
     if (!acquireCommitSlot(fs, log, version, txnId, actions.mkString("\n") + "\n"))
       throw graft.GraftError.WriteError(path, op.toLowerCase,

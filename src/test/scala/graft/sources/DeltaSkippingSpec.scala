@@ -141,6 +141,46 @@ class DeltaSkippingSpec extends SparkSpec {
     assert(pruned.select(countDistinct(col("seg"))).first.getLong(0) == 1L)
   }
 
+  test("randomized predicates: pruned read ALWAYS equals the full-scan filter") {
+    val p = tmp("skip_random")
+    writeRanged(p)
+    val full = DeltaLog.read(spark, p)
+    val rnd = new scala.util.Random(20260812L)
+    val cols = Seq("id", "bucket", "score") // numeric columns with stats
+    def atom(): String = rnd.nextInt(7) match {
+      case 0 => s"${cols(rnd.nextInt(3))} = ${rnd.nextInt(1400) - 200}"
+      case 1 => s"${cols(rnd.nextInt(3))} < ${rnd.nextInt(1400) - 200}"
+      case 2 => s"${cols(rnd.nextInt(3))} >= ${rnd.nextInt(1400) - 200}"
+      case 3 => s"${cols(rnd.nextInt(3))} IN (${Seq.fill(3)(rnd.nextInt(1200)).mkString(", ")})"
+      case 4 => s"score IS ${if (rnd.nextBoolean()) "" else "NOT "}NULL"
+      case 5 => s"name ${if (rnd.nextBoolean()) ">=" else "<"} 'name_0${rnd.nextInt(900) + 100}'"
+      case 6 => s"d >= DATE'2024-0${rnd.nextInt(3) + 1}-${rnd.nextInt(27) + 1}'"
+    }
+    (1 to 60).foreach { i =>
+      val pred = Seq.fill(rnd.nextInt(3) + 1)(atom()).mkString(" AND ")
+      val got = rowsOf(DeltaLog.readWhere(spark, p, pred))
+      val want = rowsOf(full.where(expr(pred)))
+      assert(got == want, s"predicate #$i diverged: $pred")
+    }
+  }
+
+  test("large commits harvest stats on executors, identical to the driver path") {
+    val p = tmp("stats_executor")
+    rm(p)
+    // 40 files > the 32-file threshold → the parallelized harvest path
+    val df = spark.range(2000).select(col("id"), (col("id") * 2).as("v"))
+    Writers.writeDeltaTable(df.repartition(40), "overwrite", p)
+    val adds = DeltaLog.activeAddsAsOf(spark, p)
+    assert(adds.size == 40)
+    assert(adds.forall(_.stats.isDefined), "every add must carry stats")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = adds.map(a => mapper.readTree(a.stats.get).get("numRecords").asLong).sum
+    assert(n == 2000L)
+    // and skipping still works over them
+    assert(rowsOf(DeltaLog.readWhere(spark, p, "id BETWEEN 100 AND 110")) ==
+      rowsOf(DeltaLog.read(spark, p).where(expr("id BETWEEN 100 AND 110"))))
+  }
+
   test("optimize bin-packs small files, preserves rows, keeps history dataChange=false") {
     val p = tmp("optimize_pack")
     writeRanged(p)
