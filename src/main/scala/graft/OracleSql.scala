@@ -58,6 +58,24 @@ object OracleSql {
       s"WHERE i::DOUBLE / (sa.n + sb.n - i) >= $threshold"
   }
 
+  /** Replicated duplicate-span fraction (Corpus.duplicateSpanFraction):
+    * same shingle builder, doc-freq over distinct shingles, per-doc
+    * rollup; the fraction is a raw double division of two ints —
+    * bit-identical across engines.
+    */
+  def duplicateSpanFraction(n: Int): String = {
+    val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
+      "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+      "freq AS (SELECT g, count(DISTINCT doc_id) AS df FROM ex GROUP BY g) " +
+      "SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+      "CAST(sum(CASE WHEN freq.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles, " +
+      "CAST(sum(CASE WHEN freq.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction " +
+      "FROM ex JOIN freq ON ex.g = freq.g GROUP BY ex.doc_id"
+  }
+
   /** Brute-force CROSS-set Jaccard pairs: batch (doc_id < batchMaxId) ×
     * corpus (doc_id ≥ batchMaxId) — the ground truth for
     * Dedup.incrementalNearDupPairs, same knee caveat as [[jaccardPairs]].

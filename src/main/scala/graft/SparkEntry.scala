@@ -1070,6 +1070,14 @@ object SparkEntry {
       graft.operators.Corpus.chunkDocuments(t(s, d, "documents").df,
         "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
 
+    // fine-grained dedup signal: share of each doc's distinct 8-token
+    // shingles that occur in >1 document (span-level dup scoring)
+    "q_text_dupspans" -> ((s, d) =>
+      graft.operators.Corpus.duplicateSpanFraction(t(s, d, "documents").df,
+        "text", "doc_id", shingleWords = 8)
+        .select(col("doc_id"), col("n_shingles").cast("bigint").as("n_shingles"),
+          col("dup_shingles").cast("bigint").as("dup_shingles"), col("dup_fraction"))),
+
     // epoch oversampling at weight 2.3: two full copies + a deterministic
     // 30% fractional draw as epoch 2
     "q_corpus_oversample" -> ((s, d) =>
@@ -1485,6 +1493,8 @@ object SparkEntry {
     "q_corpus_chunks" -> OracleSql.chunkDocuments(chunk = 64, overlap = 16),
 
     "q_corpus_oversample" -> OracleSql.corpusOversample(weight = 2.3),
+
+    "q_text_dupspans" -> OracleSql.duplicateSpanFraction(n = 8),
 
     "q_decontaminate" ->
       OracleSql.contamination(n = 3, maxEvalId = 20L, minShared = 2L),

@@ -296,6 +296,29 @@ object Corpus {
       .select(col(groupCol), col("term"), col("cnt"), col("rnk").cast("bigint").as("rnk"))
   }
 
+  /** Per-document duplicate-span fraction: the share of a doc's distinct
+    * `shingleWords`-token shingles that occur in MORE than one document —
+    * the fine-grained dedup signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", §4 substring dedup):
+    * doc-level near-dup misses boilerplate-heavy or partially-copied
+    * texts, but a high dup_fraction flags them for span-level cleaning.
+    * One explode + two shuffles (doc-freq groupBy, per-doc rollup), both
+    * map-side combined. At 100 TB group the doc-freq on a 128-bit shingle
+    * hash instead of the string (same trade as [[boilerplateParagraphs]]).
+    */
+  def duplicateSpanFraction(docs: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
+    val freq = sh.groupBy("g").agg(countDistinct(col(idCol)).as("df"))
+    sh.join(freq, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_shingles"))
+      .withColumn("dup_fraction",
+        col("dup_shingles").cast("double") / col("n_shingles"))
+  }
+
   /** Eval-set contamination scan — the decontamination primitive every
     * pre-training pipeline needs: corpus documents sharing ≥ `minShared`
     * distinct word n-gram shingles with any eval document are flagged

@@ -216,6 +216,22 @@ class CorpusSpec extends SparkSpec {
     assert(allChunks == (0L to allChunks.max).toSet)
   }
 
+  test("duplicateSpanFraction flags the shared span, not the unique text") {
+    val sp = spark; import sp.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10 shared tokens
+    val docs = Seq(
+      (1L, shared + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (1 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Corpus.duplicateSpanFraction(docs, "text", "doc_id", shingleWords = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("dup_shingles"))).toMap
+    // 30 tokens → 26 distinct 5-shingles per doc; only the 6 fully inside
+    // the shared 10-token prefix are duplicated across docs 1 and 2
+    assert(out(1L) == (26L, 6L) && out(2L) == (26L, 6L))
+    assert(out(3L) == (26L, 0L))
+  }
+
   test("oversample: floor copies + deterministic fractional epoch") {
     val sp = spark; import sp.implicits._
     val docs = (1 to 1000).map(i => (i.toLong, "x")).toDF("doc_id", "text")
