@@ -836,6 +836,26 @@ object DeltaLog {
         s"version-$next commit lost to a concurrent writer — re-run restore")
   }
 
+  /** Delete commit files already folded into the newest checkpoint — the
+    * log-retention companion of [[vacuum]]: checkpoints bound REPLAY cost,
+    * this bounds the `_delta_log` LISTING itself, which is what grows
+    * unbounded on a high-frequency writer (a streaming sink committing
+    * every few seconds writes ~10⁶ commits/month). Readers are unaffected:
+    * snapshot replay, schema and partition-column resolution all fall back
+    * to the checkpoint; time travel to a cleaned version fails typed (its
+    * commit is gone — same visibility rule as real delta's log retention).
+    * Returns the deleted commit file names.
+    */
+  def cleanupLog(spark: SparkSession, path: String): Seq[String] = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = logDir(tbl)
+    val cp = lastCheckpointVersion(fs, log).getOrElse(return Nil)
+    val victims = existingVersions(fs, log).filter(_ <= cp).map(commitName)
+    victims.foreach(n => fs.delete(new HPath(log, n), false))
+    victims
+  }
+
   /** Delete data files not referenced by the CURRENT snapshot — the
     * cleanup that bounds a long-lived table's directory growth (overwrite
     * wipes, but failed writes and replaced-by-checkpoint history leave

@@ -197,6 +197,32 @@ class DeltaSkippingSpec extends SparkSpec {
     assert(DeltaLog.activeAddsAsOf(spark, p, Some(9L)).size == 10)
   }
 
+  test("cleanupLog drops checkpointed commits; reads, skipping and appends survive") {
+    val p = tmp("log_cleanup")
+    rm(p)
+    val df = spark.range(120).select(col("id"), (col("id") % 5).as("k"))
+    // 12 commits (versions 0..11) → checkpoint written at version 10
+    Writers.writeDeltaTable(df.where(col("id") < 10).coalesce(1), "overwrite", p)
+    (1 to 11).foreach { i =>
+      Writers.writeDeltaTable(
+        df.where(col("id") >= i * 10 && col("id") < (i + 1) * 10).coalesce(1),
+        "append", p)
+    }
+    val deleted = DeltaLog.cleanupLog(spark, p)
+    assert(deleted.nonEmpty && deleted.contains(f"${0L}%020d.json"))
+    // full replay from checkpoint + tail commits
+    assert(DeltaLog.read(spark, p).count() == 120)
+    // stats survived the checkpoint roundtrip → skipping still prunes
+    val (kept, total) = DeltaLog.skippingStats(spark, p, "id < 5")
+    assert(kept < total, s"skipping dead after cleanup ($kept/$total)")
+    // appends continue at the right version; time travel to a cleaned
+    // version fails typed
+    Writers.writeDeltaTable(df.where(col("id") < 3).coalesce(1), "append", p)
+    assert(DeltaLog.read(spark, p).count() == 123)
+    assertThrows[graft.GraftError.InvalidOperation](
+      DeltaLog.read(spark, p, versionAsOf = Some(3L)))
+  }
+
   test("optimize zorder clusters both columns so either predicate skips most files") {
     val p = tmp("optimize_z")
     rm(p)
