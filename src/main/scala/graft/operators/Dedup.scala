@@ -348,6 +348,13 @@ object Dedup {
       .withColumn("label", col("id")).localCheckpoint(true)
     var iter = 0
     var converged = false
+    // convergence check: labels only ever DECREASE, so the label sum is
+    // strictly monotone until the fixpoint — comparing round sums replaces
+    // the old changed-count join with one agg over the already-checkpointed
+    // frame (one fewer job per round). DECIMAL(38,0) sum: exact and
+    // overflow-free at any corpus size (a long sum overflows at ~10⁹ rows
+    // of 2⁶³-ish ids).
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && iter < maxIter) {
       // fresh aliases on every derived column: labels/prop/stepped would
       // otherwise share attribute ids across the self-referencing unions
@@ -366,11 +373,12 @@ object Dedup {
         .select(col("x.id").as("id"),
           least(col("x.label"), coalesce(col("jlabel"), col("x.label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") < col("o.label")).count()
+      val curSum = next.agg(sum(col("label")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .first().getDecimal(0)
       labels = next
-      converged = changed == 0L
+      converged = prevSum.exists(_.compareTo(curSum) == 0)
+      prevSum = Some(curSum)
       iter += 1
     }
     edges.unpersist()
