@@ -38,11 +38,12 @@ case class QueryState(
     deferred: Vector[DeferredOp] = Vector.empty,
     groupByAll: Boolean = false,
     groupMode: String = "PLAIN", // PLAIN | CUBE | ROLLUP | SETS
-    groupingSets: Vector[Vector[String]] = Vector.empty) {
+    groupingSets: Vector[Vector[String]] = Vector.empty,
+    ctes: Vector[String] = Vector.empty) {
   def isEmpty: Boolean =
     selects.isEmpty && aggs.isEmpty && groupBy.isEmpty && where.isEmpty &&
       having.isEmpty && orderBy.isEmpty && limitN.isEmpty && joins.isEmpty &&
-      windows.isEmpty && deferred.isEmpty && groupingSets.isEmpty
+      windows.isEmpty && deferred.isEmpty && groupingSets.isEmpty && ctes.isEmpty
 }
 
 object GraftFrame {
@@ -122,6 +123,19 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   /** WHERE condition, ANDed with previous (src/elusion.rs:1050-1073). */
   def filter(condition: String): GraftFrame =
     withState(state.copy(where = state.where :+ normalizeCondition(condition)))
+
+  /** Raw CTEs prepended to the generated statement (reference
+    * `with_ctes`/`with_cte_single`, src/elusion.rs:1169-1183): each string
+    * is a full `name AS (SELECT …)` fragment, kept verbatim — later CTEs
+    * may reference earlier ones, and the main query's filters/selects may
+    * use them in subqueries. CTE bodies see this frame (and its joined
+    * frames) under their plain aliases, the same visibility the reference
+    * gives registered tables.
+    */
+  def withCtes(ctes: String*): GraftFrame =
+    withState(state.copy(ctes = state.ctes ++ ctes))
+
+  def withCteSingle(cte: String): GraftFrame = withCtes(cte)
 
   def filterMany(conditions: String*): GraftFrame =
     conditions.foldLeft(this)(_ filter _)
@@ -427,6 +441,13 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     }
 
     val sb = new StringBuilder
+    if (state.ctes.nonEmpty) {
+      // CTE bodies reference tables by their PLAIN aliases (the reference
+      // registers frames under their aliases) — register those too
+      registrations += alias -> df
+      state.joins.foreach(j => registrations += j.frame.alias -> j.frame.df)
+      sb.append("WITH ").append(state.ctes.mkString(", ")).append(" ")
+    }
     sb.append("SELECT ").append(selectParts.mkString(", "))
     sb.append(s" FROM $baseView AS $alias")
     joinsSql.foreach(j => sb.append(" ").append(j))

@@ -668,6 +668,18 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // raw CTEs (reference with_ctes): chained CTEs + an IN-subquery
+    // filter over them, prepended verbatim to the generated statement
+    "q_with_ctes" -> ((s, d) =>
+      t(s, d, "customer")
+        .withCtes(
+          "rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000)",
+          "rich_even AS (SELECT c_custkey FROM rich WHERE c_custkey % 2 = 0)")
+        .filter("c_custkey IN (SELECT c_custkey FROM rich_even)")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF),
+
     // JSON-spec document form of with_schema (reference schema_from_json)
     "q_with_schema_json" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_schema_json.csv"
@@ -1373,6 +1385,13 @@ object SparkEntry {
 
     "q_delta_roundtrip" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey % 10 = 0) GROUP BY c_mktsegment",
+
+    "q_with_ctes" ->
+      ("WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000), " +
+        "rich_even AS (SELECT c_custkey FROM rich WHERE c_custkey % 2 = 0) " +
+        "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment " +
+        "FROM customer WHERE c_custkey IN (SELECT c_custkey FROM rich_even) " +
+        "GROUP BY c_mktsegment"),
 
     "q_delta_skipping" ->
       ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, o_orderpriority " +

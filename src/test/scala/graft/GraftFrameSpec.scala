@@ -362,4 +362,32 @@ class GraftFrameSpec extends SparkSpec {
       "rawr", sales, dims).toDF.collect()
     assert(out.length == 2)
   }
+
+  test("withCtes: chained CTEs see the frame and joined frames by plain alias") {
+    // CTE over the base frame, second CTE over the first, subquery filter
+    val out = sales
+      .withCtes(
+        "big AS (SELECT grp FROM sales WHERE amount > 5)",
+        "big2 AS (SELECT grp FROM big)")
+      .filter("grp IN (SELECT grp FROM big2)")
+      .select("grp")
+      .agg("COUNT(*) AS n")
+      .groupBy("grp")
+      .toDF.collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("n")).toMap
+    val expect = sales.toDF.collect()
+      .filter(_.getAs[Double]("amount") > 5).map(_.getAs[String]("grp")).toSet
+    assert(out.keySet == expect)
+    // CTE referencing a JOINED frame's alias
+    // the CTE filter is a tautology over the inner join, so the count must
+    // equal the plain join's — proving dims resolved inside the CTE body
+    val plain = sales.join(dims, "sales.grp = dims.grp", "INNER")
+      .select("sales.amount").toDF.count()
+    val joined = sales
+      .join(dims, "sales.grp = dims.grp", "INNER")
+      .withCteSingle("dnames AS (SELECT grp FROM dims)")
+      .filter("sales.grp IN (SELECT grp FROM dnames)")
+      .select("sales.amount")
+      .toDF
+    assert(joined.count() == plain && plain > 0)
+  }
 }
