@@ -230,6 +230,30 @@ object OracleSql {
         s"WHERE h < CAST(FLOOR($rate * $buckets) AS BIGINT)"
     }.mkString(" UNION ALL ")
 
+  /** End-to-end RAG ingestion replicated (chunk → hash embedding → ANN):
+    * the chunking CTE, an 8-dim deterministic embedding (md5-60-bit word
+    * per dimension scaled by 2⁶⁰ — int→double conversion is IEEE-identical
+    * in both engines), and brute-force cosine top-k with id tie-break.
+    */
+  def ragPipeline(chunk: Int, overlap: Int, dim: Int, k: Int,
+      maxQueryDoc: Long): String = {
+    val stride = chunk - overlap
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents), " +
+      s"n AS (SELECT doc_id, tk, greatest(1, (len(tk) - $overlap + $stride - 1) // $stride) AS nc FROM t), " +
+      "chunked AS (SELECT doc_id, unnest(range(nc)) AS chunk_idx, " +
+      s"unnest(list_transform(range(nc), i -> array_to_string(tk[(i * $stride + 1):(i * $stride + $chunk)], ' '))) AS chunk_text FROM n), " +
+      "ch AS (SELECT doc_id * 1000 + chunk_idx AS cid, chunk_text FROM chunked), " +
+      s"emb AS (SELECT cid, list_transform(range($dim), j -> " +
+      "('0x' || substr(md5(chunk_text || '#' || j), 1, 15))::BIGINT::DOUBLE / 1152921504606846976) AS v FROM ch), " +
+      s"q AS (SELECT cid AS qid, v AS qv FROM emb WHERE cid % 1000 = 0 AND cid < ${maxQueryDoc * 1000}) " +
+      "SELECT query_id, corpus_id, round(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk FROM (" +
+      "SELECT q.qid AS query_id, e.cid AS corpus_id, list_cosine_similarity(e.v, q.qv) AS cos, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.cid ASC) AS rnk " +
+      "FROM emb e, q WHERE e.cid <> q.qid) " +
+      s"WHERE rnk <= $k"
+  }
+
   /** Replicated oversampling (Corpus.oversample): floor(w) full copies
     * via a range cross join + the fractional hash draw as the last epoch.
     */

@@ -1082,6 +1082,26 @@ object SparkEntry {
       graft.operators.Corpus.chunkDocuments(t(s, d, "documents").df,
         "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
 
+    // end-to-end RAG ingestion as ONE lazy plan: chunk → deterministic
+    // hash embedding (stands in for the model call; same plumbing) →
+    // brute-force cosine top-5 — the whole pipeline graded cross-engine
+    "q_rag_pipeline" -> ((s, d) => {
+      val chunks = graft.operators.Corpus.chunkDocuments(
+        t(s, d, "documents").df, "doc_id", "text", chunkTokens = 64,
+        overlapTokens = 16)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("chunk_text"))
+      val emb = chunks.withColumn("v", expr(
+        "transform(sequence(0, 7), j -> CAST(conv(substring(md5(concat(" +
+          "chunk_text, '#', CAST(j AS STRING))), 1, 15), 16, 10) AS DOUBLE) " +
+          "/ CAST(1152921504606846976 AS DOUBLE))"))
+        .select(col("cid"), col("v"))
+      val queries = emb.where(col("cid") % 1000 === 0 && col("cid") < 3000)
+      Similarity.bruteForceTopK(emb, queries, "v", "cid", k = 5)
+        .select(col("query_id"), col("corpus_id"), col("cosine"),
+          col("rank").cast("bigint").as("rnk"))
+    }),
+
     // fine-grained dedup signal: share of each doc's distinct 8-token
     // shingles that occur in >1 document (span-level dup scoring)
     "q_text_dupspans" -> ((s, d) =>
@@ -1514,6 +1534,9 @@ object SparkEntry {
     "q_corpus_oversample" -> OracleSql.corpusOversample(weight = 2.3),
 
     "q_text_dupspans" -> OracleSql.duplicateSpanFraction(n = 8),
+
+    "q_rag_pipeline" -> OracleSql.ragPipeline(chunk = 64, overlap = 16,
+      dim = 8, k = 5, maxQueryDoc = 3L),
 
     "q_decontaminate" ->
       OracleSql.contamination(n = 3, maxEvalId = 20L, minShared = 2L),
