@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Loaders, Writers}
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins}
 import graft.streaming.EventStreams
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1165,6 +1165,74 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // ── temporal joins (beyond reference — point-in-time / feature-store
+    // semantics; oracle = DuckDB's NATIVE ASOF JOIN, an independent
+    // implementation of the same operator) ──────────────────────────────
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // collapse equal-(user, ts) purchases so the as-of pick is
+      // well-defined on both engines
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("p_value"))
+      TemporalJoins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          rightPrefix = "p_")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          col("p_p_value").as("purchase_value"))
+    }),
+
+    "q_asof_fwd" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("p_value"))
+      TemporalJoins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          direction = "forward", toleranceSeconds = Some(21600.0),
+          rightPrefix = "p_")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          col("p_p_value").as("purchase_value"))
+    }),
+
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("p_value"))
+      TemporalJoins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          direction = "nearest", rightPrefix = "p_")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          col("p_p_value").as("purchase_value"))
+    }),
+
+    // range join: clicks inside 2-hour post-purchase attribution windows;
+    // oracle = the plain non-equi join DuckDB can afford at sf0.01
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val wins = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("win_id"), col("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      TemporalJoins.rangeJoin(clicks, "ts", wins, "w_start", "w_end",
+          Seq("user_id"), bucketWidthSeconds = 7200L)
+        .select(col("event_id"), col("r_win_id").as("win_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          date_format(col("r_w_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("window_start"))
+    }),
+
     "q_events_sliding" -> ((s, d) =>
       EventStreams.slidingCounts(t(s, d, "events").df, "ts", "1 hour", "30 minutes")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -1619,6 +1687,46 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_asof_join" ->
+      ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "purch AS (SELECT user_id, ts, round(max(value), 2) AS p_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+        "SELECT c.event_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
+        "strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, p.p_value AS purchase_value " +
+        "FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts"),
+
+    "q_asof_fwd" ->
+      ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "purch AS (SELECT user_id, ts, round(max(value), 2) AS p_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "j AS (SELECT c.event_id, c.user_id, c.ts AS cts, p.ts AS pts, p.p_value FROM clicks c " +
+        "ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts <= p.ts) " +
+        "SELECT event_id, user_id, strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
+        "CASE WHEN pts IS NOT NULL AND epoch_us(pts) - epoch_us(cts) <= 21600000000 THEN strftime(pts, '%Y-%m-%d %H:%M:%S.%f') END AS purchase_ts, " +
+        "CASE WHEN pts IS NOT NULL AND epoch_us(pts) - epoch_us(cts) <= 21600000000 THEN p_value END AS purchase_value " +
+        "FROM j"),
+
+    // nearest = closer of the backward/forward picks, ties backward; the
+    // forward leg is STRICT (equal-ts rows belong to backward at Δ=0)
+    "q_asof_nearest" ->
+      ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "purch AS (SELECT user_id, ts, round(max(value), 2) AS p_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "b AS (SELECT c.event_id, p.ts AS bts, p.p_value AS bv FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts), " +
+        "f AS (SELECT c.event_id, p.ts AS fts, p.p_value AS fv FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts < p.ts) " +
+        "SELECT c.event_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
+        "CASE WHEN bts IS NULL AND fts IS NULL THEN NULL WHEN fts IS NULL THEN strftime(bts, '%Y-%m-%d %H:%M:%S.%f') " +
+        "WHEN bts IS NULL THEN strftime(fts, '%Y-%m-%d %H:%M:%S.%f') " +
+        "WHEN epoch_us(c.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(c.ts) THEN strftime(bts, '%Y-%m-%d %H:%M:%S.%f') " +
+        "ELSE strftime(fts, '%Y-%m-%d %H:%M:%S.%f') END AS purchase_ts, " +
+        "CASE WHEN bts IS NULL AND fts IS NULL THEN NULL WHEN fts IS NULL THEN bv WHEN bts IS NULL THEN fv " +
+        "WHEN epoch_us(c.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(c.ts) THEN bv ELSE fv END AS purchase_value " +
+        "FROM clicks c LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)"),
+
+    "q_range_join" ->
+      ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "wins AS (SELECT event_id AS win_id, user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end FROM events WHERE event_type = 'purchase') " +
+        "SELECT c.event_id, w.win_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, " +
+        "strftime(w.w_start, '%Y-%m-%d %H:%M:%S.%f') AS window_start " +
+        "FROM clicks c JOIN wins w ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts < w.w_end"),
 
     "q_events_sliding" ->
       "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws FROM events) GROUP BY ws",

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{GraftError, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left points: (id, key, t) — t as epoch-second longs for readable cases
+  private def L(rows: (Long, String, Long)*): DataFrame =
+    rows.toDF("id", "k", "t")
+      .select(col("id"), col("k"), timestamp_seconds(col("t")).as("t"))
+  // right events: (key, t, v)
+  private def R(rows: (String, Long, Double)*): DataFrame =
+    rows.toDF("k", "t", "v")
+      .select(col("k"), timestamp_seconds(col("t")).as("t"), col("v"))
+
+  private def matches(df: DataFrame): Map[Long, Option[Double]] =
+    df.select(col("id"), col("r_v")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+
+  test("backward picks the greatest right ts <= left ts, per key") {
+    val left = L((1L, "a", 100L), (2L, "a", 205L), (3L, "b", 100L), (4L, "c", 50L))
+    val right = R(("a", 90L, 1.0), ("a", 200L, 2.0), ("b", 100L, 3.0), ("b", 300L, 4.0))
+    val out = TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"))
+    assert(matches(out) === Map(
+      1L -> Some(1.0),  // a@100 -> a@90
+      2L -> Some(2.0),  // a@205 -> a@200
+      3L -> Some(3.0),  // b@100 -> exact match included by default
+      4L -> None))      // no c rows on the right: LEFT contract keeps the row
+  }
+
+  test("strict backward excludes the equal timestamp") {
+    val left = L((1L, "b", 100L))
+    val right = R(("b", 100L, 3.0), ("b", 40L, 9.0))
+    val out = TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"),
+      allowExactMatches = false)
+    assert(matches(out) === Map(1L -> Some(9.0)))
+  }
+
+  test("forward picks the least right ts >= left ts; strict skips equality") {
+    val left = L((1L, "a", 100L), (2L, "a", 300L))
+    val right = R(("a", 100L, 1.0), ("a", 250L, 2.0), ("a", 400L, 3.0))
+    val incl = TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"), "forward")
+    assert(matches(incl) === Map(1L -> Some(1.0), 2L -> Some(3.0)))
+    val strict = TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"), "forward",
+      allowExactMatches = false)
+    assert(matches(strict) === Map(1L -> Some(2.0), 2L -> Some(3.0)))
+  }
+
+  test("nearest picks the closer side and breaks ties backward") {
+    val left = L((1L, "a", 100L), (2L, "a", 210L), (3L, "a", 149L), (4L, "a", 145L))
+    val right = R(("a", 90L, 1.0), ("a", 200L, 2.0))
+    val out = TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"), "nearest")
+    assert(matches(out) === Map(
+      1L -> Some(1.0),  // Δback=10 < Δfwd=100
+      2L -> Some(2.0),  // only backward exists
+      3L -> Some(2.0),  // Δback=59 > Δfwd=51
+      4L -> Some(1.0))) // Δback=Δfwd=55: tie -> backward
+  }
+
+  test("tolerance nulls the match but keeps the left row") {
+    val left = L((1L, "a", 100L), (2L, "a", 500L))
+    val right = R(("a", 90L, 1.0))
+    val out = TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"),
+      toleranceSeconds = Some(60.0))
+    assert(matches(out) === Map(1L -> Some(1.0), 2L -> None))
+  }
+
+  test("equal-timestamp right duplicates resolve deterministically") {
+    val left = L((1L, "a", 100L))
+    val right = R(("a", 100L, 7.0), ("a", 100L, 3.0))
+    val out1 = matches(TemporalJoins.asofJoin(left, right, "t", "t", Seq("k")))
+    val out2 = matches(TemporalJoins.asofJoin(
+      left, right.repartition(7), "t", "t", Seq("k")))
+    assert(out1 === out2)
+    // struct sort key: last() under ascending struct order takes the max payload
+    assert(out1 === Map(1L -> Some(7.0)))
+  }
+
+  test("invalid direction, strict nearest and name collisions fail typed") {
+    val left = L((1L, "a", 100L)); val right = R(("a", 90L, 1.0))
+    intercept[GraftError.JoinError] {
+      TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"), "sideways")
+    }
+    intercept[GraftError.JoinError] {
+      TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"), "nearest",
+        allowExactMatches = false)
+    }
+    intercept[GraftError.JoinError] {
+      // right column 't' with empty prefix collides with left 't'
+      TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"), rightPrefix = "")
+    }
+  }
+
+  test("asof plan shuffles ONCE on the by-keys (sort-merge cost envelope)") {
+    val left = L((1L, "a", 100L)); val right = R(("a", 90L, 1.0))
+    val out = TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"))
+    val physical = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(exchanges === 1, s"expected exactly one hash exchange:\n$physical")
+    assert(!physical.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ── rangeJoin ──────────────────────────────────────────────────────────
+
+  private def I(rows: (String, Long, Long, Long)*): DataFrame =
+    rows.toDF("k", "iid", "s", "e")
+      .select(col("k"), col("iid"),
+        timestamp_seconds(col("s")).as("s"), timestamp_seconds(col("e")).as("e"))
+
+  test("rangeJoin matches points to covering intervals, half-open") {
+    val pts = L((1L, "a", 100L), (2L, "a", 200L), (3L, "a", 250L), (4L, "b", 100L))
+    val ivs = I(("a", 10L, 50L, 200L), ("a", 11L, 150L, 260L), ("b", 12L, 500L, 600L))
+    val out = TemporalJoins.rangeJoin(pts, "t", ivs, "s", "e", Seq("k"),
+      bucketWidthSeconds = 60L)
+    val pairs = out.select("id", "r_iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // point 100 ∈ [50,200) only; 200 ∈ [150,260) only (end-exclusive);
+    // 250 ∈ [150,260); b@100 matches nothing
+    assert(pairs === Set((1L, 10L), (2L, 11L), (3L, 11L)))
+    val incl = TemporalJoins.rangeJoin(pts, "t", ivs, "s", "e", Seq("k"),
+      bucketWidthSeconds = 60L, inclusiveEnd = true)
+    assert(incl.where(col("id") === 2L).count() === 2) // 200 ∈ [50,200] too
+  }
+
+  test("rangeJoin result is bucket-width invariant") {
+    val pts = L((1L, "a", 100L), (2L, "a", 200L), (3L, "a", 250L), (4L, "b", 100L))
+    val ivs = I(("a", 10L, 50L, 200L), ("a", 11L, 150L, 260L), ("b", 12L, 90L, 101L))
+    def run(w: Long) = TemporalJoins.rangeJoin(pts, "t", ivs, "s", "e", Seq("k"),
+      bucketWidthSeconds = w).select("id", "r_iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1L) === run(60L) && run(60L) === run(100000L))
+  }
+
+  test("rangeJoin raises on reversed intervals instead of dropping them") {
+    val pts = L((1L, "a", 100L))
+    val ivs = I(("a", 10L, 300L, 200L))
+    val ex = intercept[Exception] {
+      TemporalJoins.rangeJoin(pts, "t", ivs, "s", "e", Seq("k")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
