@@ -1165,6 +1165,20 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // streaming-ingest dedup against a PERSISTED corpus, batch form: the
+    // stream-static anti join (stateless — corpus fixed per snapshot);
+    // MemoryStream cross-batch behavior is spec-verified
+    "q_events_new_docs" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val batch = docs.where(col("doc_id") < 100)
+        .select((col("doc_id") + 30000L).as("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+          .select((col("doc_id") + 40000L).as("doc_id"),
+            concat(col("text"), lit(" (amended)")).as("text")))
+      EventStreams.dedupAgainstCorpus(batch, "text",
+        Dedup.corpusKeys128(docs, "text"))
+    }),
+
     // ── temporal joins (beyond reference — point-in-time / feature-store
     // semantics; oracle = DuckDB's NATIVE ASOF JOIN, an independent
     // implementation of the same operator) ──────────────────────────────
@@ -1687,6 +1701,15 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_events_new_docs" ->
+      ("WITH batch AS (" +
+        "SELECT doc_id + 30000 AS doc_id, text FROM documents WHERE doc_id < 100 " +
+        "UNION ALL " +
+        "SELECT doc_id + 40000 AS doc_id, text || ' (amended)' AS text " +
+        "FROM documents WHERE doc_id >= 100 AND doc_id < 200) " +
+        "SELECT b.doc_id, b.text FROM batch b " +
+        "WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)"),
 
     "q_asof_join" ->
       ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +

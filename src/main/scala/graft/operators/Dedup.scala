@@ -26,7 +26,7 @@ object Dedup {
     * ≈ 1.3×10⁻¹⁸ at 3×10¹⁰ docs. Shuffle rows grow 8 B (16 B key + id vs
     * 8 B + id) — still never the document body.
     */
-  private def key128(c: Column): Column =
+  private[graft] def key128(c: Column): Column =
     struct(xxhash64(lit(1L), c).as("h1"), xxhash64(lit(2L), c).as("h2"))
 
   /** Exact dedup on raw text: one row per distinct text, smallest id

@@ -155,6 +155,85 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 4L)) // first click/user1, buy/user1, click/user2
   }
 
+  test("batch dedupAgainstCorpus equals NOT-EXISTS semantics") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "beta"), (13L, "delta"))
+      .toDF("doc_id", "text")
+    val keys = graft.operators.Dedup.corpusKeys128(corpus, "text")
+    val out = EventStreams.dedupAgainstCorpus(batch, "text", keys)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(11L, 13L))
+  }
+
+  test("streaming dedupAgainstCorpus drops known texts, stateless across batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val keys = graft.operators.Dedup.corpusKeys128(corpus, "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupAgainstCorpus(
+        mem.toDF.toDF("doc_id", "text"), "text", keys)
+      .writeStream.format("memory").queryName("newdocs_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "alpha"), (11L, "gamma"))
+      q.processAllAvailable()
+      mem.addData((12L, "beta"), (13L, "delta"))
+      q.processAllAvailable()
+      val ids = spark.table("newdocs_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(11L, 13L), s"corpus dups must drop, got $ids")
+    } finally q.stop()
+  }
+
+  test("batch joinWithin equals the plain equi-join + range filter") {
+    val sp = spark; import sp.implicits._
+    val clicks = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00")),
+      (2L, 1L, t("2024-01-01 12:00:00")),
+      (3L, 2L, t("2024-01-01 10:00:00"))).toDF("click_id", "user_id", "cts")
+    val buys = Seq(
+      (100L, 1L, t("2024-01-01 10:30:00")),   // within 1h after click 1
+      (101L, 1L, t("2024-01-01 09:30:00")),   // within 1h before click 1
+      (102L, 2L, t("2024-01-01 13:00:00"))).toDF("buy_id", "user_id", "bts")
+    val out = EventStreams.joinWithin(clicks, buys, Seq("user_id"),
+        "cts", "bts", beforeSeconds = 3600, afterSeconds = 3600)
+      .select("click_id", "r_buy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 100L), (1L, 101L)))
+  }
+
+  test("stream-stream joinWithin joins across sides with bounded state") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Long, Timestamp)]
+    val out = EventStreams.joinWithin(
+      lMem.toDF.toDF("click_id", "user_id", "cts"),
+      rMem.toDF.toDF("buy_id", "user_id", "bts"),
+      Seq("user_id"), "cts", "bts",
+      beforeSeconds = 3600, afterSeconds = 3600, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("within_out")
+      .outputMode("append").start()
+    try {
+      lMem.addData((1L, 1L, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // the matching buy arrives in a LATER micro-batch: the pair can only
+      // come from the join's buffered stream state
+      rMem.addData((100L, 1L, t("2024-01-01 10:30:00")))
+      rMem.addData((101L, 1L, t("2024-01-01 23:00:00"))) // outside the range
+      q.processAllAvailable()
+      val pairs = spark.table("within_out")
+        .select("click_id", "r_buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 100L)), s"got $pairs")
+      // the physical plan is the stateful symmetric-hash join, not a
+      // batch rewrite
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedupEvents suppresses duplicates across microbatches") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
