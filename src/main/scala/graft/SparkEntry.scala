@@ -1165,6 +1165,16 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // unigram LM quality scoring: model trained on the corpus itself,
+    // every doc scored by mean token log-probability (KenLM-style gate)
+    "q_text_unigram" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val model = graft.operators.Corpus.unigramModel(docs, "text")
+      graft.operators.Corpus.unigramLogProb(docs, "text", "doc_id", model)
+        .select(col("doc_id"), col("avg_logp"),
+          col("n_tokens").cast("bigint").as("n_tokens"))
+    }),
+
     // streaming-ingest dedup against a PERSISTED corpus, batch form: the
     // stream-static anti join (stateless — corpus fixed per snapshot);
     // MemoryStream cross-batch behavior is spec-verified
@@ -1701,6 +1711,16 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_text_unigram" ->
+      ("WITH tok AS (SELECT doc_id, t.token FROM documents, " +
+        "unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS t(token) " +
+        "WHERE len(t.token) > 0), " +
+        "counts AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY token), " +
+        "totals AS (SELECT sum(c) AS t, count(*)::DOUBLE AS v FROM counts), " +
+        "model AS (SELECT token, ln((c + 1.0) / (t + 1.0 * v)) AS logp FROM counts, totals) " +
+        "SELECT doc_id, round(avg(logp), 6) AS avg_logp, CAST(count(*) AS BIGINT) AS n_tokens " +
+        "FROM tok JOIN model USING (token) GROUP BY doc_id"),
 
     "q_events_new_docs" ->
       ("WITH batch AS (" +

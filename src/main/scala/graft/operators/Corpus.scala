@@ -296,6 +296,56 @@ object Corpus {
       .select(col(groupCol), col("term"), col("cnt"), col("rnk").cast("bigint").as("rnk"))
   }
 
+  /** Add-k-smoothed unigram language model over a corpus's normalized
+    * tokens: (token, logp) with logp = ln((count + k) / (total + k·vocab)).
+    * The classic data-quality scorer (a KenLM stand-in with the same
+    * contract): train once on a trusted corpus, score candidate documents
+    * by mean token log-probability, gate on the score. Two shuffles, both
+    * map-side combined: token counts, then a single-row totals frame the
+    * counts cross-join against (broadcast by construction).
+    */
+  def unigramModel(corpus: DataFrame, textCol: String,
+      smoothingK: Double = 1.0): DataFrame = {
+    val tok = corpus
+      .select(explode(split(T.normalizeText(col(textCol)), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = tok.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("graft_c"))
+    val totals = counts.agg(sum(col("graft_c")).as("graft_t"),
+      count(lit(1)).cast("double").as("graft_v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        log((col("graft_c") + lit(smoothingK)) /
+          (col("graft_t") + lit(smoothingK) * col("graft_v"))).as("logp"))
+  }
+
+  /** Smoothed log-probability an OOV token scores under a model with the
+    * given totals — ln(k / (T + k·V)). Callers hold the (T, V) pair from
+    * training time; recomputing it from the model frame would scan it.
+    */
+  def oovLogProb(totalTokens: Double, vocabSize: Double,
+      smoothingK: Double = 1.0): Double =
+    math.log(smoothingK / (totalTokens + smoothingK * vocabSize))
+
+  /** Mean unigram log-probability per document under `model` — documents
+    * with NO tokens drop (nothing to score; gate them on length first).
+    * Out-of-vocabulary tokens score `oov` (use [[oovLogProb]]).
+    *
+    * Scale shape: explode (id, token) rows, join the model on token
+    * (broadcast when the vocab is small — Spark's stats decide), then ONE
+    * hash shuffle on the doc id with map-side-combined avg. Higher scores
+    * = more in-distribution text; exp(-avg_logp) is the perplexity.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      model: DataFrame, oov: Double = -20.0): DataFrame =
+    docs.select(col(idCol),
+        explode(split(T.normalizeText(col(textCol)), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .join(model, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(round(avg(coalesce(col("logp"), lit(oov))), 6).as("avg_logp"),
+        count(lit(1)).as("n_tokens"))
+
   /** Per-document duplicate-span fraction: the share of a doc's distinct
     * `shingleWords`-token shingles that occur in MORE than one document —
     * the fine-grained dedup signal (Lee et al. 2022, "Deduplicating

@@ -273,6 +273,39 @@ class CorpusSpec extends SparkSpec {
       Corpus.chunkDocuments(docs, "doc_id", "text", 8, 8))
   }
 
+  test("unigram model: exact smoothed log-probs on a tiny corpus") {
+    val sp = spark; import sp.implicits._
+    // tokens: a a a b  ->  T=4, V=2; p(a)=(3+1)/(4+2)=2/3, p(b)=(1+1)/6=1/3
+    val c = Seq((1L, "a a A."), (2L, "b")).toDF("doc_id", "text")
+    val m = Corpus.unigramModel(c, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("a") - math.log(2.0 / 3.0)) < 1e-12)
+    assert(math.abs(m("b") - math.log(1.0 / 3.0)) < 1e-12)
+  }
+
+  test("unigram scoring: per-doc mean logp, OOV fallback, empty docs drop") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val model = Corpus.unigramModel(corpus, "text")
+    val oov = Corpus.oovLogProb(totalTokens = 4.0, vocabSize = 2.0)
+    assert(math.abs(oov - math.log(1.0 / 6.0)) < 1e-12)
+    val cand = Seq((10L, "a b"), (11L, "a zzz"), (12L, "...")).toDF("doc_id", "text")
+    val out = Corpus.unigramLogProb(cand, "text", "doc_id", model, oov)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logp"), r.getAs[Long]("n_tokens"))).toMap
+    // doc 12 normalizes to zero tokens and drops
+    assert(out.keySet == Set(10L, 11L))
+    val exp10 = (math.log(2.0 / 3.0) + math.log(1.0 / 3.0)) / 2.0
+    val exp11 = (math.log(2.0 / 3.0) + oov) / 2.0
+    assert(math.abs(out(10L)._1 - BigDecimal(exp10).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(11L)._1 - BigDecimal(exp11).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(10L)._2 == 2L && out(11L)._2 == 2L)
+    // in-vocab docs score above OOV-heavy ones: the gate orders correctly
+    assert(out(10L)._1 > out(11L)._1)
+  }
+
   test("quality filter keeps high-quality docs only") {
     val sp = spark; import sp.implicits._
     val mixed = Seq(
