@@ -27,7 +27,9 @@ object Bench {
     "q_text_boilerplate", "q_top_terms",
     "q_corpus_curate", "q_decontaminate", "q_corpus_shuffle", "q_corpus_pack",
     "q_corpus_chunks",
-    "q_events_tumbling", "q_events_session", "q_events_dedup")
+    "q_events_tumbling", "q_events_session", "q_events_dedup",
+    "q_asof_join", "q_range_join", "q_text_unigram", "q_events_new_docs",
+    "q_rag_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

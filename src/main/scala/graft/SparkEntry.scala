@@ -1165,6 +1165,15 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // per-doc TF-IDF keywords; ranking on exact integer keys so the row
+    // set is engine-independent (see tfidfKeywords docstring)
+    "q_tfidf" -> ((s, d) =>
+      graft.operators.Corpus.tfidfKeywords(
+          t(s, d, "documents").df, "text", "doc_id", k = 5)
+        .select(col("doc_id"), col("term"),
+          col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"),
+          col("score"), col("rnk"))),
+
     // unigram LM quality scoring: model trained on the corpus itself,
     // every doc scored by mean token log-probability (KenLM-style gate)
     "q_text_unigram" -> ((s, d) => {
@@ -1711,6 +1720,20 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, t.term FROM documents, " +
+        "unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS t(term) " +
+        "WHERE len(t.term) > 0), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents) " +
+        "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, " +
+        "round((tf::DOUBLE / len) * ln(n / df), 6) AS score, CAST(rnk AS BIGINT) AS rnk FROM (" +
+        "SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.len, n.n, " +
+        "row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n) WHERE rnk <= 5"),
 
     "q_text_unigram" ->
       ("WITH tok AS (SELECT doc_id, t.token FROM documents, " +

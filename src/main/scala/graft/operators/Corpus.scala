@@ -346,6 +346,45 @@ object Corpus {
       .agg(round(avg(coalesce(col("logp"), lit(oov))), 6).as("avg_logp"),
         count(lit(1)).as("n_tokens"))
 
+  /** TF-IDF keyword extraction: the `k` most characteristic normalized
+    * tokens per document. score = (tf / docLen) · ln(N / df) — classic
+    * tf-idf over the corpus itself. The RANKING key is exact integer
+    * arithmetic (tf desc, df asc, term asc), not the double score: two
+    * engines computing ln() can disagree in the last ulp, and a rank
+    * flipped by one ulp would change WHICH rows appear — integers cannot
+    * flip. The double score rides along (rounded) as data. The integer
+    * key also IS the score's ordering for fixed docLen except where two
+    * terms trade higher tf against lower df; those near-ties are exactly
+    * where the double ordering is unstable anyway.
+    *
+    * Scale shape: one explode pass feeds both aggregates — per-(doc, term)
+    * tf and per-term df (map-side combined); df joins back on term
+    * (broadcast-able vocab), top-k is a per-doc window. No driver data.
+    */
+  def tfidfKeywords(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minTermLength: Int = 1): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(split(T.normalizeText(col(textCol)), " ")).as("term"))
+      .where(length(col("term")) >= minTermLength)
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("graft_len"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).cast("double").as("graft_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round((col("tf").cast("double") / col("graft_len")) *
+          log(col("graft_n") / col("df")), 6).as("score"),
+        col("rnk").cast("bigint").as("rnk"))
+  }
+
   /** Per-document duplicate-span fraction: the share of a doc's distinct
     * `shingleWords`-token shingles that occur in MORE than one document —
     * the fine-grained dedup signal (Lee et al. 2022, "Deduplicating

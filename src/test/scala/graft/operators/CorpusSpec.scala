@@ -306,6 +306,29 @@ class CorpusSpec extends SparkSpec {
     assert(out(10L)._1 > out(11L)._1)
   }
 
+  test("tfidf keywords: exact scores, integer-key ranking, k cap") {
+    val sp = spark; import sp.implicits._
+    // corpus of 2 docs; 'rare' appears only in doc 1, 'the' in both
+    val c = Seq(
+      (1L, "the the rare word"),
+      (2L, "the other word")).toDF("doc_id", "text")
+    val out = Corpus.tfidfKeywords(c, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score"),
+        r.getAs[Long]("rnk")))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._6)
+    // doc 1: tf(the)=2 ranks first on tf; then tf=1 terms by df asc →
+    // 'rare' (df=1) before 'word' (df=2); k=2 keeps (the, rare)
+    assert(d1.map(_._2).toSeq == Seq("the", "rare"))
+    // score('the' in doc1) = (2/4)·ln(2/2) = 0; score(rare) = (1/4)·ln(2)
+    assert(d1(0)._5 == 0.0)
+    assert(math.abs(d1(1)._5 - BigDecimal(math.log(2.0) / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // doc 2: all tf=1 → df asc puts 'other' (df=1) first, then the/word (df=2) by term
+    val d2 = out.filter(_._1 == 2L).sortBy(_._6)
+    assert(d2.map(_._2).toSeq == Seq("other", "the"))
+  }
+
   test("quality filter keeps high-quality docs only") {
     val sp = spark; import sp.implicits._
     val mixed = Seq(
