@@ -34,6 +34,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // comma-separated query filter for local iteration; unset = full set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = headline.filter(n => only.forall(_.contains(n)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,7 +49,7 @@ object Bench {
 
     // warm the JVM/codegen on the smallest SF so measured times are steady
     val warmDir = "/root/testdata/sf0.001"
-    headline.foreach { n =>
+    selected.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).foreach(_ => ())
       catch { case _: Throwable => () }
     }
@@ -62,7 +65,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       val runs = Seq.fill(reps)(timeOnce(name))
       val median =
         if (runs.exists(_ < 0)) -1.0

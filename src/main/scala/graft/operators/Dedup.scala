@@ -361,10 +361,14 @@ object Dedup {
       // and joins, which trips Catalyst's union constraint rewriting
       val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label").as("label"))
+      // NOT checkpointed: the jump self-join below references `stepped`
+      // twice, but both sides are the identical subplan, so the second
+      // reference resolves to a ReusedExchange — one eager checkpoint per
+      // round (on `next`) bounds plan growth at a third fewer Spark jobs
+      // per round than checkpointing both stages
       val stepped = labels.select(col("id").as("id"), col("label").as("label"))
         .unionAll(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
       // pointer jump: label(v) ← min(label(v), label(label(v))). Labels are
       // always vertex ids, so the lookup side is the same frame.
       val next = stepped.alias("x").join(
