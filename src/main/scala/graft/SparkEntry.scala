@@ -1165,6 +1165,19 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // per-dimension z-score standardization of the embedding corpus;
+    // graded on two sample dims + the standardized norm (fold order is
+    // left-to-right in both engines, rounding absorbs summation drift)
+    "q_embed_standardize" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      graft.operators.Features.standardize(emb, "embedding", "std")
+        .select(col("vec_id"),
+          round(element_at(col("std"), 1), 6).as("s1"),
+          round(element_at(col("std"), 2), 6).as("s2"),
+          round(sqrt(aggregate(col("std"), lit(0.0),
+            (acc, x) => acc + x * x)), 6).as("std_norm"))
+    }),
+
     // per-doc TF-IDF keywords; ranking on exact integer keys so the row
     // set is engine-independent (see tfidfKeywords docstring)
     "q_tfidf" -> ((s, d) =>
@@ -1720,6 +1733,17 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_embed_standardize" -> {
+      val mus = (1 to 64).map(i => s"avg(embedding[$i]::DOUBLE)").mkString("[", ", ", "]")
+      val sds = (1 to 64).map(i => s"stddev_pop(embedding[$i]::DOUBLE)").mkString("[", ", ", "]")
+      def sTerm(i: Int) =
+        s"CASE WHEN m.sds[$i] = 0 THEN 0.0 ELSE (e.embedding[$i]::DOUBLE - m.mus[$i]) / m.sds[$i] END"
+      val normTerms = (1 to 64).map(i => s"pow(${sTerm(i)}, 2)").mkString(" + ")
+      s"WITH m AS (SELECT $mus AS mus, $sds AS sds FROM embeddings) " +
+        s"SELECT e.vec_id, round(${sTerm(1)}, 6) AS s1, round(${sTerm(2)}, 6) AS s2, " +
+        s"round(sqrt($normTerms), 6) AS std_norm FROM embeddings e, m"
+    },
 
     "q_tfidf" ->
       ("WITH tok AS (SELECT doc_id, t.term FROM documents, " +

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Embedding feature engineering: the normalization passes that precede
+  * ANN / clustering / dedup over vector columns. Beyond the reference
+  * (its expr surface has no vector ops at all) — these are the
+  * `array<float>` companions of the text-side quality gates.
+  */
+object Features {
+
+  /** Per-dimension corpus statistics of a vector column, as ONE row
+    * (`graft_mus`, `graft_sds` — position-ordered arrays). posexplode →
+    * per-dimension avg/stddev_pop (map-side combined, one shuffle of
+    * dim-sized partials), then the dim rows collapse into arrays via
+    * `sort_array(collect_list(struct(pos, …)))` — the struct sort key
+    * makes the array order deterministic regardless of partitioning
+    * (collect_list alone has no order contract).
+    */
+  def dimensionStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(V.asDouble(col(vecCol))).as(Seq("graft_pos", "graft_x")))
+      .groupBy(col("graft_pos"))
+      .agg(avg(col("graft_x")).as("mu"), stddev_pop(col("graft_x")).as("sd"))
+      .agg(
+        sort_array(collect_list(struct(col("graft_pos"), col("mu")))).as("ms"),
+        sort_array(collect_list(struct(col("graft_pos"), col("sd")))).as("ss"))
+      .select(
+        transform(col("ms"), s => s.getField("mu")).as("graft_mus"),
+        transform(col("ss"), s => s.getField("sd")).as("graft_sds"))
+
+  /** Z-score standardization per dimension: out[i] = (v[i] − μᵢ) / σᵢ,
+    * with zero-variance dimensions mapped to 0 (a constant dimension
+    * carries no signal; emitting ±Inf would poison every downstream
+    * distance). The stats row broadcasts — the data pass is map-side only,
+    * so standardizing composes with any downstream shuffle for free.
+    */
+  def standardize(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.crossJoin(broadcast(dimensionStats(df, vecCol)))
+      .withColumn(outCol, expr(
+        s"transform(cast(`$vecCol` as array<double>), (x, i) -> " +
+          "CASE WHEN graft_sds[i] = 0.0D OR graft_sds[i] IS NULL THEN 0.0D " +
+          "ELSE (x - graft_mus[i]) / graft_sds[i] END)"))
+      .drop("graft_mus", "graft_sds")
+
+  /** L2 (unit-norm) scaling: v / ‖v‖, zero vectors stay zero. Pure
+    * per-row arithmetic — no shuffle, codegen-friendly.
+    */
+  def l2Normalize(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val v = V.asDouble(col(vecCol))
+    val n = sqrt(aggregate(v, lit(0.0), (acc: Column, x: Column) => acc + x * x))
+    df.withColumn(outCol,
+      when(n === 0.0, v).otherwise(transform(v, x => x / n)))
+  }
+}
