@@ -1165,6 +1165,17 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // trailing per-user event-time features (1h / 24h windows) — the
+    // point-in-time feature-store companion of the as-of join; sums
+    // rounded on integer cents to dodge windowed-double-avg skew
+    "q_rolling_features" -> ((s, d) =>
+      EventStreams.rollingFeatures(t(s, d, "events").df, "ts", "user_id",
+          "value", Seq("1h" -> 3600L, "24h" -> 86400L))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("n_1h"), round(col("sum_1h"), 2).as("sum_1h"),
+          col("n_24h"), round(col("sum_24h"), 2).as("sum_24h"))),
+
     // per-dimension z-score standardization of the embedding corpus;
     // graded on two sample dims + the standardized norm (fold order is
     // left-to-right in both engines, rounding absorbs summation drift)
@@ -1733,6 +1744,14 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_rolling_features" ->
+      ("SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, " +
+        "count(*) OVER w1 AS n_1h, round(sum(value) OVER w1, 2) AS sum_1h, " +
+        "count(*) OVER w2 AS n_24h, round(sum(value) OVER w2, 2) AS sum_24h " +
+        "FROM (SELECT *, epoch_us(ts) AS eus FROM events) " +
+        "WINDOW w1 AS (PARTITION BY user_id ORDER BY eus RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), " +
+        "w2 AS (PARTITION BY user_id ORDER BY eus RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)"),
 
     "q_embed_standardize" -> {
       val mus = (1 to 64).map(i => s"avg(embedding[$i]::DOUBLE)").mkString("[", ", ", "]")

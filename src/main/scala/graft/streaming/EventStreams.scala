@@ -132,6 +132,29 @@ object EventStreams {
     }.toDF("user_id", "n_events", "last_value")
   }
 
+  /** Trailing event-time features per key — the feature-store shape: for
+    * every event, aggregates over that key's events in the preceding
+    * `seconds` (inclusive of the boundary and of same-timestamp peers —
+    * RANGE frame semantics, identical across engines). Emits, per named
+    * window, `n_<name>` (count) and `sum_<name>` (sum of `valueCol`).
+    *
+    * Scale shape: ONE hash shuffle on the key + a partition-local sort
+    * shared by every requested window frame (same partitioning + ordering
+    * ⇒ one Window operator evaluates all the frames in one pass). The
+    * RANGE frame is over integer epoch-MICROS, so frame membership is
+    * exact integer arithmetic — no float time comparisons.
+    */
+  def rollingFeatures(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windows: Seq[(String, Long)]): DataFrame = {
+    require(windows.nonEmpty, "rollingFeatures: need at least one window")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
+    windows.foldLeft(events) { case (df, (name, seconds)) =>
+      val w = ord.rangeBetween(-seconds * 1000000L, 0L)
+      df.withColumn(s"n_$name", count(lit(1)).over(w))
+        .withColumn(s"sum_$name", sum(col(valueCol)).over(w))
+    }
+  }
+
   /** Streaming ingest dedup AGAINST A PERSISTED CORPUS: rows of the stream
     * whose `textCol` does not already occur in the corpus, as a
     * stream-static LEFT ANTI join on the 128-bit text key

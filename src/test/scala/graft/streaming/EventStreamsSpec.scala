@@ -155,6 +155,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 4L)) // first click/user1, buy/user1, click/user2
   }
 
+  test("rollingFeatures: trailing windows count boundary-inclusive, per key") {
+    val sp = spark; import sp.implicits._
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, t("2024-01-01 10:30:00"), 2.0),
+      (3L, 1L, t("2024-01-01 11:30:00"), 4.0), // 10:30 is INSIDE [10:30, 11:30]
+      (4L, 2L, t("2024-01-01 11:30:00"), 8.0)  // other key: independent
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventStreams.rollingFeatures(ev, "ts", "user_id", "value",
+        Seq("1h" -> 3600L))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_1h"), r.getAs[Double]("sum_1h"))).toMap
+    assert(out(1L) == (1L, 1.0))
+    assert(out(2L) == (2L, 3.0))
+    assert(out(3L) == (2L, 6.0)) // events at 10:30 and 11:30; 10:00 aged out
+    assert(out(4L) == (1L, 8.0))
+  }
+
+  test("rollingFeatures evaluates every window off ONE shuffle + sort") {
+    val sp = spark; import sp.implicits._
+    val ev = Seq((1L, 1L, t("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val plan = EventStreams.rollingFeatures(ev, "ts", "user_id", "value",
+        Seq("1h" -> 3600L, "24h" -> 86400L))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("batch dedupAgainstCorpus equals NOT-EXISTS semantics") {
     val sp = spark; import sp.implicits._
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
