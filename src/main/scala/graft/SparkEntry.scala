@@ -1165,6 +1165,15 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // bigram LM self-scoring: mean log p(w2|w1) with add-1 smoothing —
+    // the word-ORDER-sensitive quality gate (unigram is bag-of-words)
+    "q_text_bigram" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.Corpus.bigramLogProb(docs, "text", "doc_id", docs)
+        .select(col("doc_id"), col("avg_logp"),
+          col("n_bigrams").cast("bigint").as("n_bigrams"))
+    }),
+
     // trailing per-user event-time features (1h / 24h windows) — the
     // point-in-time feature-store companion of the as-of join; sums
     // rounded on integer cents to dodge windowed-double-avg skew
@@ -1744,6 +1753,17 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_text_bigram" ->
+      ("WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS l FROM documents), " +
+        "flat AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM toks WHERE len(l) >= 2), " +
+        "pairs AS (SELECT doc_id, w1, w2 FROM (SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM flat) WHERE w2 IS NOT NULL), " +
+        "c12 AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM pairs GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM pairs GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT t.tok)::DOUBLE AS v FROM toks, unnest(l) AS t(tok) WHERE len(t.tok) > 0) " +
+        "SELECT p.doc_id, round(avg(ln((coalesce(c12.c12, 0) + 1.0) / (coalesce(c1.c1, 0) + 1.0 * v.v))), 6) AS avg_logp, " +
+        "CAST(count(*) AS BIGINT) AS n_bigrams " +
+        "FROM pairs p LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1), v GROUP BY p.doc_id"),
 
     "q_rolling_features" ->
       ("SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, " +

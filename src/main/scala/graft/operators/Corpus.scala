@@ -346,6 +346,81 @@ object Corpus {
       .agg(round(avg(coalesce(col("logp"), lit(oov))), 6).as("avg_logp"),
         count(lit(1)).as("n_tokens"))
 
+  /** Ordered (w1, w2) bigram rows of a corpus — one map-side explode over
+    * the token arrays (no shuffle); docs under two tokens contribute
+    * nothing. Shared by [[bigramModel]] and [[bigramLogProb]] so the two
+    * can never tokenize differently.
+    */
+  private def bigramRows(df: DataFrame, textCol: String,
+      extra: Seq[String]): DataFrame = {
+    val toks = col("graft_toks")
+    df.withColumn("graft_toks", split(T.normalizeText(col(textCol)), " "))
+      .where(size(toks) >= 2)
+      .select(extra.map(col) :+ explode(
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2")))).as("bg"): _*)
+      .select(extra.map(col) :+ col("bg.w1") :+ col("bg.w2"): _*)
+  }
+
+  /** Add-k-smoothed BIGRAM language model: (w1, w2, logp) with
+    * p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), where c(w1·) is the
+    * HISTORY count (bigrams starting with w1 — so the conditional sums to
+    * one over the vocabulary) and V the corpus vocabulary size. The
+    * bigram upgrade of [[unigramModel]]: scores local word ORDER, which a
+    * bag-of-words unigram gate cannot see (scrambled text passes unigram,
+    * fails bigram).
+    */
+  def bigramModel(corpus: DataFrame, textCol: String,
+      smoothingK: Double = 1.0): DataFrame = {
+    val pairs = bigramRows(corpus, textCol, Nil)
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c12"))
+    val c1 = pairs.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("c1"))
+    val v = vocabSize(corpus, textCol)
+    c12.join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        log((col("c12") + lit(smoothingK)) /
+          (col("c1") + lit(smoothingK) * col("graft_v"))).as("logp"))
+  }
+
+  /** Mean bigram log-probability per document, trained on `corpus` with
+    * add-k smoothing. Unseen pairs and unseen histories need no special
+    * case: logp = ln((c12 + k) / (c1 + k·V)) with missing counts at 0 —
+    * in particular an unseen history scores ln(1/V). Documents with
+    * fewer than two tokens drop (no bigram to score).
+    *
+    * Scale shape: the pair explode is map-side; two token-keyed joins
+    * (broadcast-able counts), one doc-id shuffle for the avg.
+    */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      corpus: DataFrame, smoothingK: Double = 1.0): DataFrame = {
+    val corpusPairs = bigramRows(corpus, textCol, Nil)
+    val c12 = corpusPairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c12"))
+    val c1 = corpusPairs.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("c1"))
+    val v = vocabSize(corpus, textCol)
+    bigramRows(docs, textCol, Seq(idCol))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("graft_lp",
+        log((coalesce(col("c12"), lit(0.0)) + lit(smoothingK)) /
+          (coalesce(col("c1"), lit(0.0)) + lit(smoothingK) * col("graft_v"))))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("graft_lp")), 6).as("avg_logp"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** One-row corpus vocabulary size (distinct normalized tokens). */
+  private def vocabSize(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(explode(split(T.normalizeText(col(textCol)), " ")).as("t"))
+      .where(length(col("t")) > 0)
+      .agg(countDistinct(col("t")).cast("double").as("graft_v"))
+
   /** TF-IDF keyword extraction: the `k` most characteristic normalized
     * tokens per document. score = (tf / docLen) · ln(N / df) — classic
     * tf-idf over the corpus itself. The RANKING key is exact integer

@@ -306,6 +306,28 @@ class CorpusSpec extends SparkSpec {
     assert(out(10L)._1 > out(11L)._1)
   }
 
+  test("bigram model: exact conditional log-probs; scoring penalizes scrambled order") {
+    val sp = spark; import sp.implicits._
+    // corpus bigrams: (a,b) ×2, (b,a) ×1 → c1(a)=2, c1(b)=1; vocab {a,b} V=2
+    val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val m = Corpus.bigramModel(corpus, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m(("a", "b")) - math.log(3.0 / 4.0)) < 1e-12) // (2+1)/(2+2)
+    assert(math.abs(m(("b", "a")) - math.log(2.0 / 3.0)) < 1e-12) // (1+1)/(1+2)
+    // in-order candidate scores higher than order-scrambled same bag
+    val cand = Seq((10L, "a b a b"), (11L, "b b a a"), (12L, "a")).toDF("doc_id", "text")
+    val out = Corpus.bigramLogProb(cand, "text", "doc_id", corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logp"), r.getAs[Long]("n_bigrams"))).toMap
+    assert(out.keySet == Set(10L, 11L)) // single-token doc has no bigram
+    assert(out(10L)._2 == 3L && out(11L)._2 == 3L)
+    assert(out(10L)._1 > out(11L)._1)
+    // unseen history (b,b): ln((0+1)/(1+2)); unseen pair (a,a): ln((0+1)/(2+2))
+    val exp11 = (math.log(1.0 / 3.0) + math.log(2.0 / 3.0) + math.log(1.0 / 4.0)) / 3.0
+    assert(math.abs(out(11L)._1 - BigDecimal(exp11).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("tfidf keywords: exact scores, integer-key ranking, k cap") {
     val sp = spark; import sp.implicits._
     // corpus of 2 docs; 'rare' appears only in doc 1, 'the' in both
