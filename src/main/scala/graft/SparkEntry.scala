@@ -1165,6 +1165,17 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // ordered funnel: earliest view → click → purchase chain per user,
+    // conversion horizon 7 days; oracle = correlated min-subqueries
+    "q_funnel" -> ((s, d) =>
+      EventStreams.funnel(t(s, d, "events").df, "ts", "user_id",
+          "event_type", Seq("view", "click", "purchase"), 7L * 86400L)
+        .select(col("user_id"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t1"),
+          date_format(col("t2"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t2"),
+          date_format(col("t3"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t3"),
+          col("steps_completed"), col("converted"))),
+
     // bigram LM self-scoring: mean log p(w2|w1) with add-1 smoothing —
     // the word-ORDER-sensitive quality gate (unigram is bag-of-words)
     "q_text_bigram" -> ((s, d) => {
@@ -1753,6 +1764,16 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT s1.user_id, s1.t1, (SELECT min(e.ts) FROM events e WHERE e.user_id = s1.user_id AND e.event_type = 'click' AND e.ts > s1.t1) AS t2 FROM s1), " +
+        "s3 AS (SELECT s2.user_id, s2.t1, s2.t2, (SELECT min(e.ts) FROM events e WHERE e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts > s2.t2) AS t3 FROM s2) " +
+        "SELECT user_id, strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS t1, " +
+        "strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS t2, strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS t3, " +
+        "CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS steps_completed, " +
+        "coalesce(t3 IS NOT NULL AND epoch_us(t3) - epoch_us(t1) <= 604800000000, FALSE) AS converted " +
+        "FROM s3"),
 
     "q_text_bigram" ->
       ("WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS l FROM documents), " +

@@ -132,6 +132,50 @@ object EventStreams {
     }.toDF("user_id", "n_events", "last_value")
   }
 
+  /** Ordered funnel analysis: for each key, the earliest chain of `steps`
+    * event types where each step happens STRICTLY after the previous one
+    * (the product-analytics "view → click → purchase" question). Output:
+    * one row per key that reached step 1, with `t1..tn` step timestamps
+    * (null from the first missed step on — nullity is monotone),
+    * `steps_completed`, and `converted` = all steps within
+    * `withinSeconds` of t1.
+    *
+    * Built by FOLDING [[graft.operators.TemporalJoins.asofJoin]] forward
+    * strict over the steps: step i+1's timestamp is the least candidate
+    * timestamp > tᵢ per key — each fold step is one by-key shuffle of
+    * (keys ∪ step-i+1 events), never a per-key event blowup. Earliest-
+    * chain greediness is sound for reachability: taking the earliest
+    * valid step never forecloses a later completion.
+    */
+  def funnel(events: DataFrame, tsCol: String, keyCol: String,
+      typeCol: String, steps: Seq[String], withinSeconds: Long): DataFrame = {
+    require(steps.size >= 2, "funnel: need at least two steps")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
+    val chained = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"t${i + 1}"; val cur = s"t${i + 2}"
+        val cand = events.where(col(typeCol) === step)
+          .select(col(keyCol), col(tsCol).as("graft_step_ts"))
+        graft.operators.TemporalJoins.asofJoin(acc, cand, prev,
+            "graft_step_ts", Seq(keyCol), "forward",
+            allowExactMatches = false, rightPrefix = s"${cur}_")
+          .withColumnRenamed(s"${cur}_graft_step_ts", cur)
+          // a null tᵢ means the chain already broke: mask whatever the
+          // as-of matched for the null-ordered row (nullity stays monotone)
+          .withColumn(cur,
+            when(col(prev).isNull, lit(null).cast("timestamp"))
+              .otherwise(col(cur)))
+    }
+    val tCols = (1 to steps.size).map(i => col(s"t$i"))
+    val completed = tCols.map(c => c.isNotNull.cast("long")).reduce(_ + _)
+    val last = tCols.last
+    chained
+      .withColumn("steps_completed", completed)
+      .withColumn("converted", last.isNotNull &&
+        unix_micros(last) - unix_micros(col("t1")) <= withinSeconds * 1000000L)
+  }
+
   /** Trailing event-time features per key — the feature-store shape: for
     * every event, aggregates over that key's events in the preceding
     * `seconds` (inclusive of the boundary and of same-timestamp peers —

@@ -155,6 +155,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 4L)) // first click/user1, buy/user1, click/user2
   }
 
+  test("funnel: strict ordering, monotone null chain, conversion horizon") {
+    val sp = spark; import sp.implicits._
+    val ev = Seq(
+      // user 1 completes in order within horizon
+      (1L, 1L, t("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, t("2024-01-01 10:05:00"), "click"),
+      (3L, 1L, t("2024-01-01 10:10:00"), "purchase"),
+      // user 2: click exists but only BEFORE the first view -> chain breaks
+      (4L, 2L, t("2024-01-01 09:00:00"), "click"),
+      (5L, 2L, t("2024-01-01 10:00:00"), "view"),
+      (6L, 2L, t("2024-01-01 11:00:00"), "purchase"),
+      // user 3 completes but outside the 1-hour horizon
+      (7L, 3L, t("2024-01-01 10:00:00"), "view"),
+      (8L, 3L, t("2024-01-01 10:30:00"), "click"),
+      (9L, 3L, t("2024-01-01 12:00:00"), "purchase"),
+      // user 4 never views: not in the funnel at all
+      (10L, 4L, t("2024-01-01 10:00:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventStreams.funnel(ev, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"), 3600L)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("steps_completed"), r.getAs[Boolean]("converted"))).toMap
+    assert(out == Map(
+      1L -> (3L, true),
+      2L -> (1L, false),  // click-before-view does not count; purchase masked
+      3L -> (3L, false))) // completed but 2h > 1h horizon
+  }
+
   test("rollingFeatures: trailing windows count boundary-inclusive, per key") {
     val sp = spark; import sp.implicits._
     val ev = Seq(
