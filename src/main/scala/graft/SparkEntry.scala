@@ -1165,6 +1165,12 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // weekly cohort retention matrix over the events table
+    "q_retention" -> ((s, d) =>
+      EventStreams.retention(t(s, d, "events").df, "ts", "user_id")
+        .select(col("cohort"), col("period_offset"),
+          col("n_active").cast("bigint").as("n_active"))),
+
     // ordered funnel: earliest view → click → purchase chain per user,
     // conversion horizon 7 days; oracle = correlated min-subqueries
     "q_funnel" -> ((s, d) =>
@@ -1764,6 +1770,12 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_retention" ->
+      ("WITH firsts AS (SELECT user_id, epoch_us(min(ts)) // 604800000000 AS cohort FROM events GROUP BY 1) " +
+        "SELECT f.cohort, epoch_us(e.ts) // 604800000000 - f.cohort AS period_offset, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active " +
+        "FROM events e JOIN firsts f USING (user_id) GROUP BY 1, 2"),
 
     "q_funnel" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1), " +

@@ -132,6 +132,29 @@ object EventStreams {
     }.toDF("user_id", "n_events", "last_value")
   }
 
+  /** Cohort retention: keys grouped by the period of their FIRST event
+    * (the cohort), counted distinct in every later period they were
+    * active — the week-over-week retention matrix. Period indices are
+    * integer epoch-micros `div` period (Spark's `/` on longs is true
+    * division; `div` keeps the arithmetic exact and engine-identical).
+    *
+    * Scale shape: one groupBy for first events, one key-equi join back
+    * (AQE broadcasts the firsts side when small), one (cohort, offset)
+    * count-distinct — all map-side combined; no window, no explosion.
+    */
+  def retention(events: DataFrame, tsCol: String, keyCol: String,
+      periodSeconds: Long = 7L * 86400L): DataFrame = {
+    val periodUs = periodSeconds * 1000000L
+    val firsts = events.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("graft_first"))
+      .withColumn("cohort", expr(s"unix_micros(graft_first) div $periodUs"))
+    events.join(firsts, Seq(keyCol))
+      .withColumn("period_offset",
+        expr(s"unix_micros(`$tsCol`) div $periodUs") - col("cohort"))
+      .groupBy(col("cohort"), col("period_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
+
   /** Ordered funnel analysis: for each key, the earliest chain of `steps`
     * event types where each step happens STRICTLY after the previous one
     * (the product-analytics "view → click → purchase" question). Output:

@@ -155,6 +155,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 4L)) // first click/user1, buy/user1, click/user2
   }
 
+  test("retention: cohort by first event period, distinct actives per offset") {
+    val sp = spark; import sp.implicits._
+    // period = 100 s; user 1 first at t=50 (cohort 0), active in periods 0,1,2
+    // user 2 first at t=150 (cohort 1), active in periods 1,3
+    val ev = Seq(
+      (1L, 1L, t("1970-01-01 00:00:50")),
+      (2L, 1L, t("1970-01-01 00:01:40")),
+      (3L, 1L, t("1970-01-01 00:04:10")),
+      (4L, 2L, t("1970-01-01 00:02:30")),
+      (5L, 2L, t("1970-01-01 00:05:10"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventStreams.retention(ev, "ts", "user_id", periodSeconds = 100L)
+      .collect().map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("period_offset")) ->
+        r.getAs[Long]("n_active")).toMap
+    assert(out == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
   test("funnel: strict ordering, monotone null chain, conversion horizon") {
     val sp = spark; import sp.implicits._
     val ev = Seq(
