@@ -320,6 +320,38 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   def joinMany(edges: (GraftFrame, String, String)*): GraftFrame =
     edges.foldLeft(this) { case (f, (o, c, t)) => f.join(o, c, t) }
 
+  /** AS-OF join on the builder: evaluates both sides' pending clauses and
+    * delegates to [[graft.operators.TemporalJoins.asofJoin]] (union-window
+    * form, one by-key shuffle). Result is a fresh frame under
+    * `resultAlias` — an as-of match has no SQL surface form, so like
+    * `markJoin` it cannot stack inside the clause builder.
+    */
+  def asofJoin(other: GraftFrame, leftTs: String, rightTs: String,
+      by: Seq[String], resultAlias: String, direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      toleranceSeconds: Option[Double] = None,
+      rightPrefix: String = "r_"): GraftFrame = {
+    val out = graft.operators.TemporalJoins.asofJoin(execute(), other.execute(),
+      leftTs, rightTs, by, direction, allowExactMatches, toleranceSeconds,
+      rightPrefix)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** RANGE (interval containment) join on the builder — see
+    * [[graft.operators.TemporalJoins.rangeJoin]].
+    */
+  def rangeJoin(other: GraftFrame, leftTs: String, startCol: String,
+      endCol: String, by: Seq[String], resultAlias: String,
+      bucketWidthSeconds: Long = 3600L, inclusiveEnd: Boolean = false,
+      rightPrefix: String = "r_"): GraftFrame = {
+    val out = graft.operators.TemporalJoins.rangeJoin(execute(), leftTs,
+      other.execute(), startCol, endCol, by, bucketWidthSeconds, inclusiveEnd,
+      rightPrefix)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
   /** LEFT MARK join rewrite (SURVEY §4.3): exists-with-flag via a left
     * join against the distinct right keys — `mark` is true iff a match
     * exists. The right side reduces to distinct keys first, so the join

@@ -1165,6 +1165,13 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // sketch profile (HLL distinct + quantile sketches) — approximate by
+    // contract, so NO oracleSql entry: the driver grades rows-only and
+    // the error bounds are spec-asserted against the exact profile
+    "q_profile_sketch" -> ((s, d) =>
+      graft.operators.Corpus.profileSketch(
+        t(s, d, "documents").df, "text", "doc_id")),
+
     // weekly cohort retention matrix over the events table
     "q_retention" -> ((s, d) =>
       EventStreams.retention(t(s, d, "events").df, "ts", "user_id")

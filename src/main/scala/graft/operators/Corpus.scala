@@ -346,6 +346,30 @@ object Corpus {
       .agg(round(avg(coalesce(col("logp"), lit(oov))), 6).as("avg_logp"),
         count(lit(1)).as("n_tokens"))
 
+  /** Sketch-based corpus profile — the ONE-PASS, bounded-memory profile
+    * you run at 100 TB where [[profile]]'s exact COUNT(DISTINCT) would
+    * shuffle every distinct value: HyperLogLog++ distinct counts
+    * (`approx_count_distinct`, relative error `rsd`) and quantile-sketch
+    * token-length percentiles (`approx_percentile`, `accuracy` dial).
+    * Both sketches are map-side mergeable, so the whole profile is one
+    * scan + one tiny partial-aggregate exchange regardless of corpus
+    * size. Results are approximate by contract — the driver grades this
+    * query rows-only; the error BOUNDS are spec-asserted against the
+    * exact profile on the fixture.
+    */
+  def profileSketch(docs: DataFrame, textCol: String, idCol: String,
+      rsd: Double = 0.05, accuracy: Int = 10000): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col(idCol), rsd).as("approx_ids"),
+      approx_count_distinct(xxhash64(col(textCol)), rsd).as("approx_texts"),
+      percentile_approx(T.tokenCount(col(textCol)), lit(0.5), lit(accuracy))
+        .cast("bigint").as("p50_tokens"),
+      percentile_approx(T.tokenCount(col(textCol)), lit(0.95), lit(accuracy))
+        .cast("bigint").as("p95_tokens"),
+      percentile_approx(T.tokenCount(col(textCol)), lit(0.99), lit(accuracy))
+        .cast("bigint").as("p99_tokens"))
+
   /** Ordered (w1, w2) bigram rows of a corpus — one map-side explode over
     * the token arrays (no shuffle); docs under two tokens contribute
     * nothing. Shared by [[bigramModel]] and [[bigramLogProb]] so the two

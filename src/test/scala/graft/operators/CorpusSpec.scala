@@ -306,6 +306,19 @@ class CorpusSpec extends SparkSpec {
     assert(out(10L)._1 > out(11L)._1)
   }
 
+  test("profileSketch: HLL distincts within rsd bounds, percentiles sane") {
+    val sp = spark; import sp.implicits._
+    val many = (1 to 2000).map(i => (i.toLong, s"doc body $i " + ("x " * (i % 50))))
+      .toDF("doc_id", "text")
+    val r = Corpus.profileSketch(many, "text", "doc_id", rsd = 0.02).first()
+    assert(r.getAs[Long]("n_rows") == 2000L)
+    // HLL++ at rsd=0.02: allow 5 sigma-ish slack
+    assert(math.abs(r.getAs[Long]("approx_ids") - 2000L) <= 200L)
+    assert(math.abs(r.getAs[Long]("approx_texts") - 2000L) <= 200L)
+    val p50 = r.getAs[Long]("p50_tokens"); val p99 = r.getAs[Long]("p99_tokens")
+    assert(p50 >= 3L && p50 <= 60L && p99 >= p50)
+  }
+
   test("bigram model: exact conditional log-probs; scoring penalizes scrambled order") {
     val sp = spark; import sp.implicits._
     // corpus bigrams: (a,b) ×2, (b,a) ×1 → c1(a)=2, c1(b)=1; vocab {a,b} V=2

@@ -103,6 +103,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!physical.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("builder hooks: asofJoin/rangeJoin evaluate clauses and register the alias") {
+    val left = graft.GraftFrame(L((1L, "a", 100L)), "l")
+    val right = graft.GraftFrame(R(("a", 90L, 1.0)), "r")
+    val out = left.asofJoin(right, "t", "t", Seq("k"), "asof_out")
+    assert(out.alias == "asof_out")
+    assert(matches(out.df) === Map(1L -> Some(1.0)))
+    assert(spark.table("asof_out").count() == 1)
+    val ivs = I(("a", 10L, 50L, 200L))
+    val rj = left.rangeJoin(graft.GraftFrame(ivs, "iv"), "t", "s", "e",
+      Seq("k"), "range_out", bucketWidthSeconds = 60L)
+    assert(rj.df.select("id", "r_iid").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+  }
+
   // ── rangeJoin ──────────────────────────────────────────────────────────
 
   private def I(rows: (String, Long, Long, Long)*): DataFrame =
