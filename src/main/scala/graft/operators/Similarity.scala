@@ -180,6 +180,24 @@ object Similarity {
       .partitionBy("list_id").parquet(path)
   }
 
+  /** Append a batch to a persisted IVF index WITHOUT re-clustering: new
+    * vectors are assigned to the index's EXISTING centroids and written as
+    * additional files under their lists' partitions — the nightly-ingest
+    * path, one broadcast assignment pass over just the batch.
+    * [[ivfTopKIndexed]] probes see old and new rows uniformly. Centroids
+    * go stale only as fast as the corpus DISTRIBUTION drifts (appends
+    * from the same distribution leave list balance intact); rebuild with
+    * [[buildIvfIndex]] on a cadence, not per batch.
+    */
+  def appendToIvfIndex(indexPath: String, newVectors: DataFrame,
+      vecCol: String, idCol: String): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = spark.read.parquet(s"${indexPath}_centroids")
+    val c = newVectors.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    assignToLists(c, centroids).write.mode("append")
+      .partitionBy("list_id").parquet(indexPath)
+  }
+
   /** Probe a persisted IVF index: nearest nprobe centroids per query, then
     * read ONLY those lists' partitions (the probed list-id set is tiny —
     * ≤ nprobe × queries — so it collects to a literal isin filter that

@@ -485,6 +485,28 @@ class DedupSimilaritySpec extends SparkSpec {
       "indexed probe must reproduce the in-memory IVF ranking")
   }
 
+  test("IVF index append: batch joins existing lists, probes find appended vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(col("vec_id") < 400)
+    val batch = emb.where(col("vec_id") >= 400)
+    val idx = "target/tmp/ivf_index_append"
+    Similarity.buildIvfIndex(base, "embedding", "vec_id", idx, nlist = 8)
+    Similarity.appendToIvfIndex(idx, batch, "embedding", "vec_id")
+    // every base + batch row is in the index, under the ORIGINAL centroids
+    val all = spark.read.parquet(idx)
+    assert(all.count() == emb.count())
+    assert(all.select("list_id").distinct().count() <= 8)
+    // a batch vector queried against the index finds ITSELF via its list
+    // (nprobe=8 = scan all lists: isolates the append from probe recall)
+    val self = Similarity.ivfTopKIndexed(idx,
+        batch.limit(3).withColumn("vec_id", col("vec_id") + 100000L),
+        "embedding", "vec_id", k = 1, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id") - 100000L,
+        r.getAs[Long]("corpus_id"))).toSet
+    assert(self.forall { case (q, c) => q == c },
+      s"appended vectors must be reachable: $self")
+  }
+
   test("minhash sketch: deterministic, k longs, dup texts identical sketches") {
     val sk = docs.select(col("doc_id"),
       HashExpressions.minhashSketch(TF.wordShingles(col("text"), 3), 16).as("s"))
