@@ -30,7 +30,7 @@ object Bench {
     "q_events_tumbling", "q_events_session", "q_events_dedup",
     "q_asof_join", "q_range_join", "q_text_unigram", "q_events_new_docs",
     "q_rag_pipeline", "q_tfidf", "q_text_bigram", "q_embed_standardize",
-    "q_rolling_features")
+    "q_rolling_features", "q_funnel", "q_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

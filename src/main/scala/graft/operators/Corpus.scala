@@ -397,11 +397,12 @@ object Corpus {
     */
   def bigramModel(corpus: DataFrame, textCol: String,
       smoothingK: Double = 1.0): DataFrame = {
-    val pairs = bigramRows(corpus, textCol, Nil)
-    val c12 = pairs.groupBy(col("w1"), col("w2"))
+    val c12 = bigramRows(corpus, textCol, Nil)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("double").as("c12"))
-    val c1 = pairs.groupBy(col("w1"))
-      .agg(count(lit(1)).cast("double").as("c1"))
+    // history counts roll up from the PAIR counts (Σ_w2 c12 = c1) — same
+    // numbers as counting the pairs again, minus a full corpus re-explode
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = vocabSize(corpus, textCol)
     c12.join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
@@ -421,11 +422,10 @@ object Corpus {
     */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       corpus: DataFrame, smoothingK: Double = 1.0): DataFrame = {
-    val corpusPairs = bigramRows(corpus, textCol, Nil)
-    val c12 = corpusPairs.groupBy(col("w1"), col("w2"))
+    val c12 = bigramRows(corpus, textCol, Nil)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("double").as("c12"))
-    val c1 = corpusPairs.groupBy(col("w1"))
-      .agg(count(lit(1)).cast("double").as("c1"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = vocabSize(corpus, textCol)
     bigramRows(docs, textCol, Seq(idCol))
       .join(c12, Seq("w1", "w2"), "left")
