@@ -148,6 +148,60 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(run(1L) === run(60L) && run(60L) === run(100000L))
   }
 
+  test("randomized: asofJoin all three directions equal in-memory brute force") {
+    val rnd = new scala.util.Random(20260812L)
+    val keys = Seq("a", "b", "c")
+    val leftRows = (1 to 120).map(i =>
+      (i.toLong, keys(rnd.nextInt(3)), (rnd.nextInt(1000) + 1).toLong))
+    val rightRows = (1 to 150).map(i =>
+      (keys(rnd.nextInt(3)), (rnd.nextInt(1000) + 1).toLong, rnd.nextInt(50).toDouble))
+      // unique (k, t) so the expected pick is unambiguous
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val left = L(leftRows: _*); val right = R(rightRows: _*)
+    def brute(dir: String): Map[Long, Option[Double]] =
+      leftRows.map { case (id, k, t) =>
+        val cands = rightRows.filter(_._1 == k)
+        val pick = dir match {
+          case "backward" => cands.filter(_._2 <= t).sortBy(-_._2).headOption
+          case "forward"  => cands.filter(_._2 >= t).sortBy(_._2).headOption
+          case "nearest"  =>
+            val b = cands.filter(_._2 <= t).sortBy(-_._2).headOption
+            val f = cands.filter(_._2 > t).sortBy(_._2).headOption
+            (b, f) match {
+              case (Some(bb), Some(ff)) =>
+                if (t - bb._2 <= ff._2 - t) Some(bb) else Some(ff)
+              case _ => b.orElse(f)
+            }
+        }
+        id -> pick.map(_._3)
+      }.toMap
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = matches(TemporalJoins.asofJoin(left, right, "t", "t", Seq("k"), dir))
+      assert(got === brute(dir), s"direction $dir diverged from brute force")
+    }
+  }
+
+  test("randomized: rangeJoin equals the brute-force containment pair set") {
+    val rnd = new scala.util.Random(42L)
+    val keys = Seq("a", "b")
+    val pts = (1 to 80).map(i =>
+      (i.toLong, keys(rnd.nextInt(2)), (rnd.nextInt(500) + 1).toLong))
+    val ivs = (1 to 60).map { i =>
+      val s = rnd.nextInt(500).toLong + 1
+      (keys(rnd.nextInt(2)), i.toLong, s, s + rnd.nextInt(100).toLong)
+    }
+    val expected = (for {
+      (pid, pk, pt) <- pts
+      (ik, iid, s, e) <- ivs
+      if pk == ik && pt >= s && pt < e
+    } yield (pid, iid)).toSet
+    val got = TemporalJoins.rangeJoin(L(pts: _*), "t", I(ivs: _*), "s", "e",
+        Seq("k"), bucketWidthSeconds = 37L)
+      .select("id", "r_iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("rangeJoin raises on reversed intervals instead of dropping them") {
     val pts = L((1L, "a", 100L))
     val ivs = I(("a", 10L, 300L, 200L))
