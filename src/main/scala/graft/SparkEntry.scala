@@ -1172,6 +1172,13 @@ object SparkEntry {
       graft.operators.Corpus.profileSketch(
         t(s, d, "documents").df, "text", "doc_id")),
 
+    // first-order Markov transition matrix over per-user event sequences
+    "q_event_transitions" -> ((s, d) =>
+      EventStreams.transitionMatrix(t(s, d, "events").df, "ts", "user_id",
+          "event_type", tieBreak = Seq("event_id"))
+        .select(col("from_type"), col("to_type"),
+          col("n").cast("bigint").as("n"), col("p"))),
+
     // weekly cohort retention matrix over the events table
     "q_retention" -> ((s, d) =>
       EventStreams.retention(t(s, d, "events").df, "ts", "user_id")
@@ -1777,6 +1784,12 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_event_transitions" ->
+      ("WITH pairs AS (SELECT event_type AS from_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events), " +
+        "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p FROM c"),
 
     "q_retention" ->
       ("WITH firsts AS (SELECT user_id, epoch_us(min(ts)) // 604800000000 AS cohort FROM events GROUP BY 1) " +

@@ -132,6 +132,27 @@ object EventStreams {
     }.toDF("user_id", "n_events", "last_value")
   }
 
+  /** First-order event-transition matrix: for consecutive events per key
+    * (event-time order, `tieBreak` disambiguating equal timestamps),
+    * counts and conditional probabilities P(to | from) — the Markov-chain
+    * view of user behavior. One key shuffle for the lead window, one
+    * (from, to) rollup; the per-from normalizer is a window over the tiny
+    * (types × types) count frame, not the events.
+    */
+  def transitionMatrix(events: DataFrame, tsCol: String, keyCol: String,
+      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val counts = events
+      .withColumn("graft_next", lead(col(typeCol), 1).over(w))
+      .where(col("graft_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("graft_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("from_type"))
+    counts.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(totals), 6))
+  }
+
   /** Cohort retention: keys grouped by the period of their FIRST event
     * (the cohort), counted distinct in every later period they were
     * active — the week-over-week retention matrix. Period indices are

@@ -155,6 +155,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 4L)) // first click/user1, buy/user1, click/user2
   }
 
+  test("transitionMatrix: per-key consecutive pairs, rows normalize to 1") {
+    val sp = spark; import sp.implicits._
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, t("2024-01-01 10:01:00"), "click"),
+      (3L, 1L, t("2024-01-01 10:02:00"), "view"),
+      (4L, 1L, t("2024-01-01 10:03:00"), "click"),
+      (5L, 2L, t("2024-01-01 10:00:00"), "view"),
+      (6L, 2L, t("2024-01-01 10:01:00"), "buy")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventStreams.transitionMatrix(ev, "ts", "user_id", "event_type",
+        tieBreak = Seq("event_id"))
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    // view -> click twice, view -> buy once (user 2), click -> view once
+    assert(out(("view", "click")) == (2L, 0.666667))
+    assert(out(("view", "buy")) == (1L, 0.333333))
+    assert(out(("click", "view")) == (1L, 1.0))
+    // no cross-user pair: (click/user1 last event, view/user2 first) absent
+    assert(!out.contains(("click", "buy")))
+  }
+
   test("retention: cohort by first event period, distinct actives per offset") {
     val sp = spark; import sp.implicits._
     // period = 100 s; user 1 first at t=50 (cohort 0), active in periods 0,1,2
