@@ -1238,6 +1238,13 @@ object SparkEntry {
           col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"),
           col("score"), col("rnk"))),
 
+    // fuzzy entity-resolution pairs: levenshtein <= 1 over customer names
+    // via q-gram prefix filtering (complete recall); oracle = DuckDB's
+    // native levenshtein brute force over all pairs
+    "q_dedup_fuzzy" -> ((s, d) =>
+      Dedup.editDistancePairs(t(s, d, "customer").df, "c_name", "c_custkey",
+        maxDist = 1, q = 2)),
+
     // unigram LM quality scoring: model trained on the corpus itself,
     // every doc scored by mean token log-probability (KenLM-style gate)
     "q_text_unigram" -> ((s, d) => {
@@ -1784,6 +1791,12 @@ object SparkEntry {
 
     "q_vector_math" ->
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+
+    "q_dedup_fuzzy" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1"),
 
     "q_event_transitions" ->
       ("WITH pairs AS (SELECT event_type AS from_type, " +

@@ -437,6 +437,72 @@ object Dedup {
       .drop("graft_rn", "graft_score", "cluster_id")
   }
 
+  /** Fuzzy (edit-distance) near-dup pairs with COMPLETE recall at
+    * `maxDist`: all (id_a, id_b, dist) with levenshtein ≤ maxDist —
+    * entity-resolution over names/titles where token methods miss
+    * single-character typos.
+    *
+    * Candidate generation is q-gram PREFIX FILTERING (Gravano et al. 2001
+    * / PPJoin family): a string of g q-grams within edit distance k of
+    * another shares ≥ g − k·q of its q-grams (each edit destroys ≤ q),
+    * so under ANY global total order on grams, the two strings' first
+    * k·q + 1 grams must intersect — index ONLY those. Ordering by global
+    * document frequency ascending makes the indexed grams the RAREST
+    * ones, collapsing posting lists exactly where the corpus is dense
+    * (shared prefixes/boilerplate land at the tail, never indexed).
+    * Occurrence-tagging (`gram#n`) turns the multiset bound into plain
+    * set joins. A length filter (|len_a − len_b| ≤ k) prunes before the
+    * exact levenshtein verify.
+    *
+    * Scale shape: explode ~len grams/row, ONE df groupBy, per-row window
+    * to keep k·q+1 prefix rows, posting-list self-join on the rare grams,
+    * verify on collided pairs only. Σ df² runs over RARE grams — the
+    * dial is q (bigger q = more selective grams, recall bound unchanged).
+    */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 1, q: Int = 2): DataFrame = {
+    require(maxDist >= 1 && q >= 1, "editDistancePairs: need maxDist, q >= 1")
+    val prefixLen = maxDist * q + 1
+    // occurrence-tagged positional q-grams; strings shorter than q get one
+    // whole-string gram so they still index
+    val grams = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .withColumn("g0", when(length(col("s")) < q, array(col("s")))
+        .otherwise(expr(s"transform(sequence(1, length(s) - $q + 1), " +
+          s"i -> substring(s, i, $q))")))
+      .select(col("id"), col("s"), posexplode(col("g0")).as(Seq("gpos", "g")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("id"), col("g")).orderBy(col("gpos"))))
+      .select(col("id"), col("s"), concat_ws("#", col("g"), col("occ")).as("tg"))
+    val dfreq = grams.groupBy(col("tg")).agg(count(lit(1)).as("graft_df"))
+    val prefix = grams.join(dfreq, Seq("tg"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("graft_df").asc, col("tg").asc)))
+      .where(col("rn") <= prefixLen)
+      .select(col("id"), col("s"), col("tg"))
+    val cand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.tg") === col("b.tg") && col("a.id") < col("b.id"))
+      .where(abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+    // strings with ≤ k·q grams have a VACUOUS count bound (g − k·q ≤ 0):
+    // a qualifying pair can share zero grams, so the prefix index may miss
+    // it. Such strings are short (len ≤ k·q + q − 1), and a partner within
+    // edit distance k is at most k longer — all-pairs the short pool
+    // (bounded population by construction) and union it in.
+    val shortThr = maxDist * q + q - 1 + maxDist
+    val shortPool = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .where(length(col("s")) <= shortThr)
+    val shortCand = shortPool.alias("a").join(shortPool.alias("b"),
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+    cand.unionAll(shortCand)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
+  }
+
   /** Distinct candidate id pairs from multi-table sign-LSH bucketing of an
     * `(id, v)` frame — the pruning stage of [[embeddingCosinePairs]],
     * exposed so specs can measure the candidate ratio (candidates /

@@ -485,6 +485,39 @@ class DedupSimilaritySpec extends SparkSpec {
       "indexed probe must reproduce the in-memory IVF ranking")
   }
 
+  test("editDistancePairs: randomized equality with brute-force levenshtein") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7L)
+    val alphabet = "abcde"
+    def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(5))).mkString
+    // base strings + planted single-edit variants + some very short strings
+    val base = (1 to 60).map(i => (i.toLong, randStr(6 + rnd.nextInt(6))))
+    val variants = base.take(20).zipWithIndex.map { case ((_, s), i) =>
+      val pos = rnd.nextInt(s.length)
+      (1000L + i, s.updated(pos, alphabet(rnd.nextInt(5))))
+    }
+    val shorts = Seq((2000L, "a"), (2001L, "b"), (2002L, "ab"), (2003L, "ba"))
+    val rows = base ++ variants ++ shorts
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- Seq(1, 2)) {
+      val expected = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && lev(sa, sb) <= k
+      } yield (ia, ib, lev(sa, sb).toLong)).toSet
+      val got = Dedup.editDistancePairs(rows.toDF("id", "s"), "s", "id",
+          maxDist = k, q = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"maxDist=$k diverged from brute force")
+    }
+  }
+
   test("IVF index append: batch joins existing lists, probes find appended vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = emb.where(col("vec_id") < 400)
