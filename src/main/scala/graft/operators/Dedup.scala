@@ -458,6 +458,13 @@ object Dedup {
     * to keep k·q+1 prefix rows, posting-list self-join on the rare grams,
     * verify on collided pairs only. Σ df² runs over RARE grams — the
     * dial is q (bigger q = more selective grams, recall bound unchanged).
+    *
+    * Density caveat: when the TRUE pair set is itself near-quadratic
+    * (serial-number-style keys where most strings are within maxDist of
+    * hundreds of others), no complete-recall method beats the output
+    * size — candidates are lower-bounded by the answer. That corpus
+    * wants clustering on a projection (drop the serial digits), not a
+    * pairwise join.
     */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 1, q: Int = 2): DataFrame = {
