@@ -1238,6 +1238,21 @@ object SparkEntry {
           col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"),
           col("score"), col("rnk"))),
 
+    // SPAN-level decontamination: planted eval quote lines are removed,
+    // the surrounding document survives (doc-level decontaminate would
+    // have dropped it whole)
+    "q_decontaminate_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val quote = "the committee will review the benchmark answer key tomorrow morning"
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit("\n" + quote))
+            .otherwise(lit(""))).as("text"))
+      val evalSet = s.range(1)
+        .select(col("id").as("doc_id"), lit(quote).as("text"))
+      graft.operators.Corpus.decontaminateSpans(aug, evalSet, "text", "doc_id")
+    }),
+
     // fuzzy entity-resolution pairs: levenshtein <= 1 over customer names
     // via q-gram prefix filtering (complete recall); oracle = DuckDB's
     // native levenshtein brute force over all pairs
@@ -1797,6 +1812,23 @@ object SparkEntry {
         "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
         "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
         "WHERE levenshtein(a.c_name, b.c_name) <= 1"),
+
+    "q_decontaminate_spans" -> {
+      val quote = "the committee will review the benchmark answer key tomorrow morning"
+      def normTokens(e: String) =
+        s"string_split(trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      def shingles(tk: String) =
+        s"CASE WHEN len($tk) < 3 THEN [array_to_string($tk, ' ')] " +
+          s"ELSE list_distinct(list_transform(range(len($tk) - 2), ii -> $tk[ii + 1] || ' ' || $tk[ii + 2] || ' ' || $tk[ii + 3])) END"
+      s"WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '$quote' ELSE '' END AS text FROM documents), " +
+        "lns AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)), " +
+        s"lsh AS (SELECT doc_id, pos, unnest(${shingles(normTokens("line"))}) AS g FROM lns), " +
+        s"esh AS (SELECT DISTINCT unnest(${shingles(normTokens(s"'$quote'"))}) AS g), " +
+        "bad AS (SELECT DISTINCT doc_id, pos FROM lsh JOIN esh USING (g)), " +
+        "keep AS (SELECT l.doc_id, l.pos, l.line FROM lns l LEFT JOIN bad b ON l.doc_id = b.doc_id AND l.pos = b.pos WHERE b.doc_id IS NULL) " +
+        "SELECT a.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text " +
+        "FROM aug a LEFT JOIN keep k ON a.doc_id = k.doc_id GROUP BY a.doc_id"
+    },
 
     "q_event_transitions" ->
       ("WITH pairs AS (SELECT event_type AS from_type, " +

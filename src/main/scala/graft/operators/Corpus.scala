@@ -545,4 +545,47 @@ object Corpus {
       contamination(corpus, evalSet, textCol, idCol, shingleWords, minShared)
         .select(col("doc_id").as("graft_contaminated_id")).distinct(),
       corpus(idCol) === col("graft_contaminated_id"), "left_anti")
+
+  /** SPAN-level decontamination: remove the contaminated LINES of each
+    * document and keep the rest — the surgical alternative to
+    * [[decontaminate]] when an eval snippet is quoted inside an otherwise
+    * clean document (dropping the whole doc wastes the clean 99 %). A
+    * line is contaminated when it shares ≥ `minShared` word shingles with
+    * the eval set. Rebuild preserves line order; fully-contaminated docs
+    * come back as empty strings (gate on length downstream), mirroring
+    * [[stripBoilerplate]]'s contract.
+    *
+    * Scale shape: line posexplode, shingle explode of the lines, one join
+    * against the (broadcast) eval posting list, per-(doc, line) rollup,
+    * anti-join + order-preserving reassembly. The eval side is
+    * benchmark-sized by definition.
+    */
+  def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, shingleWords: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    val evalPosting = broadcast(evalSet.select(
+      explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
+      .distinct())
+    val lines = corpus.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val contaminated = lines
+      .select(col(idCol), col("pos"),
+        explode(array_distinct(T.wordShingles(col("line"), shingleWords))).as("g"))
+      .join(evalPosting, Seq("g"))
+      .groupBy(col(idCol), col("pos"))
+      .agg(count(lit(1)).as("graft_shared"))
+      .where(col("graft_shared") >= minShared)
+      .select(col(idCol).as("graft_cid"), col("pos").as("graft_cpos"))
+    val rebuilt = lines
+      .join(contaminated,
+        col(idCol) === col("graft_cid") && col("pos") === col("graft_cpos"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as(textCol))
+    corpus.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

@@ -306,6 +306,20 @@ class CorpusSpec extends SparkSpec {
     assert(out(10L)._1 > out(11L)._1)
   }
 
+  test("decontaminateSpans removes quoted eval lines, keeps the rest in order") {
+    val sp = spark; import sp.implicits._
+    val evalSet = Seq((0L, "secret benchmark answer key held out")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean opening line here\nsecret benchmark answer key held out\nclean closing line here"),
+      (2L, "totally unrelated document text"),
+      (3L, "secret benchmark answer key held out")).toDF("doc_id", "text")
+    val out = Corpus.decontaminateSpans(corpus, evalSet, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "clean opening line here\nclean closing line here")
+    assert(out(2L) == "totally unrelated document text")
+    assert(out(3L) == "") // fully contaminated -> empty, not dropped
+  }
+
   test("profileSketch: HLL distincts within rsd bounds, percentiles sane") {
     val sp = spark; import sp.implicits._
     val many = (1 to 2000).map(i => (i.toLong, s"doc body $i " + ("x " * (i % 50))))
