@@ -130,8 +130,13 @@ object DeltaStats {
       case INT64 if ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] => None
       case INT64 => Some(v.toString)
       case FLOAT =>
+        // Spark evaluates float-vs-literal comparisons after widening the
+        // float to double, so bounds must be rendered in the DOUBLE domain:
+        // Float.toString(0.1f) = "0.1", but (double)0.1f = 0.10000000149…,
+        // and `col > 0.1` matches rows of a file whose float max is 0.1f —
+        // the "0.1" rendering would prune that file and change results.
         val f = v.asInstanceOf[java.lang.Float].floatValue
-        if (java.lang.Float.isFinite(f)) Some(f.toString) else None
+        if (java.lang.Float.isFinite(f)) Some(f.toDouble.toString) else None
       case DOUBLE =>
         val d = v.asInstanceOf[java.lang.Double].doubleValue
         if (java.lang.Double.isFinite(d)) Some(d.toString) else None
@@ -230,7 +235,8 @@ object DeltaStats {
       case StringType => if (raw.forall(_ < 128)) Some(raw) else None
       case DateType =>
         try Some(java.time.LocalDate.parse(raw).toEpochDay) catch { case _: Exception => None }
-      case BooleanType => Some(if (raw.toBoolean) 1L else 0L)
+      case BooleanType =>
+        try Some(if (raw.toBoolean) 1L else 0L) catch { case _: Exception => None }
       case _ => None
     }
     Bounds(v, v, nullCount = Some(0L), numRecords = numRecords)
