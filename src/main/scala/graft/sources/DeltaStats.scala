@@ -211,6 +211,16 @@ object DeltaStats {
     */
   private def statsValue(node: com.fasterxml.jackson.databind.JsonNode,
       fieldType: DataType): Option[Any] = fieldType match {
+    case FloatType =>
+      // Widen through float before comparing: external writers (and this
+      // framework pre-r5) render float bounds in shortest-float form
+      // ("0.1"), but Spark compares floats against literals in the double
+      // domain where 0.1f = 0.10000000149… — comparing the exact decimal
+      // 0.1 would wrongly prune `f > 0.1`. Idempotent for bounds already
+      // rendered in the double domain.
+      if (!node.isNumber) None
+      else try Some(BigDecimal(node.asText.toFloat.toDouble))
+      catch { case _: Exception => None }
     case _: NumericType =>
       if (!node.isNumber) None
       else try Some(BigDecimal(node.asText)) catch { case _: Exception => None }
@@ -231,6 +241,10 @@ object DeltaStats {
       return Bounds(None, None, nullCount = numRecords, numRecords = numRecords,
         isNullPartition = true)
     val v: Option[Any] = fieldType match {
+      case FloatType =>
+        // Partition path segments render floats in shortest form ("f=0.1");
+        // widen to the double domain Spark compares in (see statsValue).
+        try Some(BigDecimal(raw.toFloat.toDouble)) catch { case _: Exception => None }
       case _: NumericType => try Some(BigDecimal(raw)) catch { case _: Exception => None }
       case StringType => if (raw.forall(_ < 128)) Some(raw) else None
       case DateType =>

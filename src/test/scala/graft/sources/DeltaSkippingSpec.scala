@@ -226,7 +226,7 @@ class DeltaSkippingSpec extends SparkSpec {
   test("float-column pruning honors Spark's double-widened comparison domain") {
     val p = tmp("skip_float")
     rm(p)
-    // file 0 holds floats whose max is exactly 0.1f. Spark evaluates
+    // the LAST file holds floats whose max is exactly 0.1f. Spark evaluates
     // `f > 0.1` as (double)f > 0.1d, and (double)0.1f = 0.10000000149… > 0.1,
     // so the row MATCHES — a pruner comparing the shortest float rendering
     // "0.1" against the literal would wrongly skip the file.
@@ -259,12 +259,38 @@ class DeltaSkippingSpec extends SparkSpec {
     val sp = spark; import sp.implicits._
     val df = sp.range(20).select(col("id"), (col("id") % 2 === 0).as("flag"))
     Writers.writeDeltaTable(df, "overwrite", p, partitionBy = Seq("flag"))
-    // corrupt one partition value in the log on disk is overkill — exercise
-    // partitionBounds directly through a predicate over a boolean partition
-    // column; the conservative path must not throw on any input
     val full = DeltaLog.read(spark, p)
     assert(rowsOf(DeltaLog.readWhere(spark, p, "flag = true")) ==
       rowsOf(full.where(expr("flag = true"))))
+    // and the hardened parse path itself: a corrupted partition value that
+    // raw.toBoolean rejects must keep the file, never throw
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("flag", org.apache.spark.sql.types.BooleanType)))
+    val corrupt = DeltaStats.AddEntry("part.parquet", Map("flag" -> "maybe"), None, 1L)
+    val kept = DeltaStats.prune(spark, "flag = true", schema, Seq("flag"), Seq(corrupt))
+    assert(kept == Seq(corrupt), "unparseable partition value must be kept, not pruned")
+  }
+
+  test("float partition values and shortest-float stats widen to the double domain") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("f", FloatType)))
+    // partition path segment "0.1" means the float 0.1f, which widens to
+    // 0.10000000149… — so `f > 0.1` MUST keep the file, and `f > 0.101`
+    // must prune it
+    val partAdd = DeltaStats.AddEntry("f=0.1/part.parquet", Map("f" -> "0.1"), None, 1L)
+    assert(DeltaStats.prune(spark, "f > 0.1", schema, Seq("f"), Seq(partAdd)).nonEmpty,
+      "partition value 0.1f widens above the 0.1 literal; file must be kept")
+    assert(DeltaStats.prune(spark, "f > 0.101", schema, Seq("f"), Seq(partAdd)).isEmpty)
+    assert(DeltaStats.prune(spark, "f = 0.1", schema, Seq("f"), Seq(partAdd)).isEmpty,
+      "the exact-decimal 0.1 literal never equals the widened 0.1f")
+    // stats written by an external writer in shortest-float form ("0.1")
+    val stats = """{"numRecords":10,"minValues":{"f":0.0},"maxValues":{"f":0.1},""" +
+      """"nullCount":{"f":0}}"""
+    val statAdd = DeltaStats.AddEntry("part.parquet", Map.empty, Some(stats), 1L)
+    assert(DeltaStats.prune(spark, "f > 0.1", schema, Nil, Seq(statAdd)).nonEmpty,
+      "shortest-float max 0.1 widens above the 0.1 literal; file must be kept")
+    assert(DeltaStats.prune(spark, "f > 0.101", schema, Nil, Seq(statAdd)).isEmpty)
   }
 
   test("optimize zorder clusters both columns so either predicate skips most files") {
