@@ -1165,12 +1165,40 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
-    // sketch profile (HLL distinct + quantile sketches) — approximate by
-    // contract, so NO oracleSql entry: the driver grades rows-only and
-    // the error bounds are spec-asserted against the exact profile
-    "q_profile_sketch" -> ((s, d) =>
-      graft.operators.Corpus.profileSketch(
-        t(s, d, "documents").df, "text", "doc_id")),
+    // sketch profile (HLL distinct + quantile sketches): the graded row
+    // carries the EXACT fields (hash-matched by DuckDB) plus in-bound
+    // booleans for the approximate fields — the oracle asserts them TRUE,
+    // so a sketch drifting outside its contracted error bound fails the
+    // hash gate instead of hiding behind "approximate by contract".
+    // The one-row collect is the sketch output itself, not data.
+    "q_profile_sketch" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val sk = graft.operators.Corpus.profileSketch(docs, "text", "doc_id",
+        rsd = 0.05, accuracy = 10000).collect()(0)
+      val (aIds, aTexts) = (sk.getLong(1), sk.getLong(2))
+      val tc = TF.tokenCount(col("text")).cast("long")
+      val nTok = count(tc)
+      // percentile_approx guarantees rank error ≤ n/accuracy; +1 absorbs
+      // the boundary convention on duplicate-free grids
+      val tol = nTok.cast("double") / lit(10000.0) + lit(1.0)
+      val exactIds = countDistinct(col("doc_id"))
+      val exactTexts = countDistinct(col("text"))
+      // 3×rsd relative tolerance on the HLL estimates (rsd = 0.05)
+      def hllOk(est: Long, exact: org.apache.spark.sql.Column) =
+        (abs(lit(est) - exact).cast("double") <= exact.cast("double") * lit(0.15))
+      def quantOk(q: Double, v: Long) =
+        (sum((tc < lit(v)).cast("long")).cast("double") <= nTok * lit(q) + tol) &&
+          (sum((tc <= lit(v)).cast("long")).cast("double") >= nTok * lit(q) - tol)
+      docs.agg(
+        count(lit(1)).as("n_rows"),
+        exactIds.as("exact_ids"),
+        exactTexts.as("exact_texts"),
+        hllOk(aIds, exactIds).as("ids_in_bound"),
+        hllOk(aTexts, exactTexts).as("texts_in_bound"),
+        quantOk(0.5, sk.getLong(3)).as("p50_in_bound"),
+        quantOk(0.95, sk.getLong(4)).as("p95_in_bound"),
+        quantOk(0.99, sk.getLong(5)).as("p99_in_bound"))
+    }),
 
     // first-order Markov transition matrix over per-user event sequences
     "q_event_transitions" -> ((s, d) =>
@@ -1760,6 +1788,15 @@ object SparkEntry {
 
     "q_multimodal" ->
       OracleSql.multimodal,
+
+    // exact fields recomputed by DuckDB; the in-bound booleans are
+    // asserted TRUE — a sketch outside its error contract flips one to
+    // false on the Spark side and the hash gate catches it
+    "q_profile_sketch" ->
+      ("SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS exact_ids, " +
+        "count(DISTINCT text) AS exact_texts, true AS ids_in_bound, " +
+        "true AS texts_in_bound, true AS p50_in_bound, " +
+        "true AS p95_in_bound, true AS p99_in_bound FROM documents"),
 
     "q_sim_topk" ->
       "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine, CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS BIGINT) AS rnk FROM embeddings c, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q WHERE c.vec_id <> q.vec_id QUALIFY rnk <= 10",

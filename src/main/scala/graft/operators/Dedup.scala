@@ -221,10 +221,12 @@ object Dedup {
       HashExpressions.minhashSketch(
         T.wordShingles(col(textCol), shingleWords), numHashes).as("sketch"))
       .select(col("id"),
+        // xxhash64 hashes the long-array slice natively (codegen'd element
+        // fold) — the previous cast-to-string + concat_ws build allocated
+        // b×r strings per doc and measurably dominated the sketch pass
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("sketch"), b * r + 1, lit(r)), _.cast("string")))).as("bh"))))
+            xxhash64(slice(col("sketch"), b * r + 1, lit(r))).as("bh"))))
           .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
   }
