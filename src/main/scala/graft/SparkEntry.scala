@@ -471,6 +471,21 @@ object SparkEntry {
           "RPAD(c_mktsegment, 12, '.') AS padded_seg")
         .toDF),
 
+    // the scalar whitelist tail (normalize.rs:64-80): SOUNDEX, OVERLAY,
+    // NVL2, REGEXP_SUBSTR, ILIKE, TO_CHAR — graded via DuckDB rewrites
+    // (soundex has no DuckDB twin; the oracle carries the ground-truth
+    // codes for the 5-value c_mktsegment domain)
+    "q_string_fns3" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("c_custkey",
+          "SOUNDEX(c_mktsegment) AS seg_soundex",
+          "OVERLAY(c_name PLACING '@' FROM 9 FOR 1) AS name_at",
+          "NVL2(NULLIF(c_mktsegment, 'BUILDING'), 'other', 'builder') AS seg_nvl2",
+          "REGEXP_SUBSTR(c_name, '[0-9]+') AS name_digits",
+          "c_mktsegment ILIKE '%house%' AS is_household",
+          "TO_CHAR(CAST(c_acctbal AS DECIMAL(12,2)), 'S00000.00') AS bal_fmt")
+        .toDF),
+
     "q_math_fns2" -> ((s, d) =>
       t(s, d, "part")
         .select("p_partkey",
@@ -1834,6 +1849,16 @@ object SparkEntry {
 
     "q_string_fns2" ->
       "SELECT c_custkey, translate(c_name, '0', 'O') AS translated, repeat(c_mktsegment, 2) AS seg2, CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, left(c_name, 8) AS first8, right(c_name, 3) AS last3, rpad(c_mktsegment, 12, '.') AS padded_seg FROM customer",
+
+    "q_string_fns3" ->
+      ("SELECT c_custkey, CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'A351' " +
+        "WHEN 'BUILDING' THEN 'B435' WHEN 'FURNITURE' THEN 'F653' " +
+        "WHEN 'MACHINERY' THEN 'M256' WHEN 'HOUSEHOLD' THEN 'H243' END AS seg_soundex, " +
+        "substr(c_name, 1, 8) || '@' || substr(c_name, 10) AS name_at, " +
+        "CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL THEN 'other' ELSE 'builder' END AS seg_nvl2, " +
+        "regexp_extract(c_name, '[0-9]+') AS name_digits, " +
+        "c_mktsegment ILIKE '%house%' AS is_household, " +
+        "printf('%+09.2f', CAST(c_acctbal AS DECIMAL(12,2))) AS bal_fmt FROM customer"),
 
     "q_math_fns2" ->
       "SELECT p_partkey, round(sin(p_size), 6) AS sin_size, round(cos(p_size), 6) AS cos_size, round(atan2(p_size, 10), 6) AS at2, round(cbrt(p_retailprice), 6) AS cbrt_p, round(log2(p_size), 6) AS log2_size, CAST(factorial(p_size % 10) AS BIGINT) AS fact10 FROM part",

@@ -469,7 +469,7 @@ object Dedup {
     * pairwise join.
     */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 1, q: Int = 2): DataFrame = {
+      maxDist: Int = 1, q: Int = 2, maxShortPool: Long = 10000L): DataFrame = {
     require(maxDist >= 1 && q >= 1, "editDistancePairs: need maxDist, q >= 1")
     val prefixLen = maxDist * q + 1
     // occurrence-tagged positional q-grams; strings shorter than q get one
@@ -501,6 +501,17 @@ object Dedup {
     val shortThr = maxDist * q + q - 1 + maxDist
     val shortPool = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .where(length(col("s")) <= shortThr)
+    // the pool's all-pairs join is bounded BY CONSTRUCTION for name/title
+    // corpora, but a corpus of millions of very short strings would go
+    // quadratic silently — count it and raise, mirroring rangeJoin's
+    // corrupt-interval raise, so the contract is self-enforcing
+    val nShort = shortPool.count()
+    if (nShort > maxShortPool)
+      throw graft.GraftError.LimitExceeded(
+        s"editDistancePairs: $nShort strings of length <= $shortThr form an " +
+          s"all-pairs verification pool past maxShortPool=$maxShortPool " +
+          s"(~${nShort * nShort / 2} pairs); cluster on a projection or " +
+          "raise maxShortPool explicitly")
     val shortCand = shortPool.alias("a").join(shortPool.alias("b"),
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

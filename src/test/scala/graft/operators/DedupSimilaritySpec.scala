@@ -518,6 +518,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs: short-string pool past maxShortPool raises typed") {
+    val sp = spark; import sp.implicits._
+    // 30 strings of length <= 4 all land in the all-pairs short pool
+    val rows = (1 to 30).map(i => (i.toLong, f"s$i%02d"))
+    val e = intercept[graft.GraftError.LimitExceeded] {
+      Dedup.editDistancePairs(rows.toDF("id", "s"), "s", "id",
+        maxDist = 1, q = 2, maxShortPool = 10L).collect()
+    }
+    assert(e.getMessage.contains("maxShortPool"))
+    // raising the dial restores the complete answer
+    val got = Dedup.editDistancePairs(rows.toDF("id", "s"), "s", "id",
+      maxDist = 1, q = 2, maxShortPool = 100L).count()
+    assert(got > 0)
+  }
+
   test("IVF index append: batch joins existing lists, probes find appended vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = emb.where(col("vec_id") < 400)

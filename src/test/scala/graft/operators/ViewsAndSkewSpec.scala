@@ -30,6 +30,24 @@ class ViewsAndSkewSpec extends SparkSpec {
     assert(MaterializedViews.get("mv_ttl").isEmpty)
   }
 
+  test("materialized view registry rejects past the 50-view cap, frees on drop") {
+    MaterializedViews.clear()
+    val frame = base.select("grp")
+    (1 to MaterializedViews.MaxViews).foreach(i =>
+      MaterializedViews.create(frame, s"mv_cap_$i"))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedViews.create(frame, "mv_cap_overflow")
+    }
+    assert(e.getMessage.contains("limit"))
+    // replacing an EXISTING name stays allowed at the cap…
+    MaterializedViews.create(frame, "mv_cap_1")
+    // …and dropping opens a slot
+    MaterializedViews.drop("mv_cap_2")
+    MaterializedViews.create(frame, "mv_cap_overflow")
+    MaterializedViews.clear()
+    assert(MaterializedViews.list().isEmpty)
+  }
+
   test("query cache hits on identical generated SQL, respects LRU cap") {
     val cache = new QueryCache(maxEntries = 2)
     def q(g: String) = base.select("grp", "v").filter(s"grp = '$g'")
