@@ -373,6 +373,11 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
       // pointer jump: label(v) ← min(label(v), label(label(v))). Labels are
       // always vertex ids, so the lookup side is the same frame.
+      // EAGER checkpoint, measured: the lazy variant (agg materializes the
+      // checkpoint as a side effect, one job/round instead of two) ran 2×
+      // SLOWER at sf0.1 — the eager path stores the AQE-optimized final
+      // partitioning, the lazy one pins the pre-coalesce shape and every
+      // later round pays for it
       val next = stepped.alias("x").join(
           stepped.select(col("id").as("jid"), col("label").as("jlabel")).alias("j"),
           col("x.label") === col("j.jid"), "left")
