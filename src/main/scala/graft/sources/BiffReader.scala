@@ -18,8 +18,9 @@ import graft.GraftError
   *
   * Output is the same `Seq[Map[colIndex → cellString]]` shape the XLSX
   * path produces, so header handling and the majority-vote smart caster
-  * are shared. BIFF5 and older (no SST, codepage strings) get a typed
-  * rejection rather than garbage.
+  * are shared. BIFF5/BIFF7 (Excel 5.0/95) is read too: numeric records
+  * are identical, strings switch to inline CODEPAGE byte strings (no
+  * SST). BIFF4 and older get a typed rejection rather than garbage.
   */
 object BiffReader {
 
@@ -252,6 +253,31 @@ object BiffReader {
     if (div100) v / 100.0 else v
   }
 
+  /** Windows codepage id → JVM charset for BIFF5 byte strings. Unknown
+    * codepages fall back to windows-1252 (what Excel wrote by default in
+    * the locales where pre-97 files still circulate) — a wrong fallback
+    * garbles non-ASCII glyphs but never throws or shifts cell boundaries,
+    * since all these charsets are single-byte-indexed by cch.
+    */
+  private def biffCharset(codepage: Int): java.nio.charset.Charset = {
+    val name = codepage match {
+      case 437 => "IBM437"
+      case 850 => "IBM850"
+      case 932 => "windows-31j"
+      case 936 => "GBK"
+      case 949 => "x-windows-949"
+      case 950 => "Big5"
+      case 10000 => "x-MacRoman"
+      case 28591 => "ISO-8859-1"
+      case 65001 => "UTF-8"
+      case cp if cp >= 1250 && cp <= 1258 => s"windows-$cp"
+      case _ => "windows-1252"
+    }
+    try java.nio.charset.Charset.forName(name)
+    catch { case _: Exception =>
+      java.nio.charset.Charset.forName("windows-1252") }
+  }
+
   /** Render a numeric cell the way the XLSX path stores it: integral
     * values without a fraction so the smart caster votes integer.
     */
@@ -265,11 +291,18 @@ object BiffReader {
     if (wb.length < 8 || u16(wb, 0) != 0x0809)
       fail("stream does not start with a BIFF BOF record")
     val biffVersion = u16(wb, 4)
-    if (biffVersion != 0x0600)
-      fail(f"unsupported BIFF version 0x$biffVersion%04X — only BIFF8 (Excel 97+) .xls is readable; re-save as .xlsx")
+    // BIFF8 = 0x0600 (Excel 97+); BIFF5/BIFF7 = 0x0500 (Excel 5.0/95):
+    // same record framing and numeric cells, but strings are CODEPAGE
+    // byte strings and there is no SST (reference excel.rs:385-645 reads
+    // both through calamine)
+    val biff5 = biffVersion == 0x0500
+    if (biffVersion != 0x0600 && !biff5)
+      fail(f"unsupported BIFF version 0x$biffVersion%04X — only BIFF8 " +
+        "(Excel 97+) and BIFF5 (Excel 5.0/95) .xls are readable; re-save as .xlsx")
 
-    // pass 1: globals — SST (+ its CONTINUEs) and the first sheet offset
+    // pass 1: globals — SST (+ its CONTINUEs), CODEPAGE, first sheet offset
     var sst: IndexedSeq[String] = IndexedSeq.empty
+    var codepage = if (biff5) 1252 else 1200
     var firstSheetOffset = -1
     val globals = records(wb, 0)
     var pendingSst: Option[(Record, scala.collection.mutable.ArrayBuffer[Record])] = None
@@ -279,12 +312,14 @@ object BiffReader {
       r.id match {
         case 0x00FC => pendingSst = Some((r, scala.collection.mutable.ArrayBuffer.empty))
         case 0x003C => pendingSst.foreach(_._2 += r)
+        case 0x0042 => codepage = u16(wb, r.start) // CODEPAGE
         case 0x0085 => // BOUNDSHEET: sheet-BOF position, first sheet wins
           if (firstSheetOffset < 0) firstSheetOffset = u32(wb, r.start)
         case 0x000A => done = true // EOF of globals substream
         case _ => ()
       }
     }
+    val charset = biffCharset(codepage)
     pendingSst.foreach { case (s, conts) => sst = parseSst(wb, s, conts.toSeq) }
     if (firstSheetOffset < 0) fail("BIFF workbook has no sheets")
 
@@ -318,12 +353,13 @@ object BiffReader {
           val idx = u32(wb, r.start + 6)
           if (idx < 0 || idx >= sst.length) fail(s"LABELSST index $idx out of SST range")
           put(u16(wb, r.start), u16(wb, r.start + 2), sst(idx))
-        case 0x0204 => // LABEL (inline BIFF8 unicode string)
+        case 0x0204 => // LABEL: BIFF8 inline unicode; BIFF5 codepage bytes
           val cch = u16(wb, r.start + 6)
-          val high = (wb(r.start + 8) & 1) == 1
           val s =
-            if (high) new String(wb, r.start + 9, cch * 2,
-              java.nio.charset.StandardCharsets.UTF_16LE)
+            if (biff5) new String(wb, r.start + 8, cch, charset)
+            else if ((wb(r.start + 8) & 1) == 1)
+              new String(wb, r.start + 9, cch * 2,
+                java.nio.charset.StandardCharsets.UTF_16LE)
             else new String(wb, r.start + 9, cch,
               java.nio.charset.StandardCharsets.ISO_8859_1)
           put(u16(wb, r.start), u16(wb, r.start + 2), s)
@@ -348,10 +384,11 @@ object BiffReader {
         case 0x0207 => // STRING: cached string result of the last FORMULA
           lastFormulaCell.foreach { case (row, c) =>
             val cch = u16(wb, r.start)
-            val high = (wb(r.start + 2) & 1) == 1
             val s =
-              if (high) new String(wb, r.start + 3, cch * 2,
-                java.nio.charset.StandardCharsets.UTF_16LE)
+              if (biff5) new String(wb, r.start + 2, cch, charset)
+              else if ((wb(r.start + 2) & 1) == 1)
+                new String(wb, r.start + 3, cch * 2,
+                  java.nio.charset.StandardCharsets.UTF_16LE)
               else new String(wb, r.start + 3, cch,
                 java.nio.charset.StandardCharsets.ISO_8859_1)
             put(row, c, s)

@@ -92,6 +92,46 @@ object BiffFixture {
     globals(globalsLen) ++ sheet
   }
 
+  /** BIFF5 (Excel 5.0/95) workbook stream: same numeric records, but
+    * strings are inline codepage byte strings (no SST) and the globals
+    * carry a CODEPAGE record. "müller" pins the windows-1252 decode
+    * (0xFC is NOT valid ASCII/UTF-8, so a wrong charset shows up).
+    */
+  def workbookStreamBiff5(): Array[Byte] = {
+    val cp = "windows-1252"
+    def label(row: Int, col: Int, s: String): Array[Byte] = {
+      val b = s.getBytes(cp)
+      record(0x0204, cell(row, col), u16(b.length), b)
+    }
+    val sheetCells = Array(
+      record(0x0809, u16(0x0500), u16(0x0010), u32(0), u32(0)), // sheet BOF
+      label(0, 0, "name"), label(0, 1, "age"), label(0, 2, "salary"),
+      label(0, 3, "active"), label(0, 4, "note"),
+      label(1, 0, "müller"),
+      record(0x027E, cell(1, 1), u32(rkInt(25))),
+      record(0x0203, cell(1, 2), dbl(50000.5)),
+      record(0x0205, cell(1, 3), Array(1.toByte, 0.toByte)),
+      // FORMULA with cached BIFF5 STRING result (cch16 + codepage bytes)
+      record(0x0006, cell(1, 4),
+        Array(0.toByte, 0, 0, 0, 0, 0), u16(0xFFFF), u16(0), u32(0)),
+      record(0x0207, u16("naïve".getBytes(cp).length), "naïve".getBytes(cp)),
+      label(2, 0, "jane"),
+      record(0x00BD, u16(2), u16(1),
+        u16(0), u32(rkInt(30)), u16(0), u32(rkInt100(6000025)), u16(2)),
+      record(0x0205, cell(2, 3), Array(0.toByte, 0.toByte)),
+      record(0x0006, cell(2, 4), dbl(12.0), u16(0), u32(0)),
+      record(0x000A))
+    val sheet = sheetCells.flatten
+    def globals(sheetOffset: Int): Array[Byte] = Array(
+      record(0x0809, u16(0x0500), u16(0x0005), u32(0), u32(0)),
+      record(0x0042, u16(1252)), // CODEPAGE
+      record(0x0085, u32(sheetOffset), u16(0),
+        Array("Sheet1".length.toByte), "Sheet1".getBytes("ISO-8859-1")),
+      record(0x000A)).flatten
+    val globalsLen = globals(0).length
+    globals(globalsLen) ++ sheet
+  }
+
   private def entry(name: String, objType: Int, start: Int, size: Int): Array[Byte] = {
     val e = new Array[Byte](128)
     val n = name.getBytes("UTF-16LE")
@@ -142,8 +182,7 @@ object BiffFixture {
   }
 
   /** Container with the workbook stream ≥ 4096 B → regular FAT chain. */
-  def xlsRegular(): Array[Byte] = {
-    val wb0 = workbookStream()
+  def xlsRegular(wb0: Array[Byte] = workbookStream()): Array[Byte] = {
     val wb = wb0 ++ new Array[Byte](math.max(0, 4096 - wb0.length)) // pad past cutoff
     val wbSectors = (wb.length + 511) / 512
     // layout: sector 0 = FAT, 1 = directory, 2.. = workbook
@@ -221,17 +260,31 @@ class BiffReaderSpec extends SparkSpec {
     assert(Loaders.load(spark, p, "xd").df.count() == 2)
   }
 
-  test("BIFF5 and corrupt containers get typed errors") {
-    // BIFF5 version word in the BOF
+  test("BIFF5 .xls decodes: codepage strings, no SST, same numeric records") {
+    val p = tmp("biff5.xls", BiffFixture.xlsRegular(BiffFixture.workbookStreamBiff5()))
+    val f = ExcelLoader.load(spark, p, "xls5")
+    val types = f.df.schema.fields.map(x => x.name -> x.dataType.typeName).toMap
+    assert(types == Map("name" -> "string", "age" -> "long",
+      "salary" -> "double", "active" -> "boolean", "note" -> "string"))
+    val rows = f.df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getBoolean(3), r.getString(4))).toSet
+    // "müller"/"naïve" pin the windows-1252 byte-string decode
+    assert(rows == Set(
+      ("müller", 25L, 50000.5, true, "naïve"),
+      ("jane", 30L, 60000.25, false, "12")))
+  }
+
+  test("pre-BIFF5 and corrupt containers get typed errors") {
+    // BIFF4 version word in the BOF
     val wb = BiffFixture.workbookStream()
     // patch the globals BOF version (offset 4-5 inside the stream)
-    wb(4) = 0x00.toByte; wb(5) = 0x05.toByte
+    wb(4) = 0x00.toByte; wb(5) = 0x04.toByte
     val e = intercept[graft.GraftError.InvalidOperation] { BiffReader.rows({
       // wrap the patched stream in the regular container layout
       val fixed = BiffFixture.xlsRegular()
       // the container embeds a fresh stream; patch its copy too (same offset:
       // header 512 + fat 512 + dir 512)
-      fixed(1536 + 4) = 0x00.toByte; fixed(1536 + 5) = 0x05.toByte
+      fixed(1536 + 4) = 0x00.toByte; fixed(1536 + 5) = 0x04.toByte
       fixed
     }) }
     assert(e.getMessage.contains("BIFF8"))
