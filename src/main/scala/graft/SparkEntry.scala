@@ -1014,6 +1014,55 @@ object SparkEntry {
           col("rank").cast("bigint").as("rnk"))
     }),
 
+    // PQ ANN: 32× corpus compression (8 int codes vs 64 floats), ADC scan
+    // + exact re-rank of the top-50. Exact fields (10 results per query)
+    // hash-match; recall@10 vs brute force rides as an oracle-asserted
+    // in-bound boolean (≥ 5/10 — conservative for a 16-centroid codebook
+    // on this corpus; spec asserts the planted-structure recall)
+    "q_sim_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val queries = emb.where(col("vec_id") < 5)
+      val cb = Similarity.pqTrain(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, refineIterations = 2, dim = 64)
+      val enc = Similarity.pqEncode(emb, "embedding", "vec_id", cb)
+      val pq = Similarity.pqTopK(enc, cb, emb, queries, "embedding", "vec_id",
+        k = 10, m = 8, dim = 64, rerank = 50)
+      val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+      val hits = pq.join(bf.select(col("query_id"), col("corpus_id")),
+          Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      pq.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_results"),
+          (coalesce(col("n_hits"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
+
+    // Bloom-prefiltered semi/anti joins: exact results (the filter only
+    // drops provably-absent rows), graded against plain IN / NOT EXISTS
+    "q_bloom_semi" -> ((s, d) =>
+      graft.operators.RuntimeFilters.bloomSemiJoin(
+        t(s, d, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity")),
+        t(s, d, "orders").df.where(col("o_totalprice") > 400000),
+        "l_orderkey", "o_orderkey", expectedKeys = 20000L)
+        .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+          col("l_quantity"))),
+
+    "q_bloom_anti" -> ((s, d) =>
+      graft.operators.RuntimeFilters.bloomAntiJoin(
+        t(s, d, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity")),
+        t(s, d, "orders").df.where(col("o_totalprice") > 100000),
+        "l_orderkey", "o_orderkey", expectedKeys = 20000L)
+        .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+          col("l_quantity"))),
+
+    // deterministic k-per-group cap: at most 50 docs per language
+    "q_sample_k_per_group" -> ((s, d) =>
+      graft.operators.Corpus.sampleKPerGroup(
+        t(s, d, "documents").df, "lang", "doc_id", k = 50)
+        .select(col("doc_id"), col("lang"))),
+
     "q_text_tokens" -> ((s, d) =>
       t(s, d, "documents").df.select(col("doc_id"),
         TF.tokenCount(col("text")).cast("bigint").as("ws_tokens"),
@@ -1796,6 +1845,28 @@ object SparkEntry {
 
     "q_skew_join" ->
       "SELECT o_orderpriority, count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",
+
+    // exact fields hash-match; recall@10 is an oracle-asserted bound
+    "q_sim_pq" ->
+      ("SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, " +
+        "true AS recall_ok FROM embeddings WHERE vec_id < 5"),
+
+    "q_bloom_semi" ->
+      ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)"),
+
+    "q_bloom_anti" ->
+      ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity " +
+        "FROM lineitem l WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey " +
+        "AND o.o_totalprice > 100000)"),
+
+    "q_sample_k_per_group" ->
+      ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY h, doc_id) AS rn FROM (SELECT doc_id, lang, " +
+        "('0x' || substr(md5('graft-cap' || doc_id::VARCHAR), 1, 15))::BIGINT AS h " +
+        "FROM documents)) WHERE rn <= 50"),
 
     "q_corpus_curate" ->
       OracleSql.corpusCurate(minScore = 0.5,

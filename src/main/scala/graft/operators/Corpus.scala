@@ -93,6 +93,28 @@ object Corpus {
     df.where(bucketHash(idCol, salt, buckets) < (rateExpr * buckets).cast("long"))
   }
 
+  /** Deterministic k-per-group cap: exactly min(k, |group|) rows per
+    * group, chosen by the seeded md5 order — the balanced-subset
+    * primitive ("at most k docs per domain/language") where
+    * [[stratifiedSample]]'s rate-based draw cannot bound group size.
+    * Engine-stable and retry-stable: same salt ⇒ same survivors.
+    *
+    * Scale shape: one shuffle on the group key; row_number streams
+    * within each partition, so a giant group costs its scan, never
+    * memory. A skewed group key is AQE-splittable only per window
+    * partition — for a group holding >10⁸ rows pre-filter with
+    * [[stratifiedSample]] at a rate that overshoots k, then cap here.
+    */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+      salt: String = "graft-cap"): DataFrame = {
+    require(k >= 1, "sampleKPerGroup: k must be >= 1")
+    df.withColumn("graft_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(orderHash(idCol, salt).asc, col(idCol).asc)))
+      .where(col("graft_rn") <= k)
+      .drop("graft_rn")
+  }
+
   /** Shared 60-bit md5 order key for [[shuffle]] / [[packSequences]] —
     * like [[bucketHash]] but un-modded: a total order, engine-portable
     * (DuckDB: `('0x' || substr(md5(salt || id), 1, 15))::BIGINT`).

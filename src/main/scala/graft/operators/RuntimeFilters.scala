@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit runtime-filter joins for the "100 TB fact vs small dimension"
+  * regime: build a Bloom filter over the filtering side's keys once
+  * (driver-merged via treeAggregate, broadcast to every executor) and
+  * discard provably-non-matching fact rows MAP-SIDE, so only
+  * (match-rate + fpp) of the big side ever shuffles into the exact join.
+  *
+  * The result is EXACT at any fpp: the Bloom pass only removes rows whose
+  * key is provably absent; false-positive survivors still go through the
+  * exact semi/anti join. For the anti join the Bloom verdict is even
+  * final — `mightContain = false` rows ARE the answer for their slice —
+  * so only possible-matches join at all.
+  *
+  * Spark's own runtime row-group filtering covers equi-joins the planner
+  * can see; this operator makes the pattern explicit for multi-step
+  * pipelines where the small side is computed far from the big scan
+  * (e.g. "ids that failed QA yesterday" against today's full crawl).
+  * As in [[Dedup.incrementalSurvivors]], the `mightContainLong` probe is
+  * a scalar UDF — the one place a UDF is warranted (no SQL surface for
+  * sketch probes) and never on the exactness path.
+  */
+object RuntimeFilters {
+
+  private def keyed(keyCol: String): Column =
+    xxhash64(lit(11L), col(keyCol).cast("string"))
+
+  private def bloomProbe(small: DataFrame, smallKey: String,
+      expectedKeys: Long, fpp: Double): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bf = small.select(keyed(smallKey).as("graft_bh"))
+      .stat.bloomFilter("graft_bh", math.max(expectedKeys, 1L), fpp)
+    val bfB = small.sparkSession.sparkContext.broadcast(bf)
+    udf((h: Long) => bfB.value.mightContainLong(h))
+  }
+
+  /** Rows of `big` whose `bigKey` occurs in `small.smallKey` (LEFT SEMI),
+    * Bloom-prefiltered. `expectedKeys` sizes the filter (overestimating
+    * is cheap: ~1.2 bytes/key at fpp 0.01).
+    */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val mightContain = bloomProbe(small, smallKey, expectedKeys, fpp)
+    big.where(mightContain(keyed(bigKey)))
+      .join(small.select(col(smallKey).as(bigKey)).distinct(),
+        Seq(bigKey), "left_semi")
+  }
+
+  /** Rows of `big` whose `bigKey` does NOT occur in `small.smallKey`
+    * (LEFT ANTI). `mightContain = false` rows are provably absent and
+    * bypass the join entirely; only the (match-rate + fpp) slice joins.
+    */
+  def bloomAntiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val mightContain = bloomProbe(small, smallKey, expectedKeys, fpp)
+    val definitelyAbsent = big.where(!mightContain(keyed(bigKey)))
+    val maybePresent = big.where(mightContain(keyed(bigKey)))
+      .join(small.select(col(smallKey).as(bigKey)).distinct(),
+        Seq(bigKey), "left_anti")
+    definitelyAbsent.unionAll(maybePresent)
+  }
+}

@@ -226,4 +226,124 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
+
+  // ───────────────────── product quantization (PQ) ─────────────────────
+  //
+  // The memory-side scale path: an encoded corpus stores m small-int
+  // codes per vector (m bytes at ksub ≤ 256) instead of dim floats — a
+  // dim·4/m compression (32× at dim=64, m=8) that keeps the WHOLE corpus
+  // scannable. ADC search costs m adds per (query, doc) instead of dim
+  // mults; exact re-rank of the short ADC candidate list restores
+  // accuracy. All distances are L2 over L2-NORMALIZED vectors, which
+  // ranks identically to cosine — normalization happens inside
+  // train/encode/search so callers pass raw embeddings.
+
+  private def l2normalize(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0d), (acc, x) =>
+      acc + x.cast("double") * x.cast("double")))
+    transform(v, x => x.cast("double") / n)
+  }
+
+  /** (corpus_id, subspace, sv) subvector rows: dim/m values each. */
+  private def subvectors(df: DataFrame, vecCol: String, idCol: String,
+      m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
+    val sub = dim / m
+    df.select(col(idCol).as("corpus_id"), l2normalize(col(vecCol)).as("nv"))
+      .select(col("corpus_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("subspace"),
+          slice(col("nv"), j * sub + 1, sub).as("sv"))): _*)).as("p"))
+      .select(col("corpus_id"), col("p.subspace").as("subspace"),
+        col("p.sv").as("sv"))
+  }
+
+  private def assignPq(pieces: DataFrame, cents: DataFrame): DataFrame =
+    pieces.join(broadcast(cents), Seq("subspace"))
+      .withColumn("d", V.l2Distance(col("sv"), col("centv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("subspace"), col("corpus_id"))
+          .orderBy(col("d").asc, col("cent_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("subspace"), col("corpus_id"), col("sv"), col("cent_id"))
+
+  /** Train PQ codebooks: per subspace, the same deterministic seed+Lloyd
+    * kmeans as [[seedAndRefine]] (decimal-sum means, id-ordered seeds) —
+    * all m subspaces refine in ONE pass per iteration over the exploded
+    * subvector rows, not m passes. Returns (subspace, cent_id, centv).
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int = 8, ksub: Int = 16, refineIterations: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val pieces = subvectors(corpus, vecCol, idCol, m, dim)
+    val seeds = pieces.withColumn("rn", row_number().over(
+        Window.partitionBy(col("subspace")).orderBy(col("corpus_id"))))
+      .where(col("rn") <= ksub)
+      .select(col("subspace"), (col("rn") - 1).cast("int").as("cent_id"),
+        V.asDouble(col("sv")).as("centv"))
+    (0 until refineIterations).foldLeft(seeds) { (cents, _) =>
+      assignPq(pieces, cents)
+        .select(col("subspace"), col("cent_id"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("subspace"), col("cent_id"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(38, 18))).cast(DoubleType) /
+          count(lit(1))).as("mn"))
+        .groupBy(col("subspace"), col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          x => x.getField("mn")).as("centv"))
+    }
+  }
+
+  /** Encode a corpus against trained codebooks: (corpus_id, codes) with
+    * codes[j] = nearest subspace-j centroid id — the m-byte representation
+    * that rides in place of the vector at rest.
+    */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+      codebook: DataFrame, m: Int = 8, dim: Int = 64): DataFrame =
+    assignPq(subvectors(corpus, vecCol, idCol, m, dim), codebook)
+      .groupBy(col("corpus_id"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("subspace"), col("cent_id")))),
+        x => x.getField("cent_id")).as("codes"))
+
+  /** ADC top-k over a PQ-encoded corpus, exact-cosine re-rank of the top
+    * `rerank` ADC candidates. Per (query, doc) the ADC distance is m
+    * lookup-adds (vs dim multiplies brute-force): the per-query LUT of
+    * (subspace, cent_id) → squared-L2 contributions is tiny (m × ksub)
+    * and broadcasts; the encoded corpus explodes into m rows per doc and
+    * joins the LUT map-side. Re-rank joins true vectors for only the
+    * `rerank` survivors per query, so the full-width corpus is touched
+    * O(queries × rerank) times regardless of corpus size.
+    */
+  def pqTopK(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int,
+      m: Int = 8, dim: Int = 64, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, "pqTopK: rerank must be >= k")
+    val lut = subvectors(queries, vecCol, idCol, m, dim)
+      .withColumnRenamed("corpus_id", "query_id")
+      .join(broadcast(codebook), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("cent_id"),
+        (V.l2Distance(col("sv"), col("centv")) *
+          V.l2Distance(col("sv"), col("centv"))).as("d2"))
+    val adc = encoded
+      .select(col("corpus_id"), posexplode(col("codes")).as(Seq("subspace", "cent_id")))
+      .join(broadcast(lut), Seq("subspace", "cent_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("corpus_id").asc)
+    val cand = adc.withColumn("arn", row_number().over(wAdc))
+      .where(col("arn") <= rerank)
+      .select(col("query_id"), col("corpus_id"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = cand.join(c, Seq("corpus_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", V.cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
+        col("rank"))
+  }
 }

@@ -533,6 +533,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got > 0)
   }
 
+  test("PQ: codes compress to m small ints; planted near-dups are retrieved") {
+    val sp = spark; import sp.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, ksub = 16,
+      refineIterations = 2, dim = 64)
+    // codebook shape: 8 subspaces × 16 centroids × 8-dim means
+    assert(cb.count() == 8L * 16)
+    assert(cb.select(size(col("centv"))).distinct().as[Int].collect().toSeq == Seq(8))
+    val enc = Similarity.pqEncode(emb, "embedding", "vec_id", cb)
+    assert(enc.count() == emb.count())
+    val codeStats = enc.select(size(col("codes")).as("m"),
+      array_max(col("codes")).as("mx"), array_min(col("codes")).as("mn"))
+    assert(codeStats.where(col("m") =!= 8 || col("mx") >= 16 || col("mn") < 0)
+      .count() == 0, "every code vector must be 8 ids in [0, 16)")
+    // plant an exact copy of vector 7 under a fresh id: PQ must retrieve
+    // the copy as the top neighbor of the original (identical codes win
+    // ADC, and exact re-rank puts cosine=1 first)
+    val planted = emb.where(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val cb2 = Similarity.pqTrain(corpus, "embedding", "vec_id", m = 8, ksub = 16,
+      refineIterations = 2, dim = 64)
+    val enc2 = Similarity.pqEncode(corpus, "embedding", "vec_id", cb2)
+    val top = Similarity.pqTopK(enc2, cb2, corpus,
+        corpus.where(col("vec_id") === 7), "embedding", "vec_id",
+        k = 3, m = 8, dim = 64, rerank = 30)
+      .orderBy(col("rank")).as[(Long, Long, Double, Int)].collect()
+    assert(top.head._2 == 100007L, s"planted copy must rank first, got ${top.head}")
+    assert(math.abs(top.head._3 - 1.0) < 1e-6)
+  }
+
   test("IVF index append: batch joins existing lists, probes find appended vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = emb.where(col("vec_id") < 400)

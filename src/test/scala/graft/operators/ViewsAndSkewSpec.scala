@@ -61,6 +61,37 @@ class ViewsAndSkewSpec extends SparkSpec {
     assert(cache.stats._1 == 0)
   }
 
+  test("bloom semi/anti joins are exact at any fpp, including a useless filter") {
+    val sp = spark; import sp.implicits._
+    val big = (1L to 500L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val small = Seq(3L, 7L, 7L, 250L, 499L, 777L).toDF("sk") // dup + non-match
+    val expectedSemi = Set(3L, 7L, 250L, 499L)
+    for (fpp <- Seq(0.01, 0.5)) { // 0.5 = filter passes nearly everything
+      val semi = RuntimeFilters.bloomSemiJoin(big, small, "k", "sk", 10L, fpp)
+        .select("k").as[Long].collect().toSet
+      assert(semi == expectedSemi, s"semi diverged at fpp=$fpp")
+      val anti = RuntimeFilters.bloomAntiJoin(big, small, "k", "sk", 10L, fpp)
+        .select("k").as[Long].collect().toSet
+      assert(anti == (1L to 500L).toSet -- expectedSemi, s"anti diverged at fpp=$fpp")
+    }
+  }
+
+  test("sampleKPerGroup caps every group at k, keeps small groups whole, is deterministic") {
+    val sp = spark; import sp.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val out = Corpus.sampleKPerGroup(df, "g", "id", k = 10)
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("big" -> 10L, "small" -> 3L))
+    val again = Corpus.sampleKPerGroup(df, "g", "id", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet,
+      "same salt must pick the same survivors")
+    val other = Corpus.sampleKPerGroup(df, "g", "id", k = 10, salt = "other")
+      .select("id").as[Long].collect().toSet
+    assert(other != again, "a different salt should pick a different subset")
+  }
+
   test("error taxonomy: missing column with suggestions") {
     val err = intercept[GraftError.MissingColumn] {
       base.select("grpp").toDF.collect()
