@@ -19,6 +19,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, n: String): GraftFrame =
     Loaders.loadParquet(s, s"$dir/$n.parquet", n)
 
+  /** Grading frame shared by the PQ queries: hash-exact per-query result
+    * counts, plus a recall@10-vs-brute-force bound the oracle asserts
+    * true (≥ 5 of 10 brute-force neighbors recovered).
+    */
+  private def pqRecallFrame(pq: DataFrame, bf: DataFrame): DataFrame = {
+    val hits = pq.join(bf.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    pq.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_results"),
+        (coalesce(col("n_hits"), lit(0L)) >= 5L).as("recall_ok"))
+  }
+
   /** Embeddings corpus ∪ perturbed copies (id + 100000, v'[j] = v[j] +
     * 0.02·v[(j+1) mod 64], cosine ≈ 0.9998 to the source) — constructs the
     * near-dup pairs the fixture lacks so the tight (pruning-regime) LSH
@@ -1028,13 +1042,21 @@ object SparkEntry {
       val pq = Similarity.pqTopK(enc, cb, emb, queries, "embedding", "vec_id",
         k = 10, m = 8, dim = 64, rerank = 50)
       val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
-      val hits = pq.join(bf.select(col("query_id"), col("corpus_id")),
-          Seq("query_id", "corpus_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      pq.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), col("n_results"),
-          (coalesce(col("n_hits"), lit(0L)) >= 5L).as("recall_ok"))
+      pqRecallFrame(pq, bf)
+    }),
+
+    // same grading through the PERSISTED PQ index: codebook + codes at
+    // rest, ADC reads only the codes column (parquet pruning), re-rank
+    // joins vectors for the short list
+    "q_sim_pq_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val idxPath = "/root/repo/target/tmp/pq_index_graded"
+      Similarity.buildPqIndex(emb, "embedding", "vec_id", idxPath)
+      val queries = emb.where(col("vec_id") < 5)
+      val pq = Similarity.pqTopKIndexed(idxPath, queries, "embedding", "vec_id",
+        k = 10, rerank = 50)
+      val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+      pqRecallFrame(pq, bf)
     }),
 
     // Bloom-prefiltered semi/anti joins: exact results (the filter only
@@ -1848,6 +1870,10 @@ object SparkEntry {
 
     // exact fields hash-match; recall@10 is an oracle-asserted bound
     "q_sim_pq" ->
+      ("SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, " +
+        "true AS recall_ok FROM embeddings WHERE vec_id < 5"),
+
+    "q_sim_pq_indexed" ->
       ("SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, " +
         "true AS recall_ok FROM embeddings WHERE vec_id < 5"),
 

@@ -346,4 +346,50 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
+
+  /** Persist a PQ index: codebook at `path`_codebook, one row table of
+    * (corpus_id, codes, cv) at `path`. The scan asymmetry is COLUMNAR:
+    * [[pqTopKIndexed]]'s ADC stage reads only (corpus_id, codes) — parquet
+    * column pruning never touches the vector bytes — and the exact
+    * re-rank joins (corpus_id, cv) for just the short candidate list. The
+    * codebook is trained ONCE here; appends never retrain.
+    */
+  def buildPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      path: String, m: Int = 8, ksub: Int = 16, refineIterations: Int = 2,
+      dim: Int = 64): Unit = {
+    val cb = pqTrain(corpus, vecCol, idCol, m, ksub, refineIterations, dim)
+    cb.write.mode("overwrite").parquet(s"${path}_codebook")
+    val cbBack = corpus.sparkSession.read.parquet(s"${path}_codebook")
+    pqEncode(corpus, vecCol, idCol, cbBack, m, dim)
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+        Seq("corpus_id"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Append a batch to a persisted PQ index: encode against the EXISTING
+    * codebook (one broadcast pass over just the batch) and append — the
+    * nightly-ingest path. Codes drift from optimal only as fast as the
+    * corpus distribution drifts; rebuild the codebook on a cadence, not
+    * per batch.
+    */
+  def appendToPqIndex(indexPath: String, newVectors: DataFrame,
+      vecCol: String, idCol: String, m: Int = 8, dim: Int = 64): Unit = {
+    val cb = newVectors.sparkSession.read.parquet(s"${indexPath}_codebook")
+    pqEncode(newVectors, vecCol, idCol, cb, m, dim)
+      .join(newVectors.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+        Seq("corpus_id"))
+      .write.mode("append").parquet(indexPath)
+  }
+
+  /** ADC + exact-re-rank search over a persisted PQ index. */
+  def pqTopKIndexed(indexPath: String, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, m: Int = 8, dim: Int = 64,
+      rerank: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = spark.read.parquet(s"${indexPath}_codebook")
+    val idx = spark.read.parquet(indexPath)
+    pqTopK(idx.select(col("corpus_id"), col("codes")), cb,
+      idx.select(col("corpus_id").as(idCol), col("cv").as(vecCol)),
+      queries, vecCol, idCol, k, m, dim, rerank)
+  }
 }

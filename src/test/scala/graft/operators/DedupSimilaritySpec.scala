@@ -564,6 +564,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(top.head._3 - 1.0) < 1e-6)
   }
 
+  test("PQ index: append encodes against the existing codebook; search finds appended copy") {
+    val sp = spark; import sp.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(col("vec_id") < 400)
+    val idx = "target/tmp/pq_index_append"
+    Similarity.buildPqIndex(base, "embedding", "vec_id", idx)
+    val cbBefore = spark.read.parquet(s"${idx}_codebook").collect().toSet
+    // append an exact copy of vector 7 under a fresh id — NO retrain
+    val planted = emb.where(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    Similarity.appendToPqIndex(idx, planted, "embedding", "vec_id")
+    assert(spark.read.parquet(s"${idx}_codebook").collect().toSet == cbBefore,
+      "append must not touch the codebook")
+    assert(spark.read.parquet(idx).count() == base.count() + 1)
+    val top = Similarity.pqTopKIndexed(idx,
+        emb.where(col("vec_id") === 7), "embedding", "vec_id",
+        k = 3, rerank = 30)
+      .orderBy(col("rank")).as[(Long, Long, Double, Int)].collect()
+    assert(top.head._2 == 100007L, s"appended copy must rank first, got ${top.head}")
+  }
+
   test("IVF index append: batch joins existing lists, probes find appended vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = emb.where(col("vec_id") < 400)
