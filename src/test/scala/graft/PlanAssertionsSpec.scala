@@ -109,4 +109,22 @@ class PlanAssertionsSpec extends SparkSpec {
       s"centroid assignment should broadcast the centroid side:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in SemDeDup:\n$p")
   }
+
+  test("indexed PQ search: the ADC stage's index scan never reads the vector column") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = "target/tmp/pq_index_plan"
+    operators.Similarity.buildPqIndex(emb, "embedding", "vec_id", idx)
+    val df = operators.Similarity.pqTopKIndexed(idx,
+      emb.where(col("vec_id") < 3), "embedding", "vec_id", k = 5, rerank = 20)
+    val p = plan(df)
+    // the index parquet is scanned twice — codes for ADC, vectors for the
+    // re-rank join — and the ADC-side scan must be column-pruned to
+    // (corpus_id, codes): if any index scan reads codes AND cv together,
+    // the columnar asymmetry (the whole point of PQ at rest) is lost
+    val indexScans = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("codes"))
+    assert(indexScans.nonEmpty, s"no codes scan found in plan:\n$p")
+    indexScans.foreach(l =>
+      assert(!l.contains("cv"), s"ADC scan reads vector bytes: $l"))
+  }
 }
