@@ -1374,6 +1374,19 @@ object SparkEntry {
       Dedup.editDistancePairs(t(s, d, "customer").df, "c_name", "c_custkey",
         maxDist = 1, q = 2)),
 
+    // fuzzy pairs over a BOUNDED-density projection (32-char doc prefixes:
+    // 256 true pairs over 5000 docs at sf0.1 — linear in the corpus,
+    // unlike the serial-numbered customer names whose answer is
+    // near-quadratic), so the sf0.1 bench measures candidate generation,
+    // not answer size. q=4: the fixture's ~30-word vocabulary makes
+    // bigrams common (median df 748 at sf0.1) but 4-grams selective
+    // (median df 55) — the documented q dial in action.
+    "q_dedup_fuzzy_docs" -> ((s, d) =>
+      Dedup.editDistancePairs(
+        t(s, d, "documents").df.select(col("doc_id"),
+          substring(trim(col("text")), 1, 32).as("s")),
+        "s", "doc_id", maxDist = 1, q = 4)),
+
     // unigram LM quality scoring: model trained on the corpus itself,
     // every doc scored by mean token log-probability (KenLM-style gate)
     "q_text_unigram" -> ((s, d) => {
@@ -1971,6 +1984,13 @@ object SparkEntry {
         "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
         "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
         "WHERE levenshtein(a.c_name, b.c_name) <= 1"),
+
+    "q_dedup_fuzzy_docs" ->
+      ("WITH p AS (SELECT doc_id, substr(trim(text), 1, 32) AS s FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist " +
+        "FROM p a JOIN p b ON a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.s, b.s) <= 1"),
 
     "q_decontaminate_spans" -> {
       val quote = "the committee will review the benchmark answer key tomorrow morning"

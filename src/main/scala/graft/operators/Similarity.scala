@@ -273,8 +273,15 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, vecCol: String, idCol: String,
       m: Int = 8, ksub: Int = 16, refineIterations: Int = 2,
-      dim: Int = 64): DataFrame = {
-    val pieces = subvectors(corpus, vecCol, idCol, m, dim)
+      dim: Int = 64, trainFraction: Double = 1.0): DataFrame = {
+    // at 100 TB the codebook trains on a deterministic hash sample —
+    // centroid quality converges long before the full corpus, and the
+    // Lloyd passes are the only full-width scans in the PQ pipeline
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else corpus.where(pmod(xxhash64(lit(17L), col(idCol).cast("string")),
+        lit(1000000L)) < (trainFraction * 1000000L).toLong)
+    val pieces = subvectors(trainSet, vecCol, idCol, m, dim)
     val seeds = pieces.withColumn("rn", row_number().over(
         Window.partitionBy(col("subspace")).orderBy(col("corpus_id"))))
       .where(col("rn") <= ksub)

@@ -553,8 +553,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val planted = emb.where(col("vec_id") === 7)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
     val corpus = emb.unionByName(planted)
+    // codebook trained on a half-corpus hash sample (the 100 TB path):
+    // retrieval quality must survive sample training
     val cb2 = Similarity.pqTrain(corpus, "embedding", "vec_id", m = 8, ksub = 16,
-      refineIterations = 2, dim = 64)
+      refineIterations = 2, dim = 64, trainFraction = 0.5)
     val enc2 = Similarity.pqEncode(corpus, "embedding", "vec_id", cb2)
     val top = Similarity.pqTopK(enc2, cb2, corpus,
         corpus.where(col("vec_id") === 7), "embedding", "vec_id",
