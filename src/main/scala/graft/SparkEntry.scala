@@ -1029,18 +1029,24 @@ object SparkEntry {
     }),
 
     // PQ ANN: 32× corpus compression (8 int codes vs 64 floats), ADC scan
-    // + exact re-rank of the top-50. Exact fields (10 results per query)
-    // hash-match; recall@10 vs brute force rides as an oracle-asserted
-    // in-bound boolean (≥ 5/10 — conservative for a 16-centroid codebook
-    // on this corpus; spec asserts the planted-structure recall)
+    // + exact re-rank. Exact fields (10 results per query) hash-match;
+    // recall@10 vs brute force rides as an oracle-asserted in-bound
+    // boolean (≥ 5/10). rerank=200 is sized for this fixture's HARDEST
+    // regime — near-random vectors whose top-10 cosines are barely
+    // separated, where ADC rank is noise-limited (verified ≥5/10 at both
+    // sf0.01 and sf0.1; rerank=50 fails at sf0.1). On real embedding
+    // corpora with cluster structure the planted-copy spec shows the
+    // short-list path; rerank is the accuracy-vs-cost dial either way.
     "q_sim_pq" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
       val queries = emb.where(col("vec_id") < 5)
+      // codebook from a half-corpus hash sample — the scale path is the
+      // graded path (recall bound must survive sample training)
       val cb = Similarity.pqTrain(emb, "embedding", "vec_id",
-        m = 8, ksub = 16, refineIterations = 2, dim = 64)
+        m = 8, ksub = 16, refineIterations = 2, dim = 64, trainFraction = 0.5)
       val enc = Similarity.pqEncode(emb, "embedding", "vec_id", cb)
       val pq = Similarity.pqTopK(enc, cb, emb, queries, "embedding", "vec_id",
-        k = 10, m = 8, dim = 64, rerank = 50)
+        k = 10, m = 8, dim = 64, rerank = 200)
       val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
       pqRecallFrame(pq, bf)
     }),
@@ -1054,7 +1060,7 @@ object SparkEntry {
       Similarity.buildPqIndex(emb, "embedding", "vec_id", idxPath)
       val queries = emb.where(col("vec_id") < 5)
       val pq = Similarity.pqTopKIndexed(idxPath, queries, "embedding", "vec_id",
-        k = 10, rerank = 50)
+        k = 10, rerank = 200)
       val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
       pqRecallFrame(pq, bf)
     }),
