@@ -352,6 +352,62 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     GraftFrame(out, resultAlias)
   }
 
+  /** Exact-dedup survivors on the builder: one row per distinct `textCol`
+    * (min `idCol` wins) — see [[graft.operators.Dedup.exactSurvivors]].
+    */
+  def dedupExact(textCol: String, idCol: String, resultAlias: String): GraftFrame = {
+    val out = graft.operators.Dedup.exactSurvivors(execute(), textCol, idCol)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** MinHash-LSH near-dup pairs on the builder — see
+    * [[graft.operators.Dedup.minhashLshPairs]] for the banding contract.
+    */
+  def nearDupPairs(textCol: String, idCol: String, resultAlias: String,
+      numHashes: Int = 64, bands: Int = 16, shingleWords: Int = 3,
+      jaccardThreshold: Double = 0.5): GraftFrame = {
+    val out = graft.operators.Dedup.minhashLshPairs(execute(), textCol, idCol,
+      numHashes, bands, shingleWords, jaccardThreshold)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Deterministic per-group row cap on the builder — see
+    * [[graft.operators.Corpus.sampleKPerGroup]].
+    */
+  def capPerGroup(groupCol: String, idCol: String, k: Int,
+      resultAlias: String, salt: String = "graft-cap"): GraftFrame = {
+    val out = graft.operators.Corpus.sampleKPerGroup(execute(), groupCol,
+      idCol, k, salt)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Bloom-prefiltered LEFT SEMI join on the builder — see
+    * [[graft.operators.RuntimeFilters.bloomSemiJoin]] (exact at any fpp).
+    */
+  def semiJoinBloom(other: GraftFrame, key: String, otherKey: String,
+      resultAlias: String, expectedKeys: Long = 1000000L,
+      fpp: Double = 0.01): GraftFrame = {
+    val out = graft.operators.RuntimeFilters.bloomSemiJoin(execute(),
+      other.execute(), key, otherKey, expectedKeys, fpp)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Bloom-prefiltered LEFT ANTI join on the builder — see
+    * [[graft.operators.RuntimeFilters.bloomAntiJoin]] (exact at any fpp).
+    */
+  def antiJoinBloom(other: GraftFrame, key: String, otherKey: String,
+      resultAlias: String, expectedKeys: Long = 1000000L,
+      fpp: Double = 0.01): GraftFrame = {
+    val out = graft.operators.RuntimeFilters.bloomAntiJoin(execute(),
+      other.execute(), key, otherKey, expectedKeys, fpp)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
   /** LEFT MARK join rewrite (SURVEY §4.3): exists-with-flag via a left
     * join against the distinct right keys — `mark` is true iff a match
     * exists. The right side reduces to distinct keys first, so the join

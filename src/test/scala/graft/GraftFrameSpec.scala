@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Builder-DSL spec: the relational surface of SURVEY §2 on tiny frames. */
 class GraftFrameSpec extends SparkSpec {
@@ -389,5 +390,32 @@ class GraftFrameSpec extends SparkSpec {
       .select("sales.amount")
       .toDF
     assert(joined.count() == plain && plain > 0)
+  }
+
+  test("pipeline hooks on the builder: dedup, cap, bloom joins chain with SQL ops") {
+    val sp = spark; import sp.implicits._
+    val docs = GraftFrame(Seq(
+      (1L, "alpha text", "en"), (2L, "alpha text", "en"), (3L, "beta text", "en"),
+      (4L, "gamma text", "de"), (5L, "delta text", "de"), (6L, "epsilon text", "de")
+    ).toDF("doc_id", "text", "lang"), "bdocs")
+    // exact dedup drops the duplicate of doc 1, keeps min id
+    val deduped = docs.dedupExact("text", "doc_id", "bdocs_dedup")
+    assert(deduped.toDF.count() == 5)
+    assert(deduped.toDF.where(col("doc_id") === 2L).count() == 0)
+    // cap per language at 2, then the result chains into builder SQL
+    val capped = deduped.capPerGroup("lang", "doc_id", 2, "bdocs_cap")
+      .select("lang").agg("COUNT(*) AS n").groupBy("lang")
+    val byLang = capped.toDF.collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    assert(byLang.values.forall(_ <= 2))
+    // bloom semi/anti joins against a keep-list frame
+    val keep = GraftFrame(Seq(1L, 4L).toDF("keep_id"), "bkeep")
+    val semi = docs.semiJoinBloom(keep, "doc_id", "keep_id", "bdocs_semi",
+      expectedKeys = 10L)
+    assert(semi.toDF.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    val anti = docs.antiJoinBloom(keep, "doc_id", "keep_id", "bdocs_anti",
+      expectedKeys = 10L)
+    assert(anti.toDF.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 3L, 5L, 6L))
   }
 }
