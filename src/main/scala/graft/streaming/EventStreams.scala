@@ -338,4 +338,39 @@ object EventStreams {
             mode = "append", path = path, partitionBy = partitionBy)
       }
       .start()
+
+  /** Streaming NEAR-dup ingest filter: each micro-batch is checked against
+    * the PERSISTED MinHash band index (built once per corpus by
+    * [[graft.operators.Dedup.minhashBandIndex]]) and only documents with
+    * NO near-duplicate in the corpus are appended to `sinkPath` — the
+    * crawl-ingest shape where tonight's pages must not re-enter a corpus
+    * that already holds a near-copy.
+    *
+    * Per batch this costs sketch(batch) + a band join of the (small,
+    * broadcast) batch bands against the index + exact Jaccard verification
+    * pruned to candidate ids ([[graft.operators.Dedup.incrementalNearDupPairs]]'s
+    * contract) — the corpus is never re-sketched. foreachBatch rather than
+    * a stream transform because the verify stage re-reads corpus text for
+    * candidate ids, which a stateful streaming operator cannot express.
+    */
+  def nearDedupSink(stream: DataFrame, textCol: String, idCol: String,
+      corpus: DataFrame, corpusIndex: DataFrame, sinkPath: String,
+      checkpoint: String, numHashes: Int = 64, bands: Int = 16,
+      shingleWords: Int = 3, jaccardThreshold: Double = 0.5,
+      triggerMs: Long = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val dupIds = graft.operators.Dedup.incrementalNearDupPairs(
+              batch.toDF(), corpus, textCol, idCol, numHashes, bands,
+              shingleWords, jaccardThreshold, corpusIndex = Some(corpusIndex))
+            .select(col("batch_id").as(idCol)).distinct()
+          batch.join(dupIds, Seq(idCol), "left_anti")
+            .write.mode("append").parquet(sinkPath)
+        }
+      }
+      .start()
 }

@@ -283,6 +283,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupSink drops near-copies of the corpus via the persisted band index") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight while " +
+        "seventeen silver airplanes circle slowly above the quiet harbor town"),
+      (2L, "completely different corpus text about spark engines here")
+    ).toDF("doc_id", "text")
+    val idxPath = "target/tmp/stream_band_index"
+    val sink = "target/tmp/stream_neardedup_sink"
+    val ckpt = "target/tmp/stream_neardedup_ckpt"
+    for (p <- Seq(idxPath, sink, ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    graft.operators.Dedup.minhashBandIndex(corpus, "text", "doc_id")
+      .write.parquet(idxPath)
+    val idx = spark.read.parquet(idxPath)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDedupSink(mem.toDF.toDF("doc_id", "text"),
+      "text", "doc_id", corpus, idx, sink, ckpt)
+    try {
+      mem.addData(
+        // near-copy of corpus doc 1 (one word of twenty changed ⇒
+        // jaccard ≈ 15/21 ≈ 0.71, above the 0.5 gate) — must drop
+        (10L, "the quick brown fox jumps over the sleepy dog tonight while " +
+          "seventeen silver airplanes circle slowly above the quiet harbor town"),
+        // novel — must pass
+        (11L, "an entirely new document with no overlap whatsoever okay"))
+      q.processAllAvailable()
+      // second batch: exact copy of corpus text drops too, novel passes
+      mem.addData((12L, "completely different corpus text about spark engines here"),
+        (13L, "another brand new page that shares nothing with the corpus"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(sink).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(11L, 13L), s"only novel docs may land in the sink, got $ids")
+    } finally q.stop()
+  }
+
   test("batch joinWithin equals the plain equi-join + range filter") {
     val sp = spark; import sp.implicits._
     val clicks = Seq(
