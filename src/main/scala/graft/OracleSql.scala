@@ -58,6 +58,27 @@ object OracleSql {
       s"WHERE i::DOUBLE / (sa.n + sb.n - i) >= $threshold"
   }
 
+  /** Brute-force asymmetric containment pairs (|A∩B| / min(|A|,|B|)):
+    * same shingle builder as [[jaccardPairs]], containment normalizer,
+    * contained-side tag (smaller shingle set; min id on ties).
+    */
+  def containmentPairs(n: Int, threshold: Double): String = {
+    val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
+      "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+      "inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i " +
+      "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sizes AS (SELECT doc_id, len(s) AS n FROM sh) " +
+      "SELECT ia AS id_a, ib AS id_b, " +
+      "CASE WHEN sa.n < sb.n THEN ia WHEN sb.n < sa.n THEN ib " +
+      "ELSE least(ia, ib) END AS contained_id, " +
+      "i::DOUBLE / least(sa.n, sb.n) AS containment " +
+      "FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
+      s"WHERE i::DOUBLE / least(sa.n, sb.n) >= $threshold"
+  }
+
   /** Replicated duplicate-span fraction (Corpus.duplicateSpanFraction):
     * same shingle builder, doc-freq over distinct shingles, per-doc
     * rollup; the fraction is a raw double division of two ints —

@@ -856,6 +856,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents").df, "text", "doc_id",
         shingleWords = 2, threshold = 0.1)),
 
+    // asymmetric containment (|A∩B|/min): catches short-doc-inside-long
+    // wraps that Jaccard's union normalizer hides — exact inverted index,
+    // brute-force oracle
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents").df, "text", "doc_id",
+        shingleWords = 3, threshold = 0.8)),
+
     // incremental dedup: batch = 100 exact re-crawls (doc_id+10000) + 100
     // revised docs (doc_id+20000, text suffixed). Bloom prefilter prunes
     // the join; the exact 128-bit anti-join makes the result independent
@@ -1788,6 +1795,9 @@ object SparkEntry {
 
     "q_dedup_ngram" ->
       OracleSql.jaccardPairs(n = 2, threshold = 0.1),
+
+    "q_dedup_containment" ->
+      OracleSql.containmentPairs(n = 3, threshold = 0.8),
 
     "q_dedup_clusters" ->
       OracleSql.dedupClusters(n = 3, threshold = 0.85),

@@ -204,6 +204,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** ASYMMETRIC containment pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
+    * distinct word shingles — catches the wrap/quote/boilerplate pattern
+    * Jaccard structurally misses: a short document pasted inside a much
+    * longer one has tiny Jaccard (union is dominated by the long side)
+    * but containment ≈ 1. Output tags which side is the contained one
+    * (`contained_id` = the smaller shingle set on ties the lower id).
+    *
+    * Same exact inverted-index shape as [[ngramJaccardPairs]] — one
+    * posting-list self-join bounded by Σ df² with the same `maxDocFreq`
+    * dial; only the normalizer changes.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Long = 0L): DataFrame = {
+    require(threshold > 0.0, "containmentPairs: threshold must be > 0")
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(T.wordShingles(col(textCol), shingleWords)).as("shingles"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
+    val posting0 = sh.select(col("id"), explode(col("shingles")).as("g"))
+    val posting =
+      if (maxDocFreq > 0L) {
+        val freq = posting0.groupBy("g").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq).select("g")
+        posting0.join(freq, Seq("g"))
+      } else posting0
+    val inter = posting.alias("a").join(posting.alias("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("containment",
+        col("i").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        when(col("na") < col("nb"), col("id_a"))
+          .when(col("nb") < col("na"), col("id_b"))
+          .otherwise(least(col("id_a"), col("id_b"))).as("contained_id"),
+        col("containment"))
+  }
+
   /** The (id, band, bh) MinHash band rows of a corpus — the persistable
     * NEAR-dup index. Banded rows carry ONLY (id, band, bh) — never the
     * shingle arrays. Exploding b band rows per doc multiplies shuffle

@@ -518,6 +518,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs flags a short doc pasted inside a long one; jaccard misses it") {
+    val sp = spark; import sp.implicits._
+    val shortDoc = "the quick brown fox jumps over the lazy dog"
+    val longDoc = "padding words one two three four five six seven eight nine ten " +
+      shortDoc + " more filler text goes on and on with many additional words here"
+    val docs = Seq((1L, shortDoc), (2L, longDoc),
+      (3L, "unrelated content about entirely different things altogether")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleWords = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cont == Seq((1L, 2L, 1L)),
+      s"short doc must be flagged as contained in the long one, got $cont")
+    // the same pair is INVISIBLE to jaccard at any comparable threshold:
+    // the union is dominated by the long doc
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleWords = 3, threshold = 0.8)
+    assert(jac.count() == 0, "jaccard at 0.8 must miss the wrapped copy")
+  }
+
   test("editDistancePairs: short-string pool past maxShortPool raises typed") {
     val sp = spark; import sp.implicits._
     // 30 strings of length <= 4 all land in the all-pairs short pool
