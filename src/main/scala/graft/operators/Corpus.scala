@@ -99,20 +99,30 @@ object Corpus {
     * [[stratifiedSample]]'s rate-based draw cannot bound group size.
     * Engine-stable and retry-stable: same salt ⇒ same survivors.
     *
-    * Scale shape: one shuffle on the group key; row_number streams
-    * within each partition, so a giant group costs its scan, never
-    * memory. A skewed group key is AQE-splittable only per window
-    * partition — for a group holding >10⁸ rows pre-filter with
-    * [[stratifiedSample]] at a rate that overshoots k, then cap here.
+    * Scale shape: TWO-PHASE. A single window partitioned by a
+    * low-cardinality group column would funnel each group into ONE task
+    * (a 10⁹-row language = one reducer) — so phase 1 caps locally per
+    * (group, input partition), a skew-free key whose cardinality is
+    * groups × partitions, and phase 2 computes the exact global cap over
+    * the ≤ k·partitions survivors per group. The result is placement-
+    * independent: the k globally-hash-smallest rows of a group are
+    * always among every partition's k locally-smallest.
     */
   def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
       salt: String = "graft-cap"): DataFrame = {
     require(k >= 1, "sampleKPerGroup: k must be >= 1")
-    df.withColumn("graft_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-          .orderBy(orderHash(idCol, salt).asc, col(idCol).asc)))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("graft_pid"))
+      .orderBy(col("graft_h").asc, col(idCol).asc)
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(col("graft_h").asc, col(idCol).asc)
+    df.withColumn("graft_h", orderHash(idCol, salt))
+      .withColumn("graft_pid", spark_partition_id())
+      .withColumn("graft_rn", row_number().over(w1))
       .where(col("graft_rn") <= k)
-      .drop("graft_rn")
+      .withColumn("graft_rn2", row_number().over(w2))
+      .where(col("graft_rn2") <= k)
+      .drop("graft_h", "graft_pid", "graft_rn", "graft_rn2")
   }
 
   /** Shared 60-bit md5 order key for [[shuffle]] / [[packSequences]] —
