@@ -282,9 +282,14 @@ object Similarity {
       else corpus.where(pmod(xxhash64(lit(17L), col(idCol).cast("string")),
         lit(1000000L)) < (trainFraction * 1000000L).toLong)
     val pieces = subvectors(trainSet, vecCol, idCol, m, dim)
-    val seeds = pieces.withColumn("rn", row_number().over(
+    // seed selection: first ksub vectors by id via distributed top-k
+    // (TakeOrderedAndProject) — a window partitioned only by subspace
+    // would scan the whole corpus in one task per subspace. The window
+    // below runs over ksub×m rows only.
+    val seedVecs = trainSet.orderBy(col(idCol)).limit(ksub)
+    val seeds = subvectors(seedVecs, vecCol, idCol, m, dim)
+      .withColumn("rn", row_number().over(
         Window.partitionBy(col("subspace")).orderBy(col("corpus_id"))))
-      .where(col("rn") <= ksub)
       .select(col("subspace"), (col("rn") - 1).cast("int").as("cent_id"),
         V.asDouble(col("sv")).as("centv"))
     (0 until refineIterations).foldLeft(seeds) { (cents, _) =>
