@@ -15,9 +15,31 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
+  /** Exact top-k per query in TWO window phases: a window partitioned by
+    * query_id alone ranks the query's ENTIRE candidate set in one task
+    * (a brute-force scan of 10⁹ docs per query = one reducer), so phase 1
+    * takes the local top-k per (query, input partition) — key cardinality
+    * queries × partitions, bounded per-task volume — and phase 2 ranks
+    * the ≤ k·partitions survivors per query. Identical result: the global
+    * top-k are always among every partition's local top-k. Deterministic
+    * via the caller's total order (score desc, corpus_id asc).
+    */
+  private def topKPerQuery(df: DataFrame, order: Seq[Column], k: Int,
+      rankCol: String): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"), col("graft_tk_pid"))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    df.withColumn("graft_tk_pid", spark_partition_id())
+      .withColumn("graft_tk_rn", row_number().over(w1))
+      .where(col("graft_tk_rn") <= k)
+      .withColumn(rankCol, row_number().over(w2))
+      .where(col(rankCol) <= k)
+      .drop("graft_tk_pid", "graft_tk_rn")
+  }
+
   /** Brute-force cosine top-k: queries × corpus via broadcast join (no
-    * shuffle of the corpus), per-query top-k via window. Deterministic
-    * tie-break on corpus id.
+    * shuffle of the corpus), per-query top-k via the two-phase window.
+    * Deterministic tie-break on corpus id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
@@ -27,10 +49,7 @@ object Similarity {
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKPerQuery(joined, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
@@ -53,10 +72,7 @@ object Similarity {
       .join(c, Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKPerQuery(joined, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
@@ -104,10 +120,7 @@ object Similarity {
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKPerQuery(joined, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
@@ -219,10 +232,7 @@ object Similarity {
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKPerQuery(joined, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
@@ -342,19 +352,14 @@ object Similarity {
       .where(col("corpus_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(sum(col("d2")).as("adc_d2"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_d2").asc, col("corpus_id").asc)
-    val cand = adc.withColumn("arn", row_number().over(wAdc))
-      .where(col("arn") <= rerank)
+    val cand = topKPerQuery(adc,
+        Seq(col("adc_d2").asc, col("corpus_id").asc), rerank, "arn")
       .select(col("query_id"), col("corpus_id"))
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val exact = cand.join(c, Seq("corpus_id")).join(broadcast(q), Seq("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    exact.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKPerQuery(exact, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
