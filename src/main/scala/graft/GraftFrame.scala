@@ -373,6 +373,18 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     GraftFrame(out, resultAlias)
   }
 
+  /** Asymmetric containment pairs on the builder — see
+    * [[graft.operators.Dedup.containmentPairs]] (short-inside-long wraps
+    * Jaccard's union normalizer hides).
+    */
+  def containmentPairs(textCol: String, idCol: String, resultAlias: String,
+      shingleWords: Int = 3, threshold: Double = 0.8): GraftFrame = {
+    val out = graft.operators.Dedup.containmentPairs(execute(), textCol,
+      idCol, shingleWords, threshold)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
   /** Deterministic per-group row cap on the builder — see
     * [[graft.operators.Corpus.sampleKPerGroup]].
     */

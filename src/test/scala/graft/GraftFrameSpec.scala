@@ -408,6 +408,14 @@ class GraftFrameSpec extends SparkSpec {
     val byLang = capped.toDF.collect()
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
     assert(byLang.values.forall(_ <= 2))
+    // containment: doc 3's text pasted into a longer doc 6 is flagged
+    val wrapped = GraftFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "padding words one two three four five six seven eight nine ten " +
+        "the quick brown fox jumps over the lazy dog and more filler here")
+    ).toDF("doc_id", "text"), "bwrap")
+    val cont = wrapped.containmentPairs("text", "doc_id", "bwrap_cont")
+    assert(cont.toDF.select("contained_id").as[Long].collect().toSeq == Seq(1L))
     // bloom semi/anti joins against a keep-list frame
     val keep = GraftFrame(Seq(1L, 4L).toDF("keep_id"), "bkeep")
     val semi = docs.semiJoinBloom(keep, "doc_id", "keep_id", "bdocs_semi",
