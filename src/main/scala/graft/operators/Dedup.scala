@@ -570,8 +570,11 @@ object Dedup {
         col("a.s").as("sa"), col("b.s").as("sb"))
     cand.unionAll(shortCand)
       .dropDuplicates("id_a", "id_b")
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
-      .where(col("dist") <= maxDist)
+      // threshold form bounds the DP to an O(maxDist·n) band and bails
+      // with -1 past it — the verify stage's cost per candidate drops
+      // from len² to len·k
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
   }
 
