@@ -1072,6 +1072,22 @@ object SparkEntry {
       pqRecallFrame(pq, bf)
     }),
 
+    // combined IVF+PQ (IVFADC) index: partition-pruned probe + codes-only
+    // ADC + exact re-rank. nprobe=8 of 16 lists: on near-random vectors
+    // IVF recall is bounded by the probed fraction, so half the lists +
+    // deep re-rank holds the ≥5/10 bound at both SFs
+    "q_sim_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val idxPath = "/root/repo/target/tmp/ivfpq_index_graded"
+      Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", idxPath,
+        nlist = 16, trainFraction = 0.5)
+      val queries = emb.where(col("vec_id") < 5)
+      val pq = Similarity.ivfPqTopK(idxPath, queries, "embedding", "vec_id",
+        k = 10, nprobe = 8, rerank = 200)
+      val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+      pqRecallFrame(pq, bf)
+    }),
+
     // Bloom-prefiltered semi/anti joins: exact results (the filter only
     // drops provably-absent rows), graded against plain IN / NOT EXISTS
     "q_bloom_semi" -> ((s, d) =>
@@ -1903,6 +1919,10 @@ object SparkEntry {
         "true AS recall_ok FROM embeddings WHERE vec_id < 5"),
 
     "q_sim_pq_indexed" ->
+      ("SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, " +
+        "true AS recall_ok FROM embeddings WHERE vec_id < 5"),
+
+    "q_sim_ivfpq" ->
       ("SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, " +
         "true AS recall_ok FROM embeddings WHERE vec_id < 5"),
 

@@ -336,16 +336,23 @@ object Similarity {
     * `rerank` survivors per query, so the full-width corpus is touched
     * O(queries × rerank) times regardless of corpus size.
     */
-  def pqTopK(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
-      queries: DataFrame, vecCol: String, idCol: String, k: Int,
-      m: Int = 8, dim: Int = 64, rerank: Int = 50): DataFrame = {
-    require(rerank >= k, "pqTopK: rerank must be >= k")
-    val lut = subvectors(queries, vecCol, idCol, m, dim)
+  /** Per-query ADC lookup table: (query_id, subspace, cent_id, d2) —
+    * m × ksub squared subspace distances per query; tiny, broadcastable.
+    */
+  private def adcLut(queries: DataFrame, codebook: DataFrame,
+      vecCol: String, idCol: String, m: Int, dim: Int): DataFrame =
+    subvectors(queries, vecCol, idCol, m, dim)
       .withColumnRenamed("corpus_id", "query_id")
       .join(broadcast(codebook), Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("cent_id"),
         (V.l2Distance(col("sv"), col("centv")) *
           V.l2Distance(col("sv"), col("centv"))).as("d2"))
+
+  def pqTopK(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int,
+      m: Int = 8, dim: Int = 64, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, "pqTopK: rerank must be >= k")
+    val lut = adcLut(queries, codebook, vecCol, idCol, m, dim)
     val adc = encoded
       .select(col("corpus_id"), posexplode(col("codes")).as(Seq("subspace", "cent_id")))
       .join(broadcast(lut), Seq("subspace", "cent_id"))
@@ -408,5 +415,68 @@ object Similarity {
     pqTopK(idx.select(col("corpus_id"), col("codes")), cb,
       idx.select(col("corpus_id").as(idCol), col("cv").as(vecCol)),
       queries, vecCol, idCol, k, m, dim, rerank)
+  }
+
+  /** Build the combined IVF+PQ index (the FAISS-IVFADC layout at rest):
+    * coarse centroids at `path`_centroids, PQ codebook at `path`_codebook,
+    * and one (corpus_id, codes, cv) table PARTITIONED BY list_id. A probe
+    * composes three prunings: partition pruning to the nprobe lists,
+    * column pruning to the codes bytes for ADC, and the short exact
+    * re-rank — it reads nprobe/nlist of the rows and vector bytes for
+    * only queries × rerank of them.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      path: String, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      refineIterations: Int = 2, dim: Int = 64,
+      trainFraction: Double = 1.0): Unit = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val centroids = seedAndRefine(c, nlist, refineIterations)
+    centroids.write.mode("overwrite").parquet(s"${path}_centroids")
+    val cb = pqTrain(corpus, vecCol, idCol, m, ksub, refineIterations, dim,
+      trainFraction)
+    cb.write.mode("overwrite").parquet(s"${path}_codebook")
+    val cbBack = corpus.sparkSession.read.parquet(s"${path}_codebook")
+    assignToLists(c, centroids)
+      .join(pqEncode(corpus, vecCol, idCol, cbBack, m, dim), Seq("corpus_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+  }
+
+  /** IVF+ADC search over [[buildIvfPqIndex]]'s layout: probe the nprobe
+    * nearest lists per query (partition-pruned read, codes column only),
+    * rank each query's OWN probed rows by ADC (the list_id join keeps a
+    * query from paying for other queries' lists), exact-cosine re-rank of
+    * the top `rerank`, reading vectors only for those.
+    */
+  def ivfPqTopK(indexPath: String, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, nprobe: Int = 4, m: Int = 8, dim: Int = 64,
+      rerank: Int = 50): DataFrame = {
+    require(rerank >= k, "ivfPqTopK: rerank must be >= k")
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"${indexPath}_centroids")
+    val cb = spark.read.parquet(s"${indexPath}_codebook")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qLists = probeLists(q, centroids, nprobe)
+    val probed = qLists.select("list_id").distinct().collect().map(_.get(0))
+    val rows = spark.read.parquet(indexPath)
+      .where(col("list_id").isin(probed.toIndexedSeq: _*))
+    val lut = adcLut(queries, cb, vecCol, idCol, m, dim)
+    val adc = rows.select(col("list_id"), col("corpus_id"), col("codes"))
+      .join(broadcast(qLists.select(col("query_id"), col("list_id"))), Seq("list_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        posexplode(col("codes")).as(Seq("subspace", "cent_id")))
+      .join(broadcast(lut), Seq("query_id", "subspace", "cent_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    val cand = topKPerQuery(adc,
+        Seq(col("adc_d2").asc, col("corpus_id").asc), rerank, "arn")
+      .select(col("query_id"), col("corpus_id"))
+    val exact = cand
+      .join(rows.select(col("corpus_id"), col("cv")), Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", V.cosine(col("cv"), col("qv")))
+    topKPerQuery(exact, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
+        col("rank"))
   }
 }

@@ -607,6 +607,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.head._2 == 100007L, s"appended copy must rank first, got ${top.head}")
   }
 
+  test("IVF+PQ combined index: planted copy found through probe + ADC + re-rank") {
+    val sp = spark; import sp.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = emb.where(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val idx = "target/tmp/ivfpq_index_spec"
+    Similarity.buildIvfPqIndex(corpus, "embedding", "vec_id", idx, nlist = 8)
+    // identical vectors land in the same coarse list and share codes, so
+    // the copy must survive the probe and win the exact re-rank
+    val top = Similarity.ivfPqTopK(idx, corpus.where(col("vec_id") === 7),
+        "embedding", "vec_id", k = 3, nprobe = 2, rerank = 30)
+      .orderBy(col("rank")).as[(Long, Long, Double, Int)].collect()
+    assert(top.head._2 == 100007L, s"planted copy must rank first, got ${top.head}")
+    assert(math.abs(top.head._3 - 1.0) < 1e-6)
+  }
+
   test("IVF index append: batch joins existing lists, probes find appended vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = emb.where(col("vec_id") < 400)
