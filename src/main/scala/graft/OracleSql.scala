@@ -512,4 +512,66 @@ object OracleSql {
       "FROM asg a JOIN ql ON a.list_id = ql.list_id WHERE a.vec_id <> ql.query_id) " +
       s"WHERE rnk <= $k"
   }
+
+  /** Multinomial Naive Bayes resubstitution prediction over `documents`
+    * (train = predict corpus, label = lang) — identical math to
+    * Classify.nbScores/nbPredict: add-1 smoothing over the training
+    * vocabulary, evidence as Σ n·ln(cnt+1) over EXISTING (token, class)
+    * pairs (missing pairs are ln(1) = 0) minus len·ln(tok_c + V), argmax
+    * on the 6-dp-rounded score with class-ascending tie-break.
+    */
+  def nbPredict: String =
+    s"WITH tok AS (SELECT doc_id, lang, t.token FROM documents, " +
+      s"unnest($tokensExpr) AS t(token) WHERE len(t.token) > 0), " +
+      "pri AS (SELECT lang AS cls, ln(count(*)::DOUBLE / " +
+      "(SELECT count(*)::DOUBLE FROM documents)) AS prior FROM documents GROUP BY 1), " +
+      "tc AS (SELECT lang AS cls, token, count(*)::DOUBLE AS tc FROM tok GROUP BY 1, 2), " +
+      "vv AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM tc), " +
+      "zt AS (SELECT cls, ln(sum(tc) + (SELECT v FROM vv)) AS lnz FROM tc GROUP BY 1), " +
+      "dt AS (SELECT doc_id, token, count(*)::DOUBLE AS n FROM tok GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, sum(n) AS len FROM dt GROUP BY 1), " +
+      "ev AS (SELECT dt.doc_id, tc.cls, sum(dt.n * ln(tc.tc + 1.0)) AS s1 " +
+      "FROM dt JOIN tc USING (token) GROUP BY 1, 2), " +
+      "sc AS (SELECT dl.doc_id, p.cls, p.prior + coalesce(ev.s1, 0.0) - dl.len * zt.lnz AS score " +
+      "FROM dl CROSS JOIN pri p JOIN zt ON zt.cls = p.cls " +
+      "LEFT JOIN ev ON ev.doc_id = dl.doc_id AND ev.cls = p.cls) " +
+      "SELECT doc_id, cls AS pred, round(score, 6) AS nb_score FROM (" +
+      "SELECT doc_id, cls, score, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY round(score, 6) DESC, cls ASC) AS rn FROM sc) WHERE rn = 1"
+
+  /** DSIR hashed-unigram importance log-weights of every document against
+    * the target slice `WHERE targetWhere` — identical estimator to
+    * Classify.importanceWeights (same md5-60-bit token bucket, add-1
+    * smoothed bucket distributions, per-doc Σ λ). The raw-side counts are
+    * bucket-complete for every document token, so the Spark full-outer
+    * merge reduces to this LEFT JOIN.
+    */
+  def dsirWeightsCte(buckets: Int, targetWhere: String): String =
+    s"tok AS (SELECT doc_id, source, t.token FROM documents, " +
+      s"unnest($tokensExpr) AS t(token) WHERE len(t.token) > 0), " +
+      s"tb AS (SELECT doc_id, source, ${md5Hash60("token")} % $buckets AS b FROM tok), " +
+      "rawc AS (SELECT b, count(*)::DOUBLE AS c FROM tb GROUP BY 1), " +
+      s"tgtc AS (SELECT b, count(*)::DOUBLE AS ct FROM tb WHERE $targetWhere GROUP BY 1), " +
+      "tot AS (SELECT (SELECT count(*)::DOUBLE FROM tb) AS tr, " +
+      s"(SELECT count(*)::DOUBLE FROM tb WHERE $targetWhere) AS tt), " +
+      s"lam AS (SELECT rawc.b, ln((coalesce(tgtc.ct, 0.0) + 1.0) / (tot.tt + $buckets.0)) - " +
+      s"ln((rawc.c + 1.0) / (tot.tr + $buckets.0)) AS lam " +
+      "FROM rawc LEFT JOIN tgtc USING (b), tot), " +
+      "w AS (SELECT doc_id, round(sum(lam), 6) AS logw, " +
+      "CAST(count(*) AS BIGINT) AS n_tokens FROM tb JOIN lam USING (b) GROUP BY 1)"
+
+  def dsirWeights(buckets: Int, targetWhere: String): String =
+    s"WITH ${dsirWeightsCte(buckets, targetWhere)} " +
+      "SELECT doc_id, logw, n_tokens FROM w"
+
+  /** Top-k DSIR selection: rank on the already-6-dp-rounded weight,
+    * doc-id-ascending tie-break — the two-phase Spark ranking is exact,
+    * so a plain global window is its oracle.
+    */
+  def dsirSelect(k: Int, buckets: Int, targetWhere: String): String =
+    s"WITH ${dsirWeightsCte(buckets, targetWhere)} " +
+      "SELECT doc_id, logw, n_tokens, CAST(rnk AS BIGINT) AS rnk FROM (" +
+      "SELECT doc_id, logw, n_tokens, row_number() OVER (" +
+      "ORDER BY logw DESC, doc_id ASC) AS rnk FROM w) " +
+      s"WHERE rnk <= $k"
 }

@@ -1381,6 +1381,28 @@ object SparkEntry {
           col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"),
           col("score"), col("rnk"))),
 
+    // ── count-based classification / data selection (beyond reference —
+    // the fastText-filter stand-ins; closed-form training, so the oracle
+    // recomputes model AND prediction exactly) ──────────────────────────
+    "q_classify_nb" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.Classify.nbPredict(docs, docs, "text", "doc_id", "lang")
+    }),
+
+    // DSIR importance weights: shift the corpus toward the src0 slice
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.Classify.importanceWeights(docs,
+        docs.where(col("source") === "src0"), "text", "doc_id", buckets = 4096)
+    }),
+
+    "q_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.Classify.importanceSelect(docs,
+        docs.where(col("source") === "src0"), "text", "doc_id", k = 50,
+        buckets = 4096)
+    }),
+
     // SPAN-level decontamination: planted eval quote lines are removed,
     // the surrounding document survives (doc-level decontaminate would
     // have dropped it whole)
@@ -2110,6 +2132,14 @@ object SparkEntry {
         "SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.len, n.n, " +
         "row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk " +
         "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n) WHERE rnk <= 5"),
+
+    "q_classify_nb" -> OracleSql.nbPredict,
+
+    "q_dsir_weights" ->
+      OracleSql.dsirWeights(buckets = 4096, targetWhere = "source = 'src0'"),
+
+    "q_dsir_select" ->
+      OracleSql.dsirSelect(k = 50, buckets = 4096, targetWhere = "source = 'src0'"),
 
     "q_text_unigram" ->
       ("WITH tok AS (SELECT doc_id, t.token FROM documents, " +
