@@ -513,6 +513,33 @@ object OracleSql {
       s"WHERE rnk <= $k"
   }
 
+  /** Fixed-iteration PageRank over the exact n-gram-Jaccard similarity
+    * graph — pair generation is [[jaccardPairs]] verbatim (a different
+    * candidate algorithm than the Spark side's inverted index is NOT
+    * needed here: both sides are exact), then `iterations` unrolled
+    * rounds of prᵏ⁺¹ = (1−d)/N + d·Σ prᵏ(u)/deg(u), identical math to
+    * GraphOps.pageRank, rounded to 6 dp at the end only.
+    */
+  def pageRank(n: Int, threshold: Double, iterations: Int,
+      damping: Double): String = {
+    val rounds = (1 to iterations).map { k =>
+      val prev = s"p${k - 1}"
+      s"c$k AS (SELECT ed.d AS id, sum($prev.pr * ed.w) AS c " +
+        s"FROM ed JOIN $prev ON ed.s = $prev.id GROUP BY 1), " +
+        s"p$k AS (SELECT $prev.id, (1.0 - $damping) / nn.n + $damping * coalesce(c$k.c, 0.0) AS pr " +
+        s"FROM $prev LEFT JOIN c$k USING (id), nn)"
+    }.mkString(", ")
+    s"WITH pairs AS (${jaccardPairs(n, threshold)}), " +
+      "e0 AS (SELECT id_a AS s, id_b AS d FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "deg AS (SELECT s, count(*)::DOUBLE AS deg FROM e0 GROUP BY 1), " +
+      "ed AS (SELECT e0.s, e0.d, 1.0 / deg.deg AS w FROM e0 JOIN deg USING (s)), " +
+      "nn AS (SELECT count(*)::DOUBLE AS n FROM deg), " +
+      "p0 AS (SELECT s AS id, 1.0 / nn.n AS pr FROM deg, nn), " +
+      s"$rounds " +
+      s"SELECT id, round(pr, 6) AS pagerank FROM p$iterations"
+  }
+
   /** Multinomial Naive Bayes resubstitution prediction over `documents`
     * (train = predict corpus, label = lang) — identical math to
     * Classify.nbScores/nbPredict: add-1 smoothing over the training

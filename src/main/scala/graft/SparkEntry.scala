@@ -1381,6 +1381,17 @@ object SparkEntry {
           col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"),
           col("score"), col("rnk"))),
 
+    // centrality over the similarity graph: which docs anchor a template/
+    // near-dup family — PageRank as iterative join+agg, exact pair edges,
+    // fixed 3 iterations so the oracle can unroll them
+    "q_graph_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.GraphOps.pageRank(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleWords = 2, threshold = 0.1),
+        iterations = 3, damping = 0.85)
+    }),
+
     // ── count-based classification / data selection (beyond reference —
     // the fastText-filter stand-ins; closed-form training, so the oracle
     // recomputes model AND prediction exactly) ──────────────────────────
@@ -2132,6 +2143,9 @@ object SparkEntry {
         "SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.len, n.n, " +
         "row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk " +
         "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n) WHERE rnk <= 5"),
+
+    "q_graph_pagerank" ->
+      OracleSql.pageRank(n = 2, threshold = 0.1, iterations = 3, damping = 0.85),
 
     "q_classify_nb" -> OracleSql.nbPredict,
 

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+
+  private def pairs(p: (Long, Long)*) = {
+    val sp = spark; import sp.implicits._
+    p.toDF("id_a", "id_b")
+  }
+
+  test("pagerank on a path graph matches the hand-unrolled recurrence") {
+    // 1 — 2 — 3: deg = (1, 2, 1), N = 3, d = 0.85
+    val got = GraphOps.pageRank(pairs((1L, 2L), (2L, 3L)), iterations = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pagerank")).toMap
+    val n = 3.0; val d = 0.85; val base = (1 - d) / n
+    // round 1 from pr0 = 1/3
+    val p1_1 = base + d * ((1 / n) / 2) // from 2
+    val p1_2 = base + d * ((1 / n) + (1 / n)) // from 1 and 3
+    // round 2
+    val p2_1 = base + d * (p1_2 / 2)
+    val p2_2 = base + d * (p1_1 + p1_1) // 1 and 3 are symmetric
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1L) - r6(p2_1)) < 1e-9)
+    assert(math.abs(got(2L) - r6(p2_2)) < 1e-9)
+    assert(got(1L) == got(3L)) // symmetry
+  }
+
+  test("pagerank mass is conserved and the hub outranks the spokes") {
+    // star: 1 is the hub of 2..6
+    val star = pairs((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L))
+    val pr = GraphOps.pageRank(star, iterations = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pagerank")).toMap
+    assert(pr.size == 6)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4) // no dangling leakage
+    assert((2L to 6L).forall(i => pr(1L) > pr(i)))
+    assert((3L to 6L).forall(i => pr(2L) == pr(i))) // spoke symmetry
+  }
+
+  test("pagerank over disconnected components keeps per-component symmetry") {
+    val two = pairs((1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val pr = GraphOps.pageRank(two, iterations = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pagerank")).toMap
+    assert(pr.size == 5)
+    assert(pr(1L) == pr(2L)) // pair component
+    assert(pr(10L) == pr(11L) && pr(11L) == pr(12L)) // triangle component
+  }
+}
