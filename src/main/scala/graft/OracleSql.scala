@@ -513,6 +513,41 @@ object OracleSql {
       s"WHERE rnk <= $k"
   }
 
+  /** Leave-one-out kNN classification over `embeddings` — brute-force
+    * cosine top-k per query (corpus-id tie-break, as every similarity
+    * oracle here), majority label with votes-desc / label-asc pick.
+    * Identical math to Classify.knnClassify over bruteForceTopK.
+    */
+  def knnClassify(k: Int): String =
+    "WITH topk AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.label, " +
+      "row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk " +
+      s"FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id QUALIFY rnk <= $k), " +
+      "votes AS (SELECT query_id, label, count(*) AS votes FROM topk GROUP BY 1, 2) " +
+      "SELECT query_id, label AS pred, CAST(votes AS BIGINT) AS votes FROM (" +
+      "SELECT query_id, label, votes, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY votes DESC, label ASC) AS rn FROM votes) WHERE rn = 1"
+
+  /** Exact shingle-set Jaccard between every pair of document groups —
+    * identical math to Corpus.groupOverlap: per-doc n-word shingles
+    * (whole text when shorter than n), distinct per group, inverted-index
+    * intersection counts.
+    */
+  def groupOverlap(groupCol: String, n: Int): String = {
+    val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT $groupCol AS grp, doc_id, $tokensExpr AS t FROM documents), " +
+      s"sh AS (SELECT grp, doc_id, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
+      "ex AS (SELECT DISTINCT grp, g FROM (SELECT grp, unnest(s) AS g FROM sh)), " +
+      "sizes AS (SELECT grp, count(*) AS n FROM ex GROUP BY 1), " +
+      "inter AS (SELECT a.grp AS ga, b.grp AS gb, count(*) AS i " +
+      "FROM ex a JOIN ex b ON a.g = b.g AND a.grp < b.grp GROUP BY 1, 2) " +
+      "SELECT ga AS group_a, gb AS group_b, CAST(i AS BIGINT) AS common, " +
+      "CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb, " +
+      "round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard " +
+      "FROM inter JOIN sizes sa ON ga = sa.grp JOIN sizes sb ON gb = sb.grp"
+  }
+
   /** Fixed-iteration PageRank over the exact n-gram-Jaccard similarity
     * graph — pair generation is [[jaccardPairs]] verbatim (a different
     * candidate algorithm than the Spark side's inverted index is NOT

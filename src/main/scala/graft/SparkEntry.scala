@@ -1392,6 +1392,21 @@ object SparkEntry {
         iterations = 3, damping = 0.85)
     }),
 
+    // dataset-granularity dedup: shingle-Jaccard overlap between sources
+    // — the "do these two crawls overlap" screen run before doc-level
+    // cross-dedup
+    "q_source_overlap" -> ((s, d) =>
+      graft.operators.Corpus.groupOverlap(t(s, d, "documents").df,
+        "text", "source", shingleWords = 3)),
+
+    // leave-one-out kNN over the embedding corpus: majority label of the
+    // 10 cosine-nearest neighbors, deterministic vote tie-break
+    "q_knn_classify" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      graft.operators.Classify.knnClassify(emb, emb, "embedding", "vec_id",
+        "label", k = 10)
+    }),
+
     // ── count-based classification / data selection (beyond reference —
     // the fastText-filter stand-ins; closed-form training, so the oracle
     // recomputes model AND prediction exactly) ──────────────────────────
@@ -2146,6 +2161,10 @@ object SparkEntry {
 
     "q_graph_pagerank" ->
       OracleSql.pageRank(n = 2, threshold = 0.1, iterations = 3, damping = 0.85),
+
+    "q_source_overlap" -> OracleSql.groupOverlap("source", n = 3),
+
+    "q_knn_classify" -> OracleSql.knnClassify(k = 10),
 
     "q_classify_nb" -> OracleSql.nbPredict,
 

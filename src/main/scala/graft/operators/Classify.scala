@@ -94,6 +94,35 @@ object Classify {
         round(col("score"), 6).as("nb_score"))
   }
 
+  /** k-nearest-neighbor classification over an embedding corpus: each
+    * query takes the majority label of its k cosine-nearest corpus
+    * vectors (excluding itself when ids collide) — vote-count ties break
+    * to the smaller label, so the prediction is deterministic. The lazy
+    * evaluation path for labeling data with an embedding model plus a
+    * small labeled seed set.
+    *
+    * Built on [[Similarity.bruteForceTopK]] (exact, broadcast-join
+    * shape); swap in `Similarity.ivfTopKIndexed` for the same vote over
+    * a persisted ANN index when the corpus is web-scale. One extra
+    * shuffle beyond the top-k: the (query, label) vote count.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = Similarity.bruteForceTopK(corpus, queries, vecCol, idCol, k)
+    val labels = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("graft_lbl"))
+    val votes = topk.join(labels, Seq("corpus_id"))
+      .groupBy(col("query_id"), col("graft_lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("graft_lbl").asc)
+    votes.withColumn("graft_rn", row_number().over(w))
+      .where(col("graft_rn") === 1)
+      .select(col("query_id"), col("graft_lbl").as("pred"),
+        col("votes").cast("bigint").as("votes"))
+  }
+
   /** The 60-bit md5 feature bucket shared with the DuckDB oracle:
     * `('0x' || substr(md5(token), 1, 15))::BIGINT % buckets` — same trick
     * as Corpus.hashSplit, applied to tokens instead of ids.

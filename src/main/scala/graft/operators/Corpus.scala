@@ -328,6 +328,40 @@ object Corpus {
       .select(col(groupCol), col("term"), col("cnt"), col("rnk").cast("bigint").as("rnk"))
   }
 
+  /** Dataset-level overlap matrix: exact shingle-set Jaccard between
+    * every pair of document groups (sources, dumps, snapshots) — the
+    * dataset-granularity dedup signal that tells you two CRAWLS overlap
+    * before you pay for doc-level dedup between them, and the standard
+    * train/eval-set contamination screen. Shingles never cross document
+    * boundaries (per-doc shingling, then distinct per group).
+    *
+    * Scale shape: the posting list is distinct (shingle, group) rows —
+    * bounded by corpus shingle volume — and the self-join is on the
+    * shingle key with group-count fan-out only (a shingle appearing in g
+    * groups contributes g·(g−1)/2 rows, g ≤ #groups, a small constant).
+    * Output: one row per unordered group pair with intersection, sizes,
+    * and Jaccard.
+    */
+  def groupOverlap(docs: DataFrame, textCol: String, groupCol: String,
+      shingleWords: Int = 3): DataFrame = {
+    val posting = docs.select(col(groupCol).as("g"),
+        explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("sh"))
+      .distinct()
+    val sizes = posting.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = posting.alias("a").join(posting.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.select(col("g").as("group_a"), col("n").as("na")), Seq("group_a"))
+      .join(sizes.select(col("g").as("group_b"), col("n").as("nb")), Seq("group_b"))
+      .select(col("group_a"), col("group_b"),
+        col("common").cast("bigint").as("common"),
+        col("na").cast("bigint").as("na"), col("nb").cast("bigint").as("nb"),
+        round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 6).as("jaccard"))
+  }
+
   /** Add-k-smoothed unigram language model over a corpus's normalized
     * tokens: (token, logp) with logp = ln((count + k) / (total + k·vocab)).
     * The classic data-quality scorer (a KenLM stand-in with the same

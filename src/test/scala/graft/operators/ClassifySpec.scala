@@ -63,6 +63,26 @@ class ClassifySpec extends SparkSpec {
     assert(a.forall { case (id, _) => id >= 41L }) // all from the target class
   }
 
+  test("knn classify takes the majority label with deterministic tie-break") {
+    val sp = spark; import sp.implicits._
+    // two tight clusters in 2-d: ids 1-3 near (1,0) labeled 0, ids 4-6
+    // near (0,1) labeled 1; query 7 sits inside cluster 0
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.1f), 0),
+      (3L, Array(0.98f, 0.05f), 0), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.1f, 0.99f), 1), (6L, Array(0.05f, 0.98f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val query = Seq((7L, Array(1.0f, 0.02f), -1)).toDF("vec_id", "embedding", "label")
+    val pred = Classify.knnClassify(corpus, query, "embedding", "vec_id", "label", k = 3)
+      .collect()
+    assert(pred.length == 1)
+    assert(pred.head.getAs[Int]("pred") == 0 && pred.head.getAs[Long]("votes") == 3L)
+    // k = 6 → 3 votes each; the tie must fall to the smaller label
+    val tied = Classify.knnClassify(corpus, query, "embedding", "vec_id", "label", k = 6)
+      .collect().head
+    assert(tied.getAs[Int]("pred") == 0 && tied.getAs[Long]("votes") == 3L)
+  }
+
   test("dsir weight of a doc equals the sum of its tokens' bucket log-ratios") {
     // single-token docs make the identity λ(bucket) = logw(doc) exact
     val sp = spark; import sp.implicits._

@@ -387,4 +387,26 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L))
   }
+
+  test("group overlap computes exact pairwise shingle jaccard between sources") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      // src a: shingles {x y z, y z w} ∪ {p q r}
+      (1L, "x y z w", "a"), (2L, "p q r", "a"),
+      // src b: shingles {x y z, y z w} — subset of a
+      (3L, "x y z w", "b"),
+      // src c: disjoint
+      (4L, "m n o", "c")).toDF("doc_id", "text", "source")
+    val out = Corpus.groupOverlap(docs, "text", "source", shingleWords = 3)
+      .collect().map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b"),
+        r.getAs[Long]("common"), r.getAs[Double]("jaccard"))).toSeq.sortBy(p => (p._1, p._2))
+    // only (a, b) intersect: |a|=3, |b|=2, common=2 → J = 2/3
+    assert(out == Seq(("a", "b", 2L,
+      BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // duplicate shingles across docs of one group count once
+    val dup = Seq((1L, "x y z", "a"), (2L, "x y z", "a"), (3L, "x y z", "b"))
+      .toDF("doc_id", "text", "source")
+    val row = Corpus.groupOverlap(dup, "text", "source").collect().head
+    assert(row.getAs[Long]("na") == 1L && row.getAs[Double]("jaccard") == 1.0)
+  }
 }
