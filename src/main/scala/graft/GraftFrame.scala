@@ -385,6 +385,40 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     GraftFrame(out, resultAlias)
   }
 
+  /** Naive Bayes class prediction on the builder, trained on `train` —
+    * see [[graft.operators.Classify.nbPredict]].
+    */
+  def classifyNb(train: GraftFrame, textCol: String, idCol: String,
+      labelCol: String, resultAlias: String): GraftFrame = {
+    val out = graft.operators.Classify.nbPredict(execute(), train.execute(),
+      textCol, idCol, labelCol)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** DSIR importance-weighted top-k selection against a target corpus on
+    * the builder — see [[graft.operators.Classify.importanceSelect]].
+    */
+  def selectByImportance(target: GraftFrame, textCol: String, idCol: String,
+      k: Int, resultAlias: String, buckets: Int = 8192): GraftFrame = {
+    val out = graft.operators.Classify.importanceSelect(execute(),
+      target.execute(), textCol, idCol, k, buckets)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** PageRank over a pair frame (id_a, id_b) on the builder — see
+    * [[graft.operators.GraphOps.pageRank]].
+    */
+  def pageRank(resultAlias: String, idA: String = "id_a",
+      idB: String = "id_b", iterations: Int = 3,
+      damping: Double = 0.85): GraftFrame = {
+    val out = graft.operators.GraphOps.pageRank(execute(), idA, idB,
+      iterations, damping)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
   /** Deterministic per-group row cap on the builder — see
     * [[graft.operators.Corpus.sampleKPerGroup]].
     */

@@ -23,7 +23,10 @@ object SparkEntry {
     * counts, plus a recall@10-vs-brute-force bound the oracle asserts
     * true (≥ 5 of 10 brute-force neighbors recovered).
     */
-  private def pqRecallFrame(pq: DataFrame, bf: DataFrame): DataFrame = {
+  private def pqRecallFrame(pq0: DataFrame, bf: DataFrame): DataFrame = {
+    // queries×k rows, consumed twice below — pin them once instead of
+    // re-running the whole ADC+rerank pipeline per consumer
+    val pq = pq0.localCheckpoint(true)
     val hits = pq.join(bf.select(col("query_id"), col("corpus_id")),
         Seq("query_id", "corpus_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))

@@ -152,11 +152,16 @@ object Similarity {
     * list and that list's scan dominates; after a Lloyd step list sizes
     * concentrate toward corpus/nlist (measured in the spec).
     */
-  private[operators] def seedAndRefine(c: DataFrame, nlist: Int,
+  private[operators] def seedAndRefine(c0: DataFrame, nlist: Int,
       iterations: Int): DataFrame = {
+    // pin the training vectors for the duration of the Lloyd passes —
+    // every iteration re-scans them, and without this each pass re-reads
+    // and re-projects the source (the standard cache-the-training-set
+    // pattern; spills to disk if the sample outgrows memory)
+    val c = c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = c.orderBy(col("corpus_id")).limit(nlist)
       .select(col("corpus_id").as("cent_id"), col("cv").as("centv"))
-    (0 until iterations).foldLeft(seeds) { (cents, _) =>
+    val refined = (0 until iterations).foldLeft(seeds) { (cents, _) =>
       assignToLists(c, cents)
         .select(col("list_id"), posexplode(col("cv")).as(Seq("pos", "val")))
         .groupBy(col("list_id"), col("pos"))
@@ -167,15 +172,30 @@ object Similarity {
           x => x.getField("m")).as("centv"))
         .select(col("list_id").as("cent_id"), col("centv"))
     }
+    // eager localCheckpoint: every caller consumes the centroids at least
+    // twice (assign + probe, or write + assign) and the Lloyd chain above
+    // is the expensive part of the whole index build — without this the
+    // full refine re-executes once per consumer. nlist rows: free to pin.
+    val out = refined.localCheckpoint(true)
+    c.unpersist()
+    out
   }
 
+  /** Nearest-centroid pick as min(struct(d, cent_id)) — the same argmin
+    * with the same cent_id tie-break a row_number window would compute,
+    * but as a map-side-combinable aggregation: the nlist candidate rows
+    * per vector collapse to one BEFORE the shuffle (nlist× less shuffle
+    * volume than a window, and no per-group sort). cv is join-duplicated
+    * so any group member carries it; min_by keeps the pick deterministic.
+    */
   private[operators] def assignToLists(c: DataFrame, centroids: DataFrame): DataFrame =
     c.join(broadcast(centroids))
       .withColumn("d", V.l2Distance(col("cv"), col("centv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("corpus_id")).orderBy(col("d").asc, col("cent_id").asc)))
-      .where(col("rn") === 1)
-      .select(col("corpus_id"), col("cv"), col("cent_id").as("list_id"))
+      .groupBy(col("corpus_id"))
+      .agg(min(struct(col("d"), col("cent_id"))).as("graft_pick"),
+        min_by(col("cv"), col("cent_id")).as("cv"))
+      .select(col("corpus_id"), col("cv"),
+        col("graft_pick.cent_id").as("list_id"))
 
   /** Persist the IVF index: the corpus assignment written PARTITIONED BY
     * list_id (one directory per inverted list) plus the centroid table at
@@ -267,14 +287,18 @@ object Similarity {
         col("p.sv").as("sv"))
   }
 
+  /** Subspace nearest-centroid pick — same min(struct) shape as
+    * [[assignToLists]]: ksub candidates per (subspace, vector) collapse
+    * map-side, no per-group sort.
+    */
   private def assignPq(pieces: DataFrame, cents: DataFrame): DataFrame =
     pieces.join(broadcast(cents), Seq("subspace"))
       .withColumn("d", V.l2Distance(col("sv"), col("centv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("subspace"), col("corpus_id"))
-          .orderBy(col("d").asc, col("cent_id").asc)))
-      .where(col("rn") === 1)
-      .select(col("subspace"), col("corpus_id"), col("sv"), col("cent_id"))
+      .groupBy(col("subspace"), col("corpus_id"))
+      .agg(min(struct(col("d"), col("cent_id"))).as("graft_pick"),
+        min_by(col("sv"), col("cent_id")).as("sv"))
+      .select(col("subspace"), col("corpus_id"), col("sv"),
+        col("graft_pick.cent_id").as("cent_id"))
 
   /** Train PQ codebooks: per subspace, the same deterministic seed+Lloyd
     * kmeans as [[seedAndRefine]] (decimal-sum means, id-ordered seeds) —
@@ -291,7 +315,11 @@ object Similarity {
       if (trainFraction >= 1.0) corpus
       else corpus.where(pmod(xxhash64(lit(17L), col(idCol).cast("string")),
         lit(1000000L)) < (trainFraction * 1000000L).toLong)
+    // pin the projected training sample across the Lloyd passes (same
+    // policy as seedAndRefine — each pass would otherwise re-read and
+    // re-slice the source)
     val pieces = subvectors(trainSet, vecCol, idCol, m, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed selection: first ksub vectors by id via distributed top-k
     // (TakeOrderedAndProject) — a window partitioned only by subspace
     // would scan the whole corpus in one task per subspace. The window
@@ -302,7 +330,7 @@ object Similarity {
         Window.partitionBy(col("subspace")).orderBy(col("corpus_id"))))
       .select(col("subspace"), (col("rn") - 1).cast("int").as("cent_id"),
         V.asDouble(col("sv")).as("centv"))
-    (0 until refineIterations).foldLeft(seeds) { (cents, _) =>
+    val refined = (0 until refineIterations).foldLeft(seeds) { (cents, _) =>
       assignPq(pieces, cents)
         .select(col("subspace"), col("cent_id"),
           posexplode(col("sv")).as(Seq("pos", "v")))
@@ -313,6 +341,12 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
           x => x.getField("mn")).as("centv"))
     }
+    // eager localCheckpoint (same policy as seedAndRefine): the codebook
+    // feeds pqEncode AND the per-query ADC LUT — m·ksub rows pinned once
+    // instead of re-running the subspace Lloyd chain per consumer
+    val out = refined.localCheckpoint(true)
+    pieces.unpersist()
+    out
   }
 
   /** Encode a corpus against trained codebooks: (corpus_id, codes) with
@@ -383,8 +417,7 @@ object Similarity {
       dim: Int = 64): Unit = {
     val cb = pqTrain(corpus, vecCol, idCol, m, ksub, refineIterations, dim)
     cb.write.mode("overwrite").parquet(s"${path}_codebook")
-    val cbBack = corpus.sparkSession.read.parquet(s"${path}_codebook")
-    pqEncode(corpus, vecCol, idCol, cbBack, m, dim)
+    pqEncode(corpus, vecCol, idCol, cb, m, dim)
       .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
         Seq("corpus_id"))
       .write.mode("overwrite").parquet(path)
@@ -435,9 +468,8 @@ object Similarity {
     val cb = pqTrain(corpus, vecCol, idCol, m, ksub, refineIterations, dim,
       trainFraction)
     cb.write.mode("overwrite").parquet(s"${path}_codebook")
-    val cbBack = corpus.sparkSession.read.parquet(s"${path}_codebook")
     assignToLists(c, centroids)
-      .join(pqEncode(corpus, vecCol, idCol, cbBack, m, dim), Seq("corpus_id"))
+      .join(pqEncode(corpus, vecCol, idCol, cb, m, dim), Seq("corpus_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
   }
 

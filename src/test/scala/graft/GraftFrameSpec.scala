@@ -426,4 +426,29 @@ class GraftFrameSpec extends SparkSpec {
     assert(anti.toDF.select("doc_id").as[Long].collect().toSet ==
       Set(2L, 3L, 5L, 6L))
   }
+
+  test("classification and graph hooks on the builder") {
+    val sp = spark; import sp.implicits._
+    val train = GraftFrame(Seq(
+      (1L, "cat dog bird", "animals"), (2L, "dog bird cat barn", "animals"),
+      (3L, "price revenue market", "finance"), (4L, "market price forecast", "finance")
+    ).toDF("doc_id", "text", "lang"), "btrain")
+    val unlabeled = GraftFrame(Seq(
+      (10L, "cat dog"), (11L, "revenue market")).toDF("doc_id", "text"), "bunl")
+    val pred = unlabeled.classifyNb(train, "text", "doc_id", "lang", "bpred")
+      .toDF.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred")).toMap
+    assert(pred == Map(10L -> "animals", 11L -> "finance"))
+    // DSIR selection toward the finance slice, chained into builder SQL
+    val target = GraftFrame(Seq((3L, "price revenue market"))
+      .toDF("doc_id", "text"), "btgt")
+    val sel = unlabeled.selectByImportance(target, "text", "doc_id", 1, "bsel")
+      .select("doc_id").toDF.as[Long].collect().toSeq
+    assert(sel == Seq(11L))
+    // pageRank over a pair frame registers the alias and ranks the hub first
+    val pairsF = GraftFrame(Seq((1L, 2L), (1L, 3L), (1L, 4L))
+      .toDF("id_a", "id_b"), "bpairs")
+    val pr = pairsF.pageRank("bpr")
+      .toDF.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pagerank")).toMap
+    assert(pr(1L) > pr(2L) && pr(2L) == pr(3L))
+  }
 }
