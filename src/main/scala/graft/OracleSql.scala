@@ -513,6 +513,42 @@ object OracleSql {
       s"WHERE rnk <= $k"
   }
 
+  /** Winnowing fingerprints over `documents` — identical math to
+    * Corpus.winnowFingerprints: 60-bit md5 k-gram hashes, struct-min
+    * (hash, pos) per full sliding window, global min for short docs.
+    */
+  def winnow(k: Int, windowSize: Int): String = {
+    val gram = (1 to k).map(j => s"t[ii + $j]").mkString(" || ' ' || ")
+    s"WITH tok AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
+      s"g0 AS (SELECT doc_id, len(t) - $k + 1 AS m, " +
+      s"list_transform(range(len(t) - ${k - 1}), ii -> ${md5Hash60(gram)}) AS ghs " +
+      s"FROM tok WHERE len(t) >= $k), " +
+      "g AS (SELECT doc_id, m, generate_subscripts(ghs, 1) - 1 AS pos, " +
+      "unnest(ghs) AS gh FROM g0), " +
+      "sel AS (SELECT doc_id, m, pos, min(struct_pack(gh := gh, pos := pos)) " +
+      "OVER (PARTITION BY doc_id ORDER BY pos " +
+      s"ROWS BETWEEN CURRENT ROW AND ${windowSize - 1} FOLLOWING) AS s FROM g) " +
+      "SELECT DISTINCT doc_id, s.gh AS fp_hash, CAST(s.pos AS BIGINT) AS fp_pos " +
+      s"FROM sel WHERE pos <= greatest(m - $windowSize, 0)"
+  }
+
+  /** Per-document novelty of the sub-corpus `WHERE batchWhere` against
+    * the reference `WHERE NOT batchWhere` — identical math to
+    * Corpus.noveltyScore (distinct-shingle anti-membership fraction).
+    */
+  def novelty(n: Int, batchWhere: String): String = {
+    val shingleCat = (1 to n).map(j => s"t[ii + $j]").mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT doc_id, source, $tokensExpr AS t FROM documents), " +
+      s"sh AS (SELECT doc_id, source, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
+      "ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh), " +
+      s"ref AS (SELECT DISTINCT g FROM ex WHERE NOT ($batchWhere)) " +
+      "SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+      "CAST(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles, " +
+      "round(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty " +
+      s"FROM ex e LEFT JOIN ref ON e.g = ref.g WHERE $batchWhere GROUP BY 1"
+  }
+
   /** Leave-one-out kNN classification over `embeddings` — brute-force
     * cosine top-k per query (corpus-id tie-break, as every similarity
     * oracle here), majority label with votes-desc / label-asc pick.

@@ -1395,6 +1395,20 @@ object SparkEntry {
         iterations = 3, damping = 0.85)
     }),
 
+    // winnowing fingerprints (MOSS): position-robust copy detection —
+    // any shared run of windowSize+k−1 words shares a fingerprint
+    "q_winnow" -> ((s, d) =>
+      graft.operators.Corpus.winnowFingerprints(t(s, d, "documents").df,
+        "text", "doc_id", k = 5, windowSize = 4)),
+
+    // incremental-crawl triage: per-doc fraction of shingles unseen in
+    // the rest of the corpus
+    "q_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.Corpus.noveltyScore(docs.where(col("source") === "src0"),
+        docs.where(col("source") =!= "src0"), "text", "doc_id")
+    }),
+
     // dataset-granularity dedup: shingle-Jaccard overlap between sources
     // — the "do these two crawls overlap" screen run before doc-level
     // cross-dedup
@@ -2164,6 +2178,10 @@ object SparkEntry {
 
     "q_graph_pagerank" ->
       OracleSql.pageRank(n = 2, threshold = 0.1, iterations = 3, damping = 0.85),
+
+    "q_winnow" -> OracleSql.winnow(k = 5, windowSize = 4),
+
+    "q_novelty" -> OracleSql.novelty(n = 3, batchWhere = "source = 'src0'"),
 
     "q_source_overlap" -> OracleSql.groupOverlap("source", n = 3),
 

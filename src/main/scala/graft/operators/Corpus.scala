@@ -573,6 +573,78 @@ object Corpus {
         col("dup_shingles").cast("double") / col("n_shingles"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): per document, hash every k-word gram, slide a
+    * window of `windowSize` consecutive gram hashes, and keep the minimum
+    * of each window (ties → leftmost position; hash ties are md5
+    * collisions, negligible). Guarantees any shared run of
+    * windowSize + k − 1 words between two documents shares a fingerprint
+    * — position-robust plagiarism/copy detection where a global MinHash
+    * can only score whole-document similarity. Documents shorter than one
+    * full window keep their single global minimum; docs under k words
+    * produce no grams and drop.
+    *
+    * Gram hashes are the engine-portable 60-bit md5 (DuckDB twin in
+    * OracleSql.winnow). Scale shape: the gram explode is map-side; the
+    * window partitions by document (bounded by document length) — one
+    * doc-keyed shuffle, then a distinct on the selected rows.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, windowSize: Int = 4): DataFrame = {
+    require(k >= 1 && windowSize >= 1, "winnow: k and windowSize must be >= 1")
+    val toks = col("graft_toks")
+    val grams = docs
+      .withColumn("graft_toks", split(T.normalizeText(col(textCol)), " "))
+      .where(size(toks) >= k)
+      .withColumn("graft_m", (size(toks) - k + 1).cast("long"))
+      .select(col(idCol), col("graft_m"), posexplode(
+        transform(sequence(lit(0), size(toks) - k),
+          i => conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(k)))), 1, 15),
+            16, 10).cast("long"))).as(Seq("pos", "gh")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, windowSize - 1)
+    grams
+      .withColumn("graft_sel", min(struct(col("gh"), col("pos"))).over(w))
+      // full windows only — except short docs (m < windowSize), whose
+      // single pos-0 window spans all m grams and yields the global min
+      .where(col("pos") <= greatest(col("graft_m") - windowSize, lit(0L)))
+      .select(col(idCol), col("graft_sel.gh").as("fp_hash"),
+        col("graft_sel.pos").cast("long").as("fp_pos"))
+      .distinct()
+  }
+
+  /** Per-document novelty against a REFERENCE corpus: the fraction of a
+    * document's distinct n-word shingles that do NOT occur anywhere in
+    * the reference — the incremental-crawl triage signal ("how much of
+    * this new dump is actually new text") scored per document, where
+    * [[Dedup.incrementalNearDupPairs]] gives a boolean and
+    * [[contamination]] targets a small eval set. Documents with novelty
+    * near 0 are re-crawls; near 1, fresh content.
+    *
+    * Scale shape: the reference collapses to its DISTINCT shingle set
+    * once (map-side-combined distinct), the batch posting list left-joins
+    * it on the shingle key, and one doc-id shuffle aggregates the
+    * fraction. Nothing is broadcast — both sides shuffle on the shingle —
+    * so reference size is unbounded.
+    */
+  def noveltyScore(batch: DataFrame, reference: DataFrame, textCol: String,
+      idCol: String, shingleWords: Int = 3): DataFrame = {
+    val refSet = reference
+      .select(explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
+      .distinct()
+      .withColumn("graft_seen", lit(1))
+    batch.select(col(idCol),
+        explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
+      .join(refSet, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("graft_seen").isNull, 1L).otherwise(0L)).as("novel_shingles"))
+      .select(col(idCol), col("n_shingles"), col("novel_shingles"),
+        round(col("novel_shingles").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** Eval-set contamination scan — the decontamination primitive every
     * pre-training pipeline needs: corpus documents sharing ≥ `minShared`
     * distinct word n-gram shingles with any eval document are flagged

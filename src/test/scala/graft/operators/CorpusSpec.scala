@@ -388,6 +388,56 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("winnowing guarantees a shared fingerprint for long shared runs") {
+    val sp = spark; import sp.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 words = w+k−1
+    val docs = Seq(
+      (1L, s"unique opening words here then $run and unique tail one"),
+      (2L, s"completely different front matter text $run with other ending")
+    ).toDF("doc_id", "text")
+    val fp = Corpus.winnowFingerprints(docs, "text", "doc_id", k = 5, windowSize = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp_hash"))
+    val d1 = fp.filter(_._1 == 1L).map(_._2).toSet
+    val d2 = fp.filter(_._1 == 2L).map(_._2).toSet
+    // the Schleimer guarantee: a shared run of windowSize + k − 1 words
+    // must produce at least one common fingerprint
+    assert(d1.intersect(d2).nonEmpty)
+    // and unrelated docs share none
+    val other = Seq((3L, "entirely disjoint vocabulary covering separate topics now"))
+      .toDF("doc_id", "text")
+    val fp3 = Corpus.winnowFingerprints(docs.unionAll(other), "text", "doc_id",
+        k = 5, windowSize = 4)
+      .collect().filter(_.getAs[Long]("doc_id") == 3L).map(_.getAs[Long]("fp_hash")).toSet
+    assert(fp3.intersect(d1).isEmpty)
+  }
+
+  test("winnowing short docs keep one global-min fingerprint; sub-k docs drop") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"), // 6 tokens, k=5 → m=2 < w=4
+      (2L, "one two three")).toDF("doc_id", "text") // < k tokens
+    val fp = Corpus.winnowFingerprints(docs, "text", "doc_id", k = 5, windowSize = 4)
+      .collect()
+    assert(fp.forall(_.getAs[Long]("doc_id") == 1L))
+    assert(fp.length == 1) // one window at pos 0 spanning both grams
+  }
+
+  test("novelty score is the exact unseen-shingle fraction") {
+    val sp = spark; import sp.implicits._
+    val ref = Seq((10L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps"), // all 3 shingles seen → 0.0
+      (2L, "entirely novel content words here"), // none seen → 1.0
+      (3L, "the quick brown fox sleeps")).toDF("doc_id", "text")
+    // doc 3: shingles {the quick brown, quick brown fox, brown fox sleeps}
+    // — first two seen, last novel → 1/3
+    val nv = Corpus.noveltyScore(batch, ref, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(nv(1L) == 0.0 && nv(2L) == 1.0)
+    assert(nv(3L) == BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("group overlap computes exact pairwise shingle jaccard between sources") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
