@@ -1385,13 +1385,15 @@ object SparkEntry {
           col("score"), col("rnk"))),
 
     // centrality over the similarity graph: which docs anchor a template/
-    // near-dup family — PageRank as iterative join+agg, exact pair edges,
-    // fixed 3 iterations so the oracle can unroll them
+    // near-dup family — PageRank as iterative join+agg over the SAME LSH
+    // pair set q_dedup_clusters feeds (threshold above the r=4/b=32
+    // S-curve knee, so the oracle's exact Jaccard pairs are provably the
+    // same edge set), fixed 3 iterations so the oracle can unroll them
     "q_graph_pagerank" -> ((s, d) => {
       val docs = t(s, d, "documents").df
       graft.operators.GraphOps.pageRank(
-        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-          shingleWords = 2, threshold = 0.1),
+        Dedup.minhashLshPairs(docs, "text", "doc_id",
+          numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85),
         iterations = 3, damping = 0.85)
     }),
 
@@ -2177,7 +2179,7 @@ object SparkEntry {
         "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n) WHERE rnk <= 5"),
 
     "q_graph_pagerank" ->
-      OracleSql.pageRank(n = 2, threshold = 0.1, iterations = 3, damping = 0.85),
+      OracleSql.pageRank(n = 3, threshold = 0.85, iterations = 3, damping = 0.85),
 
     "q_winnow" -> OracleSql.winnow(k = 5, windowSize = 4),
 
