@@ -144,6 +144,15 @@ object OracleSql {
       s"least(($sw) * 4.0, 1.0) * 0.2, 6)"
   }
 
+  /** Curriculum bins — NTILE over (rounded quality, doc_id): standard SQL
+    * NTILE puts the larger groups first, exactly GlobalOrder.ntile's
+    * boundary rule.
+    */
+  def curriculumBins(k: Int): String =
+    s"SELECT doc_id, $qualityScoreSql AS quality, " +
+      s"CAST(ntile($k) OVER (ORDER BY $qualityScoreSql ASC, doc_id ASC) AS BIGINT) AS bin " +
+      "FROM documents"
+
   /** Best-per-cluster survivors (Dedup.clusterSurvivorsBy with
     * qualityScore): transitive-closure clusters (a different algorithm
     * than the Spark side's label propagation, so the clustering itself is

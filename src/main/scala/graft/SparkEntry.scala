@@ -1397,6 +1397,12 @@ object SparkEntry {
         iterations = 3, damping = 0.85)
     }),
 
+    // curriculum-learning layout: k quality tiers under the distributed
+    // ntile (no single-reducer NTILE window)
+    "q_curriculum" -> ((s, d) =>
+      graft.operators.Corpus.curriculumBins(t(s, d, "documents").df,
+        "text", "doc_id", k = 10)),
+
     // winnowing fingerprints (MOSS): position-robust copy detection —
     // any shared run of windowSize+k−1 words shares a fingerprint
     "q_winnow" -> ((s, d) =>
@@ -2180,6 +2186,8 @@ object SparkEntry {
 
     "q_graph_pagerank" ->
       OracleSql.pageRank(n = 3, threshold = 0.85, iterations = 3, damping = 0.85),
+
+    "q_curriculum" -> OracleSql.curriculumBins(k = 10),
 
     "q_winnow" -> OracleSql.winnow(k = 5, windowSize = 4),
 

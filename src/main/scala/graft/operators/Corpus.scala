@@ -573,6 +573,21 @@ object Corpus {
         col("dup_shingles").cast("double") / col("n_shingles"))
   }
 
+  /** Curriculum bins: every document assigned to one of `k` difficulty
+    * tiers by ascending quality score (bin 1 = lowest quality), ties on
+    * the rounded score broken by id — the curriculum-learning layout
+    * (schedule low→high-quality tiers across training epochs). Built on
+    * [[GlobalOrder.ntile]]'s distributed numbering: range partition +
+    * per-partition counts, no single-reducer NTILE window.
+    */
+  def curriculumBins(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    GlobalOrder.ntile(
+      docs.select(col(idCol),
+        round(T.qualityScore(col(textCol)), 6).as("quality")),
+      k, orderCols = Seq("quality", idCol), bucketCol = "bin")
+      .select(col(idCol), col("quality"), col("bin").cast("bigint").as("bin"))
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
     * MOSS algorithm): per document, hash every k-word gram, slide a
     * window of `windowSize` consecutive gram hashes, and keep the minimum

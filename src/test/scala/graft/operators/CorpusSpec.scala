@@ -388,6 +388,27 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("curriculum bins tier by ascending quality with near-equal sizes") {
+    val sp = spark; import sp.implicits._
+    val mixed = (1 to 23).map { i =>
+      // longer docs score higher on the length term → increasing quality
+      (i.toLong, ("the quick brown fox jumps over it " * i).trim)
+    }.toDF("doc_id", "text")
+    val bins = Corpus.curriculumBins(mixed, "text", "doc_id", k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"),
+        r.getAs[Long]("bin")))
+    assert(bins.length == 23)
+    val sizes = bins.groupBy(_._3).view.mapValues(_.length).toMap
+    // 23 over 4 bins → 6,6,6,5 with the large bins first
+    assert(sizes == Map(1L -> 6, 2L -> 6, 3L -> 6, 4L -> 5))
+    // bins are ordered: every doc in a higher bin has quality >= any lower
+    for (b <- 1L to 3L) {
+      val maxLower = bins.filter(_._3 == b).map(_._2).max
+      val minHigher = bins.filter(_._3 == b + 1).map(_._2).min
+      assert(minHigher >= maxLower)
+    }
+  }
+
   test("winnowing guarantees a shared fingerprint for long shared runs") {
     val sp = spark; import sp.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 words = w+k−1
