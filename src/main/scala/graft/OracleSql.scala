@@ -225,6 +225,24 @@ object OracleSql {
       s"WHERE h < CAST(FLOOR(($rateExpr) * $buckets) AS BIGINT)"
   }
 
+  /** Replicated token-budget mixture (Corpus.tokenBudgetMixture): same
+    * md5 gate as [[stratifiedSample]] with the rate derived from the
+    * per-source token totals — min(1, budget / total), unlisted sources
+    * at 1.0.
+    */
+  def tokenBudgetMixture(budgets: Seq[(String, Long)],
+      salt: String = "graft", buckets: Long = 1000000L): String = {
+    val rateExpr = budgets.foldLeft("1.0") { case (acc, (s, b)) =>
+      s"CASE WHEN source = '$s' THEN least(1.0, $b / tot) ELSE $acc END"
+    }
+    "WITH tk AS (SELECT doc_id, source, " +
+      "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens, " +
+      s"${md5Hash60(s"'$salt' || doc_id::VARCHAR")} % $buckets AS h FROM documents), " +
+      "tot AS (SELECT source, sum(n_tokens)::DOUBLE AS tot FROM tk GROUP BY 1) " +
+      "SELECT doc_id, source, n_tokens FROM tk JOIN tot USING (source) " +
+      s"WHERE h < CAST(FLOOR(($rateExpr) * $buckets) AS BIGINT)"
+  }
+
   /** Replicated deterministic hash split — identical md5-derived bucket and
     * identical boundary arithmetic (shared via Corpus.splitBounds).
     */

@@ -1397,6 +1397,13 @@ object SparkEntry {
         iterations = 3, damping = 0.85)
     }),
 
+    // token-budget mixture: sources sampled to TOKEN budgets (the unit
+    // mixtures are actually specified in), deterministic md5 gate
+    "q_token_mixture" -> ((s, d) =>
+      graft.operators.Corpus.tokenBudgetMixture(t(s, d, "documents").df,
+        "text", "source", "doc_id",
+        budgets = Seq("src0" -> 500L, "src1" -> 1000000L, "src2" -> 1200L))),
+
     // curriculum-learning layout: k quality tiers under the distributed
     // ntile (no single-reducer NTILE window)
     "q_curriculum" -> ((s, d) =>
@@ -2186,6 +2193,9 @@ object SparkEntry {
 
     "q_graph_pagerank" ->
       OracleSql.pageRank(n = 3, threshold = 0.85, iterations = 3, damping = 0.85),
+
+    "q_token_mixture" -> OracleSql.tokenBudgetMixture(
+      budgets = Seq("src0" -> 500L, "src1" -> 1000000L, "src2" -> 1200L)),
 
     "q_curriculum" -> OracleSql.curriculumBins(k = 10),
 

@@ -93,6 +93,38 @@ object Corpus {
     df.where(bucketHash(idCol, salt, buckets) < (rateExpr * buckets).cast("long"))
   }
 
+  /** TOKEN-budget mixture — mixtures are specified in tokens, not
+    * document counts: each listed source keeps documents at rate
+    * min(1, budget_tokens / source_tokens) under the same deterministic
+    * md5 gate as [[stratifiedSample]] (unlisted sources keep everything).
+    * Expected kept tokens per source = its budget; the draw is
+    * length-unbiased (rate is per-source, membership per-document), and
+    * stable across runs, retries, partitionings, and engines.
+    *
+    * Scale shape: one map-side token count, a groupBy over the sources
+    * (#sources rows), a broadcast join of the totals back, and a map-side
+    * filter — no corpus shuffle.
+    */
+  def tokenBudgetMixture(df: DataFrame, textCol: String, sourceCol: String,
+      idCol: String, budgets: Seq[(String, Long)],
+      salt: String = "graft"): DataFrame = {
+    val buckets = 1000000L
+    val tok = df.withColumn("graft_ntok", T.tokenCount(col(textCol)).cast("long"))
+    val totals = tok.groupBy(col(sourceCol))
+      .agg(sum(col("graft_ntok")).as("graft_tot"))
+    val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    tok.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("graft_rate",
+        when(budgetExpr.isNull, lit(1.0))
+          .otherwise(least(lit(1.0),
+            budgetExpr.cast("double") / col("graft_tot"))))
+      .where(bucketHash(idCol, salt, buckets) <
+        (col("graft_rate") * buckets).cast("long"))
+      .select(col(idCol), col(sourceCol), col("graft_ntok").as("n_tokens"))
+  }
+
   /** Deterministic k-per-group cap: exactly min(k, |group|) rows per
     * group, chosen by the seeded md5 order — the balanced-subset
     * primitive ("at most k docs per domain/language") where

@@ -388,6 +388,31 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("token-budget mixture keeps roughly the budgeted token volume") {
+    val sp = spark; import sp.implicits._
+    val mixed = (1 to 400).map { i =>
+      val src = if (i <= 200) "big" else "keepall"
+      (i.toLong, "word " * 10, src)
+    }.toDF("doc_id", "text", "source")
+    // big: 200 docs × 10 tokens = 2000 tokens, budget 500 → rate 0.25
+    val kept = Corpus.tokenBudgetMixture(mixed, "text", "source", "doc_id",
+        budgets = Seq("big" -> 500L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val bigKept = kept.count(_._2 == "big")
+    assert(bigKept > 20 && bigKept < 80, s"expected ~50 of 200, got $bigKept")
+    // unlisted source keeps everything
+    assert(kept.count(_._2 == "keepall") == 200)
+    // deterministic across runs
+    val again = Corpus.tokenBudgetMixture(mixed, "text", "source", "doc_id",
+        budgets = Seq("big" -> 500L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(kept.toSet == again.toSet)
+    // budget >= total keeps the whole source
+    val all = Corpus.tokenBudgetMixture(mixed, "text", "source", "doc_id",
+        budgets = Seq("big" -> 10000L)).count()
+    assert(all == 400L)
+  }
+
   test("curriculum bins tier by ascending quality with near-equal sizes") {
     val sp = spark; import sp.implicits._
     val mixed = (1 to 23).map { i =>
