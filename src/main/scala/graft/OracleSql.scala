@@ -144,6 +144,27 @@ object OracleSql {
       s"least(($sw) * 4.0, 1.0) * 0.2, 6)"
   }
 
+  /** PSI score drift between `WHERE aWhere` and `WHERE bWhere` slices of
+    * `documents` — identical math to Corpus.scoreDrift (same rounded
+    * quality formula, fixed [0,1] bins, add-half smoothing).
+    */
+  def scoreDrift(bins: Int, aWhere: String, bWhere: String): String =
+    s"WITH sc AS (SELECT doc_id, $qualityScoreSql AS s, " +
+      s"($aWhere) AS ina, ($bWhere) AS inb FROM documents), " +
+      s"bn AS (SELECT least(CAST(floor(s * $bins) AS BIGINT), ${bins - 1}) AS bin, " +
+      "ina, inb FROM sc), " +
+      "ca AS (SELECT bin, count(*)::DOUBLE AS ca FROM bn WHERE ina GROUP BY 1), " +
+      "cb AS (SELECT bin, count(*)::DOUBLE AS cb FROM bn WHERE inb GROUP BY 1), " +
+      "na AS (SELECT count(*)::DOUBLE AS na FROM bn WHERE ina), " +
+      "nb AS (SELECT count(*)::DOUBLE AS nb FROM bn WHERE inb), " +
+      s"ab AS (SELECT range AS bin FROM range($bins)), " +
+      "pq AS (SELECT ab.bin, " +
+      s"(coalesce(ca.ca, 0.0) + 0.5) / (na.na + 0.5 * $bins) AS p, " +
+      s"(coalesce(cb.cb, 0.0) + 0.5) / (nb.nb + 0.5 * $bins) AS q " +
+      "FROM ab LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin), na, nb) " +
+      "SELECT bin, round(p, 6) AS p, round(q, 6) AS q, " +
+      "round((p - q) * ln(p / q), 6) AS psi_term FROM pq"
+
   /** Curriculum bins — NTILE over (rounded quality, doc_id): standard SQL
     * NTILE puts the larger groups first, exactly GlobalOrder.ntile's
     * boundary rule.

@@ -1397,6 +1397,26 @@ object SparkEntry {
         iterations = 3, damping = 0.85)
     }),
 
+    // per-dimension int8 embedding quantization: graded via scalar probes
+    // + the exact integer code sum per vector
+    "q_quantize_int8" -> ((s, d) => {
+      val q = graft.operators.Features.quantizeInt8(
+        t(s, d, "embeddings").df, "embedding", "codes")
+      q.select(col("vec_id"),
+        element_at(col("codes"), 1).cast("bigint").as("c1"),
+        element_at(col("codes"), 33).cast("bigint").as("c33"),
+        expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"))
+    }),
+
+    // distributional drift between corpus slices: PSI over quality bins
+    // (the lexical complement is q_source_overlap)
+    "q_score_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.operators.Corpus.scoreDrift(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") =!= "src0"), "text", bins = 10)
+    }),
+
     // token-budget mixture: sources sampled to TOKEN budgets (the unit
     // mixtures are actually specified in), deterministic md5 gate
     "q_token_mixture" -> ((s, d) =>
@@ -2193,6 +2213,20 @@ object SparkEntry {
 
     "q_graph_pagerank" ->
       OracleSql.pageRank(n = 3, threshold = 0.85, iterations = 3, damping = 0.85),
+
+    "q_quantize_int8" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
+        "ex AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v), " +
+        "st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1), " +
+        "codes AS (SELECT vec_id, pos, CASE WHEN hi = lo THEN 0 " +
+        "ELSE CAST(least(greatest(floor((x - lo) * 255.0 / (hi - lo)), 0.0), 255.0) AS INT) END AS c " +
+        "FROM ex JOIN st USING (pos)) " +
+        "SELECT vec_id, CAST(max(CASE WHEN pos = 1 THEN c END) AS BIGINT) AS c1, " +
+        "CAST(max(CASE WHEN pos = 33 THEN c END) AS BIGINT) AS c33, " +
+        "CAST(sum(c) AS BIGINT) AS code_sum FROM codes GROUP BY 1"),
+
+    "q_score_drift" -> OracleSql.scoreDrift(bins = 10,
+      aWhere = "source = 'src0'", bWhere = "source <> 'src0'"),
 
     "q_token_mixture" -> OracleSql.tokenBudgetMixture(
       budgets = Seq("src0" -> 500L, "src1" -> 1000000L, "src2" -> 1200L)),

@@ -605,6 +605,39 @@ object Corpus {
         col("dup_shingles").cast("double") / col("n_shingles"))
   }
 
+  /** Quality-score drift between two corpus slices as the population
+    * stability index: fixed-width bins over [0, 1] quality, per-bin
+    * frequencies p (slice A) and q (slice B) with add-half-count
+    * smoothing (so empty bins stay finite), and the per-bin PSI term
+    * (p − q)·ln(p/q). Σ terms < 0.1 is the classic "no drift" rule —
+    * the distributional complement to [[groupOverlap]]'s lexical
+    * screen, run between crawl snapshots before retraining filters.
+    *
+    * One map-side score pass and two #bins-row aggregations per side;
+    * the bin join is #bins × #bins-free (merge on bin id).
+    */
+  def scoreDrift(a: DataFrame, b: DataFrame, textCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "scoreDrift: bins must be positive")
+    // bin on the 6-dp-rounded score — the oracle's replicated formula
+    // rounds there, and binning must see the identical double
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.select(least(floor(round(T.qualityScore(col(textCol)), 6) * bins)
+          .cast("long"), lit(bins - 1L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).cast("double").as(cnt))
+    val na = a.count().toDouble
+    val nb = b.count().toDouble
+    val allBins = a.sparkSession.range(bins).select(col("id").as("bin"))
+    allBins
+      .join(binned(a, "ca"), Seq("bin"), "left")
+      .join(binned(b, "cb"), Seq("bin"), "left")
+      .select(col("bin"),
+        ((coalesce(col("ca"), lit(0.0)) + lit(0.5)) / lit(na + 0.5 * bins)).as("p"),
+        ((coalesce(col("cb"), lit(0.0)) + lit(0.5)) / lit(nb + 0.5 * bins)).as("q"))
+      .select(col("bin"), round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi_term"))
+  }
+
   /** Curriculum bins: every document assigned to one of `k` difficulty
     * tiers by ascending quality score (bin 1 = lowest quality), ties on
     * the rounded score broken by id — the curriculum-learning layout

@@ -53,4 +53,35 @@ object Features {
     df.withColumn(outCol,
       when(n === 0.0, v).otherwise(transform(v, x => x / n)))
   }
+
+  /** Per-dimension affine int8 quantization — the 4× at-rest compression
+    * for embedding stores: code[i] = clamp(⌊(v[i] − minᵢ)·255 / (maxᵢ −
+    * minᵢ)⌋, 0, 255) with per-dimension corpus min/max (constant
+    * dimensions map to 0). FLOOR (not round) keeps the integer codes
+    * engine-exact; the max of each dimension lands on 255 via the clamp.
+    * Dequantize as minᵢ + code·(maxᵢ − minᵢ)/255 with ≤ half-step error.
+    *
+    * Scale shape: one posexplode min/max pass collapsing to a single
+    * broadcast stats row (same pattern as [[standardize]]); the encode
+    * itself is map-side, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val stats = df
+      .select(posexplode(V.asDouble(col(vecCol))).as(Seq("graft_pos", "graft_x")))
+      .groupBy(col("graft_pos"))
+      .agg(min(col("graft_x")).as("lo"), max(col("graft_x")).as("hi"))
+      .agg(
+        sort_array(collect_list(struct(col("graft_pos"), col("lo")))).as("ls"),
+        sort_array(collect_list(struct(col("graft_pos"), col("hi")))).as("hs"))
+      .select(
+        transform(col("ls"), s => s.getField("lo")).as("graft_los"),
+        transform(col("hs"), s => s.getField("hi")).as("graft_his"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(outCol, expr(
+        s"transform(cast(`$vecCol` as array<double>), (x, i) -> " +
+          "CASE WHEN graft_his[i] = graft_los[i] THEN 0 " +
+          "ELSE CAST(least(greatest(floor((x - graft_los[i]) * 255.0D / " +
+          "(graft_his[i] - graft_los[i])), 0.0D), 255.0D) AS INT) END)"))
+      .drop("graft_los", "graft_his")
+  }
 }

@@ -44,4 +44,39 @@ class FeaturesSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"stats row must broadcast:\n$plan")
   }
+
+  test("quantizeInt8: exact codes, endpoint clamp, constant dims to zero") {
+    val z = Seq(
+      (1L, Seq(0.0f, 5.0f, 7.0f)),
+      (2L, Seq(1.0f, 5.0f, 3.0f)),
+      (3L, Seq(0.5f, 5.0f, 5.0f))).toDF("vec_id", "v")
+    val out = Features.quantizeInt8(z, "v", "codes")
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim 0: lo=0, hi=1 → codes floor(x*255) = 0, 255, 127
+    assert(out(1L)(0) == 0 && out(2L)(0) == 255 && out(3L)(0) == 127)
+    // dim 1 constant → 0
+    assert(out.values.forall(_(1) == 0))
+    // dim 2: lo=3, hi=7 → 1.0 → 255 (clamp), 3.0 → 0, 5.0 → 127
+    assert(out(1L)(2) == 255 && out(2L)(2) == 0 && out(3L)(2) == 127)
+    // dequantization error bounded by one step
+    val step = 1.0 / 255.0
+    assert(math.abs((0.0 + out(3L)(0) * step) - 0.5) <= step)
+  }
+
+  test("scoreDrift: identical slices give near-zero psi, bins sum to one") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 100).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog " * (1 + i % 5)))
+      .toDF("doc_id", "text")
+    val same = Corpus.scoreDrift(docs, docs, "text", bins = 10).collect()
+    assert(same.length == 10)
+    assert(same.forall(r => math.abs(r.getAs[Double]("psi_term")) < 1e-9))
+    assert(math.abs(same.map(_.getAs[Double]("p")).sum - 1.0) < 1e-3)
+    // disjoint quality profiles drift hard
+    val low = Seq((1L, "@@@@ #### 1234 !!!!"), (2L, "#### $$$$ 999 !!")).toDF("doc_id", "text")
+    val psi = Corpus.scoreDrift(docs, low, "text", bins = 10)
+      .collect().map(_.getAs[Double]("psi_term")).sum
+    assert(psi > 0.5, s"expected large drift, got $psi")
+  }
 }
