@@ -565,9 +565,9 @@ object OracleSql {
     * Corpus.winnowFingerprints: 60-bit md5 k-gram hashes, struct-min
     * (hash, pos) per full sliding window, global min for short docs.
     */
-  def winnow(k: Int, windowSize: Int): String = {
+  private def winnowCte(k: Int, windowSize: Int): String = {
     val gram = (1 to k).map(j => s"t[ii + $j]").mkString(" || ' ' || ")
-    s"WITH tok AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
+    s"tok AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
       s"g0 AS (SELECT doc_id, len(t) - $k + 1 AS m, " +
       s"list_transform(range(len(t) - ${k - 1}), ii -> ${md5Hash60(gram)}) AS ghs " +
       s"FROM tok WHERE len(t) >= $k), " +
@@ -575,10 +575,24 @@ object OracleSql {
       "unnest(ghs) AS gh FROM g0), " +
       "sel AS (SELECT doc_id, m, pos, min(struct_pack(gh := gh, pos := pos)) " +
       "OVER (PARTITION BY doc_id ORDER BY pos " +
-      s"ROWS BETWEEN CURRENT ROW AND ${windowSize - 1} FOLLOWING) AS s FROM g) " +
-      "SELECT DISTINCT doc_id, s.gh AS fp_hash, CAST(s.pos AS BIGINT) AS fp_pos " +
-      s"FROM sel WHERE pos <= greatest(m - $windowSize, 0)"
+      s"ROWS BETWEEN CURRENT ROW AND ${windowSize - 1} FOLLOWING) AS s FROM g), " +
+      "fp AS (SELECT DISTINCT doc_id, s.gh AS fp_hash, CAST(s.pos AS BIGINT) AS fp_pos " +
+      s"FROM sel WHERE pos <= greatest(m - $windowSize, 0))"
   }
+
+  def winnow(k: Int, windowSize: Int): String =
+    s"WITH ${winnowCte(k, windowSize)} SELECT doc_id, fp_hash, fp_pos FROM fp"
+
+  /** Winnow-fingerprint copy pairs — docs sharing ≥ minShared distinct
+    * selected hashes (Corpus.winnowPairs verbatim).
+    */
+  def winnowPairs(k: Int, windowSize: Int, minShared: Long): String =
+    s"WITH ${winnowCte(k, windowSize)}, " +
+      "fh AS (SELECT DISTINCT doc_id, fp_hash FROM fp) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(count(*) AS BIGINT) AS shared_fps " +
+      "FROM fh a JOIN fh b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $minShared"
 
   /** Per-document novelty of the sub-corpus `WHERE batchWhere` against
     * the reference `WHERE NOT batchWhere` — identical math to

@@ -1436,6 +1436,11 @@ object SparkEntry {
       graft.operators.Corpus.winnowFingerprints(t(s, d, "documents").df,
         "text", "doc_id", k = 5, windowSize = 4)),
 
+    // MOSS pair report: docs sharing ≥ 2 winnow fingerprints
+    "q_winnow_pairs" -> ((s, d) =>
+      graft.operators.Corpus.winnowPairs(t(s, d, "documents").df,
+        "text", "doc_id", k = 5, windowSize = 4, minShared = 2L)),
+
     // incremental-crawl triage: per-doc fraction of shingles unseen in
     // the rest of the corpus
     "q_novelty" -> ((s, d) => {
@@ -2234,6 +2239,8 @@ object SparkEntry {
     "q_curriculum" -> OracleSql.curriculumBins(k = 10),
 
     "q_winnow" -> OracleSql.winnow(k = 5, windowSize = 4),
+
+    "q_winnow_pairs" -> OracleSql.winnowPairs(k = 5, windowSize = 4, minShared = 2L),
 
     "q_novelty" -> OracleSql.novelty(n = 3, batchWhere = "source = 'src0'"),
 

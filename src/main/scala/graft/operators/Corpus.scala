@@ -694,6 +694,26 @@ object Corpus {
       .distinct()
   }
 
+  /** Copy-detection pairs from winnowing fingerprints: documents sharing
+    * at least `minShared` distinct selected hashes — the MOSS pair
+    * report. By the winnowing guarantee, any two documents sharing a run
+    * of windowSize + k − 1 words appear here at minShared = 1; raising
+    * minShared filters incidental hash overlap. Same inverted-index join
+    * shape as [[Dedup.ngramJaccardPairs]], but the posting list holds
+    * only the ~2/(windowSize+1) of grams winnowing selects.
+    */
+  def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, windowSize: Int = 4, minShared: Long = 1L): DataFrame = {
+    val fp = winnowFingerprints(docs, textCol, idCol, k, windowSize)
+      .select(col(idCol), col("fp_hash")).distinct()
+    fp.alias("a").join(fp.alias("b"),
+        col("a.fp_hash") === col("b.fp_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** Per-document novelty against a REFERENCE corpus: the fraction of a
     * document's distinct n-word shingles that do NOT occur anywhere in
     * the reference — the incremental-crawl triage signal ("how much of

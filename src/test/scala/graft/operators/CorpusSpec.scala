@@ -457,6 +457,20 @@ class CorpusSpec extends SparkSpec {
     assert(fp3.intersect(d1).isEmpty)
   }
 
+  test("winnow pairs flag embedded copies and skip unrelated docs") {
+    val sp = spark; import sp.implicits._
+    val stolen = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"original article starts here $stolen and continues with more"),
+      (2L, s"a plagiarised rework text that embeds $stolen inside other words"),
+      (3L, "completely unrelated content about different things entirely now ok")
+    ).toDF("doc_id", "text")
+    val pairs = Corpus.winnowPairs(docs, "text", "doc_id",
+        k = 5, windowSize = 4, minShared = 2L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("winnowing short docs keep one global-min fingerprint; sub-k docs drop") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
