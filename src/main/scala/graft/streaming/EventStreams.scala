@@ -132,6 +132,40 @@ object EventStreams {
     }.toDF("user_id", "n_events", "last_value")
   }
 
+  /** [[runningUserStats]] on Spark 4's transformWithState — the current
+    * arbitrary-state API (typed ValueState handles, per-state TTL,
+    * timers, RocksDB-backed at scale) that supersedes
+    * mapGroupsWithState. Functionally identical output so the two are
+    * cross-checked in the spec; new stateful operators should start
+    * here. Requires the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`) — the default HDFS-backed
+    * store has no multi-column-family support.
+    */
+  def runningUserStatsTws(events: Dataset[Row], userCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    class Proc extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+      @transient private var st: ValueState[(Long, Double)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(Long, Double)]("stats",
+          implicitly[org.apache.spark.sql.Encoder[(Long, Double)]], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+          timers: TimerValues): Iterator[(Long, Long, Double)] = {
+        var (n, last) = if (st.exists()) st.get() else (0L, 0.0)
+        rows.foreach { r => n += 1; last = r._2 }
+        st.update((n, last))
+        Iterator.single((key, n, last))
+      }
+    }
+    events.selectExpr(s"$userCol as user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new Proc, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "last_value")
+  }
+
   /** First-order event-transition matrix: for consecutive events per key
     * (event-time order, `tieBreak` disambiguating equal timestamps),
     * counts and conditional probabilities P(to | from) — the Markov-chain

@@ -94,6 +94,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("transformWithState running user stats accumulates across micro-batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // transformWithState needs the multi-column-family store
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventStreams.runningUserStatsTws(mem.toDF, "user_id")(spark)
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    try {
+      val rows = batch.as[Ev].collect()
+      mem.addData(rows.take(3).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3).toSeq: _*)
+      q.processAllAvailable()
+      // the LAST update per user must reflect the full history — state
+      // survived the micro-batch boundary
+      val last = spark.table("tws_out").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(last == Map(1L -> 3L, 2L -> 2L))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming parquet sink writes append-mode results") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
