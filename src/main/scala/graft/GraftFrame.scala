@@ -419,6 +419,62 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     GraftFrame(out, resultAlias)
   }
 
+  /** Winnow-fingerprint copy pairs on the builder — see
+    * [[graft.operators.Corpus.winnowPairs]].
+    */
+  def winnowPairs(textCol: String, idCol: String, resultAlias: String,
+      k: Int = 5, windowSize: Int = 4, minShared: Long = 1L): GraftFrame = {
+    val out = graft.operators.Corpus.winnowPairs(execute(), textCol, idCol,
+      k, windowSize, minShared)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Group-pair shingle overlap matrix on the builder — see
+    * [[graft.operators.Corpus.groupOverlap]].
+    */
+  def groupOverlap(textCol: String, groupCol: String, resultAlias: String,
+      shingleWords: Int = 3): GraftFrame = {
+    val out = graft.operators.Corpus.groupOverlap(execute(), textCol,
+      groupCol, shingleWords)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Per-doc novelty against a reference frame on the builder — see
+    * [[graft.operators.Corpus.noveltyScore]].
+    */
+  def noveltyAgainst(reference: GraftFrame, textCol: String, idCol: String,
+      resultAlias: String, shingleWords: Int = 3): GraftFrame = {
+    val out = graft.operators.Corpus.noveltyScore(execute(),
+      reference.execute(), textCol, idCol, shingleWords)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Curriculum quality tiers on the builder — see
+    * [[graft.operators.Corpus.curriculumBins]].
+    */
+  def curriculumBins(textCol: String, idCol: String, k: Int,
+      resultAlias: String): GraftFrame = {
+    val out = graft.operators.Corpus.curriculumBins(execute(), textCol,
+      idCol, k)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Token-budget source mixture on the builder — see
+    * [[graft.operators.Corpus.tokenBudgetMixture]].
+    */
+  def mixByTokenBudget(textCol: String, sourceCol: String, idCol: String,
+      budgets: Seq[(String, Long)], resultAlias: String,
+      salt: String = "graft"): GraftFrame = {
+    val out = graft.operators.Corpus.tokenBudgetMixture(execute(), textCol,
+      sourceCol, idCol, budgets, salt)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
   /** Deterministic per-group row cap on the builder — see
     * [[graft.operators.Corpus.sampleKPerGroup]].
     */

@@ -451,4 +451,30 @@ class GraftFrameSpec extends SparkSpec {
       .toDF.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pagerank")).toMap
     assert(pr(1L) > pr(2L) && pr(2L) == pr(3L))
   }
+
+  test("corpus-curation hooks on the builder chain and register aliases") {
+    val sp = spark; import sp.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = GraftFrame(Seq(
+      (1L, s"first document body with $run inside it", "s1"),
+      (2L, s"second unrelated copy carrying $run too now", "s2"),
+      (3L, "third standalone text with nothing shared here at all", "s1")
+    ).toDF("doc_id", "text", "source"), "cdocs")
+    val wp = docs.winnowPairs("text", "doc_id", "cwp", minShared = 1L)
+      .toDF.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(wp.contains((1L, 2L)))
+    val ov = docs.groupOverlap("text", "source", "cov").toDF.collect()
+    assert(ov.length == 1 && ov.head.getAs[Long]("common") > 0)
+    val ref = GraftFrame(Seq((9L, s"reference holding $run verbatim"))
+      .toDF("doc_id", "text"), "cref")
+    val nv = docs.noveltyAgainst(ref, "text", "doc_id", "cnv")
+      .toDF.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(nv(3L) == 1.0 && nv(1L) < 1.0)
+    val bins = docs.curriculumBins("text", "doc_id", 3, "cbins").toDF
+    assert(bins.count() == 3 &&
+      bins.select("bin").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val mixed = docs.mixByTokenBudget("text", "source", "doc_id",
+      budgets = Seq("s1" -> 1000000L), resultAlias = "cmix")
+    assert(mixed.toDF.count() == 3) // budgets >= totals keep everything
+  }
 }
