@@ -457,6 +457,37 @@ class CorpusSpec extends SparkSpec {
     assert(fp3.intersect(d1).isEmpty)
   }
 
+  test("winnowing guarantee holds under randomized shared-run placement") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11L)
+    val vocabA = Vector("red", "blue", "green", "amber", "violet", "teal",
+      "coral", "olive", "navy", "plum", "rust", "sage")
+    val vocabB = Vector("stone", "river", "cloud", "ember", "frost", "grove",
+      "ridge", "vale", "dune", "marsh", "crag", "heath")
+    val k = 5; val w = 4; val runLen = w + k - 1 // 8 shared words
+    val cases = (0 until 12).map { i =>
+      // a shared run placed at a random offset inside two docs built from
+      // DISJOINT vocabularies (so only the run can collide)
+      val run = (0 until runLen).map(_ => s"shared${rnd.nextInt(40)}").mkString(" ")
+      def doc(v: Vector[String]) = {
+        val pre = (0 until rnd.nextInt(12)).map(_ => v(rnd.nextInt(v.size)))
+        val post = (0 until rnd.nextInt(12)).map(_ => v(rnd.nextInt(v.size)))
+        (pre ++ Seq(run) ++ post).mkString(" ")
+      }
+      (i, doc(vocabA), doc(vocabB))
+    }
+    val docs = cases.flatMap { case (i, a, b) =>
+      Seq((i * 2L, a), (i * 2L + 1, b)) }.toDF("doc_id", "text")
+    val fp = Corpus.winnowFingerprints(docs, "text", "doc_id", k, w)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp_hash"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every pair sharing the full run must share >= 1 fingerprint
+    cases.foreach { case (i, _, _) =>
+      val shared = fp(i * 2L).intersect(fp(i * 2L + 1))
+      assert(shared.nonEmpty, s"case $i: guarantee violated")
+    }
+  }
+
   test("winnow pairs flag embedded copies and skip unrelated docs") {
     val sp = spark; import sp.implicits._
     val stolen = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
