@@ -15,31 +15,31 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
-  /** Exact top-k per query in TWO window phases: a window partitioned by
-    * query_id alone ranks the query's ENTIRE candidate set in one task
-    * (a brute-force scan of 10⁹ docs per query = one reducer), so phase 1
-    * takes the local top-k per (query, input partition) — key cardinality
-    * queries × partitions, bounded per-task volume — and phase 2 ranks
-    * the ≤ k·partitions survivors per query. Identical result: the global
-    * top-k are always among every partition's local top-k. Deterministic
-    * via the caller's total order (score desc, corpus_id asc).
+  /** Exact top-k per query as ONE bounded-heap aggregation
+    * (plans.TopKAgg): each map task keeps at most k (score, corpus_id)
+    * pairs per query in a heap whose root is the worst kept element —
+    * the common candidate costs one comparison — and partial aggregation
+    * means the exchange carries ≤ k rows per (query, mapper) instead of
+    * the full candidate set (the earlier two-phase-window form shuffled
+    * every candidate row to rank it; a window partitioned by query_id
+    * alone would put a 10⁹-doc scan in one reducer). Deterministic via
+    * the same total order as Spark's sort: (score dir, corpus_id asc),
+    * `java.lang.Double.compare` on never-NaN scores.
     */
-  private def topKPerQuery(df: DataFrame, order: Seq[Column], k: Int,
-      rankCol: String): DataFrame = {
-    val w1 = Window.partitionBy(col("query_id"), col("graft_tk_pid"))
-      .orderBy(order: _*)
-    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
-    df.withColumn("graft_tk_pid", spark_partition_id())
-      .withColumn("graft_tk_rn", row_number().over(w1))
-      .where(col("graft_tk_rn") <= k)
-      .withColumn(rankCol, row_number().over(w2))
-      .where(col(rankCol) <= k)
-      .drop("graft_tk_pid", "graft_tk_rn")
-  }
+  private def topKPerQuery(df: DataFrame, scoreCol: String,
+      scoreDesc: Boolean, k: Int, rankCol: String): DataFrame =
+    df.groupBy(col("query_id"))
+      .agg(graft.plans.TopKAgg.topKPairs(col(scoreCol).cast("double"),
+        col("corpus_id").cast("long"), k, scoreDesc).as("graft_tk"))
+      .select(col("query_id"),
+        posexplode(col("graft_tk")).as(Seq("graft_pos", "graft_e")))
+      .select(col("query_id"), col("graft_e.id").as("corpus_id"),
+        col("graft_e.score").as(scoreCol),
+        (col("graft_pos") + 1).cast("int").as(rankCol))
 
   /** Brute-force cosine top-k: queries × corpus via broadcast join (no
-    * shuffle of the corpus), per-query top-k via the two-phase window.
-    * Deterministic tie-break on corpus id.
+    * shuffle of the corpus), per-query top-k via the bounded-heap
+    * aggregate. Deterministic tie-break on corpus id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
@@ -49,7 +49,7 @@ object Similarity {
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    topKPerQuery(joined, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
+    topKPerQuery(joined, "cos", scoreDesc = true, k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
@@ -72,7 +72,7 @@ object Similarity {
       .join(c, Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    topKPerQuery(joined, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
+    topKPerQuery(joined, "cos", scoreDesc = true, k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
@@ -120,7 +120,7 @@ object Similarity {
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    topKPerQuery(joined, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
+    topKPerQuery(joined, "cos", scoreDesc = true, k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
@@ -252,7 +252,7 @@ object Similarity {
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    topKPerQuery(joined, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
+    topKPerQuery(joined, "cos", scoreDesc = true, k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
@@ -393,14 +393,13 @@ object Similarity {
       .where(col("corpus_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(sum(col("d2")).as("adc_d2"))
-    val cand = topKPerQuery(adc,
-        Seq(col("adc_d2").asc, col("corpus_id").asc), rerank, "arn")
+    val cand = topKPerQuery(adc, "adc_d2", scoreDesc = false, rerank, "arn")
       .select(col("query_id"), col("corpus_id"))
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val exact = cand.join(c, Seq("corpus_id")).join(broadcast(q), Seq("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    topKPerQuery(exact, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
+    topKPerQuery(exact, "cos", scoreDesc = true, k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
@@ -500,14 +499,13 @@ object Similarity {
       .join(broadcast(lut), Seq("query_id", "subspace", "cent_id"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(sum(col("d2")).as("adc_d2"))
-    val cand = topKPerQuery(adc,
-        Seq(col("adc_d2").asc, col("corpus_id").asc), rerank, "arn")
+    val cand = topKPerQuery(adc, "adc_d2", scoreDesc = false, rerank, "arn")
       .select(col("query_id"), col("corpus_id"))
     val exact = cand
       .join(rows.select(col("corpus_id"), col("cv")), Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
-    topKPerQuery(exact, Seq(col("cos").desc, col("corpus_id").asc), k, "rank")
+    topKPerQuery(exact, "cos", scoreDesc = true, k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),
         col("rank"))
   }
