@@ -653,7 +653,11 @@ object OracleSql {
     * rounds of prᵏ⁺¹ = (1−d)/N + d·Σ prᵏ(u)/deg(u), identical math to
     * GraphOps.pageRank, rounded to 6 dp at the end only.
     */
-  def pageRank(n: Int, threshold: Double, iterations: Int,
+  /** PageRank over an arbitrary pair query producing (id_a, id_b) —
+    * pairs are symmetrized with multi-edges preserved, exactly
+    * GraphOps.pageRank's edge handling.
+    */
+  def pageRankOver(pairsSql: String, iterations: Int,
       damping: Double): String = {
     val rounds = (1 to iterations).map { k =>
       val prev = s"p${k - 1}"
@@ -662,7 +666,7 @@ object OracleSql {
         s"p$k AS (SELECT $prev.id, (1.0 - $damping) / nn.n + $damping * coalesce(c$k.c, 0.0) AS pr " +
         s"FROM $prev LEFT JOIN c$k USING (id), nn)"
     }.mkString(", ")
-    s"WITH pairs AS (${jaccardPairs(n, threshold)}), " +
+    s"WITH pairs AS ($pairsSql), " +
       "e0 AS (SELECT id_a AS s, id_b AS d FROM pairs " +
       "UNION ALL SELECT id_b, id_a FROM pairs), " +
       "deg AS (SELECT s, count(*)::DOUBLE AS deg FROM e0 GROUP BY 1), " +
@@ -672,6 +676,23 @@ object OracleSql {
       s"$rounds " +
       s"SELECT id, round(pr, 6) AS pagerank FROM p$iterations"
   }
+
+  def pageRank(n: Int, threshold: Double, iterations: Int,
+      damping: Double): String =
+    pageRankOver(jaccardPairs(n, threshold), iterations, damping)
+
+  /** PageRank over the directed brute-force kNN edge list of
+    * `embeddings` — the kNN-graph centrality signal (well-connected =
+    * in-distribution; peripheral = outlier).
+    */
+  def knnPageRank(k: Int, iterations: Int, damping: Double): String =
+    pageRankOver(
+      "SELECT q.vec_id AS id_a, c.vec_id AS id_b " +
+        "FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id " +
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, " +
+        s"c.vec_id) <= $k",
+      iterations, damping)
 
   /** Multinomial Naive Bayes resubstitution prediction over `documents`
     * (train = predict corpus, label = lang) — identical math to

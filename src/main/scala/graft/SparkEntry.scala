@@ -1464,6 +1464,16 @@ object SparkEntry {
         "label", k = 10)
     }),
 
+    // centrality in the kNN graph: well-connected vectors are
+    // in-distribution, peripheral ones outliers — brute-force kNN edges
+    // feed the same fixed-iteration PageRank
+    "q_knn_pagerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val edges = Similarity.bruteForceTopK(emb, emb, "embedding", "vec_id", k = 5)
+        .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"))
+      graft.operators.GraphOps.pageRank(edges, iterations = 3)
+    }),
+
     // ── count-based classification / data selection (beyond reference —
     // the fastText-filter stand-ins; closed-form training, so the oracle
     // recomputes model AND prediction exactly) ──────────────────────────
@@ -2247,6 +2257,8 @@ object SparkEntry {
     "q_source_overlap" -> OracleSql.groupOverlap("source", n = 3),
 
     "q_knn_classify" -> OracleSql.knnClassify(k = 10),
+
+    "q_knn_pagerank" -> OracleSql.knnPageRank(k = 5, iterations = 3, damping = 0.85),
 
     "q_classify_nb" -> OracleSql.nbPredict,
 
