@@ -1464,6 +1464,16 @@ object SparkEntry {
         "label", k = 10)
     }),
 
+    // kth-NN outlier scores: the cosine to the kth nearest neighbor —
+    // low kth-cosine = isolated vector (prune as outlier), high =
+    // prototypical (the SemDeDup-adjacent triage signal)
+    "q_knn_outliers" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      Similarity.bruteForceTopK(emb, emb, "embedding", "vec_id", k = 10)
+        .where(col("rank") === 10)
+        .select(col("query_id").as("vec_id"), col("cosine").as("kth_cosine"))
+    }),
+
     // centrality in the kNN graph: well-connected vectors are
     // in-distribution, peripheral ones outliers — brute-force kNN edges
     // feed the same fixed-iteration PageRank
@@ -2259,6 +2269,14 @@ object SparkEntry {
     "q_knn_classify" -> OracleSql.knnClassify(k = 10),
 
     "q_knn_pagerank" -> OracleSql.knnPageRank(k = 5, iterations = 3, damping = 0.85),
+
+    "q_knn_outliers" ->
+      ("SELECT query_id AS vec_id, cosine AS kth_cosine FROM (" +
+        "SELECT q.vec_id AS query_id, " +
+        "round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id) WHERE rnk = 10"),
 
     "q_classify_nb" -> OracleSql.nbPredict,
 
