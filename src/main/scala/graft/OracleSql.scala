@@ -583,6 +583,22 @@ object OracleSql {
   def winnow(k: Int, windowSize: Int): String =
     s"WITH ${winnowCte(k, windowSize)} SELECT doc_id, fp_hash, fp_pos FROM fp"
 
+  /** Incremental winnow pairs through the persisted index: the batch is
+    * the doc_id < maxBatchId slice re-labeled +idOffset with UNCHANGED
+    * text, so its fingerprints equal the corpus rows' — the oracle
+    * fingerprints once and relabels, while the Spark side genuinely
+    * re-fingerprints the batch and joins the parquet index.
+    */
+  def winnowIncremental(k: Int, windowSize: Int, minShared: Long,
+      maxBatchId: Long, idOffset: Long): String =
+    s"WITH ${winnowCte(k, windowSize)}, " +
+      s"bfp AS (SELECT DISTINCT doc_id + $idOffset AS batch_id, fp_hash " +
+      s"FROM fp WHERE doc_id < $maxBatchId), " +
+      "cfp AS (SELECT DISTINCT doc_id AS corpus_id, fp_hash FROM fp) " +
+      "SELECT batch_id, corpus_id, CAST(count(*) AS BIGINT) AS shared_fps " +
+      "FROM bfp JOIN cfp USING (fp_hash) GROUP BY 1, 2 " +
+      s"HAVING count(*) >= $minShared"
+
   /** Winnow-fingerprint copy pairs — docs sharing ≥ minShared distinct
     * selected hashes (Corpus.winnowPairs verbatim).
     */

@@ -1436,6 +1436,20 @@ object SparkEntry {
       graft.operators.Corpus.winnowFingerprints(t(s, d, "documents").df,
         "text", "doc_id", k = 5, windowSize = 4)),
 
+    // incremental copy detection through a PERSISTED winnow index: the
+    // corpus fingerprints once to parquet, the batch joins against it
+    "q_winnow_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val idxPath = "/root/repo/target/tmp/winnow_index_graded"
+      graft.operators.Corpus.winnowFingerprints(docs, "text", "doc_id")
+        .write.mode("overwrite").parquet(idxPath)
+      val idx = s.read.parquet(idxPath)
+      val batch = docs.where(col("doc_id") < 100)
+        .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+      graft.operators.Corpus.incrementalWinnowPairs(batch, idx,
+        "text", "doc_id", minShared = 2L)
+    }),
+
     // MOSS pair report: docs sharing ≥ 2 winnow fingerprints
     "q_winnow_pairs" -> ((s, d) =>
       graft.operators.Corpus.winnowPairs(t(s, d, "documents").df,
@@ -2261,6 +2275,9 @@ object SparkEntry {
     "q_winnow" -> OracleSql.winnow(k = 5, windowSize = 4),
 
     "q_winnow_pairs" -> OracleSql.winnowPairs(k = 5, windowSize = 4, minShared = 2L),
+
+    "q_winnow_incremental" -> OracleSql.winnowIncremental(k = 5, windowSize = 4,
+      minShared = 2L, maxBatchId = 100L, idOffset = 70000L),
 
     "q_novelty" -> OracleSql.novelty(n = 3, batchWhere = "source = 'src0'"),
 

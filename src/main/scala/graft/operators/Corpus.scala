@@ -714,6 +714,27 @@ object Corpus {
       .where(col("shared_fps") >= minShared)
   }
 
+  /** Copy-detection of a NEW batch against a persisted fingerprint
+    * index: [[winnowFingerprints]] of the corpus is the at-rest index
+    * (write it once, append per ingest); the batch is fingerprinted with
+    * the same (k, windowSize) and joined on the selected hash — the
+    * corpus is never re-fingerprinted. Returns (batch_id, corpus_id,
+    * shared_fps) for pairs sharing ≥ minShared fingerprints. The winnow
+    * counterpart of Dedup.incrementalNearDupPairs.
+    */
+  def incrementalWinnowPairs(batch: DataFrame, corpusIndex: DataFrame,
+      textCol: String, idCol: String, k: Int = 5, windowSize: Int = 4,
+      minShared: Long = 1L): DataFrame = {
+    val bfp = winnowFingerprints(batch, textCol, idCol, k, windowSize)
+      .select(col(idCol).as("batch_id"), col("fp_hash")).distinct()
+    val cfp = corpusIndex
+      .select(col(idCol).as("corpus_id"), col("fp_hash")).distinct()
+    bfp.join(cfp, Seq("fp_hash"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** Per-document novelty against a REFERENCE corpus: the fraction of a
     * document's distinct n-word shingles that do NOT occur anywhere in
     * the reference — the incremental-crawl triage signal ("how much of

@@ -502,6 +502,23 @@ class CorpusSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("incremental winnow pairs hit the persisted index without re-fingerprinting") {
+    val sp = spark; import sp.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"corpus document one holding $run in the middle"),
+      (2L, "corpus document two with entirely different material here")
+    ).toDF("doc_id", "text")
+    val index = Corpus.winnowFingerprints(corpus, "text", "doc_id")
+    val batch = Seq(
+      (100L, s"a brand new submission that copies $run verbatim"),
+      (101L, "a genuinely novel submission about something else entirely")
+    ).toDF("doc_id", "text")
+    val hits = Corpus.incrementalWinnowPairs(batch, index, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")))
+    assert(hits.toSeq == Seq((100L, 1L)))
+  }
+
   test("winnowing short docs keep one global-min fingerprint; sub-k docs drop") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
