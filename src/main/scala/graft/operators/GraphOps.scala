@@ -44,7 +44,11 @@ object GraphOps {
     val contribEdges = edges.join(deg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("graft_deg")).as("graft_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = deg.count().toDouble
+    // materialize the cache FIRST, then count nodes FROM it — counting
+    // `deg` directly would evaluate the (possibly expensive) pair
+    // generation once for N and again when the cache fills
+    contribEdges.count()
+    val n = contribEdges.select(col("src")).distinct().count().toDouble
     val base = (1.0 - damping) / n
     var pr = deg.select(col("src").as("id"), (lit(1.0) / lit(n)).as("pr"))
     for (_ <- 1 to iterations) {
