@@ -653,7 +653,10 @@ object Dedup {
       threshold: Double, nlist: Int = 16, refineIterations: Int = 1): DataFrame = {
     val c = df.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = Similarity.seedAndRefine(c, nlist, refineIterations)
-    val asg = Similarity.assignToLists(c, centroids)
+    // the assignment feeds BOTH sides of the within-cluster self-join —
+    // eager localCheckpoint materializes the corpus scan once instead of
+    // per side (same policy as the Lloyd outputs)
+    val asg = Similarity.assignToLists(c, centroids).localCheckpoint(true)
     val a = asg.select(col("list_id"), col("corpus_id").as("a_id"), col("cv").as("av"))
     val b = asg.select(col("list_id"), col("corpus_id").as("b_id"), col("cv").as("bv"))
     val dropped = a.join(b, Seq("list_id"))
