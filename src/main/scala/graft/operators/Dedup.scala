@@ -622,6 +622,10 @@ object Dedup {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           round(col("cos"), 6).as("cosine"))
     }
+    // no pin here: the verify joins shuffle `base` by id on both sides
+    // with identical subplans, so ReusedExchange already shares the scan
+    // (measured: an eager checkpoint adds a materialization pass and
+    // saves nothing)
     signLshCandidates(base, lshBits, dim, lshTables)
       .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
