@@ -47,6 +47,7 @@ object Classify {
     val trainToks = toks(train, textCol, col(labelCol).as("graft_cls"))
     // ln P(c) from document counts — integers in, exact doubles out
     val nDocs = train.count().toDouble
+    require(nDocs > 0, "nbScores: training corpus is empty")
     val priors = train.groupBy(col(labelCol).as("graft_cls"))
       .agg(log(count(lit(1)).cast("double") / lit(nDocs)).as("graft_prior"))
     val tokenClass = trainToks.groupBy(col("graft_cls"), col("token"))
@@ -108,6 +109,7 @@ object Classify {
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "knnClassify: k must be positive")
     val topk = Similarity.bruteForceTopK(corpus, queries, vecCol, idCol, k)
     val labels = corpus.select(col(idCol).as("corpus_id"),
       col(labelCol).as("graft_lbl"))

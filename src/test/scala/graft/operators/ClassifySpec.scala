@@ -83,6 +83,21 @@ class ClassifySpec extends SparkSpec {
     assert(tied.getAs[Int]("pred") == 0 && tied.getAs[Long]("votes") == 3L)
   }
 
+  test("dsir lambda table broadcasts; empty train corpus raises") {
+    val target = labeled.where(col("lang") === "finance")
+      .select(col("doc_id"), col("text"))
+    val plan = Classify.importanceWeights(labeled, target, "text", "doc_id",
+      buckets = 256).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"λ table must broadcast, not shuffle the corpus:\n$plan")
+    val sp = spark; import sp.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assertThrows[IllegalArgumentException](
+      Classify.nbScores(labeled, empty, "text", "doc_id", "lang"))
+    assertThrows[IllegalArgumentException](
+      Classify.knnClassify(labeled, labeled, "text", "doc_id", "lang", k = 0))
+  }
+
   test("dsir weight of a doc equals the sum of its tokens' bucket log-ratios") {
     // single-token docs make the identity λ(bucket) = logw(doc) exact
     val sp = spark; import sp.implicits._
