@@ -352,12 +352,18 @@ object Corpus {
       .where(length(col("term")) >= minTermLength)
       .groupBy(col(groupCol), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    counts.withColumn("rnk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col(groupCol))
-          .orderBy(col("cnt").desc, col("term").asc)))
-      .where(col("rnk") <= k)
-      .select(col(groupCol), col("term"), col("cnt"), col("rnk").cast("bigint").as("rnk"))
+    // bounded-heap top-k (plans.TopTermsAgg): the exchange carries k
+    // terms per (group, mapper) instead of the group's whole vocabulary,
+    // and term ties order by the UTF8 binary collation — the same rank
+    // the previous (cnt desc, term asc) window produced
+    counts.groupBy(col(groupCol))
+      .agg(graft.plans.TopTermsAgg.topTerms(col("cnt"), col("term"), k)
+        .as("graft_tt"))
+      .select(col(groupCol),
+        posexplode(col("graft_tt")).as(Seq("graft_pos", "graft_e")))
+      .select(col(groupCol), col("graft_e.term").as("term"),
+        col("graft_e.cnt").as("cnt"),
+        (col("graft_pos") + 1).cast("bigint").as("rnk"))
   }
 
   /** Dataset-level overlap matrix: exact shingle-set Jaccard between
