@@ -104,9 +104,16 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("semantic dedup broadcasts centroids, shuffles only on list_id") {
+    // SemDeDup eagerly checkpoints the assignment before its self-join,
+    // which truncates that stage out of the final plan — assert the
+    // centroid broadcast on the same (un-truncated) assignment machinery
+    // via ivfTopK, and the no-cartesian property on the full query
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ivf = plan(operators.Similarity.ivfTopK(emb,
+      emb.where(col("vec_id") < 2), "embedding", "vec_id", k = 3, nlist = 4))
+    assert(ivf.contains("BroadcastHashJoin") || ivf.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment should broadcast the centroid side:\n$ivf")
     val p = plan(SparkEntry.queries("q_dedup_semantic")(spark, sf))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"centroid assignment should broadcast the centroid side:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in SemDeDup:\n$p")
   }
 
