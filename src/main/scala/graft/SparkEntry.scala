@@ -1436,6 +1436,35 @@ object SparkEntry {
       graft.operators.Corpus.winnowFingerprints(t(s, d, "documents").df,
         "text", "doc_id", k = 5, windowSize = 4)),
 
+    // inter-crawl dedup report: near-dup pairs whose members come from
+    // DIFFERENT sources — the slice that decides which crawl to keep
+    "q_dedup_cross_source" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashLshPairs(docs, "text", "doc_id",
+          numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")), Seq("id_b"))
+        .where(col("source_a") =!= col("source_b"))
+        .select(col("id_a"), col("id_b"), col("source_a"), col("source_b"),
+          col("jaccard"))
+    }),
+
+    // duplication degree: per-doc near-dup partner count — the passport
+    // column downstream weighting/pruning reads
+    "q_dedup_degree" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85)
+      val ends = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+      docs.select(col("doc_id"))
+        .join(ends.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_degree")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_degree"), lit(0L)).as("dup_degree"))
+    }),
+
     // incremental copy detection through a PERSISTED winnow index: the
     // corpus fingerprints once to parquet, the batch joins against it
     "q_winnow_incremental" -> ((s, d) => {
@@ -2278,6 +2307,19 @@ object SparkEntry {
 
     "q_winnow_incremental" -> OracleSql.winnowIncremental(k = 5, windowSize = 4,
       minShared = 2L, maxBatchId = 100L, idOffset = 70000L),
+
+    "q_dedup_cross_source" ->
+      ("WITH pr AS (" + OracleSql.jaccardPairs(n = 3, threshold = 0.85) + ") " +
+        "SELECT id_a, id_b, a.source AS source_a, b.source AS source_b, jaccard " +
+        "FROM pr JOIN documents a ON pr.id_a = a.doc_id " +
+        "JOIN documents b ON pr.id_b = b.doc_id WHERE a.source <> b.source"),
+
+    "q_dedup_degree" ->
+      ("WITH pr AS (" + OracleSql.jaccardPairs(n = 3, threshold = 0.85) + "), " +
+        "ends AS (SELECT id_a AS doc_id FROM pr UNION ALL SELECT id_b FROM pr) " +
+        "SELECT d.doc_id, CAST(coalesce(e.cnt, 0) AS BIGINT) AS dup_degree " +
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS cnt " +
+        "FROM ends GROUP BY 1) e ON d.doc_id = e.doc_id"),
 
     "q_novelty" -> OracleSql.novelty(n = 3, batchWhere = "source = 'src0'"),
 
