@@ -1476,13 +1476,17 @@ object SparkEntry {
       val batch = docs.where(col("doc_id") < 100)
         .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
       graft.operators.Corpus.incrementalWinnowPairs(batch, idx,
-        "text", "doc_id", minShared = 2L)
+        "text", "doc_id", minShared = 2L, maxDocFreq = 50L)
     }),
 
-    // MOSS pair report: docs sharing ≥ 2 winnow fingerprints
+    // MOSS pair report: docs sharing ≥ 2 winnow fingerprints. The
+    // maxDocFreq cap drops boilerplate fingerprints (df > 10% of corpus)
+    // before the self-join — without it one hot template fingerprint in
+    // N docs fans out N²/2 pair rows (the 100 TB quadratic risk)
     "q_winnow_pairs" -> ((s, d) =>
       graft.operators.Corpus.winnowPairs(t(s, d, "documents").df,
-        "text", "doc_id", k = 5, windowSize = 4, minShared = 2L)),
+        "text", "doc_id", k = 5, windowSize = 4, minShared = 2L,
+        maxDocFreq = 50L)),
 
     // incremental-crawl triage: per-doc fraction of shingles unseen in
     // the rest of the corpus
@@ -2303,10 +2307,11 @@ object SparkEntry {
 
     "q_winnow" -> OracleSql.winnow(k = 5, windowSize = 4),
 
-    "q_winnow_pairs" -> OracleSql.winnowPairs(k = 5, windowSize = 4, minShared = 2L),
+    "q_winnow_pairs" -> OracleSql.winnowPairs(k = 5, windowSize = 4, minShared = 2L,
+      maxDocFreq = 50L),
 
     "q_winnow_incremental" -> OracleSql.winnowIncremental(k = 5, windowSize = 4,
-      minShared = 2L, maxBatchId = 100L, idOffset = 70000L),
+      minShared = 2L, maxBatchId = 100L, idOffset = 70000L, maxDocFreq = 50L),
 
     "q_dedup_cross_source" ->
       ("WITH pr AS (" + OracleSql.jaccardPairs(n = 3, threshold = 0.85) + ") " +

@@ -707,11 +707,29 @@ object Corpus {
     * minShared filters incidental hash overlap. Same inverted-index join
     * shape as [[Dedup.ngramJaccardPairs]], but the posting list holds
     * only the ~2/(windowSize+1) of grams winnowing selects.
+    *
+    * `maxDocFreq > 0` drops fingerprints selected by more than that many
+    * documents BEFORE the self-join — the same dial as
+    * [[Dedup.ngramJaccardPairs]], and more important here: winnowing
+    * selects boilerplate (shared footers/templates survive by design —
+    * that is what it detects), so one hot fingerprint in N docs fans out
+    * N²/2 pair rows. The trade is recall on exactly those boilerplate-only
+    * pairs: a pair whose every shared fingerprint exceeds the cap is
+    * missed; pairs sharing any sub-cap fingerprint still appear (with
+    * shared_fps counting only sub-cap hashes — raise minShared with care).
     */
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, windowSize: Int = 4, minShared: Long = 1L): DataFrame = {
-    val fp = winnowFingerprints(docs, textCol, idCol, k, windowSize)
+      k: Int = 5, windowSize: Int = 4, minShared: Long = 1L,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val fp0 = winnowFingerprints(docs, textCol, idCol, k, windowSize)
       .select(col(idCol), col("fp_hash")).distinct()
+    val fp =
+      if (maxDocFreq > 0L) {
+        val keep = fp0.groupBy(col("fp_hash"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq).select("fp_hash")
+        fp0.join(keep, Seq("fp_hash"))
+      } else fp0
     fp.alias("a").join(fp.alias("b"),
         col("a.fp_hash") === col("b.fp_hash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -727,14 +745,28 @@ object Corpus {
     * corpus is never re-fingerprinted. Returns (batch_id, corpus_id,
     * shared_fps) for pairs sharing ≥ minShared fingerprints. The winnow
     * counterpart of Dedup.incrementalNearDupPairs.
+    *
+    * `maxDocFreq > 0` drops fingerprints whose CORPUS document frequency
+    * exceeds the cap before the join — the hot-boilerplate guard of
+    * [[winnowPairs]], measured on the at-rest index (the batch side is
+    * small by construction; the corpus side is where a template
+    * fingerprint matches every batch doc against thousands of corpus
+    * docs). Same recall trade as winnowPairs, documented there.
     */
   def incrementalWinnowPairs(batch: DataFrame, corpusIndex: DataFrame,
       textCol: String, idCol: String, k: Int = 5, windowSize: Int = 4,
-      minShared: Long = 1L): DataFrame = {
+      minShared: Long = 1L, maxDocFreq: Long = 0L): DataFrame = {
     val bfp = winnowFingerprints(batch, textCol, idCol, k, windowSize)
       .select(col(idCol).as("batch_id"), col("fp_hash")).distinct()
-    val cfp = corpusIndex
+    val cfp0 = corpusIndex
       .select(col(idCol).as("corpus_id"), col("fp_hash")).distinct()
+    val cfp =
+      if (maxDocFreq > 0L) {
+        val keep = cfp0.groupBy(col("fp_hash"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq).select("fp_hash")
+        cfp0.join(keep, Seq("fp_hash"))
+      } else cfp0
     bfp.join(cfp, Seq("fp_hash"))
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared_fps"))

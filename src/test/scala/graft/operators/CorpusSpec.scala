@@ -502,6 +502,39 @@ class CorpusSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("maxDocFreq kills the hot-boilerplate fingerprint fan-out") {
+    val sp = spark; import sp.implicits._
+    // 40 docs all ending in the same footer (the planted hot fingerprint
+    // — winnowing selects boilerplate by design) + one genuine copy pair
+    // whose shared run is unique to it
+    val footer = "copyright acme corp all rights reserved contact us today"
+    val stolen = "plutonium osmium iridium rhenium tantalum hafnium lutetium ytterbium"
+    val boiler = (1L to 40L).map(i =>
+      (i, s"document number $i unique body text item$i widget$i gadget$i $footer"))
+    val copies = Seq(
+      (100L, s"original piece containing $stolen and only here"),
+      (101L, s"rework that lifted $stolen wholesale from the original $footer"))
+    val docs = (boiler ++ copies).toDF("doc_id", "text")
+    val uncapped = Corpus.winnowPairs(docs, "text", "doc_id", minShared = 1L)
+    val capped = Corpus.winnowPairs(docs, "text", "doc_id", minShared = 1L,
+      maxDocFreq = 10L)
+    val cp = capped.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // uncapped: footer fingerprints pair all 41 footer docs quadratically
+    assert(uncapped.count() > 700L)
+    // capped: the boilerplate-only pairs vanish; the genuine copy survives
+    // because its shared run's fingerprints have df = 2
+    assert(cp.toSeq == Seq((100L, 101L)))
+    // incremental flavor: same cap measured on the corpus index df
+    val idx = Corpus.winnowFingerprints(docs, "text", "doc_id")
+    val batch = Seq((500L, s"fresh submission with $footer only")).toDF("doc_id", "text")
+    val inc = Corpus.incrementalWinnowPairs(batch, idx, "text", "doc_id",
+      minShared = 1L, maxDocFreq = 10L)
+    assert(inc.count() == 0L)
+    val incUncapped = Corpus.incrementalWinnowPairs(batch, idx, "text", "doc_id",
+      minShared = 1L)
+    assert(incUncapped.count() > 0L)
+  }
+
   test("incremental winnow pairs hit the persisted index without re-fingerprinting") {
     val sp = spark; import sp.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta"
