@@ -30,6 +30,13 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     graft.plans.VectorExpressions.l2(a, b)
 
+  /** PQ ADC distance of one code array against a query's flattened
+    * subspace-major m×ksub LUT — one native call per (query, candidate)
+    * pair (see [[graft.plans.AdcSum]]).
+    */
+  def adcSum(codes: Column, lut: Column): Column =
+    graft.plans.VectorExpressions.adcSum(codes, lut)
+
   /** Built-ins-only variants (kept for cross-checking the native exprs). */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),

@@ -364,9 +364,11 @@ object Similarity {
   /** ADC top-k over a PQ-encoded corpus, exact-cosine re-rank of the top
     * `rerank` ADC candidates. Per (query, doc) the ADC distance is m
     * lookup-adds (vs dim multiplies brute-force): the per-query LUT of
-    * (subspace, cent_id) → squared-L2 contributions is tiny (m × ksub)
-    * and broadcasts; the encoded corpus explodes into m rows per doc and
-    * joins the LUT map-side. Re-rank joins true vectors for only the
+    * (subspace, cent_id) → squared-L2 contributions is tiny (m × ksub),
+    * flattens to one array row per query, and broadcasts; each encoded
+    * corpus row computes its ADC sum MAP-SIDE with one codegen'd
+    * [[graft.plans.AdcSum]] call — one row per (query, doc) pair, no
+    * pre-shuffle amplification. Re-rank joins true vectors for only the
     * `rerank` survivors per query, so the full-width corpus is touched
     * O(queries × rerank) times regardless of corpus size.
     */
@@ -382,17 +384,30 @@ object Similarity {
         (V.l2Distance(col("sv"), col("centv")) *
           V.l2Distance(col("sv"), col("centv"))).as("d2"))
 
+  /** One row per query: the LUT flattened subspace-major into an
+    * array<double> of length m × ksub (slot = subspace·ksub + cent_id) so
+    * the ADC sum is one [[graft.plans.NativeOps.adcSum]] call per
+    * (query, candidate) pair instead of a posexplode + join + re-group
+    * that shuffled m rows per pair.
+    */
+  private def adcLutFlat(queries: DataFrame, codebook: DataFrame,
+      vecCol: String, idCol: String, m: Int, dim: Int): DataFrame =
+    adcLut(queries, codebook, vecCol, idCol, m, dim)
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("subspace"), col("cent_id"), col("d2")))),
+        x => x.getField("d2")).as("graft_lut"))
+
   def pqTopK(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
       queries: DataFrame, vecCol: String, idCol: String, k: Int,
       m: Int = 8, dim: Int = 64, rerank: Int = 50): DataFrame = {
     require(rerank >= k, "pqTopK: rerank must be >= k")
-    val lut = adcLut(queries, codebook, vecCol, idCol, m, dim)
+    val lut = adcLutFlat(queries, codebook, vecCol, idCol, m, dim)
     val adc = encoded
-      .select(col("corpus_id"), posexplode(col("codes")).as(Seq("subspace", "cent_id")))
-      .join(broadcast(lut), Seq("subspace", "cent_id"))
+      .crossJoin(broadcast(lut))
       .where(col("corpus_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("corpus_id"))
-      .agg(sum(col("d2")).as("adc_d2"))
+      .select(col("query_id"), col("corpus_id"),
+        V.adcSum(col("codes"), col("graft_lut")).as("adc_d2"))
     val cand = topKPerQuery(adc, "adc_d2", scoreDesc = false, rerank, "arn")
       .select(col("query_id"), col("corpus_id"))
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
@@ -490,15 +505,13 @@ object Similarity {
     val probed = qLists.select("list_id").distinct().collect().map(_.get(0))
     val rows = spark.read.parquet(indexPath)
       .where(col("list_id").isin(probed.toIndexedSeq: _*))
-    val lut = adcLut(queries, cb, vecCol, idCol, m, dim)
+    val lut = adcLutFlat(queries, cb, vecCol, idCol, m, dim)
     val adc = rows.select(col("list_id"), col("corpus_id"), col("codes"))
       .join(broadcast(qLists.select(col("query_id"), col("list_id"))), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        posexplode(col("codes")).as(Seq("subspace", "cent_id")))
-      .join(broadcast(lut), Seq("query_id", "subspace", "cent_id"))
-      .groupBy(col("query_id"), col("corpus_id"))
-      .agg(sum(col("d2")).as("adc_d2"))
+        V.adcSum(col("codes"), col("graft_lut")).as("adc_d2"))
     val cand = topKPerQuery(adc, "adc_d2", scoreDesc = false, rerank, "arn")
       .select(col("query_id"), col("corpus_id"))
     val exact = cand

@@ -188,6 +188,27 @@ object NativeOps {
     new GenericArrayData(out)
   }
 
+  /** PQ asymmetric-distance sum: Σ_j lut[j·ksub + codes[j]] over the m
+    * code bytes of one corpus row against one query's flattened
+    * (subspace-major) LUT of m × ksub squared subspace distances. ksub is
+    * inferred from the array lengths, so the expression needs no literal
+    * parameters. Summation is subspace-index order — deterministic,
+    * matching the oracle's ordered list sum.
+    */
+  def adcSum(codes: ArrayData, lut: ArrayData, codesLong: Boolean): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val ksub = lut.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = if (codesLong) codes.getLong(j).toInt else codes.getInt(j)
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
   def wordShingles(input: UTF8String, n: Int): GenericArrayData = {
     val s = input.toString
     val tokens = new scala.collection.mutable.ArrayBuffer[String](64)

@@ -74,7 +74,40 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** PQ asymmetric-distance computation done map-side: left = the m-code
+  * array of a corpus row, right = one query's flattened m×ksub LUT of
+  * squared subspace distances (subspace-major). Replaces the
+  * posexplode + LUT-join + re-group shape, which shuffled m rows per
+  * (query, candidate) pair just to add m lookups — this is one
+  * codegen'd call per pair, zero pre-shuffle amplification.
+  */
+case class AdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private lazy val codesLong: Boolean = left.dataType match {
+    case ArrayType(IntegerType, _) => false
+    case ArrayType(LongType, _) => true
+    case other => throw new IllegalArgumentException(
+      s"adc_sum expects array<int|bigint> codes, got $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(NativeOps.adcSum(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], codesLong))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.NativeOps.adcSum($a, $b, $codesLong)")
+
+  override def prettyName: String = "adc_sum"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
+  def adcSum(codes: Column, lut: Column): Column =
+    GraftSqlShim.column(AdcSum(GraftSqlShim.expression(codes), GraftSqlShim.expression(lut)))
   def dot(a: Column, b: Column): Column =
     GraftSqlShim.column(DotProduct(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
   def cosine(a: Column, b: Column): Column =
