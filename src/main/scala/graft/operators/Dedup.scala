@@ -333,9 +333,10 @@ object Dedup {
     *
     * The Bloom build is an eager Spark action (treeAggregate; bitset OR is
     * order-independent, so the filter — and everything downstream — stays
-    * deterministic). The `mightContainLong` probe is a scalar UDF, the one
-    * place a UDF is warranted: Spark exposes no SQL surface for sketch
-    * probes, and the exactness contract never depends on it.
+    * deterministic). The probe is Spark's own codegen'd
+    * `BloomFilterMightContain` expression (via [[graft.plans.SketchProbe]])
+    * — no UDF on the hot row path; the exactness contract never depends
+    * on it either way.
     */
   def incrementalSurvivors(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, expectedCorpusDocs: Long = 1000000L,
@@ -343,10 +344,9 @@ object Dedup {
     val bloomHash = xxhash64(lit(3L), col(textCol))
     val bf = corpus.select(bloomHash.as("graft_bh"))
       .stat.bloomFilter("graft_bh", math.max(expectedCorpusDocs, 1L), fpp)
-    val bfB = batch.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    val definitelyNew = batch.where(!mightContain(bloomHash))
-    val maybeDup = batch.where(mightContain(bloomHash))
+    val mightContain = graft.plans.SketchProbe.bloomMightContain(bf, bloomHash)
+    val definitelyNew = batch.where(!mightContain)
+    val maybeDup = batch.where(mightContain)
     val corpusKeys = corpusKeys128(corpus, textCol)
     val confirmedNew = maybeDup.join(corpusKeys,
       key128(col(textCol)) === col("graft_ck"), "left_anti")

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * can see; this operator makes the pattern explicit for multi-step
   * pipelines where the small side is computed far from the big scan
   * (e.g. "ids that failed QA yesterday" against today's full crawl).
-  * As in [[Dedup.incrementalSurvivors]], the `mightContainLong` probe is
-  * a scalar UDF — the one place a UDF is warranted (no SQL surface for
-  * sketch probes) and never on the exactness path.
+  * As in [[Dedup.incrementalSurvivors]], the probe is Spark's own
+  * codegen'd `BloomFilterMightContain` expression (via
+  * [[graft.plans.SketchProbe]]) — no UDF on the big side's row path, and
+  * never on the exactness path.
   */
 object RuntimeFilters {
 
@@ -29,11 +30,10 @@ object RuntimeFilters {
     xxhash64(lit(11L), col(keyCol).cast("string"))
 
   private def bloomProbe(small: DataFrame, smallKey: String,
-      expectedKeys: Long, fpp: Double): org.apache.spark.sql.expressions.UserDefinedFunction = {
+      expectedKeys: Long, fpp: Double): Column => Column = {
     val bf = small.select(keyed(smallKey).as("graft_bh"))
       .stat.bloomFilter("graft_bh", math.max(expectedKeys, 1L), fpp)
-    val bfB = small.sparkSession.sparkContext.broadcast(bf)
-    udf((h: Long) => bfB.value.mightContainLong(h))
+    graft.plans.SketchProbe.bloomMightContain(bf, _)
   }
 
   /** Rows of `big` whose `bigKey` occurs in `small.smallKey` (LEFT SEMI),

@@ -117,6 +117,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian in SemDeDup:\n$p")
   }
 
+  test("bloom probes are native might_contain expressions, not Scala UDFs") {
+    // the probe sits on the BIG side's per-row path — a ScalaUDF there
+    // breaks whole-stage codegen exactly where row volume is highest
+    for (q <- Seq("q_bloom_semi", "q_bloom_anti", "q_dedup_incremental")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("pythonudf"),
+        s"$q probe went through a UDF:\n$p")
+      assert(p.contains("might_contain"), s"$q has no native bloom probe:\n$p")
+    }
+  }
+
   test("indexed PQ search: the ADC stage's index scan never reads the vector column") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = "target/tmp/pq_index_plan"
