@@ -398,11 +398,11 @@ object Dedup {
     var iter = 0
     var converged = false
     // convergence check: labels only ever DECREASE, so the label sum is
-    // strictly monotone until the fixpoint — comparing round sums replaces
-    // the old changed-count join with one agg over the already-checkpointed
-    // frame (one fewer job per round). DECIMAL(38,0) sum: exact and
-    // overflow-free at any corpus size (a long sum overflows at ~10⁹ rows
-    // of 2⁶³-ish ids).
+    // strictly monotone until the fixpoint. The sum rides the checkpoint
+    // job itself as an OBSERVED metric (CollectMetrics) — one Spark job
+    // per round total, not checkpoint + a separate agg scan. DECIMAL(38,0)
+    // sum: exact and overflow-free at any corpus size (a long sum
+    // overflows at ~10⁹ rows of 2⁶³-ish ids).
     var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && iter < maxIter) {
       // fresh aliases on every derived column: labels/prop/stepped would
@@ -425,15 +425,16 @@ object Dedup {
       // SLOWER at sf0.1 — the eager path stores the AQE-optimized final
       // partitioning, the lazy one pins the pre-coalesce shape and every
       // later round pays for it
+      val obs = new org.apache.spark.sql.Observation(s"graft_cc_$iter")
       val next = stepped.alias("x").join(
           stepped.select(col("id").as("jid"), col("label").as("jlabel")).alias("j"),
           col("x.label") === col("j.jid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.label"), coalesce(col("jlabel"), col("x.label"))).as("label"))
+        .observe(obs, sum(col("label")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("label_sum"))
         .localCheckpoint(true)
-      val curSum = next.agg(sum(col("label")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .first().getDecimal(0)
+      val curSum = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
       labels = next
       converged = prevSum.exists(_.compareTo(curSum) == 0)
       prevSum = Some(curSum)
