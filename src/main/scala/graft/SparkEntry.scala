@@ -1283,6 +1283,24 @@ object SparkEntry {
           col("byte_size").cast("bigint").as("byte_size"),
           col("content_digest"))),
 
+    // REAL header decode: dimensions derived from doc_id are planted
+    // inside genuine PNG/JPEG format bytes (spec-valid signatures, IHDR
+    // CRC, SOF0 frame header); decodeMedia must parse them back out. The
+    // oracle recomputes the planted values from doc_id directly — a probe
+    // reading the wrong offsets or endianness hash-mismatches every row.
+    "q_multimodal_decode" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val mkPng = udf((id: Long, rgba: Boolean) => Multimodal.pngHeaderBytes(
+        (id % 800 + 1).toInt, (id % 600 + 1).toInt, if (rgba) 6 else 2))
+      val mkJpeg = udf((id: Long) => Multimodal.jpegHeaderBytes(
+        (id % 800 + 1).toInt, (id % 600 + 1).toInt))
+      val media = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0,
+          mkPng(col("doc_id"), col("doc_id") % 4 === 0))
+          .otherwise(mkJpeg(col("doc_id"))).as("payload"))
+      Multimodal.decodeMedia(media)
+    }),
+
     // sketch profile (HLL distinct + quantile sketches): the graded row
     // carries the EXACT fields (hash-matched by DuckDB) plus in-bound
     // booleans for the approximate fields — the oracle asserts them TRUE,
@@ -2121,6 +2139,16 @@ object SparkEntry {
 
     "q_multimodal" ->
       OracleSql.multimodal,
+
+    // the planted header dims recomputed straight from doc_id: even ids
+    // are PNG (every 4th RGBA ⇒ 4 channels), odd ids are 3-component JPEG
+    "q_multimodal_decode" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+        "CAST(doc_id % 800 + 1 AS INT) AS width, " +
+        "CAST(doc_id % 600 + 1 AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS INT) AS channels " +
+        "FROM documents"),
 
     // exact fields recomputed by DuckDB; the in-bound booleans are
     // asserted TRUE — a sketch outside its error contract flips one to

@@ -36,6 +36,46 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
   }
 
+  test("probeImage parses PNG IHDR, JPEG SOF, GIF headers; rejects garbage") {
+    assert(Multimodal.probeImage(Multimodal.pngHeaderBytes(640, 480))
+      .contains(("png", 640, 480, 3)))
+    assert(Multimodal.probeImage(Multimodal.pngHeaderBytes(33000, 2, colorType = 6))
+      .contains(("png", 33000, 2, 4))) // width past a signed short
+    assert(Multimodal.probeImage(Multimodal.jpegHeaderBytes(1920, 1080))
+      .contains(("jpeg", 1920, 1080, 3)))
+    // JPEG with an APP0/JFIF segment BEFORE the SOF0 — the marker walk
+    // must skip non-frame segments by their length field
+    val withApp0 = {
+      val sof = Multimodal.jpegHeaderBytes(12, 34)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0xff.toByte, 0xd8.toByte, // SOI
+        0xff.toByte, 0xe0.toByte, 0x00, 0x04, 0x4a, 0x46)) // APP0 len 4
+      out.write(sof, 2, sof.length - 2) // rest after the fixture's SOI
+      out.toByteArray
+    }
+    assert(Multimodal.probeImage(withApp0).contains(("jpeg", 12, 34, 3)))
+    // GIF89a 320×200 logical screen, little-endian
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0, 0, 0)
+    assert(Multimodal.probeImage(gif).contains(("gif", 320, 200, 3)))
+    assert(Multimodal.probeImage("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.probeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodeMedia keeps unparseable rows as null columns, 1:1 with input") {
+    val sp = spark; import sp.implicits._
+    val media = Seq(
+      (1L, Multimodal.pngHeaderBytes(100, 50)),
+      (2L, "garbage".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeMedia(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3)
+    assert(out(1L).getString(1) == "png" && out(1L).getInt(2) == 100)
+    assert(out(2L).isNullAt(1) && out(3L).isNullAt(1))
+  }
+
   test("feature schema stable for null payloads") {
     val sp = spark; import sp.implicits._
     val withNull = Seq((9L, "image", null.asInstanceOf[Array[Byte]]))
