@@ -729,6 +729,32 @@ object OracleSql {
         s"c.vec_id) <= $k",
       iterations, damping)
 
+  /** PageRank over the IVF-probed kNN edge list
+    * (Similarity.ivfKnnEdges → GraphOps.pageRank): the [[simIvfTopK]]
+    * centroid/assignment/probe replication with the WHOLE corpus as the
+    * query set, edge top-k per query, then the same unrolled PR rounds.
+    */
+  def ivfKnnPageRank(k: Int, nlist: Int, nprobe: Int, iterations: Int,
+      damping: Double, refineIterations: Int = 1, dim: Int = 64): String = {
+    val (centChain, cent) = centroidChain(nlist, refineIterations, dim)
+    val pairs =
+      "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +
+        "asg AS (SELECT vec_id, v, cent_id AS list_id FROM (" +
+        "SELECT c.vec_id, c.v, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
+        "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn = 1), " +
+        "ql AS (SELECT query_id, qv, cent_id AS list_id FROM (" +
+        "SELECT c.vec_id AS query_id, c.v AS qv, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
+        s"ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn <= $nprobe) " +
+        "SELECT query_id AS id_a, corpus_id AS id_b FROM (" +
+        "SELECT ql.query_id, a.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY ql.query_id " +
+        "ORDER BY list_cosine_similarity(a.v, ql.qv) DESC, a.vec_id ASC) AS rnk " +
+        "FROM asg a JOIN ql ON a.list_id = ql.list_id WHERE a.vec_id <> ql.query_id) " +
+        s"WHERE rnk <= $k"
+    pageRankOver(pairs, iterations, damping)
+  }
+
   /** Multinomial Naive Bayes resubstitution prediction over `documents`
     * (train = predict corpus, label = lang) — identical math to
     * Classify.nbScores/nbPredict: add-1 smoothing over the training

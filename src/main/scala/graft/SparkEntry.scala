@@ -1549,6 +1549,21 @@ object SparkEntry {
       graft.operators.GraphOps.pageRank(edges, iterations = 3)
     }),
 
+    // the 100 TB edge build: kNN edges ride the persisted IVF index
+    // (every vector probes its nprobe lists; the candidate join shuffles
+    // on list_id — cluster-bounded, never all-pairs) and feed the same
+    // PageRank. The oracle replicates centroids, probes, and edge top-k
+    // exactly, then unrolls the same 3 PR rounds.
+    "q_knn_pagerank_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val idx = "/root/repo/target/tmp/ivf_knn_graded"
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 16)
+      val edges = Similarity.ivfKnnEdges(idx, emb, "embedding", "vec_id",
+          k = 5, nprobe = 4)
+        .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"))
+      graft.operators.GraphOps.pageRank(edges, iterations = 3)
+    }),
+
     // ── count-based classification / data selection (beyond reference —
     // the fastText-filter stand-ins; closed-form training, so the oracle
     // recomputes model AND prediction exactly) ──────────────────────────
@@ -2361,6 +2376,9 @@ object SparkEntry {
     "q_knn_classify" -> OracleSql.knnClassify(k = 10),
 
     "q_knn_pagerank" -> OracleSql.knnPageRank(k = 5, iterations = 3, damping = 0.85),
+
+    "q_knn_pagerank_indexed" -> OracleSql.ivfKnnPageRank(k = 5, nlist = 16,
+      nprobe = 4, iterations = 3, damping = 0.85),
 
     "q_knn_outliers" ->
       ("SELECT query_id AS vec_id, cosine AS kth_cosine FROM (" +

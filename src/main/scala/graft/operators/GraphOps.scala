@@ -29,13 +29,16 @@ object GraphOps {
     * Scale shape: the symmetrized (src, dst, 1/deg) edge list persists
     * once and every iteration is ONE shuffle join of the current rank
     * vector (N rows) against it plus a map-side-combined sum — the
-    * standard distributed PR data layout. Iteration count is a small
-    * constant, so lineage depth is bounded; at web-graph scale insert a
-    * checkpoint every ~10 rounds (same policy as connectedComponents).
+    * standard distributed PR data layout. The rank vector eagerly
+    * checkpoints every `checkpointInterval` rounds (the
+    * connectedComponents policy) so plan depth stays bounded at high
+    * iteration counts; values are unaffected.
     */
   def pageRank(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 3, damping: Double = 0.85,
+      checkpointInterval: Int = 10): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(checkpointInterval >= 1, "pageRank: checkpointInterval must be >= 1")
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("graft_deg"))
@@ -50,8 +53,12 @@ object GraphOps {
     contribEdges.count()
     val n = contribEdges.select(col("src")).distinct().count().toDouble
     val base = (1.0 - damping) / n
-    var pr = deg.select(col("src").as("id"), (lit(1.0) / lit(n)).as("pr"))
-    for (_ <- 1 to iterations) {
+    // initial ranks derive from the CACHED edges, not `deg` — deg's
+    // lineage re-runs the (possibly expensive, e.g. LSH) pair generation
+    // once more, which is exactly what the cache exists to prevent
+    var pr = contribEdges.select(col("src").as("id")).distinct()
+      .select(col("id"), (lit(1.0) / lit(n)).as("pr"))
+    for (i <- 1 to iterations) {
       val contrib = contribEdges
         .join(pr, contribEdges("src") === pr("id"))
         .groupBy(col("dst").as("id2"))
@@ -60,6 +67,10 @@ object GraphOps {
         .join(contrib, col("id") === col("id2"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("graft_c"), lit(0.0))).as("pr"))
+      // bound lineage on long runs; never on the last round (the final
+      // select below checkpoints the rounded result itself)
+      if (i % checkpointInterval == 0 && i < iterations)
+        pr = pr.localCheckpoint(true)
     }
     // eager localCheckpoint (the connectedComponents policy): the result
     // materializes while contribEdges is still cached and stops

@@ -257,6 +257,32 @@ object Similarity {
         col("rank"))
   }
 
+  /** kNN edge list over a persisted IVF index with the WHOLE corpus as
+    * the query set — the ANN-backed graph build feeding
+    * [[GraphOps.pageRank]] / outlier scoring. Unlike [[ivfTopKIndexed]]
+    * (few queries ⇒ broadcast probe set + isin partition pruning), every
+    * vector probes here, so the probe set is N × nprobe rows and the
+    * candidate join SHUFFLES both sides on list_id — per-list bounded
+    * work (Σ_lists |list| × probes-into-list ≈ N²·nprobe/nlist), never
+    * the all-pairs N² of a brute-force edge build, and no driver-side
+    * probe collect. Returns directed (query → neighbor) top-k rows with
+    * the exact [[ivfTopKIndexed]] ranking contract.
+    */
+  def ivfKnnEdges(indexPath: String, vectors: DataFrame, vecCol: String,
+      idCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    val centroids = spark.read.parquet(s"${indexPath}_centroids")
+    val q = vectors.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qLists = probeLists(q, centroids, nprobe)
+    val assigned = spark.read.parquet(indexPath)
+    val joined = assigned.join(qLists, Seq("list_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", V.cosine(col("cv"), col("qv")))
+    topKPerQuery(joined, "cos", scoreDesc = true, k, "rank")
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   // ───────────────────── product quantization (PQ) ─────────────────────
   //
   // The memory-side scale path: an encoded corpus stores m small-int

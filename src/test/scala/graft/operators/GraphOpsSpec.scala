@@ -39,6 +39,33 @@ class GraphOpsSpec extends SparkSpec {
     assert((3L to 6L).forall(i => pr(2L) == pr(i))) // spoke symmetry
   }
 
+  test("in-loop checkpoint cadence leaves pagerank values bit-identical") {
+    val star = pairs((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L))
+    def run(interval: Int) = GraphOps.pageRank(star, iterations = 5,
+        checkpointInterval = interval)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pagerank")).toMap
+    // cadence 2 checkpoints after rounds 2 and 4; cadence 10 never fires
+    assert(run(2) == run(10))
+  }
+
+  test("IVF-indexed kNN edges recall the brute-force graph on the embeddings fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = "target/tmp/ivf_knn_spec"
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 8)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val exact = edgeSet(
+      Similarity.bruteForceTopK(emb, emb, "embedding", "vec_id", k = 5))
+    val indexed = edgeSet(
+      Similarity.ivfKnnEdges(idx, emb, "embedding", "vec_id", k = 5, nprobe = 4))
+    assert(indexed.nonEmpty && indexed.subsetOf(exact.union(indexed)))
+    val recall = (indexed intersect exact).size.toDouble / exact.size
+    assert(recall > 0.5, s"indexed kNN edge recall too low: $recall")
+    // every query emits at most k edges (the bounded-heap contract)
+    val perQuery = indexed.groupBy(_._1).values.map(_.size)
+    assert(perQuery.max <= 5)
+  }
+
   test("pagerank over disconnected components keeps per-component symmetry") {
     val two = pairs((1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
     val pr = GraphOps.pageRank(two, iterations = 3)
