@@ -1732,6 +1732,15 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))),
 
+    // batch twin of the transformWithState running-user-stats op: the
+    // cumulative state after each event via one user-keyed window — the
+    // final row per user IS the stateful op's end-of-stream state, so the
+    // gate grades the state-transition semantics (EventStreamsSpec covers
+    // the RocksDB state machinery itself)
+    "q_events_running_stats" -> ((s, d) =>
+      EventStreams.runningUserStatsBatch(t(s, d, "events").df,
+        "user_id", "ts", "event_id", "value")),
+
     "q_events_session" -> ((s, d) =>
       EventStreams.sessionize(t(s, d, "events").df, "ts", "user_id",
         "30 minutes", tieBreak = Seq("event_id"))
@@ -2463,6 +2472,11 @@ object SparkEntry {
 
     "q_events_dedup" ->
       "SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1",
+
+    "q_events_running_stats" ->
+      ("SELECT user_id, event_id, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS n_events, " +
+        "value AS last_value FROM events"),
 
     "q_events_session" ->
       "WITH marked AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s, event_id FROM (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, count(*) AS n_events FROM sess GROUP BY user_id, sid")

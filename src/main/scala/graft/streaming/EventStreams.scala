@@ -166,6 +166,24 @@ object EventStreams {
       .toDF("user_id", "n_events", "last_value")
   }
 
+  /** Batch twin of [[runningUserStats]]/[[runningUserStatsTws]]: the
+    * cumulative per-user state AFTER each event, on a static frame — row
+    * i of user u carries n_events = count of u's events up to and
+    * including i in (tsCol, idCol) order and last_value = row i's value.
+    * The final row per user is exactly the stateful op's end-of-stream
+    * state when events arrive in event order, so this is the form the
+    * DuckDB CORRECTNESS gate grades (the RocksDB streaming spec covers
+    * the state-store machinery; this pins the state-transition
+    * semantics). One user-keyed shuffle for the window.
+    */
+  def runningUserStatsBatch(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(userCol).as("user_id"), col(idCol).as("event_id"),
+      row_number().over(w).cast("bigint").as("n_events"),
+      col(valueCol).as("last_value"))
+  }
+
   /** First-order event-transition matrix: for consecutive events per key
     * (event-time order, `tieBreak` disambiguating equal timestamps),
     * counts and conditional probabilities P(to | from) — the Markov-chain

@@ -94,6 +94,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("batch twin's final row per user equals the stateful op's end state") {
+    val twin = EventStreams.runningUserStatsBatch(batch,
+      "user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("last_value")))
+    // cumulative counts walk 1..n per user in event order
+    assert(twin.toSet == Set(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
+      (2L, 1L, 4.0), (2L, 2L, 5.0)))
+    // final row per user = the stateful op's end-of-stream state: same
+    // n_events as mapGroupsWithState on the same frame, and last_value
+    // is the max-(ts, event_id) row's value by construction
+    val finals = twin.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val stateful = EventStreams.runningUserStats(batch, "user_id")(spark)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    assert(finals.view.mapValues(_._2).toMap == stateful)
+    assert(finals(1L)._3 == 3.0 && finals(2L)._3 == 5.0)
+  }
+
   test("transformWithState running user stats accumulates across micro-batches") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
