@@ -254,6 +254,30 @@ object Dedup {
     * corpus (parquet/delta) and hand it to [[incrementalNearDupPairs]] so
     * nightly batches never re-sketch the corpus.
     */
+  /** Band-hash scheme tag carried as FIELD METADATA on `bh` (parquet
+    * persists Spark field metadata in its footer, so the tag survives a
+    * write/read round-trip): the hash changed from
+    * xxhash64(concat_ws(stringified slice)) to the native array-slice
+    * xxhash64, which changes every bh value — a pre-change persisted
+    * index joined against post-change batch sketches would silently
+    * report ZERO near-dups. Consumers reject untagged/mismatched indexes
+    * with a typed error instead.
+    */
+  private[graft] val BandHashScheme = "xxhash64-array-slice-v2"
+  private val bhSchemeMeta = new org.apache.spark.sql.types.MetadataBuilder()
+    .putString("graft.bh.scheme", BandHashScheme).build()
+
+  private[graft] def requireBandScheme(index: DataFrame): Unit = {
+    val ok = index.schema.find(_.name == "bh").exists(f =>
+      f.metadata.contains("graft.bh.scheme") &&
+        f.metadata.getString("graft.bh.scheme") == BandHashScheme)
+    if (!ok) throw new IllegalStateException(
+      "persisted minhash band index carries no (or a different) band-hash " +
+        s"scheme tag; this build sketches with '$BandHashScheme'. An index " +
+        "persisted under another scheme joins to ZERO matches (silent " +
+        "false negatives) — rebuild it with minhashBandIndex")
+  }
+
   def minhashBandIndex(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleWords: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -270,7 +294,7 @@ object Dedup {
           b => struct(b.as("band"),
             xxhash64(slice(col("sketch"), b * r + 1, lit(r))).as("bh"))))
           .as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bh"))
+      .select(col("id"), col("bb.band"), col("bb.bh").as("bh", bhSchemeMeta))
   }
 
   /** Incremental NEAR-dup: batch documents matched against an existing
@@ -292,6 +316,7 @@ object Dedup {
       shingleWords: Int = 3, jaccardThreshold: Double = 0.5,
       corpusIndex: Option[DataFrame] = None,
       broadcastBatch: Boolean = true): DataFrame = {
+    corpusIndex.foreach(requireBandScheme) // pre-change indexes join to zero
     val idx = corpusIndex.getOrElse(
         minhashBandIndex(corpus, textCol, idCol, numHashes, bands, shingleWords))
       .select(col("id").as("corpus_id"), col("band"), col("bh"))

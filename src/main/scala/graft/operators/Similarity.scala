@@ -25,9 +25,21 @@ object Similarity {
     * alone would put a 10⁹-doc scan in one reducer). Deterministic via
     * the same total order as Spark's sort: (score dir, corpus_id asc),
     * `java.lang.Double.compare` on never-NaN scores.
+    *
+    * ID CONTRACT: the heap packs ids as longs, so the id column must be
+    * an integral type on every similarity path (bruteForce/LSH/IVF/PQ).
+    * A silent cast would null non-numeric ids and DROP their rows from
+    * the result — fail fast instead; map string ids to longs (dictionary
+    * or xxhash64) before searching.
     */
   private def topKPerQuery(df: DataFrame, scoreCol: String,
-      scoreDesc: Boolean, k: Int, rankCol: String): DataFrame =
+      scoreDesc: Boolean, k: Int, rankCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema("corpus_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      "similarity top-k requires an integral id column (ids ride a " +
+        s"bounded-heap aggregate as longs); got $idType — map string ids " +
+        "to longs (dictionary or xxhash64) before searching")
     df.groupBy(col("query_id"))
       .agg(graft.plans.TopKAgg.topKPairs(col(scoreCol).cast("double"),
         col("corpus_id").cast("long"), k, scoreDesc).as("graft_tk"))
@@ -36,6 +48,7 @@ object Similarity {
       .select(col("query_id"), col("graft_e.id").as("corpus_id"),
         col("graft_e.score").as(scoreCol),
         (col("graft_pos") + 1).cast("int").as(rankCol))
+  }
 
   /** Brute-force cosine top-k: queries × corpus via broadcast join (no
     * shuffle of the corpus), per-query top-k via the bounded-heap

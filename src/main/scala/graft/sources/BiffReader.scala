@@ -353,7 +353,9 @@ object BiffReader {
           val idx = u32(wb, r.start + 6)
           if (idx < 0 || idx >= sst.length) fail(s"LABELSST index $idx out of SST range")
           put(u16(wb, r.start), u16(wb, r.start + 2), sst(idx))
-        case 0x0204 => // LABEL: BIFF8 inline unicode; BIFF5 codepage bytes
+        case 0x0204 | 0x00D6 => // LABEL / RSTRING (label + ignorable
+          // formatting runs — Excel 5.0/95 writes RSTRING for cells with
+          // in-cell formatting; the string layout matches LABEL)
           val cch = u16(wb, r.start + 6)
           val s =
             if (biff5) new String(wb, r.start + 8, cch, charset)

@@ -428,6 +428,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Long]("corpus_id") == 1L)
   }
 
+  test("similarity top-k fails fast on non-integral ids instead of dropping rows") {
+    val sp = spark; import sp.implicits._
+    val vecs = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(vecs, vecs, "embedding", "vec_id", k = 1).collect()
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
+  test("persisted band index carries the hash-scheme tag; untagged indexes are rejected") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val path = "target/tmp/band_scheme_spec"
+    Dedup.minhashBandIndex(corpus, "text", "doc_id")
+      .write.mode("overwrite").parquet(path)
+    val reread = spark.read.parquet(path) // tag survives the round-trip
+    val hits = Dedup.incrementalNearDupPairs(batch, corpus, "text", "doc_id",
+      jaccardThreshold = 0.9, corpusIndex = Some(reread))
+    assert(hits.count() == 1L)
+    // an index persisted under the OLD hash scheme has no tag: its bh
+    // values cannot match this build's sketches, so the join must raise
+    // rather than silently report zero near-dups
+    val untagged = reread.select(col("id"), col("band"),
+      col("bh").cast("long").as("bh")) // cast strips field metadata
+    val e = intercept[IllegalStateException] {
+      Dedup.incrementalNearDupPairs(batch, corpus, "text", "doc_id",
+        corpusIndex = Some(untagged))
+    }
+    assert(e.getMessage.contains("scheme"))
+  }
+
   test("LSH and IVF recall vs brute force on the real embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)

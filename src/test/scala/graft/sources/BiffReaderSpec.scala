@@ -115,7 +115,11 @@ object BiffFixture {
       record(0x0006, cell(1, 4),
         Array(0.toByte, 0, 0, 0, 0, 0), u16(0xFFFF), u16(0), u32(0)),
       record(0x0207, u16("naïve".getBytes(cp).length), "naïve".getBytes(cp)),
-      label(2, 0, "jane"),
+      // RSTRING (0x00D6): LABEL layout + trailing formatting runs the
+      // reader must ignore — Excel 5.0/95 writes these for cells with
+      // in-cell formatting (one run: start char 0, font 1)
+      record(0x00D6, cell(2, 0), u16("jane".getBytes(cp).length),
+        "jane".getBytes(cp), Array(1.toByte), u16(0x0100)),
       record(0x00BD, u16(2), u16(1),
         u16(0), u32(rkInt(30)), u16(0), u32(rkInt100(6000025)), u16(2)),
       record(0x0205, cell(2, 3), Array(0.toByte, 0.toByte)),
