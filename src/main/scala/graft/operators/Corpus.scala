@@ -671,9 +671,13 @@ object Corpus {
     * produce no grams and drop.
     *
     * Gram hashes are the engine-portable 60-bit md5 (DuckDB twin in
-    * OracleSql.winnow). Scale shape: the gram explode is map-side; the
-    * window partitions by document (bounded by document length) — one
-    * doc-keyed shuffle, then a distinct on the selected rows.
+    * OracleSql.winnow), computed natively: the gram strings come from the
+    * single-pass [[graft.plans.WordShingles]] kernel and hash through
+    * [[graft.plans.Md5Hash60Array]] — one digest per gram, none of the
+    * per-gram slice/concat/hex-substring allocation of the built-ins
+    * route. Scale shape: the gram explode is map-side; the window
+    * partitions by document (bounded by document length) — one doc-keyed
+    * shuffle, then a distinct on the selected rows.
     */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 5, windowSize: Int = 4): DataFrame = {
@@ -681,12 +685,13 @@ object Corpus {
     val toks = col("graft_toks")
     val grams = docs
       .withColumn("graft_toks", split(T.normalizeText(col(textCol)), " "))
+      // the size filter needs the token count (wordShingles alone can't
+      // distinguish "< k tokens" from "exactly k": both yield one gram)
       .where(size(toks) >= k)
       .withColumn("graft_m", (size(toks) - k + 1).cast("long"))
       .select(col(idCol), col("graft_m"), posexplode(
-        transform(sequence(lit(0), size(toks) - k),
-          i => conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(k)))), 1, 15),
-            16, 10).cast("long"))).as(Seq("pos", "gh")))
+        graft.plans.HashExpressions.md5Hash60Array(
+          T.wordShingles(col(textCol), k))).as(Seq("pos", "gh")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(0, windowSize - 1)

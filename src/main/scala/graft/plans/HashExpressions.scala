@@ -135,10 +135,43 @@ case class SimHashMd5Wide(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Element-wise 60-bit md5 over an array<string> → array<bigint>: each
+  * element hashes to the high 60 bits of its MD5 ([[NativeOps.md5Hash60]]
+  * — `('0x' || substr(md5(s), 1, 15))::BIGINT` in the DuckDB twin). One
+  * native pass per row; the built-ins route (per-element
+  * conv(substring(md5(...)))) allocates hex strings and substring copies
+  * per gram and dominated the winnow fingerprint pass.
+  */
+case class Md5Hash60Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_hash60_array expects array<string>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.md5Hash60Array(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeOps.md5Hash60Array($c)")
+
+  override def prettyName: String = "md5_hash60_array"
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60Array =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column-level API. */
   def minhashSketch(shingles: Column, k: Int): Column =
     GraftSqlShim.column(MinHashSketch(GraftSqlShim.expression(shingles), k))
+
+  def md5Hash60Array(strings: Column): Column =
+    GraftSqlShim.column(Md5Hash60Array(GraftSqlShim.expression(strings)))
 
   def simhash64(tokens: Column): Column =
     GraftSqlShim.column(SimHash64(GraftSqlShim.expression(tokens)))

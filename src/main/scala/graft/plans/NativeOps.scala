@@ -133,6 +133,21 @@ object NativeOps {
     out
   }
 
+  /** Element-wise [[md5Hash60]] over an array of strings — one digest per
+    * element, no intermediate hex strings (the SQL-built-ins route
+    * allocates the 32-char hex form plus a substring copy per element).
+    */
+  def md5Hash60Array(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = md5Hash60(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash over `bits` (≤ 60) MD5-derived token-hash bits: per-token ±1
     * votes per bit position, vote ≥ 0 ⇒ output bit set. Frequency-weighted
     * (duplicate tokens vote repeatedly), matching the SQL replication
