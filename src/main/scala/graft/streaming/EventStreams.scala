@@ -146,11 +146,17 @@ object EventStreams {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    // resolve the state encoder HERE, not inside the processor: an
+    // implicitly[...] in init would route through spark.implicits and make
+    // the processor capture the SparkSession — which stops serializing the
+    // moment anything initializes the session's (non-serializable, lazily
+    // created) ObservationManager, e.g. any Dataset.observe() in the same
+    // JVM. The ExpressionEncoder itself is serializable.
+    val stateEnc = implicitly[org.apache.spark.sql.Encoder[(Long, Double)]]
     class Proc extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
       @transient private var st: ValueState[(Long, Double)] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-        st = getHandle.getValueState[(Long, Double)]("stats",
-          implicitly[org.apache.spark.sql.Encoder[(Long, Double)]], TTLConfig.NONE)
+        st = getHandle.getValueState[(Long, Double)]("stats", stateEnc, TTLConfig.NONE)
       override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
           timers: TimerValues): Iterator[(Long, Long, Double)] = {
         var (n, last) = if (st.exists()) st.get() else (0L, 0.0)
