@@ -420,12 +420,37 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   }
 
   /** Winnow-fingerprint copy pairs on the builder — see
-    * [[graft.operators.Corpus.winnowPairs]].
+    * [[graft.operators.Corpus.winnowPairs]] (incl. the `maxDocFreq`
+    * hot-boilerplate posting cap).
     */
   def winnowPairs(textCol: String, idCol: String, resultAlias: String,
-      k: Int = 5, windowSize: Int = 4, minShared: Long = 1L): GraftFrame = {
+      k: Int = 5, windowSize: Int = 4, minShared: Long = 1L,
+      maxDocFreq: Long = 0L): GraftFrame = {
     val out = graft.operators.Corpus.winnowPairs(execute(), textCol, idCol,
-      k, windowSize, minShared)
+      k, windowSize, minShared, maxDocFreq)
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** Image-header decode on the builder — see
+    * [[graft.operators.Multimodal.decodeMedia]]: (media_id, payload) →
+    * (format, width, height, channels), map-side, null-preserving.
+    */
+  def decodeMedia(resultAlias: String): GraftFrame = {
+    val out = graft.operators.Multimodal.decodeMedia(execute())
+    out.createOrReplaceTempView(resultAlias)
+    GraftFrame(out, resultAlias)
+  }
+
+  /** ANN-backed kNN graph edges on the builder — see
+    * [[graft.operators.Similarity.ivfKnnEdges]]: every row of this frame
+    * probes the persisted IVF index at `indexPath`; pair the result with
+    * [[pageRank]] for the indexed centrality pipeline.
+    */
+  def knnEdgesIndexed(indexPath: String, vecCol: String, idCol: String,
+      resultAlias: String, k: Int, nprobe: Int = 4): GraftFrame = {
+    val out = graft.operators.Similarity.ivfKnnEdges(indexPath, execute(),
+      vecCol, idCol, k, nprobe)
     out.createOrReplaceTempView(resultAlias)
     GraftFrame(out, resultAlias)
   }

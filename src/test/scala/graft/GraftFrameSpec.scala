@@ -477,4 +477,22 @@ class GraftFrameSpec extends SparkSpec {
       budgets = Seq("s1" -> 1000000L), resultAlias = "cmix")
     assert(mixed.toDF.count() == 3) // budgets >= totals keep everything
   }
+
+  test("media decode and indexed kNN-edge hooks on the builder chain") {
+    val sp = spark; import sp.implicits._
+    val media = GraftFrame(Seq(
+      (1L, graft.operators.Multimodal.pngHeaderBytes(320, 200)),
+      (2L, "not an image".getBytes)).toDF("media_id", "payload"), "bmedia")
+    val dec = media.decodeMedia("bdec").toDF.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(dec == Map(1L -> "png", 2L -> null))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = "target/tmp/ivf_knn_builder"
+    graft.operators.Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 4)
+    val edges = GraftFrame(emb, "bemb")
+      .knnEdgesIndexed(idx, "embedding", "vec_id", "bknn", k = 3, nprobe = 2)
+    val pr = edges.toDF.select(col("query_id").as("id_a"), col("corpus_id").as("id_b"))
+    assert(edges.toDF.count() > 0 &&
+      graft.operators.GraphOps.pageRank(pr, iterations = 2).count() > 0)
+  }
 }
