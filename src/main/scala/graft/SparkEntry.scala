@@ -1554,12 +1554,16 @@ object SparkEntry {
     // on list_id — cluster-bounded, never all-pairs) and feed the same
     // PageRank. The oracle replicates centroids, probes, and edge top-k
     // exactly, then unrolls the same 3 PR rounds.
+    // nlist=64/nprobe=8: each query's candidate set is ~1/8 of the
+    // corpus (nprobe/nlist), vs 1/4 at the 16/4 probe shape — with every
+    // vector querying, candidate cosines are the whole cost, so the list
+    // fan-out ratio IS the knob (at 100 TB, nlist scales with corpus)
     "q_knn_pagerank_indexed" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
       val idx = "/root/repo/target/tmp/ivf_knn_graded"
-      Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 16)
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 64)
       val edges = Similarity.ivfKnnEdges(idx, emb, "embedding", "vec_id",
-          k = 5, nprobe = 4)
+          k = 5, nprobe = 8)
         .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"))
       graft.operators.GraphOps.pageRank(edges, iterations = 3)
     }),
@@ -2386,8 +2390,8 @@ object SparkEntry {
 
     "q_knn_pagerank" -> OracleSql.knnPageRank(k = 5, iterations = 3, damping = 0.85),
 
-    "q_knn_pagerank_indexed" -> OracleSql.ivfKnnPageRank(k = 5, nlist = 16,
-      nprobe = 4, iterations = 3, damping = 0.85),
+    "q_knn_pagerank_indexed" -> OracleSql.ivfKnnPageRank(k = 5, nlist = 64,
+      nprobe = 8, iterations = 3, damping = 0.85),
 
     "q_knn_outliers" ->
       ("SELECT query_id AS vec_id, cosine AS kth_cosine FROM (" +
