@@ -117,6 +117,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian in SemDeDup:\n$p")
   }
 
+  test("indexed kNN edge build joins on list_id — no cartesian, no ScalaUDF") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = "target/tmp/ivf_knn_plan"
+    operators.Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 8)
+    val p = plan(operators.Similarity.ivfKnnEdges(idx, emb,
+      "embedding", "vec_id", k = 3, nprobe = 2))
+    assert(!p.contains("CartesianProduct"), s"all-pairs edge build:\n$p")
+    assert(!p.contains("ScalaUDF"))
+  }
+
   test("bloom probes are native might_contain expressions, not Scala UDFs") {
     // the probe sits on the BIG side's per-row path — a ScalaUDF there
     // breaks whole-stage codegen exactly where row volume is highest
