@@ -298,6 +298,11 @@ object Similarity {
 
   // ───────────────────── product quantization (PQ) ─────────────────────
   //
+  // Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+  // Neighbor Search" (IEEE TPAMI) — the PQ/ADC/IVFADC scheme implemented
+  // here from the paper; the at-rest layout mirrors the public
+  // FAISS IndexIVFPQ organization.
+  //
   // The memory-side scale path: an encoded corpus stores m small-int
   // codes per vector (m bytes at ksub ≤ 256) instead of dim floats — a
   // dim·4/m compression (32× at dim=64, m=8) that keeps the WHOLE corpus
