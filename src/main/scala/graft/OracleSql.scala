@@ -589,45 +589,41 @@ object OracleSql {
     * fingerprints once and relabels, while the Spark side genuinely
     * re-fingerprints the batch and joins the parquet index.
     */
+  /** Wrap a (doc, fp_hash) posting CTE body in the maxDocFreq cap —
+    * the SQL twin of Corpus.capPostings, shared by both winnow pair
+    * oracles so the cap semantics cannot drift between them.
+    */
+  private def cappedFpCte(outName: String, bodySql: String,
+      maxDocFreq: Long): String =
+    if (maxDocFreq <= 0L) s"$outName AS ($bodySql)"
+    else s"${outName}0 AS ($bodySql), " +
+      s"keep AS (SELECT fp_hash FROM ${outName}0 GROUP BY 1 " +
+      s"HAVING count(*) <= $maxDocFreq), " +
+      s"$outName AS (SELECT ${outName}0.* FROM ${outName}0 JOIN keep USING (fp_hash))"
+
   def winnowIncremental(k: Int, windowSize: Int, minShared: Long,
-      maxBatchId: Long, idOffset: Long, maxDocFreq: Long = 0L): String = {
-    val cfpBody = "SELECT DISTINCT doc_id AS corpus_id, fp_hash FROM fp"
-    val cfp =
-      if (maxDocFreq > 0L)
-        s"cfp0 AS ($cfpBody), " +
-          "keep AS (SELECT fp_hash FROM cfp0 GROUP BY 1 " +
-          s"HAVING count(*) <= $maxDocFreq), " +
-          "cfp AS (SELECT cfp0.* FROM cfp0 JOIN keep USING (fp_hash))"
-      else s"cfp AS ($cfpBody)"
+      maxBatchId: Long, idOffset: Long, maxDocFreq: Long = 0L): String =
     s"WITH ${winnowCte(k, windowSize)}, " +
       s"bfp AS (SELECT DISTINCT doc_id + $idOffset AS batch_id, fp_hash " +
       s"FROM fp WHERE doc_id < $maxBatchId), " +
-      s"$cfp " +
+      cappedFpCte("cfp",
+        "SELECT DISTINCT doc_id AS corpus_id, fp_hash FROM fp", maxDocFreq) + " " +
       "SELECT batch_id, corpus_id, CAST(count(*) AS BIGINT) AS shared_fps " +
       "FROM bfp JOIN cfp USING (fp_hash) GROUP BY 1, 2 " +
       s"HAVING count(*) >= $minShared"
-  }
 
   /** Winnow-fingerprint copy pairs — docs sharing ≥ minShared distinct
     * selected hashes (Corpus.winnowPairs verbatim, including its
     * maxDocFreq posting cap).
     */
   def winnowPairs(k: Int, windowSize: Int, minShared: Long,
-      maxDocFreq: Long = 0L): String = {
-    val fhBody = "SELECT DISTINCT doc_id, fp_hash FROM fp"
-    val fh =
-      if (maxDocFreq > 0L)
-        s"fh0 AS ($fhBody), " +
-          "keep AS (SELECT fp_hash FROM fh0 GROUP BY 1 " +
-          s"HAVING count(*) <= $maxDocFreq), " +
-          "fh AS (SELECT fh0.* FROM fh0 JOIN keep USING (fp_hash))"
-      else s"fh AS ($fhBody)"
-    s"WITH ${winnowCte(k, windowSize)}, $fh " +
+      maxDocFreq: Long = 0L): String =
+    s"WITH ${winnowCte(k, windowSize)}, " +
+      cappedFpCte("fh", "SELECT DISTINCT doc_id, fp_hash FROM fp", maxDocFreq) + " " +
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
       "CAST(count(*) AS BIGINT) AS shared_fps " +
       "FROM fh a JOIN fh b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id " +
       s"GROUP BY 1, 2 HAVING count(*) >= $minShared"
-  }
 
   /** Per-document novelty of the sub-corpus `WHERE batchWhere` against
     * the reference `WHERE NOT batchWhere` — identical math to

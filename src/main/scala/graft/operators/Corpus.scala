@@ -682,11 +682,18 @@ object Corpus {
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 5, windowSize: Int = 4): DataFrame = {
     require(k >= 1 && windowSize >= 1, "winnow: k and windowSize must be >= 1")
+    // token count from the SAME WordShingles kernel that builds the grams
+    // (n=1 shingles ARE the tokens): mixing tokenizers here (e.g. the
+    // regex normalizeText split) desyncs the >= k filter and the window
+    // bound graft_m from the actual gram count on inputs the two
+    // tokenizers split differently (Unicode chars whose lowercase maps
+    // into ASCII), corrupting which fingerprints get selected. The
+    // kernel's token count is needed because the k-gram output alone
+    // cannot distinguish "< k tokens" from "exactly k" — both yield one
+    // gram.
     val toks = col("graft_toks")
     val grams = docs
-      .withColumn("graft_toks", split(T.normalizeText(col(textCol)), " "))
-      // the size filter needs the token count (wordShingles alone can't
-      // distinguish "< k tokens" from "exactly k": both yield one gram)
+      .withColumn("graft_toks", T.wordShingles(col(textCol), 1))
       .where(size(toks) >= k)
       .withColumn("graft_m", (size(toks) - k + 1).cast("long"))
       .select(col(idCol), col("graft_m"), posexplode(
@@ -723,18 +730,29 @@ object Corpus {
     * missed; pairs sharing any sub-cap fingerprint still appear (with
     * shared_fps counting only sub-cap hashes — raise minShared with care).
     */
+  /** Drop posting-list rows whose key's document frequency exceeds the
+    * cap — the shared hot-boilerplate guard of [[winnowPairs]] /
+    * [[incrementalWinnowPairs]] (and the same idiom as
+    * [[Dedup.ngramJaccardPairs]]'s). `postings` must hold one row per
+    * (doc, key); 0 disables.
+    */
+  private def capPostings(postings: DataFrame, keyCol: String,
+      maxDocFreq: Long): DataFrame =
+    if (maxDocFreq <= 0L) postings
+    else {
+      val keep = postings.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDocFreq).select(keyCol)
+      postings.join(keep, Seq(keyCol))
+    }
+
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 5, windowSize: Int = 4, minShared: Long = 1L,
       maxDocFreq: Long = 0L): DataFrame = {
-    val fp0 = winnowFingerprints(docs, textCol, idCol, k, windowSize)
-      .select(col(idCol), col("fp_hash")).distinct()
-    val fp =
-      if (maxDocFreq > 0L) {
-        val keep = fp0.groupBy(col("fp_hash"))
-          .agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDocFreq).select("fp_hash")
-        fp0.join(keep, Seq("fp_hash"))
-      } else fp0
+    val fp = capPostings(
+      winnowFingerprints(docs, textCol, idCol, k, windowSize)
+        .select(col(idCol), col("fp_hash")).distinct(),
+      "fp_hash", maxDocFreq)
     fp.alias("a").join(fp.alias("b"),
         col("a.fp_hash") === col("b.fp_hash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -763,15 +781,9 @@ object Corpus {
       minShared: Long = 1L, maxDocFreq: Long = 0L): DataFrame = {
     val bfp = winnowFingerprints(batch, textCol, idCol, k, windowSize)
       .select(col(idCol).as("batch_id"), col("fp_hash")).distinct()
-    val cfp0 = corpusIndex
-      .select(col(idCol).as("corpus_id"), col("fp_hash")).distinct()
-    val cfp =
-      if (maxDocFreq > 0L) {
-        val keep = cfp0.groupBy(col("fp_hash"))
-          .agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDocFreq).select("fp_hash")
-        cfp0.join(keep, Seq("fp_hash"))
-      } else cfp0
+    val cfp = capPostings(
+      corpusIndex.select(col(idCol).as("corpus_id"), col("fp_hash")).distinct(),
+      "fp_hash", maxDocFreq)
     bfp.join(cfp, Seq("fp_hash"))
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared_fps"))

@@ -124,28 +124,39 @@ object Multimodal {
         case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
         case _ => return None
       }
-      Some(("png", be32(16), be32(20), channels))
+      val w = be32(16); val h = be32(20)
+      // hostile headers: the spec caps dims at 2^31-1, so a wrapped
+      // (negative) or zero value is a malformed header, not an image
+      if (w <= 0 || h <= 0) None else Some(("png", w, h, channels))
     } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // walk marker segments to the first SOFn frame header
       var i = 2
       while (i + 9 < b.length) {
         if (u8(i) != 0xff) return None
         val marker = u8(i + 1)
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) { i += 2 }
+        // T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a
+        // marker; TEM (0x01) and RSTn/SOI/EOI (0xD0-0xD9) are standalone
+        if (marker == 0xff) { i += 1 }
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) { i += 2 }
         else if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          return Some(("jpeg", be16(i + 7), be16(i + 5), u8(i + 9)))
+          val w = be16(i + 7); val h = be16(i + 5)
+          return if (w <= 0 || h <= 0) None
+            else Some(("jpeg", w, h, u8(i + 9)))
         } else i += 2 + be16(i + 2)
       }
       None
     } else if (b.length >= 10 && (new String(b, 0, 6, "US-ASCII") == "GIF87a" ||
         new String(b, 0, 6, "US-ASCII") == "GIF89a")) {
-      Some(("gif", le16(6), le16(8), 3))
+      val w = le16(6); val h = le16(8)
+      if (w <= 0 || h <= 0) None else Some(("gif", w, h, 3))
     } else None
   }
 
   val decodeSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
+    // nullable: a null input id passes through as null (getLong would
+    // silently read it as 0 and collide with a real id 0)
+    StructField("media_id", LongType, nullable = true),
     StructField("format", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
@@ -164,7 +175,7 @@ object Multimodal {
       .encoderFor(decodeSchema).asInstanceOf[org.apache.spark.sql.Encoder[Row]]
     media.select("media_id", "payload").mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(0)
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         (if (payload == null) None else probeImage(payload)) match {
           case Some((fmt, w, h, c)) => Row(id, fmt, w, h, c)

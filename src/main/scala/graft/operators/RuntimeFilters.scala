@@ -29,11 +29,17 @@ object RuntimeFilters {
   private def keyed(keyCol: String): Column =
     xxhash64(lit(11L), col(keyCol).cast("string"))
 
-  private def bloomProbe(small: DataFrame, smallKey: String,
-      expectedKeys: Long, fpp: Double): Column => Column = {
+  /** The probe COLUMN over `bigKey`, built once: each call to
+    * bloomMightContain re-serializes the filter into a fresh binary
+    * literal, and at the sizes this operator targets (~1.2 MB per 10⁶
+    * keys) the anti join's two branches must share one copy, not embed
+    * two.
+    */
+  private def bloomProbe(small: DataFrame, smallKey: String, bigKey: String,
+      expectedKeys: Long, fpp: Double): Column = {
     val bf = small.select(keyed(smallKey).as("graft_bh"))
       .stat.bloomFilter("graft_bh", math.max(expectedKeys, 1L), fpp)
-    graft.plans.SketchProbe.bloomMightContain(bf, _)
+    graft.plans.SketchProbe.bloomMightContain(bf, keyed(bigKey))
   }
 
   /** Rows of `big` whose `bigKey` occurs in `small.smallKey` (LEFT SEMI),
@@ -42,8 +48,8 @@ object RuntimeFilters {
     */
   def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val mightContain = bloomProbe(small, smallKey, expectedKeys, fpp)
-    big.where(mightContain(keyed(bigKey)))
+    val mightContain = bloomProbe(small, smallKey, bigKey, expectedKeys, fpp)
+    big.where(mightContain)
       .join(small.select(col(smallKey).as(bigKey)).distinct(),
         Seq(bigKey), "left_semi")
   }
@@ -54,9 +60,9 @@ object RuntimeFilters {
     */
   def bloomAntiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val mightContain = bloomProbe(small, smallKey, expectedKeys, fpp)
-    val definitelyAbsent = big.where(!mightContain(keyed(bigKey)))
-    val maybePresent = big.where(mightContain(keyed(bigKey)))
+    val mightContain = bloomProbe(small, smallKey, bigKey, expectedKeys, fpp)
+    val definitelyAbsent = big.where(!mightContain)
+    val maybePresent = big.where(mightContain)
       .join(small.select(col(smallKey).as(bigKey)).distinct(),
         Seq(bigKey), "left_anti")
     definitelyAbsent.unionAll(maybePresent)

@@ -433,14 +433,25 @@ object Similarity {
     * the ADC sum is one [[graft.plans.NativeOps.adcSum]] call per
     * (query, candidate) pair instead of a posexplode + join + re-group
     * that shuffled m rows per pair.
+    *
+    * Slots are DENSE by construction: ksub derives from the codebook's
+    * max surviving cent_id (Lloyd refinement drops empty clusters, so a
+    * subspace's centroid set need not be contiguous — a sorted-order
+    * flatten would shift every slot after a gap and misindex the whole
+    * LUT). Slots of dropped centroids are never referenced by any code
+    * and fill with 0.
     */
   private def adcLutFlat(queries: DataFrame, codebook: DataFrame,
-      vecCol: String, idCol: String, m: Int, dim: Int): DataFrame =
+      vecCol: String, idCol: String, m: Int, dim: Int): DataFrame = {
+    val ksub = codebook.agg(max(col("cent_id"))).first().getInt(0) + 1
     adcLut(queries, codebook, vecCol, idCol, m, dim)
       .groupBy(col("query_id"))
-      .agg(transform(array_sort(collect_list(
-        struct(col("subspace"), col("cent_id"), col("d2")))),
-        x => x.getField("d2")).as("graft_lut"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("subspace") * ksub + col("cent_id")).as("k"), col("d2")))).as("graft_mm"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m * ksub - 1)),
+          i => coalesce(element_at(col("graft_mm"), i), lit(0.0d))).as("graft_lut"))
+  }
 
   def pqTopK(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
       queries: DataFrame, vecCol: String, idCol: String, k: Int,

@@ -646,6 +646,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(top.head._3 - 1.0) < 1e-6)
   }
 
+  test("PQ ADC survives a sparse codebook (dropped empty centroid)") {
+    val sp = spark; import sp.implicits._
+    // hand-built codebook with a GAP: cent_ids 0, 1, 3 (2 was "dropped"
+    // by an empty Lloyd cluster). m=2 subspaces over dim=4. A flatten
+    // that packs by sorted order would misalign every slot after the gap.
+    val cb = Seq(
+      (0, 0, Seq(0.0, 0.0)), (0, 1, Seq(1.0, 0.0)), (0, 3, Seq(0.0, 1.0)),
+      (1, 0, Seq(0.0, 0.0)), (1, 1, Seq(1.0, 0.0)), (1, 3, Seq(0.0, 1.0))
+    ).toDF("subspace", "cent_id", "centv")
+    // corpus vectors sit exactly ON centroids, including the post-gap id 3
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 1.0f, 0.0f)), // codes (1, 1)
+      (11L, Array(0.0f, 1.0f, 0.0f, 1.0f)), // codes (3, 3) — past the gap
+      (12L, Array(1.0f, 1.0f, 1.0f, 1.0f))  // equidistant → tie-break to 0
+    ).toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(corpus, "embedding", "vec_id", cb, m = 2, dim = 4)
+    val codes = enc.collect().map(r => r.getAs[Long]("corpus_id") ->
+      r.getAs[scala.collection.Seq[Int]]("codes").toSeq).toMap
+    assert(codes(11L) == Seq(3, 3), s"gap centroid must be assignable: $codes")
+    // query = vector 11's own position: with a correct sparse LUT its ADC
+    // distance to itself-shaped 11 is 0 and it must rank first
+    val q = Seq((99L, Array(0.0f, 1.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(enc, cb, corpus, q, "embedding", "vec_id",
+        k = 1, m = 2, dim = 4, rerank = 3)
+      .collect().map(r => r.getAs[Long]("corpus_id"))
+    assert(top.toSeq == Seq(11L), s"sparse-codebook ADC misranked: ${top.toSeq}")
+  }
+
   test("PQ index: append encodes against the existing codebook; search finds appended copy") {
     val sp = spark; import sp.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -58,7 +58,7 @@ class GraphOpsSpec extends SparkSpec {
       Similarity.bruteForceTopK(emb, emb, "embedding", "vec_id", k = 5))
     val indexed = edgeSet(
       Similarity.ivfKnnEdges(idx, emb, "embedding", "vec_id", k = 5, nprobe = 4))
-    assert(indexed.nonEmpty && indexed.subsetOf(exact.union(indexed)))
+    assert(indexed.nonEmpty)
     val recall = (indexed intersect exact).size.toDouble / exact.size
     assert(recall > 0.5, s"indexed kNN edge recall too low: $recall")
     // every query emits at most k edges (the bounded-heap contract)
