@@ -1294,14 +1294,38 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s, d) => {
       val docs = t(s, d, "documents").df
       val mkPng = udf((id: Long, rgba: Boolean) => Multimodal.pngHeaderBytes(
-        (id % 800 + 1).toInt, (id % 600 + 1).toInt, if (rgba) 6 else 2))
+        (id * 13 % 800 + 1).toInt, (id * 7 % 600 + 1).toInt, if (rgba) 6 else 2))
       val mkJpeg = udf((id: Long) => Multimodal.jpegHeaderBytes(
-        (id % 800 + 1).toInt, (id % 600 + 1).toInt))
+        (id * 13 % 800 + 1).toInt, (id * 7 % 600 + 1).toInt))
       val media = docs.select(col("doc_id").as("media_id"),
         when(col("doc_id") % 2 === 0,
           mkPng(col("doc_id"), col("doc_id") % 4 === 0))
           .otherwise(mkJpeg(col("doc_id"))).as("payload"))
       Multimodal.decodeMedia(media)
+    }),
+
+    // the decode op COMPOSED through the relational pipeline (the shape
+    // an image-curation job actually runs): decode headers → aspect/size
+    // filter → join back to document metadata → per-(lang, format)
+    // rollup. Same planted payloads as q_multimodal_decode; the oracle
+    // recomputes the whole pipeline from doc_id arithmetic.
+    "q_media_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val mkPng = udf((id: Long, rgba: Boolean) => Multimodal.pngHeaderBytes(
+        (id * 13 % 800 + 1).toInt, (id * 7 % 600 + 1).toInt, if (rgba) 6 else 2))
+      val mkJpeg = udf((id: Long) => Multimodal.jpegHeaderBytes(
+        (id * 13 % 800 + 1).toInt, (id * 7 % 600 + 1).toInt))
+      val media = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0,
+          mkPng(col("doc_id"), col("doc_id") % 4 === 0))
+          .otherwise(mkJpeg(col("doc_id"))).as("payload"))
+      Multimodal.decodeMedia(media)
+        .where(col("width") >= 200 && col("width") > col("height"))
+        .join(docs.select(col("doc_id").as("media_id"), col("lang")),
+          Seq("media_id"))
+        .groupBy(col("lang"), col("format"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("width")).cast("bigint").as("sum_width"))
     }),
 
     // sketch profile (HLL distinct + quantile sketches): the graded row
@@ -2176,10 +2200,18 @@ object SparkEntry {
     "q_multimodal_decode" ->
       ("SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
-        "CAST(doc_id % 800 + 1 AS INT) AS width, " +
-        "CAST(doc_id % 600 + 1 AS INT) AS height, " +
+        "CAST(doc_id * 13 % 800 + 1 AS INT) AS width, " +
+        "CAST(doc_id * 7 % 600 + 1 AS INT) AS height, " +
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS INT) AS channels " +
         "FROM documents"),
+
+    "q_media_pipeline" ->
+      ("WITH m AS (SELECT doc_id, lang, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+        "doc_id * 13 % 800 + 1 AS width, doc_id * 7 % 600 + 1 AS height FROM documents) " +
+        "SELECT lang, format, CAST(count(*) AS BIGINT) AS n_media, " +
+        "CAST(sum(width) AS BIGINT) AS sum_width " +
+        "FROM m WHERE width >= 200 AND width > height GROUP BY 1, 2"),
 
     // exact fields recomputed by DuckDB; the in-bound booleans are
     // asserted TRUE — a sketch outside its error contract flips one to
