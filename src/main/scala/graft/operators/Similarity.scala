@@ -312,11 +312,8 @@ object Similarity {
   // ranks identically to cosine — normalization happens inside
   // train/encode/search so callers pass raw embeddings.
 
-  private def l2normalize(v: Column): Column = {
-    val n = sqrt(aggregate(v, lit(0.0d), (acc, x) =>
-      acc + x.cast("double") * x.cast("double")))
-    transform(v, x => x.cast("double") / n)
-  }
+  private def l2normalize(v: Column): Column =
+    graft.plans.VectorExpressions.l2normalize(v)
 
   /** (corpus_id, subspace, sv) subvector rows: dim/m values each. */
   private def subvectors(df: DataFrame, vecCol: String, idCol: String,

@@ -133,6 +133,32 @@ object NativeOps {
     out
   }
 
+  /** L2-normalize to array<double> in one pass: sequential left-to-right
+    * squared-sum (the same accumulation order as the SQL
+    * aggregate+transform composition it replaces), then per-element
+    * division. Zero-norm vectors yield the same NaN/Inf doubles the SQL
+    * division produced.
+    */
+  def l2normalize(a: ArrayData, isFloat: Boolean): GenericArrayData = {
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = java.lang.Double.valueOf(x / norm)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Element-wise [[md5Hash60]] over an array of strings — one digest per
     * element, no intermediate hex strings (the SQL-built-ins route
     * allocates the 32-char hex form plus a substring copy per element).

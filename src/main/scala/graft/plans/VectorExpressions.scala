@@ -105,7 +105,37 @@ case class AdcSum(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** One-pass L2 normalization (array<float|double> → array<double>):
+  * the aggregate+transform built-ins composition allocates a lambda
+  * frame per element twice per row — on the PQ encode/train path that
+  * is every corpus vector.
+  */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vec_l2normalize expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.l2normalize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeOps.l2normalize($c, $isFloat)")
+
+  override def prettyName: String = "vec_l2normalize"
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+  def l2normalize(v: Column): Column =
+    GraftSqlShim.column(L2Normalize(GraftSqlShim.expression(v)))
+
   def adcSum(codes: Column, lut: Column): Column =
     GraftSqlShim.column(AdcSum(GraftSqlShim.expression(codes), GraftSqlShim.expression(lut)))
   def dot(a: Column, b: Column): Column =
