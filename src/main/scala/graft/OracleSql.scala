@@ -812,4 +812,98 @@ object OracleSql {
       "SELECT doc_id, logw, n_tokens, row_number() OVER (" +
       "ORDER BY logw DESC, doc_id ASC) AS rnk FROM w) " +
       s"WHERE rnk <= $k"
+
+  /** Replicated C4 paragraph dedup (Corpus.dedupParagraphs) over the
+    * planted three-line structure the graded query builds: keep each
+    * distinct line only at its globally first (doc_id, pos) occurrence,
+    * reassemble per doc, empty string for fully-deduped docs.
+    */
+  def dedupParagraphs: String =
+    "WITH d2 AS (SELECT doc_id, text || chr(10) || 'shared boilerplate paragraph' " +
+      "|| chr(10) || 'from ' || source AS text FROM documents), " +
+      "t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2), " +
+      "ln AS (SELECT doc_id, CAST(unnest(range(len(ls))) AS BIGINT) AS pos, " +
+      "unnest(ls) AS line FROM t), " +
+      "keep AS (SELECT doc_id, pos, line FROM ln " +
+      "QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1), " +
+      "sa AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text " +
+      "FROM keep GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(sa.text, '') AS text " +
+      "FROM documents d LEFT JOIN sa ON d.doc_id = sa.doc_id"
+
+  /** Replicated Efraimidis–Spirakis weighted sample
+    * (Corpus.weightedSample): same md5-60-bit uniform, same
+    * 6-dp-rounded -ln(u)/w key, same (key, id) order and top-k.
+    */
+  def weightedSample(k: Int, weightCol: String,
+      salt: String = "graft-wsample"): String =
+    s"WITH keyed AS (SELECT doc_id, $weightCol, " +
+      s"round(-ln((${md5Hash60(s"'$salt:' || doc_id::VARCHAR")} + 1.0) / " +
+      s"1152921504606846976.0) / $weightCol, 6) AS sample_key " +
+      s"FROM documents WHERE $weightCol > 0) " +
+      "SELECT doc_id, " + weightCol + ", sample_key, CAST(rn AS BIGINT) AS sample_rank " +
+      "FROM (SELECT doc_id, " + weightCol + ", sample_key, row_number() OVER (" +
+      "ORDER BY sample_key ASC, doc_id ASC) AS rn FROM keyed) " +
+      s"WHERE rn <= $k"
+
+  /** Replicated temperature mixture (Corpus.temperatureMixture): per-
+    * source counts, α-scaled share, floor'd per-source budget.
+    */
+  def temperatureMixture(alpha: Double, budget: Long): String =
+    "WITH cstat AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM documents GROUP BY 1), " +
+      s"w AS (SELECT source, n_docs, pow(n_docs, $alpha) AS gw FROM cstat), " +
+      "t AS (SELECT sum(gw) AS tot FROM w) " +
+      "SELECT source, n_docs, round(gw / tot, 6) AS share, " +
+      s"CAST(floor($budget.0 * round(gw / tot, 6)) AS BIGINT) AS docs_at_budget FROM w, t"
+
+  /** Replicated Gopher top-n-gram char fraction
+    * (Corpus.topNgramFraction): same tokenizer as [[tokensExpr]], NON-
+    * distinct shingles (frequencies matter here), (count desc, gram asc)
+    * argmax, count × gram chars / normalized chars.
+    */
+  def topNgramFraction(n: Int): String = {
+    val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
+    val normExpr =
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"WITH toks AS (SELECT doc_id, $tokensExpr AS t, length($normExpr) AS len FROM documents), " +
+      s"sh AS (SELECT doc_id, len, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat) END AS s " +
+      "FROM toks WHERE len > 0), " +
+      "ex AS (SELECT doc_id, len, unnest(s) AS g FROM sh), " +
+      "cnt AS (SELECT doc_id, len, g, count(*) AS c FROM ex GROUP BY 1, 2, 3) " +
+      "SELECT doc_id, g AS top_gram, CAST(c AS BIGINT) AS gram_count, " +
+      "round(CAST(c AS DOUBLE) * length(g) / len, 6) AS char_fraction FROM cnt " +
+      "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1"
+  }
+
+  /** Replicated ANN recall@k (Similarity.annRecall): the [[simIvfTopK]]
+    * centroid/assignment/probe replication with the whole corpus as the
+    * query set, the brute-force exact top-k as ground truth, hits
+    * counted on the (query, corpus) edge intersection.
+    */
+  def annRecall(k: Int, nlist: Int, nprobe: Int,
+      refineIterations: Int = 1, dim: Int = 64): String = {
+    val (centChain, cent) = centroidChain(nlist, refineIterations, dim)
+    "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +
+      "asg AS (SELECT vec_id, v, cent_id AS list_id FROM (" +
+      "SELECT c.vec_id, c.v, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn = 1), " +
+      "ql AS (SELECT query_id, qv, cent_id AS list_id FROM (" +
+      "SELECT c.vec_id AS query_id, c.v AS qv, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
+      s"ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn <= $nprobe), " +
+      "iv AS (SELECT query_id, corpus_id FROM (" +
+      "SELECT ql.query_id, a.vec_id AS corpus_id, row_number() OVER (PARTITION BY ql.query_id " +
+      "ORDER BY list_cosine_similarity(a.v, ql.qv) DESC, a.vec_id ASC) AS rnk " +
+      s"FROM asg a JOIN ql ON a.list_id = ql.list_id WHERE a.vec_id <> ql.query_id) WHERE rnk <= $k), " +
+      "ex AS (SELECT query_id, corpus_id FROM (" +
+      "SELECT q.vec_id AS query_id, cc.vec_id AS corpus_id, row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_cosine_similarity(cc.v, q.v) DESC, cc.vec_id ASC) AS rnk " +
+      s"FROM c cc, c q WHERE cc.vec_id <> q.vec_id) WHERE rnk <= $k) " +
+      "SELECT ex.query_id, CAST(count(iv.corpus_id) AS BIGINT) AS hits, " +
+      s"round(CAST(count(iv.corpus_id) AS DOUBLE) / $k, 6) AS recall " +
+      "FROM ex LEFT JOIN iv ON ex.query_id = iv.query_id AND ex.corpus_id = iv.corpus_id " +
+      "GROUP BY 1"
+  }
 }

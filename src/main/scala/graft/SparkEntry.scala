@@ -1595,6 +1595,43 @@ object SparkEntry {
       graft.operators.GraphOps.pageRank(edges, iterations = 3)
     }),
 
+    // recall@k of the IVF operating point vs exact brute force — the
+    // index-quality eval run before trusting (nlist, nprobe); oracle
+    // replicates both edge sets and the intersection count
+    "q_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      Similarity.annRecall(emb, "embedding", "vec_id", k = 10,
+        nlist = 16, nprobe = 4)
+    }),
+
+    // C4 keep-first paragraph dedup; planted lines (corpus-wide
+    // boilerplate + a per-source footer) give the single-line fixture
+    // docs real cross-doc duplicate paragraphs
+    "q_dedup_paragraph" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val structured = docs.select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("shared boilerplate paragraph"),
+          concat(lit("from "), col("source"))).as("text"))
+      graft.operators.Corpus.dedupParagraphs(structured, "text", "doc_id")
+    }),
+
+    // Efraimidis–Spirakis weighted draw: long docs (n_chars weight) are
+    // proportionally more likely, selection deterministic via md5 keys
+    "q_sample_weighted" -> ((s, d) =>
+      graft.operators.Corpus.weightedSample(t(s, d, "documents").df,
+        "doc_id", "n_chars", k = 50)),
+
+    // temperature-scaled source mixing: α=0.7 upsamples small sources
+    "q_mixture_temperature" -> ((s, d) =>
+      graft.operators.Corpus.temperatureMixture(t(s, d, "documents").df,
+        "source", alpha = 0.7, budget = 1000L)),
+
+    // Gopher top-2-gram char fraction — the repetition half of the
+    // quality rules (q_text_quality covers the length/ratio half)
+    "q_text_topngram" -> ((s, d) =>
+      graft.operators.Corpus.topNgramFraction(t(s, d, "documents").df,
+        "text", "doc_id", n = 2)),
+
     // ── count-based classification / data selection (beyond reference —
     // the fastText-filter stand-ins; closed-form training, so the oracle
     // recomputes model AND prediction exactly) ──────────────────────────
@@ -2154,6 +2191,12 @@ object SparkEntry {
         s"1.0 - len(list_distinct($toks))::DOUBLE / len($toks) END, 6) AS dup_word_ratio " +
         "FROM documents"
     },
+
+    "q_ann_recall" -> OracleSql.annRecall(k = 10, nlist = 16, nprobe = 4),
+    "q_dedup_paragraph" -> OracleSql.dedupParagraphs,
+    "q_sample_weighted" -> OracleSql.weightedSample(k = 50, weightCol = "n_chars"),
+    "q_mixture_temperature" -> OracleSql.temperatureMixture(alpha = 0.7, budget = 1000L),
+    "q_text_topngram" -> OracleSql.topNgramFraction(n = 2),
 
     "q_skew_join" ->
       "SELECT o_orderpriority, count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",

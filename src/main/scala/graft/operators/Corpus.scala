@@ -902,4 +902,125 @@ object Corpus {
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
+
+  /** C4-style exact paragraph-level dedup (Raffel et al. 2020 §2.2 keep
+    * one occurrence): every distinct line (split on `\n`) survives only
+    * at its globally FIRST occurrence — min (doc id, position) — and is
+    * removed everywhere else, including repeats inside the same
+    * document. Documents reassemble from surviving lines in order; a
+    * document whose every line occurred earlier elsewhere comes back as
+    * an empty string rather than vanishing (dropping empties is a
+    * quality-gate decision, the [[stripBoilerplate]] policy).
+    *
+    * Scale shape: the winner election groups on a two-word 128-bit line
+    * hash instead of the line text (16 B of shuffle key per line,
+    * collision-safe at 3×10¹⁰ distinct lines), the keep join reuses the
+    * same hash partitioning (one exchange feeds both), and reassembly is
+    * the per-doc sort-by-position aggregate. No all-pairs anything.
+    */
+  def dedupParagraphs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("graft_h1", xxhash64(lit(0L), col("line")))
+      .withColumn("graft_h2", xxhash64(lit(1L), col("line")))
+    val winners = lines.groupBy(col("graft_h1"), col("graft_h2"))
+      .agg(min(struct(col(idCol).as("wid"), col("pos").as("wpos"))).as("w"))
+      .select(col("graft_h1"), col("graft_h2"),
+        col("w.wid").as("graft_wid"), col("w.wpos").as("graft_wpos"))
+    val rebuilt = lines.join(winners, Seq("graft_h1", "graft_h2"))
+      .where(col(idCol) === col("graft_wid") && col("pos") === col("graft_wpos"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as(textCol))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006): each row draws u ∈ (0, 1] from the 60-bit md5 of
+    * (salt, id) and keys on -ln(u)/w — the k SMALLEST keys are a
+    * weight-proportional draw without replacement. Keys round to the
+    * repo-wide 6-dp grain with id tie-breaks so the selection is
+    * engine-portable; the md5 source makes the draw reproducible across
+    * runs, partitionings, and engines (never `rand()`).
+    *
+    * Scale shape: the key is map-side arithmetic and the k smallest
+    * rows come back via TakeOrdered (k per partition → driver merge of
+    * P·k rows) — no global sort, no shuffle of the corpus. The rank
+    * window runs over the k selected rows only.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "graft-wsample"): DataFrame = {
+    require(k >= 1, "weightedSample: k must be >= 1")
+    val h = conv(substring(
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(math.pow(2.0, 60))
+    val w = col(weightCol).cast("double")
+    val keyed = df.where(w > 0)
+      .withColumn("graft_key", round(-log(u) / w, 6))
+    keyed.orderBy(col("graft_key").asc, col(idCol).asc).limit(k)
+      .withColumn("sample_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("graft_key").asc, col(idCol).asc)))
+      .select(col(idCol), col(weightCol),
+        col("graft_key").as("sample_key"), col("sample_rank"))
+  }
+
+  /** Temperature-scaled source mixing (the multilingual-LM sampling
+    * scheme: p_s ∝ n_s^α): per-source document counts, the α-scaled
+    * share, and the integer per-source document budget at `budget`
+    * total. α < 1 flattens the mixture toward uniform (upsampling small
+    * sources); α = 1 is proportional; α = 0 is uniform. One
+    * map-side-combined aggregation; the normalizer is a broadcast 1-row
+    * cross join — nothing scales with corpus size past the first count.
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "temperatureMixture: budget must be >= 0")
+    val weighted = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("graft_w", pow(col("n_docs").cast("double"), lit(alpha)))
+    val total = weighted.agg(sum(col("graft_w")).as("graft_tot"))
+    // budget allocation floors the 6-dp-ROUNDED share: the raw ratio can
+    // land exactly on an integer (uniform sources), where a 1-ulp pow()
+    // difference across engines flips the floor — the quantized share
+    // multiplies to the identical double everywhere
+    weighted.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("graft_w") / col("graft_tot"), 6).as("share"),
+        floor(lit(budget.toDouble) *
+            round(col("graft_w") / col("graft_tot"), 6))
+          .cast("long").as("docs_at_budget"))
+  }
+
+  /** Gopher-style repetition signal (Rae et al. 2021 §A1.1): the
+    * fraction of a document's normalized characters covered by
+    * occurrences of its single most frequent word n-gram
+    * (count × gram length / text length; overlapping occurrences can
+    * push it past 1 on degenerate all-same-token docs — that's the
+    * signal working). Most-frequent ties break on the gram's binary
+    * collation so the reported gram is deterministic.
+    *
+    * Scale shape: ZERO shuffle. A document's grams all live in its own
+    * row, so the per-doc argmax is the native
+    * [[graft.plans.TopShingleRun]] eval (shingle + sort + run-length
+    * scan in one JVM loop) — the whole operator is a map-side projection.
+    * The exploded groupBy alternative shuffles every gram occurrence of
+    * the corpus twice to pick one winner per doc (13 s vs ~1 s at sf0.1).
+    */
+  def topNgramFraction(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "topNgramFraction: n must be >= 1")
+    docs.select(col(idCol),
+        length(T.normalizeText(col(textCol))).as("graft_len"),
+        graft.plans.ShingleExpression.topShingleRun(col(textCol), n).as("top"))
+      .where(col("graft_len") > 0)
+      .select(col(idCol), col("top.gram").as("top_gram"),
+        col("top.cnt").as("gram_count"),
+        round(col("top.cnt").cast("double") * length(col("top.gram")) /
+          col("graft_len"), 6).as("char_fraction"))
+  }
 }

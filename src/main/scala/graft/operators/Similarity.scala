@@ -296,6 +296,48 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Recall@k of the IVF probe path against exact brute force — the
+    * index-quality evaluation every ANN deployment runs before trusting
+    * an index's (nlist, nprobe) operating point. Ground truth is
+    * [[bruteForceTopK]]'s exact top-k; the candidate is [[ivfTopK]] at
+    * the same k; recall = |ivf ∩ exact| / k per query (both paths share
+    * the (cosine desc, corpus_id asc) tie-break, so the intersection is
+    * well-defined even at score ties).
+    *
+    * Scale shape: evaluation runs on a deterministic md5 hash-sample of
+    * queries (`queryFraction`) — ground truth is the only quadratic
+    * piece and the sample caps it at |corpus| × sampled queries; the
+    * probe side inherits [[ivfTopK]]'s cluster-bounded cost. Recall
+    * estimates converge with a few hundred queries regardless of corpus
+    * size, so the fraction shrinks as the corpus grows.
+    */
+  def annRecall(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, refineIterations: Int = 1,
+      queryFraction: Double = 1.0,
+      salt: String = "graft-recall"): DataFrame = {
+    require(k >= 1, "annRecall: k must be >= 1")
+    require(queryFraction > 0 && queryFraction <= 1.0,
+      "annRecall: queryFraction must be in (0, 1]")
+    val queries =
+      if (queryFraction >= 1.0) corpus
+      else corpus.where(pmod(
+        conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+          1, 15), 16, 10).cast("long"),
+        lit(1000000L)) < (queryFraction * 1000000L).toLong)
+    val exact = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = ivfTopK(corpus, queries, vecCol, idCol, k, nlist, nprobe,
+        refineIterations)
+      .select(col("query_id").as("graft_aq"), col("corpus_id").as("graft_ac"))
+    exact.join(approx,
+        col("query_id") === col("graft_aq") &&
+          col("corpus_id") === col("graft_ac"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("graft_ac")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits").cast("double") / k, 6).as("recall"))
+  }
+
   // ───────────────────── product quantization (PQ) ─────────────────────
   //
   // Jégou, Douze & Schmid 2011, "Product Quantization for Nearest

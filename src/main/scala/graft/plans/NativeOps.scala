@@ -250,8 +250,12 @@ object NativeOps {
     s
   }
 
-  def wordShingles(input: UTF8String, n: Int): GenericArrayData = {
-    val s = input.toString
+  /** Shared shingle builder: ascii-lowercased [a-z0-9]+ token runs joined
+    * in windows of n (single whole-token gram when the doc has < n
+    * tokens). Pure-ASCII output, so Java String order == UTF8 binary
+    * order for everything built here.
+    */
+  private def shingleStrings(s: String, n: Int): Array[String] = {
     val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
     val sb = new java.lang.StringBuilder(16)
     var i = 0
@@ -263,26 +267,62 @@ object NativeOps {
       i += 1
     }
     if (sb.length > 0) tokens += sb.toString
-    val out: Array[AnyRef] =
-      if (tokens.length < n) Array(UTF8String.fromString(tokens.mkString(" ")))
-      else {
-        val m = tokens.length - n + 1
-        val arr = new Array[AnyRef](m)
-        val b = new java.lang.StringBuilder(32)
-        var j = 0
-        while (j < m) {
-          b.setLength(0)
-          var k = 0
-          while (k < n) {
-            if (k > 0) b.append(' ')
-            b.append(tokens(j + k))
-            k += 1
-          }
-          arr(j) = UTF8String.fromString(b.toString)
-          j += 1
+    if (tokens.length < n) Array(tokens.mkString(" "))
+    else {
+      val m = tokens.length - n + 1
+      val arr = new Array[String](m)
+      val b = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < m) {
+        b.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) b.append(' ')
+          b.append(tokens(j + k))
+          k += 1
         }
-        arr
+        arr(j) = b.toString
+        j += 1
       }
+      arr
+    }
+  }
+
+  def wordShingles(input: UTF8String, n: Int): GenericArrayData = {
+    val grams = shingleStrings(input.toString, n)
+    val out = new Array[AnyRef](grams.length)
+    var j = 0
+    while (j < grams.length) {
+      out(j) = UTF8String.fromString(grams(j))
+      j += 1
+    }
     new GenericArrayData(out)
+  }
+
+  /** Most frequent word n-gram of one document as (gram, count): build
+    * the non-distinct shingle stream, sort it, run-length scan the sorted
+    * array. Strict `>` replacement keeps the FIRST (binary-smallest) gram
+    * on count ties — the (count desc, gram asc) argmax — because the scan
+    * walks grams in ascending order. One eval per document; the per-doc
+    * top-gram never needs to leave its row, so the operator that calls
+    * this is shuffle-free.
+    */
+  def topShingleRun(input: UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val grams = shingleStrings(input.toString, n)
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var bestGram: String = null
+    var bestCnt = 0L
+    var i = 0
+    while (i < grams.length) {
+      var j = i + 1
+      while (j < grams.length && grams(j) == grams(i)) j += 1
+      val run = (j - i).toLong
+      if (run > bestCnt) { bestCnt = run; bestGram = grams(i) }
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(if (bestGram == null) "" else bestGram),
+        bestCnt))
   }
 }

@@ -36,9 +36,37 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-document most-frequent-n-gram argmax: shingle + sort + run-length
+  * scan in one eval, returning struct(gram, cnt). Exists so the Gopher
+  * repetition signal ([[graft.operators.Corpus.topNgramFraction]]) stays
+  * entirely map-side — the exploded alternative shuffles every gram
+  * occurrence of the corpus twice just to pick one winner per doc.
+  */
+case class TopShingleRun(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.topShingleRun(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeOps.topShingleRun($c, $n)")
+
+  override def prettyName: String = "top_shingle_run"
+  override protected def withNewChildInternal(newChild: Expression): TopShingleRun =
+    copy(child = newChild)
+}
+
 object ShingleExpression {
   def wordShingles(text: Column, n: Int): Column =
     GraftSqlShim.column(WordShingles(GraftSqlShim.expression(text), n))
+
+  def topShingleRun(text: Column, n: Int): Column =
+    GraftSqlShim.column(TopShingleRun(GraftSqlShim.expression(text), n))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     GraftSqlShim.functionRegistry(spark).createOrReplaceTempFunction(

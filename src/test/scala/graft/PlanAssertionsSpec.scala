@@ -155,4 +155,44 @@ class PlanAssertionsSpec extends SparkSpec {
     indexScans.foreach(l =>
       assert(!l.contains("cv"), s"ADC scan reads vector bytes: $l"))
   }
+
+  test("paragraph dedup shuffles line hashes, not line text") {
+    val df = SparkEntry.queries("q_dedup_paragraph")(spark, sf)
+    val p = plan(df)
+    // winner election and keep join both key on the 128-bit line hash —
+    // every hashpartitioning exchange over the line stream must carry
+    // graft_h* keys and never the line/text bytes
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.exists(_.contains("graft_h1")),
+      s"no hash-keyed exchange found:\n$p")
+    exchanges.filter(_.contains("graft_h1")).foreach(l =>
+      assert(!l.contains("line#") && !l.contains("text#"),
+        s"line text rides a shuffle key: $l"))
+  }
+
+  test("top-n-gram fraction is a shuffle-free map-side projection") {
+    val df = SparkEntry.queries("q_text_topngram")(spark, sf)
+    val p = plan(df)
+    // the per-doc argmax is one native TopShingleRun eval per row — an
+    // Exchange here means the exploded (doc, gram) groupBy shape came back
+    assert(!p.contains("Exchange"),
+      s"top-n-gram plan shuffles:\n$p")
+    assert(p.contains("top_shingle_run"),
+      s"native TopShingleRun expression missing:\n$p")
+  }
+
+  test("weighted sample selects via TakeOrdered, not a global sort") {
+    val df = operators.Corpus.weightedSample(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      "doc_id", "n_chars", k = 10)
+    val p = plan(df)
+    // the k smallest keys come back as k-per-partition + driver merge —
+    // a Sort + Exchange rangepartitioning here would be the full-corpus
+    // global sort the operator promises to avoid
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"weighted sample fell back to a global range sort:\n$p")
+  }
 }

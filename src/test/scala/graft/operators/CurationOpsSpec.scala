@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation additions: C4 paragraph dedup, ES weighted sampling,
+  * temperature mixing, Gopher top-n-gram fraction, ANN recall eval.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private def sixDp(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("dedupParagraphs keeps each line only at its global first occurrence") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma\ngamma"), // cross-doc dup + in-doc repeat
+      (3L, "shared line")                // fully deduped → empty string
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha\nshared line\nbeta")
+    assert(out(2L) == "gamma") // shared line lost to doc 1, repeat collapsed
+    assert(out(3L) == "")
+  }
+
+  test("dedupParagraphs first occurrence is by (doc, position), not text order") {
+    val sp = spark; import sp.implicits._
+    // the dup line sits EARLIER in doc 2 than in doc 1, but doc 1 wins on id
+    val docs = Seq((1L, "x\ndup"), (2L, "dup\ny")).toDF("doc_id", "text")
+    val out = Corpus.dedupParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "x\ndup" && out(2L) == "y")
+  }
+
+  test("weightedSample is a deterministic size-k draw that honors weights") {
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 200L).map(i => (i, 10.0)) :+ (201L, 1e12)
+    val df = rows.toDF("id", "w")
+    val s1 = Corpus.weightedSample(df, "id", "w", k = 20).collect()
+    val s2 = Corpus.weightedSample(df, "id", "w", k = 20).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq) // reproducible
+    assert(s1.length == 20)
+    assert(s1.map(_.getAs[Int]("sample_rank")).toSeq == (1 to 20))
+    // -ln(u)/1e12 is smaller than any 10-weight key → the heavy row is in
+    assert(s1.exists(_.getAs[Long]("id") == 201L))
+    // keys are sorted ascending with the rank
+    val keys = s1.sortBy(_.getAs[Int]("sample_rank")).map(_.getAs[Double]("sample_key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("weightedSample drops non-positive weights") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
+    val out = Corpus.weightedSample(df, "id", "w", k = 10).collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == Set(1L))
+  }
+
+  test("temperatureMixture: α=1 proportional, α=0 uniform, budget floors") {
+    val sp = spark; import sp.implicits._
+    val df = (Seq.fill(30)("big") ++ Seq.fill(10)("small")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "source")
+    def shares(alpha: Double) =
+      Corpus.temperatureMixture(df, "source", alpha, budget = 100L)
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Double]("share"),
+            r.getAs[Long]("docs_at_budget"))).toMap
+    val prop = shares(1.0)
+    assert(prop("big") == ((30L, 0.75, 75L)) && prop("small") == ((10L, 0.25, 25L)))
+    val flat = shares(0.0)
+    assert(flat("big")._2 == 0.5 && flat("small")._2 == 0.5)
+    val t = shares(0.7) // between uniform and proportional
+    assert(t("big")._2 < 0.75 && t("big")._2 > 0.5)
+  }
+
+  test("topNgramFraction finds the most frequent gram with a binary tie-break") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),   // "a b"×2, "b a"×1, "b c"×1 → 2·3/9
+      (2L, "z z z z"),     // "z z"×3 overlapping → 3·3/7 = 9/7
+      (3L, "x y")          // single gram
+    ).toDF("doc_id", "text")
+    val out = Corpus.topNgramFraction(docs, "text", "doc_id", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("top_gram"), r.getAs[Long]("gram_count"),
+          r.getAs[Double]("char_fraction"))).toMap
+    assert(out(1L) == (("a b", 2L, sixDp(6.0 / 9.0))))
+    assert(out(2L) == (("z z", 3L, sixDp(9.0 / 7.0)))) // overlaps can pass 1
+    assert(out(3L) == (("x y", 1L, 1.0)))
+  }
+
+  test("topNgramFraction tie between grams resolves to the binary-smallest") {
+    val sp = spark; import sp.implicits._
+    // "b a" and "a b" both appear once → "a b" wins the tie
+    val out = Corpus.topNgramFraction(Seq((1L, "b a b")).toDF("doc_id", "text"),
+      "text", "doc_id", n = 2).collect().head
+    assert(out.getAs[String]("top_gram") == "a b")
+  }
+
+  test("annRecall is exactly 1.0 when every list is probed") {
+    val sp = spark; import sp.implicits._
+    val vecs = (0L until 24L).map(i =>
+      (i, Array(math.cos(i * 0.26).toFloat, math.sin(i * 0.26).toFloat,
+        (i % 5).toFloat / 5f, 1f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.annRecall(vecs, "embedding", "vec_id", k = 3,
+      nlist = 4, nprobe = 4)
+    assert(full.count() == 24)
+    assert(full.where(col("recall") =!= 1.0).count() == 0)
+    // fewer probes can only lose candidates: recall ≤ 1, hits ≤ k
+    val part = Similarity.annRecall(vecs, "embedding", "vec_id", k = 3,
+      nlist = 4, nprobe = 1).collect()
+    assert(part.forall(r => r.getAs[Long]("hits") <= 3L))
+    assert(part.forall(r => r.getAs[Double]("recall") <= 1.0))
+  }
+
+  test("annRecall query sampling evaluates a strict deterministic subset") {
+    val sp = spark; import sp.implicits._
+    val vecs = (0L until 40L).map(i =>
+      (i, Array((i % 7).toFloat, (i % 3).toFloat, 1f, (i % 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val sampled = Similarity.annRecall(vecs, "embedding", "vec_id", k = 3,
+      nlist = 4, nprobe = 4, queryFraction = 0.3)
+    val n = sampled.count()
+    assert(n > 0 && n < 40)
+    val again = Similarity.annRecall(vecs, "embedding", "vec_id", k = 3,
+      nlist = 4, nprobe = 4, queryFraction = 0.3).count()
+    assert(again == n)
+  }
+}
