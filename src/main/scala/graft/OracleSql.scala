@@ -877,6 +877,47 @@ object OracleSql {
       "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1"
   }
 
+  /** Replicated ordered funnel (EventAnalytics.funnel): step-time
+    * recurrence t_i = min ts of step-i events at ts >= t_{i-1} — provably
+    * identical to the Spark side's sorted in-row fold (equal timestamps
+    * progress in step order under both formulations).
+    */
+  def funnel(steps: Seq[String]): String = {
+    val caseIdx = steps.zipWithIndex
+      .map { case (s, i) => s"WHEN '$s' THEN $i" }.mkString(" ")
+    val inList = steps.map(s => s"'$s'").mkString(", ")
+    val stepCtes = steps.indices.map { i =>
+      if (i == 0)
+        s"s0 AS (SELECT user_id, min(ts) AS t FROM e WHERE idx = 0 GROUP BY 1)"
+      else
+        s"s$i AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s${i - 1} " +
+          s"USING (user_id) WHERE e.idx = $i AND e.ts >= s${i - 1}.t GROUP BY 1)"
+    }.mkString(", ")
+    val unions = steps.zipWithIndex.map { case (s, i) =>
+      s"SELECT ${i + 1} AS step, '$s' AS step_name, " +
+        s"(SELECT count(*) FROM s$i) AS n"
+    }.mkString(" UNION ALL ")
+    s"WITH e AS (SELECT user_id, ts, CASE event_type $caseIdx END AS idx " +
+      s"FROM events WHERE event_type IN ($inList)), $stepCtes, " +
+      s"f AS ($unions) " +
+      "SELECT CAST(step AS BIGINT) AS step, step_name, " +
+      "CAST(n AS BIGINT) AS n_users, round(CAST(n AS DOUBLE) / " +
+      "greatest((SELECT count(*) FROM s0), 1), 6) AS conversion FROM f"
+  }
+
+  /** Replicated cohort retention (EventAnalytics.cohortRetention):
+    * Monday-truncated first-activity cohorts, distinct weekly activity,
+    * day-diff // 7 offsets (both engines Monday-align date_trunc('week')).
+    */
+  def cohortRetention: String =
+    "WITH weekly AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS w FROM events), " +
+      "fw AS (SELECT user_id, min(w) AS cohort FROM weekly GROUP BY 1), " +
+      "rolled AS (SELECT cohort, CAST(date_diff('day', cohort, w) // 7 AS BIGINT) AS week_offset, " +
+      "CAST(count(*) AS BIGINT) AS n_users FROM weekly JOIN fw USING (user_id) GROUP BY 1, 2) " +
+      "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset, n_users, " +
+      "round(CAST(n_users AS DOUBLE) / first(n_users) OVER (" +
+      "PARTITION BY cohort ORDER BY week_offset), 6) AS retention FROM rolled"
+
   /** Replicated ANN recall@k (Similarity.annRecall): the [[simIvfTopK]]
     * centroid/assignment/probe replication with the whole corpus as the
     * query set, the brute-force exact top-k as ground truth, hits

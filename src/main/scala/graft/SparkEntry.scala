@@ -1815,7 +1815,20 @@ object SparkEntry {
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
-          col("n_events"))))
+          col("n_events"))),
+
+    // ordered conversion funnel signup → view → click → purchase: one
+    // user-keyed shuffle, in-row fold progression, ≤ k+1-row rollup
+    "q_events_funnel" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnel(t(s, d, "events").df,
+        "ts", "user_id", "event_type",
+        Seq("signup", "view", "click", "purchase"))),
+
+    // weekly cohort retention: Monday cohorts from first activity,
+    // distinct weekly activity, retention vs the offset-0 cohort size
+    "q_events_cohort" -> ((s, d) =>
+      graft.operators.EventAnalytics.cohortRetention(
+        t(s, d, "events").df, "ts", "user_id")))
 
   def queries: Map[String, Q] = relational ++ extensions
 
@@ -2561,5 +2574,10 @@ object SparkEntry {
         "value AS last_value FROM events"),
 
     "q_events_session" ->
-      "WITH marked AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s, event_id FROM (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, count(*) AS n_events FROM sess GROUP BY user_id, sid")
+      "WITH marked AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s, event_id FROM (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, count(*) AS n_events FROM sess GROUP BY user_id, sid",
+
+    "q_events_funnel" ->
+      OracleSql.funnel(Seq("signup", "view", "click", "purchase")),
+
+    "q_events_cohort" -> OracleSql.cohortRetention)
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event analytics: ordered-step conversion funnels and cohort
+  * retention — the two queries every product-analytics deployment runs
+  * over an events table (the reference's events use cases stop at
+  * windowed aggregation; these are the beyond-parity composition,
+  * same spirit as the streaming layer in [[graft.streaming.EventStreams]]).
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: for `steps = [A, B, C]`, a user converts
+    * through step i+1 only with an event of that type at `ts >=` their
+    * step-i conversion time (equal timestamps progress in step order, so
+    * a same-instant A,B pair converts both). Per step: how many users got
+    * there, and the conversion rate relative to step 1.
+    *
+    * Scale shape: ONE shuffle. Events filter to the step types map-side,
+    * group once by user, and the per-user progression is an in-row fold
+    * over the time-sorted (ts, step) structs — the classic alternative
+    * (one min-aggregation + join per step) is k shuffles over the full
+    * event stream. The fold state is one int; per-user memory is bounded
+    * by that user's funnel-event count. The step rollup then runs on
+    * ≤ k+1 rows.
+    */
+  def funnel(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    val sp = events.sparkSession
+    import sp.implicits._
+    val idx = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
+    val perUser = events
+      .where(col(typeCol).isin(steps.map(x => x: Any): _*))
+      .select(col(userCol), col(tsCol).as("graft_ts"), idx.as("graft_idx"))
+      .groupBy(col(userCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("graft_ts"), col("graft_idx")))),
+        lit(0),
+        (acc, e) => when(e.getField("graft_idx") === acc, acc + 1)
+          .otherwise(acc)).as("graft_reached"))
+    // ≤ k+1 rows from here down: the driver-sized step table left-joins
+    // the reach histogram so a zero-user step still reports 0
+    val byReached = perUser.groupBy(col("graft_reached"))
+      .agg(count(lit(1)).as("graft_n"))
+    val stepDf = steps.zipWithIndex
+      .map { case (s, i) => (i.toLong + 1L, s) }.toDF("step", "step_name")
+    val counts = stepDf.join(byReached,
+        col("graft_reached") >= col("step"), "left")
+      .groupBy(col("step"), col("step_name"))
+      .agg(coalesce(sum(col("graft_n")), lit(0L)).as("n_users"))
+    counts.withColumn("conversion",
+      round(col("n_users").cast("double") /
+        greatest(max(when(col("step") === 1L, col("n_users")))
+          .over(Window.partitionBy()), lit(1L)), 6))
+  }
+
+  /** Cohort retention: users cohort by the week of their first event;
+    * retention at week offset w = the fraction of the cohort active in
+    * cohort-week + w (distinct-user weekly activity; offset 0 is 1.0 by
+    * construction). Weeks are Monday-truncated dates.
+    *
+    * Scale shape: one distinct over (user, week) — the event stream's
+    * only full shuffle — then a user-keyed groupBy + join (AQE turns the
+    * weekly frame's reuse into a co-partitioned pair) and a rollup on
+    * (cohort, offset), a frame of cohorts × offsets rows. The retention
+    * denominator is a window over that tiny rollup, never over users.
+    */
+  def cohortRetention(events: DataFrame, tsCol: String,
+      userCol: String): DataFrame = {
+    val weekly = events
+      .select(col(userCol), to_date(date_trunc("week", col(tsCol))).as("graft_w"))
+      .distinct()
+    val firstWeek = weekly.groupBy(col(userCol))
+      .agg(min(col("graft_w")).as("graft_cohort"))
+    val rolled = weekly.join(firstWeek, userCol)
+      .groupBy(col("graft_cohort"),
+        (datediff(col("graft_w"), col("graft_cohort")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    rolled.select(
+        date_format(col("graft_cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") /
+          first(col("n_users")).over(Window.partitionBy(col("graft_cohort"))
+            .orderBy(col("week_offset").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6)
+          .as("retention"))
+  }
+}
