@@ -918,6 +918,60 @@ object OracleSql {
       "round(CAST(n_users AS DOUBLE) / first(n_users) OVER (" +
       "PARTITION BY cohort ORDER BY week_offset), 6) AS retention FROM rolled"
 
+  /** Replicated hard-negative mining (Similarity.hardNegatives): the
+    * [[simIvfTopK]] replication with the corpus as its own query set and
+    * the label-mismatch predicate applied before the top-k.
+    */
+  def hardNegatives(k: Int, nlist: Int, nprobe: Int,
+      refineIterations: Int = 1, dim: Int = 64): String = {
+    val (centChain, cent) = centroidChain(nlist, refineIterations, dim)
+    "WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +
+      "asg AS (SELECT vec_id, label, v, cent_id AS list_id FROM (" +
+      "SELECT c.vec_id, c.label, c.v, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn = 1), " +
+      "ql AS (SELECT query_id, qlabel, qv, cent_id AS list_id FROM (" +
+      "SELECT c.vec_id AS query_id, c.label AS qlabel, c.v AS qv, cent.cent_id, " +
+      "row_number() OVER (PARTITION BY c.vec_id " +
+      s"ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn <= $nprobe) " +
+      "SELECT query_id, corpus_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank FROM (" +
+      "SELECT ql.query_id, a.vec_id AS corpus_id, list_cosine_similarity(a.v, ql.qv) AS cos, " +
+      "row_number() OVER (PARTITION BY ql.query_id " +
+      "ORDER BY list_cosine_similarity(a.v, ql.qv) DESC, a.vec_id ASC) AS rnk " +
+      "FROM asg a JOIN ql ON a.list_id = ql.list_id " +
+      "WHERE a.vec_id <> ql.query_id AND a.label <> ql.qlabel) " +
+      s"WHERE rnk <= $k"
+  }
+
+  /** Per-label prototype CTE shared by the prototype oracles — decimal
+    * sums matching the Spark side's deterministic means.
+    */
+  private def protoCte(dim: Int): String =
+    "c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "p AS (SELECT label, list(m ORDER BY i) AS proto FROM (" +
+      "SELECT label, i, CAST(sum(CAST(v[i + 1] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m " +
+      s"FROM c, range($dim) r(i) GROUP BY label, i) GROUP BY label)"
+
+  /** Replicated class-prototype consistency scores
+    * (Similarity.prototypeScores).
+    */
+  def prototypeScores(dim: Int = 64): String =
+    s"WITH ${protoCte(dim)} " +
+      "SELECT c.vec_id, c.label, round(list_cosine_similarity(c.v, p.proto), 6) AS proto_cosine " +
+      "FROM c JOIN p USING (label)"
+
+  /** Replicated per-label bottom-k prototype outliers
+    * (Similarity.prototypeOutliers) — raw-cosine rank, id tie-break.
+    */
+  def prototypeOutliers(k: Int, dim: Int = 64): String =
+    s"WITH ${protoCte(dim)} " +
+      "SELECT label, vec_id, round(cos, 6) AS proto_cosine, CAST(rnk AS INT) AS rank FROM (" +
+      "SELECT c.label, c.vec_id, list_cosine_similarity(c.v, p.proto) AS cos, " +
+      "row_number() OVER (PARTITION BY c.label " +
+      "ORDER BY list_cosine_similarity(c.v, p.proto) ASC, c.vec_id ASC) AS rnk " +
+      "FROM c JOIN p USING (label)) " +
+      s"WHERE rnk <= $k"
+
   /** Replicated ANN recall@k (Similarity.annRecall): the [[simIvfTopK]]
     * centroid/assignment/probe replication with the whole corpus as the
     * query set, the brute-force exact top-k as ground truth, hits

@@ -1595,6 +1595,27 @@ object SparkEntry {
       graft.operators.GraphOps.pageRank(edges, iterations = 3)
     }),
 
+    // hard negatives for contrastive training: per anchor, top-5 most
+    // similar vectors with a DIFFERENT label, IVF probe path, label
+    // filter before the heap
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      Similarity.hardNegatives(emb, "embedding", "vec_id", "label",
+        k = 5, nlist = 16, nprobe = 4)
+    }),
+
+    // class-consistency scores: cosine of each vector to its own label's
+    // prototype (decimal-exact mean) — the mislabel/atypicality signal
+    "q_class_prototypes" -> ((s, d) =>
+      Similarity.prototypeScores(t(s, d, "embeddings").df,
+        "embedding", "vec_id", "label")),
+
+    // per-label bottom-5 least-prototypical rows via the ascending
+    // bounded heap — the label-noise review queue
+    "q_proto_outliers" -> ((s, d) =>
+      Similarity.prototypeOutliers(t(s, d, "embeddings").df,
+        "embedding", "vec_id", "label", k = 5)),
+
     // recall@k of the IVF operating point vs exact brute force — the
     // index-quality eval run before trusting (nlist, nprobe); oracle
     // replicates both edge sets and the intersection count
@@ -2206,6 +2227,9 @@ object SparkEntry {
     },
 
     "q_ann_recall" -> OracleSql.annRecall(k = 10, nlist = 16, nprobe = 4),
+    "q_hard_negatives" -> OracleSql.hardNegatives(k = 5, nlist = 16, nprobe = 4),
+    "q_class_prototypes" -> OracleSql.prototypeScores(),
+    "q_proto_outliers" -> OracleSql.prototypeOutliers(k = 5),
     "q_dedup_paragraph" -> OracleSql.dedupParagraphs,
     "q_sample_weighted" -> OracleSql.weightedSample(k = 50, weightCol = "n_chars"),
     "q_mixture_temperature" -> OracleSql.temperatureMixture(alpha = 0.7, budget = 1000L),

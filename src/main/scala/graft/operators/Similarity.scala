@@ -148,7 +148,9 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cent_id").asc)))
       .where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
+      // pass through every query-side column (label carriers etc.), not
+      // just (query_id, qv) — existing callers pass exactly those two
+      .select(q.columns.map(col) :+ col("cent_id").as("list_id"): _*)
 
   /** Seed centroids (first nlist corpus vectors by id) refined by
     * `iterations` deterministic Lloyd steps: assign every vector to its
@@ -294,6 +296,99 @@ object Similarity {
     topKPerQuery(joined, "cos", scoreDesc = true, k, "rank")
       .select(col("query_id"), col("corpus_id"),
         round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the k most similar vectors carrying a DIFFERENT label —
+    * the negatives that actually move a contrastive loss (random
+    * negatives are trivially far). Runs on the IVF probe path with the
+    * label-mismatch predicate applied BEFORE the top-k heap, so each
+    * anchor still gets k candidates from its probed lists.
+    *
+    * Scale shape: inherits [[ivfTopK]]'s cluster-bounded cost — the
+    * anchor set is the corpus itself, but every anchor only meets its
+    * nprobe lists' vectors (never all-pairs), labels ride the existing
+    * assignment/probe rows (+4 B), and the top-k is the bounded-heap
+    * aggregate. No per-label reducer anywhere.
+    */
+  def hardNegatives(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      refineIterations: Int = 1): DataFrame = {
+    require(k >= 1, "hardNegatives: k must be >= 1")
+    val plain = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val centroids = seedAndRefine(plain, nlist, refineIterations)
+    // nearest-list assignment that carries the corpus label alongside
+    val assigned = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        col(labelCol).as("graft_cl"))
+      .join(broadcast(centroids))
+      .withColumn("d", V.l2Distance(col("cv"), col("centv")))
+      .groupBy(col("corpus_id"))
+      .agg(min(struct(col("d"), col("cent_id"))).as("graft_pick"),
+        min_by(col("cv"), col("cent_id")).as("cv"),
+        min_by(col("graft_cl"), col("cent_id")).as("graft_cl"))
+      .select(col("corpus_id"), col("cv"), col("graft_cl"),
+        col("graft_pick.cent_id").as("list_id"))
+    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("graft_ql"))
+    val joined = assigned.join(probeLists(q, centroids, nprobe), Seq("list_id"))
+      .where(col("corpus_id") =!= col("query_id") &&
+        col("graft_cl") =!= col("graft_ql"))
+      .withColumn("cos", V.cosine(col("cv"), col("qv")))
+    topKPerQuery(joined, "cos", scoreDesc = true, k, "rank")
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Per-label prototype (element-wise mean vector) and every row's
+    * cosine to its own label's prototype — the class-consistency score
+    * used to filter mislabeled/atypical examples from classification
+    * training sets. Means use the same decimal-sum determinism as the
+    * Lloyd step ([[seedAndRefine]]), so the prototype is bit-identical
+    * across partitionings and engines.
+    *
+    * Scale shape: one map-side-combined groupBy over labels (dim sums +
+    * a count per label — no posexplode row amplification), a broadcast
+    * of the labels×dim prototype table, and a map-side cosine. One
+    * shuffle of dim·labels doubles total, regardless of corpus size.
+    */
+  def prototypeScores(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, dim: Int = 64): DataFrame =
+    corpus.select(col(idCol), col(labelCol), col(vecCol))
+      .join(broadcast(labelPrototypes(corpus, vecCol, labelCol, dim)),
+        Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(V.cosine(col(vecCol), col("graft_proto")), 6).as("proto_cosine"))
+
+  /** Element-wise per-label mean vectors (`graft_proto`), decimal-summed
+    * for cross-engine/partitioning determinism like the Lloyd step.
+    */
+  private def labelPrototypes(corpus: DataFrame, vecCol: String,
+      labelCol: String, dim: Int): DataFrame = {
+    val sums = (0 until dim).map(i =>
+      (sum(element_at(col(vecCol), i + 1).cast(DecimalType(38, 18)))
+        .cast(DoubleType) / count(lit(1))).as(s"graft_m$i"))
+    corpus.groupBy(col(labelCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(labelCol),
+        array((0 until dim).map(i => col(s"graft_m$i")): _*).as("graft_proto"))
+  }
+
+  /** Least-prototypical k rows per label — the label-noise review queue.
+    * The per-label bottom-k rides the bounded-heap aggregate (ascending
+    * heap), so no per-label window reducer sees the full class.
+    */
+  def prototypeOutliers(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, k: Int, dim: Int = 64): DataFrame = {
+    require(k >= 1, "prototypeOutliers: k must be >= 1")
+    val scored = corpus.select(col(idCol), col(labelCol), col(vecCol))
+      .join(broadcast(labelPrototypes(corpus, vecCol, labelCol, dim)),
+        Seq(labelCol))
+      .select(col(labelCol).as("query_id"), col(idCol).as("corpus_id"),
+        V.cosine(col(vecCol), col("graft_proto")).as("cos"))
+    topKPerQuery(scored, "cos", scoreDesc = false, k, "rank")
+      .select(col("query_id").as(labelCol), col("corpus_id").as(idCol),
+        round(col("cos"), 6).as("proto_cosine"), col("rank"))
   }
 
   /** Recall@k of the IVF probe path against exact brute force — the

@@ -115,6 +115,56 @@ class CurationOpsSpec extends SparkSpec {
     assert(part.forall(r => r.getAs[Double]("recall") <= 1.0))
   }
 
+  test("hardNegatives never returns same-label or self matches") {
+    val sp = spark; import sp.implicits._
+    val vecs = (0L until 30L).map(i =>
+      (i, Array(math.cos(i * 0.21).toFloat, math.sin(i * 0.21).toFloat,
+        (i % 4).toFloat / 4f, 1f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, "embedding", "vec_id", "label",
+      k = 3, nlist = 4, nprobe = 4).collect()
+    val labels = (0L until 30L).map(i => i -> (i % 3).toInt).toMap
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val c = r.getAs[Long]("corpus_id")
+      assert(q != c, s"self match: $q")
+      assert(labels(q) != labels(c), s"same-label negative: $q -> $c")
+    }
+    assert(out.groupBy(_.getAs[Long]("query_id")).values.forall(_.length <= 3))
+    assert(out.nonEmpty)
+  }
+
+  test("prototypeScores: singleton label scores 1.0; prototype is the exact mean") {
+    val sp = spark; import sp.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(5f, 5f, 0f, 0f), 1) // singleton: proto = itself → cos 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.prototypeScores(vecs, "embedding", "vec_id", "label",
+        dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Double]("proto_cosine")).toMap
+    assert(out(3L) == 1.0)
+    // label-0 proto = (0.5, 0.5, 0, 0); cos to either axis vector = 1/√2
+    val expected = sixDp(1.0 / math.sqrt(2.0))
+    assert(out(1L) == expected && out(2L) == expected)
+  }
+
+  test("prototypeOutliers returns the k least prototypical per label, ascending") {
+    val sp = spark; import sp.implicits._
+    val vecs = ((0L until 12L).map(i =>
+      (i, Array(1f, (i % 2).toFloat * 0.1f, 0f, 0f), 0)) :+
+      (99L, Array(0f, 0f, 1f, 0f), 0)) // far from the label-0 prototype
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.prototypeOutliers(vecs, "embedding", "vec_id", "label",
+        k = 3, dim = 4)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.length == 3)
+    assert(out.head.getAs[Long]("vec_id") == 99L) // worst first
+    val cos = out.map(_.getAs[Double]("proto_cosine"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a <= b })
+  }
+
   test("annRecall query sampling evaluates a strict deterministic subset") {
     val sp = spark; import sp.implicits._
     val vecs = (0L until 40L).map(i =>
