@@ -1595,6 +1595,15 @@ object SparkEntry {
       graft.operators.GraphOps.pageRank(edges, iterations = 3)
     }),
 
+    // per-event-type Tukey-fence outliers on the value column: one
+    // quartile aggregation + key-partitioned join, fences 6-dp-rounded
+    // before the predicate so both engines flag the identical row set
+    "q_iqr_outliers" -> ((s, d) =>
+      graft.operators.Features.iqrOutliers(t(s, d, "events").df,
+          "value", Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("fence_lo"), col("fence_hi"))),
+
     // hard negatives for contrastive training: per anchor, top-5 most
     // similar vectors with a DIFFERENT label, IVF probe path, label
     // filter before the heap
@@ -2228,6 +2237,14 @@ object SparkEntry {
 
     "q_ann_recall" -> OracleSql.annRecall(k = 10, nlist = 16, nprobe = 4),
     "q_hard_negatives" -> OracleSql.hardNegatives(k = 5, nlist = 16, nprobe = 4),
+    "q_iqr_outliers" ->
+      ("WITH f AS (SELECT event_type, " +
+        "round(quantile_cont(value, 0.25) - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS fence_lo, " +
+        "round(quantile_cont(value, 0.75) + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS fence_hi " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_id, e.event_type, e.value, f.fence_lo, f.fence_hi " +
+        "FROM events e JOIN f USING (event_type) " +
+        "WHERE e.value < f.fence_lo OR e.value > f.fence_hi"),
     "q_class_prototypes" -> OracleSql.prototypeScores(),
     "q_proto_outliers" -> OracleSql.prototypeOutliers(k = 5),
     "q_dedup_paragraph" -> OracleSql.dedupParagraphs,

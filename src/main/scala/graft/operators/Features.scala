@@ -84,4 +84,37 @@ object Features {
           "(graft_his[i] - graft_los[i])), 0.0D), 255.0D) AS INT) END)"))
       .drop("graft_los", "graft_his")
   }
+
+  /** Per-group Tukey-fence outliers: rows whose value falls outside
+    * [q1 − factor·IQR, q3 + factor·IQR] of THEIR group. Fences round to
+    * the repo-wide 6-dp grain before the comparison so the flag set is
+    * identical across engines (quantile interpolation agrees to 6 dp;
+    * the raw doubles may differ in the last ulp).
+    *
+    * Scale shape: one group-keyed aggregation for the quartiles, then a
+    * key-partitioned join back (broadcast when the fence table is small
+    * — Catalyst/AQE decides) and a map-side predicate. `exact = true`
+    * uses the exact `percentile` aggregate (buffers one count-map per
+    * group — right for the oracle and for bounded group value domains);
+    * at extreme per-group cardinality pass `exact = false` for
+    * `approx_percentile` at 1e-4 relative error, same plan shape.
+    */
+  def iqrOutliers(df: DataFrame, valueCol: String, byCols: Seq[String],
+      factor: Double = 1.5, exact: Boolean = true): DataFrame = {
+    require(byCols.nonEmpty, "iqrOutliers: byCols must be non-empty")
+    require(factor >= 0, "iqrOutliers: factor must be >= 0")
+    val (q1e, q3e) =
+      if (exact) (s"percentile($valueCol, 0.25d)", s"percentile($valueCol, 0.75d)")
+      else (s"approx_percentile($valueCol, 0.25d, 10000)",
+        s"approx_percentile($valueCol, 0.75d, 10000)")
+    val fences = df.groupBy(byCols.map(col): _*)
+      .agg(expr(q1e).as("graft_q1"), expr(q3e).as("graft_q3"))
+      .select(byCols.map(col) ++ Seq(
+        round(col("graft_q1") - (col("graft_q3") - col("graft_q1")) * factor, 6)
+          .as("fence_lo"),
+        round(col("graft_q3") + (col("graft_q3") - col("graft_q1")) * factor, 6)
+          .as("fence_hi")): _*)
+    df.join(fences, byCols)
+      .where(col(valueCol) < col("fence_lo") || col(valueCol) > col("fence_hi"))
+  }
 }

@@ -165,6 +165,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(cos.zip(cos.tail).forall { case (a, b) => a <= b })
   }
 
+  test("iqrOutliers flags exactly the out-of-fence rows per group") {
+    val sp = spark; import sp.implicits._
+    // group a: tight cluster + one far point; group b: all tight
+    val df = (Seq.tabulate(20)(i => (i.toLong, "a", 10.0 + (i % 5))) ++
+      Seq((100L, "a", 1000.0)) ++
+      Seq.tabulate(10)(i => (200L + i, "b", 5.0))).toDF("id", "grp", "v")
+    val out = Features.iqrOutliers(df, "v", Seq("grp")).collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == Set(100L))
+    val r = out.head
+    assert(r.getAs[Double]("v") > r.getAs[Double]("fence_hi"))
+  }
+
+  test("iqrOutliers: zero factor flags everything outside the interquartile box") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 8L).map(i => (i, "g", i.toDouble)).toDF("id", "grp", "v")
+    val out = Features.iqrOutliers(df, "v", Seq("grp"), factor = 0.0)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // q1=2.75, q3=6.25 → values 1,2 and 7,8 fall outside
+    assert(out == Set(1L, 2L, 7L, 8L))
+  }
+
   test("annRecall query sampling evaluates a strict deterministic subset") {
     val sp = spark; import sp.implicits._
     val vecs = (0L until 40L).map(i =>
