@@ -171,6 +171,14 @@ class PlanAssertionsSpec extends SparkSpec {
         s"line text rides a shuffle key: $l"))
   }
 
+  test("hard negatives: cluster-bounded join, no cartesian, no ScalaUDF") {
+    val df = SparkEntry.queries("q_hard_negatives")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"hard negatives fell back to all-pairs:\n$p")
+    assert(!p.contains("ScalaUDF"), s"opaque UDF in the probe path:\n$p")
+  }
+
   test("top-n-gram fraction is a shuffle-free map-side projection") {
     val df = SparkEntry.queries("q_text_topngram")(spark, sf)
     val p = plan(df)
