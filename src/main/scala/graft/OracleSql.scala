@@ -853,9 +853,13 @@ object OracleSql {
     "WITH cstat AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs " +
       "FROM documents GROUP BY 1), " +
       s"w AS (SELECT source, n_docs, pow(n_docs, $alpha) AS gw FROM cstat), " +
-      "t AS (SELECT sum(gw) AS tot FROM w) " +
-      "SELECT source, n_docs, round(gw / tot, 6) AS share, " +
-      s"CAST(floor($budget.0 * round(gw / tot, 6)) AS BIGINT) AS docs_at_budget FROM w, t"
+      "t AS (SELECT sum(gw) AS tot FROM w), " +
+      "s AS (SELECT source, n_docs, round(gw / tot, 6) AS share FROM w, t), " +
+      s"b AS (SELECT source, n_docs, share, CAST(floor($budget.0 * share) AS BIGINT) AS b0 FROM s), " +
+      s"e AS (SELECT greatest(sum(b0) - $budget, 0) AS excess FROM b) " +
+      "SELECT source, n_docs, share, CAST(CASE WHEN row_number() OVER (" +
+      "ORDER BY share DESC, source ASC) = 1 THEN greatest(b0 - excess, 0) " +
+      "ELSE b0 END AS BIGINT) AS docs_at_budget FROM b, e"
 
   /** Replicated Gopher top-n-gram char fraction
     * (Corpus.topNgramFraction): same tokenizer as [[tokensExpr]], NON-
@@ -864,9 +868,10 @@ object OracleSql {
     */
   def topNgramFraction(n: Int): String = {
     val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
-    val normExpr =
-      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
-    s"WITH toks AS (SELECT doc_id, $tokensExpr AS t, length($normExpr) AS len FROM documents), " +
+    // denominator from the token stream itself (token chars + single
+    // separators) — the same formula the native TopShingleRun computes
+    s"WITH toks AS (SELECT doc_id, $tokensExpr AS t, " +
+      s"length(array_to_string($tokensExpr, ' ')) AS len FROM documents), " +
       s"sh AS (SELECT doc_id, len, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
       s"ELSE list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat) END AS s " +
       "FROM toks WHERE len > 0), " +
@@ -978,16 +983,23 @@ object OracleSql {
     * counted on the (query, corpus) edge intersection.
     */
   def annRecall(k: Int, nlist: Int, nprobe: Int,
-      refineIterations: Int = 1, dim: Int = 64): String = {
+      refineIterations: Int = 1, dim: Int = 64,
+      queryFraction: Double = 1.0, salt: String = "graft-recall"): String = {
     val (centChain, cent) = centroidChain(nlist, refineIterations, dim)
+    val qCte =
+      if (queryFraction >= 1.0) "q0 AS (SELECT vec_id, v FROM c)"
+      else "q0 AS (SELECT vec_id, v FROM c WHERE " +
+        s"(('0x' || substr(md5('$salt' || vec_id::VARCHAR), 1, 15))::BIGINT " +
+        s"% 1000000) < ${(queryFraction * 1000000L).toLong})"
     "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"$qCte, " +
       s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +
       "asg AS (SELECT vec_id, v, cent_id AS list_id FROM (" +
       "SELECT c.vec_id, c.v, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
       "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn = 1), " +
       "ql AS (SELECT query_id, qv, cent_id AS list_id FROM (" +
-      "SELECT c.vec_id AS query_id, c.v AS qv, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
-      s"ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM c, cent) WHERE rn <= $nprobe), " +
+      "SELECT q0.vec_id AS query_id, q0.v AS qv, cent.cent_id, row_number() OVER (PARTITION BY q0.vec_id " +
+      s"ORDER BY list_distance(q0.v, cent.centv) ASC, cent.cent_id ASC) AS rn FROM q0, cent) WHERE rn <= $nprobe), " +
       "iv AS (SELECT query_id, corpus_id FROM (" +
       "SELECT ql.query_id, a.vec_id AS corpus_id, row_number() OVER (PARTITION BY ql.query_id " +
       "ORDER BY list_cosine_similarity(a.v, ql.qv) DESC, a.vec_id ASC) AS rnk " +
@@ -995,7 +1007,7 @@ object OracleSql {
       "ex AS (SELECT query_id, corpus_id FROM (" +
       "SELECT q.vec_id AS query_id, cc.vec_id AS corpus_id, row_number() OVER (PARTITION BY q.vec_id " +
       "ORDER BY list_cosine_similarity(cc.v, q.v) DESC, cc.vec_id ASC) AS rnk " +
-      s"FROM c cc, c q WHERE cc.vec_id <> q.vec_id) WHERE rnk <= $k) " +
+      s"FROM c cc, q0 q WHERE cc.vec_id <> q.vec_id) WHERE rnk <= $k) " +
       "SELECT ex.query_id, CAST(count(iv.corpus_id) AS BIGINT) AS hits, " +
       s"round(CAST(count(iv.corpus_id) AS DOUBLE) / $k, 6) AS recall " +
       "FROM ex LEFT JOIN iv ON ex.query_id = iv.query_id AND ex.corpus_id = iv.corpus_id " +

@@ -1630,8 +1630,10 @@ object SparkEntry {
     // replicates both edge sets and the intersection count
     "q_ann_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
+      // queryFraction < 1 is the contract at scale: the sampled query
+      // set (not the corpus) is what bruteForceTopK/ivfTopK broadcast
       Similarity.annRecall(emb, "embedding", "vec_id", k = 10,
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 4, queryFraction = 0.5)
     }),
 
     // C4 keep-first paragraph dedup; planted lines (corpus-wide
@@ -2235,7 +2237,8 @@ object SparkEntry {
         "FROM documents"
     },
 
-    "q_ann_recall" -> OracleSql.annRecall(k = 10, nlist = 16, nprobe = 4),
+    "q_ann_recall" -> OracleSql.annRecall(k = 10, nlist = 16, nprobe = 4,
+      queryFraction = 0.5),
     "q_hard_negatives" -> OracleSql.hardNegatives(k = 5, nlist = 16, nprobe = 4),
     "q_iqr_outliers" ->
       ("WITH f AS (SELECT event_type, " +

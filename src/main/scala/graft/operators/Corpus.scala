@@ -987,13 +987,29 @@ object Corpus {
     // budget allocation floors the 6-dp-ROUNDED share: the raw ratio can
     // land exactly on an integer (uniform sources), where a 1-ulp pow()
     // difference across engines flips the floor — the quantized share
-    // multiplies to the identical double everywhere
+    // multiplies to the identical double everywhere. Rounding UP at a
+    // 6-dp boundary can push the floored budgets past `budget` by a few
+    // docs, so the overshoot (if any) comes off the largest share
+    // (share desc, source asc tie-break) — sum(docs_at_budget) <= budget
+    // always. The window runs over the sources frame only (tiny by
+    // definition), never over the corpus.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("share").desc, col(sourceCol).asc)
     weighted.crossJoin(broadcast(total))
       .select(col(sourceCol), col("n_docs"),
-        round(col("graft_w") / col("graft_tot"), 6).as("share"),
-        floor(lit(budget.toDouble) *
-            round(col("graft_w") / col("graft_tot"), 6))
-          .cast("long").as("docs_at_budget"))
+        round(col("graft_w") / col("graft_tot"), 6).as("share"))
+      .withColumn("graft_b0",
+        floor(lit(budget.toDouble) * col("share")).cast("long"))
+      .withColumn("graft_excess",
+        greatest(sum(col("graft_b0"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()) -
+          budget, lit(0L)))
+      .withColumn("docs_at_budget",
+        when(row_number().over(w) === 1,
+          greatest(col("graft_b0") - col("graft_excess"), lit(0L)))
+          .otherwise(col("graft_b0")))
+      .select(col(sourceCol), col("n_docs"), col("share"),
+        col("docs_at_budget"))
   }
 
   /** Gopher-style repetition signal (Rae et al. 2021 §A1.1): the
@@ -1014,13 +1030,16 @@ object Corpus {
   def topNgramFraction(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2): DataFrame = {
     require(n >= 1, "topNgramFraction: n must be >= 1")
+    // numerator AND denominator both come out of the one TopShingleRun
+    // eval — same tokenizer for gram, count, and normalized length, so
+    // the fraction cannot desync on inputs where a regex normalize and
+    // the ASCII kernel disagree (the winnowFingerprints lesson)
     docs.select(col(idCol),
-        length(T.normalizeText(col(textCol))).as("graft_len"),
         graft.plans.ShingleExpression.topShingleRun(col(textCol), n).as("top"))
-      .where(col("graft_len") > 0)
+      .where(col("top.norm_len") > 0)
       .select(col(idCol), col("top.gram").as("top_gram"),
         col("top.cnt").as("gram_count"),
         round(col("top.cnt").cast("double") * length(col("top.gram")) /
-          col("graft_len"), 6).as("char_fraction"))
+          col("top.norm_len"), 6).as("char_fraction"))
   }
 }

@@ -109,12 +109,17 @@ object Features {
         s"approx_percentile($valueCol, 0.75d, 10000)")
     val fences = df.groupBy(byCols.map(col): _*)
       .agg(expr(q1e).as("graft_q1"), expr(q3e).as("graft_q3"))
-      .select(byCols.map(col) ++ Seq(
+      .select(byCols.map(c => col(c).as(s"graft_k_$c")) ++ Seq(
         round(col("graft_q1") - (col("graft_q3") - col("graft_q1")) * factor, 6)
           .as("fence_lo"),
         round(col("graft_q3") + (col("graft_q3") - col("graft_q1")) * factor, 6)
           .as("fence_hi")): _*)
-    df.join(fences, byCols)
+    // null-SAFE key equality: a null group gets its own fences and its
+    // outliers are flagged like any other group's (a plain equality join
+    // would silently drop every null-keyed row)
+    df.join(fences,
+        byCols.map(c => col(c) <=> col(s"graft_k_$c")).reduce(_ && _))
       .where(col(valueCol) < col("fence_lo") || col(valueCol) > col("fence_hi"))
+      .drop(byCols.map(c => s"graft_k_$c"): _*)
   }
 }

@@ -142,7 +142,11 @@ object Similarity {
     * tie-break) — shared by the in-memory and indexed probe paths.
     */
   private def probeLists(q: DataFrame, centroids: DataFrame,
-      nprobe: Int): DataFrame =
+      nprobe: Int): DataFrame = {
+    val reserved = Set("cent_id", "centv", "d", "rn", "list_id")
+    val clash = q.columns.filter(reserved)
+    require(clash.isEmpty, "probeLists: query frame carries internal " +
+      s"column name(s) ${clash.mkString(", ")} — rename before probing")
     q.join(broadcast(centroids))
       .withColumn("d", V.l2Distance(col("qv"), col("centv")))
       .withColumn("rn", row_number().over(
@@ -151,6 +155,7 @@ object Similarity {
       // pass through every query-side column (label carriers etc.), not
       // just (query_id, qv) — existing callers pass exactly those two
       .select(q.columns.map(col) :+ col("cent_id").as("list_id"): _*)
+  }
 
   /** Seed centroids (first nlist corpus vectors by id) refined by
     * `iterations` deterministic Lloyd steps: assign every vector to its
@@ -203,14 +208,19 @@ object Similarity {
     * volume than a window, and no per-group sort). cv is join-duplicated
     * so any group member carries it; min_by keeps the pick deterministic.
     */
-  private[operators] def assignToLists(c: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def assignToLists(c: DataFrame, centroids: DataFrame): DataFrame = {
+    // every non-key column of c (cv, label carriers, …) rides the argmin
+    // via min_by on the same cent_id order — one assignment kernel for
+    // the plain and the carrier-augmented ([[hardNegatives]]) callers
+    val carry = c.columns.filterNot(_ == "corpus_id")
     c.join(broadcast(centroids))
       .withColumn("d", V.l2Distance(col("cv"), col("centv")))
       .groupBy(col("corpus_id"))
       .agg(min(struct(col("d"), col("cent_id"))).as("graft_pick"),
-        min_by(col("cv"), col("cent_id")).as("cv"))
-      .select(col("corpus_id"), col("cv"),
-        col("graft_pick.cent_id").as("list_id"))
+        carry.map(cc => min_by(col(cc), col("cent_id")).as(cc)): _*)
+      .select(col("corpus_id") +: carry.map(col) :+
+        col("graft_pick.cent_id").as("list_id"): _*)
+  }
 
   /** Persist the IVF index: the corpus assignment written PARTITIONED BY
     * list_id (one directory per inverted list) plus the centroid table at
@@ -317,18 +327,10 @@ object Similarity {
     require(k >= 1, "hardNegatives: k must be >= 1")
     val plain = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = seedAndRefine(plain, nlist, refineIterations)
-    // nearest-list assignment that carries the corpus label alongside
-    val assigned = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-        col(labelCol).as("graft_cl"))
-      .join(broadcast(centroids))
-      .withColumn("d", V.l2Distance(col("cv"), col("centv")))
-      .groupBy(col("corpus_id"))
-      .agg(min(struct(col("d"), col("cent_id"))).as("graft_pick"),
-        min_by(col("cv"), col("cent_id")).as("cv"),
-        min_by(col("graft_cl"), col("cent_id")).as("graft_cl"))
-      .select(col("corpus_id"), col("cv"), col("graft_cl"),
-        col("graft_pick.cent_id").as("list_id"))
+    // the shared assignment kernel carries the label column through
+    val assigned = assignToLists(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        col(labelCol).as("graft_cl")), centroids)
     val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("graft_ql"))
     val joined = assigned.join(probeLists(q, centroids, nprobe), Seq("list_id"))
@@ -404,7 +406,10 @@ object Similarity {
     * piece and the sample caps it at |corpus| × sampled queries; the
     * probe side inherits [[ivfTopK]]'s cluster-bounded cost. Recall
     * estimates converge with a few hundred queries regardless of corpus
-    * size, so the fraction shrinks as the corpus grows.
+    * size, so the fraction shrinks as the corpus grows. NOTE:
+    * `queryFraction = 1.0` makes the full corpus the query set, which
+    * the underlying search paths then BROADCAST — fixture/bench scale
+    * only; any real deployment passes a fraction.
     */
   def annRecall(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, refineIterations: Int = 1,

@@ -255,7 +255,7 @@ object NativeOps {
     * tokens). Pure-ASCII output, so Java String order == UTF8 binary
     * order for everything built here.
     */
-  private def shingleStrings(s: String, n: Int): Array[String] = {
+  private def tokenize(s: String): scala.collection.mutable.ArrayBuffer[String] = {
     val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
     val sb = new java.lang.StringBuilder(16)
     var i = 0
@@ -267,6 +267,14 @@ object NativeOps {
       i += 1
     }
     if (sb.length > 0) tokens += sb.toString
+    tokens
+  }
+
+  private def shingleStrings(s: String, n: Int): Array[String] =
+    shinglesOf(tokenize(s), n)
+
+  private def shinglesOf(tokens: scala.collection.mutable.ArrayBuffer[String],
+      n: Int): Array[String] = {
     if (tokens.length < n) Array(tokens.mkString(" "))
     else {
       val m = tokens.length - n + 1
@@ -299,17 +307,27 @@ object NativeOps {
     new GenericArrayData(out)
   }
 
-  /** Most frequent word n-gram of one document as (gram, count): build
-    * the non-distinct shingle stream, sort it, run-length scan the sorted
-    * array. Strict `>` replacement keeps the FIRST (binary-smallest) gram
-    * on count ties — the (count desc, gram asc) argmax — because the scan
-    * walks grams in ascending order. One eval per document; the per-doc
-    * top-gram never needs to leave its row, so the operator that calls
-    * this is shuffle-free.
+  /** Most frequent word n-gram of one document as (gram, count,
+    * norm_len): build the non-distinct shingle stream, sort it,
+    * run-length scan the sorted array. Strict `>` replacement keeps the
+    * FIRST (binary-smallest) gram on count ties — the (count desc,
+    * gram asc) argmax — because the scan walks grams in ascending order.
+    * norm_len is the normalized character count (token chars + single
+    * separators) measured on the SAME tokenizer as the grams, so a
+    * fraction built from these two can never desync numerator and
+    * denominator on inputs where a regex normalize and the ASCII kernel
+    * disagree (e.g. Unicode chars whose lowercase maps into ASCII).
+    * One eval per document; the per-doc top-gram never needs to leave
+    * its row, so the operator that calls this is shuffle-free.
     */
   def topShingleRun(input: UTF8String, n: Int):
       org.apache.spark.sql.catalyst.InternalRow = {
-    val grams = shingleStrings(input.toString, n)
+    val tokens = tokenize(input.toString)
+    val grams = shinglesOf(tokens, n)
+    // normalized chars = token chars + one separator between each pair
+    val normLen =
+      if (tokens.isEmpty) 0L
+      else tokens.iterator.map(_.length.toLong).sum + (tokens.length - 1)
     java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
     var bestGram: String = null
     var bestCnt = 0L
@@ -323,6 +341,6 @@ object NativeOps {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UTF8String.fromString(if (bestGram == null) "" else bestGram),
-        bestCnt))
+        bestCnt, normLen))
   }
 }

@@ -48,7 +48,8 @@ case class TopShingleRun(child: Expression, n: Int)
 
   override def dataType: DataType = StructType(Seq(
     StructField("gram", StringType, nullable = false),
-    StructField("cnt", LongType, nullable = false)))
+    StructField("cnt", LongType, nullable = false),
+    StructField("norm_len", LongType, nullable = false)))
 
   override def nullSafeEval(input: Any): Any =
     NativeOps.topShingleRun(input.asInstanceOf[UTF8String], n)
