@@ -1021,6 +1021,41 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     * `percentile_approx` only when the sort-based exact aggregate's
     * per-group memory at extreme cardinalities outweighs exactness.
     */
+  /** Equi-width histogram of a numeric column: `buckets` bins spanning
+    * [min, max], EVERY bin reported (zero counts included) with its
+    * 6-dp-rounded edges. Bin pick is `least(floor((x − lo)·B / (hi −
+    * lo)), B−1)` — the identical expression both engines evaluate, and
+    * the clamp puts x = max into the last bin. A constant column
+    * collapses into bin 0.
+    *
+    * Scale shape: one 2-value bounds aggregate broadcast to a map-side
+    * bin pick, one groupBy over ≤ B bins, and a `spark.range(B)` spine
+    * left-join for the zero bins — no driver data beyond the 2 bounds.
+    */
+  def histogram(c: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, "histogram: buckets must be >= 1")
+    val d = toDF
+    val bounds = d.agg(min(col(c).cast(DoubleType)).as("graft_lo"),
+      max(col(c).cast(DoubleType)).as("graft_hi"))
+    val width = (col("graft_hi") - col("graft_lo")) / buckets
+    val counts = d.select(col(c).cast(DoubleType).as("graft_x"))
+      .where(col("graft_x").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(when(col("graft_hi") === col("graft_lo"), lit(0L))
+        .otherwise(least(
+          floor((col("graft_x") - col("graft_lo")) * buckets /
+            (col("graft_hi") - col("graft_lo"))),
+          lit((buckets - 1).toDouble)).cast("long")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(col("bucket"),
+        round(col("graft_lo") + col("bucket") * width, 6).as("bucket_lo"),
+        round(col("graft_lo") + (col("bucket") + 1) * width, 6).as("bucket_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   def percentiles(cols: Seq[String], ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "percentiles: every p must be in [0, 1]")

@@ -1860,7 +1860,18 @@ object SparkEntry {
     // distinct weekly activity, retention vs the offset-0 cohort size
     "q_events_cohort" -> ((s, d) =>
       graft.operators.EventAnalytics.cohortRetention(
-        t(s, d, "events").df, "ts", "user_id")))
+        t(s, d, "events").df, "ts", "user_id")),
+
+    // gap-filled daily resample per event_type: every (type, day) cell
+    // of the span reported, empty days as explicit zeros
+    "q_events_resample" -> ((s, d) =>
+      graft.operators.EventAnalytics.resample(t(s, d, "events").df,
+        "ts", "event_type", "value", unit = "day")),
+
+    // 20-bin equi-width histogram of l_extendedprice — every bin
+    // reported with 6-dp edges, zero bins included
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "lineitem").histogram("l_extendedprice", buckets = 20)))
 
   def queries: Map[String, Q] = relational ++ extensions
 
@@ -2623,5 +2634,25 @@ object SparkEntry {
     "q_events_funnel" ->
       OracleSql.funnel(Seq("signup", "view", "click", "purchase")),
 
-    "q_events_cohort" -> OracleSql.cohortRetention)
+    "q_events_cohort" -> OracleSql.cohortRetention,
+
+    "q_events_resample" ->
+      ("WITH b AS (SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM events), " +
+        "spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS gb FROM b), " +
+        "g AS (SELECT DISTINCT event_type FROM events), " +
+        "a AS (SELECT event_type, date_trunc('day', ts) AS gb, CAST(count(*) AS BIGINT) AS n, sum(value) AS sv " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT g.event_type, strftime(s.gb, '%Y-%m-%d %H:%M:%S') AS bucket, " +
+        "coalesce(a.n, 0) AS n_events, round(coalesce(a.sv, 0.0), 2) AS sum_value " +
+        "FROM spine s CROSS JOIN g LEFT JOIN a ON a.event_type = g.event_type AND a.gb = s.gb"),
+
+    "q_histogram" ->
+      ("WITH b AS (SELECT min(l_extendedprice::DOUBLE) AS lo, max(l_extendedprice::DOUBLE) AS hi FROM lineitem), " +
+        "c AS (SELECT CAST(CASE WHEN hi = lo THEN 0 " +
+        "ELSE least(floor((l_extendedprice::DOUBLE - lo) * 20 / (hi - lo)), 19.0) END AS BIGINT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem, b GROUP BY 1) " +
+        "SELECT s.bucket, round(lo + s.bucket * ((hi - lo) / 20), 6) AS bucket_lo, " +
+        "round(lo + (s.bucket + 1) * ((hi - lo) / 20), 6) AS bucket_hi, " +
+        "coalesce(c.n, 0) AS n FROM (SELECT unnest(range(20))::BIGINT AS bucket) s " +
+        "CROSS JOIN b LEFT JOIN c USING (bucket)"))
 }

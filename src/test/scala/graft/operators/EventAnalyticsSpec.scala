@@ -72,6 +72,44 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!out.contains(("2024-01-08", 1L)))
   }
 
+  test("resample fills gaps with explicit zero cells across the full span") {
+    val sp = spark; import sp.implicits._
+    // group a active on day 1 and day 4 (days 2, 3 are gaps); group b day 2
+    val events = Seq(
+      (ts("2024-01-01 10:00:00"), "a", 1.5),
+      (ts("2024-01-04 10:00:00"), "a", 2.5),
+      (ts("2024-01-02 10:00:00"), "b", 4.0)
+    ).toDF("ts", "grp", "value")
+    val out = EventAnalytics.resample(events, "ts", "grp", "value", "day")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[String]("bucket")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    assert(out.size == 8) // 4 days x 2 groups, every cell present
+    assert(out(("a", "2024-01-01 00:00:00")) == ((1L, 1.5)))
+    assert(out(("a", "2024-01-02 00:00:00")) == ((0L, 0.0)))
+    assert(out(("a", "2024-01-03 00:00:00")) == ((0L, 0.0)))
+    assert(out(("b", "2024-01-02 00:00:00")) == ((1L, 4.0)))
+    assert(out(("b", "2024-01-04 00:00:00")) == ((0L, 0.0)))
+  }
+
+  test("histogram reports every bin, clamps the max value, handles constants") {
+    val sp = spark; import sp.implicits._
+    val gf = graft.GraftFrame(
+      (Seq(0.0, 1.0, 2.5, 10.0) ++ Seq.fill(4)(5.0)).toDF("v"), "t")
+    val out = gf.histogram("v", buckets = 4)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Double]("bucket_lo"), r.getAs[Double]("bucket_hi"),
+          r.getAs[Long]("n"))).toMap
+    assert(out.size == 4)
+    assert(out(0L) == ((0.0, 2.5, 2L)))  // 0.0, 1.0
+    assert(out(1L) == ((2.5, 5.0, 1L)))  // 2.5
+    assert(out(2L) == ((5.0, 7.5, 4L)))  // the 5.0s land in their own bin
+    assert(out(3L) == ((7.5, 10.0, 1L))) // max clamps into the last bin
+    val const = graft.GraftFrame(Seq(3.0, 3.0).toDF("v"), "t2")
+      .histogram("v", buckets = 3).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(const(0L) == 2L && const(1L) == 0L && const(2L) == 0L)
+  }
+
   test("cohortRetention: multiple events in one week count the user once") {
     val sp = spark; import sp.implicits._
     val events = Seq(
