@@ -882,6 +882,26 @@ object OracleSql {
       "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1"
   }
 
+  /** Replicated BM25 retrieval (Corpus.bm25Search): same tokenizer,
+    * Lucene idf, dl/avgdl normalization, 6-dp-rounded rank keys.
+    */
+  def bm25Search(terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"WITH tok AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS dl FROM tok), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (" +
+      s"SELECT doc_id, unnest(t) AS w FROM tok) WHERE w IN ($inList) GROUP BY 1, 2), " +
+      "dfc AS (SELECT w, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1), " +
+      "sc AS (SELECT tf.doc_id, sum(ln((st.n - dfc.dfc + 0.5) / (dfc.dfc + 0.5) + 1.0) " +
+      s"* tf.tf * ($k1 + 1.0) / (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl))) AS s " +
+      "FROM tf JOIN dfc USING (w) JOIN dl USING (doc_id), st GROUP BY 1) " +
+      "SELECT doc_id, round(s, 6) AS score, CAST(rn AS INT) AS rank FROM (" +
+      "SELECT doc_id, s, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rn FROM sc) " +
+      s"WHERE rn <= $k"
+  }
+
   /** Replicated ordered funnel (EventAnalytics.funnel): step-time
     * recurrence t_i = min ts of step-i events at ts >= t_{i-1} — provably
     * identical to the Spark side's sorted in-row fold (equal timestamps

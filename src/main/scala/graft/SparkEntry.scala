@@ -1658,6 +1658,12 @@ object SparkEntry {
       graft.operators.Corpus.temperatureMixture(t(s, d, "documents").df,
         "source", alpha = 0.7, budget = 1000L)),
 
+    // BM25 keyword retrieval: top-20 docs for a 3-term query, Lucene
+    // idf, engine-reproducible rounded-score ranking
+    "q_bm25_search" -> ((s, d) =>
+      graft.operators.Corpus.bm25Search(t(s, d, "documents").df,
+        "text", "doc_id", Seq("hash", "join", "vector"), k = 20)),
+
     // Gopher top-2-gram char fraction — the repetition half of the
     // quality rules (q_text_quality covers the length/ratio half)
     "q_text_topngram" -> ((s, d) =>
@@ -2265,6 +2271,7 @@ object SparkEntry {
     "q_sample_weighted" -> OracleSql.weightedSample(k = 50, weightCol = "n_chars"),
     "q_mixture_temperature" -> OracleSql.temperatureMixture(alpha = 0.7, budget = 1000L),
     "q_text_topngram" -> OracleSql.topNgramFraction(n = 2),
+    "q_bm25_search" -> OracleSql.bm25Search(Seq("hash", "join", "vector"), k = 20),
 
     "q_skew_join" ->
       "SELECT o_orderpriority, count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",

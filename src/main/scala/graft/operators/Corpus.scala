@@ -1012,6 +1012,54 @@ object Corpus {
         col("docs_at_budget"))
   }
 
+  /** BM25 keyword retrieval (Robertson et al., Okapi BM25, with the
+    * Lucene `ln(1 + (N − df + 0.5)/(df + 0.5))` always-positive idf):
+    * top-k documents for a bag of query terms, scored
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * Ranking and ties are on the 6-dp-rounded score with doc-id
+    * tie-break, so the hit list is engine-reproducible.
+    *
+    * Scale shape: doc length and corpus stats are map-side + one 2-value
+    * aggregate; the token explode filters to the query terms BEFORE the
+    * (doc, term) shuffle, so the posting volume is docs × |terms|, not
+    * the corpus token count; per-term df is a |terms|-row broadcast; the
+    * final top-k is TakeOrdered (k per partition + driver merge), no
+    * global sort.
+    */
+  def bm25Search(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Search: terms must be non-empty")
+    require(terms.distinct.size == terms.size, "bm25Search: terms must be distinct")
+    require(k >= 1, "bm25Search: k must be >= 1")
+    val dl = size(filter(T.wordShingles(col(textCol), 1), x => x =!= lit("")))
+    val stats = docs
+      .select(dl.as("graft_dl"))
+      .agg(count(lit(1)).as("graft_n"), avg(col("graft_dl")).as("graft_avgdl"))
+    val tf = docs
+      .select(col(idCol), dl.as("graft_dl"),
+        explode(T.wordShingles(col(textCol), 1)).as("graft_w"))
+      .where(col("graft_w").isin(terms.map(x => x: Any): _*))
+      .groupBy(col(idCol), col("graft_dl"), col("graft_w"))
+      .agg(count(lit(1)).as("graft_tf"))
+    val dfc = tf.groupBy(col("graft_w")).agg(count(lit(1)).as("graft_df"))
+    val scored = tf.join(broadcast(dfc), "graft_w")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(sum(
+        log((col("graft_n") - col("graft_df") + 0.5) /
+          (col("graft_df") + 0.5) + 1.0) *
+          col("graft_tf") * (k1 + 1.0) /
+          (col("graft_tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("graft_dl") / col("graft_avgdl"))))
+        .as("graft_score"))
+    val ord = Seq(round(col("graft_score"), 6).desc, col(idCol).asc)
+    scored.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("int"))
+      .select(col(idCol), round(col("graft_score"), 6).as("score"), col("rank"))
+  }
+
   /** Gopher-style repetition signal (Rae et al. 2021 §A1.1): the
     * fraction of a document's normalized characters covered by
     * occurrences of its single most frequent word n-gram

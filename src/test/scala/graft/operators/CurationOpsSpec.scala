@@ -165,6 +165,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(cos.zip(cos.tail).forall { case (a, b) => a <= b })
   }
 
+  test("bm25Search ranks rare-term matches above common-term matches") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "rare word here"),            // the only 'rare' doc
+      (2L, "common common common word"),  // high tf of a low-idf term
+      (3L, "common word"),
+      (4L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25Search(docs, "text", "doc_id",
+        Seq("rare", "common"), k = 10)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    // doc 4 matches nothing → absent; doc 1's rare term dominates
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    // tf saturation: doc 2 (tf=3) beats doc 3 (tf=1) on the same term
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(byId(2L) > byId(3L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 3))
+  }
+
+  test("bm25Search length normalization: shorter doc wins at equal tf") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "term"),                       // dl 1
+      (2L, "term plus lots of other padding words everywhere")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25Search(docs, "text", "doc_id", Seq("term"), k = 5)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+  }
+
   test("iqrOutliers flags exactly the out-of-fence rows per group") {
     val sp = spark; import sp.implicits._
     // group a: tight cluster + one far point; group b: all tight
