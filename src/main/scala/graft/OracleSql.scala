@@ -902,6 +902,25 @@ object OracleSql {
       s"WHERE rn <= $k"
   }
 
+  /** Replicated hybrid retrieval (Corpus.bm25Search + bruteForceTopK
+    * fused by Similarity.rrfFuse): both hit lists recomputed, then
+    * Σ 1/(c + rank) with the rounded-score/id rank.
+    */
+  def hybridSearch(terms: Seq[String], queryVecId: Long, kEach: Int,
+      k: Int, c: Int = 60): String =
+    s"WITH b AS (SELECT doc_id, rank AS rn FROM (${bm25Search(terms, kEach)})), " +
+      "a AS (SELECT cc.vec_id AS doc_id, row_number() OVER (" +
+      "ORDER BY list_cosine_similarity(cc.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, cc.vec_id ASC) AS rn " +
+      s"FROM embeddings cc, (SELECT embedding FROM embeddings WHERE vec_id = $queryVecId) q " +
+      s"WHERE cc.vec_id <> $queryVecId QUALIFY rn <= $kEach), " +
+      s"u AS (SELECT doc_id, 1.0 / ($c + rn) AS s FROM b " +
+      s"UNION ALL SELECT doc_id, 1.0 / ($c + rn) AS s FROM a), " +
+      "g AS (SELECT doc_id, sum(s) AS sc, CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1) " +
+      "SELECT doc_id, round(sc, 6) AS rrf_score, n_lists, CAST(rn2 AS INT) AS rank FROM (" +
+      "SELECT doc_id, sc, n_lists, row_number() OVER (" +
+      "ORDER BY round(sc, 6) DESC, doc_id ASC) AS rn2 FROM g) " +
+      s"WHERE rn2 <= $k"
+
   /** Replicated ordered funnel (EventAnalytics.funnel): step-time
     * recurrence t_i = min ts of step-i events at ts >= t_{i-1} — provably
     * identical to the Spark side's sorted in-row fold (equal timestamps

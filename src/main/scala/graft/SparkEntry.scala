@@ -1664,6 +1664,20 @@ object SparkEntry {
       graft.operators.Corpus.bm25Search(t(s, d, "documents").df,
         "text", "doc_id", Seq("hash", "join", "vector"), k = 20)),
 
+    // hybrid retrieval: BM25 hits + vector-search hits fused by
+    // Reciprocal Rank Fusion — rank-only, no score calibration
+    "q_hybrid_search" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val emb = t(s, d, "embeddings").df
+      val bm25 = graft.operators.Corpus.bm25Search(docs, "text", "doc_id",
+        Seq("hash", "join", "vector"), k = 50)
+      val ann = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") === 0L), "embedding", "vec_id", k = 50)
+        .select(col("corpus_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(bm25.select(col("doc_id"), col("rank")), ann),
+        "doc_id", k = 20)
+    }),
+
     // Gopher top-2-gram char fraction — the repetition half of the
     // quality rules (q_text_quality covers the length/ratio half)
     "q_text_topngram" -> ((s, d) =>
@@ -2272,6 +2286,8 @@ object SparkEntry {
     "q_mixture_temperature" -> OracleSql.temperatureMixture(alpha = 0.7, budget = 1000L),
     "q_text_topngram" -> OracleSql.topNgramFraction(n = 2),
     "q_bm25_search" -> OracleSql.bm25Search(Seq("hash", "join", "vector"), k = 20),
+    "q_hybrid_search" -> OracleSql.hybridSearch(Seq("hash", "join", "vector"),
+      queryVecId = 0L, kEach = 50, k = 20),
 
     "q_skew_join" ->
       "SELECT o_orderpriority, count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",

@@ -308,6 +308,36 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009): merge
+    * ranked hit lists from heterogeneous retrievers (BM25, ANN, …) by
+    * Σ 1/(c + rank) — rank-only fusion, so incomparable score scales
+    * never need calibration. Ties in the fused ranking break on the
+    * 6-dp-rounded score then id, engine-reproducible like every other
+    * ranking here. `n_lists` reports how many input lists each hit came
+    * from (the agreement signal).
+    *
+    * Scale shape: inputs are top-k lists (small by construction); the
+    * fuse is one union + one id-keyed groupBy + a TakeOrdered top-k.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse: need at least two rankings")
+    require(k >= 1, "rrfFuse: k must be >= 1")
+    val scored = rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(c) + col("rank"))).as("graft_rrf")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(sum(col("graft_rrf")).as("graft_score"),
+        count(lit(1)).as("n_lists"))
+    val ord = Seq(round(col("graft_score"), 6).desc, col(idCol).asc)
+    scored.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(ord: _*)).cast("int"))
+      .select(col(idCol), round(col("graft_score"), 6).as("rrf_score"),
+        col("n_lists"), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: for every anchor
     * vector, the k most similar vectors carrying a DIFFERENT label —
     * the negatives that actually move a contrastive loss (random

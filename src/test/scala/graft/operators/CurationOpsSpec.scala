@@ -196,6 +196,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("doc_id") == 1L)
   }
 
+  test("rrfFuse: agreement across lists beats a single first place") {
+    val sp = spark; import sp.implicits._
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val l2 = Seq((40L, 1), (20L, 2), (30L, 4)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(l1, l2), "id", k = 10)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    // 20 appears at rank 2 in BOTH lists: 2/62 > 1/61 (any single #1)
+    assert(out.head.getAs[Long]("id") == 20L)
+    assert(out.head.getAs[Long]("n_lists") == 2L)
+    // singles carry n_lists = 1 and sort by their one reciprocal rank
+    val byId = out.map(r => r.getAs[Long]("id") ->
+      r.getAs[Long]("n_lists")).toMap
+    assert(byId(10L) == 1L && byId(40L) == 1L)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 4))
+  }
+
+  test("rrfFuse tie between equal fused scores breaks on id") {
+    val sp = spark; import sp.implicits._
+    val l1 = Seq((7L, 1), (3L, 2)).toDF("id", "rank")
+    val l2 = Seq((3L, 1), (7L, 2)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(l1, l2), "id", k = 5)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(3L, 7L))
+  }
+
   test("iqrOutliers flags exactly the out-of-fence rows per group") {
     val sp = spark; import sp.implicits._
     // group a: tight cluster + one far point; group b: all tight
