@@ -1013,14 +1013,6 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
 
   def displayStats(cols: Seq[String]): Unit = stats(cols).show(truncate = false)
 
-  /** Exact interpolated percentiles over the cols × ps grid — ONE Spark job
-    * (the same single-pass shape as [[stats]]). Uses Catalyst's exact
-    * `percentile` aggregate, which shares the ANSI PERCENTILE_CONT linear
-    * interpolation definition (rank p·(n−1), value = lo + frac·(hi−lo)),
-    * so profiles are reproducible across engines. Prefer
-    * `percentile_approx` only when the sort-based exact aggregate's
-    * per-group memory at extreme cardinalities outweighs exactness.
-    */
   /** Equi-width histogram of a numeric column: `buckets` bins spanning
     * [min, max], EVERY bin reported (zero counts included) with its
     * 6-dp-rounded edges. Bin pick is `least(floor((x − lo)·B / (hi −
@@ -1056,6 +1048,14 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Exact interpolated percentiles over the cols × ps grid — ONE Spark job
+    * (the same single-pass shape as [[stats]]). Uses Catalyst's exact
+    * `percentile` aggregate, which shares the ANSI PERCENTILE_CONT linear
+    * interpolation definition (rank p·(n−1), value = lo + frac·(hi−lo)),
+    * so profiles are reproducible across engines. Prefer
+    * `percentile_approx` only when the sort-based exact aggregate's
+    * per-group memory at extreme cardinalities outweighs exactness.
+    */
   def percentiles(cols: Seq[String], ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "percentiles: every p must be in [0, 1]")

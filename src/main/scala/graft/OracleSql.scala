@@ -887,6 +887,10 @@ object OracleSql {
     */
   def bm25Search(terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): String = {
+    // mirrors Corpus.bm25Search's typed reject: anything else would break
+    // the SQL literal or silently never match the lowercase tokenizer
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"bm25 oracle: terms must be lowercase [a-z0-9]+ tokens")
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"WITH tok AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
       "dl AS (SELECT doc_id, CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS dl FROM tok), " +

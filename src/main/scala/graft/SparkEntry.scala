@@ -1665,7 +1665,11 @@ object SparkEntry {
         "text", "doc_id", Seq("hash", "join", "vector"), k = 20)),
 
     // hybrid retrieval: BM25 hits + vector-search hits fused by
-    // Reciprocal Rank Fusion — rank-only, no score calibration
+    // Reciprocal Rank Fusion — rank-only, no score calibration.
+    // ID-SPACE CONTRACT: rrfFuse requires both lists to share one id
+    // space; the fixture embeddings are the documents' vectors by
+    // construction (vec_id ≡ doc_id, 0..N-1 at every sf), which is what
+    // lets the vector hits fuse with the BM25 hits here
     "q_hybrid_search" -> ((s, d) => {
       val docs = t(s, d, "documents").df
       val emb = t(s, d, "embeddings").df

@@ -1031,14 +1031,24 @@ object Corpus {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Search: terms must be non-empty")
     require(terms.distinct.size == terms.size, "bm25Search: terms must be distinct")
+    // the tokenizer emits lowercase [a-z0-9]+ only — any other term can
+    // never match and would silently return a short hit list (it would
+    // also break the oracle's SQL literal); reject typed instead
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"bm25Search: terms must be lowercase [a-z0-9]+ tokens, got " +
+        terms.filterNot(_.matches("[a-z0-9]+")).mkString(", "))
     require(k >= 1, "bm25Search: k must be >= 1")
     val dl = size(filter(T.wordShingles(col(textCol), 1), x => x =!= lit("")))
     val stats = docs
       .select(dl.as("graft_dl"))
       .agg(count(lit(1)).as("graft_n"), avg(col("graft_dl")).as("graft_avgdl"))
+    // tokenize ONCE into a column; dl and the explode both derive from it
+    // (Catalyst does not CSE the kernel across Project/Generate)
     val tf = docs
-      .select(col(idCol), dl.as("graft_dl"),
-        explode(T.wordShingles(col(textCol), 1)).as("graft_w"))
+      .select(col(idCol), T.wordShingles(col(textCol), 1).as("graft_toks"))
+      .select(col(idCol),
+        size(filter(col("graft_toks"), x => x =!= lit(""))).as("graft_dl"),
+        explode(col("graft_toks")).as("graft_w"))
       .where(col("graft_w").isin(terms.map(x => x: Any): _*))
       .groupBy(col(idCol), col("graft_dl"), col("graft_w"))
       .agg(count(lit(1)).as("graft_tf"))
@@ -1053,11 +1063,7 @@ object Corpus {
           (col("graft_tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("graft_dl") / col("graft_avgdl"))))
         .as("graft_score"))
-    val ord = Seq(round(col("graft_score"), 6).desc, col(idCol).asc)
-    scored.orderBy(ord: _*).limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("int"))
-      .select(col(idCol), round(col("graft_score"), 6).as("score"), col("rank"))
+    Ranking.topK(scored, "graft_score", idCol, k, "score")
   }
 
   /** Gopher-style repetition signal (Rae et al. 2021 §A1.1): the

@@ -71,39 +71,6 @@ object EventAnalytics {
     * (cohort, offset), a frame of cohorts × offsets rows. The retention
     * denominator is a window over that tiny rollup, never over users.
     */
-  /** Regular-interval resampling with gap filling: every (group, time
-    * bucket) cell of the [min, max] span reported, empty cells as
-    * zeros — the shape chart layers and downstream window math expect
-    * (a missing bucket silently breaks moving averages; an explicit
-    * zero doesn't). `unit` ∈ hour/day/week.
-    *
-    * Scale shape: the spine is one `sequence()` array on the 1-row
-    * bounds aggregate — its length is the bucket count, which is
-    * bounded by the OUTPUT size, not the event count; groups come from
-    * one distinct; the cell aggregate is one map-side-combined shuffle
-    * and the spine×groups grid left-joins it on (bucket, group).
-    */
-  def resample(events: DataFrame, tsCol: String, groupCol: String,
-      valueCol: String, unit: String): DataFrame = {
-    require(Set("hour", "day", "week").contains(unit),
-      s"resample: unit must be hour/day/week, got $unit")
-    val bounds = events.agg(
-      date_trunc(unit, min(col(tsCol))).as("graft_lo"),
-      date_trunc(unit, max(col(tsCol))).as("graft_hi"))
-    val spine = bounds.select(explode(sequence(col("graft_lo"),
-      col("graft_hi"), expr(s"interval 1 $unit"))).as("graft_bucket"))
-    val groups = events.select(col(groupCol)).distinct()
-    val cells = events
-      .groupBy(date_trunc(unit, col(tsCol)).as("graft_bucket"), col(groupCol))
-      .agg(count(lit(1)).as("graft_n"), sum(col(valueCol)).as("graft_sum"))
-    spine.crossJoin(groups)
-      .join(cells, Seq("graft_bucket", groupCol), "left")
-      .select(col(groupCol),
-        date_format(col("graft_bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-        coalesce(col("graft_n"), lit(0L)).as("n_events"),
-        round(coalesce(col("graft_sum"), lit(0.0)), 2).as("sum_value"))
-  }
-
   def cohortRetention(events: DataFrame, tsCol: String,
       userCol: String): DataFrame = {
     val weekly = events
@@ -124,5 +91,49 @@ object EventAnalytics {
             .orderBy(col("week_offset").asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6)
           .as("retention"))
+  }
+
+  /** Regular-interval resampling with gap filling: every (group, time
+    * bucket) cell of the [min, max] span reported, empty cells as
+    * zeros — the shape chart layers and downstream window math expect
+    * (a missing bucket silently breaks moving averages; an explicit
+    * zero doesn't). `unit` ∈ hour/day/week. Null-timestamp rows are
+    * dropped explicitly; a null GROUP is a real group — its cells carry
+    * their true counts through the null-safe join.
+    *
+    * Scale shape: the spine is one `sequence()` array on the 1-row
+    * bounds aggregate — its length is the bucket count, which is
+    * bounded by the OUTPUT size, not the event count; groups come off
+    * the aggregated cells (output-bounded), not a second event-stream
+    * scan; the cell aggregate is one map-side-combined shuffle and the
+    * spine×groups grid left-joins it on (bucket, group).
+    */
+  def resample(events: DataFrame, tsCol: String, groupCol: String,
+      valueCol: String, unit: String): DataFrame = {
+    require(Set("hour", "day", "week").contains(unit),
+      s"resample: unit must be hour/day/week, got $unit")
+    // null timestamps have no bucket: dropped EXPLICITLY here rather than
+    // silently zeroing their groups downstream
+    val ev = events.where(col(tsCol).isNotNull)
+    val bounds = ev.agg(
+      date_trunc(unit, min(col(tsCol))).as("graft_lo"),
+      date_trunc(unit, max(col(tsCol))).as("graft_hi"))
+    val spine = bounds.select(explode(sequence(col("graft_lo"),
+      col("graft_hi"), expr(s"interval 1 $unit"))).as("graft_bucket"))
+    val cells = ev
+      .groupBy(date_trunc(unit, col(tsCol)).as("graft_cb"),
+        col(groupCol).as("graft_cg"))
+      .agg(count(lit(1)).as("graft_n"), sum(col(valueCol)).as("graft_sum"))
+    // groups read off the aggregated cells (output-bounded), not a second
+    // full scan of the event stream; the join is null-SAFE on the group
+    // key so a null group's cells carry its real counts
+    val groups = cells.select(col("graft_cg").as(groupCol)).distinct()
+    spine.crossJoin(groups)
+      .join(cells, col("graft_bucket") === col("graft_cb") &&
+        col(groupCol) <=> col("graft_cg"), "left")
+      .select(col(groupCol),
+        date_format(col("graft_bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        coalesce(col("graft_n"), lit(0L)).as("n_events"),
+        round(coalesce(col("graft_sum"), lit(0.0)), 2).as("sum_value"))
   }
 }

@@ -330,12 +330,8 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(sum(col("graft_rrf")).as("graft_score"),
         count(lit(1)).as("n_lists"))
-    val ord = Seq(round(col("graft_score"), 6).desc, col(idCol).asc)
-    scored.orderBy(ord: _*).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(ord: _*)).cast("int"))
-      .select(col(idCol), round(col("graft_score"), 6).as("rrf_score"),
-        col("n_lists"), col("rank"))
+    Ranking.topK(scored, "graft_score", idCol, k, "rrf_score",
+      carryCols = Seq("n_lists"))
   }
 
   /** Hard-negative mining for contrastive training: for every anchor
