@@ -1048,6 +1048,36 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Per-GROUP exact interpolated percentiles, long format: one row per
+    * (group, column, p). Unlike [[percentiles]] (a driver-collected
+    * 1-row profile), this is fully distributed — one map-side-combined
+    * groupBy computes every cols × ps cell, and the melt to long format
+    * is an in-row explode of a literal struct array. Same ANSI
+    * PERCENTILE_CONT interpolation as [[percentiles]].
+    */
+  def percentilesBy(byCols: Seq[String], cols: Seq[String],
+      ps: Seq[Double]): DataFrame = {
+    require(byCols.nonEmpty, "percentilesBy: byCols must be non-empty")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "percentilesBy: every p must be in [0, 1]")
+    val d = toDF
+    val aggExprs = cols.zipWithIndex.flatMap { case (c, i) =>
+      ps.indices.map(j =>
+        expr(s"percentile($c, ${ps(j)}d)").as(s"graft_p_${i}_$j"))
+    }
+    val entries = array(cols.zipWithIndex.flatMap { case (c, i) =>
+      ps.indices.map(j =>
+        struct(lit(c).as("col_name"), lit(ps(j)).as("p"),
+          col(s"graft_p_${i}_$j").as("v")))
+    }: _*)
+    d.groupBy(byCols.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .select(byCols.map(col) :+ explode(entries).as("graft_e"): _*)
+      .select(byCols.map(col) ++ Seq(col("graft_e.col_name").as("col_name"),
+        col("graft_e.p").as("p"),
+        round(col("graft_e.v"), 6).as("value")): _*)
+  }
+
   /** Exact interpolated percentiles over the cols × ps grid — ONE Spark job
     * (the same single-pass shape as [[stats]]). Uses Catalyst's exact
     * `percentile` aggregate, which shares the ANSI PERCENTILE_CONT linear

@@ -1595,6 +1595,12 @@ object SparkEntry {
       graft.operators.GraphOps.pageRank(edges, iterations = 3)
     }),
 
+    // distributed per-group percentile grid (the grouped twin of
+    // q_percentile's driver-collected profile)
+    "q_percentile_by_group" -> ((s, d) =>
+      t(s, d, "lineitem").percentilesBy(Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice"), Seq(0.5, 0.95))),
+
     // per-event-type Tukey-fence outliers on the value column: one
     // quartile aggregation + key-partitioned join, fences 6-dp-rounded
     // before the predicate so both engines flag the identical row set
@@ -2275,6 +2281,13 @@ object SparkEntry {
     "q_ann_recall" -> OracleSql.annRecall(k = 10, nlist = 16, nprobe = 4,
       queryFraction = 0.5),
     "q_hard_negatives" -> OracleSql.hardNegatives(k = 5, nlist = 16, nprobe = 4),
+    "q_percentile_by_group" ->
+      Seq("l_quantity", "l_extendedprice").flatMap(c =>
+        Seq(0.5, 0.95).map(p =>
+          s"SELECT l_returnflag, '$c' AS col_name, CAST($p AS DOUBLE) AS p, " +
+            s"round(quantile_cont($c, $p), 6) AS value FROM lineitem GROUP BY 1"))
+        .mkString(" UNION ALL "),
+
     "q_iqr_outliers" ->
       ("WITH f AS (SELECT event_type, " +
         "round(quantile_cont(value, 0.25) - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS fence_lo, " +

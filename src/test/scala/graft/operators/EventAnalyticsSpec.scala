@@ -110,6 +110,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(const(0L) == 2L && const(1L) == 0L && const(2L) == 0L)
   }
 
+  test("percentilesBy interpolates exactly per group in long format") {
+    val sp = spark; import sp.implicits._
+    val gf = graft.GraftFrame(
+      (Seq.tabulate(5)(i => ("a", (i + 1).toDouble)) ++
+        Seq(("b", 10.0), ("b", 20.0))).toDF("grp", "v"), "t")
+    val out = gf.percentilesBy(Seq("grp"), Seq("v"), Seq(0.5, 0.75))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Double]("p")) ->
+        r.getAs[Double]("value")).toMap
+    assert(out(("a", 0.5)) == 3.0)  // median of 1..5
+    assert(out(("a", 0.75)) == 4.0) // rank 0.75*(5-1)=3 → exact element
+    assert(out(("b", 0.5)) == 15.0) // interpolated midpoint
+    assert(out(("b", 0.75)) == 17.5)
+    assert(out.size == 4)
+  }
+
   test("cohortRetention: multiple events in one week count the user once") {
     val sp = spark; import sp.implicits._
     val events = Seq(
