@@ -1595,6 +1595,21 @@ object SparkEntry {
       graft.operators.GraphOps.pageRank(edges, iterations = 3)
     }),
 
+    // per-source HLL distinct-text estimates, graded like
+    // q_profile_sketch: exact columns hash-exact, the estimate rides as
+    // an oracle-asserted in-bound boolean (3×rsd)
+    "q_sketch_by_group" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val approx = graft.operators.Corpus.profileSketchBy(
+        docs, "text", "source", rsd = 0.05)
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("exact_texts"))
+      approx.join(exact, "source")
+        .select(col("source"), col("n_docs"), col("exact_texts"),
+          (abs(col("approx_texts") - col("exact_texts")).cast("double") <=
+            col("exact_texts").cast("double") * 0.15).as("est_in_bound"))
+    }),
+
     // distributed per-group percentile grid (the grouped twin of
     // q_percentile's driver-collected profile)
     "q_percentile_by_group" -> ((s, d) =>
@@ -2287,6 +2302,11 @@ object SparkEntry {
           s"SELECT l_returnflag, '$c' AS col_name, CAST($p AS DOUBLE) AS p, " +
             s"round(quantile_cont($c, $p), 6) AS value FROM lineitem GROUP BY 1"))
         .mkString(" UNION ALL "),
+
+    "q_sketch_by_group" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT text) AS BIGINT) AS exact_texts, " +
+        "true AS est_in_bound FROM documents GROUP BY 1"),
 
     "q_iqr_outliers" ->
       ("WITH f AS (SELECT event_type, " +

