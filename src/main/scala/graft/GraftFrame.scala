@@ -1058,6 +1058,7 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
   def percentilesBy(byCols: Seq[String], cols: Seq[String],
       ps: Seq[Double]): DataFrame = {
     require(byCols.nonEmpty, "percentilesBy: byCols must be non-empty")
+    require(cols.nonEmpty, "percentilesBy: cols must be non-empty")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "percentilesBy: every p must be in [0, 1]")
     val d = toDF

@@ -1602,9 +1602,11 @@ object SparkEntry {
       val docs = t(s, d, "documents").df
       val approx = graft.operators.Corpus.profileSketchBy(
         docs, "text", "source", rsd = 0.05)
-      val exact = docs.groupBy(col("source"))
+      val exact = docs.groupBy(col("source").as("graft_src"))
         .agg(countDistinct(col("text")).as("exact_texts"))
-      approx.join(exact, "source")
+      // null-SAFE grading join: a null source is a real group on both
+      // sides (the oracle's GROUP BY keeps it too)
+      approx.join(exact, col("source") <=> col("graft_src"))
         .select(col("source"), col("n_docs"), col("exact_texts"),
           (abs(col("approx_texts") - col("exact_texts")).cast("double") <=
             col("exact_texts").cast("double") * 0.15).as("est_in_bound"))
@@ -2696,15 +2698,19 @@ object SparkEntry {
 
     "q_events_cohort" -> OracleSql.cohortRetention,
 
+    // null semantics in lockstep with EventAnalytics.resample: null-ts
+    // rows dropped, groups read off the aggregated cells, group join
+    // null-safe (a null group carries its real counts)
     "q_events_resample" ->
-      ("WITH b AS (SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM events), " +
+      ("WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL), " +
+        "b AS (SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM e), " +
         "spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS gb FROM b), " +
-        "g AS (SELECT DISTINCT event_type FROM events), " +
         "a AS (SELECT event_type, date_trunc('day', ts) AS gb, CAST(count(*) AS BIGINT) AS n, sum(value) AS sv " +
-        "FROM events GROUP BY 1, 2) " +
+        "FROM e GROUP BY 1, 2), " +
+        "g AS (SELECT DISTINCT event_type FROM a) " +
         "SELECT g.event_type, strftime(s.gb, '%Y-%m-%d %H:%M:%S') AS bucket, " +
         "coalesce(a.n, 0) AS n_events, round(coalesce(a.sv, 0.0), 2) AS sum_value " +
-        "FROM spine s CROSS JOIN g LEFT JOIN a ON a.event_type = g.event_type AND a.gb = s.gb"),
+        "FROM spine s CROSS JOIN g LEFT JOIN a ON a.event_type IS NOT DISTINCT FROM g.event_type AND a.gb = s.gb"),
 
     "q_histogram" ->
       ("WITH b AS (SELECT min(l_extendedprice::DOUBLE) AS lo, max(l_extendedprice::DOUBLE) AS hi FROM lineitem), " +

@@ -466,7 +466,10 @@ object Corpus {
     docs.agg(
       count(lit(1)).as("n_rows"),
       approx_count_distinct(col(idCol), rsd).as("approx_ids"),
-      approx_count_distinct(xxhash64(col(textCol)), rsd).as("approx_texts"),
+      // same null-guard as [[profileSketchBy]]: xxhash64(NULL) = seed
+      approx_count_distinct(
+        when(col(textCol).isNotNull, xxhash64(col(textCol))), rsd)
+        .as("approx_texts"),
       percentile_approx(T.tokenCount(col(textCol)), lit(0.5), lit(accuracy))
         .cast("bigint").as("p50_tokens"),
       percentile_approx(T.tokenCount(col(textCol)), lit(0.95), lit(accuracy))
@@ -486,7 +489,12 @@ object Corpus {
       rsd: Double = 0.05): DataFrame =
     docs.groupBy(col(byCol)).agg(
       count(lit(1)).as("n_docs"),
-      approx_count_distinct(xxhash64(col(textCol)), rsd).as("approx_texts"))
+      // null-guard BEFORE the hash: xxhash64(NULL) is the (non-null)
+      // seed, which would count null texts as one extra distinct value
+      // that exact COUNT(DISTINCT) excludes
+      approx_count_distinct(
+        when(col(textCol).isNotNull, xxhash64(col(textCol))), rsd)
+        .as("approx_texts"))
 
   /** Ordered (w1, w2) bigram rows of a corpus — one map-side explode over
     * the token arrays (no shuffle); docs under two tokens contribute

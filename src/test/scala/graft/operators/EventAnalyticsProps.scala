@@ -64,14 +64,21 @@ object EventAnalyticsProps extends Properties("EventAnalytics") {
       }.toDF("user_id", "ts")
       val out = EventAnalytics.cohortRetention(df, "ts", "user_id")
         .collect().map(r => (r.getAs[String]("cohort_week"),
-          r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+          r.getAs[Long]("week_offset")) ->
+          (r.getAs[Long]("n_users"), r.getAs[Double]("retention"))).toMap
       val byUser = activity.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
       val cohortOf = byUser.mapValues(_.min).toMap
       val expected = byUser.toSeq.flatMap { case (u, ws) =>
         ws.map(w => (cohortOf(u), w - cohortOf(u)))
-      }.groupBy(identity).view.mapValues(_.size.toLong)
-      expected.forall { case ((cw, off), n) =>
-        out((f"2024-01-${1 + 7 * cw}%02d", off.toLong)) == n
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def key(cw: Int, off: Int) = (f"2024-01-${1 + 7 * cw}%02d", off.toLong)
+      // exact row-set equality AND the retention ratio itself, not just
+      // a subset check on counts
+      out.size == expected.size && expected.forall { case ((cw, off), n) =>
+        val denom = expected((cw, 0)).toDouble
+        out.get(key(cw, off)).contains((n,
+          BigDecimal(n / denom).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
       }
     }
 }
