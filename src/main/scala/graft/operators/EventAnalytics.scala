@@ -12,11 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
-  /** Ordered conversion funnel: for `steps = [A, B, C]`, a user converts
-    * through step i+1 only with an event of that type at `ts >=` their
-    * step-i conversion time (equal timestamps progress in step order, so
-    * a same-instant A,B pair converts both). Per step: how many users got
-    * there, and the conversion rate relative to step 1.
+  /** Ordered conversion funnel, AGGREGATE form: for `steps = [A, B, C]`,
+    * a user converts through step i+1 only with an event of that type at
+    * `ts >=` their step-i conversion time (equal timestamps progress in
+    * step order, so a same-instant A,B pair converts both). Per step: how
+    * many users got there, and the conversion rate relative to step 1.
+    *
+    * Companion of [[graft.streaming.EventStreams.funnel]], which answers
+    * the PER-KEY question (each user's step timestamps + conversion
+    * horizon, strictly-after semantics, one as-of shuffle per step);
+    * this is the k+1-row report built in ONE shuffle — use that one for
+    * drill-down, this one for the dashboard number.
     *
     * Scale shape: ONE shuffle. Events filter to the step types map-side,
     * group once by user, and the per-user progression is an in-row fold
@@ -60,10 +66,16 @@ object EventAnalytics {
           .over(Window.partitionBy()), lit(1L)), 6))
   }
 
-  /** Cohort retention: users cohort by the week of their first event;
-    * retention at week offset w = the fraction of the cohort active in
-    * cohort-week + w (distinct-user weekly activity; offset 0 is 1.0 by
-    * construction). Weeks are Monday-truncated dates.
+  /** Cohort retention, calendar-week RATIO form: users cohort by the
+    * week of their first event; retention at week offset w = the
+    * fraction of the cohort active in cohort-week + w (distinct-user
+    * weekly activity; offset 0 is 1.0 by construction). Weeks are
+    * Monday-truncated dates.
+    *
+    * Companion of [[graft.streaming.EventStreams.retention]], which
+    * reports ABSOLUTE actives over epoch-anchored integer periods (any
+    * period length); this one is calendar-aligned (chart-ready date
+    * labels) and normalizes to the cohort size.
     *
     * Scale shape: one distinct over (user, week) — the event stream's
     * only full shuffle — then a user-keyed groupBy + join (AQE turns the
