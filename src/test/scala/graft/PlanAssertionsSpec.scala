@@ -171,6 +171,26 @@ class PlanAssertionsSpec extends SparkSpec {
         s"line text rides a shuffle key: $l"))
   }
 
+  test("funnel shuffles the event stream exactly once (user-keyed)") {
+    val df = SparkEntry.queries("q_events_funnel")(spark, sf)
+    val p = plan(df)
+    // the step rollup shuffles tiny (<= k+1-row) frames; the EVENT
+    // stream itself must cross exactly one user-keyed exchange — a
+    // second one would be the per-step min-join shape this operator
+    // exists to avoid
+    val userKeyed = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(_.contains("user_id"))
+    assert(userKeyed == 1, s"expected 1 user-keyed exchange, got $userKeyed:\n$p")
+  }
+
+  test("resample grid joins broadcast — no cartesian product") {
+    val df = SparkEntry.queries("q_events_resample")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"resample grid fell back to a cartesian:\n$p")
+  }
+
   test("hard negatives: cluster-bounded join, no cartesian, no ScalaUDF") {
     val df = SparkEntry.queries("q_hard_negatives")(spark, sf)
     val p = plan(df)
