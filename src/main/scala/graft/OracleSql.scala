@@ -906,6 +906,20 @@ object OracleSql {
       s"WHERE rn <= $k"
   }
 
+  /** Replicated k-means assignment (Similarity.kmeansAssign): the same
+    * centroid chain every IVF oracle replays, assignment rn = 1.
+    */
+  def kmeansAssign(k: Int, refineIterations: Int = 1,
+      dim: Int = 64): String = {
+    val (centChain, cent) = centroidChain(k, refineIterations, dim)
+    "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"$centChain, cent AS (SELECT cent_id, centv FROM $cent) " +
+      "SELECT vec_id, cent_id AS cluster FROM (" +
+      "SELECT c.vec_id, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn " +
+      "FROM c, cent) WHERE rn = 1"
+  }
+
   /** Replicated hybrid retrieval (Corpus.bm25Search + bruteForceTopK
     * fused by Similarity.rrfFuse): both hit lists recomputed, then
     * Σ 1/(c + rank) with the rounded-score/id rank.

@@ -1627,6 +1627,12 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("fence_lo"), col("fence_hi"))),
 
+    // k-means as a first-class operator: deterministic seeded Lloyd +
+    // nearest-centroid assignment, (id, cluster) rows only
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssign(t(s, d, "embeddings").df,
+        "embedding", "vec_id", k = 8, refineIterations = 1)),
+
     // hard negatives for contrastive training: per anchor, top-5 most
     // similar vectors with a DIFFERENT label, IVF probe path, label
     // filter before the heap
@@ -2298,6 +2304,7 @@ object SparkEntry {
     "q_ann_recall" -> OracleSql.annRecall(k = 10, nlist = 16, nprobe = 4,
       queryFraction = 0.5),
     "q_hard_negatives" -> OracleSql.hardNegatives(k = 5, nlist = 16, nprobe = 4),
+    "q_kmeans" -> OracleSql.kmeansAssign(k = 8),
     "q_percentile_by_group" ->
       Seq("l_quantity", "l_extendedprice").flatMap(c =>
         Seq(0.5, 0.95).map(p =>

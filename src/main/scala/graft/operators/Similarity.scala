@@ -308,6 +308,34 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** K-means clustering exposed as a first-class operator: deterministic
+    * seeded Lloyd ([[seedAndRefine]] — the same kernel the IVF index and
+    * SemDeDup run on) and the nearest-centroid assignment, returned as
+    * (id, cluster) rows. Corpus organization, topic bucketing, and
+    * cluster-stratified sampling all start here.
+    *
+    * Scale shape: Lloyd's full-width scans are the only corpus-wide
+    * passes (gate them with `trainFraction` at 100 TB exactly like
+    * [[buildIvfPqIndex]]'s dial); assignment is one broadcast of k
+    * centroids + a map-side argmin, and the output is (id, cluster) —
+    * 12 B/row, never the vectors.
+    */
+  def kmeansAssign(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, refineIterations: Int = 1,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(k >= 1, "kmeansAssign: k must be >= 1")
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      "kmeansAssign: trainFraction must be in (0, 1]")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val cTrain =
+      if (trainFraction >= 1.0) c
+      else c.where(pmod(xxhash64(lit(17L), col("corpus_id").cast("string")),
+        lit(1000000L)) < (trainFraction * 1000000L).toLong)
+    val centroids = seedAndRefine(cTrain, k, refineIterations)
+    assignToLists(c, centroids)
+      .select(col("corpus_id").as(idCol), col("list_id").as("cluster"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009): merge
     * ranked hit lists from heterogeneous retrievers (BM25, ANN, …) by
     * Σ 1/(c + rank) — rank-only fusion, so incomparable score scales

@@ -165,6 +165,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(cos.zip(cos.tail).forall { case (a, b) => a <= b })
   }
 
+  test("kmeansAssign covers every row with a cluster in [0, k) deterministically") {
+    val sp = spark; import sp.implicits._
+    val vecs = (0L until 40L).map(i =>
+      (i, Array(math.cos(i * 0.17).toFloat, math.sin(i * 0.17).toFloat,
+        (i % 5).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val a1 = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("cluster").longValue).toMap
+    val a2 = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("cluster").longValue).toMap
+    assert(a1 == a2)               // deterministic under re-run
+    assert(a1.size == 40)          // every row assigned exactly once
+    assert(a1.values.toSet.size <= 4)
+  }
+
   test("bm25Search ranks rare-term matches above common-term matches") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
