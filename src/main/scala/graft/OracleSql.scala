@@ -920,6 +920,24 @@ object OracleSql {
       "FROM c, cent) WHERE rn = 1"
   }
 
+  /** Replicated cluster profile (Similarity.clusterProfile): centroid
+    * chain + assignment + per-cluster size and mean member-to-centroid
+    * cosine.
+    */
+  def clusterProfile(k: Int, refineIterations: Int = 1,
+      dim: Int = 64): String = {
+    val (centChain, cent) = centroidChain(k, refineIterations, dim)
+    "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +
+      "asg AS (SELECT vec_id, v, cent_id AS cluster, centv FROM (" +
+      "SELECT c.vec_id, c.v, cent.cent_id, cent.centv, row_number() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn " +
+      "FROM c, cent) WHERE rn = 1) " +
+      "SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      "round(avg(list_cosine_similarity(v, centv)), 6) AS avg_cosine " +
+      "FROM asg GROUP BY 1"
+  }
+
   /** Replicated hybrid retrieval (Corpus.bm25Search + bruteForceTopK
     * fused by Similarity.rrfFuse): both hit lists recomputed, then
     * Σ 1/(c + rank) with the rounded-score/id rank.

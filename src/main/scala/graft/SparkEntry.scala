@@ -1633,6 +1633,12 @@ object SparkEntry {
       Similarity.kmeansAssign(t(s, d, "embeddings").df,
         "embedding", "vec_id", k = 8, refineIterations = 1)),
 
+    // per-cluster quality card: size + cohesion (mean member-to-centroid
+    // cosine) — the k-is-too-small diagnostic
+    "q_cluster_profile" -> ((s, d) =>
+      Similarity.clusterProfile(t(s, d, "embeddings").df,
+        "embedding", "vec_id", k = 8, refineIterations = 1)),
+
     // hard negatives for contrastive training: per anchor, top-5 most
     // similar vectors with a DIFFERENT label, IVF probe path, label
     // filter before the heap
@@ -2305,6 +2311,7 @@ object SparkEntry {
       queryFraction = 0.5),
     "q_hard_negatives" -> OracleSql.hardNegatives(k = 5, nlist = 16, nprobe = 4),
     "q_kmeans" -> OracleSql.kmeansAssign(k = 8),
+    "q_cluster_profile" -> OracleSql.clusterProfile(k = 8),
     "q_percentile_by_group" ->
       Seq("l_quantity", "l_extendedprice").flatMap(c =>
         Seq(0.5, 0.95).map(p =>

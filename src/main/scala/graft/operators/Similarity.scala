@@ -336,6 +336,26 @@ object Similarity {
       .select(col("corpus_id").as(idCol), col("list_id").as("cluster"))
   }
 
+  /** Per-cluster quality card for a [[kmeansAssign]] clustering: size
+    * and mean cosine of members to their centroid (cohesion — low means
+    * the cluster is diffuse and k is probably too small there). One
+    * broadcast of k centroids, map-side cosine, one k-row rollup.
+    */
+  def clusterProfile(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, refineIterations: Int = 1): DataFrame = {
+    require(k >= 1, "clusterProfile: k must be >= 1")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val centroids = seedAndRefine(c, k, refineIterations)
+    assignToLists(c, centroids)
+      .join(broadcast(centroids),
+        col("list_id") === col("cent_id"))
+      .select(col("list_id").as("cluster"),
+        V.cosine(col("cv"), col("centv")).as("graft_cos"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("graft_cos")), 6).as("avg_cosine"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009): merge
     * ranked hit lists from heterogeneous retrievers (BM25, ANN, …) by
     * Σ 1/(c + rank) — rank-only fusion, so incomparable score scales
