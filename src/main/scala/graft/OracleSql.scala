@@ -912,8 +912,10 @@ object OracleSql {
   def kmeansAssign(k: Int, refineIterations: Int = 1,
       dim: Int = 64): String = {
     val (centChain, cent) = centroidChain(k, refineIterations, dim)
+    // dense re-index of the seed-id labels, matching kmeansCentroids
     "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-      s"$centChain, cent AS (SELECT cent_id, centv FROM $cent) " +
+      s"$centChain, cent AS (SELECT CAST(row_number() OVER (ORDER BY cent_id) - 1 AS INT) " +
+      s"AS cent_id, centv FROM $cent) " +
       "SELECT vec_id, cent_id AS cluster FROM (" +
       "SELECT c.vec_id, cent.cent_id, row_number() OVER (PARTITION BY c.vec_id " +
       "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn " +
@@ -928,14 +930,15 @@ object OracleSql {
       dim: Int = 64): String = {
     val (centChain, cent) = centroidChain(k, refineIterations, dim)
     "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-      s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +
+      s"$centChain, cent AS (SELECT CAST(row_number() OVER (ORDER BY cent_id) - 1 AS INT) " +
+      s"AS cent_id, centv FROM $cent), " +
       "asg AS (SELECT vec_id, v, cent_id AS cluster, centv FROM (" +
       "SELECT c.vec_id, c.v, cent.cent_id, cent.centv, row_number() OVER (PARTITION BY c.vec_id " +
       "ORDER BY list_distance(c.v, cent.centv) ASC, cent.cent_id ASC) AS rn " +
       "FROM c, cent) WHERE rn = 1) " +
       "SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
-      "round(avg(list_cosine_similarity(v, centv)), 6) AS avg_cosine " +
-      "FROM asg GROUP BY 1"
+      "round(CAST(sum(CAST(list_cosine_similarity(v, centv) AS DECIMAL(38,18))) AS DOUBLE) " +
+      "/ count(*), 6) AS avg_cosine FROM asg GROUP BY 1"
   }
 
   /** Replicated hybrid retrieval (Corpus.bm25Search + bruteForceTopK

@@ -323,37 +323,68 @@ object Similarity {
   def kmeansAssign(corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, refineIterations: Int = 1,
       trainFraction: Double = 1.0): DataFrame = {
-    require(k >= 1, "kmeansAssign: k must be >= 1")
-    require(trainFraction > 0 && trainFraction <= 1.0,
-      "kmeansAssign: trainFraction must be in (0, 1]")
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val centroids = kmeansCentroids(c, k, refineIterations, trainFraction,
+      "kmeansAssign")
+    assignToLists(c, centroids)
+      .select(col("corpus_id").as(idCol),
+        col("list_id").cast("int").as("cluster"))
+  }
+
+  /** Shared k-means training for [[kmeansAssign]] and [[clusterProfile]]
+    * — SAME params ⇒ SAME centroids, so a profile with the parameters of
+    * an assignment describes that assignment's clustering. Labels are
+    * re-indexed DENSE 0..k−1 (rank of the seed id), so cluster ids are
+    * stable ints regardless of the corpus id range or the train sample.
+    * Fails fast (the centroid frame is k rows, already checkpointed —
+    * the count is free) when the trainFraction hash sample came up
+    * empty, instead of silently assigning zero rows.
+    */
+  private def kmeansCentroids(c: DataFrame, k: Int, refineIterations: Int,
+      trainFraction: Double, op: String): DataFrame = {
+    require(k >= 1, s"$op: k must be >= 1")
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"$op: trainFraction must be in (0, 1]")
     val cTrain =
       if (trainFraction >= 1.0) c
       else c.where(pmod(xxhash64(lit(17L), col("corpus_id").cast("string")),
         lit(1000000L)) < (trainFraction * 1000000L).toLong)
     val centroids = seedAndRefine(cTrain, k, refineIterations)
-    assignToLists(c, centroids)
-      .select(col("corpus_id").as(idCol), col("list_id").as("cluster"))
+    require(centroids.count() > 0,
+      s"$op: the trainFraction=$trainFraction hash sample selected no " +
+        "rows — raise trainFraction")
+    centroids
+      .withColumn("graft_dense", row_number().over(
+        Window.orderBy(col("cent_id"))) - 1)
+      .select(col("graft_dense").as("cent_id"), col("centv"))
   }
 
   /** Per-cluster quality card for a [[kmeansAssign]] clustering: size
     * and mean cosine of members to their centroid (cohesion — low means
-    * the cluster is diffuse and k is probably too small there). One
-    * broadcast of k centroids, map-side cosine, one k-row rollup.
+    * the cluster is diffuse and k is probably too small there). Trains
+    * through the same [[kmeansCentroids]] kernel, so a profile called
+    * with an assignment's parameters describes THAT clustering (same
+    * dense labels, same centroids). One broadcast of k centroids,
+    * map-side cosine, one k-row rollup; the mean sums as
+    * DECIMAL(38,18) like every graded mean (a plain double avg depends
+    * on partial-aggregation order and would flake the hash gate at a
+    * rounding boundary).
     */
   def clusterProfile(corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, refineIterations: Int = 1): DataFrame = {
-    require(k >= 1, "clusterProfile: k must be >= 1")
+      k: Int, refineIterations: Int = 1,
+      trainFraction: Double = 1.0): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val centroids = seedAndRefine(c, k, refineIterations)
+    val centroids = kmeansCentroids(c, k, refineIterations, trainFraction,
+      "clusterProfile")
     assignToLists(c, centroids)
       .join(broadcast(centroids),
         col("list_id") === col("cent_id"))
-      .select(col("list_id").as("cluster"),
+      .select(col("list_id").cast("int").as("cluster"),
         V.cosine(col("cv"), col("centv")).as("graft_cos"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("graft_cos")), 6).as("avg_cosine"))
+        round((sum(col("graft_cos").cast(DecimalType(38, 18)))
+          .cast(DoubleType) / count(lit(1))), 6).as("avg_cosine"))
   }
 
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009): merge

@@ -165,19 +165,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(cos.zip(cos.tail).forall { case (a, b) => a <= b })
   }
 
-  test("kmeansAssign covers every row with a cluster in [0, k) deterministically") {
+  test("kmeansAssign covers every row with a DENSE cluster in [0, k) deterministically") {
     val sp = spark; import sp.implicits._
-    val vecs = (0L until 40L).map(i =>
+    // ids start at 1000 on purpose: labels must be dense 0..k-1, not
+    // raw seed corpus ids
+    val vecs = (1000L until 1040L).map(i =>
       (i, Array(math.cos(i * 0.17).toFloat, math.sin(i * 0.17).toFloat,
         (i % 5).toFloat, 1f)))
       .toDF("vec_id", "embedding")
     val a1 = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 4)
-      .collect().map(r => r.getLong(0) -> r.getAs[Number]("cluster").longValue).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cluster")).toMap
     val a2 = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 4)
-      .collect().map(r => r.getLong(0) -> r.getAs[Number]("cluster").longValue).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cluster")).toMap
     assert(a1 == a2)               // deterministic under re-run
     assert(a1.size == 40)          // every row assigned exactly once
-    assert(a1.values.toSet.size <= 4)
+    assert(a1.values.forall(c => c >= 0 && c < 4))
+  }
+
+  test("kmeansAssign trainFraction: sampled training still assigns every row; empty sample raises") {
+    val sp = spark; import sp.implicits._
+    val vecs = (1000L until 1040L).map(i =>
+      (i, Array((i % 7).toFloat, (i % 3).toFloat, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 4,
+      trainFraction = 0.5).collect()
+    assert(out.length == 40) // assignment covers the FULL corpus
+    assert(out.map(_.getAs[Int]("cluster")).forall(c => c >= 0 && c < 4))
+    // a sample that selects nothing must fail fast, not assign zero rows
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 4,
+        trainFraction = 1e-6).collect()
+    }
+    assert(ex.getMessage.contains("selected no"))
+  }
+
+  test("clusterProfile with an assignment's params describes that clustering") {
+    val sp = spark; import sp.implicits._
+    val vecs = (1000L until 1040L).map(i =>
+      (i, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val assign = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 3)
+      .collect().groupBy(_.getAs[Int]("cluster")).view.mapValues(_.length.toLong)
+    val profile = Similarity.clusterProfile(vecs, "embedding", "vec_id", k = 3)
+      .collect().map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("avg_cosine"))).toMap
+    assert(profile.view.mapValues(_._1).toMap == assign.toMap) // same sizes per label
+    assert(profile.values.forall { case (_, cos) => cos >= -1.0 && cos <= 1.0 })
   }
 
   test("bm25Search ranks rare-term matches above common-term matches") {
