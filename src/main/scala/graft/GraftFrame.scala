@@ -1013,6 +1013,26 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
 
   def displayStats(cols: Seq[String]): Unit = stats(cols).show(truncate = false)
 
+  /** Deterministic per-group mode: the most frequent value of `valueCol`
+    * in each group, ties broken on the value's binary order (DuckDB's
+    * own `mode()` is first-seen/nondeterministic — this one is
+    * engine-reproducible). One (group, value) count with map-side
+    * combine, then a min-struct argmax per group — no window over the
+    * value stream.
+    */
+  def modeBy(byCols: Seq[String], valueCol: String): DataFrame = {
+    require(byCols.nonEmpty, "modeBy: byCols must be non-empty")
+    toDF.where(col(valueCol).isNotNull)
+      .groupBy((byCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("graft_cnt"))
+      .groupBy(byCols.map(col): _*)
+      .agg(min(struct((-col("graft_cnt")).as("nc"),
+        col(valueCol).as("v"))).as("graft_top"))
+      .select(byCols.map(col) ++ Seq(
+        col("graft_top.v").as("mode_value"),
+        (-col("graft_top.nc")).as("mode_count")): _*)
+  }
+
   /** Equi-width histogram of a numeric column: `buckets` bins spanning
     * [min, max], EVERY bin reported (zero counts included) with its
     * 6-dp-rounded edges. Bin pick is `least(floor((x − lo)·B / (hi −

@@ -1612,6 +1612,12 @@ object SparkEntry {
             col("exact_texts").cast("double") * 0.15).as("est_in_bound"))
     }),
 
+    // deterministic per-group mode: each user's most frequent event
+    // type, ties on the type's binary order
+    "q_mode_by_group" -> ((s, d) =>
+      graft.GraftFrame(t(s, d, "events").df, "events")
+        .modeBy(Seq("user_id"), "event_type")),
+
     // distributed per-group percentile grid (the grouped twin of
     // q_percentile's driver-collected profile)
     "q_percentile_by_group" -> ((s, d) =>
@@ -2318,6 +2324,12 @@ object SparkEntry {
           s"SELECT l_returnflag, '$c' AS col_name, CAST($p AS DOUBLE) AS p, " +
             s"round(quantile_cont($c, $p), 6) AS value FROM lineitem GROUP BY 1"))
         .mkString(" UNION ALL "),
+
+    "q_mode_by_group" ->
+      ("SELECT user_id, mode_value, mode_count FROM (" +
+        "SELECT user_id, event_type AS mode_value, CAST(count(*) AS BIGINT) AS mode_count, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rn " +
+        "FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2) WHERE rn = 1"),
 
     "q_sketch_by_group" ->
       ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +

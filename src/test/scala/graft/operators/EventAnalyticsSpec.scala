@@ -110,6 +110,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(const(0L) == 2L && const(1L) == 0L && const(2L) == 0L)
   }
 
+  test("modeBy picks the most frequent value with binary ties, skipping nulls") {
+    val sp = spark; import sp.implicits._
+    val gf = graft.GraftFrame(Seq(
+      ("u1", "b"), ("u1", "b"), ("u1", "a"),        // clear winner b
+      ("u2", "z"), ("u2", "a"),                     // tie → binary-smaller a
+      ("u3", null), ("u3", null), ("u3", "x")       // nulls never win
+    ).toDF("u", "v"), "t")
+    val out = gf.modeBy(Seq("u"), "v")
+      .collect().map(r => r.getAs[String]("u") ->
+        (r.getAs[String]("mode_value"), r.getAs[Long]("mode_count"))).toMap
+    assert(out("u1") == (("b", 2L)))
+    assert(out("u2") == (("a", 1L)))
+    assert(out("u3") == (("x", 1L)))
+  }
+
   test("percentilesBy interpolates exactly per group in long format") {
     val sp = spark; import sp.implicits._
     val gf = graft.GraftFrame(
