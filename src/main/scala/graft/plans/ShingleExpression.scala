@@ -69,9 +69,15 @@ object ShingleExpression {
   def topShingleRun(text: Column, n: Int): Column =
     GraftSqlShim.column(TopShingleRun(GraftSqlShim.expression(text), n))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    GraftSqlShim.functionRegistry(spark).createOrReplaceTempFunction(
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = GraftSqlShim.functionRegistry(spark)
+    reg.createOrReplaceTempFunction(
       "word_shingles",
       e => WordShingles(e.head, e(1).eval(null).asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "top_shingle_run",
+      e => TopShingleRun(e.head, e(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+  }
 }

@@ -162,9 +162,14 @@ class ViewsAndSkewSpec extends SparkSpec {
     // register via helpers on the new session and use through SQL
     graft.plans.HashExpressions.register(s2)
     graft.plans.VectorExpressions.register(s2)
+    graft.plans.ShingleExpression.register(s2)
     val r = s2.sql(
       "SELECT vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
-        "simhash64(array('a','b')) AS h").first()
+        "simhash64(array('a','b')) AS h, " +
+        "top_shingle_run('a b a b', 2) AS t").first()
     assert(r.getDouble(0) == 1.0)
+    val t = r.getStruct(2)
+    assert(t.getAs[String]("gram") == "a b" && t.getAs[Long]("cnt") == 2L &&
+      t.getAs[Long]("norm_len") == 7L)
   }
 }
