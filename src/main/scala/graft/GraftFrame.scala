@@ -1022,6 +1022,11 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     */
   def modeBy(byCols: Seq[String], valueCol: String): DataFrame = {
     require(byCols.nonEmpty, "modeBy: byCols must be non-empty")
+    val reserved = Set("graft_cnt", "graft_top", "mode_value", "mode_count")
+    val clash = (byCols :+ valueCol).filter(reserved)
+    require(clash.isEmpty,
+      s"modeBy: column name(s) ${clash.mkString(", ")} collide with the " +
+        "operator's internal/output names — rename before calling")
     toDF.where(col(valueCol).isNotNull)
       .groupBy((byCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("graft_cnt"))

@@ -26,12 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - normalized word n-grams"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        ShingleExpression.literalIntArg(exprs, "word_shingles"))))
     e.injectFunction((FunctionIdentifier("top_shingle_run"),
       info("top_shingle_run",
         "top_shingle_run(text, n) - struct(gram, cnt, norm_len): the most frequent word n-gram"),
       (exprs: Seq[Expression]) => TopShingleRun(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        ShingleExpression.literalIntArg(exprs, "top_shingle_run"))))
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double dot product of numeric arrays"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))

@@ -63,6 +63,22 @@ case class TopShingleRun(child: Expression, n: Int)
 }
 
 object ShingleExpression {
+
+  /** Validated literal-int second argument for the SQL-path builders —
+    * a clear analysis-time error instead of IndexOutOfBounds on wrong
+    * arity or an internal Catalyst crash on a non-literal n.
+    */
+  private[plans] def literalIntArg(e: Seq[Expression], name: String): Int = {
+    require(e.length == 2,
+      s"$name(text, n) takes exactly 2 arguments, got ${e.length}")
+    require(e(1).foldable, s"$name: n must be a literal integer")
+    e(1).eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: n must be a literal integer, got $other")
+    }
+  }
+
   def wordShingles(text: Column, n: Int): Column =
     GraftSqlShim.column(WordShingles(GraftSqlShim.expression(text), n))
 
@@ -73,11 +89,11 @@ object ShingleExpression {
     val reg = GraftSqlShim.functionRegistry(spark)
     reg.createOrReplaceTempFunction(
       "word_shingles",
-      e => WordShingles(e.head, e(1).eval(null).asInstanceOf[Number].intValue()),
+      e => WordShingles(e.head, literalIntArg(e, "word_shingles")),
       "built-in")
     reg.createOrReplaceTempFunction(
       "top_shingle_run",
-      e => TopShingleRun(e.head, e(1).eval(null).asInstanceOf[Number].intValue()),
+      e => TopShingleRun(e.head, literalIntArg(e, "top_shingle_run")),
       "built-in")
   }
 }
