@@ -45,7 +45,8 @@ object Bench {
     "q_class_prototypes", "q_proto_outliers", "q_iqr_outliers",
     "q_events_resample", "q_histogram", "q_bm25_search",
     "q_hybrid_search", "q_percentile_by_group", "q_sketch_by_group",
-    "q_kmeans", "q_cluster_profile", "q_mode_by_group")
+    "q_kmeans", "q_cluster_profile", "q_mode_by_group",
+    "q_negative_sampling")
     // q_dedup_fuzzy is graded at sf0.01 but excluded here: sf0.1 customer
     // names are serial numbers where ~2% of ALL pairs are within distance
     // 1 (262k true pairs) — the OUTPUT is near-quadratic, so the query

@@ -846,6 +846,22 @@ object OracleSql {
       "ORDER BY sample_key ASC, doc_id ASC) AS rn FROM keyed) " +
       s"WHERE rn <= $k"
 
+  /** Replicated negative-sampling table (Corpus.negativeSampling): term
+    * counts on the shared tokenizer, freq^power weights, the same
+    * Efraimidis–Spirakis md5 keys as [[weightedSample]].
+    */
+  def negativeSampling(k: Int, power: Double = 0.75,
+      salt: String = "graft-negsample"): String =
+    s"WITH t AS (SELECT unnest($tokensExpr) AS term FROM documents), " +
+      "c AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM t WHERE term <> '' GROUP BY 1), " +
+      "keyed AS (SELECT term, " +
+      s"round(-ln((${md5Hash60(s"'$salt:' || term")} + 1.0) / " +
+      s"1152921504606846976.0) / pow(f, $power), 6) AS sample_key FROM c) " +
+      "SELECT term, sample_key, CAST(rn AS BIGINT) AS sample_rank FROM (" +
+      "SELECT term, sample_key, row_number() OVER (" +
+      "ORDER BY sample_key ASC, term ASC) AS rn FROM keyed) " +
+      s"WHERE rn <= $k"
+
   /** Replicated temperature mixture (Corpus.temperatureMixture): per-
     * source counts, α-scaled share, floor'd per-source budget.
     */

@@ -1694,6 +1694,12 @@ object SparkEntry {
       graft.operators.Corpus.weightedSample(t(s, d, "documents").df,
         "doc_id", "n_chars", k = 50)),
 
+    // word2vec-style negative-sampling table: top-k terms drawn
+    // proportional to freq^0.75, deterministic ES keys
+    "q_negative_sampling" -> ((s, d) =>
+      graft.operators.Corpus.negativeSampling(t(s, d, "documents").df,
+        "text", k = 20)),
+
     // temperature-scaled source mixing: α=0.7 upsamples small sources
     "q_mixture_temperature" -> ((s, d) =>
       graft.operators.Corpus.temperatureMixture(t(s, d, "documents").df,
@@ -2349,6 +2355,7 @@ object SparkEntry {
     "q_dedup_paragraph" -> OracleSql.dedupParagraphs,
     "q_sample_weighted" -> OracleSql.weightedSample(k = 50, weightCol = "n_chars"),
     "q_mixture_temperature" -> OracleSql.temperatureMixture(alpha = 0.7, budget = 1000L),
+    "q_negative_sampling" -> OracleSql.negativeSampling(k = 20),
     "q_text_topngram" -> OracleSql.topNgramFraction(n = 2),
     "q_bm25_search" -> OracleSql.bm25Search(Seq("hash", "join", "vector"), k = 20),
     "q_hybrid_search" -> OracleSql.hybridSearch(Seq("hash", "join", "vector"),

@@ -991,6 +991,31 @@ object Corpus {
         col("graft_key").as("sample_key"), col("sample_rank"))
   }
 
+  /** Negative-sampling table (Mikolov et al. 2013's unigram^power
+    * distribution, power = 0.75): draw k distinct terms
+    * weight-proportionally to freq^power — the noise table contrastive /
+    * NCE training samples against. Composes the term-frequency count
+    * with [[weightedSample]]'s deterministic Efraimidis–Spirakis draw,
+    * so the table is reproducible across runs, partitionings, and
+    * engines.
+    *
+    * Scale shape: one map-side-combined term count (vocabulary-bounded,
+    * not corpus-bounded, after the combine) and the TakeOrdered top-k —
+    * no global sort, no driver vocabulary.
+    */
+  def negativeSampling(docs: DataFrame, textCol: String, k: Int,
+      power: Double = 0.75,
+      salt: String = "graft-negsample"): DataFrame = {
+    require(k >= 1, "negativeSampling: k must be >= 1")
+    val counts = docs
+      .select(explode(T.wordShingles(col(textCol), 1)).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("term_freq"))
+      .withColumn("graft_w", pow(col("term_freq").cast("double"), power))
+    weightedSample(counts, "term", "graft_w", k, salt)
+      .select(col("term"), col("sample_key"), col("sample_rank"))
+  }
+
   /** Temperature-scaled source mixing (the multilingual-LM sampling
     * scheme: p_s ∝ n_s^α): per-source document counts, the α-scaled
     * share, and the integer per-source document budget at `budget`

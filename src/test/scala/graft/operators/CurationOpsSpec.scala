@@ -57,6 +57,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id")).toSet == Set(1L))
   }
 
+  test("negativeSampling favors frequent terms and is deterministic") {
+    val sp = spark; import sp.implicits._
+    // 'hot' appears 50x, the cold terms once each — at k=3 the hot term
+    // should essentially always be drawn (freq^0.75 weight dominance)
+    val docs = (Seq.fill(50)("hot") ++ (1 to 20).map(i => s"cold$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val s1 = Corpus.negativeSampling(docs, "text", k = 3).collect()
+    val s2 = Corpus.negativeSampling(docs, "text", k = 3).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    assert(s1.length == 3)
+    assert(s1.exists(_.getAs[String]("term") == "hot"))
+    assert(s1.map(_.getAs[Int]("sample_rank")).toSeq == (1 to 3))
+  }
+
   test("temperatureMixture: α=1 proportional, α=0 uniform, budget floors") {
     val sp = spark; import sp.implicits._
     val df = (Seq.fill(30)("big") ++ Seq.fill(10)("small")).zipWithIndex
