@@ -872,10 +872,15 @@ object OracleSql {
       "t AS (SELECT sum(gw) AS tot FROM w), " +
       "s AS (SELECT source, n_docs, round(gw / tot, 6) AS share FROM w, t), " +
       s"b AS (SELECT source, n_docs, share, CAST(floor($budget.0 * share) AS BIGINT) AS b0 FROM s), " +
-      s"e AS (SELECT greatest(sum(b0) - $budget, 0) AS excess FROM b) " +
-      "SELECT source, n_docs, share, CAST(CASE WHEN row_number() OVER (" +
-      "ORDER BY share DESC, source ASC) = 1 THEN greatest(b0 - excess, 0) " +
-      "ELSE b0 END AS BIGINT) AS docs_at_budget FROM b, e"
+      s"e AS (SELECT greatest(sum(b0) - $budget, 0) AS excess FROM b), " +
+      // overshoot spread in (share desc, source asc) order, each share
+      // floored at 0, spilling to the next — mirrors the Spark side's
+      // cumulative-sum cap so sum(docs_at_budget) <= budget always
+      "p AS (SELECT source, n_docs, share, b0, coalesce(sum(b0) OVER (" +
+      "ORDER BY share DESC, source ASC ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND 1 PRECEDING), 0) AS prior FROM b) " +
+      "SELECT source, n_docs, share, CAST(b0 - least(b0, " +
+      "greatest(excess - prior, 0)) AS BIGINT) AS docs_at_budget FROM p, e"
 
   /** Replicated Gopher top-n-gram char fraction
     * (Corpus.topNgramFraction): same tokenizer as [[tokensExpr]], NON-
@@ -997,7 +1002,7 @@ object OracleSql {
         s"(SELECT count(*) FROM s$i) AS n"
     }.mkString(" UNION ALL ")
     s"WITH e AS (SELECT user_id, ts, CASE event_type $caseIdx END AS idx " +
-      s"FROM events WHERE event_type IN ($inList)), $stepCtes, " +
+      s"FROM events WHERE ts IS NOT NULL AND event_type IN ($inList)), $stepCtes, " +
       s"f AS ($unions) " +
       "SELECT CAST(step AS BIGINT) AS step, step_name, " +
       "CAST(n AS BIGINT) AS n_users, round(CAST(n AS DOUBLE) / " +

@@ -2718,10 +2718,12 @@ object SparkEntry {
     "q_events_dedup" ->
       "SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1",
 
+    // null-ts rows dropped in lockstep with runningUserStatsBatch (Spark
+    // windows order nulls first, DuckDB last — pinned, not fixture-luck)
     "q_events_running_stats" ->
       ("SELECT user_id, event_id, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS n_events, " +
-        "value AS last_value FROM events"),
+        "value AS last_value FROM events WHERE ts IS NOT NULL"),
 
     "q_events_session" ->
       "WITH marked AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s, event_id FROM (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, count(*) AS n_events FROM sess GROUP BY user_id, sid",

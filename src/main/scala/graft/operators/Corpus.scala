@@ -701,6 +701,28 @@ object Corpus {
     * partitions by document (bounded by document length) — one doc-keyed
     * shuffle, then a distinct on the selected rows.
     */
+  /** Fingerprint-scheme tag carried as FIELD METADATA on `fp_hash`
+    * (parquet persists it in the footer), mirroring
+    * [[Dedup.BandHashScheme]]: bump the version whenever the tokenizer
+    * or gram hash changes (round 7 swapped the regex tokenizer for the
+    * native WordShingles kernel, changing fp_hash on non-ASCII text) —
+    * a pre-change persisted index would otherwise join the new batch to
+    * silent false-negative zero pairs.
+    */
+  private[graft] val WinnowScheme = "wordshingles-md5-60-v1"
+  private val fpSchemeMeta = new org.apache.spark.sql.types.MetadataBuilder()
+    .putString("graft.fp.scheme", WinnowScheme).build()
+
+  private[graft] def requireWinnowScheme(index: DataFrame): Unit = {
+    val ok = index.schema.find(_.name == "fp_hash").exists(f =>
+      f.metadata.contains("graft.fp.scheme") &&
+        f.metadata.getString("graft.fp.scheme") == WinnowScheme)
+    require(ok, "corpus fingerprint index carries no compatible " +
+      s"scheme tag; this build fingerprints with '$WinnowScheme'. An index " +
+      "persisted under an older tokenizer/hash would silently match zero " +
+      "pairs — re-run winnowFingerprints over the corpus and persist that.")
+  }
+
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 5, windowSize: Int = 4): DataFrame = {
     require(k >= 1 && windowSize >= 1, "winnow: k and windowSize must be >= 1")
@@ -729,7 +751,7 @@ object Corpus {
       // full windows only — except short docs (m < windowSize), whose
       // single pos-0 window spans all m grams and yields the global min
       .where(col("pos") <= greatest(col("graft_m") - windowSize, lit(0L)))
-      .select(col(idCol), col("graft_sel.gh").as("fp_hash"),
+      .select(col(idCol), col("graft_sel.gh").as("fp_hash", fpSchemeMeta),
         col("graft_sel.pos").cast("long").as("fp_pos"))
       .distinct()
   }
@@ -801,6 +823,7 @@ object Corpus {
   def incrementalWinnowPairs(batch: DataFrame, corpusIndex: DataFrame,
       textCol: String, idCol: String, k: Int = 5, windowSize: Int = 4,
       minShared: Long = 1L, maxDocFreq: Long = 0L): DataFrame = {
+    requireWinnowScheme(corpusIndex) // pre-change indexes match zero pairs
     val bfp = winnowFingerprints(batch, textCol, idCol, k, windowSize)
       .select(col(idCol).as("batch_id"), col("fp_hash")).distinct()
     val cfp = capPostings(
@@ -1036,10 +1059,13 @@ object Corpus {
     // difference across engines flips the floor — the quantized share
     // multiplies to the identical double everywhere. Rounding UP at a
     // 6-dp boundary can push the floored budgets past `budget` by a few
-    // docs, so the overshoot (if any) comes off the largest share
-    // (share desc, source asc tie-break) — sum(docs_at_budget) <= budget
-    // always. The window runs over the sources frame only (tiny by
-    // definition), never over the corpus.
+    // docs; the overshoot comes off the shares in (share desc, source
+    // asc) order, each floored at 0, spilling to the next until absorbed
+    // (deduction_i = clamp(excess − Σ_{j<i} b0_j, 0, b0_i)) — so
+    // sum(docs_at_budget) <= budget holds for ANY source count, not just
+    // while the largest share can absorb the whole excess. The windows
+    // run over the sources frame only (tiny by definition), never over
+    // the corpus.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("share").desc, col(sourceCol).asc)
     weighted.crossJoin(broadcast(total))
@@ -1051,10 +1077,13 @@ object Corpus {
         greatest(sum(col("graft_b0"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy()) -
           budget, lit(0L)))
+      .withColumn("graft_prior",
+        coalesce(sum(col("graft_b0")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
       .withColumn("docs_at_budget",
-        when(row_number().over(w) === 1,
-          greatest(col("graft_b0") - col("graft_excess"), lit(0L)))
-          .otherwise(col("graft_b0")))
+        col("graft_b0") - least(col("graft_b0"),
+          greatest(col("graft_excess") - col("graft_prior"), lit(0L))))
       .select(col(sourceCol), col("n_docs"), col("share"),
         col("docs_at_budget"))
   }
@@ -1142,5 +1171,43 @@ object Corpus {
         col("top.cnt").as("gram_count"),
         round(col("top.cnt").cast("double") * length(col("top.gram")) /
           col("top.norm_len"), 6).as("char_fraction"))
+  }
+
+  /** Per-source vocabulary profile: token count, type (distinct-term)
+    * count, type-token ratio (Herdan's lexical-diversity measure) and
+    * hapax-legomenon fraction — the crawl-triage numbers that separate
+    * templated/machine-generated dumps (low TTR, low hapax: the same
+    * words over and over) from natural prose, and the vocabulary-size
+    * input to tokenizer training. Same [[graft.plans.WordShingles]]
+    * tokenizer as every other text operator.
+    *
+    * Scale shape: one (source, term) shuffle with map-side combine — the
+    * term-frequency table is the only wide stage; the per-source rollup
+    * runs on the types table (bounded by vocabulary, not corpus, size)
+    * and the doc-count side is a separate tiny aggregate joined
+    * null-safely (a null source is a real group, not a dropped one).
+    */
+  def vocabStats(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val tf = docs
+      .select(col(sourceCol), explode(T.wordShingles(col(textCol), 1)).as("graft_t"))
+      .groupBy(col(sourceCol), col("graft_t"))
+      .agg(count(lit(1)).as("graft_c"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("graft_c")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("graft_c") === 1L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_hapax"))
+      .withColumnRenamed(sourceCol, "graft_src")
+    docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+      .join(tf, col(sourceCol) <=> col("graft_src"), "left")
+      .select(col(sourceCol), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_fraction"))
   }
 }

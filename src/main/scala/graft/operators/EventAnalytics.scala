@@ -41,7 +41,13 @@ object EventAnalytics {
     val idx = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(acc)
     }
+    // null-timestamp events are dropped, not folded: Spark's array_sort
+    // places null-ts structs FIRST while SQL engines' min/>= recurrence
+    // ignores them (nulls-last default) — filtering pins the semantics
+    // instead of leaving them fixture-dependent, and a null event time
+    // cannot order within a funnel anyway
     val perUser = events
+      .where(col(tsCol).isNotNull)
       .where(col(typeCol).isin(steps.map(x => x: Any): _*))
       .select(col(userCol), col(tsCol).as("graft_ts"), idx.as("graft_idx"))
       .groupBy(col(userCol))

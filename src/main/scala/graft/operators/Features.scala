@@ -122,4 +122,60 @@ object Features {
       .where(col(valueCol) < col("fence_lo") || col(valueCol) > col("fence_hi"))
       .drop(byCols.map(c => s"graft_k_$c"): _*)
   }
+
+  /** Matryoshka truncation (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): keep the first `dims` dimensions and
+    * L2-renormalize — the storage/latency dial for MRL-trained embedding
+    * columns (a 64→16 truncation quarters every downstream ANN and dedup
+    * cost at a small recall trade). Zero-norm slices stay zero (the
+    * NaN-poisoning guard of [[l2Normalize]]). Pure per-row arithmetic —
+    * the norm is one native [[graft.plans.NativeOps.dot]] pass, no
+    * shuffle, and the division order matches the DuckDB oracle's
+    * list arithmetic at 6 dp.
+    */
+  def truncateEmbedding(df: DataFrame, vecCol: String, dims: Int,
+      outCol: String): DataFrame = {
+    require(dims >= 1, "truncateEmbedding: dims must be >= 1")
+    val sl = slice(V.asDouble(col(vecCol)), 1, dims)
+    val n = sqrt(V.dot(sl, sl))
+    df.withColumn(outCol,
+      when(n === 0.0, sl).otherwise(transform(sl, x => x / n)))
+  }
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2003,
+    * "Database-friendly random projections"): out = (1/√k)·S·v with S a
+    * fixed ±1 matrix — the cheap dimensionality reduction that preserves
+    * pairwise distances within (1±ε) at k = O(log n / ε²), used to shrink
+    * embeddings before LSH banding or coarse clustering. Signs are
+    * deterministic from the engine-portable 60-bit md5 of "i_j" (the
+    * repo-wide reproducibility idiom — the DuckDB oracle derives the
+    * identical matrix), so the projection is stable across runs, engines
+    * and cluster sizes with no RNG state to ship.
+    *
+    * Scale shape: the k×d matrix rides the plan as a literal (k·d
+    * doubles — broadcast with the task binary, not a join), and the
+    * multiply is one native [[graft.plans.NativeOps.matVec]] call per
+    * row inside whole-stage codegen: map-side only, no shuffle, no
+    * driver participation beyond the constant.
+    */
+  def randomProjection(df: DataFrame, vecCol: String, outDim: Int,
+      outCol: String, dim: Int = 64): DataFrame = {
+    require(outDim >= 1, "randomProjection: outDim must be >= 1")
+    require(dim >= 1, "randomProjection: dim must be >= 1")
+    // dim is a declared parameter (no eager first() on plan construction);
+    // a mismatch with the actual vector length fails typed inside matVec
+    // ("matrix length is not a multiple of vector length") on execution
+    val flat = Array.tabulate(outDim * dim) { idx =>
+      val j = idx / dim
+      val i = idx % dim
+      if (graft.plans.NativeOps.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"${i}_$j")) % 2L == 0L)
+        1.0 else -1.0
+    }
+    val scale = math.sqrt(outDim.toDouble)
+    df.withColumn(outCol,
+      transform(
+        graft.plans.TextStatsExpressions.matVec(col(vecCol), typedLit(flat.toSeq)),
+        x => x / scale))
+  }
 }

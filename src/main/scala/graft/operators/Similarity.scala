@@ -687,7 +687,13 @@ object Similarity {
     */
   private def adcLutFlat(queries: DataFrame, codebook: DataFrame,
       vecCol: String, idCol: String, m: Int, dim: Int): DataFrame = {
-    val ksub = codebook.agg(max(col("cent_id"))).first().getInt(0) + 1
+    // read the max as nullable and fail typed: an empty codebook frame
+    // would otherwise surface as an opaque NPE from getInt on a null row
+    val maxCent = codebook.agg(max(col("cent_id"))).first()
+    require(!maxCent.isNullAt(0),
+      "PQ codebook is empty — train it first (pqTrain) or point at the " +
+        "persisted codebook parquet, not an empty frame")
+    val ksub = maxCent.getInt(0) + 1
     adcLut(queries, codebook, vecCol, idCol, m, dim)
       .groupBy(col("query_id"))
       .agg(map_from_entries(collect_list(struct(

@@ -41,5 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_l2"),
       info("vec_l2", "vec_l2(a, b) - euclidean distance of numeric arrays"),
       (exprs: Seq[Expression]) => L2Distance(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("char_entropy"),
+      info("char_entropy", "char_entropy(text) - Shannon entropy (bits) of the code-point distribution"),
+      (exprs: Seq[Expression]) => CharEntropy(exprs.head)))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((FunctionIdentifier("mat_vec"),
+      info("mat_vec", "mat_vec(vec, flat_matrix) - dense row-major matrix x vector"),
+      (exprs: Seq[Expression]) => MatVec(exprs.head, exprs(1))))
   }
 }

@@ -343,4 +343,75 @@ object NativeOps {
       Array[Any](UTF8String.fromString(if (bestGram == null) "" else bestGram),
         bestCnt, normLen))
   }
+
+  /** Shannon entropy (bits) of the CODE-POINT distribution of a string —
+    * the compression-proxy quality signal (machine-generated/repetitive
+    * text scores low, natural prose ~4-5 bits). Counts Unicode code
+    * points (DuckDB's `string_split(s, '')` splits identically — per
+    * code point, not grapheme), sums −p·log2 p in ascending code-point
+    * order so the Spark side is deterministic; 6-dp rounding absorbs the
+    * oracle's group-order float noise. Empty string → 0.0.
+    */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var total = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      total += 1L
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / total
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    h
+  }
+
+  /** Unicode NFC normalization — canonical composition (e + combining
+    * acute → é), the pre-dedup canonicalization step (byte-different,
+    * canonically-equal texts hash apart without it). DuckDB's
+    * `nfc_normalize` is the oracle twin.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Dense matrix × vector in one pass: `flat` holds the matrix row-major
+    * (out dim j occupies slots [j·d, (j+1)·d)), the output has
+    * flat.length / d elements, out(j) = Σ_i vec(i)·flat(j·d+i) summed in
+    * ascending i — the same sequential order as DuckDB's
+    * list_dot_product, so 6-dp-rounded projections match the oracle. The
+    * built-ins route (transform + aggregate + zip_with per output dim)
+    * allocates a lambda frame per element; this is one static call that
+    * stays inside whole-stage codegen.
+    */
+  def matVec(vec: ArrayData, flat: ArrayData, vecFloat: Boolean): GenericArrayData = {
+    val d = vec.numElements()
+    val total = flat.numElements()
+    if (d == 0 || total % d != 0)
+      throw new IllegalArgumentException(
+        s"mat_vec: matrix length $total is not a multiple of vector length $d")
+    val outDim = total / d
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var i = 0
+      val base = j * d
+      while (i < d) {
+        val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        acc += x * flat.getDouble(base + i)
+        i += 1
+      }
+      out(j) = java.lang.Double.valueOf(acc)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }

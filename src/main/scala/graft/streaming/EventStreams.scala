@@ -185,7 +185,11 @@ object EventStreams {
   def runningUserStatsBatch(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    events.select(col(userCol).as("user_id"), col(idCol).as("event_id"),
+    // a null event time cannot exist in the streaming twin (watermarks
+    // require it) and would order nulls-FIRST here vs nulls-last in SQL
+    // engines — drop it so the batch numbering is engine-pinned
+    events.where(col(tsCol).isNotNull)
+      .select(col(userCol).as("user_id"), col(idCol).as("event_id"),
       row_number().over(w).cast("bigint").as("n_events"),
       col(valueCol).as("last_value"))
   }

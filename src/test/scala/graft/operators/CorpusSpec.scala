@@ -552,6 +552,26 @@ class CorpusSpec extends SparkSpec {
     assert(hits.toSeq == Seq((100L, 1L)))
   }
 
+  test("incremental winnow pairs reject an index without the scheme tag") {
+    val sp = spark; import sp.implicits._
+    // an index persisted by an older tokenizer/hash carries no (or a
+    // stale) graft.fp.scheme tag — joining it would silently match zero
+    // pairs, so the consumer must fail typed instead
+    val untagged = Seq((1L, 42L, 0L)).toDF("doc_id", "fp_hash", "fp_pos")
+    val batch = Seq((100L, "some batch document text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.incrementalWinnowPairs(batch, untagged, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("scheme tag"))
+    // the round-trip through parquet keeps the tag valid
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("winnow_idx").toString
+    Corpus.winnowFingerprints(corpus, "text", "doc_id")
+      .write.mode("overwrite").parquet(p)
+    Corpus.incrementalWinnowPairs(batch, sp.read.parquet(p), "text", "doc_id")
+      .collect() // no throw
+  }
+
   test("winnowing short docs keep one global-min fingerprint; sub-k docs drop") {
     val sp = spark; import sp.implicits._
     val docs = Seq(

@@ -51,6 +51,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0.0))) // row present, not absent
   }
 
+  test("funnel: null-timestamp events are dropped, not folded first") {
+    val sp = spark; import sp.implicits._
+    // Spark's array_sort puts null-ts structs FIRST — an unguarded fold
+    // would advance user 1 to step a on the null event; SQL engines'
+    // min/>= recurrence ignores nulls. The filter pins one semantics.
+    val events = Seq(
+      (1L, Option.empty[java.sql.Timestamp], "a"),
+      (1L, Some(ts("2024-01-01 10:00:00")), "b"),
+      (2L, Some(ts("2024-01-01 09:00:00")), "a")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, "ts", "user_id", "event_type",
+        Seq("a", "b"))
+      .collect().map(r => r.getAs[Long]("step") ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out(1L) == 1L) // only user 2's real a-event counts
+    assert(out(2L) == 0L) // user 1 never reached a, so b cannot count
+  }
+
   test("cohortRetention: offset 0 is 1.0, churn and return count correctly") {
     val sp = spark; import sp.implicits._
     // weeks of 2024-01: Mon Jan 1, Mon Jan 8, Mon Jan 15
