@@ -46,7 +46,11 @@ object Bench {
     "q_events_resample", "q_histogram", "q_bm25_search",
     "q_hybrid_search", "q_percentile_by_group", "q_sketch_by_group",
     "q_kmeans", "q_cluster_profile", "q_mode_by_group",
-    "q_negative_sampling")
+    "q_negative_sampling",
+    "q_text_entropy", "q_text_script", "q_text_normalize",
+    "q_vocab_stats", "q_embed_truncate", "q_random_projection",
+    "q_zipf_slope", "q_source_jsd", "q_winsorize", "q_mad_outliers",
+    "q_quality_calibrate")
     // q_dedup_fuzzy is graded at sf0.01 but excluded here: sf0.1 customer
     // names are serial numbers where ~2% of ALL pairs are within distance
     // 1 (262k true pairs) — the OUTPUT is near-quadratic, so the query

@@ -1112,4 +1112,92 @@ object OracleSql {
       "FROM ex LEFT JOIN iv ON ex.query_id = iv.query_id AND ex.corpus_id = iv.corpus_id " +
       "GROUP BY 1"
   }
+
+  /** Replicated code-point entropy (plans.NativeOps.charEntropy):
+    * DuckDB's string_split(s, '') splits per code point exactly like the
+    * kernel's codePointAt walk; `0.0 - sum` avoids the −0.0 a bare
+    * negated empty/one-symbol sum would print differently.
+    */
+  def charEntropy: String =
+    "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), " +
+      "cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY 1, 2), " +
+      "tot AS (SELECT doc_id, n, sum(n) OVER (PARTITION BY doc_id) AS t FROM cnt), " +
+      "h AS (SELECT doc_id, 0.0 - sum((n / t) * log2(n / t)) AS ent FROM tot GROUP BY 1) " +
+      "SELECT d.doc_id, round(coalesce(h.ent, 0.0), 6) AS entropy " +
+      "FROM documents d LEFT JOIN h USING (doc_id)"
+
+  /** Replicated per-source vocabulary profile (Corpus.vocabStats): same
+    * tokenizer as [[tokensExpr]] with the empty-split token filtered
+    * (the kernel emits none), null-safe left join so a tokenless source
+    * still reports its doc count.
+    */
+  def vocabStats: String =
+    s"WITH tok AS (SELECT source, unnest(list_filter($tokensExpr, x -> x <> '')) AS w " +
+      "FROM documents), " +
+      "tf AS (SELECT source, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), " +
+      "a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "CAST(count(*) AS BIGINT) AS n_types, " +
+      "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax FROM tf GROUP BY 1), " +
+      "d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1) " +
+      "SELECT d.source, d.n_docs, coalesce(a.n_tokens, 0) AS n_tokens, " +
+      "coalesce(a.n_types, 0) AS n_types, coalesce(a.n_hapax, 0) AS n_hapax, " +
+      "round(a.n_types::DOUBLE / a.n_tokens, 6) AS type_token_ratio, " +
+      "round(a.n_hapax::DOUBLE / a.n_types, 6) AS hapax_fraction " +
+      "FROM d LEFT JOIN a ON d.source IS NOT DISTINCT FROM a.source"
+
+  /** Replicated quality calibration (Corpus.calibrateQuality): percent
+    * rank of the rounded quality score within source — ties share ranks
+    * (no id tie-break), (rank−1)/(n−1) in both engines.
+    */
+  def calibrateQuality: String =
+    s"WITH sc AS (SELECT doc_id, source, $qualityScoreSql AS quality FROM documents) " +
+      "SELECT doc_id, source, quality, round(percent_rank() OVER (" +
+      "PARTITION BY source ORDER BY quality), 6) AS calibrated FROM sc"
+
+  /** Replicated Zipf slope (Corpus.zipfSlope): same tokenizer,
+    * deterministic (freq desc, term asc) rank, regr_slope of log2(freq)
+    * on log2(rank) over the top maxRank terms.
+    */
+  def zipfSlope(maxRank: Int): String =
+    s"WITH tok AS (SELECT source, unnest(list_filter($tokensExpr, x -> x <> '')) AS w " +
+      "FROM documents), " +
+      "tf AS (SELECT source, w, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2), " +
+      "r AS (SELECT source, c, row_number() OVER (PARTITION BY source " +
+      "ORDER BY c DESC, w ASC) AS rk FROM tf) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_terms_used, " +
+      "round(regr_slope(log2(c), log2(rk)), 6) AS zipf_slope " +
+      s"FROM r WHERE rk <= $maxRank GROUP BY 1"
+
+  /** Replicated pairwise JSD (Corpus.sourceDivergence): shared-term sum
+    * plus the closed-form single-side mass — identical inner-join
+    * algebra, left-assoc addition, 6-dp round.
+    */
+  def sourceDivergence: String =
+    s"WITH tok AS (SELECT source, unnest(list_filter($tokensExpr, x -> x <> '')) AS w " +
+      "FROM documents), " +
+      "tf AS (SELECT source, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), " +
+      "p AS (SELECT source, w, c::DOUBLE / sum(c) OVER (PARTITION BY source) AS p FROM tf), " +
+      "j AS (SELECT a.source AS source_a, b.source AS source_b, a.p AS pa, b.p AS pb " +
+      "FROM p a JOIN p b ON a.w = b.w AND a.source < b.source) " +
+      "SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_terms, " +
+      "round((sum(pa * log2(2 * pa / (pa + pb)) + pb * log2(2 * pb / (pa + pb))) " +
+      "+ (1.0 - sum(pa)) + (1.0 - sum(pb))) * 0.5, 6) AS jsd " +
+      "FROM j GROUP BY 1, 2"
+
+  /** Replicated JL sign projection (Features.randomProjection): the ±1
+    * matrix derives from the same engine-portable 60-bit md5 of "i_j",
+    * the dot product is DuckDB's sequential list_dot_product (the same
+    * ascending-i accumulation as the mat_vec kernel), one rounded column
+    * per output dimension.
+    */
+  def randomProjection(outDim: Int, dim: Int): String = {
+    val cols = (0 until outDim).map(j =>
+      s"round(max(CASE WHEN j = $j THEN pr END), 6) AS p${j + 1}").mkString(", ")
+    s"WITH s AS (SELECT j, i, CASE WHEN ('0x' || substr(md5(i || '_' || j), 1, 15))::BIGINT " +
+      s"% 2 = 0 THEN 1.0 ELSE -1.0 END AS w FROM range($outDim) t1(j), range($dim) t2(i)), " +
+      "m AS (SELECT j, list(w ORDER BY i) AS wv FROM s GROUP BY 1), " +
+      "p AS (SELECT e.vec_id, m.j, list_dot_product(e.embedding::DOUBLE[], m.wv) " +
+      s"/ sqrt($outDim.0) AS pr FROM embeddings e CROSS JOIN m) " +
+      s"SELECT vec_id, $cols FROM p GROUP BY 1"
+  }
 }

@@ -1735,6 +1735,101 @@ object SparkEntry {
       graft.operators.Corpus.topNgramFraction(t(s, d, "documents").df,
         "text", "doc_id", n = 2)),
 
+    // compression-proxy quality: Shannon entropy of the code-point
+    // distribution (native single-pass kernel — no per-char shuffle);
+    // machine-generated/repetitive text scores low, prose ~4-5 bits
+    "q_text_entropy" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        round(graft.plans.TextStatsExpressions.charEntropy(col("text")), 6)
+          .as("entropy"))),
+
+    // script-class character fractions (multilingual crawl triage);
+    // Java \p{IsLatin} and RE2 \p{Latin} read the same Unicode tables
+    "q_text_script" -> ((s, d) => {
+      val len = length(col("text")).cast("double")
+      val lat = regexp_count(col("text"), lit("\\p{IsLatin}")).cast("double")
+      val dig = regexp_count(col("text"), lit("[0-9]")).cast("double")
+      val spc = regexp_count(col("text"), lit("\\s")).cast("double")
+      t(s, d, "documents").df.where(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"),
+          round(lat / len, 6).as("latin_frac"),
+          round(dig / len, 6).as("digit_frac"),
+          round(spc / len, 6).as("space_frac"),
+          round((len - lat - dig - spc) / len, 6).as("other_frac"))
+    }),
+
+    // Unicode NFC canonicalization (native expression, DuckDB
+    // nfc_normalize twin); the 60-bit md5 pins the normalized BYTES
+    // across engines, not just the length
+    "q_text_normalize" -> ((s, d) => {
+      val norm = graft.plans.TextStatsExpressions.nfcNormalize(col("text"))
+      t(s, d, "documents").df.select(col("doc_id"),
+        length(norm).cast("bigint").as("norm_len"),
+        (norm =!= col("text")).as("changed"),
+        conv(substring(md5(norm), 1, 15), 16, 10).cast("bigint").as("norm_h60"))
+    }),
+
+    // per-source vocabulary profile: type-token ratio + hapax fraction
+    "q_vocab_stats" -> ((s, d) =>
+      graft.operators.Corpus.vocabStats(t(s, d, "documents").df,
+        "text", "source")),
+
+    // Matryoshka 64→16 truncation with L2 renorm (first dims + unit norm)
+    "q_embed_truncate" -> ((s, d) =>
+      graft.operators.Features.truncateEmbedding(t(s, d, "embeddings").df,
+        "embedding", 16, "trunc")
+        .select(col("vec_id"),
+          round(element_at(col("trunc"), 1), 6).as("t1"),
+          round(element_at(col("trunc"), 2), 6).as("t2"),
+          round(sqrt(aggregate(col("trunc"), lit(0.0),
+            (acc, x) => acc + x * x)), 6).as("trunc_norm"))),
+
+    // Johnson–Lindenstrauss ±1 projection 64→8, one native mat_vec per
+    // row; signs derive from the engine-portable md5("i_j") parity
+    "q_random_projection" -> ((s, d) => {
+      val proj = graft.operators.Features.randomProjection(
+        t(s, d, "embeddings").df, "embedding", 8, "proj")
+      proj.select(col("vec_id") +: (1 to 8).map(j =>
+        round(element_at(col("proj"), j), 6).as(s"p$j")): _*)
+    }),
+
+    // corpus-authenticity signal: natural language slopes near -1 on the
+    // log-log rank-frequency head; templated dumps flatten
+    "q_zipf_slope" -> ((s, d) =>
+      graft.operators.Corpus.zipfSlope(t(s, d, "documents").df,
+        "text", "source", maxRank = 200)),
+
+    // distributional crawl-redundancy matrix (JSD in bits per source
+    // pair); pairs sharing zero terms are absent (JSD = 1 by definition)
+    "q_source_jsd" -> ((s, d) =>
+      graft.operators.Corpus.sourceDivergence(t(s, d, "documents").df,
+        "text", "source")),
+
+    // cross-source quality calibration: per-source percent rank makes
+    // "keep the top X% of every source" thresholds comparable
+    "q_quality_calibrate" -> ((s, d) =>
+      graft.operators.Corpus.calibrateQuality(t(s, d, "documents").df,
+        "text", "doc_id", "source")),
+
+    // heavy-tail taming: clip event values into the per-type [p05, p95]
+    // band, graded through the per-type rollup of the clipped column
+    "q_winsorize" -> ((s, d) =>
+      graft.operators.Features.winsorize(t(s, d, "events").df,
+        "value", Seq("event_type"), 0.05, 0.95)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(when(col("value_w") =!= col("value"), 1L).otherwise(0L))
+            .cast("bigint").as("n_clipped"),
+          round(sum(col("value_w")), 2).as("sum_w"))),
+
+    // median/MAD robust z-scores: outliers a single extreme value cannot
+    // recruit into the fences (unlike mean/stddev z)
+    "q_mad_outliers" -> ((s, d) =>
+      graft.operators.Features.madOutliers(t(s, d, "events").df,
+        "value", Seq("event_type"), threshold = 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("robust_z"))),
+
     // ── count-based classification / data selection (beyond reference —
     // the fastText-filter stand-ins; closed-form training, so the oracle
     // recomputes model AND prediction exactly) ──────────────────────────
@@ -2357,6 +2452,70 @@ object SparkEntry {
     "q_mixture_temperature" -> OracleSql.temperatureMixture(alpha = 0.7, budget = 1000L),
     "q_negative_sampling" -> OracleSql.negativeSampling(k = 20),
     "q_text_topngram" -> OracleSql.topNgramFraction(n = 2),
+
+    "q_text_entropy" -> OracleSql.charEntropy,
+
+    // RE2 script classes mirror Java's \p{IsX}; other = the remainder so
+    // the four fractions and the count reconcile exactly
+    "q_text_script" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "round(len(regexp_extract_all(text, '\\p{Latin}')) / length(text)::DOUBLE, 6) AS latin_frac, " +
+        "round(len(regexp_extract_all(text, '[0-9]')) / length(text)::DOUBLE, 6) AS digit_frac, " +
+        "round(len(regexp_extract_all(text, '\\s')) / length(text)::DOUBLE, 6) AS space_frac, " +
+        "round((length(text) - len(regexp_extract_all(text, '\\p{Latin}')) " +
+        "- len(regexp_extract_all(text, '[0-9]')) " +
+        "- len(regexp_extract_all(text, '\\s'))) / length(text)::DOUBLE, 6) AS other_frac " +
+        "FROM documents WHERE length(text) > 0"),
+
+    "q_text_normalize" ->
+      ("SELECT doc_id, CAST(length(nfc_normalize(text)) AS BIGINT) AS norm_len, " +
+        "nfc_normalize(text) <> text AS changed, " +
+        "('0x' || substr(md5(nfc_normalize(text)), 1, 15))::BIGINT AS norm_h60 " +
+        "FROM documents"),
+
+    "q_vocab_stats" -> OracleSql.vocabStats,
+
+    "q_embed_truncate" ->
+      ("WITH s AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS sl FROM embeddings), " +
+        "n AS (SELECT vec_id, sl, sqrt(list_dot_product(sl, sl)) AS nrm FROM s), " +
+        "t AS (SELECT vec_id, nrm, CASE WHEN nrm = 0 THEN sl " +
+        "ELSE list_transform(sl, x -> x / nrm) END AS tr FROM n) " +
+        "SELECT vec_id, round(tr[1], 6) AS t1, round(tr[2], 6) AS t2, " +
+        "round(sqrt(list_dot_product(tr, tr)), 6) AS trunc_norm FROM t"),
+
+    "q_random_projection" -> OracleSql.randomProjection(outDim = 8, dim = 64),
+
+    "q_quality_calibrate" -> OracleSql.calibrateQuality,
+
+    "q_zipf_slope" -> OracleSql.zipfSlope(maxRank = 200),
+
+    "q_source_jsd" -> OracleSql.sourceDivergence,
+
+    // fences rounded 6 dp before the clip; null values stay null (both
+    // engines' greatest/least ignore nulls — gated explicitly)
+    "q_winsorize" ->
+      ("WITH f AS (SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo, " +
+        "round(quantile_cont(value, 0.95), 6) AS hi FROM events GROUP BY 1), " +
+        "w AS (SELECT e.event_type, e.value, CASE WHEN e.value IS NULL THEN NULL " +
+        "ELSE least(greatest(e.value, f.lo), f.hi) END AS vw FROM events e " +
+        "JOIN f ON e.event_type IS NOT DISTINCT FROM f.event_type) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN vw <> value THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped, " +
+        "round(sum(vw), 2) AS sum_w FROM w GROUP BY 1"),
+
+    // median and MAD rounded 6 dp before the score, the score before the
+    // compare; MAD = 0 groups flag nothing
+    "q_mad_outliers" ->
+      ("WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m " +
+        "FROM events GROUP BY 1), " +
+        "j AS (SELECT e.event_id, e.event_type, e.value, med.m FROM events e " +
+        "JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type), " +
+        "mad AS (SELECT event_type, round(quantile_cont(abs(value - m), 0.5), 6) AS md " +
+        "FROM j GROUP BY 1) " +
+        "SELECT j.event_id, j.event_type, j.value, " +
+        "round(0.6745 * (j.value - j.m) / d.md, 6) AS robust_z " +
+        "FROM j JOIN mad d ON j.event_type IS NOT DISTINCT FROM d.event_type " +
+        "WHERE d.md > 0 AND abs(round(0.6745 * (j.value - j.m) / d.md, 6)) > 3.5"),
     "q_bm25_search" -> OracleSql.bm25Search(Seq("hash", "join", "vector"), k = 20),
     "q_hybrid_search" -> OracleSql.hybridSearch(Seq("hash", "join", "vector"),
       queryVecId = 0L, kEach = 50, k = 20),

@@ -1210,4 +1210,104 @@ object Corpus {
         round(col("n_hapax").cast("double") / col("n_types"), 6)
           .as("hapax_fraction"))
   }
+
+  /** Per-source Zipf slope: the least-squares slope of log2(freq) on
+    * log2(rank) over the top `maxRank` terms — natural language sits
+    * near −1 (Zipf's law); templated/machine-generated dumps flatten
+    * toward 0 or fall off a cliff, so the slope is a corpus-level
+    * authenticity signal the per-doc scores can't see. Rank is the
+    * deterministic (freq desc, term asc) row number; the regression runs
+    * through the built-in `regr_slope` aggregate (same estimator both
+    * engines — the [[GraftFrame.correlationMatrix]] precedent).
+    *
+    * Scale shape: one (source, term) map-side-combined count shuffle;
+    * the rank window and regression run over the vocabulary-bounded
+    * frequency table capped at `maxRank` rows per source — corpus size
+    * never reaches the window.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, sourceCol: String,
+      maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 2, "zipfSlope: maxRank must be >= 2 (a slope needs 2 points)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("graft_c").desc, col("graft_t").asc)
+    docs.select(col(sourceCol), explode(T.wordShingles(col(textCol), 1)).as("graft_t"))
+      .groupBy(col(sourceCol), col("graft_t"))
+      .agg(count(lit(1)).as("graft_c"))
+      .withColumn("graft_r", row_number().over(w))
+      .where(col("graft_r") <= maxRank)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("bigint").as("n_terms_used"),
+        round(expr("regr_slope(log2(graft_c), log2(graft_r))"), 6)
+          .as("zipf_slope"))
+  }
+
+  /** Cross-source quality calibration: each document's quality score
+    * mapped to its percent rank WITHIN its source — the fix for "source
+    * A's 0.6 means something different than source B's 0.6" when a
+    * mixture keeps the top X% of every source (FineWeb-style pipelines
+    * threshold per source for exactly this reason). Ranks on the
+    * 6-dp-rounded score with NO id tie-break: tied scores share a rank,
+    * so the calibrated value is a property of the score, deterministic
+    * in both engines ((rank−1)/(n−1), single-row groups → 0).
+    *
+    * Scale shape: one window over source-partitioned rows carrying
+    * (id, source, quality) only. A source too large for one partition's
+    * sort calibrates with [[curriculumBins]]' distributed ntile instead
+    * (percentile grain traded for partition-size independence).
+    */
+  def calibrateQuality(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("quality"))
+    docs.select(col(idCol), col(sourceCol),
+        round(T.qualityScore(col(textCol)), 6).as("quality"))
+      .withColumn("calibrated", round(percent_rank().over(w), 6))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions (bits, 0 = identical, 1 = disjoint) — the
+    * distributional "which crawls are redundant" matrix, where
+    * [[groupOverlap]] answers the set question (shared vocabulary) this
+    * answers the usage one (shared vocabulary AT the same frequencies).
+    *
+    * Zero-frequency terms need no smoothing: a term present in only one
+    * side contributes p/2 to the divergence (its mixture m = p/2, so
+    * ½·p·log2(2) = p/2), which lets the whole sum come off the INNER
+    * join — JSD = ½·Σ_shared[p·log2(2p/(p+q)) + q·log2(2q/(p+q))]
+    * + ½(1−P_shared) + ½(1−Q_shared), with P/Q_shared the shared-term
+    * probability mass per side. No full-outer join, no vocabulary union
+    * frame.
+    *
+    * Scale shape: one (source, term) count shuffle; the term self-join
+    * fans out at most S rows per (term, side) — bounded by the source
+    * count, not the corpus; the rollup is S²/2 rows.
+    */
+  def sourceDivergence(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val p = docs
+      .select(col(sourceCol).as("graft_s"),
+        explode(T.wordShingles(col(textCol), 1)).as("graft_t"))
+      .groupBy(col("graft_s"), col("graft_t"))
+      .agg(count(lit(1)).as("graft_c"))
+      .withColumn("graft_p",
+        col("graft_c").cast("double") /
+          sum(col("graft_c")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("graft_s"))))
+    val a = p.select(col("graft_s").as("source_a"), col("graft_t"),
+      col("graft_p").as("pa"))
+    val b = p.select(col("graft_s").as("source_b"), col("graft_t"),
+      col("graft_p").as("pb"))
+    a.join(b, Seq("graft_t"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared_terms"),
+        sum(col("pa") * log2(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+          col("pb") * log2(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+          .as("graft_shared"),
+        sum(col("pa")).as("graft_pm"), sum(col("pb")).as("graft_qm"))
+      .select(col("source_a"), col("source_b"), col("n_shared_terms"),
+        round((col("graft_shared") +
+          (lit(1.0) - col("graft_pm")) + (lit(1.0) - col("graft_qm"))) *
+          lit(0.5), 6).as("jsd"))
+  }
 }

@@ -123,6 +123,84 @@ object Features {
       .drop(byCols.map(c => s"graft_k_$c"): _*)
   }
 
+  /** Percentile winsorization: clip `valueCol` into the per-group
+    * [pLo, pHi] quantile band — the standard heavy-tail taming for
+    * feature columns where [[iqrOutliers]] would DROP the rows instead
+    * of capping them. Fences are 6-dp-rounded BEFORE the clip (the
+    * engine-parity idiom of iqrOutliers) and null values stay null (both
+    * engines' greatest/least IGNORE nulls, which would silently clip a
+    * null to the fence — pinned with an explicit null gate instead).
+    * Returns every input row with `<valueCol>_w` appended.
+    *
+    * Scale shape: one grouped percentile pass (exact, or approx via the
+    * same dial as iqrOutliers), broadcast-or-shuffle join back on the
+    * null-safe key, map-side clip.
+    */
+  def winsorize(df: DataFrame, valueCol: String, byCols: Seq[String],
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      exact: Boolean = true): DataFrame = {
+    require(byCols.nonEmpty, "winsorize: byCols must be non-empty")
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val (loE, hiE) =
+      if (exact) (s"percentile($valueCol, ${pLo}d)", s"percentile($valueCol, ${pHi}d)")
+      else (s"approx_percentile($valueCol, ${pLo}d, 10000)",
+        s"approx_percentile($valueCol, ${pHi}d, 10000)")
+    val fences = df.groupBy(byCols.map(col): _*)
+      .agg(expr(loE).as("graft_lo"), expr(hiE).as("graft_hi"))
+      .select(byCols.map(c => col(c).as(s"graft_k_$c")) ++ Seq(
+        round(col("graft_lo"), 6).as("graft_lo"),
+        round(col("graft_hi"), 6).as("graft_hi")): _*)
+    df.join(fences,
+        byCols.map(c => col(c) <=> col(s"graft_k_$c")).reduce(_ && _))
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("graft_lo")),
+            col("graft_hi"))))
+      .drop(byCols.map(c => s"graft_k_$c") ++ Seq("graft_lo", "graft_hi"): _*)
+  }
+
+  /** Robust z-score outliers (Iglewicz–Hoaglin): flag rows where
+    * |0.6745·(x − median)/MAD| exceeds `threshold` (3.5 is the published
+    * default) — the median/MAD analogue of [[iqrOutliers]] that a single
+    * extreme value cannot recruit into the fences the way it drags a
+    * mean/stddev z-score. Median and MAD are 6-dp-rounded before the
+    * score, the score before the compare (engine parity); MAD = 0 groups
+    * (over half the values identical) flag nothing — the score is
+    * undefined there, and both engines would otherwise emit ±Inf.
+    *
+    * Scale shape: two grouped percentile passes (the second over
+    * |x − median|, joined back on the null-safe key) and a map-side
+    * predicate — no window over the data rows.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, byCols: Seq[String],
+      threshold: Double = 3.5, exact: Boolean = true): DataFrame = {
+    require(byCols.nonEmpty, "madOutliers: byCols must be non-empty")
+    require(threshold > 0, "madOutliers: threshold must be > 0")
+    def pct(c: String) =
+      if (exact) s"percentile($c, 0.5d)" else s"approx_percentile($c, 0.5d, 10000)"
+    val med = df.groupBy(byCols.map(col): _*)
+      .agg(expr(pct(valueCol)).as("graft_med0"))
+      .select(byCols.map(c => col(c).as(s"graft_mk_$c")) :+
+        round(col("graft_med0"), 6).as("graft_med"): _*)
+    val withMed = df.join(med,
+      byCols.map(c => col(c) <=> col(s"graft_mk_$c")).reduce(_ && _))
+    val mad = withMed
+      .withColumn("graft_ad", abs(col(valueCol) - col("graft_med")))
+      .groupBy(byCols.map(c => col(s"graft_mk_$c")): _*)
+      .agg(expr(pct("graft_ad")).as("graft_mad0"))
+      .select(byCols.map(c => col(s"graft_mk_$c").as(s"graft_dk_$c")) :+
+        round(col("graft_mad0"), 6).as("graft_mad"): _*)
+    withMed.join(mad,
+        byCols.map(c => col(s"graft_mk_$c") <=> col(s"graft_dk_$c")).reduce(_ && _))
+      .where(col("graft_mad") > 0)
+      .withColumn("robust_z",
+        round(lit(0.6745) * (col(valueCol) - col("graft_med")) / col("graft_mad"), 6))
+      .where(abs(col("robust_z")) > threshold)
+      .drop(byCols.flatMap(c => Seq(s"graft_mk_$c", s"graft_dk_$c")) ++
+        Seq("graft_med", "graft_mad", "graft_ad"): _*)
+  }
+
   /** Matryoshka truncation (Kusupati et al. 2022, "Matryoshka
     * Representation Learning"): keep the first `dims` dimensions and
     * L2-renormalize — the storage/latency dial for MRL-trained embedding

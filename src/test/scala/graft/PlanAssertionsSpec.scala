@@ -199,6 +199,20 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), s"opaque UDF in the probe path:\n$p")
   }
 
+  test("entropy, NFC normalize and JL projection are shuffle-free native projections") {
+    for (q <- Seq("q_text_entropy", "q_text_normalize", "q_random_projection")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      // all three are one native expression per row; an Exchange means a
+      // per-char/per-dim explode + groupBy shape crept back in
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q should be a native expression:\n$p")
+    }
+    assert(plan(SparkEntry.queries("q_text_entropy")(spark, sf))
+      .contains("char_entropy"))
+    assert(plan(SparkEntry.queries("q_random_projection")(spark, sf))
+      .contains("mat_vec"))
+  }
+
   test("top-n-gram fraction is a shuffle-free map-side projection") {
     val df = SparkEntry.queries("q_text_topngram")(spark, sf)
     val p = plan(df)

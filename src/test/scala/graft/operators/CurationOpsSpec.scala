@@ -317,4 +317,57 @@ class CurationOpsSpec extends SparkSpec {
       nlist = 4, nprobe = 4, queryFraction = 0.3).count()
     assert(again == n)
   }
+
+  test("zipfSlope: hand-checked two-point slope; zipfian text lands near -1") {
+    val sp = spark; import sp.implicits._
+    // one source, freq 4 for 'a', freq 2 for 'b': slope through
+    // (log2 1, log2 4)=(0,2) and (log2 2, log2 2)=(1,1) is exactly -1
+    val tiny = Seq((1L, "s", "a a a a b b")).toDF("id", "source", "text")
+    val one = Corpus.zipfSlope(tiny, "text", "source").first()
+    assert(one.getAs[Long]("n_terms_used") == 2L)
+    assert(one.getAs[Double]("zipf_slope") == -1.0)
+    // synthetic zipf corpus: term t_r appears ~N/r times
+    val zipf = (1 to 50).flatMap(r => Seq.fill(600 / r)(s"t$r")).mkString(" ")
+    val s2 = Corpus.zipfSlope(Seq((1L, "z", zipf)).toDF("id", "source", "text"),
+      "text", "source").first().getAs[Double]("zipf_slope")
+    assert(s2 < -0.85 && s2 > -1.15, s"expected near -1, got $s2")
+  }
+
+  test("calibrateQuality: percent ranks per source, ties share, singleton is 0") {
+    val sp = spark; import sp.implicits._
+    // quality is monotone in length below 500 chars — engineer distinct
+    // scores via distinct lengths, plus an exact tie via identical text
+    val docs = Seq(
+      (1L, "a", "short text"),
+      (2L, "a", "short text"),                       // tie with doc 1
+      (3L, "a", "a much longer piece of text " * 4),
+      (4L, "b", "only document in its source")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.calibrateQuality(docs, "text", "doc_id", "source")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L)._2 == 0.0 && out(2L)._2 == 0.0) // tied lowest share rank 0
+    assert(out(1L)._1 == out(2L)._1)
+    assert(out(3L)._2 == 1.0) // top of a 3-doc source: (3-1)/(3-1)
+    assert(out(4L)._2 == 0.0) // singleton source pins to 0, not NaN
+  }
+
+  test("sourceDivergence: identical sources at 0, disjoint pairs absent, asymmetric mass") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma alpha"),
+      (2L, "s2", "alpha beta gamma alpha"),   // identical distribution
+      (3L, "s3", "delta epsilon zeta"),        // disjoint from s1/s2
+      (4L, "s4", "alpha beta something else")  // partial overlap
+    ).toDF("id", "source", "text")
+    val out = Corpus.sourceDivergence(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_shared_terms"), r.getAs[Double]("jsd")))).toMap
+    assert(out(("s1", "s2")) == ((3L, 0.0))) // same distribution → 0 bits
+    assert(!out.contains(("s1", "s3"))) // zero shared terms → row absent (JSD 1)
+    val partial = out(("s1", "s4"))._2
+    assert(partial > 0.0 && partial < 1.0)
+    // JSD is symmetric even though the pair is ordered
+    assert(out(("s2", "s4"))._2 == out(("s1", "s4"))._2)
+  }
 }

@@ -79,4 +79,32 @@ class FeaturesSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("psi_term")).sum
     assert(psi > 0.5, s"expected large drift, got $psi")
   }
+
+  test("winsorize clips into the quantile band, keeps nulls null, keeps rows") {
+    val sp = spark; import sp.implicits._
+    // group g: 1..20 plus an extreme 1000 — p05/p95 fences clip both tails
+    val vals = ((1 to 20).map(_.toDouble) :+ 1000.0).map(v => ("g", Some(v))) :+
+      (("g", Option.empty[Double]))
+    val df = vals.toDF("k", "v")
+    val out = Features.winsorize(df, "v", Seq("k"), 0.05, 0.95).collect()
+    assert(out.length == 22) // winsorize caps, never drops
+    val w = out.filter(!_.isNullAt(1)).map(r => r.getDouble(1) -> r.getDouble(2))
+    val lo = w.map(_._2).min
+    val hi = w.map(_._2).max
+    assert(w.forall { case (_, c) => c >= lo && c <= hi })
+    assert(w.count { case (v, c) => c != v } >= 2) // both tails clipped
+    assert(w.filter { case (v, _) => v == 10.0 }.forall { case (v, c) => c == v })
+    assert(out.filter(_.isNullAt(1)).forall(_.isNullAt(2))) // null stays null
+  }
+
+  test("madOutliers flags the planted extreme; a majority-constant group flags nothing") {
+    val sp = spark; import sp.implicits._
+    val df = ((1 to 30).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 500.0)))
+      .++((1 to 20).map(_ => ("b", 7.0)) :+ (("b", 9999.0))) // MAD = 0
+      .toDF("k", "v")
+    val out = Features.madOutliers(df, "v", Seq("k"), threshold = 3.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getAs[Double]("robust_z")))
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq(("a", 500.0)))
+    assert(out.head._3 > 3.5) // and the score itself is large & positive
+  }
 }
