@@ -55,8 +55,26 @@ object Loaders {
   }
 
   def loadParquet(spark: SparkSession, path: String, alias: String): GraftFrame =
-    GraftFrame(normalizeNanoTimestamps(spark, path,
-      spark.read.parquet(path)), alias)
+    GraftFrame(normalizeNtzTimestamps(normalizeNanoTimestamps(spark, path,
+      spark.read.parquet(path))), alias)
+
+  /** Parquet `timestamp` columns written WITHOUT `isAdjustedToUTC` arrive
+    * as TIMESTAMP_NTZ in Spark 4. The engine's temporal operators
+    * (as-of/range joins, funnels, sessionization, watermarked streams)
+    * standardize on TIMESTAMP — `unix_micros`, watermarks, and interval
+    * arithmetic all require it — so NTZ columns are cast on load. Under
+    * the engine's fixed UTC session ([[session]]) the cast is
+    * value-preserving: the wall-clock instant is reinterpreted as UTC,
+    * which matches how a naive-timestamp engine (DuckDB, the reference's
+    * DataFusion core) reads the same file. Top-level columns only — the
+    * temporal operator surface keys on top-level event-time columns.
+    */
+  private def normalizeNtzTimestamps(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else df.withColumns(
+      ntz.map(f => f.name -> col(f.name).cast(TimestampType)).toMap)
+  }
 
   /** Spark 4 rejects parquet TIMESTAMP(NANOS); sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` so such columns arrive as
