@@ -1304,6 +1304,29 @@ object SparkEntry {
       Multimodal.decodeMedia(media)
     }),
 
+    // REAL pixel decode: each row carries a genuine image FILE (solid
+    // color, encoded by the JDK's own PNG/GIF/BMP writers) and
+    // decodePixelStats must run the actual javax.imageio codec to get
+    // dims, channels, and per-channel means back out. Solid color keeps
+    // the means exactly integer, so the oracle recomputes every value
+    // from doc_id arithmetic — a decoder reading the wrong band order or
+    // mishandling the GIF palette hash-mismatches every row.
+    "q_multimodal_pixels" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val mkImg = udf((id: Long) => Multimodal.solidImageBytes(
+        Seq("png", "gif", "bmp")((id % 3).toInt),
+        (id % 16 + 1).toInt, (id % 8 + 1).toInt,
+        (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+      val media = docs.select(col("doc_id").as("media_id"),
+        mkImg(col("doc_id")).as("payload"))
+      Multimodal.decodePixelStats(media)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          col("mean_r").cast("bigint").as("mean_r"),
+          col("mean_g").cast("bigint").as("mean_g"),
+          col("mean_b").cast("bigint").as("mean_b"))
+    }),
+
     // the decode op COMPOSED through the relational pipeline (the shape
     // an image-curation job actually runs): decode headers → aspect/size
     // filter → join back to document metadata → per-(lang, format)
@@ -2568,6 +2591,19 @@ object SparkEntry {
         "CAST(doc_id * 13 % 800 + 1 AS INT) AS width, " +
         "CAST(doc_id * 7 % 600 + 1 AS INT) AS height, " +
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS INT) AS channels " +
+        "FROM documents"),
+
+    // planted solid-color values recomputed from doc_id: the Spark side
+    // must round-trip them through a real encode → imageio decode
+    "q_multimodal_pixels" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format, " +
+        "CAST(doc_id % 16 + 1 AS INT) AS width, " +
+        "CAST(doc_id % 8 + 1 AS INT) AS height, " +
+        "CAST(3 AS INT) AS channels, " +
+        "CAST(doc_id % 256 AS BIGINT) AS mean_r, " +
+        "CAST(doc_id * 7 % 256 AS BIGINT) AS mean_g, " +
+        "CAST(doc_id * 13 % 256 AS BIGINT) AS mean_b " +
         "FROM documents"),
 
     "q_media_pipeline" ->

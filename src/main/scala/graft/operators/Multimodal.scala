@@ -7,16 +7,23 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (SURVEY north-star): image/audio/video
   * payloads are opaque `binary` columns with a typed metadata struct.
   *
-  * The HEADER probe is real: [[probeImage]] parses PNG IHDR / JPEG SOF /
-  * GIF logical-screen headers (public file-format specs, no codec
-  * libraries) and recovers format, dimensions, and channel count from the
-  * payload bytes — the metadata pass every image-pipeline stage
-  * (dedup-by-dims, aspect filtering, resize planning) actually needs.
-  * Full pixel decode (JPEG → pixels, PCM → spectrogram, …) needs codec
-  * libraries this container doesn't ship, so the pixel kernel stays a
-  * clearly-marked deterministic STUB — while the Spark-side plumbing
-  * (schema, batched per-partition processing via `mapPartitions`, the
-  * Scala analogue of the `mapInPandas` batch shape) is real and tested.
+  * Two real decode surfaces, no codec stubs:
+  *
+  *  - [[probeImage]] / [[decodeMedia]] — header-only metadata probe: PNG
+  *    IHDR / JPEG SOF / GIF logical-screen parsing straight off the
+  *    payload bytes (public file-format specs). The cheap pass every
+  *    image-pipeline stage (dedup-by-dims, aspect filtering, resize
+  *    planning) runs first, reading a few dozen bytes per row.
+  *  - [[decodePixels]] / [[decodePixelStats]] — full pixel decode through
+  *    `javax.imageio` (public JDK API: PNG, JPEG, GIF, BMP codecs ship
+  *    with the JRE), emitting dimensions, channel count, and per-channel
+  *    sRGB means per payload. Batched per partition via `mapPartitions`
+  *    (the Scala analogue of the `mapInPandas` batch shape): map-side
+  *    only, no shuffle, no driver collect.
+  *
+  * Audio/video codecs (PCM → spectrogram, video frame decode) are not in
+  * the JDK and not shipped here; [[sampleFrames]] carries the frame-window
+  * plumbing with byte slicing in place of a frame codec.
   */
 object Multimodal {
 
@@ -50,15 +57,15 @@ object Multimodal {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** STUB decode kernel — deterministic fake standing in for a real codec:
-    * "decoding" a payload yields its byte length and a stable 60-bit
-    * content digest (high 60 bits of MD5 — reproducible by any engine's
-    * md5(), which is how the DuckDB oracle checks it). A real deployment
-    * swaps `decodeBytes` for the codec call; everything around it
-    * (batching, schema, partitioning) stays.
+  /** Byte-level content fingerprint: payload length plus a stable 60-bit
+    * digest (high 60 bits of MD5 — reproducible by any engine's md5(),
+    * which is how the DuckDB oracle checks it). Modality-agnostic by
+    * design — exact-duplicate detection over media payloads compares raw
+    * bytes, not decoded pixels, so this runs on any payload including
+    * formats no local codec can open. Pixel-level decode is the separate
+    * [[decodePixels]] kernel.
     */
-  private[operators] def decodeBytes(payload: Array[Byte]): (Int, Long) = {
-    // ??? real codec goes here — deterministic fake below
+  private[operators] def contentFingerprint(payload: Array[Byte]): (Int, Long) = {
     val md = md5Local.get()
     md.reset()
     val d = md.digest(payload)
@@ -75,10 +82,12 @@ object Multimodal {
     StructField("content_digest", LongType, nullable = true),
     StructField("feature", ArrayType(FloatType), nullable = true)))
 
-  /** Batched feature extraction over partitions — the `mapInPandas` batch
-    * shape in Scala: one iterator pass per partition, no driver collect,
-    * output schema declared up front. The fake "feature" is an 8-dim
-    * digest-derived vector standing in for an image embedding.
+  /** Batched fingerprint extraction over partitions — the `mapInPandas`
+    * batch shape in Scala: one iterator pass per partition, no driver
+    * collect, output schema declared up front. The 8-dim feature is the
+    * digest's bytes scaled to [0,1] — a locality-free binary fingerprint
+    * (exact-match only, by construction); embedding-like features over
+    * decoded pixels come from [[decodePixelStats]].
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -91,7 +100,7 @@ object Multimodal {
         val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         if (payload == null) Row(id, modality, null, null, null)
         else {
-          val (len, digest) = decodeBytes(payload)
+          val (len, digest) = contentFingerprint(payload)
           val feat = Array.tabulate(8)(i =>
             (((digest >>> (i * 8)) & 0xffL).toFloat / 255.0f))
           Row(id, modality, len, digest, feat.toSeq)
@@ -150,6 +159,16 @@ object Multimodal {
         new String(b, 0, 6, "US-ASCII") == "GIF89a")) {
       val w = le16(6); val h = le16(8)
       if (w <= 0 || h <= 0) None else Some(("gif", w, h, 3))
+    } else if (b.length >= 30 && u8(0) == 'B' && u8(1) == 'M') {
+      // BMP (BITMAPINFOHEADER): LE32 width at 18, LE32 height at 22
+      // (negative = top-down rows), LE16 bits-per-pixel at 28
+      def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val w = le32(18); val h = math.abs(le32(22))
+      val channels = le16(28) match {
+        case 1 | 4 | 8 => 1; case 16 | 24 => 3; case 32 => 4
+        case _ => return None
+      }
+      if (w <= 0 || h <= 0) None else Some(("bmp", w, h, channels))
     } else None
   }
 
@@ -183,6 +202,107 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  // javax.imageio writes decode scratch to temp FILES by default — on an
+  // executor that is one disk round-trip per image; keep it in memory
+  private lazy val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** Full pixel decode of one payload via `javax.imageio` (PNG, JPEG,
+    * GIF, BMP — the codecs the JDK ships): (width, height, channels,
+    * mean_r, mean_g, mean_b). Means are over the sRGB-converted pixels
+    * (`getRGB` routes palette and grayscale images through their
+    * ColorModel), so a GIF's palette indices and a PNG's raw samples both
+    * land in one comparable color space. Returns None for null payloads,
+    * non-image bytes, and formats without a local codec — decode failure
+    * is data, not an exception, at 10^10-row scale.
+    */
+  private[operators] def decodePixels(
+      payload: Array[Byte]): Option[(Int, Int, Int, Double, Double, Double)] = {
+    imageIoNoCache
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) None
+        else {
+          val channels = img.getColorModel.getNumComponents
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Some((w, h, channels, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val pixelStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true)))
+
+  /** Pixel-level decode over a media frame: one `mapPartitions` pass runs
+    * the real `javax.imageio` codec per payload and emits dimensions,
+    * channel count, and per-channel sRGB means; `format` comes from the
+    * byte-level header probe so it agrees with [[decodeMedia]].
+    * Undecodable or null payloads yield null columns rather than dropping
+    * the row (same 1:1 join-back contract as [[decodeMedia]]). Scale
+    * shape: map-side only — no shuffle, no driver collect, scan reads
+    * just (media_id, payload); decode cost is embarrassingly parallel and
+    * scales with executor count.
+    */
+  def decodePixelStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(pixelStatsSchema).asInstanceOf[org.apache.spark.sql.Encoder[Row]]
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        (if (payload == null) None else decodePixels(payload)) match {
+          case Some((w, h, c, mr, mg, mb)) =>
+            val fmt = probeImage(payload).map(_._1).getOrElse("unknown")
+            Row(id, fmt, w, h, c, mr, mg, mb)
+          case None => Row(id, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixture encoder: a REAL image file (solid color, chosen format)
+    * produced by the JDK's own encoders — `decodePixelStats` must run the
+    * actual codec to recover dims and channel means from it. Solid color
+    * keeps the oracle exact: PNG and BMP are lossless and a
+    * single-color GIF palette round-trips exactly (spec-verified in
+    * MultimodalSpec).
+    */
+  private[graft] def solidImageBytes(fmt: String, w: Int, h: Int,
+      r: Int, g: Int, b: Int): Array[Byte] = {
+    imageIoNoCache
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
   }
 
   private def crc32(bytes: Array[Byte]): Int = {

@@ -62,18 +62,37 @@ object Loaders {
     * as TIMESTAMP_NTZ in Spark 4. The engine's temporal operators
     * (as-of/range joins, funnels, sessionization, watermarked streams)
     * standardize on TIMESTAMP — `unix_micros`, watermarks, and interval
-    * arithmetic all require it — so NTZ columns are cast on load. Under
-    * the engine's fixed UTC session ([[session]]) the cast is
-    * value-preserving: the wall-clock instant is reinterpreted as UTC,
-    * which matches how a naive-timestamp engine (DuckDB, the reference's
-    * DataFusion core) reads the same file. Top-level columns only — the
-    * temporal operator surface keys on top-level event-time columns.
+    * arithmetic all require it — so NTZ columns are cast on load. The
+    * naive wall-clock is always interpreted as UTC — matching how a
+    * naive-timestamp engine (DuckDB, the reference's DataFusion core)
+    * reads the same file. Under the engine's fixed UTC session
+    * ([[session]]) that is a plain cast; under a caller-built non-UTC
+    * session the naive value is first shifted with `convert_timezone`
+    * (per-value, DST-correct) so the cast still lands on the as-if-UTC
+    * instant instead of silently drifting by the session offset.
+    * Top-level columns only — the temporal operator surface keys on
+    * top-level event-time columns. Applied on EVERY parquet-backed load
+    * path (plain, delta snapshot, delta predicate-pruned, delta-less
+    * fallback, append re-read) so event-time typing never differs by
+    * load path.
     */
-  private def normalizeNtzTimestamps(df: DataFrame): DataFrame = {
+  private[graft] def normalizeNtzTimestamps(df: DataFrame): DataFrame = {
     val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
     if (ntz.isEmpty) df
-    else df.withColumns(
-      ntz.map(f => f.name -> col(f.name).cast(TimestampType)).toMap)
+    else {
+      val sessionTz = df.sparkSession.conf
+        .get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+      df.withColumns(ntz.map { f =>
+        // backtick-escape: a top-level name containing a dot is valid in
+        // parquet and must not parse as a struct access (see the nano
+        // normalizer below, which escapes for the same reason)
+        val c = col(s"`${f.name.replace("`", "``")}`")
+        val cast =
+          if (sessionTz == "UTC") c.cast(TimestampType)
+          else convert_timezone(lit("UTC"), lit(sessionTz), c).cast(TimestampType)
+        f.name -> cast
+      }.toMap)
+    }
   }
 
   /** Spark 4 rejects parquet TIMESTAMP(NANOS); sessions set
@@ -163,11 +182,11 @@ object Loaders {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "_delta_log")))
-      GraftFrame(DeltaLog.read(spark, path, versionAsOf), alias)
+      GraftFrame(normalizeNtzTimestamps(DeltaLog.read(spark, path, versionAsOf)), alias)
     else if (versionAsOf.nonEmpty)
       throw graft.GraftError.InvalidOperation("load_delta",
         s"versionAsOf requires a _delta_log; $path has none")
-    else GraftFrame(spark.read.parquet(path), alias)
+    else GraftFrame(normalizeNtzTimestamps(spark.read.parquet(path)), alias)
   }
 
   /** Predicate-pruned delta read: only files whose add-action stats may
@@ -181,7 +200,8 @@ object Loaders {
     if (!fs.exists(new org.apache.hadoop.fs.Path(hPath, "_delta_log")))
       throw graft.GraftError.InvalidOperation("load_delta",
         s"predicate-pruned read requires a _delta_log; $path has none")
-    GraftFrame(DeltaLog.readWhere(spark, path, predicate, versionAsOf), alias)
+    GraftFrame(normalizeNtzTimestamps(
+      DeltaLog.readWhere(spark, path, predicate, versionAsOf)), alias)
   }
 
   /** JSON load matching the reference's inference semantics

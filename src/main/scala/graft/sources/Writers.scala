@@ -85,7 +85,10 @@ object Writers {
     val out = m match {
       case "overwrite" => df
       case "append" if Files.exists(Paths.get(path)) =>
-        val existing = df.sparkSession.read.parquet(path)
+        // NTZ-normalize the re-read so appending a TIMESTAMP frame onto a
+        // file whose footer lacks isAdjustedToUTC doesn't union TS with NTZ
+        val existing = Loaders.normalizeNtzTimestamps(
+          df.sparkSession.read.parquet(path))
         if (!existing.columns.sorted.sameElements(df.columns.sorted))
           throw graft.GraftError.WriteError(path, "write_to_parquet append",
             s"column mismatch (${existing.columns.mkString(",")} vs ${df.columns.mkString(",")})")

@@ -76,6 +76,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isNullAt(1) && out(3L).isNullAt(1))
   }
 
+  test("decodePixels runs the real imageio codec: solid colors round-trip exactly") {
+    for (fmt <- Seq("png", "gif", "bmp"); (r, g, b) <- Seq((7, 200, 13), (255, 0, 128))) {
+      val bytes = Multimodal.solidImageBytes(fmt, 5, 3, r, g, b)
+      // the payload is a genuine file of that format, not header-only
+      assert(Multimodal.probeImage(bytes).map(_._1).contains(fmt))
+      val Some((w, h, c, mr, mg, mb)) = Multimodal.decodePixels(bytes)
+      assert((w, h, c) == (5, 3, 3), s"$fmt dims")
+      assert((mr, mg, mb) == (r.toDouble, g.toDouble, b.toDouble), s"$fmt means")
+    }
+    // non-image bytes and truncated files decode to None, not an exception
+    assert(Multimodal.decodePixels("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodePixels(
+      Multimodal.solidImageBytes("png", 5, 3, 1, 2, 3).take(20)).isEmpty)
+  }
+
+  test("decodePixels averages real pixel content, not just metadata") {
+    // half black / half white 4x2 → mean 127.5 per channel
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val Some((w, h, _, mr, mg, mb)) = Multimodal.decodePixels(out.toByteArray)
+    assert((w, h) == (4, 2))
+    assert((mr, mg, mb) == (127.5, 127.5, 127.5))
+  }
+
+  test("decodePixelStats: 1:1 rows, null columns for undecodable, format agrees with probe") {
+    val sp = spark; import sp.implicits._
+    val media = Seq(
+      (1L, Multimodal.solidImageBytes("gif", 6, 4, 10, 20, 30)),
+      (2L, "garbage".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    val out = Multimodal.decodePixelStats(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out.size == 3)
+    assert(out(1L).getAs[String]("format") == "gif")
+    assert(out(1L).getAs[Int]("width") == 6 && out(1L).getAs[Int]("height") == 4)
+    assert(out(1L).getAs[Double]("mean_g") == 20.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("format")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("width")))
+  }
+
+  test("probeImage parses BMP headers (dims + bit depth)") {
+    val bytes = Multimodal.solidImageBytes("bmp", 31, 17, 1, 2, 3)
+    assert(Multimodal.probeImage(bytes).contains(("bmp", 31, 17, 3)))
+  }
+
   test("feature schema stable for null payloads") {
     val sp = spark; import sp.implicits._
     val withNull = Seq((9L, "image", null.asInstanceOf[Array[Byte]]))

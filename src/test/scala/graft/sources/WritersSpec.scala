@@ -85,6 +85,65 @@ class WritersSpec extends SparkSpec {
     assert(back.first().getAs[Long]("event_ts") == 123456789L)
   }
 
+  test("NTZ parquet columns normalize to TIMESTAMP with micros preserved (dotted names too)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.TimestampNTZType
+    val sp = spark; import sp.implicits._
+    val p = tmp("ntz")
+    // a dotted top-level name is valid parquet and must not parse as a
+    // struct access in the normalizer (ADVICE r9: backtick escaping)
+    Seq("2024-03-10 12:34:56.123456").toDF("s")
+      .select(col("s").cast(TimestampNTZType).as("event.time"))
+      .write.mode("overwrite").parquet(p)
+    val back = Loaders.loadParquet(spark, p, "ntz").df
+    assert(back.schema("event.time").dataType.typeName == "timestamp")
+    val micros = back.select(unix_micros(col("`event.time`"))).first().getLong(0)
+    val want = java.time.LocalDateTime.of(2024, 3, 10, 12, 34, 56, 123456000)
+      .toInstant(java.time.ZoneOffset.UTC)
+    assert(micros == want.getEpochSecond * 1000000L + 123456L)
+  }
+
+  test("NTZ normalization lands on the as-if-UTC instant under a non-UTC session") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.TimestampNTZType
+    val sp = spark; import sp.implicits._
+    val p = tmp("ntz_tz")
+    Seq("2024-03-10 12:34:56").toDF("s")
+      .select(col("s").cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(p)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val back = Loaders.loadParquet(spark, p, "ntz_tz").df
+      assert(back.schema("ts").dataType.typeName == "timestamp")
+      val micros = back.select(unix_micros(col("ts"))).first().getLong(0)
+      val want = java.time.LocalDateTime.of(2024, 3, 10, 12, 34, 56)
+        .toInstant(java.time.ZoneOffset.UTC)
+      assert(micros == want.getEpochSecond * 1000000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("NTZ normalization applies on the delta-less loadDelta fallback and append re-read") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.TimestampNTZType
+    val sp = spark; import sp.implicits._
+    val p = tmp("ntz_paths")
+    Seq("2024-01-01 00:00:00").toDF("s")
+      .select(col("s").cast(TimestampNTZType).as("ts"), lit(1L).as("id"))
+      .write.mode("overwrite").parquet(p)
+    assert(Loaders.loadDelta(spark, p, "d").df.schema("ts").dataType.typeName
+      == "timestamp")
+    // append a normalized frame onto the raw-NTZ file: the re-read must
+    // normalize too or the unionByName throws on TS vs NTZ
+    val single = tmp("ntz_single.parquet")
+    Writers.writeParquetSingle(
+      Loaders.loadParquet(spark, p, "a").df, "overwrite", single)
+    Writers.writeParquetSingle(
+      Loaders.loadParquet(spark, p, "b").df, "append", single)
+    val back = Loaders.loadParquet(spark, single, "rt").df
+    assert(back.count() == 2 && back.schema("ts").dataType.typeName == "timestamp")
+  }
+
   test("folder loader accepts an explicit file: URI (scheme preserved per file)") {
     val sp = spark; import sp.implicits._
     val dir = tmp("folder_uri")
