@@ -110,24 +110,35 @@ object Bench {
       val median =
         if (runs.exists(_ < 0)) -1.0
         else runs.sorted.apply(runs.length / 2)
-      name -> median
+      (name, median, runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val byName = results.toMap
+    val byName = results.map(r => r._1 -> r._2).toMap
     val coreTotal = core.flatMap(byName.get).filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_total":$coreTotal%.3f,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // fallback for output-capture loss: every BENCH_r* so far carries
-    // parsed=null because the driver's capture drops the stdout line
-    // under log noise — persist the same line where a reader can find it
-    try {
-      val out = java.nio.file.Paths.get("target", "bench_latest.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // all three raw runs per query, not just the median — round-over-round
+    // drift is unattributable without per-run spread (the r6→r9 core_total
+    // question was unanswerable from medians alone)
+    val runsJson = results.map { case (k, _, runs) =>
+      "\"" + k + "\":[" + runs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fullLine = line.dropRight(1) + f""","runs":$runsJson}"""
+    // persist where readers can find it: target/ for local iteration, and
+    // BENCH_FULL_latest.json in the repo root so the end-of-round snapshot
+    // commit preserves the COMPLETE per-query history (the committed
+    // BENCH_r* artifacts truncate — that's how the r6→r9 drift became
+    // unattributable)
+    for (p <- Seq(java.nio.file.Paths.get("target", "bench_latest.json"),
+        java.nio.file.Paths.get("BENCH_FULL_latest.json"))) {
+      try {
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -73,7 +73,7 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleWords: Int = 3,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5, maxBandFreq: Long = 1000L): DataFrame = {
     // r = numHashes/bands tunes collision selectivity: P(candidate) =
     // 1-(1-j^r)^b. r=4/b=16 → j=0.7 collides at 0.99, j=0.05 at ~1e-4.
     // Smaller r floods verification with spurious pairs (measured 35 s vs
@@ -82,15 +82,42 @@ object Dedup {
     // above the S-curve knee (P(miss) ≈ (1-t^r)^b; e.g. < 1e-10 at t=0.85,
     // r=4, b=32) — below the knee, expect a recall floor, not equality
     // with an exact method (ngramJaccardPairs is the exact alternative).
+    //
+    // `maxBandFreq` is the hot-bucket guard (the banding analogue of
+    // ngramJaccardPairs/winnowPairs' maxDocFreq): the bucket self-join is
+    // Σ bucket² pairs, and exact-duplicate clusters (callers that skip
+    // exact() first) or low-entropy short docs concentrate whole clusters
+    // into ONE band value — a 10^5-row bucket is a 10^10-pair explosion.
+    // Band values with > maxBandFreq member docs are dropped before the
+    // join, bounding any bucket's fan-out at maxBandFreq²/2. Recall
+    // trade: a pair whose EVERY collided band is over-cap is missed —
+    // with defaults that takes a ≥ 1000-member duplicate cluster, which
+    // is exact-dedup's job to collapse first; pairs colliding in any
+    // sub-cap band still appear. 0 disables.
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val banded = minhashBandIndex(df, textCol, idCol, numHashes, bands, shingleWords)
+    val banded = capBandBuckets(
+      minhashBandIndex(df, textCol, idCol, numHashes, bands, shingleWords),
+      maxBandFreq)
     val cand = banded.alias("a").join(banded.alias("b"),
       col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val shingleFrame = df.select(col(idCol).as("sid"),
-      array_distinct(T.wordShingles(col(textCol), shingleWords)).as("sh"))
+      // candidate pairs are consumed twice below (verify join + the
+      // verify prune) — eager localCheckpoint (the connectedComponents
+      // policy) runs the band self-join ONCE and holds only the
+      // (id_a, id_b) sliver, instead of recomputing sketch+join per use
+      .dropDuplicates("id_a", "id_b").localCheckpoint(true)
+    // verify only re-reads (and re-shingles) CANDIDATE docs: at corpus
+    // scale the candidate set is a sliver of the corpus, and without the
+    // semi-join prune the verify join would shuffle every document's
+    // shingle array — the same prune incrementalNearDupPairs applies to
+    // its corpus side (AQE turns the small-id-set prune into a broadcast
+    // semi-join, so the corpus is never shuffled for verification).
+    val candIds = cand.select(col("id_a").as("sid"))
+      .union(cand.select(col("id_b").as("sid"))).distinct()
+    val shingleFrame = df.join(candIds, col(idCol) === col("sid"), "left_semi")
+      .select(col(idCol).as("sid"),
+        array_distinct(T.wordShingles(col(textCol), shingleWords)).as("sh"))
     cand
       .join(shingleFrame, col("id_a") === col("sid"))
       .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
@@ -278,6 +305,22 @@ object Dedup {
         "false negatives) — rebuild it with minhashBandIndex")
   }
 
+  /** Drop (band, bh) buckets whose membership exceeds the cap — the
+    * hot-bucket guard of [[minhashLshPairs]] / [[incrementalNearDupPairs]]
+    * (same idiom as Corpus.capPostings). A window count rather than a
+    * groupBy+semi-join: one pass over the banded frame (the sketch pass
+    * is the expensive input and must not be recomputed for a keep-set),
+    * and the window's hash-partitioning on (band, bh) is the partitioning
+    * the bucket self-join wants anyway. 0 disables.
+    */
+  private def capBandBuckets(banded: DataFrame, maxBandFreq: Long): DataFrame =
+    if (maxBandFreq <= 0L) banded
+    else banded
+      .withColumn("graft_bf",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .where(col("graft_bf") <= maxBandFreq)
+      .drop("graft_bf")
+
   def minhashBandIndex(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleWords: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -315,10 +358,15 @@ object Dedup {
       textCol: String, idCol: String, numHashes: Int = 64, bands: Int = 16,
       shingleWords: Int = 3, jaccardThreshold: Double = 0.5,
       corpusIndex: Option[DataFrame] = None,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true, maxBandFreq: Long = 1000L): DataFrame = {
     corpusIndex.foreach(requireBandScheme) // pre-change indexes join to zero
-    val idx = corpusIndex.getOrElse(
-        minhashBandIndex(corpus, textCol, idCol, numHashes, bands, shingleWords))
+    // hot-bucket guard on the CORPUS side (where a boilerplate band value
+    // matches every batch doc against thousands of corpus docs) — same
+    // cap and recall trade as minhashLshPairs, measured on the at-rest
+    // index like incrementalWinnowPairs' maxDocFreq
+    val idx = capBandBuckets(corpusIndex.getOrElse(
+        minhashBandIndex(corpus, textCol, idCol, numHashes, bands, shingleWords)),
+        maxBandFreq)
       .select(col("id").as("corpus_id"), col("band"), col("bh"))
     val batchBands0 = minhashBandIndex(batch, textCol, idCol, numHashes,
       bands, shingleWords).select(col("id").as("batch_id"), col("band"), col("bh"))

@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1.0 scale validation for the dedup/ANN/graph headline (round-10
+  * verdict item 5): the 100 TB claims rest on plan shape — this tool
+  * validates them empirically at 10× the bench corpus by generating an
+  * sf1.0-sized documents/embeddings pair, timing the scale-path queries
+  * at both sizes, and reporting the wall-clock ratio per query. A query
+  * whose plan is linear in the corpus should scale ≲ 10× (plus constant
+  * overheads it amortizes); a quadratic plan shows 100×.
+  *
+  * Generation is deterministic (hash-seeded, no RNG state) and keeps the
+  * sf0.1 marginals without planting near-dup structure: each extra copy
+  * of a document carries the SAME unigram distribution but hash-shuffled
+  * word ORDER, so 3-word shingles are effectively fresh and the organic
+  * pair densities (the thing that bounds candidate counts) stay flat —
+  * scaling the INPUT, not the answer. Extra embeddings are fresh unit
+  * vectors from md5 bits, matching the near-random fixture geometry.
+  * Output parquet lands under target/ (never /root/testdata, which is
+  * read-only).
+  */
+object ScaleCheck {
+
+  /** Queries whose inputs are only documents/embeddings and whose plans
+    * claim linear-in-corpus scaling (excludes the deliberately-quadratic
+    * brute-force baselines q_knn_pagerank/q_knn_outliers/q_sim_topk and
+    * the fixed-size-query-set probes).
+    */
+  val scalePath: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_containment", "q_dedup_clusters", "q_dedup_best",
+    "q_dedup_embedding", "q_dedup_semantic", "q_dedup_cross_source",
+    "q_dedup_degree", "q_dedup_paragraph", "q_dedup_incremental",
+    "q_sim_lsh", "q_sim_ivf_indexed", "q_sim_pq_indexed", "q_sim_ivfpq",
+    "q_knn_pagerank_indexed", "q_graph_pagerank",
+    "q_winnow", "q_winnow_pairs", "q_tfidf", "q_kmeans")
+
+  private def hashShuffleText(spark: SparkSession, docs: DataFrame,
+      copies: Int, idStep: Long): DataFrame = {
+    val shuffleWords = udf((text: String, seed: Long) => {
+      val words = text.split("\\s+")
+      // deterministic per-(doc,copy) permutation: sort by word hash mixed
+      // with the seed — same unigrams, fresh shingles
+      words.sortBy(w => scala.util.hashing.MurmurHash3
+        .stringHash(w, seed.toInt)).mkString(" ")
+    })
+    (0 until copies).map { c =>
+      if (c == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(c * idStep)).as("doc_id"),
+        shuffleWords(col("text"),
+          col("doc_id") * lit(copies.toLong) + lit(c.toLong)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def freshEmbeddings(spark: SparkSession, emb: DataFrame,
+      copies: Int, idStep: Long, dim: Int): DataFrame = {
+    val mkVec = udf((id: Long) => {
+      val v = Array.tabulate(dim) { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = md.digest(s"scale_${id}_$j".getBytes("UTF-8"))
+        var h = 0L; var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        (h.toDouble / Long.MaxValue.toDouble).toFloat // ~U(-1, 1)
+      }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(x => if (n == 0f) 0f else x / n)
+    })
+    (0 until copies).map { c =>
+      if (c == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(c * idStep)).as("vec_id"),
+        mkVec(col("vec_id") + lit(c * idStep)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/root/repo/target/sf1.0"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docsOut = s"$outDir/documents.parquet"
+    if (!new java.io.File(docsOut).exists()) {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      hashShuffleText(spark, docs, copies, idStep = 1000000L)
+        .repartition(32).write.mode("overwrite").parquet(docsOut)
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      freshEmbeddings(spark, emb, copies, idStep = 1000000L, dim)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    println(s"[scale] documents: ${spark.read.parquet(docsOut).count()} rows")
+
+    def timeQ(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try { graft.SparkEntry.queries(name)(spark, dir).foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] $name@$dir failed: ${e.getMessage}"); -1.0 }
+    }
+    // warm code paths once at the small sf, then best-of-2 per (query, sf)
+    scalePath.foreach(q => timeQ(q, srcDir))
+    val rows = scalePath.map { q =>
+      val t01 = Seq(timeQ(q, srcDir), timeQ(q, srcDir)).min
+      val t10 = Seq(timeQ(q, outDir), timeQ(q, outDir)).min
+      val ratio = if (t01 > 0 && t10 > 0) t10 / t01 else -1.0
+      println(f"[scale] $q%-26s sf0.1 $t01%6.2f s   sf1.0 $t10%6.2f s   ratio ${ratio}%5.1f")
+      (q, t01, t10, ratio)
+    }
+    val json = rows.map { case (q, a, b, r) =>
+      f"""\"$q\":{\"sf01\":$a%.3f,\"sf10\":$b%.3f,\"ratio\":$r%.2f}"""
+    }.mkString("{\"scale\":10,\"queries\":{", ",", "}}")
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1_r10.json"),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

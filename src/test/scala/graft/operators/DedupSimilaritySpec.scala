@@ -162,6 +162,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("maxBandFreq bounds hot-bucket fan-out from an exact-duplicate cluster") {
+    val sp = spark; import sp.implicits._
+    // 40 identical docs (one hot band bucket per band) + one near pair
+    // with mid-range overlap that must SURVIVE the cap
+    val boiler = (1L to 40L).map(id => (id,
+      "the same boilerplate footer text repeated on every single page here"))
+    val near = Seq(
+      (100L, "quick brown foxes jump over lazy dogs in the golden autumn meadow"),
+      (101L, "quick brown foxes jump over lazy dogs in the silent autumn meadow"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    def pairSet(cap: Long) = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleWords = 3, jaccardThreshold = 0.3,
+      maxBandFreq = cap).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val uncapped = pairSet(0L)
+    assert(uncapped.size == 40 * 39 / 2 + 1, "cluster explodes quadratically uncapped")
+    val capped = pairSet(10L)
+    // the 40-member cluster exceeds the cap in EVERY band → all its
+    // quadratic pairs are gone; the sub-cap near pair survives intact
+    assert(capped == Set((100L, 101L)))
+    // a cap above the cluster size is a no-op
+    assert(pairSet(1000L) == uncapped)
+  }
+
   test("minhash pairs: subset of exact pairs always; equality above the knee") {
     // below the S-curve knee LSH promises a recall floor, not completeness;
     // above it (t=0.85, r=4, b=32 ⇒ P(miss) < 1e-10) the pair set must

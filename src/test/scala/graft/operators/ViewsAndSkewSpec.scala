@@ -130,6 +130,83 @@ class ViewsAndSkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted join SPREADS a 100:1 hot key across partitions (plan fact, not narration)") {
+    val sp = spark; import sp.implicits._
+    // 100:1 skew: one key holds ~all rows; in a plain equi-join every hot
+    // row lands in ONE shuffle partition (the at-scale OOM), in the
+    // salted join the same rows must land in several
+    val left = ((1 to 2000).map(i => ("hot", i)) ++
+      (1 to 20).map(i => (s"cold$i", i))).toDF("k", "lv")
+    val right = (Seq("hot") ++ (1 to 20).map(i => s"cold$i")).map((_, 1))
+      .toDF("k", "rv")
+    def hotPartitions(df: org.apache.spark.sql.DataFrame): Long =
+      df.where(col("k") === "hot")
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+        .distinct().count()
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      // forbid broadcast so both variants actually shuffle on the join
+      // key, and AQE partition coalescing so the unit-test-sized shuffle
+      // keeps its partitioning observable (at scale the hot partitions
+      // are far above the coalesce target and stay distinct)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      assert(hotPartitions(left.join(right, Seq("k"))) == 1L,
+        "plain join must concentrate the hot key (the failure mode)")
+      assert(hotPartitions(Skew.saltedJoin(left, right, Seq("k"), factor = 4)) > 1L,
+        "salted join must spread the hot key over > 1 partition")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("AQE skew-join engages on a planted hot key (executed-plan assertion)") {
+    val sp = spark; import sp.implicits._
+    // thresholds scaled down so the 4 MB hot partition counts as skewed in
+    // a unit test; the shape (one partition ≫ median × factor) is exactly
+    // the 100 TB trigger condition
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // INCOMPRESSIBLE pad (md5 chain): the skew detector reads compressed
+      // shuffle sizes, and a constant-char pad lz4-compresses to nothing
+      def pad(i: Int): String = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until 4).map { j =>
+          md.digest(s"$i-$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }.mkString
+      }
+      val left = ((1 to 20000).map(i => ("hot", pad(i))) ++
+        (1 to 200).map(i => (s"cold$i", pad(i)))).toDF("k", "lv")
+      val right = (Seq("hot") ++ (1 to 200).map(i => s"cold$i"))
+        .map((_, "r")).toDF("k", "rv")
+      val joined = left.join(right, Seq("k"))
+      // collect (not foreach: the RDD path would run a separate query
+      // execution) so THIS execution's adaptive plan reaches its final
+      // form before the assertion reads it
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n${plan.take(2000)}")
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE skew-join did not engage:\n${plan.take(4000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("salted two-phase count equals direct count") {
     val sp = spark; import sp.implicits._
     val df = (Seq.fill(300)("hot") ++ Seq("a", "b", "a")).toDF("k")
