@@ -1087,14 +1087,18 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "percentilesBy: every p must be in [0, 1]")
     val d = toDF
-    val aggExprs = cols.zipWithIndex.flatMap { case (c, i) =>
-      ps.indices.map(j =>
-        expr(s"percentile($c, ${ps(j)}d)").as(s"graft_p_${i}_$j"))
+    // ONE percentile aggregate per column with the whole p-grid as an
+    // array: the exact aggregate buffers and sorts each column's values
+    // once and reads every quantile off that sort, instead of buffering
+    // and sorting per (column, p) — same values, |ps|× less agg work
+    val psArray = ps.map(p => s"${p}d").mkString("array(", ", ", ")")
+    val aggExprs = cols.zipWithIndex.map { case (c, i) =>
+      expr(s"percentile($c, $psArray)").as(s"graft_p_$i")
     }
     val entries = array(cols.zipWithIndex.flatMap { case (c, i) =>
       ps.indices.map(j =>
         struct(lit(c).as("col_name"), lit(ps(j)).as("p"),
-          col(s"graft_p_${i}_$j").as("v")))
+          col(s"graft_p_$i").getItem(j).as("v")))
     }: _*)
     d.groupBy(byCols.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
@@ -1116,15 +1120,18 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "percentiles: every p must be in [0, 1]")
     val d = toDF
-    val exprs = cols.flatMap { c =>
-      ps.map(p => expr(s"percentile($c, ${p}d)").as(s"${c}__$p"))
-    }
+    // one array-of-ps percentile per column (see percentilesBy): each
+    // column's values buffer and sort once for the whole p-grid
+    val psArray = ps.map(p => s"${p}d").mkString("array(", ", ", ")")
+    val exprs = cols.map(c => expr(s"percentile($c, $psArray)").as(s"${c}__ps"))
     val r = d.select(exprs: _*).first()
     val sp = spark; import sp.implicits._
     cols.zipWithIndex.flatMap { case (c, i) =>
+      val vs = Option(r.get(i)).map(_.asInstanceOf[scala.collection.Seq[Any]])
+        .getOrElse(scala.collection.Seq.empty[Any])
       ps.zipWithIndex.map { case (p, j) =>
-        (c, p, Option(r.get(i * ps.length + j))
-          .map(_.toString.toDouble).getOrElse(Double.NaN))
+        (c, p, if (j < vs.length && vs(j) != null) vs(j).toString.toDouble
+               else Double.NaN)
       }
     }.toDF("col_name", "p", "value")
   }

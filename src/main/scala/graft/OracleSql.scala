@@ -509,8 +509,19 @@ object OracleSql {
     * replications can never drift. Returns (chain, finalCteName).
     */
   private def centroidChain(nlist: Int, refineIterations: Int, dim: Int): (String, String) =
+    centroidChainExpr(nlist.toString, refineIterations, dim)
+
+  /** [[centroidChain]] with nlist as an arbitrary SQL scalar expression —
+    * lets an oracle derive nlist from the corpus itself (the adaptive
+    * nlist ∝ N rule of Similarity.autoNlist), which a LIMIT literal
+    * can't express; the seed cut becomes a row_number filter instead.
+    */
+  private def centroidChainExpr(nlistExpr: String, refineIterations: Int,
+      dim: Int): (String, String) =
     (0 until refineIterations)
-      .foldLeft(s"cent0 AS (SELECT vec_id AS cent_id, v AS centv FROM c ORDER BY vec_id LIMIT $nlist)" -> "cent0") {
+      .foldLeft(("cent0 AS (SELECT vec_id AS cent_id, v AS centv FROM (" +
+        "SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS seed_rn FROM c) " +
+        s"WHERE seed_rn <= ($nlistExpr))") -> "cent0") {
         case ((cte, prev), it) =>
           val a = s"asg_r$it"; val nxt = s"cent${it + 1}"
           (cte +
@@ -730,9 +741,13 @@ object OracleSql {
     * centroid/assignment/probe replication with the WHOLE corpus as the
     * query set, edge top-k per query, then the same unrolled PR rounds.
     */
-  def ivfKnnPageRank(k: Int, nlist: Int, nprobe: Int, iterations: Int,
-      damping: Double, refineIterations: Int = 1, dim: Int = 64): String = {
-    val (centChain, cent) = centroidChain(nlist, refineIterations, dim)
+  def ivfKnnPageRank(k: Int, nprobe: Int, iterations: Int,
+      damping: Double, refineIterations: Int = 1, dim: Int = 64,
+      targetListSize: Int = 32, minNlist: Int = 16): String = {
+    // Similarity.autoNlist in SQL: max(minNlist, ceil(N / targetListSize))
+    val nlistExpr = s"greatest($minNlist, CAST(ceil(" +
+      s"(SELECT count(*) FROM c) / $targetListSize.0) AS BIGINT))"
+    val (centChain, cent) = centroidChainExpr(nlistExpr, refineIterations, dim)
     val pairs =
       "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         s"$centChain, cent AS (SELECT cent_id, centv FROM $cent), " +

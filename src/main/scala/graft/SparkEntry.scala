@@ -1624,15 +1624,20 @@ object SparkEntry {
     // on list_id — cluster-bounded, never all-pairs) and feed the same
     // PageRank. The oracle replicates centroids, probes, and edge top-k
     // exactly, then unrolls the same 3 PR rounds.
-    // nlist=64/nprobe=8: each query's candidate set is ~1/8 of the
-    // corpus (nprobe/nlist), vs 1/4 at the 16/4 probe shape — with every
-    // vector querying, candidate cosines are the whole cost, so the list
-    // fan-out ratio IS the knob (at 100 TB, nlist scales with corpus)
+    // nlist = autoNlist(N): ~32 vectors per inverted list REGARDLESS of
+    // corpus size, so each query scans a constant nprobe·32 candidates
+    // and the whole edge build is linear in N — a fixed nlist re-grows
+    // every list with the corpus and the all-N query side turns the
+    // build quadratic (ScaleCheck measured 12× at 10× data with the old
+    // fixed nlist=64). The oracle computes the same count-derived nlist.
     "q_knn_pagerank_indexed" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
-      val idx = gradedIndexPath("ivf_knn_graded", d)
+      // nlist in the cache path: an at-rest index built under a different
+      // list count is a DIFFERENT index (stale hits would change edges)
+      val nl = Similarity.autoNlist(emb.count())
+      val idx = gradedIndexPath(s"ivf_knn_graded_nl$nl", d)
       ensureIndexBuilt(idx) {
-        Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 64) }
+        Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = nl) }
       val edges = Similarity.ivfKnnEdges(idx, emb, "embedding", "vec_id",
           k = 5, nprobe = 8)
         .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"))
@@ -2847,7 +2852,7 @@ object SparkEntry {
 
     "q_knn_pagerank" -> OracleSql.knnPageRank(k = 5, iterations = 3, damping = 0.85),
 
-    "q_knn_pagerank_indexed" -> OracleSql.ivfKnnPageRank(k = 5, nlist = 64,
+    "q_knn_pagerank_indexed" -> OracleSql.ivfKnnPageRank(k = 5,
       nprobe = 8, iterations = 3, damping = 0.85),
 
     "q_knn_outliers" ->

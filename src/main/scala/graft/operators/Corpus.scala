@@ -382,13 +382,23 @@ object Corpus {
     */
   def groupOverlap(docs: DataFrame, textCol: String, groupCol: String,
       shingleWords: Int = 3): DataFrame = {
-    val posting = docs.select(col(groupCol).as("g"),
+    // ONE shuffle of the posting volume: fold each shingle's groups into
+    // a set (partial-merged map-side; |set| ≤ #groups, a small constant),
+    // then sizes and pair counts both read the collapsed per-shingle rows
+    // — the identical pre-shuffle subplan lets ReuseExchange ship the
+    // shingle scan once. The previous shape (distinct posting, then a
+    // posting⋈posting self-join on the shingle key) re-shuffled the full
+    // posting list three times for the same answer.
+    val byShingle = docs.select(col(groupCol).as("g"),
         explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("sh"))
-      .distinct()
-    val sizes = posting.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    val inter = posting.alias("a").join(posting.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.g") < col("b.g"))
-      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .groupBy(col("sh")).agg(collect_set(col("g")).as("gs"))
+    val sizes = byShingle.select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = byShingle.where(size(col("gs")) >= 2)
+      .select(explode(col("gs")).as("ga"), col("gs"))
+      .select(col("ga"), explode(col("gs")).as("gb"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga").as("group_a"), col("gb").as("group_b"))
       .agg(count(lit(1)).as("common"))
     inter
       .join(sizes.select(col("g").as("group_a"), col("n").as("na")), Seq("group_a"))
@@ -674,12 +684,18 @@ object Corpus {
     * per-partition counts, no single-reducer NTILE window.
     */
   def curriculumBins(docs: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame =
-    GlobalOrder.ntile(
-      docs.select(col(idCol),
-        round(T.qualityScore(col(textCol)), 6).as("quality")),
-      k, orderCols = Seq("quality", idCol), bucketCol = "bin")
+      k: Int): DataFrame = {
+    // eager localCheckpoint pins the tiny (id, quality) projection: the
+    // range partitioner's boundary-sampling pass and the shuffle map pass
+    // would otherwise EACH re-run the regex-heavy quality scorer over the
+    // full text corpus — score once, range over ~16-byte rows
+    val scored = docs.select(col(idCol),
+        round(T.qualityScore(col(textCol)), 6).as("quality"))
+      .localCheckpoint(true)
+    GlobalOrder.ntile(scored, k, orderCols = Seq("quality", idCol),
+        bucketCol = "bin")
       .select(col(idCol), col("quality"), col("bin").cast("bigint").as("bin"))
+  }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
     * MOSS algorithm): per document, hash every k-word gram, slide a

@@ -14,7 +14,15 @@ object GlobalOrder {
 
   /** Append a 1-based global row number under the given total order. */
   def withRowNumber(df: DataFrame, orderCols: Seq[String],
-      rnCol: String = "graft_rn"): DataFrame = {
+      rnCol: String = "graft_rn"): DataFrame =
+    withRowNumberAndTotal(df, orderCols, rnCol)._1
+
+  /** [[withRowNumber]] plus the total row count — the count is the sum of
+    * the per-partition counts the numbering pass collects anyway, so
+    * callers that need both (NTILE) don't pay a second count job.
+    */
+  private[graft] def withRowNumberAndTotal(df: DataFrame, orderCols: Seq[String],
+      rnCol: String = "graft_rn"): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val ranged = df
@@ -38,7 +46,7 @@ object GlobalOrder {
       var rn = offsets(math.min(pid, offsets.length - 1))
       it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
     }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema), offsets(maxPid + 1))
   }
 
   /** Append the running total of `valueCol` (a LONG column) under the
@@ -88,8 +96,7 @@ object GlobalOrder {
   def ntile(df: DataFrame, k: Int, orderCols: Seq[String],
       bucketCol: String = "bucket"): DataFrame = {
     require(k > 0)
-    val withRn = withRowNumber(df, orderCols)
-    val total = withRn.count()
+    val (withRn, total) = withRowNumberAndTotal(df, orderCols)
     val base = total / k
     val extra = total % k
     // rows in bucket b (1-based): first `extra` buckets have base+1 rows

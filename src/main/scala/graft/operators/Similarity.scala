@@ -115,6 +115,21 @@ object Similarity {
       .dropDuplicates("query_id", "corpus_id")
   }
 
+  /** nlist for a LINEAR-scaling all-corpus kNN build: size the list count
+    * to the corpus so each inverted list holds ~`targetListSize` vectors.
+    * With nlist ∝ N the per-query candidate set (nprobe · listSize) is a
+    * CONSTANT and total edge-build work is O(N · nprobe · listSize) — a
+    * fixed nlist makes the same build quadratic (each list grows with N,
+    * so every one of the N queries scans linearly more candidates; the
+    * sf1.0 ScaleCheck measured exactly that as a 12× wall-clock ratio at
+    * 10× data before this dial existed). Recall at a given k is governed
+    * by listSize/nprobe, not N, so the operating point survives scale-up.
+    */
+  def autoNlist(corpusSize: Long, targetListSize: Int = 32,
+      minNlist: Int = 16): Int =
+    math.max(minNlist,
+      math.ceil(corpusSize.toDouble / targetListSize).toInt)
+
   /** IVF-style coarse index: pick nlist deterministic seed centroids (the
     * first nlist corpus vectors by id — deterministic without a kmeans
     * dependency), assign every corpus vector to its nearest centroid (one
@@ -230,9 +245,24 @@ object Similarity {
     * pruning in its spec).
     */
   def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
-      path: String, nlist: Int = 16, refineIterations: Int = 1): Unit = {
+      path: String, nlist: Int = 16, refineIterations: Int = 1,
+      trainFraction: Double = 1.0): Unit = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      "buildIvfIndex: trainFraction must be in (0, 1]")
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val centroids = seedAndRefine(c, nlist, refineIterations)
+    // Lloyd refinement is the build's only full-width training scan — at
+    // 100 TB gate it on the same deterministic xxhash64 sample the PQ
+    // codebook trains on (train ∝ sample·nlist instead of N·nlist).
+    // The one-pass nearest-centroid ASSIGNMENT below always covers the
+    // whole corpus — every vector must land in a list.
+    val cTrain =
+      if (trainFraction >= 1.0) c
+      else c.where(pmod(xxhash64(lit(17L), col("corpus_id").cast("string")),
+        lit(1000000L)) < (trainFraction * 1000000L).toLong)
+    val centroids = seedAndRefine(cTrain, nlist, refineIterations)
+    require(centroids.count() > 0,
+      s"buildIvfIndex: the trainFraction=$trainFraction hash sample " +
+        "selected no rows — raise trainFraction")
     centroids.write.mode("overwrite").parquet(s"${path}_centroids")
     assignToLists(c, centroids).write.mode("overwrite")
       .partitionBy("list_id").parquet(path)

@@ -41,10 +41,16 @@ object ScaleCheck {
       copies: Int, idStep: Long): DataFrame = {
     val shuffleWords = udf((text: String, seed: Long) => {
       val words = text.split("\\s+")
-      // deterministic per-(doc,copy) permutation: sort by word hash mixed
-      // with the seed — same unigrams, fresh shingles
-      words.sortBy(w => scala.util.hashing.MurmurHash3
-        .stringHash(w, seed.toInt)).mkString(" ")
+      // deterministic per-(doc,copy) permutation: sort by hash of
+      // (word, POSITION) mixed with the seed — same unigrams, fresh
+      // shingles. Hashing the word alone (a stable sort key) clustered
+      // repeated words into runs ("the the the"), planting identical hot
+      // shingles across every shuffled copy — which inflated shingle doc
+      // frequencies corpus-wide and made the Σdf² inverted-index joins
+      // look quadratic when the INPUT, not the plan, was degenerate.
+      words.zipWithIndex.sortBy { case (w, i) =>
+        scala.util.hashing.MurmurHash3.stringHash(s"$w#$i", seed.toInt)
+      }.map(_._1).mkString(" ")
     })
     (0 until copies).map { c =>
       if (c == 0) docs

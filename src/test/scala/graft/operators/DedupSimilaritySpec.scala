@@ -569,6 +569,36 @@ class DedupSimilaritySpec extends SparkSpec {
       "indexed probe must reproduce the in-memory IVF ranking")
   }
 
+  test("autoNlist holds list size constant as the corpus grows; sampled IVF training still probes") {
+    // the linear-scaling rule: nlist ∝ N so mean list size is flat —
+    // a fixed nlist regrows every list with the corpus and turns the
+    // all-N kNN edge build quadratic
+    assert(Similarity.autoNlist(0) == 16)
+    assert(Similarity.autoNlist(512) == 16)
+    assert(Similarity.autoNlist(2000) == 63)
+    assert(Similarity.autoNlist(20000) == 625)
+    val meanAt = (n: Long) => n.toDouble / Similarity.autoNlist(n)
+    assert(math.abs(meanAt(20000) - meanAt(2000)) < 2.0,
+      "mean list size must be ~flat across a 10x corpus growth")
+
+    // trainFraction gates ONLY the Lloyd refinement sample: every corpus
+    // vector still lands in a list and the index keeps its recall contract
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = "target/tmp/ivf_sampled"
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx,
+      nlist = 8, trainFraction = 0.5)
+    assert(spark.read.parquet(idx).count() == emb.count(),
+      "assignment must cover the whole corpus, not just the train sample")
+    val queries = emb.where(col("vec_id") < 5)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10))
+    val approx = topSet(Similarity.ivfTopKIndexed(idx, queries, "embedding", "vec_id",
+      k = 10, nprobe = 4))
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall > 0.5, s"sampled-training IVF recall too low: $recall")
+  }
+
   test("editDistancePairs: randomized equality with brute-force levenshtein") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(7L)
