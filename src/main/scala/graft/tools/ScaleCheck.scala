@@ -37,6 +37,19 @@ object ScaleCheck {
     "q_knn_pagerank_indexed", "q_graph_pagerank",
     "q_winnow", "q_winnow_pairs", "q_tfidf", "q_kmeans")
 
+  /** Temporal/event-analytics queries whose only input is `events` and
+    * whose plans are user-keyed (sessionize, funnels, cohorts, as-of and
+    * range joins, trailing windows) — scaling USERS 10× with identical
+    * per-user behavior replicates per-key work linearly, so a linear
+    * plan shows ~10× wall-clock minus amortized overheads and a plan
+    * with a hidden global (non-user-keyed) blow-up shows worse.
+    */
+  val eventScalePath: Seq[String] = Seq(
+    "q_events_session", "q_events_funnel", "q_events_cohort",
+    "q_funnel", "q_retention", "q_event_transitions",
+    "q_asof_join", "q_asof_fwd", "q_asof_nearest", "q_range_join",
+    "q_rolling_features", "q_events_tumbling", "q_events_sliding")
+
   private def hashShuffleText(spark: SparkSession, docs: DataFrame,
       copies: Int, idStep: Long): DataFrame = {
     val shuffleWords = udf((text: String, seed: Long) => {
@@ -84,6 +97,27 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
   }
 
+  /** 10× events: copies shift user_id/event_id into fresh ranges and keep
+    * timestamps — ten times the users, each behaving exactly like an
+    * sf0.1 user, so user-keyed operator work scales linearly by
+    * construction and any superlinear wall-clock is the plan's fault.
+    * Loaded through Loaders.loadParquet so the TIMESTAMP(NANOS) column
+    * lands as a real TimestampType and writes back as micros.
+    */
+  private def scaledEvents(spark: SparkSession, srcDir: String,
+      copies: Int): DataFrame = {
+    val ev = graft.sources.Loaders.loadParquet(
+      spark, s"$srcDir/events.parquet", "ev").df
+    (0 until copies).map { c =>
+      if (c == 0) ev
+      else ev.select(
+        (col("event_id") + lit(c * 1000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(c * 100000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/root/repo/target/sf1.0"
@@ -106,7 +140,12 @@ object ScaleCheck {
       freshEmbeddings(spark, emb, copies, idStep = 1000000L, dim)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
-    println(s"[scale] documents: ${spark.read.parquet(docsOut).count()} rows")
+    val evOut = s"$outDir/events.parquet"
+    if (!new java.io.File(evOut).exists())
+      scaledEvents(spark, srcDir, copies)
+        .repartition(32).write.mode("overwrite").parquet(evOut)
+    println(s"[scale] documents: ${spark.read.parquet(docsOut).count()} rows, " +
+      s"events: ${spark.read.parquet(evOut).count()} rows")
 
     def timeQ(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -115,8 +154,9 @@ object ScaleCheck {
         System.err.println(s"[scale] $name@$dir failed: ${e.getMessage}"); -1.0 }
     }
     // warm code paths once at the small sf, then best-of-2 per (query, sf)
-    scalePath.foreach(q => timeQ(q, srcDir))
-    val rows = scalePath.map { q =>
+    val allQ = scalePath ++ eventScalePath
+    allQ.foreach(q => timeQ(q, srcDir))
+    val rows = allQ.map { q =>
       val t01 = Seq(timeQ(q, srcDir), timeQ(q, srcDir)).min
       val t10 = Seq(timeQ(q, outDir), timeQ(q, outDir)).min
       val ratio = if (t01 > 0 && t10 > 0) t10 / t01 else -1.0
