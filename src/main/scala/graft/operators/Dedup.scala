@@ -657,6 +657,25 @@ object Dedup {
     * exposed so specs can measure the candidate ratio (candidates /
     * all-pairs) a parameterization actually achieves.
     */
+  /** lshBits for a LINEAR-scaling near-dup candidate pass: size the
+    * signature so the 2^bits bucket space grows with the corpus and
+    * expected bucket occupancy stays ~`targetBucketSize` — fixed bits
+    * leave a constant bucket count, occupancy ∝ N, and the bucket
+    * self-join quadratic (the same fixed-capacity disease as a fixed IVF
+    * nlist — see Similarity.autoNlist). Finer buckets trade recall on
+    * WEAKLY-similar pairs (those need the coarse-bits regime, where
+    * near-quadratic candidates are the semantics, not a plan bug);
+    * hamming-near vectors at near-dup thresholds (≥ 0.9) still collide,
+    * and `lshTables` buys the recall back.
+    */
+  def autoLshBits(corpusSize: Long, targetBucketSize: Int = 32,
+      minBits: Int = 4, maxBits: Int = 30): Int = {
+    require(targetBucketSize >= 1, "autoLshBits: targetBucketSize must be >= 1")
+    val buckets = math.max(1.0, corpusSize.toDouble / targetBucketSize)
+    math.min(maxBits, math.max(minBits,
+      math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
   def signLshCandidates(base: DataFrame, lshBits: Int, dim: Int,
       lshTables: Int): DataFrame = {
     val bucketed = base.select(col("id"),

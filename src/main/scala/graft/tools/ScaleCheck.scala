@@ -35,7 +35,14 @@ object ScaleCheck {
     "q_dedup_degree", "q_dedup_paragraph", "q_dedup_incremental",
     "q_sim_lsh", "q_sim_ivf_indexed", "q_sim_pq_indexed", "q_sim_ivfpq",
     "q_knn_pagerank_indexed", "q_graph_pagerank",
-    "q_winnow", "q_winnow_pairs", "q_tfidf", "q_kmeans")
+    "q_winnow", "q_winnow_pairs", "q_tfidf", "q_kmeans",
+    // pruning-regime embedding near-dup (bits=16: candidates collapse to
+    // truly-near pairs; the coarse-bits q_dedup_embedding is excluded on
+    // purpose — at threshold 0.2 over random vectors the ANSWER is
+    // near-quadratic, so wall-clock tracks output size, not plan quality),
+    // plus the classification and retrieval surfaces
+    "q_dedup_embedding_tight", "q_classify_nb", "q_dsir_select",
+    "q_bm25_search", "q_hybrid_search")
 
   /** Temporal/event-analytics queries whose only input is `events` and
     * whose plans are user-keyed (sessionize, funnels, cohorts, as-of and

@@ -599,6 +599,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"sampled-training IVF recall too low: $recall")
   }
 
+  test("autoLshBits sizes the sign-LSH bucket space to the corpus") {
+    // same rule as autoNlist: bucket space ∝ N so occupancy is ~flat —
+    // fixed bits leave a constant bucket count and a quadratic bucket join
+    assert(Dedup.autoLshBits(0) == 4)
+    assert(Dedup.autoLshBits(512) == 4)
+    assert(Dedup.autoLshBits(2048) == 6)
+    assert(Dedup.autoLshBits(20480) == 10)
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+      val bits = Dedup.autoLshBits(n)
+      assert((1L << bits) >= n / 32, s"bucket space too small at n=$n")
+      assert((1L << bits) <= math.max(16L, n), s"bucket space overshoots at n=$n")
+    }
+    assert(Dedup.autoLshBits(Long.MaxValue) == 30, "bits must cap")
+  }
+
   test("editDistancePairs: randomized equality with brute-force levenshtein") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(7L)
