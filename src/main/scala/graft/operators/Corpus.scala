@@ -382,16 +382,23 @@ object Corpus {
     */
   def groupOverlap(docs: DataFrame, textCol: String, groupCol: String,
       shingleWords: Int = 3): DataFrame = {
-    // ONE shuffle of the posting volume: fold each shingle's groups into
+    // ONE pass over the posting volume: fold each shingle's groups into
     // a set (partial-merged map-side; |set| ≤ #groups, a small constant),
-    // then sizes and pair counts both read the collapsed per-shingle rows
-    // — the identical pre-shuffle subplan lets ReuseExchange ship the
-    // shingle scan once. The previous shape (distinct posting, then a
-    // posting⋈posting self-join on the shingle key) re-shuffled the full
-    // posting list three times for the same answer.
+    // then sizes and pair counts both read the collapsed per-shingle
+    // rows. The eager localCheckpoint pins the collapsed frame because
+    // exchange reuse can NOT dedupe it — collect_set is flagged
+    // non-deterministic (result order), which disqualifies its subplan
+    // from ReuseExchange, so without the pin the shingle explode and
+    // set-fold would re-run once per consumer (measured: three full
+    // corpus scans at runtime). Pinned size is bounded by distinct
+    // corpus shingles — the same order as any posting-list intermediate.
+    // The previous shape (distinct posting, then a posting⋈posting
+    // self-join on the shingle key) re-shuffled the full posting list
+    // three times for the same answer.
     val byShingle = docs.select(col(groupCol).as("g"),
         explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("sh"))
       .groupBy(col("sh")).agg(collect_set(col("g")).as("gs"))
+      .localCheckpoint(true)
     val sizes = byShingle.select(explode(col("gs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
     val inter = byShingle.where(size(col("gs")) >= 2)

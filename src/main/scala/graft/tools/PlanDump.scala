@@ -17,9 +17,17 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXEC=1: run the query first and print the FINAL
+    // adaptive plan — AQE's exchange/stage reuse only materializes at
+    // runtime, so the static explain under-reports plan sharing
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        df.foreach(_ => ())
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }
