@@ -50,8 +50,14 @@ object Classify {
     require(nDocs > 0, "nbScores: training corpus is empty")
     val priors = train.groupBy(col(labelCol).as("graft_cls"))
       .agg(log(count(lit(1)).cast("double") / lit(nDocs)).as("graft_prior"))
+    // eager localCheckpoint: the model frame is vocab × classes rows
+    // (tiny next to the corpus) but has THREE consumers — the vocab
+    // count, the class totals, and the evidence join — and each would
+    // re-scan and re-tokenize the training corpus without the pin
+    // (exchange reuse does not span separate count() actions)
     val tokenClass = trainToks.groupBy(col("graft_cls"), col("token"))
       .agg(count(lit(1)).cast("double").as("graft_tc"))
+      .localCheckpoint(true)
     val vocab = tokenClass.select(col("token")).distinct().count().toDouble
     // per-class token totals + the ln(tok_c + V) normalizer
     val classTotals = tokenClass.groupBy(col("graft_cls"))
@@ -62,8 +68,15 @@ object Classify {
     val docToks = toks(docs, textCol, col(idCol))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).cast("double").as("graft_n"))
-    val docLens = docToks.groupBy(col(idCol))
-      .agg(sum(col("graft_n")).as("graft_len"))
+    // document length is an array-size projection, NOT a rollup of
+    // docToks: summing graft_n would make docToks (corpus-token-volume
+    // rows) a two-consumer frame and re-run the tokenize+shuffle once
+    // per consumer. The zero-token filter keeps the drop-empty-docs
+    // contract the docToks rollup had (and the oracle replicates).
+    val docLens = docs.select(col(idCol),
+        size(filter(split(T.normalizeText(col(textCol)), " "),
+          t => length(t) > lit(0))).cast("double").as("graft_len"))
+      .where(col("graft_len") > 0)
     // Σ n(d,t)·ln(cnt(t,c)+1) — inner join: absent (t,c) pairs are ln(1)=0
     val evidence = docToks.join(tokenClass, Seq("token"))
       .groupBy(col(idCol), col("graft_cls"))
