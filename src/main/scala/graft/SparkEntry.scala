@@ -1542,8 +1542,12 @@ object SparkEntry {
     // column downstream weighting/pruning reads
     "q_dedup_degree" -> ((s, d) => {
       val docs = t(s, d, "documents").df
+      // pinned: the id_a/id_b union subscribes the pair list twice, and
+      // each subscription would re-run the LSH verify chain — the pair
+      // list itself is tiny
       val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
-        numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85)
+          numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85)
+        .localCheckpoint(true)
       val ends = pairs.select(col("id_a").as("doc_id"))
         .unionAll(pairs.select(col("id_b").as("doc_id")))
       docs.select(col("doc_id"))

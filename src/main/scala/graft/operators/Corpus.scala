@@ -565,9 +565,14 @@ object Corpus {
     */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       corpus: DataFrame, smoothingK: Double = 1.0): DataFrame = {
+    // pinned: the bigram model frame (distinct-bigram counts, the
+    // "train once" artifact) feeds both the unigram rollup and the
+    // scoring join — without the pin the corpus bigram explode+count
+    // runs once per consumer
     val c12 = bigramRows(corpus, textCol, Nil)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("double").as("c12"))
+      .localCheckpoint(true)
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = vocabSize(corpus, textCol)
     bigramRows(docs, textCol, Seq(idCol))
@@ -608,8 +613,12 @@ object Corpus {
     val tok = docs.select(col(idCol),
         explode(split(T.normalizeText(col(textCol)), " ")).as("term"))
       .where(length(col("term")) >= minTermLength)
+    // pinned: the (doc, term) tf frame feeds docLen, df, AND the final
+    // join — three consumers, each of which would re-run the tokenize
+    // explode + shuffle without the pin
     val tf = tok.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val docLen = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("graft_len"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col(idCol)).cast("double").as("graft_n"))

@@ -609,11 +609,16 @@ object Dedup {
         Window.partitionBy(col("id"), col("g")).orderBy(col("gpos"))))
       .select(col("id"), col("s"), concat_ws("#", col("g"), col("occ")).as("tg"))
     val dfreq = grams.groupBy(col("tg")).agg(count(lit(1)).as("graft_df"))
+    // eager pin: the prefix index is ≤ prefixLen rows per string, but its
+    // lineage holds the whole two-window q-gram chain (occurrence tags,
+    // doc-frequency join, prefix rank) and BOTH sides of the candidate
+    // self-join consume it — without the pin the chain runs twice
     val prefix = grams.join(dfreq, Seq("tg"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("graft_df").asc, col("tg").asc)))
       .where(col("rn") <= prefixLen)
       .select(col("id"), col("s"), col("tg"))
+      .localCheckpoint(true)
     val cand = prefix.alias("a").join(prefix.alias("b"),
         col("a.tg") === col("b.tg") && col("a.id") < col("b.id"))
       .where(abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
@@ -625,8 +630,11 @@ object Dedup {
     // edit distance k is at most k longer — all-pairs the short pool
     // (bounded population by construction) and union it in.
     val shortThr = maxDist * q + q - 1 + maxDist
+    // pinned: bounded at maxShortPool rows by the gate below, and
+    // consumed three times (the count gate + both all-pairs sides)
     val shortPool = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .where(length(col("s")) <= shortThr)
+      .localCheckpoint(true)
     // the pool's all-pairs join is bounded BY CONSTRUCTION for name/title
     // corpora, but a corpus of millions of very short strings would go
     // quadratic silently — count it and raise, mirroring rangeJoin's
