@@ -825,10 +825,14 @@ object Corpus {
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 5, windowSize: Int = 4, minShared: Long = 1L,
       maxDocFreq: Long = 0L): DataFrame = {
+    // pinned: both self-join sides subscribe the fingerprint frame, and
+    // its lineage is the full winnow chain (gram hash + window min +
+    // distinct) — without the pin the corpus fingerprints twice
     val fp = capPostings(
       winnowFingerprints(docs, textCol, idCol, k, windowSize)
         .select(col(idCol), col("fp_hash")).distinct(),
       "fp_hash", maxDocFreq)
+      .localCheckpoint(true)
     fp.alias("a").join(fp.alias("b"),
         col("a.fp_hash") === col("b.fp_hash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -1160,6 +1164,10 @@ object Corpus {
       .where(col("graft_w").isin(terms.map(x => x: Any): _*))
       .groupBy(col(idCol), col("graft_dl"), col("graft_w"))
       .agg(count(lit(1)).as("graft_tf"))
+      // pinned: ≤ |terms| rows per matching doc, but both the df rollup
+      // and the scoring join subscribe it — without the pin the corpus
+      // tokenize+filter runs twice
+      .localCheckpoint(true)
     val dfc = tf.groupBy(col("graft_w")).agg(count(lit(1)).as("graft_df"))
     val scored = tf.join(broadcast(dfc), "graft_w")
       .crossJoin(broadcast(stats))

@@ -208,10 +208,17 @@ object Dedup {
       shingleWords: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Long = 0L): DataFrame = {
     require(threshold > 0.0, "ngramJaccardPairs: threshold must be > 0")
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(T.wordShingles(col(textCol), shingleWords)).as("shingles"))
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
-    val posting0 = sh.select(col("id"), explode(col("shingles")).as("g"))
+    // pin the exploded posting list ONCE: it feeds the per-doc set sizes,
+    // (optionally) the doc-frequency filter, and BOTH sides of the
+    // self-join — four corpus shingle passes without the pin. Pinned
+    // size is the corpus's distinct (doc, shingle) volume, the same
+    // materialize-once trade every inverted-index engine makes. Sizes
+    // count the UNFILTERED posting (jaccard denominators are full set
+    // sizes even when maxDocFreq prunes join keys).
+    val posting0 = df.select(col(idCol).as("id"),
+        explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
+      .localCheckpoint(true)
+    val sizes = posting0.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val posting =
       if (maxDocFreq > 0L) {
         val freq = posting0.groupBy("g").agg(count(lit(1)).as("df"))
@@ -246,10 +253,13 @@ object Dedup {
       shingleWords: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Long = 0L): DataFrame = {
     require(threshold > 0.0, "containmentPairs: threshold must be > 0")
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(T.wordShingles(col(textCol), shingleWords)).as("shingles"))
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
-    val posting0 = sh.select(col("id"), explode(col("shingles")).as("g"))
+    // same pinned-posting shape as ngramJaccardPairs (see there): one
+    // shingle pass feeds sizes, the optional df filter, and both join
+    // sides; containment denominators count the unfiltered posting
+    val posting0 = df.select(col(idCol).as("id"),
+        explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
+      .localCheckpoint(true)
+    val sizes = posting0.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val posting =
       if (maxDocFreq > 0L) {
         val freq = posting0.groupBy("g").agg(count(lit(1)).as("df"))
