@@ -39,7 +39,13 @@ object GraphOps {
       checkpointInterval: Int = 10): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(checkpointInterval >= 1, "pageRank: checkpointInterval must be >= 1")
+    // pin the raw pair list before ANY fan-out: the symmetrizing union
+    // subscribes it twice and the degree join a third time, and its
+    // lineage is whatever (possibly expensive — LSH, ANN) pair
+    // generation the caller handed in; the pin runs that exactly once.
+    // Two ids per row — the cheapest frame in the whole operator.
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .localCheckpoint(true)
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("graft_deg"))
     // (src, dst, 1/deg(src)) — the per-edge contribution weight, reused
