@@ -696,12 +696,18 @@ object Dedup {
 
   def signLshCandidates(base: DataFrame, lshBits: Int, dim: Int,
       lshTables: Int): DataFrame = {
+    // pinned: lshTables flat rows per vector (ids + two ints), consumed
+    // by BOTH self-join sides — exchange reuse cannot be relied on here
+    // because AQE may plan one side as a broadcast (different exchange
+    // type, no ReusedExchange), and each side would then re-run the
+    // hyperplane signature over the full corpus
     val bucketed = base.select(col("id"),
       explode(array((0 until lshTables).map(l =>
         struct(lit(l).as("tbl"),
           V.signLshBucket(col("v"), lshBits, dim, seed = 42L + l).as("bkt"))): _*))
         .as("tb"))
       .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+      .localCheckpoint(true)
     bucketed.alias("a").join(bucketed.alias("b"),
       col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
         col("a.id") < col("b.id"))
