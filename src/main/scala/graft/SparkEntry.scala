@@ -849,6 +849,22 @@ object SparkEntry {
         .select("c_mktsegment")
         .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
         .groupBy("c_mktsegment").toDF
+    }),
+
+    // ORC columnar roundtrip: write orders to a real single-file .orc,
+    // load it back through the extension DISPATCH (exercises the .orc
+    // arm), aggregate. The oracle computes the same aggregate from the
+    // parquet original, so any type or value drift through the ORC
+    // codec (decimal scale, date epoch, string collation) fails the
+    // hash gate. DuckDB cannot read ORC — the roundtrip-vs-parquet
+    // shape is what makes the format independently gradable.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_rt.orc"
+      Writers.writeOrcSingle(t(s, d, "orders").toDF, "overwrite", path)
+      Loaders.load(s, path, "orders_rt")
+        .select("o_orderstatus")
+        .agg("COUNT(*) AS n", "ROUND(SUM(o_totalprice), 2) AS total_price")
+        .groupBy("o_orderstatus").toDF
     }))
 
   // ── M5 extensions: dedup / similarity / text / multimodal / events ───
@@ -955,9 +971,12 @@ object SparkEntry {
     // clustering algorithm than the Spark side
     "q_dedup_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents").df
+      // canonicalPairs: minhashLshPairs emits DISTINCT id_a < id_b rows,
+      // so the CC symmetrize-dedup shuffle is skipped
       Dedup.dedupClusters(docs, "doc_id",
         Dedup.minhashLshPairs(docs, "text", "doc_id",
-          numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85))
+          numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85),
+        canonicalPairs = true)
     }),
 
     // best-per-cluster survivors: same pair generation and clustering,
@@ -966,7 +985,8 @@ object SparkEntry {
       val docs = t(s, d, "documents").df
       Dedup.clusterSurvivorsBy(docs, "doc_id", TF.qualityScore(col("text")),
         Dedup.minhashLshPairs(docs, "text", "doc_id",
-          numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85))
+          numHashes = 128, bands = 32, shingleWords = 3, jaccardThreshold = 0.85),
+        canonicalPairs = true)
         .select(col("doc_id"))
     }),
 
@@ -1342,6 +1362,43 @@ object SparkEntry {
       Multimodal.decodePixelStats(media)
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("channels"),
+          col("mean_r").cast("bigint").as("mean_r"),
+          col("mean_g").cast("bigint").as("mean_g"),
+          col("mean_b").cast("bigint").as("mean_b"))
+    }),
+
+    // the multimodal ingest EDGE: real image FILES at rest, listed and
+    // read by Spark's distributed binaryFile source (lazy content read,
+    // listing-time glob pruning, no driver-side byte handling), decoded
+    // by the real javax.imageio codec. Fixture planting is bounded
+    // (360 small files, driver-side — setup, not operator); the oracle
+    // reads the SAME files via DuckDB's read_blob, recovers the id from
+    // the filename, and recomputes every graded value from id
+    // arithmetic plus octet_length(content) — so the listing, the
+    // filesystem-reported length, and the pixel decode must all agree
+    // with the bytes at rest.
+    "q_binary_folder" -> ((s, d) => {
+      val dir = "/root/repo/target/tmp/binfolder"
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      java.nio.file.Files.createDirectories(p)
+      (0 until 360).foreach { i =>
+        val fmt = Seq("png", "gif", "bmp")(i % 3)
+        val bytes = Multimodal.solidImageBytes(fmt,
+          i % 16 + 1, i % 8 + 1, i % 256, i * 7 % 256, i * 13 % 256)
+        java.nio.file.Files.write(p.resolve(f"img_$i%05d.$fmt"), bytes)
+      }
+      val bin = Loaders.loadBinaryFolder(s, dir, "media").df
+        .select(regexp_extract(col("file_name"), "img_(\\d+)\\.", 1)
+            .cast("bigint").as("media_id"),
+          col("length"), col("content").as("payload"))
+      Multimodal.decodePixelStats(bin.select(col("media_id"), col("payload")))
+        .join(bin.select(col("media_id"), col("length")), Seq("media_id"))
+        .select(col("media_id"), col("length"), col("format"),
+          col("width"), col("height"), col("channels"),
           col("mean_r").cast("bigint").as("mean_r"),
           col("mean_g").cast("bigint").as("mean_g"),
           col("mean_b").cast("bigint").as("mean_b"))
@@ -2255,6 +2312,11 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
+    // the oracle aggregates the PARQUET original; the Spark side must
+    // round-trip the same rows through the ORC codec to match
+    "q_orc_roundtrip" ->
+      "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price, o_orderstatus FROM orders GROUP BY o_orderstatus",
+
     "q_select_star" ->
       "SELECT count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS sq, round(sum(o_totalprice), 2) AS sp FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
 
@@ -2635,6 +2697,22 @@ object SparkEntry {
         "CAST(doc_id * 7 % 256 AS BIGINT) AS mean_g, " +
         "CAST(doc_id * 13 % 256 AS BIGINT) AS mean_b " +
         "FROM documents"),
+
+    // the SAME planted files, read back by DuckDB's read_blob: the id
+    // comes from the filename, length from the actual blob bytes, and
+    // dims/means from id arithmetic — grading Spark's binaryFile
+    // listing + length + the real imageio decode against bytes at rest
+    "q_binary_folder" ->
+      ("SELECT CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) AS media_id, " +
+        "octet_length(content) AS length, " +
+        "CASE CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format, " +
+        "CAST(CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) % 16 + 1 AS INT) AS width, " +
+        "CAST(CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) % 8 + 1 AS INT) AS height, " +
+        "CAST(3 AS INT) AS channels, " +
+        "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) % 256 AS mean_r, " +
+        "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 7 % 256 AS mean_g, " +
+        "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 13 % 256 AS mean_b " +
+        "FROM read_blob('/root/repo/target/tmp/binfolder/*')"),
 
     "q_media_pipeline" ->
       ("WITH m AS (SELECT doc_id, lang, " +

@@ -464,12 +464,22 @@ object Dedup {
     * reach (2³⁰ hops).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 30,
+      canonicalPairs: Boolean = false): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist(mem)
     p.count() // materialize ONCE before the two union branches scan it
-    val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
-      .dropDuplicates("src", "dst")
+    // `canonicalPairs = true` asserts the input is DISTINCT with
+    // idA < idB (what every pair generator in this package emits): the
+    // symmetrized edge list is then duplicate-free by construction and
+    // the dedup below is a wasted full shuffle of 2|E| rows — at corpus
+    // scale the single largest avoidable exchange in this operator.
+    // Duplicates are never a CORRECTNESS risk either way (min-label
+    // aggregation is idempotent); with the flag set they would only
+    // inflate the per-round join fan-out, so the guard stays the default
+    // for arbitrary caller input.
+    val sym = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = (if (canonicalPairs) sym else sym.dropDuplicates("src", "dst"))
       .persist(mem)
     // seed labels with min(id, neighbors) — the exact state the old
     // identity-init reached after its first propagate step, at the same
@@ -536,9 +546,11 @@ object Dedup {
     * component-min id, docs in no pair are their own singleton cluster.
     * Output: (idCol, cluster_id).
     */
-  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      canonicalPairs: Boolean = false): DataFrame =
     df.select(col(idCol)).distinct()
-      .join(connectedComponents(pairs).withColumnRenamed("id", idCol),
+      .join(connectedComponents(pairs, canonicalPairs = canonicalPairs)
+          .withColumnRenamed("id", idCol),
         Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
@@ -547,9 +559,10 @@ object Dedup {
     * component-min id) per cluster, full original row retained via an
     * id-keyed semi join — the frame that continues down the pipeline.
     */
-  def clusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+  def clusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame,
+      canonicalPairs: Boolean = false): DataFrame =
     df.join(
-      dedupClusters(df, idCol, pairs)
+      dedupClusters(df, idCol, pairs, canonicalPairs)
         .where(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
@@ -563,8 +576,8 @@ object Dedup {
     * [[connectedComponents]] already bounds that pathology's cost).
     */
   def clusterSurvivorsBy(df: DataFrame, idCol: String, score: Column,
-      pairs: DataFrame): DataFrame = {
-    val clustered = dedupClusters(df, idCol, pairs)
+      pairs: DataFrame, canonicalPairs: Boolean = false): DataFrame = {
+    val clustered = dedupClusters(df, idCol, pairs, canonicalPairs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("graft_score").desc, col(idCol).asc)

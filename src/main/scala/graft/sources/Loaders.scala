@@ -49,6 +49,7 @@ object Loaders {
     else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
       ExcelLoader.load(spark, path, alias)
     else if (lower.endsWith(".parquet")) loadParquet(spark, path, alias)
+    else if (lower.endsWith(".orc")) loadOrc(spark, path, alias)
     else if (isDir) loadParquet(spark, path, alias)
     else throw graft.GraftError.InvalidOperation("load",
       s"unsupported file type for $path")
@@ -284,6 +285,46 @@ object Loaders {
         spark.read.schema(st).option("basePath", path)
           .parquet(DeltaLog.activeFiles(spark, path): _*)
       else spark.read.schema(st).parquet(path)
+    GraftFrame(df, alias)
+  }
+
+  /** Lazy ORC load over Spark's built-in ORC source (no reference
+    * analogue; the columnar-format peer of [[loadParquet]] for Hive-era
+    * lakes whose at-rest format is ORC). Predicate pushdown and column
+    * pruning reach the ORC reader exactly as they do for parquet — the
+    * scan shows PushedFilters/ReadSchema in `.explain` — so the 100 TB
+    * behavior matches the parquet path. ORC files written by engines that
+    * store local (zone-less) timestamps arrive as TIMESTAMP_NTZ under
+    * Spark 4's reader the same way parquet-without-isAdjustedToUTC does,
+    * so the load runs the same [[normalizeNtzTimestamps]] pass and the
+    * temporal operator surface sees one timestamp type regardless of the
+    * at-rest format.
+    */
+  def loadOrc(spark: SparkSession, path: String, alias: String): GraftFrame =
+    GraftFrame(normalizeNtzTimestamps(spark.read.orc(path)), alias)
+
+  /** Folder of OPAQUE files (images / audio / video / arbitrary blobs) as
+    * a binary DataFrame — the ingest edge of the multimodal pipeline
+    * (SURVEY: "treat image/audio/video as opaque binary columns with typed
+    * metadata"). Spark's `binaryFile` source lists and reads DISTRIBUTED
+    * (one task per file group, lazy content read, `pathGlobFilter` pruning
+    * happens at listing time), so a 100 TB image lake ingests without any
+    * driver-side byte handling. Output schema: `file_name` (basename),
+    * `path` (fully-qualified URI), `length` (bytes, from the filesystem
+    * status — no content read needed for size-only queries), `content`
+    * (the raw bytes) — feed `content` straight into
+    * [[graft.operators.Multimodal.decodeMedia]] / `decodePixelStats`.
+    * `modificationTime` is dropped: it is nondeterministic fixture state
+    * (re-planting files changes it), and ingest pipelines key on
+    * name/path, not mtime.
+    */
+  def loadBinaryFolder(spark: SparkSession, dir: String, alias: String,
+      glob: String = "*"): GraftFrame = {
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("path"), col("length"), col("content"))
     GraftFrame(df, alias)
   }
 

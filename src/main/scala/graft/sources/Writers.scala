@@ -101,6 +101,34 @@ object Writers {
       d.write.mode(SaveMode.Overwrite).parquet(p))
   }
 
+  /** Single-file ORC with overwrite/append-rewrite — the same contract as
+    * [[writeParquetSingle]] over Spark's built-in ORC source (no reference
+    * analogue; rounds out the columnar-format matrix for warehouses whose
+    * at-rest format is ORC, e.g. Hive-era lakes). Append re-reads the
+    * existing file, checks the column set, and rewrites — ORC timestamps
+    * round-trip as TIMESTAMP under the engine's UTC session, so no NTZ
+    * normalization is needed on the re-read (ORC's TIMESTAMP_INSTANT /
+    * local distinction is normalized by [[Loaders.loadOrc]] on load).
+    */
+  def writeOrcSingle(df: DataFrame, mode: String, path: String): Unit = {
+    val m = mode.toLowerCase
+    val out = m match {
+      case "overwrite" => df
+      case "append" if Files.exists(Paths.get(path)) =>
+        val existing = Loaders.normalizeNtzTimestamps(
+          df.sparkSession.read.orc(path))
+        if (!existing.columns.sorted.sameElements(df.columns.sorted))
+          throw graft.GraftError.WriteError(path, "write_to_orc append",
+            s"column mismatch (${existing.columns.mkString(",")} vs ${df.columns.mkString(",")})")
+        existing.unionByName(df)
+      case "append" => df
+      case other => throw graft.GraftError.WriteError(path, "write_to_orc",
+        s"bad mode '$other'")
+    }
+    writeSingle(out, path, ".orc")((d, p) =>
+      d.write.mode(SaveMode.Overwrite).orc(p))
+  }
+
   /** JSON array file, one object per row (src/elusion.rs:5013-5178
     * hand-rolls the same shape): `[` … `]` with comma-separated objects,
     * each on its own line; `pretty = true` indents the objects. Spark
@@ -151,6 +179,12 @@ object Writers {
       partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeOrcDir(df: DataFrame, mode: String, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
   /** Bucketed managed table — the co-located-join path for repeated big

@@ -62,6 +62,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!cc.contains(99L))
   }
 
+  test("canonicalPairs gives identical components and skips the edge-dedup exchange") {
+    val sp = spark; import sp.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (10L, 12L)
+    ).toDF("id_a", "id_b")
+    val guarded = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val canonical = Dedup.connectedComponents(pairs, canonicalPairs = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(canonical == guarded)
+    // duplicates in the input are still CORRECT under the flag (min-label
+    // aggregation is idempotent) — only the fan-out guard is waived
+    val dup = pairs.unionAll(pairs)
+    val withDups = Dedup.connectedComponents(dup, canonicalPairs = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(withDups == guarded)
+  }
+
   test("connectedComponents runs one Spark job per round (observed-metric convergence)") {
     val sp = spark; import sp.implicits._
     // 4-chain: seed reaches (1,1)(2,1)(3,2)(4,3); round 1 jumps everything
