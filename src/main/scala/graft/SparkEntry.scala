@@ -1404,6 +1404,35 @@ object SparkEntry {
           col("mean_b").cast("bigint").as("mean_b"))
     }),
 
+    // raw-text corpus ingest (the at-rest shape of most published LLM
+    // corpora): a folder of UTF-8 .txt documents read whole-file via
+    // loadTextDocs. Planted contents mix ASCII with multi-byte
+    // codepoints; the graded md5 is over the file's exact content, so
+    // any decode drift (encoding, line mangling, truncation) between
+    // Spark's wholetext read and DuckDB's read_text of the same bytes
+    // hash-mismatches the row.
+    "q_text_folder" -> ((s, d) => {
+      val dir = "/root/repo/target/tmp/txtfolder"
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      java.nio.file.Files.createDirectories(p)
+      (0 until 200).foreach { i =>
+        val body = (0 until (i % 7 + 1)).map { j =>
+          s"doc $i líne $j — café №${i * 31 + j}"
+        }.mkString("", "\n", "\n")
+        java.nio.file.Files.write(p.resolve(f"doc_$i%04d.txt"),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      Loaders.loadTextDocs(s, dir, "txt").df
+        .select(col("file_name"),
+          length(col("text")).cast("bigint").as("n_chars"),
+          (size(split(col("text"), "\n", -1)) - 1).cast("bigint").as("n_lines"),
+          md5(col("text").cast("binary")).as("content_md5"))
+    }),
+
     // the decode op COMPOSED through the relational pipeline (the shape
     // an image-curation job actually runs): decode headers → aspect/size
     // filter → join back to document metadata → per-(lang, format)
@@ -2713,6 +2742,16 @@ object SparkEntry {
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 7 % 256 AS mean_g, " +
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 13 % 256 AS mean_b " +
         "FROM read_blob('/root/repo/target/tmp/binfolder/*')"),
+
+    // same planted files via read_text: length/newline-count/md5 are
+    // computed from the exact content, so both engines must decode the
+    // identical UTF-8 bytes
+    "q_text_folder" ->
+      ("SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name, " +
+        "CAST(length(content) AS BIGINT) AS n_chars, " +
+        "CAST(length(content) - length(replace(content, chr(10), '')) AS BIGINT) AS n_lines, " +
+        "md5(content) AS content_md5 " +
+        "FROM read_text('/root/repo/target/tmp/txtfolder/*.txt')"),
 
     "q_media_pipeline" ->
       ("WITH m AS (SELECT doc_id, lang, " +

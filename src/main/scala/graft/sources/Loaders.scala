@@ -328,6 +328,33 @@ object Loaders {
     GraftFrame(df, alias)
   }
 
+  /** Raw text corpus, one row per LINE — the at-rest shape of most
+    * published LLM corpora (one document or one JSON record per line,
+    * usually gzip'd). Spark's text source reads directories, globs, and
+    * compressed files (`.gz`/`.bz2`/…) transparently and in parallel
+    * (gzip is splittable only at file granularity — a million modest .gz
+    * shards parallelizes perfectly, one giant .gz does not; that is a
+    * property of gzip, not the loader). Schema: (file_name, line).
+    */
+  def loadTextLines(spark: SparkSession, path: String, alias: String): GraftFrame =
+    GraftFrame(spark.read.textFile(path).toDF("line")
+      .select(element_at(split(input_file_name(), "/"), -1).as("file_name"),
+        col("line")), alias)
+
+  /** Raw text corpus, one row per FILE (`wholetext`) — the "folder of
+    * .txt documents" ingest shape. Content arrives byte-exact (UTF-8
+    * decoded, no line splitting), so the text operators (shingles, LM
+    * scoring, dedup) see precisely the bytes at rest. One row per file —
+    * suited to document-sized files; line-sharded corpora want
+    * [[loadTextLines]]. Schema: (file_name, text).
+    */
+  def loadTextDocs(spark: SparkSession, dir: String, alias: String,
+      glob: String = "*"): GraftFrame =
+    GraftFrame(spark.read.option("wholetext", "true")
+      .option("pathGlobFilter", glob).text(dir)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file_name"),
+        col("value").as("text")), alias)
+
   /** Load every supported file in a folder and UNION ALL by name
     * (reference src/elusion.rs:6765-7265: compat check + reorder to first
     * file's column order = unionByName).

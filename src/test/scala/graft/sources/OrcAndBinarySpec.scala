@@ -85,6 +85,34 @@ class OrcAndBinarySpec extends SparkSpec {
     assert(row.getAs[Array[Byte]]("content").toSeq == payload.toSeq)
   }
 
+  test("text lines loader reads plain and gzip'd shards transparently") {
+    val dir = Paths.get(tmp("txt"))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("a.txt"), "one\ntwo\n".getBytes("UTF-8"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("b.txt.gz")))
+    gz.write("three\nfour\nfive\n".getBytes("UTF-8")); gz.close()
+    val lines = Loaders.loadTextLines(spark, dir.toString, "t").df
+    assert(lines.count() == 5)
+    assert(lines.columns.toSeq == Seq("file_name", "line"))
+    assert(lines.where(col("file_name") === "b.txt.gz").count() == 3)
+    assert(lines.select("line").collect().map(_.getString(0)).toSet ==
+      Set("one", "two", "three", "four", "five"))
+  }
+
+  test("whole-file text docs arrive byte-exact including unicode") {
+    val dir = Paths.get(tmp("docs"))
+    Files.createDirectories(dir)
+    val body = "héllo — №42\nsecond líne\n"
+    Files.write(dir.resolve("d1.txt"), body.getBytes("UTF-8"))
+    Files.write(dir.resolve("skip.csv"), "x\n".getBytes("UTF-8"))
+    val docs = Loaders.loadTextDocs(spark, dir.toString, "t", "*.txt").df
+    assert(docs.count() == 1)
+    val row = docs.collect()(0)
+    assert(row.getString(0) == "d1.txt")
+    assert(row.getString(1) == body)
+  }
+
   test("binary folder feeds the real pixel decode end-to-end") {
     val dir = Paths.get(tmp("imgs"))
     Files.createDirectories(dir)
