@@ -187,6 +187,33 @@ object Writers {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** Sharded JSON-lines output — the training-consumption format (one
+    * JSON record per line, N compressed shards): the write side of
+    * [[Loaders.loadTextLines]]/`loadJson`'s JSONL shape. `numShards > 0`
+    * repartitions round-robin so shards come out size-balanced regardless
+    * of upstream partitioning (a corpus fresh off a groupBy is usually
+    * skewed); 0 keeps the upstream layout (no extra shuffle). Compression
+    * codec is any Spark-supported name (`gzip`, `snappy`, `zstd`, `none`)
+    * — gzip'd shards are what most published corpora distribute, and they
+    * re-ingest in parallel at one file per task.
+    */
+  def writeJsonlDir(df: DataFrame, mode: String, path: String,
+      numShards: Int = 0, compression: String = "gzip"): Unit = {
+    val out = if (numShards > 0) df.repartition(numShards) else df
+    out.write.mode(mode).option("compression", compression).json(path)
+  }
+
+  /** Sharded plain-text output of ONE string column (one value per line)
+    * — raw-text corpus export. Same shard/compression contract as
+    * [[writeJsonlDir]].
+    */
+  def writeTextDir(df: DataFrame, column: String, mode: String, path: String,
+      numShards: Int = 0, compression: String = "none"): Unit = {
+    val one = df.select(org.apache.spark.sql.functions.col(column))
+    val out = if (numShards > 0) one.repartition(numShards) else one
+    out.write.mode(mode).option("compression", compression).text(path)
+  }
+
   /** Bucketed managed table — the co-located-join path for repeated big
     * joins on the same key (SURVEY scale note: "bucketing for co-located
     * joins"). Two tables bucketed the same way join with ZERO exchanges:

@@ -113,6 +113,31 @@ class OrcAndBinarySpec extends SparkSpec {
     assert(row.getString(1) == body)
   }
 
+  test("sharded jsonl.gz roundtrips through the text-lines loader") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("jsonl_out")
+    val corpus = (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    Writers.writeJsonlDir(corpus, "overwrite", p, numShards = 4)
+    val shards = Files.list(Paths.get(p)).filter(_.getFileName.toString
+      .matches("part-.*\\.json\\.gz")).count()
+    assert(shards == 4, s"expected 4 gz shards, got $shards")
+    // gz shards re-ingest transparently, one JSON record per line
+    val lines = Loaders.loadTextLines(spark, p, "t").df
+      .where(col("line").startsWith("{"))
+    assert(lines.count() == 100)
+    assert(spark.read.json(p).count() == 100)
+  }
+
+  test("text export writes one value per line and re-ingests") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("txt_out")
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    Writers.writeTextDir(corpus, "text", "overwrite", p)
+    val back = Loaders.loadTextLines(spark, p, "t").df
+      .select("line").collect().map(_.getString(0)).toSet
+    assert(back == Set("alpha", "beta"))
+  }
+
   test("binary folder feeds the real pixel decode end-to-end") {
     val dir = Paths.get(tmp("imgs"))
     Files.createDirectories(dir)
