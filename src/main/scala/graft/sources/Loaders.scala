@@ -380,11 +380,11 @@ object Loaders {
     // (src/elusion.rs:6765-7265 handles csv/json/parquet/xml/xlsx alike)
     val files = fs.listStatus(hPath)
       .filter(s => s.isFile &&
-        s.getPath.getName.toLowerCase.matches(".*\\.(csv|json|parquet|xml|xlsx|xls)$"))
+        s.getPath.getName.toLowerCase.matches(".*\\.(csv|json|parquet|orc|xml|xlsx|xls)$"))
       .sortBy(_.getPath.getName)
     if (files.isEmpty)
       throw graft.GraftError.InvalidOperation("load_folder",
-        s"no supported files (csv/json/parquet/xml/xlsx) in $dir")
+        s"no supported files (csv/json/parquet/orc/xml/xlsx) in $dir")
     val frames = files.map { f =>
       // full qualified path (scheme + authority kept): on s3a://bucket/dir
       // or hdfs://nn/dir the per-file load must re-open the SAME

@@ -170,10 +170,12 @@ class WritersSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$dir/c.xml"),
       "<root><row><name>iva</name><city>nice</city></row>" +
         "<row><name>udo</name><city>bonn</city></row></root>")
+    Writers.writeOrcSingle(Seq(("eve", "oslo")).toDF("name", "city"),
+      "overwrite", s"$dir/d.orc")
     val out = Loaders.loadFolder(spark, dir, "mixed").df
-    assert(out.count() == 4)
+    assert(out.count() == 5)
     assert(out.select("name").collect().map(_.getString(0)).toSet ==
-      Set("ada", "kay", "iva", "udo"))
+      Set("ada", "kay", "iva", "udo", "eve"))
   }
 
   test("folder loader with filename column prepends source file name") {
