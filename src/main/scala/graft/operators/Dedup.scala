@@ -462,6 +462,13 @@ object Dedup {
     * unconverged labeling would silently SPLIT components — data loss in
     * reverse); the default 30 covers any diameter a physical graph can
     * reach (2³⁰ hops).
+    *
+    * `canonicalPairs = true` declares the input DISTINCT with idA < idB
+    * (the contract every pair generator in this package honors) and
+    * skips the symmetrize-dedup exchange — a full 2·|E| shuffle that is
+    * pure waste on canonical input. Correctness never depends on the
+    * flag (min-label aggregation absorbs duplicates); it is purely the
+    * fan-out guard for arbitrary caller input.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 30,
