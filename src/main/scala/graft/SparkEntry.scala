@@ -1404,6 +1404,25 @@ object SparkEntry {
           col("mean_b").cast("bigint").as("mean_b"))
     }),
 
+    // training-export roundtrip: the documents corpus goes out as 4
+    // gzip'd JSON-lines shards (writeJsonlDir — the distribution shape
+    // published corpora use) and comes back through Spark's JSON
+    // reader; the oracle aggregates the parquet original, so any loss
+    // or mangling across the shard/compress/parse cycle (row drops,
+    // unicode, numeric widening) fails the hash gate.
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val dir = "/root/repo/target/tmp/jsonl_rt"
+      Writers.writeJsonlDir(
+        t(s, d, "documents").df.select(col("doc_id"), col("lang"), col("text")),
+        "overwrite", dir, numShards = 4)
+      s.read.json(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("bigint").as("sum_chars"),
+          sum(col("doc_id")).cast("bigint").as("sum_ids"))
+        .select(col("lang"), col("n"), col("sum_chars"), col("sum_ids"))
+    }),
+
     // raw-text corpus ingest (the at-rest shape of most published LLM
     // corpora): a folder of UTF-8 .txt documents read whole-file via
     // loadTextDocs. Planted contents mix ASCII with multi-byte
@@ -2742,6 +2761,14 @@ object SparkEntry {
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 7 % 256 AS mean_g, " +
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 13 % 256 AS mean_b " +
         "FROM read_blob('/root/repo/target/tmp/binfolder/*')"),
+
+    // the oracle aggregates the parquet ORIGINAL — the Spark side must
+    // preserve every row/char through the jsonl.gz shard cycle to match
+    "q_jsonl_roundtrip" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
+        "FROM documents GROUP BY lang"),
 
     // same planted files via read_text: length/newline-count/md5 are
     // computed from the exact content, so both engines must decode the
