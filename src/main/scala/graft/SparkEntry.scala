@@ -1404,6 +1404,26 @@ object SparkEntry {
           col("mean_b").cast("bigint").as("mean_b"))
     }),
 
+    // REAL audio decode: each row carries a genuine RIFF/WAVE PCM16
+    // file (constant amplitude — the audio analogue of the solid-color
+    // image) and decodeAudioStats must run the actual javax.sound codec
+    // to recover channels, rate, bit depth, frame count, and the exact
+    // sample mean. The oracle recomputes every value from doc_id
+    // arithmetic — wrong endianness, header-offset, or channel
+    // interleave math mismatches every row.
+    "q_multimodal_audio" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val mkWav = udf((id: Long) => Multimodal.constWavBytes(
+        (id % 2 + 1).toInt, Seq(8000, 16000, 44100)((id % 3).toInt),
+        ((id % 50 + 1) * 10).toInt, (id * 37 % 1999 - 999).toInt))
+      val media = docs.select(col("doc_id").as("media_id"),
+        mkWav(col("doc_id")).as("payload"))
+      Multimodal.decodeAudioStats(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bits"), col("n_frames"),
+          col("mean_amp").cast("bigint").as("mean_amp"))
+    }),
+
     // training-export roundtrip: the documents corpus goes out as 4
     // gzip'd JSON-lines shards (writeJsonlDir — the distribution shape
     // published corpora use) and comes back through Spark's JSON
@@ -2761,6 +2781,17 @@ object SparkEntry {
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 7 % 256 AS mean_g, " +
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 13 % 256 AS mean_b " +
         "FROM read_blob('/root/repo/target/tmp/binfolder/*')"),
+
+    // planted constant-amplitude WAV values recomputed from doc_id: the
+    // Spark side must round-trip them through a real javax.sound decode
+    "q_multimodal_audio" ->
+      ("SELECT doc_id AS media_id, 'wav' AS format, " +
+        "CAST(doc_id % 2 + 1 AS INT) AS channels, " +
+        "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate, " +
+        "CAST(16 AS INT) AS bits, " +
+        "CAST((doc_id % 50 + 1) * 10 AS BIGINT) AS n_frames, " +
+        "CAST(doc_id * 37 % 1999 - 999 AS BIGINT) AS mean_amp " +
+        "FROM documents"),
 
     // the oracle aggregates the parquet ORIGINAL — the Spark side must
     // preserve every row/char through the jsonl.gz shard cycle to match

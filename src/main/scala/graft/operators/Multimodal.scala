@@ -21,9 +21,15 @@ import org.apache.spark.sql.types._
   *    (the Scala analogue of the `mapInPandas` batch shape): map-side
   *    only, no shuffle, no driver collect.
   *
-  * Audio/video codecs (PCM → spectrogram, video frame decode) are not in
-  * the JDK and not shipped here; [[sampleFrames]] carries the frame-window
-  * plumbing with byte slicing in place of a frame codec.
+  *  - [[decodeAudio]] / [[decodeAudioStats]] — real audio decode through
+  *    `javax.sound.sampled` (public JDK API: WAV/AIFF/AU PCM codecs ship
+  *    with the JRE), emitting channel count, sample rate, bit depth,
+  *    frame count, and the mean PCM16 amplitude per payload. Same
+  *    `mapPartitions` batch shape as the pixel path.
+  *
+  * Compressed audio/video codecs (MP3/AAC frame decode, video frames)
+  * are not in the JDK and not shipped here; [[sampleFrames]] carries the
+  * frame-window plumbing with byte slicing in place of a frame codec.
   */
 object Multimodal {
 
@@ -283,6 +289,100 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("mean_amp", DoubleType, nullable = true)))
+
+  /** Full audio decode of one payload via `javax.sound.sampled` (the
+    * JDK's WAV/AIFF/AU readers): (format, channels, sample_rate, bits,
+    * n_frames, mean PCM16 amplitude over all interleaved samples).
+    * Only signed 16-bit PCM gets a sample mean (the dominant at-rest
+    * encoding; both byte orders handled from the container's declared
+    * endianness) — other depths still return their metadata with a null
+    * mean. Undecodable bytes are None: decode failure is data, not an
+    * exception, at 10^10-row scale.
+    */
+  private[operators] def decodeAudio(
+      payload: Array[Byte]): Option[(String, Int, Int, Int, Long, Option[Double])] = {
+    try {
+      val bin = new java.io.ByteArrayInputStream(payload)
+      val fileType = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+        .getType.getExtension.toLowerCase
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(bin)
+      try {
+        val f = in.getFormat
+        val ch = f.getChannels
+        val bits = f.getSampleSizeInBits
+        val frames = in.getFrameLength
+        val mean =
+          if (bits == 16 && f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+            val bytes = in.readAllBytes()
+            val n = bytes.length / 2
+            var i = 0; var sum = 0L
+            while (i < n) {
+              val lo = bytes(2 * i) & 0xff; val hi = bytes(2 * i + 1) & 0xff
+              val s = if (f.isBigEndian) ((lo << 8) | hi).toShort
+                      else ((hi << 8) | lo).toShort
+              sum += s; i += 1
+            }
+            if (n == 0) None else Some(sum.toDouble / n)
+          } else None
+        Some((fileType, ch, f.getSampleRate.toInt, bits, frames, mean))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Audio-level decode over a media frame: one `mapPartitions` pass runs
+    * the real `javax.sound` codec per payload — the audio twin of
+    * [[decodePixelStats]], same null-on-undecodable 1:1 contract, same
+    * map-side-only scale shape.
+    */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioStatsSchema).asInstanceOf[org.apache.spark.sql.Encoder[Row]]
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        (if (payload == null) None else decodeAudio(payload)) match {
+          case Some((fmt, ch, rate, bits, frames, mean)) =>
+            Row(id, fmt, ch, rate, bits, frames, mean.orNull)
+          case None => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixture encoder: a REAL RIFF/WAVE PCM16 file (canonical 44-byte
+    * header + little-endian samples), every sample the same `amp` —
+    * constant amplitude keeps the decoded mean exactly integer, the
+    * audio analogue of [[solidImageBytes]]'s solid color.
+    */
+  private[graft] def constWavBytes(channels: Int, sampleRate: Int,
+      frames: Int, amp: Int): Array[Byte] = {
+    val nSamples = frames * channels
+    val dataSize = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) { out.putShort(amp.toShort); i += 1 }
+    out.array()
   }
 
   /** Fixture encoder: a REAL image file (solid color, chosen format)

@@ -125,6 +125,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeImage(bytes).contains(("bmp", 31, 17, 3)))
   }
 
+  test("decodeAudio recovers format, frames, and exact mean from a real WAV") {
+    val mono = Multimodal.constWavBytes(1, 8000, 200, -123)
+    assert(Multimodal.decodeAudio(mono)
+      .contains(("wav", 1, 8000, 16, 200L, Some(-123.0))))
+    val stereo = Multimodal.constWavBytes(2, 44100, 50, 999)
+    assert(Multimodal.decodeAudio(stereo)
+      .contains(("wav", 2, 44100, 16, 50L, Some(999.0))))
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("decodeAudio handles big-endian PCM via the AIFF container") {
+    // write the same constant-amplitude signal as AIFF (big-endian PCM16
+    // through the JDK's own writer) — exercises the endianness branch
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      16000f, 16, 1, 2, 16000f, true)
+    val raw = java.nio.ByteBuffer.allocate(60 * 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    (0 until 60).foreach(_ => raw.putShort(777))
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw.array()), fmt, 60)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    assert(Multimodal.decodeAudio(out.toByteArray)
+      .contains(("aif", 1, 16000, 16, 60L, Some(777.0))))
+  }
+
+  test("decodeAudioStats maps a media frame with null rows intact") {
+    val sp = spark; import sp.implicits._
+    val media = Seq(
+      (1L, Multimodal.constWavBytes(2, 16000, 30, 5)),
+      (2L, Array[Byte](0, 0, 0)),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioStats(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("format") == "wav")
+    assert(out(1L).getAs[Int]("channels") == 2)
+    assert(out(1L).getAs[Long]("n_frames") == 30L)
+    assert(out(1L).getAs[Double]("mean_amp") == 5.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("format")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("format")))
+  }
+
   test("feature schema stable for null payloads") {
     val sp = spark; import sp.implicits._
     val withNull = Seq((9L, "image", null.asInstanceOf[Array[Byte]]))
