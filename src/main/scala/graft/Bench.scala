@@ -38,7 +38,8 @@ object Bench {
     "q_curriculum", "q_token_mixture", "q_score_drift", "q_quantize_int8",
     "q_knn_pagerank", "q_knn_outliers", "q_winnow_pairs",
     "q_winnow_incremental", "q_dedup_cross_source", "q_dedup_degree",
-    "q_multimodal_decode", "q_knn_pagerank_indexed", "q_events_running_stats",
+    "q_multimodal_decode", "q_multimodal_pixels", "q_multimodal_audio",
+    "q_knn_pagerank_indexed", "q_events_running_stats",
     "q_media_pipeline", "q_ann_recall", "q_dedup_paragraph",
     "q_sample_weighted", "q_mixture_temperature", "q_text_topngram",
     "q_events_funnel", "q_events_cohort", "q_hard_negatives",
