@@ -39,6 +39,7 @@ object Bench {
     "q_knn_pagerank", "q_knn_outliers", "q_winnow_pairs",
     "q_winnow_incremental", "q_dedup_cross_source", "q_dedup_degree",
     "q_multimodal_decode", "q_multimodal_pixels", "q_multimodal_audio",
+    "q_multimodal_video",
     "q_knn_pagerank_indexed", "q_events_running_stats",
     "q_media_pipeline", "q_ann_recall", "q_dedup_paragraph",
     "q_sample_weighted", "q_mixture_temperature", "q_text_topngram",

@@ -1404,6 +1404,26 @@ object SparkEntry {
           col("mean_b").cast("bigint").as("mean_b"))
     }),
 
+    // REAL video-container metadata: each row carries a spec-valid
+    // minimal MP4 (ftyp + moov{mvhd, trak{tkhd}}) and probeVideoMeta
+    // must walk the real ISO-BMFF box structure to recover presentation
+    // dims (16.16 fixed point) and duration (movie timescale units →
+    // ms). The oracle recomputes everything from doc_id arithmetic —
+    // box-offset or fixed-point mistakes mismatch every row. Timescales
+    // {200,500,1000} divide 1000 exactly, so duration_ms is integer on
+    // both sides.
+    "q_multimodal_video" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val mkMp4 = udf((id: Long) => Multimodal.mp4HeaderBytes(
+        (id * 9 % 1280 + 16).toInt, (id * 5 % 720 + 16).toInt,
+        Seq(200, 500, 1000)((id % 3).toInt), (id % 3000 + 1).toInt))
+      val media = docs.select(col("doc_id").as("media_id"),
+        mkMp4(col("doc_id")).as("payload"))
+      Multimodal.probeVideoMeta(media)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"))
+    }),
+
     // REAL audio decode: each row carries a genuine RIFF/WAVE PCM16
     // file (constant amplitude — the audio analogue of the solid-color
     // image) and decodeAudioStats must run the actual javax.sound codec
@@ -2781,6 +2801,15 @@ object SparkEntry {
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 7 % 256 AS mean_g, " +
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 13 % 256 AS mean_b " +
         "FROM read_blob('/root/repo/target/tmp/binfolder/*')"),
+
+    // planted MP4 box values recomputed from doc_id: the Spark side
+    // must parse the real ISO-BMFF layout to match
+    "q_multimodal_video" ->
+      ("SELECT doc_id AS media_id, 'mp4/isom' AS format, " +
+        "CAST(doc_id * 9 % 1280 + 16 AS INT) AS width, " +
+        "CAST(doc_id * 5 % 720 + 16 AS INT) AS height, " +
+        "CAST((doc_id % 3000 + 1) * (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 5 WHEN 1 THEN 2 ELSE 1 END) AS BIGINT) AS duration_ms " +
+        "FROM documents"),
 
     // planted constant-amplitude WAV values recomputed from doc_id: the
     // Spark side must round-trip them through a real javax.sound decode

@@ -291,6 +291,134 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL video-container metadata probe — ISO BMFF / MP4 (the public
+    * ISO/IEC 14496-12 box structure): walk the top-level boxes to `moov`,
+    * then its children: `mvhd` carries the movie timescale and duration
+    * (version 0: 32-bit; version 1: 64-bit), `trak`/`tkhd` carries the
+    * presentation width/height as 16.16 fixed point. Returns
+    * (brand, width, height, duration_ms). Header-only — a few hundred
+    * bytes — the video analogue of [[probeImage]]: every video-curation
+    * stage that filters on resolution/length runs this before any frame
+    * codec is involved. Frame DECODE stays a codec-boundary non-goal (no
+    * H.264/AV1 decoder in the JDK).
+    */
+  private[operators] def probeVideo(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def boxName(i: Int): String = new String(b, i + 4, 4, "US-ASCII")
+    try {
+      if (b.length < 16 || boxName(0) != "ftyp") return None
+      val brand = new String(b, 8, 4, "US-ASCII").trim
+      var timescale = 0L; var duration = -1L; var w = 0; var h = 0
+      var i = 0
+      while (i + 8 <= b.length) {
+        val size = be32(i)
+        if (size < 8) return None
+        if (boxName(i) == "moov") {
+          val end = math.min(i + size, b.length.toLong).toInt
+          var j = i + 8
+          while (j + 8 <= end) {
+            val s2 = be32(j)
+            if (s2 < 8) return None
+            boxName(j) match {
+              case "mvhd" =>
+                val v = u8(j + 8)
+                if (v == 1) { timescale = be32(j + 28); duration = be64(j + 32) }
+                else { timescale = be32(j + 20); duration = be32(j + 24) }
+              case "trak" =>
+                // first child is tkhd in every real muxer's layout; scan
+                // children defensively anyway
+                val tEnd = math.min(j + s2, end.toLong).toInt
+                var k = j + 8
+                while (k + 8 <= tEnd) {
+                  val s3 = be32(k)
+                  if (s3 < 8) return None
+                  if (boxName(k) == "tkhd") {
+                    val v = u8(k + 8)
+                    val off = if (v == 1) k + 96 else k + 84
+                    if (off + 8 <= b.length) {
+                      // 16.16 fixed point; zero for audio-only tracks
+                      val tw = be16(off); val th = be16(off + 4)
+                      if (tw > 0 && th > 0) { w = tw; h = th }
+                    }
+                  }
+                  k += s3.toInt
+                }
+              case _ => ()
+            }
+            j += s2.toInt
+          }
+        }
+        i += size.toInt
+      }
+      if (timescale <= 0L || duration < 0L) None
+      else Some((s"mp4/$brand", w, h, duration * 1000L / timescale))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val videoProbeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Video metadata over a media frame — mapPartitions batch shape, same
+    * null-on-unparseable 1:1 contract as the image/audio paths.
+    */
+  def probeVideoMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(videoProbeSchema).asInstanceOf[org.apache.spark.sql.Encoder[Row]]
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        (if (payload == null) None else probeVideo(payload)) match {
+          case Some((fmt, w, h, ms)) =>
+            Row(id, fmt, if (w > 0) w else null, if (h > 0) h else null, ms)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixture encoder: a spec-valid minimal MP4 (ftyp + moov{mvhd,
+    * trak{tkhd}}) with the given presentation dims, timescale, and
+    * duration — the video analogue of [[pngHeaderBytes]]: real box
+    * layout, no media data.
+    */
+  private[graft] def mp4HeaderBytes(w: Int, h: Int, timescale: Int,
+      duration: Int): Array[Byte] = {
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    val ftyp = box("ftyp", {
+      val p = java.nio.ByteBuffer.allocate(8)
+      p.put("isom".getBytes("US-ASCII")).putInt(512); p.array()
+    })
+    val mvhd = box("mvhd", {
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0)            // version 0 + flags
+      p.putInt(0).putInt(0)  // creation/modification
+      p.putInt(timescale).putInt(duration)
+      p.array()              // rate/volume/matrix/next-track left zero
+    })
+    val tkhd = box("tkhd", {
+      val p = java.nio.ByteBuffer.allocate(84)
+      p.putInt(0)
+      p.position(76)
+      p.putInt(w << 16).putInt(h << 16)
+      p.array()
+    })
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov
+  }
+
   val audioStatsSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = true),
     StructField("format", StringType, nullable = true),

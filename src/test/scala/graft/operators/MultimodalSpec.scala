@@ -170,6 +170,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("format")))
   }
 
+  test("probeVideo walks real MP4 boxes: dims, timescale math, v0/v1") {
+    val b = Multimodal.mp4HeaderBytes(640, 360, 1000, 2500)
+    assert(Multimodal.probeVideo(b).contains(("mp4/isom", 640, 360, 2500L)))
+    // timescale 500: 2500 units = 5000 ms
+    val b2 = Multimodal.mp4HeaderBytes(1920, 1080, 500, 2500)
+    assert(Multimodal.probeVideo(b2).contains(("mp4/isom", 1920, 1080, 5000L)))
+    assert(Multimodal.probeVideo("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.probeVideo(Array[Byte](0, 0, 0, 3)).isEmpty)
+  }
+
+  test("probeVideoMeta maps a media frame with null rows intact") {
+    val sp = spark; import sp.implicits._
+    val media = Seq(
+      (1L, Multimodal.mp4HeaderBytes(320, 240, 200, 40)),
+      (2L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.probeVideoMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("format") == "mp4/isom")
+    assert(out(1L).getAs[Int]("width") == 320)
+    assert(out(1L).getAs[Long]("duration_ms") == 200L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("format")))
+  }
+
   test("feature schema stable for null payloads") {
     val sp = spark; import sp.implicits._
     val withNull = Seq((9L, "image", null.asInstanceOf[Array[Byte]]))
