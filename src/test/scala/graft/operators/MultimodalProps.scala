@@ -40,4 +40,34 @@ object MultimodalProps extends Properties("Multimodal.probeImage") {
       Multimodal.probeImage(Multimodal.jpegHeaderBytes(w, h))
         .contains(("jpeg", w, h, 3))
     }
+
+  property("WAV fixture round-trips channels/rate/frames/mean exactly") =
+    forAll(Gen.choose(1, 2), Gen.oneOf(8000, 16000, 22050, 44100, 48000),
+        Gen.choose(1, 500), Gen.choose(-32768, 32767)) { (ch, rate, frames, amp) =>
+      Multimodal.decodeAudio(Multimodal.constWavBytes(ch, rate, frames, amp))
+        .contains(("wav", ch, rate, 16, frames.toLong, Some(amp.toDouble)))
+    }
+
+  property("MP4 fixture round-trips dims and timescale-correct duration") =
+    forAll(Gen.choose(1, 65535), Gen.choose(1, 65535),
+        Gen.oneOf(200, 500, 1000, 90000), Gen.choose(0, 1 << 24)) {
+      (w, h, ts, dur) =>
+        Multimodal.probeVideo(Multimodal.mp4HeaderBytes(w, h, ts, dur))
+          .contains(("mp4/isom", w, h, dur.toLong * 1000L / ts))
+    }
+
+  property("probeVideo never throws on garbage behind an ftyp magic") =
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      rest =>
+        Multimodal.probeVideo(
+          Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++ rest)
+        true
+    }
+
+  property("decodeAudio never throws on arbitrary bytes") =
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      bytes =>
+        Multimodal.decodeAudio("RIFF".getBytes("US-ASCII") ++ bytes)
+        true
+    }
 }

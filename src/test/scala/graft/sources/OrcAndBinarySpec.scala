@@ -138,6 +138,21 @@ class OrcAndBinarySpec extends SparkSpec {
     assert(back == Set("alpha", "beta"))
   }
 
+  test("binary folder feeds the real audio decode end-to-end") {
+    val dir = Paths.get(tmp("wavs"))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("clip_3.wav"),
+      graft.operators.Multimodal.constWavBytes(2, 16000, 40, -77))
+    val bin = Loaders.loadBinaryFolder(spark, dir.toString, "m", "*.wav").df
+      .select(lit(3L).as("media_id"), col("content").as("payload"))
+    val out = graft.operators.Multimodal.decodeAudioStats(bin).collect()(0)
+    assert(out.getAs[String]("format") == "wav")
+    assert(out.getAs[Int]("channels") == 2)
+    assert(out.getAs[Int]("sample_rate") == 16000)
+    assert(out.getAs[Long]("n_frames") == 40L)
+    assert(out.getAs[Double]("mean_amp") == -77.0)
+  }
+
   test("binary folder feeds the real pixel decode end-to-end") {
     val dir = Paths.get(tmp("imgs"))
     Files.createDirectories(dir)
