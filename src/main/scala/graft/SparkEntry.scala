@@ -1404,6 +1404,19 @@ object SparkEntry {
           col("mean_b").cast("bigint").as("mean_b"))
     }),
 
+    // WebP header probe (the modern web-crawl image format): spec-valid
+    // VP8X extended headers planted with canvas dims stored as the
+    // spec's minus-one 24-bit LE fields and the alpha flag driving the
+    // channel count; the oracle recomputes all of it from doc_id
+    "q_multimodal_webp" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val mkWebp = udf((id: Long) => Multimodal.webpHeaderBytes(
+        (id * 11 % 2000 + 1).toInt, (id * 3 % 1500 + 1).toInt, id % 5 == 0))
+      val media = docs.select(col("doc_id").as("media_id"),
+        mkWebp(col("doc_id")).as("payload"))
+      Multimodal.decodeMedia(media)
+    }),
+
     // REAL video-container metadata: each row carries a spec-valid
     // minimal MP4 (ftyp + moov{mvhd, trak{tkhd}}) and probeVideoMeta
     // must walk the real ISO-BMFF box structure to recover presentation
@@ -2801,6 +2814,14 @@ object SparkEntry {
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 7 % 256 AS mean_g, " +
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 13 % 256 AS mean_b " +
         "FROM read_blob('/root/repo/target/tmp/binfolder/*')"),
+
+    // planted VP8X canvas values recomputed from doc_id
+    "q_multimodal_webp" ->
+      ("SELECT doc_id AS media_id, 'webp' AS format, " +
+        "CAST(doc_id * 11 % 2000 + 1 AS INT) AS width, " +
+        "CAST(doc_id * 3 % 1500 + 1 AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT) AS channels " +
+        "FROM documents"),
 
     // planted MP4 box values recomputed from doc_id: the Spark side
     // must parse the real ISO-BMFF layout to match

@@ -127,6 +127,10 @@ object Multimodal {
     *    component count.
     *  - GIF (87a/89a): 6-byte signature then little-endian logical screen
     *    width/height; always palette-indexed RGB.
+    *  - WebP (RFC 9649): RIFF container — VP8X extended header (24-bit LE
+    *    minus-one canvas dims, alpha flag), VP8 lossy frame header
+    *    (14-bit LE dims behind the 9d 01 2a start code), VP8L lossless
+    *    bitstream (14-bit packed dims, alpha bit 28).
     */
   private[operators] def probeImage(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
     def u8(i: Int): Int = b(i) & 0xff
@@ -175,7 +179,54 @@ object Multimodal {
         case _ => return None
       }
       if (w <= 0 || h <= 0) None else Some(("bmp", w, h, channels))
+    } else if (b.length >= 16 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WEBP") {
+      // WebP (RFC 9649): RIFF container, first chunk decides the flavor.
+      //  - VP8X (extended): 24-bit LE canvas width-1 at 24, height-1 at 27;
+      //    alpha bit 4 of the flags byte at 20
+      //  - VP8  (lossy): frame tag + start code, 14-bit LE dims at 26/28
+      //  - VP8L (lossless): signature 0x2f, 14-bit dims packed LE from 21
+      def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      val chunk = new String(b, 12, 4, "US-ASCII")
+      val parsed: Option[(Int, Int, Int)] = chunk match {
+        case "VP8X" if b.length >= 30 =>
+          val ch = if ((u8(20) & 0x10) != 0) 4 else 3
+          Some((le24(24) + 1, le24(27) + 1, ch))
+        case "VP8 " if b.length >= 30 &&
+            u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a =>
+          Some((le16(26) & 0x3fff, le16(28) & 0x3fff, 3))
+        case "VP8L" if b.length >= 25 && u8(20) == 0x2f =>
+          val bits = u8(21).toLong | (u8(22).toLong << 8) |
+            (u8(23).toLong << 16) | (u8(24).toLong << 24)
+          val ch = if (((bits >> 28) & 1L) != 0L) 4 else 3
+          Some((((bits & 0x3fff) + 1).toInt, (((bits >> 14) & 0x3fff) + 1).toInt, ch))
+        case _ => None
+      }
+      parsed.flatMap { case (w, h, ch) =>
+        if (w <= 0 || h <= 0) None else Some(("webp", w, h, ch))
+      }
     } else None
+  }
+
+  /** Fixture encoder: a spec-valid WebP VP8X (extended-format) header
+    * with the given canvas dims — RIFF + VP8X chunk only, the same
+    * header-level shape [[pngHeaderBytes]] plants for PNG.
+    */
+  private[graft] def webpHeaderBytes(w: Int, h: Int,
+      alpha: Boolean = false): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(22)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8X".getBytes("US-ASCII")).putInt(10)
+      .put((if (alpha) 0x10 else 0x00).toByte)
+      .put(Array[Byte](0, 0, 0))
+    def le24(v: Int): Unit = {
+      out.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+        .put(((v >> 16) & 0xff).toByte)
+    }
+    le24(w - 1); le24(h - 1)
+    out.array()
   }
 
   val decodeSchema: StructType = StructType(Seq(

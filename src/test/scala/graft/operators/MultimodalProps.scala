@@ -41,6 +41,13 @@ object MultimodalProps extends Properties("Multimodal.probeImage") {
         .contains(("jpeg", w, h, 3))
     }
 
+  property("WebP VP8X fixture round-trips any 14-bit-plus canvas dims") =
+    forAll(Gen.choose(1, 1 << 24), Gen.choose(1, 1 << 24), Gen.oneOf(true, false)) {
+      (w, h, alpha) =>
+        Multimodal.probeImage(Multimodal.webpHeaderBytes(w, h, alpha))
+          .contains(("webp", w, h, if (alpha) 4 else 3))
+    }
+
   property("WAV fixture round-trips channels/rate/frames/mean exactly") =
     forAll(Gen.choose(1, 2), Gen.oneOf(8000, 16000, 22050, 44100, 48000),
         Gen.choose(1, 500), Gen.choose(-32768, 32767)) { (ch, rate, frames, amp) =>

@@ -170,6 +170,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("format")))
   }
 
+  test("probeImage parses all three WebP flavors (VP8X / VP8 / VP8L)") {
+    assert(Multimodal.probeImage(Multimodal.webpHeaderBytes(800, 600))
+      .contains(("webp", 800, 600, 3)))
+    assert(Multimodal.probeImage(Multimodal.webpHeaderBytes(1, 1, alpha = true))
+      .contains(("webp", 1, 1, 4)))
+    // VP8 lossy: frame tag + 9d 01 2a start code + 14-bit LE dims
+    val vp8 = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vp8.put("RIFF".getBytes("US-ASCII")).putInt(22)
+      .put("WEBP".getBytes("US-ASCII")).put("VP8 ".getBytes("US-ASCII"))
+      .putInt(10).put(Array[Byte](0, 0, 0))
+      .put(Array(0x9d, 0x01, 0x2a).map(_.toByte))
+      .putShort(320.toShort).putShort(240.toShort)
+    assert(Multimodal.probeImage(vp8.array()).contains(("webp", 320, 240, 3)))
+    // VP8L lossless: 0x2f signature then (w-1) | (h-1)<<14 | alpha<<28
+    val vp8l = java.nio.ByteBuffer.allocate(25)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vp8l.put("RIFF".getBytes("US-ASCII")).putInt(17)
+      .put("WEBP".getBytes("US-ASCII")).put("VP8L".getBytes("US-ASCII"))
+      .putInt(5).put(0x2f.toByte)
+      .putInt(16 | (8 << 14) | (1 << 28))
+    assert(Multimodal.probeImage(vp8l.array()).contains(("webp", 17, 9, 4)))
+  }
+
   test("probeVideo walks real MP4 boxes: dims, timescale math, v0/v1") {
     val b = Multimodal.mp4HeaderBytes(640, 360, 1000, 2500)
     assert(Multimodal.probeVideo(b).contains(("mp4/isom", 640, 360, 2500L)))
