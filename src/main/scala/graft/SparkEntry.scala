@@ -1404,6 +1404,22 @@ object SparkEntry {
           col("mean_b").cast("bigint").as("mean_b"))
     }),
 
+    // FLAC STREAMINFO probe (compressed-audio metadata for formats the
+    // JDK cannot decode): rate/channels/total-samples packed big-endian
+    // across bit boundaries; duration_ms = samples·1000/rate with
+    // truncating integer division on both sides. The oracle recomputes
+    // everything from doc_id, so a bit-offset mistake in the 20/3/36-bit
+    // unpack mismatches every row.
+    "q_multimodal_flac" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val mkFlac = udf((id: Long) => Multimodal.flacHeaderBytes(
+        (id % 8 + 1).toInt, Seq(8000, 16000, 44100, 48000)((id % 4).toInt),
+        id * 7 % 1000000 + 1000))
+      val media = docs.select(col("doc_id").as("media_id"),
+        mkFlac(col("doc_id")).as("payload"))
+      Multimodal.probeAudioMeta(media)
+    }),
+
     // WebP header probe (the modern web-crawl image format): spec-valid
     // VP8X extended headers planted with canvas dims stored as the
     // spec's minus-one 24-bit LE fields and the alpha flag driving the
@@ -2814,6 +2830,16 @@ object SparkEntry {
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 7 % 256 AS mean_g, " +
         "CAST(regexp_extract(filename, 'img_(\\d+)\\.', 1) AS BIGINT) * 13 % 256 AS mean_b " +
         "FROM read_blob('/root/repo/target/tmp/binfolder/*')"),
+
+    // planted STREAMINFO values recomputed from doc_id; // is DuckDB's
+    // truncating integer division (operands positive), matching Spark's
+    // long division
+    "q_multimodal_flac" ->
+      ("SELECT doc_id AS media_id, 'flac' AS format, " +
+        "CAST(doc_id % 8 + 1 AS INT) AS channels, " +
+        "CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END AS INT) AS sample_rate, " +
+        "CAST((doc_id * 7 % 1000000 + 1000) * 1000 // (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_ms " +
+        "FROM documents"),
 
     // planted VP8X canvas values recomputed from doc_id
     "q_multimodal_webp" ->

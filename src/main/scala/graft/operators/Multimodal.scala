@@ -470,6 +470,98 @@ object Multimodal {
     ftyp ++ moov
   }
 
+  /** Compressed-audio HEADER probe — the metadata pass for formats the
+    * JDK cannot decode (the audio analogue of [[probeImage]]): returns
+    * (format, channels, sample_rate, duration_ms; duration −1 when the
+    * header does not carry it). Pure public-spec bit parsing:
+    *
+    *  - FLAC: "fLaC" magic then the mandatory STREAMINFO block — sample
+    *    rate (20 bits), channels−1 (3 bits), and total samples (36 bits)
+    *    packed big-endian at byte 18 of the block.
+    *  - MP3 (MPEG-1/2 Layer III): 11-bit frame sync, then version/
+    *    bitrate/samplerate indexes from the published tables; duration
+    *    requires walking all frames, so only rate/mode are reported.
+    */
+  private[operators] def probeAudioHeader(
+      b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    try {
+      if (b.length >= 34 && new String(b, 0, 4, "US-ASCII") == "fLaC") {
+        // STREAMINFO payload starts at 8; bytes 10-17 of the payload pack
+        // rate(20) | channels-1(3) | bps-1(5) | totalSamples(36)
+        val o = 8 + 10
+        val rate = (u8(o) << 12) | (u8(o + 1) << 4) | (u8(o + 2) >> 4)
+        val ch = ((u8(o + 2) >> 1) & 0x7) + 1
+        val samples = ((u8(o + 3).toLong & 0xf) << 32) |
+          (u8(o + 4).toLong << 24) | (u8(o + 5).toLong << 16) |
+          (u8(o + 6).toLong << 8) | u8(o + 7).toLong
+        if (rate <= 0) None
+        else Some(("flac", ch, rate, samples * 1000L / rate))
+      } else if (b.length >= 4 && u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0) {
+        val versionBits = (u8(1) >> 3) & 0x3   // 3 = MPEG-1, 2 = MPEG-2
+        val layerBits = (u8(1) >> 1) & 0x3     // 1 = Layer III
+        if (layerBits != 1 || versionBits == 1) return None
+        val rateIdx = (u8(2) >> 2) & 0x3
+        if (rateIdx == 3) return None
+        val rate = versionBits match {
+          case 3 => Seq(44100, 48000, 32000)(rateIdx)
+          case 2 => Seq(22050, 24000, 16000)(rateIdx)
+          case _ => Seq(11025, 12000, 8000)(rateIdx)  // MPEG-2.5
+        }
+        val ch = if (((u8(3) >> 6) & 0x3) == 3) 1 else 2
+        Some(("mp3", ch, rate, -1L))
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val audioHeaderSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Compressed-audio metadata over a media frame — mapPartitions batch
+    * shape, null-on-unparseable 1:1 contract; duration_ms is null where
+    * the header does not carry it (MP3).
+    */
+  def probeAudioMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioHeaderSchema).asInstanceOf[org.apache.spark.sql.Encoder[Row]]
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        (if (payload == null) None else probeAudioHeader(payload)) match {
+          case Some((fmt, ch, rate, ms)) =>
+            Row(id, fmt, ch, rate, if (ms >= 0) ms else null)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixture encoder: a spec-valid FLAC signature + STREAMINFO block with
+    * the given rate/channels/total samples — header-level, no frames.
+    */
+  private[graft] def flacHeaderBytes(channels: Int, sampleRate: Int,
+      totalSamples: Long): Array[Byte] = {
+    val out = new Array[Byte](42)
+    System.arraycopy("fLaC".getBytes("US-ASCII"), 0, out, 0, 4)
+    out(4) = 0x80.toByte  // last block, type 0 (STREAMINFO)
+    out(7) = 34           // block length
+    val o = 18
+    out(o) = ((sampleRate >> 12) & 0xff).toByte
+    out(o + 1) = ((sampleRate >> 4) & 0xff).toByte
+    out(o + 2) = (((sampleRate & 0xf) << 4) | (((channels - 1) & 0x7) << 1)).toByte
+    out(o + 3) = ((totalSamples >> 32) & 0xf).toByte
+    out(o + 4) = ((totalSamples >> 24) & 0xff).toByte
+    out(o + 5) = ((totalSamples >> 16) & 0xff).toByte
+    out(o + 6) = ((totalSamples >> 8) & 0xff).toByte
+    out(o + 7) = (totalSamples & 0xff).toByte
+    out
+  }
+
   val audioStatsSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = true),
     StructField("format", StringType, nullable = true),

@@ -71,6 +71,21 @@ object MultimodalProps extends Properties("Multimodal.probeImage") {
         true
     }
 
+  property("FLAC fixture round-trips rate/channels and exact duration math") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, (1 << 20) - 1),
+        Gen.choose(0L, (1L << 36) - 1)) { (ch, rate, samples) =>
+      Multimodal.probeAudioHeader(Multimodal.flacHeaderBytes(ch, rate, samples))
+        .contains(("flac", ch, rate, samples * 1000L / rate))
+    }
+
+  property("probeAudioHeader never throws on bytes behind either magic") =
+    forAll(Gen.oneOf("fLaC".getBytes("US-ASCII"), Array(0xff, 0xfb).map(_.toByte)),
+        Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      (magic, rest) =>
+        Multimodal.probeAudioHeader(magic ++ rest)
+        true
+    }
+
   property("decodeAudio never throws on arbitrary bytes") =
     forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
       bytes =>

@@ -194,6 +194,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeImage(vp8l.array()).contains(("webp", 17, 9, 4)))
   }
 
+  test("probeAudioHeader parses FLAC STREAMINFO and MP3 frame headers") {
+    // 2ch 44100 Hz, 44100 samples = exactly 1000 ms
+    assert(Multimodal.probeAudioHeader(
+      Multimodal.flacHeaderBytes(2, 44100, 44100L))
+      .contains(("flac", 2, 44100, 1000L)))
+    assert(Multimodal.probeAudioHeader(
+      Multimodal.flacHeaderBytes(8, 192000, 96000L))
+      .contains(("flac", 8, 192000, 500L)))
+    // MPEG-1 Layer III, 44100 Hz, joint stereo: ff fb 90 40
+    assert(Multimodal.probeAudioHeader(
+      Array(0xff, 0xfb, 0x90, 0x40).map(_.toByte))
+      .contains(("mp3", 2, 44100, -1L)))
+    // MPEG-2 Layer III, 22050 Hz, mono: ff f3 90 c0
+    assert(Multimodal.probeAudioHeader(
+      Array(0xff, 0xf3, 0x90, 0xc0).map(_.toByte))
+      .contains(("mp3", 1, 22050, -1L)))
+    assert(Multimodal.probeAudioHeader("fLaX1234".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("probeAudioMeta maps a media frame; MP3 rows carry null duration") {
+    val sp = spark; import sp.implicits._
+    val media = Seq(
+      (1L, Multimodal.flacHeaderBytes(2, 16000, 32000L)),
+      (2L, Array(0xff, 0xfb, 0x90, 0x40).map(_.toByte)),
+      (3L, Array[Byte](9, 9, 9))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.probeAudioMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("format") == "flac")
+    assert(out(1L).getAs[Long]("duration_ms") == 2000L)
+    assert(out(2L).getAs[String]("format") == "mp3")
+    assert(out(2L).isNullAt(out(2L).fieldIndex("duration_ms")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("format")))
+  }
+
   test("probeVideo walks real MP4 boxes: dims, timescale math, v0/v1") {
     val b = Multimodal.mp4HeaderBytes(640, 360, 1000, 2500)
     assert(Multimodal.probeVideo(b).contains(("mp4/isom", 640, 360, 2500L)))
