@@ -1420,16 +1420,20 @@ object SparkEntry {
       Multimodal.probeAudioMeta(media)
     }),
 
-    // WebP header probe (the modern web-crawl image format): spec-valid
-    // VP8X extended headers planted with canvas dims stored as the
-    // spec's minus-one 24-bit LE fields and the alpha flag driving the
-    // channel count; the oracle recomputes all of it from doc_id
+    // modern web-crawl image formats: even ids carry spec-valid WebP
+    // VP8X headers (minus-one 24-bit LE canvas fields, alpha flag
+    // driving the channel count), odd ids carry AVIF headers (ISO-BMFF
+    // meta→iprp→ipco→ispe spatial extents); the oracle recomputes
+    // every value from doc_id
     "q_multimodal_webp" -> ((s, d) => {
       val docs = t(s, d, "documents").df
-      val mkWebp = udf((id: Long) => Multimodal.webpHeaderBytes(
-        (id * 11 % 2000 + 1).toInt, (id * 3 % 1500 + 1).toInt, id % 5 == 0))
+      val mkModern = udf((id: Long) =>
+        if (id % 2 == 0) Multimodal.webpHeaderBytes(
+          (id * 11 % 2000 + 1).toInt, (id * 3 % 1500 + 1).toInt, id % 5 == 0)
+        else Multimodal.avifHeaderBytes(
+          (id * 13 % 4000 + 1).toInt, (id * 17 % 3000 + 1).toInt))
       val media = docs.select(col("doc_id").as("media_id"),
-        mkWebp(col("doc_id")).as("payload"))
+        mkModern(col("doc_id")).as("payload"))
       Multimodal.decodeMedia(media)
     }),
 
@@ -2841,12 +2845,13 @@ object SparkEntry {
         "CAST((doc_id * 7 % 1000000 + 1000) * 1000 // (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_ms " +
         "FROM documents"),
 
-    // planted VP8X canvas values recomputed from doc_id
+    // planted VP8X / ispe values recomputed from doc_id
     "q_multimodal_webp" ->
-      ("SELECT doc_id AS media_id, 'webp' AS format, " +
-        "CAST(doc_id * 11 % 2000 + 1 AS INT) AS width, " +
-        "CAST(doc_id * 3 % 1500 + 1 AS INT) AS height, " +
-        "CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT) AS channels " +
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'webp' ELSE 'avif' END AS format, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id * 11 % 2000 + 1 ELSE doc_id * 13 % 4000 + 1 END AS INT) AS width, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id * 3 % 1500 + 1 ELSE doc_id * 17 % 3000 + 1 END AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT) AS channels " +
         "FROM documents"),
 
     // planted MP4 box values recomputed from doc_id: the Spark side

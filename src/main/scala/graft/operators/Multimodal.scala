@@ -205,7 +205,52 @@ object Multimodal {
       parsed.flatMap { case (w, h, ch) =>
         if (w <= 0 || h <= 0) None else Some(("webp", w, h, ch))
       }
+    } else if (b.length >= 20 && new String(b, 4, 4, "US-ASCII") == "ftyp" &&
+        (new String(b, 8, 4, "US-ASCII") == "avif" ||
+          new String(b, 8, 4, "US-ASCII") == "avis")) {
+      // AVIF (ISO-BMFF / ISO 23000-22): presentation dims live in the
+      // `ispe` (image spatial extents) property fullbox — size(4) 'ispe'
+      // version/flags(4) width(4) height(4), all big-endian. The box
+      // nests under meta→iprp→ipco; a bounded linear fourcc scan finds
+      // it without replicating the fullbox-offset bookkeeping (the
+      // 12-byte shape behind the fourcc disambiguates). Channel count is
+      // reported as 3 — AVIF alpha rides a separate auxiliary item the
+      // header does not flag cheaply.
+      var i = 12
+      val limit = math.min(b.length - 20, 4096)
+      var found: Option[(String, Int, Int, Int)] = None
+      while (found.isEmpty && i <= limit) {
+        if (b(i + 4) == 'i' && b(i + 5) == 's' && b(i + 6) == 'p' &&
+            b(i + 7) == 'e' && be32(i) == 20) {
+          val w = be32(i + 12); val h = be32(i + 16)
+          if (w > 0 && h > 0) found = Some(("avif", w, h, 3))
+        }
+        i += 1
+      }
+      found
     } else None
+  }
+
+  /** Fixture encoder: a spec-shaped minimal AVIF header — ftyp(avif) +
+    * meta fullbox nesting iprp→ipco→ispe with the given dims.
+    */
+  private[graft] def avifHeaderBytes(w: Int, h: Int): Array[Byte] = {
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    val ftyp = box("ftyp", {
+      val p = java.nio.ByteBuffer.allocate(8)
+      p.put("avif".getBytes("US-ASCII")).putInt(0); p.array()
+    })
+    val ispe = box("ispe", {
+      val p = java.nio.ByteBuffer.allocate(12)
+      p.putInt(0).putInt(w).putInt(h); p.array()
+    })
+    val meta = box("meta",
+      Array[Byte](0, 0, 0, 0) ++ box("iprp", box("ipco", ispe)))
+    ftyp ++ meta
   }
 
   /** Fixture encoder: a spec-valid WebP VP8X (extended-format) header

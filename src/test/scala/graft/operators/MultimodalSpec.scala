@@ -194,6 +194,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeImage(vp8l.array()).contains(("webp", 17, 9, 4)))
   }
 
+  test("probeImage finds AVIF dims in the nested ispe box") {
+    assert(Multimodal.probeImage(Multimodal.avifHeaderBytes(3840, 2160))
+      .contains(("avif", 3840, 2160, 3)))
+    assert(Multimodal.probeImage(Multimodal.avifHeaderBytes(1, 1))
+      .contains(("avif", 1, 1, 3)))
+    // avif brand but no ispe anywhere → unparseable, not a crash
+    val noIspe = java.nio.ByteBuffer.allocate(24)
+    noIspe.putInt(16).put("ftypavif".getBytes("US-ASCII")).putInt(0)
+      .putInt(8).put("meta".getBytes("US-ASCII"))
+    assert(Multimodal.probeImage(noIspe.array()).isEmpty)
+  }
+
   test("probeAudioHeader parses FLAC STREAMINFO and MP3 frame headers") {
     // 2ch 44100 Hz, 44100 samples = exactly 1000 ms
     assert(Multimodal.probeAudioHeader(
