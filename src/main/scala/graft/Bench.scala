@@ -96,10 +96,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // median-of-3 at the target SF: a single run per query is
+    // median-of-N at the target SF: a single run per query is
     // noise-dominated (two queries swung 50 % between rounds with zero
-    // code change), so per-query deltas only mean anything over repeats
+    // code change), so per-query deltas only mean anything over repeats.
+    // The frozen core gets 5 reps (it is the round-over-round comparable
+    // and must survive a contended machine); the rest get 3.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val coreReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORE_REPS", "5").toInt
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(" ")
+      catch { case _: Throwable => "n/a" }
+    val loadStart = loadavg
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
@@ -107,25 +114,45 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
+    val coreSet = core.toSet
     val results = selected.map { name =>
-      val runs = Seq.fill(reps)(timeOnce(name))
-      val median =
-        if (runs.exists(_ < 0)) -1.0
-        else runs.sorted.apply(runs.length / 2)
-      (name, median, runs)
+      val n = if (coreSet.contains(name)) coreReps else reps
+      val runs = Seq.fill(n)(timeOnce(name))
+      val (median, min) =
+        if (runs.exists(_ < 0)) (-1.0, -1.0)
+        else (runs.sorted.apply(runs.length / 2), runs.min)
+      (name, median, min, runs)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val loadEnd = loadavg
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, m, _) => "\"" + k + "\":" + f"$m%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val byName = results.map(r => r._1 -> r._2).toMap
+    val byNameMin = results.map(r => r._1 -> r._3).toMap
     val coreTotal = core.flatMap(byName.get).filter(_ >= 0).sum
+    val coreTotalMin = core.flatMap(byNameMin.get).filter(_ >= 0).sum
+    // contention detector: on an idle machine min ≈ median; when ≥3 core
+    // queries show median > 1.5× min, another process stole the CPUs and
+    // the medians are not comparable round-over-round — min is (r10's
+    // driver run: core median 21.6 s vs the same binary's 16.5 s idle)
+    val divergent = results.filter { case (k, med, min, _) =>
+      coreSet.contains(k) && min > 0 && med / min > 1.5
+    }
+    val contended = divergent.size >= 3
+    if (contended) {
+      System.err.println(s"[bench] CONTENDED: ${divergent.size} core queries with median/min > 1.5x " +
+        divergent.map { case (k, med, min, _) => f"$k ($med%.2f/$min%.2f)" }.mkString("[", ", ", "]") +
+        " — medians are load-contaminated; compare min (core_total_min) instead")
+    }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_total":$coreTotal%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_total":$coreTotal%.3f,"core_total_min":$coreTotalMin%.3f,"contended":$contended,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":$qs,"mins":$mins,"sf":"$sfDir"}"""
     println(line)
-    // all three raw runs per query, not just the median — round-over-round
+    // all raw runs per query, not just the median — round-over-round
     // drift is unattributable without per-run spread (the r6→r9 core_total
     // question was unanswerable from medians alone)
-    val runsJson = results.map { case (k, _, runs) =>
+    val runsJson = results.map { case (k, _, _, runs) =>
       "\"" + k + "\":[" + runs.map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fullLine = line.dropRight(1) + f""","runs":$runsJson}"""
@@ -134,8 +161,13 @@ object Bench {
     // commit preserves the COMPLETE per-query history (the committed
     // BENCH_r* artifacts truncate — that's how the r6→r9 drift became
     // unattributable)
-    for (p <- Seq(java.nio.file.Paths.get("target", "bench_latest.json"),
-        java.nio.file.Paths.get("BENCH_FULL_latest.json"))) {
+    // a filtered run (SPARK_GRAFT_BENCH_ONLY) must not clobber the durable
+    // full-history artifact with a partial query set
+    val sinks =
+      if (only.isDefined) Seq(java.nio.file.Paths.get("target", "bench_latest.json"))
+      else Seq(java.nio.file.Paths.get("target", "bench_latest.json"),
+        java.nio.file.Paths.get("BENCH_FULL_latest.json"))
+    for (p <- sinks) {
       try {
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
