@@ -425,7 +425,7 @@ class GraftFrame(val df: DataFrame, val alias: String, val state: QueryState) {
     */
   def winnowPairs(textCol: String, idCol: String, resultAlias: String,
       k: Int = 5, windowSize: Int = 4, minShared: Long = 1L,
-      maxDocFreq: Long = 0L): GraftFrame = {
+      maxDocFreq: Long = graft.operators.Dedup.AdaptiveDocFreq): GraftFrame = {
     val out = graft.operators.Corpus.winnowPairs(execute(), textCol, idCol,
       k, windowSize, minShared, maxDocFreq)
     out.createOrReplaceTempView(resultAlias)

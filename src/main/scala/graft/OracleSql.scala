@@ -44,32 +44,52 @@ object OracleSql {
     * for every qualifying pair on any corpus, e.g. < 1e-10 at t=0.85,
     * r=4, b=32).
     */
-  def jaccardPairs(n: Int, threshold: Double): String = {
+  def jaccardPairs(n: Int, threshold: Double,
+      adaptiveDocFreqCap: Boolean = false): String = {
     val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
     s"WITH toks AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
       s"sh AS (SELECT doc_id, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
       s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
       "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+      adaptiveCapCtes(adaptiveDocFreqCap) +
       "inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i " +
-      "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      s"FROM ${capSide(adaptiveDocFreqCap)} a JOIN ${capSide(adaptiveDocFreqCap)} b " +
+      "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
       "sizes AS (SELECT doc_id, len(s) AS n FROM sh) " +
       "SELECT ia AS id_a, ib AS id_b, i::DOUBLE / (sa.n + sb.n - i) AS jaccard " +
       "FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
       s"WHERE i::DOUBLE / (sa.n + sb.n - i) >= $threshold"
   }
 
+  /** Mirror of Dedup.autoMaxDocFreq + the posting df filter — the CTEs
+    * that keep the oracle in lockstep with the engine's corpus-adaptive
+    * `maxDocFreq` default (cap = max(32, ceil(4·log2(N))); sizes stay
+    * unfiltered, exactly like the engine's jaccard/containment
+    * denominators).
+    */
+  private def adaptiveCapCtes(on: Boolean): String =
+    if (!on) ""
+    else "freq AS (SELECT g, count(*) AS df FROM ex GROUP BY g), " +
+      "cap AS (SELECT greatest(32, CAST(ceil(4 * log2(greatest(2, count(*)))) AS BIGINT)) AS c FROM documents), " +
+      "exf AS (SELECT ex.doc_id, ex.g FROM ex JOIN freq USING (g) WHERE freq.df <= (SELECT c FROM cap)), "
+
+  private def capSide(on: Boolean): String = if (on) "exf" else "ex"
+
   /** Brute-force asymmetric containment pairs (|A∩B| / min(|A|,|B|)):
     * same shingle builder as [[jaccardPairs]], containment normalizer,
     * contained-side tag (smaller shingle set; min id on ties).
     */
-  def containmentPairs(n: Int, threshold: Double): String = {
+  def containmentPairs(n: Int, threshold: Double,
+      adaptiveDocFreqCap: Boolean = false): String = {
     val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
     s"WITH toks AS (SELECT doc_id, $tokensExpr AS t FROM documents), " +
       s"sh AS (SELECT doc_id, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
       s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
       "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+      adaptiveCapCtes(adaptiveDocFreqCap) +
       "inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i " +
-      "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      s"FROM ${capSide(adaptiveDocFreqCap)} a JOIN ${capSide(adaptiveDocFreqCap)} b " +
+      "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
       "sizes AS (SELECT doc_id, len(s) AS n FROM sh) " +
       "SELECT ia AS id_a, ib AS id_b, " +
       "CASE WHEN sa.n < sb.n THEN ia WHEN sb.n < sa.n THEN ib " +

@@ -887,17 +887,28 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents").df, "text", "doc_id", maxHamming = 6)),
 
-    // exact inverted-index Jaccard — complete pair set, oracle brute-forces it
+    // EXACT inverted-index Jaccard — complete pair set via the AllPairs
+    // prefix filter (identical results to the naive posting self-join,
+    // candidate join bounded by prefix postings); oracle brute-forces it
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents").df, "text", "doc_id",
         shingleWords = 2, threshold = 0.1)),
 
     // asymmetric containment (|A∩B|/min): catches short-doc-inside-long
-    // wraps that Jaccard's union normalizer hides — exact inverted index,
-    // brute-force oracle
+    // wraps that Jaccard's union normalizer hides — exact prefix-filtered
+    // inverted index, brute-force oracle
     "q_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(t(s, d, "documents").df, "text", "doc_id",
         shingleWords = 3, threshold = 0.8)),
+
+    // the OPT-IN corpus-adaptive df cap (Dedup.autoMaxDocFreq), graded in
+    // lockstep with the capped oracle mirror — the cap is a no-op at gate
+    // SFs (cap 36 at 500 docs vs max df 7) but the oracle derives the SAME
+    // cap from corpus size, so the contract stays pinned at ANY sf
+    "q_dedup_containment_capped" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents").df, "text", "doc_id",
+        shingleWords = 3, threshold = 0.8,
+        maxDocFreq = Dedup.AdaptiveDocFreq)),
 
     // incremental dedup: batch = 100 exact re-crawls (doc_id+10000) + 100
     // revised docs (doc_id+20000, text suffixed). Bloom prefilter prunes
@@ -2554,6 +2565,11 @@ object SparkEntry {
 
     "q_dedup_containment" ->
       OracleSql.containmentPairs(n = 3, threshold = 0.8),
+
+    // adaptiveDocFreqCap mirrors Dedup.autoMaxDocFreq in SQL — lockstep
+    // with the engine's opt-in cap at any sf by construction
+    "q_dedup_containment_capped" ->
+      OracleSql.containmentPairs(n = 3, threshold = 0.8, adaptiveDocFreqCap = true),
 
     "q_dedup_clusters" ->
       OracleSql.dedupClusters(n = 3, threshold = 0.85),

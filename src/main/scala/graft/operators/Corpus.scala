@@ -824,14 +824,18 @@ object Corpus {
 
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 5, windowSize: Int = 4, minShared: Long = 1L,
-      maxDocFreq: Long = 0L): DataFrame = {
+      maxDocFreq: Long = Dedup.AdaptiveDocFreq): DataFrame = {
+    // adaptive default (Dedup.autoMaxDocFreq): winnowing SELECTS
+    // boilerplate by design, so the uncapped default is the one that
+    // fans out N²/2 pair rows on a shared footer at 100×; 0 = uncapped
+    val cap = Dedup.resolveDocFreqCap(maxDocFreq, docs)
     // pinned: both self-join sides subscribe the fingerprint frame, and
     // its lineage is the full winnow chain (gram hash + window min +
     // distinct) — without the pin the corpus fingerprints twice
     val fp = capPostings(
       winnowFingerprints(docs, textCol, idCol, k, windowSize)
         .select(col(idCol), col("fp_hash")).distinct(),
-      "fp_hash", maxDocFreq)
+      "fp_hash", cap)
       .localCheckpoint(true)
     fp.alias("a").join(fp.alias("b"),
         col("a.fp_hash") === col("b.fp_hash") &&
@@ -858,13 +862,18 @@ object Corpus {
     */
   def incrementalWinnowPairs(batch: DataFrame, corpusIndex: DataFrame,
       textCol: String, idCol: String, k: Int = 5, windowSize: Int = 4,
-      minShared: Long = 1L, maxDocFreq: Long = 0L): DataFrame = {
+      minShared: Long = 1L, maxDocFreq: Long = Dedup.AdaptiveDocFreq): DataFrame = {
     requireWinnowScheme(corpusIndex) // pre-change indexes match zero pairs
     val bfp = winnowFingerprints(batch, textCol, idCol, k, windowSize)
       .select(col(idCol).as("batch_id"), col("fp_hash")).distinct()
-    val cfp = capPostings(
-      corpusIndex.select(col(idCol).as("corpus_id"), col("fp_hash")).distinct(),
-      "fp_hash", maxDocFreq)
+    val cdocs = corpusIndex.select(col(idCol).as("corpus_id"), col("fp_hash")).distinct()
+    // adaptive default sized on the at-rest index's document count (one
+    // distinct-count job over the index, not the corpus text); 0 = uncapped
+    val cap =
+      if (maxDocFreq == Dedup.AdaptiveDocFreq)
+        Dedup.autoMaxDocFreq(cdocs.select("corpus_id").distinct().count())
+      else maxDocFreq
+    val cfp = capPostings(cdocs, "fp_hash", cap)
     bfp.join(cfp, Seq("fp_hash"))
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared_fps"))

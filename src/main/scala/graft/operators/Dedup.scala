@@ -190,46 +190,47 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** EXACT n-gram Jaccard pairs via an inverted shingle index: explode
-    * distinct shingles, self-join equal shingles (so intersection counts
-    * accumulate per pair), then jaccard = i / (|A| + |B| − i). Complete for
-    * any threshold > 0 — a pair with Jaccard ≥ t > 0 shares ≥ 1 shingle and
-    * therefore appears in the index join; no blocking, no recall bias
-    * (the round-1 1-perm min-shingle blocking was recall-biased while the
-    * docstring claimed exactness).
+  /** EXACT n-gram Jaccard pairs ≥ threshold via a PREFIX-FILTERED
+    * inverted shingle index (Bayardo et al. "Scaling Up All Pairs
+    * Similarity Search", WWW'07; Xiao et al. PPJoin): under a global
+    * canonical shingle order (ascending doc frequency, shingle text as
+    * total-order tiebreak), a pair with Jaccard ≥ t has overlap
+    * o ≥ ⌈t·n⌉ on BOTH sides, so its first common shingle sits within
+    * each side's first n − ⌈t·n⌉ + 1 shingles — joining only those
+    * PREFIXES finds every qualifying pair (no recall bias), and exact
+    * verification over the full distinct-shingle sets computes the true
+    * Jaccard for each candidate. Results are identical to the naive
+    * full posting self-join at every threshold.
     *
-    * Scale note: posting-list self-join cost is Σ df(g)² over shingle doc
-    * frequencies — for 100 TB corpora cap ultra-common shingles with
-    * `maxDocFreq` (> 0), which bounds the quadratic term but loses pairs
-    * whose ONLY shared shingles are capped-out stop-shingles; leave 0 for
-    * the exact contract.
+    * Scale shape: the naive self-join costs Σ df(g)² over ALL postings;
+    * the prefix join costs Σ pdf(g)² over prefix postings only — and the
+    * rarest-first canonical order concentrates prefixes on LOW-df
+    * shingles, so hot boilerplate shingles (the quadratic term) rarely
+    * enter the candidate join at all. High thresholds prune hardest
+    * (prefix ≈ (1−t)·n + 1). Verification touches only candidate docs
+    * (semi-join prune, the minhashLshPairs pattern).
+    *
+    * `maxDocFreq`: 0 (default) = the exact contract above. > 0, or
+    * [[AdaptiveDocFreq]] for the corpus-derived [[autoMaxDocFreq]], caps
+    * hot shingles out of the index entirely — scores are then computed
+    * over sub-cap shingles (denominators keep full set sizes) and pairs
+    * whose shared shingles are all over-cap are LOST. Measured honestly
+    * (COVERAGE.md "containment scale note"): on a df-saturated clone
+    * corpus the cap trades essentially all clone-group recall for speed,
+    * so the DEFAULT stays exact and the cap is the explicit opt-in for
+    * boilerplate-dominated corpora.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Long = 0L): DataFrame = {
     require(threshold > 0.0, "ngramJaccardPairs: threshold must be > 0")
-    // pin the exploded posting list ONCE: it feeds the per-doc set sizes,
-    // (optionally) the doc-frequency filter, and BOTH sides of the
-    // self-join — four corpus shingle passes without the pin. Pinned
-    // size is the corpus's distinct (doc, shingle) volume, the same
-    // materialize-once trade every inverted-index engine makes. Sizes
-    // count the UNFILTERED posting (jaccard denominators are full set
-    // sizes even when maxDocFreq prunes join keys).
-    val posting0 = df.select(col(idCol).as("id"),
-        explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
-      .localCheckpoint(true)
-    val sizes = posting0.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val posting =
-      if (maxDocFreq > 0L) {
-        val freq = posting0.groupBy("g").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDocFreq).select("g")
-        posting0.join(freq, Seq("g"))
-      } else posting0
-    val inter = posting.alias("a").join(posting.alias("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
+    val (cand, sizes, shingleSets) =
+      prefixCandidates(df, textCol, idCol, shingleWords, threshold,
+        resolveDocFreqCap(maxDocFreq, df), containment = false)
+    cand
+      .join(shingleSets.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .withColumn("jaccard",
@@ -245,32 +246,23 @@ object Dedup {
     * but containment ≈ 1. Output tags which side is the contained one
     * (`contained_id` = the smaller shingle set on ties the lower id).
     *
-    * Same exact inverted-index shape as [[ngramJaccardPairs]] — one
-    * posting-list self-join bounded by Σ df² with the same `maxDocFreq`
-    * dial; only the normalizer changes.
+    * Same prefix-filtered exact shape as [[ngramJaccardPairs]], with the
+    * containment-specific asymmetry: o ≥ ⌈t·min(na,nb)⌉ bounds only the
+    * SMALLER side's prefix, so candidates join the smaller side's prefix
+    * against the larger side's full posting ((n, id)-lexicographic side
+    * choice). Same `maxDocFreq` dial and documented trade.
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Long = 0L): DataFrame = {
     require(threshold > 0.0, "containmentPairs: threshold must be > 0")
-    // same pinned-posting shape as ngramJaccardPairs (see there): one
-    // shingle pass feeds sizes, the optional df filter, and both join
-    // sides; containment denominators count the unfiltered posting
-    val posting0 = df.select(col(idCol).as("id"),
-        explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
-      .localCheckpoint(true)
-    val sizes = posting0.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val posting =
-      if (maxDocFreq > 0L) {
-        val freq = posting0.groupBy("g").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDocFreq).select("g")
-        posting0.join(freq, Seq("g"))
-      } else posting0
-    val inter = posting.alias("a").join(posting.alias("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
+    val (cand, sizes, shingleSets) =
+      prefixCandidates(df, textCol, idCol, shingleWords, threshold,
+        resolveDocFreqCap(maxDocFreq, df), containment = true)
+    cand
+      .join(shingleSets.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .withColumn("containment",
@@ -281,6 +273,103 @@ object Dedup {
           .when(col("nb") < col("na"), col("id_b"))
           .otherwise(least(col("id_a"), col("id_b"))).as("contained_id"),
         col("containment"))
+  }
+
+  /** Shared candidate stage of [[ngramJaccardPairs]]/[[containmentPairs]]:
+    * returns (candidate id pairs, full per-doc set sizes, per-candidate-doc
+    * distinct shingle sets for exact verification). `cap > 0` removes
+    * over-cap shingles from the index AND the verify sets (scores over
+    * sub-cap shingles); sizes always count the full posting.
+    *
+    * Correctness of the prefix bound (both measures): a pair meeting the
+    * threshold has overlap o ≥ ⌈t·n⌉ per side for Jaccard (j ≥ t ⟹
+    * o ≥ t·max(na,nb)) and o ≥ ⌈t·min(na,nb)⌉ for containment. The j-th
+    * smallest common shingle in canonical order has, on a side with n
+    * entries, at most n − o + j − 1 entries before it, i.e. rank ≤
+    * n − o + j ≤ n − ⌈t·n⌉ + j — so with prefixes extended to
+    * n − ⌈t·n⌉ + k, a qualifying pair is guaranteed min(o, k) collision
+    * rows inside the prefix region, and requiring
+    * hits ≥ min(k, ⌈t·n_small⌉) prunes without losing any pair (PPJoin's
+    * position idea in count form; k = [[PrefixSlack]]). The count filter
+    * is what makes verification affordable: at 10× bench scale it cuts
+    * 22.5M single-collision candidates to 22.5k while the true pair set
+    * is provably intact. The ceil is computed as ceil(t·n − 1e-9): an FP
+    * error can only LENGTHEN a prefix (extra candidates), never shorten
+    * it (lost pairs).
+    */
+  private def prefixCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int, threshold: Double, cap: Long,
+      containment: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    // pin the exploded posting ONCE: it feeds sizes, doc frequencies,
+    // the ranked prefix, and (under a cap) the verify sets — the same
+    // materialize-once trade every inverted-index engine makes
+    val posting0 = df.select(col(idCol).as("id"),
+        explode(array_distinct(T.wordShingles(col(textCol), shingleWords))).as("g"))
+      .localCheckpoint(true)
+    val sizes = posting0.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val freqAll = posting0.groupBy("g").agg(count(lit(1)).as("df"))
+    val (posting, freq) =
+      if (cap > 0L) {
+        val keep = freqAll.where(col("df") <= cap)
+        (posting0.join(keep.select("g"), Seq("g")), keep)
+      } else (posting0, freqAll)
+    // canonical order = (df asc, shingle text asc): a TOTAL order shared
+    // by every document, rarest-first so prefixes dodge hot postings
+    val byId = Window.partitionBy(col("id"))
+    val ranked = posting.join(freq, Seq("g"))
+      .withColumn("rk", row_number().over(byId.orderBy(col("df"), col("g"))))
+      .withColumn("nc", count(lit(1)).over(byId))
+      .withColumn("plen",
+        col("nc") - ceil(lit(threshold) * col("nc") - lit(1e-9)) + lit(PrefixSlack))
+    val cand =
+      if (!containment) {
+        val pref = ranked.where(col("rk") <= col("plen")).select("id", "g", "nc")
+        pref.alias("a").join(pref.alias("b"),
+            col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("hits"),
+            least(lit(PrefixSlack.toLong),
+              ceil(lit(threshold) * least(max(col("a.nc")), max(col("b.nc"))) - lit(1e-9)))
+              .as("req"))
+          .where(col("hits") >= col("req"))
+          .select("id_a", "id_b")
+      } else {
+        // the o ≥ ⌈t·min⌉ bound constrains only the smaller side (by FULL
+        // size, matching the verify normalizer; id tiebreak makes the
+        // side choice total) — its prefix joins the other side's full
+        // posting
+        val withN = ranked.join(sizes, Seq("id"))
+        val pref = withN.where(col("rk") <= col("plen"))
+          .select(col("id").as("pid"), col("g"), col("n").as("pn"), col("nc").as("pnc"))
+        val full = withN.select(col("id").as("fid"), col("g"), col("n").as("fn"))
+        pref.join(full, Seq("g"))
+          .where(col("pn") < col("fn") ||
+            (col("pn") === col("fn") && col("pid") =!= col("fid")))
+          .groupBy(least(col("pid"), col("fid")).as("id_a"),
+            greatest(col("pid"), col("fid")).as("id_b"))
+          .agg(count(lit(1)).as("hits"),
+            least(lit(PrefixSlack.toLong),
+              ceil(lit(threshold) * max(col("pnc")) - lit(1e-9))).as("req"))
+          .where(col("hits") >= col("req"))
+          .select("id_a", "id_b")
+      }
+    val pinned = cand.localCheckpoint(true)
+    // verification only ever re-reads CANDIDATE docs (semi-join prune —
+    // the minhashLshPairs pattern): at corpus scale the candidate set is
+    // a sliver of the corpus
+    val candIds = pinned.select(col("id_a").as("sid"))
+      .union(pinned.select(col("id_b").as("sid"))).distinct()
+    val shingleSets =
+      if (cap > 0L)
+        // capped contract: intersections must count sub-cap shingles only
+        posting.join(candIds, col("id") === col("sid"), "left_semi")
+          .groupBy(col("id")).agg(collect_list(col("g")).as("sh"))
+          .select(col("id").as("sid"), col("sh"))
+      else
+        df.join(candIds, col(idCol) === col("sid"), "left_semi")
+          .select(col(idCol).as("sid"),
+            array_distinct(T.wordShingles(col(textCol), shingleWords)).as("sh"))
+    (pinned, sizes, shingleSets)
   }
 
   /** The (id, band, bh) MinHash band rows of a corpus — the persistable
@@ -713,6 +802,48 @@ object Dedup {
     math.min(maxBits, math.max(minBits,
       math.ceil(math.log(buckets) / math.log(2.0)).toInt))
   }
+
+  /** Sentinel `maxDocFreq` value: derive the posting-list doc-frequency
+    * cap from corpus size via [[autoMaxDocFreq]].
+    */
+  val AdaptiveDocFreq: Long = -1L
+
+  /** Prefix extension k of the AllPairs candidate stage (see
+    * `prefixCandidates`): prefixes run k−1 entries past the minimal
+    * ⌈t·n⌉ bound and candidates must collide ≥ min(k, ⌈t·n_small⌉)
+    * times — each unit of k buys one more required collision (a
+    * multiplicative candidate cut on weakly-overlapping pairs) for one
+    * more indexed posting row per document (an additive cost). k=3
+    * measured 22.5M → 22.5k candidates at 10× bench scale.
+    */
+  val PrefixSlack: Int = 3
+
+  /** Corpus-adaptive posting-list doc-frequency cap for the
+    * inverted-index pair joins ([[ngramJaccardPairs]],
+    * [[containmentPairs]], `Corpus.winnowPairs`):
+    * `max(32, ceil(4·log2(N)))`. Rationale: self-join cost is Σ df(g)²,
+    * and capping at c bounds it by c·|posting| — LINEAR in corpus per
+    * unit of cap — so the cap must grow (at most) slowly for the plan to
+    * survive 100×; log growth gives legitimately-popular content
+    * headroom in bigger corpora while a shingle shared by more than
+    * ~4·log2(N) documents is boilerplate, not evidence of a specific
+    * near-dup pair (the same saturation argument as a Zipf stop-word
+    * cut). At 10¹⁰ docs the cap is 133 — shingles in >133 of 10 billion
+    * docs carry no pair information. Recall trade (documented at the
+    * call sites): only pairs whose EVERY shared shingle exceeds the cap
+    * are lost.
+    */
+  def autoMaxDocFreq(corpusSize: Long): Long = {
+    val n = math.max(2L, corpusSize).toDouble
+    math.max(32L, math.ceil(4.0 * math.log(n) / math.log(2.0)).toLong)
+  }
+
+  /** Resolve a `maxDocFreq` argument: [[AdaptiveDocFreq]] → derive from
+    * the corpus row count (a metadata-only job on parquet sources), 0 →
+    * uncapped exact, > 0 → pinned.
+    */
+  private[graft] def resolveDocFreqCap(maxDocFreq: Long, corpus: DataFrame): Long =
+    if (maxDocFreq == AdaptiveDocFreq) autoMaxDocFreq(corpus.count()) else maxDocFreq
 
   def signLshCandidates(base: DataFrame, lshBits: Int, dim: Int,
       lshTables: Int): DataFrame = {

@@ -174,7 +174,8 @@ object ScaleCheck {
       f"""\"$q\":{\"sf01\":$a%.3f,\"sf10\":$b%.3f,\"ratio\":$r%.2f}"""
     }.mkString("{\"scale\":10,\"queries\":{", ",", "}}")
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1_r10.json"),
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SF1_OUT", "BENCH_SF1_r11.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }

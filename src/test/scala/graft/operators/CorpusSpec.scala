@@ -515,15 +515,28 @@ class CorpusSpec extends SparkSpec {
       (100L, s"original piece containing $stolen and only here"),
       (101L, s"rework that lifted $stolen wholesale from the original $footer"))
     val docs = (boiler ++ copies).toDF("doc_id", "text")
-    val uncapped = Corpus.winnowPairs(docs, "text", "doc_id", minShared = 1L)
+    val uncapped = Corpus.winnowPairs(docs, "text", "doc_id", minShared = 1L,
+      maxDocFreq = 0L)
     val capped = Corpus.winnowPairs(docs, "text", "doc_id", minShared = 1L,
       maxDocFreq = 10L)
     val cp = capped.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
-    // uncapped: footer fingerprints pair all 41 footer docs quadratically
+    // uncapped (explicit 0): footer fingerprints pair all 41 footer docs
+    // quadratically
     assert(uncapped.count() > 700L)
     // capped: the boilerplate-only pairs vanish; the genuine copy survives
     // because its shared run's fingerprints have df = 2
     assert(cp.toSeq == Seq((100L, 101L)))
+    // the DEFAULT is now a protected path: Dedup.autoMaxDocFreq(42) = 32
+    // < the footer's full-run df 41, so the hottest (context-independent)
+    // footer fingerprints are capped out of the box. Winnowing's window-min
+    // selection keeps context-DEPENDENT footer fingerprints at df < 32, so
+    // the default prunes strictly (not to the tight explicit cap) and the
+    // genuine copy pair always survives
+    assert(Dedup.autoMaxDocFreq(42L) == 32L)
+    val dflt = Corpus.winnowPairs(docs, "text", "doc_id", minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(dflt.length < uncapped.count())
+    assert(dflt.contains((100L, 101L)))
     // incremental flavor: same cap measured on the corpus index df
     val idx = Corpus.winnowFingerprints(docs, "text", "doc_id")
     val batch = Seq((500L, s"fresh submission with $footer only")).toDF("doc_id", "text")
@@ -531,7 +544,7 @@ class CorpusSpec extends SparkSpec {
       minShared = 1L, maxDocFreq = 10L)
     assert(inc.count() == 0L)
     val incUncapped = Corpus.incrementalWinnowPairs(batch, idx, "text", "doc_id",
-      minShared = 1L)
+      minShared = 1L, maxDocFreq = 0L)
     assert(incUncapped.count() > 0L)
   }
 

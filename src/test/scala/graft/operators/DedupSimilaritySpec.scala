@@ -278,6 +278,71 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered pair join is COMPLETE: equals the naive posting self-join") {
+    // the AllPairs prefix filter must be invisible in the results at any
+    // threshold — verify both measures against an independent naive
+    // brute force (full posting self-join + groupBy) on the real fixture
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val posting = fixture.select(col("doc_id").as("id"),
+      explode(array_distinct(TF.wordShingles(col("text"), 3))).as("g"))
+    val sizes = posting.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = posting.alias("a").join(posting.alias("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+    for (t <- Seq(0.1, 0.5, 0.9)) {
+      val naiveJ = inter
+        .where(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefJ = Dedup.ngramJaccardPairs(fixture, "text", "doc_id",
+        shingleWords = 3, threshold = t).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(prefJ == naiveJ,
+        s"jaccard t=$t: missing ${(naiveJ -- prefJ).size}, extra ${(prefJ -- naiveJ).size}")
+      val naiveC = inter
+        .where(col("i").cast("double") / least(col("na"), col("nb")) >= t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefC = Dedup.containmentPairs(fixture, "text", "doc_id",
+        shingleWords = 3, threshold = t).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(prefC == naiveC,
+        s"containment t=$t: missing ${(naiveC -- prefC).size}, extra ${(prefC -- naiveC).size}")
+    }
+  }
+
+  test("maxDocFreq cap drops boilerplate-only pairs, keeps sub-cap overlap intact") {
+    val sp = spark; import sp.implicits._
+    // 40 docs share a hot trigram run (df 40 > cap 10); one genuine pair
+    // shares a rare run (df 2). Under the cap the hot-run pairs vanish
+    // and the genuine pair's score is computed over sub-cap shingles with
+    // FULL set sizes in the denominator.
+    val hot = "copyright acme corporation all rights reserved worldwide"
+    val rare = "plutonium osmium iridium rhenium tantalum hafnium"
+    val boiler = (1L to 40L).map(i => (i, s"doc$i alpha$i beta$i gamma$i $hot"))
+    val pairDocs = Seq((100L, s"original $rare text"), (101L, s"original $rare text"))
+    val docs = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleWords = 3, threshold = 0.5, maxDocFreq = 10L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"cap must keep only the rare-run pair, got $capped")
+    // exact default still sees the boilerplate pairs
+    val exact = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleWords = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.size > 100 && exact.contains((100L, 101L)))
+    // the adaptive sentinel resolves via autoMaxDocFreq(42) = 32 < 40 →
+    // also prunes the hot run, without any dial passed
+    val adaptive = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleWords = 3, threshold = 0.5, maxDocFreq = Dedup.AdaptiveDocFreq)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(adaptive == Set((100L, 101L)))
+  }
+
   test("ngram jaccard computes exact similarity on collided pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       shingleWords = 2, threshold = 0.1)
