@@ -1433,39 +1433,45 @@ object SparkEntry {
 
     // modern web-crawl image formats: even ids carry spec-valid WebP
     // VP8X headers (minus-one 24-bit LE canvas fields, alpha flag
-    // driving the channel count), odd ids carry AVIF headers (ISO-BMFF
-    // meta→iprp→ipco→ispe spatial extents); the oracle recomputes
-    // every value from doc_id
+    // driving the channel count, animation flag from the VP8X feature
+    // byte), odd ids carry AVIF headers (ISO-BMFF meta→iprp→ipco→ispe
+    // spatial extents, avis brand for animation, auxC alpha urn); the
+    // oracle recomputes every value from doc_id
     "q_multimodal_webp" -> ((s, d) => {
       val docs = t(s, d, "documents").df
       val mkModern = udf((id: Long) =>
         if (id % 2 == 0) Multimodal.webpHeaderBytes(
-          (id * 11 % 2000 + 1).toInt, (id * 3 % 1500 + 1).toInt, id % 5 == 0)
+          (id * 11 % 2000 + 1).toInt, (id * 3 % 1500 + 1).toInt,
+          id % 5 == 0, id % 7 == 0)
         else Multimodal.avifHeaderBytes(
-          (id * 13 % 4000 + 1).toInt, (id * 17 % 3000 + 1).toInt))
+          (id * 13 % 4000 + 1).toInt, (id * 17 % 3000 + 1).toInt,
+          id % 3 == 0, id % 7 == 0))
       val media = docs.select(col("doc_id").as("media_id"),
         mkModern(col("doc_id")).as("payload"))
       Multimodal.decodeMedia(media)
     }),
 
     // REAL video-container metadata: each row carries a spec-valid
-    // minimal MP4 (ftyp + moov{mvhd, trak{tkhd}}) and probeVideoMeta
-    // must walk the real ISO-BMFF box structure to recover presentation
-    // dims (16.16 fixed point) and duration (movie timescale units →
-    // ms). The oracle recomputes everything from doc_id arithmetic —
-    // box-offset or fixed-point mistakes mismatch every row. Timescales
-    // {200,500,1000} divide 1000 exactly, so duration_ms is integer on
-    // both sides.
+    // minimal MP4 (ftyp + moov{mvhd, trak{tkhd, mdia…stsd{codec{btrt}}}})
+    // and probeVideoMeta must walk the real ISO-BMFF box structure to
+    // recover presentation dims (16.16 fixed point), duration (movie
+    // timescale units → ms), the sample-entry codec fourcc, and the btrt
+    // average bitrate. The oracle recomputes everything from doc_id
+    // arithmetic — box-offset or fixed-point mistakes mismatch every
+    // row. Timescales {200,500,1000} divide 1000 exactly, so duration_ms
+    // is integer on both sides.
     "q_multimodal_video" -> ((s, d) => {
       val docs = t(s, d, "documents").df
       val mkMp4 = udf((id: Long) => Multimodal.mp4HeaderBytes(
         (id * 9 % 1280 + 16).toInt, (id * 5 % 720 + 16).toInt,
-        Seq(200, 500, 1000)((id % 3).toInt), (id % 3000 + 1).toInt))
+        Seq(200, 500, 1000)((id % 3).toInt), (id % 3000 + 1).toInt,
+        Seq("avc1", "hev1", "av01")((id % 3).toInt),
+        ((id % 900 + 100) * 1000).toInt))
       val media = docs.select(col("doc_id").as("media_id"),
         mkMp4(col("doc_id")).as("payload"))
       Multimodal.probeVideoMeta(media)
         .select(col("media_id"), col("format"), col("width"), col("height"),
-          col("duration_ms"))
+          col("duration_ms"), col("codec"), col("avg_bitrate"))
     }),
 
     // REAL audio decode: each row carries a genuine RIFF/WAVE PCM16
@@ -2819,7 +2825,9 @@ object SparkEntry {
         "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
         "CAST(doc_id * 13 % 800 + 1 AS INT) AS width, " +
         "CAST(doc_id * 7 % 600 + 1 AS INT) AS height, " +
-        "CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS INT) AS channels " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS INT) AS channels, " +
+        "CAST(doc_id % 4 = 0 AS BOOLEAN) AS has_alpha, " +
+        "CAST(FALSE AS BOOLEAN) AS is_animated " +
         "FROM documents"),
 
     // planted solid-color values recomputed from doc_id: the Spark side
@@ -2861,13 +2869,17 @@ object SparkEntry {
         "CAST((doc_id * 7 % 1000000 + 1000) * 1000 // (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_ms " +
         "FROM documents"),
 
-    // planted VP8X / ispe values recomputed from doc_id
+    // planted VP8X / ispe values recomputed from doc_id, including the
+    // VP8X alpha/animation feature bits, the avis animation brand, and
+    // the auxC alpha aux-type urn
     "q_multimodal_webp" ->
       ("SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'webp' ELSE 'avif' END AS format, " +
         "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id * 11 % 2000 + 1 ELSE doc_id * 13 % 4000 + 1 END AS INT) AS width, " +
         "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id * 3 % 1500 + 1 ELSE doc_id * 17 % 3000 + 1 END AS INT) AS height, " +
-        "CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT) AS channels " +
+        "CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 = 0 ELSE doc_id % 3 = 0 END AS BOOLEAN) AS has_alpha, " +
+        "CAST(doc_id % 7 = 0 AS BOOLEAN) AS is_animated " +
         "FROM documents"),
 
     // planted MP4 box values recomputed from doc_id: the Spark side
@@ -2876,7 +2888,9 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, 'mp4/isom' AS format, " +
         "CAST(doc_id * 9 % 1280 + 16 AS INT) AS width, " +
         "CAST(doc_id * 5 % 720 + 16 AS INT) AS height, " +
-        "CAST((doc_id % 3000 + 1) * (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 5 WHEN 1 THEN 2 ELSE 1 END) AS BIGINT) AS duration_ms " +
+        "CAST((doc_id % 3000 + 1) * (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 5 WHEN 1 THEN 2 ELSE 1 END) AS BIGINT) AS duration_ms, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1' ELSE 'av01' END AS codec, " +
+        "CAST((doc_id % 900 + 100) * 1000 AS BIGINT) AS avg_bitrate " +
         "FROM documents"),
 
     // planted constant-amplitude WAV values recomputed from doc_id: the

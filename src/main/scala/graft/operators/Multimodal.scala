@@ -234,22 +234,30 @@ object Multimodal {
   /** Fixture encoder: a spec-shaped minimal AVIF header — ftyp(avif) +
     * meta fullbox nesting iprp→ipco→ispe with the given dims.
     */
-  private[graft] def avifHeaderBytes(w: Int, h: Int): Array[Byte] = {
+  private[graft] def avifHeaderBytes(w: Int, h: Int,
+      alpha: Boolean = false, animated: Boolean = false): Array[Byte] = {
     def box(name: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
       out.array()
     }
     val ftyp = box("ftyp", {
-      val p = java.nio.ByteBuffer.allocate(8)
-      p.put("avif".getBytes("US-ASCII")).putInt(0); p.array()
+      val p = java.nio.ByteBuffer.allocate(12)
+      p.put((if (animated) "avis" else "avif").getBytes("US-ASCII"))
+        .putInt(0).put("avif".getBytes("US-ASCII"))
+      p.array()
     })
     val ispe = box("ispe", {
       val p = java.nio.ByteBuffer.allocate(12)
       p.putInt(0).putInt(w).putInt(h); p.array()
     })
+    // auxC (auxiliary type property): fullbox + null-terminated urn —
+    // the spec's marker for an alpha auxiliary image item
+    val auxC = if (!alpha) Array.empty[Byte] else box("auxC",
+      Array[Byte](0, 0, 0, 0) ++
+        "urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\u0000".getBytes("US-ASCII"))
     val meta = box("meta",
-      Array[Byte](0, 0, 0, 0) ++ box("iprp", box("ipco", ispe)))
+      Array[Byte](0, 0, 0, 0) ++ box("iprp", box("ipco", ispe ++ auxC)))
     ftyp ++ meta
   }
 
@@ -258,13 +266,13 @@ object Multimodal {
     * header-level shape [[pngHeaderBytes]] plants for PNG.
     */
   private[graft] def webpHeaderBytes(w: Int, h: Int,
-      alpha: Boolean = false): Array[Byte] = {
+      alpha: Boolean = false, anim: Boolean = false): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(30)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(22)
       .put("WEBP".getBytes("US-ASCII"))
       .put("VP8X".getBytes("US-ASCII")).putInt(10)
-      .put((if (alpha) 0x10 else 0x00).toByte)
+      .put(((if (alpha) 0x10 else 0x00) | (if (anim) 0x02 else 0x00)).toByte)
       .put(Array[Byte](0, 0, 0))
     def le24(v: Int): Unit = {
       out.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
@@ -281,15 +289,89 @@ object Multimodal {
     StructField("format", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
-    StructField("channels", IntegerType, nullable = true)))
+    StructField("channels", IntegerType, nullable = true),
+    StructField("has_alpha", BooleanType, nullable = true),
+    StructField("is_animated", BooleanType, nullable = true)))
+
+  /** Alpha-channel / animation flags straight off the container header —
+    * pure public-spec fields, no frame decode, null where the header does
+    * not carry the answer:
+    *
+    *  - PNG: alpha from the IHDR color type (4/6); animation from the
+    *    APNG `acTL` chunk, which the spec requires BEFORE the first IDAT
+    *    — a bounded chunk walk answers it definitively, or null if the
+    *    buffer is a prefix that ends before IDAT/IEND.
+    *  - JPEG: neither exists in the format — (false, false).
+    *  - GIF: both live in per-frame blocks behind the variable-length
+    *    global color table, not the header — (null, null).
+    *  - BMP: alpha iff 32 bpp; never animated.
+    *  - WebP: VP8X feature flags byte (bit 4 alpha, bit 1 animation);
+    *    plain VP8 has neither; VP8L carries alpha in bit 28.
+    *  - AVIF: animation iff the `avis` brand appears in ftyp (major or
+    *    compatible); alpha iff an `auxC` property carries the
+    *    `urn:…:auxiliary:alpha` aux type (bounded scan, like ispe).
+    */
+  private[operators] def probeImageFlags(
+      fmt: String, b: Array[Byte]): (Option[Boolean], Option[Boolean]) = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    try fmt match {
+      case "png" =>
+        val alpha = u8(25) == 4 || u8(25) == 6
+        var i = 8
+        var anim: Option[Boolean] = None
+        while (anim.isEmpty && i + 8 <= b.length) {
+          val t = new String(b, i + 4, 4, "US-ASCII")
+          if (t == "acTL") anim = Some(true)
+          else if (t == "IDAT" || t == "IEND") anim = Some(false)
+          else i += 12 + math.min(be32(i), Int.MaxValue.toLong - 16).toInt
+        }
+        (Some(alpha), anim)
+      case "jpeg" => (Some(false), Some(false))
+      case "gif" => (None, None)
+      case "bmp" => (Some(le16(28) == 32), Some(false))
+      case "webp" =>
+        new String(b, 12, 4, "US-ASCII") match {
+          case "VP8X" =>
+            (Some((u8(20) & 0x10) != 0), Some((u8(20) & 0x02) != 0))
+          case "VP8 " => (Some(false), Some(false))
+          case "VP8L" =>
+            (Some((u8(24) & 0x10) != 0), Some(false))
+          case _ => (None, None)
+        }
+      case "avif" =>
+        val ftypEnd = math.min(be32(0), b.length.toLong).toInt
+        var anim = false
+        var i = 8
+        while (!anim && i + 4 <= ftypEnd) {
+          if (new String(b, i, 4, "US-ASCII") == "avis") anim = true
+          i += 4
+        }
+        val urn = "auxiliary:alpha".getBytes("US-ASCII")
+        val limit = math.min(b.length - urn.length, 8192)
+        var alpha = false
+        var j = ftypEnd
+        while (!alpha && j <= limit) {
+          var k = 0
+          while (k < urn.length && b(j + k) == urn(k)) k += 1
+          if (k == urn.length) alpha = true
+          j += 1
+        }
+        (Some(alpha), Some(anim))
+      case _ => (None, None)
+    } catch { case scala.util.control.NonFatal(_) => (None, None) }
+  }
 
   /** Header decode over a media frame — the REAL probe (no stub): one
-    * `mapPartitions` pass parses each payload's PNG/JPEG/GIF header into
-    * (format, width, height, channels); unparseable or null payloads
-    * yield null columns rather than dropping the row, so the output stays
-    * 1:1 with the input (the join-back contract downstream filters rely
-    * on). Scale shape: map-side only — no shuffle, no driver collect, and
-    * the scan reads just (media_id, payload).
+    * `mapPartitions` pass parses each payload's PNG/JPEG/GIF/WebP/AVIF
+    * header into (format, width, height, channels, has_alpha,
+    * is_animated); unparseable or null payloads yield null columns rather
+    * than dropping the row, so the output stays 1:1 with the input (the
+    * join-back contract downstream filters rely on). Scale shape:
+    * map-side only — no shuffle, no driver collect, and the scan reads
+    * just (media_id, payload).
     */
   def decodeMedia(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -299,8 +381,11 @@ object Multimodal {
         val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         (if (payload == null) None else probeImage(payload)) match {
-          case Some((fmt, w, h, c)) => Row(id, fmt, w, h, c)
-          case None => Row(id, null, null, null, null)
+          case Some((fmt, w, h, c)) =>
+            val (alpha, anim) = probeImageFlags(fmt, payload)
+            Row(id, fmt, w, h, c,
+              alpha.map(Boolean.box).orNull, anim.map(Boolean.box).orNull)
+          case None => Row(id, null, null, null, null, null, null)
         }
       }
     }(enc)
@@ -391,67 +476,140 @@ object Multimodal {
     * ISO/IEC 14496-12 box structure): walk the top-level boxes to `moov`,
     * then its children: `mvhd` carries the movie timescale and duration
     * (version 0: 32-bit; version 1: 64-bit), `trak`/`tkhd` carries the
-    * presentation width/height as 16.16 fixed point. Returns
-    * (brand, width, height, duration_ms). Header-only — a few hundred
-    * bytes — the video analogue of [[probeImage]]: every video-curation
-    * stage that filters on resolution/length runs this before any frame
-    * codec is involved. Frame DECODE stays a codec-boundary non-goal (no
+    * presentation width/height as 16.16 fixed point, and the
+    * trak→mdia→minf→stbl→stsd sample-description walk surfaces the track
+    * codec fourcc (`avc1`/`hev1`/`mp4a`/…) plus the average bitrate from
+    * the sample entry's `btrt` box when the muxer wrote one. Returns
+    * (brand, width, height, duration_ms, codec, avg_bitrate_bps).
+    * Header-only — a few hundred bytes — the video analogue of
+    * [[probeImage]]: every video-curation stage that filters on
+    * resolution/length/codec runs this before any frame codec is
+    * involved. Frame DECODE stays a codec-boundary non-goal (no
     * H.264/AV1 decoder in the JDK).
+    *
+    * Box sizing follows ISO/IEC 14496-12 §4.2 exactly: `size==1` means an
+    * 8-byte largesize follows the fourcc, `size==0` means the box extends
+    * to the end of the enclosing container — both legal and common in
+    * real muxer output (large mdat, last top-level box). Sizes past the
+    * enclosing bound are clamped (a header-only probe of a sampled prefix
+    * must not walk off the buffer), and all advances are Long-safe so a
+    * hostile 32-bit size can never wrap an index negative.
     */
-  private[operators] def probeVideo(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+  private[operators] def probeVideo(
+      b: Array[Byte]): Option[(String, Int, Int, Long, Option[String], Option[Long])] = {
     def u8(i: Int): Int = b(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
       (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
     def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
     def boxName(i: Int): String = new String(b, i + 4, 4, "US-ASCII")
+    // The box at `i` inside [.., limit): (fourcc, payloadStart, boxEnd).
+    // size==0 → to end of container; size==1 → 64-bit largesize; ends are
+    // clamped to the enclosing bound so hostile sizes cannot escape it.
+    def boxAt(i: Int, limit: Int): Option[(String, Int, Int)] = {
+      if (i + 8 > limit) return None
+      val sz = be32(i)
+      val name = boxName(i)
+      if (sz == 0L) Some((name, i + 8, limit))
+      else if (sz == 1L) {
+        if (i + 16 > limit) None
+        else {
+          val ls = be64(i + 8)
+          if (ls < 16L) None
+          else Some((name, i + 16, math.min(i.toLong + ls, limit.toLong).toInt))
+        }
+      } else if (sz < 8L) None
+      else Some((name, i + 8, math.min(i.toLong + sz, limit.toLong).toInt))
+    }
+    // Payload bounds of the first child box named `name` within [start, limit).
+    def findChild(start: Int, limit: Int, name: String): Option[(Int, Int)] = {
+      var i = start
+      while (i + 8 <= limit) {
+        boxAt(i, limit) match {
+          case Some((n, ps, pe)) =>
+            if (n == name) return Some((ps, pe))
+            if (pe <= i) return None // no forward progress → malformed
+            i = pe
+          case None => return None
+        }
+      }
+      None
+    }
     try {
       if (b.length < 16 || boxName(0) != "ftyp") return None
       val brand = new String(b, 8, 4, "US-ASCII").trim
       var timescale = 0L; var duration = -1L; var w = 0; var h = 0
-      var i = 0
-      while (i + 8 <= b.length) {
-        val size = be32(i)
-        if (size < 8) return None
-        if (boxName(i) == "moov") {
-          val end = math.min(i + size, b.length.toLong).toInt
-          var j = i + 8
-          while (j + 8 <= end) {
-            val s2 = be32(j)
-            if (s2 < 8) return None
-            boxName(j) match {
-              case "mvhd" =>
-                val v = u8(j + 8)
-                if (v == 1) { timescale = be32(j + 28); duration = be64(j + 32) }
-                else { timescale = be32(j + 20); duration = be32(j + 24) }
-              case "trak" =>
-                // first child is tkhd in every real muxer's layout; scan
-                // children defensively anyway
-                val tEnd = math.min(j + s2, end.toLong).toInt
-                var k = j + 8
-                while (k + 8 <= tEnd) {
-                  val s3 = be32(k)
-                  if (s3 < 8) return None
-                  if (boxName(k) == "tkhd") {
-                    val v = u8(k + 8)
-                    val off = if (v == 1) k + 96 else k + 84
-                    if (off + 8 <= b.length) {
-                      // 16.16 fixed point; zero for audio-only tracks
-                      val tw = be16(off); val th = be16(off + 4)
-                      if (tw > 0 && th > 0) { w = tw; h = th }
-                    }
-                  }
-                  k += s3.toInt
-                }
-              case _ => ()
-            }
-            j += s2.toInt
+      var codec: Option[String] = None
+      var codecIsVideo = false
+      var bitrate: Option[Long] = None
+      for ((ms, me) <- findChild(0, b.length, "moov")) {
+        for ((ps, pe) <- findChild(ms, me, "mvhd")) {
+          val v = u8(ps)
+          if (v == 1 && ps + 32 <= pe) {
+            timescale = be32(ps + 20); duration = be64(ps + 24)
+          } else if (v == 0 && ps + 20 <= pe) {
+            timescale = be32(ps + 12); duration = be32(ps + 16)
           }
         }
-        i += size.toInt
+        // walk every trak: the video track (nonzero tkhd dims) wins the
+        // codec slot; otherwise the first sample entry seen is reported
+        var i = ms
+        var advance = true
+        while (advance && i + 8 <= me) {
+          boxAt(i, me) match {
+            case Some((n, ps, pe)) =>
+              if (n == "trak") {
+                var trakHasDims = false
+                for ((ts, te) <- findChild(ps, pe, "tkhd")) {
+                  val v = u8(ts)
+                  val off = ts + (if (v == 1) 88 else 76)
+                  if (off + 8 <= te) {
+                    // 16.16 fixed point; zero for audio-only tracks
+                    val tw = be16(off); val th = be16(off + 4)
+                    if (tw > 0 && th > 0) { w = tw; h = th; trakHasDims = true }
+                  }
+                }
+                for ((ds, de) <- findChild(ps, pe, "mdia");
+                     (fs, fe) <- findChild(ds, de, "minf");
+                     (ss, se) <- findChild(fs, fe, "stbl");
+                     (xs, xe) <- findChild(ss, se, "stsd")) {
+                  // stsd fullbox: version/flags(4) entry_count(4), then
+                  // sample entries — the entry's fourcc IS the codec id
+                  if (xs + 8 <= xe && be32(xs + 4) > 0L) {
+                    for ((cc, es, ee) <- boxAt(xs + 8, xe)) {
+                      if (codec.isEmpty || (trakHasDims && !codecIsVideo)) {
+                        codec = Some(cc)
+                        codecIsVideo = trakHasDims
+                        // btrt (§8.5.2): size(4)='btrt'(4) bufferSizeDB(4)
+                        // maxBitrate(4) avgBitrate(4) — fixed 20-byte box
+                        // nested behind the entry's format-specific fixed
+                        // fields; a bounded fourcc scan finds it without
+                        // visual-vs-audio entry-layout bookkeeping
+                        var k = es
+                        var hit: Option[Long] = None
+                        while (hit.isEmpty && k + 20 <= ee) {
+                          if (b(k + 4) == 'b' && b(k + 5) == 't' &&
+                              b(k + 6) == 'r' && b(k + 7) == 't' &&
+                              be32(k) == 20L) {
+                            val avg = be32(k + 16)
+                            if (avg > 0L) hit = Some(avg)
+                          }
+                          k += 1
+                        }
+                        bitrate = hit
+                      }
+                    }
+                  }
+                }
+              }
+              advance = pe > i
+              i = pe
+            case None => advance = false
+          }
+        }
       }
       if (timescale <= 0L || duration < 0L) None
-      else Some((s"mp4/$brand", w, h, duration * 1000L / timescale))
+      else Some((s"mp4/$brand", w, h, duration * 1000L / timescale, codec, bitrate))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -460,7 +618,9 @@ object Multimodal {
     StructField("format", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
-    StructField("duration_ms", LongType, nullable = true)))
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("codec", StringType, nullable = true),
+    StructField("avg_bitrate", LongType, nullable = true)))
 
   /** Video metadata over a media frame — mapPartitions batch shape, same
     * null-on-unparseable 1:1 contract as the image/audio paths.
@@ -473,21 +633,23 @@ object Multimodal {
         val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         (if (payload == null) None else probeVideo(payload)) match {
-          case Some((fmt, w, h, ms)) =>
-            Row(id, fmt, if (w > 0) w else null, if (h > 0) h else null, ms)
-          case None => Row(id, null, null, null, null)
+          case Some((fmt, w, h, ms, codec, kbps)) =>
+            Row(id, fmt, if (w > 0) w else null, if (h > 0) h else null, ms,
+              codec.orNull, kbps.map(Long.box).orNull)
+          case None => Row(id, null, null, null, null, null, null)
         }
       }
     }(enc)
   }
 
   /** Fixture encoder: a spec-valid minimal MP4 (ftyp + moov{mvhd,
-    * trak{tkhd}}) with the given presentation dims, timescale, and
-    * duration — the video analogue of [[pngHeaderBytes]]: real box
-    * layout, no media data.
+    * trak{tkhd, mdia{minf{stbl{stsd{<codec>{btrt}}}}}}}) with the given
+    * presentation dims, timescale, duration, sample-entry codec fourcc,
+    * and (when > 0) a `btrt` average bitrate — the video analogue of
+    * [[pngHeaderBytes]]: real box layout, no media data.
     */
   private[graft] def mp4HeaderBytes(w: Int, h: Int, timescale: Int,
-      duration: Int): Array[Byte] = {
+      duration: Int, codec: String = "avc1", avgBitrate: Int = 0): Array[Byte] = {
     def box(name: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
@@ -511,7 +673,25 @@ object Multimodal {
       p.putInt(w << 16).putInt(h << 16)
       p.array()
     })
-    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val btrt = if (avgBitrate <= 0) Array.empty[Byte] else box("btrt", {
+      val p = java.nio.ByteBuffer.allocate(12)
+      p.putInt(0).putInt(avgBitrate).putInt(avgBitrate); p.array()
+    })
+    // VisualSampleEntry: 6 reserved + 2 data_ref_index, then 70 bytes of
+    // fixed visual fields (dims at 24/26 of the fixed part), then children
+    val entry = box(codec, {
+      val p = java.nio.ByteBuffer.allocate(78)
+      p.position(6); p.putShort(1)        // data_reference_index
+      p.position(8 + 16)
+      p.putShort(w.toShort).putShort(h.toShort)
+      p.position(78); p.array()
+    } ++ btrt)
+    val stsd = box("stsd", {
+      val p = java.nio.ByteBuffer.allocate(8)
+      p.putInt(0).putInt(1); p.array()    // version/flags, entry_count
+    } ++ entry)
+    val mdia = box("mdia", box("minf", box("stbl", stsd)))
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
     ftyp ++ moov
   }
 
@@ -671,7 +851,10 @@ object Multimodal {
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         (if (payload == null) None else decodeAudio(payload)) match {
           case Some((fmt, ch, rate, bits, frames, mean)) =>
-            Row(id, fmt, ch, rate, bits, frames, mean.orNull)
+            // AudioSystem.NOT_SPECIFIED (-1) means the container does not
+            // declare a frame count — null-on-unknown, like MP3 duration
+            Row(id, fmt, ch, rate, bits,
+              if (frames >= 0L) frames else null, mean.orNull)
           case None => Row(id, null, null, null, null, null, null)
         }
       }

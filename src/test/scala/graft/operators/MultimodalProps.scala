@@ -60,7 +60,15 @@ object MultimodalProps extends Properties("Multimodal.probeImage") {
         Gen.oneOf(200, 500, 1000, 90000), Gen.choose(0, 1 << 24)) {
       (w, h, ts, dur) =>
         Multimodal.probeVideo(Multimodal.mp4HeaderBytes(w, h, ts, dur))
-          .contains(("mp4/isom", w, h, dur.toLong * 1000L / ts))
+          .contains(("mp4/isom", w, h, dur.toLong * 1000L / ts,
+            Some("avc1"), None))
+    }
+
+  property("MP4 fixture round-trips codec fourcc and btrt avg bitrate") =
+    forAll(Gen.oneOf("avc1", "hev1", "av01", "vp09", "mp4a"),
+        Gen.choose(1, Int.MaxValue), Gen.choose(1, 65535)) { (codec, bps, w) =>
+      Multimodal.probeVideo(Multimodal.mp4HeaderBytes(w, w, 1000, 1000, codec, bps))
+        .contains(("mp4/isom", w, w, 1000L, Some(codec), Some(bps.toLong)))
     }
 
   property("probeVideo never throws on garbage behind an ftyp magic") =

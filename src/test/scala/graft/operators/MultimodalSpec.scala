@@ -206,6 +206,73 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeImage(noIspe.array()).isEmpty)
   }
 
+  test("decodeAudioStats maps an unknown frame count to null, not -1") {
+    val sp = spark; import sp.implicits._
+    // AU header with dataSize 0xffffffff (the spec's unknown-length
+    // sentinel): the JDK reports AudioSystem.NOT_SPECIFIED frames
+    val au = java.nio.ByteBuffer.allocate(32)
+    au.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(-1)
+      .putInt(3).putInt(8000).putInt(1).putLong(0L)
+    val media = Seq((1L, au.array())).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioStats(media).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // either the JDK reader declined (all-null row) or it must surface
+    // null frames — never a negative count
+    if (!r.isNullAt(r.fieldIndex("format"))) {
+      assert(r.isNullAt(r.fieldIndex("n_frames")))
+    }
+  }
+
+  test("probeImageFlags reads alpha/animation straight off the headers") {
+    // PNG: alpha from IHDR color type; no acTL before IEND => not animated
+    assert(Multimodal.probeImageFlags("png", Multimodal.pngHeaderBytes(4, 4, 6))
+      == (Some(true), Some(false)))
+    assert(Multimodal.probeImageFlags("png", Multimodal.pngHeaderBytes(4, 4, 2))
+      == (Some(false), Some(false)))
+    // APNG: an acTL chunk before IDAT flips the animation flag
+    val png = Multimodal.pngHeaderBytes(4, 4, 2)
+    val acTL = {
+      val p = java.nio.ByteBuffer.allocate(20)
+      p.putInt(8).put("acTL".getBytes("US-ASCII")).putInt(2).putInt(0).putInt(0)
+      p.array()
+    }
+    val apng = png.take(33) ++ acTL ++ png.drop(33) // after IHDR's 25+8 bytes
+    assert(Multimodal.probeImageFlags("png", apng) == (Some(false), Some(true)))
+    // WebP VP8X feature bits
+    assert(Multimodal.probeImageFlags("webp",
+      Multimodal.webpHeaderBytes(9, 9, alpha = true, anim = true))
+      == (Some(true), Some(true)))
+    assert(Multimodal.probeImageFlags("webp",
+      Multimodal.webpHeaderBytes(9, 9)) == (Some(false), Some(false)))
+    // AVIF: avis brand => animated; auxC alpha urn => alpha
+    assert(Multimodal.probeImageFlags("avif",
+      Multimodal.avifHeaderBytes(8, 8, alpha = true, animated = false))
+      == (Some(true), Some(false)))
+    assert(Multimodal.probeImageFlags("avif",
+      Multimodal.avifHeaderBytes(8, 8, alpha = false, animated = true))
+      == (Some(false), Some(true)))
+    // GIF headers cannot answer either question
+    assert(Multimodal.probeImageFlags("gif", Array[Byte](1, 2, 3)) == (None, None))
+  }
+
+  test("decodeMedia surfaces has_alpha / is_animated columns") {
+    val sp = spark; import sp.implicits._
+    val media = Seq(
+      (1L, Multimodal.webpHeaderBytes(10, 10, alpha = true, anim = true)),
+      (2L, Multimodal.avifHeaderBytes(10, 10, alpha = false, animated = true)),
+      (3L, Multimodal.pngHeaderBytes(10, 10, 6))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeMedia(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("has_alpha") &&
+      out(1L).getAs[Boolean]("is_animated"))
+    assert(!out(2L).getAs[Boolean]("has_alpha") &&
+      out(2L).getAs[Boolean]("is_animated"))
+    assert(out(3L).getAs[Boolean]("has_alpha") &&
+      !out(3L).getAs[Boolean]("is_animated"))
+  }
+
   test("probeAudioHeader parses FLAC STREAMINFO and MP3 frame headers") {
     // 2ch 44100 Hz, 44100 samples = exactly 1000 ms
     assert(Multimodal.probeAudioHeader(
@@ -243,12 +310,55 @@ class MultimodalSpec extends SparkSpec {
 
   test("probeVideo walks real MP4 boxes: dims, timescale math, v0/v1") {
     val b = Multimodal.mp4HeaderBytes(640, 360, 1000, 2500)
-    assert(Multimodal.probeVideo(b).contains(("mp4/isom", 640, 360, 2500L)))
+    assert(Multimodal.probeVideo(b)
+      .contains(("mp4/isom", 640, 360, 2500L, Some("avc1"), None)))
     // timescale 500: 2500 units = 5000 ms
     val b2 = Multimodal.mp4HeaderBytes(1920, 1080, 500, 2500)
-    assert(Multimodal.probeVideo(b2).contains(("mp4/isom", 1920, 1080, 5000L)))
+    assert(Multimodal.probeVideo(b2)
+      .contains(("mp4/isom", 1920, 1080, 5000L, Some("avc1"), None)))
     assert(Multimodal.probeVideo("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.probeVideo(Array[Byte](0, 0, 0, 3)).isEmpty)
+  }
+
+  test("probeVideo surfaces the stsd codec fourcc and btrt avg bitrate") {
+    val b = Multimodal.mp4HeaderBytes(1280, 720, 1000, 9000, "hev1", 2500000)
+    assert(Multimodal.probeVideo(b)
+      .contains(("mp4/isom", 1280, 720, 9000L, Some("hev1"), Some(2500000L))))
+    val audio = Multimodal.mp4HeaderBytes(0, 0, 1000, 9000, "mp4a", 128000)
+    assert(Multimodal.probeVideo(audio)
+      .contains(("mp4/isom", 0, 0, 9000L, Some("mp4a"), Some(128000L))))
+  }
+
+  test("probeVideo honors ISO-BMFF size==0 and size==1 largesize boxes") {
+    val base = Multimodal.mp4HeaderBytes(320, 240, 200, 40)
+    // rewrite moov's 32-bit size to 1 + inject the 8-byte largesize
+    val moovAt = {
+      var i = 0; var at = -1
+      while (at < 0 && i + 8 <= base.length) {
+        if (new String(base, i + 4, 4, "US-ASCII") == "moov") at = i
+        else i += java.nio.ByteBuffer.wrap(base, i, 4).getInt
+      }
+      at
+    }
+    assert(moovAt > 0)
+    val moovSize = java.nio.ByteBuffer.wrap(base, moovAt, 4).getInt
+    val large = java.nio.ByteBuffer.allocate(base.length + 8)
+    large.put(base, 0, moovAt)
+      .putInt(1).put("moov".getBytes("US-ASCII"))
+      .putLong(moovSize.toLong + 8)
+      .put(base, moovAt + 8, base.length - moovAt - 8)
+    assert(Multimodal.probeVideo(large.array())
+      .contains(("mp4/isom", 320, 240, 200L, Some("avc1"), None)))
+    // size==0: the final top-level box runs to end-of-buffer
+    val toEnd = base.clone()
+    java.nio.ByteBuffer.wrap(toEnd, moovAt, 4).putInt(0)
+    assert(Multimodal.probeVideo(toEnd)
+      .contains(("mp4/isom", 320, 240, 200L, Some("avc1"), None)))
+    // hostile: a >= 2^31 size must clamp, not wrap an index negative
+    val hostile = base.clone()
+    java.nio.ByteBuffer.wrap(hostile, moovAt, 4).putInt(0x80000010)
+    assert(Multimodal.probeVideo(hostile)
+      .contains(("mp4/isom", 320, 240, 200L, Some("avc1"), None)))
   }
 
   test("probeVideoMeta maps a media frame with null rows intact") {
