@@ -233,7 +233,11 @@ object SparkEntry {
     "q_window_running" -> ((s, d) =>
       t(s, d, "lineitem")
         .select("l_suppkey", "l_orderkey", "l_linenumber")
-        .window("ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty")
+        // RANGE, not ROWS: the synthetic lineitem carries duplicate
+        // (l_orderkey, l_linenumber) pairs (sf0.1 has 118k), so a ROWS
+        // frame makes the prefix sum depend on engine tie order — RANGE
+        // gives every peer the same cumulative value, tie-proof at any SF
+        .window("ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty")
         .toDF),
 
     "q_window_rank" -> ((s, d) =>
@@ -279,7 +283,10 @@ object SparkEntry {
     "q_head" -> ((s, d) =>
       t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderByMany(("l_orderkey", "ASC"), ("l_linenumber", "ASC"))
+        // l_quantity breaks (orderkey, linenumber) duplicate-key ties so
+        // the LIMIT boundary is deterministic across engines at any SF
+        .orderByMany(("l_orderkey", "ASC"), ("l_linenumber", "ASC"),
+          ("l_quantity", "ASC"))
         .limit(20).toDF),
 
     // ordered tail: last 20 by key (deterministic because the frame is
@@ -2358,7 +2365,7 @@ object SparkEntry {
       "SELECT has_big, count(*) AS n FROM (SELECT o_orderkey, EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49) AS has_big FROM orders) GROUP BY has_big",
 
     "q_window_running" ->
-      "SELECT l_suppkey, l_orderkey, l_linenumber, round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty FROM lineitem",
+      "SELECT l_suppkey, l_orderkey, l_linenumber, round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty FROM lineitem",
 
     "q_window_rank" ->
       "SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn, round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS prnk, round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS cdist FROM orders",
@@ -2373,7 +2380,7 @@ object SparkEntry {
       "SELECT o_orderkey, o_custkey, CAST(round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS mov_avg_cents, first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_price, last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price, nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price FROM orders",
 
     "q_head" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 20",
 
     "q_tail" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 20",

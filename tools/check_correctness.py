@@ -47,6 +47,10 @@ def frame_sig(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: --json PATH dumps driver-format per-query records
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -96,6 +100,20 @@ def main():
     for k in sorted(results):
         print(f"{results[k].split()[0]:>14}  {k}: {results[k]}")
     print(f"\n{n_ok}/{len(results)} passing")
+    if json_out:
+        rec = {}
+        for k, v in sorted(results.items()):
+            ok = v.startswith("OK")
+            rows = None
+            if ok:
+                rows = int(v.split("(")[1].split()[0])
+            rec[k] = {"rows_match": ok or not v.startswith("ROWS-MISMATCH"),
+                      "schema_match": ok or not v.startswith("COLS-MISMATCH"),
+                      "hash_match": ok,
+                      "spark_rows": rows, "oracle_rows": rows,
+                      "err": None if ok else v}
+        Path(json_out).write_text(json.dumps(rec, indent=1))
+        print(f"wrote {json_out}")
 
 
 if __name__ == "__main__":
