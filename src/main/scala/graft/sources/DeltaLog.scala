@@ -24,7 +24,15 @@ import scala.collection.mutable.ListBuffer
   * verify as a belt for lax-rename stores. A loser rebases to the next
   * version and retries: append/merge add-file sets are disjoint, so the
   * rebase is always safe. Two concurrent OVERWRITES are inherently
-  * destructive and fail typed instead of retrying.
+  * destructive and fail typed instead of retrying. An overwrite stages
+  * its data OUTSIDE the table directory (a competitor's recursive table
+  * delete must not be able to destroy an in-flight staging job mid-write)
+  * and runs its wipe→move→commit swap in a short metadata-speed critical
+  * section serialized per table within the JVM — same-driver overwrites
+  * serialize deterministically (last writer's whole table wins); a
+  * cross-process overwrite race remains destructive by design, with
+  * interference surfaced as a typed WriteError rather than an arbitrary
+  * filesystem/Spark exception.
   *
   * Scope (documented, not hidden): overwrite wipes the table directory
   * like the reference does (`fs::remove_dir_all`, delta.rs:231). Data
@@ -32,6 +40,14 @@ import scala.collection.mutable.ListBuffer
   * part-file names and `col=val` partition segments need none).
   */
 object DeltaLog {
+
+  // per-table JVM lock for the overwrite swap phase (wipe→move→commit);
+  // keyed by the qualified table URI so relative/absolute spellings of
+  // one path share a lock
+  private val overwriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def overwriteLock(key: String): Object =
+    overwriteLocks.computeIfAbsent(key, _ => new Object)
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -249,18 +265,29 @@ object DeltaLog {
         "cannot bootstrap a partitioned delta table by appending to an " +
           "existing non-delta directory (layouts would mix); overwrite instead",
         partitionBy)
-    if (m == "overwrite" && fs.exists(tbl)) fs.delete(tbl, true)
-
     // Stage-and-move: write the new files into a staging dir and rename
     // them into the table, so the commit's add set is known from the
     // (small) staging listing — an append never needs to list the whole
-    // table, whose file count is unbounded at scale. Version-0 commits
-    // (overwrite or bootstrap) list the table once to pick up everything
-    // present, including bootstrapped pre-delta files.
-    val stage = new HPath(tbl, s".graft_stage_${java.util.UUID.randomUUID()}")
+    // table, whose file count is unbounded at scale. Bootstrap version-0
+    // commits list the table once to pick up everything present,
+    // including bootstrapped pre-delta files. OVERWRITE stages OUTSIDE
+    // the table directory: a competing overwrite wipes the table
+    // recursively, and a multi-second staging job must not be
+    // destroyable mid-write (it would surface as an arbitrary parquet
+    // error instead of the typed concurrent-overwrite failure).
+    val stageId = java.util.UUID.randomUUID()
+    val stage =
+      if (m == "overwrite" && tbl.getParent != null)
+        new HPath(tbl.getParent, s".graft_stage_${tbl.getName}_$stageId")
+      else new HPath(tbl, s".graft_stage_$stageId")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
+
+    def swapAndCommit(): Unit = {
+    // overwrite wipes the table only now, with the replacement fully
+    // staged — the table is never missing while the heavy job runs
+    if (m == "overwrite" && fs.exists(tbl)) fs.delete(tbl, true)
     val staged = dataFiles(fs, stage)
     staged.foreach { case (rel, _) =>
       val target = new HPath(tbl, rel)
@@ -270,7 +297,8 @@ object DeltaLog {
     }
     fs.delete(stage, true)
     val newFiles: Seq[(String, FileStatus)] =
-      if (fresh) dataFiles(fs, tbl).toSeq.sortBy(_._1) // incl. bootstrapped files
+      if (fresh && m != "overwrite")
+        dataFiles(fs, tbl).toSeq.sortBy(_._1) // incl. bootstrapped files
       else staged.keys.toSeq.sorted
         .map(rel => rel -> fs.getFileStatus(new HPath(tbl, rel)))
 
@@ -323,6 +351,23 @@ object DeltaLog {
         s"gave up after $maxAttempts optimistic-commit attempts (heavy concurrent writer load?)")
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, path, version)
+    }
+
+    if (m == "overwrite") {
+      // same-driver overwrites serialize on the cheap swap phase (the
+      // heavy staging job above runs unlocked); cross-process races stay
+      // destructive by design but fail TYPED, never as a raw FS error
+      overwriteLock(fs.makeQualified(tbl).toString).synchronized {
+        try swapAndCommit()
+        catch {
+          case e: graft.GraftError => throw e
+          case scala.util.control.NonFatal(e) =>
+            throw graft.GraftError.WriteError(path, m,
+              "overwrite swap interfered with by a concurrent writer " +
+                s"(cross-process overwrites are destructive by design): $e")
+        }
+      }
+    } else swapAndCommit()
   }
 
   /** Atomically acquire commit slot `version`: stage `content` to a tmp

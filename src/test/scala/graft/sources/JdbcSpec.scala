@@ -53,6 +53,27 @@ class JdbcSpec extends SparkSpec {
     assert(rows(1L).getAs[Date]("born").toString == "1815-12-10")
   }
 
+  test("fromJdbc pushes filters and column pruning into the JDBC scan") {
+    seed()
+    // at cluster scale the difference between shipping a predicate to the
+    // database and filtering in Spark is the whole game: assert the
+    // catalyst filter lands in the scan's PushedFilters, not a Spark
+    // Filter over a full-table read
+    import org.apache.spark.sql.functions.col
+    val df = Loaders.fromJdbc(spark, url,
+      "SELECT id, name, score, born FROM people", "pp")
+      .df.filter(col("id") > 1L).select("id", "name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(ID,1)"),
+      s"filter did not reach the JDBC scan:\n$plan")
+    // column pruning: the scan must request only the projected columns
+    assert(plan.contains("ReadSchema: struct<ID:bigint,NAME:string>") ||
+      (!plan.contains("SCORE") && !plan.contains("BORN")),
+      s"scan reads unprojected columns:\n$plan")
+    assert(df.collect().map(_.getLong(0)).sorted.sameElements(Array(2L, 3L)))
+  }
+
   test("fromJdbc result chains into the builder DSL") {
     seed()
     val out = Loaders.fromJdbc(spark, url,

@@ -397,6 +397,85 @@ class WritersSpec extends SparkSpec {
     assert(Loaders.load(spark, p, "race2").df.count() == 4) // 2 base + 2 appends
   }
 
+  test("8-way append race: every writer lands once, versions are gapless") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_race8")
+    Writers.writeDeltaTable(df, "overwrite", p)
+    // all 8 writers start from the SAME observed version, so every slot
+    // is contested: 1 winner + 7 rebases, then 1 + 6, ... — the
+    // worst-case optimistic-concurrency storm on one table
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            gate.await()
+            Writers.writeDeltaTable(
+              Seq((100L + i, s"w$i", i.toDouble)).toDF("id", "name", "v"),
+              "append", p)
+          }
+        })
+      }
+      gate.countDown()
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val versions = Files.list(Paths.get(p, "_delta_log")).toArray.map(_.toString)
+      .filter(_.endsWith(".json")).map(f =>
+        f.split("/").last.stripSuffix(".json").toLong).sorted
+    assert(versions.sameElements(0L to 8L),
+      s"expected gapless versions 0..8, got ${versions.toSeq}")
+    // no commit lost, no commit doubled: 2 base rows + exactly one row
+    // per writer, and snapshot reads stay consistent after the storm
+    val ids = Loaders.load(spark, p, "race8").df.collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == (Seq(1L, 2L) ++ (100L until 108L)),
+      s"row set diverged after race: $ids")
+  }
+
+  test("two racing overwrites never mix state: one table wins whole") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_ow_race")
+    Writers.writeDeltaTable(df, "overwrite", p)
+    // Two overwrites both target slot 0 (overwrite always restarts the
+    // log) — unlike appends they must NOT rebase: a loser either throws
+    // typed (lost the slot to the concurrent winner) or the writers
+    // serialized and the later one replaced the earlier wholesale. Either
+    // way the invariant is atomicity: the final table is EXACTLY one
+    // writer's rows — never a blend — and the log holds one commit.
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val futures = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            gate.await()
+            try Writers.writeDeltaTable(
+              Seq((200L + i, s"ow$i", i.toDouble)).toDF("id", "name", "v"),
+              "overwrite", p)
+            catch { case e: Throwable => errors.add(e) }
+          }
+        })
+      }
+      gate.countDown()
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    errors.forEach { e =>
+      assert(e.isInstanceOf[graft.GraftError.WriteError] &&
+        e.getMessage.contains("concurrent"),
+        s"overwrite loser must fail typed, got: $e")
+    }
+    val ids = Loaders.load(spark, p, "owrace").df.collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids == Seq(200L) || ids == Seq(201L),
+      s"final table must be exactly one writer's rows, got $ids")
+    val versions = Files.list(Paths.get(p, "_delta_log")).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+    assert(versions.length == 1,
+      s"overwrite must restart the log at a single version-0 commit: ${versions.toSeq}")
+  }
+
   test("delta append with a different partition spec is a PartitionError") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_part_guard")
