@@ -123,7 +123,24 @@ object Bench {
         else (runs.sorted.apply(runs.length / 2), runs.min)
       (name, median, min, runs)
     }
+    // streaming throughput: the stateful operators are graded via batch
+    // twins; this times the real transformWithState+RocksDB micro-batch
+    // path once per full run (rows/s incl. checkpoint + scheduling)
+    val streamStats: Option[(Long, Long, Double)] =
+      if (only.isDefined) None
+      else try {
+        val ev = graft.sources.Loaders
+          .loadParquet(spark, s"$sfDir/events.parquet", "events").df
+        Some(graft.streaming.EventStreams.streamThroughput(
+          spark, ev, "target/tmp/stream_bench"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
+        None
+      }
     val loadEnd = loadavg
+    val streamJson = streamStats.map { case (in, out, sec) =>
+      f""","stream_throughput":{"rows":$in,"out_rows":$out,"sec":$sec%.3f,"rows_per_sec":${in / math.max(sec, 1e-9)}%.0f}"""
+    }.getOrElse("")
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, m, _) => "\"" + k + "\":" + f"$m%.3f" }
@@ -147,7 +164,7 @@ object Bench {
         " — medians are load-contaminated; compare min (core_total_min) instead")
     }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_total":$coreTotal%.3f,"core_total_min":$coreTotalMin%.3f,"contended":$contended,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":$qs,"mins":$mins,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_total":$coreTotal%.3f,"core_total_min":$coreTotalMin%.3f,"contended":$contended,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd"$streamJson,"queries":$qs,"mins":$mins,"sf":"$sfDir"}"""
     println(line)
     // all raw runs per query, not just the median — round-over-round
     // drift is unattributable without per-run spread (the r6→r9 core_total

@@ -361,6 +361,53 @@ object EventStreams {
       .drop(keyCols.map(c => s"graft_rk_$c"): _*)
   }
 
+  /** Throughput drill for the REAL streaming path (the batch twins grade
+    * state-transition semantics; this times the machinery itself): shard
+    * `events` into `numShards` parquet files, replay them as a
+    * file-source stream at one file per micro-batch, run
+    * [[runningUserStatsTws]] on the RocksDB state store, and drain into a
+    * counting foreachBatch sink. Returns (inputRows, outputRows,
+    * seconds) — rows/s through transformWithState + RocksDB, checkpoint
+    * I/O and micro-batch scheduling included, which is the number a
+    * capacity plan for a 100 TB event stream actually needs.
+    */
+  def streamThroughput(spark: SparkSession, events: DataFrame,
+      workDir: String, numShards: Int = 8): (Long, Long, Double) = {
+    val root = new org.apache.hadoop.fs.Path(workDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val src = s"$workDir/src"
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .repartition(numShards).write.mode("overwrite").parquet(src)
+    val inputRows = spark.read.parquet(src).count()
+    val schema = spark.read.parquet(src).schema
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val outRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = runningUserStatsTws(stream, "user_id")(spark)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (df: Dataset[Row], _: Long) =>
+        outRows.addAndGet(df.count()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      prior match {
+        case Some(pv) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", pv)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    (inputRows, outRows.get(), (System.nanoTime() - t0) / 1e9)
+  }
+
   /** writeStream convenience: parquet sink with checkpointing. */
   def toParquetSink(df: DataFrame, path: String, checkpoint: String,
       triggerMs: Long = 1000): org.apache.spark.sql.streaming.StreamingQuery =

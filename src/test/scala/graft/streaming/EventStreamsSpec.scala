@@ -145,6 +145,16 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamThroughput drives the file-source tws pipeline end to end") {
+    val (in, out, sec) = EventStreams.streamThroughput(
+      spark, batch, "target/tmp/stream_tp_spec", numShards = 2)
+    assert(in == 5L, s"input rows: $in")
+    // update-mode tws emits one row per touched key per micro-batch:
+    // between #distinct-users and #input-rows total
+    assert(out >= 2L && out <= 5L, s"output rows: $out")
+    assert(sec > 0.0)
+  }
+
   test("streaming parquet sink writes append-mode results") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
