@@ -82,7 +82,12 @@ object DeltaLog {
     val out = Map.newBuilder[String, FileStatus]
     def walk(dir: HPath): Unit = fs.listStatus(dir).foreach { s =>
       val name = s.getPath.getName
-      if (s.isDirectory) { if (name != "_delta_log") walk(s.getPath) }
+      // match Spark's own listing visibility: '.'/'_' prefixed entries
+      // (committer markers, _delta_log, in-flight .graft_stage_* dirs)
+      // are never table data — a crashed write's staging debris must not
+      // be absorbed by a fresh bootstrap listing
+      if (name.startsWith(".") || name.startsWith("_")) ()
+      else if (s.isDirectory) walk(s.getPath)
       else if (name.endsWith(".parquet"))
         out += s.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/") -> s
     }
@@ -281,6 +286,7 @@ object DeltaLog {
         new HPath(tbl.getParent, s".graft_stage_${tbl.getName}_$stageId")
       else new HPath(tbl, s".graft_stage_$stageId")
     val w = df.write.mode("overwrite")
+    try {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
 
@@ -368,6 +374,13 @@ object DeltaLog {
         }
       }
     } else swapAndCommit()
+    } finally {
+      // crash hygiene: the success path deletes the stage mid-swap; on
+      // any failure the staging dir must not leak (vacuum additionally
+      // sweeps stale stages left by hard-killed processes)
+      try { if (fs.exists(stage)) fs.delete(stage, true) }
+      catch { case _: Throwable => () }
+    }
   }
 
   /** Atomically acquire commit slot `version`: stage `content` to a tmp
@@ -908,7 +921,8 @@ object DeltaLog {
     * stops working, like real delta VACUUM; the log itself is kept.
     * Returns the deleted relative paths.
     */
-  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+  def vacuum(spark: SparkSession, path: String,
+      stageRetentionMs: Long = 3600000L): Seq[String] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
@@ -921,6 +935,22 @@ object DeltaLog {
       .toSet
     val orphans = dataFiles(fs, tbl).keys.filterNot(active).toSeq.sorted
     orphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
-    orphans
+    // crashed-write staging debris: a hard-killed writer leaves its
+    // staging dir behind (in-table for append/merge, sibling for
+    // overwrite — see [[write]]). Only stages older than the retention
+    // are swept, so a LIVE cross-process writer's staging survives a
+    // concurrent vacuum — the same retention-window reasoning real delta
+    // VACUUM applies to data files.
+    val cutoff = System.currentTimeMillis() - stageRetentionMs
+    def staleStages(dir: HPath, prefix: String): Seq[HPath] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(prefix) &&
+        st.getModificationTime < cutoff).map(_.getPath)
+    val stages = staleStages(tbl, ".graft_stage_") ++
+      (if (tbl.getParent == null) Nil
+       else staleStages(tbl.getParent, s".graft_stage_${tbl.getName}_"))
+    stages.foreach(st => fs.delete(st, true))
+    orphans ++ stages.map(_.getName).sorted
   }
 }

@@ -276,6 +276,39 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 4) // live data untouched
   }
 
+  test("crashed staging debris: never absorbed, swept by vacuum after retention") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_stage_debris")
+    if (Files.exists(Paths.get(p))) {
+      Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    // simulate a hard-killed append: a stage dir with a parquet inside
+    // the (pre-delta) table dir
+    val stale = Paths.get(p, ".graft_stage_deadbeef")
+    Files.createDirectories(stale)
+    Seq((99L, "junk", 0.0)).toDF("id", "name", "v")
+      .coalesce(1).write.mode("overwrite").parquet(stale.resolve("j").toString)
+    // fresh bootstrap append must NOT absorb the hidden debris as data
+    Writers.writeDeltaTable(df, "append", p)
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L), "hidden staging debris leaked into the snapshot")
+    // sibling overwrite-stage debris of THIS table
+    val sibling = Paths.get(p).getParent
+      .resolve(s".graft_stage_${Paths.get(p).getFileName}_cafe")
+    Files.createDirectories(sibling)
+    Files.writeString(sibling.resolve("x.parquet"), "not really parquet")
+    // young stages survive vacuum (a live writer may own them)...
+    assert(DeltaLog.vacuum(spark, p).isEmpty)
+    assert(Files.exists(stale) && Files.exists(sibling))
+    // ...stale ones are swept once past the retention window
+    val removed = DeltaLog.vacuum(spark, p, stageRetentionMs = -1L)
+    assert(removed.toSet == Set(".graft_stage_deadbeef", sibling.getFileName.toString),
+      s"got $removed")
+    assert(!Files.exists(stale) && !Files.exists(sibling))
+    assert(DeltaLog.read(spark, p).count() == 2)
+  }
+
   test("delta append rebases past a commit slot taken by a concurrent writer") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_race")
