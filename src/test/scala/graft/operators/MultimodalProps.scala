@@ -71,6 +71,43 @@ object MultimodalProps extends Properties("Multimodal.probeImage") {
         .contains(("mp4/isom", w, w, 1000L, Some(codec), Some(bps.toLong)))
     }
 
+  property("WebP/AVIF fixtures round-trip the alpha/animation header flags") =
+    forAll(Gen.oneOf(true, false), Gen.oneOf(true, false),
+        Gen.oneOf(true, false)) { (alpha, anim, avifSide) =>
+      if (avifSide)
+        Multimodal.probeImageFlags("avif",
+          Multimodal.avifHeaderBytes(9, 9, alpha, anim)) ==
+          (Some(alpha), Some(anim))
+      else
+        Multimodal.probeImageFlags("webp",
+          Multimodal.webpHeaderBytes(9, 9, alpha, anim)) ==
+          (Some(alpha), Some(anim))
+    }
+
+  property("probeImageFlags never throws on arbitrary bytes for any format tag") =
+    forAll(Gen.oneOf("png", "jpeg", "gif", "bmp", "webp", "avif", "???"),
+        Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      (fmt, bytes) =>
+        Multimodal.probeImageFlags(fmt, bytes)
+        true
+    }
+
+  property("probeVideo never throws on hostile box sizes (0, 1, >=2^31)") =
+    forAll(Gen.oneOf(0, 1, 8, 16, 0x7fffffff, 0x80000010, -1),
+        Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      (sz, rest) =>
+        val b = java.nio.ByteBuffer.allocate(16 + rest.length)
+        b.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+          .position(0)
+        val arr = b.array().clone()
+        val hostile = arr.take(16) ++ {
+          val h = java.nio.ByteBuffer.allocate(8)
+          h.putInt(sz).put("moov".getBytes("US-ASCII")); h.array()
+        } ++ rest
+        Multimodal.probeVideo(hostile)
+        true
+    }
+
   property("probeVideo never throws on garbage behind an ftyp magic") =
     forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
       rest =>
