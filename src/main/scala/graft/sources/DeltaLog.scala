@@ -158,6 +158,41 @@ object DeltaLog {
       s""""createdTime":${System.currentTimeMillis()}}}"""
   }
 
+  /** Newest committed SetTransaction version for `appId` — commits
+    * newest-first (driver-side Jackson over the tiny files), falling back
+    * to the checkpoint parquet when older commits were cleaned up.
+    * Returns None when the log doesn't exist or carries no txn for the
+    * app.
+    */
+  private[sources] def latestTxnVersion(spark: SparkSession, fs: FileSystem,
+      log: HPath, appId: String): Option[Long] = {
+    if (!fs.exists(log)) return None
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val fromCommits = existingVersions(fs, log).reverse.iterator.flatMap { v =>
+      readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        val t = if (node == null) null else node.get("txn")
+        if (t != null && t.get("appId") != null &&
+            t.get("appId").asText == appId && t.get("version") != null)
+          Some(t.get("version").asLong)
+        else None
+      }
+    }.maxOption
+    fromCommits.orElse(lastCheckpointVersion(fs, log).flatMap { v =>
+      val cp = new HPath(log, f"$v%020d.checkpoint.parquet")
+      if (!fs.exists(cp)) None
+      else {
+        val df = spark.read.parquet(cp.toString)
+        if (!df.columns.contains("txn")) None
+        else df.where(col("txn").isNotNull && col("txn.appId") === appId)
+          .agg(org.apache.spark.sql.functions.max(col("txn.version")))
+          .collect().headOption.flatMap(r =>
+            if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      }
+    })
+  }
+
   /** Partition columns of the latest metaData action in the log (newest
     * commit wins — merge commits refresh metaData). Driver-side Jackson
     * parse of the tiny commit files.
@@ -236,7 +271,8 @@ object DeltaLog {
     * replay stays O(interval) commits instead of O(history).
     */
   def write(df: DataFrame, mode: String, path: String,
-      partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10): Unit = {
+      partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10,
+      txn: Option[(String, Long)] = None): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val tbl = new HPath(path)
@@ -244,6 +280,15 @@ object DeltaLog {
     val m = mode.toLowerCase
     require(Set("overwrite", "append", "merge").contains(m),
       s"writeDeltaTable: bad mode '$mode'")
+    // Idempotent-writer dance (the delta protocol's SetTransaction
+    // action): a commit tagged (appId, version) is skipped when the log
+    // already carries that appId at >= version — exactly the replay a
+    // Structured Streaming foreachBatch sink issues after a crash. The
+    // txn watermark survives log cleanup because [[writeCheckpoint]]
+    // folds the newest txn per appId into the checkpoint.
+    if (txn.exists { case (appId, v) =>
+        latestTxnVersion(spark, fs, logDir(tbl), appId).exists(_ >= v) })
+      return
     // "fresh" = this commit starts a new log (version 0). Overwrite always
     // does; append/merge only when the log doesn't exist yet. In the
     // latter case any parquet already in the directory is BOOTSTRAPPED
@@ -315,6 +360,10 @@ object DeltaLog {
     def actionsFor(version: Long): String = {
       val actions = ListBuffer.empty[String]
       actions += s"""{"commitInfo":{"operation":"${m.toUpperCase}","txnId":"$txnId"}}"""
+      txn.foreach { case (appId, v) =>
+        actions += s"""{"txn":{"appId":"${esc(appId)}","version":$v,""" +
+          s""""lastUpdated":${System.currentTimeMillis()}}}"""
+      }
       if (version == 0L) actions += protocolAction
       if (version == 0L || m == "merge") {
         // merge commits refresh metaData with the post-write merged schema
@@ -348,7 +397,13 @@ object DeltaLog {
           throw graft.GraftError.WriteError(path, "overwrite",
             s"version-$version commit lost to a concurrent writer — " +
               "concurrent overwrites are destructive and are not retried")
-        version = math.max(version + 1,
+        // the slot winner may be our own replayed twin (same txn) —
+        // stop rather than double-commit; the just-moved files stay
+        // unreferenced orphans for vacuum
+        if (txn.exists { case (appId, v) =>
+            latestTxnVersion(spark, fs, logDir(tbl), appId).exists(_ >= v) })
+          committed = true
+        else version = math.max(version + 1,
           existingVersions(fs, logDir(tbl)).lastOption.map(_ + 1).getOrElse(0L))
       }
     }
@@ -564,7 +619,20 @@ object DeltaLog {
       part(logF.orderBy(col("graft_f").desc), c).map(_.limit(1))
         .filter(!_.isEmpty) // probe runs on the 1-row plan, not the full log
         .orElse(prev.flatMap(part(_, c)).map(_.limit(1)))
-    val parts = adds.toSeq ++ newest("metaData").toSeq ++ newest("protocol").toSeq
+    // SetTransaction watermarks must survive log cleanup (the delta spec
+    // retains them in checkpoints): fold to the newest version per appId
+    val txns = (prev.flatMap(part(_, "txn")).toSeq ++ part(logF, "txn").toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map { df =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("txn.appId"))
+          .orderBy(col("txn.version").desc)
+        df.withColumn("graft_rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("graft_rn") === 1).drop("graft_rn")
+      }
+    val parts = adds.toSeq ++ newest("metaData").toSeq ++
+      newest("protocol").toSeq ++ txns.toSeq
     val snapshot = parts
       .reduce(_.unionByName(_, allowMissingColumns = true))
     // single checkpoint file: write to a temp dir, move the part file in

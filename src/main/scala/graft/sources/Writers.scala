@@ -236,8 +236,9 @@ object Writers {
     * protocol subset.
     */
   def writeDeltaTable(df: DataFrame, mode: String, path: String,
-      partitionBy: Seq[String] = Nil): Unit =
-    DeltaLog.write(df, mode, path, partitionBy)
+      partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Unit =
+    DeltaLog.write(df, mode, path, partitionBy, txn = txn)
 
   /** Copy-on-write MERGE/UPSERT into a delta table — see [[DeltaLog.upsert]]. */
   def upsertDeltaTable(updates: DataFrame, keys: Seq[String], path: String): Unit =

@@ -426,16 +426,23 @@ object EventStreams {
     * with per-file stats, checkpoints bounding replay, and OPTIMIZE
     * available for the small-files the micro-batches pile up.
     *
-    * Exactly-once caveat, stated not hidden: Structured Streaming replays
-    * an unacknowledged batch after a crash, and a replayed `write` appends
-    * a SECOND commit (delta's idempotent-writer txn-version dance is out
-    * of scope) — `batchId` is recorded in each commit's data as
-    * `graft_batch_id`, so downstream dedup on it restores effective
-    * exactly-once. Empty batches commit nothing.
+    * Exactly-once: each micro-batch commit carries the delta protocol's
+    * SetTransaction action keyed (appId derived from the checkpoint
+    * location, batchId) — when Structured Streaming replays an
+    * unacknowledged batch after a crash, [[graft.sources.DeltaLog.write]]
+    * sees the txn watermark already committed and skips, so the table
+    * never double-appends. The watermark survives log cleanup (it is
+    * folded into checkpoints). `graft_batch_id` additionally rides in
+    * the data for lineage. Empty batches commit nothing.
     */
   def toDeltaSink(df: DataFrame, path: String, checkpoint: String,
       partitionBy: Seq[String] = Nil,
-      triggerMs: Long = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+      triggerMs: Long = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    // stable across restarts of the SAME query: the checkpoint location
+    // IS the query's durable identity
+    val appId = "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -444,9 +451,11 @@ object EventStreams {
         if (!batch.isEmpty)
           graft.sources.DeltaLog.write(
             batch.withColumn("graft_batch_id", lit(batchId)),
-            mode = "append", path = path, partitionBy = partitionBy)
+            mode = "append", path = path, partitionBy = partitionBy,
+            txn = Some((appId, batchId)))
       }
       .start()
+  }
 
   /** Streaming NEAR-dup ingest filter: each micro-batch is checked against
     * the PERSISTED MinHash band index (built once per corpus by

@@ -276,6 +276,47 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 4) // live data untouched
   }
 
+  test("SetTransaction makes replayed appends idempotent, surviving checkpoints") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_txn")
+    if (Files.exists(Paths.get(p))) {
+      Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    Writers.writeDeltaTable(df, "overwrite", p)
+    val b1 = Seq((10L, "s0", 0.5)).toDF("id", "name", "v")
+    Writers.writeDeltaTable(b1, "append", p, txn = Some(("appX", 0L)))
+    // the commit file carries the protocol's txn action
+    val v1 = Paths.get(p, "_delta_log", "0" * 19 + "1.json")
+    assert(Files.readString(v1).contains("\"txn\":{\"appId\":\"appX\",\"version\":0"))
+    // exact replay (the post-crash foreachBatch rerun): skipped, no
+    // double append, no new version
+    Writers.writeDeltaTable(b1, "append", p, txn = Some(("appX", 0L)))
+    assert(DeltaLog.read(spark, p).count() == 3)
+    assert(!Files.exists(Paths.get(p, "_delta_log", "0" * 19 + "2.json")))
+    // a NEWER txn version commits; an OLDER one from the same app skips
+    Writers.writeDeltaTable(Seq((11L, "s1", 1.5)).toDF("id", "name", "v"),
+      "append", p, txn = Some(("appX", 1L)))
+    Writers.writeDeltaTable(Seq((99L, "stale", 9.9)).toDF("id", "name", "v"),
+      "append", p, txn = Some(("appX", 0L)))
+    assert(DeltaLog.read(spark, p).count() == 4)
+    // a different app's version counter is independent
+    Writers.writeDeltaTable(Seq((12L, "other", 2.5)).toDF("id", "name", "v"),
+      "append", p, txn = Some(("appY", 0L)))
+    assert(DeltaLog.read(spark, p).count() == 5)
+    // the watermark survives checkpoint + log cleanup: fold a checkpoint
+    // at the newest version, drop the old commits, replay appX v1 again
+    val newest = Files.list(Paths.get(p, "_delta_log")).toArray.map(_.toString)
+      .filter(_.endsWith(".json")).map(f =>
+        f.split("/").last.stripSuffix(".json").toLong).max
+    DeltaLog.writeCheckpoint(spark, p, newest)
+    DeltaLog.cleanupLog(spark, p)
+    Writers.writeDeltaTable(Seq((98L, "replay", 8.8)).toDF("id", "name", "v"),
+      "append", p, txn = Some(("appX", 1L)))
+    assert(DeltaLog.read(spark, p).count() == 5,
+      "txn watermark lost across checkpoint/cleanup — batch double-applied")
+  }
+
   test("crashed staging debris: never absorbed, swept by vacuum after retention") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_stage_debris")
