@@ -681,6 +681,30 @@ object SparkEntry {
 
     // time travel: version 0 of the same table q_delta_roundtrip builds
     // (overwrite + append) must read back as the PRE-append snapshot
+    // change-feed read (file-level CDF): three deterministic versions are
+    // written fresh each run, then readChanges(0, 2) must reproduce
+    // exactly the two append windows — per-version row sets recomputed by
+    // the oracle straight from the customer table
+    "q_delta_changes" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_cdf"
+      val pp = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val c = t(s, d, "customer").toDF
+      Writers.writeDeltaTable(c.where(col("c_custkey") % 10 < 3), "overwrite", path)
+      Writers.writeDeltaTable(c.where(col("c_custkey") % 10 === 5), "append", path)
+      Writers.writeDeltaTable(c.where(col("c_custkey") % 10 === 7), "append", path)
+      graft.sources.DeltaLog.readChanges(s, path, 0L, 2L)
+        .select(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"),
+          col("c_mktsegment"), col("c_acctbal"))
+        .groupBy(col("commit_version"), col("change_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+    }),
+
     "q_delta_time_travel" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_delta_tt"
       val c = t(s, d, "customer").toDF
@@ -2531,6 +2555,17 @@ object SparkEntry {
     // version 0 = the table before the append
     "q_delta_time_travel" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    // the two append windows recomputed straight from customer — the
+    // Spark side must replay the right add-actions per commit version
+    "q_delta_changes" ->
+      ("SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type, c_mktsegment, " +
+        "CAST(count(*) AS BIGINT) AS n, round(sum(c_acctbal), 2) AS total_bal " +
+        "FROM customer WHERE c_custkey % 10 = 5 GROUP BY c_mktsegment " +
+        "UNION ALL " +
+        "SELECT CAST(2 AS BIGINT), 'insert', c_mktsegment, " +
+        "CAST(count(*) AS BIGINT), round(sum(c_acctbal), 2) " +
+        "FROM customer WHERE c_custkey % 10 = 7 GROUP BY c_mktsegment"),
 
     "q_stringfn_groupby" ->
       "SELECT count(*) AS n, c_mktsegment, substr(c_mktsegment, 1, 1) AS seg_initial FROM customer GROUP BY c_mktsegment, substr(c_mktsegment, 1, 1)",

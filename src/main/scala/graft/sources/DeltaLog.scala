@@ -754,6 +754,76 @@ object DeltaLog {
     active.values.toSeq
   }
 
+  /** Change feed between two versions — the incremental-consumption read
+    * a training pipeline runs to process ONLY what changed since its last
+    * sync instead of re-scanning a 100 TB table: every row carries
+    * `_change_type` ('insert' for rows in files added by a commit,
+    * 'delete' for rows in files it removed) and `_commit_version`.
+    *
+    * Granularity is file-level (the delta add/remove actions), like
+    * delta-spark without the _change_data folder: append-only flows get
+    * EXACT row-level inserts; a copy-on-write upsert surfaces a rewritten
+    * file as delete(old rows) + insert(new rows), so unchanged copied
+    * rows appear on both sides. `dataChange=false` actions (OPTIMIZE
+    * compaction) are excluded — layout changes are not data changes.
+    * Rows of files vacuumed away are unreadable, like real delta CDF
+    * past its retention — surfaced as a typed error, never silence.
+    */
+  def readChanges(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = logDir(tbl)
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val versions = existingVersions(fs, log)
+      .filter(v => v > fromVersion && v <= toVersion)
+    // (version, changeType, relPath) with dataChange=true only
+    val changes: Seq[(Long, String, String)] = versions.flatMap { v =>
+      readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        if (node == null) None
+        else {
+          val add = node.get("add"); val rem = node.get("remove")
+          def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+            n.get("dataChange") == null || n.get("dataChange").asBoolean(true)
+          if (add != null && add.get("path") != null && dataChange(add))
+            Some((v, "insert", add.get("path").asText))
+          else if (rem != null && rem.get("path") != null && dataChange(rem))
+            Some((v, "delete", rem.get("path").asText))
+          else None
+        }
+      }
+    }
+    val missing = changes.collect {
+      case (_, _, rel) if !fs.exists(new HPath(tbl, rel)) => rel
+    }
+    if (missing.nonEmpty)
+      throw graft.GraftError.InvalidOperation("readChanges",
+        s"($fromVersion, $toVersion]: ${missing.size} changed " +
+          s"file(s) vacuumed away (e.g. ${missing.head}) — the change " +
+          "window is past the table's vacuum retention")
+    val bySlice = changes.groupBy(c => (c._1, c._2)).toSeq.sortBy(_._1)
+    val frames = bySlice.map { case ((v, ct), slice) =>
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(slice.map(c => new HPath(tbl, c._3).toString): _*)
+        .withColumn("_change_type", lit(ct))
+        .withColumn("_commit_version", lit(v))
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        // no changes in range: an empty frame with the table's schema +
+        // the two change columns, so downstream code is shape-stable
+        read(spark, path).limit(0)
+          .withColumn("_change_type", lit(null).cast("string"))
+          .withColumn("_commit_version", lit(null).cast("bigint"))
+      }
+  }
+
   /** Snapshot read: the log's active files, partition columns re-inferred
     * from `col=val` paths via basePath, schema merged across files.
     * `versionAsOf` time-travels to an earlier snapshot.

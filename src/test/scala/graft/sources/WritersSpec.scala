@@ -276,6 +276,45 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 4) // live data untouched
   }
 
+  test("readChanges: file-level change feed between versions") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_cdf")
+    if (Files.exists(Paths.get(p))) {
+      Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    Writers.writeDeltaTable(df, "overwrite", p)                       // v0: ids 1,2
+    Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"),
+      "append", p)                                                    // v1: +3
+    Writers.upsertDeltaTable(Seq((2L, "B2", 20.0), (10L, "j", 10.0))
+      .toDF("id", "name", "v"), Seq("id"), p)                         // v2: cow rewrite
+    // append-only window: exact row-level inserts
+    val w1 = DeltaLog.readChanges(spark, p, 0L, 1L).collect()
+    assert(w1.map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"),
+      r.getAs[Long]("_commit_version"))).toSet == Set((3L, "insert", 1L)))
+    // upsert window: the rewritten file surfaces delete(old)+insert(new);
+    // untouched files (id=3's) do not appear
+    val w2 = DeltaLog.readChanges(spark, p, 1L, 2L).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("name"))).toSet
+    // copy-on-write minimality: only id=2's physical file was rewritten
+    // (id=1 lives in a different part file and never appears)
+    assert(w2.collect { case ("delete", id, _) => id } == Set(2L), s"$w2")
+    assert(w2.collect { case ("insert", id, _) => id } == Set(2L, 10L), s"$w2")
+    assert(w2.contains(("insert", 2L, "B2")) && w2.contains(("delete", 2L, "b")))
+    // empty window: shape-stable empty frame
+    val empty = DeltaLog.readChanges(spark, p, 2L, 2L)
+    assert(empty.count() == 0 && empty.columns.contains("_change_type"))
+    // past vacuum retention: typed error, not silent wrong answers
+    DeltaLog.vacuum(spark, p)
+    val e = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.readChanges(spark, p, 1L, 2L)
+    }
+    assert(e.getMessage.contains("vacuum"))
+    // the still-live window keeps working after vacuum
+    assert(DeltaLog.readChanges(spark, p, 0L, 1L).count() == 1)
+  }
+
   test("SetTransaction makes replayed appends idempotent, surviving checkpoints") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_txn")
