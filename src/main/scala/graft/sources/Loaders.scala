@@ -194,6 +194,22 @@ object Loaders {
     * satisfy `predicate` are opened — see [[DeltaLog.readWhere]]. The full
     * predicate is re-applied, so results equal `loadDelta(...).filter`.
     */
+  /** Change-feed load — [[DeltaLog.readChanges]] wrapped as a frame:
+    * rows changed in the version window (from, to], tagged
+    * `_change_type` / `_commit_version`, NTZ-normalized like every other
+    * parquet-backed path.
+    */
+  def loadDeltaChanges(spark: SparkSession, path: String, alias: String,
+      fromVersion: Long, toVersion: Long): GraftFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(hPath, "_delta_log")))
+      throw graft.GraftError.InvalidOperation("load_delta_changes",
+        s"change feed requires a _delta_log; $path has none")
+    GraftFrame(normalizeNtzTimestamps(
+      DeltaLog.readChanges(spark, path, fromVersion, toVersion)), alias)
+  }
+
   def loadDeltaWhere(spark: SparkSession, path: String, alias: String,
       predicate: String, versionAsOf: Option[Long] = None): GraftFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)

@@ -302,6 +302,11 @@ class WritersSpec extends SparkSpec {
     assert(w2.collect { case ("delete", id, _) => id } == Set(2L), s"$w2")
     assert(w2.collect { case ("insert", id, _) => id } == Set(2L, 10L), s"$w2")
     assert(w2.contains(("insert", 2L, "B2")) && w2.contains(("delete", 2L, "b")))
+    // the builder-API loader wraps the same feed (and NTZ-normalizes)
+    assert(Loaders.loadDeltaChanges(spark, p, "cdf", 0L, 1L).df.count() == 1)
+    intercept[graft.GraftError.InvalidOperation] {
+      Loaders.loadDeltaChanges(spark, tmp("not_a_delta"), "x", 0L, 1L)
+    }
     // empty window: shape-stable empty frame
     val empty = DeltaLog.readChanges(spark, p, 2L, 2L)
     assert(empty.count() == 0 && empty.columns.contains("_change_type"))
