@@ -740,13 +740,47 @@ object DeltaLog {
     // replay.
     val active = scala.collection.mutable.LinkedHashMap.empty[String, DeltaStats.AddEntry]
     cpAdds.foreach(a => active(a.rel) = a)
+    // Protocol-fidelity guards: a table written under a newer reader
+    // protocol (deletion vectors, column mapping, …) would be silently
+    // MISREAD by plain adds-minus-removes replay — deleted rows
+    // resurrected, physical column names scrambled. Refusing typed is the
+    // correct behavior (what delta-spark/delta-rs do on an unsupported
+    // minReaderVersion); supported here: minReaderVersion <= 1.
+    def guard(cond: Boolean, what: => String): Unit =
+      if (cond) throw graft.GraftError.InvalidOperation("load_delta",
+        s"$path requires an unsupported reader capability ($what); " +
+          "reading it with plain add/remove replay would return wrong rows")
+    cpVersion.foreach { v =>
+      val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
+      if (cp.columns.contains("protocol")) {
+        cp.where(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion")).collect().foreach { r =>
+            if (!r.isNullAt(0)) guard(r.getLong(0) > 1L,
+              s"protocol minReaderVersion ${r.getLong(0)}")
+          }
+      }
+    }
     commits.foreach { v =>
       readString(fs, new HPath(log, commitName(v))).linesIterator.foreach { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         if (node != null) {
           val add = node.get("add")
           val rem = node.get("remove")
-          if (add != null) entryOf(add).foreach(a => active(a.rel) = a)
+          val proto = node.get("protocol")
+          val meta = node.get("metaData")
+          if (proto != null && proto.get("minReaderVersion") != null)
+            guard(proto.get("minReaderVersion").asInt(1) > 1,
+              s"protocol minReaderVersion ${proto.get("minReaderVersion").asInt}")
+          if (meta != null && meta.get("configuration") != null) {
+            val cm = meta.get("configuration").get("delta.columnMapping.mode")
+            guard(cm != null && cm.asText("none") != "none",
+              s"column mapping mode '${Option(cm).map(_.asText).getOrElse("")}'")
+          }
+          if (add != null) {
+            guard(add.get("deletionVector") != null &&
+              !add.get("deletionVector").isNull, "deletion vectors")
+            entryOf(add).foreach(a => active(a.rel) = a)
+          }
           if (rem != null && rem.get("path") != null) active -= rem.get("path").asText
         }
       }

@@ -276,6 +276,44 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 4) // live data untouched
   }
 
+  test("reader refuses tables needing unsupported protocol capabilities") {
+    val sp = spark; import sp.implicits._
+    def freshTable(name: String): String = {
+      val p = tmp(name)
+      if (Files.exists(Paths.get(p))) {
+        Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+      Writers.writeDeltaTable(df, "overwrite", p)
+      p
+    }
+    def appendCommit(p: String, line: String): Unit =
+      Files.writeString(Paths.get(p, "_delta_log", "0" * 19 + "1.json"), line + "\n")
+    // minReaderVersion 3 (e.g. a deletion-vector table): typed refusal,
+    // never adds-minus-removes misreading
+    val p1 = freshTable("delta_proto_v3")
+    appendCommit(p1,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""")
+    val e1 = intercept[graft.GraftError.InvalidOperation] { DeltaLog.read(spark, p1) }
+    assert(e1.getMessage.contains("minReaderVersion 3"))
+    // an add action carrying a deletion vector: refused even if the
+    // protocol line was cleaned away
+    val p2 = freshTable("delta_proto_dv")
+    appendCommit(p2,
+      """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"a","offset":1,"sizeInBytes":2,"cardinality":3}}}""")
+    val e2 = intercept[graft.GraftError.InvalidOperation] { DeltaLog.read(spark, p2) }
+    assert(e2.getMessage.contains("deletion vectors"))
+    // column-mapping metadata: physical names differ from logical —
+    // refuse instead of returning scrambled columns
+    val p3 = freshTable("delta_proto_cm")
+    appendCommit(p3,
+      """{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""")
+    val e3 = intercept[graft.GraftError.InvalidOperation] { DeltaLog.read(spark, p3) }
+    assert(e3.getMessage.contains("column mapping"))
+    // our own tables keep reading
+    assert(DeltaLog.read(spark, freshTable("delta_proto_ok")).count() == 2)
+  }
+
   test("readChanges: file-level change feed between versions") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_cdf")
