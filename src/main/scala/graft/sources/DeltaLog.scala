@@ -858,6 +858,44 @@ object DeltaLog {
       }
   }
 
+  /** Cursor-driven incremental consumption over [[readChanges]] — the
+    * sync loop a downstream pipeline (incremental dedup, training-export
+    * refresh) runs on a schedule: reads the changes committed since the
+    * cursor file's recorded version, and advances the cursor only via
+    * the caller's `commit()` callback AFTER the caller has durably
+    * processed the batch — crash before commit ⇒ the next call replays
+    * the same window (at-least-once for the consumer; pair with an
+    * idempotent sink, e.g. a SetTransaction-tagged delta write, for
+    * end-to-end exactly-once). Single-consumer per cursor file by
+    * design, like a streaming checkpoint dir.
+    *
+    * Returns None when there is nothing new.
+    */
+  def readChangesSince(spark: SparkSession, path: String,
+      cursorPath: String): Option[(DataFrame, Long, () => Unit)] = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cursor = new HPath(cursorPath)
+    val last: Long =
+      if (!fs.exists(cursor)) -1L
+      else try readString(fs, cursor).trim.toLong
+      catch { case _: Exception =>
+        throw graft.GraftError.InvalidOperation("read_changes_since",
+          s"cursor file $cursorPath is not a version number")
+      }
+    val newest = existingVersions(fs, logDir(tbl)).lastOption.getOrElse(-1L)
+    if (newest <= last) None
+    else {
+      val df = readChanges(spark, path, last, newest)
+      val commit = () => {
+        val out = fs.create(cursor, true)
+        try out.write(newest.toString.getBytes("UTF-8"))
+        finally out.close()
+      }
+      Some((df, newest, commit))
+    }
+  }
+
   /** Snapshot read: the log's active files, partition columns re-inferred
     * from `col=val` paths via basePath, schema merged across files.
     * `versionAsOf` time-travels to an earlier snapshot.

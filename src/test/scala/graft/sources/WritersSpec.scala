@@ -358,6 +358,36 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.readChanges(spark, p, 0L, 1L).count() == 1)
   }
 
+  test("readChangesSince: cursor replays until committed, then advances") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_cursor")
+    val cur = tmp("delta_cursor.ver")
+    Seq(p, cur).foreach { f =>
+      if (Files.exists(Paths.get(f))) {
+        Files.walk(Paths.get(f)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.delete(x))
+      }
+    }
+    Writers.writeDeltaTable(df, "overwrite", p)
+    // fresh cursor: the whole table arrives as inserts (bootstrap sync)
+    val Some((b0, v0, commit0)) = DeltaLog.readChangesSince(spark, p, cur)
+    assert(v0 == 0L && b0.count() == 2)
+    // crash-before-commit: the SAME window replays
+    val Some((b0again, _, _)) = DeltaLog.readChangesSince(spark, p, cur)
+    assert(b0again.count() == 2)
+    commit0()
+    // nothing new => None
+    assert(DeltaLog.readChangesSince(spark, p, cur).isEmpty)
+    // a new commit arrives: only ITS window is served
+    Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"),
+      "append", p)
+    val Some((b1, v1, commit1)) = DeltaLog.readChangesSince(spark, p, cur)
+    assert(v1 == 1L)
+    assert(b1.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    commit1()
+    assert(DeltaLog.readChangesSince(spark, p, cur).isEmpty)
+  }
+
   test("SetTransaction makes replayed appends idempotent, surviving checkpoints") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_txn")
