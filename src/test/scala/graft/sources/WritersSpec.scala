@@ -388,6 +388,46 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.readChangesSince(spark, p, cur).isEmpty)
   }
 
+  test("end-to-end exactly-once: change-feed sync + txn sink survive a crash") {
+    val sp = spark; import sp.implicits._
+    val src = tmp("delta_e2e_src"); val dst = tmp("delta_e2e_dst")
+    val cur = tmp("delta_e2e.cursor")
+    Seq(src, dst, cur).foreach { f =>
+      if (Files.exists(Paths.get(f))) {
+        Files.walk(Paths.get(f)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.delete(x))
+      }
+    }
+    Writers.writeDeltaTable(df, "overwrite", src)
+    def syncOnce(crashBeforeCursorCommit: Boolean): Unit =
+      DeltaLog.readChangesSince(spark, src, cur).foreach {
+        case (changes, upTo, commitCursor) =>
+          import org.apache.spark.sql.functions.col
+          val batch = changes.where(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          val mode = if (Files.exists(Paths.get(dst, "_delta_log"))) "append"
+                     else "overwrite"
+          Writers.writeDeltaTable(batch, mode, dst,
+            txn = Some(("e2e-sync", upTo)))
+          if (!crashBeforeCursorCommit) commitCursor()
+      }
+    // first pass CRASHES after the sink write, before the cursor commit
+    syncOnce(crashBeforeCursorCommit = true)
+    assert(DeltaLog.read(spark, dst).count() == 2)
+    // recovery replays the same window — the txn watermark dedups the
+    // sink write, the cursor then advances: exactly-once end to end
+    syncOnce(crashBeforeCursorCommit = false)
+    assert(DeltaLog.read(spark, dst).count() == 2,
+      "replayed window double-applied at the sink")
+    assert(DeltaLog.readChangesSince(spark, src, cur).isEmpty)
+    // steady state keeps flowing
+    Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"),
+      "append", src)
+    syncOnce(crashBeforeCursorCommit = false)
+    assert(DeltaLog.read(spark, dst).collect().map(_.getAs[Long]("id")).sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("SetTransaction makes replayed appends idempotent, surviving checkpoints") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_txn")
