@@ -502,6 +502,25 @@ object Loaders {
   def fromJdbc(spark: SparkSession, url: String, query: String, alias: String,
       props: java.util.Properties = new java.util.Properties()): GraftFrame =
     GraftFrame(spark.read.jdbc(url, s"($query) AS graft_sub", props), alias)
+
+  /** Partitioned JDBC ingest — the scale path for database sources: the
+    * table is read as `numPartitions` parallel range-sliced queries on
+    * `partitionColumn` (Spark pushes `col >= lo AND col < hi` into each
+    * slice's WHERE), so a 1000-executor cluster drains the database with
+    * 1000 concurrent cursors instead of one. Filters and projections
+    * still push into each slice like [[fromJdbc]] (asserted in JdbcSpec).
+    * Bounds are the caller's (one cheap MIN/MAX round-trip if unknown) —
+    * Spark clamps rows outside them into the edge partitions, so the
+    * result is exact regardless.
+    */
+  def fromJdbcPartitioned(spark: SparkSession, url: String, query: String,
+      alias: String, partitionColumn: String, lowerBound: Long,
+      upperBound: Long, numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()): GraftFrame =
+    GraftFrame(
+      spark.read.jdbc(url, s"($query) AS graft_sub", partitionColumn,
+        lowerBound, upperBound, numPartitions, props),
+      alias)
 }
 
 /** User-declared FileSchema types (reference

@@ -74,6 +74,26 @@ class JdbcSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.sameElements(Array(2L, 3L)))
   }
 
+  test("fromJdbcPartitioned slices the read into parallel range queries") {
+    seed()
+    val gf = Loaders.fromJdbcPartitioned(spark, url,
+      "SELECT id, name, score FROM people", "pp_part",
+      partitionColumn = "id", lowerBound = 1L, upperBound = 4L,
+      numPartitions = 3)
+    // genuinely partitioned: one JDBC cursor per slice
+    assert(gf.df.rdd.getNumPartitions == 3)
+    // and exact: out-of-range rows clamp into edge partitions, nothing
+    // lost or doubled
+    assert(gf.df.collect().map(_.getAs[Long]("id")).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // pushdown still reaches each slice's scan
+    import org.apache.spark.sql.functions.col
+    val plan = gf.df.filter(col("id") > 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(ID,1)"),
+      s"filter did not reach the partitioned JDBC scan:\n$plan")
+  }
+
   test("fromJdbc result chains into the builder DSL") {
     seed()
     val out = Loaders.fromJdbc(spark, url,
