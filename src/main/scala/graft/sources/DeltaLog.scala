@@ -888,9 +888,17 @@ object DeltaLog {
     else {
       val df = readChanges(spark, path, last, newest)
       val commit = () => {
-        val out = fs.create(cursor, true)
+        // atomic advance: a crash mid-write must never leave a corrupt
+        // cursor (tmp + rename, like the log's own slot staging)
+        val tmp = new HPath(cursor.getParent,
+          s".${cursor.getName}.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, true)
         try out.write(newest.toString.getBytes("UTF-8"))
         finally out.close()
+        fs.delete(cursor, false)
+        if (!fs.rename(tmp, cursor))
+          throw graft.GraftError.WriteError(cursorPath, "cursor",
+            "cursor advance rename failed")
       }
       Some((df, newest, commit))
     }
