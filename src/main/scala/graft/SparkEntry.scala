@@ -705,6 +705,28 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 2).as("total_bal"))
     }),
 
+    // DELETE + RESTORE end-to-end: v0 overwrite, v1 append, v2 delete,
+    // v3 restore-to-v1 — the final snapshot must equal v1 exactly, and
+    // the oracle recomputes it straight from customer. A restore that
+    // resurrects the deleted rows wrongly (or fails to) mismatches.
+    "q_delta_restore" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_restore"
+      val pp = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val c = t(s, d, "customer").toDF
+      Writers.writeDeltaTable(c.where(col("c_custkey") % 10 < 2), "overwrite", path)
+      Writers.writeDeltaTable(c.where(col("c_custkey") % 10 === 4), "append", path)
+      Writers.deleteFromDeltaTable(s, path, "c_custkey % 10 = 0")
+      graft.sources.DeltaLog.restore(s, path, 1L)
+      graft.sources.DeltaLog.read(s, path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+    }),
+
     "q_delta_time_travel" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_delta_tt"
       val c = t(s, d, "customer").toDF
@@ -2555,6 +2577,13 @@ object SparkEntry {
     // version 0 = the table before the append
     "q_delta_time_travel" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    // the restored v1 snapshot recomputed straight from customer
+    "q_delta_restore" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(c_acctbal), 2) AS total_bal " +
+        "FROM customer WHERE c_custkey % 10 < 2 OR c_custkey % 10 = 4 " +
+        "GROUP BY c_mktsegment"),
 
     // the two append windows recomputed straight from customer — the
     // Spark side must replay the right add-actions per commit version
