@@ -34,30 +34,62 @@ object Classify {
     * from the per-class normalizer — so the join stays proportional to
     * corpus token volume, not vocab × classes.
     *
-    * Scale shape: three map-side-combined count aggregations (class
-    * priors, token-class counts, per-class totals — the latter two tiny:
-    * V×C and C rows), one token-keyed shuffle join of the exploded docs
-    * against the token-class counts (Spark broadcasts it when small), one
-    * hash shuffle on (doc, class), and a C-row broadcast cross join. No
-    * driver collects; OOV tokens at predict time hit the smoothed floor
+    * Scale shape — the corpus is tokenized EXACTLY ONCE per distinct
+    * frame. `docToks` (the per-doc bag-of-words matrix) is pinned with an
+    * eager localCheckpoint and every downstream consumer reads the pin:
+    * document lengths are a rollup of it (Σ n(d,t) = token count — same
+    * value as re-splitting the text, without the second regex pass), and
+    * in the common self-training call (`docs eq train`, e.g. scoring a
+    * corpus against its own labels) the model counts are too, with the
+    * label carried through the groupBy keys (label is functionally
+    * dependent on the id, so the extra key changes nothing) — zero
+    * tokenize passes over `train`. A distinct `train` costs one more
+    * tokenize, also pinned. The pin is linear in corpus token-type volume
+    * and lands on executor-local disk — no driver state. Priors come from
+    * one C-row aggregation (one scan, no tokenize). The evidence join
+    * broadcasts the V×C model when it is small enough (decided from the
+    * pinned frame's exact row count, not a stats guess — localCheckpoint
+    * erases size stats, which previously forced a sort-merge join that
+    * shuffled the whole doc-token matrix on the Zipf-skewed token key);
+    * past the broadcast bound it falls back to the shuffle join, which
+    * AQE skew-splits. OOV tokens at predict time hit the smoothed floor
     * through the same ln(1)=0 identity.
     */
   def nbScores(docs: DataFrame, train: DataFrame, textCol: String,
       idCol: String, labelCol: String): DataFrame = {
-    val trainToks = toks(train, textCol, col(labelCol).as("graft_cls"))
-    // ln P(c) from document counts — integers in, exact doubles out
-    val nDocs = train.count().toDouble
-    require(nDocs > 0, "nbScores: training corpus is empty")
-    val priors = train.groupBy(col(labelCol).as("graft_cls"))
-      .agg(log(count(lit(1)).cast("double") / lit(nDocs)).as("graft_prior"))
-    // eager localCheckpoint: the model frame is vocab × classes rows
-    // (tiny next to the corpus) but has THREE consumers — the vocab
-    // count, the class totals, and the evidence join — and each would
-    // re-scan and re-tokenize the training corpus without the pin
-    // (exchange reuse does not span separate count() actions)
-    val tokenClass = trainToks.groupBy(col("graft_cls"), col("token"))
-      .agg(count(lit(1)).cast("double").as("graft_tc"))
+    val shared = docs eq train
+    // ln P(c) from document counts — one C-row scan; integers in, exact
+    // doubles out
+    val classDocs = train.groupBy(col(labelCol).as("graft_cls"))
+      .agg(count(lit(1)).cast("double").as("graft_cdocs"))
       .localCheckpoint(true)
+    val nDocs = classDocs.agg(sum(col("graft_cdocs"))).collect()
+      .headOption.flatMap(r => Option(r.get(0))).map(_.asInstanceOf[Double])
+      .getOrElse(0.0)
+    require(nDocs > 0, "nbScores: training corpus is empty")
+    val priors = classDocs.select(col("graft_cls"),
+      log(col("graft_cdocs") / lit(nDocs)).as("graft_prior"))
+
+    // the single tokenize pass over the predict corpus, pinned: three
+    // consumers (lengths, evidence, and — when shared — the model)
+    val docKeyNames = if (shared) Seq(idCol, "graft_doc_cls") else Seq(idCol)
+    val docKeyCols =
+      if (shared) Seq(col(idCol), col(labelCol).as("graft_doc_cls"))
+      else Seq(col(idCol))
+    val docToks = toks(docs, textCol, docKeyCols: _*)
+      .groupBy(docKeyNames.map(col) :+ col("token"): _*)
+      .agg(count(lit(1)).cast("double").as("graft_n"))
+      .localCheckpoint(true)
+
+    val tokenClass = (if (shared)
+        docToks.groupBy(col("graft_doc_cls").as("graft_cls"), col("token"))
+          .agg(sum(col("graft_n")).as("graft_tc"))
+      else
+        toks(train, textCol, col(labelCol).as("graft_cls"))
+          .groupBy(col("graft_cls"), col("token"))
+          .agg(count(lit(1)).cast("double").as("graft_tc"))
+      ).localCheckpoint(true)
+    val modelRows = tokenClass.count()
     val vocab = tokenClass.select(col("token")).distinct().count().toDouble
     // per-class token totals + the ln(tok_c + V) normalizer
     val classTotals = tokenClass.groupBy(col("graft_cls"))
@@ -65,20 +97,17 @@ object Classify {
       .select(col("graft_cls"),
         log(col("graft_tokc") + lit(vocab)).as("graft_lnz"))
 
-    val docToks = toks(docs, textCol, col(idCol))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).cast("double").as("graft_n"))
-    // document length is an array-size projection, NOT a rollup of
-    // docToks: summing graft_n would make docToks (corpus-token-volume
-    // rows) a two-consumer frame and re-run the tokenize+shuffle once
-    // per consumer. The zero-token filter keeps the drop-empty-docs
-    // contract the docToks rollup had (and the oracle replicates).
-    val docLens = docs.select(col(idCol),
-        size(filter(split(T.normalizeText(col(textCol)), " "),
-          t => length(t) > lit(0))).cast("double").as("graft_len"))
-      .where(col("graft_len") > 0)
-    // Σ n(d,t)·ln(cnt(t,c)+1) — inner join: absent (t,c) pairs are ln(1)=0
-    val evidence = docToks.join(tokenClass, Seq("token"))
+    // document length = Σ_t n(d,t) over the pin; docs with zero tokens
+    // have no docToks rows, preserving the drop-empty-docs contract
+    val docLens = docToks.groupBy(col(idCol))
+      .agg(sum(col("graft_n")).as("graft_len"))
+    // Σ n(d,t)·ln(cnt(t,c)+1) — inner join: absent (t,c) pairs are ln(1)=0.
+    // ~2M V×C rows ≈ tens of MB serialized: broadcast under that, shuffle
+    // (AQE skew-aware) above
+    val model =
+      if (modelRows <= 2000000L) broadcast(tokenClass) else tokenClass
+    val evidence = docToks.select(col(idCol), col("token"), col("graft_n"))
+      .join(model, Seq("token"))
       .groupBy(col(idCol), col("graft_cls"))
       .agg(sum(col("graft_n") * log(col("graft_tc") + lit(1.0))).as("graft_s1"))
 
