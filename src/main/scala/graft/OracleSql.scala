@@ -728,12 +728,17 @@ object OracleSql {
         s"p$k AS (SELECT $prev.id, (1.0 - $damping) / nn.n + $damping * coalesce(c$k.c, 0.0) AS pr " +
         s"FROM $prev LEFT JOIN c$k USING (id), nn)"
     }.mkString(", ")
-    s"WITH pairs AS ($pairsSql), " +
-      "e0 AS (SELECT id_a AS s, id_b AS d FROM pairs " +
+    // pairs/e0/ed are each referenced by several downstream CTEs and the
+    // unrolled rounds; DuckDB 1.0 INLINES non-materialized CTEs per
+    // reference, so an expensive pairs query (the brute kNN cross join)
+    // re-executes once per mention — dozens of interleaved copies spilled
+    // >80 GB temp at sf0.1. MATERIALIZED pins each to its (tiny) result.
+    s"WITH pairs AS MATERIALIZED ($pairsSql), " +
+      "e0 AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs " +
       "UNION ALL SELECT id_b, id_a FROM pairs), " +
-      "deg AS (SELECT s, count(*)::DOUBLE AS deg FROM e0 GROUP BY 1), " +
-      "ed AS (SELECT e0.s, e0.d, 1.0 / deg.deg AS w FROM e0 JOIN deg USING (s)), " +
-      "nn AS (SELECT count(*)::DOUBLE AS n FROM deg), " +
+      "deg AS MATERIALIZED (SELECT s, count(*)::DOUBLE AS deg FROM e0 GROUP BY 1), " +
+      "ed AS MATERIALIZED (SELECT e0.s, e0.d, 1.0 / deg.deg AS w FROM e0 JOIN deg USING (s)), " +
+      "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM deg), " +
       "p0 AS (SELECT s AS id, 1.0 / nn.n AS pr FROM deg, nn), " +
       s"$rounds " +
       s"SELECT id, round(pr, 6) AS pagerank FROM p$iterations"
@@ -749,11 +754,15 @@ object OracleSql {
     */
   def knnPageRank(k: Int, iterations: Int, damping: Double): String =
     pageRankOver(
-      "SELECT q.vec_id AS id_a, c.vec_id AS id_b " +
-        "FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id " +
-        "QUALIFY row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, " +
-        s"c.vec_id) <= $k",
+      // similarity is computed in the inner projection so the window's
+      // sort input is three narrow columns — computing it inside the
+      // window ORDER BY drags both 64-dim DOUBLE[] arrays into every
+      // buffered row of the N² sort
+      "SELECT id_a, id_b FROM (SELECT id_a, id_b, " +
+        "row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn " +
+        "FROM (SELECT q.vec_id AS id_a, c.vec_id AS id_b, " +
+        "list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim " +
+        s"FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id) s) z WHERE rn <= $k",
       iterations, damping)
 
   /** PageRank over the IVF-probed kNN edge list
