@@ -679,6 +679,22 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // NAME-mode column mapping (the modern delta-spark/delta-rs writer
+    // default): data files carry physical uuid-style column names, the
+    // metaData's schemaString maps them back — the read must return
+    // logical names and exact values (the reference's raw-parquet delta
+    // read, src/elusion.rs:6607-6710, would return the scrambled
+    // physical names)
+    "q_delta_colmap" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_colmap"
+      val c = t(s, d, "customer").toDF
+      graft.sources.DeltaLog.writeNameMapped(c, path)
+      Loaders.load(s, path, "customer_cm")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // time travel: version 0 of the same table q_delta_roundtrip builds
     // (overwrite + append) must read back as the PRE-append snapshot
     // change-feed read (file-level CDF): three deterministic versions are
@@ -2558,6 +2574,9 @@ object SparkEntry {
 
     "q_delta_roundtrip" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey % 10 = 0) GROUP BY c_mktsegment",
+
+    "q_delta_colmap" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_with_ctes" ->
       ("WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000), " +

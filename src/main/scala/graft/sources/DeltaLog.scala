@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
+import org.apache.spark.sql.types.StructType
 
 import scala.collection.mutable.ListBuffer
 
@@ -741,22 +742,41 @@ object DeltaLog {
     val active = scala.collection.mutable.LinkedHashMap.empty[String, DeltaStats.AddEntry]
     cpAdds.foreach(a => active(a.rel) = a)
     // Protocol-fidelity guards: a table written under a newer reader
-    // protocol (deletion vectors, column mapping, …) would be silently
-    // MISREAD by plain adds-minus-removes replay — deleted rows
-    // resurrected, physical column names scrambled. Refusing typed is the
-    // correct behavior (what delta-spark/delta-rs do on an unsupported
-    // minReaderVersion); supported here: minReaderVersion <= 1.
+    // protocol would be silently MISREAD by plain adds-minus-removes
+    // replay — deleted rows resurrected (deletion vectors), physical
+    // column names returned raw (id-mode column mapping). Refusing typed
+    // is the correct behavior on an unsupported capability (what
+    // delta-spark/delta-rs do). Supported here: minReaderVersion 1;
+    // minReaderVersion 2 (column mapping — NAME mode handled at read
+    // time via the metaData rename, id mode refused below); and
+    // minReaderVersion 3 when readerFeatures ⊆ {columnMapping}.
     def guard(cond: Boolean, what: => String): Unit =
       if (cond) throw graft.GraftError.InvalidOperation("load_delta",
         s"$path requires an unsupported reader capability ($what); " +
           "reading it with plain add/remove replay would return wrong rows")
+    def guardProtocol(node: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      val v = Option(node.get("minReaderVersion")).map(_.asInt(1)).getOrElse(1)
+      if (v >= 3) {
+        val feats = scala.collection.mutable.ArrayBuffer.empty[String]
+        Option(node.get("readerFeatures")).filter(_.isArray)
+          .foreach(_.forEach(f => feats += f.asText))
+        val unsupported = feats.filterNot(_ == "columnMapping")
+        guard(v > 3 || unsupported.nonEmpty,
+          s"protocol minReaderVersion $v, readerFeatures " +
+            feats.mkString("[", ", ", "]"))
+      }
+    }
+    val cmMode = columnMappingMode(spark, fs, tbl)
+    guard(cmMode != "none" && cmMode != "name",
+      s"column mapping mode '$cmMode'")
     cpVersion.foreach { v =>
       val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
       if (cp.columns.contains("protocol")) {
         cp.where(col("protocol").isNotNull)
-          .select(col("protocol.minReaderVersion")).collect().foreach { r =>
-            if (!r.isNullAt(0)) guard(r.getLong(0) > 1L,
-              s"protocol minReaderVersion ${r.getLong(0)}")
+          .select(org.apache.spark.sql.functions.to_json(col("protocol")))
+          .collect().foreach { r =>
+            val node = try mapper.readTree(r.getString(0)) catch { case _: Exception => null }
+            if (node != null) guardProtocol(node)
           }
       }
     }
@@ -768,12 +788,11 @@ object DeltaLog {
           val rem = node.get("remove")
           val proto = node.get("protocol")
           val meta = node.get("metaData")
-          if (proto != null && proto.get("minReaderVersion") != null)
-            guard(proto.get("minReaderVersion").asInt(1) > 1,
-              s"protocol minReaderVersion ${proto.get("minReaderVersion").asInt}")
+          if (proto != null) guardProtocol(proto)
           if (meta != null && meta.get("configuration") != null) {
             val cm = meta.get("configuration").get("delta.columnMapping.mode")
-            guard(cm != null && cm.asText("none") != "none",
+            guard(cm != null && cm.asText("none") != "none" &&
+              cm.asText("none") != "name",
               s"column mapping mode '${Option(cm).map(_.asText).getOrElse("")}'")
           }
           if (add != null) {
@@ -786,6 +805,59 @@ object DeltaLog {
       }
     }
     active.values.toSeq
+  }
+
+  /** The table's `delta.columnMapping.mode` from the newest metaData —
+    * commits first, checkpoint fallback; "none" when unset.
+    */
+  private def columnMappingMode(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): String =
+    tableConfiguration(spark, fs, tbl)
+      .getOrElse("delta.columnMapping.mode", "none")
+
+  /** Table configuration map from the newest metaData (same visibility
+    * rule as [[tableSchemaJson]]).
+    */
+  private def tableConfiguration(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Map[String, String] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    def parse(conf: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
+      val b = Map.newBuilder[String, String]
+      conf.fields().forEachRemaining { e =>
+        b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)
+      }
+      b.result()
+    }
+    val log = logDir(tbl)
+    val fromCommits = existingVersions(fs, log).reverse.iterator.flatMap { v =>
+      readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        val md = if (node == null) null else node.get("metaData")
+        val cf = if (md == null) null else md.get("configuration")
+        if (cf != null && cf.isObject) Some(parse(cf)) else None
+      }.toSeq.lastOption
+    }.nextOption()
+    fromCommits.orElse(lastCheckpointVersion(fs, log).flatMap { v =>
+      val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
+      val hasConf = cp.schema.fields.find(_.name == "metaData").exists(
+        _.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fieldNames.contains("configuration")
+          case _ => false
+        })
+      if (hasConf) {
+        cp.where(col("metaData").isNotNull)
+          .select(org.apache.spark.sql.functions.to_json(col("metaData.configuration")))
+          .collect().headOption.flatMap { r =>
+            if (r.isNullAt(0)) None
+            else {
+              val node = try mapper.readTree(r.getString(0)) catch { case _: Exception => null }
+              if (node != null && node.isObject) Some(parse(node)) else None
+            }
+          }
+      } else None
+    }).getOrElse(Map.empty)
   }
 
   /** Change feed between two versions — the incremental-consumption read
@@ -906,16 +978,167 @@ object DeltaLog {
 
   /** Snapshot read: the log's active files, partition columns re-inferred
     * from `col=val` paths via basePath, schema merged across files.
-    * `versionAsOf` time-travels to an earlier snapshot.
+    * `versionAsOf` time-travels to an earlier snapshot. Tables using
+    * NAME-mode column mapping (the modern delta-spark writer default)
+    * read back with LOGICAL column names: the parquet files are scanned
+    * under the physical schema derived from the metaData's
+    * `delta.columnMapping.physicalName` annotations, then renamed — a
+    * pure metadata operation, zero extra I/O. Id-mode and deletion
+    * vectors still refuse typed (see [[activeAddsAsOf]]).
     */
   def read(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val files = activeFilesAsOf(spark, path, versionAsOf)
     require(files.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
-    spark.read
-      .option("mergeSchema", "true")
-      .option("basePath", path)
-      .parquet(files: _*)
+    readDataFiles(spark, path, files)
+  }
+
+  /** Scan `files` of the table at `path`, column-mapping-aware. */
+  private def readDataFiles(spark: SparkSession, path: String,
+      files: Seq[String]): DataFrame = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    logicalSchemaIfNameMapped(spark, fs, tbl) match {
+      case Some(logical) =>
+        val physical = physicalType(logical).asInstanceOf[StructType]
+        val df = spark.read
+          .option("basePath", path)
+          .schema(physical)
+          .parquet(files: _*)
+        // physical → logical is a positional struct rename: same types,
+        // so the casts are name rewrites Catalyst folds into the scan
+        df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
+          // cast target is fully nullable: parquet always reads back
+          // nullable, and a NOT NULL nested field in the logical schema
+          // would otherwise make the rename cast unresolvable
+          col(s"`${pf.name}`").cast(stripMeta(lf.dataType)).as(lf.name)
+        }: _*)
+      case None =>
+        spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", path)
+          .parquet(files: _*)
+    }
+  }
+
+  /** Write `df` as a NAME-mode column-mapped delta table: data files
+    * carry deterministic physical column names (uuid-style, derived from
+    * the logical name so round-trip fixtures are stable), the metaData's
+    * schemaString annotates every field with `delta.columnMapping.id` /
+    * `physicalName`, and the protocol declares minReaderVersion 2 /
+    * minWriterVersion 5 — the shape delta-spark ≥2.x and delta-rs ≥0.17
+    * writers emit by default. This is primarily the fixture/compat
+    * surface proving [[read]]'s mapped-read path against the same bytes a
+    * modern writer would produce; [[write]] remains mode=none.
+    */
+  def writeNameMapped(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tbl, true)
+    val logical = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val phys = "col-" + java.util.UUID.nameUUIDFromBytes(
+        (f.name + "#graft-cm").getBytes("UTF-8")).toString
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString(PhysicalNameKey, phys).build())
+    })
+    val physical = physicalType(logical).asInstanceOf[StructType]
+    val physDf = df.select(logical.fields.zip(physical.fields).map {
+      case (lf, pf) => col(s"`${lf.name}`").cast(pf.dataType).as(pf.name)
+    }: _*)
+    physDf.write.mode("overwrite").parquet(path)
+    val rels = fs.listStatus(tbl).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def esc(s: String): String = {
+      val n = mapper.writeValueAsString(s)
+      n.substring(1, n.length - 1)
+    }
+    val now = System.currentTimeMillis()
+    val actions = ListBuffer.empty[String]
+    actions += """{"commitInfo":{"operation":"WRITE","txnId":"""" +
+      java.util.UUID.randomUUID().toString + """"}}"""
+    actions += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+      s""""configuration":{"delta.columnMapping.mode":"name",""" +
+      s""""delta.columnMapping.maxColumnId":"${logical.fields.length}"},""" +
+      s""""createdTime":$now}}"""
+    rels.foreach { rel =>
+      val st = fs.getFileStatus(new HPath(tbl, rel))
+      actions += s"""{"add":{"path":"${esc(rel)}","partitionValues":{},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true}}"""
+    }
+    val log = logDir(tbl)
+    fs.mkdirs(log)
+    val out = fs.create(new HPath(log, commitName(0L)), true)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The logical table schema when the table uses name-mode column
+    * mapping, None otherwise (plain tables read schema-on-file).
+    */
+  private def logicalSchemaIfNameMapped(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Option[StructType] =
+    if (columnMappingMode(spark, fs, tbl) != "name") None
+    else {
+      // a mapped table whose schemaString is missing/unparseable must
+      // refuse, not fall back to raw physical names
+      val schema = tableSchemaJson(spark, fs, tbl).flatMap { js =>
+        try Some(org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[StructType])
+        catch { case _: Exception => None }
+      }
+      Some(schema.getOrElse(throw graft.GraftError.InvalidOperation(
+        "load_delta", s"$tbl uses name-mode column mapping but its " +
+          "metaData.schemaString is missing or unparseable — cannot " +
+          "derive the physical-to-logical rename")))
+    }
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  /** Recursively rewrite a logical delta type to its physical (on-file)
+    * shape: every struct field named by its `physicalName` annotation.
+    */
+  private def physicalType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val phys =
+          if (f.metadata.contains(PhysicalNameKey))
+            f.metadata.getString(PhysicalNameKey)
+          else f.name
+        StructField(phys, physicalType(f.dataType), f.nullable)
+      })
+      case at: ArrayType => at.copy(elementType = physicalType(at.elementType))
+      case mt: MapType => mt.copy(keyType = physicalType(mt.keyType),
+        valueType = physicalType(mt.valueType))
+      case other => other
+    }
+  }
+
+  /** Logical type with the columnMapping annotations stripped and every
+    * level made nullable (the cast target for the physical → logical
+    * rename — parquet always reads back nullable, and a NOT NULL nested
+    * field would make the rename cast unresolvable).
+    */
+  private def stripMeta(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, stripMeta(f.dataType), nullable = true)))
+      case at: ArrayType => ArrayType(stripMeta(at.elementType), containsNull = true)
+      case mt: MapType => MapType(stripMeta(mt.keyType),
+        stripMeta(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
   }
 
   /** Predicate-pruned snapshot read: replay the log, skip every file whose
@@ -931,14 +1154,32 @@ object DeltaLog {
       versionAsOf: Option[Long] = None): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val adds = activeAddsAsOf(spark, path, versionAsOf)
-    require(adds.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
+    val adds0 = activeAddsAsOf(spark, path, versionAsOf)
+    require(adds0.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
     val schemaOpt = tableSchemaJson(spark, fs, tbl).flatMap { js =>
       try Some(org.apache.spark.sql.types.DataType.fromJson(js)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       catch { case _: Exception => None }
     }
-    val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+    // name-mode column mapping: add-action stats and partitionValues are
+    // keyed by PHYSICAL names while the predicate (and table schema) use
+    // logical ones — remap the metadata keys so skipping keeps working on
+    // mapped tables instead of degrading to keep-everything
+    val nameMapped = logicalSchemaIfNameMapped(spark, fs, tbl)
+    val adds = nameMapped match {
+      case Some(logical) => remapAddsToLogical(adds0, logical)
+      case None => adds0
+    }
+    val pcols0 = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+    // metaData.partitionColumns carries physical names on mapped tables
+    val pcols = nameMapped match {
+      case Some(logical) =>
+        val physToLog = logical.fields.map(f =>
+          (if (f.metadata.contains(PhysicalNameKey))
+            f.metadata.getString(PhysicalNameKey) else f.name) -> f.name).toMap
+        pcols0.map(c => physToLog.getOrElse(c, c))
+      case None => pcols0
+    }
     val kept = schemaOpt match {
       case Some(schema) => DeltaStats.prune(spark, predicate, schema, pcols, adds)
       case None => adds
@@ -946,15 +1187,54 @@ object DeltaLog {
     if (kept.isEmpty) {
       // provably-empty result: an empty relation with the table schema —
       // no file is opened at all
-      val schema = schemaOpt.getOrElse(read(spark, path, versionAsOf).schema)
+      val schema = schemaOpt.map(s => stripMeta(s).asInstanceOf[StructType])
+        .getOrElse(read(spark, path, versionAsOf).schema)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         .where(expr(predicate))
     } else
-      spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", path)
-        .parquet(kept.map(a => new HPath(tbl, a.rel).toString): _*)
+      readDataFiles(spark, path,
+        kept.map(a => new HPath(tbl, a.rel).toString))
         .where(expr(predicate))
+  }
+
+  /** Rewrite physical-keyed add metadata (top-level stats objects and
+    * partitionValues) to logical names so [[DeltaStats.prune]] sees the
+    * same vocabulary as the predicate. Unknown keys pass through —
+    * pruning stays conservative.
+    */
+  private def remapAddsToLogical(adds: Seq[DeltaStats.AddEntry],
+      logical: StructType): Seq[DeltaStats.AddEntry] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val physToLog = logical.fields.map(f =>
+      (if (f.metadata.contains(PhysicalNameKey))
+        f.metadata.getString(PhysicalNameKey) else f.name) -> f.name).toMap
+    val mapper = new ObjectMapper()
+    def renameKeys(o: ObjectNode): ObjectNode = {
+      val out = mapper.createObjectNode()
+      o.fields().forEachRemaining { e =>
+        out.set(physToLog.getOrElse(e.getKey, e.getKey), e.getValue): Unit
+      }
+      out
+    }
+    adds.map { a =>
+      val pv = a.partitionValues.map { case (k, v) =>
+        physToLog.getOrElse(k, k) -> v }
+      val stats = a.stats.flatMap { js =>
+        try {
+          val node = mapper.readTree(js)
+          Seq("minValues", "maxValues", "nullCount").foreach { sect =>
+            node.get(sect) match {
+              case o: ObjectNode =>
+                node.asInstanceOf[ObjectNode].set(sect, renameKeys(o)): Unit
+              case _ => ()
+            }
+          }
+          Some(mapper.writeValueAsString(node))
+        } catch { case _: Exception => Some(js) }
+      }
+      a.copy(partitionValues = pv, stats = stats)
+    }
   }
 
   /** How many files [[readWhere]] would open for `predicate` vs the

@@ -303,15 +303,49 @@ class WritersSpec extends SparkSpec {
       """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"a","offset":1,"sizeInBytes":2,"cardinality":3}}}""")
     val e2 = intercept[graft.GraftError.InvalidOperation] { DeltaLog.read(spark, p2) }
     assert(e2.getMessage.contains("deletion vectors"))
-    // column-mapping metadata: physical names differ from logical —
-    // refuse instead of returning scrambled columns
+    // ID-mode column mapping (read-by-parquet-field-id): refuse instead
+    // of returning scrambled columns — only name mode is readable
     val p3 = freshTable("delta_proto_cm")
     appendCommit(p3,
-      """{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""")
+      """{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""")
     val e3 = intercept[graft.GraftError.InvalidOperation] { DeltaLog.read(spark, p3) }
     assert(e3.getMessage.contains("column mapping"))
+    // NAME-mode with a missing/unparseable schemaString: refuse (cannot
+    // derive the rename), never fall back to raw physical names
+    val p4 = freshTable("delta_proto_cm_noschema")
+    appendCommit(p4,
+      """{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""")
+    val e4 = intercept[graft.GraftError.InvalidOperation] { DeltaLog.read(spark, p4) }
+    assert(e4.getMessage.contains("schemaString"))
+    // reader v3 with ONLY the columnMapping feature is fine to replay;
+    // the same version with an unknown feature still refuses (e1 above)
+    val p5 = freshTable("delta_proto_v3_cm")
+    appendCommit(p5,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""")
+    assert(DeltaLog.read(spark, p5).count() == 2)
     // our own tables keep reading
     assert(DeltaLog.read(spark, freshTable("delta_proto_ok")).count() == 2)
+  }
+
+  test("name-mode column-mapped table reads back logical names and values") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_colmap")
+    val src = Seq((1L, "a", 1.5, ("x", 10L)), (2L, "b", 2.5, ("y", 20L)),
+      (3L, "c", 3.5, ("z", 30L)))
+      .toDF("id", "name", "v", "meta")
+    DeltaLog.writeNameMapped(src, p)
+    // physical parquet column names really differ from logical ones
+    val rawCols = spark.read.parquet(p).columns.toSeq
+    assert(rawCols.forall(_.startsWith("col-")), s"physical cols: $rawCols")
+    // the delta read maps them back — names, nested names, and values
+    val back = DeltaLog.read(spark, p)
+    assert(back.columns.toSeq == Seq("id", "name", "v", "meta"))
+    assert(back.select("meta._1").where($"id" === 2L).head().getString(0) == "y")
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // predicate-pruned read speaks logical names too (stats keys remapped)
+    val filtered = DeltaLog.readWhere(spark, p, "id >= 2 AND name <> 'c'")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("readChanges: file-level change feed between versions") {
