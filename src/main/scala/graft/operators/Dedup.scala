@@ -872,11 +872,30 @@ object Dedup {
     * pairs from any of `lshTables` seeded hyperplane signatures (explode
     * carries ids only), vectors re-join for the exact cosine filter.
     *
-    * Parameterization is the pruning dial: low bits + many tables (4/16)
-    * is the high-recall regime for weakly-similar thresholds but admits
-    * most pairs as candidates; the near-dup regime (threshold ≥ 0.9) wants
-    * bits 12-16 × 4-8 tables, where buckets are fine enough that the
-    * candidate ratio collapses while hamming-near vectors still collide.
+    * REGIME BOUNDARY — pick bits from these numbers, not by feel. For an
+    * UNRELATED pair each sign bit agrees with p ≈ 1/2, so one table
+    * collides with ≈ 2^-bits and T tables admit a candidate fraction
+    * f ≈ T·2^-bits of all N²/2 pairs; for a TRUE pair at cosine t each
+    * bit agrees with p = 1 − arccos(t)/π, per-table collision p^bits,
+    * recall ≈ 1 − (1 − p^bits)^T. Concretely at T = 8 tables:
+    *
+    *   bits   f = T·2^-bits   candidates @N=20k   @N=2M      recall t=0.9 / 0.97
+    *   4      50 %            100 M               10^12      1.00 / 1.00
+    *   10     0.8 %           1.6 M               1.6·10^10  0.87 / 0.998
+    *   16     0.012 %         24 k                2.4·10^8   0.50 / 0.92
+    *   autoLshBits(N)  ≈ T·targetBucketSize·N/2 — LINEAR in N at any size
+    *
+    * The boundary rule: thresholds ≥ ~0.9 (near-dup) take
+    * [[autoLshBits]] (or pinned 12-16 bits at bench scales) — buckets
+    * fine enough that f collapses while hamming-near vectors still
+    * collide. Thresholds < ~0.8 over generic vectors NEED coarse bits
+    * (4-6) for recall, and there the near-quadratic candidate set IS the
+    * answer's size, not a plan bug — budget f·N²/2 rows or raise the
+    * threshold. Fixed bits at growing N is the one wrong choice:
+    * occupancy ∝ N turns the bucket self-join quadratic, which is why
+    * `autoLshBits` scales the bucket space with the corpus
+    * (spec-asserted: candidate count stays ≤ T·targetBucketSize·N across
+    * a 10× corpus jump).
     */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, lshBits: Int = 0, dim: Int = 64,

@@ -698,6 +698,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.autoLshBits(Long.MaxValue) == 30, "bits must cap")
   }
 
+  test("autoLshBits keeps the candidate count linear across a 10x corpus jump") {
+    // the regime-boundary claim in embeddingCosinePairs' scaladoc, measured:
+    // unrelated pairs collide per table with ~2^-bits, so candidates ≈
+    // T·N²/2^(bits+1); with bits = autoLshBits(N) the bucket space grows
+    // with N and the count stays ≤ T·targetBucketSize·N — LINEAR. Fixed
+    // bits across the same jump would grow candidates ~100x.
+    val sp = spark
+    def vecs(n: Long) = sp.range(n).select(col("id"),
+      expr("transform(sequence(1, 64), j -> CAST(xxhash64(concat(CAST(id AS STRING), " +
+        "'_', CAST(j AS STRING))) % 1000000 AS DOUBLE) / 1000000.0)").as("v"))
+    val perRow = Seq(2000L, 20000L).map { n =>
+      val bits = Dedup.autoLshBits(n) // 6 then 10: bucket space ∝ N
+      val cand = Dedup.signLshCandidates(vecs(n), bits, dim = 64,
+        lshTables = 8).count()
+      info(f"N=$n bits=$bits candidates=$cand (${cand.toDouble / n}%.0f per row)")
+      assert(cand <= 8L * 32L * n,
+        s"candidates $cand exceed the T*targetBucketSize*N linear bound at N=$n")
+      cand.toDouble / n
+    }
+    // per-row candidate load must not grow with the corpus (flat-to-down)
+    assert(perRow(1) <= perRow(0) * 2.0,
+      s"per-row candidates grew across 10x: $perRow")
+  }
+
   test("editDistancePairs: randomized equality with brute-force levenshtein") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(7L)
