@@ -30,7 +30,8 @@ object ScaleCheck {
     */
   val scalePath: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_containment", "q_dedup_clusters", "q_dedup_best",
+    "q_dedup_containment", "q_dedup_containment_capped",
+    "q_dedup_clusters", "q_dedup_best",
     "q_dedup_embedding", "q_dedup_semantic", "q_dedup_cross_source",
     "q_dedup_degree", "q_dedup_paragraph", "q_dedup_incremental",
     "q_sim_lsh", "q_sim_ivf_indexed", "q_sim_pq_indexed", "q_sim_ivfpq",
@@ -125,10 +126,24 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
   }
 
+  /** args: srcDir outDir copies [timeBaseDir] [queryCsv]
+    *
+    * srcDir seeds the deterministic generation (outDir = copies × srcDir);
+    * timings compare timeBaseDir (default srcDir) against outDir, so a
+    * second decade can be generated from sf0.1 (copies=30) but timed
+    * against the existing sf1.0 — e.g. the r12 sf3 sweep:
+    *   ScaleCheck /root/testdata/sf0.1 target/sf3.0 30 target/sf1.0 \
+    *     q_dedup_containment,q_dedup_simhash,...
+    * with SPARK_GRAFT_SF1_OUT=BENCH_SF3_r12.json and scale = copies ×
+    * (sf(srcDir)/sf(timeBaseDir)) reported from the measured row counts.
+    */
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/root/repo/target/sf1.0"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val timeBaseDir = if (args.length > 3) args(3) else srcDir
+    val queryFilter: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").toSet) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -147,12 +162,18 @@ object ScaleCheck {
       freshEmbeddings(spark, emb, copies, idStep = 1000000L, dim)
         .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
+    val allQ = (scalePath ++ eventScalePath)
+      .filter(q => queryFilter.forall(_.contains(q)))
+    val needEvents = allQ.exists(eventScalePath.contains)
     val evOut = s"$outDir/events.parquet"
-    if (!new java.io.File(evOut).exists())
+    if (needEvents && !new java.io.File(evOut).exists())
       scaledEvents(spark, srcDir, copies)
         .repartition(32).write.mode("overwrite").parquet(evOut)
-    println(s"[scale] documents: ${spark.read.parquet(docsOut).count()} rows, " +
-      s"events: ${spark.read.parquet(evOut).count()} rows")
+    val baseDocs = spark.read.parquet(s"$timeBaseDir/documents.parquet").count()
+    val outDocs = spark.read.parquet(docsOut).count()
+    val scale = outDocs.toDouble / math.max(1L, baseDocs)
+    println(s"[scale] documents: $outDocs rows ($scale x the timing base)" +
+      (if (needEvents) s", events: ${spark.read.parquet(evOut).count()} rows" else ""))
 
     def timeQ(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -160,21 +181,32 @@ object ScaleCheck {
       catch { case e: Throwable =>
         System.err.println(s"[scale] $name@$dir failed: ${e.getMessage}"); -1.0 }
     }
+    // SPARK_GRAFT_SCALE_ROWS=1 also records output row counts, so a
+    // wall-clock ratio that merely tracks ANSWER growth (e.g. planted
+    // near-dup cliques growing quadratically in the copy count) is
+    // attributable from the artifact itself
+    val countRows = sys.env.get("SPARK_GRAFT_SCALE_ROWS").contains("1")
+    def rowsQ(name: String, dir: String): Long =
+      if (!countRows) -1L
+      else try graft.SparkEntry.queries(name)(spark, dir).count()
+      catch { case _: Throwable => -1L }
     // warm code paths once at the small sf, then best-of-2 per (query, sf)
-    val allQ = scalePath ++ eventScalePath
-    allQ.foreach(q => timeQ(q, srcDir))
+    allQ.foreach(q => timeQ(q, timeBaseDir))
     val rows = allQ.map { q =>
-      val t01 = Seq(timeQ(q, srcDir), timeQ(q, srcDir)).min
+      val t01 = Seq(timeQ(q, timeBaseDir), timeQ(q, timeBaseDir)).min
       val t10 = Seq(timeQ(q, outDir), timeQ(q, outDir)).min
       val ratio = if (t01 > 0 && t10 > 0) t10 / t01 else -1.0
-      println(f"[scale] $q%-26s sf0.1 $t01%6.2f s   sf1.0 $t10%6.2f s   ratio ${ratio}%5.1f")
-      (q, t01, t10, ratio)
+      val (r01, r10) = (rowsQ(q, timeBaseDir), rowsQ(q, outDir))
+      println(f"[scale] $q%-26s base $t01%6.2f s   scaled $t10%6.2f s   ratio ${ratio}%5.1f" +
+        (if (countRows) s"   rows $r01 -> $r10" else ""))
+      (q, t01, t10, ratio, r01, r10)
     }
-    val json = rows.map { case (q, a, b, r) =>
-      f"""\"$q\":{\"sf01\":$a%.3f,\"sf10\":$b%.3f,\"ratio\":$r%.2f}"""
-    }.mkString("{\"scale\":10,\"queries\":{", ",", "}}")
+    val json = rows.map { case (q, a, b, r, r01, r10) =>
+      f"""\"$q\":{\"base\":$a%.3f,\"scaled\":$b%.3f,\"ratio\":$r%.2f""" +
+        (if (countRows) s""","rows_base":$r01,"rows_scaled":$r10}""" else "}")
+    }.mkString(f"""{\"scale\":$scale%.2f,\"base_dir\":\"$timeBaseDir\",\"scaled_dir\":\"$outDir\",\"queries\":{""", ",", "}}")
     println(json)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_SF1_OUT", "BENCH_SF1_r11.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SF1_OUT", "BENCH_SF1_latest.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
