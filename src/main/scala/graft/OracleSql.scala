@@ -135,6 +135,32 @@ object OracleSql {
       s"WHERE i::DOUBLE / (sa.n + sb.n - i) >= $threshold"
   }
 
+  /** The incremental-pipeline composition oracle: the corpus augmented
+    * with the pipeline's planted copies, each doc assigned its sync batch
+    * (base docs: doc_id % 3; copies: batch 2), then EVERY cross-batch
+    * pair (later batch × any earlier batch) at shingle-Jaccard ≥
+    * threshold — brute force, no band/index/feed replication, so a
+    * double-appended sink batch, a missed change window, or a stale
+    * band index in the Spark pipeline all diverge from it.
+    */
+  def incrementalPipeline(n: Int, threshold: Double): String = {
+    val shingleCat = (1 to n).map(k => s"t[ii + $k]").mkString(" || ' ' || ")
+    "WITH aug AS (SELECT doc_id, text, doc_id % 3 AS batch FROM documents " +
+      "UNION ALL SELECT doc_id + 100000 AS doc_id, " +
+      "text || ' incremental sync copy' AS text, 2 AS batch " +
+      "FROM documents WHERE doc_id % 5 = 0), " +
+      s"toks AS (SELECT doc_id, batch, $tokensExpr AS t FROM aug), " +
+      s"sh AS (SELECT doc_id, batch, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(len(t) - ${n - 1}), ii -> $shingleCat)) END AS s FROM toks), " +
+      "ex AS (SELECT doc_id, batch, unnest(s) AS g FROM sh), " +
+      "inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i " +
+      "FROM ex a JOIN ex b ON a.g = b.g AND a.batch > b.batch GROUP BY 1, 2), " +
+      "sizes AS (SELECT doc_id, len(s) AS n FROM sh) " +
+      "SELECT ia AS batch_id, ib AS corpus_id, i::DOUBLE / (sa.n + sb.n - i) AS jaccard " +
+      "FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
+      s"WHERE i::DOUBLE / (sa.n + sb.n - i) >= $threshold"
+  }
+
   /** Connected-component cluster assignment over the brute-force Jaccard
     * pair set: a recursive CTE closes the reachability relation (seeded
     * with every doc reaching itself), then cluster_id = min reachable id —

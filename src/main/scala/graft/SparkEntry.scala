@@ -1011,6 +1011,74 @@ object SparkEntry {
         corpusIndex = Some(s.read.parquet(idxPath)))
     }),
 
+    // END-TO-END incremental pipeline — the production composition of
+    // three individually-graded pieces: cursor-driven delta change feed
+    // (readChangesSince) → incremental near-dedup through a PERSISTED,
+    // batch-extended minhash band index → exactly-once delta sink
+    // (SetTransaction). Three source commits play a seed snapshot plus
+    // two incremental windows; sync 2's sink write is deliberately
+    // REPLAYED with the same txn version (the crash-between-sink-and-
+    // cursor case) and the watermark must swallow the duplicate. The
+    // oracle recomputes the full cross-batch pair set from scratch, so a
+    // double-append, a missed window, or a stale index all fail the hash.
+    "q_incremental_pipeline" -> ((s, d) => {
+      val root = "/root/repo/target/tmp/incr_pipeline"
+      val pp = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val src = s"$root/source"; val out = s"$root/pairs"
+      val cursor = s"$root/cursor"; val idx = s"$root/band_index"
+      val D = graft.sources.DeltaLog
+      val docs = t(s, d, "documents").df.select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          concat(col("text"), lit(" incremental sync copy")).as("text"))
+      def indexBatch(b: org.apache.spark.sql.DataFrame): Unit =
+        Dedup.minhashBandIndex(b, "text", "doc_id",
+          numHashes = 128, bands = 32, shingleWords = 3)
+          .write.mode("append").parquet(idx)
+      // v0 = the seed snapshot: consume it, index it, no dedup output
+      D.write(docs.where(col("doc_id") % 3 === 0), "overwrite", src)
+      val (seed, _, seedCommit) = D.readChangesSince(s, src, cursor).get
+      indexBatch(seed.where(col("_change_type") === "insert")
+        .select(col("doc_id"), col("text")))
+      seedCommit()
+      // two incremental syncs: write source commit → change feed →
+      // near-dup vs the at-rest index → exactly-once append → extend
+      // the index → advance the cursor
+      Seq(docs.where(col("doc_id") % 3 === 1),
+          docs.where(col("doc_id") % 3 === 2).unionByName(copies))
+        .zipWithIndex.foreach { case (batchDf, i) =>
+          D.write(batchDf, "append", src)
+          val (ch, newest, commit) = D.readChangesSince(s, src, cursor).get
+          val batch = ch.where(col("_change_type") === "insert")
+            .select(col("doc_id"), col("text"))
+          val corpus = D.read(s, src, Some(newest - 1))
+            .select(col("doc_id"), col("text"))
+          val pairs = Dedup.incrementalNearDupPairs(batch, corpus,
+            "text", "doc_id", numHashes = 128, bands = 32, shingleWords = 3,
+            jaccardThreshold = 0.85, corpusIndex = Some(s.read.parquet(idx)))
+          D.write(pairs, "append", out, txn = Some(("graft_incr_pipeline", i + 1L)))
+          if (i == 1) // replayed micro-batch: same txn version ⇒ no-op
+            D.write(pairs, "append", out, txn = Some(("graft_incr_pipeline", i + 1L)))
+          indexBatch(batch)
+          commit()
+        }
+      if (D.activeFiles(s, out).isEmpty)
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("batch_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("corpus_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jaccard",
+              org.apache.spark.sql.types.DoubleType))))
+      else D.read(s, out)
+        .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    }),
+
     // §2.11 exact percentiles — one job for the whole grid; ANSI
     // PERCENTILE_CONT interpolation on both engines
     "q_percentile" -> ((s, d) =>
@@ -2701,6 +2769,9 @@ object SparkEntry {
 
     "q_dedup_incr_near" ->
       OracleSql.crossJaccardPairs(n = 3, threshold = 0.85, batchMaxId = 50L),
+
+    "q_incremental_pipeline" ->
+      OracleSql.incrementalPipeline(n = 3, threshold = 0.85),
 
     "q_dedup_incremental" ->
       ("WITH batch AS (" +

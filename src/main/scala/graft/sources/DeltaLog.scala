@@ -912,11 +912,11 @@ object DeltaLog {
           s"file(s) vacuumed away (e.g. ${missing.head}) — the change " +
           "window is past the table's vacuum retention")
     val bySlice = changes.groupBy(c => (c._1, c._2)).toSeq.sortBy(_._1)
+    // readDataFiles: the change feed of a name-mode column-mapped table
+    // must surface LOGICAL column names like the snapshot read does
     val frames = bySlice.map { case ((v, ct), slice) =>
-      spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", path)
-        .parquet(slice.map(c => new HPath(tbl, c._3).toString): _*)
+      readDataFiles(spark, path,
+        slice.map(c => new HPath(tbl, c._3).toString))
         .withColumn("_change_type", lit(ct))
         .withColumn("_commit_version", lit(v))
     }

@@ -346,6 +346,11 @@ class WritersSpec extends SparkSpec {
     // predicate-pruned read speaks logical names too (stats keys remapped)
     val filtered = DeltaLog.readWhere(spark, p, "id >= 2 AND name <> 'c'")
     assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the change feed surfaces logical names as well
+    val feed = DeltaLog.readChanges(spark, p, -1L, 0L)
+    assert(feed.columns.toSeq ==
+      Seq("id", "name", "v", "meta", "_change_type", "_commit_version"))
+    assert(feed.where($"_change_type" === "insert").count() == 3L)
   }
 
   test("readChanges: file-level change feed between versions") {
