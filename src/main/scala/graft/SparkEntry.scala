@@ -970,6 +970,15 @@ object SparkEntry {
       Dedup.containmentPairs(t(s, d, "documents").df, "text", "doc_id",
         shingleWords = 3, threshold = 0.8)),
 
+    // the OPT-IN exact-at-scale variant: hot (boilerplate) shingles
+    // route through size-class-bucketed big-side prefixes instead of the
+    // full posting — IDENTICAL results (same brute-force oracle as
+    // q_dedup_containment), bounded asymptote (2.4× vs 5.05× wall-clock
+    // at 3× the sf1.0 corpus, BENCH_SF3_r12.json)
+    "q_dedup_containment_bounded" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents").df, "text", "doc_id",
+        shingleWords = 3, threshold = 0.8, boundedHotJoin = true)),
+
     // the OPT-IN corpus-adaptive df cap (Dedup.autoMaxDocFreq), graded in
     // lockstep with the capped oracle mirror — the cap is a no-op at gate
     // SFs (cap 36 at 500 docs vs max df 7) but the oracle derives the SAME
@@ -2728,6 +2737,11 @@ object SparkEntry {
       OracleSql.jaccardPairs(n = 2, threshold = 0.1),
 
     "q_dedup_containment" ->
+      OracleSql.containmentPairs(n = 3, threshold = 0.8),
+
+    // exact variant — same brute-force oracle: the bounded hot join must
+    // change NOTHING about the answer
+    "q_dedup_containment_bounded" ->
       OracleSql.containmentPairs(n = 3, threshold = 0.8),
 
     // adaptiveDocFreqCap mirrors Dedup.autoMaxDocFreq in SQL — lockstep

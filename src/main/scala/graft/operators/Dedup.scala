@@ -251,14 +251,38 @@ object Dedup {
     * SMALLER side's prefix, so candidates join the smaller side's prefix
     * against the larger side's full posting ((n, id)-lexicographic side
     * choice). Same `maxDocFreq` dial and documented trade.
+    *
+    * SCALE DIALS — the default full-posting join is exact and fastest at
+    * bench scales but carries a quadratic tail on hot (high-df) shingles
+    * (df of a boilerplate trigram grows ∝ N, short docs carry it in
+    * prefixes; measured 5.2× wall-clock at 3× the sf1.0 corpus with a
+    * flat answer). Two documented ways out, both graded
+    * (BENCH_SF3_r12.json, sf1.0 → 3× trio; ranges over repeated runs):
+    *   - `maxDocFreq = AdaptiveDocFreq`: cap hot postings out of the
+    *     index (recall trade documented at [[autoMaxDocFreq]]) — ~3-4 s
+    *     base, 2.2-3.5× at 3× data: the production scale path;
+    *   - `boundedHotJoin = true`: keep EXACT results, route hot shingles
+    *     through size-class-bucketed big-side prefixes (see
+    *     `prefixCandidates`) — best asymptote of the three (1.6-2.5× at
+    *     3× data) with a corpus-density-dependent constant: on the
+    *     vocabulary-dense bench fixture 99.7 % of posting rows are hot
+    *     (every trigram recurs at 50k docs) so the constant is ~3× the
+    *     default; on a Zipfian real-text corpus the hot sliver is small
+    *     and the constant approaches the default's. Pick it when
+    *     exactness at scale is non-negotiable.
+    * On vocabulary-dense corpora where most pairs genuinely share many
+    * shingles, NO exact candidate filter can be sub-quadratic — the
+    * shared-shingle mass is real signal, and the cap (drop boilerplate
+    * evidence) is the semantic answer, not a concession.
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 3, threshold: Double = 0.8,
-      maxDocFreq: Long = 0L): DataFrame = {
+      maxDocFreq: Long = 0L, boundedHotJoin: Boolean = false): DataFrame = {
     require(threshold > 0.0, "containmentPairs: threshold must be > 0")
     val (cand, sizes, shingleSets) =
       prefixCandidates(df, textCol, idCol, shingleWords, threshold,
-        resolveDocFreqCap(maxDocFreq, df), containment = true)
+        resolveDocFreqCap(maxDocFreq, df), containment = true,
+        boundedHotJoin = boundedHotJoin)
     cand
       .join(shingleSets.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -299,7 +323,8 @@ object Dedup {
     */
   private def prefixCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int, threshold: Double, cap: Long,
-      containment: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      containment: Boolean,
+      boundedHotJoin: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     // pin the exploded posting ONCE: it feeds sizes, doc frequencies,
     // the ranked prefix, and (under a cap) the verify sets — the same
     // materialize-once trade every inverted-index engine makes
@@ -334,15 +359,78 @@ object Dedup {
           .where(col("hits") >= col("req"))
           .select("id_a", "id_b")
       } else {
-        // the o ≥ ⌈t·min⌉ bound constrains only the smaller side (by FULL
-        // size, matching the verify normalizer; id tiebreak makes the
-        // side choice total) — its prefix joins the other side's full
-        // posting
-        val withN = ranked.join(sizes, Seq("id"))
+        // the o ≥ ⌈t·min⌉ bound constrains the smaller side's prefix (by
+        // FULL size, matching the verify normalizer; id tiebreak makes
+        // the side choice total) — its prefix joins the other side's
+        // posting. The big side is split by shingle doc frequency:
+        //
+        // COLD shingles (df ≤ hotDf ≈ 4·log2 N) join the full posting as
+        // plain AllPairs — their Σ df_pref·df is linear by the df bound,
+        // and they are ~all posting rows, so no replication cost.
+        //
+        // HOT shingles are where the full-posting join grows a quadratic
+        // tail (df ∝ N for boilerplate trigrams, and short docs carry
+        // them in prefixes — measured 5.05× wall-clock at 3× data with a
+        // FLAT answer). They instead join CLASS-BUCKETED big-side
+        // prefixes: for a pair with n_small ∈ [2^c, 2^{c+1}),
+        // o ≥ ⌈t·n_small⌉ ≥ ⌈t·2^c⌉, so the j-th smallest common
+        // shingle has big-side rank ≤ nc_big − o + j ≤ nc_big − ⌈t·2^c⌉
+        // + j — per class c the big side indexes only rows with
+        // rk ≤ nc − ⌈t·2^c⌉ + k. A hot shingle sits LAST in canonical
+        // (rarest-first) order, so it only survives into the tiniest
+        // classes (t·2^c ≤ k) — the quadratic term collapses to
+        // tiny-doc×hot pairs the answer semantics genuinely require.
+        // The ~log2(n/t)-way class explode prices only the hot sliver
+        // of the posting. Exactness: every common shingle routes
+        // through exactly ONE branch (by its df), the branches union
+        // before the hits count, the class-membership test uses the
+        // inclusive bound t·2^c ≤ nc + k − rk, and over-inclusion only
+        // lengthens a prefix (extra candidates) — completeness is the
+        // same min(o, k)-collisions argument, spec-checked against the
+        // naive join. Hybrid measured at 3× data: full-posting 5.05×,
+        // all-classed 3.2× but +66% base, hybrid keeps the base AND the
+        // bounded asymptote.
+        lazy val hotDf = autoMaxDocFreq(sizes.count())
+        // opt-in (boundedHotJoin): the split machinery costs ~2× the
+        // bench-scale constant, so the default stays the fast single
+        // join; a df cap at or under the hot bound has already removed
+        // every hot shingle from the index, making the split an empty
+        // branch — skip it then too
+        val splitHot = boundedHotJoin && !(cap > 0L && cap <= hotDf)
+        // under the split the ranked posting feeds THREE consumers (the
+        // small-side prefix, the cold posting, the hot classed explode) —
+        // pin it so the per-id window sort runs once; the single-join
+        // path keeps the two-consumer plan Spark already shares
+        val withN0 = ranked.join(sizes, Seq("id"))
+        val withN = if (splitHot) withN0.localCheckpoint(true) else withN0
         val pref = withN.where(col("rk") <= col("plen"))
-          .select(col("id").as("pid"), col("g"), col("n").as("pn"), col("nc").as("pnc"))
-        val full = withN.select(col("id").as("fid"), col("g"), col("n").as("fn"))
-        pref.join(full, Seq("g"))
+          .select(col("id").as("pid"), col("g"), col("n").as("pn"),
+            col("nc").as("pnc"), floor(log2(col("n"))).cast("int").as("cls"))
+        val coldFull = withN.where(if (splitHot) col("df") <= hotDf else lit(true))
+          .select(col("id").as("fid"), col("g"), col("n").as("fn"))
+        val coldHits = pref.join(coldFull, Seq("g"))
+          .select(col("pid"), col("pn"), col("pnc"), col("fid"), col("fn"))
+        val hits = if (!splitHot) coldHits else {
+          val maxN = sizes.agg(org.apache.spark.sql.functions.max(col("n")))
+            .collect().headOption.map(_.getLong(0)).getOrElse(1L)
+          val maxClass = (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxN))).toInt
+          val hotClassed = withN.where(col("df") > hotDf)
+            .withColumn("cmax", least(lit(maxClass),
+              floor(log2((col("nc") + lit(PrefixSlack.toLong) - col("rk"))
+                .cast("double") / lit(threshold))).cast("int")))
+            .where(col("cmax") >= 0)
+            .select(col("id").as("fid"), col("g"), col("n").as("fn"),
+              explode(sequence(lit(0), col("cmax"))).as("cls"))
+          // hot shingles are FEW distinct values (df > hotDf each) —
+          // broadcast-prefilter the prefix side so the hot join shuffles
+          // only prefix rows that can match, not the whole prefix index
+          val hotGs = broadcast(freq.where(col("df") > hotDf).select(col("g")))
+          val hotHits = pref.join(hotGs, Seq("g"))
+            .join(hotClassed, Seq("g", "cls"))
+            .select(col("pid"), col("pn"), col("pnc"), col("fid"), col("fn"))
+          coldHits.unionAll(hotHits)
+        }
+        hits
           .where(col("pn") < col("fn") ||
             (col("pn") === col("fn") && col("pid") =!= col("fid")))
           .groupBy(least(col("pid"), col("fid")).as("id_a"),

@@ -31,6 +31,7 @@ object ScaleCheck {
   val scalePath: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_containment", "q_dedup_containment_capped",
+    "q_dedup_containment_bounded",
     "q_dedup_clusters", "q_dedup_best",
     "q_dedup_embedding", "q_dedup_semantic", "q_dedup_cross_source",
     "q_dedup_degree", "q_dedup_paragraph", "q_dedup_incremental",

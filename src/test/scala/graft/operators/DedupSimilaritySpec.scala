@@ -311,6 +311,12 @@ class DedupSimilaritySpec extends SparkSpec {
         .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
       assert(prefC == naiveC,
         s"containment t=$t: missing ${(naiveC -- prefC).size}, extra ${(prefC -- naiveC).size}")
+      // the opt-in bounded hot join must be invisible in the answer
+      val boundC = Dedup.containmentPairs(fixture, "text", "doc_id",
+        shingleWords = 3, threshold = t, boundedHotJoin = true).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(boundC == naiveC,
+        s"bounded containment t=$t: missing ${(naiveC -- boundC).size}, extra ${(boundC -- naiveC).size}")
     }
   }
 
@@ -341,6 +347,14 @@ class DedupSimilaritySpec extends SparkSpec {
         shingleWords = 3, threshold = 0.5, maxDocFreq = Dedup.AdaptiveDocFreq)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(adaptive == Set((100L, 101L)))
+    // the bounded hot join (df 40 > hotDf 32 HERE, so the hot branch is
+    // genuinely exercised) is EXACT: identical to the full-posting join,
+    // boilerplate pairs included
+    val bounded = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleWords = 3, threshold = 0.5, boundedHotJoin = true)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(bounded == exact,
+      s"bounded: missing ${(exact -- bounded).size}, extra ${(bounded -- exact).size}")
   }
 
   test("ngram jaccard computes exact similarity on collided pairs") {
