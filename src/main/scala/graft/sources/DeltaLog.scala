@@ -297,6 +297,10 @@ object DeltaLog {
     // destroy a pre-delta table.
     val hasLog = existingVersions(fs, logDir(tbl)).nonEmpty
     val fresh = m == "overwrite" || !hasLog
+    // overwrite replaces the log AND metaData (the table becomes plain
+    // mode=none); append/merge into a MAPPED table would stage files
+    // with logical column names beside physical-named ones — corruption
+    if (hasLog && m != "overwrite") requireUnmapped(spark, fs, tbl, "write_delta")
     if (hasLog && m != "overwrite") {
       // appends must match the table's declared partitioning — silently
       // mixing layouts would corrupt partition inference on read. Falls
@@ -497,6 +501,7 @@ object DeltaLog {
     val spark = updates.sparkSession
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireUnmapped(spark, fs, tbl, "upsert_delta")
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
     val snap = read(spark, path).withColumn("graft_file", input_file_name())
     val updKeys = updates.select(keys.map(col): _*).distinct()
@@ -519,6 +524,7 @@ object DeltaLog {
   def deleteWhere(spark: SparkSession, path: String, predicate: String): Int = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireUnmapped(spark, fs, tbl, "delete_delta")
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
     val snap = read(spark, path).withColumn("graft_file", input_file_name())
     val touchedUris = snap.where(expr(predicate))
@@ -805,6 +811,25 @@ object DeltaLog {
       }
     }
     active.values.toSeq
+  }
+
+  /** Copy-on-write/append surfaces stage data files under LOGICAL column
+    * names; on a column-mapped table that mixes logical beside physical
+    * file schemas — silent corruption. Mapped tables are READ surfaces
+    * here (read/readWhere/readChanges; restore/vacuum/optimize are safe —
+    * they reference or rewrite existing physical-named files); mutate by
+    * overwrite (which resets the table to mode=none) or from the original
+    * mapped-mode writer.
+    */
+  private def requireUnmapped(spark: SparkSession, fs: FileSystem,
+      tbl: HPath, op: String): Unit = {
+    val mode = columnMappingMode(spark, fs, tbl)
+    if (mode != "none") throw graft.GraftError.InvalidOperation(op,
+      s"$tbl uses column mapping mode '$mode'; this write path stages " +
+        "files with logical column names, which would corrupt a mapped " +
+        "table — mapped tables are read-only here (read/readWhere/" +
+        "readChanges); use overwrite to replace the table, or the " +
+        "original mapped-mode writer")
   }
 
   /** The table's `delta.columnMapping.mode` from the newest metaData —

@@ -351,6 +351,22 @@ class WritersSpec extends SparkSpec {
     assert(feed.columns.toSeq ==
       Seq("id", "name", "v", "meta", "_change_type", "_commit_version"))
     assert(feed.where($"_change_type" === "insert").count() == 3L)
+    // write surfaces that stage logical-named files refuse on a mapped
+    // table (appending them beside physical-named files = corruption)
+    val upd = Seq((9L, "z", 9.9, ("q", 90L))).toDF("id", "name", "v", "meta")
+    val eA = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.write(upd, "append", p) }
+    assert(eA.getMessage.contains("column mapping"))
+    val eU = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.upsert(upd, Seq("id"), p) }
+    assert(eU.getMessage.contains("column mapping"))
+    val eD = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.deleteWhere(spark, p, "id = 1") }
+    assert(eD.getMessage.contains("column mapping"))
+    // overwrite replaces the table wholesale -> plain mode=none again
+    DeltaLog.write(upd, "overwrite", p)
+    assert(DeltaLog.read(spark, p).columns.toSeq == Seq("id", "name", "v", "meta"))
+    assert(DeltaLog.read(spark, p).count() == 1L)
   }
 
   test("readChanges: file-level change feed between versions") {
