@@ -346,6 +346,11 @@ class WritersSpec extends SparkSpec {
     // predicate-pruned read speaks logical names too (stats keys remapped)
     val filtered = DeltaLog.readWhere(spark, p, "id >= 2 AND name <> 'c'")
     assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the logical predicate pushes THROUGH the rename projection to the
+    // physical scan (same-type casts fold away, leaving pure aliases)
+    val planStr = filtered.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters: [IsNotNull(`col-"),
+      s"predicate not pushed to the physical scan:\n$planStr")
     // the change feed surfaces logical names as well
     val feed = DeltaLog.readChanges(spark, p, -1L, 0L)
     assert(feed.columns.toSeq ==
