@@ -688,7 +688,12 @@ object SparkEntry {
     "q_delta_colmap" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_delta_colmap"
       val c = t(s, d, "customer").toDF
-      graft.sources.DeltaLog.writeNameMapped(c, path)
+      // v0: the mapped fixture (even keys); v1: APPEND through the
+      // logical→physical rename path — the read must see the full table
+      graft.sources.DeltaLog.writeNameMapped(
+        c.where(col("c_custkey") % 2 === 0), path)
+      graft.sources.DeltaLog.write(
+        c.where(col("c_custkey") % 2 =!= 0), "append", path)
       Loaders.load(s, path, "customer_cm")
         .select("c_mktsegment")
         .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")

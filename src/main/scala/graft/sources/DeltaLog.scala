@@ -297,10 +297,35 @@ object DeltaLog {
     // destroy a pre-delta table.
     val hasLog = existingVersions(fs, logDir(tbl)).nonEmpty
     val fresh = m == "overwrite" || !hasLog
-    // overwrite replaces the log AND metaData (the table becomes plain
-    // mode=none); append/merge into a MAPPED table would stage files
-    // with logical column names beside physical-named ones — corruption
-    if (hasLog && m != "overwrite") requireUnmapped(spark, fs, tbl, "write_delta")
+    // Column-mapped tables: APPEND is supported by renaming the incoming
+    // frame's logical columns to the table's physical names (from the
+    // metaData annotations) before staging — what a streaming ingest
+    // into a modern mapped table needs. MERGE refreshes the metaData
+    // with the frame's schema (it would clobber the mapping) and mapped
+    // PARTITIONED appends (physical-named partition dirs) stay refused
+    // typed; overwrite replaces the log and metaData wholesale (the
+    // table becomes plain mode=none).
+    val mappedSchema: Option[StructType] =
+      if (hasLog && m != "overwrite") {
+        val mode = columnMappingMode(spark, fs, tbl)
+        if (mode != "none" && mode != "name")
+          throw graft.GraftError.InvalidOperation("write_delta",
+            s"$tbl uses column mapping mode '$mode'; only name-mode " +
+              "tables can be appended to (id mode reads by parquet field " +
+              "id, which this writer does not emit)")
+        val mapped = logicalSchemaIfNameMapped(spark, fs, tbl)
+        mapped.foreach { _ =>
+          if (m == "merge") throw graft.GraftError.InvalidOperation("write_delta",
+            s"$tbl uses name-mode column mapping; merge would refresh the " +
+              "metaData with the frame's unmapped schema and clobber the " +
+              "mapping — use append (schema-stable) or overwrite")
+          if (partitionBy.nonEmpty) throw graft.GraftError.InvalidOperation(
+            "write_delta", s"$tbl uses name-mode column mapping; " +
+              "partitioned appends (physical-named partition directories) " +
+              "are not supported — append unpartitioned or overwrite")
+        }
+        mapped
+      } else None
     if (hasLog && m != "overwrite") {
       // appends must match the table's declared partitioning — silently
       // mixing layouts would corrupt partition inference on read. Falls
@@ -335,7 +360,23 @@ object DeltaLog {
       if (m == "overwrite" && tbl.getParent != null)
         new HPath(tbl.getParent, s".graft_stage_${tbl.getName}_$stageId")
       else new HPath(tbl, s".graft_stage_$stageId")
-    val w = df.write.mode("overwrite")
+    // mapped append: stage under the table's PHYSICAL column names —
+    // logical→physical is the same positional struct-cast rename the
+    // read path applies in reverse
+    val dfToStage = mappedSchema match {
+      case Some(logical) =>
+        val missing = logical.fields.map(_.name).filterNot(df.columns.contains)
+        if (missing.nonEmpty)
+          throw graft.GraftError.InvalidOperation("write_delta",
+            s"append to mapped table $tbl: frame lacks table columns " +
+              missing.mkString(", "))
+        val physical = physicalType(logical).asInstanceOf[StructType]
+        df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
+          col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
+        }: _*)
+      case None => df
+    }
+    val w = dfToStage.write.mode("overwrite")
     try {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
@@ -813,23 +854,25 @@ object DeltaLog {
     active.values.toSeq
   }
 
-  /** Copy-on-write/append surfaces stage data files under LOGICAL column
-    * names; on a column-mapped table that mixes logical beside physical
-    * file schemas — silent corruption. Mapped tables are READ surfaces
-    * here (read/readWhere/readChanges; restore/vacuum/optimize are safe —
-    * they reference or rewrite existing physical-named files); mutate by
-    * overwrite (which resets the table to mode=none) or from the original
-    * mapped-mode writer.
+  /** Copy-on-write surfaces stage data files under LOGICAL column names;
+    * on a column-mapped table that mixes logical beside physical file
+    * schemas — silent corruption. Mapped tables support read + APPEND
+    * here (append renames to physical names before staging — see
+    * [[write]]); upsert/deleteWhere rewrite whole files through the
+    * logical read and stay refused (restore/vacuum/optimize are safe —
+    * they reference or rewrite existing physical-named files). Mutate
+    * rows via overwrite (which resets the table to mode=none) or the
+    * original mapped-mode writer.
     */
   private def requireUnmapped(spark: SparkSession, fs: FileSystem,
       tbl: HPath, op: String): Unit = {
     val mode = columnMappingMode(spark, fs, tbl)
     if (mode != "none") throw graft.GraftError.InvalidOperation(op,
-      s"$tbl uses column mapping mode '$mode'; this write path stages " +
-        "files with logical column names, which would corrupt a mapped " +
-        "table — mapped tables are read-only here (read/readWhere/" +
-        "readChanges); use overwrite to replace the table, or the " +
-        "original mapped-mode writer")
+      s"$tbl uses column mapping mode '$mode'; this copy-on-write path " +
+        "stages files with logical column names, which would corrupt a " +
+        "mapped table — mapped tables support read and append here; " +
+        "use overwrite to replace the table, or the original " +
+        "mapped-mode writer")
   }
 
   /** The table's `delta.columnMapping.mode` from the newest metaData —

@@ -356,12 +356,21 @@ class WritersSpec extends SparkSpec {
     assert(feed.columns.toSeq ==
       Seq("id", "name", "v", "meta", "_change_type", "_commit_version"))
     assert(feed.where($"_change_type" === "insert").count() == 3L)
-    // write surfaces that stage logical-named files refuse on a mapped
-    // table (appending them beside physical-named files = corruption)
+    // APPEND into the mapped table: the frame arrives with LOGICAL names
+    // and is staged under the table's physical names — read-back is the
+    // logical union, and the raw parquet stays uniformly physical
     val upd = Seq((9L, "z", 9.9, ("q", 90L))).toDF("id", "name", "v", "meta")
-    val eA = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.write(upd, "append", p) }
-    assert(eA.getMessage.contains("column mapping"))
+    DeltaLog.write(upd, "append", p)
+    val after = DeltaLog.read(spark, p)
+    assert(after.count() == 4L)
+    assert(after.where($"id" === 9L).select("meta._1").head().getString(0) == "q")
+    assert(spark.read.parquet(p).columns.forall(_.startsWith("col-")),
+      "append must stage physical-named files")
+    // copy-on-write / metaData-refresh paths still refuse on a mapped
+    // table (they would stage logical names or clobber the mapping)
+    val eM = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.write(upd, "merge", p) }
+    assert(eM.getMessage.contains("clobber the"))
     val eU = intercept[graft.GraftError.InvalidOperation] {
       DeltaLog.upsert(upd, Seq("id"), p) }
     assert(eU.getMessage.contains("column mapping"))
