@@ -199,10 +199,19 @@ object Classify {
     def bucketCounts(df: DataFrame): DataFrame =
       toks(df, textCol).select(tokenBucket(buckets).as("graft_b"))
         .groupBy(col("graft_b")).agg(count(lit(1)).cast("double").as("c"))
-    val rawC = bucketCounts(raw)
-    val tgtC = bucketCounts(target).withColumnRenamed("c", "ct")
-    val rawTotal = toks(raw, textCol).count().toDouble
-    val tgtTotal = toks(target, textCol).count().toDouble
+    // the bucket histograms partition every token exactly once, so the
+    // corpus token totals are their sums — pin the (≤ buckets)-row
+    // histograms and read the totals off them instead of re-running the
+    // normalize+split+explode pass per corpus just to count (that was
+    // two full-corpus scans for two scalars; same defect class as the
+    // r12 NB tokenize-once fix)
+    val rawC = bucketCounts(raw).localCheckpoint(true)
+    val tgtC = bucketCounts(target).withColumnRenamed("c", "ct").localCheckpoint(true)
+    def total(df: DataFrame, c: String): Double =
+      df.agg(sum(col(c))).collect().headOption
+        .map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0)).getOrElse(0.0)
+    val rawTotal = total(rawC, "c")
+    val tgtTotal = total(tgtC, "ct")
     val sB = smoothing * buckets
     // raw-side buckets are complete for every token the raw corpus holds,
     // so a full outer join only fills target-side zeros in practice

@@ -415,9 +415,15 @@ object Dedup {
             .collect().headOption.map(_.getLong(0)).getOrElse(1L)
           val maxClass = (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxN))).toInt
           val hotClassed = withN.where(col("df") > hotDf)
+            // +1e-9 inside the floor: matches the file-wide convention
+            // that FP error may only OVER-include (a longer prefix / an
+            // extra class adds candidates, never loses a true pair).
+            // Without it, integer slack makes non-dyadic thresholds safe
+            // but dyadic ones (t = 2^-j exact in FP) rest on log2
+            // rounding behavior instead of an explicit guard.
             .withColumn("cmax", least(lit(maxClass),
               floor(log2((col("nc") + lit(PrefixSlack.toLong) - col("rk"))
-                .cast("double") / lit(threshold))).cast("int")))
+                .cast("double") / lit(threshold)) + lit(1e-9)).cast("int")))
             .where(col("cmax") >= 0)
             .select(col("id").as("fid"), col("g"), col("n").as("fn"),
               explode(sequence(lit(0), col("cmax"))).as("cls"))

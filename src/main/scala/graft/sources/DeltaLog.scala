@@ -370,6 +370,18 @@ object DeltaLog {
           throw graft.GraftError.InvalidOperation("write_delta",
             s"append to mapped table $tbl: frame lacks table columns " +
               missing.mkString(", "))
+        // extra frame columns would be silently dropped by the
+        // logical→physical select below — a schema-evolution append into
+        // a mapped table needs new metaData annotations this writer does
+        // not mint, so refuse typed like merge/partitioned-append do
+        // (a non-mapped append surfaces new columns via mergeSchema)
+        val extra = df.columns.filterNot(logical.fieldNames.contains)
+        if (extra.nonEmpty)
+          throw graft.GraftError.InvalidOperation("write_delta",
+            s"append to mapped table $tbl: frame carries columns not in " +
+              s"the table schema (${extra.mkString(", ")}); schema " +
+              "evolution on column-mapped tables is not supported — drop " +
+              "them or overwrite")
         val physical = physicalType(logical).asInstanceOf[StructType]
         df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
           col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
@@ -883,11 +895,26 @@ object DeltaLog {
     tableConfiguration(spark, fs, tbl)
       .getOrElse("delta.columnMapping.mode", "none")
 
+  /** Memo for [[tableConfiguration]] keyed by (table, newest commit
+    * version): a snapshot read consults the configuration 2-3 times
+    * (mapping-mode gate, read rename, write path) and each uncached call
+    * walks commits newest→oldest until it finds a metaData — typically
+    * all the way to version 0, so a long-history table paid O(versions)
+    * I/O per consultation. Any new commit changes the key, so this is
+    * pure memoization (the function always resolves the NEWEST metaData).
+    */
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, String]]()
+
   /** Table configuration map from the newest metaData (same visibility
     * rule as [[tableSchemaJson]]).
     */
   private def tableConfiguration(spark: SparkSession, fs: FileSystem,
       tbl: HPath): Map[String, String] = {
+    val cacheKey = (tbl.toString,
+      existingVersions(fs, logDir(tbl)).lastOption.getOrElse(-1L))
+    val hit = confCache.get(cacheKey)
+    if (hit != null) return hit
     import com.fasterxml.jackson.databind.ObjectMapper
     val mapper = new ObjectMapper()
     def parse(conf: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
@@ -906,7 +933,7 @@ object DeltaLog {
         if (cf != null && cf.isObject) Some(parse(cf)) else None
       }.toSeq.lastOption
     }.nextOption()
-    fromCommits.orElse(lastCheckpointVersion(fs, log).flatMap { v =>
+    val result = fromCommits.orElse(lastCheckpointVersion(fs, log).flatMap { v =>
       val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
       val hasConf = cp.schema.fields.find(_.name == "metaData").exists(
         _.dataType match {
@@ -926,6 +953,9 @@ object DeltaLog {
           }
       } else None
     }).getOrElse(Map.empty)
+    if (confCache.size > 256) confCache.clear() // bound, not LRU — refill is cheap
+    confCache.put(cacheKey, result)
+    result
   }
 
   /** Change feed between two versions — the incremental-consumption read

@@ -366,6 +366,16 @@ class WritersSpec extends SparkSpec {
     assert(after.where($"id" === 9L).select("meta._1").head().getString(0) == "q")
     assert(spark.read.parquet(p).columns.forall(_.startsWith("col-")),
       "append must stage physical-named files")
+    // schema-evolution append refuses typed: an extra frame column would
+    // be silently dropped by the logical->physical select (a non-mapped
+    // append surfaces new columns via mergeSchema; silence loses data)
+    val evolved = Seq((10L, "w", 1.0, ("r", 1L), "NEW"))
+      .toDF("id", "name", "v", "meta", "extra_col")
+    val eX = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.write(evolved, "append", p) }
+    assert(eX.getMessage.contains("extra_col") &&
+      eX.getMessage.contains("schema evolution"), eX.getMessage)
+    assert(DeltaLog.read(spark, p).count() == 4L, "refused append must not commit")
     // copy-on-write / metaData-refresh paths still refuse on a mapped
     // table (they would stage logical names or clobber the mapping)
     val eM = intercept[graft.GraftError.InvalidOperation] {
