@@ -694,7 +694,35 @@ object SparkEntry {
         c.where(col("c_custkey") % 2 === 0), path)
       graft.sources.DeltaLog.write(
         c.where(col("c_custkey") % 2 =!= 0), "append", path)
+      // v2/v3: copy-on-write THROUGH the mapped rewrite path — upsert
+      // bumps %10==1 balances, delete drops %10==7; the oracle recomputes
+      // both mutations straight from the customer table
+      graft.sources.DeltaLog.upsert(
+        c.where(col("c_custkey") % 10 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000),
+        Seq("c_custkey"), path)
+      graft.sources.DeltaLog.deleteWhere(s, path, "c_custkey % 10 = 7")
       Loaders.load(s, path, "customer_cm")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
+    // deletion vectors: a DV-enabled table (minReaderVersion 3,
+    // per-file roaring-bitmap row filters — the modern-writer default the
+    // reference's raw delta-rs read would silently misread by
+    // resurrecting deleted rows) built over customer with every
+    // c_custkey % 3 == 0 row deleted PURELY via DVs, then read back
+    // through the snapshot reader and aggregated. The oracle recomputes
+    // the survivors straight from the customer table.
+    "q_delta_dv" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_dv"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(4, col("c_custkey"))
+      graft.sources.DeltaLog.writeWithDeletionVectors(
+        c, path, "c_custkey % 3 = 0", inlineFirst = true)
+      Loaders.load(s, path, "customer_dv")
         .select("c_mktsegment")
         .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
         .groupBy("c_mktsegment").toDF
@@ -2680,7 +2708,15 @@ object SparkEntry {
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey % 10 = 0) GROUP BY c_mktsegment",
 
     "q_delta_colmap" ->
-      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+      ("SELECT count(*) AS n, round(sum(CASE WHEN c_custkey % 10 = 1 " +
+        "THEN c_acctbal + 1000 ELSE c_acctbal END), 2) AS total_bal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 10 <> 7 " +
+        "GROUP BY c_mktsegment"),
+
+    "q_delta_dv" ->
+      ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0 " +
+        "GROUP BY c_mktsegment"),
 
     "q_with_ctes" ->
       ("WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000), " +

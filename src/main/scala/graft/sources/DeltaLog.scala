@@ -305,6 +305,11 @@ object DeltaLog {
     // PARTITIONED appends (physical-named partition dirs) stay refused
     // typed; overwrite replaces the log and metaData wholesale (the
     // table becomes plain mode=none).
+    // append/merge into a DV-bearing table would eventually checkpoint
+    // the log through a schema that drops the DV descriptors — refuse
+    // typed (overwrite replaces the table wholesale and is fine)
+    if (hasLog && m != "overwrite")
+      requireNoDeletionVectors(spark, path, "write_delta")
     val mappedSchema: Option[StructType] =
       if (hasLog && m != "overwrite") {
         val mode = columnMappingMode(spark, fs, tbl)
@@ -554,7 +559,7 @@ object DeltaLog {
     val spark = updates.sparkSession
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireUnmapped(spark, fs, tbl, "upsert_delta")
+    requireNoDeletionVectors(spark, path, "upsert_delta")
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
     val snap = read(spark, path).withColumn("graft_file", input_file_name())
     val updKeys = updates.select(keys.map(col): _*).distinct()
@@ -577,7 +582,7 @@ object DeltaLog {
   def deleteWhere(spark: SparkSession, path: String, predicate: String): Int = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireUnmapped(spark, fs, tbl, "delete_delta")
+    requireNoDeletionVectors(spark, path, "delete_delta")
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
     val snap = read(spark, path).withColumn("graft_file", input_file_name())
     val touchedUris = snap.where(expr(predicate))
@@ -602,7 +607,7 @@ object DeltaLog {
   private def commitRewrite(spark: SparkSession, path: String, op: String,
       removesRel: Seq[String], addDf: DataFrame,
       checkpointInterval: Int = 10, dataChange: Boolean = true,
-      numFiles: Option[Int] = None): Unit = {
+      numFiles: Option[Int] = None, logicalFrame: Boolean = true): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
@@ -610,8 +615,31 @@ object DeltaLog {
       throw graft.GraftError.InvalidOperation(op.toLowerCase,
         s"$path is not a delta table (no _delta_log)"))
     val partitionBy = latestPartitionColumns(fs, log).getOrElse(Nil)
+    // name-mapped tables: the rewrite stages under PHYSICAL column names
+    // (the same logical->physical rename the append path applies), so
+    // upsert/deleteWhere work on mapped tables too; partitioned mapped
+    // rewrites stay refused like partitioned mapped appends
+    // logicalFrame = false: the caller (optimize) already holds the
+    // file-native PHYSICAL columns and restages them unchanged
+    val mappedPhys =
+      if (logicalFrame) logicalSchemaIfNameMapped(spark, fs, tbl) else None
+    val renamed = mappedPhys match {
+      case Some(logical) =>
+        if (partitionBy.nonEmpty) throw graft.GraftError.InvalidOperation(
+          op.toLowerCase, s"$tbl uses name-mode column mapping; " +
+            "partitioned rewrites (physical-named partition directories) " +
+            "are not supported")
+        require(addDf.columns.toSet == logical.fieldNames.toSet,
+          s"$op rewrite frame columns ${addDf.columns.mkString(",")} != " +
+            s"mapped table schema ${logical.fieldNames.mkString(",")}")
+        val physical = physicalType(logical).asInstanceOf[StructType]
+        addDf.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
+          col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
+        }: _*)
+      case None => addDf
+    }
     val stage = new HPath(tbl, s".graft_stage_${java.util.UUID.randomUUID()}")
-    val toWrite = numFiles.map(addDf.coalesce).getOrElse(addDf)
+    val toWrite = numFiles.map(renamed.coalesce).getOrElse(renamed)
     val w = toWrite.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
@@ -653,6 +681,9 @@ object DeltaLog {
   def writeCheckpoint(spark: SparkSession, path: String, version: Long): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the checkpoint schema here does not carry deletionVector structs --
+    // folding a DV'd add into it would silently drop the row filter
+    requireNoDeletionVectors(spark, path, "checkpoint_delta", Some(version))
     val log = logDir(tbl)
     // sources: the previous checkpoint (older commits may be gone) plus
     // the commits after it, up to `version`
@@ -770,9 +801,17 @@ object DeltaLog {
       Option(node.get("partitionValues")).foreach(_.fields().forEachRemaining { e =>
         pv += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)
       })
+      val dv = Option(node.get("deletionVector")).filterNot(_.isNull).map { d =>
+        DeltaStats.DvDescriptor(
+          Option(d.get("storageType")).map(_.asText).getOrElse(""),
+          Option(d.get("pathOrInlineDv")).map(_.asText).getOrElse(""),
+          Option(d.get("offset")).filterNot(_.isNull).map(_.asLong),
+          Option(d.get("sizeInBytes")).map(_.asInt(0)).getOrElse(0),
+          Option(d.get("cardinality")).map(_.asLong(0L)).getOrElse(0L))
+      }
       Some(DeltaStats.AddEntry(p.asText, pv.result(),
         Option(node.get("stats")).filter(_.isTextual).map(_.asText),
-        Option(node.get("size")).map(_.asLong(0L)).getOrElse(0L)))
+        Option(node.get("size")).map(_.asLong(0L)).getOrElse(0L), dv))
     }
     val cpVersion = lastCheckpointVersion(fs, log)
       .filter(cp => versionAsOf.forall(cp <= _))
@@ -802,13 +841,16 @@ object DeltaLog {
     cpAdds.foreach(a => active(a.rel) = a)
     // Protocol-fidelity guards: a table written under a newer reader
     // protocol would be silently MISREAD by plain adds-minus-removes
-    // replay — deleted rows resurrected (deletion vectors), physical
-    // column names returned raw (id-mode column mapping). Refusing typed
-    // is the correct behavior on an unsupported capability (what
+    // replay — physical column names returned raw (id-mode column
+    // mapping), unknown features' semantics ignored. Refusing typed is
+    // the correct behavior on an unsupported capability (what
     // delta-spark/delta-rs do). Supported here: minReaderVersion 1;
     // minReaderVersion 2 (column mapping — NAME mode handled at read
     // time via the metaData rename, id mode refused below); and
-    // minReaderVersion 3 when readerFeatures ⊆ {columnMapping}.
+    // minReaderVersion 3 when readerFeatures ⊆ {columnMapping,
+    // deletionVectors} (DV descriptors are parsed onto the add entries
+    // and applied as a row filter at scan — see applyDeletionVectors;
+    // write/maintenance paths refuse on DV-bearing snapshots).
     def guard(cond: Boolean, what: => String): Unit =
       if (cond) throw graft.GraftError.InvalidOperation("load_delta",
         s"$path requires an unsupported reader capability ($what); " +
@@ -819,7 +861,8 @@ object DeltaLog {
         val feats = scala.collection.mutable.ArrayBuffer.empty[String]
         Option(node.get("readerFeatures")).filter(_.isArray)
           .foreach(_.forEach(f => feats += f.asText))
-        val unsupported = feats.filterNot(_ == "columnMapping")
+        val unsupported =
+          feats.filterNot(Set("columnMapping", "deletionVectors"))
         guard(v > 3 || unsupported.nonEmpty,
           s"protocol minReaderVersion $v, readerFeatures " +
             feats.mkString("[", ", ", "]"))
@@ -854,37 +897,12 @@ object DeltaLog {
               cm.asText("none") != "name",
               s"column mapping mode '${Option(cm).map(_.asText).getOrElse("")}'")
           }
-          if (add != null) {
-            guard(add.get("deletionVector") != null &&
-              !add.get("deletionVector").isNull, "deletion vectors")
-            entryOf(add).foreach(a => active(a.rel) = a)
-          }
+          if (add != null) entryOf(add).foreach(a => active(a.rel) = a)
           if (rem != null && rem.get("path") != null) active -= rem.get("path").asText
         }
       }
     }
     active.values.toSeq
-  }
-
-  /** Copy-on-write surfaces stage data files under LOGICAL column names;
-    * on a column-mapped table that mixes logical beside physical file
-    * schemas — silent corruption. Mapped tables support read + APPEND
-    * here (append renames to physical names before staging — see
-    * [[write]]); upsert/deleteWhere rewrite whole files through the
-    * logical read and stay refused (restore/vacuum/optimize are safe —
-    * they reference or rewrite existing physical-named files). Mutate
-    * rows via overwrite (which resets the table to mode=none) or the
-    * original mapped-mode writer.
-    */
-  private def requireUnmapped(spark: SparkSession, fs: FileSystem,
-      tbl: HPath, op: String): Unit = {
-    val mode = columnMappingMode(spark, fs, tbl)
-    if (mode != "none") throw graft.GraftError.InvalidOperation(op,
-      s"$tbl uses column mapping mode '$mode'; this copy-on-write path " +
-        "stages files with logical column names, which would corrupt a " +
-        "mapped table — mapped tables support read and append here; " +
-        "use overwrite to replace the table, or the original " +
-        "mapped-mode writer")
   }
 
   /** The table's `delta.columnMapping.mode` from the newest metaData —
@@ -991,6 +1009,17 @@ object DeltaLog {
         if (node == null) None
         else {
           val add = node.get("add"); val rem = node.get("remove")
+          // file-level change semantics break under DVs: a DV update
+          // re-adds the same file and the "inserted" rows would include
+          // ones the DV deletes -- refuse rather than emit wrong rows
+          Seq(add, rem).foreach { n =>
+            if (n != null && n.get("deletionVector") != null &&
+                !n.get("deletionVector").isNull)
+              throw graft.GraftError.InvalidOperation("readChanges",
+                s"$path version $v carries deletion vectors; the " +
+                  "file-level change feed cannot express row-filtered " +
+                  "adds -- read snapshots instead")
+          }
           def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
             n.get("dataChange") == null || n.get("dataChange").asBoolean(true)
           if (add != null && add.get("path") != null && dataChange(add))
@@ -1086,16 +1115,26 @@ object DeltaLog {
     */
   def read(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val files = activeFilesAsOf(spark, path, versionAsOf)
-    require(files.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
-    readDataFiles(spark, path, files)
+    val adds = activeAddsAsOf(spark, path, versionAsOf)
+    require(adds.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
+    val files = adds.map(a => new HPath(new HPath(path), a.rel).toString)
+    applyDeletionVectors(spark, path, adds,
+      readDataFiles(spark, path, files, withRowMeta = adds.exists(_.dv.isDefined)))
   }
 
-  /** Scan `files` of the table at `path`, column-mapping-aware. */
+  /** Scan `files` of the table at `path`, column-mapping-aware. With
+    * `withRowMeta` the frame also carries each row's source file name and
+    * physical row index (`_metadata` columns) — what the deletion-vector
+    * anti-join keys on.
+    */
   private def readDataFiles(spark: SparkSession, path: String,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String], withRowMeta: Boolean = false): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def meta: Seq[org.apache.spark.sql.Column] =
+      if (!withRowMeta) Nil
+      else Seq(col("_metadata.file_name").as(DvFileCol),
+        col("_metadata.row_index").as(DvRowCol))
     logicalSchemaIfNameMapped(spark, fs, tbl) match {
       case Some(logical) =>
         val physical = physicalType(logical).asInstanceOf[StructType]
@@ -1110,13 +1149,326 @@ object DeltaLog {
           // nullable, and a NOT NULL nested field in the logical schema
           // would otherwise make the rename cast unresolvable
           col(s"`${pf.name}`").cast(stripMeta(lf.dataType)).as(lf.name)
-        }: _*)
+        } ++ meta: _*)
       case None =>
-        spark.read
+        val df = spark.read
           .option("mergeSchema", "true")
           .option("basePath", path)
           .parquet(files: _*)
+        if (!withRowMeta) df
+        else df.select(col("*") +: meta: _*)
     }
+  }
+
+  // ───────────────────────── deletion vectors (read) ──────────────────────
+  //
+  // Protocol shapes per delta PROTOCOL.md "Deletion Vectors" (reference
+  // reader: /root/reference/src/elusion.rs:6607+ does NOT implement them —
+  // delta-rs 0.23 raw reads would resurrect deleted rows; refusing writes
+  // and filtering reads is the correct floor).
+
+  private val DvFileCol = "graft_dv_file"
+  private val DvRowCol = "graft_dv_ri"
+  private val DvMagic = 1681511377
+
+  private val Z85Chars =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private lazy val Z85Decode: Array[Int] = {
+    val d = Array.fill(128)(-1)
+    Z85Chars.zipWithIndex.foreach { case (c, i) => d(c.toInt) = i }
+    d
+  }
+
+  /** Z85 (ZeroMQ base85) decode — the encoding delta uses for DV file
+    * UUIDs (20 chars → 16 bytes) and inline DV payloads. Input length
+    * must be a multiple of 5 (4 output bytes per group).
+    */
+  private[sources] def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85: length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length / 5) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i * 5 + j).toInt
+        val digit = if (c < 128) Z85Decode(c) else -1
+        require(digit >= 0, s"z85: bad character '${s.charAt(i * 5 + j)}'")
+        v = v * 85 + digit
+        j += 1
+      }
+      out(i * 4) = ((v >> 24) & 0xff).toByte
+      out(i * 4 + 1) = ((v >> 16) & 0xff).toByte
+      out(i * 4 + 2) = ((v >> 8) & 0xff).toByte
+      out(i * 4 + 3) = (v & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private[sources] def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, "z85: length not a multiple of 4")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length / 4) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i * 4 + j) & 0xffL); j += 1 }
+      val digits = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { digits(k) = Z85Chars(((v % 85)).toInt); v /= 85; k -= 1 }
+      sb.appendAll(digits)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The DV's serialized-bitmap payload (magic + RoaringBitmapArray):
+    * inline payloads decode from z85; u/p storage seeks to the
+    * descriptor's offset inside the DV file, whose layout is
+    * [version: 1 byte = 1] then per DV
+    * [dataSize: int32 BE][data: dataSize bytes][crc32(data): int32 BE].
+    */
+  private def loadDvPayload(fs: FileSystem, tbl: HPath,
+      dv: DeltaStats.DvDescriptor): Array[Byte] = dv.storageType match {
+    case "i" =>
+      // z85 groups are 4 bytes; the payload was zero-padded up to the
+      // group boundary and sizeInBytes records the true length
+      val raw = z85Decode(dv.pathOrInlineDv)
+      if (dv.sizeInBytes > 0 && dv.sizeInBytes <= raw.length)
+        raw.take(dv.sizeInBytes)
+      else raw
+    case "u" | "p" =>
+      val file =
+        if (dv.storageType == "p") new HPath(dv.pathOrInlineDv)
+        else {
+          // pathOrInlineDv = <optional prefix dirs><20-char z85 uuid>
+          val enc = dv.pathOrInlineDv
+          require(enc.length >= 20, s"DV uuid payload too short: '$enc'")
+          val (prefix, uuidPart) = enc.splitAt(enc.length - 20)
+          val raw = z85Decode(uuidPart)
+          val bb = java.nio.ByteBuffer.wrap(raw)
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          val dir = if (prefix.isEmpty) tbl else new HPath(tbl, prefix)
+          new HPath(dir, s"deletion_vector_$uuid.bin")
+        }
+      val in = fs.open(file)
+      try {
+        in.seek(dv.offset.getOrElse(1L))
+        val size = in.readInt() // big-endian via DataInput
+        require(size == dv.sizeInBytes,
+          s"DV record size $size != descriptor sizeInBytes ${dv.sizeInBytes} in $file")
+        val data = new Array[Byte](size)
+        in.readFully(data)
+        val crc = in.readInt()
+        val c = new java.util.zip.CRC32()
+        c.update(data)
+        require(crc == c.getValue.toInt,
+          s"DV checksum mismatch in $file at offset ${dv.offset.getOrElse(1L)}")
+        data
+      } finally in.close()
+    case other =>
+      throw graft.GraftError.InvalidOperation("load_delta",
+        s"unsupported deletion-vector storageType '$other'")
+  }
+
+  /** Deleted row indexes from a DV payload: [magic: int32 LE = 1681511377]
+    * then the RoaringBitmapArray portable format — [nBitmaps: int64 LE]
+    * followed by that many standard 32-bit roaring bitmaps back to back
+    * (bitmap i holds the low 32 bits of indexes in [i·2³², (i+1)·2³²)).
+    * Per-bitmap bytes parse through org.roaringbitmap (the format's
+    * reference implementation, shipped with Spark).
+    */
+  private[sources] def decodeDvPayload(data: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == DvMagic, s"DV payload magic $magic != $DvMagic")
+    val n = bb.getLong
+    require(n >= 0 && n < Int.MaxValue, s"DV bitmap count $n out of range")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0L
+    while (i < n) {
+      val im = new org.roaringbitmap.buffer.ImmutableRoaringBitmap(bb)
+      val it = im.getIntIterator
+      while (it.hasNext) out += (i << 32) | (it.next().toLong & 0xffffffffL)
+      bb.position(bb.position() + im.serializedSizeInBytes())
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Anti-join the scan against each DV'd file's deleted row positions.
+    * Driver work is bounded by the DESCRIPTORS (payloads are KB-scale by
+    * protocol design); the bitmaps are decoded to (file, rowIndex) rows in
+    * EXECUTORS, so a large delete never materializes on the driver, and
+    * the anti-join distributes on the same keys. Keys on `_metadata`'s
+    * file NAME (uuid part names), with driver-asserted uniqueness across
+    * the snapshot — name keys sidestep URI-normalization mismatches that
+    * absolute-path keys invite.
+    */
+  private def applyDeletionVectors(spark: SparkSession, path: String,
+      adds: Seq[DeltaStats.AddEntry], df: DataFrame): DataFrame = {
+    val withDv = adds.filter(a => a.dv.exists(_.cardinality > 0))
+    if (withDv.isEmpty)
+      return if (df.columns.contains(DvFileCol))
+        df.drop(DvFileCol, DvRowCol) else df
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = adds.map(a => new HPath(a.rel).getName)
+    require(names.distinct.length == names.length,
+      s"loadDelta: duplicate data-file basenames in $path — the " +
+        "deletion-vector row filter keys on file names")
+    // (fileName, payloadBytes) per DV'd file — tiny; decode in executors
+    val payloads: Seq[(String, Array[Byte])] = withDv.map { a =>
+      new HPath(a.rel).getName -> loadDvPayload(fs, tbl, a.dv.get)
+    }
+    val sess = spark
+    import sess.implicits._
+    val deleted = spark.createDataset(payloads)
+      .flatMap { case (name, bytes) =>
+        decodeDvPayload(bytes).map(ri => (name, ri)) }
+      .toDF(DvFileCol, DvRowCol)
+    df.join(deleted, Seq(DvFileCol, DvRowCol), "left_anti")
+      .drop(DvFileCol, DvRowCol)
+  }
+
+  /** Does the active snapshot carry any deletion vectors? The write-side
+    * gate: every mutation path refuses typed on a DV-bearing table.
+    */
+  private def requireNoDeletionVectors(spark: SparkSession, path: String,
+      op: String, versionAsOf: Option[Long] = None): Unit = {
+    val hasDv =
+      try activeAddsAsOf(spark, path, versionAsOf).exists(_.dv.isDefined)
+      catch { case _: IllegalArgumentException => false }
+    if (hasDv) throw graft.GraftError.InvalidOperation(op,
+      s"$path carries deletion vectors; this writer's copy-on-write and " +
+        "maintenance paths do not rewrite or preserve DV files (a naive " +
+        "rewrite/vacuum would resurrect deleted rows or destroy the " +
+        "delete information) — the table is readable here, mutate it " +
+        "with a DV-aware writer")
+  }
+
+  /** Write `df` as a delta table WITH deletion vectors: data files land
+    * untouched, and rows matching `deletePredicate` are deleted purely
+    * through per-file roaring-bitmap DV descriptors — the layout a modern
+    * DV-enabled writer (delta-spark ≥2.4 default-on tables) produces.
+    * Protocol: minReaderVersion 3 / minWriterVersion 7 with the
+    * deletionVectors feature. One `deletion_vector_<uuid>.bin` holds all
+    * file DVs ([version byte][per DV: int32-BE size, payload, int32-BE
+    * crc32]); `inlineFirst` stores the first file's DV inline (z85) for
+    * storage-type coverage. This is the fixture/compat surface proving
+    * [[read]]'s DV filtering against protocol-shaped bytes; [[write]]
+    * itself never emits DVs.
+    */
+  def writeWithDeletionVectors(df: DataFrame, path: String,
+      deletePredicate: String, inlineFirst: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tbl, true)
+    df.write.mode("overwrite").parquet(path)
+    val rels = fs.listStatus(tbl).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).sorted
+    // per-file deleted PHYSICAL row positions under the predicate
+    val delByFile: Seq[(String, Array[Long])] = rels.map { rel =>
+      val f = new HPath(tbl, rel).toString
+      rel -> spark.read.parquet(f)
+        .select(col("_metadata.row_index").as("graft_ri"))
+        .where(expr(deletePredicate))
+        .collect().map(_.getLong(0)).sorted
+    }
+    def payload(idxs: Array[Long]): Array[Byte] = {
+      val maxHigh = (idxs.last >> 32).toInt
+      val bitmaps = (0 to maxHigh).map { h =>
+        val rb = new org.roaringbitmap.RoaringBitmap()
+        idxs.foreach { i =>
+          if ((i >> 32).toInt == h) rb.add((i & 0xffffffffL).toInt) }
+        rb.runOptimize()
+        rb
+      }
+      val bb = java.nio.ByteBuffer.allocate(
+        4 + 8 + bitmaps.map(_.serializedSizeInBytes()).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(DvMagic)
+      bb.putLong(bitmaps.length.toLong)
+      bitmaps.foreach(_.serialize(bb))
+      bb.array()
+    }
+    val uuid = java.util.UUID.nameUUIDFromBytes((path + "#dv").getBytes("UTF-8"))
+    val uuidZ85 = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(uuid.getMostSignificantBits)
+      bb.putLong(uuid.getLeastSignificantBits)
+      z85Encode(bb.array())
+    }
+    // lay the non-inline DV records into one bin file, recording offsets
+    val dvFile = new HPath(tbl, s"deletion_vector_$uuid.bin")
+    val descriptors = scala.collection.mutable.Map.empty[String, String]
+    val out = fs.create(dvFile, true)
+    try {
+      out.write(1) // format version byte
+      var pos = 1L
+      delByFile.foreach { case (rel, idxs) =>
+        if (idxs.nonEmpty) {
+          val data = payload(idxs)
+          val inline = inlineFirst && rel == delByFile.find(_._2.nonEmpty).get._1
+          if (inline) {
+            val padded = data ++ new Array[Byte]((4 - data.length % 4) % 4)
+            descriptors(rel) =
+              s"""{"storageType":"i","pathOrInlineDv":"${z85Encode(padded)}",""" +
+                s""""sizeInBytes":${data.length},"cardinality":${idxs.length}}"""
+          } else {
+            val crc = new java.util.zip.CRC32()
+            crc.update(data)
+            out.writeInt(data.length) // big-endian via DataOutput
+            out.write(data)
+            out.writeInt(crc.getValue.toInt)
+            descriptors(rel) =
+              s"""{"storageType":"u","pathOrInlineDv":"$uuidZ85",""" +
+                s""""offset":$pos,"sizeInBytes":${data.length},""" +
+                s""""cardinality":${idxs.length}}"""
+            pos += 4L + data.length + 4L
+          }
+        }
+      }
+    } finally out.close()
+    if (!descriptors.values.exists(_.contains("\"u\"")))
+      fs.delete(dvFile, false) // every DV inlined (or none): no bin file
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def esc(s: String): String = {
+      val n = mapper.writeValueAsString(s)
+      n.substring(1, n.length - 1)
+    }
+    val now = System.currentTimeMillis()
+    val actions = ListBuffer.empty[String]
+    actions += """{"commitInfo":{"operation":"WRITE","txnId":"""" +
+      java.util.UUID.randomUUID().toString + """"}}"""
+    actions += """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],""" +
+      """"writerFeatures":["deletionVectors"]}}"""
+    actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${esc(df.schema.json)}","partitionColumns":[],""" +
+      s""""configuration":{"delta.enableDeletionVectors":"true"},""" +
+      s""""createdTime":$now}}"""
+    rels.foreach { rel =>
+      val st = fs.getFileStatus(new HPath(tbl, rel))
+      val stats = DeltaStats.harvest(
+        spark.sparkContext.hadoopConfiguration, new HPath(tbl, rel))
+        .map(js => s""","stats":"${esc(js)}"""").getOrElse("")
+      val dvJson = descriptors.get(rel)
+        .map(d => s""","deletionVector":$d""").getOrElse("")
+      actions += s"""{"add":{"path":"${esc(rel)}","partitionValues":{},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true$stats$dvJson}}"""
+    }
+    val log = logDir(tbl)
+    fs.mkdirs(log)
+    val cOut = fs.create(new HPath(log, commitName(0L)), true)
+    try cOut.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally cOut.close()
   }
 
   /** Write `df` as a NAME-mode column-mapped delta table: data files
@@ -1289,10 +1641,18 @@ object DeltaLog {
         .getOrElse(read(spark, path, versionAsOf).schema)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         .where(expr(predicate))
-    } else
-      readDataFiles(spark, path,
-        kept.map(a => new HPath(tbl, a.rel).toString))
+    } else {
+      // DV filtering composes with file skipping: stats were recorded
+      // before the deletes, so min/max/nullCount pruning stays SOUND
+      // (deletions only shrink a file's true row set — a pruned file
+      // still provably holds no matching row; a kept file's deleted rows
+      // are removed by the anti-join before the predicate applies)
+      val hasDv = kept.exists(_.dv.isDefined)
+      applyDeletionVectors(spark, path, kept,
+        readDataFiles(spark, path,
+          kept.map(a => new HPath(tbl, a.rel).toString), withRowMeta = hasDv))
         .where(expr(predicate))
+    }
   }
 
   /** Rewrite physical-keyed add metadata (top-level stats objects and
@@ -1373,6 +1733,12 @@ object DeltaLog {
       targetBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Nil): Int = {
     val adds = activeAddsAsOf(spark, path, None)
+    // compaction rewrites files through the logical read and drops their
+    // DV association -- a DV'd victim would resurrect its deleted rows
+    if (adds.exists(_.dv.isDefined))
+      throw graft.GraftError.InvalidOperation("optimize_delta",
+        s"$path carries deletion vectors; compaction would rewrite files " +
+          "without their DV filters and resurrect deleted rows")
     val victims = if (zorderBy.nonEmpty) adds else adds.filter(_.size < targetBytes)
     if (victims.size <= 1 && zorderBy.isEmpty) return 0
     if (victims.isEmpty) return 0
@@ -1386,7 +1752,7 @@ object DeltaLog {
       if (zorderBy.isEmpty) (df, Some(nOut))
       else (zorderCluster(df, zorderBy, nOut), None)
     commitRewrite(spark, path, "OPTIMIZE", victims.map(_.rel).sorted, toWrite,
-      dataChange = false, numFiles = packed)
+      dataChange = false, numFiles = packed, logicalFrame = false)
     victims.size
   }
 
@@ -1461,6 +1827,9 @@ object DeltaLog {
   def restore(spark: SparkSession, path: String, version: Long): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // either endpoint carrying DVs would need DV-aware re-add actions
+    requireNoDeletionVectors(spark, path, "restore_delta")
+    requireNoDeletionVectors(spark, path, "restore_delta", Some(version))
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
     def rel(abs: String): String =
       fs.makeQualified(new HPath(abs)).toUri.getPath.stripPrefix(base).stripPrefix("/")
@@ -1521,6 +1890,10 @@ object DeltaLog {
       stageRetentionMs: Long = 3600000L): Seq[String] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // DV .bin files are referenced by descriptors, not by data-file
+    // listings -- an orphan sweep that cannot see those references would
+    // destroy the delete information
+    requireNoDeletionVectors(spark, path, "vacuum_delta")
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
     // qualify each active path the same way as `base` — activeFiles
     // returns paths built from the caller's (possibly relative) table

@@ -38,8 +38,19 @@ object DeltaStats {
     * (None = null partition), the raw stats JSON if the writer recorded
     * one, and the file size in bytes.
     */
+  /** `deletionVector` descriptor on an add action (delta protocol,
+    * PROTOCOL.md "Deletion Vectors"): where the roaring-bitmap row filter
+    * for the file lives (u = UUID-named file under the table, i = inline
+    * z85 payload, p = absolute path), plus its size and how many rows it
+    * deletes. `offset` points at the DV's length-prefixed record inside
+    * the file for u/p storage.
+    */
+  case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+      offset: Option[Long], sizeInBytes: Int, cardinality: Long)
+
   case class AddEntry(rel: String, partitionValues: Map[String, String],
-      stats: Option[String], size: Long)
+      stats: Option[String], size: Long,
+      dv: Option[DvDescriptor] = None)
 
   // ───────────────────────── harvest (write side) ────────────────────────
 

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 class WritersSpec extends SparkSpec {
 
@@ -289,20 +290,25 @@ class WritersSpec extends SparkSpec {
     }
     def appendCommit(p: String, line: String): Unit =
       Files.writeString(Paths.get(p, "_delta_log", "0" * 19 + "1.json"), line + "\n")
-    // minReaderVersion 3 (e.g. a deletion-vector table): typed refusal,
-    // never adds-minus-removes misreading
+    // minReaderVersion 3 with an UNKNOWN feature: typed refusal, never
+    // adds-minus-removes misreading (deletionVectors/columnMapping are
+    // supported read features now — see the DV spec below)
     val p1 = freshTable("delta_proto_v3")
     appendCommit(p1,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""")
     val e1 = intercept[graft.GraftError.InvalidOperation] { DeltaLog.read(spark, p1) }
-    assert(e1.getMessage.contains("minReaderVersion 3"))
-    // an add action carrying a deletion vector: refused even if the
-    // protocol line was cleaned away
+    assert(e1.getMessage.contains("minReaderVersion 3") &&
+      e1.getMessage.contains("v2Checkpoint"))
+    // an add whose DV uses a storage type we can't load: typed refusal
+    // at read assembly, before any row is returned
     val p2 = freshTable("delta_proto_dv")
+    val rel2 = Files.list(Paths.get(p2)).iterator().asScala
+      .map(_.getFileName.toString)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
     appendCommit(p2,
-      """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"a","offset":1,"sizeInBytes":2,"cardinality":3}}}""")
+      s"""{"add":{"path":"$rel2","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"x","pathOrInlineDv":"a","offset":1,"sizeInBytes":2,"cardinality":3}}}""")
     val e2 = intercept[graft.GraftError.InvalidOperation] { DeltaLog.read(spark, p2) }
-    assert(e2.getMessage.contains("deletion vectors"))
+    assert(e2.getMessage.contains("storageType"))
     // ID-mode column mapping (read-by-parquet-field-id): refuse instead
     // of returning scrambled columns — only name mode is readable
     val p3 = freshTable("delta_proto_cm")
@@ -381,16 +387,85 @@ class WritersSpec extends SparkSpec {
     val eM = intercept[graft.GraftError.InvalidOperation] {
       DeltaLog.write(upd, "merge", p) }
     assert(eM.getMessage.contains("clobber the"))
-    val eU = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.upsert(upd, Seq("id"), p) }
-    assert(eU.getMessage.contains("column mapping"))
-    val eD = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.deleteWhere(spark, p, "id = 1") }
-    assert(eD.getMessage.contains("column mapping"))
+    // copy-on-write upsert/delete stage PHYSICAL-named rewrites on mapped
+    // tables (the same logical->physical rename the append path applies)
+    val upd2 = Seq((2L, "B2", 22.5, ("y2", 22L))).toDF("id", "name", "v", "meta")
+    DeltaLog.upsert(upd2, Seq("id"), p)
+    val afterU = DeltaLog.read(spark, p)
+    assert(afterU.count() == 4L)
+    assert(afterU.where($"id" === 2L).select("name").head().getString(0) == "B2")
+    assert(spark.read.parquet(p).columns.forall(_.startsWith("col-")),
+      "upsert must stage physical-named files")
+    assert(DeltaLog.deleteWhere(spark, p, "id = 1") >= 1)
+    assert(DeltaLog.read(spark, p).count() == 3L)
+    // predicate-pruned read still speaks logical names post-rewrite
+    assert(DeltaLog.readWhere(spark, p, "id >= 2 AND name = 'B2'").count() == 1L)
     // overwrite replaces the table wholesale -> plain mode=none again
     DeltaLog.write(upd, "overwrite", p)
     assert(DeltaLog.read(spark, p).columns.toSeq == Seq("id", "name", "v", "meta"))
     assert(DeltaLog.read(spark, p).count() == 1L)
+  }
+
+  test("deletion-vector table: reads filter deleted rows; writes refuse typed") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = tmp("delta_dv")
+    val src = sp.range(200).select(col("id"),
+      (col("id") % 7).as("grp"), (col("id") * 1.5).as("v"))
+      .repartition(4) // several files, several DVs
+    DeltaLog.writeWithDeletionVectors(src, p, "id % 3 = 0", inlineFirst = true)
+    // raw parquet still holds every row; the delta read hides id%3==0
+    // (glob the part files — a naive directory read trips over the
+    // non-parquet deletion_vector bin, exactly like on a real DV table)
+    assert(spark.read.parquet(s"$p/part-*.parquet").count() == 200L)
+    val back = DeltaLog.read(spark, p)
+    assert(back.count() == 133L, s"got ${back.count()}")
+    assert(back.where($"id" % 3 === 0).count() == 0L)
+    assert(back.columns.toSeq == Seq("id", "grp", "v"),
+      "DV bookkeeping columns must not leak")
+    // sum over survivors matches a direct computation
+    val expect = (0L until 200L).filter(_ % 3 != 0).sum
+    assert(back.agg(org.apache.spark.sql.functions.sum($"id")).head.getLong(0) == expect)
+    // predicate-pruned read composes with the DV filter (stats recorded
+    // pre-delete stay sound upper bounds)
+    val filtered = DeltaLog.readWhere(spark, p, "id >= 100 AND id % 3 <> 0")
+    assert(filtered.count() == (100L until 200L).count(_ % 3 != 0))
+    val none = DeltaLog.readWhere(spark, p, "id % 3 = 0")
+    assert(none.count() == 0L)
+    // every mutation/maintenance path refuses typed on a DV table
+    val upd = Seq((1L, 9L, 9.9)).toDF("id", "grp", "v")
+    def refused(body: => Any): String =
+      intercept[graft.GraftError.InvalidOperation](body).getMessage
+    assert(refused(DeltaLog.write(upd, "append", p)).contains("deletion vectors"))
+    assert(refused(DeltaLog.upsert(upd, Seq("id"), p)).contains("deletion vectors"))
+    assert(refused(DeltaLog.deleteWhere(spark, p, "id = 1")).contains("deletion vectors"))
+    assert(refused(DeltaLog.optimize(spark, p)).contains("deletion vectors"))
+    assert(refused(DeltaLog.vacuum(spark, p)).contains("deletion vectors"))
+    assert(refused(DeltaLog.readChanges(spark, p, -1L, 0L)).contains("deletion vectors"))
+    // overwrite is allowed: it replaces the table wholesale
+    DeltaLog.write(upd, "overwrite", p)
+    assert(DeltaLog.read(spark, p).count() == 1L)
+  }
+
+  test("z85 and the DV payload round-trip byte-exactly") {
+    val bytes = Array.tabulate(32)(i => (i * 37 % 251).toByte)
+    assert(DeltaLog.z85Decode(DeltaLog.z85Encode(bytes)).toSeq == bytes.toSeq)
+    // row indexes straddling the 32-bit bitmap boundary survive decode
+    val idxs = Array(0L, 5L, 4294967295L, 4294967296L, 8589934592L + 17L)
+    val byHigh = idxs.groupBy(i => (i >> 32).toInt)
+    val maxHigh = (idxs.max >> 32).toInt
+    val bitmaps = (0 to maxHigh).map { h =>
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      byHigh.getOrElse(h, Array.empty[Long]).foreach(i => rb.add((i & 0xffffffffL).toInt))
+      rb
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + 8 + bitmaps.map(_.serializedSizeInBytes()).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.putLong(bitmaps.length.toLong)
+    bitmaps.foreach(_.serialize(bb))
+    assert(DeltaLog.decodeDvPayload(bb.array()).toSeq == idxs.toSeq.sorted)
   }
 
   test("readChanges: file-level change feed between versions") {
