@@ -147,11 +147,23 @@ object Bench {
             (col("user_id") + lit(c * 100000L)).as("user_id"),
             col("event_type"), col("value"), col("props"))
         }.reduce(_ unionByName _)
+        // third size (30×): the 10× point was still rising (14k → 158k
+        // rows/s) — a 3×-larger micro-batch pins where the per-row cost
+        // takes over from the ~0.65 s/micro-batch fixed cost
+        val ev30 = (0 until 30).map { c =>
+          if (c == 0) ev
+          else ev.select(
+            (col("event_id") + lit(c * 1000000L)).as("event_id"), col("ts"),
+            (col("user_id") + lit(c * 100000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
         Seq(
           graft.streaming.EventStreams.streamThroughput(
             spark, ev, "target/tmp/stream_bench"),
           graft.streaming.EventStreams.streamThroughput(
-            spark, ev10, "target/tmp/stream_bench10"))
+            spark, ev10, "target/tmp/stream_bench10"),
+          graft.streaming.EventStreams.streamThroughput(
+            spark, ev30, "target/tmp/stream_bench30"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
         Nil

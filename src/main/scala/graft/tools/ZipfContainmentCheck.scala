@@ -94,6 +94,10 @@ object ZipfContainmentCheck {
         "bounded" -> tm(graft.operators.Dedup.containmentPairs(
           docs, "text", "doc_id", 3, 0.8, boundedHotJoin = true)))
     }
+    // JIT/codegen warmup on a small corpus so the measured trios compare
+    // plan cost, not first-run compilation (the unwarmed first run showed
+    // exact "speeding up" 0.84x at 3x data)
+    trio(gen(5000, "target/zipf_5000/documents.parquet")): Unit
     val results = Seq(nDocsSmall, nDocsSmall * growFactor).map { n =>
       val docs = gen(n, s"target/zipf_$n/documents.parquet")
       val (total, hot, hotDf) = hotStats(docs)
