@@ -708,6 +708,21 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // ID-mode column mapping (iceberg-converted tables): columns resolve
+    // against the physical files BY parquet field id through Spark's
+    // native field-id matching — read-only here (this writer emits no
+    // field ids). Same aggregate contract as q_delta_colmap's base.
+    "q_delta_colmap_id" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_colmap_id"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.writeIdMapped(c, path)
+      Loaders.load(s, path, "customer_cm_id")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // deletion vectors: a DV-enabled table (minReaderVersion 3,
     // per-file roaring-bitmap row filters — the modern-writer default the
     // reference's raw delta-rs read would silently misread by
@@ -2717,6 +2732,10 @@ object SparkEntry {
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
         "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0 " +
         "GROUP BY c_mktsegment"),
+
+    "q_delta_colmap_id" ->
+      ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
+        "c_mktsegment FROM customer GROUP BY c_mktsegment"),
 
     "q_with_ctes" ->
       ("WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000), " +

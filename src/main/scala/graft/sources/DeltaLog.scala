@@ -622,7 +622,17 @@ object DeltaLog {
     // logicalFrame = false: the caller (optimize) already holds the
     // file-native PHYSICAL columns and restages them unchanged
     val mappedPhys =
-      if (logicalFrame) logicalSchemaIfNameMapped(spark, fs, tbl) else None
+      if (logicalFrame) logicalSchemaIfMapped(spark, fs, tbl) match {
+        case Some(("id", _)) =>
+          // id-mode files resolve by parquet field id; this writer does
+          // not emit field ids, so a rewrite would stage files the
+          // table's own reader cannot resolve — refuse typed
+          throw graft.GraftError.InvalidOperation(op.toLowerCase,
+            s"$tbl uses id-mode column mapping; copy-on-write rewrites " +
+              "are not supported (staged files would lack parquet field " +
+              "ids) — id tables are read-only here")
+        case other => other.map(_._2)
+      } else None
     val renamed = mappedPhys match {
       case Some(logical) =>
         if (partitionBy.nonEmpty) throw graft.GraftError.InvalidOperation(
@@ -869,7 +879,7 @@ object DeltaLog {
       }
     }
     val cmMode = columnMappingMode(spark, fs, tbl)
-    guard(cmMode != "none" && cmMode != "name",
+    guard(cmMode != "none" && cmMode != "name" && cmMode != "id",
       s"column mapping mode '$cmMode'")
     cpVersion.foreach { v =>
       val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
@@ -894,7 +904,7 @@ object DeltaLog {
           if (meta != null && meta.get("configuration") != null) {
             val cm = meta.get("configuration").get("delta.columnMapping.mode")
             guard(cm != null && cm.asText("none") != "none" &&
-              cm.asText("none") != "name",
+              cm.asText("none") != "name" && cm.asText("none") != "id",
               s"column mapping mode '${Option(cm).map(_.asText).getOrElse("")}'")
           }
           if (add != null) entryOf(add).foreach(a => active(a.rel) = a)
@@ -1135,8 +1145,8 @@ object DeltaLog {
       if (!withRowMeta) Nil
       else Seq(col("_metadata.file_name").as(DvFileCol),
         col("_metadata.row_index").as(DvRowCol))
-    logicalSchemaIfNameMapped(spark, fs, tbl) match {
-      case Some(logical) =>
+    logicalSchemaIfMapped(spark, fs, tbl) match {
+      case Some(("name", logical)) =>
         val physical = physicalType(logical).asInstanceOf[StructType]
         val df = spark.read
           .option("basePath", path)
@@ -1150,7 +1160,31 @@ object DeltaLog {
           // would otherwise make the rename cast unresolvable
           col(s"`${pf.name}`").cast(stripMeta(lf.dataType)).as(lf.name)
         } ++ meta: _*)
-      case None =>
+      case Some(("id", logical)) =>
+        // id-mode: columns resolve against the files BY parquet field id
+        // (the reader contract delta-spark implements) — Spark's native
+        // field-id matching does exactly that once the read schema
+        // carries parquet.field.id annotations, and since that schema is
+        // logical-named the scan needs no rename. Partition columns
+        // would still be discovered from PHYSICAL-named directories and
+        // miss the logical schema — refuse partitioned id tables typed.
+        if (tablePartitionColumns(spark, fs, tbl).exists(_.nonEmpty))
+          throw graft.GraftError.InvalidOperation("load_delta",
+            s"$path uses id-mode column mapping with partition columns; " +
+              "partition directories carry physical names that field-id " +
+              "matching cannot resolve — unpartitioned id tables only")
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        val readSchema = fieldIdReadType(logical, tbl).asInstanceOf[StructType]
+        val df = spark.read
+          .option("basePath", path)
+          .schema(readSchema)
+          .parquet(files: _*)
+        // strip the field-id/mapping metadata so it doesn't leak into
+        // downstream schemas
+        df.select(logical.fields.map { lf =>
+          col(s"`${lf.name}`").cast(stripMeta(lf.dataType)).as(lf.name)
+        } ++ meta: _*)
+      case _ =>
         val df = spark.read
           .option("mergeSchema", "true")
           .option("basePath", path)
@@ -1532,27 +1566,129 @@ object DeltaLog {
     finally out.close()
   }
 
-  /** The logical table schema when the table uses name-mode column
-    * mapping, None otherwise (plain tables read schema-on-file).
+  /** Write `df` as an ID-mode column-mapped delta table: data files
+    * carry uuid-style physical column names AND parquet field ids (the
+    * resolution key id mode reads by — written via Spark's native
+    * field-id support), the metaData annotates every field with both
+    * `delta.columnMapping.id` and `physicalName`, and the configuration
+    * declares mode=id. The fixture/compat surface proving [[read]]'s
+    * field-id resolution path; iceberg-converted tables ship this shape.
     */
-  private def logicalSchemaIfNameMapped(spark: SparkSession, fs: FileSystem,
-      tbl: HPath): Option[StructType] =
-    if (columnMappingMode(spark, fs, tbl) != "name") None
+  def writeIdMapped(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tbl, true)
+    val logical = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val phys = "col-" + java.util.UUID.nameUUIDFromBytes(
+        (f.name + "#graft-cm-id").getBytes("UTF-8")).toString
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong(MappingIdKey, i + 1L)
+        .putString(PhysicalNameKey, phys).build())
+    })
+    // physical-named write schema with parquet.field.id so the files
+    // carry the ids (fieldId.write.enabled honors the metadata)
+    val physDf = df.select(logical.fields.zipWithIndex.map { case (lf, i) =>
+      col(s"`${df.schema.fields(i).name}`")
+        .as(lf.metadata.getString(PhysicalNameKey),
+          new MetadataBuilder()
+            .putLong(ParquetFieldIdKey, lf.metadata.getLong(MappingIdKey))
+            .build())
+    }: _*)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    physDf.write.mode("overwrite").parquet(path)
+    val rels = fs.listStatus(tbl).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def esc(x: String): String = {
+      val n = mapper.writeValueAsString(x)
+      n.substring(1, n.length - 1)
+    }
+    val now = System.currentTimeMillis()
+    val actions = ListBuffer.empty[String]
+    actions += """{"commitInfo":{"operation":"WRITE","txnId":"""" +
+      java.util.UUID.randomUUID().toString + """"}}"""
+    actions += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+      s""""configuration":{"delta.columnMapping.mode":"id",""" +
+      s""""delta.columnMapping.maxColumnId":"${logical.fields.length}"},""" +
+      s""""createdTime":$now}}"""
+    rels.foreach { rel =>
+      val st = fs.getFileStatus(new HPath(tbl, rel))
+      actions += s"""{"add":{"path":"${esc(rel)}","partitionValues":{},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true}}"""
+    }
+    val log = logDir(tbl)
+    fs.mkdirs(log)
+    val out = fs.create(new HPath(log, commitName(0L)), true)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Logical schema when the table uses ANY column mapping, tagged with
+    * the mode ("name" | "id"). A mapped table whose schemaString is
+    * missing/unparseable must refuse, not fall back to raw physical
+    * names.
+    */
+  private def logicalSchemaIfMapped(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Option[(String, StructType)] = {
+    val mode = columnMappingMode(spark, fs, tbl)
+    if (mode != "name" && mode != "id") None
     else {
-      // a mapped table whose schemaString is missing/unparseable must
-      // refuse, not fall back to raw physical names
       val schema = tableSchemaJson(spark, fs, tbl).flatMap { js =>
         try Some(org.apache.spark.sql.types.DataType.fromJson(js)
           .asInstanceOf[StructType])
         catch { case _: Exception => None }
       }
-      Some(schema.getOrElse(throw graft.GraftError.InvalidOperation(
-        "load_delta", s"$tbl uses name-mode column mapping but its " +
+      Some(mode -> schema.getOrElse(throw graft.GraftError.InvalidOperation(
+        "load_delta", s"$tbl uses $mode-mode column mapping but its " +
           "metaData.schemaString is missing or unparseable — cannot " +
-          "derive the physical-to-logical rename")))
+          "derive the physical-to-logical mapping")))
     }
+  }
+
+  private def logicalSchemaIfNameMapped(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Option[StructType] =
+    logicalSchemaIfMapped(spark, fs, tbl).collect { case ("name", s) => s }
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private val MappingIdKey = "delta.columnMapping.id"
+  private val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Logical-named read schema carrying parquet field ids: with
+    * `spark.sql.parquet.fieldId.read.enabled` Spark resolves each column
+    * against the physical files BY ID — exactly the id-mode column
+    * mapping contract (the files' physical names are ignored, so the
+    * scan comes back under logical names with no rename step). Refuses
+    * if any field lacks an id annotation (a valid id-mode table
+    * annotates every field).
+    */
+  private def fieldIdReadType(dt: org.apache.spark.sql.types.DataType,
+      tbl: HPath): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        if (!f.metadata.contains(MappingIdKey))
+          throw graft.GraftError.InvalidOperation("load_delta",
+            s"$tbl uses id-mode column mapping but field '${f.name}' " +
+              "has no delta.columnMapping.id annotation")
+        StructField(f.name, fieldIdReadType(f.dataType, tbl), nullable = true,
+          new MetadataBuilder()
+            .putLong(ParquetFieldIdKey, f.metadata.getLong(MappingIdKey))
+            .build())
+      })
+      case at: ArrayType => at.copy(elementType = fieldIdReadType(at.elementType, tbl))
+      case mt: MapType => mt.copy(keyType = fieldIdReadType(mt.keyType, tbl),
+        valueType = fieldIdReadType(mt.valueType, tbl))
+      case other => other
+    }
+  }
 
   /** Recursively rewrite a logical delta type to its physical (on-file)
     * shape: every struct field named by its `physicalName` annotation.
@@ -1615,7 +1751,7 @@ object DeltaLog {
     // keyed by PHYSICAL names while the predicate (and table schema) use
     // logical ones — remap the metadata keys so skipping keeps working on
     // mapped tables instead of degrading to keep-everything
-    val nameMapped = logicalSchemaIfNameMapped(spark, fs, tbl)
+    val nameMapped = logicalSchemaIfMapped(spark, fs, tbl).map(_._2)
     val adds = nameMapped match {
       case Some(logical) => remapAddsToLogical(adds0, logical)
       case None => adds0

@@ -406,6 +406,30 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 1L)
   }
 
+  test("id-mode column-mapped table reads by parquet field id; writes refuse typed") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_colmap_id")
+    val src = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "v")
+    DeltaLog.writeIdMapped(src, p)
+    // files carry physical names; resolution happens by parquet field id
+    assert(spark.read.parquet(p).columns.forall(_.startsWith("col-")))
+    val back = DeltaLog.read(spark, p)
+    assert(back.columns.toSeq == Seq("id", "name", "v"))
+    assert(back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    assert(DeltaLog.readWhere(spark, p, "id >= 2 AND name <> 'c'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // this writer emits no field ids, so every mutation refuses typed
+    val upd = Seq((9L, "z", 9.9)).toDF("id", "name", "v")
+    def msg(body: => Any): String =
+      intercept[graft.GraftError.InvalidOperation](body).getMessage
+    assert(msg(DeltaLog.write(upd, "append", p)).contains("column mapping"))
+    assert(msg(DeltaLog.upsert(upd, Seq("id"), p)).contains("id-mode"))
+    assert(msg(DeltaLog.deleteWhere(spark, p, "id = 1")).contains("id-mode"))
+  }
+
   test("deletion-vector table: reads filter deleted rows; writes refuse typed") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
