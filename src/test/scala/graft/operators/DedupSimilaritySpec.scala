@@ -1012,6 +1012,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6))
   }
 
+  test("bucketed IVF layout above threshold: dirs capped, probes exact, append visible") {
+    // autoNlist at corpus scale means nlist ∝ N — one directory PER LIST
+    // is a filesystem-metadata explosion at 10⁹ vectors. Above the
+    // two-level threshold the index partitions by pmod(list_id, 1024)
+    // with list_id-sorted rows; probes prune bucket dirs then row-groups.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val idx = "target/tmp/ivf_index_bucketed"
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 300)
+    val dirs = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.contains("="))
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_bucket=")),
+      s"expected bucketed dirs, got ${dirs.take(3).mkString(",")}")
+    assert(dirs.length <= Similarity.IndexDirBuckets)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Int]("rank"))).toSet
+    // the bucketed at-rest probe reproduces the in-memory two-level IVF
+    // bit for bit (same deterministic centroids, same probe kernel)
+    val indexed = Similarity.ivfTopKIndexed(idx, queries, "embedding",
+      "vec_id", k = 10, nprobe = 8)
+    val inMemory = Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+      k = 10, nlist = 300, nprobe = 8)
+    assert(rows(indexed) == rows(inMemory),
+      "bucketed indexed probe must reproduce the in-memory ranking")
+    // append matches the bucketed layout; an appended exact copy is
+    // found by its source's probe (identical vector -> same list)
+    val extra = emb.where(col("vec_id") === 1L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(idx, extra, "embedding", "vec_id")
+    val after = Similarity.ivfTopKIndexed(idx,
+      emb.where(col("vec_id") === 1L), "embedding", "vec_id",
+      k = 1, nprobe = 8).collect()
+    assert(after.head.getAs[Long]("corpus_id") == 100001L &&
+      math.abs(after.head.getAs[Double]("cosine") - 1.0) < 1e-6,
+      after.mkString(","))
+  }
+
   test("two-level assign candidates per point grow ~sqrt(N), not linearly, at 10x corpus") {
     // the 100x-scale claim: with nlist = autoNlist (∝ N) the flat assign
     // evaluates nlist candidates per point (linear growth), the two-level
