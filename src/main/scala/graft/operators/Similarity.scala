@@ -142,9 +142,16 @@ object Similarity {
       nprobe: Int = 4, refineIterations: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = seedAndRefine(c, nlist, refineIterations)
-    val assigned = assignToLists(c, centroids, nlistHint = nlist)
+    // one meta quantizer for BOTH the assign and the probe stage — they
+    // must share it for determinism, and building it twice doubled the
+    // O(nlist^1.5) coarse pass
+    val pre =
+      if (nlist > TwoLevelThreshold)
+        Some(metaQuantizer(centroids, nlist, DefaultMetaProbes))
+      else None
+    val assigned = assignToLists(c, centroids, nlistHint = nlist, metaPre = pre)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qLists = probeLists(q, centroids, nprobe, nlistHint = nlist)
+    val qLists = probeLists(q, centroids, nprobe, nlistHint = nlist, metaPre = pre)
     val joined = assigned.join(broadcast(qLists), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
@@ -190,8 +197,24 @@ object Similarity {
     * exactly all centroids (spec-asserted identity with the flat route).
     * Exposed for ScaleCheck to count candidates across corpus scales.
     */
-  private[operators] def twoLevelCandidates(points: DataFrame,
-      centroids: DataFrame, nlistHint: Long, metaProbes: Int): DataFrame = {
+  /** The meta quantizer for a centroid table: (probe metas, cmap).
+    * cmap assigns every centroid to its nearest meta cell (flat argmin
+    * against the ≤ m broadcast metas — nlist × m ≈ nlist^1.5 distance
+    * evals, the √-bounded term) and is eagerly pinned (both the assign
+    * and the probe stage of one operation consume it — without the pin
+    * the Lloyd chain re-executes per consumer). The returned metas are
+    * restricted to NON-EMPTY cells: a Lloyd step can leave a meta cell
+    * that is no centroid's nearest, and a point whose probed cells were
+    * all empty would produce ZERO candidates and silently vanish from
+    * the inner joins downstream — probing only non-empty cells makes
+    * every point's candidate set provably non-empty (totality), where
+    * the flat route is total by construction. Compute ONCE per
+    * operation and pass to both assign and probe ([[ivfTopK]],
+    * [[hardNegatives]]) — they must share one quantizer anyway for the
+    * planted-twin determinism contract.
+    */
+  private[operators] def metaQuantizer(centroids: DataFrame,
+      nlistHint: Long, metaProbes: Int): (DataFrame, DataFrame) = {
     val idt = centroids.schema("cent_id").dataType
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idt),
@@ -203,8 +226,6 @@ object Similarity {
       centroids.select(col("cent_id").as("corpus_id"), col("centv").as("cv")),
       m, iterations = 1)
       .select(col("cent_id").as("graft_meta"), col("centv").as("graft_metav"))
-    // each centroid's meta cell: flat argmin against the ≤ m broadcast
-    // metas (nlist × m ≈ nlist^1.5 distance evals — the √-bounded term)
     val cmap = centroids.join(broadcast(metas))
       .withColumn("graft_md", V.l2Distance(col("centv"), col("graft_metav")))
       .groupBy(col("cent_id"))
@@ -212,8 +233,20 @@ object Similarity {
         min_by(col("centv"), col("graft_meta")).as("centv"))
       .select(col("cent_id"), col("centv"),
         col("graft_pick.graft_meta").cast("long").as("graft_cell"))
-    // each point's metaProbes nearest cells — bounded heap, never a
-    // window over the point × meta cross rows
+      .localCheckpoint(true)
+    val nonEmpty = metas.join(
+      cmap.select(col("graft_cell")).distinct(),
+      metas("graft_meta").cast("long") === cmap("graft_cell"), "left_semi")
+    (nonEmpty, cmap)
+  }
+
+  private[operators] def twoLevelCandidates(points: DataFrame,
+      centroids: DataFrame, nlistHint: Long, metaProbes: Int,
+      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (metas, cmap) =
+      pre.getOrElse(metaQuantizer(centroids, nlistHint, metaProbes))
+    // each point's metaProbes nearest (non-empty) cells — bounded heap,
+    // never a window over the point × meta cross rows
     val pm = points.join(broadcast(metas))
       .withColumn("graft_md", V.l2Distance(col("graft_pv"), col("graft_metav")))
       .groupBy(col("graft_pid"))
@@ -234,9 +267,9 @@ object Similarity {
     */
   private[operators] def twoLevelNearestLists(points: DataFrame,
       centroids: DataFrame, n: Int, nlistHint: Long,
-      metaProbes: Int): DataFrame = {
+      metaProbes: Int, pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val idt = centroids.schema("cent_id").dataType
-    twoLevelCandidates(points, centroids, nlistHint, metaProbes)
+    twoLevelCandidates(points, centroids, nlistHint, metaProbes, pre)
       .withColumn("graft_d", V.l2Distance(col("graft_pv"), col("centv")))
       .groupBy(col("graft_pid"))
       .agg(graft.plans.TopKAgg.topKPairs(col("graft_d"),
@@ -273,7 +306,8 @@ object Similarity {
     */
   private def probeLists(q: DataFrame, centroids: DataFrame,
       nprobe: Int, nlistHint: Long = -1L,
-      metaProbes: Int = DefaultMetaProbes): DataFrame = {
+      metaProbes: Int = DefaultMetaProbes,
+      metaPre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val reserved = Set("cent_id", "centv", "d", "rn", "list_id")
     val clash = q.columns.filter(reserved)
     require(clash.isEmpty, "probeLists: query frame carries internal " +
@@ -282,7 +316,7 @@ object Similarity {
     if (nlist > TwoLevelThreshold) {
       val pairs = twoLevelNearestLists(
         q.select(col("query_id").as("graft_pid"), col("qv").as("graft_pv")),
-        centroids, nprobe, nlist, metaProbes)
+        centroids, nprobe, nlist, metaProbes, metaPre)
         .select(col("graft_pid").as("query_id"), col("list_id"))
       // join the (query_id, list_id) picks back so every query-side
       // column (label carriers etc.) rides through, like the flat route
@@ -353,7 +387,8 @@ object Similarity {
     */
   private[operators] def assignToLists(c: DataFrame, centroids: DataFrame,
       nlistHint: Long = -1L,
-      metaProbes: Int = DefaultMetaProbes): DataFrame = {
+      metaProbes: Int = DefaultMetaProbes,
+      metaPre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // every non-key column of c (cv, label carriers, …) rides the argmin
     // via min_by on the same cent_id order — one assignment kernel for
     // the plain and the carrier-augmented ([[hardNegatives]]) callers
@@ -365,7 +400,7 @@ object Similarity {
       // at this nlist the flat broadcast would be the thing that breaks)
       val picks = twoLevelNearestLists(
         c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
-        centroids, n = 1, nlist, metaProbes)
+        centroids, n = 1, nlist, metaProbes, metaPre)
         .select(col("graft_pid").as("corpus_id"), col("list_id"))
       return c.join(picks, Seq("corpus_id"))
         .select(col("corpus_id") +: carry.map(col) :+ col("list_id"): _*)
@@ -667,14 +702,19 @@ object Similarity {
     require(k >= 1, "hardNegatives: k must be >= 1")
     val plain = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val centroids = seedAndRefine(plain, nlist, refineIterations)
+    val pre =
+      if (nlist > TwoLevelThreshold)
+        Some(metaQuantizer(centroids, nlist, DefaultMetaProbes))
+      else None
     // the shared assignment kernel carries the label column through
     val assigned = assignToLists(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-        col(labelCol).as("graft_cl")), centroids, nlistHint = nlist)
+        col(labelCol).as("graft_cl")), centroids, nlistHint = nlist,
+      metaPre = pre)
     val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("graft_ql"))
     val joined = assigned.join(probeLists(q, centroids, nprobe,
-      nlistHint = nlist), Seq("list_id"))
+      nlistHint = nlist, metaPre = pre), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id") &&
         col("graft_cl") =!= col("graft_ql"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))

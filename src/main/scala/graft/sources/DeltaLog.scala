@@ -923,24 +923,55 @@ object DeltaLog {
     tableConfiguration(spark, fs, tbl)
       .getOrElse("delta.columnMapping.mode", "none")
 
-  /** Memo for [[tableConfiguration]] keyed by (table, newest commit
-    * version): a snapshot read consults the configuration 2-3 times
-    * (mapping-mode gate, read rename, write path) and each uncached call
-    * walks commits newest→oldest until it finds a metaData — typically
-    * all the way to version 0, so a long-history table paid O(versions)
-    * I/O per consultation. Any new commit changes the key, so this is
-    * pure memoization (the function always resolves the NEWEST metaData).
+  /** Cache identity of a table's log: path + newest commit version +
+    * that commit file's length and modification time. Keying on the
+    * version alone is WRONG when a table is recreated at the same path
+    * (overwrite / fixture rebuild): the new log can end at the same
+    * version number and a stale cache would serve the old table's
+    * configuration — silent wrong columns on a remapped table. The
+    * newest commit's (len, modTime) changes on any rewrite.
+    */
+  private def logIdentity(fs: FileSystem, tbl: HPath): (String, Long, Long, Long) = {
+    val log = logDir(tbl)
+    val newest =
+      if (!fs.exists(log)) None
+      else fs.listStatus(log).toSeq
+        .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+        .sortBy(_.getPath.getName).lastOption
+    newest match {
+      case Some(st) => (tbl.toString,
+        st.getPath.getName.stripSuffix(".json").toLong, st.getLen,
+        st.getModificationTime)
+      case None => (tbl.toString, -1L, -1L, -1L)
+    }
+  }
+
+  /** Memo for [[tableConfiguration]] keyed by [[logIdentity]]: a snapshot
+    * read consults the configuration 2-3 times (mapping-mode gate, read
+    * rename, write path) and each uncached call walks commits
+    * newest→oldest until it finds a metaData — typically all the way to
+    * version 0, so a long-history table paid O(versions) I/O per
+    * consultation. Any new or rewritten commit changes the key, so this
+    * is pure memoization (the function always resolves the NEWEST
+    * metaData).
     */
   private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Map[String, String]]()
+
+  /** Memo for [[requireNoDeletionVectors]]'s snapshot scan under the same
+    * identity: without it every append/merge paid a full log replay
+    * (checkpoint parquet read + commit parse) just to test dv.isDefined —
+    * on a streaming foreachBatch sink that is per-micro-batch latency.
+    */
+  private val dvCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), java.lang.Boolean]()
 
   /** Table configuration map from the newest metaData (same visibility
     * rule as [[tableSchemaJson]]).
     */
   private def tableConfiguration(spark: SparkSession, fs: FileSystem,
       tbl: HPath): Map[String, String] = {
-    val cacheKey = (tbl.toString,
-      existingVersions(fs, logDir(tbl)).lastOption.getOrElse(-1L))
+    val cacheKey = logIdentity(fs, tbl)
     val hit = confCache.get(cacheKey)
     if (hit != null) return hit
     import com.fasterxml.jackson.databind.ObjectMapper
@@ -1173,6 +1204,12 @@ object DeltaLog {
             s"$path uses id-mode column mapping with partition columns; " +
               "partition directories carry physical names that field-id " +
               "matching cannot resolve — unpartitioned id tables only")
+        // session-wide by necessity (there is no per-read form of this
+        // conf) and deliberately left on: it is a NO-OP for any read
+        // whose schema carries no parquet.field.id metadata (matching
+        // stays by name), and a schema that DOES carry field ids is
+        // asking for by-id resolution — restoring the old value after
+        // the read would also race concurrent queries mid-plan
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         val readSchema = fieldIdReadType(logical, tbl).asInstanceOf[StructType]
         val df = spark.read
@@ -1373,9 +1410,22 @@ object DeltaLog {
     */
   private def requireNoDeletionVectors(spark: SparkSession, path: String,
       op: String, versionAsOf: Option[Long] = None): Unit = {
-    val hasDv =
-      try activeAddsAsOf(spark, path, versionAsOf).exists(_.dv.isDefined)
-      catch { case _: IllegalArgumentException => false }
+    val tbl0 = new HPath(path)
+    val fs0 = tbl0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = logIdentity(fs0, tbl0)
+    val cached = if (versionAsOf.isEmpty) dvCache.get(key) else null
+    val hasDv: Boolean =
+      if (cached != null) cached.booleanValue
+      else {
+        val v =
+          try activeAddsAsOf(spark, path, versionAsOf).exists(_.dv.isDefined)
+          catch { case _: IllegalArgumentException => false }
+        if (versionAsOf.isEmpty) {
+          if (dvCache.size > 256) dvCache.clear()
+          dvCache.put(key, java.lang.Boolean.valueOf(v))
+        }
+        v
+      }
     if (hasDv) throw graft.GraftError.InvalidOperation(op,
       s"$path carries deletion vectors; this writer's copy-on-write and " +
         "maintenance paths do not rewrite or preserve DV files (a naive " +

@@ -87,11 +87,16 @@ def main() -> int:
             continue
         want = c["value"]
         tol = c.get("tol", 0.005)
-        ok = (
-            str(got) == want
-            if isinstance(want, str)
-            else abs(got - want) <= abs(want) * tol + 1e-12
-        )
+        try:
+            ok = (
+                str(got) == want
+                if isinstance(want, str)
+                else abs(got - want) <= abs(want) * tol + 1e-12
+            )
+        except TypeError:
+            # shape drift (expr now yields None / a tuple where a number
+            # was claimed) is itself a stale-doc signal, not a crash
+            ok = False
         if not ok:
             failures.append(
                 f"STALE-DOC {tag}: artifact-derived {got!r} != claimed {want!r}"
