@@ -1012,6 +1012,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6))
   }
 
+  test("two-level assignment fidelity at the default meta probe width is high and total") {
+    // quantifies the approximation the scaladoc admits: at metaProbes=8
+    // of m=18 cells (nlist=300 on the 500-vector fixture), what fraction
+    // of points still get their TRUE nearest centroid — and nobody is
+    // dropped (the totality contract)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val n = c.count()
+    val nlist = 300
+    val cents = Similarity.seedAndRefine(c, nlist, 1)
+    val flat = c.join(org.apache.spark.sql.functions.broadcast(cents))
+      .withColumn("d", VF.l2Distance(col("cv"), col("centv")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("corpus_id"))
+          .orderBy(col("d").asc, col("cent_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("corpus_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val twoLevel = Similarity.twoLevelNearestLists(
+      c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
+      cents, n = 1, nlistHint = nlist,
+      metaProbes = Similarity.DefaultMetaProbes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(twoLevel.size == n, s"totality: ${twoLevel.size} of $n assigned")
+    val agree = flat.count { case (id, cent) => twoLevel.get(id).contains(cent) }
+    val fidelity = agree.toDouble / n
+    info(f"assignment fidelity at metaProbes=8 of m=18: $fidelity%.3f ($agree/$n)")
+    assert(fidelity >= 0.8,
+      f"two-level assignment fidelity $fidelity%.3f below 0.8 — the " +
+        "probe width no longer covers the true nearest centroid's cell")
+  }
+
   test("bucketed IVF layout above threshold: dirs capped, probes exact, append visible") {
     // autoNlist at corpus scale means nlist ∝ N — one directory PER LIST
     // is a filesystem-metadata explosion at 10⁹ vectors. Above the
