@@ -743,6 +743,24 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // DV-native DELETE: the mutation a DV-enabled table actually
+    // supports — the second delete attaches fresh deletion vectors and
+    // UNIONS them with the fixture's existing ones, no data file is
+    // rewritten. The oracle recomputes both predicates from customer.
+    "q_delta_dv_delete" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_dv_del"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(4, col("c_custkey"))
+      graft.sources.DeltaLog.writeWithDeletionVectors(
+        c, path, "c_custkey % 3 = 0", inlineFirst = true)
+      graft.sources.DeltaLog.deleteWhereViaDv(s, path, "c_custkey % 5 = 0")
+      Loaders.load(s, path, "customer_dv_del")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // time travel: version 0 of the same table q_delta_roundtrip builds
     // (overwrite + append) must read back as the PRE-append snapshot
     // change-feed read (file-level CDF): three deterministic versions are
@@ -2736,6 +2754,11 @@ object SparkEntry {
     "q_delta_colmap_id" ->
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
         "c_mktsegment FROM customer GROUP BY c_mktsegment"),
+
+    "q_delta_dv_delete" ->
+      ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0 " +
+        "AND c_custkey % 5 <> 0 GROUP BY c_mktsegment"),
 
     "q_with_ctes" ->
       ("WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000), " +

@@ -1370,6 +1370,29 @@ object DeltaLog {
     out.toArray
   }
 
+  /** Serialize sorted deleted row positions as a DV payload (the exact
+    * inverse of [[decodeDvPayload]]): magic + RoaringBitmapArray
+    * portable, one 32-bit bitmap per 2³² index block.
+    */
+  private[sources] def dvPayload(idxs: Array[Long]): Array[Byte] = {
+    require(idxs.nonEmpty, "dvPayload: empty delete set")
+    val maxHigh = (idxs.last >> 32).toInt
+    val bitmaps = (0 to maxHigh).map { h =>
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      idxs.foreach { i =>
+        if ((i >> 32).toInt == h) rb.add((i & 0xffffffffL).toInt) }
+      rb.runOptimize()
+      rb
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + 8 + bitmaps.map(_.serializedSizeInBytes()).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(DvMagic)
+    bb.putLong(bitmaps.length.toLong)
+    bitmaps.foreach(_.serialize(bb))
+    bb.array()
+  }
+
   /** Anti-join the scan against each DV'd file's deleted row positions.
     * Driver work is bounded by the DESCRIPTORS (payloads are KB-scale by
     * protocol design); the bitmaps are decoded to (file, rowIndex) rows in
@@ -1380,10 +1403,11 @@ object DeltaLog {
     * absolute-path keys invite.
     */
   private def applyDeletionVectors(spark: SparkSession, path: String,
-      adds: Seq[DeltaStats.AddEntry], df: DataFrame): DataFrame = {
+      adds: Seq[DeltaStats.AddEntry], df: DataFrame,
+      keepMeta: Boolean = false): DataFrame = {
     val withDv = adds.filter(a => a.dv.exists(_.cardinality > 0))
     if (withDv.isEmpty)
-      return if (df.columns.contains(DvFileCol))
+      return if (!keepMeta && df.columns.contains(DvFileCol))
         df.drop(DvFileCol, DvRowCol) else df
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1401,8 +1425,119 @@ object DeltaLog {
       .flatMap { case (name, bytes) =>
         decodeDvPayload(bytes).map(ri => (name, ri)) }
       .toDF(DvFileCol, DvRowCol)
-    df.join(deleted, Seq(DvFileCol, DvRowCol), "left_anti")
-      .drop(DvFileCol, DvRowCol)
+    val filtered = df.join(deleted, Seq(DvFileCol, DvRowCol), "left_anti")
+    if (keepMeta) filtered else filtered.drop(DvFileCol, DvRowCol)
+  }
+
+  /** DELETE WITHOUT REWRITING DATA FILES on a DV-enabled table: rows
+    * matching `predicate` (SQL over the snapshot's columns) are removed
+    * by attaching per-file roaring-bitmap deletion vectors — the modern
+    * writer's fast-delete path, and the ONE mutation a DV-bearing table
+    * supports here (the copy-on-write paths refuse on such tables
+    * because they cannot preserve DV semantics; this path IS the DV
+    * semantics). Existing DVs are unioned in; per the protocol the
+    * commit removes and re-adds each touched file with its new
+    * descriptor. Gated on the table already declaring
+    * `delta.enableDeletionVectors=true` — this writer never upgrades a
+    * table's protocol silently. Losing the commit slot throws (the
+    * computed row sets are stale); re-run against the fresh snapshot.
+    *
+    * Scale note: the matched row POSITIONS collect to the driver to
+    * build the bitmaps, so driver memory is bounded by this call's
+    * deleted-row count (the regime DVs are designed for — small deletes
+    * against huge files; a delete touching most of the table wants a
+    * rewrite instead). Returns the number of newly deleted rows.
+    */
+  def deleteWhereViaDv(spark: SparkSession, path: String,
+      predicate: String): Long = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tableConfiguration(spark, fs, tbl)
+        .getOrElse("delta.enableDeletionVectors", "false") != "true")
+      throw graft.GraftError.InvalidOperation("delete_delta_dv",
+        s"$path does not declare delta.enableDeletionVectors=true; DV " +
+          "deletes are only written to tables already carrying the " +
+          "feature (no silent protocol upgrade) — use the copy-on-write " +
+          "deleteWhere")
+    val adds = activeAddsAsOf(spark, path, None)
+    require(adds.nonEmpty, s"deleteWhereViaDv: empty delta table $path")
+    val files = adds.map(a => new HPath(tbl, a.rel).toString)
+    // matching LIVE rows (existing DVs applied) with their physical
+    // positions — rows a previous DV already deleted must not re-count
+    val live = applyDeletionVectors(spark, path, adds,
+      readDataFiles(spark, path, files, withRowMeta = true), keepMeta = true)
+    val matched: Map[String, Array[Long]] = live.where(expr(predicate))
+      .groupBy(col(DvFileCol))
+      .agg(org.apache.spark.sql.functions.collect_list(col(DvRowCol)).as("graft_ris"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Long](1).toArray.sorted).toMap
+    if (matched.isEmpty) return 0L
+    val byName: Map[String, DeltaStats.AddEntry] =
+      adds.map(a => new HPath(a.rel).getName -> a).toMap
+    val mergedSets: Seq[(DeltaStats.AddEntry, Array[Long])] =
+      matched.toSeq.sortBy(_._1).map { case (name, ris) =>
+        val add = byName.getOrElse(name, throw new IllegalStateException(
+          s"deleteWhereViaDv: matched rows in unknown file $name"))
+        val existing = add.dv
+          .map(d => decodeDvPayload(loadDvPayload(fs, tbl, d)))
+          .getOrElse(Array.empty[Long])
+        add -> (existing ++ ris).distinct.sorted
+      }
+    // one fresh DV bin file for this commit's descriptors
+    val uuid = java.util.UUID.randomUUID()
+    val uuidZ85 = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(uuid.getMostSignificantBits)
+      bb.putLong(uuid.getLeastSignificantBits)
+      z85Encode(bb.array())
+    }
+    val dvFile = new HPath(tbl, s"deletion_vector_$uuid.bin")
+    val descriptors = scala.collection.mutable.Map.empty[String, String]
+    val out = fs.create(dvFile, true)
+    try {
+      out.write(1)
+      var pos = 1L
+      mergedSets.foreach { case (add, idxs) =>
+        val data = dvPayload(idxs)
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        out.writeInt(data.length)
+        out.write(data)
+        out.writeInt(crc.getValue.toInt)
+        descriptors(add.rel) =
+          s"""{"storageType":"u","pathOrInlineDv":"$uuidZ85",""" +
+            s""""offset":$pos,"sizeInBytes":${data.length},""" +
+            s""""cardinality":${idxs.length}}"""
+        pos += 4L + data.length + 4L
+      }
+    } finally out.close()
+    // the protocol shape of a DV update: remove + re-add the same path
+    // with the new descriptor, one commit, dataChange on both
+    val log = logDir(tbl)
+    val version = existingVersions(fs, log).lastOption.map(_ + 1).getOrElse(
+      throw graft.GraftError.InvalidOperation("delete_delta_dv",
+        s"$path is not a delta table (no _delta_log)"))
+    val txnId = java.util.UUID.randomUUID().toString
+    val now = System.currentTimeMillis()
+    val actions = ListBuffer.empty[String]
+    actions += s"""{"commitInfo":{"operation":"DELETE","txnId":"$txnId"}}"""
+    mergedSets.foreach { case (add, _) =>
+      val pvJson = add.partitionValues.map { case (k, v) =>
+        s""""${esc(k)}":${if (v == null) "null" else "\"" + esc(v) + "\""}"""
+      }.mkString("{", ",", "}")
+      val stats = add.stats.map(js => s""","stats":"${esc(js)}"""").getOrElse("")
+      actions += s"""{"remove":{"path":"${esc(add.rel)}","deletionTimestamp":$now,"dataChange":true}}"""
+      actions += s"""{"add":{"path":"${esc(add.rel)}","partitionValues":$pvJson,""" +
+        s""""size":${add.size},"modificationTime":$now,"dataChange":true""" +
+        s"""$stats,"deletionVector":${descriptors(add.rel)}}}"""
+    }
+    if (!acquireCommitSlot(fs, log, version, txnId, actions.mkString("\n") + "\n")) {
+      fs.delete(dvFile, false)
+      throw graft.GraftError.WriteError(path, "delete_delta_dv",
+        s"version-$version commit lost to a concurrent writer — the DV " +
+          "row sets are stale; re-run against the fresh snapshot")
+    }
+    matched.valuesIterator.map(_.length.toLong).sum
   }
 
   /** Does the active snapshot carry any deletion vectors? The write-side
@@ -1463,23 +1598,6 @@ object DeltaLog {
         .where(expr(deletePredicate))
         .collect().map(_.getLong(0)).sorted
     }
-    def payload(idxs: Array[Long]): Array[Byte] = {
-      val maxHigh = (idxs.last >> 32).toInt
-      val bitmaps = (0 to maxHigh).map { h =>
-        val rb = new org.roaringbitmap.RoaringBitmap()
-        idxs.foreach { i =>
-          if ((i >> 32).toInt == h) rb.add((i & 0xffffffffL).toInt) }
-        rb.runOptimize()
-        rb
-      }
-      val bb = java.nio.ByteBuffer.allocate(
-        4 + 8 + bitmaps.map(_.serializedSizeInBytes()).sum)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(DvMagic)
-      bb.putLong(bitmaps.length.toLong)
-      bitmaps.foreach(_.serialize(bb))
-      bb.array()
-    }
     val uuid = java.util.UUID.nameUUIDFromBytes((path + "#dv").getBytes("UTF-8"))
     val uuidZ85 = {
       val bb = java.nio.ByteBuffer.allocate(16)
@@ -1496,7 +1614,7 @@ object DeltaLog {
       var pos = 1L
       delByFile.foreach { case (rel, idxs) =>
         if (idxs.nonEmpty) {
-          val data = payload(idxs)
+          val data = dvPayload(idxs)
           val inline = inlineFirst && rel == delByFile.find(_._2.nonEmpty).get._1
           if (inline) {
             val padded = data ++ new Array[Byte]((4 - data.length % 4) % 4)

@@ -456,7 +456,24 @@ class WritersSpec extends SparkSpec {
     assert(filtered.count() == (100L until 200L).count(_ % 3 != 0))
     val none = DeltaLog.readWhere(spark, p, "id % 3 = 0")
     assert(none.count() == 0L)
-    // every mutation/maintenance path refuses typed on a DV table
+    // DV-native delete: the ONE mutation a DV table supports — attaches
+    // and UNIONS deletion vectors, never rewrites a data file. ids 0..199
+    // live = %3!=0 (133); of those, %5==0 matches 26; both gone after.
+    assert(DeltaLog.deleteWhereViaDv(spark, p, "id % 5 = 0") == 26L)
+    val afterDv = DeltaLog.read(spark, p)
+    assert(afterDv.count() == 107L, s"got ${afterDv.count()}")
+    assert(afterDv.where($"id" % 5 === 0 || $"id" % 3 === 0).count() == 0L)
+    // nothing live matches on a re-run (already-deleted rows don't recount)
+    assert(DeltaLog.deleteWhereViaDv(spark, p, "id % 5 = 0") == 0L)
+    // the data files are untouched — all 200 physical rows remain
+    assert(spark.read.parquet(s"$p/part-*.parquet").count() == 200L)
+    // a table NOT declaring the feature refuses the DV delete typed
+    val plain = tmp("delta_dv_plain")
+    Writers.writeDeltaTable(df, "overwrite", plain)
+    val ePlain = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.deleteWhereViaDv(spark, plain, "id = 1") }
+    assert(ePlain.getMessage.contains("enableDeletionVectors"))
+    // every copy-on-write/maintenance path refuses typed on a DV table
     val upd = Seq((1L, 9L, 9.9)).toDF("id", "grp", "v")
     def refused(body: => Any): String =
       intercept[graft.GraftError.InvalidOperation](body).getMessage
