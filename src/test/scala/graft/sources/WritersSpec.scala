@@ -467,6 +467,10 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.deleteWhereViaDv(spark, p, "id % 5 = 0") == 0L)
     // the data files are untouched — all 200 physical rows remain
     assert(spark.read.parquet(s"$p/part-*.parquet").count() == 200L)
+    // time travel applies each version's OWN DVs: v0 = fixture deletes
+    // only (%3), v1 = after the DV-native %5 delete
+    assert(DeltaLog.read(spark, p, Some(0L)).count() == 133L)
+    assert(DeltaLog.read(spark, p, Some(1L)).count() == 107L)
     // a table NOT declaring the feature refuses the DV delete typed
     val plain = tmp("delta_dv_plain")
     Writers.writeDeltaTable(df, "overwrite", plain)
