@@ -702,6 +702,13 @@ object SparkEntry {
           .withColumn("c_acctbal", col("c_acctbal") + 1000),
         Seq("c_custkey"), path)
       graft.sources.DeltaLog.deleteWhere(s, path, "c_custkey % 10 = 7")
+      // v4: schema-stable MERGE through the mapped path — re-inserts the
+      // deleted %10==7 slice at +500, staged physical, metaData (the
+      // mapping annotations) preserved rather than re-minted
+      graft.sources.DeltaLog.write(
+        c.where(col("c_custkey") % 10 === 7)
+          .withColumn("c_acctbal", col("c_acctbal") + 500),
+        "merge", path)
       Loaders.load(s, path, "customer_cm")
         .select("c_mktsegment")
         .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
@@ -718,6 +725,45 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       graft.sources.DeltaLog.writeIdMapped(c, path)
       Loaders.load(s, path, "customer_cm_id")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
+    // PARTITIONED id-mode table: data columns still resolve by parquet
+    // field id, while the partition column lives in PHYSICAL-named
+    // `col-<uuid>=value` directories and is mapped back to its logical
+    // name through the schema annotations. Grouping by the partition
+    // column itself makes a wrong directory-resolution unmissable.
+    "q_delta_colmap_id_part" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_colmap_id_part"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.writeIdMapped(c, path,
+        partitionBy = Seq("c_mktsegment"))
+      Loaders.load(s, path, "customer_cm_id_part")
+        .filter("c_custkey % 2 = 0")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
+    // DV table THROUGH a checkpoint: after the DV-native delete the log
+    // is checkpointed and every folded commit deleted — the read must
+    // reconstruct the snapshot (including both DV generations' union)
+    // from the checkpoint parquet alone. This is the bounded-replay path
+    // a long-lived delete-heavy 100 TB table lives on.
+    "q_delta_dv_checkpoint" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_dv_cp"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(4, col("c_custkey"))
+      graft.sources.DeltaLog.writeWithDeletionVectors(
+        c, path, "c_custkey % 3 = 0", inlineFirst = true)
+      graft.sources.DeltaLog.deleteWhereViaDv(s, path, "c_custkey % 5 = 0")
+      graft.sources.DeltaLog.writeCheckpoint(s, path, 1L)
+      graft.sources.DeltaLog.cleanupLog(s, path)
+      Loaders.load(s, path, "customer_dv_cp")
         .select("c_mktsegment")
         .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
         .groupBy("c_mktsegment").toDF
@@ -2741,9 +2787,13 @@ object SparkEntry {
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey % 10 = 0) GROUP BY c_mktsegment",
 
     "q_delta_colmap" ->
-      ("SELECT count(*) AS n, round(sum(CASE WHEN c_custkey % 10 = 1 " +
-        "THEN c_acctbal + 1000 ELSE c_acctbal END), 2) AS total_bal, " +
-        "c_mktsegment FROM customer WHERE c_custkey % 10 <> 7 " +
+      ("SELECT count(*) AS n, round(sum(bal), 2) AS total_bal, " +
+        "c_mktsegment FROM (" +
+        "SELECT c_mktsegment, CASE WHEN c_custkey % 10 = 1 " +
+        "THEN c_acctbal + 1000 ELSE c_acctbal END AS bal FROM customer " +
+        "WHERE c_custkey % 10 <> 7 " +
+        "UNION ALL SELECT c_mktsegment, c_acctbal + 500 AS bal " +
+        "FROM customer WHERE c_custkey % 10 = 7) " +
         "GROUP BY c_mktsegment"),
 
     "q_delta_dv" ->
@@ -2754,6 +2804,16 @@ object SparkEntry {
     "q_delta_colmap_id" ->
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
         "c_mktsegment FROM customer GROUP BY c_mktsegment"),
+
+    "q_delta_colmap_id_part" ->
+      ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 2 = 0 " +
+        "GROUP BY c_mktsegment"),
+
+    "q_delta_dv_checkpoint" ->
+      ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0 " +
+        "AND c_custkey % 5 <> 0 GROUP BY c_mktsegment"),
 
     "q_delta_dv_delete" ->
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +

@@ -520,8 +520,53 @@ object Similarity {
       s"buildIvfIndex: the trainFraction=$trainFraction hash sample " +
         "selected no rows — raise trainFraction")
     centroids.write.mode("overwrite").parquet(s"${path}_centroids")
-    writeIndexPartitioned(assignToLists(c, centroids, nlistHint = nlist),
+    // above the two-level threshold, persist the meta quantizer next to
+    // the centroids: probes would otherwise re-run its O(nlist^1.5)
+    // Lloyd pass PER CALL. The build consumes the just-persisted copy so
+    // assign and every future probe share one bit-identical quantizer.
+    val pre = writeMetaPre(corpus.sparkSession, centroids, nlist, path)
+    writeIndexPartitioned(
+      assignToLists(c, centroids, nlistHint = nlist, metaPre = pre),
       path, nlist, "overwrite")
+  }
+
+  /** Persist (or clear) the two-level meta quantizer for an index being
+    * (re)built at `path`; returns the persisted quantizer for the build's
+    * own assign stage. A small-nlist rebuild DELETES stale quantizer dirs
+    * left by a previous large build — a probe must never pair an old
+    * quantizer with new centroids.
+    */
+  private def writeMetaPre(spark: org.apache.spark.sql.SparkSession,
+      centroids: DataFrame, nlist: Int,
+      path: String): Option[(DataFrame, DataFrame)] = {
+    val metaDir = s"${path}_meta"
+    val cmapDir = s"${path}_cmap"
+    if (nlist <= TwoLevelThreshold) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(metaDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(cmapDir), true)
+      None
+    } else {
+      val (metas, cmap) = metaQuantizer(centroids, nlist, DefaultMetaProbes)
+      metas.write.mode("overwrite").parquet(metaDir)
+      cmap.write.mode("overwrite").parquet(cmapDir)
+      loadMetaPre(spark, path)
+    }
+  }
+
+  /** The persisted meta quantizer of an index, when present (large-nlist
+    * builds write it; older or small indexes fall back to on-the-fly
+    * construction inside the two-level kernel).
+    */
+  private def loadMetaPre(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[(DataFrame, DataFrame)] = {
+    val mp = new org.apache.hadoop.fs.Path(s"${indexPath}_meta")
+    val cp = new org.apache.hadoop.fs.Path(s"${indexPath}_cmap")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp) && fs.exists(cp))
+      Some((spark.read.parquet(mp.toString), spark.read.parquet(cp.toString)))
+    else None
   }
 
   /** Append a batch to a persisted IVF index WITHOUT re-clustering: new
@@ -538,31 +583,54 @@ object Similarity {
     val spark = newVectors.sparkSession
     val centroids = spark.read.parquet(s"${indexPath}_centroids")
     val c = newVectors.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val assigned = assignToLists(c, centroids)
+    val assigned = assignToLists(c, centroids,
+      metaPre = loadMetaPre(spark, indexPath))
     // match the EXISTING index's layout — mixing layouts would hide rows
     if (indexIsBucketed(spark, indexPath))
       writeIndexPartitioned(assigned, indexPath, Long.MaxValue, "append")
     else assigned.write.mode("append").partitionBy("list_id").parquet(indexPath)
   }
 
+  /** Probed-list literal cap for [[ivfTopKIndexed]]. An interactive probe
+    * (Q queries × nprobe lists) collects its DISTINCT probed list ids to
+    * a driver literal that Catalyst turns into partition pruning — the
+    * right plan when the set is small. A BATCH probe (Q ~10⁶) would
+    * collect an unbounded literal; past this cap the probe routes
+    * through a shuffle join on list_id instead (the [[ivfKnnEdges]]
+    * shape): no driver literal, per-list bounded work, and at that
+    * probed-set density the pruning literal would have kept most
+    * partitions anyway.
+    */
+  private[operators] val MaxProbedLiteral: Int = 4096
+
   /** Probe a persisted IVF index: nearest nprobe centroids per query, then
-    * read ONLY those lists' partitions (the probed list-id set is tiny —
-    * ≤ nprobe × queries — so it collects to a literal isin filter that
-    * Catalyst turns into partition pruning), exact cosine re-rank.
+    * read ONLY those lists' partitions (small probed set → a literal isin
+    * filter that Catalyst turns into partition pruning; past
+    * [[MaxProbedLiteral]] distinct lists → a shuffle join, see there),
+    * exact cosine re-rank. Results are identical on both routes
+    * (spec-asserted) — the switch is purely a plan choice.
     */
   def ivfTopKIndexed(indexPath: String, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+      vecCol: String, idCol: String, k: Int, nprobe: Int = 4,
+      maxProbedLiteral: Int = MaxProbedLiteral): DataFrame = {
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"${indexPath}_centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qLists = probeLists(q, centroids, nprobe)
+    val qLists = probeLists(q, centroids, nprobe,
+      metaPre = loadMetaPre(spark, indexPath))
     // collect list ids as raw values so the isin literals keep the
     // partition column's native type (a long literal against an int
-    // partition column would defeat pruning; a getLong would crash)
+    // partition column would defeat pruning; a getLong would crash).
+    // limit(cap+1) bounds the collect itself — the overflow row is the
+    // route signal, never materialized further.
     val probed = qLists.select("list_id").distinct()
-      .collect().map(_.get(0))
-    val assigned = readIndexLists(spark, indexPath, probed)
-    val joined = assigned.join(broadcast(qLists), Seq("list_id"))
+      .limit(maxProbedLiteral + 1).collect().map(_.get(0))
+    val (assigned, probeSide) =
+      if (probed.length <= maxProbedLiteral)
+        (readIndexLists(spark, indexPath, probed), broadcast(qLists))
+      else // batch regime: no driver literal, no broadcast of a huge Q
+        (readIndexLists(spark, indexPath, probed = null), qLists)
+    val joined = assigned.join(probeSide, Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
     topKPerQuery(joined, "cos", scoreDesc = true, k, "rank")
@@ -586,7 +654,8 @@ object Similarity {
     val spark = vectors.sparkSession
     val centroids = spark.read.parquet(s"${indexPath}_centroids")
     val q = vectors.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qLists = probeLists(q, centroids, nprobe)
+    val qLists = probeLists(q, centroids, nprobe,
+      metaPre = loadMetaPre(spark, indexPath))
     val assigned = readIndexLists(spark, indexPath, probed = null)
     val joined = assigned.join(qLists, Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))

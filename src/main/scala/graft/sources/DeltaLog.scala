@@ -264,6 +264,19 @@ object DeltaLog {
       .map(_.getPath.getName).filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong).sorted
 
+  /** The next free commit version, or None when the directory has no
+    * delta log at all. MUST consult the checkpoint as well as the commit
+    * files: after [[cleanupLog]] folds every commit into a checkpoint the
+    * log dir holds no .json at all, and a writer that restarted at the
+    * commit-file max (or worse, at version 0) would land BEHIND the
+    * checkpoint — invisible to replay, silent data loss.
+    */
+  private def nextVersion(fs: FileSystem, log: HPath): Option[Long] = {
+    val fromCommits = existingVersions(fs, log).lastOption
+    val fromCp = lastCheckpointVersion(fs, log)
+    (fromCommits.toSeq ++ fromCp.toSeq).maxOption.map(_ + 1)
+  }
+
   /** Write `df` as a delta table: parquet data files + a numbered commit.
     * mode: overwrite (wipe + version 0), append (next version, add
     * actions for the new files only), merge (append + refreshed metaData
@@ -295,7 +308,7 @@ object DeltaLog {
     // latter case any parquet already in the directory is BOOTSTRAPPED
     // into the version-0 snapshot, never wiped — an append must not
     // destroy a pre-delta table.
-    val hasLog = existingVersions(fs, logDir(tbl)).nonEmpty
+    val hasLog = nextVersion(fs, logDir(tbl)).isDefined
     val fresh = m == "overwrite" || !hasLog
     // Column-mapped tables: APPEND is supported by renaming the incoming
     // frame's logical columns to the table's physical names (from the
@@ -305,10 +318,13 @@ object DeltaLog {
     // PARTITIONED appends (physical-named partition dirs) stay refused
     // typed; overwrite replaces the log and metaData wholesale (the
     // table becomes plain mode=none).
-    // append/merge into a DV-bearing table would eventually checkpoint
-    // the log through a schema that drops the DV descriptors — refuse
-    // typed (overwrite replaces the table wholesale and is fine)
-    if (hasLog && m != "overwrite")
+    // APPEND into a DV-bearing table is safe: it only ADDS files (never
+    // touches the DV'd ones) and checkpoints carry DV descriptors through
+    // the fold. MERGE stays refused: its metaData refresh reads the raw
+    // table directory for the merged schema, which trips over the
+    // deletion_vector_*.bin files (and a schema-evolving merge has no
+    // defined DV semantics here).
+    if (hasLog && m == "merge")
       requireNoDeletionVectors(spark, path, "write_delta")
     val mappedSchema: Option[StructType] =
       if (hasLog && m != "overwrite") {
@@ -320,10 +336,11 @@ object DeltaLog {
               "id, which this writer does not emit)")
         val mapped = logicalSchemaIfNameMapped(spark, fs, tbl)
         mapped.foreach { _ =>
-          if (m == "merge") throw graft.GraftError.InvalidOperation("write_delta",
-            s"$tbl uses name-mode column mapping; merge would refresh the " +
-              "metaData with the frame's unmapped schema and clobber the " +
-              "mapping — use append (schema-stable) or overwrite")
+          // merge IS supported on mapped tables when schema-stable: the
+          // column checks below (no missing, no extra vs the logical
+          // schema) are exactly that gate, and the commit PRESERVES the
+          // table's metaData instead of re-minting it (see actionsFor) —
+          // a refreshed metaData would clobber the mapping annotations
           if (partitionBy.nonEmpty) throw graft.GraftError.InvalidOperation(
             "write_delta", s"$tbl uses name-mode column mapping; " +
               "partitioned appends (physical-named partition directories) " +
@@ -428,8 +445,11 @@ object DeltaLog {
           s""""lastUpdated":${System.currentTimeMillis()}}}"""
       }
       if (version == 0L) actions += protocolAction
-      if (version == 0L || m == "merge") {
-        // merge commits refresh metaData with the post-write merged schema
+      // merge commits refresh metaData with the post-write merged schema —
+      // EXCEPT on a mapped table, where the gate above already proved the
+      // merge schema-stable and the existing metaData (the mapping
+      // annotations) must be preserved, not re-minted from the raw frame
+      if (version == 0L || (m == "merge" && mappedSchema.isEmpty)) {
         val schema =
           if (m == "merge")
             spark.read.option("mergeSchema", "true").parquet(path).schema
@@ -447,7 +467,7 @@ object DeltaLog {
     // re-committing at the next version is safe.
     fs.mkdirs(logDir(tbl))
     var version = if (fresh) 0L
-      else existingVersions(fs, logDir(tbl)).lastOption.map(_ + 1).getOrElse(0L)
+      else nextVersion(fs, logDir(tbl)).getOrElse(0L)
     var committed = false
     var attempts = 0
     val maxAttempts = 20
@@ -467,7 +487,7 @@ object DeltaLog {
             latestTxnVersion(spark, fs, logDir(tbl), appId).exists(_ >= v) })
           committed = true
         else version = math.max(version + 1,
-          existingVersions(fs, logDir(tbl)).lastOption.map(_ + 1).getOrElse(0L))
+          nextVersion(fs, logDir(tbl)).getOrElse(0L))
       }
     }
     if (!committed)
@@ -611,7 +631,7 @@ object DeltaLog {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
-    val version = existingVersions(fs, log).lastOption.map(_ + 1).getOrElse(
+    val version = nextVersion(fs, log).getOrElse(
       throw graft.GraftError.InvalidOperation(op.toLowerCase,
         s"$path is not a delta table (no _delta_log)"))
     val partitionBy = latestPartitionColumns(fs, log).getOrElse(Nil)
@@ -687,13 +707,18 @@ object DeltaLog {
     * pointer. Readers then replay from the checkpoint and only the
     * commits after it — and commits ≤ v become garbage-collectable, which
     * is what keeps a long-lived 100 TB table's log replay bounded.
+    *
+    * The active set comes from the same VERSION-ORDERED replay the
+    * readers use ([[activeAddsAsOf]]): a path removed and later RE-ADDED
+    * (RESTORE; a DV delete's remove+re-add of the same file) must end
+    * active, and per path the NEWEST add row wins — which is also what
+    * carries a deletion-vector descriptor through the fold, so DV-bearing
+    * tables (exactly the long-lived, delete-heavy tables DVs exist for)
+    * can bound their log replay too instead of refusing to checkpoint.
     */
   def writeCheckpoint(spark: SparkSession, path: String, version: Long): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the checkpoint schema here does not carry deletionVector structs --
-    // folding a DV'd add into it would silently drop the row filter
-    requireNoDeletionVectors(spark, path, "checkpoint_delta", Some(version))
     val log = logDir(tbl)
     // sources: the previous checkpoint (older commits may be gone) plus
     // the commits after it, up to `version`
@@ -708,13 +733,35 @@ object DeltaLog {
     def part(df: DataFrame, c: String): Option[DataFrame] =
       if (df.columns.contains(c)) Some(df.where(col(c).isNotNull).select(col(c)))
       else None
-    val removed: Set[String] = part(logF, "remove")
-      .map(_.select(col("remove.path")).collect().map(_.getString(0)).toSet)
-      .getOrElse(Set.empty)
-    val addSources = prev.flatMap(part(_, "add")).toSeq ++ part(logF, "add").toSeq
-    val adds = addSources
+    // driver replay is O(active files) — the same cost profile the
+    // snapshot read already pays; the survivor filter below is a
+    // semi-join, never a collected literal
+    val sess = spark
+    import sess.implicits._
+    val activeDf = activeAddsAsOf(spark, path, Some(version))
+      .map(_.rel).toDF("graft_active_path")
+    // recency: previous-checkpoint rows are older than every replayed
+    // commit; commit rows rank by their version (from the file name)
+    val prevAdds = prev.flatMap(p =>
+      if (!p.columns.contains("add")) None
+      else Some(p.where(col("add").isNotNull)
+        .select(col("add"), lit(-1L).as("graft_rec"))))
+    val commitAdds =
+      if (!logF.columns.contains("add")) None
+      else Some(logF.where(col("add").isNotNull).select(col("add"),
+        org.apache.spark.sql.functions.regexp_extract(col("graft_f"),
+          "(\\d{20})\\.json", 1).cast("long").as("graft_rec")))
+    val adds = (prevAdds.toSeq ++ commitAdds.toSeq)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
-      .map(_.where(!col("add.path").isin(removed.toSeq: _*)))
+      .map { u =>
+        val alive = u.join(activeDf,
+          u("add.path") === activeDf("graft_active_path"), "left_semi")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("add.path")).orderBy(col("graft_rec").desc)
+        alive.withColumn("graft_rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("graft_rn") === 1).select(col("add"))
+      }
     // newest metaData/protocol: commits win over the previous checkpoint
     def newest(c: String): Option[DataFrame] =
       part(logF.orderBy(col("graft_f").desc), c).map(_.limit(1))
@@ -924,14 +971,18 @@ object DeltaLog {
       .getOrElse("delta.columnMapping.mode", "none")
 
   /** Cache identity of a table's log: path + newest commit version +
-    * that commit file's length and modification time. Keying on the
-    * version alone is WRONG when a table is recreated at the same path
-    * (overwrite / fixture rebuild): the new log can end at the same
-    * version number and a stale cache would serve the old table's
-    * configuration — silent wrong columns on a remapped table. The
-    * newest commit's (len, modTime) changes on any rewrite.
+    * that commit file's length and modification time + a CRC of its
+    * bytes. Keying on the version alone is WRONG when a table is
+    * recreated at the same path (overwrite / fixture rebuild): the new
+    * log can end at the same version number and a stale cache would
+    * serve the old table's configuration — silent wrong columns on a
+    * remapped table. (len, modTime) alone is still spoofable by an
+    * equal-length rebuild inside the filesystem's mtime granularity (1 s
+    * on some object stores), so the content CRC closes that window; the
+    * newest commit is a tiny file, one read per cache consultation vs
+    * the O(versions) walk the caches exist to avoid.
     */
-  private def logIdentity(fs: FileSystem, tbl: HPath): (String, Long, Long, Long) = {
+  private def logIdentity(fs: FileSystem, tbl: HPath): (String, Long, Long, Long, Long) = {
     val log = logDir(tbl)
     val newest =
       if (!fs.exists(log)) None
@@ -939,10 +990,13 @@ object DeltaLog {
         .filter(_.getPath.getName.matches("\\d{20}\\.json"))
         .sortBy(_.getPath.getName).lastOption
     newest match {
-      case Some(st) => (tbl.toString,
-        st.getPath.getName.stripSuffix(".json").toLong, st.getLen,
-        st.getModificationTime)
-      case None => (tbl.toString, -1L, -1L, -1L)
+      case Some(st) =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(readString(fs, st.getPath).getBytes("UTF-8"))
+        (tbl.toString,
+          st.getPath.getName.stripSuffix(".json").toLong, st.getLen,
+          st.getModificationTime, crc.getValue)
+      case None => (tbl.toString, -1L, -1L, -1L, -1L)
     }
   }
 
@@ -956,7 +1010,7 @@ object DeltaLog {
     * metaData).
     */
   private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Map[String, String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), Map[String, String]]()
 
   /** Memo for [[requireNoDeletionVectors]]'s snapshot scan under the same
     * identity: without it every append/merge paid a full log replay
@@ -964,7 +1018,7 @@ object DeltaLog {
     * on a streaming foreachBatch sink that is per-micro-batch latency.
     */
   private val dvCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), java.lang.Boolean]()
 
   /** Table configuration map from the newest metaData (same visibility
     * rule as [[tableSchemaJson]]).
@@ -1196,14 +1250,30 @@ object DeltaLog {
         // (the reader contract delta-spark implements) — Spark's native
         // field-id matching does exactly that once the read schema
         // carries parquet.field.id annotations, and since that schema is
-        // logical-named the scan needs no rename. Partition columns
-        // would still be discovered from PHYSICAL-named directories and
-        // miss the logical schema — refuse partitioned id tables typed.
-        if (tablePartitionColumns(spark, fs, tbl).exists(_.nonEmpty))
-          throw graft.GraftError.InvalidOperation("load_delta",
-            s"$path uses id-mode column mapping with partition columns; " +
-              "partition directories carry physical names that field-id " +
-              "matching cannot resolve — unpartitioned id tables only")
+        // logical-named the scan needs no rename. PARTITION columns live
+        // in directory names, not files, so they resolve by NAME against
+        // the physical-named `col=val` segments — mapped back to logical
+        // through the schema's physicalName annotations.
+        val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+        // metaData.partitionColumns may spell a partition column either
+        // logically (delta-spark) or physically (other writers) — match
+        // both against the annotated schema
+        val partFields: Seq[(org.apache.spark.sql.types.StructField, String)] =
+          pcols.map { pc =>
+            val f = logical.fields.find(f => f.name == pc ||
+              (f.metadata.contains(PhysicalNameKey) &&
+                f.metadata.getString(PhysicalNameKey) == pc))
+              .getOrElse(throw graft.GraftError.InvalidOperation("load_delta",
+                s"$tbl: partition column '$pc' not found in the mapped schema"))
+            val phys =
+              if (f.metadata.contains(PhysicalNameKey))
+                f.metadata.getString(PhysicalNameKey)
+              else f.name
+            (f, phys)
+          }
+        val partLogicalNames = partFields.map(_._1.name).toSet
+        val dataLogical = StructType(
+          logical.fields.filterNot(f => partLogicalNames(f.name)))
         // session-wide by necessity (there is no per-read form of this
         // conf) and deliberately left on: it is a NO-OP for any read
         // whose schema carries no parquet.field.id metadata (matching
@@ -1211,15 +1281,21 @@ object DeltaLog {
         // asking for by-id resolution — restoring the old value after
         // the read would also race concurrent queries mid-plan
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        val readSchema = fieldIdReadType(logical, tbl).asInstanceOf[StructType]
+        val readSchema = StructType(
+          fieldIdReadType(dataLogical, tbl).asInstanceOf[StructType].fields ++
+            partFields.map { case (f, phys) =>
+              org.apache.spark.sql.types.StructField(phys,
+                stripMeta(f.dataType), nullable = true) })
         val df = spark.read
           .option("basePath", path)
           .schema(readSchema)
           .parquet(files: _*)
         // strip the field-id/mapping metadata so it doesn't leak into
-        // downstream schemas
+        // downstream schemas; partition columns rename physical→logical
+        val physByLogical = partFields.map { case (f, phys) => f.name -> phys }.toMap
         df.select(logical.fields.map { lf =>
-          col(s"`${lf.name}`").cast(stripMeta(lf.dataType)).as(lf.name)
+          val src = physByLogical.getOrElse(lf.name, lf.name)
+          col(s"`$src`").cast(stripMeta(lf.dataType)).as(lf.name)
         } ++ meta: _*)
       case _ =>
         val df = spark.read
@@ -1313,32 +1389,8 @@ object DeltaLog {
     case "u" | "p" =>
       val file =
         if (dv.storageType == "p") new HPath(dv.pathOrInlineDv)
-        else {
-          // pathOrInlineDv = <optional prefix dirs><20-char z85 uuid>
-          val enc = dv.pathOrInlineDv
-          require(enc.length >= 20, s"DV uuid payload too short: '$enc'")
-          val (prefix, uuidPart) = enc.splitAt(enc.length - 20)
-          val raw = z85Decode(uuidPart)
-          val bb = java.nio.ByteBuffer.wrap(raw)
-          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-          val dir = if (prefix.isEmpty) tbl else new HPath(tbl, prefix)
-          new HPath(dir, s"deletion_vector_$uuid.bin")
-        }
-      val in = fs.open(file)
-      try {
-        in.seek(dv.offset.getOrElse(1L))
-        val size = in.readInt() // big-endian via DataInput
-        require(size == dv.sizeInBytes,
-          s"DV record size $size != descriptor sizeInBytes ${dv.sizeInBytes} in $file")
-        val data = new Array[Byte](size)
-        in.readFully(data)
-        val crc = in.readInt()
-        val c = new java.util.zip.CRC32()
-        c.update(data)
-        require(crc == c.getValue.toInt,
-          s"DV checksum mismatch in $file at offset ${dv.offset.getOrElse(1L)}")
-        data
-      } finally in.close()
+        else dvFilePath(tbl, dv.pathOrInlineDv)
+      readDvRecord(fs, file, dv.offset.getOrElse(1L), dv.sizeInBytes)
     case other =>
       throw graft.GraftError.InvalidOperation("load_delta",
         s"unsupported deletion-vector storageType '$other'")
@@ -1394,13 +1446,15 @@ object DeltaLog {
   }
 
   /** Anti-join the scan against each DV'd file's deleted row positions.
-    * Driver work is bounded by the DESCRIPTORS (payloads are KB-scale by
-    * protocol design); the bitmaps are decoded to (file, rowIndex) rows in
-    * EXECUTORS, so a large delete never materializes on the driver, and
-    * the anti-join distributes on the same keys. Keys on `_metadata`'s
-    * file NAME (uuid part names), with driver-asserted uniqueness across
-    * the snapshot — name keys sidestep URI-normalization mismatches that
-    * absolute-path keys invite.
+    * Driver work is bounded by the DESCRIPTORS (path/offset/size triples);
+    * the bin-file payload LOADS and the bitmap decodes both run in
+    * EXECUTORS — the driver never aggregates payload bytes, so a snapshot
+    * with millions of DV'd files costs the driver O(descriptors), and a
+    * large delete never materializes on the driver either. The anti-join
+    * distributes on the same keys. Keys on `_metadata`'s file NAME (uuid
+    * part names), with driver-asserted uniqueness across the snapshot —
+    * name keys sidestep URI-normalization mismatches that absolute-path
+    * keys invite.
     */
   private def applyDeletionVectors(spark: SparkSession, path: String,
       adds: Seq[DeltaStats.AddEntry], df: DataFrame,
@@ -1415,18 +1469,94 @@ object DeltaLog {
     require(names.distinct.length == names.length,
       s"loadDelta: duplicate data-file basenames in $path — the " +
         "deletion-vector row filter keys on file names")
-    // (fileName, payloadBytes) per DV'd file — tiny; decode in executors
-    val payloads: Seq[(String, Array[Byte])] = withDv.map { a =>
-      new HPath(a.rel).getName -> loadDvPayload(fs, tbl, a.dv.get)
+    // resolve each descriptor to (dataFileName, binFileUri, offset, size)
+    // on the driver (cheap string work); inline payloads ship their z85
+    // text in the uri slot with offset -1. Hadoop Configuration is not
+    // serializable — ship its entries and rebuild per executor partition.
+    val qualified = fs.makeQualified(tbl)
+    val descriptors: Seq[(String, String, Long, Int)] = withDv.map { a =>
+      val name = new HPath(a.rel).getName
+      val d = a.dv.get
+      d.storageType match {
+        case "i" => (name, d.pathOrInlineDv, -1L, d.sizeInBytes)
+        case "u" | "p" =>
+          val file =
+            if (d.storageType == "p") new HPath(d.pathOrInlineDv)
+            else dvFilePath(qualified, d.pathOrInlineDv)
+          (name, fs.makeQualified(file).toString,
+            d.offset.getOrElse(1L), d.sizeInBytes)
+        case other =>
+          throw graft.GraftError.InvalidOperation("load_delta",
+            s"unsupported deletion-vector storageType '$other'")
+      }
+    }
+    val confEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
     }
     val sess = spark
     import sess.implicits._
-    val deleted = spark.createDataset(payloads)
-      .flatMap { case (name, bytes) =>
-        decodeDvPayload(bytes).map(ri => (name, ri)) }
+    val deleted = spark.createDataset(descriptors)
+      .repartition(math.min(descriptors.size,
+        spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        lazy val conf = {
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => c.set(k, v) }
+          c
+        }
+        it.flatMap { case (name, uriOrInline, offset, size) =>
+          val bytes =
+            if (offset < 0L) { // inline: z85 payload, zero-padded to 4
+              val raw = z85Decode(uriOrInline)
+              if (size > 0 && size <= raw.length) raw.take(size) else raw
+            } else {
+              val p = new HPath(uriOrInline)
+              readDvRecord(p.getFileSystem(conf), p, offset, size)
+            }
+          decodeDvPayload(bytes).map(ri => (name, ri))
+        }
+      }
       .toDF(DvFileCol, DvRowCol)
     val filtered = df.join(deleted, Seq(DvFileCol, DvRowCol), "left_anti")
     if (keepMeta) filtered else filtered.drop(DvFileCol, DvRowCol)
+  }
+
+  /** `deletion_vector_<uuid>.bin` path from a "u"-storage descriptor's
+    * `<optional prefix dirs><20-char z85 uuid>` encoding, rooted at `tbl`.
+    */
+  private[sources] def dvFilePath(tbl: HPath, enc: String): HPath = {
+    require(enc.length >= 20, s"DV uuid payload too short: '$enc'")
+    val (prefix, uuidPart) = enc.splitAt(enc.length - 20)
+    val raw = z85Decode(uuidPart)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val dir = if (prefix.isEmpty) tbl else new HPath(tbl, prefix)
+    new HPath(dir, s"deletion_vector_$uuid.bin")
+  }
+
+  /** One DV record ([size:int32 BE][data][crc32:int32 BE]) at `offset` of
+    * `file`, CRC-verified against the descriptor's `sizeInBytes`.
+    */
+  private[sources] def readDvRecord(fs: FileSystem, file: HPath,
+      offset: Long, sizeInBytes: Int): Array[Byte] = {
+    val in = fs.open(file)
+    try {
+      in.seek(offset)
+      val size = in.readInt() // big-endian via DataInput
+      require(size == sizeInBytes,
+        s"DV record size $size != descriptor sizeInBytes $sizeInBytes in $file")
+      val data = new Array[Byte](size)
+      in.readFully(data)
+      val crc = in.readInt()
+      val c = new java.util.zip.CRC32()
+      c.update(data)
+      require(crc == c.getValue.toInt,
+        s"DV checksum mismatch in $file at offset $offset")
+      data
+    } finally in.close()
   }
 
   /** DELETE WITHOUT REWRITING DATA FILES on a DV-enabled table: rows
@@ -1449,7 +1579,7 @@ object DeltaLog {
     * rewrite instead). Returns the number of newly deleted rows.
     */
   def deleteWhereViaDv(spark: SparkSession, path: String,
-      predicate: String): Long = {
+      predicate: String, checkpointInterval: Int = 10): Long = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (tableConfiguration(spark, fs, tbl)
@@ -1514,7 +1644,7 @@ object DeltaLog {
     // the protocol shape of a DV update: remove + re-add the same path
     // with the new descriptor, one commit, dataChange on both
     val log = logDir(tbl)
-    val version = existingVersions(fs, log).lastOption.map(_ + 1).getOrElse(
+    val version = nextVersion(fs, log).getOrElse(
       throw graft.GraftError.InvalidOperation("delete_delta_dv",
         s"$path is not a delta table (no _delta_log)"))
     val txnId = java.util.UUID.randomUUID().toString
@@ -1526,7 +1656,12 @@ object DeltaLog {
         s""""${esc(k)}":${if (v == null) "null" else "\"" + esc(v) + "\""}"""
       }.mkString("{", ",", "}")
       val stats = add.stats.map(js => s""","stats":"${esc(js)}"""").getOrElse("")
-      actions += s"""{"remove":{"path":"${esc(add.rel)}","deletionTimestamp":$now,"dataChange":true}}"""
+      // protocol shape: the remove echoes the superseded add's DV
+      // descriptor (when it carried one) so an external vacuum can
+      // associate the old deletion_vector_*.bin with the removed entry
+      val removedDv = add.dv.map(d =>
+        s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
+      actions += s"""{"remove":{"path":"${esc(add.rel)}","deletionTimestamp":$now,"dataChange":true$removedDv}}"""
       actions += s"""{"add":{"path":"${esc(add.rel)}","partitionValues":$pvJson,""" +
         s""""size":${add.size},"modificationTime":$now,"dataChange":true""" +
         s"""$stats,"deletionVector":${descriptors(add.rel)}}}"""
@@ -1537,7 +1672,21 @@ object DeltaLog {
         s"version-$version commit lost to a concurrent writer — the DV " +
           "row sets are stale; re-run against the fresh snapshot")
     }
+    // checkpoints fold DV descriptors (newest add per path wins), so the
+    // delete-heavy tables DVs target keep their log replay bounded too
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(spark, path, version)
     matched.valuesIterator.map(_.length.toLong).sum
+  }
+
+  /** Protocol JSON of a DV descriptor (the shape the add/remove actions
+    * carry; offset omitted when absent — inline DVs have none).
+    */
+  private def dvDescriptorJson(d: DeltaStats.DvDescriptor): String = {
+    val off = d.offset.map(o => s""""offset":$o,""").getOrElse("")
+    s"""{"storageType":"${esc(d.storageType)}",""" +
+      s""""pathOrInlineDv":"${esc(d.pathOrInlineDv)}",$off""" +
+      s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
   }
 
   /** Does the active snapshot carry any deletion vectors? The write-side
@@ -1552,9 +1701,14 @@ object DeltaLog {
     val hasDv: Boolean =
       if (cached != null) cached.booleanValue
       else {
+        // no log at all → a fresh table, trivially DV-free. Every OTHER
+        // failure of the snapshot scan must propagate: swallowing a
+        // broken log replay here would let a copy-on-write mutation
+        // proceed on a table whose DV state is unknown (and cache the
+        // false answer).
         val v =
-          try activeAddsAsOf(spark, path, versionAsOf).exists(_.dv.isDefined)
-          catch { case _: IllegalArgumentException => false }
+          if (!fs0.exists(logDir(tbl0))) false
+          else activeAddsAsOf(spark, path, versionAsOf).exists(_.dv.isDefined)
         if (versionAsOf.isEmpty) {
           if (dvCache.size > 256) dvCache.clear()
           dvCache.put(key, java.lang.Boolean.valueOf(v))
@@ -1562,11 +1716,11 @@ object DeltaLog {
         v
       }
     if (hasDv) throw graft.GraftError.InvalidOperation(op,
-      s"$path carries deletion vectors; this writer's copy-on-write and " +
-        "maintenance paths do not rewrite or preserve DV files (a naive " +
-        "rewrite/vacuum would resurrect deleted rows or destroy the " +
-        "delete information) — the table is readable here, mutate it " +
-        "with a DV-aware writer")
+      s"$path carries deletion vectors; this writer's copy-on-write " +
+        "paths do not rewrite or preserve DV files (a naive rewrite " +
+        "would resurrect deleted rows or destroy the delete " +
+        "information) — supported on DV tables here: read, append, " +
+        "DV-native deleteWhereViaDv, checkpoint, overwrite")
   }
 
   /** Write `df` as a delta table WITH deletion vectors: data files land
@@ -1742,7 +1896,8 @@ object DeltaLog {
     * declares mode=id. The fixture/compat surface proving [[read]]'s
     * field-id resolution path; iceberg-converted tables ship this shape.
     */
-  def writeIdMapped(df: DataFrame, path: String): Unit = {
+  def writeIdMapped(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val tbl = new HPath(path)
@@ -1755,6 +1910,11 @@ object DeltaLog {
         .putLong(MappingIdKey, i + 1L)
         .putString(PhysicalNameKey, phys).build())
     })
+    require(partitionBy.forall(c => df.columns.contains(c)),
+      s"writeIdMapped: partition columns ${partitionBy.mkString(",")} " +
+        s"not all in frame columns ${df.columns.mkString(",")}")
+    val physByLogical = logical.fields
+      .map(f => f.name -> f.metadata.getString(PhysicalNameKey)).toMap
     // physical-named write schema with parquet.field.id so the files
     // carry the ids (fieldId.write.enabled honors the metadata)
     val physDf = df.select(logical.fields.zipWithIndex.map { case (lf, i) =>
@@ -1764,33 +1924,45 @@ object DeltaLog {
             .putLong(ParquetFieldIdKey, lf.metadata.getLong(MappingIdKey))
             .build())
     }: _*)
+    // unlike the read-side conf (left on by documented necessity — see
+    // readDataFiles), the write has no concurrent-plan race: restore the
+    // prior value so unrelated parquet writes whose schemas happen to
+    // carry parquet.field.id metadata keep their session's behavior
+    val prevFieldIdWrite =
+      spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    physDf.write.mode("overwrite").parquet(path)
-    val rels = fs.listStatus(tbl).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .sorted
+    try {
+      val w = physDf.write.mode("overwrite")
+      // directories carry PHYSICAL names (the delta colmap layout)
+      (if (partitionBy.nonEmpty)
+         w.partitionBy(partitionBy.map(physByLogical): _*)
+       else w).parquet(path)
+    } finally prevFieldIdWrite match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    val rels = dataFiles(fs, tbl).keys.toSeq.sorted
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def esc(x: String): String = {
       val n = mapper.writeValueAsString(x)
       n.substring(1, n.length - 1)
     }
     val now = System.currentTimeMillis()
+    // partitionColumns carry LOGICAL names (delta-spark's convention);
+    // the reader also accepts physical spellings from other writers
+    val pcolsJson = partitionBy.map(c => s""""${esc(c)}"""").mkString(",")
     val actions = ListBuffer.empty[String]
     actions += """{"commitInfo":{"operation":"WRITE","txnId":"""" +
       java.util.UUID.randomUUID().toString + """"}}"""
     actions += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
     actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}",""" +
       s""""format":{"provider":"parquet","options":{}},""" +
-      s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+      s""""schemaString":"${esc(logical.json)}","partitionColumns":[$pcolsJson],""" +
       s""""configuration":{"delta.columnMapping.mode":"id",""" +
       s""""delta.columnMapping.maxColumnId":"${logical.fields.length}"},""" +
       s""""createdTime":$now}}"""
     rels.foreach { rel =>
-      val st = fs.getFileStatus(new HPath(tbl, rel))
-      actions += s"""{"add":{"path":"${esc(rel)}","partitionValues":{},""" +
-        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":true}}"""
+      actions += addAction(rel, fs.getFileStatus(new HPath(tbl, rel)))
     }
     val log = logDir(tbl)
     fs.mkdirs(log)
@@ -2043,6 +2215,19 @@ object DeltaLog {
       throw graft.GraftError.InvalidOperation("optimize_delta",
         s"$path carries deletion vectors; compaction would rewrite files " +
           "without their DV filters and resurrect deleted rows")
+    // id-mode tables resolve columns by parquet field id; compaction
+    // restages files from an inferred-schema read whose field-id
+    // preservation is incidental — a staged file that dropped its ids
+    // would be unreadable by the table's own reader. Same refusal as
+    // upsert/deleteWhere (commitRewrite's logicalFrame gate doesn't fire
+    // here because optimize restages physical columns unchanged).
+    val tbl0 = new HPath(path)
+    val fs0 = tbl0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (columnMappingMode(spark, fs0, tbl0) == "id")
+      throw graft.GraftError.InvalidOperation("optimize_delta",
+        s"$path uses id-mode column mapping; compaction would restage " +
+          "files without guaranteed parquet field ids — id tables are " +
+          "read-only here")
     val victims = if (zorderBy.nonEmpty) adds else adds.filter(_.size < targetBytes)
     if (victims.size <= 1 && zorderBy.isEmpty) return 0
     if (victims.isEmpty) return 0
@@ -2131,32 +2316,66 @@ object DeltaLog {
   def restore(spark: SparkSession, path: String, version: Long): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // either endpoint carrying DVs would need DV-aware re-add actions
-    requireNoDeletionVectors(spark, path, "restore_delta")
-    requireNoDeletionVectors(spark, path, "restore_delta", Some(version))
-    val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
-    def rel(abs: String): String =
-      fs.makeQualified(new HPath(abs)).toUri.getPath.stripPrefix(base).stripPrefix("/")
-    val target = activeFilesAsOf(spark, path, Some(version)).map(rel).toSet
-    val current = activeFiles(spark, path).map(rel).toSet
-    target.foreach { r =>
-      if (!fs.exists(new HPath(tbl, r)))
+    // DV-aware: snapshots compare as (path, DV descriptor) pairs — a file
+    // live at both endpoints but with a DIFFERENT deletion vector is
+    // remove+re-added with the TARGET's descriptor (the protocol shape of
+    // a DV update), so restoring across DV deletes resurrects exactly the
+    // target version's row set.
+    val targetAdds = activeAddsAsOf(spark, path, Some(version))
+    val currentAdds = activeAddsAsOf(spark, path, None)
+    val targetByRel = targetAdds.map(a => a.rel -> a).toMap
+    val currentByRel = currentAdds.map(a => a.rel -> a).toMap
+    def dvKey(a: DeltaStats.AddEntry): String =
+      a.dv.map(dvDescriptorJson).getOrElse("")
+    targetAdds.foreach { a =>
+      if (!fs.exists(new HPath(tbl, a.rel)))
         throw graft.GraftError.InvalidOperation("restore",
-          s"file $r of version $version was vacuumed — cannot restore")
+          s"file ${a.rel} of version $version was vacuumed — cannot restore")
+      // the target's DV payload must still exist too (an old bin a later
+      // vacuum swept away cannot be re-referenced)
+      a.dv.foreach { d =>
+        val bin = d.storageType match {
+          case "u" => Some(dvFilePath(tbl, d.pathOrInlineDv))
+          case "p" => Some(new HPath(d.pathOrInlineDv))
+          case _ => None // inline payloads live in the log itself
+        }
+        bin.foreach { b =>
+          if (!fs.exists(b)) throw graft.GraftError.InvalidOperation("restore",
+            s"deletion-vector file ${b.getName} of version $version was " +
+              "vacuumed — cannot restore")
+        }
+      }
     }
-    val removes = (current -- target).toSeq.sorted
-    val adds = (target -- current).toSeq.sorted
+    val removes = currentAdds
+      .filter(a => !targetByRel.contains(a.rel)).sortBy(_.rel)
+    val adds = targetAdds.filter { a =>
+      currentByRel.get(a.rel).forall(c => dvKey(c) != dvKey(a)) }.sortBy(_.rel)
+    // a path present at both endpoints with a changed DV re-adds under
+    // the target descriptor; the protocol pairs that with a remove of
+    // the superseded entry (echoing ITS descriptor)
+    val dvSwaps = adds.filter(a => currentByRel.contains(a.rel))
     val log = logDir(tbl)
-    val next = existingVersions(fs, log).lastOption.map(_ + 1).getOrElse(0L)
+    val next = nextVersion(fs, log).getOrElse(0L)
     val txnId = java.util.UUID.randomUUID().toString
     val actions = ListBuffer.empty[String]
     actions += s"""{"commitInfo":{"operation":"RESTORE","txnId":"$txnId"}}"""
     val now = System.currentTimeMillis()
-    removes.foreach(r => actions +=
-      s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":true}}""")
-    adds.foreach { r =>
-      actions += addAction(r, fs.getFileStatus(new HPath(tbl, r)),
-        statsFor(fs, tbl, r))
+    (removes ++ dvSwaps.flatMap(a => currentByRel.get(a.rel))).foreach { a =>
+      val removedDv = a.dv.map(d =>
+        s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
+      actions += s"""{"remove":{"path":"${esc(a.rel)}",""" +
+        s""""deletionTimestamp":$now,"dataChange":true$removedDv}}"""
+    }
+    adds.foreach { a =>
+      val pvJson = a.partitionValues.map { case (k, v) =>
+        s""""${esc(k)}":${if (v == null) "null" else "\"" + esc(v) + "\""}"""
+      }.mkString("{", ",", "}")
+      val stats = a.stats.map(js => s""","stats":"${esc(js)}"""").getOrElse("")
+      val dvJson = a.dv.map(d =>
+        s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
+      actions += s"""{"add":{"path":"${esc(a.rel)}","partitionValues":$pvJson,""" +
+        s""""size":${a.size},"modificationTime":$now,"dataChange":true""" +
+        s"""$stats$dvJson}}"""
     }
     if (!acquireCommitSlot(fs, log, next, txnId, actions.mkString("\n") + "\n"))
       throw graft.GraftError.WriteError(path, "restore",
@@ -2188,26 +2407,52 @@ object DeltaLog {
     * wipes, but failed writes and replaced-by-checkpoint history leave
     * orphans). Time travel to versions whose files are vacuumed away
     * stops working, like real delta VACUUM; the log itself is kept.
-    * Returns the deleted relative paths.
+    * DV-aware: deletion_vector_*.bin files are swept through their OWN
+    * reference set (the active adds' descriptors), never the data-file
+    * listing — a superseded DV generation is an orphan exactly like a
+    * rewritten parquet file. Returns the deleted relative paths.
     */
   def vacuum(spark: SparkSession, path: String,
       stageRetentionMs: Long = 3600000L): Seq[String] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // DV .bin files are referenced by descriptors, not by data-file
-    // listings -- an orphan sweep that cannot see those references would
-    // destroy the delete information
-    requireNoDeletionVectors(spark, path, "vacuum_delta")
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
-    // qualify each active path the same way as `base` — activeFiles
-    // returns paths built from the caller's (possibly relative) table
-    // path, and an unqualified string would never strip to a relative key
-    val active: Set[String] = activeFiles(spark, path)
-      .map(f => fs.makeQualified(new HPath(f)).toUri.getPath
+    val activeAdds = activeAddsAsOf(spark, path, None)
+    // qualify each active path the same way as `base` — add rels resolve
+    // against the caller's (possibly relative) table path, and an
+    // unqualified string would never strip to a relative key
+    val active: Set[String] = activeAdds
+      .map(a => fs.makeQualified(new HPath(tbl, a.rel)).toUri.getPath
         .stripPrefix(base).stripPrefix("/"))
       .toSet
     val orphans = dataFiles(fs, tbl).keys.filterNot(active).toSeq.sorted
     orphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
+    // DV bin sweep: bins referenced by ACTIVE descriptors survive;
+    // superseded generations (a later delete re-wrote every descriptor
+    // into a fresh bin) are deleted. Time travel to pre-sweep DV
+    // versions stops working, same rule as data files.
+    val referencedBins: Set[String] = activeAdds.flatMap(_.dv).flatMap { d =>
+      d.storageType match {
+        case "u" => Some(fs.makeQualified(dvFilePath(tbl, d.pathOrInlineDv))
+          .toUri.getPath.stripPrefix(base).stripPrefix("/"))
+        case "p" => Some(fs.makeQualified(new HPath(d.pathOrInlineDv))
+          .toUri.getPath.stripPrefix(base).stripPrefix("/"))
+        case _ => None // inline payloads live in the log itself
+      }
+    }.toSet
+    val binOrphans = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(dir: HPath): Unit = fs.listStatus(dir).foreach { s =>
+        val name = s.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".graft_stage_")) ()
+        else if (s.isDirectory) walk(s.getPath)
+        else if (name.startsWith("deletion_vector_") && name.endsWith(".bin"))
+          out += s.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      }
+      if (fs.exists(tbl)) walk(tbl)
+      out.toSeq.filterNot(referencedBins).sorted
+    }
+    binOrphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
     // crashed-write staging debris: a hard-killed writer leaves its
     // staging dir behind (in-table for append/merge, sibling for
     // overwrite — see [[write]]). Only stages older than the retention
@@ -2224,6 +2469,6 @@ object DeltaLog {
       (if (tbl.getParent == null) Nil
        else staleStages(tbl.getParent, s".graft_stage_${tbl.getName}_"))
     stages.foreach(st => fs.delete(st, true))
-    orphans ++ stages.map(_.getName).sorted
+    orphans ++ binOrphans ++ stages.map(_.getName).sorted
   }
 }

@@ -1061,6 +1061,12 @@ class DedupSimilaritySpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
         r.getAs[Int]("rank"))).toSet
+    // above the threshold the build PERSISTS the meta quantizer next to
+    // the centroids — probes load it instead of re-running the
+    // O(nlist^1.5) Lloyd pass per call
+    assert(new java.io.File(idx + "_meta").exists() &&
+      new java.io.File(idx + "_cmap").exists(),
+      "large-nlist build must persist the meta quantizer")
     // the bucketed at-rest probe reproduces the in-memory two-level IVF
     // bit for bit (same deterministic centroids, same probe kernel)
     val indexed = Similarity.ivfTopKIndexed(idx, queries, "embedding",
@@ -1069,6 +1075,13 @@ class DedupSimilaritySpec extends SparkSpec {
       k = 10, nlist = 300, nprobe = 8)
     assert(rows(indexed) == rows(inMemory),
       "bucketed indexed probe must reproduce the in-memory ranking")
+    // batch regime: forcing the probed set past the literal cap routes
+    // the probe through the shuffle join — identical results, no driver
+    // literal (the route is a plan choice, never a semantics choice)
+    val batched = Similarity.ivfTopKIndexed(idx, queries, "embedding",
+      "vec_id", k = 10, nprobe = 8, maxProbedLiteral = 0)
+    assert(rows(batched) == rows(indexed),
+      "batch-join probe route must return the literal route's rows")
     // append matches the bucketed layout; an appended exact copy is
     // found by its source's probe (identical vector -> same list)
     val extra = emb.where(col("vec_id") === 1L)
@@ -1080,6 +1093,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(after.head.getAs[Long]("corpus_id") == 100001L &&
       math.abs(after.head.getAs[Double]("cosine") - 1.0) < 1e-6,
       after.mkString(","))
+    // a small-nlist REBUILD at the same path clears the stale quantizer:
+    // pairing an old quantizer with new centroids would corrupt probes
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nlist = 8)
+    assert(!new java.io.File(idx + "_meta").exists() &&
+      !new java.io.File(idx + "_cmap").exists(),
+      "small-nlist rebuild must delete the stale meta quantizer")
+    assert(Similarity.ivfTopKIndexed(idx, queries, "embedding", "vec_id",
+      k = 5, nprobe = 4).count() > 0)
   }
 
   test("two-level assign candidates per point grow ~sqrt(N), not linearly, at 10x corpus") {

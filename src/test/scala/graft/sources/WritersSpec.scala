@@ -382,22 +382,38 @@ class WritersSpec extends SparkSpec {
     assert(eX.getMessage.contains("extra_col") &&
       eX.getMessage.contains("schema evolution"), eX.getMessage)
     assert(DeltaLog.read(spark, p).count() == 4L, "refused append must not commit")
-    // copy-on-write / metaData-refresh paths still refuse on a mapped
-    // table (they would stage logical names or clobber the mapping)
+    // schema-stable MERGE works: staged physical, the table's metaData
+    // (the mapping annotations) preserved — NOT re-minted from the frame
+    val mrg = Seq((11L, "m", 11.0, ("mm", 110L))).toDF("id", "name", "v", "meta")
+    DeltaLog.write(mrg, "merge", p)
+    val afterM = DeltaLog.read(spark, p)
+    assert(afterM.count() == 5L)
+    assert(afterM.columns.toSeq == Seq("id", "name", "v", "meta"))
+    assert(afterM.where($"id" === 11L).select("meta._1").head().getString(0) == "mm")
+    assert(spark.read.parquet(p).columns.forall(_.startsWith("col-")),
+      "merge must stage physical-named files")
+    // the merge commit carried NO metaData action (it would clobber the
+    // mapping): the newest metaData still declares name-mode mapping
+    val mergeCommit = Files.readString(Paths.get(p, "_delta_log",
+      "0" * 19 + "2.json"))
+    assert(mergeCommit.contains("\"MERGE\"") && !mergeCommit.contains("metaData"),
+      s"mapped merge must not refresh metaData:\n$mergeCommit")
+    // a schema-EVOLVING merge still refuses typed (no new annotations)
     val eM = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.write(upd, "merge", p) }
-    assert(eM.getMessage.contains("clobber the"))
+      DeltaLog.write(evolved, "merge", p) }
+    assert(eM.getMessage.contains("schema evolution"), eM.getMessage)
+    assert(DeltaLog.read(spark, p).count() == 5L, "refused merge must not commit")
     // copy-on-write upsert/delete stage PHYSICAL-named rewrites on mapped
     // tables (the same logical->physical rename the append path applies)
     val upd2 = Seq((2L, "B2", 22.5, ("y2", 22L))).toDF("id", "name", "v", "meta")
     DeltaLog.upsert(upd2, Seq("id"), p)
     val afterU = DeltaLog.read(spark, p)
-    assert(afterU.count() == 4L)
+    assert(afterU.count() == 5L)
     assert(afterU.where($"id" === 2L).select("name").head().getString(0) == "B2")
     assert(spark.read.parquet(p).columns.forall(_.startsWith("col-")),
       "upsert must stage physical-named files")
     assert(DeltaLog.deleteWhere(spark, p, "id = 1") >= 1)
-    assert(DeltaLog.read(spark, p).count() == 3L)
+    assert(DeltaLog.read(spark, p).count() == 4L)
     // predicate-pruned read still speaks logical names post-rewrite
     assert(DeltaLog.readWhere(spark, p, "id >= 2 AND name = 'B2'").count() == 1L)
     // overwrite replaces the table wholesale -> plain mode=none again
@@ -428,6 +444,34 @@ class WritersSpec extends SparkSpec {
     assert(msg(DeltaLog.write(upd, "append", p)).contains("column mapping"))
     assert(msg(DeltaLog.upsert(upd, Seq("id"), p)).contains("id-mode"))
     assert(msg(DeltaLog.deleteWhere(spark, p, "id = 1")).contains("id-mode"))
+  }
+
+  test("partitioned id-mode table: physical dirs resolve back to logical columns") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = tmp("delta_colmap_id_part")
+    val src = sp.range(40).select(col("id"),
+      (col("id") % 4).as("bucket"), (col("id") * 1.5).as("v"))
+    DeltaLog.writeIdMapped(src, p, partitionBy = Seq("bucket"))
+    // directory layout carries the PHYSICAL partition column name
+    val dirs = Files.list(Paths.get(p)).toArray.map(_.toString)
+      .filter(d => Files.isDirectory(Paths.get(d)))
+      .map(_.split("/").last).filterNot(_.startsWith("_"))
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("col-")), dirs.toSeq.toString)
+    val back = DeltaLog.read(spark, p)
+    assert(back.columns.toSeq == Seq("id", "bucket", "v"))
+    assert(back.count() == 40L)
+    assert(back.groupBy("bucket").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
+    // data columns still resolve by field id, partition values by dir
+    assert(back.where($"bucket" === 2L && $"id" === 2L)
+      .select("v").head().getDouble(0) == 3.0)
+    // predicate-pruned read composes (partition values prune whole dirs)
+    assert(DeltaLog.readWhere(spark, p, "bucket = 1 AND id < 10")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 9L))
+    // optimize/compaction stays refused on id tables, partitioned or not
+    intercept[graft.GraftError.InvalidOperation] { DeltaLog.optimize(spark, p) }
   }
 
   test("deletion-vector table: reads filter deleted rows; writes refuse typed") {
@@ -471,6 +515,23 @@ class WritersSpec extends SparkSpec {
     // only (%3), v1 = after the DV-native %5 delete
     assert(DeltaLog.read(spark, p, Some(0L)).count() == 133L)
     assert(DeltaLog.read(spark, p, Some(1L)).count() == 107L)
+    // DV-aware RESTORE across DV generations: files live at both
+    // endpoints swap to the TARGET version's descriptors
+    DeltaLog.restore(spark, p, 0L)                       // v2 = v0's row set
+    assert(DeltaLog.read(spark, p).count() == 133L)
+    DeltaLog.restore(spark, p, 1L)                       // v3 = v1's row set
+    assert(DeltaLog.read(spark, p).count() == 107L)
+    // DV-aware vacuum: the gen-1 bin (superseded by the delete's fresh
+    // bin at v1, which v3 re-references) is an orphan and is swept;
+    // current reads stay exact
+    val swept = DeltaLog.vacuum(spark, p)
+    assert(swept.exists(s => s.startsWith("deletion_vector_") &&
+      s.endsWith(".bin")), s"got $swept")
+    assert(DeltaLog.read(spark, p).count() == 107L)
+    // restoring to a version whose DV bin was swept fails typed
+    val eRestore = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.restore(spark, p, 0L) }
+    assert(eRestore.getMessage.contains("vacuumed"), eRestore.getMessage)
     // a table NOT declaring the feature refuses the DV delete typed
     val plain = tmp("delta_dv_plain")
     Writers.writeDeltaTable(df, "overwrite", plain)
@@ -481,15 +542,117 @@ class WritersSpec extends SparkSpec {
     val upd = Seq((1L, 9L, 9.9)).toDF("id", "grp", "v")
     def refused(body: => Any): String =
       intercept[graft.GraftError.InvalidOperation](body).getMessage
-    assert(refused(DeltaLog.write(upd, "append", p)).contains("deletion vectors"))
     assert(refused(DeltaLog.upsert(upd, Seq("id"), p)).contains("deletion vectors"))
     assert(refused(DeltaLog.deleteWhere(spark, p, "id = 1")).contains("deletion vectors"))
     assert(refused(DeltaLog.optimize(spark, p)).contains("deletion vectors"))
-    assert(refused(DeltaLog.vacuum(spark, p)).contains("deletion vectors"))
     assert(refused(DeltaLog.readChanges(spark, p, -1L, 0L)).contains("deletion vectors"))
+    assert(refused(DeltaLog.write(upd, "merge", p)).contains("deletion vectors"))
+    // APPEND is allowed: it only adds files, never touches the DV'd ones
+    DeltaLog.write(upd.withColumn("grp", upd("grp")), "append", p)
+    val appended = DeltaLog.read(spark, p)
+    assert(appended.count() == 108L, s"got ${appended.count()}")
+    // deleted rows stay hidden; the appended id=1 row IS visible (new
+    // file, no DV) alongside the surviving original id=1 row
+    assert(appended.where($"id" % 3 === 0 && $"grp" =!= 9L).count() == 0L)
+    assert(appended.where($"id" === 1L).count() == 2L)
     // overwrite is allowed: it replaces the table wholesale
     DeltaLog.write(upd, "overwrite", p)
     assert(DeltaLog.read(spark, p).count() == 1L)
+  }
+
+  test("DV tables checkpoint: descriptors survive the fold, replay stays bounded") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = tmp("delta_dv_cp")
+    val src = sp.range(200).select(col("id"),
+      (col("id") % 7).as("grp"), (col("id") * 1.5).as("v"))
+      .repartition(4)
+    DeltaLog.writeWithDeletionVectors(src, p, "id % 3 = 0", inlineFirst = true)
+    DeltaLog.deleteWhereViaDv(spark, p, "id % 5 = 0")      // v1
+    Writers.writeDeltaTable(Seq((1000L, 0L, 0.0))
+      .toDF("id", "grp", "v"), "append", p)                // v2
+    // checkpoint the DV-bearing snapshot, then drop the folded commits —
+    // the read must come back identical THROUGH the checkpoint alone
+    DeltaLog.writeCheckpoint(spark, p, 2L)
+    val dropped = DeltaLog.cleanupLog(spark, p)
+    assert(dropped.size == 3, s"got $dropped")
+    val back = DeltaLog.read(spark, p)
+    assert(back.count() == 108L, s"got ${back.count()}")
+    assert(back.where(($"id" % 3 === 0 || $"id" % 5 === 0) &&
+      $"id" =!= 1000L).count() == 0L)
+    // the checkpoint parquet itself carries the DV descriptor struct
+    val cp = spark.read.parquet(s"$p/_delta_log/" + "0" * 19 + "2.checkpoint.parquet")
+    assert(cp.columns.contains("add"))
+    val addType = cp.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(addType.fieldNames.contains("deletionVector"),
+      "checkpoint add struct dropped the DV descriptors")
+    // and per re-added path only the NEWEST descriptor survived: the
+    // second delete's union (%3 ∪ %5 = 93 deleted rows) is what replays
+    val cards = cp.where(col("add").isNotNull)
+      .select(col("add.deletionVector.cardinality"))
+      .collect().flatMap(r => Option(r.get(0)).map(_.toString.toLong))
+    assert(cards.sum == 93L, s"got ${cards.toSeq}")
+    // a further DV delete on the cleaned log still works and re-checkpoints
+    assert(DeltaLog.deleteWhereViaDv(spark, p, "id = 1") == 1L)
+    assert(DeltaLog.read(spark, p).count() == 107L)
+  }
+
+  test("checkpoint keeps a path removed then RE-ADDED (restore), newest add wins") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_cp_readd")
+    if (Files.exists(Paths.get(p))) {
+      Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    Writers.writeDeltaTable(df, "overwrite", p)            // v0: ids 1,2
+    Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"),
+      "append", p)                                         // v1: +3
+    DeltaLog.restore(spark, p, 0L)                         // v2: removes v1's file
+    DeltaLog.restore(spark, p, 1L)                         // v3: RE-ADDS it
+    DeltaLog.writeCheckpoint(spark, p, 3L)
+    DeltaLog.cleanupLog(spark, p)
+    // the re-added file must survive the checkpoint fold — a global
+    // adds-minus-removes would have dropped it (silent data loss)
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // the log now holds ONLY the checkpoint (every commit was cleaned):
+    // the next append must land at checkpoint+1, not restart at 0 —
+    // a version-0 commit would sit invisibly BEHIND the checkpoint
+    assert(!Files.list(Paths.get(p, "_delta_log")).toArray.map(_.toString)
+      .exists(_.endsWith(".json")))
+    Writers.writeDeltaTable(Seq((4L, "d", 4.5)).toDF("id", "name", "v"),
+      "append", p)
+    assert(Files.exists(Paths.get(p, "_delta_log", "0" * 19 + "4.json")),
+      "append after full log cleanup must continue AFTER the checkpoint")
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("optimize refuses id-mode tables; DV remove actions echo the old descriptor") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val pid = tmp("delta_opt_id")
+    DeltaLog.writeIdMapped(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), pid)
+    val e = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.optimize(spark, pid) }
+    assert(e.getMessage.contains("id-mode"))
+    intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.optimize(spark, pid, zorderBy = Seq("id")) }
+    // a second DV delete supersedes a file that already carried a DV:
+    // the remove action must echo the OLD descriptor so an external
+    // vacuum can associate the superseded bin file
+    val pdv = tmp("delta_dv_echo")
+    val src = sp.range(100).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1)
+    DeltaLog.writeWithDeletionVectors(src, pdv, "id % 4 = 0")
+    DeltaLog.deleteWhereViaDv(spark, pdv, "id % 9 = 0")
+    val v1 = Files.readString(Paths.get(pdv, "_delta_log", "0" * 19 + "1.json"))
+    val removeLine = v1.linesIterator.find(_.startsWith("""{"remove"""")).get
+    assert(removeLine.contains("\"deletionVector\""),
+      s"remove action lost the superseded DV descriptor: $removeLine")
+    // and it echoes the ORIGINAL descriptor's cardinality (25 = %4 rows)
+    assert(removeLine.contains("\"cardinality\":25"), removeLine)
   }
 
   test("z85 and the DV payload round-trip byte-exactly") {
