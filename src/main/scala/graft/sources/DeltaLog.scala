@@ -258,6 +258,50 @@ object DeltaLog {
     })
   }
 
+  /** Parquet-mergeSchema-shaped union of the table's declared schema and
+    * an incoming frame's: table fields keep their position and type (an
+    * incompatible same-name type refuses typed — exactly where the old
+    * footer-merging read would have failed, but without opening a single
+    * file), new frame fields append in frame order, nested structs merge
+    * recursively, everything nullable (a merged table has rows missing
+    * either side's new fields).
+    */
+  private[sources] def mergeSchemas(table: StructType,
+      frame: StructType, path: String): StructType = {
+    import org.apache.spark.sql.types._
+    def mergeType(a: DataType, b: DataType, at: String): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (x: StructType, y: StructType) => mergeStruct(x, y, at)
+      case (x: ArrayType, y: ArrayType) =>
+        ArrayType(mergeType(x.elementType, y.elementType, s"$at[]"),
+          containsNull = true)
+      case (x: MapType, y: MapType) =>
+        MapType(mergeType(x.keyType, y.keyType, s"$at<key>"),
+          mergeType(x.valueType, y.valueType, s"$at<value>"),
+          valueContainsNull = true)
+      case (x, y) =>
+        throw graft.GraftError.InvalidOperation("write_delta",
+          s"merge into $path: column '$at' is $x in the table but $y in " +
+            "the frame — incompatible types cannot merge")
+    }
+    def mergeStruct(a: StructType, b: StructType, at: String): StructType = {
+      val byName = b.fields.map(f => f.name -> f).toMap
+      val merged = a.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(bf) => StructField(f.name,
+            mergeType(f.dataType, bf.dataType,
+              if (at.isEmpty) f.name else s"$at.${f.name}"), nullable = true)
+          case None => f.copy(nullable = true)
+        }
+      }
+      val aNames = a.fieldNames.toSet
+      val added = b.fields.filterNot(f => aNames(f.name))
+        .map(_.copy(nullable = true))
+      StructType(merged ++ added)
+    }
+    mergeStruct(table, frame, "")
+  }
+
   private def existingVersions(fs: FileSystem, log: HPath): Seq[Long] =
     if (!fs.exists(log)) Nil
     else fs.listStatus(log).toSeq
@@ -318,14 +362,10 @@ object DeltaLog {
     // PARTITIONED appends (physical-named partition dirs) stay refused
     // typed; overwrite replaces the log and metaData wholesale (the
     // table becomes plain mode=none).
-    // APPEND into a DV-bearing table is safe: it only ADDS files (never
-    // touches the DV'd ones) and checkpoints carry DV descriptors through
-    // the fold. MERGE stays refused: its metaData refresh reads the raw
-    // table directory for the merged schema, which trips over the
-    // deletion_vector_*.bin files (and a schema-evolving merge has no
-    // defined DV semantics here).
-    if (hasLog && m == "merge")
-      requireNoDeletionVectors(spark, path, "write_delta")
+    // APPEND and MERGE into a DV-bearing table are safe: both only ADD
+    // files (never touch the DV'd ones), merge's metaData refresh is
+    // pure metadata since r14 (declared schema ⊕ frame, no raw read),
+    // and checkpoints carry DV descriptors through the fold.
     val mappedSchema: Option[StructType] =
       if (hasLog && m != "overwrite") {
         val mode = columnMappingMode(spark, fs, tbl)
@@ -451,7 +491,22 @@ object DeltaLog {
       // annotations) must be preserved, not re-minted from the raw frame
       if (version == 0L || (m == "merge" && mappedSchema.isEmpty)) {
         val schema =
-          if (m == "merge")
+          if (m == "merge" && version > 0L)
+            // merged schema = declared table schema ⊕ the frame's — pure
+            // metadata. The old raw mergeSchema read opened EVERY parquet
+            // footer in the table per merge commit (a full-footer scan at
+            // 100 TB) and tripped over non-parquet DV bin files. A log
+            // with no parseable schemaString (foreign writers) falls back
+            // to the footer read.
+            tableSchemaJson(spark, fs, tbl).flatMap { js =>
+              try Some(org.apache.spark.sql.types.DataType.fromJson(js)
+                .asInstanceOf[StructType])
+              catch { case _: Exception => None }
+            }.map(t => mergeSchemas(t, df.schema, path)).getOrElse(
+              spark.read.option("mergeSchema", "true").parquet(path).schema)
+          else if (m == "merge")
+            // version-0 bootstrap merge: the dir's pre-delta content is
+            // unknown — the one case that warrants reading file footers
             spark.read.option("mergeSchema", "true").parquet(path).schema
           else df.schema
         actions += metaDataAction(schema.json, partitionBy)

@@ -546,7 +546,6 @@ class WritersSpec extends SparkSpec {
     assert(refused(DeltaLog.deleteWhere(spark, p, "id = 1")).contains("deletion vectors"))
     assert(refused(DeltaLog.optimize(spark, p)).contains("deletion vectors"))
     assert(refused(DeltaLog.readChanges(spark, p, -1L, 0L)).contains("deletion vectors"))
-    assert(refused(DeltaLog.write(upd, "merge", p)).contains("deletion vectors"))
     // APPEND is allowed: it only adds files, never touches the DV'd ones
     DeltaLog.write(upd.withColumn("grp", upd("grp")), "append", p)
     val appended = DeltaLog.read(spark, p)
@@ -555,6 +554,17 @@ class WritersSpec extends SparkSpec {
     // file, no DV) alongside the surviving original id=1 row
     assert(appended.where($"id" % 3 === 0 && $"grp" =!= 9L).count() == 0L)
     assert(appended.where($"id" === 1L).count() == 2L)
+    // MERGE is allowed too — schema evolution is pure metadata (declared
+    // schema ⊕ frame, no raw-dir read that would trip over the DV bins)
+    DeltaLog.write(Seq((500L, 2L, 0.25, "tagged"))
+      .toDF("id", "grp", "v", "note"), "merge", p)
+    val merged = DeltaLog.read(spark, p)
+    assert(merged.count() == 109L)
+    assert(merged.columns.toSeq == Seq("id", "grp", "v", "note"))
+    assert(merged.where($"id" === 500L).select("note").head.getString(0)
+      == "tagged")
+    assert(merged.where($"id" % 3 === 0 && $"grp" =!= 9L).count() == 0L,
+      "merge must not resurrect DV-deleted rows")
     // overwrite is allowed: it replaces the table wholesale
     DeltaLog.write(upd, "overwrite", p)
     assert(DeltaLog.read(spark, p).count() == 1L)
