@@ -639,6 +639,45 @@ class WritersSpec extends SparkSpec {
       == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("mergeSchemas: table-first union, nested recursion, typed incompatibility") {
+    import org.apache.spark.sql.types._
+    val table = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("a", StringType), StructField("b", IntegerType)))),
+      StructField("only_table", DoubleType)))
+    val frame = StructType(Seq(
+      StructField("meta", StructType(Seq(
+        StructField("b", IntegerType), StructField("c", BooleanType)))),
+      StructField("id", LongType),
+      StructField("only_frame", StringType)))
+    val merged = DeltaLog.mergeSchemas(table, frame, "t")
+    // table fields keep their positions; new frame fields append; nested
+    // structs merge recursively; everything nullable
+    assert(merged.fieldNames.toSeq ==
+      Seq("id", "meta", "only_table", "only_frame"))
+    assert(merged.fields.forall(_.nullable))
+    assert(merged("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      == Seq("a", "b", "c"))
+    // same-name incompatible types refuse typed with the column path
+    val bad = StructType(Seq(StructField("meta", StructType(Seq(
+      StructField("b", StringType))))))
+    val e = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.mergeSchemas(table, bad, "t") }
+    assert(e.getMessage.contains("meta.b"), e.getMessage)
+    // a merge commit uses it end-to-end: schema evolution without a
+    // raw-dir footer scan
+    val sp = spark; import sp.implicits._
+    val p = tmp("delta_merge_meta")
+    Writers.writeDeltaTable(df, "overwrite", p)
+    DeltaLog.write(Seq((7L, "g", 0.5, "extra")).toDF("id", "name", "v", "tag"),
+      "merge", p)
+    val back = DeltaLog.read(spark, p)
+    assert(back.columns.toSeq == Seq("id", "name", "v", "tag"))
+    assert(back.count() == 3L)
+    assert(back.where($"id" === 1L).select("tag").head.isNullAt(0))
+  }
+
   test("optimize refuses id-mode tables; DV remove actions echo the old descriptor") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
