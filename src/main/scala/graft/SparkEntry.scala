@@ -748,6 +748,27 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // REORG-PURGE: the DV deletes are MATERIALIZED — only the DV'd files
+    // rewrite (live rows restage, descriptors echoed on the removes), the
+    // snapshot carries no DVs afterwards, and the copy-on-write delete
+    // that follows exercises the returned full-maintenance surface. The
+    // oracle recomputes all three predicates straight from customer.
+    "q_delta_dv_purge" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_dv_purge"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(4, col("c_custkey"))
+      graft.sources.DeltaLog.writeWithDeletionVectors(
+        c, path, "c_custkey % 3 = 0", inlineFirst = true)
+      graft.sources.DeltaLog.deleteWhereViaDv(s, path, "c_custkey % 5 = 0")
+      graft.sources.DeltaLog.purgeDeletionVectors(s, path)
+      graft.sources.DeltaLog.deleteWhere(s, path, "c_custkey % 7 = 0")
+      Loaders.load(s, path, "customer_dv_purge")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // DV table THROUGH a checkpoint: after the DV-native delete the log
     // is checkpointed and every folded commit deleted — the read must
     // reconstruct the snapshot (including both DV generations' union)
@@ -2814,6 +2835,12 @@ object SparkEntry {
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
         "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0 " +
         "AND c_custkey % 5 <> 0 GROUP BY c_mktsegment"),
+
+    "q_delta_dv_purge" ->
+      ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0 " +
+        "AND c_custkey % 5 <> 0 AND c_custkey % 7 <> 0 " +
+        "GROUP BY c_mktsegment"),
 
     "q_delta_dv_delete" ->
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +

@@ -682,7 +682,8 @@ object DeltaLog {
   private def commitRewrite(spark: SparkSession, path: String, op: String,
       removesRel: Seq[String], addDf: DataFrame,
       checkpointInterval: Int = 10, dataChange: Boolean = true,
-      numFiles: Option[Int] = None, logicalFrame: Boolean = true): Unit = {
+      numFiles: Option[Int] = None, logicalFrame: Boolean = true,
+      removeDvJson: Map[String, String] = Map.empty): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
@@ -740,8 +741,14 @@ object DeltaLog {
     val actions = ListBuffer.empty[String]
     actions += s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
     val now = System.currentTimeMillis()
-    removesRel.foreach(r => actions +=
-      s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":$dataChange}}""")
+    removesRel.foreach { r =>
+      // PURGE removes echo the superseded DV descriptor (protocol shape —
+      // lets an external vacuum associate the orphaned bin file)
+      val dvJson = removeDvJson.get(r)
+        .map(d => s""","deletionVector":$d""").getOrElse("")
+      actions +=
+        s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":$dataChange$dvJson}}"""
+    }
     val stagedRels = staged.keys.toSeq.sorted
     val statsByRel = statsForAll(spark, fs, tbl, stagedRels)
     stagedRels.foreach { rel =>
@@ -1732,6 +1739,33 @@ object DeltaLog {
     if (checkpointInterval > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, path, version)
     matched.valuesIterator.map(_.length.toLong).sum
+  }
+
+  /** REORG-PURGE (delta's `REORG TABLE … APPLY (PURGE)` shape): rewrite
+    * ONLY the files carrying deletion vectors, materializing their row
+    * filters — each victim's LIVE rows restage as plain files, the commit
+    * removes the DV'd entries (echoing their descriptors) and adds the
+    * replacements with no DV. After a purge the snapshot carries no DVs,
+    * so the full copy-on-write/maintenance surface (upsert, deleteWhere,
+    * optimize, zorder) applies again, and [[vacuum]] sweeps the
+    * now-orphaned bin files. Cost scales with the DV'd-file footprint,
+    * never the table — the same touched-files-only contract as upsert.
+    * Returns the number of files purged (0 = no DVs, nothing committed).
+    */
+  def purgeDeletionVectors(spark: SparkSession, path: String): Int = {
+    val adds = activeAddsAsOf(spark, path, None)
+    val victims = adds.filter(_.dv.exists(_.cardinality > 0))
+    if (victims.isEmpty) return 0
+    val tbl = new HPath(path)
+    val files = victims.map(a => new HPath(tbl, a.rel).toString)
+    // live rows of JUST the DV'd files: scan with row metadata, apply
+    // their descriptors, drop the bookkeeping columns
+    val live = applyDeletionVectors(spark, path, victims,
+      readDataFiles(spark, path, files, withRowMeta = true))
+    val dvJson = victims.map(a => a.rel -> dvDescriptorJson(a.dv.get)).toMap
+    commitRewrite(spark, path, "PURGE", victims.map(_.rel).sorted, live,
+      removeDvJson = dvJson)
+    victims.size
   }
 
   /** Protocol JSON of a DV descriptor (the shape the add/remove actions

@@ -639,6 +639,45 @@ class WritersSpec extends SparkSpec {
       == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("purgeDeletionVectors materializes DV deletes; full maintenance returns") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = tmp("delta_dv_purge")
+    val src = sp.range(200).select(col("id"),
+      (col("id") % 7).as("grp"), (col("id") * 1.5).as("v"))
+      .repartition(4)
+    DeltaLog.writeWithDeletionVectors(src, p, "id % 3 = 0", inlineFirst = true)
+    DeltaLog.deleteWhereViaDv(spark, p, "id % 5 = 0")
+    // purge rewrites exactly the DV'd files; row set unchanged
+    val purged = DeltaLog.purgeDeletionVectors(spark, p)
+    assert(purged == 4, s"got $purged")
+    val back = DeltaLog.read(spark, p)
+    assert(back.count() == 107L, s"got ${back.count()}")
+    assert(back.where($"id" % 3 === 0 || $"id" % 5 === 0).count() == 0L)
+    // copy-on-write: the restaged files hold ONLY live rows, while the
+    // superseded originals remain on disk (200 rows) until vacuum —
+    // raw glob sees both generations
+    assert(spark.read.parquet(s"$p/part-*.parquet").count() == 307L)
+    // the snapshot carries no DVs; a second purge is a no-commit no-op
+    assert(DeltaLog.purgeDeletionVectors(spark, p) == 0)
+    // the purge commit's removes echoed the superseded descriptors
+    val purgeCommit = Files.readString(Paths.get(p, "_delta_log",
+      "0" * 19 + "2.json"))
+    assert(purgeCommit.contains("\"PURGE\"") &&
+      purgeCommit.contains("\"deletionVector\""), purgeCommit.take(300))
+    // full copy-on-write maintenance applies again
+    assert(DeltaLog.deleteWhere(spark, p, "id = 1") == 1)
+    DeltaLog.upsert(Seq((2L, 0L, 99.0)).toDF("id", "grp", "v"), Seq("id"), p)
+    assert(DeltaLog.optimize(spark, p, targetBytes = 1L << 30) > 0)
+    val afterMaint = DeltaLog.read(spark, p)
+    assert(afterMaint.count() == 106L)
+    assert(afterMaint.where($"id" === 2L).select("v").head.getDouble(0) == 99.0)
+    // vacuum sweeps the orphaned bin files AND the rewritten originals
+    val swept = DeltaLog.vacuum(spark, p)
+    assert(swept.count(s => s.startsWith("deletion_vector_")) >= 1, s"$swept")
+    assert(DeltaLog.read(spark, p).count() == 106L)
+  }
+
   test("mergeSchemas: table-first union, nested recursion, typed incompatibility") {
     import org.apache.spark.sql.types._
     val table = StructType(Seq(
