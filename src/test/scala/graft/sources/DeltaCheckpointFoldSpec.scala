@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Randomized (seeded, deterministic) sequences of delta mutations, each
+  * followed by checkpoint + cleanupLog: the snapshot read THROUGH the
+  * checkpoint alone must equal the snapshot read from the raw log just
+  * before it. This pins the version-ordered fold (newest add per path,
+  * remove-then-re-add revival) against op interleavings a hand-written
+  * test wouldn't enumerate — RESTORE after upsert after delete is
+  * exactly where the old global adds-minus-removes fold lost files.
+  */
+class DeltaCheckpointFoldSpec extends SparkSpec {
+
+  private def tmp(name: String) = s"target/tmp/cpfold/$name"
+
+  test("checkpoint+cleanup preserves the snapshot across random op sequences") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(20260815L)
+    (1 to 5).foreach { seqIdx =>
+      val p = tmp(s"seq_$seqIdx")
+      val pp = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      var nextId = 100L
+      def batch(n: Int) = {
+        val rows = (0 until n).map { _ =>
+          nextId += 1; (nextId, s"r$nextId", rng.nextInt(100).toDouble)
+        }
+        rows.toDF("id", "name", "v")
+      }
+      DeltaLog.write(batch(4), "overwrite", p, checkpointInterval = 0)
+      var version = 0L
+      val nOps = 4 + rng.nextInt(4)
+      (1 to nOps).foreach { _ =>
+        rng.nextInt(5) match {
+          case 0 | 1 => // append (the common op)
+            DeltaLog.write(batch(1 + rng.nextInt(3)), "append", p,
+              checkpointInterval = 0)
+            version += 1
+          case 2 => // copy-on-write upsert of a random existing id
+            val ids = DeltaLog.read(spark, p).select("id")
+              .collect().map(_.getLong(0))
+            if (ids.nonEmpty) {
+              val target = ids(rng.nextInt(ids.length))
+              DeltaLog.upsert(Seq((target, s"upd$target", -1.0))
+                .toDF("id", "name", "v"), Seq("id"), p)
+              version += 1
+            }
+          case 3 => // copy-on-write delete (may be a no-commit no-op)
+            val cut = rng.nextInt(100)
+            if (DeltaLog.deleteWhere(spark, p, s"v < $cut") > 0) version += 1
+          case 4 => // restore to a random past version (remove+re-add)
+            val target = rng.nextLong(version + 1)
+            DeltaLog.restore(spark, p, target)
+            version += 1
+        }
+      }
+      val before = DeltaLog.read(spark, p).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sorted.toSeq
+      DeltaLog.writeCheckpoint(spark, p, version)
+      DeltaLog.cleanupLog(spark, p)
+      val after = DeltaLog.read(spark, p).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(after == before,
+        s"sequence $seqIdx: checkpoint fold changed the snapshot at " +
+          s"version $version\nbefore=$before\nafter=$after")
+      // and the table stays writable after the full cleanup
+      DeltaLog.write(batch(1), "append", p, checkpointInterval = 0)
+      assert(DeltaLog.read(spark, p).count() == before.size + 1L)
+    }
+  }
+}
