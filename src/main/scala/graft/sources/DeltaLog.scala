@@ -1053,8 +1053,25 @@ object DeltaLog {
         .sortBy(_.getPath.getName).lastOption
     newest match {
       case Some(st) =>
+        // CRC of the FIRST 64 KB only: combined with (version, len,
+        // modTime) that pins any realistic same-length rebuild, while a
+        // bootstrap commit with 10⁵ add actions (tens of MB) doesn't get
+        // fully re-read on every cache consultation
         val crc = new java.util.zip.CRC32()
-        crc.update(readString(fs, st.getPath).getBytes("UTF-8"))
+        val in = fs.open(st.getPath)
+        try {
+          // fill to 64 KB or EOF — a single read() may return short
+          // (HDFS), and a partial-read CRC would make the key
+          // nondeterministic across consultations
+          val buf = new Array[Byte](65536)
+          var off = 0
+          var n = 0
+          while (off < buf.length && n >= 0) {
+            n = in.read(buf, off, buf.length - off)
+            if (n > 0) off += n
+          }
+          crc.update(buf, 0, off)
+        } finally in.close()
         (tbl.toString,
           st.getPath.getName.stripSuffix(".json").toLong, st.getLen,
           st.getModificationTime, crc.getValue)
@@ -1763,8 +1780,11 @@ object DeltaLog {
     val live = applyDeletionVectors(spark, path, victims,
       readDataFiles(spark, path, files, withRowMeta = true))
     val dvJson = victims.map(a => a.rel -> dvDescriptorJson(a.dv.get)).toMap
+    // keep the victims' file granularity: without the hint the restage
+    // inherits the anti-join's shuffle partitioning (spark.sql.shuffle
+    // .partitions files regardless of victim count)
     commitRewrite(spark, path, "PURGE", victims.map(_.rel).sorted, live,
-      removeDvJson = dvJson)
+      removeDvJson = dvJson, numFiles = Some(victims.size))
     victims.size
   }
 
