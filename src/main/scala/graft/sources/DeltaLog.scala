@@ -1825,11 +1825,12 @@ object DeltaLog {
         v
       }
     if (hasDv) throw graft.GraftError.InvalidOperation(op,
-      s"$path carries deletion vectors; this writer's copy-on-write " +
-        "paths do not rewrite or preserve DV files (a naive rewrite " +
-        "would resurrect deleted rows or destroy the delete " +
-        "information) — supported on DV tables here: read, append, " +
-        "DV-native deleteWhereViaDv, checkpoint, overwrite")
+      s"$path carries deletion vectors; copy-on-write rewrites of " +
+        "still-DV'd files would resurrect deleted rows — run " +
+        "purgeDeletionVectors first (materializes the DVs, restoring " +
+        "the full maintenance surface). Supported directly on DV " +
+        "tables: read, append, merge, DV-native deleteWhereViaDv, " +
+        "checkpoint, restore, vacuum, purge, overwrite")
   }
 
   /** Write `df` as a delta table WITH deletion vectors: data files land
