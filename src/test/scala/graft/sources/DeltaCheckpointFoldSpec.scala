@@ -36,8 +36,17 @@ class DeltaCheckpointFoldSpec extends SparkSpec {
       }
       DeltaLog.write(batch(4), "overwrite", p, checkpointInterval = 0)
       var version = 0L
+      var cleanedBelow = 0L // restore targets must still have commit files
       val nOps = 4 + rng.nextInt(4)
-      (1 to nOps).foreach { _ =>
+      (1 to nOps).foreach { opIdx =>
+        // mid-sequence checkpoint+cleanup on some sequences: the FINAL
+        // checkpoint then folds FROM a previous checkpoint (recency -1
+        // seeding), the other half fold from raw commits only
+        if (opIdx == 3 && seqIdx % 2 == 0) {
+          DeltaLog.writeCheckpoint(spark, p, version)
+          DeltaLog.cleanupLog(spark, p)
+          cleanedBelow = version + 1
+        }
         rng.nextInt(5) match {
           case 0 | 1 => // append (the common op)
             DeltaLog.write(batch(1 + rng.nextInt(3)), "append", p,
@@ -55,10 +64,15 @@ class DeltaCheckpointFoldSpec extends SparkSpec {
           case 3 => // copy-on-write delete (may be a no-commit no-op)
             val cut = rng.nextInt(100)
             if (DeltaLog.deleteWhere(spark, p, s"v < $cut") > 0) version += 1
-          case 4 => // restore to a random past version (remove+re-add)
-            val target = rng.nextLong(version + 1)
-            DeltaLog.restore(spark, p, target)
-            version += 1
+          case 4 => // restore to a random past STILL-VISIBLE version
+            // (a cleaned-up version has no commit file — fails typed by
+            // the time-travel visibility rule, so don't target those;
+            // right after a mid-sequence cleanup nothing is restorable)
+            val span = version - cleanedBelow + 1
+            if (span > 0) {
+              DeltaLog.restore(spark, p, cleanedBelow + rng.nextLong(span))
+              version += 1
+            }
         }
       }
       val before = DeltaLog.read(spark, p).collect()
@@ -76,5 +90,35 @@ class DeltaCheckpointFoldSpec extends SparkSpec {
       DeltaLog.write(batch(1), "append", p, checkpointInterval = 0)
       assert(DeltaLog.read(spark, p).count() == before.size + 1L)
     }
+  }
+
+  test("partitioned table: partitionValues survive the checkpoint fold") {
+    val sp = spark
+    import sp.implicits._
+    val p = tmp("partitioned")
+    val pp = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(pp)) {
+      java.nio.file.Files.walk(pp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    def b(ids: Seq[Long]) =
+      ids.map(i => (i, s"g${i % 3}", i * 1.0)).toDF("id", "part", "v")
+    DeltaLog.write(b(1L to 9L), "overwrite", p, partitionBy = Seq("part"),
+      checkpointInterval = 0)
+    DeltaLog.write(b(10L to 12L), "append", p, partitionBy = Seq("part"),
+      checkpointInterval = 0)
+    DeltaLog.deleteWhere(spark, p, "id = 2")
+    // partition columns read back LAST — select explicitly
+    val before = DeltaLog.read(spark, p).select("id", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    DeltaLog.writeCheckpoint(spark, p, 2L)
+    DeltaLog.cleanupLog(spark, p)
+    val after = DeltaLog.read(spark, p).select("id", "part")
+    assert(after.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq == before)
+    // partition pruning still works off the checkpointed adds
+    assert(DeltaLog.readWhere(spark, p, "part = 'g1'").count() ==
+      before.count(_._2 == "g1"))
   }
 }
