@@ -181,10 +181,7 @@ object DeltaLog {
       }
     }.maxOption
     fromCommits.orElse(lastCheckpointVersion(fs, log).flatMap { v =>
-      val cp = new HPath(log, f"$v%020d.checkpoint.parquet")
-      if (!fs.exists(cp)) None
-      else {
-        val df = spark.read.parquet(cp.toString)
+      readCheckpoint(spark, fs, log, v).flatMap { df =>
         if (!df.columns.contains("txn")) None
         else df.where(col("txn").isNotNull && col("txn.appId") === appId)
           .agg(org.apache.spark.sql.functions.max(col("txn.version")))
@@ -223,14 +220,13 @@ object DeltaLog {
       tbl: HPath): Option[Seq[String]] =
     latestPartitionColumns(fs, logDir(tbl))
       .orElse(lastCheckpointVersion(fs, logDir(tbl)).flatMap { v =>
-        val cp = spark.read.parquet(
-          new HPath(logDir(tbl), f"$v%020d.checkpoint.parquet").toString)
+        readCheckpoint(spark, fs, logDir(tbl), v).flatMap { cp =>
         if (cp.columns.contains("metaData")) {
           val rows = cp.where(col("metaData").isNotNull)
             .select(col("metaData.partitionColumns")).collect()
           rows.headOption.map(_.getSeq[String](0))
         } else None
-      })
+      }})
 
   /** Table schema JSON (metaData.schemaString) — newest commit first,
     * checkpoint fallback. Same visibility rule as partition columns.
@@ -249,12 +245,13 @@ object DeltaLog {
       }.toSeq.lastOption
     }.nextOption()
     fromCommits.orElse(lastCheckpointVersion(fs, log).flatMap { v =>
-      val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
-      if (cp.columns.contains("metaData")) {
-        val rows = cp.where(col("metaData").isNotNull)
-          .select(col("metaData.schemaString")).collect()
-        rows.headOption.map(_.getString(0))
-      } else None
+      readCheckpoint(spark, fs, log, v).flatMap { cp =>
+        if (cp.columns.contains("metaData")) {
+          val rows = cp.where(col("metaData").isNotNull)
+            .select(col("metaData.schemaString")).collect()
+          rows.headOption.map(_.getString(0))
+        } else None
+      }
     })
   }
 
@@ -778,15 +775,15 @@ object DeltaLog {
     * tables (exactly the long-lived, delete-heavy tables DVs exist for)
     * can bound their log replay too instead of refusing to checkpoint.
     */
-  def writeCheckpoint(spark: SparkSession, path: String, version: Long): Unit = {
+  def writeCheckpoint(spark: SparkSession, path: String, version: Long,
+      rowsPerPart: Int = 1000000): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
     // sources: the previous checkpoint (older commits may be gone) plus
     // the commits after it, up to `version`
     val prevCp = lastCheckpointVersion(fs, log).filter(_ < version)
-    val prev = prevCp.map(v => spark.read.parquet(
-      new HPath(log, f"$v%020d.checkpoint.parquet").toString))
+    val prev = prevCp.flatMap(v => readCheckpoint(spark, fs, log, v))
     val commits = existingVersions(fs, log)
       .filter(v => v <= version && prevCp.forall(v > _))
       .map(v => new HPath(log, commitName(v)).toString)
@@ -800,8 +797,9 @@ object DeltaLog {
     // semi-join, never a collected literal
     val sess = spark
     import sess.implicits._
-    val activeDf = activeAddsAsOf(spark, path, Some(version))
-      .map(_.rel).toDF("graft_active_path")
+    val activeRels = activeAddsAsOf(spark, path, Some(version)).map(_.rel)
+    val activeCount = activeRels.length
+    val activeDf = activeRels.toDF("graft_active_path")
     // recency: previous-checkpoint rows are older than every replayed
     // commit; commit rows rank by their version (from the file name)
     val prevAdds = prev.flatMap(p =>
@@ -845,23 +843,78 @@ object DeltaLog {
       newest("protocol").toSeq ++ txns.toSeq
     val snapshot = parts
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    // single checkpoint file: write to a temp dir, move the part file in
+    // small snapshots → the classic single file; past rowsPerPart active
+    // files → the multi-part `%020d.checkpoint.%010d.%010d.parquet`
+    // layout real delta uses, because coalesce(1) would serialize
+    // O(active files) add rows through ONE task (the checkpoint write
+    // itself must scale with the table)
+    val nParts = math.max(1,
+      math.ceil(activeCount.toDouble / math.max(1, rowsPerPart)).toInt)
     val tmpDir = new HPath(log, s".cp_tmp_$version")
-    snapshot.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val partFile = fs.listStatus(tmpDir)
-      .find(s => s.getPath.getName.startsWith("part-") &&
+    (if (nParts == 1) snapshot.coalesce(1) else snapshot.repartition(nParts))
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val written = fs.listStatus(tmpDir).toSeq
+      .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
-    val cpFile = new HPath(log, f"$version%020d.checkpoint.parquet")
-    fs.delete(cpFile, false)
-    if (!fs.rename(partFile.getPath, cpFile))
-      throw new IllegalStateException(s"checkpoint rename failed: $cpFile")
+      .sortBy(_.getPath.getName)
+    if (written.isEmpty)
+      throw new IllegalStateException("checkpoint write produced no part file")
+    // clear any stale files of a re-checkpointed version (either layout)
+    checkpointPaths(fs, log, version).foreach(p => fs.delete(new HPath(p), false))
+    if (written.size == 1 && nParts == 1) {
+      val cpFile = new HPath(log, f"$version%020d.checkpoint.parquet")
+      if (!fs.rename(written.head.getPath, cpFile))
+        throw new IllegalStateException(s"checkpoint rename failed: $cpFile")
+    } else {
+      val n = written.size
+      written.zipWithIndex.foreach { case (st, i) =>
+        val cpFile = new HPath(log,
+          f"$version%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
+        if (!fs.rename(st.getPath, cpFile))
+          throw new IllegalStateException(s"checkpoint rename failed: $cpFile")
+      }
+    }
     fs.delete(tmpDir, true)
-    // size from the just-written single file — not a second full log replay
-    val size = spark.read.parquet(cpFile.toString).count()
+    // size from the just-written files — not a second full log replay
+    val size = readCheckpoint(spark, fs, log, version)
+      .map(_.count()).getOrElse(0L)
+    val partsField =
+      if (written.size > 1 || nParts > 1) s""","parts":${written.size}""" else ""
     val lc = fs.create(new HPath(log, "_last_checkpoint"), true)
-    try lc.write(s"""{"version":$version,"size":$size}""".getBytes("UTF-8"))
+    try lc.write(
+      s"""{"version":$version,"size":$size$partsField}""".getBytes("UTF-8"))
     finally lc.close()
+  }
+
+  /** Parquet path(s) of checkpoint `v`: the classic single
+    * `%020d.checkpoint.parquet` or the multi-part
+    * `%020d.checkpoint.%010d.%010d.parquet` layout (what real delta
+    * writes for big snapshots — and what we write past
+    * [[CheckpointRowsPerPart]] active files, because a single-file
+    * checkpoint serializes O(active files) rows through ONE task).
+    * Empty when the version has no checkpoint files.
+    */
+  private def checkpointPaths(fs: FileSystem, log: HPath,
+      v: Long): Seq[String] = {
+    val single = new HPath(log, f"$v%020d.checkpoint.parquet")
+    if (fs.exists(single)) Seq(single.toString)
+    else if (!fs.exists(log)) Nil
+    else {
+      val prefix = f"$v%020d.checkpoint."
+      fs.listStatus(log).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(prefix) &&
+          p.getName.endsWith(".parquet"))
+        .sortBy(_.getName).map(_.toString)
+    }
+  }
+
+  /** The checkpoint-`v` snapshot frame across all its part files, or
+    * None when no checkpoint files exist for `v`.
+    */
+  private def readCheckpoint(spark: SparkSession, fs: FileSystem,
+      log: HPath, v: Long): Option[DataFrame] = {
+    val paths = checkpointPaths(fs, log, v)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
   /** Version of the newest checkpoint per `_last_checkpoint`, if any. */
@@ -938,7 +991,10 @@ object DeltaLog {
     // checkpointed adds parse identically (stats stays the JSON string the
     // writer recorded)
     val cpAdds: Seq[DeltaStats.AddEntry] = cpVersion.toSeq.flatMap { v =>
-      val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
+      val cp = readCheckpoint(spark, fs, log, v).getOrElse(
+        throw graft.GraftError.InvalidOperation("load_delta",
+          s"$path: _last_checkpoint names version $v but no checkpoint " +
+            "parquet files exist"))
       if (cp.columns.contains("add"))
         cp.where(col("add").isNotNull)
           .select(org.apache.spark.sql.functions.to_json(col("add")))
@@ -991,7 +1047,10 @@ object DeltaLog {
     guard(cmMode != "none" && cmMode != "name" && cmMode != "id",
       s"column mapping mode '$cmMode'")
     cpVersion.foreach { v =>
-      val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
+      val cp = readCheckpoint(spark, fs, log, v).getOrElse(
+        throw graft.GraftError.InvalidOperation("load_delta",
+          s"$path: _last_checkpoint names version $v but no checkpoint " +
+            "parquet files exist"))
       if (cp.columns.contains("protocol")) {
         cp.where(col("protocol").isNotNull)
           .select(org.apache.spark.sql.functions.to_json(col("protocol")))
@@ -1125,8 +1184,8 @@ object DeltaLog {
         if (cf != null && cf.isObject) Some(parse(cf)) else None
       }.toSeq.lastOption
     }.nextOption()
-    val result = fromCommits.orElse(lastCheckpointVersion(fs, log).flatMap { v =>
-      val cp = spark.read.parquet(new HPath(log, f"$v%020d.checkpoint.parquet").toString)
+    val result = fromCommits.orElse(lastCheckpointVersion(fs, log)
+        .flatMap(v => readCheckpoint(spark, fs, log, v)).flatMap { cp =>
       val hasConf = cp.schema.fields.find(_.name == "metaData").exists(
         _.dataType match {
           case st: org.apache.spark.sql.types.StructType =>
@@ -2509,7 +2568,15 @@ object DeltaLog {
     val cp = lastCheckpointVersion(fs, log).getOrElse(return Nil)
     val victims = existingVersions(fs, log).filter(_ <= cp).map(commitName)
     victims.foreach(n => fs.delete(new HPath(log, n), false))
-    victims
+    // checkpoints OLDER than the newest are superseded (replay always
+    // seeds from the newest) — without this sweep a long-lived table
+    // accumulates one checkpoint's worth of parquet per interval forever
+    val staleCps = fs.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(n => n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") &&
+        n.take(20).toLong < cp)
+      .sorted
+    staleCps.foreach(n => fs.delete(new HPath(log, n), false))
+    victims ++ staleCps
   }
 
   /** Delete data files not referenced by the CURRENT snapshot — the

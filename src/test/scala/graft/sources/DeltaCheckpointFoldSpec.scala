@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import java.nio.file.Files
 import org.apache.spark.sql.functions.col
 
 /** Randomized (seeded, deterministic) sequences of delta mutations, each
@@ -90,6 +91,54 @@ class DeltaCheckpointFoldSpec extends SparkSpec {
       DeltaLog.write(batch(1), "append", p, checkpointInterval = 0)
       assert(DeltaLog.read(spark, p).count() == before.size + 1L)
     }
+  }
+
+  test("multi-part checkpoint: delta part naming, reads/cleanup/metadata work") {
+    val sp = spark
+    import sp.implicits._
+    val p = tmp("multipart")
+    val pp = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(pp)) {
+      java.nio.file.Files.walk(pp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    // 9 files → rowsPerPart=2 forces the multi-part layout (a 10⁶-file
+    // snapshot must not serialize through one coalesce(1) task)
+    DeltaLog.write(sp.range(9).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(9), "overwrite", p, checkpointInterval = 0)
+    DeltaLog.write(Seq((100L, 0L)).toDF("id", "v"), "append", p,
+      checkpointInterval = 0)
+    DeltaLog.writeCheckpoint(spark, p, 1L, rowsPerPart = 2)
+    val logDir = java.nio.file.Paths.get(p, "_delta_log")
+    val cpFiles = java.nio.file.Files.list(logDir).toArray.map(_.toString)
+      .map(_.split("/").last)
+      .filter(n => n.contains("checkpoint") && n.endsWith(".parquet") &&
+        !n.startsWith(".")) // Hadoop .crc sidecars are not checkpoint files
+      .sorted
+    assert(cpFiles.length > 1, s"expected multi-part, got ${cpFiles.toSeq}")
+    assert(cpFiles.forall(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")),
+      cpFiles.toSeq.toString)
+    // _last_checkpoint declares the part count
+    val lc = Files.readString(logDir.resolve("_last_checkpoint"))
+    assert(lc.contains("\"parts\":"), lc)
+    // replay through the multi-part checkpoint alone
+    DeltaLog.cleanupLog(spark, p)
+    assert(DeltaLog.read(spark, p).count() == 10L)
+    // metadata fallbacks (schema / partition cols / txn / conf) read the
+    // multi-part layout too: append after full cleanup still works and
+    // lands AFTER the checkpoint version
+    DeltaLog.write(Seq((101L, 1L)).toDF("id", "v"), "append", p,
+      checkpointInterval = 0)
+    assert(DeltaLog.read(spark, p).count() == 11L)
+    assert(Files.exists(logDir.resolve("0" * 19 + "2.json")))
+    // a LATER single-file checkpoint supersedes; cleanup sweeps the old
+    // multi-part files
+    DeltaLog.writeCheckpoint(spark, p, 2L)
+    val dropped = DeltaLog.cleanupLog(spark, p)
+    assert(dropped.count(_.contains("checkpoint")) == cpFiles.length,
+      s"stale multi-part files not swept: $dropped")
+    assert(DeltaLog.read(spark, p).count() == 11L)
   }
 
   test("partitioned table: partitionValues survive the checkpoint fold") {
