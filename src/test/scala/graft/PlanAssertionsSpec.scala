@@ -224,6 +224,27 @@ class PlanAssertionsSpec extends SparkSpec {
       s"native TopShingleRun expression missing:\n$p")
   }
 
+  test("DV read: row filter is a broadcast ANTI join keyed on (file, row), scan pruned") {
+    val p2 = "target/tmp/plan_dv_read"
+    import org.apache.spark.sql.functions.col
+    val src = spark.range(5000).select(col("id"),
+      (col("id") % 7).as("grp"), (col("id") * 1.5).as("v")).repartition(4)
+    graft.sources.DeltaLog.writeWithDeletionVectors(src, p2, "id % 3 = 0")
+    val df = graft.sources.DeltaLog.read(spark, p2)
+      .where(col("grp") === 3).select("id", "v")
+    df.collect() // AQE's final plan is what production runs
+    val p = plan(df)
+    // the deleted-position side is KB-scale by protocol design — it must
+    // build a broadcast hash relation, never shuffle the corpus side
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV filter not a broadcast anti-join:\n$p")
+    // the user predicate pushes BELOW the DV anti-join into the scan —
+    // the row-metadata plumbing must not block predicate pushdown
+    assert(p.replaceAll("\\s", "").contains("PushedFilters:[IsNotNull(grp),EqualTo(grp,3)]"),
+      s"predicate not pushed through the DV plumbing:\n$p")
+    assert(!p.contains("ScalaUDF"), s"DV path uses a Scala UDF:\n$p")
+  }
+
   test("weighted sample selects via TakeOrdered, not a global sort") {
     val df = operators.Corpus.weightedSample(
       spark.read.parquet(s"$sf/documents.parquet"),
