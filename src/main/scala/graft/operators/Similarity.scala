@@ -1164,8 +1164,13 @@ object Similarity {
     val cb = pqTrain(corpus, vecCol, idCol, m, ksub, refineIterations, dim,
       trainFraction)
     cb.write.mode("overwrite").parquet(s"${path}_codebook")
+    // large-nlist builds persist the meta quantizer next to the centroids
+    // (same contract as [[buildIvfIndex]]) so assign here and every
+    // future [[ivfPqTopK]] probe share one bit-identical quantizer
+    // instead of re-running the O(nlist^1.5) meta-Lloyd pass per call
+    val pre = writeMetaPre(corpus.sparkSession, centroids, nlist, path)
     writeIndexPartitioned(
-      assignToLists(c, centroids, nlistHint = nlist)
+      assignToLists(c, centroids, nlistHint = nlist, metaPre = pre)
         .join(pqEncode(corpus, vecCol, idCol, cb, m, dim), Seq("corpus_id")),
       path, nlist, "overwrite")
   }
@@ -1178,27 +1183,43 @@ object Similarity {
     */
   def ivfPqTopK(indexPath: String, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, nprobe: Int = 4, m: Int = 8, dim: Int = 64,
-      rerank: Int = 50): DataFrame = {
+      rerank: Int = 50, maxProbedLiteral: Int = MaxProbedLiteral): DataFrame = {
     require(rerank >= k, "ivfPqTopK: rerank must be >= k")
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"${indexPath}_centroids")
     val cb = spark.read.parquet(s"${indexPath}_codebook")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qLists = probeLists(q, centroids, nprobe)
-    val probed = qLists.select("list_id").distinct().collect().map(_.get(0))
-    val rows = readIndexLists(spark, indexPath, probed)
+    // the probe reuses the index's persisted meta quantizer when present
+    // (large-nlist builds write it) — without it every probe re-runs the
+    // O(nlist^1.5) meta-Lloyd pass the build already paid for
+    val qLists = probeLists(q, centroids, nprobe,
+      metaPre = loadMetaPre(spark, indexPath))
+    // same two-route plan choice as [[ivfTopKIndexed]]: an interactive
+    // probe collects its small distinct probed-list set to a partition-
+    // pruning literal and broadcasts the Q-sized sides; a BATCH probe
+    // (Q ~10⁶ ⇒ probed set past the cap) must neither collect an
+    // unbounded driver literal nor broadcast Q-sized frames — it routes
+    // through shuffle joins on list_id / query_id. limit(cap+1) bounds
+    // the collect itself; results are route-identical (spec-asserted).
+    val probed = qLists.select("list_id").distinct()
+      .limit(maxProbedLiteral + 1).collect().map(_.get(0))
+    val literalRoute = probed.length <= maxProbedLiteral
+    val rows = readIndexLists(spark, indexPath,
+      if (literalRoute) probed else null)
+    def qSized(df: DataFrame): DataFrame =
+      if (literalRoute) broadcast(df) else df
     val lut = adcLutFlat(queries, cb, vecCol, idCol, m, dim)
     val adc = rows.select(col("list_id"), col("corpus_id"), col("codes"))
-      .join(broadcast(qLists.select(col("query_id"), col("list_id"))), Seq("list_id"))
+      .join(qSized(qLists.select(col("query_id"), col("list_id"))), Seq("list_id"))
       .where(col("corpus_id") =!= col("query_id"))
-      .join(broadcast(lut), Seq("query_id"))
+      .join(qSized(lut), Seq("query_id"))
       .select(col("query_id"), col("corpus_id"),
         V.adcSum(col("codes"), col("graft_lut")).as("adc_d2"))
     val cand = topKPerQuery(adc, "adc_d2", scoreDesc = false, rerank, "arn")
       .select(col("query_id"), col("corpus_id"))
     val exact = cand
       .join(rows.select(col("corpus_id"), col("cv")), Seq("corpus_id"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(qSized(q), Seq("query_id"))
       .withColumn("cos", V.cosine(col("cv"), col("qv")))
     topKPerQuery(exact, "cos", scoreDesc = true, k, "rank")
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cosine"),

@@ -901,6 +901,36 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy(col("rank")).as[(Long, Long, Double, Int)].collect()
     assert(top.head._2 == 100007L, s"planted copy must rank first, got ${top.head}")
     assert(math.abs(top.head._3 - 1.0) < 1e-6)
+    // batch regime: forcing the probed set past the literal cap routes
+    // the probe through shuffle joins (no driver list-id literal, no
+    // broadcast of the Q-sized probe/LUT/query frames) — identical
+    // results, the route is a plan choice, never a semantics choice
+    val litRows = Similarity.ivfPqTopK(idx, corpus.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nprobe = 2, rerank = 30)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    val batchRows = Similarity.ivfPqTopK(idx, corpus.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nprobe = 2, rerank = 30,
+        maxProbedLiteral = 0)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    assert(batchRows == litRows,
+      "batch-join probe route must return the literal route's rows")
+  }
+
+  test("IVF+PQ large-nlist build persists the meta quantizer; probes reuse it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = "target/tmp/ivfpq_index_meta"
+    // above the two-level threshold the build must write _meta/_cmap so
+    // ivfPqTopK probes load the persisted quantizer instead of re-running
+    // the meta-Lloyd pass per call (same contract as buildIvfIndex)
+    Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", idx, nlist = 300)
+    assert(new java.io.File(idx + "_meta").exists() &&
+      new java.io.File(idx + "_cmap").exists(),
+      "large-nlist IVF+PQ build must persist the meta quantizer")
+    val out = Similarity.ivfPqTopK(idx, emb.where(col("vec_id") === 7),
+      "embedding", "vec_id", k = 3, nprobe = 8, rerank = 30)
+    assert(out.count() == 3)
   }
 
   test("IVF index append: batch joins existing lists, probes find appended vectors") {
