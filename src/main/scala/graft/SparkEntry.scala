@@ -709,9 +709,20 @@ object SparkEntry {
         c.where(col("c_custkey") % 10 === 7)
           .withColumn("c_acctbal", col("c_acctbal") + 500),
         "merge", path)
+      // v5: copy-on-write DELETE of the %10==4 slice; v6: schema-EVOLVING
+      // merge re-inserts it carrying a NEW column — the writer MINTS
+      // columnMapping annotations for c_bonus (fresh physicalName + id,
+      // maxColumnId bumped) instead of refusing; every pre-existing row
+      // reads back null for it through the unchanged annotations
+      graft.sources.DeltaLog.deleteWhere(s, path, "c_custkey % 10 = 4")
+      graft.sources.DeltaLog.write(
+        c.where(col("c_custkey") % 10 === 4)
+          .withColumn("c_bonus", (col("c_custkey") % 97).cast("double")),
+        "merge", path)
       Loaders.load(s, path, "customer_cm")
         .select("c_mktsegment")
-        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal",
+          "ROUND(SUM(c_bonus), 2) AS total_bonus")
         .groupBy("c_mktsegment").toDF
     }),
 
@@ -826,6 +837,34 @@ object SparkEntry {
         .select("c_mktsegment")
         .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
         .groupBy("c_mktsegment").toDF
+    }),
+
+    // ROW-LEVEL change feed over a DV table: each DV-native delete is a
+    // same-path descriptor swap — the change is the BITMAP DIFFERENCE
+    // (new minus old = deleted rows), computed per generation. Two
+    // successive DV deletes give two delete windows; the oracle
+    // recomputes each predicate delta straight from customer.
+    "q_delta_dv_changes" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_dv_cdf"
+      val pp = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(4, col("c_custkey"))
+      graft.sources.DeltaLog.writeWithDeletionVectors(
+        c, path, "c_custkey % 3 = 0", inlineFirst = true)             // v0
+      graft.sources.DeltaLog.deleteWhereViaDv(s, path, "c_custkey % 5 = 0") // v1
+      graft.sources.DeltaLog.deleteWhereViaDv(s, path, "c_custkey % 7 = 0") // v2
+      graft.sources.DeltaLog.readChanges(s, path, 0L, 2L)
+        .select(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"),
+          col("c_mktsegment"), col("c_acctbal"))
+        .groupBy(col("commit_version"), col("change_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
     }),
 
     // time travel: version 0 of the same table q_delta_roundtrip builds
@@ -2807,14 +2846,20 @@ object SparkEntry {
     "q_delta_roundtrip" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey % 10 = 0) GROUP BY c_mktsegment",
 
+    // the %10==4 slice is deleted then re-merged carrying c_bonus (the
+    // schema-evolving mapped merge); every other row has a null bonus
     "q_delta_colmap" ->
       ("SELECT count(*) AS n, round(sum(bal), 2) AS total_bal, " +
-        "c_mktsegment FROM (" +
+        "round(sum(bonus), 2) AS total_bonus, c_mktsegment FROM (" +
         "SELECT c_mktsegment, CASE WHEN c_custkey % 10 = 1 " +
-        "THEN c_acctbal + 1000 ELSE c_acctbal END AS bal FROM customer " +
-        "WHERE c_custkey % 10 <> 7 " +
-        "UNION ALL SELECT c_mktsegment, c_acctbal + 500 AS bal " +
-        "FROM customer WHERE c_custkey % 10 = 7) " +
+        "THEN c_acctbal + 1000 ELSE c_acctbal END AS bal, " +
+        "CAST(NULL AS DOUBLE) AS bonus FROM customer " +
+        "WHERE c_custkey % 10 <> 7 AND c_custkey % 10 <> 4 " +
+        "UNION ALL SELECT c_mktsegment, c_acctbal + 500 AS bal, " +
+        "CAST(NULL AS DOUBLE) AS bonus FROM customer WHERE c_custkey % 10 = 7 " +
+        "UNION ALL SELECT c_mktsegment, c_acctbal AS bal, " +
+        "CAST(c_custkey % 97 AS DOUBLE) AS bonus FROM customer " +
+        "WHERE c_custkey % 10 = 4) " +
         "GROUP BY c_mktsegment"),
 
     "q_delta_dv" ->
@@ -2846,6 +2891,21 @@ object SparkEntry {
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
         "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0 " +
         "AND c_custkey % 5 <> 0 GROUP BY c_mktsegment"),
+
+    // the two DV generations' bitmap differences recomputed straight
+    // from customer: v1 deletes the %5 rows still live after the %3
+    // fixture, v2 deletes the %7 rows live after both
+    "q_delta_dv_changes" ->
+      ("SELECT CAST(1 AS BIGINT) AS commit_version, 'delete' AS change_type, " +
+        "c_mktsegment, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(c_acctbal), 2) AS total_bal " +
+        "FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 0 " +
+        "GROUP BY c_mktsegment " +
+        "UNION ALL " +
+        "SELECT CAST(2 AS BIGINT), 'delete', c_mktsegment, " +
+        "CAST(count(*) AS BIGINT), round(sum(c_acctbal), 2) " +
+        "FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 0 " +
+        "AND c_custkey % 7 = 0 GROUP BY c_mktsegment"),
 
     "q_with_ctes" ->
       ("WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000), " +

@@ -150,12 +150,16 @@ object DeltaLog {
   private def protocolAction: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  private def metaDataAction(schemaJson: String, partitionBy: Seq[String]): String = {
+  private def metaDataAction(schemaJson: String, partitionBy: Seq[String],
+      configuration: Map[String, String] = Map.empty): String = {
     val parts = partitionBy.map(p => s""""${esc(p)}"""").mkString(",")
+    val conf = configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(Option(v).getOrElse(""))}"""" }
+      .mkString(",")
     s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":"${esc(schemaJson)}",""" +
-      s""""partitionColumns":[$parts],"configuration":{},""" +
+      s""""partitionColumns":[$parts],"configuration":{$conf},""" +
       s""""createdTime":${System.currentTimeMillis()}}}"""
   }
 
@@ -230,13 +234,18 @@ object DeltaLog {
 
   /** Table schema JSON (metaData.schemaString) — newest commit first,
     * checkpoint fallback. Same visibility rule as partition columns.
+    * `asOf` bounds the search to commits ≤ that version (the schema a
+    * time-travel read must resolve against — metaData time-travels with
+    * the data, so a post-asOf schema evolution must not leak backwards).
     */
   private def tableSchemaJson(spark: SparkSession, fs: FileSystem,
-      tbl: HPath): Option[String] = {
+      tbl: HPath, asOf: Option[Long] = None): Option[String] = {
     import com.fasterxml.jackson.databind.ObjectMapper
     val mapper = new ObjectMapper()
     val log = logDir(tbl)
-    val fromCommits = existingVersions(fs, log).reverse.iterator.flatMap { v =>
+    val versions = existingVersions(fs, log)
+      .filter(v => asOf.forall(v <= _))
+    val fromCommits = versions.reverse.iterator.flatMap { v =>
       readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         val md = if (node == null) null else node.get("metaData")
@@ -244,7 +253,8 @@ object DeltaLog {
         if (ss != null && ss.isTextual) Some(ss.asText) else None
       }.toSeq.lastOption
     }.nextOption()
-    fromCommits.orElse(lastCheckpointVersion(fs, log).flatMap { v =>
+    fromCommits.orElse(lastCheckpointVersion(fs, log)
+      .filter(v => asOf.forall(v <= _)).flatMap { v =>
       readCheckpoint(spark, fs, log, v).flatMap { cp =>
         if (cp.columns.contains("metaData")) {
           val rows = cp.where(col("metaData").isNotNull)
@@ -254,6 +264,18 @@ object DeltaLog {
       }
     })
   }
+
+  /** [[tableSchemaJson]] parsed to a StructType — None when the log has no
+    * schemaString or it doesn't parse (foreign/v0 writers), which is
+    * exactly when a reader must fall back to file footers.
+    */
+  private def parsedTableSchema(spark: SparkSession, fs: FileSystem,
+      tbl: HPath, asOf: Option[Long] = None): Option[StructType] =
+    tableSchemaJson(spark, fs, tbl, asOf).flatMap { js =>
+      try Some(org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[StructType])
+      catch { case _: Exception => None }
+    }
 
   /** Parquet-mergeSchema-shaped union of the table's declared schema and
     * an incoming frame's: table fields keep their position and type (an
@@ -422,25 +444,58 @@ object DeltaLog {
     // mapped append: stage under the table's PHYSICAL column names —
     // logical→physical is the same positional struct-cast rename the
     // read path applies in reverse
+    // schema-EVOLVING append/merge on a name-mapped table: new frame
+    // columns get MINTED mapping annotations — a fresh
+    // delta.columnMapping.id above the table's maxColumnId and a
+    // deterministic uuid-style physicalName — and the commit refreshes
+    // metaData with the widened schema and the bumped maxColumnId.
+    // Old files lack the new physical columns, so existing rows read
+    // back null for them; old readers still resolve every pre-existing
+    // column through its unchanged annotations. Nested-struct evolution
+    // stays refused (mergeSchemas would need per-subfield minting).
+    val mappedEvolved: Option[StructType] = mappedSchema.flatMap { logical =>
+      import org.apache.spark.sql.types._
+      val extra = df.columns.filterNot(logical.fieldNames.contains)
+      if (extra.isEmpty) None
+      else {
+        val usedIds = logical.fields.map(f =>
+          if (f.metadata.contains(MappingIdKey)) f.metadata.getLong(MappingIdKey)
+          else 0L)
+        val confMax = tableConfiguration(spark, fs, tbl)
+          .get("delta.columnMapping.maxColumnId")
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        val base = math.max(confMax, usedIds.maxOption.getOrElse(0L))
+        def nested(dt: DataType): Boolean = dt match {
+          case _: StructType => true
+          case at: ArrayType => nested(at.elementType)
+          case mt: MapType => nested(mt.keyType) || nested(mt.valueType)
+          case _ => false
+        }
+        val newFields = extra.zipWithIndex.map { case (name, i) =>
+          val src = df.schema(name)
+          if (nested(src.dataType))
+            throw graft.GraftError.InvalidOperation("write_delta",
+              s"append to mapped table $tbl: new column '$name' is " +
+                s"${src.dataType.simpleString} — nested-struct evolution " +
+                "on column-mapped tables is not supported")
+          val phys = "col-" + java.util.UUID.nameUUIDFromBytes(
+            (name + "#graft-cm-evolve").getBytes("UTF-8")).toString
+          StructField(name, src.dataType, nullable = true,
+            new MetadataBuilder().withMetadata(src.metadata)
+              .putLong(MappingIdKey, base + i + 1)
+              .putString(PhysicalNameKey, phys).build())
+        }
+        Some(StructType(logical.fields ++ newFields))
+      }
+    }
     val dfToStage = mappedSchema match {
-      case Some(logical) =>
-        val missing = logical.fields.map(_.name).filterNot(df.columns.contains)
+      case Some(logical0) =>
+        val missing = logical0.fields.map(_.name).filterNot(df.columns.contains)
         if (missing.nonEmpty)
           throw graft.GraftError.InvalidOperation("write_delta",
             s"append to mapped table $tbl: frame lacks table columns " +
               missing.mkString(", "))
-        // extra frame columns would be silently dropped by the
-        // logical→physical select below — a schema-evolution append into
-        // a mapped table needs new metaData annotations this writer does
-        // not mint, so refuse typed like merge/partitioned-append do
-        // (a non-mapped append surfaces new columns via mergeSchema)
-        val extra = df.columns.filterNot(logical.fieldNames.contains)
-        if (extra.nonEmpty)
-          throw graft.GraftError.InvalidOperation("write_delta",
-            s"append to mapped table $tbl: frame carries columns not in " +
-              s"the table schema (${extra.mkString(", ")}); schema " +
-              "evolution on column-mapped tables is not supported — drop " +
-              "them or overwrite")
+        val logical = mappedEvolved.getOrElse(logical0)
         val physical = physicalType(logical).asInstanceOf[StructType]
         df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
           col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
@@ -474,6 +529,22 @@ object DeltaLog {
     // once per write, not per retry: retries rebase the version number,
     // never the file set
     val statsByRel = statsForAll(spark, fs, tbl, newFiles.map(_._1))
+    // version-0 bootstrap over pre-delta parquet: the commit adopts files
+    // this write didn't stage, whose columns the frame can't know
+    val bootstrapped = fresh && m != "overwrite" &&
+      newFiles.map(_._1).toSet != staged.keys.toSet
+    // a non-mapped APPEND whose frame carries columns beyond the declared
+    // schema refreshes metaData with the merged schema, like merge does:
+    // reads resolve against the log's schemaString — never file footers —
+    // so the log must record the widened schema or the new columns would
+    // be invisible. A log with no parseable schemaString stays untouched
+    // (its readers fall back to footer merging anyway).
+    val evolvedAppendSchema: Option[StructType] =
+      if (fresh || m != "append" || mappedSchema.nonEmpty) None
+      else parsedTableSchema(spark, fs, tbl).flatMap { t =>
+        if (df.schema.fields.forall(f => t.fieldNames.contains(f.name))) None
+        else Some(mergeSchemas(t, df.schema, path))
+      }
     def actionsFor(version: Long): String = {
       val actions = ListBuffer.empty[String]
       actions += s"""{"commitInfo":{"operation":"${m.toUpperCase}","txnId":"$txnId"}}"""
@@ -486,27 +557,49 @@ object DeltaLog {
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping
       // annotations) must be preserved, not re-minted from the raw frame
-      if (version == 0L || (m == "merge" && mappedSchema.isEmpty)) {
+      if (version == 0L || (m == "merge" && mappedSchema.isEmpty) ||
+          evolvedAppendSchema.nonEmpty || mappedEvolved.nonEmpty) {
         val schema =
-          if (m == "merge" && version > 0L)
+          if (mappedEvolved.nonEmpty) mappedEvolved.get
+          else if (m == "merge" && version > 0L)
             // merged schema = declared table schema ⊕ the frame's — pure
             // metadata. The old raw mergeSchema read opened EVERY parquet
             // footer in the table per merge commit (a full-footer scan at
             // 100 TB) and tripped over non-parquet DV bin files. A log
             // with no parseable schemaString (foreign writers) falls back
             // to the footer read.
-            tableSchemaJson(spark, fs, tbl).flatMap { js =>
-              try Some(org.apache.spark.sql.types.DataType.fromJson(js)
-                .asInstanceOf[StructType])
-              catch { case _: Exception => None }
-            }.map(t => mergeSchemas(t, df.schema, path)).getOrElse(
+            parsedTableSchema(spark, fs, tbl)
+              .map(t => mergeSchemas(t, df.schema, path)).getOrElse(
               spark.read.option("mergeSchema", "true").parquet(path).schema)
-          else if (m == "merge")
-            // version-0 bootstrap merge: the dir's pre-delta content is
-            // unknown — the one case that warrants reading file footers
+          else if (version > 0L) evolvedAppendSchema.get
+          else if (m == "merge" || bootstrapped)
+            // version-0 bootstrap: the dir's pre-delta content is unknown
+            // — the one case that warrants reading file footers
             spark.read.option("mergeSchema", "true").parquet(path).schema
           else df.schema
-        actions += metaDataAction(schema.json, partitionBy)
+        // a metaData refresh of an EXISTING table must not re-derive
+        // partitionColumns from the caller (who may pass none on an
+        // already-partitioned table) nor wipe the table's configuration
+        // (delta.enableDeletionVectors, columnMapping.*): preserve both,
+        // bumping maxColumnId when mapping annotations were minted
+        val metaParts =
+          if (version > 0L && partitionBy.isEmpty)
+            tablePartitionColumns(spark, fs, tbl).getOrElse(partitionBy)
+          else partitionBy
+        val metaConf =
+          if (version == 0L) Map.empty[String, String]
+          else {
+            val base = tableConfiguration(spark, fs, tbl)
+            mappedEvolved match {
+              case Some(ev) =>
+                val maxId = ev.fields
+                  .filter(_.metadata.contains(MappingIdKey))
+                  .map(_.metadata.getLong(MappingIdKey)).max
+                base + ("delta.columnMapping.maxColumnId" -> maxId.toString)
+              case None => base
+            }
+          }
+        actions += metaDataAction(schema.json, metaParts, metaConf)
       }
       newFiles.foreach { case (rel, st) =>
         actions += addAction(rel, st, statsByRel.getOrElse(rel, None)) }
@@ -949,6 +1042,30 @@ object DeltaLog {
     activeAddsAsOf(spark, path, versionAsOf)
       .map(a => new HPath(new HPath(path), a.rel).toString)
 
+  /** One `add` action's JSON node parsed to the typed entry the reader
+    * and maintenance paths consume.
+    */
+  private def parseAddEntry(
+      node: com.fasterxml.jackson.databind.JsonNode): Option[DeltaStats.AddEntry] = {
+    val p = node.get("path")
+    if (p == null) return None
+    val pv = Map.newBuilder[String, String]
+    Option(node.get("partitionValues")).foreach(_.fields().forEachRemaining { e =>
+      pv += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)
+    })
+    val dv = Option(node.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeltaStats.DvDescriptor(
+        Option(d.get("storageType")).map(_.asText).getOrElse(""),
+        Option(d.get("pathOrInlineDv")).map(_.asText).getOrElse(""),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asLong),
+        Option(d.get("sizeInBytes")).map(_.asInt(0)).getOrElse(0),
+        Option(d.get("cardinality")).map(_.asLong(0L)).getOrElse(0L))
+    }
+    Some(DeltaStats.AddEntry(p.asText, pv.result(),
+      Option(node.get("stats")).filter(_.isTextual).map(_.asText),
+      Option(node.get("size")).map(_.asLong(0L)).getOrElse(0L), dv))
+  }
+
   /** Full `add` metadata (partition values, stats, size) of the active
     * snapshot — the input to stats-based file skipping
     * ([[DeltaStats.prune]]) and to [[optimize]]'s bin packing.
@@ -964,27 +1081,10 @@ object DeltaLog {
           s"version $v does not exist in $path (versions: " +
             s"${existingVersions(fs, log).mkString(", ")})")
     }
-    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import com.fasterxml.jackson.databind.ObjectMapper
     val mapper = new ObjectMapper()
-    def entryOf(node: JsonNode): Option[DeltaStats.AddEntry] = {
-      val p = node.get("path")
-      if (p == null) return None
-      val pv = Map.newBuilder[String, String]
-      Option(node.get("partitionValues")).foreach(_.fields().forEachRemaining { e =>
-        pv += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)
-      })
-      val dv = Option(node.get("deletionVector")).filterNot(_.isNull).map { d =>
-        DeltaStats.DvDescriptor(
-          Option(d.get("storageType")).map(_.asText).getOrElse(""),
-          Option(d.get("pathOrInlineDv")).map(_.asText).getOrElse(""),
-          Option(d.get("offset")).filterNot(_.isNull).map(_.asLong),
-          Option(d.get("sizeInBytes")).map(_.asInt(0)).getOrElse(0),
-          Option(d.get("cardinality")).map(_.asLong(0L)).getOrElse(0L))
-      }
-      Some(DeltaStats.AddEntry(p.asText, pv.result(),
-        Option(node.get("stats")).filter(_.isTextual).map(_.asText),
-        Option(node.get("size")).map(_.asLong(0L)).getOrElse(0L), dv))
-    }
+    def entryOf(node: com.fasterxml.jackson.databind.JsonNode) =
+      parseAddEntry(node)
     val cpVersion = lastCheckpointVersion(fs, log)
       .filter(cp => versionAsOf.forall(cp <= _))
     // checkpoint adds round-trip through to_json so commit-line adds and
@@ -1081,6 +1181,139 @@ object DeltaLog {
       }
     }
     active.values.toSeq
+  }
+
+  /** Bytes of log state a snapshot fold must consume: the checkpoint
+    * parquet part files plus the post-checkpoint commit JSONs (listing
+    * lengths only — no content reads). The routing signal for
+    * [[read]]'s driver-vs-distributed snapshot reconstruction.
+    */
+  private def snapshotLogBytes(fs: FileSystem, log: HPath,
+      versionAsOf: Option[Long]): Long = {
+    val cpVersion = lastCheckpointVersion(fs, log)
+      .filter(cp => versionAsOf.forall(cp <= _))
+    val cpBytes = cpVersion.toSeq.flatMap(v => checkpointPaths(fs, log, v))
+      .map(p => fs.getFileStatus(new HPath(p)).getLen).sum
+    val commitBytes = existingVersions(fs, log)
+      .filter(v => cpVersion.forall(v > _) && versionAsOf.forall(v <= _))
+      .map(v => fs.getFileStatus(new HPath(log, commitName(v))).getLen).sum
+    cpBytes + commitBytes
+  }
+
+  /** Past this many bytes of log state, [[read]] reconstructs the
+    * snapshot DISTRIBUTEDLY ([[activeAddsDfAsOf]]) instead of the
+    * driver-side fold: at 10⁷ active files the full add metadata (stats
+    * JSON, partition maps) is gigabytes of driver heap per snapshot,
+    * while the distributed route keeps the driver to the bare file-path
+    * list (the irreducible input to Spark's parquet scan) plus the
+    * DV-bearing entries. 64 MB of raw log ≈ a few 10⁵ add actions —
+    * small logs stay on the zero-job fast path.
+    */
+  private[sources] val SnapshotDriverMaxBytes: Long = 64L << 20
+
+  /** Distributed snapshot fold — the same newest-per-path,
+    * version-ordered semantics as [[activeAddsAsOf]] (remove-then-re-add
+    * revival included) expressed as a DataFrame plan over the checkpoint
+    * parquet ∪ post-checkpoint commit JSONs, so reconstructing a 10⁷-file
+    * snapshot never materializes add metadata on the driver. Columns:
+    * `graft_path` (the add's relative path) and `graft_add` (the full
+    * add action as a JSON string). Protocol/column-mapping guards run
+    * on the tiny protocol/metaData action subsets (driver-collected —
+    * a handful of rows regardless of table size). Returns None when the
+    * log has no state at the requested version.
+    */
+  private[sources] def activeAddsDfAsOf(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract, row_number, to_json}
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = logDir(tbl)
+    versionAsOf.foreach { v =>
+      if (!fs.exists(new HPath(log, commitName(v))))
+        throw graft.GraftError.InvalidOperation("load_delta",
+          s"version $v does not exist in $path (versions: " +
+            s"${existingVersions(fs, log).mkString(", ")})")
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def guardJson(json: String, kind: String): Unit = {
+      val node = try mapper.readTree(json) catch { case _: Exception => null }
+      if (node == null) ()
+      else if (kind == "protocol") {
+        val v = Option(node.get("minReaderVersion")).map(_.asInt(1)).getOrElse(1)
+        if (v >= 3) {
+          val feats = scala.collection.mutable.ArrayBuffer.empty[String]
+          Option(node.get("readerFeatures")).filter(_.isArray)
+            .foreach(_.forEach(f => feats += f.asText))
+          val unsupported = feats.filterNot(Set("columnMapping", "deletionVectors"))
+          if (v > 3 || unsupported.nonEmpty)
+            throw graft.GraftError.InvalidOperation("load_delta",
+              s"$path requires an unsupported reader capability (protocol " +
+                s"minReaderVersion $v, readerFeatures " +
+                feats.mkString("[", ", ", "]") + "); reading it with plain " +
+                "add/remove replay would return wrong rows")
+        }
+      } else { // metaData: column-mapping mode gate
+        val cm = Option(node.get("configuration"))
+          .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+          .map(_.asText("none")).getOrElse("none")
+        if (cm != "none" && cm != "name" && cm != "id")
+          throw graft.GraftError.InvalidOperation("load_delta",
+            s"$path requires an unsupported reader capability (column " +
+              s"mapping mode '$cm'); reading it with plain add/remove " +
+              "replay would return wrong rows")
+      }
+    }
+    val cpVersion = lastCheckpointVersion(fs, log)
+      .filter(cp => versionAsOf.forall(cp <= _))
+    val commits = existingVersions(fs, log)
+      .filter(v => cpVersion.forall(v > _) && versionAsOf.forall(v <= _))
+    val cp = cpVersion.flatMap(v => readCheckpoint(spark, fs, log, v))
+    val logF =
+      if (commits.isEmpty) None
+      else Some(spark.read.json(
+          commits.map(v => new HPath(log, commitName(v)).toString): _*)
+        .withColumn("graft_rec", regexp_extract(input_file_name(),
+          "(\\d{20})\\.json", 1).cast("long")))
+    if (cp.isEmpty && logF.isEmpty) return None
+    def subset(df: DataFrame, c: String): Option[DataFrame] =
+      if (df.columns.contains(c)) Some(df.where(col(c).isNotNull)) else None
+    // guards: protocol rows and metaData configuration — a handful of
+    // rows per log, collected from the distributed read, never O(files)
+    (cp.toSeq.flatMap(subset(_, "protocol")) ++
+        logF.toSeq.flatMap(subset(_, "protocol"))).foreach { df =>
+      df.select(to_json(col("protocol"))).collect()
+        .foreach(r => guardJson(r.getString(0), "protocol"))
+    }
+    (cp.toSeq.flatMap(subset(_, "metaData")) ++
+        logF.toSeq.flatMap(subset(_, "metaData"))).foreach { df =>
+      df.select(to_json(col("metaData"))).collect()
+        .foreach(r => guardJson(r.getString(0), "metaData"))
+    }
+    // fold rows: (path, recency, isAdd, add-json). Checkpoint rows are
+    // older than every replayed commit (rec = -1); within one commit a
+    // remove+re-add of the same path resolves to the add (isAdd desc),
+    // matching the line-ordered driver fold on our writer's layout
+    // (removes precede adds within a commit).
+    val cpAddRows = cp.flatMap(subset(_, "add")).map(_.select(
+      col("add.path").as("graft_path"), to_json(col("add")).as("graft_add"),
+      lit(-1L).as("graft_rec"), lit(1).as("graft_isadd")))
+    val commitAddRows = logF.flatMap(subset(_, "add")).map(_.select(
+      col("add.path").as("graft_path"), to_json(col("add")).as("graft_add"),
+      col("graft_rec"), lit(1).as("graft_isadd")))
+    val commitRemoveRows = logF.flatMap(subset(_, "remove")).map(_.select(
+      col("remove.path").as("graft_path"),
+      lit(null: String).as("graft_add"),
+      col("graft_rec"), lit(0).as("graft_isadd")))
+    val rows = (cpAddRows.toSeq ++ commitAddRows.toSeq ++ commitRemoveRows.toSeq)
+      .reduceOption(_.unionByName(_))
+    rows.map { u =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("graft_path"))
+        .orderBy(col("graft_rec").desc, col("graft_isadd").desc)
+      u.withColumn("graft_rn", row_number().over(w))
+        .where(col("graft_rn") === 1 && col("graft_isadd") === 1)
+        .select(col("graft_path"), col("graft_add"))
+    }
   }
 
   /** The table's `delta.columnMapping.mode` from the newest metaData —
@@ -1235,50 +1468,108 @@ object DeltaLog {
     val mapper = new ObjectMapper()
     val versions = existingVersions(fs, log)
       .filter(v => v > fromVersion && v <= toVersion)
-    // (version, changeType, relPath) with dataChange=true only
-    val changes: Seq[(Long, String, String)] = versions.flatMap { v =>
-      readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
+    def dvOf(n: com.fasterxml.jackson.databind.JsonNode): Option[DeltaStats.DvDescriptor] =
+      Option(n.get("deletionVector")).filterNot(_.isNull).map { d =>
+        DeltaStats.DvDescriptor(
+          Option(d.get("storageType")).map(_.asText).getOrElse(""),
+          Option(d.get("pathOrInlineDv")).map(_.asText).getOrElse(""),
+          Option(d.get("offset")).filterNot(_.isNull).map(_.asLong),
+          Option(d.get("sizeInBytes")).map(_.asInt(0)).getOrElse(0),
+          Option(d.get("cardinality")).map(_.asLong(0L)).getOrElse(0L))
+      }
+    // per version: rel → DV descriptor option, adds and removes apart,
+    // dataChange=true actions only (OPTIMIZE restages are not changes)
+    val acts: Seq[(Long, Map[String, Option[DeltaStats.DvDescriptor]],
+        Map[String, Option[DeltaStats.DvDescriptor]])] = versions.map { v =>
+      val adds = scala.collection.mutable.LinkedHashMap
+        .empty[String, Option[DeltaStats.DvDescriptor]]
+      val removes = scala.collection.mutable.LinkedHashMap
+        .empty[String, Option[DeltaStats.DvDescriptor]]
+      readString(fs, new HPath(log, commitName(v))).linesIterator.foreach { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
-        if (node == null) None
-        else {
+        if (node != null) {
           val add = node.get("add"); val rem = node.get("remove")
-          // file-level change semantics break under DVs: a DV update
-          // re-adds the same file and the "inserted" rows would include
-          // ones the DV deletes -- refuse rather than emit wrong rows
-          Seq(add, rem).foreach { n =>
-            if (n != null && n.get("deletionVector") != null &&
-                !n.get("deletionVector").isNull)
-              throw graft.GraftError.InvalidOperation("readChanges",
-                s"$path version $v carries deletion vectors; the " +
-                  "file-level change feed cannot express row-filtered " +
-                  "adds -- read snapshots instead")
-          }
           def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
             n.get("dataChange") == null || n.get("dataChange").asBoolean(true)
           if (add != null && add.get("path") != null && dataChange(add))
-            Some((v, "insert", add.get("path").asText))
-          else if (rem != null && rem.get("path") != null && dataChange(rem))
-            Some((v, "delete", rem.get("path").asText))
-          else None
+            adds(add.get("path").asText) = dvOf(add)
+          if (rem != null && rem.get("path") != null && dataChange(rem))
+            removes(rem.get("path").asText) = dvOf(rem)
         }
       }
+      (v, adds.toMap, removes.toMap)
+    }.filter(a => a._2.nonEmpty || a._3.nonEmpty)
+    // vacuumed-away data files AND DV bin files both make the window
+    // unreadable — surface the typed past-retention error, never a raw
+    // executor FileNotFoundException mid-bitmap-decode
+    def binPath(dv: DeltaStats.DvDescriptor): Option[HPath] = dv.storageType match {
+      case "u" => Some(dvFilePath(tbl, dv.pathOrInlineDv))
+      case "p" => Some(new HPath(dv.pathOrInlineDv))
+      case _ => None
     }
-    val missing = changes.collect {
-      case (_, _, rel) if !fs.exists(new HPath(tbl, rel)) => rel
-    }
+    val missing = (acts.flatMap(a => a._2.keys ++ a._3.keys).distinct
+        .map(rel => new HPath(tbl, rel)) ++
+      acts.flatMap(a => (a._2.values ++ a._3.values).flatten)
+        .flatMap(binPath).distinct)
+      .filterNot(fs.exists)
     if (missing.nonEmpty)
       throw graft.GraftError.InvalidOperation("readChanges",
         s"($fromVersion, $toVersion]: ${missing.size} changed " +
-          s"file(s) vacuumed away (e.g. ${missing.head}) — the change " +
-          "window is past the table's vacuum retention")
-    val bySlice = changes.groupBy(c => (c._1, c._2)).toSeq.sortBy(_._1)
+          s"file(s) vacuumed away (e.g. ${missing.head.getName}) — the " +
+          "change window is past the table's vacuum retention")
     // readDataFiles: the change feed of a name-mode column-mapped table
     // must surface LOGICAL column names like the snapshot read does
-    val frames = bySlice.map { case ((v, ct), slice) =>
+    def rowsOf(v: Long, rels: Seq[String], withMeta: Boolean): DataFrame =
       readDataFiles(spark, path,
-        slice.map(c => new HPath(tbl, c._3).toString))
+        rels.map(r => new HPath(tbl, r).toString),
+        withRowMeta = withMeta, versionAsOf = Some(v))
+    def dvEntry(rel: String, dv: Option[DeltaStats.DvDescriptor]) =
+      DeltaStats.AddEntry(rel, Map.empty, None, 0L, dv)
+    def liveRows(v: Long, rels: Map[String, Option[DeltaStats.DvDescriptor]],
+        ct: String): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(applyDeletionVectors(spark, path,
+        rels.map { case (r, dv) => dvEntry(r, dv) }.toSeq,
+        rowsOf(v, rels.keys.toSeq, withMeta = rels.values.exists(_.isDefined)))
         .withColumn("_change_type", lit(ct))
-        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_version", lit(v)))
+    val frames = acts.flatMap { case (v, adds, removes) =>
+      // same-path remove+re-add in ONE commit = a deletion-vector
+      // generation swap (DV-native delete, DV restore): the ROW-LEVEL
+      // change is the bitmap difference — rows in the new DV but not the
+      // old were deleted at v; rows only in the old were restored at v.
+      // Pure adds emit their LIVE rows as inserts (an add born with a DV
+      // inserts only the rows its own bitmap keeps); pure removes emit
+      // the rows live at removal (old DV applied) as deletes.
+      val regen = adds.keySet.intersect(removes.keySet)
+      val regenFrames: Seq[DataFrame] =
+        if (regen.isEmpty) Nil
+        else {
+          val rows = rowsOf(v, regen.toSeq, withMeta = true)
+            .localCheckpoint(false)
+          def bitmap(side: Map[String, Option[DeltaStats.DvDescriptor]]) = {
+            val withDv = regen.toSeq.flatMap(r =>
+              side(r).filter(_.cardinality > 0).map(d => dvEntry(r, Some(d))))
+            if (withDv.isEmpty) None else Some(dvDeletedRows(spark, path, withDv))
+          }
+          val session = spark
+          val emptySet = session.emptyDataFrame
+            .withColumn(DvFileCol, lit(null).cast("string"))
+            .withColumn(DvRowCol, lit(null).cast("long"))
+          val oldSet = bitmap(removes.filter(kv => regen(kv._1))).getOrElse(emptySet)
+          val newSet = bitmap(adds.filter(kv => regen(kv._1))).getOrElse(emptySet)
+          val deletedNow = newSet.join(oldSet, Seq(DvFileCol, DvRowCol), "left_anti")
+          val restoredNow = oldSet.join(newSet, Seq(DvFileCol, DvRowCol), "left_anti")
+          def pick(keys: DataFrame, ct: String) =
+            rows.join(keys, Seq(DvFileCol, DvRowCol), "left_semi")
+              .drop(DvFileCol, DvRowCol)
+              .withColumn("_change_type", lit(ct))
+              .withColumn("_commit_version", lit(v))
+          Seq(pick(deletedNow, "delete"), pick(restoredNow, "insert"))
+        }
+      liveRows(v, adds.filter(kv => !regen(kv._1)), "insert").toSeq ++
+        liveRows(v, removes.filter(kv => !regen(kv._1)), "delete").toSeq ++
+        regenFrames
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
@@ -1347,12 +1638,55 @@ object DeltaLog {
     * vectors still refuse typed (see [[activeAddsAsOf]]).
     */
   def read(spark: SparkSession, path: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): DataFrame = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(logDir(tbl)) &&
+        snapshotLogBytes(fs, logDir(tbl), versionAsOf) > snapshotDriverMaxBytes) {
+      // large log: fold the snapshot distributedly; the driver keeps
+      // only the path list the parquet scan needs plus the DV-bearing
+      // entries (bounded by the DV'd-file count), never every file's
+      // stats/partition metadata
+      val snap = activeAddsDfAsOf(spark, path, versionAsOf).getOrElse(
+        throw new IllegalArgumentException(
+          s"loadDelta: empty or missing _delta_log in $path"))
+        .localCheckpoint(true) // consumed 2-3×; never refold the log
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val dvAdds: Seq[DeltaStats.AddEntry] = snap
+        .where(col("graft_add").contains("\"deletionVector\""))
+        .select("graft_add").collect().toSeq
+        .flatMap { r =>
+          val node = try mapper.readTree(r.getString(0)) catch { case _: Exception => null }
+          Option(node).flatMap(parseAddEntry)
+        }.filter(_.dv.isDefined)
+      if (dvAdds.nonEmpty) {
+        // the DV row filter keys on file BASENAMES — the uniqueness
+        // guard applyDeletionVectors runs on the driver Seq must hold
+        // across the whole snapshot, checked here as one aggregate
+        val dup = snap.agg(
+          org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.countDistinct(
+            org.apache.spark.sql.functions.element_at(
+              org.apache.spark.sql.functions.split(col("graft_path"), "/"), -1)))
+          .collect().head
+        require(dup.getLong(0) == dup.getLong(1),
+          s"loadDelta: duplicate data-file basenames in $path — the " +
+            "deletion-vector row filter keys on file names")
+      }
+      val files = snap.select("graft_path").collect()
+        .map(r => new HPath(tbl, r.getString(0)).toString).toSeq
+      require(files.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
+      return applyDeletionVectors(spark, path, dvAdds,
+        readDataFiles(spark, path, files, withRowMeta = dvAdds.nonEmpty,
+          versionAsOf = versionAsOf))
+    }
     val adds = activeAddsAsOf(spark, path, versionAsOf)
     require(adds.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
     val files = adds.map(a => new HPath(new HPath(path), a.rel).toString)
     applyDeletionVectors(spark, path, adds,
-      readDataFiles(spark, path, files, withRowMeta = adds.exists(_.dv.isDefined)))
+      readDataFiles(spark, path, files, withRowMeta = adds.exists(_.dv.isDefined),
+        versionAsOf = versionAsOf))
   }
 
   /** Scan `files` of the table at `path`, column-mapping-aware. With
@@ -1361,7 +1695,8 @@ object DeltaLog {
     * anti-join keys on.
     */
   private def readDataFiles(spark: SparkSession, path: String,
-      files: Seq[String], withRowMeta: Boolean = false): DataFrame = {
+      files: Seq[String], withRowMeta: Boolean = false,
+      versionAsOf: Option[Long] = None): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def meta: Seq[org.apache.spark.sql.Column] =
@@ -1436,10 +1771,25 @@ object DeltaLog {
           col(s"`$src`").cast(stripMeta(lf.dataType)).as(lf.name)
         } ++ meta: _*)
       case _ =>
-        val df = spark.read
-          .option("mergeSchema", "true")
-          .option("basePath", path)
-          .parquet(files: _*)
+        // declared-schema scan: the log's metaData.schemaString IS the
+        // table schema (delta PROTOCOL.md — readers resolve columns
+        // against it, not against file footers), so a parseable log reads
+        // with .schema(declared): zero footer I/O, files written before a
+        // schema evolution fill missing columns with null, and a foreign
+        // file carrying EXTRA columns does not surface them. The old
+        // mergeSchema read launched a distributed footer-merge job over
+        // ALL active files on EVERY read — O(files) wasted I/O that sf0.1
+        // hides and 100 TB (10⁷ footers per query) would not. Footer
+        // merging survives only as the fallback for logs with no
+        // parseable schemaString (foreign/v0 writers).
+        val reader = spark.read.option("basePath", path)
+        val df = parsedTableSchema(spark, fs, tbl, versionAsOf) match {
+          case Some(declared) =>
+            reader.schema(stripMeta(declared).asInstanceOf[StructType])
+              .parquet(files: _*)
+          case None =>
+            reader.option("mergeSchema", "true").parquet(files: _*)
+        }
         if (!withRowMeta) df
         else df.select(col("*") +: meta: _*)
     }
@@ -1601,12 +1951,24 @@ object DeltaLog {
     if (withDv.isEmpty)
       return if (!keepMeta && df.columns.contains(DvFileCol))
         df.drop(DvFileCol, DvRowCol) else df
-    val tbl = new HPath(path)
-    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = adds.map(a => new HPath(a.rel).getName)
     require(names.distinct.length == names.length,
       s"loadDelta: duplicate data-file basenames in $path — the " +
         "deletion-vector row filter keys on file names")
+    val deleted = dvDeletedRows(spark, path, withDv)
+    val filtered = df.join(deleted, Seq(DvFileCol, DvRowCol), "left_anti")
+    if (keepMeta) filtered else filtered.drop(DvFileCol, DvRowCol)
+  }
+
+  /** The (file basename, row index) set the DV descriptors of `withDv`
+    * delete — what the snapshot read anti-joins away and a row-level
+    * change feed differences across DV generations. Bitmap decode runs
+    * in executors; the driver only resolves descriptor paths.
+    */
+  private def dvDeletedRows(spark: SparkSession, path: String,
+      withDv: Seq[DeltaStats.AddEntry]): DataFrame = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // resolve each descriptor to (dataFileName, binFileUri, offset, size)
     // on the driver (cheap string work); inline payloads ship their z85
     // text in the uri slot with offset -1. Hadoop Configuration is not
@@ -1658,8 +2020,7 @@ object DeltaLog {
         }
       }
       .toDF(DvFileCol, DvRowCol)
-    val filtered = df.join(deleted, Seq(DvFileCol, DvRowCol), "left_anti")
-    if (keepMeta) filtered else filtered.drop(DvFileCol, DvRowCol)
+    deleted
   }
 
   /** `deletion_vector_<uuid>.bin` path from a "u"-storage descriptor's
@@ -2150,11 +2511,7 @@ object DeltaLog {
     val mode = columnMappingMode(spark, fs, tbl)
     if (mode != "name" && mode != "id") None
     else {
-      val schema = tableSchemaJson(spark, fs, tbl).flatMap { js =>
-        try Some(org.apache.spark.sql.types.DataType.fromJson(js)
-          .asInstanceOf[StructType])
-        catch { case _: Exception => None }
-      }
+      val schema = parsedTableSchema(spark, fs, tbl)
       Some(mode -> schema.getOrElse(throw graft.GraftError.InvalidOperation(
         "load_delta", s"$tbl uses $mode-mode column mapping but its " +
           "metaData.schemaString is missing or unparseable — cannot " +
@@ -2251,11 +2608,7 @@ object DeltaLog {
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val adds0 = activeAddsAsOf(spark, path, versionAsOf)
     require(adds0.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
-    val schemaOpt = tableSchemaJson(spark, fs, tbl).flatMap { js =>
-      try Some(org.apache.spark.sql.types.DataType.fromJson(js)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      catch { case _: Exception => None }
-    }
+    val schemaOpt = parsedTableSchema(spark, fs, tbl, versionAsOf)
     // name-mode column mapping: add-action stats and partitionValues are
     // keyed by PHYSICAL names while the predicate (and table schema) use
     // logical ones — remap the metadata keys so skipping keeps working on
@@ -2349,11 +2702,7 @@ object DeltaLog {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val adds = activeAddsAsOf(spark, path, None)
-    val schemaOpt = tableSchemaJson(spark, fs, tbl).flatMap { js =>
-      try Some(org.apache.spark.sql.types.DataType.fromJson(js)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      catch { case _: Exception => None }
-    }
+    val schemaOpt = parsedTableSchema(spark, fs, tbl)
     val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
     val kept = schemaOpt.map(s => DeltaStats.prune(spark, predicate, s, pcols, adds))
       .getOrElse(adds)
@@ -2404,8 +2753,22 @@ object DeltaLog {
     val files = victims.map(a => new HPath(tbl, a.rel).toString)
     val totalBytes = math.max(1L, victims.map(_.size).sum)
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.option("mergeSchema", "true").option("basePath", path)
-      .parquet(files: _*)
+    // restage under the log-declared schema (physical field names on a
+    // name-mapped table — compaction must not rename on-file columns);
+    // footer merge only when the log has no parseable schemaString
+    val restageSchema = parsedTableSchema(spark, fs0, tbl0).map { declared =>
+      val shaped =
+        if (columnMappingMode(spark, fs0, tbl0) == "name")
+          physicalType(declared)
+        else declared
+      stripMeta(shaped).asInstanceOf[StructType]
+    }
+    val reader0 = spark.read.option("basePath", path)
+    val df = restageSchema match {
+      case Some(s) => reader0.schema(s).parquet(files: _*)
+      case None =>
+        reader0.option("mergeSchema", "true").parquet(files: _*)
+    }
     val (toWrite, packed) =
       if (zorderBy.isEmpty) (df, Some(nOut))
       else (zorderCluster(df, zorderBy, nOut), None)
@@ -2589,8 +2952,17 @@ object DeltaLog {
     * listing — a superseded DV generation is an orphan exactly like a
     * rewritten parquet file. Returns the deleted relative paths.
     */
+  /** Default data-file retention window: a file stays on disk for 7 days
+    * after the commit that removed it from the snapshot, matching real
+    * delta's `deletedFileRetentionDuration` floor — a concurrent reader
+    * mid-query on the previous version, or any time-travel read inside
+    * the window, must not race the sweep.
+    */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   def vacuum(spark: SparkSession, path: String,
-      stageRetentionMs: Long = 3600000L): Seq[String] = {
+      stageRetentionMs: Long = 3600000L,
+      retentionMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
@@ -2602,7 +2974,84 @@ object DeltaLog {
       .map(a => fs.makeQualified(new HPath(tbl, a.rel)).toUri.getPath
         .stripPrefix(base).stripPrefix("/"))
       .toSet
+    // removal timestamps from the retained commits' remove actions —
+    // rel → newest deletionTimestamp, and the same for DV bin files via
+    // the descriptors the removes echo. An orphan whose remove was
+    // cleaned up with its commit is at least as old as the checkpoint
+    // that replaced those commits (cleanupLog deletes only ≤-checkpoint
+    // versions), so the checkpoint file's own mtime bounds it; untracked
+    // debris (a writer that crashed between its stage-move and commit)
+    // falls back to the file's mtime — young debris survives, so a
+    // vacuum never destroys an in-flight cross-process write.
+    val cutoff =
+      if (retentionMs <= 0L) Long.MaxValue
+      else System.currentTimeMillis() - retentionMs
+    val (removedAtByRel, binRemovedAt): (Map[String, Long], Map[String, Long]) =
+      if (retentionMs <= 0L) (Map.empty, Map.empty)
+      else {
+        import com.fasterxml.jackson.databind.ObjectMapper
+        val mapper = new ObjectMapper()
+        val rels = scala.collection.mutable.Map.empty[String, Long]
+        val bins = scala.collection.mutable.Map.empty[String, Long]
+        val log = logDir(tbl)
+        existingVersions(fs, log).foreach { v =>
+          readString(fs, new HPath(log, commitName(v))).linesIterator.foreach { line =>
+            val node = try mapper.readTree(line) catch { case _: Exception => null }
+            val rem = if (node == null) null else node.get("remove")
+            if (rem != null && rem.get("path") != null) {
+              val ts =
+                if (rem.get("deletionTimestamp") != null)
+                  rem.get("deletionTimestamp").asLong(0L)
+                else 0L
+              val rel = rem.get("path").asText
+              rels(rel) = math.max(rels.getOrElse(rel, 0L), ts)
+              val dv = rem.get("deletionVector")
+              if (dv != null && !dv.isNull && dv.get("storageType") != null) {
+                val st = dv.get("storageType").asText
+                val por = if (dv.get("pathOrInlineDv") == null) ""
+                  else dv.get("pathOrInlineDv").asText
+                val binRel = st match {
+                  case "u" => Some(fs.makeQualified(dvFilePath(tbl, por))
+                    .toUri.getPath.stripPrefix(base).stripPrefix("/"))
+                  case "p" => Some(fs.makeQualified(new HPath(por))
+                    .toUri.getPath.stripPrefix(base).stripPrefix("/"))
+                  case _ => None
+                }
+                binRel.foreach(b => bins(b) = math.max(bins.getOrElse(b, 0L), ts))
+              }
+            }
+          }
+        }
+        (rels.toMap, bins.toMap)
+      }
+    val checkpointMtime: Option[Long] =
+      lastCheckpointVersion(fs, logDir(tbl)).flatMap { v =>
+        val cp = new HPath(logDir(tbl), f"$v%020d.checkpoint.parquet")
+        if (fs.exists(cp)) Some(fs.getFileStatus(cp).getModificationTime)
+        else {
+          // multi-part checkpoints: <v>.checkpoint.<i>.<n>.parquet
+          val parts = fs.listStatus(logDir(tbl)).filter(_.getPath.getName
+            .startsWith(f"$v%020d.checkpoint."))
+          if (parts.isEmpty) None
+          else Some(parts.map(_.getModificationTime).max)
+        }
+      }
+    def removedAt(rel: String, recorded: Map[String, Long]): Long =
+      recorded.get(rel)
+        .orElse(checkpointMtime.map { cpTs =>
+          // remove cleaned with its commit ⇒ it predates the checkpoint;
+          // still floor at the file's own mtime for untracked debris
+          val f = new HPath(tbl, rel)
+          if (fs.exists(f)) math.max(cpTs, fs.getFileStatus(f).getModificationTime)
+          else cpTs
+        })
+        .getOrElse {
+          val f = new HPath(tbl, rel)
+          if (fs.exists(f)) fs.getFileStatus(f).getModificationTime
+          else 0L
+        }
     val orphans = dataFiles(fs, tbl).keys.filterNot(active).toSeq.sorted
+      .filter(rel => removedAt(rel, removedAtByRel) < cutoff)
     orphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
     // DV bin sweep: bins referenced by ACTIVE descriptors survive;
     // superseded generations (a later delete re-wrote every descriptor
@@ -2628,6 +3077,11 @@ object DeltaLog {
       }
       if (fs.exists(tbl)) walk(tbl)
       out.toSeq.filterNot(referencedBins).sorted
+        // same retention floor as data files: a superseded DV generation
+        // is still needed by readers inside the window (the remove that
+        // superseded it echoes its descriptor — that deletionTimestamp
+        // is the bin's removal time)
+        .filter(rel => removedAt(rel, binRemovedAt) < cutoff)
     }
     binOrphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
     // crashed-write staging debris: a hard-killed writer leaves its
@@ -2636,12 +3090,12 @@ object DeltaLog {
     // are swept, so a LIVE cross-process writer's staging survives a
     // concurrent vacuum — the same retention-window reasoning real delta
     // VACUUM applies to data files.
-    val cutoff = System.currentTimeMillis() - stageRetentionMs
+    val stageCutoff = System.currentTimeMillis() - stageRetentionMs
     def staleStages(dir: HPath, prefix: String): Seq[HPath] =
       if (!fs.exists(dir)) Nil
       else fs.listStatus(dir).toSeq.filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(prefix) &&
-        st.getModificationTime < cutoff).map(_.getPath)
+        st.getModificationTime < stageCutoff).map(_.getPath)
     val stages = staleStages(tbl, ".graft_stage_") ++
       (if (tbl.getParent == null) Nil
        else staleStages(tbl.getParent, s".graft_stage_${tbl.getName}_"))

@@ -271,7 +271,7 @@ class WritersSpec extends SparkSpec {
       .find(_.toString.endsWith(".parquet")).get
     Files.copy(junkPart, orphan)
     assert(DeltaLog.read(spark, p).count() == 4) // orphan invisible
-    val removed = DeltaLog.vacuum(spark, p)
+    val removed = DeltaLog.vacuum(spark, p, retentionMs = 0L)
     assert(removed == Seq("part-junk.parquet"), s"got $removed")
     assert(!Files.exists(orphan))
     assert(DeltaLog.read(spark, p).count() == 4) // live data untouched
@@ -372,16 +372,6 @@ class WritersSpec extends SparkSpec {
     assert(after.where($"id" === 9L).select("meta._1").head().getString(0) == "q")
     assert(spark.read.parquet(p).columns.forall(_.startsWith("col-")),
       "append must stage physical-named files")
-    // schema-evolution append refuses typed: an extra frame column would
-    // be silently dropped by the logical->physical select (a non-mapped
-    // append surfaces new columns via mergeSchema; silence loses data)
-    val evolved = Seq((10L, "w", 1.0, ("r", 1L), "NEW"))
-      .toDF("id", "name", "v", "meta", "extra_col")
-    val eX = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.write(evolved, "append", p) }
-    assert(eX.getMessage.contains("extra_col") &&
-      eX.getMessage.contains("schema evolution"), eX.getMessage)
-    assert(DeltaLog.read(spark, p).count() == 4L, "refused append must not commit")
     // schema-stable MERGE works: staged physical, the table's metaData
     // (the mapping annotations) preserved — NOT re-minted from the frame
     val mrg = Seq((11L, "m", 11.0, ("mm", 110L))).toDF("id", "name", "v", "meta")
@@ -398,11 +388,6 @@ class WritersSpec extends SparkSpec {
       "0" * 19 + "2.json"))
     assert(mergeCommit.contains("\"MERGE\"") && !mergeCommit.contains("metaData"),
       s"mapped merge must not refresh metaData:\n$mergeCommit")
-    // a schema-EVOLVING merge still refuses typed (no new annotations)
-    val eM = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.write(evolved, "merge", p) }
-    assert(eM.getMessage.contains("schema evolution"), eM.getMessage)
-    assert(DeltaLog.read(spark, p).count() == 5L, "refused merge must not commit")
     // copy-on-write upsert/delete stage PHYSICAL-named rewrites on mapped
     // tables (the same logical->physical rename the append path applies)
     val upd2 = Seq((2L, "B2", 22.5, ("y2", 22L))).toDF("id", "name", "v", "meta")
@@ -416,6 +401,19 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 4L)
     // predicate-pruned read still speaks logical names post-rewrite
     assert(DeltaLog.readWhere(spark, p, "id >= 2 AND name = 'B2'").count() == 1L)
+    // schema-EVOLVING append mints mapping annotations (round 16 —
+    // positive cases and the metaData contract in DeltaColmapEvolveSpec):
+    // the new column reads back on its row, null everywhere else, and
+    // the staged file stays physical-named
+    val evolved = Seq((10L, "w", 1.0, ("r", 1L), "NEW"))
+      .toDF("id", "name", "v", "meta", "extra_col")
+    DeltaLog.write(evolved, "append", p)
+    val afterE = DeltaLog.read(spark, p)
+    assert(afterE.columns.toSeq == Seq("id", "name", "v", "meta", "extra_col"))
+    assert(afterE.where($"id" === 10L).select("extra_col").head().getString(0) == "NEW")
+    assert(afterE.where($"id" === 2L).select("extra_col").head().isNullAt(0))
+    assert(spark.read.parquet(p).columns.forall(_.startsWith("col-")),
+      "evolving append must stage physical-named files")
     // overwrite replaces the table wholesale -> plain mode=none again
     DeltaLog.write(upd, "overwrite", p)
     assert(DeltaLog.read(spark, p).columns.toSeq == Seq("id", "name", "v", "meta"))
@@ -524,7 +522,7 @@ class WritersSpec extends SparkSpec {
     // DV-aware vacuum: the gen-1 bin (superseded by the delete's fresh
     // bin at v1, which v3 re-references) is an orphan and is swept;
     // current reads stay exact
-    val swept = DeltaLog.vacuum(spark, p)
+    val swept = DeltaLog.vacuum(spark, p, retentionMs = 0L)
     assert(swept.exists(s => s.startsWith("deletion_vector_") &&
       s.endsWith(".bin")), s"got $swept")
     assert(DeltaLog.read(spark, p).count() == 107L)
@@ -545,7 +543,13 @@ class WritersSpec extends SparkSpec {
     assert(refused(DeltaLog.upsert(upd, Seq("id"), p)).contains("deletion vectors"))
     assert(refused(DeltaLog.deleteWhere(spark, p, "id = 1")).contains("deletion vectors"))
     assert(refused(DeltaLog.optimize(spark, p)).contains("deletion vectors"))
-    assert(refused(DeltaLog.readChanges(spark, p, -1L, 0L)).contains("deletion vectors"))
+    // the change feed over DV tables is ROW-LEVEL (bitmap differences per
+    // generation — positive cases in DeltaDvChangesSpec); here the
+    // retention-0 vacuum above swept the superseded v0 bin, so every
+    // window whose descriptors need it errors typed (past retention),
+    // never a raw executor FileNotFoundException mid-bitmap-decode
+    assert(refused(DeltaLog.readChanges(spark, p, -1L, 0L)).contains("vacuum"))
+    assert(refused(DeltaLog.readChanges(spark, p, 0L, 1L)).contains("vacuum"))
     // APPEND is allowed: it only adds files, never touches the DV'd ones
     DeltaLog.write(upd.withColumn("grp", upd("grp")), "append", p)
     val appended = DeltaLog.read(spark, p)
@@ -673,7 +677,7 @@ class WritersSpec extends SparkSpec {
     assert(afterMaint.count() == 106L)
     assert(afterMaint.where($"id" === 2L).select("v").head.getDouble(0) == 99.0)
     // vacuum sweeps the orphaned bin files AND the rewritten originals
-    val swept = DeltaLog.vacuum(spark, p)
+    val swept = DeltaLog.vacuum(spark, p, retentionMs = 0L)
     assert(swept.count(s => s.startsWith("deletion_vector_")) >= 1, s"$swept")
     assert(DeltaLog.read(spark, p).count() == 106L)
   }
@@ -799,7 +803,7 @@ class WritersSpec extends SparkSpec {
     val empty = DeltaLog.readChanges(spark, p, 2L, 2L)
     assert(empty.count() == 0 && empty.columns.contains("_change_type"))
     // past vacuum retention: typed error, not silent wrong answers
-    DeltaLog.vacuum(spark, p)
+    DeltaLog.vacuum(spark, p, retentionMs = 0L)
     val e = intercept[graft.GraftError.InvalidOperation] {
       DeltaLog.readChanges(spark, p, 1L, 2L)
     }
