@@ -221,8 +221,11 @@ object DeltaLog {
     * checkpoint fallback when older commits were cleaned up.
     */
   private def tablePartitionColumns(spark: SparkSession, fs: FileSystem,
-      tbl: HPath): Option[Seq[String]] =
-    latestPartitionColumns(fs, logDir(tbl))
+      tbl: HPath): Option[Seq[String]] = {
+    val cacheKey = logIdentity(fs, tbl)
+    val hit = partColsCache.get(cacheKey)
+    if (hit != null) return hit
+    val result = latestPartitionColumns(fs, logDir(tbl))
       .orElse(lastCheckpointVersion(fs, logDir(tbl)).flatMap { v =>
         readCheckpoint(spark, fs, logDir(tbl), v).flatMap { cp =>
         if (cp.columns.contains("metaData")) {
@@ -231,6 +234,10 @@ object DeltaLog {
           rows.headOption.map(_.getSeq[String](0))
         } else None
       }})
+    if (partColsCache.size > 256) partColsCache.clear() // bound, not LRU
+    partColsCache.put(cacheKey, result)
+    result
+  }
 
   /** Table schema JSON (metaData.schemaString) — newest commit first,
     * checkpoint fallback. Same visibility rule as partition columns.
@@ -241,6 +248,9 @@ object DeltaLog {
   private def tableSchemaJson(spark: SparkSession, fs: FileSystem,
       tbl: HPath, asOf: Option[Long] = None): Option[String] = {
     import com.fasterxml.jackson.databind.ObjectMapper
+    val cacheKey = (logIdentity(fs, tbl), asOf.getOrElse(-1L))
+    val hit = schemaCache.get(cacheKey)
+    if (hit != null) return hit
     val mapper = new ObjectMapper()
     val log = logDir(tbl)
     val versions = existingVersions(fs, log)
@@ -253,7 +263,7 @@ object DeltaLog {
         if (ss != null && ss.isTextual) Some(ss.asText) else None
       }.toSeq.lastOption
     }.nextOption()
-    fromCommits.orElse(lastCheckpointVersion(fs, log)
+    val result = fromCommits.orElse(lastCheckpointVersion(fs, log)
       .filter(v => asOf.forall(v <= _)).flatMap { v =>
       readCheckpoint(spark, fs, log, v).flatMap { cp =>
         if (cp.columns.contains("metaData")) {
@@ -263,6 +273,9 @@ object DeltaLog {
         } else None
       }
     })
+    if (schemaCache.size > 256) schemaCache.clear() // bound, not LRU
+    schemaCache.put(cacheKey, result)
+    result
   }
 
   /** [[tableSchemaJson]] parsed to a StructType — None when the log has no
@@ -1390,6 +1403,19 @@ object DeltaLog {
     */
   private val dvCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), java.lang.Boolean]()
+
+  /** Memo for [[tableSchemaJson]] under the same log identity (+ as-of
+    * version — older versions are immutable, so identity alone pins
+    * them): every declared-schema read consults the schema, and without
+    * the memo each consultation re-reads commit JSONs newest-first until
+    * a metaData line appears.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[((String, Long, Long, Long, Long), Long), Option[String]]()
+
+  /** Memo for [[tablePartitionColumns]] — same shape as [[schemaCache]]. */
+  private val partColsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), Option[Seq[String]]]()
 
   /** Table configuration map from the newest metaData (same visibility
     * rule as [[tableSchemaJson]]).
@@ -2603,9 +2629,77 @@ object DeltaLog {
     * predicate makes pruning invisible to results.
     */
   def readWhere(spark: SparkSession, path: String, predicate: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // large log, non-mapped: snapshot fold AND stats pruning both run
+    // DISTRIBUTEDLY — DeltaStats.entryMayMatch is session-free, so the
+    // parsed conjuncts ship to executors and the driver sees only the
+    // SURVIVING file paths (plus their DV entries), never every add's
+    // stats JSON. Mapped tables keep the driver path (their stats keys
+    // need the physical→logical remap).
+    if (fs.exists(logDir(tbl)) &&
+        snapshotLogBytes(fs, logDir(tbl), versionAsOf) > snapshotDriverMaxBytes &&
+        logicalSchemaIfMapped(spark, fs, tbl).isEmpty) {
+      val snap = activeAddsDfAsOf(spark, path, versionAsOf).getOrElse(
+        throw new IllegalArgumentException(
+          s"loadDelta: empty or missing _delta_log in $path"))
+      val schemaOpt = parsedTableSchema(spark, fs, tbl, versionAsOf)
+      val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+      val conjOpt = schemaOpt.flatMap(_ =>
+        DeltaStats.parseConjuncts(spark, predicate))
+      val sess = spark
+      import sess.implicits._
+      val entries = snap.select("graft_add").as[String]
+      val keptEntries = (schemaOpt, conjOpt) match {
+        case (Some(schema), Some(conjuncts)) =>
+          entries.mapPartitions { it =>
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            it.filter { addJson =>
+              val node = try mapper.readTree(addJson) catch { case _: Exception => null }
+              // unparseable add ⇒ keep (conservative, like the driver path)
+              Option(node).flatMap(parseAddEntry).forall(e =>
+                DeltaStats.entryMayMatch(conjuncts, schema, pcols, e, mapper))
+            }
+          }
+        case _ => entries
+      }
+      val keptRows = keptEntries.localCheckpoint(true) // consumed twice
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val dvAdds = keptRows
+        .filter(_.contains("\"deletionVector\"")).collect().toSeq
+        .flatMap { s =>
+          val node = try mapper.readTree(s) catch { case _: Exception => null }
+          Option(node).flatMap(parseAddEntry)
+        }.filter(_.dv.isDefined)
+      // survivors come back as bare path strings — stats stay in executors
+      val keptRels = keptRows.mapPartitions { it =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.flatMap { s =>
+          val node = try m.readTree(s) catch { case _: Exception => null }
+          Option(node).flatMap(n => Option(n.get("path")).map(_.asText))
+        }
+      }.collect().toSeq
+      if (dvAdds.nonEmpty) {
+        val names = keptRels.map(r => new HPath(r).getName)
+        require(names.distinct.length == names.length,
+          s"loadDelta: duplicate data-file basenames in $path — the " +
+            "deletion-vector row filter keys on file names")
+      }
+      if (keptRels.isEmpty) {
+        val schema = schemaOpt.map(s => stripMeta(s).asInstanceOf[StructType])
+          .getOrElse(read(spark, path, versionAsOf).schema)
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .where(expr(predicate))
+      }
+      return applyDeletionVectors(spark, path, dvAdds,
+        readDataFiles(spark, path,
+          keptRels.map(r => new HPath(tbl, r).toString),
+          withRowMeta = dvAdds.nonEmpty, versionAsOf = versionAsOf))
+        .where(expr(predicate))
+    }
     val adds0 = activeAddsAsOf(spark, path, versionAsOf)
     require(adds0.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
     val schemaOpt = parsedTableSchema(spark, fs, tbl, versionAsOf)
@@ -2648,7 +2742,8 @@ object DeltaLog {
       val hasDv = kept.exists(_.dv.isDefined)
       applyDeletionVectors(spark, path, kept,
         readDataFiles(spark, path,
-          kept.map(a => new HPath(tbl, a.rel).toString), withRowMeta = hasDv))
+          kept.map(a => new HPath(tbl, a.rel).toString), withRowMeta = hasDv,
+          versionAsOf = versionAsOf))
         .where(expr(predicate))
     }
   }

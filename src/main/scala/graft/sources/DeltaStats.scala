@@ -173,17 +173,33 @@ object DeltaStats {
     */
   def prune(spark: org.apache.spark.sql.SparkSession, predicate: String,
       schema: StructType, partitionCols: Seq[String],
-      adds: Seq[AddEntry]): Seq[AddEntry] = {
-    val expr =
-      try spark.sessionState.sqlParser.parseExpression(predicate)
-      catch { case _: Exception => return adds }
-    val conjuncts = splitAnd(expr)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    adds.filter { add =>
-      val statsNode =
-        add.stats.flatMap(s => try Option(mapper.readTree(s)) catch { case _: Exception => None })
-      conjuncts.forall(c => mayMatch(c, schema, partitionCols, add, statsNode))
+      adds: Seq[AddEntry]): Seq[AddEntry] =
+    parseConjuncts(spark, predicate) match {
+      case None => adds
+      case Some(conjuncts) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        adds.filter(entryMayMatch(conjuncts, schema, partitionCols, _, mapper))
     }
+
+  /** The predicate parsed to its AND-conjuncts; None when unparseable
+    * (callers must keep every file — conservative, like [[prune]]).
+    */
+  def parseConjuncts(spark: org.apache.spark.sql.SparkSession,
+      predicate: String): Option[Seq[Expression]] =
+    try Some(splitAnd(spark.sessionState.sqlParser.parseExpression(predicate)))
+    catch { case _: Exception => None }
+
+  /** Per-entry kernel of [[prune]]: session-free and serializable, so a
+    * DISTRIBUTED prune over a 10⁷-file snapshot can ship it to executors
+    * (parsed conjuncts and the schema ride the closure) — bit-identical
+    * keep/skip decisions to the driver-side [[prune]].
+    */
+  def entryMayMatch(conjuncts: Seq[Expression], schema: StructType,
+      partitionCols: Seq[String], add: AddEntry,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper): Boolean = {
+    val statsNode =
+      add.stats.flatMap(s => try Option(mapper.readTree(s)) catch { case _: Exception => None })
+    conjuncts.forall(c => mayMatch(c, schema, partitionCols, add, statsNode))
   }
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {

@@ -72,6 +72,29 @@ class DeltaSnapshotDfSpec extends SparkSpec {
     assert(v0Df.count() == 50L)
   }
 
+  test("readWhere prunes distributedly above the threshold: identical rows and skipping") {
+    val sp = spark
+    import sp.implicits._
+    val p = freshDir("where_route")
+    // several files with disjoint id ranges so stats pruning has teeth
+    (0 until 4).foreach { b =>
+      DeltaLog.write((b * 100L until b * 100L + 50L).map(i => (i, i * 2.0))
+        .toDF("id", "v"), if (b == 0) "overwrite" else "append", p,
+        checkpointInterval = 0)
+    }
+    val pred = "id >= 210 AND id < 240"
+    val viaDriver = DeltaLog.readWhere(spark, p, pred)
+      .collect().map(_.toSeq).toSet
+    val viaDf = DeltaLog.readWhere(spark, p, pred, None,
+      snapshotDriverMaxBytes = 0L).collect().map(_.toSeq).toSet
+    assert(viaDf == viaDriver && viaDf.size == 30,
+      s"distributed prune route must match: ${viaDf.size} vs ${viaDriver.size}")
+    // provably-empty predicate keeps the empty-relation shape
+    val none = DeltaLog.readWhere(spark, p, "id > 100000", None,
+      snapshotDriverMaxBytes = 0L)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "v"))
+  }
+
   test("distributed route applies deletion vectors identically") {
     val sp = spark
     import sp.implicits._
