@@ -2633,20 +2633,26 @@ object DeltaLog {
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // large log, non-mapped: snapshot fold AND stats pruning both run
-    // DISTRIBUTEDLY — DeltaStats.entryMayMatch is session-free, so the
-    // parsed conjuncts ship to executors and the driver sees only the
-    // SURVIVING file paths (plus their DV entries), never every add's
-    // stats JSON. Mapped tables keep the driver path (their stats keys
-    // need the physical→logical remap).
+    // large log: snapshot fold AND stats pruning both run DISTRIBUTEDLY —
+    // DeltaStats.entryMayMatch is session-free, so the parsed conjuncts
+    // ship to executors and the driver sees only the SURVIVING file paths
+    // (plus their DV entries), never every add's stats JSON. On mapped
+    // tables the per-entry physical→logical stats-key remap ships too
+    // (remapAddToLogical is pure given the name map), so skipping keeps
+    // pruning there as well.
     if (fs.exists(logDir(tbl)) &&
-        snapshotLogBytes(fs, logDir(tbl), versionAsOf) > snapshotDriverMaxBytes &&
-        logicalSchemaIfMapped(spark, fs, tbl).isEmpty) {
+        snapshotLogBytes(fs, logDir(tbl), versionAsOf) > snapshotDriverMaxBytes) {
       val snap = activeAddsDfAsOf(spark, path, versionAsOf).getOrElse(
         throw new IllegalArgumentException(
           s"loadDelta: empty or missing _delta_log in $path"))
       val schemaOpt = parsedTableSchema(spark, fs, tbl, versionAsOf)
-      val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+      val physToLog: Option[Map[String, String]] =
+        logicalSchemaIfMapped(spark, fs, tbl).map(m => physToLogMap(m._2))
+      val pcols0 = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+      val pcols = physToLog match {
+        case Some(m) => pcols0.map(c => m.getOrElse(c, c))
+        case None => pcols0
+      }
       val conjOpt = schemaOpt.flatMap(_ =>
         DeltaStats.parseConjuncts(spark, predicate))
       val sess = spark
@@ -2659,8 +2665,13 @@ object DeltaLog {
             it.filter { addJson =>
               val node = try mapper.readTree(addJson) catch { case _: Exception => null }
               // unparseable add ⇒ keep (conservative, like the driver path)
-              Option(node).flatMap(parseAddEntry).forall(e =>
-                DeltaStats.entryMayMatch(conjuncts, schema, pcols, e, mapper))
+              Option(node).flatMap(parseAddEntry).forall { e0 =>
+                val e = physToLog match {
+                  case Some(m) => remapAddToLogical(e0, m, mapper)
+                  case None => e0
+                }
+                DeltaStats.entryMayMatch(conjuncts, schema, pcols, e, mapper)
+              }
             }
           }
         case _ => entries
@@ -2753,14 +2764,19 @@ object DeltaLog {
     * same vocabulary as the predicate. Unknown keys pass through —
     * pruning stays conservative.
     */
-  private def remapAddsToLogical(adds: Seq[DeltaStats.AddEntry],
-      logical: StructType): Seq[DeltaStats.AddEntry] = {
-    import com.fasterxml.jackson.databind.ObjectMapper
-    import com.fasterxml.jackson.databind.node.ObjectNode
-    val physToLog = logical.fields.map(f =>
+  private def physToLogMap(logical: StructType): Map[String, String] =
+    logical.fields.map(f =>
       (if (f.metadata.contains(PhysicalNameKey))
         f.metadata.getString(PhysicalNameKey) else f.name) -> f.name).toMap
-    val mapper = new ObjectMapper()
+
+  /** Single-entry kernel of [[remapAddsToLogical]]: pure given the
+    * physical→logical name map, so the distributed prune can ship it to
+    * executors alongside [[DeltaStats.entryMayMatch]].
+    */
+  private[sources] def remapAddToLogical(a: DeltaStats.AddEntry,
+      physToLog: Map[String, String],
+      mapper: com.fasterxml.jackson.databind.ObjectMapper): DeltaStats.AddEntry = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
     def renameKeys(o: ObjectNode): ObjectNode = {
       val out = mapper.createObjectNode()
       o.fields().forEachRemaining { e =>
@@ -2768,24 +2784,29 @@ object DeltaLog {
       }
       out
     }
-    adds.map { a =>
-      val pv = a.partitionValues.map { case (k, v) =>
-        physToLog.getOrElse(k, k) -> v }
-      val stats = a.stats.flatMap { js =>
-        try {
-          val node = mapper.readTree(js)
-          Seq("minValues", "maxValues", "nullCount").foreach { sect =>
-            node.get(sect) match {
-              case o: ObjectNode =>
-                node.asInstanceOf[ObjectNode].set(sect, renameKeys(o)): Unit
-              case _ => ()
-            }
+    val pv = a.partitionValues.map { case (k, v) =>
+      physToLog.getOrElse(k, k) -> v }
+    val stats = a.stats.flatMap { js =>
+      try {
+        val node = mapper.readTree(js)
+        Seq("minValues", "maxValues", "nullCount").foreach { sect =>
+          node.get(sect) match {
+            case o: ObjectNode =>
+              node.asInstanceOf[ObjectNode].set(sect, renameKeys(o)): Unit
+            case _ => ()
           }
-          Some(mapper.writeValueAsString(node))
-        } catch { case _: Exception => Some(js) }
-      }
-      a.copy(partitionValues = pv, stats = stats)
+        }
+        Some(mapper.writeValueAsString(node))
+      } catch { case _: Exception => Some(js) }
     }
+    a.copy(partitionValues = pv, stats = stats)
+  }
+
+  private def remapAddsToLogical(adds: Seq[DeltaStats.AddEntry],
+      logical: StructType): Seq[DeltaStats.AddEntry] = {
+    val physToLog = physToLogMap(logical)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    adds.map(remapAddToLogical(_, physToLog, mapper))
   }
 
   /** How many files [[readWhere]] would open for `predicate` vs the

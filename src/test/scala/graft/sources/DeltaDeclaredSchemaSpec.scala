@@ -114,6 +114,24 @@ class DeltaDeclaredSchemaSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 4L)
   }
 
+  test("schema memo never serves a stale schema across a same-path table rebuild") {
+    val sp = spark
+    import sp.implicits._
+    val p = freshDir("cache_rebuild")
+    DeltaLog.write(Seq((1L, "a")).toDF("id", "s"), "overwrite", p,
+      checkpointInterval = 0)
+    assert(DeltaLog.read(spark, p).columns.toSeq == Seq("id", "s")) // warm the memo
+    // recreate the table at the SAME path with a DIFFERENT schema — the
+    // memo keys on the newest commit's (version, len, mtime, CRC)
+    // identity, so the rebuilt log must read back its own schema
+    DeltaLog.write(Seq((1L, 2.5, true)).toDF("id", "score", "flag"),
+      "overwrite", p, checkpointInterval = 0)
+    val back = DeltaLog.read(spark, p)
+    assert(back.columns.toSeq == Seq("id", "score", "flag"),
+      s"stale schema served after rebuild: ${back.columns.mkString(",")}")
+    assert(back.head.getDouble(1) == 2.5)
+  }
+
   test("files older than a schema evolution read back with nulls for the new columns") {
     val sp = spark
     import sp.implicits._

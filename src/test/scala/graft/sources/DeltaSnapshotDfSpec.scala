@@ -95,6 +95,21 @@ class DeltaSnapshotDfSpec extends SparkSpec {
     assert(none.count() == 0L && none.columns.toSeq == Seq("id", "v"))
   }
 
+  test("mapped tables: distributed readWhere remaps stats keys and matches the driver route") {
+    val sp = spark
+    import sp.implicits._
+    val p = freshDir("where_mapped")
+    DeltaLog.writeNameMapped((1L to 100L).map(i => (i, s"n$i", i * 1.5))
+      .toDF("id", "name", "v"), p)
+    val pred = "id >= 40 AND id < 60 AND v > 70.0"
+    val viaDriver = DeltaLog.readWhere(spark, p, pred)
+      .collect().map(_.toSeq).toSet
+    val viaDf = DeltaLog.readWhere(spark, p, pred, None,
+      snapshotDriverMaxBytes = 0L).collect().map(_.toSeq).toSet
+    assert(viaDf == viaDriver && viaDf.nonEmpty,
+      s"mapped distributed prune must match driver route: ${viaDf.size} vs ${viaDriver.size}")
+  }
+
   test("distributed route applies deletion vectors identically") {
     val sp = spark
     import sp.implicits._
