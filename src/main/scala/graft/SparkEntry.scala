@@ -728,14 +728,74 @@ object SparkEntry {
 
     // ID-mode column mapping (iceberg-converted tables): columns resolve
     // against the physical files BY parquet field id through Spark's
-    // native field-id matching — read-only here (this writer emits no
-    // field ids). Same aggregate contract as q_delta_colmap's base.
+    // native field-id matching. Same aggregate contract as
+    // q_delta_colmap's base.
     "q_delta_colmap_id" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_delta_colmap_id"
       val c = t(s, d, "customer").toDF
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       graft.sources.DeltaLog.writeIdMapped(c, path)
       Loaders.load(s, path, "customer_cm_id")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
+    // PARTITIONED name-mapped table WRITES: the fixture, the append, the
+    // copy-on-write upsert/delete and the compaction all stage under
+    // PHYSICAL-named partition directories (`col-<uuid>=value`) with
+    // physical partitionValues keys, while the caller speaks logical
+    // names throughout. Grouping BY the partition column makes a wrong
+    // directory resolution unmissable. History mirrors
+    // q_delta_colmap_id_cow: append %10==7 at +500, upsert %10==1 to
+    // +1000, delete %10==4, OPTIMIZE.
+    "q_delta_colmap_part" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_colmap_part"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.writeNameMapped(
+        c.where(col("c_custkey") % 10 =!= 7), path,
+        partitionBy = Seq("c_mktsegment"))                               // v0
+      graft.sources.DeltaLog.write(
+        c.where(col("c_custkey") % 10 === 7)
+          .withColumn("c_acctbal", col("c_acctbal") + 500.0),
+        "append", path, partitionBy = Seq("c_mktsegment"))               // v1
+      graft.sources.DeltaLog.upsert(
+        c.where(col("c_custkey") % 10 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0),
+        Seq("c_custkey"), path)                                          // v2
+      graft.sources.DeltaLog.deleteWhere(s, path, "c_custkey % 10 = 4")  // v3
+      graft.sources.DeltaLog.optimize(s, path)                           // v4
+      Loaders.load(s, path, "customer_cm_part")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
+    // ID-mode WRITES: append, copy-on-write upsert/delete and compaction
+    // all stage physical-named files WITH parquet field ids (Spark's
+    // native field-id write over the table's own delta.columnMapping.id
+    // annotations), so the table's by-id reader resolves every new file —
+    // a staged file missing its ids could not hash-match here. History:
+    // fixture v0, append %10==7 at +500 (v1), upsert %10==1 to +1000
+    // (v2), copy-on-write delete %10==4 (v3), OPTIMIZE compaction (v4).
+    "q_delta_colmap_id_cow" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_colmap_id_cow"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.writeIdMapped(
+        c.where(col("c_custkey") % 10 =!= 7), path)                      // v0
+      graft.sources.DeltaLog.write(
+        c.where(col("c_custkey") % 10 === 7)
+          .withColumn("c_acctbal", col("c_acctbal") + 500.0),
+        "append", path)                                                  // v1
+      graft.sources.DeltaLog.upsert(
+        c.where(col("c_custkey") % 10 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0),
+        Seq("c_custkey"), path)                                          // v2
+      graft.sources.DeltaLog.deleteWhere(s, path, "c_custkey % 10 = 4")  // v3
+      graft.sources.DeltaLog.optimize(s, path)                           // v4
+      Loaders.load(s, path, "customer_cm_id_cow")
         .select("c_mktsegment")
         .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
         .groupBy("c_mktsegment").toDF
@@ -834,6 +894,37 @@ object SparkEntry {
         c, path, "c_custkey % 3 = 0", inlineFirst = true)
       graft.sources.DeltaLog.deleteWhereViaDv(s, path, "c_custkey % 5 = 0")
       Loaders.load(s, path, "customer_dv_del")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
+    // COPY-ON-WRITE on a still-DV'd table: upsert (v1) rewrites only the
+    // files containing its keys, survivors computed from LIVE rows (the
+    // fixture's DV-deleted %3 rows never resurrect) with the superseded
+    // descriptors echoed on the removes; a DV-native delete (v2) attaches
+    // fresh bitmaps; OPTIMIZE (v3) compacts AND materializes the remaining
+    // DVs (dataChange=false); the final copy-on-write delete (v4) runs on
+    // the now-DV-free snapshot. The oracle recomputes the whole history
+    // straight from customer.
+    "q_delta_dv_cow" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_dv_cow"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(4, col("c_custkey"))
+      graft.sources.DeltaLog.writeWithDeletionVectors(
+        c, path, "c_custkey % 3 = 0", inlineFirst = true)                 // v0
+      val upd = s.range(1).select(lit(1L).as("c_custkey"),
+          lit("GRAFT").as("c_mktsegment"), lit(111.11).as("c_acctbal"))
+        .unionAll(s.range(1).select(lit(2L).as("c_custkey"),
+          lit("GRAFT").as("c_mktsegment"), lit(222.22).as("c_acctbal")))
+        .unionAll(s.range(1).select(lit(0L).as("c_custkey"),
+          lit("GRAFT").as("c_mktsegment"), lit(100.0).as("c_acctbal")))
+      graft.sources.DeltaLog.upsert(upd, Seq("c_custkey"), path)          // v1
+      graft.sources.DeltaLog.deleteWhereViaDv(s, path, "c_custkey % 5 = 0") // v2
+      graft.sources.DeltaLog.optimize(s, path)                            // v3
+      graft.sources.DeltaLog.deleteWhere(s, path, "c_custkey % 7 = 0")    // v4
+      Loaders.load(s, path, "customer_dv_cow")
         .select("c_mktsegment")
         .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
         .groupBy("c_mktsegment").toDF
@@ -2871,6 +2962,28 @@ object SparkEntry {
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
         "c_mktsegment FROM customer GROUP BY c_mktsegment"),
 
+    // same history as q_delta_colmap_id_cow, over the partitioned
+    // name-mapped table (physical partition dirs)
+    "q_delta_colmap_part" ->
+      ("SELECT count(*) AS n, round(sum(bal), 2) AS total_bal, " +
+        "c_mktsegment FROM (" +
+        "SELECT c_mktsegment, CASE WHEN c_custkey % 10 = 7 " +
+        "THEN c_acctbal + 500 WHEN c_custkey % 10 = 1 " +
+        "THEN c_acctbal + 1000 ELSE c_acctbal END AS bal " +
+        "FROM customer WHERE c_custkey % 10 <> 4) " +
+        "GROUP BY c_mktsegment"),
+
+    // id-mode write history: %10==7 appended at +500, %10==1 upserted to
+    // +1000, %10==4 copy-on-write deleted, then compacted (no row change)
+    "q_delta_colmap_id_cow" ->
+      ("SELECT count(*) AS n, round(sum(bal), 2) AS total_bal, " +
+        "c_mktsegment FROM (" +
+        "SELECT c_mktsegment, CASE WHEN c_custkey % 10 = 7 " +
+        "THEN c_acctbal + 500 WHEN c_custkey % 10 = 1 " +
+        "THEN c_acctbal + 1000 ELSE c_acctbal END AS bal " +
+        "FROM customer WHERE c_custkey % 10 <> 4) " +
+        "GROUP BY c_mktsegment"),
+
     "q_delta_colmap_id_part" ->
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
         "c_mktsegment FROM customer WHERE c_custkey % 2 = 0 " +
@@ -2891,6 +3004,21 @@ object SparkEntry {
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
         "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0 " +
         "AND c_custkey % 5 <> 0 GROUP BY c_mktsegment"),
+
+    // the copy-on-write history over the DV table: %3 fixture-deleted,
+    // keys 1/2 upserted to ('GRAFT', 111.11/222.22), key 0 inserted then
+    // DV-deleted (%5), %5 DV-deleted, optimize (no row change), %7
+    // copy-on-write-deleted
+    "q_delta_dv_cow" ->
+      ("SELECT count(*) AS n, round(sum(bal), 2) AS total_bal, " +
+        "c_mktsegment FROM (" +
+        "SELECT CASE WHEN c_custkey IN (1, 2) THEN 'GRAFT' " +
+        "ELSE c_mktsegment END AS c_mktsegment, " +
+        "CASE WHEN c_custkey = 1 THEN 111.11 " +
+        "WHEN c_custkey = 2 THEN 222.22 ELSE c_acctbal END AS bal " +
+        "FROM customer WHERE c_custkey % 3 <> 0 " +
+        "AND c_custkey % 5 <> 0 AND c_custkey % 7 <> 0) " +
+        "GROUP BY c_mktsegment"),
 
     // the two DV generations' bitmap differences recomputed straight
     // from customer: v1 deletes the %5 rows still live after the %3

@@ -389,44 +389,60 @@ object DeltaLog {
     // Column-mapped tables: APPEND is supported by renaming the incoming
     // frame's logical columns to the table's physical names (from the
     // metaData annotations) before staging — what a streaming ingest
-    // into a modern mapped table needs. MERGE refreshes the metaData
-    // with the frame's schema (it would clobber the mapping) and mapped
-    // PARTITIONED appends (physical-named partition dirs) stay refused
-    // typed; overwrite replaces the log and metaData wholesale (the
-    // table becomes plain mode=none).
+    // into a modern mapped table needs. ID-mode tables additionally stage
+    // with `parquet.field.id` metadata (Spark's native field-id write),
+    // so the table's own by-id reader resolves the new files. Mapped
+    // PARTITIONED appends stage under PHYSICAL-named partition dirs
+    // (see stagePartitionBy); overwrite replaces the log and metaData
+    // wholesale (the table becomes plain mode=none).
     // APPEND and MERGE into a DV-bearing table are safe: both only ADD
     // files (never touch the DV'd ones), merge's metaData refresh is
     // pure metadata since r14 (declared schema ⊕ frame, no raw read),
     // and checkpoints carry DV descriptors through the fold.
-    val mappedSchema: Option[StructType] =
+    val mappedInfo: Option[(String, StructType)] =
       if (hasLog && m != "overwrite") {
         val mode = columnMappingMode(spark, fs, tbl)
-        if (mode != "none" && mode != "name")
+        if (mode != "none" && mode != "name" && mode != "id")
           throw graft.GraftError.InvalidOperation("write_delta",
-            s"$tbl uses column mapping mode '$mode'; only name-mode " +
-              "tables can be appended to (id mode reads by parquet field " +
-              "id, which this writer does not emit)")
-        val mapped = logicalSchemaIfNameMapped(spark, fs, tbl)
-        mapped.foreach { _ =>
+            s"$tbl uses unknown column mapping mode '$mode'; only " +
+              "name- and id-mode tables can be appended to")
+        val mapped = logicalSchemaIfMapped(spark, fs, tbl)
+        mapped.foreach { case (mo, logical) =>
           // merge IS supported on mapped tables when schema-stable: the
           // column checks below (no missing, no extra vs the logical
           // schema) are exactly that gate, and the commit PRESERVES the
           // table's metaData instead of re-minting it (see actionsFor) —
           // a refreshed metaData would clobber the mapping annotations
-          if (partitionBy.nonEmpty) throw graft.GraftError.InvalidOperation(
-            "write_delta", s"$tbl uses name-mode column mapping; " +
-              "partitioned appends (physical-named partition directories) " +
-              "are not supported — append unpartitioned or overwrite")
+          if (mo == "id") requireIdWritable(logical, tbl, "write_delta")
         }
         mapped
       } else None
+    val mappedSchema: Option[StructType] = mappedInfo.map(_._2)
+    val idMapped = mappedInfo.exists(_._1 == "id")
+    // mapped PARTITIONED writes stage under PHYSICAL partition directory
+    // names (the delta colmap layout); the caller speaks logical
+    val stagePartitionBy: Seq[String] = mappedSchema match {
+      case Some(logical) if partitionBy.nonEmpty =>
+        partitionBy.map { pc =>
+          logical.fields.find(_.name == pc).map { f =>
+            if (f.metadata.contains(PhysicalNameKey))
+              f.metadata.getString(PhysicalNameKey)
+            else f.name
+          }.getOrElse(throw graft.GraftError.InvalidOperation("write_delta",
+            s"$tbl: partition column '$pc' not in the mapped table schema"))
+        }
+      case _ => partitionBy
+    }
     if (hasLog && m != "overwrite") {
       // appends must match the table's declared partitioning — silently
       // mixing layouts would corrupt partition inference on read. Falls
       // back to the checkpoint's metaData when older commits were cleaned.
       val tableCols = tablePartitionColumns(spark, fs, tbl)
       tableCols.foreach { cols =>
-        if (cols != partitionBy)
+        // mapped tables: metaData.partitionColumns may be spelled
+        // logically (delta-spark) or physically (other writers) — the
+        // caller always speaks logical, so accept either image
+        if (cols != partitionBy && cols != stagePartitionBy)
           throw graft.GraftError.PartitionError(
             s"append declares partitioning (${partitionBy.mkString(", ")}) " +
               s"but the table was written with (${cols.mkString(", ")})",
@@ -511,14 +527,24 @@ object DeltaLog {
         val logical = mappedEvolved.getOrElse(logical0)
         val physical = physicalType(logical).asInstanceOf[StructType]
         df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
-          col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
+          val c = col(s"`${lf.name}`").cast(stripMeta(pf.dataType))
+          // id-mode files resolve BY parquet field id: annotate each
+          // staged column with its delta.columnMapping.id so the field-id
+          // write emits it
+          if (idMapped)
+            c.as(pf.name, new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(ParquetFieldIdKey, lf.metadata.getLong(MappingIdKey))
+              .build())
+          else c.as(pf.name)
         }: _*)
       case None => df
     }
     val w = dfToStage.write.mode("overwrite")
     try {
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(stage.toString)
+    withFieldIdWriteIf(spark, idMapped) {
+      (if (stagePartitionBy.nonEmpty) w.partitionBy(stagePartitionBy: _*)
+       else w).parquet(stage.toString)
+    }
 
     def swapAndCommit(): Unit = {
     // overwrite wipes the table only now, with the replacement fully
@@ -731,48 +757,95 @@ object DeltaLog {
     * Losers throw; the caller re-runs the whole upsert against the fresh
     * snapshot. `updates` must be key-unique (two update rows with the same
     * key would both land — classic MERGE cardinality contract).
+    *
+    * On a deletion-vector-bearing snapshot the same MERGE semantics hold,
+    * but the survivors frame comes from the LIVE rows (descriptors applied
+    * through the executor-side bitmap anti-join the snapshot read uses),
+    * so a rewrite can never resurrect DV-deleted rows; each touched file's
+    * remove echoes its superseded descriptor (protocol shape — vacuum
+    * associates the orphaned bin) and the replacement files carry no DV.
+    * Untouched files keep their descriptors.
     */
   def upsert(updates: DataFrame, keys: Seq[String], path: String): Unit = {
     require(keys.nonEmpty, "upsert: need at least one key column")
     val spark = updates.sparkSession
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireNoDeletionVectors(spark, path, "upsert_delta")
-    val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
-    val snap = read(spark, path).withColumn("graft_file", input_file_name())
-    val updKeys = updates.select(keys.map(col): _*).distinct()
-    val touchedUris = snap.join(updKeys, keys, "left_semi")
-      .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
-    val survivors = snap
-      .where(col("graft_file").isInCollection(touchedUris))
-      .join(updKeys, keys, "left_anti")
-      .drop("graft_file")
-    commitRewrite(spark, path, "UPSERT",
-      touchedUris.map(uriToRel(base, _)).sorted,
-      survivors.unionByName(updates.select(survivors.columns.map(col): _*)))
+    dvSnapshotAdds(spark, path) match {
+      case Some(adds) =>
+        val files = adds.map(a => new HPath(tbl, a.rel).toString)
+        val live = applyDeletionVectors(spark, path, adds,
+          readDataFiles(spark, path, files, withRowMeta = true), keepMeta = true)
+        val updKeys = updates.select(keys.map(col): _*).distinct()
+        val touchedNames = live.join(updKeys, keys, "left_semi")
+          .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+        val touched = adds.filter(a => touchedNames(new HPath(a.rel).getName))
+        val survivors = live
+          .where(col(DvFileCol).isInCollection(touchedNames))
+          .join(updKeys, keys, "left_anti")
+          .drop(DvFileCol, DvRowCol)
+        commitRewrite(spark, path, "UPSERT", touched.map(_.rel).sorted,
+          survivors.unionByName(updates.select(survivors.columns.map(col): _*)),
+          removeDvJson = touched.flatMap(a =>
+            a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap)
+      case None =>
+        val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
+        val snap = read(spark, path).withColumn("graft_file", input_file_name())
+        val updKeys = updates.select(keys.map(col): _*).distinct()
+        val touchedUris = snap.join(updKeys, keys, "left_semi")
+          .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
+        val survivors = snap
+          .where(col("graft_file").isInCollection(touchedUris))
+          .join(updKeys, keys, "left_anti")
+          .drop("graft_file")
+        commitRewrite(spark, path, "UPSERT",
+          touchedUris.map(uriToRel(base, _)).sorted,
+          survivors.unionByName(updates.select(survivors.columns.map(col): _*)))
+    }
   }
 
   /** Copy-on-write DELETE of the rows matching `predicate` (SQL text over
-    * the snapshot's columns). Same touched-file shape and same
-    * stale-loser-throws concurrency contract as [[upsert]]. Returns the
-    * number of rewritten files (0 = nothing matched, no commit written).
+    * the snapshot's columns). Same touched-file shape, same
+    * stale-loser-throws concurrency contract, and same DV handling as
+    * [[upsert]] (survivors from live rows, removes echo superseded
+    * descriptors). Returns the number of rewritten files (0 = nothing
+    * matched, no commit written). Contrast [[deleteWhereViaDv]], which
+    * deletes WITHOUT rewriting by attaching fresh descriptors.
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: String): Int = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireNoDeletionVectors(spark, path, "delete_delta")
-    val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
-    val snap = read(spark, path).withColumn("graft_file", input_file_name())
-    val touchedUris = snap.where(expr(predicate))
-      .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
-    if (touchedUris.isEmpty) return 0
-    val survivors = snap
-      .where(col("graft_file").isInCollection(touchedUris))
-      .where(!expr(predicate))
-      .drop("graft_file")
-    commitRewrite(spark, path, "DELETE", touchedUris.map(uriToRel(base, _)).sorted,
-      survivors)
-    touchedUris.length
+    dvSnapshotAdds(spark, path) match {
+      case Some(adds) =>
+        val files = adds.map(a => new HPath(tbl, a.rel).toString)
+        val live = applyDeletionVectors(spark, path, adds,
+          readDataFiles(spark, path, files, withRowMeta = true), keepMeta = true)
+        val touchedNames = live.where(expr(predicate))
+          .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+        if (touchedNames.isEmpty) return 0
+        val touched = adds.filter(a => touchedNames(new HPath(a.rel).getName))
+        val survivors = live
+          .where(col(DvFileCol).isInCollection(touchedNames))
+          .where(!expr(predicate))
+          .drop(DvFileCol, DvRowCol)
+        commitRewrite(spark, path, "DELETE", touched.map(_.rel).sorted,
+          survivors, removeDvJson = touched.flatMap(a =>
+            a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap)
+        touched.size
+      case None =>
+        val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
+        val snap = read(spark, path).withColumn("graft_file", input_file_name())
+        val touchedUris = snap.where(expr(predicate))
+          .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
+        if (touchedUris.isEmpty) return 0
+        val survivors = snap
+          .where(col("graft_file").isInCollection(touchedUris))
+          .where(!expr(predicate))
+          .drop("graft_file")
+        commitRewrite(spark, path, "DELETE",
+          touchedUris.map(uriToRel(base, _)).sorted, survivors)
+        touchedUris.length
+    }
   }
 
   private def uriToRel(qualifiedBase: String, uri: String): String =
@@ -794,44 +867,59 @@ object DeltaLog {
       throw graft.GraftError.InvalidOperation(op.toLowerCase,
         s"$path is not a delta table (no _delta_log)"))
     val partitionBy = latestPartitionColumns(fs, log).getOrElse(Nil)
-    // name-mapped tables: the rewrite stages under PHYSICAL column names
-    // (the same logical->physical rename the append path applies), so
-    // upsert/deleteWhere work on mapped tables too; partitioned mapped
-    // rewrites stay refused like partitioned mapped appends
+    // mapped tables: the rewrite stages under PHYSICAL column names (the
+    // same logical->physical rename the append path applies) — and, for
+    // id-mode tables, with parquet.field.id metadata so Spark's field-id
+    // write emits the ids the table's by-id reader resolves. Partitioned
+    // mapped rewrites stay refused like partitioned mapped appends.
     // logicalFrame = false: the caller (optimize) already holds the
     // file-native PHYSICAL columns and restages them unchanged
-    val mappedPhys =
-      if (logicalFrame) logicalSchemaIfMapped(spark, fs, tbl) match {
-        case Some(("id", _)) =>
-          // id-mode files resolve by parquet field id; this writer does
-          // not emit field ids, so a rewrite would stage files the
-          // table's own reader cannot resolve — refuse typed
-          throw graft.GraftError.InvalidOperation(op.toLowerCase,
-            s"$tbl uses id-mode column mapping; copy-on-write rewrites " +
-              "are not supported (staged files would lack parquet field " +
-              "ids) — id tables are read-only here")
-        case other => other.map(_._2)
-      } else None
-    val renamed = mappedPhys match {
-      case Some(logical) =>
-        if (partitionBy.nonEmpty) throw graft.GraftError.InvalidOperation(
-          op.toLowerCase, s"$tbl uses name-mode column mapping; " +
-            "partitioned rewrites (physical-named partition directories) " +
-            "are not supported")
+    val mappedInfo: Option[(String, StructType)] =
+      if (logicalFrame) logicalSchemaIfMapped(spark, fs, tbl) else None
+    val idMapped = mappedInfo.exists(_._1 == "id")
+    val renamed = mappedInfo match {
+      case Some((mode, logical)) =>
+        if (mode == "id") requireIdWritable(logical, tbl, op.toLowerCase)
         require(addDf.columns.toSet == logical.fieldNames.toSet,
           s"$op rewrite frame columns ${addDf.columns.mkString(",")} != " +
             s"mapped table schema ${logical.fieldNames.mkString(",")}")
         val physical = physicalType(logical).asInstanceOf[StructType]
         addDf.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
-          col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
+          val c = col(s"`${lf.name}`").cast(stripMeta(pf.dataType))
+          if (mode == "id")
+            c.as(pf.name, new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(ParquetFieldIdKey, lf.metadata.getLong(MappingIdKey))
+              .build())
+          else c.as(pf.name)
         }: _*)
       case None => addDf
     }
+    // mapped tables stage under PHYSICAL partition dir names; the log's
+    // metaData.partitionColumns may be spelled logically (delta-spark)
+    // or physically (other writers) — accept both and emit physical
+    val stagePartitionBy: Seq[String] = mappedInfo match {
+      case Some((_, logical)) if partitionBy.nonEmpty =>
+        partitionBy.map { pc =>
+          logical.fields.find(f => f.name == pc ||
+            (f.metadata.contains(PhysicalNameKey) &&
+              f.metadata.getString(PhysicalNameKey) == pc))
+            .map { f =>
+              if (f.metadata.contains(PhysicalNameKey))
+                f.metadata.getString(PhysicalNameKey)
+              else f.name
+            }
+            .getOrElse(throw graft.GraftError.InvalidOperation(op.toLowerCase,
+              s"$tbl: partition column '$pc' not in the mapped table schema"))
+        }
+      case _ => partitionBy
+    }
     val stage = new HPath(tbl, s".graft_stage_${java.util.UUID.randomUUID()}")
     val toWrite = numFiles.map(renamed.coalesce).getOrElse(renamed)
-    val w = toWrite.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(stage.toString)
+    withFieldIdWriteIf(spark, idMapped) {
+      val w = toWrite.write.mode("overwrite")
+      (if (stagePartitionBy.nonEmpty) w.partitionBy(stagePartitionBy: _*)
+       else w).parquet(stage.toString)
+    }
     val staged = dataFiles(fs, stage)
     staged.foreach { case (rel, _) =>
       val target = new HPath(tbl, rel)
@@ -1660,8 +1748,9 @@ object DeltaLog {
     * read back with LOGICAL column names: the parquet files are scanned
     * under the physical schema derived from the metaData's
     * `delta.columnMapping.physicalName` annotations, then renamed — a
-    * pure metadata operation, zero extra I/O. Id-mode and deletion
-    * vectors still refuse typed (see [[activeAddsAsOf]]).
+    * pure metadata operation, zero extra I/O. Deletion vectors apply as
+    * an executor-side bitmap anti-join; only id-mode WRITES refuse typed
+    * (see [[activeAddsAsOf]]).
     */
   def read(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None,
@@ -2087,10 +2176,11 @@ object DeltaLog {
   /** DELETE WITHOUT REWRITING DATA FILES on a DV-enabled table: rows
     * matching `predicate` (SQL over the snapshot's columns) are removed
     * by attaching per-file roaring-bitmap deletion vectors — the modern
-    * writer's fast-delete path, and the ONE mutation a DV-bearing table
-    * supports here (the copy-on-write paths refuse on such tables
-    * because they cannot preserve DV semantics; this path IS the DV
-    * semantics). Existing DVs are unioned in; per the protocol the
+    * writer's fast-delete path. Contrast the copy-on-write [[deleteWhere]],
+    * which rewrites touched files (applying any existing DVs so deleted
+    * rows never resurrect); this path instead avoids the rewrite entirely
+    * — the right trade for small deletes against huge files.
+    * Existing DVs are unioned in; per the protocol the
     * commit removes and re-adds each touched file with its new
     * descriptor. Gated on the table already declaring
     * `delta.enableDeletionVectors=true` — this writer never upgrades a
@@ -2208,9 +2298,9 @@ object DeltaLog {
     * ONLY the files carrying deletion vectors, materializing their row
     * filters — each victim's LIVE rows restage as plain files, the commit
     * removes the DV'd entries (echoing their descriptors) and adds the
-    * replacements with no DV. After a purge the snapshot carries no DVs,
-    * so the full copy-on-write/maintenance surface (upsert, deleteWhere,
-    * optimize, zorder) applies again, and [[vacuum]] sweeps the
+    * replacements with no DV. After a purge the snapshot carries no DVs —
+    * subsequent reads skip the bitmap anti-join and copy-on-write
+    * mutations take their plain fast path — and [[vacuum]] sweeps the
     * now-orphaned bin files. Cost scales with the DV'd-file footprint,
     * never the table — the same touched-files-only contract as upsert.
     * Returns the number of files purged (0 = no DVs, nothing committed).
@@ -2244,39 +2334,31 @@ object DeltaLog {
       s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
   }
 
-  /** Does the active snapshot carry any deletion vectors? The write-side
-    * gate: every mutation path refuses typed on a DV-bearing table.
+  /** The active snapshot's add entries when it carries deletion vectors,
+    * None otherwise — the copy-on-write mutation paths' route switch.
+    * Memoized per log identity: the common non-DV mutation pays one cached
+    * boolean lookup, not a snapshot scan. The full add list rides along
+    * because the DV route needs the basename→entry map anyway; driver
+    * memory is O(active files) on DV tables only — the same bound as
+    * [[deleteWhereViaDv]] and [[purgeDeletionVectors]].
     */
-  private def requireNoDeletionVectors(spark: SparkSession, path: String,
-      op: String, versionAsOf: Option[Long] = None): Unit = {
+  private def dvSnapshotAdds(spark: SparkSession, path: String):
+      Option[Seq[DeltaStats.AddEntry]] = {
     val tbl0 = new HPath(path)
     val fs0 = tbl0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val key = logIdentity(fs0, tbl0)
-    val cached = if (versionAsOf.isEmpty) dvCache.get(key) else null
-    val hasDv: Boolean =
-      if (cached != null) cached.booleanValue
-      else {
-        // no log at all → a fresh table, trivially DV-free. Every OTHER
-        // failure of the snapshot scan must propagate: swallowing a
-        // broken log replay here would let a copy-on-write mutation
-        // proceed on a table whose DV state is unknown (and cache the
-        // false answer).
-        val v =
-          if (!fs0.exists(logDir(tbl0))) false
-          else activeAddsAsOf(spark, path, versionAsOf).exists(_.dv.isDefined)
-        if (versionAsOf.isEmpty) {
-          if (dvCache.size > 256) dvCache.clear()
-          dvCache.put(key, java.lang.Boolean.valueOf(v))
-        }
-        v
-      }
-    if (hasDv) throw graft.GraftError.InvalidOperation(op,
-      s"$path carries deletion vectors; copy-on-write rewrites of " +
-        "still-DV'd files would resurrect deleted rows — run " +
-        "purgeDeletionVectors first (materializes the DVs, restoring " +
-        "the full maintenance surface). Supported directly on DV " +
-        "tables: read, append, merge, DV-native deleteWhereViaDv, " +
-        "checkpoint, restore, vacuum, purge, overwrite")
+    val cached = dvCache.get(key)
+    if (cached != null && !cached.booleanValue) return None
+    // no log at all → a fresh table, trivially DV-free. Every OTHER
+    // failure of the snapshot scan must propagate: swallowing a broken
+    // log replay here would let a copy-on-write mutation proceed on a
+    // table whose DV state is unknown (and cache the false answer).
+    if (!fs0.exists(logDir(tbl0))) return None
+    val adds = activeAddsAsOf(spark, path, None)
+    val has = adds.exists(_.dv.isDefined)
+    if (dvCache.size > 256) dvCache.clear()
+    dvCache.put(key, java.lang.Boolean.valueOf(has))
+    if (has) Some(adds) else None
   }
 
   /** Write `df` as a delta table WITH deletion vectors: data files land
@@ -2393,7 +2475,8 @@ object DeltaLog {
     * surface proving [[read]]'s mapped-read path against the same bytes a
     * modern writer would produce; [[write]] remains mode=none.
     */
-  def writeNameMapped(df: DataFrame, path: String): Unit = {
+  def writeNameMapped(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val tbl = new HPath(path)
@@ -2406,15 +2489,20 @@ object DeltaLog {
         .putLong("delta.columnMapping.id", i + 1L)
         .putString(PhysicalNameKey, phys).build())
     })
+    require(partitionBy.forall(c => df.columns.contains(c)),
+      s"writeNameMapped: partition columns ${partitionBy.mkString(",")} " +
+        s"not all in frame columns ${df.columns.mkString(",")}")
+    val physByLogical = logical.fields
+      .map(f => f.name -> f.metadata.getString(PhysicalNameKey)).toMap
     val physical = physicalType(logical).asInstanceOf[StructType]
     val physDf = df.select(logical.fields.zip(physical.fields).map {
       case (lf, pf) => col(s"`${lf.name}`").cast(pf.dataType).as(pf.name)
     }: _*)
-    physDf.write.mode("overwrite").parquet(path)
-    val rels = fs.listStatus(tbl).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .sorted
+    val w0 = physDf.write.mode("overwrite")
+    // directories carry PHYSICAL names (the delta colmap layout)
+    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy.map(physByLogical): _*)
+     else w0).parquet(path)
+    val rels = dataFiles(fs, tbl).keys.toSeq.sorted
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def esc(s: String): String = {
       val n = mapper.writeValueAsString(s)
@@ -2427,13 +2515,18 @@ object DeltaLog {
     actions += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
     actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}",""" +
       s""""format":{"provider":"parquet","options":{}},""" +
-      s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+      s""""schemaString":"${esc(logical.json)}","partitionColumns":[${
+        partitionBy.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
       s""""configuration":{"delta.columnMapping.mode":"name",""" +
       s""""delta.columnMapping.maxColumnId":"${logical.fields.length}"},""" +
       s""""createdTime":$now}}"""
     rels.foreach { rel =>
       val st = fs.getFileStatus(new HPath(tbl, rel))
-      actions += s"""{"add":{"path":"${esc(rel)}","partitionValues":{},""" +
+      // partitionValues keys are the PHYSICAL partition dir names —
+      // exactly what the protocol records on mapped tables
+      val pv = partitionValues(rel)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+      actions += s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
         s""""dataChange":true}}"""
     }
@@ -2552,6 +2645,57 @@ object DeltaLog {
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
   private val MappingIdKey = "delta.columnMapping.id"
   private val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Gate for writes into an id-mode table: every field must carry its
+    * `delta.columnMapping.id` annotation (that id becomes the staged
+    * file's parquet field id), and nested columns refuse typed — nested
+    * fields need their OWN parquet field ids, which this writer only
+    * emits for top-level columns.
+    */
+  private def requireIdWritable(logical: StructType, tbl: HPath,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    def nested(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case at: ArrayType => nested(at.elementType)
+      case mt: MapType => nested(mt.keyType) || nested(mt.valueType)
+      case _ => false
+    }
+    logical.fields.foreach { f =>
+      if (!f.metadata.contains(MappingIdKey))
+        throw graft.GraftError.InvalidOperation(op,
+          s"$tbl uses id-mode column mapping but field '${f.name}' has " +
+            "no delta.columnMapping.id annotation — cannot stage files " +
+            "the table's by-id reader would resolve")
+      if (nested(f.dataType))
+        throw graft.GraftError.InvalidOperation(op,
+          s"$tbl: id-mode write with nested column '${f.name}' " +
+            s"(${f.dataType.simpleString}) is not supported — nested " +
+            "fields need their own parquet field ids, which this writer " +
+            "only emits for top-level columns")
+    }
+  }
+
+  /** Run `body` with Spark's parquet field-id WRITE support forced on
+    * (when `enable`), restoring the session's prior setting — staged
+    * id-mode files must carry the ids their table resolves by. Unlike
+    * the read-side conf (left on by documented necessity, see
+    * [[readDataFiles]]), the write has no concurrent-plan race.
+    */
+  private def withFieldIdWriteIf[T](spark: SparkSession, enable: Boolean)
+      (body: => T): T =
+    if (!enable) body
+    else {
+      val prev =
+        spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      try body finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+    }
 
   /** Logical-named read schema carrying parquet field ids: with
     * `spark.sql.parquet.fieldId.read.enabled` Spark resolves each column
@@ -2843,25 +2987,8 @@ object DeltaLog {
       targetBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Nil): Int = {
     val adds = activeAddsAsOf(spark, path, None)
-    // compaction rewrites files through the logical read and drops their
-    // DV association -- a DV'd victim would resurrect its deleted rows
-    if (adds.exists(_.dv.isDefined))
-      throw graft.GraftError.InvalidOperation("optimize_delta",
-        s"$path carries deletion vectors; compaction would rewrite files " +
-          "without their DV filters and resurrect deleted rows")
-    // id-mode tables resolve columns by parquet field id; compaction
-    // restages files from an inferred-schema read whose field-id
-    // preservation is incidental — a staged file that dropped its ids
-    // would be unreadable by the table's own reader. Same refusal as
-    // upsert/deleteWhere (commitRewrite's logicalFrame gate doesn't fire
-    // here because optimize restages physical columns unchanged).
     val tbl0 = new HPath(path)
     val fs0 = tbl0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (columnMappingMode(spark, fs0, tbl0) == "id")
-      throw graft.GraftError.InvalidOperation("optimize_delta",
-        s"$path uses id-mode column mapping; compaction would restage " +
-          "files without guaranteed parquet field ids — id tables are " +
-          "read-only here")
     val victims = if (zorderBy.nonEmpty) adds else adds.filter(_.size < targetBytes)
     if (victims.size <= 1 && zorderBy.isEmpty) return 0
     if (victims.isEmpty) return 0
@@ -2869,16 +2996,34 @@ object DeltaLog {
     val files = victims.map(a => new HPath(tbl, a.rel).toString)
     val totalBytes = math.max(1L, victims.map(_.size).sum)
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // restage under the log-declared schema (physical field names on a
-    // name-mapped table — compaction must not rename on-file columns);
-    // footer merge only when the log has no parseable schemaString
-    val restageSchema = parsedTableSchema(spark, fs0, tbl0).map { declared =>
-      val shaped =
-        if (columnMappingMode(spark, fs0, tbl0) == "name")
-          physicalType(declared)
-        else declared
-      stripMeta(shaped).asInstanceOf[StructType]
+    val dvVictims = victims.filter(_.dv.isDefined)
+    if (dvVictims.nonEmpty || columnMappingMode(spark, fs0, tbl0) != "none") {
+      // DV'd victims materialize their row filters in the restage: live
+      // rows only (the same executor-side bitmap anti-join the snapshot
+      // read uses), removes echo the superseded descriptors, replacements
+      // carry no DV — still dataChange=false, since compaction plus DV
+      // materialization changes no LIVE row. Untouched (non-victim) files
+      // keep their descriptors. The logical read + logicalFrame restage
+      // round-trips physical names on mapped tables — and, for id-mode
+      // tables, re-emits the parquet field ids (the by-id read comes back
+      // logical-named; commitRewrite's id staging annotates the rewrite).
+      val live = applyDeletionVectors(spark, path, victims,
+        readDataFiles(spark, path, files, withRowMeta = true))
+      val (toWrite, packed) =
+        if (zorderBy.isEmpty) (live, Some(nOut))
+        else (zorderCluster(live, zorderBy, nOut), None)
+      commitRewrite(spark, path, "OPTIMIZE", victims.map(_.rel).sorted, toWrite,
+        dataChange = false, numFiles = packed, logicalFrame = true,
+        removeDvJson = dvVictims.map(a =>
+          a.rel -> dvDescriptorJson(a.dv.get)).toMap)
+      return victims.size
     }
+    // plain (mode=none) tables restage under the log-declared schema;
+    // footer merge only when the log has no parseable schemaString.
+    // Mapped tables never reach here — they take the logical-read route
+    // above, which re-emits physical names (and field ids) on restage.
+    val restageSchema = parsedTableSchema(spark, fs0, tbl0)
+      .map(declared => stripMeta(declared).asInstanceOf[StructType])
     val reader0 = spark.read.option("basePath", path)
     val df = restageSchema match {
       case Some(s) => reader0.schema(s).parquet(files: _*)

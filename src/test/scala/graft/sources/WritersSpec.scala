@@ -420,7 +420,7 @@ class WritersSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 1L)
   }
 
-  test("id-mode column-mapped table reads by parquet field id; writes refuse typed") {
+  test("id-mode column-mapped table: reads by parquet field id; writes stage with field ids") {
     val sp = spark; import sp.implicits._
     val p = tmp("delta_colmap_id")
     val src = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
@@ -435,13 +435,43 @@ class WritersSpec extends SparkSpec {
       Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
     assert(DeltaLog.readWhere(spark, p, "id >= 2 AND name <> 'c'")
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
-    // this writer emits no field ids, so every mutation refuses typed
+    // APPEND: staged physical-named WITH parquet field ids — the table's
+    // own by-id reader must resolve the new file's values (a file missing
+    // its ids would surface as nulls/errors here, so this read IS the
+    // field-id proof)
     val upd = Seq((9L, "z", 9.9)).toDF("id", "name", "v")
+    DeltaLog.write(upd, "append", p)
+    val afterAppend = DeltaLog.read(spark, p)
+    assert(afterAppend.count() == 4L)
+    assert(afterAppend.where($"id" === 9L).collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq == Seq(("z", 9.9)))
+    assert(spark.read.parquet(p).columns.forall(_.startsWith("col-")),
+      "appended file must carry physical column names")
+    // copy-on-write UPSERT and DELETE restage with field ids too
+    DeltaLog.upsert(Seq((2L, "B", 20.5)).toDF("id", "name", "v"), Seq("id"), p)
+    val afterUpsert = DeltaLog.read(spark, p)
+    assert(afterUpsert.count() == 4L)
+    assert(afterUpsert.where($"id" === 2L).collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq == Seq(("B", 20.5)))
+    assert(DeltaLog.deleteWhere(spark, p, "id = 1") >= 1)
+    val afterDelete = DeltaLog.read(spark, p)
+    assert(afterDelete.count() == 3L)
+    assert(afterDelete.where($"id" === 1L).count() == 0L)
+    // compaction restages by-id-readable files as well
+    assert(DeltaLog.optimize(spark, p) >= 2)
+    val afterOptimize = DeltaLog.read(spark, p)
+    assert(afterOptimize.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((2L, "B", 20.5), (3L, "c", 3.5), (9L, "z", 9.9)))
+    // time travel: v0 pre-mutation snapshot intact
+    assert(DeltaLog.read(spark, p, Some(0L)).count() == 3L)
+    // nested new columns refuse typed (no nested field-id emission)
+    val nestedUpd = Seq((5L, "n", 0.1)).toDF("id", "name", "v")
+      .withColumn("extra", org.apache.spark.sql.functions.struct($"id"))
     def msg(body: => Any): String =
       intercept[graft.GraftError.InvalidOperation](body).getMessage
-    assert(msg(DeltaLog.write(upd, "append", p)).contains("column mapping"))
-    assert(msg(DeltaLog.upsert(upd, Seq("id"), p)).contains("id-mode"))
-    assert(msg(DeltaLog.deleteWhere(spark, p, "id = 1")).contains("id-mode"))
+    assert(msg(DeltaLog.write(nestedUpd, "append", p))
+      .contains("nested"))
   }
 
   test("partitioned id-mode table: physical dirs resolve back to logical columns") {
@@ -468,11 +498,81 @@ class WritersSpec extends SparkSpec {
     // predicate-pruned read composes (partition values prune whole dirs)
     assert(DeltaLog.readWhere(spark, p, "bucket = 1 AND id < 10")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 9L))
-    // optimize/compaction stays refused on id tables, partitioned or not
-    intercept[graft.GraftError.InvalidOperation] { DeltaLog.optimize(spark, p) }
+    // PARTITIONED mapped rewrites stage physical-named partition dirs:
+    // compaction keeps the layout and every value readable by id
+    assert(DeltaLog.optimize(spark, p) >= 2)
+    val afterOpt = DeltaLog.read(spark, p)
+    assert(afterOpt.count() == 40L)
+    assert(afterOpt.groupBy("bucket").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
+    val optDirs = Files.list(Paths.get(p)).toArray.map(_.toString)
+      .filter(d => Files.isDirectory(Paths.get(d)))
+      .map(_.split("/").last).filterNot(_.startsWith("_"))
+    assert(optDirs.nonEmpty && optDirs.forall(_.startsWith("col-")),
+      optDirs.toSeq.toString)
+    // partitioned mapped APPEND lands in the physical dirs too
+    DeltaLog.write(sp.range(40, 44).select(col("id"),
+      (col("id") % 4).as("bucket"), (col("id") * 1.5).as("v")),
+      "append", p, partitionBy = Seq("bucket"))
+    val appended = DeltaLog.read(spark, p)
+    assert(appended.count() == 44L)
+    assert(appended.where($"id" === 42L).select("bucket").head.getLong(0) == 2L)
+    // copy-on-write delete rewrites only the touched partitions' files
+    assert(DeltaLog.deleteWhere(spark, p, "id >= 40") >= 1)
+    assert(DeltaLog.read(spark, p).count() == 40L)
   }
 
-  test("deletion-vector table: reads filter deleted rows; writes refuse typed") {
+  test("partitioned name-mapped table: physical dirs, append/upsert/delete/optimize") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = tmp("delta_colmap_name_part")
+    val src = sp.range(40).select(col("id"),
+      (col("id") % 4).as("bucket"), (col("id") * 1.5).as("v"))
+    DeltaLog.writeNameMapped(src, p, partitionBy = Seq("bucket"))
+    // directory layout carries the PHYSICAL partition column name
+    val dirs = Files.list(Paths.get(p)).toArray.map(_.toString)
+      .filter(d => Files.isDirectory(Paths.get(d)))
+      .map(_.split("/").last).filterNot(_.startsWith("_"))
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("col-")),
+      dirs.toSeq.toString)
+    val back = DeltaLog.read(spark, p)
+    assert(back.columns.toSeq == Seq("id", "bucket", "v"))
+    assert(back.count() == 40L)
+    assert(back.groupBy("bucket").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
+    // predicate pruning composes through the physical partitionValues keys
+    assert(DeltaLog.readWhere(spark, p, "bucket = 1 AND id < 10")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 9L))
+    // APPEND speaks logical partitionBy, lands in physical dirs
+    DeltaLog.write(sp.range(40, 44).select(col("id"),
+      (col("id") % 4).as("bucket"), (col("id") * 1.5).as("v")),
+      "append", p, partitionBy = Seq("bucket"))
+    assert(DeltaLog.read(spark, p).count() == 44L)
+    assert(DeltaLog.read(spark, p).where($"id" === 42L)
+      .select("bucket").head.getLong(0) == 2L)
+    // copy-on-write upsert replaces one key inside its partition
+    DeltaLog.upsert(Seq((42L, 2L, 0.25)).toDF("id", "bucket", "v"),
+      Seq("id"), p)
+    assert(DeltaLog.read(spark, p).where($"id" === 42L)
+      .select("v").head.getDouble(0) == 0.25)
+    // copy-on-write delete + compaction keep the partitioned layout
+    assert(DeltaLog.deleteWhere(spark, p, "id >= 40") >= 1)
+    assert(DeltaLog.read(spark, p).count() == 40L)
+    assert(DeltaLog.optimize(spark, p) >= 2)
+    val after = DeltaLog.read(spark, p)
+    assert(after.count() == 40L)
+    assert(after.agg(org.apache.spark.sql.functions.sum($"id"))
+      .head.getLong(0) == 780L)
+    val optDirs = Files.list(Paths.get(p)).toArray.map(_.toString)
+      .filter(d => Files.isDirectory(Paths.get(d)))
+      .map(_.split("/").last).filterNot(_.startsWith("_"))
+    assert(optDirs.nonEmpty && optDirs.forall(_.startsWith("col-")),
+      optDirs.toSeq.toString)
+  }
+
+  test("deletion-vector table: reads filter deleted rows; DV-native delete unions bitmaps") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
     val p = tmp("delta_dv")
@@ -536,13 +636,12 @@ class WritersSpec extends SparkSpec {
     val ePlain = intercept[graft.GraftError.InvalidOperation] {
       DeltaLog.deleteWhereViaDv(spark, plain, "id = 1") }
     assert(ePlain.getMessage.contains("enableDeletionVectors"))
-    // every copy-on-write/maintenance path refuses typed on a DV table
+    // copy-on-write upsert/deleteWhere/optimize work ON DV tables too —
+    // survivors come from live rows, removes echo descriptors (positive
+    // coverage in DeltaCowDvSpec); no refusal to assert here anymore
     val upd = Seq((1L, 9L, 9.9)).toDF("id", "grp", "v")
     def refused(body: => Any): String =
       intercept[graft.GraftError.InvalidOperation](body).getMessage
-    assert(refused(DeltaLog.upsert(upd, Seq("id"), p)).contains("deletion vectors"))
-    assert(refused(DeltaLog.deleteWhere(spark, p, "id = 1")).contains("deletion vectors"))
-    assert(refused(DeltaLog.optimize(spark, p)).contains("deletion vectors"))
     // the change feed over DV tables is ROW-LEVEL (bitmap differences per
     // generation — positive cases in DeltaDvChangesSpec); here the
     // retention-0 vacuum above swept the superseded v0 bin, so every
@@ -721,16 +820,22 @@ class WritersSpec extends SparkSpec {
     assert(back.where($"id" === 1L).select("tag").head.isNullAt(0))
   }
 
-  test("optimize refuses id-mode tables; DV remove actions echo the old descriptor") {
+  test("optimize compacts id-mode tables by-id-readably; DV remove actions echo the old descriptor") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
     val pid = tmp("delta_opt_id")
-    DeltaLog.writeIdMapped(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), pid)
-    val e = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.optimize(spark, pid) }
-    assert(e.getMessage.contains("id-mode"))
-    intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.optimize(spark, pid, zorderBy = Seq("id")) }
+    DeltaLog.writeIdMapped(sp.range(20)
+      .select(col("id"), (col("id") % 3).as("g")).repartition(4), pid)
+    // compaction restages via the by-id logical read; the replacement
+    // files carry fresh field ids so the table's own reader resolves them
+    assert(DeltaLog.optimize(spark, pid) == 4)
+    val back = DeltaLog.read(spark, pid)
+    assert(back.columns.toSeq == Seq("id", "g"))
+    assert(back.count() == 20L)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"id"))
+      .head.getLong(0) == 190L)
+    assert(DeltaLog.optimize(spark, pid, zorderBy = Seq("id")) >= 1)
+    assert(DeltaLog.read(spark, pid).count() == 20L)
     // a second DV delete supersedes a file that already carried a DV:
     // the remove action must echo the OLD descriptor so an external
     // vacuum can associate the superseded bin file
