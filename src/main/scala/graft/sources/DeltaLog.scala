@@ -487,32 +487,55 @@ object DeltaLog {
       val extra = df.columns.filterNot(logical.fieldNames.contains)
       if (extra.isEmpty) None
       else {
-        val usedIds = logical.fields.map(f =>
-          if (f.metadata.contains(MappingIdKey)) f.metadata.getLong(MappingIdKey)
-          else 0L)
         val confMax = tableConfiguration(spark, fs, tbl)
           .get("delta.columnMapping.maxColumnId")
           .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
-        val base = math.max(confMax, usedIds.maxOption.getOrElse(0L))
+        // nested annotations count too (a foreign writer may annotate
+        // below the top level) — never re-mint a used id
+        val base = math.max(confMax, maxMappingId(logical))
         def nested(dt: DataType): Boolean = dt match {
           case _: StructType => true
           case at: ArrayType => nested(at.elementType)
           case mt: MapType => nested(mt.keyType) || nested(mt.valueType)
           case _ => false
         }
-        val newFields = extra.zipWithIndex.map { case (name, i) =>
+        // per the protocol, column mapping annotates EVERY nested struct
+        // field with its own physicalName + id — a new nested column
+        // mints recursively (parent id first, then subfields), and
+        // maxColumnId bumps past the deepest mint (see actionsFor).
+        // Id-mode tables refuse nested new columns: this writer emits
+        // parquet field ids only for top-level columns.
+        var mintId = base
+        def nextId(): Long = { mintId += 1; mintId }
+        def mintType(dt: DataType, pathKey: String): DataType = dt match {
+          case st: StructType => StructType(st.fields.map(f =>
+            mintField(f.name, s"$pathKey.${f.name}", f.dataType, f.metadata)))
+          case at: ArrayType =>
+            at.copy(elementType = mintType(at.elementType, s"$pathKey.element"))
+          case mt: MapType =>
+            mt.copy(keyType = mintType(mt.keyType, s"$pathKey.key"),
+              valueType = mintType(mt.valueType, s"$pathKey.value"))
+          case other => other
+        }
+        def mintField(name: String, pathKey: String, dt: DataType,
+            meta: Metadata): StructField = {
+          val phys = "col-" + java.util.UUID.nameUUIDFromBytes(
+            (pathKey + "#graft-cm-evolve").getBytes("UTF-8")).toString
+          val id = nextId()
+          StructField(name, mintType(dt, pathKey), nullable = true,
+            new MetadataBuilder().withMetadata(meta)
+              .putLong(MappingIdKey, id)
+              .putString(PhysicalNameKey, phys).build())
+        }
+        val newFields = extra.map { name =>
           val src = df.schema(name)
-          if (nested(src.dataType))
+          if (idMapped && nested(src.dataType))
             throw graft.GraftError.InvalidOperation("write_delta",
               s"append to mapped table $tbl: new column '$name' is " +
                 s"${src.dataType.simpleString} — nested-struct evolution " +
-                "on column-mapped tables is not supported")
-          val phys = "col-" + java.util.UUID.nameUUIDFromBytes(
-            (name + "#graft-cm-evolve").getBytes("UTF-8")).toString
-          StructField(name, src.dataType, nullable = true,
-            new MetadataBuilder().withMetadata(src.metadata)
-              .putLong(MappingIdKey, base + i + 1)
-              .putString(PhysicalNameKey, phys).build())
+                "on id-mode tables is not supported (this writer emits " +
+                "parquet field ids only for top-level columns)")
+          mintField(name, name, src.dataType, src.metadata)
         }
         Some(StructType(logical.fields ++ newFields))
       }
@@ -631,10 +654,10 @@ object DeltaLog {
             val base = tableConfiguration(spark, fs, tbl)
             mappedEvolved match {
               case Some(ev) =>
-                val maxId = ev.fields
-                  .filter(_.metadata.contains(MappingIdKey))
-                  .map(_.metadata.getLong(MappingIdKey)).max
-                base + ("delta.columnMapping.maxColumnId" -> maxId.toString)
+                // nested mints allocate ids below the top level too —
+                // maxColumnId must clear the deepest annotation
+                base + ("delta.columnMapping.maxColumnId" ->
+                  maxMappingId(ev).toString)
               case None => base
             }
           }
@@ -2645,6 +2668,26 @@ object DeltaLog {
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
   private val MappingIdKey = "delta.columnMapping.id"
   private val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Largest `delta.columnMapping.id` annotated anywhere in `dt`,
+    * including nested struct fields (0 when none) — what maxColumnId
+    * must clear after a schema evolution's recursive mint.
+    */
+  private def maxMappingId(dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => st.fields.foldLeft(0L) { (acc, f) =>
+        val own =
+          if (f.metadata.contains(MappingIdKey)) f.metadata.getLong(MappingIdKey)
+          else 0L
+        math.max(acc, math.max(own, maxMappingId(f.dataType)))
+      }
+      case at: ArrayType => maxMappingId(at.elementType)
+      case mt: MapType =>
+        math.max(maxMappingId(mt.keyType), maxMappingId(mt.valueType))
+      case _ => 0L
+    }
+  }
 
   /** Gate for writes into an id-mode table: every field must carry its
     * `delta.columnMapping.id` annotation (that id becomes the staged

@@ -73,14 +73,47 @@ class DeltaColmapEvolveSpec extends SparkSpec {
     assert(again.where(col("id") === 3L).select("score").head.getDouble(0) == 9.5)
   }
 
-  test("nested-struct evolution on mapped tables refuses typed") {
+  test("nested-struct evolution mints per-subfield annotations on name mode") {
     val sp = spark
     import sp.implicits._
     val p = freshDir("nested")
     DeltaLog.writeNameMapped(Seq((1L, "a")).toDF("id", "name"), p)
     val withStruct = Seq((2L, "b", (1, 2))).toDF("id", "name", "pair")
+    DeltaLog.write(withStruct, "append", p)
+    val commit = newestCommit(p)
+    // the struct column AND both subfields carry their own annotations;
+    // maxColumnId clears the deepest mint (2 fixture + parent + 2 subs)
+    assert(commit.contains("\"delta.columnMapping.maxColumnId\":\"5\""),
+      s"nested mint must bump maxColumnId past the subfields:\n$commit")
+    val back = DeltaLog.read(spark, p).orderBy("id").collect()
+    assert(back(0).isNullAt(2), "pre-evolution row reads null struct")
+    val pair = back(1).getStruct(2)
+    assert(pair.getInt(0) == 1 && pair.getInt(1) == 2,
+      "nested values must round-trip through the physical rename")
+    // subfield names come back LOGICAL
+    val pairType = DeltaLog.read(spark, p).schema("pair").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(pairType.fieldNames.toSeq == Seq("_1", "_2"))
+    // the staged file stores PHYSICAL names at every level
+    val parts = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .iterator().asScala.map(_.toString)
+        .filter(f => f.endsWith(".parquet") && !f.contains("_delta_log")).toSeq
+    }
+    val raw = spark.read.option("mergeSchema", "true").parquet(parts: _*)
+    val physPair = raw.schema.fields.find(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]).get
+    assert(physPair.name.startsWith("col-"))
+    assert(physPair.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.forall(_.startsWith("col-")),
+      "nested struct subfields must be physical-named on file")
+    // id-mode tables keep refusing nested new columns (no nested
+    // parquet-field-id emission)
+    val pid = freshDir("nested_id")
+    DeltaLog.writeIdMapped(Seq((1L, "a")).toDF("id", "name"), pid)
     val e = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.write(withStruct, "append", p)
+      DeltaLog.write(withStruct, "append", pid)
     }
     assert(e.getMessage.contains("nested-struct evolution"))
   }
