@@ -2210,11 +2210,13 @@ object DeltaLog {
     * table's protocol silently. Losing the commit slot throws (the
     * computed row sets are stale); re-run against the fresh snapshot.
     *
-    * Scale note: the matched row POSITIONS collect to the driver to
-    * build the bitmaps, so driver memory is bounded by this call's
-    * deleted-row count (the regime DVs are designed for — small deletes
-    * against huge files; a delete touching most of the table wants a
-    * rewrite instead). Returns the number of newly deleted rows.
+    * Scale note: the bitmaps are BUILT IN EXECUTORS (one group per
+    * touched file: new matches ∪ that file's existing deleted rows,
+    * packed into the serialized multi-bitmap payload there); the driver
+    * collects only the compressed payload bytes per touched file to lay
+    * them into one bin file — memory bounded by the compressed DV
+    * footprint, never the raw deleted-row count. Returns the number of
+    * newly deleted rows.
     */
   def deleteWhereViaDv(spark: SparkSession, path: String,
       predicate: String, checkpointInterval: Int = 10): Long = {
@@ -2234,22 +2236,43 @@ object DeltaLog {
     // positions — rows a previous DV already deleted must not re-count
     val live = applyDeletionVectors(spark, path, adds,
       readDataFiles(spark, path, files, withRowMeta = true), keepMeta = true)
-    val matched: Map[String, Array[Long]] = live.where(expr(predicate))
-      .groupBy(col(DvFileCol))
-      .agg(org.apache.spark.sql.functions.collect_list(col(DvRowCol)).as("graft_ris"))
-      .collect().map(r => r.getString(0) ->
-        r.getSeq[Long](1).toArray.sorted).toMap
-    if (matched.isEmpty) return 0L
+    val newDf = live.where(expr(predicate))
+      .select(col(DvFileCol).as("f"), col(DvRowCol).as("ri"),
+        lit(1).as("graft_new"))
+    // existing deleted rows of the TOUCHED files union into the fresh
+    // payloads (a descriptor replaces, never stacks); untouched DV'd
+    // files keep their current descriptors
+    val withDv = adds.filter(a => a.dv.exists(_.cardinality > 0))
+    val mergedRows =
+      if (withDv.isEmpty) newDf
+      else newDf.unionByName(
+        dvDeletedRows(spark, path, withDv)
+          .withColumnRenamed(DvFileCol, "f").withColumnRenamed(DvRowCol, "ri")
+          .withColumn("graft_new", lit(0))
+          .join(newDf.select("f").distinct(), Seq("f"), "left_semi"))
+    val sess = spark
+    import sess.implicits._
+    // per-file payload build runs where the rows are; only (file,
+    // compressed bytes, cardinality, new-count) come back
+    val packed: Array[(String, Array[Byte], Long, Long)] =
+      mergedRows.as[(String, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (f, it) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var newCnt = 0L
+          it.foreach { case (_, ri, n) => buf += ri; newCnt += n }
+          val uniq = buf.toArray.distinct.sorted
+          (f, dvPayload(uniq), uniq.length.toLong, newCnt)
+        }
+        .collect()
+    if (packed.isEmpty) return 0L
     val byName: Map[String, DeltaStats.AddEntry] =
       adds.map(a => new HPath(a.rel).getName -> a).toMap
-    val mergedSets: Seq[(DeltaStats.AddEntry, Array[Long])] =
-      matched.toSeq.sortBy(_._1).map { case (name, ris) =>
+    val mergedSets: Seq[(DeltaStats.AddEntry, Array[Byte], Long)] =
+      packed.sortBy(_._1).map { case (name, data, card, _) =>
         val add = byName.getOrElse(name, throw new IllegalStateException(
           s"deleteWhereViaDv: matched rows in unknown file $name"))
-        val existing = add.dv
-          .map(d => decodeDvPayload(loadDvPayload(fs, tbl, d)))
-          .getOrElse(Array.empty[Long])
-        add -> (existing ++ ris).distinct.sorted
+        (add, data, card)
       }
     // one fresh DV bin file for this commit's descriptors
     val uuid = java.util.UUID.randomUUID()
@@ -2265,8 +2288,7 @@ object DeltaLog {
     try {
       out.write(1)
       var pos = 1L
-      mergedSets.foreach { case (add, idxs) =>
-        val data = dvPayload(idxs)
+      mergedSets.foreach { case (add, data, card) =>
         val crc = new java.util.zip.CRC32()
         crc.update(data)
         out.writeInt(data.length)
@@ -2275,7 +2297,7 @@ object DeltaLog {
         descriptors(add.rel) =
           s"""{"storageType":"u","pathOrInlineDv":"$uuidZ85",""" +
             s""""offset":$pos,"sizeInBytes":${data.length},""" +
-            s""""cardinality":${idxs.length}}"""
+            s""""cardinality":$card}"""
         pos += 4L + data.length + 4L
       }
     } finally out.close()
@@ -2289,7 +2311,7 @@ object DeltaLog {
     val now = System.currentTimeMillis()
     val actions = ListBuffer.empty[String]
     actions += s"""{"commitInfo":{"operation":"DELETE","txnId":"$txnId"}}"""
-    mergedSets.foreach { case (add, _) =>
+    mergedSets.foreach { case (add, _, _) =>
       val pvJson = add.partitionValues.map { case (k, v) =>
         s""""${esc(k)}":${if (v == null) "null" else "\"" + esc(v) + "\""}"""
       }.mkString("{", ",", "}")
@@ -2314,7 +2336,7 @@ object DeltaLog {
     // delete-heavy tables DVs target keep their log replay bounded too
     if (checkpointInterval > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, path, version)
-    matched.valuesIterator.map(_.length.toLong).sum
+    packed.map(_._4).sum
   }
 
   /** REORG-PURGE (delta's `REORG TABLE … APPLY (PURGE)` shape): rewrite
