@@ -788,87 +788,183 @@ object DeltaLog {
     * remove echoes its superseded descriptor (protocol shape — vacuum
     * associates the orphaned bin) and the replacement files carry no DV.
     * Untouched files keep their descriptors.
+    *
+    * Scan shape at scale: DISCOVERY reads only the files whose footer
+    * stats may contain the update keys (numeric key bounds through the
+    * same conservative skipping kernel [[readWhere]] uses), and the
+    * SURVIVORS scan reads only the TOUCHED files — a selective MERGE
+    * into a 100 TB table reads neither phase over the whole table.
     */
   def upsert(updates: DataFrame, keys: Seq[String], path: String): Unit = {
     require(keys.nonEmpty, "upsert: need at least one key column")
     val spark = updates.sparkSession
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dvSnapshotAdds(spark, path) match {
-      case Some(adds) =>
-        val files = adds.map(a => new HPath(tbl, a.rel).toString)
-        val live = applyDeletionVectors(spark, path, adds,
-          readDataFiles(spark, path, files, withRowMeta = true), keepMeta = true)
-        val updKeys = updates.select(keys.map(col): _*).distinct()
-        val touchedNames = live.join(updKeys, keys, "left_semi")
-          .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
-        val touched = adds.filter(a => touchedNames(new HPath(a.rel).getName))
-        val survivors = live
-          .where(col(DvFileCol).isInCollection(touchedNames))
-          .join(updKeys, keys, "left_anti")
-          .drop(DvFileCol, DvRowCol)
-        commitRewrite(spark, path, "UPSERT", touched.map(_.rel).sorted,
-          survivors.unionByName(updates.select(survivors.columns.map(col): _*)),
-          removeDvJson = touched.flatMap(a =>
-            a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap)
-      case None =>
-        val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
-        val snap = read(spark, path).withColumn("graft_file", input_file_name())
-        val updKeys = updates.select(keys.map(col): _*).distinct()
-        val touchedUris = snap.join(updKeys, keys, "left_semi")
-          .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
-        val survivors = snap
-          .where(col("graft_file").isInCollection(touchedUris))
-          .join(updKeys, keys, "left_anti")
-          .drop("graft_file")
-        commitRewrite(spark, path, "UPSERT",
-          touchedUris.map(uriToRel(base, _)).sorted,
-          survivors.unionByName(updates.select(survivors.columns.map(col): _*)))
+    if (!fs.exists(logDir(tbl))) {
+      // not a delta table: keep the legacy discovery so commitRewrite
+      // raises its typed "not a delta table" failure unchanged
+      val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
+      val snap = read(spark, path).withColumn("graft_file", input_file_name())
+      val updKeys = updates.select(keys.map(col): _*).distinct()
+      val touchedUris = snap.join(updKeys, keys, "left_semi")
+        .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
+      val survivors = snap
+        .where(col("graft_file").isInCollection(touchedUris))
+        .join(updKeys, keys, "left_anti")
+        .drop("graft_file")
+      commitRewrite(spark, path, "UPSERT",
+        touchedUris.map(uriToRel(base, _)).sorted,
+        survivors.unionByName(updates.select(survivors.columns.map(col): _*)))
+      return
     }
+    val adds = activeAddsAsOf(spark, path, None)
+    val updKeys = updates.select(keys.map(col): _*).distinct()
+    val kept = keyBoundsPredicate(updates, keys)
+      .map(p => pruneAddsFor(spark, path, p, adds)).getOrElse(adds)
+    val touched: Seq[DeltaStats.AddEntry] =
+      if (kept.isEmpty) Nil
+      else {
+        val discovery = applyDeletionVectors(spark, path, kept,
+          readDataFiles(spark, path,
+            kept.map(a => new HPath(tbl, a.rel).toString),
+            withRowMeta = true), keepMeta = true)
+        val names = discovery.join(updKeys, keys, "left_semi")
+          .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+        adds.filter(a => names(new HPath(a.rel).getName))
+      }
+    val survivors =
+      if (touched.isEmpty) {
+        // pure insert: an empty frame with the table's logical columns —
+        // built from the log's schema so no data file is even PLANNED
+        // (the full-snapshot scan would open every file's path)
+        parsedTableSchema(spark, fs, tbl) match {
+          case Some(s) => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            stripMeta(s).asInstanceOf[StructType])
+          case None => read(spark, path).limit(0)
+        }
+      }
+      else applyDeletionVectors(spark, path, touched,
+        readDataFiles(spark, path,
+          touched.map(a => new HPath(tbl, a.rel).toString),
+          withRowMeta = true), keepMeta = true)
+        .join(updKeys, keys, "left_anti")
+        .drop(DvFileCol, DvRowCol)
+    commitRewrite(spark, path, "UPSERT", touched.map(_.rel).sorted,
+      survivors.unionByName(updates.select(survivors.columns.map(col): _*)),
+      removeDvJson = touched.flatMap(a =>
+        a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap)
   }
 
   /** Copy-on-write DELETE of the rows matching `predicate` (SQL text over
     * the snapshot's columns). Same touched-file shape, same
     * stale-loser-throws concurrency contract, and same DV handling as
     * [[upsert]] (survivors from live rows, removes echo superseded
-    * descriptors). Returns the number of rewritten files (0 = nothing
-    * matched, no commit written). Contrast [[deleteWhereViaDv]], which
-    * deletes WITHOUT rewriting by attaching fresh descriptors.
+    * descriptors). DISCOVERY scans only the files whose stats may match
+    * the predicate (the [[readWhere]] skipping kernel); survivors scan
+    * only the touched files. Returns the number of rewritten files (0 =
+    * nothing matched, no commit written). Contrast [[deleteWhereViaDv]],
+    * which deletes WITHOUT rewriting by attaching fresh descriptors.
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: String): Int = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dvSnapshotAdds(spark, path) match {
-      case Some(adds) =>
-        val files = adds.map(a => new HPath(tbl, a.rel).toString)
-        val live = applyDeletionVectors(spark, path, adds,
-          readDataFiles(spark, path, files, withRowMeta = true), keepMeta = true)
-        val touchedNames = live.where(expr(predicate))
-          .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
-        if (touchedNames.isEmpty) return 0
-        val touched = adds.filter(a => touchedNames(new HPath(a.rel).getName))
-        val survivors = live
-          .where(col(DvFileCol).isInCollection(touchedNames))
-          .where(!expr(predicate))
-          .drop(DvFileCol, DvRowCol)
-        commitRewrite(spark, path, "DELETE", touched.map(_.rel).sorted,
-          survivors, removeDvJson = touched.flatMap(a =>
-            a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap)
-        touched.size
-      case None =>
-        val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
-        val snap = read(spark, path).withColumn("graft_file", input_file_name())
-        val touchedUris = snap.where(expr(predicate))
-          .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
-        if (touchedUris.isEmpty) return 0
-        val survivors = snap
-          .where(col("graft_file").isInCollection(touchedUris))
-          .where(!expr(predicate))
-          .drop("graft_file")
-        commitRewrite(spark, path, "DELETE",
-          touchedUris.map(uriToRel(base, _)).sorted, survivors)
-        touchedUris.length
+    if (!fs.exists(logDir(tbl))) {
+      // not a delta table: legacy shape (commitRewrite raises typed)
+      val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
+      val snap = read(spark, path).withColumn("graft_file", input_file_name())
+      val touchedUris = snap.where(expr(predicate))
+        .select("graft_file").distinct().collect().map(_.getString(0)).toSeq
+      if (touchedUris.isEmpty) return 0
+      val survivors = snap
+        .where(col("graft_file").isInCollection(touchedUris))
+        .where(!expr(predicate))
+        .drop("graft_file")
+      commitRewrite(spark, path, "DELETE",
+        touchedUris.map(uriToRel(base, _)).sorted, survivors)
+      return touchedUris.length
     }
+    val adds = activeAddsAsOf(spark, path, None)
+    val kept = pruneAddsFor(spark, path, predicate, adds)
+    if (kept.isEmpty) return 0
+    val discovery = applyDeletionVectors(spark, path, kept,
+      readDataFiles(spark, path,
+        kept.map(a => new HPath(tbl, a.rel).toString),
+        withRowMeta = true), keepMeta = true)
+    val touchedNames = discovery.where(expr(predicate))
+      .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+    if (touchedNames.isEmpty) return 0
+    val touched = adds.filter(a => touchedNames(new HPath(a.rel).getName))
+    val survivors = applyDeletionVectors(spark, path, touched,
+      readDataFiles(spark, path,
+        touched.map(a => new HPath(tbl, a.rel).toString),
+        withRowMeta = true), keepMeta = true)
+      .where(!expr(predicate))
+      .drop(DvFileCol, DvRowCol)
+    commitRewrite(spark, path, "DELETE", touched.map(_.rel).sorted,
+      survivors, removeDvJson = touched.flatMap(a =>
+        a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap)
+    touched.size
+  }
+
+  /** Stats-surviving subset of `adds` for `predicate` — the conservative
+    * skipping kernel [[readWhere]] applies, reused by the copy-on-write
+    * DISCOVERY scans. Returns the ORIGINAL entries (mapped tables remap
+    * stats/partition keys only for the decision); a missing schema keeps
+    * everything.
+    */
+  private def pruneAddsFor(spark: SparkSession, path: String,
+      predicate: String,
+      adds: Seq[DeltaStats.AddEntry]): Seq[DeltaStats.AddEntry] = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    parsedTableSchema(spark, fs, tbl) match {
+      case Some(schema) =>
+        val mapped = logicalSchemaIfMapped(spark, fs, tbl).map(_._2)
+        val logicalAdds = mapped match {
+          case Some(logical) => remapAddsToLogical(adds, logical)
+          case None => adds
+        }
+        val pcols0 = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+        val pcols = mapped match {
+          case Some(logical) =>
+            val m = physToLogMap(logical)
+            pcols0.map(c => m.getOrElse(c, c))
+          case None => pcols0
+        }
+        val keptRels = DeltaStats.prune(spark, predicate, schema, pcols,
+          logicalAdds).map(_.rel).toSet
+        adds.filter(a => keptRels(a.rel))
+      case None => adds
+    }
+  }
+
+  /** Conservative discovery predicate for a MERGE's update keys: per-key
+    * `BETWEEN min AND max` bounds, ANDed — files whose stats fall outside
+    * every key's range provably contain no matched row. Emitted only when
+    * EVERY key is integral (exact SQL literal rendering; a wrong literal
+    * here would silently skip matches, so anything else yields None and
+    * the discovery stays a full scan).
+    */
+  private def keyBoundsPredicate(updates: DataFrame,
+      keys: Seq[String]): Option[String] = {
+    import org.apache.spark.sql.types._
+    val fields = keys.flatMap(k => updates.schema.fields.find(_.name == k))
+    val integral = fields.length == keys.length && fields.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    if (!integral) return None
+    val aggs = keys.flatMap(k => Seq(
+      org.apache.spark.sql.functions.min(col(s"`$k`")).cast("long"),
+      org.apache.spark.sql.functions.max(col(s"`$k`")).cast("long")))
+    val row = updates.agg(aggs.head, aggs.tail: _*).head()
+    val parts = keys.indices.map { i =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) return None
+      s"`${keys(i)}` >= ${row.getLong(2 * i)} AND " +
+        s"`${keys(i)}` <= ${row.getLong(2 * i + 1)}"
+    }
+    Some(parts.mkString(" AND "))
   }
 
   private def uriToRel(qualifiedBase: String, uri: String): String =
@@ -1506,14 +1602,6 @@ object DeltaLog {
     */
   private val confCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), Map[String, String]]()
-
-  /** Memo for [[requireNoDeletionVectors]]'s snapshot scan under the same
-    * identity: without it every append/merge paid a full log replay
-    * (checkpoint parquet read + commit parse) just to test dv.isDefined —
-    * on a streaming foreachBatch sink that is per-micro-batch latency.
-    */
-  private val dvCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), java.lang.Boolean]()
 
   /** Memo for [[tableSchemaJson]] under the same log identity (+ as-of
     * version — older versions are immutable, so identity alone pins
@@ -2377,33 +2465,6 @@ object DeltaLog {
     s"""{"storageType":"${esc(d.storageType)}",""" +
       s""""pathOrInlineDv":"${esc(d.pathOrInlineDv)}",$off""" +
       s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
-  }
-
-  /** The active snapshot's add entries when it carries deletion vectors,
-    * None otherwise — the copy-on-write mutation paths' route switch.
-    * Memoized per log identity: the common non-DV mutation pays one cached
-    * boolean lookup, not a snapshot scan. The full add list rides along
-    * because the DV route needs the basename→entry map anyway; driver
-    * memory is O(active files) on DV tables only — the same bound as
-    * [[deleteWhereViaDv]] and [[purgeDeletionVectors]].
-    */
-  private def dvSnapshotAdds(spark: SparkSession, path: String):
-      Option[Seq[DeltaStats.AddEntry]] = {
-    val tbl0 = new HPath(path)
-    val fs0 = tbl0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val key = logIdentity(fs0, tbl0)
-    val cached = dvCache.get(key)
-    if (cached != null && !cached.booleanValue) return None
-    // no log at all → a fresh table, trivially DV-free. Every OTHER
-    // failure of the snapshot scan must propagate: swallowing a broken
-    // log replay here would let a copy-on-write mutation proceed on a
-    // table whose DV state is unknown (and cache the false answer).
-    if (!fs0.exists(logDir(tbl0))) return None
-    val adds = activeAddsAsOf(spark, path, None)
-    val has = adds.exists(_.dv.isDefined)
-    if (dvCache.size > 256) dvCache.clear()
-    dvCache.put(key, java.lang.Boolean.valueOf(has))
-    if (has) Some(adds) else None
   }
 
   /** Write `df` as a delta table WITH deletion vectors: data files land
