@@ -2319,18 +2319,25 @@ object DeltaLog {
           "deleteWhere")
     val adds = activeAddsAsOf(spark, path, None)
     require(adds.nonEmpty, s"deleteWhereViaDv: empty delta table $path")
-    val files = adds.map(a => new HPath(tbl, a.rel).toString)
+    // DISCOVERY scans only the stats-surviving files for the predicate
+    // (same conservative kernel as deleteWhere/readWhere — a DV delete
+    // of one key in a 100 TB table reads O(candidate files))
+    val kept = pruneAddsFor(spark, path, predicate, adds)
+    if (kept.isEmpty) return 0L
+    val files = kept.map(a => new HPath(tbl, a.rel).toString)
     // matching LIVE rows (existing DVs applied) with their physical
     // positions — rows a previous DV already deleted must not re-count
-    val live = applyDeletionVectors(spark, path, adds,
+    val live = applyDeletionVectors(spark, path, kept,
       readDataFiles(spark, path, files, withRowMeta = true), keepMeta = true)
     val newDf = live.where(expr(predicate))
       .select(col(DvFileCol).as("f"), col(DvRowCol).as("ri"),
         lit(1).as("graft_new"))
     // existing deleted rows of the TOUCHED files union into the fresh
     // payloads (a descriptor replaces, never stacks); untouched DV'd
-    // files keep their current descriptors
-    val withDv = adds.filter(a => a.dv.exists(_.cardinality > 0))
+    // files keep their current descriptors. Candidates suffice here: a
+    // file outside `kept` provably holds no matching row, so it is never
+    // touched and its descriptor never rewrites.
+    val withDv = kept.filter(a => a.dv.exists(_.cardinality > 0))
     val mergedRows =
       if (withDv.isEmpty) newDf
       else newDf.unionByName(

@@ -73,4 +73,25 @@ class DeltaCowPruneSpec extends SparkSpec {
     assert(DeltaLog.readWhere(spark, p, "id = 100000")
       .select("v").head.getLong(0) == 1L)
   }
+
+  test("deleteWhereViaDv discovery prunes by stats too") {
+    val p = freshDir("dvdel")
+    val src = spark.range(400).select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("id"))
+    DeltaLog.writeWithDeletionVectors(src, p, "id = 0")
+    val ranges = DeltaLog.activeAddsAsOf(spark, p).map { a =>
+      val r = spark.read.parquet(s"$p/${a.rel}")
+        .agg(min(col("id")), max(col("id"))).head()
+      (a.rel, r.getLong(0), r.getLong(1))
+    }
+    val poison = ranges.maxBy(_._2)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(p, poison._1))
+    // low-range DV delete: neither the matched-row scan nor the
+    // existing-descriptor merge may touch the poisoned file
+    assert(DeltaLog.deleteWhereViaDv(spark, p, "id = 5") == 1L)
+    assert(DeltaLog.readWhere(spark, p, "id = 5").count() == 0L)
+    assert(DeltaLog.readWhere(spark, p, "id = 6").count() == 1L)
+    // a predicate provably matching nothing commits nothing
+    assert(DeltaLog.deleteWhereViaDv(spark, p, "id = -1") == 0L)
+  }
 }
