@@ -362,7 +362,8 @@ object DeltaLog {
     */
   def write(df: DataFrame, mode: String, path: String,
       partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      tableProperties: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val tbl = new HPath(path)
@@ -649,7 +650,7 @@ object DeltaLog {
             tablePartitionColumns(spark, fs, tbl).getOrElse(partitionBy)
           else partitionBy
         val metaConf =
-          if (version == 0L) Map.empty[String, String]
+          if (version == 0L) tableProperties
           else {
             val base = tableConfiguration(spark, fs, tbl)
             mappedEvolved match {
@@ -817,6 +818,7 @@ object DeltaLog {
         survivors.unionByName(updates.select(survivors.columns.map(col): _*)))
       return
     }
+    requireNotAppendOnly(spark, fs, tbl, "upsert_delta")
     val adds = activeAddsAsOf(spark, path, None)
     val updKeys = updates.select(keys.map(col): _*).distinct()
     val kept = keyBoundsPredicate(updates, keys)
@@ -884,6 +886,7 @@ object DeltaLog {
         touchedUris.map(uriToRel(base, _)).sorted, survivors)
       return touchedUris.length
     }
+    requireNotAppendOnly(spark, fs, tbl, "delete_delta")
     val adds = activeAddsAsOf(spark, path, None)
     val kept = pruneAddsFor(spark, path, predicate, adds)
     if (kept.isEmpty) return 0
@@ -905,6 +908,46 @@ object DeltaLog {
       survivors, removeDvJson = touched.flatMap(a =>
         a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap)
     touched.size
+  }
+
+  /** Real delta's `delta.appendOnly=true` contract: any mutation that
+    * would emit a dataChange=true remove action refuses typed — upsert,
+    * deleteWhere, deleteWhereViaDv and restore. APPEND/MERGE (adds only)
+    * and OPTIMIZE (dataChange=false restages) stay allowed.
+    */
+  private def requireNotAppendOnly(spark: SparkSession, fs: FileSystem,
+      tbl: HPath, op: String): Unit =
+    if (tableConfiguration(spark, fs, tbl)
+        .getOrElse("delta.appendOnly", "false") == "true")
+      throw graft.GraftError.InvalidOperation(op,
+        s"$tbl declares delta.appendOnly=true — row-removing mutations " +
+          "are forbidden on append-only tables (append, merge and " +
+          "optimize remain available)")
+
+  /** Time travel by TIMESTAMP (delta's `timestampAsOf`): resolves the
+    * NEWEST commit whose commit-file modification time is <= `tsMillis`
+    * (delta-spark's resolution rule) and reads that version. Commits
+    * folded into a cleaned checkpoint are no longer individually
+    * visible — same floor as version time travel. A timestamp before the
+    * earliest visible commit refuses typed.
+    */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = logDir(tbl)
+    if (!fs.exists(log))
+      throw graft.GraftError.InvalidOperation("load_delta",
+        s"$path is not a delta table (no _delta_log)")
+    val stamped = existingVersions(fs, log).map(v =>
+      v -> fs.getFileStatus(new HPath(log, commitName(v))).getModificationTime)
+    val chosen = stamped.filter(_._2 <= tsMillis).map(_._1).maxOption
+      .getOrElse(throw graft.GraftError.InvalidOperation("load_delta",
+        s"$path has no commit at or before timestamp $tsMillis" +
+          stamped.headOption.map(s =>
+            s" (earliest visible commit is at ${s._2})").getOrElse(
+            " (no visible commits — log fully folded into a checkpoint)")))
+    read(spark, path, Some(chosen))
   }
 
   /** Stats-surviving subset of `adds` for `predicate` — the conservative
@@ -2317,6 +2360,7 @@ object DeltaLog {
           "deletes are only written to tables already carrying the " +
           "feature (no silent protocol upgrade) — use the copy-on-write " +
           "deleteWhere")
+    requireNotAppendOnly(spark, fs, tbl, "delete_delta_dv")
     val adds = activeAddsAsOf(spark, path, None)
     require(adds.nonEmpty, s"deleteWhereViaDv: empty delta table $path")
     // DISCOVERY scans only the stats-surviving files for the predicate
@@ -3242,6 +3286,7 @@ object DeltaLog {
   def restore(spark: SparkSession, path: String, version: Long): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNotAppendOnly(spark, fs, tbl, "restore")
     // DV-aware: snapshots compare as (path, DV descriptor) pairs — a file
     // live at both endpoints but with a DIFFERENT deletion vector is
     // remove+re-added with the TARGET's descriptor (the protocol shape of
