@@ -1018,6 +1018,30 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // time travel by TIMESTAMP (delta's timestampAsOf): commit mtimes are
+    // PINNED by the fixture (v0 at t=10^12 ms, v1 at 1.1*10^12), and the
+    // read asks for a point between them — it must resolve to v0, the
+    // pre-append snapshot the oracle recomputes straight from customer
+    "q_delta_time_travel_ts" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_tt_ts"
+      val c = t(s, d, "customer").toDF
+      Writers.writeDeltaTable(c, "overwrite", path)
+      Writers.writeDeltaTable(
+        c.where(col("c_custkey") % 10 === 0), "append", path)
+      val log = java.nio.file.Paths.get(path, "_delta_log")
+      Seq(0L, 1L).foreach { v =>
+        java.nio.file.Files.setLastModifiedTime(
+          log.resolve(f"$v%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000000L + v * 100000000000L))
+      }
+      Loaders.loadDeltaAsOfTimestamp(s, path, "customer_tt_ts",
+          1050000000000L)
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // stats-based file skipping: orders laid out in o_orderkey ranges, a
     // selective predicate read through DeltaLog.readWhere (only files
     // whose add-action stats admit the range are opened — DeltaStats);
@@ -3052,6 +3076,10 @@ object SparkEntry {
 
     // version 0 = the table before the append
     "q_delta_time_travel" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
+
+    // timestampAsOf between the two pinned commit mtimes resolves v0
+    "q_delta_time_travel_ts" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     // the restored v1 snapshot recomputed straight from customer

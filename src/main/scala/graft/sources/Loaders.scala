@@ -190,6 +190,14 @@ object Loaders {
     else GraftFrame(normalizeNtzTimestamps(spark.read.parquet(path)), alias)
   }
 
+  /** Time travel by TIMESTAMP (delta's `timestampAsOf`): the newest
+    * commit at or before `tsMillis` — see [[DeltaLog.readAsOfTimestamp]].
+    */
+  def loadDeltaAsOfTimestamp(spark: SparkSession, path: String,
+      alias: String, tsMillis: Long): GraftFrame =
+    GraftFrame(normalizeNtzTimestamps(
+      DeltaLog.readAsOfTimestamp(spark, path, tsMillis)), alias)
+
   /** Predicate-pruned delta read: only files whose add-action stats may
     * satisfy `predicate` are opened — see [[DeltaLog.readWhere]]. The full
     * predicate is re-applied, so results equal `loadDelta(...).filter`.

@@ -237,8 +237,10 @@ object Writers {
     */
   def writeDeltaTable(df: DataFrame, mode: String, path: String,
       partitionBy: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Unit =
-    DeltaLog.write(df, mode, path, partitionBy, txn = txn)
+      txn: Option[(String, Long)] = None,
+      tableProperties: Map[String, String] = Map.empty): Unit =
+    DeltaLog.write(df, mode, path, partitionBy, txn = txn,
+      tableProperties = tableProperties)
 
   /** Copy-on-write MERGE/UPSERT into a delta table — see [[DeltaLog.upsert]]. */
   def upsertDeltaTable(updates: DataFrame, keys: Seq[String], path: String): Unit =
