@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
+import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
 import org.apache.spark.sql.types.StructType
 
 import scala.collection.mutable.ListBuffer
@@ -386,6 +386,22 @@ object DeltaLog {
     // into the version-0 snapshot, never wiped — an append must not
     // destroy a pre-delta table.
     val hasLog = nextVersion(fs, logDir(tbl)).isDefined
+    // delta.appendOnly forbids OVERWRITE too (delta-spark's
+    // assertRemovable): restarting the log is the biggest row-removing
+    // mutation there is, and it would additionally wipe the table's
+    // configuration — including the appendOnly marker itself
+    if (m == "overwrite" && hasLog)
+      requireNotAppendOnly(spark, fs, tbl, "write_delta")
+    // table properties only take effect on the commit that CREATES the
+    // log (version 0); silently ignoring them on an append/merge into an
+    // existing table would let a caller believe they set appendOnly (or
+    // any other property) when nothing changed — refuse typed instead
+    if (tableProperties.nonEmpty && hasLog && m != "overwrite")
+      throw graft.GraftError.InvalidOperation("write_delta",
+        s"$tbl already exists — tableProperties are applied only when a " +
+          "table is created (version 0); altering properties of an " +
+          "existing table is not supported (write with mode=overwrite " +
+          "to recreate it with the new properties)")
     val fresh = m == "overwrite" || !hasLog
     // Column-mapped tables: APPEND is supported by renaming the incoming
     // frame's logical columns to the table's physical names (from the
@@ -880,7 +896,10 @@ object DeltaLog {
       if (touchedUris.isEmpty) return 0
       val survivors = snap
         .where(col("graft_file").isInCollection(touchedUris))
-        .where(!expr(predicate))
+        // DELETE removes only rows where the predicate is TRUE; a row
+        // where it evaluates NULL (nullable columns) must SURVIVE — a
+        // bare !expr would filter NULL rows out, silently deleting them
+        .where(!coalesce(expr(predicate), lit(false)))
         .drop("graft_file")
       commitRewrite(spark, path, "DELETE",
         touchedUris.map(uriToRel(base, _)).sorted, survivors)
@@ -902,7 +921,9 @@ object DeltaLog {
       readDataFiles(spark, path,
         touched.map(a => new HPath(tbl, a.rel).toString),
         withRowMeta = true), keepMeta = true)
-      .where(!expr(predicate))
+      // NULL-condition rows survive (SQL DELETE semantics): only rows
+      // where the predicate is provably TRUE are removed
+      .where(!coalesce(expr(predicate), lit(false)))
       .drop(DvFileCol, DvRowCol)
     commitRewrite(spark, path, "DELETE", touched.map(_.rel).sorted,
       survivors, removeDvJson = touched.flatMap(a =>
@@ -911,9 +932,11 @@ object DeltaLog {
   }
 
   /** Real delta's `delta.appendOnly=true` contract: any mutation that
-    * would emit a dataChange=true remove action refuses typed — upsert,
-    * deleteWhere, deleteWhereViaDv and restore. APPEND/MERGE (adds only)
-    * and OPTIMIZE (dataChange=false restages) stay allowed.
+    * would remove live rows refuses typed — upsert, deleteWhere,
+    * deleteWhereViaDv, restore, and OVERWRITE (delta-spark's
+    * assertRemovable gates it too: a log restart removes every row).
+    * APPEND/MERGE (adds only) and OPTIMIZE (dataChange=false restages)
+    * stay allowed.
     */
   private def requireNotAppendOnly(spark: SparkSession, fs: FileSystem,
       tbl: HPath, op: String): Unit =
@@ -929,7 +952,14 @@ object DeltaLog {
     * (delta-spark's resolution rule) and reads that version. Commits
     * folded into a cleaned checkpoint are no longer individually
     * visible — same floor as version time travel. A timestamp before the
-    * earliest visible commit refuses typed.
+    * earliest visible commit refuses typed, and so does one AFTER the
+    * newest commit (delta-spark's timestampGreaterThanLatestCommit — a
+    * future ask silently clamped to "latest" would pin nothing: the
+    * snapshot it returns changes under the caller's feet on the next
+    * append). Commit mtimes are MONOTONIZED first (running max in
+    * version order, DeltaHistoryManager's adjustment): filesystem mtimes
+    * carry no ordering guarantee, and an out-of-order stamp would
+    * otherwise resolve version N while version N-1 "happened later".
     */
   def readAsOfTimestamp(spark: SparkSession, path: String,
       tsMillis: Long): DataFrame = {
@@ -939,8 +969,18 @@ object DeltaLog {
     if (!fs.exists(log))
       throw graft.GraftError.InvalidOperation("load_delta",
         s"$path is not a delta table (no _delta_log)")
-    val stamped = existingVersions(fs, log).map(v =>
+    val raw = existingVersions(fs, log).sorted.map(v =>
       v -> fs.getFileStatus(new HPath(log, commitName(v))).getModificationTime)
+    var runningMax = Long.MinValue
+    val stamped = raw.map { case (v, ts) =>
+      runningMax = math.max(runningMax, ts); v -> runningMax
+    }
+    stamped.lastOption.filter(_._2 < tsMillis).foreach { case (v, ts) =>
+      throw graft.GraftError.InvalidOperation("load_delta",
+        s"$path has no commit as late as timestamp $tsMillis (the newest " +
+          s"commit, version $v, is at $ts) — use versionAsOf $v, or a " +
+          "timestamp at or before the newest commit")
+    }
     val chosen = stamped.filter(_._2 <= tsMillis).map(_._1).maxOption
       .getOrElse(throw graft.GraftError.InvalidOperation("load_delta",
         s"$path has no commit at or before timestamp $tsMillis" +

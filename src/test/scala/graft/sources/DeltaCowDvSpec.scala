@@ -122,6 +122,32 @@ class DeltaCowDvSpec extends SparkSpec {
     assert(DeltaLog.read(spark, pz).where($"id" % 3 === 0).count() == 0L)
   }
 
+  test("deleteWhere keeps NULL-condition rows (SQL DELETE semantics)") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("nullpred")
+    // x is nullable: rows 2 and 4 evaluate `x > 15` to NULL, not FALSE
+    val src = Seq((1L, Some(10)), (2L, None), (3L, Some(30)), (4L, None))
+      .toDF("id", "x")
+    DeltaLog.write(src, "overwrite", p)
+    // only id=3 is provably TRUE; the NULL-condition rows must SURVIVE
+    assert(DeltaLog.deleteWhere(spark, p, "x > 15") == 1)
+    val back = DeltaLog.read(spark, p)
+    assert(back.count() == 3L, s"got ${back.count()}")
+    assert(back.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L), "NULL-condition rows were deleted")
+    // the DV fast path agrees: matching is TRUE-only there too
+    val pdv = freshDir("nullpreddv")
+    Seq((1L, Some(10)), (2L, None), (3L, Some(30)), (4L, None))
+      .toDF("id", "x").write.mode("overwrite").parquet(pdv)
+    DeltaLog.writeWithDeletionVectors(
+      Seq((1L, Some(10)), (2L, None), (3L, Some(30)), (4L, None))
+        .toDF("id", "x"), pdv, "id < 0") // no row deleted; feature declared
+    assert(DeltaLog.deleteWhereViaDv(spark, pdv, "x > 15") == 1L)
+    val backDv = DeltaLog.read(spark, pdv)
+    assert(backDv.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L), "DV delete removed NULL-condition rows")
+  }
+
   test("vacuum associates the bins orphaned by a copy-on-write rewrite") {
     val sp = spark; import sp.implicits._
     val p = fixture("vacuum")
