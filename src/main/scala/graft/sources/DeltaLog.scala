@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
+import org.apache.spark.sql.functions.{array_join, coalesce, col, expr, input_file_name, lit, slice, split}
 import org.apache.spark.sql.types.StructType
 
 import scala.collection.mutable.ListBuffer
@@ -836,6 +836,9 @@ object DeltaLog {
     }
     requireNotAppendOnly(spark, fs, tbl, "upsert_delta")
     val adds = activeAddsAsOf(spark, path, None)
+    // key depth over the WHOLE active set — touched-file matching
+    // resolves scan keys back to adds (see deleteWhere)
+    val keyDepth = dvKeyDepth(path, adds.map(_.rel))
     val updKeys = updates.select(keys.map(col): _*).distinct()
     val kept = keyBoundsPredicate(updates, keys)
       .map(p => pruneAddsFor(spark, path, p, adds)).getOrElse(adds)
@@ -845,10 +848,11 @@ object DeltaLog {
         val discovery = applyDeletionVectors(spark, path, kept,
           readDataFiles(spark, path,
             kept.map(a => new HPath(tbl, a.rel).toString),
-            withRowMeta = true), keepMeta = true)
+            withRowMeta = true, keyDepth = keyDepth),
+          keepMeta = true, keyDepth = keyDepth)
         val names = discovery.join(updKeys, keys, "left_semi")
           .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
-        adds.filter(a => names(new HPath(a.rel).getName))
+        adds.filter(a => names(relKey(path, a.rel, keyDepth)))
       }
     val survivors =
       if (touched.isEmpty) {
@@ -865,7 +869,8 @@ object DeltaLog {
       else applyDeletionVectors(spark, path, touched,
         readDataFiles(spark, path,
           touched.map(a => new HPath(tbl, a.rel).toString),
-          withRowMeta = true), keepMeta = true)
+          withRowMeta = true, keyDepth = keyDepth),
+        keepMeta = true, keyDepth = keyDepth)
         .join(updKeys, keys, "left_anti")
         .drop(DvFileCol, DvRowCol)
     commitRewrite(spark, path, "UPSERT", touched.map(_.rel).sorted,
@@ -907,20 +912,25 @@ object DeltaLog {
     }
     requireNotAppendOnly(spark, fs, tbl, "delete_delta")
     val adds = activeAddsAsOf(spark, path, None)
+    // key depth over the WHOLE active set: touched-file matching below
+    // resolves scan keys back to adds, so keys must be snapshot-unique
+    val keyDepth = dvKeyDepth(path, adds.map(_.rel))
     val kept = pruneAddsFor(spark, path, predicate, adds)
     if (kept.isEmpty) return 0
     val discovery = applyDeletionVectors(spark, path, kept,
       readDataFiles(spark, path,
         kept.map(a => new HPath(tbl, a.rel).toString),
-        withRowMeta = true), keepMeta = true)
+        withRowMeta = true, keyDepth = keyDepth),
+      keepMeta = true, keyDepth = keyDepth)
     val touchedNames = discovery.where(expr(predicate))
       .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
     if (touchedNames.isEmpty) return 0
-    val touched = adds.filter(a => touchedNames(new HPath(a.rel).getName))
+    val touched = adds.filter(a => touchedNames(relKey(path, a.rel, keyDepth)))
     val survivors = applyDeletionVectors(spark, path, touched,
       readDataFiles(spark, path,
         touched.map(a => new HPath(tbl, a.rel).toString),
-        withRowMeta = true), keepMeta = true)
+        withRowMeta = true, keyDepth = keyDepth),
+      keepMeta = true, keyDepth = keyDepth)
       // NULL-condition rows survive (SQL DELETE semantics): only rows
       // where the predicate is provably TRUE are removed
       .where(!coalesce(expr(predicate), lit(false)))
@@ -1827,20 +1837,26 @@ object DeltaLog {
           "change window is past the table's vacuum retention")
     // readDataFiles: the change feed of a name-mode column-mapped table
     // must surface LOGICAL column names like the snapshot read does
-    def rowsOf(v: Long, rels: Seq[String], withMeta: Boolean): DataFrame =
+    def rowsOf(v: Long, rels: Seq[String], withMeta: Boolean,
+        keyDepth: Int = 1): DataFrame =
       readDataFiles(spark, path,
         rels.map(r => new HPath(tbl, r).toString),
-        withRowMeta = withMeta, versionAsOf = Some(v))
+        withRowMeta = withMeta, versionAsOf = Some(v), keyDepth = keyDepth)
     def dvEntry(rel: String, dv: Option[DeltaStats.DvDescriptor]) =
       DeltaStats.AddEntry(rel, Map.empty, None, 0L, dv)
     def liveRows(v: Long, rels: Map[String, Option[DeltaStats.DvDescriptor]],
         ct: String): Option[DataFrame] =
       if (rels.isEmpty) None
-      else Some(applyDeletionVectors(spark, path,
-        rels.map { case (r, dv) => dvEntry(r, dv) }.toSeq,
-        rowsOf(v, rels.keys.toSeq, withMeta = rels.values.exists(_.isDefined)))
-        .withColumn("_change_type", lit(ct))
-        .withColumn("_commit_version", lit(v)))
+      else {
+        val withMeta = rels.values.exists(_.isDefined)
+        val keyDepth = if (withMeta) dvKeyDepth(path, rels.keys.toSeq) else 1
+        Some(applyDeletionVectors(spark, path,
+          rels.map { case (r, dv) => dvEntry(r, dv) }.toSeq,
+          rowsOf(v, rels.keys.toSeq, withMeta = withMeta,
+            keyDepth = keyDepth), keyDepth = keyDepth)
+          .withColumn("_change_type", lit(ct))
+          .withColumn("_commit_version", lit(v)))
+      }
     val frames = acts.flatMap { case (v, adds, removes) =>
       // same-path remove+re-add in ONE commit = a deletion-vector
       // generation swap (DV-native delete, DV restore): the ROW-LEVEL
@@ -1853,12 +1869,15 @@ object DeltaLog {
       val regenFrames: Seq[DataFrame] =
         if (regen.isEmpty) Nil
         else {
-          val rows = rowsOf(v, regen.toSeq, withMeta = true)
+          val regenDepth = dvKeyDepth(path, regen.toSeq)
+          val rows = rowsOf(v, regen.toSeq, withMeta = true,
+              keyDepth = regenDepth)
             .localCheckpoint(false)
           def bitmap(side: Map[String, Option[DeltaStats.DvDescriptor]]) = {
             val withDv = regen.toSeq.flatMap(r =>
               side(r).filter(_.cardinality > 0).map(d => dvEntry(r, Some(d))))
-            if (withDv.isEmpty) None else Some(dvDeletedRows(spark, path, withDv))
+            if (withDv.isEmpty) None
+            else Some(dvDeletedRows(spark, path, withDv, regenDepth))
           }
           val session = spark
           val emptySet = session.emptyDataFrame
@@ -1969,33 +1988,30 @@ object DeltaLog {
           val node = try mapper.readTree(r.getString(0)) catch { case _: Exception => null }
           Option(node).flatMap(parseAddEntry)
         }.filter(_.dv.isDefined)
-      if (dvAdds.nonEmpty) {
-        // the DV row filter keys on file BASENAMES — the uniqueness
-        // guard applyDeletionVectors runs on the driver Seq must hold
-        // across the whole snapshot, checked here as one aggregate
-        val dup = snap.agg(
-          org.apache.spark.sql.functions.count(lit(1)),
-          org.apache.spark.sql.functions.countDistinct(
-            org.apache.spark.sql.functions.element_at(
-              org.apache.spark.sql.functions.split(col("graft_path"), "/"), -1)))
-          .collect().head
-        require(dup.getLong(0) == dup.getLong(1),
-          s"loadDelta: duplicate data-file basenames in $path — the " +
-            "deletion-vector row filter keys on file names")
-      }
-      val files = snap.select("graft_path").collect()
-        .map(r => new HPath(tbl, r.getString(0)).toString).toSeq
-      require(files.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
+      val rels = snap.select("graft_path").collect()
+        .map(r => r.getString(0)).toSeq
+      require(rels.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
+      val files = rels.map(r => new HPath(tbl, r).toString)
+      // the DV row filter keys on trailing path segments; the depth must
+      // be unique across the WHOLE scanned snapshot (a collision between
+      // a DV'd file and any other scanned file would anti-join away
+      // innocent rows) — computed here from the already-collected path
+      // list, the one per-file datum this read keeps on the driver
+      val keyDepth = if (dvAdds.nonEmpty) dvKeyDepth(path, rels) else 1
       return applyDeletionVectors(spark, path, dvAdds,
         readDataFiles(spark, path, files, withRowMeta = dvAdds.nonEmpty,
-          versionAsOf = versionAsOf))
+          versionAsOf = versionAsOf, keyDepth = keyDepth),
+        keyDepth = keyDepth)
     }
     val adds = activeAddsAsOf(spark, path, versionAsOf)
     require(adds.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
     val files = adds.map(a => new HPath(new HPath(path), a.rel).toString)
+    val withMeta = adds.exists(_.dv.isDefined)
+    val keyDepth = if (withMeta) dvKeyDepth(path, adds.map(_.rel)) else 1
     applyDeletionVectors(spark, path, adds,
-      readDataFiles(spark, path, files, withRowMeta = adds.exists(_.dv.isDefined),
-        versionAsOf = versionAsOf))
+      readDataFiles(spark, path, files, withRowMeta = withMeta,
+        versionAsOf = versionAsOf, keyDepth = keyDepth),
+      keyDepth = keyDepth)
   }
 
   /** Scan `files` of the table at `path`, column-mapping-aware. With
@@ -2005,12 +2021,12 @@ object DeltaLog {
     */
   private def readDataFiles(spark: SparkSession, path: String,
       files: Seq[String], withRowMeta: Boolean = false,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None, keyDepth: Int = 1): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def meta: Seq[org.apache.spark.sql.Column] =
       if (!withRowMeta) Nil
-      else Seq(col("_metadata.file_name").as(DvFileCol),
+      else Seq(dvKeyExpr(keyDepth).as(DvFileCol),
         col("_metadata.row_index").as(DvRowCol))
     logicalSchemaIfMapped(spark, fs, tbl) match {
       case Some(("name", logical)) =>
@@ -2113,6 +2129,69 @@ object DeltaLog {
 
   private val DvFileCol = "graft_dv_file"
   private val DvRowCol = "graft_dv_ri"
+
+  /** Trailing `depth` path segments of a data file's full path (table
+    * base + relative path) — the DV row-filter join key. Depth 1 is the
+    * bare basename (the historical key, free on the scan side via
+    * `_metadata.file_name`); deeper keys are needed on PARTITIONED
+    * tables, where dynamic-partition committers (delta-spark included)
+    * emit IDENTICAL basenames across partition directories
+    * (part-00000-<jobUUID>.c000.parquet in every dir) — a basename key
+    * would merge row indices of distinct files, attaching one merged
+    * bitmap to an arbitrary file. Keys are computed over the
+    * base-PREFIXED path so that a shallow rel (fewer segments than
+    * `depth`) still produces the same trailing segments the scan side
+    * sees: URI qualification only prepends scheme/authority/leading
+    * dirs, never changes trailing segments.
+    */
+  private[sources] def relKey(base: String, rel: String, depth: Int): String = {
+    val segs = (base.stripSuffix("/") + "/" + rel)
+      .split('/').filter(_.nonEmpty)
+    segs.takeRight(math.min(depth, segs.length)).mkString("/")
+  }
+
+  /** Minimal trailing-segment depth at which every rel in `rels` keys
+    * uniquely under [[relKey]]. 1 (basename) for every unpartitioned
+    * layout; grows only when basenames genuinely collide. Relative
+    * paths are unique by construction (the snapshot fold keys on them),
+    * so some depth always disambiguates.
+    */
+  private[sources] def dvKeyDepth(base: String, rels: Seq[String]): Int = {
+    val maxDepth = rels.iterator
+      .map(r => (base.stripSuffix("/") + "/" + r)
+        .split('/').count(_.nonEmpty))
+      .maxOption.getOrElse(1)
+    val depth = (1 to maxDepth).find { k =>
+      val keys = rels.map(relKey(base, _, k))
+      keys.distinct.length == keys.length
+    }.getOrElse(maxDepth)
+    // depth > 1 compares dir segments against `_metadata.file_path`,
+    // which is URI-ENCODED: a segment character the encoder would escape
+    // (space, '%', non-ASCII…) breaks driver/scan key agreement. Refuse
+    // typed rather than silently resurrect or mis-delete rows — plain
+    // `col=val` partition layouts (every Spark/delta-spark default) pass.
+    if (depth > 1) {
+      val safe = "^[A-Za-z0-9._,=+@()\\-]*$".r
+      val unsafe = rels.flatMap(_.split('/')).filter(_.nonEmpty)
+        .filterNot(s => safe.matches(s))
+      if (unsafe.nonEmpty)
+        throw graft.GraftError.InvalidOperation("load_delta",
+          s"deletion vectors on a partitioned table whose file paths " +
+            s"need URI escaping (e.g. '${unsafe.head}') are not " +
+            "supported — the DV row filter keys on path segments")
+    }
+    depth
+  }
+
+  /** Scan-side expression producing [[relKey]] of each row's source file
+    * at `depth` — `_metadata.file_name` at depth 1 (plain metadata
+    * column), the trailing segments of `_metadata.file_path` otherwise.
+    * Both evaluate inside whole-stage codegen; no UDF, no URI parsing.
+    */
+  private def dvKeyExpr(depth: Int): org.apache.spark.sql.Column =
+    if (depth <= 1) col("_metadata.file_name")
+    else array_join(
+      slice(split(col("_metadata.file_path"), "/"), -depth, depth), "/")
   private val DvMagic = 1681511377
 
   private val Z85Chars =
@@ -2248,43 +2327,47 @@ object DeltaLog {
     * EXECUTORS — the driver never aggregates payload bytes, so a snapshot
     * with millions of DV'd files costs the driver O(descriptors), and a
     * large delete never materializes on the driver either. The anti-join
-    * distributes on the same keys. Keys on `_metadata`'s file NAME (uuid
-    * part names), with driver-asserted uniqueness across the snapshot —
+    * distributes on the same keys: the trailing `keyDepth` path segments
+    * ([[relKey]]) — basename at depth 1 (the common unpartitioned case;
     * name keys sidestep URI-normalization mismatches that absolute-path
-    * keys invite.
+    * keys invite), deeper on partitioned layouts where dynamic-partition
+    * committers reuse basenames across partition dirs. `keyDepth` MUST
+    * be the depth the scan `df` was built with ([[readDataFiles]]) —
+    * callers compute it once via [[dvKeyDepth]] over every scanned rel.
     */
   private def applyDeletionVectors(spark: SparkSession, path: String,
       adds: Seq[DeltaStats.AddEntry], df: DataFrame,
-      keepMeta: Boolean = false): DataFrame = {
+      keepMeta: Boolean = false, keyDepth: Int = 1): DataFrame = {
     val withDv = adds.filter(a => a.dv.exists(_.cardinality > 0))
     if (withDv.isEmpty)
       return if (!keepMeta && df.columns.contains(DvFileCol))
         df.drop(DvFileCol, DvRowCol) else df
-    val names = adds.map(a => new HPath(a.rel).getName)
-    require(names.distinct.length == names.length,
-      s"loadDelta: duplicate data-file basenames in $path — the " +
-        "deletion-vector row filter keys on file names")
-    val deleted = dvDeletedRows(spark, path, withDv)
+    val keys = adds.map(a => relKey(path, a.rel, keyDepth))
+    require(keys.distinct.length == keys.length,
+      s"loadDelta: duplicate data-file keys at depth $keyDepth in $path " +
+        "— the deletion-vector row filter would merge distinct files")
+    val deleted = dvDeletedRows(spark, path, withDv, keyDepth)
     val filtered = df.join(deleted, Seq(DvFileCol, DvRowCol), "left_anti")
     if (keepMeta) filtered else filtered.drop(DvFileCol, DvRowCol)
   }
 
-  /** The (file basename, row index) set the DV descriptors of `withDv`
+  /** The (file key, row index) set the DV descriptors of `withDv`
     * delete — what the snapshot read anti-joins away and a row-level
     * change feed differences across DV generations. Bitmap decode runs
-    * in executors; the driver only resolves descriptor paths.
+    * in executors; the driver only resolves descriptor paths. The file
+    * key is [[relKey]] at `keyDepth` — matching the scan side.
     */
   private def dvDeletedRows(spark: SparkSession, path: String,
-      withDv: Seq[DeltaStats.AddEntry]): DataFrame = {
+      withDv: Seq[DeltaStats.AddEntry], keyDepth: Int = 1): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // resolve each descriptor to (dataFileName, binFileUri, offset, size)
+    // resolve each descriptor to (dataFileKey, binFileUri, offset, size)
     // on the driver (cheap string work); inline payloads ship their z85
     // text in the uri slot with offset -1. Hadoop Configuration is not
     // serializable — ship its entries and rebuild per executor partition.
     val qualified = fs.makeQualified(tbl)
     val descriptors: Seq[(String, String, Long, Int)] = withDv.map { a =>
-      val name = new HPath(a.rel).getName
+      val name = relKey(path, a.rel, keyDepth)
       val d = a.dv.get
       d.storageType match {
         case "i" => (name, d.pathOrInlineDv, -1L, d.sizeInBytes)
@@ -2403,6 +2486,13 @@ object DeltaLog {
     requireNotAppendOnly(spark, fs, tbl, "delete_delta_dv")
     val adds = activeAddsAsOf(spark, path, None)
     require(adds.nonEmpty, s"deleteWhereViaDv: empty delta table $path")
+    // key depth over the WHOLE active set: matched scan rows resolve
+    // back to AddEntries below — on a PARTITIONED table (delta-spark's
+    // dynamic-partition writer reuses one basename across every
+    // partition dir) a bare-basename key would merge row indices of
+    // DISTINCT files into one bitmap attached to an arbitrary add:
+    // wrong rows deleted, real matches left live
+    val keyDepth = dvKeyDepth(path, adds.map(_.rel))
     // DISCOVERY scans only the stats-surviving files for the predicate
     // (same conservative kernel as deleteWhere/readWhere — a DV delete
     // of one key in a 100 TB table reads O(candidate files))
@@ -2412,7 +2502,8 @@ object DeltaLog {
     // matching LIVE rows (existing DVs applied) with their physical
     // positions — rows a previous DV already deleted must not re-count
     val live = applyDeletionVectors(spark, path, kept,
-      readDataFiles(spark, path, files, withRowMeta = true), keepMeta = true)
+      readDataFiles(spark, path, files, withRowMeta = true,
+        keyDepth = keyDepth), keepMeta = true, keyDepth = keyDepth)
     val newDf = live.where(expr(predicate))
       .select(col(DvFileCol).as("f"), col(DvRowCol).as("ri"),
         lit(1).as("graft_new"))
@@ -2425,7 +2516,7 @@ object DeltaLog {
     val mergedRows =
       if (withDv.isEmpty) newDf
       else newDf.unionByName(
-        dvDeletedRows(spark, path, withDv)
+        dvDeletedRows(spark, path, withDv, keyDepth)
           .withColumnRenamed(DvFileCol, "f").withColumnRenamed(DvRowCol, "ri")
           .withColumn("graft_new", lit(0))
           .join(newDf.select("f").distinct(), Seq("f"), "left_semi"))
@@ -2445,12 +2536,13 @@ object DeltaLog {
         }
         .collect()
     if (packed.isEmpty) return 0L
-    val byName: Map[String, DeltaStats.AddEntry] =
-      adds.map(a => new HPath(a.rel).getName -> a).toMap
+    // snapshot-unique by construction: keyDepth was chosen over ALL adds
+    val byKey: Map[String, DeltaStats.AddEntry] =
+      adds.map(a => relKey(path, a.rel, keyDepth) -> a).toMap
     val mergedSets: Seq[(DeltaStats.AddEntry, Array[Byte], Long)] =
-      packed.sortBy(_._1).map { case (name, data, card, _) =>
-        val add = byName.getOrElse(name, throw new IllegalStateException(
-          s"deleteWhereViaDv: matched rows in unknown file $name"))
+      packed.sortBy(_._1).map { case (key, data, card, _) =>
+        val add = byKey.getOrElse(key, throw new IllegalStateException(
+          s"deleteWhereViaDv: matched rows in unknown file $key"))
         (add, data, card)
       }
     // one fresh DV bin file for this commit's descriptors
@@ -2536,9 +2628,12 @@ object DeltaLog {
     val tbl = new HPath(path)
     val files = victims.map(a => new HPath(tbl, a.rel).toString)
     // live rows of JUST the DV'd files: scan with row metadata, apply
-    // their descriptors, drop the bookkeeping columns
+    // their descriptors, drop the bookkeeping columns. Key depth over
+    // the victims — the only files this scan and anti-join ever see
+    val keyDepth = dvKeyDepth(path, victims.map(_.rel))
     val live = applyDeletionVectors(spark, path, victims,
-      readDataFiles(spark, path, files, withRowMeta = true))
+      readDataFiles(spark, path, files, withRowMeta = true,
+        keyDepth = keyDepth), keyDepth = keyDepth)
     val dvJson = victims.map(a => a.rel -> dvDescriptorJson(a.dv.get)).toMap
     // keep the victims' file granularity: without the hint the restage
     // inherits the anti-join's shuffle partitioning (spark.sql.shuffle
@@ -3053,12 +3148,9 @@ object DeltaLog {
           Option(node).flatMap(n => Option(n.get("path")).map(_.asText))
         }
       }.collect().toSeq
-      if (dvAdds.nonEmpty) {
-        val names = keptRels.map(r => new HPath(r).getName)
-        require(names.distinct.length == names.length,
-          s"loadDelta: duplicate data-file basenames in $path — the " +
-            "deletion-vector row filter keys on file names")
-      }
+      // DV keys need only be unique across the SCANNED (kept) files —
+      // the anti-join never sees a pruned file's rows
+      val keyDepth = if (dvAdds.nonEmpty) dvKeyDepth(path, keptRels) else 1
       if (keptRels.isEmpty) {
         val schema = schemaOpt.map(s => stripMeta(s).asInstanceOf[StructType])
           .getOrElse(read(spark, path, versionAsOf).schema)
@@ -3069,7 +3161,9 @@ object DeltaLog {
       return applyDeletionVectors(spark, path, dvAdds,
         readDataFiles(spark, path,
           keptRels.map(r => new HPath(tbl, r).toString),
-          withRowMeta = dvAdds.nonEmpty, versionAsOf = versionAsOf))
+          withRowMeta = dvAdds.nonEmpty, versionAsOf = versionAsOf,
+          keyDepth = keyDepth),
+        keyDepth = keyDepth)
         .where(expr(predicate))
     }
     val adds0 = activeAddsAsOf(spark, path, versionAsOf)
@@ -3112,10 +3206,12 @@ object DeltaLog {
       // still provably holds no matching row; a kept file's deleted rows
       // are removed by the anti-join before the predicate applies)
       val hasDv = kept.exists(_.dv.isDefined)
+      val keyDepth = if (hasDv) dvKeyDepth(path, kept.map(_.rel)) else 1
       applyDeletionVectors(spark, path, kept,
         readDataFiles(spark, path,
           kept.map(a => new HPath(tbl, a.rel).toString), withRowMeta = hasDv,
-          versionAsOf = versionAsOf))
+          versionAsOf = versionAsOf, keyDepth = keyDepth),
+        keyDepth = keyDepth)
         .where(expr(predicate))
     }
   }
@@ -3224,8 +3320,10 @@ object DeltaLog {
       // round-trips physical names on mapped tables — and, for id-mode
       // tables, re-emits the parquet field ids (the by-id read comes back
       // logical-named; commitRewrite's id staging annotates the rewrite).
+      val keyDepth = dvKeyDepth(path, victims.map(_.rel))
       val live = applyDeletionVectors(spark, path, victims,
-        readDataFiles(spark, path, files, withRowMeta = true))
+        readDataFiles(spark, path, files, withRowMeta = true,
+          keyDepth = keyDepth), keyDepth = keyDepth)
       val (toWrite, packed) =
         if (zorderBy.isEmpty) (live, Some(nOut))
         else (zorderCluster(live, zorderBy, nOut), None)
