@@ -812,7 +812,8 @@ object DeltaLog {
     * SURVIVORS scan reads only the TOUCHED files — a selective MERGE
     * into a 100 TB table reads neither phase over the whole table.
     */
-  def upsert(updates: DataFrame, keys: Seq[String], path: String): Unit = {
+  def upsert(updates: DataFrame, keys: Seq[String], path: String,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Unit = {
     require(keys.nonEmpty, "upsert: need at least one key column")
     val spark = updates.sparkSession
     val tbl = new HPath(path)
@@ -835,13 +836,16 @@ object DeltaLog {
       return
     }
     requireNotAppendOnly(spark, fs, tbl, "upsert_delta")
-    val adds = activeAddsAsOf(spark, path, None)
-    // key depth over the WHOLE active set — touched-file matching
-    // resolves scan keys back to adds (see deleteWhere)
-    val keyDepth = dvKeyDepth(path, adds.map(_.rel))
     val updKeys = updates.select(keys.map(col): _*).distinct()
-    val kept = keyBoundsPredicate(updates, keys)
-      .map(p => pruneAddsFor(spark, path, p, adds)).getOrElse(adds)
+    // snapshot fold + key-bounds pruning run distributedly above the
+    // log-size threshold — the driver materializes only the CANDIDATE
+    // entries (the whole snapshot only when the keys admit no bounds
+    // predicate, i.e. when discovery must scan every file anyway)
+    val kept = activeAddsWhere(spark, path, keyBoundsPredicate(updates, keys),
+      snapshotDriverMaxBytes = snapshotDriverMaxBytes)
+    // key depth over the candidates: discovery scans only kept files,
+    // so touched keys both originate from and resolve within them
+    val keyDepth = if (kept.isEmpty) 1 else dvKeyDepth(path, kept.map(_.rel))
     val touched: Seq[DeltaStats.AddEntry] =
       if (kept.isEmpty) Nil
       else {
@@ -852,7 +856,7 @@ object DeltaLog {
           keepMeta = true, keyDepth = keyDepth)
         val names = discovery.join(updKeys, keys, "left_semi")
           .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
-        adds.filter(a => names(relKey(path, a.rel, keyDepth)))
+        kept.filter(a => names(relKey(path, a.rel, keyDepth)))
       }
     val survivors =
       if (touched.isEmpty) {
@@ -889,7 +893,8 @@ object DeltaLog {
     * nothing matched, no commit written). Contrast [[deleteWhereViaDv]],
     * which deletes WITHOUT rewriting by attaching fresh descriptors.
     */
-  def deleteWhere(spark: SparkSession, path: String, predicate: String): Int = {
+  def deleteWhere(spark: SparkSession, path: String, predicate: String,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Int = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(logDir(tbl))) {
@@ -911,12 +916,14 @@ object DeltaLog {
       return touchedUris.length
     }
     requireNotAppendOnly(spark, fs, tbl, "delete_delta")
-    val adds = activeAddsAsOf(spark, path, None)
-    // key depth over the WHOLE active set: touched-file matching below
-    // resolves scan keys back to adds, so keys must be snapshot-unique
-    val keyDepth = dvKeyDepth(path, adds.map(_.rel))
-    val kept = pruneAddsFor(spark, path, predicate, adds)
+    // snapshot fold + stats pruning run distributedly above the log-size
+    // threshold — the driver materializes only the CANDIDATE entries
+    val kept = activeAddsWhere(spark, path, Some(predicate),
+      snapshotDriverMaxBytes = snapshotDriverMaxBytes)
     if (kept.isEmpty) return 0
+    // key depth over the candidates: the discovery scan reads only kept
+    // files, so touched keys both originate from and resolve within them
+    val keyDepth = dvKeyDepth(path, kept.map(_.rel))
     val discovery = applyDeletionVectors(spark, path, kept,
       readDataFiles(spark, path,
         kept.map(a => new HPath(tbl, a.rel).toString),
@@ -925,7 +932,7 @@ object DeltaLog {
     val touchedNames = discovery.where(expr(predicate))
       .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
     if (touchedNames.isEmpty) return 0
-    val touched = adds.filter(a => touchedNames(relKey(path, a.rel, keyDepth)))
+    val touched = kept.filter(a => touchedNames(relKey(path, a.rel, keyDepth)))
     val survivors = applyDeletionVectors(spark, path, touched,
       readDataFiles(spark, path,
         touched.map(a => new HPath(tbl, a.rel).toString),
@@ -1083,7 +1090,10 @@ object DeltaLog {
     // same logical->physical rename the append path applies) — and, for
     // id-mode tables, with parquet.field.id metadata so Spark's field-id
     // write emits the ids the table's by-id reader resolves. Partitioned
-    // mapped rewrites stay refused like partitioned mapped appends.
+    // mapped rewrites restage under PHYSICAL-named partition dirs (the
+    // stagePartitionBy route below), graded by q_delta_colmap_part and
+    // pinned by WritersSpec's partitioned name-mapped
+    // append/upsert/delete/optimize test.
     // logicalFrame = false: the caller (optimize) already holds the
     // file-native PHYSICAL columns and restages them unchanged
     val mappedInfo: Option[(String, StructType)] =
@@ -1628,6 +1638,93 @@ object DeltaLog {
         .select(col("graft_path"), col("graft_add"))
     }
   }
+
+  /** Distributed-survivor kernel shared by every mutation/maintenance
+    * path: Some(dataset of the add-JSON lines that survive `predicate`
+    * stats pruning and the pure `keep` filter) when the log outgrows
+    * `snapshotDriverMaxBytes`, None when the driver fold is cheaper.
+    * Both filters run IN EXECUTORS — [[DeltaStats.entryMayMatch]] is
+    * session-free, the mapped-table stats-key remap
+    * ([[remapAddToLogical]]) is pure given the name map, and `keep` is
+    * required pure — so the driver never sees a pruned file's metadata.
+    */
+  private def keptAddJsonsDf(spark: SparkSession, path: String,
+      predicate: Option[String], keep: Option[DeltaStats.AddEntry => Boolean],
+      versionAsOf: Option[Long],
+      snapshotDriverMaxBytes: Long): Option[org.apache.spark.sql.Dataset[String]] = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir(tbl)) ||
+        snapshotLogBytes(fs, logDir(tbl), versionAsOf) <= snapshotDriverMaxBytes)
+      return None
+    val snap = activeAddsDfAsOf(spark, path, versionAsOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"loadDelta: empty or missing _delta_log in $path"))
+    val schemaOpt = parsedTableSchema(spark, fs, tbl, versionAsOf)
+    val physToLog: Option[Map[String, String]] =
+      logicalSchemaIfMapped(spark, fs, tbl).map(m => physToLogMap(m._2))
+    val pcols0 = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+    val pcols = physToLog match {
+      case Some(m) => pcols0.map(c => m.getOrElse(c, c))
+      case None => pcols0
+    }
+    val conjOpt = predicate.flatMap(p =>
+      schemaOpt.flatMap(_ => DeltaStats.parseConjuncts(spark, p)))
+    val sess = spark
+    import sess.implicits._
+    val entries = snap.select("graft_add").as[String]
+    Some(entries.mapPartitions { it =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.filter { addJson =>
+        val node = try mapper.readTree(addJson) catch { case _: Exception => null }
+        // unparseable add ⇒ keep (conservative, like the driver path)
+        Option(node).flatMap(parseAddEntry).forall { e0 =>
+          val statsKeep = (schemaOpt, conjOpt) match {
+            case (Some(schema), Some(conjuncts)) =>
+              val e = physToLog match {
+                case Some(m) => remapAddToLogical(e0, m, mapper)
+                case None => e0
+              }
+              DeltaStats.entryMayMatch(conjuncts, schema, pcols, e, mapper)
+            case _ => true
+          }
+          statsKeep && keep.forall(_(e0))
+        }
+      }
+    })
+  }
+
+  /** Active AddEntries as of `versionAsOf` that survive `predicate`
+    * stats pruning (all of them when None/unparseable) and the pure
+    * `keep` filter — with the log fold AND both filters run
+    * DISTRIBUTEDLY once the log outgrows `snapshotDriverMaxBytes`
+    * ([[keptAddJsonsDf]]). The driver materializes ONLY the surviving
+    * entries: the contract the copy-on-write mutations (upsert,
+    * deleteWhere, deleteWhereViaDv) and maintenance ops (optimize,
+    * purge, restore) need — their commits echo the touched/surviving
+    * files' metadata, which is O(candidates), never O(active files).
+    * Below the threshold the existing driver fold is cheaper and its
+    * behavior is unchanged.
+    */
+  private[graft] def activeAddsWhere(spark: SparkSession, path: String,
+      predicate: Option[String] = None,
+      keep: Option[DeltaStats.AddEntry => Boolean] = None,
+      versionAsOf: Option[Long] = None,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Seq[DeltaStats.AddEntry] =
+    keptAddJsonsDf(spark, path, predicate, keep, versionAsOf,
+        snapshotDriverMaxBytes) match {
+      case Some(keptDs) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        keptDs.collect().toSeq.flatMap { s =>
+          val node = try mapper.readTree(s) catch { case _: Exception => null }
+          Option(node).flatMap(parseAddEntry)
+        }
+      case None =>
+        val adds0 = activeAddsAsOf(spark, path, versionAsOf)
+        val pruned = predicate.map(p => pruneAddsFor(spark, path, p, adds0))
+          .getOrElse(adds0)
+        keep.map(f => pruned.filter(f)).getOrElse(pruned)
+    }
 
   /** The table's `delta.columnMapping.mode` from the newest metaData —
     * commits first, checkpoint fallback; "none" when unset.
@@ -2473,7 +2570,8 @@ object DeltaLog {
     * newly deleted rows.
     */
   def deleteWhereViaDv(spark: SparkSession, path: String,
-      predicate: String, checkpointInterval: Int = 10): Long = {
+      predicate: String, checkpointInterval: Int = 10,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Long = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (tableConfiguration(spark, fs, tbl)
@@ -2484,20 +2582,21 @@ object DeltaLog {
           "feature (no silent protocol upgrade) — use the copy-on-write " +
           "deleteWhere")
     requireNotAppendOnly(spark, fs, tbl, "delete_delta_dv")
-    val adds = activeAddsAsOf(spark, path, None)
-    require(adds.nonEmpty, s"deleteWhereViaDv: empty delta table $path")
-    // key depth over the WHOLE active set: matched scan rows resolve
-    // back to AddEntries below — on a PARTITIONED table (delta-spark's
-    // dynamic-partition writer reuses one basename across every
-    // partition dir) a bare-basename key would merge row indices of
-    // DISTINCT files into one bitmap attached to an arbitrary add:
-    // wrong rows deleted, real matches left live
-    val keyDepth = dvKeyDepth(path, adds.map(_.rel))
     // DISCOVERY scans only the stats-surviving files for the predicate
     // (same conservative kernel as deleteWhere/readWhere — a DV delete
-    // of one key in a 100 TB table reads O(candidate files))
-    val kept = pruneAddsFor(spark, path, predicate, adds)
+    // of one key in a 100 TB table reads O(candidate files)); fold and
+    // pruning run distributedly above the log-size threshold, so the
+    // driver materializes only the CANDIDATE entries
+    val kept = activeAddsWhere(spark, path, Some(predicate),
+      snapshotDriverMaxBytes = snapshotDriverMaxBytes)
     if (kept.isEmpty) return 0L
+    // key depth over the candidates: matched scan rows resolve back to
+    // AddEntries below, and both sides draw from kept files only — on a
+    // PARTITIONED table (delta-spark's dynamic-partition writer reuses
+    // one basename across every partition dir) a bare-basename key
+    // would merge row indices of DISTINCT files into one bitmap
+    // attached to an arbitrary add: wrong rows deleted, matches left live
+    val keyDepth = dvKeyDepth(path, kept.map(_.rel))
     val files = kept.map(a => new HPath(tbl, a.rel).toString)
     // matching LIVE rows (existing DVs applied) with their physical
     // positions — rows a previous DV already deleted must not re-count
@@ -2536,9 +2635,10 @@ object DeltaLog {
         }
         .collect()
     if (packed.isEmpty) return 0L
-    // snapshot-unique by construction: keyDepth was chosen over ALL adds
+    // unique within the candidates by construction of keyDepth; matched
+    // rows can only come from kept files (the only ones scanned)
     val byKey: Map[String, DeltaStats.AddEntry] =
-      adds.map(a => relKey(path, a.rel, keyDepth) -> a).toMap
+      kept.map(a => relKey(path, a.rel, keyDepth) -> a).toMap
     val mergedSets: Seq[(DeltaStats.AddEntry, Array[Byte], Long)] =
       packed.sortBy(_._1).map { case (key, data, card, _) =>
         val add = byKey.getOrElse(key, throw new IllegalStateException(
@@ -2621,9 +2721,15 @@ object DeltaLog {
     * never the table — the same touched-files-only contract as upsert.
     * Returns the number of files purged (0 = no DVs, nothing committed).
     */
-  def purgeDeletionVectors(spark: SparkSession, path: String): Int = {
-    val adds = activeAddsAsOf(spark, path, None)
-    val victims = adds.filter(_.dv.exists(_.cardinality > 0))
+  def purgeDeletionVectors(spark: SparkSession, path: String,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Int = {
+    // fold + DV filter run distributedly above the log-size threshold:
+    // the driver materializes only the DV-BEARING entries — the files a
+    // purge rewrites — never the plain bulk of the snapshot
+    val victims = activeAddsWhere(spark, path,
+      keep = Some((a: DeltaStats.AddEntry) =>
+        a.dv.exists(_.cardinality > 0)),
+      snapshotDriverMaxBytes = snapshotDriverMaxBytes)
     if (victims.isEmpty) return 0
     val tbl = new HPath(path)
     val files = victims.map(a => new HPath(tbl, a.rel).toString)
@@ -3270,16 +3376,27 @@ object DeltaLog {
     * snapshot total — the observable skipping ratio (spec-asserted; also a
     * planning aid: ~(kept/total) of the table gets scanned).
     */
-  def skippingStats(spark: SparkSession, path: String,
-      predicate: String): (Int, Int) = {
+  def skippingStats(spark: SparkSession, path: String, predicate: String,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): (Int, Int) = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val adds = activeAddsAsOf(spark, path, None)
-    val schemaOpt = parsedTableSchema(spark, fs, tbl)
-    val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
-    val kept = schemaOpt.map(s => DeltaStats.prune(spark, predicate, s, pcols, adds))
-      .getOrElse(adds)
-    (kept.size, adds.size)
+    // above the log-size threshold both counts come from distributed
+    // aggregates — the driver holds two ints, never the add metadata
+    keptAddJsonsDf(spark, path, Some(predicate), None, None,
+        snapshotDriverMaxBytes) match {
+      case Some(keptDs) =>
+        val total = activeAddsDfAsOf(spark, path, None)
+          .map(_.count().toInt).getOrElse(0)
+        (keptDs.count().toInt, total)
+      case None =>
+        val adds = activeAddsAsOf(spark, path, None)
+        val schemaOpt = parsedTableSchema(spark, fs, tbl)
+        val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+        val kept = schemaOpt
+          .map(s => DeltaStats.prune(spark, predicate, s, pcols, adds))
+          .getOrElse(adds)
+        (kept.size, adds.size)
+    }
   }
 
   /** OPTIMIZE: bin-pack the snapshot's small files (< `targetBytes`) into
@@ -3298,11 +3415,22 @@ object DeltaLog {
     */
   def optimize(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      zorderBy: Seq[String] = Nil): Int = {
-    val adds = activeAddsAsOf(spark, path, None)
+      zorderBy: Seq[String] = Nil,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Int = {
     val tbl0 = new HPath(path)
     val fs0 = tbl0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val victims = if (zorderBy.nonEmpty) adds else adds.filter(_.size < targetBytes)
+    // fold + small-file filter run distributedly above the log-size
+    // threshold: the driver materializes only the VICTIM entries (a
+    // z-order rewrite is inherently O(table) — every file restages and
+    // must be listed in the commit's remove set)
+    val bytesCap = targetBytes
+    val victims =
+      if (zorderBy.nonEmpty)
+        activeAddsWhere(spark, path,
+          snapshotDriverMaxBytes = snapshotDriverMaxBytes)
+      else activeAddsWhere(spark, path,
+        keep = Some((a: DeltaStats.AddEntry) => a.size < bytesCap),
+        snapshotDriverMaxBytes = snapshotDriverMaxBytes)
     if (victims.size <= 1 && zorderBy.isEmpty) return 0
     if (victims.isEmpty) return 0
     val tbl = new HPath(path)
@@ -3421,7 +3549,8 @@ object DeltaLog {
     * travel to the interim versions) is preserved. Fails if the target's
     * files were vacuumed away.
     */
-  def restore(spark: SparkSession, path: String, version: Long): Unit = {
+  def restore(spark: SparkSession, path: String, version: Long,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNotAppendOnly(spark, fs, tbl, "restore")
@@ -3430,52 +3559,149 @@ object DeltaLog {
     // remove+re-added with the TARGET's descriptor (the protocol shape of
     // a DV update), so restoring across DV deletes resurrects exactly the
     // target version's row set.
-    val targetAdds = activeAddsAsOf(spark, path, Some(version))
-    val currentAdds = activeAddsAsOf(spark, path, None)
-    val targetByRel = targetAdds.map(a => a.rel -> a).toMap
-    val currentByRel = currentAdds.map(a => a.rel -> a).toMap
     def dvKey(a: DeltaStats.AddEntry): String =
       a.dv.map(dvDescriptorJson).getOrElse("")
-    targetAdds.foreach { a =>
-      if (!fs.exists(new HPath(tbl, a.rel)))
-        throw graft.GraftError.InvalidOperation("restore",
-          s"file ${a.rel} of version $version was vacuumed — cannot restore")
-      // the target's DV payload must still exist too (an old bin a later
-      // vacuum swept away cannot be re-referenced)
-      a.dv.foreach { d =>
-        val bin = d.storageType match {
-          case "u" => Some(dvFilePath(tbl, d.pathOrInlineDv))
-          case "p" => Some(new HPath(d.pathOrInlineDv))
-          case _ => None // inline payloads live in the log itself
+    val logP = logDir(tbl)
+    val large = fs.exists(logP) &&
+      snapshotLogBytes(fs, logP, None) > snapshotDriverMaxBytes
+    // the two snapshots DIFF to (removeEntries, addEntries) — O(changed
+    // files), exactly the commit being authored. Above the log-size
+    // threshold both folds, the diff join, the DV comparison and the
+    // vacuumed-file existence checks all run in EXECUTORS; the driver
+    // collects only the diff
+    val (removeEntries, addEntries): (Seq[DeltaStats.AddEntry], Seq[DeltaStats.AddEntry]) =
+      if (!large) {
+        val targetAdds = activeAddsAsOf(spark, path, Some(version))
+        val currentAdds = activeAddsAsOf(spark, path, None)
+        val targetByRel = targetAdds.map(a => a.rel -> a).toMap
+        val currentByRel = currentAdds.map(a => a.rel -> a).toMap
+        targetAdds.foreach { a =>
+          if (!fs.exists(new HPath(tbl, a.rel)))
+            throw graft.GraftError.InvalidOperation("restore",
+              s"file ${a.rel} of version $version was vacuumed — cannot restore")
+          // the target's DV payload must still exist too (an old bin a
+          // later vacuum swept away cannot be re-referenced)
+          a.dv.foreach { d =>
+            val bin = d.storageType match {
+              case "u" => Some(dvFilePath(tbl, d.pathOrInlineDv))
+              case "p" => Some(new HPath(d.pathOrInlineDv))
+              case _ => None // inline payloads live in the log itself
+            }
+            bin.foreach { b =>
+              if (!fs.exists(b)) throw graft.GraftError.InvalidOperation("restore",
+                s"deletion-vector file ${b.getName} of version $version was " +
+                  "vacuumed — cannot restore")
+            }
+          }
         }
-        bin.foreach { b =>
-          if (!fs.exists(b)) throw graft.GraftError.InvalidOperation("restore",
-            s"deletion-vector file ${b.getName} of version $version was " +
-              "vacuumed — cannot restore")
+        val removes = currentAdds
+          .filter(a => !targetByRel.contains(a.rel))
+        val adds = targetAdds.filter { a =>
+          currentByRel.get(a.rel).forall(c => dvKey(c) != dvKey(a)) }
+        // a path present at both endpoints with a changed DV re-adds under
+        // the target descriptor; the protocol pairs that with a remove of
+        // the superseded entry (echoing ITS descriptor)
+        val dvSwaps = adds.filter(a => currentByRel.contains(a.rel))
+        ((removes ++ dvSwaps.flatMap(a => currentByRel.get(a.rel)))
+          .sortBy(_.rel), adds.sortBy(_.rel))
+      } else {
+        val tDf = activeAddsDfAsOf(spark, path, Some(version)).getOrElse(
+          throw new IllegalArgumentException(
+            s"restore: empty or missing _delta_log in $path"))
+          .select(col("graft_path").as("graft_p"),
+            col("graft_add").as("graft_t"))
+          .localCheckpoint(true) // diff join + existence check
+        val cDf = activeAddsDfAsOf(spark, path, None).getOrElse(
+          throw new IllegalArgumentException(
+            s"restore: empty or missing _delta_log in $path"))
+          .select(col("graft_path").as("graft_p2"),
+            col("graft_add").as("graft_c"))
+        val sess = spark
+        import sess.implicits._
+        // vacuumed-file check over the TARGET snapshot, in executors:
+        // only the missing names come back
+        val confEntries: Array[(String, String)] = {
+          val it = spark.sparkContext.hadoopConfiguration.iterator()
+          val b = Array.newBuilder[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+          b.result()
         }
+        val tblStr = path
+        val missing: Array[String] = tDf.select("graft_t").as[String]
+          .mapPartitions { it =>
+            lazy val conf = {
+              val c = new org.apache.hadoop.conf.Configuration(false)
+              confEntries.foreach { case (k, v) => c.set(k, v) }
+              c
+            }
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            it.flatMap { s =>
+              val node = try mapper.readTree(s) catch { case _: Exception => null }
+              Option(node).flatMap(parseAddEntry).toSeq.flatMap { e =>
+                val base = new HPath(tblStr)
+                val f = new HPath(base, e.rel)
+                val ffs = f.getFileSystem(conf)
+                val dataMissing =
+                  if (!ffs.exists(f)) Seq(s"file ${e.rel}") else Nil
+                val binMissing = e.dv.toSeq.flatMap { d =>
+                  val bin = d.storageType match {
+                    case "u" => Some(dvFilePath(base, d.pathOrInlineDv))
+                    case "p" => Some(new HPath(d.pathOrInlineDv))
+                    case _ => None
+                  }
+                  bin.filterNot(ffs.exists)
+                    .map(b => s"deletion-vector file ${b.getName}")
+                }
+                dataMissing ++ binMissing
+              }
+            }
+          }.collect()
+        if (missing.nonEmpty)
+          throw graft.GraftError.InvalidOperation("restore",
+            s"${missing.head} of version $version was vacuumed — cannot restore")
+        val joined = tDf.join(cDf, tDf("graft_p") === cDf("graft_p2"),
+            "full_outer")
+          .select(col("graft_t"), col("graft_c"))
+        val tagged: Array[(String, String)] = joined.as[(String, String)]
+          .mapPartitions { it =>
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            def dvOf(s: String): String = {
+              val node = try mapper.readTree(s) catch { case _: Exception => null }
+              Option(node).flatMap(parseAddEntry).flatMap(_.dv)
+                .map(dvDescriptorJson).getOrElse("")
+            }
+            it.flatMap { case (t, c) =>
+              if (t == null) Seq(("remove", c))
+              else if (c == null) Seq(("add", t))
+              // DV generation swap: re-add under the target descriptor,
+              // remove the superseded entry (echoing ITS descriptor)
+              else if (dvOf(t) != dvOf(c)) Seq(("remove", c), ("add", t))
+              else Nil
+            }
+          }.collect()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        def parse(s: String): Option[DeltaStats.AddEntry] = {
+          val node = try mapper.readTree(s) catch { case _: Exception => null }
+          Option(node).flatMap(parseAddEntry)
+        }
+        (tagged.collect { case ("remove", s) => s }.toSeq
+          .flatMap(parse(_)).sortBy(_.rel),
+          tagged.collect { case ("add", s) => s }.toSeq
+            .flatMap(parse(_)).sortBy(_.rel))
       }
-    }
-    val removes = currentAdds
-      .filter(a => !targetByRel.contains(a.rel)).sortBy(_.rel)
-    val adds = targetAdds.filter { a =>
-      currentByRel.get(a.rel).forall(c => dvKey(c) != dvKey(a)) }.sortBy(_.rel)
-    // a path present at both endpoints with a changed DV re-adds under
-    // the target descriptor; the protocol pairs that with a remove of
-    // the superseded entry (echoing ITS descriptor)
-    val dvSwaps = adds.filter(a => currentByRel.contains(a.rel))
     val log = logDir(tbl)
     val next = nextVersion(fs, log).getOrElse(0L)
     val txnId = java.util.UUID.randomUUID().toString
     val actions = ListBuffer.empty[String]
     actions += s"""{"commitInfo":{"operation":"RESTORE","txnId":"$txnId"}}"""
     val now = System.currentTimeMillis()
-    (removes ++ dvSwaps.flatMap(a => currentByRel.get(a.rel))).foreach { a =>
+    removeEntries.foreach { a =>
       val removedDv = a.dv.map(d =>
         s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
       actions += s"""{"remove":{"path":"${esc(a.rel)}",""" +
         s""""deletionTimestamp":$now,"dataChange":true$removedDv}}"""
     }
-    adds.foreach { a =>
+    addEntries.foreach { a =>
       val pvJson = a.partitionValues.map { case (k, v) =>
         s""""${esc(k)}":${if (v == null) "null" else "\"" + esc(v) + "\""}"""
       }.mkString("{", ",", "}")
@@ -3539,18 +3765,68 @@ object DeltaLog {
 
   def vacuum(spark: SparkSession, path: String,
       stageRetentionMs: Long = 3600000L,
-      retentionMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
+      retentionMs: Long = DefaultVacuumRetentionMs,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Seq[String] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
-    val activeAdds = activeAddsAsOf(spark, path, None)
-    // qualify each active path the same way as `base` — add rels resolve
-    // against the caller's (possibly relative) table path, and an
-    // unqualified string would never strip to a relative key
-    val active: Set[String] = activeAdds
-      .map(a => fs.makeQualified(new HPath(tbl, a.rel)).toUri.getPath
-        .stripPrefix(base).stripPrefix("/"))
-      .toSet
+    // active reference sets: RELATIVE PATH STRINGS of the live data
+    // files and of the bins their DV descriptors reference. Above the
+    // log-size threshold both come from the distributed fold — the
+    // driver keeps two path-string sets (what the listing diff needs
+    // anyway), never the snapshot's add metadata
+    val large = fs.exists(logDir(tbl)) &&
+      snapshotLogBytes(fs, logDir(tbl), None) > snapshotDriverMaxBytes
+    val (active: Set[String], referencedBins: Set[String]) =
+      if (large) {
+        val snap = activeAddsDfAsOf(spark, path, None).getOrElse(
+          throw new IllegalArgumentException(
+            s"vacuum: empty or missing _delta_log in $path"))
+          .localCheckpoint(true) // rels + bins
+        val sess = spark
+        import sess.implicits._
+        val qualifiedTbl = fs.makeQualified(tbl).toString
+        val baseStr = base
+        val rels = snap.select("graft_path").as[String].collect()
+          .map(r => new HPath(new HPath(qualifiedTbl), r).toUri.getPath
+            .stripPrefix(baseStr).stripPrefix("/")).toSet
+        val bins = snap.select("graft_add").as[String]
+          .mapPartitions { it =>
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            it.flatMap { s =>
+              val node = try mapper.readTree(s) catch { case _: Exception => null }
+              Option(node).flatMap(parseAddEntry).flatMap(_.dv).flatMap { d =>
+                d.storageType match {
+                  case "u" => Some(dvFilePath(new HPath(qualifiedTbl),
+                    d.pathOrInlineDv).toUri.getPath
+                    .stripPrefix(baseStr).stripPrefix("/"))
+                  case "p" => Some(new HPath(d.pathOrInlineDv).toUri.getPath
+                    .stripPrefix(baseStr).stripPrefix("/"))
+                  case _ => None // inline payloads live in the log itself
+                }
+              }
+            }
+          }.collect().toSet
+        (rels, bins)
+      } else {
+        val activeAdds = activeAddsAsOf(spark, path, None)
+        // qualify each active path the same way as `base` — add rels
+        // resolve against the caller's (possibly relative) table path,
+        // and an unqualified string would never strip to a relative key
+        (activeAdds
+          .map(a => fs.makeQualified(new HPath(tbl, a.rel)).toUri.getPath
+            .stripPrefix(base).stripPrefix("/"))
+          .toSet,
+          activeAdds.flatMap(_.dv).flatMap { d =>
+            d.storageType match {
+              case "u" => Some(fs.makeQualified(dvFilePath(tbl, d.pathOrInlineDv))
+                .toUri.getPath.stripPrefix(base).stripPrefix("/"))
+              case "p" => Some(fs.makeQualified(new HPath(d.pathOrInlineDv))
+                .toUri.getPath.stripPrefix(base).stripPrefix("/"))
+              case _ => None // inline payloads live in the log itself
+            }
+          }.toSet)
+      }
     // removal timestamps from the retained commits' remove actions —
     // rel → newest deletionTimestamp, and the same for DV bin files via
     // the descriptors the removes echo. An orphan whose remove was
@@ -3630,19 +3906,11 @@ object DeltaLog {
     val orphans = dataFiles(fs, tbl).keys.filterNot(active).toSeq.sorted
       .filter(rel => removedAt(rel, removedAtByRel) < cutoff)
     orphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
-    // DV bin sweep: bins referenced by ACTIVE descriptors survive;
+    // DV bin sweep: bins referenced by ACTIVE descriptors survive
+    // (`referencedBins`, built above alongside the active set);
     // superseded generations (a later delete re-wrote every descriptor
     // into a fresh bin) are deleted. Time travel to pre-sweep DV
     // versions stops working, same rule as data files.
-    val referencedBins: Set[String] = activeAdds.flatMap(_.dv).flatMap { d =>
-      d.storageType match {
-        case "u" => Some(fs.makeQualified(dvFilePath(tbl, d.pathOrInlineDv))
-          .toUri.getPath.stripPrefix(base).stripPrefix("/"))
-        case "p" => Some(fs.makeQualified(new HPath(d.pathOrInlineDv))
-          .toUri.getPath.stripPrefix(base).stripPrefix("/"))
-        case _ => None // inline payloads live in the log itself
-      }
-    }.toSet
     val binOrphans = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       def walk(dir: HPath): Unit = fs.listStatus(dir).foreach { s =>
