@@ -726,6 +726,56 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // OVERWRITE of a name-mapped table PRESERVES the mode: the new
+    // schema re-mints annotations with ids continuing past the old
+    // maxColumnId, and the post-overwrite generation keeps appending and
+    // mutating through the mapping — the oracle recomputes the final row
+    // set straight from customer
+    "q_delta_colmap_overwrite" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_colmap_ow"
+      val c = t(s, d, "customer").toDF
+      // v0 of generation 1: the mapped fixture
+      graft.sources.DeltaLog.writeNameMapped(
+        c.where(col("c_custkey") % 2 === 0), path)
+      // generation 2, v0: OVERWRITE through the ordinary writer — mode
+      // survives, %3==0 slice lands at +250 balance
+      graft.sources.DeltaLog.write(
+        c.where(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 250),
+        "overwrite", path)
+      // v1: append the rest through the RE-MINTED logical→physical path
+      graft.sources.DeltaLog.write(
+        c.where(col("c_custkey") % 3 =!= 0), "append", path)
+      // v2: copy-on-write delete through the re-minted mapping
+      graft.sources.DeltaLog.deleteWhere(s, path, "c_custkey % 10 = 5")
+      Loaders.load(s, path, "customer_cm_ow")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
+    // first-class mapped writes: `columnMapping = name` creates the
+    // modern delta-spark default shape through write_to_delta_table —
+    // physical uuid column names in the files, logical names in the
+    // metaData annotations — and the table then appends and upserts like
+    // any mapped table
+    "q_delta_colmap_write" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_colmap_opt"
+      val c = t(s, d, "customer").toDF
+      Writers.writeDeltaTable(c.where(col("c_custkey") % 2 === 0),
+        "overwrite", path, columnMapping = Some("name"))
+      Writers.writeDeltaTable(c.where(col("c_custkey") % 2 =!= 0),
+        "append", path)
+      graft.sources.DeltaLog.upsert(
+        c.where(col("c_custkey") % 10 === 3)
+          .withColumn("c_acctbal", col("c_acctbal") - 100),
+        Seq("c_custkey"), path)
+      Loaders.load(s, path, "customer_cm_opt")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // ID-mode column mapping (iceberg-converted tables): columns resolve
     // against the physical files BY parquet field id through Spark's
     // native field-id matching. Same aggregate contract as
@@ -2976,6 +3026,22 @@ object SparkEntry {
         "CAST(c_custkey % 97 AS DOUBLE) AS bonus FROM customer " +
         "WHERE c_custkey % 10 = 4) " +
         "GROUP BY c_mktsegment"),
+
+    // generation 2 of the overwritten mapped table: %3==0 at +250 from
+    // the overwrite, the rest appended unchanged, then %10==5 deleted
+    "q_delta_colmap_overwrite" ->
+      ("SELECT count(*) AS n, round(sum(bal), 2) AS total_bal, " +
+        "c_mktsegment FROM (" +
+        "SELECT c_mktsegment, c_acctbal + 250 AS bal FROM customer " +
+        "WHERE c_custkey % 3 = 0 AND c_custkey % 10 <> 5 " +
+        "UNION ALL SELECT c_mktsegment, c_acctbal AS bal FROM customer " +
+        "WHERE c_custkey % 3 <> 0 AND c_custkey % 10 <> 5) " +
+        "GROUP BY c_mktsegment"),
+
+    "q_delta_colmap_write" ->
+      ("SELECT count(*) AS n, round(sum(CASE WHEN c_custkey % 10 = 3 " +
+        "THEN c_acctbal - 100 ELSE c_acctbal END), 2) AS total_bal, " +
+        "c_mktsegment FROM customer GROUP BY c_mktsegment"),
 
     "q_delta_dv" ->
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +

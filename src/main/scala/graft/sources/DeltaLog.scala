@@ -147,8 +147,13 @@ object DeltaLog {
         .collect().toMap
     }
 
-  private def protocolAction: String =
-    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  /** Column-mapped tables need the columnMapping reader/writer
+    * capability (protocol 2/5, the shape delta-spark declares); plain
+    * tables stay at the floor every replaying reader accepts.
+    */
+  private def protocolAction(mapped: Boolean): String =
+    if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   private def metaDataAction(schemaJson: String, partitionBy: Seq[String],
       configuration: Map[String, String] = Map.empty): String = {
@@ -363,7 +368,8 @@ object DeltaLog {
   def write(df: DataFrame, mode: String, path: String,
       partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10,
       txn: Option[(String, Long)] = None,
-      tableProperties: Map[String, String] = Map.empty): Unit = {
+      tableProperties: Map[String, String] = Map.empty,
+      columnMapping: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val tbl = new HPath(path)
@@ -410,12 +416,51 @@ object DeltaLog {
     // with `parquet.field.id` metadata (Spark's native field-id write),
     // so the table's own by-id reader resolves the new files. Mapped
     // PARTITIONED appends stage under PHYSICAL-named partition dirs
-    // (see stagePartitionBy); overwrite replaces the log and metaData
-    // wholesale (the table becomes plain mode=none).
+    // (see stagePartitionBy). OVERWRITE of a mapped table PRESERVES its
+    // mode: the new schema re-mints under the same mode with ids
+    // continuing past the old maxColumnId (delta never reuses an id) —
+    // silently demoting to mode=none would strip the resolution
+    // annotations a by-name/by-id reader relies on. `columnMapping`
+    // forces a mode at creation/overwrite instead (`Some("none")` is the
+    // explicit demotion escape hatch).
     // APPEND and MERGE into a DV-bearing table are safe: both only ADD
     // files (never touch the DV'd ones), merge's metaData refresh is
     // pure metadata since r14 (declared schema ⊕ frame, no raw read),
     // and checkpoints carry DV descriptors through the fold.
+    columnMapping.foreach { cm =>
+      if (!Set("none", "name", "id").contains(cm))
+        throw graft.GraftError.InvalidOperation("write_delta",
+          s"unknown columnMapping '$cm' — use none, name or id")
+      if (m != "overwrite") {
+        if (hasLog) {
+          val tableMode = columnMappingMode(spark, fs, tbl)
+          if (cm != tableMode)
+            throw graft.GraftError.InvalidOperation("write_delta",
+              s"$m declares columnMapping=$cm but $tbl uses mode " +
+                s"'$tableMode' — appends inherit the table's mode")
+        } else if (cm != "none")
+          throw graft.GraftError.InvalidOperation("write_delta",
+            s"columnMapping=$cm needs mode=overwrite — a mapped table is " +
+              "created by an overwrite, never bootstrapped by append/merge")
+      }
+    }
+    val priorConf: Map[String, String] =
+      if (hasLog) tableConfiguration(spark, fs, tbl) else Map.empty
+    val freshMappedMode: String =
+      if (m != "overwrite") "none"
+      else columnMapping.getOrElse(
+        priorConf.getOrElse("delta.columnMapping.mode", "none"))
+    val freshMinted: Option[(String, StructType)] =
+      if (m == "overwrite" && freshMappedMode != "none") {
+        if (freshMappedMode != "name" && freshMappedMode != "id")
+          throw graft.GraftError.InvalidOperation("write_delta",
+            s"$tbl uses unknown column mapping mode '$freshMappedMode'; " +
+              "overwrite can preserve only name and id modes")
+        val startId = priorConf.get("delta.columnMapping.maxColumnId")
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        Some(freshMappedMode ->
+          mintMappingSchema(df.schema, startId, freshMappedMode, tbl))
+      } else None
     val mappedInfo: Option[(String, StructType)] =
       if (hasLog && m != "overwrite") {
         val mode = columnMappingMode(spark, fs, tbl)
@@ -433,7 +478,7 @@ object DeltaLog {
           if (mo == "id") requireIdWritable(logical, tbl, "write_delta")
         }
         mapped
-      } else None
+      } else freshMinted
     val mappedSchema: Option[StructType] = mappedInfo.map(_._2)
     val idMapped = mappedInfo.exists(_._1 == "id")
     // mapped PARTITIONED writes stage under PHYSICAL partition directory
@@ -631,7 +676,7 @@ object DeltaLog {
         actions += s"""{"txn":{"appId":"${esc(appId)}","version":$v,""" +
           s""""lastUpdated":${System.currentTimeMillis()}}}"""
       }
-      if (version == 0L) actions += protocolAction
+      if (version == 0L) actions += protocolAction(freshMinted.nonEmpty)
       // merge commits refresh metaData with the post-write merged schema —
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping
@@ -655,7 +700,7 @@ object DeltaLog {
             // version-0 bootstrap: the dir's pre-delta content is unknown
             // — the one case that warrants reading file footers
             spark.read.option("mergeSchema", "true").parquet(path).schema
-          else df.schema
+          else freshMinted.map(_._2).getOrElse(df.schema)
         // a metaData refresh of an EXISTING table must not re-derive
         // partitionColumns from the caller (who may pass none on an
         // already-partitioned table) nor wipe the table's configuration
@@ -666,7 +711,24 @@ object DeltaLog {
             tablePartitionColumns(spark, fs, tbl).getOrElse(partitionBy)
           else partitionBy
         val metaConf =
-          if (version == 0L) tableProperties
+          if (version == 0L) {
+            // overwrite preserves the table's configuration (delta-spark
+            // save(overwrite) semantics: enableDeletionVectors & co stay)
+            // under the caller's tableProperties; column-mapping keys are
+            // managed here — re-minted when the mode is preserved/forced,
+            // dropped on an explicit columnMapping=Some("none") demotion
+            val preserved = (if (m == "overwrite") priorConf else
+              Map.empty[String, String]) -
+              "delta.columnMapping.mode" - "delta.columnMapping.maxColumnId"
+            val cmConf = freshMinted match {
+              case Some((mo, minted)) => Map(
+                "delta.columnMapping.mode" -> mo,
+                "delta.columnMapping.maxColumnId" ->
+                  maxMappingId(minted).toString)
+              case None => Map.empty[String, String]
+            }
+            preserved ++ cmConf ++ tableProperties
+          }
           else {
             val base = tableConfiguration(spark, fs, tbl)
             mappedEvolved match {
@@ -3043,6 +3105,58 @@ object DeltaLog {
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
   private val MappingIdKey = "delta.columnMapping.id"
   private val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Mint column-mapping annotations for a FRESH write's schema: every
+    * field (nested struct subfields included, per the protocol) gets a
+    * fresh `delta.columnMapping.id` above `startId` (parent before
+    * subfields — delta's allocation order) and a deterministic
+    * uuid-style physicalName salted by the id window, so successive
+    * overwrite generations never alias each other's physical columns.
+    * Id-mode minting refuses nested types — this writer emits parquet
+    * field ids only for top-level columns, and an id-mode file whose
+    * nested subfields lack ids could not be resolved by a by-id reader.
+    */
+  private def mintMappingSchema(schema: StructType, startId: Long,
+      mode: String, tbl: HPath): StructType = {
+    import org.apache.spark.sql.types._
+    def nested(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case at: ArrayType => nested(at.elementType)
+      case mt: MapType => nested(mt.keyType) || nested(mt.valueType)
+      case _ => false
+    }
+    var mintId = startId
+    def nextId(): Long = { mintId += 1; mintId }
+    val salt = s"#graft-cm-fresh-$startId"
+    def mintType(dt: DataType, pathKey: String): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        mintField(f.name, s"$pathKey.${f.name}", f.dataType, f.metadata)))
+      case at: ArrayType =>
+        at.copy(elementType = mintType(at.elementType, s"$pathKey.element"))
+      case mt: MapType =>
+        mt.copy(keyType = mintType(mt.keyType, s"$pathKey.key"),
+          valueType = mintType(mt.valueType, s"$pathKey.value"))
+      case other => other
+    }
+    def mintField(name: String, pathKey: String, dt: DataType,
+        meta: Metadata): StructField = {
+      val phys = "col-" + java.util.UUID.nameUUIDFromBytes(
+        (pathKey + salt).getBytes("UTF-8")).toString
+      val id = nextId()
+      StructField(name, mintType(dt, pathKey), nullable = true,
+        new MetadataBuilder().withMetadata(meta)
+          .putLong(MappingIdKey, id)
+          .putString(PhysicalNameKey, phys).build())
+    }
+    StructType(schema.fields.map { f =>
+      if (mode == "id" && nested(f.dataType))
+        throw graft.GraftError.InvalidOperation("write_delta",
+          s"column '${f.name}' of $tbl is ${f.dataType.simpleString} — " +
+            "id-mode column mapping over nested types is not supported " +
+            "(parquet field ids are emitted for top-level columns only)")
+      mintField(f.name, f.name, f.dataType, f.metadata)
+    })
+  }
 
   /** Largest `delta.columnMapping.id` annotated anywhere in `dt`,
     * including nested struct fields (0 when none) — what maxColumnId

@@ -238,9 +238,10 @@ object Writers {
   def writeDeltaTable(df: DataFrame, mode: String, path: String,
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      tableProperties: Map[String, String] = Map.empty): Unit =
+      tableProperties: Map[String, String] = Map.empty,
+      columnMapping: Option[String] = None): Unit =
     DeltaLog.write(df, mode, path, partitionBy, txn = txn,
-      tableProperties = tableProperties)
+      tableProperties = tableProperties, columnMapping = columnMapping)
 
   /** Copy-on-write MERGE/UPSERT into a delta table — see [[DeltaLog.upsert]]. */
   def upsertDeltaTable(updates: DataFrame, keys: Seq[String], path: String): Unit =
