@@ -784,10 +784,21 @@ object SparkEntry {
       val path = "/root/repo/target/tmp/customer_delta_colmap_id"
       val c = t(s, d, "customer").toDF
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      graft.sources.DeltaLog.writeIdMapped(c, path)
+      graft.sources.DeltaLog.writeIdMapped(
+        c.where(col("c_custkey") % 10 =!= 6), path)
+      // schema-EVOLVING append of a NESTED column on the id-mode table:
+      // c_extra mints annotations at every level and the staged file
+      // carries nested parquet field ids — the by-id read resolves
+      // c_extra.b1 while every pre-existing row reads it back null
+      graft.sources.DeltaLog.write(
+        c.where(col("c_custkey") % 10 === 6)
+          .withColumn("c_extra", org.apache.spark.sql.functions.struct(
+            (col("c_custkey") % 89).cast("double").as("b1"))),
+        "append", path)
       Loaders.load(s, path, "customer_cm_id")
         .select("c_mktsegment")
-        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal",
+          "ROUND(SUM(c_extra.b1), 2) AS total_extra")
         .groupBy("c_mktsegment").toDF
     }),
 
@@ -3048,8 +3059,12 @@ object SparkEntry {
         "c_mktsegment FROM customer WHERE c_custkey % 3 <> 0 " +
         "GROUP BY c_mktsegment"),
 
+    // the %10==6 slice appends carrying a NESTED c_extra.b1 (id-mode
+    // nested field-id evolution); every other row reads it back null
     "q_delta_colmap_id" ->
       ("SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, " +
+        "round(sum(CASE WHEN c_custkey % 10 = 6 " +
+        "THEN CAST(c_custkey % 89 AS DOUBLE) END), 2) AS total_extra, " +
         "c_mktsegment FROM customer GROUP BY c_mktsegment"),
 
     // same history as q_delta_colmap_id_cow, over the partitioned

@@ -555,18 +555,12 @@ object DeltaLog {
         // nested annotations count too (a foreign writer may annotate
         // below the top level) — never re-mint a used id
         val base = math.max(confMax, maxMappingId(logical))
-        def nested(dt: DataType): Boolean = dt match {
-          case _: StructType => true
-          case at: ArrayType => nested(at.elementType)
-          case mt: MapType => nested(mt.keyType) || nested(mt.valueType)
-          case _ => false
-        }
         // per the protocol, column mapping annotates EVERY nested struct
         // field with its own physicalName + id — a new nested column
         // mints recursively (parent id first, then subfields), and
         // maxColumnId bumps past the deepest mint (see actionsFor).
-        // Id-mode tables refuse nested new columns: this writer emits
-        // parquet field ids only for top-level columns.
+        // Id-mode tables mint nested columns too: staging emits parquet
+        // field ids at every nesting level (physicalFieldIdType).
         var mintId = base
         def nextId(): Long = { mintId += 1; mintId }
         def mintType(dt: DataType, pathKey: String): DataType = dt match {
@@ -591,12 +585,6 @@ object DeltaLog {
         }
         val newFields = extra.map { name =>
           val src = df.schema(name)
-          if (idMapped && nested(src.dataType))
-            throw graft.GraftError.InvalidOperation("write_delta",
-              s"append to mapped table $tbl: new column '$name' is " +
-                s"${src.dataType.simpleString} — nested-struct evolution " +
-                "on id-mode tables is not supported (this writer emits " +
-                "parquet field ids only for top-level columns)")
           mintField(name, name, src.dataType, src.metadata)
         }
         Some(StructType(logical.fields ++ newFields))
@@ -612,15 +600,16 @@ object DeltaLog {
         val logical = mappedEvolved.getOrElse(logical0)
         val physical = physicalType(logical).asInstanceOf[StructType]
         df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
-          val c = col(s"`${lf.name}`").cast(stripMeta(pf.dataType))
-          // id-mode files resolve BY parquet field id: annotate each
-          // staged column with its delta.columnMapping.id so the field-id
-          // write emits it
+          // id-mode files resolve BY parquet field id: the cast target
+          // carries parquet.field.id metadata at EVERY nesting level
+          // (physicalFieldIdType) so the field-id write emits nested ids
+          // too; the top-level id rides on the alias
           if (idMapped)
-            c.as(pf.name, new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong(ParquetFieldIdKey, lf.metadata.getLong(MappingIdKey))
-              .build())
-          else c.as(pf.name)
+            col(s"`${lf.name}`").cast(physicalFieldIdType(lf.dataType, tbl))
+              .as(pf.name, new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(ParquetFieldIdKey, lf.metadata.getLong(MappingIdKey))
+                .build())
+          else col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
         }: _*)
       case None => df
     }
@@ -1169,12 +1158,14 @@ object DeltaLog {
             s"mapped table schema ${logical.fieldNames.mkString(",")}")
         val physical = physicalType(logical).asInstanceOf[StructType]
         addDf.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
-          val c = col(s"`${lf.name}`").cast(stripMeta(pf.dataType))
+          // id mode: nested field ids ride on the cast target's metadata
+          // (physicalFieldIdType), the top-level id on the alias
           if (mode == "id")
-            c.as(pf.name, new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong(ParquetFieldIdKey, lf.metadata.getLong(MappingIdKey))
-              .build())
-          else c.as(pf.name)
+            col(s"`${lf.name}`").cast(physicalFieldIdType(lf.dataType, tbl))
+              .as(pf.name, new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(ParquetFieldIdKey, lf.metadata.getLong(MappingIdKey))
+                .build())
+          else col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
         }: _*)
       case None => addDf
     }
@@ -3112,19 +3103,13 @@ object DeltaLog {
     * subfields — delta's allocation order) and a deterministic
     * uuid-style physicalName salted by the id window, so successive
     * overwrite generations never alias each other's physical columns.
-    * Id-mode minting refuses nested types — this writer emits parquet
-    * field ids only for top-level columns, and an id-mode file whose
-    * nested subfields lack ids could not be resolved by a by-id reader.
+    * Id-mode minting annotates nested fields the same way — staging
+    * emits parquet field ids at every nesting level
+    * ([[physicalFieldIdType]]), so a by-id reader resolves them.
     */
   private def mintMappingSchema(schema: StructType, startId: Long,
       mode: String, tbl: HPath): StructType = {
     import org.apache.spark.sql.types._
-    def nested(dt: DataType): Boolean = dt match {
-      case _: StructType => true
-      case at: ArrayType => nested(at.elementType)
-      case mt: MapType => nested(mt.keyType) || nested(mt.valueType)
-      case _ => false
-    }
     var mintId = startId
     def nextId(): Long = { mintId += 1; mintId }
     val salt = s"#graft-cm-fresh-$startId"
@@ -3148,14 +3133,8 @@ object DeltaLog {
           .putLong(MappingIdKey, id)
           .putString(PhysicalNameKey, phys).build())
     }
-    StructType(schema.fields.map { f =>
-      if (mode == "id" && nested(f.dataType))
-        throw graft.GraftError.InvalidOperation("write_delta",
-          s"column '${f.name}' of $tbl is ${f.dataType.simpleString} — " +
-            "id-mode column mapping over nested types is not supported " +
-            "(parquet field ids are emitted for top-level columns only)")
-      mintField(f.name, f.name, f.dataType, f.metadata)
-    })
+    StructType(schema.fields.map(f =>
+      mintField(f.name, f.name, f.dataType, f.metadata)))
   }
 
   /** Largest `delta.columnMapping.id` annotated anywhere in `dt`,
@@ -3187,25 +3166,26 @@ object DeltaLog {
   private def requireIdWritable(logical: StructType, tbl: HPath,
       op: String): Unit = {
     import org.apache.spark.sql.types._
-    def nested(dt: DataType): Boolean = dt match {
-      case _: StructType => true
-      case at: ArrayType => nested(at.elementType)
-      case mt: MapType => nested(mt.keyType) || nested(mt.valueType)
-      case _ => false
+    // every field — nested struct subfields included — needs an id
+    // annotation: staging emits parquet field ids at every level
+    // (physicalFieldIdType), and a by-id reader cannot resolve a field
+    // that has none
+    def check(dt: DataType, prefix: String): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        if (!f.metadata.contains(MappingIdKey))
+          throw graft.GraftError.InvalidOperation(op,
+            s"$tbl uses id-mode column mapping but field " +
+              s"'$prefix${f.name}' has no delta.columnMapping.id " +
+              "annotation — cannot stage files the table's by-id " +
+              "reader would resolve")
+        check(f.dataType, s"$prefix${f.name}.")
+      }
+      case at: ArrayType => check(at.elementType, prefix)
+      case mt: MapType =>
+        check(mt.keyType, prefix); check(mt.valueType, prefix)
+      case _ => ()
     }
-    logical.fields.foreach { f =>
-      if (!f.metadata.contains(MappingIdKey))
-        throw graft.GraftError.InvalidOperation(op,
-          s"$tbl uses id-mode column mapping but field '${f.name}' has " +
-            "no delta.columnMapping.id annotation — cannot stage files " +
-            "the table's by-id reader would resolve")
-      if (nested(f.dataType))
-        throw graft.GraftError.InvalidOperation(op,
-          s"$tbl: id-mode write with nested column '${f.name}' " +
-            s"(${f.dataType.simpleString}) is not supported — nested " +
-            "fields need their own parquet field ids, which this writer " +
-            "only emits for top-level columns")
-    }
+    check(logical, "")
   }
 
   /** Run `body` with Spark's parquet field-id WRITE support forced on
@@ -3254,6 +3234,43 @@ object DeltaLog {
       case at: ArrayType => at.copy(elementType = fieldIdReadType(at.elementType, tbl))
       case mt: MapType => mt.copy(keyType = fieldIdReadType(mt.keyType, tbl),
         valueType = fieldIdReadType(mt.valueType, tbl))
+      case other => other
+    }
+  }
+
+  /** Physical (on-file) type for ID-mode staging: every struct field
+    * renamed to its physicalName annotation AND annotated with
+    * `parquet.field.id` from its `delta.columnMapping.id` — at EVERY
+    * nesting level, so Spark's field-id write emits ids the by-id
+    * reader resolves for nested fields too (the read side,
+    * [[fieldIdReadType]], already matches nested ids). A field lacking
+    * the id annotation refuses typed: a by-id reader could never
+    * resolve it.
+    */
+  private def physicalFieldIdType(dt: org.apache.spark.sql.types.DataType,
+      tbl: HPath): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        if (!f.metadata.contains(MappingIdKey))
+          throw graft.GraftError.InvalidOperation("write_delta",
+            s"$tbl uses id-mode column mapping but nested field " +
+              s"'${f.name}' has no delta.columnMapping.id annotation — " +
+              "cannot stage files the by-id reader would resolve")
+        val phys =
+          if (f.metadata.contains(PhysicalNameKey))
+            f.metadata.getString(PhysicalNameKey)
+          else f.name
+        StructField(phys, physicalFieldIdType(f.dataType, tbl),
+          nullable = true, new MetadataBuilder()
+            .putLong(ParquetFieldIdKey, f.metadata.getLong(MappingIdKey))
+            .build())
+      })
+      case at: ArrayType =>
+        at.copy(elementType = physicalFieldIdType(at.elementType, tbl))
+      case mt: MapType =>
+        mt.copy(keyType = physicalFieldIdType(mt.keyType, tbl),
+          valueType = physicalFieldIdType(mt.valueType, tbl))
       case other => other
     }
   }

@@ -108,13 +108,19 @@ class DeltaColmapEvolveSpec extends SparkSpec {
     assert(physPair.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       .fieldNames.forall(_.startsWith("col-")),
       "nested struct subfields must be physical-named on file")
-    // id-mode tables keep refusing nested new columns (no nested
-    // parquet-field-id emission)
+    // id-mode tables evolve nested columns too: staging emits parquet
+    // field ids at EVERY nesting level, so the by-id reader (whose read
+    // schema carries logical names that match nothing in the file —
+    // only the ids do) resolves the subfields
     val pid = freshDir("nested_id")
     DeltaLog.writeIdMapped(Seq((1L, "a")).toDF("id", "name"), pid)
-    val e = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.write(withStruct, "append", pid)
-    }
-    assert(e.getMessage.contains("nested-struct evolution"))
+    DeltaLog.write(withStruct, "append", pid)
+    val backId = DeltaLog.read(spark, pid).orderBy("id").collect()
+    assert(backId(0).isNullAt(2), "pre-evolution row reads null struct")
+    val pairId = backId(1).getStruct(2)
+    assert(pairId.getInt(0) == 1 && pairId.getInt(1) == 2,
+      "nested values must resolve BY FIELD ID on the id-mode table")
+    assert(newestCommit(pid)
+      .contains("\"delta.columnMapping.maxColumnId\":\"5\""))
   }
 }

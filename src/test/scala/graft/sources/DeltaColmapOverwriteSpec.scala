@@ -91,13 +91,19 @@ class DeltaColmapOverwriteSpec extends SparkSpec {
     // appends to the overwritten generation keep resolving by field id
     DeltaLog.write(Seq((7L, 3.5, "r")).toDF("id", "v", "s"), "append", p)
     assert(DeltaLog.read(spark, p).count() == 3L)
-    // id-mode nested columns refuse at mint time (documented floor)
-    val e = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.write(sp.range(1).select(col("id"),
-        org.apache.spark.sql.functions.struct(col("id").as("x")).as("s")),
-        "overwrite", p)
-    }
-    assert(e.getMessage.contains("nested"), e.getMessage)
+    // id-mode overwrite with NESTED columns: the mint annotates every
+    // level and staging emits nested parquet field ids — read-back
+    // resolves the subfields by id (logical names match nothing on file)
+    DeltaLog.write(sp.range(3).select(col("id"),
+      org.apache.spark.sql.functions.struct((col("id") * 10).as("x"),
+        (col("id") + 100).as("y")).as("inner")),
+      "overwrite", p)
+    val nestedBack = DeltaLog.read(spark, p).orderBy("id")
+    assert(nestedBack.columns.toSeq == Seq("id", "inner"))
+    assert(nestedBack.select("inner.x").as[Long].collect().toSeq ==
+      Seq(0L, 10L, 20L), "nested subfields must resolve by field id")
+    assert(nestedBack.select("inner.y").as[Long].collect().toSeq ==
+      Seq(100L, 101L, 102L))
   }
 
   test("columnMapping option: first-class name-mode creation and demotion") {
