@@ -2222,13 +2222,20 @@ object DeltaLog {
         val partLogicalNames = partFields.map(_._1.name).toSet
         val dataLogical = StructType(
           logical.fields.filterNot(f => partLogicalNames(f.name)))
-        // session-wide by necessity (there is no per-read form of this
-        // conf) and deliberately left on: it is a NO-OP for any read
-        // whose schema carries no parquet.field.id metadata (matching
-        // stays by name), and a schema that DOES carry field ids is
-        // asking for by-id resolution — restoring the old value after
-        // the read would also race concurrent queries mid-plan
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        // spark.sql.parquet.fieldId.read.enabled is set at SESSION BUILD
+        // (Loaders.session and every main/spec builder) — a no-op for
+        // schemas without field-id metadata, and setting it mid-read
+        // would race concurrent queries mid-plan. Guarded here so a
+        // foreign session that skipped the builder fails typed instead
+        // of returning all-null columns (by-name resolution of physical
+        // uuid names matches nothing).
+        if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false")
+            .toBoolean)
+          throw graft.GraftError.InvalidOperation("load_delta",
+            s"$tbl uses id-mode column mapping, which needs " +
+              "spark.sql.parquet.fieldId.read.enabled=true at session " +
+              "build (Loaders.session sets it); without it every data " +
+              "column would read back null")
         val readSchema = StructType(
           fieldIdReadType(dataLogical, tbl).asInstanceOf[StructType].fields ++
             partFields.map { case (f, phys) =>

@@ -25,6 +25,12 @@ object Loaders {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // id-mode column-mapped delta tables resolve columns BY parquet
+      // field id; the conf is session-wide (Spark has no per-read form)
+      // and a NO-OP for any read whose schema carries no parquet.field.id
+      // metadata, so it is set at session build — never mid-read, where
+      // a conf flip would race concurrent queries mid-plan
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

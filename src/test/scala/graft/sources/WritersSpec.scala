@@ -465,13 +465,17 @@ class WritersSpec extends SparkSpec {
       Seq((2L, "B", 20.5), (3L, "c", 3.5), (9L, "z", 9.9)))
     // time travel: v0 pre-mutation snapshot intact
     assert(DeltaLog.read(spark, p, Some(0L)).count() == 3L)
-    // nested new columns refuse typed (no nested field-id emission)
+    // nested new columns EVOLVE: the mint annotates every level and the
+    // staged file carries nested parquet field ids, so the by-id read
+    // resolves the subfield while pre-existing rows read it back null
     val nestedUpd = Seq((5L, "n", 0.1)).toDF("id", "name", "v")
       .withColumn("extra", org.apache.spark.sql.functions.struct($"id"))
-    def msg(body: => Any): String =
-      intercept[graft.GraftError.InvalidOperation](body).getMessage
-    assert(msg(DeltaLog.write(nestedUpd, "append", p))
-      .contains("nested"))
+    DeltaLog.write(nestedUpd, "append", p)
+    val evolved = DeltaLog.read(spark, p)
+    assert(evolved.where($"id" === 5L).select("extra.id")
+      .head.getLong(0) == 5L, "nested subfield must resolve by field id")
+    assert(evolved.where($"id" === 2L).select("extra").head.isNullAt(0),
+      "pre-evolution rows read the new nested column as null")
   }
 
   test("partitioned id-mode table: physical dirs resolve back to logical columns") {
