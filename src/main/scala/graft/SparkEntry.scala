@@ -1282,6 +1282,30 @@ object SparkEntry {
         .select("o_orderstatus")
         .agg("COUNT(*) AS n", "ROUND(SUM(o_totalprice), 2) AS total_price")
         .groupBy("o_orderstatus").toDF
+    }),
+
+    // JDBC round-trip against embedded Derby — the same spark.read.jdbc
+    // path from_postgres / from_mysql take (only the URL differs per
+    // backend): customer writes INTO the database through Spark's JDBC
+    // writer, reads back through fromJdbc's pushed-down query, and the
+    // oracle recomputes the aggregate straight from the parquet table.
+    // Identifiers are UPPERCASE because Derby uppercases unquoted names
+    // while Spark's writer quotes exactly — the loader lowercases on
+    // load, so the result speaks the oracle's column vocabulary.
+    "q_jdbc_roundtrip" -> ((s, d) => {
+      val url = "jdbc:derby:/root/repo/target/tmp/derby_graft_q;create=true"
+      val c = t(s, d, "customer").toDF
+        .select(col("c_custkey").as("C_CUSTKEY"),
+          col("c_mktsegment").as("C_MKTSEGMENT"),
+          col("c_acctbal").as("C_ACCTBAL"))
+      c.write.mode("overwrite")
+        .jdbc(url, "GRAFT_CUSTOMER", new java.util.Properties())
+      Loaders.fromJdbc(s, url,
+        "SELECT C_CUSTKEY, C_MKTSEGMENT, C_ACCTBAL FROM GRAFT_CUSTOMER",
+        "cust_jdbc")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
     }))
 
   // ── M5 extensions: dedup / similarity / text / multimodal / events ───
@@ -2970,6 +2994,10 @@ object SparkEntry {
     // round-trip the same rows through the ORC codec to match
     "q_orc_roundtrip" ->
       "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price, o_orderstatus FROM orders GROUP BY o_orderstatus",
+
+    // customer round-trips through embedded Derby (write.jdbc → fromJdbc)
+    "q_jdbc_roundtrip" ->
+      "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM customer GROUP BY c_mktsegment",
 
     "q_select_star" ->
       "SELECT count(*) AS n, CAST(floor(sum(l_quantity)) AS BIGINT) AS sq, round(sum(o_totalprice), 2) AS sp FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
