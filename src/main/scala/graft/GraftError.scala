@@ -80,6 +80,15 @@ object GraftError {
         s"Invalid operation '$operation': $reason",
         "See the loader/writer surface in README.md for supported formats, modes and arguments")
 
+  final case class ConstraintViolation(path: String, operation: String,
+      violations: Seq[(String, Long)])
+      extends GraftError(
+        s"$operation on '$path' rejected — the incoming rows violate the " +
+          "table's declared constraints: " +
+          violations.map { case (label, n) => s"$label [$n row(s)]" }
+            .mkString("; "),
+        "CHECK constraints reject rows where the expression is FALSE (NULL passes, per SQL); NOT NULL invariants reject NULL values. Fix the offending rows, or recreate the table without the constraint")
+
   final case class MissingColumnWithContext(column: String,
       available: Seq[String], context: String, location: String)
       extends GraftError(

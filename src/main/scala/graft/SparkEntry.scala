@@ -679,6 +679,34 @@ object SparkEntry {
         .groupBy("c_mktsegment").toDF
     }),
 
+    // CHECK constraints (delta.constraints.* configuration, the key
+    // delta-spark's ALTER TABLE ADD CONSTRAINT writes): declared at
+    // creation, enforced on the staging scan of every row-adding commit
+    // (create, append, upsert changeset) via Dataset.observe — a
+    // violating write aborts BEFORE the log commit. This query drives
+    // the GREEN path end-to-end (create + append + upsert under two
+    // live constraints); the violation/abort paths are pinned by
+    // DeltaConstraintsSpec.
+    "q_delta_constraints" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_constrained"
+      val o = t(s, d, "orders").toDF
+      Writers.writeDeltaTable(o, "overwrite", path,
+        tableProperties = Map(
+          "delta.constraints.price_pos" -> "o_totalprice > 0",
+          "delta.constraints.status_known" ->
+            "o_orderstatus IN ('O', 'F', 'P')"))
+      Writers.writeDeltaTable(o.where(col("o_orderkey") % 10 === 0),
+        "append", path)
+      graft.sources.DeltaLog.upsert(
+        o.where(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        Seq("o_orderkey"), path)
+      Loaders.load(s, path, "orders_constrained")
+        .select("o_orderstatus")
+        .agg("COUNT(*) AS n", "ROUND(SUM(o_totalprice), 2) AS total_price")
+        .groupBy("o_orderstatus").toDF
+    }),
+
     // NAME-mode column mapping (the modern delta-spark/delta-rs writer
     // default): data files carry physical uuid-style column names, the
     // metaData's schemaString maps them back — the read must return
@@ -3049,6 +3077,18 @@ object SparkEntry {
 
     "q_delta_roundtrip" ->
       "SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total_bal, c_mktsegment FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey % 10 = 0) GROUP BY c_mktsegment",
+
+    // base table ∪ the %10==0 append, with the %10==1 upsert replacing
+    // its rows at +1000 — all rows satisfying both live constraints
+    "q_delta_constraints" ->
+      ("SELECT count(*) AS n, round(sum(price), 2) AS total_price, " +
+        "o_orderstatus FROM (" +
+        "SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 1 " +
+        "THEN o_totalprice + 1000 ELSE o_totalprice END AS price " +
+        "FROM orders " +
+        "UNION ALL SELECT o_orderstatus, o_totalprice AS price " +
+        "FROM orders WHERE o_orderkey % 10 = 0" +
+        ") GROUP BY o_orderstatus"),
 
     // the %10==4 slice is deleted then re-merged carrying c_bonus (the
     // schema-evolving mapped merge); every other row has a null bonus

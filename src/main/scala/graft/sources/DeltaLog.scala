@@ -148,11 +148,17 @@ object DeltaLog {
     }
 
   /** Column-mapped tables need the columnMapping reader/writer
-    * capability (protocol 2/5, the shape delta-spark declares); plain
-    * tables stay at the floor every replaying reader accepts.
+    * capability (protocol 2/5, the shape delta-spark declares); a table
+    * created with CHECK constraints declares minWriterVersion 3 (the
+    * checkConstraints writer feature — a foreign writer below it would
+    * append unvalidated rows); plain tables stay at the floor every
+    * replaying reader accepts. Writer versions are cumulative, so the
+    * mapped 5 already covers constraints.
     */
-  private def protocolAction(mapped: Boolean): String =
+  private def protocolAction(mapped: Boolean, constrained: Boolean): String =
     if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    else if (constrained)
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}"""
     else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   private def metaDataAction(schemaJson: String, partitionBy: Seq[String],
@@ -398,6 +404,13 @@ object DeltaLog {
     // configuration — including the appendOnly marker itself
     if (m == "overwrite" && hasLog)
       requireNotAppendOnly(spark, fs, tbl, "write_delta")
+    // writer-protocol fidelity: refuse to mutate a table whose declared
+    // writer features we would silently break (CDF deletes without cdc
+    // actions, row tracking, generated/identity columns, unknown v7
+    // features). Overwrite both removes every live row and restages.
+    if (hasLog)
+      requireWriterCapability(spark, fs, tbl, "write_delta",
+        adds = true, removes = m == "overwrite", rewrites = m == "overwrite")
     // table properties only take effect on the commit that CREATES the
     // log (version 0); silently ignoring them on an append/merge into an
     // existing table would let a caller believe they set appendOnly (or
@@ -532,6 +545,37 @@ object DeltaLog {
       if (m == "overwrite" && tbl.getParent != null)
         new HPath(tbl.getParent, s".graft_stage_${tbl.getName}_$stageId")
       else new HPath(tbl, s".graft_stage_$stageId")
+    // CHECK constraints + NOT NULL invariants this commit must enforce:
+    // the configuration the committed table WILL declare (an existing
+    // table's on append/merge; preserved-properties ∪ caller properties
+    // on create/overwrite — delta-spark overwrite keeps configuration,
+    // so a table's constraints survive an overwrite and gate its new
+    // rows too). NOT NULL comes from the DECLARED schema on appends;
+    // a fresh write's schema is the frame's own, trivially satisfied.
+    // Enforcement rides the staging scan itself via Dataset.observe —
+    // a single pass, no second read of an arbitrarily expensive input —
+    // and a violation aborts BEFORE the log commit: the staged files
+    // are swept by the finally below and the table never saw them
+    // (visibility comes only from the commit slot), so the abort is
+    // exactly as transactional as delta-spark's mid-job task failure.
+    val enforceConf: Map[String, String] =
+      if (hasLog && m != "overwrite") priorConf
+      else (if (m == "overwrite") priorConf
+            else Map.empty[String, String]) ++ tableProperties
+    val enforceSchema: Option[StructType] =
+      if (hasLog && m != "overwrite") parsedTableSchema(spark, fs, tbl)
+      else None
+    val enforceChecks = enforcementChecks(spark, enforceConf, enforceSchema,
+      df.columns.toSeq, tbl, "write_delta")
+    val enforceObs =
+      if (enforceChecks.isEmpty) None
+      else Some(new org.apache.spark.sql.Observation(s"graft_enforce_$stageId"))
+    val dfSrc = enforceObs.map { o =>
+      import org.apache.spark.sql.functions.{sum, when}
+      val metrics = enforceChecks.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(p, 1L).otherwise(0L)).cast("long").as(s"c$i") }
+      df.observe(o, metrics.head, metrics.tail: _*)
+    }.getOrElse(df)
     // mapped append: stage under the table's PHYSICAL column names —
     // logical→physical is the same positional struct-cast rename the
     // read path applies in reverse
@@ -599,7 +643,7 @@ object DeltaLog {
               missing.mkString(", "))
         val logical = mappedEvolved.getOrElse(logical0)
         val physical = physicalType(logical).asInstanceOf[StructType]
-        df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
+        dfSrc.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
           // id-mode files resolve BY parquet field id: the cast target
           // carries parquet.field.id metadata at EVERY nesting level
           // (physicalFieldIdType) so the field-id write emits nested ids
@@ -611,13 +655,25 @@ object DeltaLog {
                 .build())
           else col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
         }: _*)
-      case None => df
+      case None => dfSrc
     }
     val w = dfToStage.write.mode("overwrite")
     try {
     withFieldIdWriteIf(spark, idMapped) {
       (if (stagePartitionBy.nonEmpty) w.partitionBy(stagePartitionBy: _*)
        else w).parquet(stage.toString)
+    }
+    // observed violation counts from the staging scan — abort pre-commit
+    // (the finally sweeps the staged files; nothing was made visible)
+    enforceObs.foreach { o =>
+      val got = o.get
+      val violated = enforceChecks.zipWithIndex.flatMap { case ((label, _), i) =>
+        got.get(s"c$i").collect { case n: java.lang.Long if n > 0L =>
+          label -> n.longValue }
+      }
+      if (violated.nonEmpty)
+        throw graft.GraftError.ConstraintViolation(path, s"write_delta($m)",
+          violated)
     }
 
     def swapAndCommit(): Unit = {
@@ -665,7 +721,8 @@ object DeltaLog {
         actions += s"""{"txn":{"appId":"${esc(appId)}","version":$v,""" +
           s""""lastUpdated":${System.currentTimeMillis()}}}"""
       }
-      if (version == 0L) actions += protocolAction(freshMinted.nonEmpty)
+      if (version == 0L) actions += protocolAction(freshMinted.nonEmpty,
+        enforceConf.keys.exists(_.startsWith("delta.constraints.")))
       // merge commits refresh metaData with the post-write merged schema —
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping
@@ -887,6 +944,14 @@ object DeltaLog {
       return
     }
     requireNotAppendOnly(spark, fs, tbl, "upsert_delta")
+    requireWriterCapability(spark, fs, tbl, "upsert_delta",
+      adds = true, removes = true, rewrites = true)
+    // constraints gate the incoming CHANGESET (survivors were already
+    // live rows); one aggregate pass over `updates`, bounded by the
+    // changeset size, never the table
+    enforceEager(updates, enforcementChecks(spark,
+      tableConfiguration(spark, fs, tbl), parsedTableSchema(spark, fs, tbl),
+      updates.columns.toSeq, tbl, "upsert_delta"), path, "upsert_delta")
     val updKeys = updates.select(keys.map(col): _*).distinct()
     // snapshot fold + key-bounds pruning run distributedly above the
     // log-size threshold — the driver materializes only the CANDIDATE
@@ -967,6 +1032,8 @@ object DeltaLog {
       return touchedUris.length
     }
     requireNotAppendOnly(spark, fs, tbl, "delete_delta")
+    requireWriterCapability(spark, fs, tbl, "delete_delta",
+      adds = false, removes = true, rewrites = true)
     // snapshot fold + stats pruning run distributedly above the log-size
     // threshold — the driver materializes only the CANDIDATE entries
     val kept = activeAddsWhere(spark, path, Some(predicate),
@@ -1014,6 +1081,217 @@ object DeltaLog {
         s"$tbl declares delta.appendOnly=true — row-removing mutations " +
           "are forbidden on append-only tables (append, merge and " +
           "optimize remain available)")
+
+  /** Memo for [[tableWriterProtocol]] keyed by [[logIdentity]] — the
+    * protocol action usually lives only in the version-0 commit, so an
+    * uncached lookup walks the log newest→oldest on every mutation.
+    */
+  private val writerProtoCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), (Int, Seq[String])]()
+
+  /** Newest protocol action's writer half: (minWriterVersion,
+    * writerFeatures). Commits are consulted newest→oldest, falling back
+    * to the checkpoint when older commits were cleaned; a log with no
+    * protocol action (not a delta table / legacy) reports the floor
+    * (1, Nil).
+    */
+  private def tableWriterProtocol(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): (Int, Seq[String]) = {
+    val cacheKey = logIdentity(fs, tbl)
+    val hit = writerProtoCache.get(cacheKey)
+    if (hit != null) return hit
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    def parse(p: com.fasterxml.jackson.databind.JsonNode): (Int, Seq[String]) = {
+      val v = Option(p.get("minWriterVersion")).map(_.asInt(1)).getOrElse(1)
+      val feats = scala.collection.mutable.ArrayBuffer.empty[String]
+      Option(p.get("writerFeatures")).filter(_.isArray)
+        .foreach(_.forEach(f => feats += f.asText))
+      (v, feats.toSeq)
+    }
+    val log = logDir(tbl)
+    val fromCommits = existingVersions(fs, log).reverse.iterator.flatMap { v =>
+      readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        val p = if (node == null) null else node.get("protocol")
+        if (p != null && p.isObject) Some(parse(p)) else None
+      }.toSeq.lastOption
+    }.nextOption()
+    val result = fromCommits.orElse(lastCheckpointVersion(fs, log)
+        .flatMap(v => readCheckpoint(spark, fs, log, v)).flatMap { cp =>
+      if (!cp.columns.contains("protocol")) None
+      else cp.where(col("protocol").isNotNull)
+        .select(org.apache.spark.sql.functions.to_json(col("protocol")))
+        .collect().headOption.flatMap { r =>
+          val node = try mapper.readTree(r.getString(0)) catch { case _: Exception => null }
+          if (node != null && node.isObject) Some(parse(node)) else None
+        }
+    }).getOrElse((1, Nil))
+    if (writerProtoCache.size > 256) writerProtoCache.clear() // bound, not LRU
+    writerProtoCache.put(cacheKey, result)
+    result
+  }
+
+  /** Writer features this engine actually maintains across its mutation
+    * surface. Anything a table declares beyond these makes our commits
+    * CORRUPTING, not just incomplete — e.g. rewriting files on a
+    * row-tracking table without preserving materialized row ids, or
+    * removing rows on a change-data-feed table without emitting cdc
+    * actions — so mutations refuse typed, exactly like the read path's
+    * reader-capability guard ([[activeAddsAsOf]]).
+    */
+  private val SupportedWriterFeatures = Set(
+    "appendOnly", "invariants", "checkConstraints", "columnMapping",
+    "deletionVectors", "timestampNtz")
+
+  /** Writer-protocol fidelity gate, run before any mutation of an
+    * EXISTING delta table. `adds`/`removes` describe the commit this
+    * operation would write (new rows / removed-or-superseded live rows);
+    * `rewrites` marks dataChange=false restages (optimize, DV purge),
+    * which carry no row delta but still replace physical files.
+    *
+    * Versioned gates: minWriterVersion > 7 is refused outright (unknown
+    * future semantics); version 7 requires writerFeatures ⊆ supported,
+    * where the conditional features (changeDataFeed, generatedColumns,
+    * identityColumns, rowTracking) are tolerated in the LIST and gated
+    * on being ACTIVE instead — a listed-but-disabled feature imposes no
+    * writer obligation (delta-spark's own rule). Active-feature gates
+    * run at every version, because versions 4-6 imply them without a
+    * feature list:
+    *  - `delta.enableChangeDataFeed=true` + a row-removing commit →
+    *    refused (we emit no cdc actions; CDF readers would silently
+    *    miss the deletes — appends stay allowed, CDF derives them from
+    *    add actions alone).
+    *  - `delta.enableRowTracking=true` + anything that adds, removes or
+    *    restages files → refused (row ids are neither minted nor
+    *    carried through rewrites).
+    *  - generated / identity columns in the schema + a row-adding
+    *    commit → refused (their expressions/sequences are not evaluated
+    *    on write, so appended rows would hold caller-supplied values
+    *    that violate the column contract).
+    */
+  private def requireWriterCapability(spark: SparkSession, fs: FileSystem,
+      tbl: HPath, op: String, adds: Boolean, removes: Boolean,
+      rewrites: Boolean): Unit = {
+    def refuse(what: String): Nothing =
+      throw graft.GraftError.InvalidOperation(op,
+        s"$tbl requires an unsupported writer capability ($what); " +
+          "mutating it without honoring that feature would corrupt the " +
+          "table for its other readers and writers")
+    val (v, feats) = tableWriterProtocol(spark, fs, tbl)
+    if (v > 7) refuse(s"protocol minWriterVersion $v")
+    if (v == 7) {
+      val conditional = Set("changeDataFeed", "generatedColumns",
+        "identityColumns", "rowTracking")
+      val unsupported = feats.filterNot(f =>
+        SupportedWriterFeatures(f) || conditional(f))
+      if (unsupported.nonEmpty)
+        refuse(s"writerFeatures ${unsupported.mkString("[", ", ", "]")}")
+    }
+    val conf = tableConfiguration(spark, fs, tbl)
+    if (removes && conf.get("delta.enableChangeDataFeed").contains("true"))
+      refuse("change data feed on a row-removing commit — no " +
+        "_change_data/cdc actions are emitted, so CDF readers would " +
+        "miss these deletes")
+    if ((adds || removes || rewrites) &&
+        conf.get("delta.enableRowTracking").contains("true"))
+      refuse("row tracking — row ids are not minted or preserved " +
+        "across rewrites")
+    if (adds) parsedTableSchema(spark, fs, tbl).foreach { s =>
+      val gen = s.fields
+        .filter(_.metadata.contains("delta.generationExpression"))
+        .map(_.name)
+      if (gen.nonEmpty)
+        refuse(s"generated columns (${gen.mkString(", ")}) — their " +
+          "generation expressions are not evaluated on write")
+      val ident = s.fields.filter(f =>
+        f.metadata.contains("delta.identity.start") ||
+          f.metadata.contains("delta.identity.step")).map(_.name)
+      if (ident.nonEmpty)
+        refuse(s"identity columns (${ident.mkString(", ")}) — identity " +
+          "sequences are not maintained on write")
+    }
+  }
+
+  /** CHECK constraints (`delta.constraints.<name>` in the table
+    * configuration — the key delta-spark's ALTER TABLE ADD CONSTRAINT
+    * writes) plus NOT NULL invariants (non-nullable fields of the
+    * declared schema), compiled to VIOLATION predicates over an incoming
+    * frame. SQL CHECK semantics: a row violates only when the expression
+    * is provably FALSE — NULL passes. A declared NOT NULL column missing
+    * from the frame entirely refuses typed here (its rows would read
+    * back NULL through the declared schema). A CHECK expression
+    * referencing a column absent from the frame ALSO refuses typed:
+    * staged files carry only the frame's columns, the absent ones read
+    * back NULL, and NULL legs can flip a compound predicate to FALSE on
+    * read (`qty > 0 AND name IS NOT NULL` with `name` absent) — rows
+    * this write validated would violate the constraint for every later
+    * reader. The caller's fix is explicit NULL columns, which then
+    * validate honestly.
+    */
+  private def enforcementChecks(spark: SparkSession,
+      configuration: Map[String, String],
+      declaredSchema: Option[StructType], frameColumns: Seq[String],
+      tbl: HPath, op: String): Seq[(String, org.apache.spark.sql.Column)] = {
+    val frameLower = frameColumns.map(_.toLowerCase).toSet
+    val checks = configuration.toSeq
+      .filter { case (k, _) => k.startsWith("delta.constraints.") }
+      .sortBy(_._1)
+      .map { case (k, sql) =>
+        val name = k.stripPrefix("delta.constraints.")
+        val refs =
+          try spark.sessionState.sqlParser.parseExpression(sql).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last
+          }.distinct
+          catch {
+            case _: Exception =>
+              throw graft.GraftError.InvalidOperation(op,
+                s"$tbl declares CHECK constraint $name whose expression " +
+                  s"does not parse: $sql")
+          }
+        val absent = refs.filterNot(r => frameLower(r.toLowerCase))
+        if (absent.nonEmpty)
+          throw graft.GraftError.InvalidOperation(op,
+            s"$tbl declares CHECK constraint $name ($sql) referencing " +
+              s"column(s) ${absent.mkString(", ")} absent from the " +
+              "incoming frame — the rows would read back NULL there and " +
+              "could violate the constraint for later readers; include " +
+              "the column(s) (explicit NULLs validate honestly)")
+        (s"CHECK constraint $name ($sql)",
+          coalesce(expr(sql).cast("boolean"), lit(true)) === lit(false))
+      }
+    val notNull = declaredSchema.toSeq.flatMap(_.fields)
+      .filterNot(_.nullable).map(_.name)
+    val missing = notNull.filterNot(frameColumns.contains)
+    if (missing.nonEmpty)
+      throw graft.GraftError.InvalidOperation(op,
+        s"$tbl declares NOT NULL column(s) ${missing.mkString(", ")} but " +
+          "the incoming frame lacks them — appended rows would read " +
+          "back NULL through the declared schema")
+    checks ++ notNull.map(f =>
+      (s"NOT NULL invariant on $f", col(s"`$f`").isNull))
+  }
+
+  /** Eager single-scan enforcement (used where the frame is an incoming
+    * CHANGESET — upsert's updates — whose one extra aggregate pass is
+    * bounded by the changeset, never the table; the append path instead
+    * rides the checks on the staging scan itself via
+    * `Dataset.observe`, see [[write]]).
+    */
+  private def enforceEager(df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      path: String, op: String): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{sum, when}
+    val row = df.select(checks.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(p, 1L).otherwise(0L)).cast("long").as(s"c$i") }: _*).first()
+    val violated = checks.zipWithIndex.flatMap { case ((label, _), i) =>
+      if (!row.isNullAt(i) && row.getLong(i) > 0) Some(label -> row.getLong(i))
+      else None }
+    if (violated.nonEmpty)
+      throw graft.GraftError.ConstraintViolation(path, op, violated)
+  }
 
   /** Time travel by TIMESTAMP (delta's `timestampAsOf`): resolves the
     * NEWEST commit whose commit-file modification time is <= `tsMillis`
@@ -2642,6 +2920,8 @@ object DeltaLog {
           "feature (no silent protocol upgrade) — use the copy-on-write " +
           "deleteWhere")
     requireNotAppendOnly(spark, fs, tbl, "delete_delta_dv")
+    requireWriterCapability(spark, fs, tbl, "delete_delta_dv",
+      adds = false, removes = true, rewrites = false)
     // DISCOVERY scans only the stats-surviving files for the predicate
     // (same conservative kernel as deleteWhere/readWhere — a DV delete
     // of one key in a 100 TB table reads O(candidate files)); fold and
@@ -2783,6 +3063,12 @@ object DeltaLog {
     */
   def purgeDeletionVectors(spark: SparkSession, path: String,
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Int = {
+    locally {
+      val tbl = new HPath(path)
+      val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      requireWriterCapability(spark, fs, tbl, "purge_deletion_vectors",
+        adds = false, removes = false, rewrites = true)
+    }
     // fold + DV filter run distributedly above the log-size threshold:
     // the driver materializes only the DV-BEARING entries — the files a
     // purge rewrites — never the plain bulk of the snapshot
@@ -3557,6 +3843,8 @@ object DeltaLog {
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Int = {
     val tbl0 = new HPath(path)
     val fs0 = tbl0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireWriterCapability(spark, fs0, tbl0, "optimize",
+      adds = false, removes = false, rewrites = true)
     // fold + small-file filter run distributedly above the log-size
     // threshold: the driver materializes only the VICTIM entries (a
     // z-order rewrite is inherently O(table) — every file restages and
@@ -3692,6 +3980,8 @@ object DeltaLog {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNotAppendOnly(spark, fs, tbl, "restore")
+    requireWriterCapability(spark, fs, tbl, "restore",
+      adds = true, removes = true, rewrites = true)
     // DV-aware: snapshots compare as (path, DV descriptor) pairs — a file
     // live at both endpoints but with a DIFFERENT deletion vector is
     // remove+re-added with the TARGET's descriptor (the protocol shape of
@@ -3907,6 +4197,12 @@ object DeltaLog {
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Seq[String] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // version/feature floor only: vacuum deletes UNREFERENCED files, so
+    // no row delta and no restage — but an unknown v7 writer feature may
+    // reference files through actions this replay doesn't parse
+    if (fs.exists(logDir(tbl)))
+      requireWriterCapability(spark, fs, tbl, "vacuum",
+        adds = false, removes = false, rewrites = false)
     val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
     // active reference sets: RELATIVE PATH STRINGS of the live data
     // files and of the bins their DV descriptors reference. Above the

@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Writer-protocol fidelity gate: mutating a table whose declared writer
+  * features this engine cannot maintain would CORRUPT it for the table's
+  * other readers/writers — rewriting files on a row-tracking table
+  * without preserving row ids, removing rows on a change-data-feed table
+  * without emitting cdc actions, appending to generated/identity columns
+  * without evaluating their expressions, or committing under an unknown
+  * future writer version. All of those refuse typed, mirroring the read
+  * path's reader-capability guard; listed-but-INACTIVE conditional
+  * features impose no obligation (delta-spark's rule) and stay writable.
+  */
+class DeltaWriterGateSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = s"target/tmp/writergate/$name"
+    val pp = Paths.get(p)
+    if (Files.exists(pp))
+      Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    p
+  }
+
+  /** Foreign single-commit table: one parquet file staged by Spark, a
+    * handcrafted version-0 commit with the given protocol line,
+    * configuration map, and optional per-field schema metadata.
+    */
+  private def foreign(name: String, protocol: String,
+      configuration: Map[String, String] = Map.empty,
+      idFieldMetadata: Map[String, String] = Map.empty): String = {
+    val sp = spark; import sp.implicits._
+    val p = freshDir(name)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val dataFile = {
+      var found: String = null
+      Files.list(Paths.get(p)).forEach { f =>
+        val n = f.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) found = n
+      }
+      require(found != null, "no staged parquet"); found
+    }
+    val size = Files.size(Paths.get(p, dataFile))
+    val meta = idFieldMetadata.map { case (k, v) =>
+      s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val schemaJson = (s"""{"type":"struct","fields":[""" +
+      s"""{"name":"id","type":"long","nullable":true,"metadata":$meta},""" +
+      s"""{"name":"s","type":"string","nullable":true,"metadata":{}}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val conf = configuration.map { case (k, v) =>
+      s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val log = Paths.get(p, "_delta_log")
+    Files.createDirectories(log)
+    val actions = Seq(
+      protocol,
+      s"""{"metaData":{"id":"gate-$name","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":$conf}}""",
+      s"""{"add":{"path":"$dataFile","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}""")
+    Files.writeString(log.resolve("0" * 20 + ".json"),
+      actions.mkString("", "\n", "\n"))
+    p
+  }
+
+  private def append(p: String): Unit = {
+    val sp = spark; import sp.implicits._
+    DeltaLog.write(Seq((9L, "z")).toDF("id", "s"), "append", p)
+  }
+
+  private def refused(body: => Any): String =
+    intercept[graft.GraftError.InvalidOperation](body).getMessage
+
+  test("unknown future writer version refuses every mutation") {
+    val p = foreign("v8",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":8}}""")
+    assert(refused(append(p)).contains("minWriterVersion 8"))
+    assert(refused(DeltaLog.deleteWhere(spark, p, "id = 1"))
+      .contains("minWriterVersion 8"))
+    assert(refused(DeltaLog.optimize(spark, p))
+      .contains("minWriterVersion 8"))
+    assert(refused(DeltaLog.vacuum(spark, p))
+      .contains("minWriterVersion 8"))
+    assert(DeltaLog.read(spark, p).count() == 2L, "reads stay available")
+  }
+
+  test("v7 unknown writerFeatures refuse; supported subset writes fine") {
+    val bad = foreign("v7unknown",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["futureFeatureX","appendOnly"]}}""")
+    assert(refused(append(bad)).contains("futureFeatureX"))
+    val ok = foreign("v7supported",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","checkConstraints","deletionVectors"]}}""")
+    append(ok)
+    assert(DeltaLog.read(spark, ok).count() == 3L)
+  }
+
+  test("rowTracking: listed-but-inactive writes fine, active refuses") {
+    val inactive = foreign("rtInactive",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""")
+    append(inactive)
+    assert(DeltaLog.read(spark, inactive).count() == 3L)
+    val active = foreign("rtActive",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      configuration = Map("delta.enableRowTracking" -> "true"))
+    assert(refused(append(active)).contains("row tracking"))
+    assert(refused(DeltaLog.optimize(spark, active)).contains("row tracking"))
+  }
+
+  test("change data feed: appends allowed, row-removing commits refuse") {
+    val sp = spark; import sp.implicits._
+    val p = foreign("cdf",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    // CDF derives appends from add actions alone — allowed
+    append(p)
+    assert(DeltaLog.read(spark, p).count() == 3L)
+    // deletes/upserts/overwrites would need cdc actions we don't emit
+    assert(refused(DeltaLog.deleteWhere(spark, p, "id = 1"))
+      .contains("change data feed"))
+    assert(refused(DeltaLog.upsert(Seq((1L, "y")).toDF("id", "s"),
+      Seq("id"), p)).contains("change data feed"))
+    assert(refused(DeltaLog.write(Seq((5L, "w")).toDF("id", "s"),
+      "overwrite", p)).contains("change data feed"))
+    // dataChange=false restage carries no row delta — allowed
+    DeltaLog.optimize(spark, p)
+    assert(DeltaLog.read(spark, p).count() == 3L)
+  }
+
+  test("generated and identity columns refuse row-adding commits") {
+    val gen = foreign("generated",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      idFieldMetadata = Map("delta.generationExpression" -> "id + 1"))
+    assert(refused(append(gen)).contains("generated columns"))
+    val ident = foreign("identity",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      idFieldMetadata = Map("delta.identity.start" -> "1"))
+    assert(refused(append(ident)).contains("identity columns"))
+    // row-removing paths that add no rows stay available on both
+    assert(DeltaLog.deleteWhere(spark, gen, "id = 1") == 1)
+    assert(DeltaLog.read(spark, gen).count() == 1L)
+  }
+}
