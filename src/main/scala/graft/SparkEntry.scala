@@ -707,6 +707,67 @@ object SparkEntry {
         .groupBy("o_orderstatus").toDF
     }),
 
+    // Change data feed: a CDF-enabled table's deleteWhere/upsert emit
+    // _change_data files + cdc actions (the delta protocol's exact
+    // row-level feed); readChanges serves commits FROM their cdc actions
+    // — update pre/post images and precise deletes, never the
+    // file-granularity double-count — and from add actions for plain
+    // appends. The oracle recomputes every change row straight from the
+    // orders table.
+    "q_delta_cdf" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_cdf"
+      val o = t(s, d, "orders").toDF
+      // overwrite on a CDF table is refused BY DESIGN (our overwrite
+      // restarts the log, physically destroying the change history a
+      // CDF table promises) — the fixture resets by wiping the dir
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val hfs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hfs.exists(hp)) hfs.delete(hp, true)
+      Writers.writeDeltaTable(o, "overwrite", path,
+        tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+      Writers.writeDeltaTable(o.where(col("o_orderkey") % 10 === 0),
+        "append", path)
+      graft.sources.DeltaLog.deleteWhere(s, path, "o_orderkey % 10 = 7")
+      graft.sources.DeltaLog.upsert(
+        o.where(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        Seq("o_orderkey"), path)
+      import org.apache.spark.sql.functions.{count, sum, expr => sexpr}
+      graft.sources.DeltaLog.readChanges(s, path, 0L, 3L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+          sexpr("round(sum(o_totalprice), 2)").as("total_price"))
+        .select("_change_type", "n", "key_sum", "total_price")
+    }),
+
+    // GENERATED columns (delta.generationExpression field metadata, the
+    // shape delta-spark's GENERATED ALWAYS AS writes): the table is
+    // created with the column declared+populated (and the v0 protocol
+    // bumps to minWriterVersion 4); the append and the upsert changeset
+    // OMIT it, so the writer computes it from the expression — the
+    // wrong-supplied-value rejection is pinned by DeltaWriterGateSpec.
+    "q_delta_generated" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_generated"
+      val o = t(s, d, "orders").toDF
+      val genMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.generationExpression", "o_orderkey * 2").build()
+      Writers.writeDeltaTable(
+        o.withColumn("o_key2", (col("o_orderkey") * 2).as("o_key2", genMeta)),
+        "overwrite", path)
+      Writers.writeDeltaTable(o.where(col("o_orderkey") % 10 === 0),
+        "append", path)
+      graft.sources.DeltaLog.upsert(
+        o.where(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        Seq("o_orderkey"), path)
+      Loaders.load(s, path, "orders_generated")
+        .select("o_orderstatus")
+        .agg("COUNT(*) AS n", "SUM(o_key2) AS total_k2",
+          "ROUND(SUM(o_totalprice), 2) AS total_price")
+        .groupBy("o_orderstatus").toDF
+    }),
+
     // NAME-mode column mapping (the modern delta-spark/delta-rs writer
     // default): data files carry physical uuid-style column names, the
     // metaData's schemaString maps them back — the read must return
@@ -3088,6 +3149,36 @@ object SparkEntry {
         "FROM orders " +
         "UNION ALL SELECT o_orderstatus, o_totalprice AS price " +
         "FROM orders WHERE o_orderkey % 10 = 0" +
+        ") GROUP BY o_orderstatus"),
+
+    // the change feed recomputed from orders: v1 inserts the %10==0
+    // append, v2 deletes %10==7 (cdc-exact), v3 updates %10==3 with
+    // pre/post images at ±0/+1000
+    "q_delta_cdf" ->
+      ("SELECT _change_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "round(sum(price), 2) AS total_price FROM (" +
+        "SELECT 'insert' AS _change_type, o_orderkey, o_totalprice AS price " +
+        "FROM orders WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT 'delete', o_orderkey, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 = 7 " +
+        "UNION ALL SELECT 'update_preimage', o_orderkey, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 = 3 " +
+        "UNION ALL SELECT 'update_postimage', o_orderkey, o_totalprice + 1000 " +
+        "FROM orders WHERE o_orderkey % 10 = 3" +
+        ") GROUP BY _change_type"),
+
+    // same union shape; o_key2 is the generated column o_orderkey * 2 —
+    // present at creation, COMPUTED by the writer for the append and the
+    // upsert changeset that omit it
+    "q_delta_generated" ->
+      ("SELECT count(*) AS n, CAST(sum(k2) AS BIGINT) AS total_k2, " +
+        "round(sum(price), 2) AS total_price, o_orderstatus FROM (" +
+        "SELECT o_orderstatus, o_orderkey * 2 AS k2, " +
+        "CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 1000 " +
+        "ELSE o_totalprice END AS price FROM orders " +
+        "UNION ALL SELECT o_orderstatus, o_orderkey * 2 AS k2, " +
+        "o_totalprice AS price FROM orders WHERE o_orderkey % 10 = 0" +
         ") GROUP BY o_orderstatus"),
 
     // the %10==4 slice is deleted then re-merged carrying c_bonus (the

@@ -155,8 +155,11 @@ object DeltaLog {
     * replaying reader accepts. Writer versions are cumulative, so the
     * mapped 5 already covers constraints.
     */
-  private def protocolAction(mapped: Boolean, constrained: Boolean): String =
+  private def protocolAction(mapped: Boolean, constrained: Boolean,
+      v4Feature: Boolean = false): String =
     if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    else if (v4Feature) // generated columns / change data feed
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
     else if (constrained)
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}"""
     else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
@@ -565,8 +568,14 @@ object DeltaLog {
     val enforceSchema: Option[StructType] =
       if (hasLog && m != "overwrite") parsedTableSchema(spark, fs, tbl)
       else None
+    // generated columns: absent ones are COMPUTED from their expressions
+    // (dfIn carries them into staging), caller-supplied ones validate
+    // value<=>expression through the same observe pass as the constraints
+    val genCols = generatedColumns(enforceSchema)
+    val dfIn = materializeGenerated(df, genCols, enforceSchema)
     val enforceChecks = enforcementChecks(spark, enforceConf, enforceSchema,
-      df.columns.toSeq, tbl, "write_delta")
+      dfIn.columns.toSeq, tbl, "write_delta") ++
+      generatedChecks(genCols, df.columns.toSeq)
     val enforceObs =
       if (enforceChecks.isEmpty) None
       else Some(new org.apache.spark.sql.Observation(s"graft_enforce_$stageId"))
@@ -574,8 +583,8 @@ object DeltaLog {
       import org.apache.spark.sql.functions.{sum, when}
       val metrics = enforceChecks.zipWithIndex.map { case ((_, p), i) =>
         sum(when(p, 1L).otherwise(0L)).cast("long").as(s"c$i") }
-      df.observe(o, metrics.head, metrics.tail: _*)
-    }.getOrElse(df)
+      dfIn.observe(o, metrics.head, metrics.tail: _*)
+    }.getOrElse(dfIn)
     // mapped append: stage under the table's PHYSICAL column names —
     // logical→physical is the same positional struct-cast rename the
     // read path applies in reverse
@@ -636,7 +645,7 @@ object DeltaLog {
     }
     val dfToStage = mappedSchema match {
       case Some(logical0) =>
-        val missing = logical0.fields.map(_.name).filterNot(df.columns.contains)
+        val missing = logical0.fields.map(_.name).filterNot(dfIn.columns.contains)
         if (missing.nonEmpty)
           throw graft.GraftError.InvalidOperation("write_delta",
             s"append to mapped table $tbl: frame lacks table columns " +
@@ -722,7 +731,10 @@ object DeltaLog {
           s""""lastUpdated":${System.currentTimeMillis()}}}"""
       }
       if (version == 0L) actions += protocolAction(freshMinted.nonEmpty,
-        enforceConf.keys.exists(_.startsWith("delta.constraints.")))
+        enforceConf.keys.exists(_.startsWith("delta.constraints.")),
+        df.schema.fields.exists(
+          _.metadata.contains("delta.generationExpression")) ||
+          enforceConf.get("delta.enableChangeDataFeed").contains("true"))
       // merge commits refresh metaData with the post-write merged schema —
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping
@@ -944,20 +956,32 @@ object DeltaLog {
       return
     }
     requireNotAppendOnly(spark, fs, tbl, "upsert_delta")
+    // change-data-feed tables get exact MERGE change rows
+    // (update_preimage / update_postimage / insert) as _change_data +
+    // cdc actions; mapped CDF tables stay refused by the gate
+    val cdfEmit = tableConfiguration(spark, fs, tbl)
+      .get("delta.enableChangeDataFeed").contains("true") &&
+      columnMappingMode(spark, fs, tbl) == "none"
     requireWriterCapability(spark, fs, tbl, "upsert_delta",
-      adds = true, removes = true, rewrites = true)
-    // constraints gate the incoming CHANGESET (survivors were already
-    // live rows); one aggregate pass over `updates`, bounded by the
-    // changeset size, never the table
-    enforceEager(updates, enforcementChecks(spark,
-      tableConfiguration(spark, fs, tbl), parsedTableSchema(spark, fs, tbl),
-      updates.columns.toSeq, tbl, "upsert_delta"), path, "upsert_delta")
-    val updKeys = updates.select(keys.map(col): _*).distinct()
+      adds = true, removes = true, rewrites = true, emitsCdc = cdfEmit)
+    // generated columns: compute the ones absent from the changeset,
+    // validate caller-supplied values; then constraints + invariants
+    // gate the CHANGESET (survivors were already live rows) in one
+    // aggregate pass over `updates`, bounded by the changeset size,
+    // never the table
+    val declared = parsedTableSchema(spark, fs, tbl)
+    val genCols = generatedColumns(declared)
+    val upd = materializeGenerated(updates, genCols, declared)
+    enforceEager(upd, enforcementChecks(spark,
+      tableConfiguration(spark, fs, tbl), declared,
+      upd.columns.toSeq, tbl, "upsert_delta") ++
+      generatedChecks(genCols, updates.columns.toSeq), path, "upsert_delta")
+    val updKeys = upd.select(keys.map(col): _*).distinct()
     // snapshot fold + key-bounds pruning run distributedly above the
     // log-size threshold — the driver materializes only the CANDIDATE
     // entries (the whole snapshot only when the keys admit no bounds
     // predicate, i.e. when discovery must scan every file anyway)
-    val kept = activeAddsWhere(spark, path, keyBoundsPredicate(updates, keys),
+    val kept = activeAddsWhere(spark, path, keyBoundsPredicate(upd, keys),
       snapshotDriverMaxBytes = snapshotDriverMaxBytes)
     // key depth over the candidates: discovery scans only kept files,
     // so touched keys both originate from and resolve within them
@@ -993,10 +1017,38 @@ object DeltaLog {
         keepMeta = true, keyDepth = keyDepth)
         .join(updKeys, keys, "left_anti")
         .drop(DvFileCol, DvRowCol)
+    // CDF: exact MERGE change rows. Matched rows emit their pre- and
+    // post-image; unmatched update rows emit as inserts. The preimage
+    // scan is one extra read bounded by the TOUCHED files; pure inserts
+    // (no touched file) skip it entirely.
+    val cdcDf =
+      if (!cdfEmit) None
+      else {
+        val cols = survivors.columns.toSeq
+        val ct = (f: DataFrame, t: String) =>
+          f.select(cols.map(col): _*).withColumn("_change_type", lit(t))
+        if (touched.isEmpty) Some(ct(upd, "insert"))
+        else {
+          val touchedLive = applyDeletionVectors(spark, path, touched,
+            readDataFiles(spark, path,
+              touched.map(a => new HPath(tbl, a.rel).toString),
+              withRowMeta = true, keyDepth = keyDepth),
+            keepMeta = true, keyDepth = keyDepth)
+            .drop(DvFileCol, DvRowCol)
+          val pre = touchedLive.join(updKeys, keys, "left_semi")
+          val matchedKeys = pre.select(keys.map(col): _*).distinct()
+          val post = upd.join(matchedKeys, keys, "left_semi")
+          val ins = upd.join(matchedKeys, keys, "left_anti")
+          Some(ct(pre, "update_preimage")
+            .unionByName(ct(post, "update_postimage"))
+            .unionByName(ct(ins, "insert")))
+        }
+      }
     commitRewrite(spark, path, "UPSERT", touched.map(_.rel).sorted,
-      survivors.unionByName(updates.select(survivors.columns.map(col): _*)),
+      survivors.unionByName(upd.select(survivors.columns.map(col): _*)),
       removeDvJson = touched.flatMap(a =>
-        a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap)
+        a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap,
+      cdcDf = cdcDf)
   }
 
   /** Copy-on-write DELETE of the rows matching `predicate` (SQL text over
@@ -1032,8 +1084,15 @@ object DeltaLog {
       return touchedUris.length
     }
     requireNotAppendOnly(spark, fs, tbl, "delete_delta")
+    // change-data-feed tables get their deleted rows as _change_data +
+    // cdc actions in the same commit (exact row-level feed); mapped CDF
+    // tables stay refused by the gate (cdc files would need physical
+    // column names this writer does not emit for them)
+    val cdfEmit = tableConfiguration(spark, fs, tbl)
+      .get("delta.enableChangeDataFeed").contains("true") &&
+      columnMappingMode(spark, fs, tbl) == "none"
     requireWriterCapability(spark, fs, tbl, "delete_delta",
-      adds = false, removes = true, rewrites = true)
+      adds = false, removes = true, rewrites = true, emitsCdc = cdfEmit)
     // snapshot fold + stats pruning run distributedly above the log-size
     // threshold — the driver materializes only the CANDIDATE entries
     val kept = activeAddsWhere(spark, path, Some(predicate),
@@ -1060,9 +1119,21 @@ object DeltaLog {
       // where the predicate is provably TRUE are removed
       .where(!coalesce(expr(predicate), lit(false)))
       .drop(DvFileCol, DvRowCol)
+    // CDF: the deleted rows (predicate provably TRUE over the touched
+    // files' live rows) — one extra scan bounded by the touched set
+    val cdcDf = if (!cdfEmit) None else Some(
+      applyDeletionVectors(spark, path, touched,
+        readDataFiles(spark, path,
+          touched.map(a => new HPath(tbl, a.rel).toString),
+          withRowMeta = true, keyDepth = keyDepth),
+        keepMeta = true, keyDepth = keyDepth)
+        .where(coalesce(expr(predicate), lit(false)))
+        .drop(DvFileCol, DvRowCol)
+        .withColumn("_change_type", lit("delete")))
     commitRewrite(spark, path, "DELETE", touched.map(_.rel).sorted,
       survivors, removeDvJson = touched.flatMap(a =>
-        a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap)
+        a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap,
+      cdcDf = cdcDf)
     touched.size
   }
 
@@ -1165,14 +1236,18 @@ object DeltaLog {
     *  - `delta.enableRowTracking=true` + anything that adds, removes or
     *    restages files → refused (row ids are neither minted nor
     *    carried through rewrites).
-    *  - generated / identity columns in the schema + a row-adding
-    *    commit → refused (their expressions/sequences are not evaluated
-    *    on write, so appended rows would hold caller-supplied values
-    *    that violate the column contract).
+    *  - identity columns in the schema + a row-adding commit → refused
+    *    (identity sequences need cross-writer high-water coordination
+    *    this log does not implement).
+    *
+    * Generated columns (`delta.generationExpression`) are NOT refused:
+    * [[write]]/[[upsert]] COMPUTE absent generated columns from their
+    * expressions and VALIDATE caller-supplied values against them
+    * (delta-spark's write contract) — see [[generatedColumns]].
     */
   private def requireWriterCapability(spark: SparkSession, fs: FileSystem,
       tbl: HPath, op: String, adds: Boolean, removes: Boolean,
-      rewrites: Boolean): Unit = {
+      rewrites: Boolean, emitsCdc: Boolean = false): Unit = {
     def refuse(what: String): Nothing =
       throw graft.GraftError.InvalidOperation(op,
         s"$tbl requires an unsupported writer capability ($what); " +
@@ -1189,7 +1264,11 @@ object DeltaLog {
         refuse(s"writerFeatures ${unsupported.mkString("[", ", ", "]")}")
     }
     val conf = tableConfiguration(spark, fs, tbl)
-    if (removes && conf.get("delta.enableChangeDataFeed").contains("true"))
+    // emitsCdc: the caller writes _change_data files + cdc actions for
+    // this commit (deleteWhere/upsert on plain tables), so the CDF
+    // contract is honored, not broken
+    if (removes && !emitsCdc &&
+        conf.get("delta.enableChangeDataFeed").contains("true"))
       refuse("change data feed on a row-removing commit — no " +
         "_change_data/cdc actions are emitted, so CDF readers would " +
         "miss these deletes")
@@ -1198,12 +1277,6 @@ object DeltaLog {
       refuse("row tracking — row ids are not minted or preserved " +
         "across rewrites")
     if (adds) parsedTableSchema(spark, fs, tbl).foreach { s =>
-      val gen = s.fields
-        .filter(_.metadata.contains("delta.generationExpression"))
-        .map(_.name)
-      if (gen.nonEmpty)
-        refuse(s"generated columns (${gen.mkString(", ")}) — their " +
-          "generation expressions are not evaluated on write")
       val ident = s.fields.filter(f =>
         f.metadata.contains("delta.identity.start") ||
           f.metadata.contains("delta.identity.step")).map(_.name)
@@ -1212,6 +1285,49 @@ object DeltaLog {
           "sequences are not maintained on write")
     }
   }
+
+  /** Generated columns declared by a schema: (name, generation SQL) for
+    * every field carrying `delta.generationExpression` metadata (the key
+    * delta-spark's GENERATED ALWAYS AS writes).
+    */
+  private def generatedColumns(schema: Option[StructType]): Seq[(String, String)] =
+    schema.toSeq.flatMap(_.fields)
+      .filter(_.metadata.contains("delta.generationExpression"))
+      .map(f => f.name -> f.metadata.getString("delta.generationExpression"))
+
+  /** Materialize generated columns ABSENT from the frame by evaluating
+    * their expressions (delta-spark computes them on write); columns the
+    * caller supplied are left as-is and validated value-equals-expression
+    * by [[generatedChecks]] instead. Computed values CAST to the
+    * declared column type — the expression's natural type may be
+    * narrower (`length(s) + 1` is int, the column long) and a staged
+    * file with the narrower physical type would fail the declared-schema
+    * read.
+    */
+  private def materializeGenerated(df: DataFrame,
+      gen: Seq[(String, String)],
+      declared: Option[StructType]): DataFrame =
+    gen.foldLeft(df) { case (acc, (name, sql)) =>
+      if (acc.columns.contains(name)) acc
+      else {
+        val target = declared.flatMap(_.fields.find(_.name == name))
+          .map(f => stripMeta(f.dataType))
+        acc.withColumn(name,
+          target.map(expr(sql).cast(_)).getOrElse(expr(sql)))
+      }
+    }
+
+  /** Violation predicates for caller-SUPPLIED generated-column values:
+    * every row must satisfy value <=> expression (null-safe equality —
+    * delta-spark enforces the same as a write invariant).
+    */
+  private def generatedChecks(gen: Seq[(String, String)],
+      originalColumns: Seq[String]): Seq[(String, org.apache.spark.sql.Column)] =
+    gen.filter { case (name, _) => originalColumns.contains(name) }
+      .map { case (name, sql) =>
+        (s"GENERATED column $name AS ($sql)",
+          !(col(s"`$name`") <=> expr(sql)))
+      }
 
   /** CHECK constraints (`delta.constraints.<name>` in the table
     * configuration — the key delta-spark's ALTER TABLE ADD CONSTRAINT
@@ -1402,12 +1518,21 @@ object DeltaLog {
   /** Stage `addDf` into the table and commit one version with `remove`
     * actions for `removesRel` plus `add` actions for the staged files.
     * A lost commit slot throws (see [[upsert]] — rewrites cannot rebase).
+    *
+    * `cdcDf` (change-data-feed tables): a frame of the EXACT row-level
+    * changes (table columns + `_change_type`), staged under
+    * `_change_data/` and committed as `cdc` actions alongside the
+    * remove/add pair — the protocol shape that lets CDF readers serve
+    * precise deletes/updates instead of file-granularity diffs. Readers
+    * that honor cdc actions ([[readChanges]], delta-spark) use them
+    * INSTEAD of this commit's add/remove actions.
     */
   private def commitRewrite(spark: SparkSession, path: String, op: String,
       removesRel: Seq[String], addDf: DataFrame,
       checkpointInterval: Int = 10, dataChange: Boolean = true,
       numFiles: Option[Int] = None, logicalFrame: Boolean = true,
-      removeDvJson: Map[String, String] = Map.empty): Unit = {
+      removeDvJson: Map[String, String] = Map.empty,
+      cdcDf: Option[DataFrame] = None): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
@@ -1481,10 +1606,36 @@ object DeltaLog {
         throw new IllegalStateException(s"delta data move failed: $target")
     }
     fs.delete(stage, true)
+    // change-data files: staged like data files, moved under
+    // _change_data/ (invisible to table listings — the '_' prefix), and
+    // referenced by cdc actions in this same commit
+    val cdcRels: Seq[(String, Long)] = cdcDf.toSeq.flatMap { cdf =>
+      val cdcStage = new HPath(tbl, s".graft_stage_cdc_${java.util.UUID.randomUUID()}")
+      cdf.write.mode("overwrite").parquet(cdcStage.toString)
+      val parts = fs.listStatus(cdcStage).toSeq
+        .filter(s => s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      val dir = new HPath(tbl, "_change_data")
+      fs.mkdirs(dir)
+      val moved = parts.zipWithIndex.map { case (s, i) =>
+        val name = s"cdc-${java.util.UUID.randomUUID()}-$i.parquet"
+        val target = new HPath(dir, name)
+        if (!fs.rename(s.getPath, target))
+          throw new IllegalStateException(s"cdc data move failed: $target")
+        s"_change_data/$name" -> fs.getFileStatus(target).getLen
+      }
+      fs.delete(cdcStage, true)
+      moved
+    }
     val txnId = java.util.UUID.randomUUID().toString
     val actions = ListBuffer.empty[String]
     actions += s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
     val now = System.currentTimeMillis()
+    cdcRels.foreach { case (rel, size) =>
+      actions +=
+        s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{},"size":$size,"dataChange":false}}"""
+    }
     removesRel.foreach { r =>
       // PURGE removes echo the superseded DV descriptor (protocol shape —
       // lets an external vacuum associate the orphaned bin file)
@@ -2194,14 +2345,20 @@ object DeltaLog {
     * `_change_type` ('insert' for rows in files added by a commit,
     * 'delete' for rows in files it removed) and `_commit_version`.
     *
-    * Granularity is file-level (the delta add/remove actions), like
-    * delta-spark without the _change_data folder: append-only flows get
-    * EXACT row-level inserts; a copy-on-write upsert surfaces a rewritten
-    * file as delete(old rows) + insert(new rows), so unchanged copied
-    * rows appear on both sides. `dataChange=false` actions (OPTIMIZE
-    * compaction) are excluded — layout changes are not data changes.
-    * Rows of files vacuumed away are unreadable, like real delta CDF
-    * past its retention — surfaced as a typed error, never silence.
+    * Commits carrying `cdc` actions (the protocol's change-data-feed
+    * shape — this writer emits them for deleteWhere/upsert on
+    * CDF-enabled tables, and foreign delta-spark writers do the same)
+    * are served FROM their `_change_data` files: exact row-level
+    * changes, including `update_preimage`/`update_postimage` pairs, and
+    * never a double-count of rewritten-but-unchanged rows. Commits
+    * without cdc actions fall back to file granularity (the add/remove
+    * actions): append-only flows still get EXACT row-level inserts; a
+    * plain copy-on-write rewrite surfaces as delete(old rows) +
+    * insert(new rows), so unchanged copied rows appear on both sides.
+    * `dataChange=false` actions (OPTIMIZE compaction) are excluded —
+    * layout changes are not data changes. Rows of files vacuumed away
+    * are unreadable, like real delta CDF past its retention — surfaced
+    * as a typed error, never silence.
     */
   def readChanges(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
@@ -2224,27 +2381,35 @@ object DeltaLog {
           Option(d.get("cardinality")).map(_.asLong(0L)).getOrElse(0L))
       }
     // per version: rel → DV descriptor option, adds and removes apart,
-    // dataChange=true actions only (OPTIMIZE restages are not changes)
+    // dataChange=true actions only (OPTIMIZE restages are not changes),
+    // plus any cdc actions — a commit that carries them is served FROM
+    // them (the protocol's CDF contract: cdc fully describes that
+    // commit's row-level changes, add/remove would double-count the
+    // rewritten-but-unchanged rows)
     val acts: Seq[(Long, Map[String, Option[DeltaStats.DvDescriptor]],
-        Map[String, Option[DeltaStats.DvDescriptor]])] = versions.map { v =>
+        Map[String, Option[DeltaStats.DvDescriptor]], Seq[String])] = versions.map { v =>
       val adds = scala.collection.mutable.LinkedHashMap
         .empty[String, Option[DeltaStats.DvDescriptor]]
       val removes = scala.collection.mutable.LinkedHashMap
         .empty[String, Option[DeltaStats.DvDescriptor]]
+      val cdc = scala.collection.mutable.ArrayBuffer.empty[String]
       readString(fs, new HPath(log, commitName(v))).linesIterator.foreach { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         if (node != null) {
           val add = node.get("add"); val rem = node.get("remove")
+          val cd = node.get("cdc")
           def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
             n.get("dataChange") == null || n.get("dataChange").asBoolean(true)
           if (add != null && add.get("path") != null && dataChange(add))
             adds(add.get("path").asText) = dvOf(add)
           if (rem != null && rem.get("path") != null && dataChange(rem))
             removes(rem.get("path").asText) = dvOf(rem)
+          if (cd != null && cd.get("path") != null)
+            cdc += cd.get("path").asText
         }
       }
-      (v, adds.toMap, removes.toMap)
-    }.filter(a => a._2.nonEmpty || a._3.nonEmpty)
+      (v, adds.toMap, removes.toMap, cdc.toSeq)
+    }.filter(a => a._2.nonEmpty || a._3.nonEmpty || a._4.nonEmpty)
     // vacuumed-away data files AND DV bin files both make the window
     // unreadable — surface the typed past-retention error, never a raw
     // executor FileNotFoundException mid-bitmap-decode
@@ -2253,9 +2418,11 @@ object DeltaLog {
       case "p" => Some(new HPath(dv.pathOrInlineDv))
       case _ => None
     }
-    val missing = (acts.flatMap(a => a._2.keys ++ a._3.keys).distinct
+    val missing = (acts.flatMap(a =>
+        (if (a._4.nonEmpty) a._4 else (a._2.keys ++ a._3.keys).toSeq)).distinct
         .map(rel => new HPath(tbl, rel)) ++
-      acts.flatMap(a => (a._2.values ++ a._3.values).flatten)
+      acts.filter(_._4.isEmpty)
+        .flatMap(a => (a._2.values ++ a._3.values).flatten)
         .flatMap(binPath).distinct)
       .filterNot(fs.exists)
     if (missing.nonEmpty)
@@ -2285,7 +2452,16 @@ object DeltaLog {
           .withColumn("_change_type", lit(ct))
           .withColumn("_commit_version", lit(v)))
       }
-    val frames = acts.flatMap { case (v, adds, removes) =>
+    val frames = acts.flatMap { case (v, adds, removes, cdc) =>
+      if (cdc.nonEmpty) {
+        // cdc actions supersede this commit's add/remove pair (the CDF
+        // contract): the _change_data files carry the EXACT change rows
+        // + _change_type, so serving add/remove too would double-count
+        // the rewritten-but-unchanged rows
+        Seq(spark.read.parquet(
+            cdc.map(r => new HPath(tbl, r).toString): _*)
+          .withColumn("_commit_version", lit(v)))
+      } else {
       // same-path remove+re-add in ONE commit = a deletion-vector
       // generation swap (DV-native delete, DV restore): the ROW-LEVEL
       // change is the bitmap difference — rows in the new DV but not the
@@ -2325,6 +2501,7 @@ object DeltaLog {
       liveRows(v, adds.filter(kv => !regen(kv._1)), "insert").toSeq ++
         liveRows(v, removes.filter(kv => !regen(kv._1)), "delete").toSeq ++
         regenFrames
+      }
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
@@ -4340,6 +4517,35 @@ object DeltaLog {
     val orphans = dataFiles(fs, tbl).keys.filterNot(active).toSeq.sorted
       .filter(rel => removedAt(rel, removedAtByRel) < cutoff)
     orphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
+    // change-data files (cdc actions; the '_' prefix hides them from
+    // dataFiles): one file belongs to exactly one commit, so a file is
+    // sweepable once no EXISTING commit references it (its commit was
+    // folded away by cleanupLog) and it has aged past retention — the
+    // same window delta-spark vacuums CDF under
+    val cdcDir = new HPath(tbl, "_change_data")
+    val cdcOrphans: Seq[String] =
+      if (!fs.exists(cdcDir)) Nil
+      else {
+        val referenced: Set[String] = {
+          import com.fasterxml.jackson.databind.ObjectMapper
+          val mapper = new ObjectMapper()
+          val log = logDir(tbl)
+          existingVersions(fs, log).flatMap { v =>
+            readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
+              val node = try mapper.readTree(line) catch { case _: Exception => null }
+              val cd = if (node == null) null else node.get("cdc")
+              if (cd != null && cd.get("path") != null)
+                Some(cd.get("path").asText) else None
+            }.toSeq
+          }.toSet
+        }
+        fs.listStatus(cdcDir).toSeq
+          .filter(s => s.getPath.getName.endsWith(".parquet") &&
+            !referenced(s"_change_data/${s.getPath.getName}") &&
+            s.getModificationTime < cutoff)
+          .map(s => s"_change_data/${s.getPath.getName}")
+      }
+    cdcOrphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
     // DV bin sweep: bins referenced by ACTIVE descriptors survive
     // (`referencedBins`, built above alongside the active set);
     // superseded generations (a later delete re-wrote every descriptor
@@ -4379,6 +4585,6 @@ object DeltaLog {
       (if (tbl.getParent == null) Nil
        else staleStages(tbl.getParent, s".graft_stage_${tbl.getName}_"))
     stages.foreach(st => fs.delete(st, true))
-    orphans ++ binOrphans ++ stages.map(_.getName).sorted
+    orphans ++ cdcOrphans ++ binOrphans ++ stages.map(_.getName).sorted
   }
 }

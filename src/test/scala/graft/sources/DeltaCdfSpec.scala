@@ -1,0 +1,174 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Change-data-feed WRITE support: deleteWhere/upsert on a table with
+  * `delta.enableChangeDataFeed=true` stage the exact row-level changes
+  * under `_change_data/` and commit them as `cdc` actions — the protocol
+  * shape delta-spark emits — and [[DeltaLog.readChanges]] serves commits
+  * FROM their cdc actions (never double-counting rewritten-but-unchanged
+  * rows), falling back to file-granularity add/remove for commits
+  * without them. Vacuum sweeps cdc files only once their commit is gone
+  * from the log AND they age past retention.
+  */
+class DeltaCdfSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = s"target/tmp/cdf/$name"
+    val pp = Paths.get(p)
+    if (Files.exists(pp))
+      Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    p
+  }
+
+  private def changes(p: String, from: Long, to: Long): Map[(String, Long), Seq[(Long, String)]] =
+    DeltaLog.readChanges(spark, p, from, to)
+      .select("_change_type", "_commit_version", "id", "s")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rows) =>
+        k -> rows.map(r => (r.getLong(2), r.getString(3))).toSeq.sorted }
+
+  test("deleteWhere on a CDF table emits exact cdc deletes") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("del")
+    DeltaLog.write((1L to 6L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", p,
+      tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+    // the creating protocol declares the v4 writer floor
+    val v0 = Files.readString(
+      Paths.get(p, "_delta_log", "0" * 20 + ".json"))
+    assert(v0.contains(""""minWriterVersion":4"""))
+    assert(DeltaLog.deleteWhere(spark, p, "id % 2 = 0") >= 1)
+    // the delete commit carries cdc actions and the _change_data file
+    val v1 = Files.readString(
+      Paths.get(p, "_delta_log", "0" * 19 + "1.json"))
+    assert(v1.contains(""""cdc":{"""), "delete commit must carry cdc actions")
+    assert(Files.list(Paths.get(p, "_change_data")).count() >= 1)
+    // the feed serves EXACTLY the deleted rows — not the full rewritten
+    // file as delete+insert (the file-granularity fallback would)
+    val ch = changes(p, 0L, 1L)
+    assert(ch.keySet == Set(("delete", 1L)))
+    assert(ch(("delete", 1L)) == Seq((2L, "v2"), (4L, "v4"), (6L, "v6")))
+    // the table itself reads correctly
+    assert(DeltaLog.read(spark, p).count() == 3L)
+  }
+
+  test("upsert on a CDF table emits update pre/post images and inserts") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("ups")
+    DeltaLog.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      "overwrite", p,
+      tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.upsert(Seq((2L, "B"), (9L, "Z")).toDF("id", "s"), Seq("id"), p)
+    val ch = changes(p, 0L, 1L)
+    assert(ch(("update_preimage", 1L)) == Seq((2L, "b")))
+    assert(ch(("update_postimage", 1L)) == Seq((2L, "B")))
+    assert(ch(("insert", 1L)) == Seq((9L, "Z")))
+    assert(ch.size == 3, s"no spurious change rows: ${ch.keySet}")
+    // appends still serve from add actions (no cdc needed)
+    DeltaLog.write(Seq((10L, "t")).toDF("id", "s"), "append", p)
+    val ch2 = changes(p, 1L, 2L)
+    assert(ch2(("insert", 2L)) == Seq((10L, "t")))
+  }
+
+  test("pure-insert upsert (no touched files) emits cdc inserts only") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("pureins")
+    DeltaLog.write(Seq((1L, "a")).toDF("id", "s"), "overwrite", p,
+      tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.upsert(Seq((7L, "x"), (8L, "y")).toDF("id", "s"), Seq("id"), p)
+    val ch = changes(p, 0L, 1L)
+    assert(ch.keySet == Set(("insert", 1L)))
+    assert(ch(("insert", 1L)) == Seq((7L, "x"), (8L, "y")))
+  }
+
+  test("foreign cdc actions supersede add/remove (no double count)") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("foreign")
+    // v0: our writer, plain table
+    DeltaLog.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      "overwrite", p)
+    // v1: handcrafted foreign-style rewrite commit — remove+add pair
+    // PLUS a cdc action describing the single real change
+    Seq((1L, "a2")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(s"$p/_stage_new")
+    val newData = {
+      var f: String = null
+      Files.list(Paths.get(p, "_stage_new")).forEach { x =>
+        val n = x.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) f = n
+      }
+      Files.move(Paths.get(p, "_stage_new", f), Paths.get(p, s"rw-$f"))
+      s"rw-$f"
+    }
+    Seq((1L, "a", "update_preimage"), (1L, "a2", "update_postimage"))
+      .toDF("id", "s", "_change_type").coalesce(1)
+      .write.mode("overwrite").parquet(s"$p/_stage_cdc")
+    Files.createDirectories(Paths.get(p, "_change_data"))
+    val cdcFile = {
+      var f: String = null
+      Files.list(Paths.get(p, "_stage_cdc")).forEach { x =>
+        val n = x.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) f = n
+      }
+      Files.move(Paths.get(p, "_stage_cdc", f),
+        Paths.get(p, "_change_data", s"cdc-$f"))
+      s"_change_data/cdc-$f"
+    }
+    val oldRel = {
+      var f: String = null
+      Files.list(Paths.get(p)).forEach { x =>
+        val n = x.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) f = n
+      }
+      f
+    }
+    val sz = Files.size(Paths.get(p, newData))
+    val cdcSz = Files.size(Paths.get(p, cdcFile))
+    Files.writeString(Paths.get(p, "_delta_log", "0" * 19 + "1.json"),
+      Seq(
+        s"""{"commitInfo":{"operation":"MERGE"}}""",
+        s"""{"cdc":{"path":"$cdcFile","partitionValues":{},"size":$cdcSz,"dataChange":false}}""",
+        s"""{"remove":{"path":"$oldRel","deletionTimestamp":1,"dataChange":true}}""",
+        s"""{"add":{"path":"$newData","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("", "\n", "\n"))
+    val ch = changes(p, 0L, 1L)
+    // file granularity would report (1,a),(2,b) deleted + (1,a2) added;
+    // the cdc action says the real change is one update pair
+    assert(ch.keySet == Set(("update_preimage", 1L), ("update_postimage", 1L)))
+    assert(ch(("update_preimage", 1L)) == Seq((1L, "a")))
+    assert(ch(("update_postimage", 1L)) == Seq((1L, "a2")))
+  }
+
+  test("vacuum keeps referenced cdc files, sweeps aged unreferenced ones") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("vac")
+    DeltaLog.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      "overwrite", p,
+      tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.deleteWhere(spark, p, "id = 2")
+    val cdcDir = Paths.get(p, "_change_data")
+    val nCdc = Files.list(cdcDir).count()
+    assert(nCdc >= 1, "delete must stage change-data files")
+    // referenced by a live commit: survives even at zero retention
+    DeltaLog.vacuum(spark, p, stageRetentionMs = 0L, retentionMs = 1L)
+    assert(Files.list(cdcDir).count() == nCdc)
+    // an unreferenced stray (no commit names it) aged past retention
+    // is swept; a YOUNG stray survives the window
+    Files.writeString(cdcDir.resolve("cdc-stray.parquet"), "x")
+    DeltaLog.vacuum(spark, p, stageRetentionMs = 0L,
+      retentionMs = 60L * 60 * 1000)
+    assert(Files.exists(cdcDir.resolve("cdc-stray.parquet")),
+      "young stray survives the retention window")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    Files.setLastModifiedTime(cdcDir.resolve("cdc-stray.parquet"), old)
+    val swept = DeltaLog.vacuum(spark, p, stageRetentionMs = 0L,
+      retentionMs = 60L * 60 * 1000)
+    assert(!Files.exists(cdcDir.resolve("cdc-stray.parquet")))
+    assert(swept.contains("_change_data/cdc-stray.parquet"))
+  }
+}

@@ -106,7 +106,7 @@ class DeltaWriterGateSpec extends SparkSpec {
     assert(refused(DeltaLog.optimize(spark, active)).contains("row tracking"))
   }
 
-  test("change data feed: appends allowed, row-removing commits refuse") {
+  test("change data feed: appends and cdc-emitting mutations allowed, overwrite refuses") {
     val sp = spark; import sp.implicits._
     val p = foreign("cdf",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
@@ -114,29 +114,55 @@ class DeltaWriterGateSpec extends SparkSpec {
     // CDF derives appends from add actions alone — allowed
     append(p)
     assert(DeltaLog.read(spark, p).count() == 3L)
-    // deletes/upserts/overwrites would need cdc actions we don't emit
-    assert(refused(DeltaLog.deleteWhere(spark, p, "id = 1"))
-      .contains("change data feed"))
-    assert(refused(DeltaLog.upsert(Seq((1L, "y")).toDF("id", "s"),
-      Seq("id"), p)).contains("change data feed"))
+    // deletes/upserts EMIT _change_data + cdc actions (DeltaCdfSpec pins
+    // the feed contents) — allowed and correct
+    assert(DeltaLog.deleteWhere(spark, p, "id = 1") == 1)
+    DeltaLog.upsert(Seq((2L, "y")).toDF("id", "s"), Seq("id"), p)
+    assert(DeltaLog.read(spark, p).count() == 2L)
+    // overwrite restarts the log — the change history a CDF table
+    // promises would be silently destroyed, still refused
     assert(refused(DeltaLog.write(Seq((5L, "w")).toDF("id", "s"),
       "overwrite", p)).contains("change data feed"))
     // dataChange=false restage carries no row delta — allowed
     DeltaLog.optimize(spark, p)
-    assert(DeltaLog.read(spark, p).count() == 3L)
+    assert(DeltaLog.read(spark, p).count() == 2L)
   }
 
-  test("generated and identity columns refuse row-adding commits") {
+  test("generated columns compute when absent, validate when supplied") {
+    val sp = spark; import sp.implicits._
+    // id GENERATED ALWAYS AS (length(s) + 1)
     val gen = foreign("generated",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
-      idFieldMetadata = Map("delta.generationExpression" -> "id + 1"))
-    assert(refused(append(gen)).contains("generated columns"))
+      idFieldMetadata = Map("delta.generationExpression" -> "length(s) + 1"))
+    // supplied value 9 != length("z")+1 = 2 → rejected row-exactly
+    val err = intercept[graft.GraftError.ConstraintViolation](append(gen))
+    assert(err.getMessage.contains("GENERATED column id"))
+    assert(DeltaLog.read(spark, gen).count() == 2L)
+    // a frame WITHOUT the generated column gets it computed on write
+    DeltaLog.write(Seq("zz").toDF("s"), "append", gen)
+    val computed = DeltaLog.read(spark, gen).where("s = 'zz'")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(computed == Seq(3L), s"computed generated value: $computed")
+    // supplied-and-CORRECT passes
+    DeltaLog.write(Seq((4L, "abc")).toDF("id", "s"), "append", gen)
+    assert(DeltaLog.read(spark, gen).count() == 4L)
+    // upsert changesets compute absent generated columns too
+    DeltaLog.upsert(Seq("wxyz").toDF("s"), Seq("s"), gen)
+    assert(DeltaLog.read(spark, gen).where("s = 'wxyz'")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // ...and validate supplied ones
+    intercept[graft.GraftError.ConstraintViolation] {
+      DeltaLog.upsert(Seq((99L, "wxyz")).toDF("id", "s"), Seq("s"), gen)
+    }
+  }
+
+  test("identity columns refuse row-adding commits") {
     val ident = foreign("identity",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
       idFieldMetadata = Map("delta.identity.start" -> "1"))
     assert(refused(append(ident)).contains("identity columns"))
-    // row-removing paths that add no rows stay available on both
-    assert(DeltaLog.deleteWhere(spark, gen, "id = 1") == 1)
-    assert(DeltaLog.read(spark, gen).count() == 1L)
+    // row-removing paths that add no rows stay available
+    assert(DeltaLog.deleteWhere(spark, ident, "id = 1") == 1)
+    assert(DeltaLog.read(spark, ident).count() == 1L)
   }
 }
