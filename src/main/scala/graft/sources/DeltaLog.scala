@@ -1161,10 +1161,12 @@ object DeltaLog {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), (Int, Seq[String])]()
 
   /** Newest protocol action's writer half: (minWriterVersion,
-    * writerFeatures). Commits are consulted newest→oldest, falling back
-    * to the checkpoint when older commits were cleaned; a log with no
-    * protocol action (not a delta table / legacy) reports the floor
-    * (1, Nil).
+    * writerFeatures). Only POST-CHECKPOINT commits are walked (newest →
+    * oldest) — the checkpoint fold already carries the newest protocol
+    * from everything at-or-below it, so the walk is bounded by the
+    * checkpoint interval, never O(history) per mutation on a
+    * long-lived log. A log with no protocol action anywhere (not a
+    * delta table / legacy) reports the floor (1, Nil).
     */
   private def tableWriterProtocol(spark: SparkSession, fs: FileSystem,
       tbl: HPath): (Int, Seq[String]) = {
@@ -1181,7 +1183,10 @@ object DeltaLog {
       (v, feats.toSeq)
     }
     val log = logDir(tbl)
-    val fromCommits = existingVersions(fs, log).reverse.iterator.flatMap { v =>
+    val cpFloor = lastCheckpointVersion(fs, log)
+    val fromCommits = existingVersions(fs, log)
+      .filter(v => cpFloor.forall(v > _))
+      .reverse.iterator.flatMap { v =>
       readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         val p = if (node == null) null else node.get("protocol")
@@ -3097,8 +3102,13 @@ object DeltaLog {
           "feature (no silent protocol upgrade) — use the copy-on-write " +
           "deleteWhere")
     requireNotAppendOnly(spark, fs, tbl, "delete_delta_dv")
+    // emitsCdc here means "the CDF contract is satisfied WITHOUT cdc
+    // files": a DV delete's remove+re-add descriptor swap is
+    // self-describing — CDF readers (readChanges' row-level bitmap
+    // difference, delta-spark's CDCReader) derive the exact deleted
+    // rows from the descriptors themselves
     requireWriterCapability(spark, fs, tbl, "delete_delta_dv",
-      adds = false, removes = true, rewrites = false)
+      adds = false, removes = true, rewrites = false, emitsCdc = true)
     // DISCOVERY scans only the stats-surviving files for the predicate
     // (same conservative kernel as deleteWhere/readWhere — a DV delete
     // of one key in a 100 TB table reads O(candidate files)); fold and

@@ -143,6 +143,23 @@ class DeltaCdfSpec extends SparkSpec {
     assert(ch(("update_postimage", 1L)) == Seq((1L, "a2")))
   }
 
+  test("DV-native delete on a CDF table serves row-level deletes from descriptors") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("dvcdf")
+    DeltaLog.write((1L to 6L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", p,
+      tableProperties = Map(
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    // no cdc files needed: the descriptor swap is self-describing and
+    // the feed's bitmap difference yields the exact deleted rows
+    assert(DeltaLog.deleteWhereViaDv(spark, p, "id % 3 = 0") > 0)
+    val ch = changes(p, 0L, 1L)
+    assert(ch.keySet == Set(("delete", 1L)))
+    assert(ch(("delete", 1L)) == Seq((3L, "v3"), (6L, "v6")))
+    assert(DeltaLog.read(spark, p).count() == 4L)
+  }
+
   test("vacuum keeps referenced cdc files, sweeps aged unreferenced ones") {
     val sp = spark; import sp.implicits._
     val p = freshDir("vac")

@@ -156,6 +156,21 @@ class DeltaWriterGateSpec extends SparkSpec {
     }
   }
 
+  test("gate resolves the protocol from the checkpoint after log cleanup") {
+    // the capability walk is bounded to POST-checkpoint commits; a
+    // restrictive protocol folded into the checkpoint (its commit
+    // cleaned away) must still gate mutations
+    val p = foreign("cpgate",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      configuration = Map("delta.enableRowTracking" -> "true"))
+    DeltaLog.writeCheckpoint(spark, p, 0L)
+    DeltaLog.cleanupLog(spark, p)
+    assert(!Files.exists(Paths.get(p, "_delta_log", "0" * 20 + ".json")),
+      "fixture must actually clean the protocol-bearing commit")
+    assert(refused(append(p)).contains("row tracking"))
+    assert(DeltaLog.read(spark, p).count() == 2L)
+  }
+
   test("identity columns refuse row-adding commits") {
     val ident = foreign("identity",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
