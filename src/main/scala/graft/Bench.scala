@@ -86,7 +86,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      // escape hatch for conf-cost A/B drills: the field-id read conf is
+      // needed only by id-mapped delta reads (none are benched), but it
+      // rides the global session like every production session builder
+      .config("spark.sql.parquet.fieldId.read.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_FIELD_ID_READ", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -160,6 +160,28 @@ class DeltaCdfSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 4L)
   }
 
+  test("cdc emission stays exact on the forced-distributed fold route") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("dist")
+    DeltaLog.write((1L to 8L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(4), "overwrite", p,
+      tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+    // snapshotDriverMaxBytes = 0 forces the executor-side snapshot fold
+    // (the 100 TB route); the cdc rows must be byte-identical to the
+    // small-log driver path's
+    assert(DeltaLog.deleteWhere(spark, p, "id >= 7",
+      snapshotDriverMaxBytes = 0L) >= 1)
+    val ch = changes(p, 0L, 1L)
+    assert(ch.keySet == Set(("delete", 1L)))
+    assert(ch(("delete", 1L)) == Seq((7L, "v7"), (8L, "v8")))
+    DeltaLog.upsert(Seq((1L, "V1"), (99L, "new")).toDF("id", "s"),
+      Seq("id"), p, snapshotDriverMaxBytes = 0L)
+    val ch2 = changes(p, 1L, 2L)
+    assert(ch2(("update_preimage", 2L)) == Seq((1L, "v1")))
+    assert(ch2(("update_postimage", 2L)) == Seq((1L, "V1")))
+    assert(ch2(("insert", 2L)) == Seq((99L, "new")))
+  }
+
   test("vacuum keeps referenced cdc files, sweeps aged unreferenced ones") {
     val sp = spark; import sp.implicits._
     val p = freshDir("vac")
