@@ -565,13 +565,29 @@ object DeltaLog {
       if (hasLog && m != "overwrite") priorConf
       else (if (m == "overwrite") priorConf
             else Map.empty[String, String]) ++ tableProperties
+    // a version-0 BOOTSTRAP append adopts pre-existing parquet whose rows
+    // this write never sees — declaring CHECK constraints over them would
+    // commit an invariant that may never have held (every later
+    // reader/writer trusts version 0 validated it). Refuse typed; the
+    // caller's route is validate-then-overwrite.
+    if (!hasLog && m != "overwrite" &&
+        enforceConf.keys.exists(_.startsWith("delta.constraints.")) &&
+        dataFiles(fs, tbl).nonEmpty)
+      throw graft.GraftError.InvalidOperation("write_delta",
+        s"$tbl: cannot declare CHECK constraints while bootstrapping a " +
+          "delta log over pre-existing parquet — the adopted files' rows " +
+          "were never validated; load and overwrite instead")
     val enforceSchema: Option[StructType] =
       if (hasLog && m != "overwrite") parsedTableSchema(spark, fs, tbl)
       else None
     // generated columns: absent ones are COMPUTED from their expressions
     // (dfIn carries them into staging), caller-supplied ones validate
-    // value<=>expression through the same observe pass as the constraints
-    val genCols = generatedColumns(enforceSchema)
+    // value<=>expression through the same observe pass as the constraints.
+    // A FRESH create/overwrite takes the generation metadata from the
+    // frame's own schema — the table it creates declares it, so garbage
+    // initial values would violate the invariant every later writer
+    // (ours and delta-spark's) assumes held from version 0
+    val genCols = generatedColumns(enforceSchema.orElse(Some(df.schema)))
     val dfIn = materializeGenerated(df, genCols, enforceSchema)
     val enforceChecks = enforcementChecks(spark, enforceConf, enforceSchema,
       dfIn.columns.toSeq, tbl, "write_delta") ++
@@ -720,7 +736,13 @@ object DeltaLog {
     val evolvedAppendSchema: Option[StructType] =
       if (fresh || m != "append" || mappedSchema.nonEmpty) None
       else parsedTableSchema(spark, fs, tbl).flatMap { t =>
-        if (df.schema.fields.forall(f => t.fieldNames.contains(f.name))) None
+        // case-INSENSITIVE like Spark resolution: a frame spelling a
+        // declared column differently is the SAME column (reads resolve
+        // it against the declared name), not a schema evolution — the
+        // merged schema would carry both spellings and every later read
+        // would fail with a duplicate-column error
+        if (df.schema.fields.forall(f =>
+            t.fieldNames.exists(_.equalsIgnoreCase(f.name)))) None
         else Some(mergeSchemas(t, df.schema, path))
       }
     def actionsFor(version: Long): String = {
@@ -734,7 +756,7 @@ object DeltaLog {
         enforceConf.keys.exists(_.startsWith("delta.constraints.")),
         df.schema.fields.exists(
           _.metadata.contains("delta.generationExpression")) ||
-          enforceConf.get("delta.enableChangeDataFeed").contains("true"))
+          confEnabled(enforceConf, "delta.enableChangeDataFeed"))
       // merge commits refresh metaData with the post-write merged schema —
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping
@@ -959,8 +981,8 @@ object DeltaLog {
     // change-data-feed tables get exact MERGE change rows
     // (update_preimage / update_postimage / insert) as _change_data +
     // cdc actions; mapped CDF tables stay refused by the gate
-    val cdfEmit = tableConfiguration(spark, fs, tbl)
-      .get("delta.enableChangeDataFeed").contains("true") &&
+    val cdfEmit = confEnabled(tableConfiguration(spark, fs, tbl),
+      "delta.enableChangeDataFeed") &&
       columnMappingMode(spark, fs, tbl) == "none"
     requireWriterCapability(spark, fs, tbl, "upsert_delta",
       adds = true, removes = true, rewrites = true, emitsCdc = cdfEmit)
@@ -1035,7 +1057,13 @@ object DeltaLog {
               withRowMeta = true, keyDepth = keyDepth),
             keepMeta = true, keyDepth = keyDepth)
             .drop(DvFileCol, DvRowCol)
+          // pin the matched preimage rows (bounded by the touched files'
+          // matched subset): three consumers — matchedKeys, the
+          // post/ins joins' key side, and the cdc stage write — would
+          // otherwise each re-scan the touched files (the same
+          // multi-consumer re-run the r10 plan audit hunted down)
           val pre = touchedLive.join(updKeys, keys, "left_semi")
+            .localCheckpoint(true)
           val matchedKeys = pre.select(keys.map(col): _*).distinct()
           val post = upd.join(matchedKeys, keys, "left_semi")
           val ins = upd.join(matchedKeys, keys, "left_anti")
@@ -1088,8 +1116,8 @@ object DeltaLog {
     // cdc actions in the same commit (exact row-level feed); mapped CDF
     // tables stay refused by the gate (cdc files would need physical
     // column names this writer does not emit for them)
-    val cdfEmit = tableConfiguration(spark, fs, tbl)
-      .get("delta.enableChangeDataFeed").contains("true") &&
+    val cdfEmit = confEnabled(tableConfiguration(spark, fs, tbl),
+      "delta.enableChangeDataFeed") &&
       columnMappingMode(spark, fs, tbl) == "none"
     requireWriterCapability(spark, fs, tbl, "delete_delta",
       adds = false, removes = true, rewrites = true, emitsCdc = cdfEmit)
@@ -1144,10 +1172,16 @@ object DeltaLog {
     * APPEND/MERGE (adds only) and OPTIMIZE (dataChange=false restages)
     * stay allowed.
     */
+  /** Boolean table property, parsed the way delta-spark does (Scala
+    * `toBoolean` — case-insensitive): a foreign writer's "True" must
+    * activate the feature, or its contract is silently broken.
+    */
+  private def confEnabled(conf: Map[String, String], key: String): Boolean =
+    conf.get(key).exists(v => v != null && v.trim.equalsIgnoreCase("true"))
+
   private def requireNotAppendOnly(spark: SparkSession, fs: FileSystem,
       tbl: HPath, op: String): Unit =
-    if (tableConfiguration(spark, fs, tbl)
-        .getOrElse("delta.appendOnly", "false") == "true")
+    if (confEnabled(tableConfiguration(spark, fs, tbl), "delta.appendOnly"))
       throw graft.GraftError.InvalidOperation(op,
         s"$tbl declares delta.appendOnly=true — row-removing mutations " +
           "are forbidden on append-only tables (append, merge and " +
@@ -1273,12 +1307,12 @@ object DeltaLog {
     // this commit (deleteWhere/upsert on plain tables), so the CDF
     // contract is honored, not broken
     if (removes && !emitsCdc &&
-        conf.get("delta.enableChangeDataFeed").contains("true"))
+        confEnabled(conf, "delta.enableChangeDataFeed"))
       refuse("change data feed on a row-removing commit — no " +
         "_change_data/cdc actions are emitted, so CDF readers would " +
         "miss these deletes")
     if ((adds || removes || rewrites) &&
-        conf.get("delta.enableRowTracking").contains("true"))
+        confEnabled(conf, "delta.enableRowTracking"))
       refuse("row tracking — row ids are not minted or preserved " +
         "across rewrites")
     if (adds) parsedTableSchema(spark, fs, tbl).foreach { s =>
@@ -1313,7 +1347,10 @@ object DeltaLog {
       gen: Seq[(String, String)],
       declared: Option[StructType]): DataFrame =
     gen.foldLeft(df) { case (acc, (name, sql)) =>
-      if (acc.columns.contains(name)) acc
+      // presence is case-insensitive like Spark resolution: a frame
+      // spelling the generated column differently SUPPLIED it (and gets
+      // validated), it must not be silently overwritten by the compute
+      if (acc.columns.exists(_.equalsIgnoreCase(name))) acc
       else {
         val target = declared.flatMap(_.fields.find(_.name == name))
           .map(f => stripMeta(f.dataType))
@@ -1328,7 +1365,8 @@ object DeltaLog {
     */
   private def generatedChecks(gen: Seq[(String, String)],
       originalColumns: Seq[String]): Seq[(String, org.apache.spark.sql.Column)] =
-    gen.filter { case (name, _) => originalColumns.contains(name) }
+    gen.filter { case (name, _) =>
+        originalColumns.exists(_.equalsIgnoreCase(name)) }
       .map { case (name, sql) =>
         (s"GENERATED column $name AS ($sql)",
           !(col(s"`$name`") <=> expr(sql)))
@@ -1361,9 +1399,13 @@ object DeltaLog {
       .map { case (k, sql) =>
         val name = k.stripPrefix("delta.constraints.")
         val refs =
+          // the TOP-LEVEL column is nameParts.head — `addr.zip` references
+          // frame column `addr` (nested CHECK constraints are legal);
+          // .last would demand a nonexistent top-level `zip` and refuse
+          // every write on such a table
           try spark.sessionState.sqlParser.parseExpression(sql).collect {
             case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              a.nameParts.last
+              a.nameParts.head
           }.distinct
           catch {
             case _: Exception =>
@@ -1384,7 +1426,9 @@ object DeltaLog {
       }
     val notNull = declaredSchema.toSeq.flatMap(_.fields)
       .filterNot(_.nullable).map(_.name)
-    val missing = notNull.filterNot(frameColumns.contains)
+    // presence is CASE-INSENSITIVE like Spark's own resolution — a frame
+    // spelling a declared `id` as `ID` stores and resolves fine
+    val missing = notNull.filterNot(n => frameLower(n.toLowerCase))
     if (missing.nonEmpty)
       throw graft.GraftError.InvalidOperation(op,
         s"$tbl declares NOT NULL column(s) ${missing.mkString(", ")} but " +
@@ -1682,6 +1726,13 @@ object DeltaLog {
       rowsPerPart: Int = 1000000): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the fold keeps add/metaData/protocol/txn rows ONLY — on a table
+    // whose writer features hang state off OTHER action kinds (row
+    // tracking's domainMetadata high watermarks), folding would
+    // silently drop that state and cleanupLog would then delete the
+    // commits carrying it. Same gate as the other maintenance restages.
+    requireWriterCapability(spark, fs, tbl, "write_checkpoint",
+      adds = false, removes = false, rewrites = true)
     val log = logDir(tbl)
     // sources: the previous checkpoint (older commits may be gone) plus
     // the commits after it, up to `version`
@@ -2462,10 +2513,24 @@ object DeltaLog {
         // cdc actions supersede this commit's add/remove pair (the CDF
         // contract): the _change_data files carry the EXACT change rows
         // + _change_type, so serving add/remove too would double-count
-        // the rewritten-but-unchanged rows
-        Seq(spark.read.parquet(
-            cdc.map(r => new HPath(tbl, r).toString): _*)
-          .withColumn("_commit_version", lit(v)))
+        // the rewritten-but-unchanged rows. basePath recovers partition
+        // columns from foreign partitioned layouts
+        // (_change_data/<pcol>=<val>/...); name/id-mapped tables carry
+        // PHYSICAL column names in cdc files like in data files — rename
+        // to logical through the table's annotations so the feed matches
+        // the snapshot read's columns
+        val raw = spark.read
+          .option("basePath", new HPath(tbl, "_change_data").toString)
+          .parquet(cdc.map(r => new HPath(tbl, r).toString): _*)
+        val logicalized = logicalSchemaIfMapped(spark, fs, tbl) match {
+          case Some((_, logical)) =>
+            val m = physToLogMap(logical)
+            raw.select(raw.columns.map(c =>
+              m.get(c).map(l => col(s"`$c`").as(l))
+                .getOrElse(col(s"`$c`"))): _*)
+          case None => raw
+        }
+        Seq(logicalized.withColumn("_commit_version", lit(v)))
       } else {
       // same-path remove+re-add in ONE commit = a deletion-vector
       // generation swap (DV-native delete, DV restore): the ROW-LEVEL
@@ -4346,6 +4411,10 @@ object DeltaLog {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
+    // deleting folded commits destroys any action kinds the checkpoint
+    // fold didn't carry — gate like writeCheckpoint
+    requireWriterCapability(spark, fs, tbl, "cleanup_log",
+      adds = false, removes = false, rewrites = true)
     val cp = lastCheckpointVersion(fs, log).getOrElse(return Nil)
     val victims = existingVersions(fs, log).filter(_ <= cp).map(commitName)
     victims.foreach(n => fs.delete(new HPath(log, n), false))
@@ -4549,11 +4618,21 @@ object DeltaLog {
             }.toSeq
           }.toSet
         }
-        fs.listStatus(cdcDir).toSeq
-          .filter(s => s.getPath.getName.endsWith(".parquet") &&
-            !referenced(s"_change_data/${s.getPath.getName}") &&
-            s.getModificationTime < cutoff)
-          .map(s => s"_change_data/${s.getPath.getName}")
+        // walk RECURSIVELY: foreign writers (delta-spark) lay cdc files
+        // of partitioned tables under _change_data/<pcol>=<val>/ dirs
+        val files = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+        def walk(dir: HPath): Unit = fs.listStatus(dir).foreach { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) files += s
+        }
+        walk(cdcDir)
+        val qualifiedTblBase = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
+        files.toSeq
+          .map(s => s.getPath.toUri.getPath
+            .stripPrefix(qualifiedTblBase).stripPrefix("/") -> s)
+          .filter { case (rel, s) =>
+            !referenced(rel) && s.getModificationTime < cutoff }
+          .map(_._1)
       }
     cdcOrphans.foreach(rel => fs.delete(new HPath(tbl, rel), false))
     // DV bin sweep: bins referenced by ACTIVE descriptors survive

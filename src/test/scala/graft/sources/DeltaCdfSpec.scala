@@ -182,6 +182,37 @@ class DeltaCdfSpec extends SparkSpec {
     assert(ch2(("insert", 2L)) == Seq((99L, "new")))
   }
 
+  test("foreign partitioned cdc layout recovers partition values via basePath") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("partcdc")
+    DeltaLog.write(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "s", "part"),
+      "overwrite", p)
+    // delta-spark lays a partitioned table's cdc under
+    // _change_data/<pcol>=<val>/...; the files carry NO partition column
+    Seq((2L, "b", "delete")).toDF("id", "s", "_change_type").coalesce(1)
+      .write.mode("overwrite").parquet(s"$p/_stage_cdc")
+    val cdcFile = {
+      var f: String = null
+      Files.list(Paths.get(p, "_stage_cdc")).forEach { x =>
+        val n = x.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) f = n
+      }
+      Files.createDirectories(Paths.get(p, "_change_data", "part=2"))
+      Files.move(Paths.get(p, "_stage_cdc", f),
+        Paths.get(p, "_change_data", "part=2", s"cdc-$f"))
+      s"_change_data/part=2/cdc-$f"
+    }
+    val sz = Files.size(Paths.get(p, cdcFile))
+    Files.writeString(Paths.get(p, "_delta_log", "0" * 19 + "1.json"),
+      s"""{"commitInfo":{"operation":"DELETE"}}\n""" +
+        s"""{"cdc":{"path":"$cdcFile","partitionValues":{"part":"2"},"size":$sz,"dataChange":false}}\n""")
+    val rows = DeltaLog.readChanges(spark, p, 0L, 1L)
+      .select("_change_type", "id", "part").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2).toString)).toSeq
+    assert(rows == Seq(("delete", 2L, "2")),
+      s"partition value recovered from the directory layout: $rows")
+  }
+
   test("vacuum keeps referenced cdc files, sweeps aged unreferenced ones") {
     val sp = spark; import sp.implicits._
     val p = freshDir("vac")

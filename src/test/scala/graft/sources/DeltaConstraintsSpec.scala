@@ -189,6 +189,66 @@ class DeltaConstraintsSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 2L)
   }
 
+  test("nested CHECK constraints resolve their top-level column") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("nested")
+    // `addr.zip IS NOT NULL` references frame column `addr` (head of the
+    // name parts) — a .last-based extraction would demand a nonexistent
+    // top-level `zip` and refuse every write on this table
+    DeltaLog.write(
+      Seq((1L, ("z1", "c1"))).toDF("id", "addr")
+        .selectExpr("id", "named_struct('zip', addr._1, 'city', addr._2) AS addr"),
+      "overwrite", p,
+      tableProperties = Map("delta.constraints.zip_set" -> "addr.zip IS NOT NULL"))
+    intercept[graft.GraftError.ConstraintViolation] {
+      DeltaLog.write(
+        Seq(2L).toDF("id")
+          .selectExpr("id", "named_struct('zip', CAST(NULL AS STRING), 'city', 'c2') AS addr"),
+        "append", p)
+    }
+    DeltaLog.write(
+      Seq(3L).toDF("id")
+        .selectExpr("id", "named_struct('zip', 'z3', 'city', 'c3') AS addr"),
+      "append", p)
+    assert(DeltaLog.read(spark, p).count() == 2L)
+  }
+
+  test("boolean properties and column presence are case-insensitive") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("caseins")
+    // delta-spark parses booleans with toBoolean — "True" activates
+    DeltaLog.write(Seq((1L, "a")).toDF("id", "s"), "overwrite", p,
+      tableProperties = Map("delta.appendOnly" -> "True"))
+    intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.deleteWhere(spark, p, "id = 1")
+    }
+    // a declared NOT NULL `id` supplied as `ID` resolves like Spark does
+    val p2 = freshDir("caseins2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    DeltaLog.write(sp.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, "a")), schema),
+      "overwrite", p2)
+    DeltaLog.write(Seq((2L, "b")).toDF("ID", "s"), "append", p2)
+    assert(DeltaLog.read(spark, p2).count() == 2L)
+  }
+
+  test("bootstrap append over pre-existing parquet refuses constraints") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("bootstrap")
+    Seq((1L, -5L)).toDF("id", "qty").write.mode("overwrite").parquet(p)
+    // the adopted file's qty=-5 was never validated — declaring the
+    // constraint over it would commit an invariant that never held
+    val err = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.write(Seq((2L, Some(3L))).toDF("id", "qty"), "append", p,
+        tableProperties = Map("delta.constraints.qty_pos" -> "qty > 0"))
+    }
+    assert(err.getMessage.contains("bootstrapping"))
+  }
+
   test("constraints survive the checkpoint fold") {
     val sp = spark; import sp.implicits._
     val p = freshDir("checkpointed")

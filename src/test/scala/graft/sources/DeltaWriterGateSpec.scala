@@ -156,19 +156,87 @@ class DeltaWriterGateSpec extends SparkSpec {
     }
   }
 
-  test("gate resolves the protocol from the checkpoint after log cleanup") {
+  test("gate resolves the protocol from a foreign checkpoint-only log") {
+    val sp = spark; import sp.implicits._
     // the capability walk is bounded to POST-checkpoint commits; a
-    // restrictive protocol folded into the checkpoint (its commit
-    // cleaned away) must still gate mutations
-    val p = foreign("cpgate",
+    // restrictive protocol visible ONLY through a checkpoint (foreign
+    // writer checkpointed, then cleaned its commits) must still gate.
+    // Built foreign-shaped by hand — our own writeCheckpoint refuses
+    // on such tables (see below), exactly because its fold drops the
+    // actions the feature depends on.
+    val p = freshDir("cpgate")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val dataFile = {
+      var f: String = null
+      Files.list(Paths.get(p)).forEach { x =>
+        val n = x.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) f = n
+      }
+      f
+    }
+    val size = Files.size(Paths.get(p, dataFile))
+    val log = Paths.get(p, "_delta_log")
+    Files.createDirectories(log)
+    val cpRows = Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
-      configuration = Map("delta.enableRowTracking" -> "true"))
-    DeltaLog.writeCheckpoint(spark, p, 0L)
-    DeltaLog.cleanupLog(spark, p)
-    assert(!Files.exists(Paths.get(p, "_delta_log", "0" * 20 + ".json")),
-      "fixture must actually clean the protocol-bearing commit")
+      s"""{"metaData":{"id":"cpgate","format":{"provider":"parquet","options":{}},"schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[{\\"name\\":\\"id\\",\\"type\\":\\"long\\",\\"nullable\\":true,\\"metadata\\":{}},{\\"name\\":\\"s\\",\\"type\\":\\"string\\",\\"nullable\\":true,\\"metadata\\":{}}]}","partitionColumns":[],"configuration":{"delta.enableRowTracking":"true"}}}""",
+      s"""{"add":{"path":"$dataFile","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}""")
+    val cpStage = s"$p/_cp_stage"
+    sp.read.json(sp.createDataset(cpRows)).coalesce(1)
+      .write.mode("overwrite").parquet(cpStage)
+    val cpPart = {
+      var f: String = null
+      Files.list(Paths.get(cpStage)).forEach { x =>
+        val n = x.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) f = n
+      }
+      f
+    }
+    Files.move(Paths.get(cpStage, cpPart),
+      log.resolve("0" * 20 + ".checkpoint.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"), """{"version":0}""")
+    assert(!Files.exists(log.resolve("0" * 20 + ".json")),
+      "fixture is checkpoint-only — no commit json carries the protocol")
     assert(refused(append(p)).contains("row tracking"))
     assert(DeltaLog.read(spark, p).count() == 2L)
+  }
+
+  test("checkpoint and log cleanup refuse on unmaintainable writer features") {
+    // the checkpoint fold keeps add/metaData/protocol/txn rows only —
+    // on a row-tracking table it would drop the feature's state and
+    // cleanupLog would delete the commits carrying it
+    val p = foreign("cpRefuse",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      configuration = Map("delta.enableRowTracking" -> "true"))
+    assert(refused(DeltaLog.writeCheckpoint(spark, p, 0L))
+      .contains("row tracking"))
+    assert(refused(DeltaLog.cleanupLog(spark, p)).contains("row tracking"))
+    assert(DeltaLog.read(spark, p).count() == 2L)
+  }
+
+  test("generated columns validate the CREATING write too") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("gencreate")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.generationExpression", "id * 2").build()
+    // garbage initial values: the created table would declare an
+    // invariant (and minWriterVersion 4) that never held
+    val err = intercept[graft.GraftError.ConstraintViolation] {
+      DeltaLog.write(
+        Seq((1L, 99L)).toDF("id", "k2")
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("k2").as("k2", meta)),
+        "overwrite", p)
+    }
+    assert(err.getMessage.contains("GENERATED column k2"))
+    assert(!Files.exists(Paths.get(p, "_delta_log")), "no table committed")
+    DeltaLog.write(
+      Seq((1L, 2L)).toDF("id", "k2")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("k2").as("k2", meta)),
+      "overwrite", p)
+    assert(DeltaLog.read(spark, p).count() == 1L)
   }
 
   test("identity columns refuse row-adding commits") {
