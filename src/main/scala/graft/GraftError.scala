@@ -87,7 +87,7 @@ object GraftError {
           "table's declared constraints: " +
           violations.map { case (label, n) => s"$label [$n row(s)]" }
             .mkString("; "),
-        "CHECK constraints reject rows where the expression is FALSE (NULL passes, per SQL); NOT NULL invariants reject NULL values. Fix the offending rows, or recreate the table without the constraint")
+        "CHECK constraints reject rows where the expression is not TRUE (a NULL result rejects too — delta-spark's CheckDeltaInvariant rule, stricter than SQL CHECK); NOT NULL invariants reject NULL values, nested struct fields included. Fix the offending rows, or recreate the table without the constraint")
 
   final case class MissingColumnWithContext(column: String,
       available: Seq[String], context: String, location: String)

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{array_join, coalesce, col, expr, input_file_name, lit, slice, split}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import scala.collection.mutable.ListBuffer
 
@@ -590,7 +590,7 @@ object DeltaLog {
     val genCols = generatedColumns(enforceSchema.orElse(Some(df.schema)))
     val dfIn = materializeGenerated(df, genCols, enforceSchema)
     val enforceChecks = enforcementChecks(spark, enforceConf, enforceSchema,
-      dfIn.columns.toSeq, tbl, "write_delta") ++
+      dfIn.schema, tbl, "write_delta") ++
       generatedChecks(genCols, df.columns.toSeq)
     val enforceObs =
       if (enforceChecks.isEmpty) None
@@ -996,7 +996,7 @@ object DeltaLog {
     val upd = materializeGenerated(updates, genCols, declared)
     enforceEager(upd, enforcementChecks(spark,
       tableConfiguration(spark, fs, tbl), declared,
-      upd.columns.toSeq, tbl, "upsert_delta") ++
+      upd.schema, tbl, "upsert_delta") ++
       generatedChecks(genCols, updates.columns.toSeq), path, "upsert_delta")
     val updKeys = upd.select(keys.map(col): _*).distinct()
     // snapshot fold + key-bounds pruning run distributedly above the
@@ -1254,6 +1254,18 @@ object DeltaLog {
     "appendOnly", "invariants", "checkConstraints", "columnMapping",
     "deletionVectors", "timestampNtz")
 
+  /** Reader features the replay-based read path honors end-to-end:
+    * column mapping (name + id modes resolved at read), deletion
+    * vectors (parsed onto add entries, applied as a row filter at
+    * scan), and timestampNtz (TIMESTAMP_NTZ columns — [[Loaders]]
+    * normalizes NTZ on load, so the type poses no replay hazard;
+    * matching the WRITER whitelist, which already carried it).
+    * Anything else refuses typed: plain add/remove replay under an
+    * unknown reader feature returns wrong rows.
+    */
+  private val SupportedReaderFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors", "timestampNtz")
+
   /** Writer-protocol fidelity gate, run before any mutation of an
     * EXISTING delta table. `adds`/`removes` describe the commit this
     * operation would write (new rows / removed-or-superseded live rows);
@@ -1376,10 +1388,16 @@ object DeltaLog {
     * configuration — the key delta-spark's ALTER TABLE ADD CONSTRAINT
     * writes) plus NOT NULL invariants (non-nullable fields of the
     * declared schema), compiled to VIOLATION predicates over an incoming
-    * frame. SQL CHECK semantics: a row violates only when the expression
-    * is provably FALSE — NULL passes. A declared NOT NULL column missing
-    * from the frame entirely refuses typed here (its rows would read
-    * back NULL through the declared schema). A CHECK expression
+    * frame. Delta CHECK semantics (delta-spark's CheckDeltaInvariant,
+    * stricter than SQL): a row violates unless the expression evaluates
+    * to TRUE — a NULL result rejects, because the protocol requires the
+    * expression to hold for every written row and compliant engines
+    * refuse what we would otherwise commit. A declared NOT NULL column
+    * missing from the frame entirely refuses typed here (its rows would
+    * read back NULL through the declared schema). NOT NULL invariants
+    * recurse into nested structs: a non-nullable field of a (non-nullable
+    * path of) struct column is enforced at its dotted path, matching
+    * delta-spark's invariants feature. A CHECK expression
     * referencing a column absent from the frame ALSO refuses typed:
     * staged files carry only the frame's columns, the absent ones read
     * back NULL, and NULL legs can flip a compound predicate to FALSE on
@@ -1390,9 +1408,9 @@ object DeltaLog {
     */
   private def enforcementChecks(spark: SparkSession,
       configuration: Map[String, String],
-      declaredSchema: Option[StructType], frameColumns: Seq[String],
+      declaredSchema: Option[StructType], frameSchema: StructType,
       tbl: HPath, op: String): Seq[(String, org.apache.spark.sql.Column)] = {
-    val frameLower = frameColumns.map(_.toLowerCase).toSet
+    val frameLower = frameSchema.fieldNames.map(_.toLowerCase).toSet
     val checks = configuration.toSeq
       .filter { case (k, _) => k.startsWith("delta.constraints.") }
       .sortBy(_._1)
@@ -1422,20 +1440,67 @@ object DeltaLog {
               "could violate the constraint for later readers; include " +
               "the column(s) (explicit NULLs validate honestly)")
         (s"CHECK constraint $name ($sql)",
-          coalesce(expr(sql).cast("boolean"), lit(true)) === lit(false))
+          // delta-spark parity, NOT generic SQL CHECK: CheckDeltaInvariant
+          // rejects a NULL result (result == null || result == false) and
+          // the delta protocol requires the expression to evaluate TRUE
+          // for every written row — so the violation predicate is
+          // NOT (expr IS TRUE), catching both FALSE and NULL
+          !(expr(sql).cast("boolean") <=> lit(true)))
       }
-    val notNull = declaredSchema.toSeq.flatMap(_.fields)
-      .filterNot(_.nullable).map(_.name)
+    val notNull = declaredSchema.toSeq.flatMap(s => notNullFieldPaths(s))
     // presence is CASE-INSENSITIVE like Spark's own resolution — a frame
-    // spelling a declared `id` as `ID` stores and resolves fine
-    val missing = notNull.filterNot(n => frameLower(n.toLowerCase))
+    // spelling a declared `id` as `ID` stores and resolves fine; nested
+    // paths resolve segment-by-segment through the frame's struct types
+    val missing = notNull.filterNot(p => fieldAtPath(frameSchema, p).isDefined)
     if (missing.nonEmpty)
       throw graft.GraftError.InvalidOperation(op,
-        s"$tbl declares NOT NULL column(s) ${missing.mkString(", ")} but " +
-          "the incoming frame lacks them — appended rows would read " +
+        s"$tbl declares NOT NULL column(s) " +
+          missing.map(_.mkString(".")).mkString(", ") +
+          " but the incoming frame lacks them — appended rows would read " +
           "back NULL through the declared schema")
-    checks ++ notNull.map(f =>
-      (s"NOT NULL invariant on $f", col(s"`$f`").isNull))
+    checks ++ notNull.map { p =>
+      val dotted = p.map(s => s"`$s`").mkString(".")
+      // a nested field under a NULL (nullable) parent has no value to
+      // violate — guard on the parent chain, matching delta-spark; a
+      // non-nullable parent's own NULL is its own entry's violation
+      val parentsNotNull = (1 until p.length).map(i =>
+        col(p.take(i).map(s => s"`$s`").mkString(".")).isNotNull)
+      (s"NOT NULL invariant on ${p.mkString(".")}",
+        parentsNotNull.foldLeft(col(dotted).isNull)((acc, c) => acc && c))
+    }
+  }
+
+  /** Every non-nullable field path of `schema`, recursing into struct
+    * children (delta-spark's invariants feature enforces nested struct
+    * fields too; array/map elements are not descended, same as
+    * delta-spark). Paths are segment lists, top-level fields included.
+    */
+  private def notNullFieldPaths(st: StructType,
+      prefix: Seq[String] = Nil): Seq[Seq[String]] =
+    st.fields.toSeq.flatMap { f =>
+      val path = prefix :+ f.name
+      val own: Seq[Seq[String]] = if (f.nullable) Nil else Seq(path)
+      val nested = f.dataType match {
+        case s: StructType => notNullFieldPaths(s, path)
+        case _ => Nil
+      }
+      own ++ nested
+    }
+
+  /** Case-insensitive resolution of a dotted field path through nested
+    * struct types; None when any segment is absent or a non-struct is
+    * descended into.
+    */
+  private def fieldAtPath(st: StructType,
+      path: Seq[String]): Option[StructField] = {
+    val hit = st.fields.find(_.name.equalsIgnoreCase(path.head))
+    hit.flatMap { f =>
+      if (path.length == 1) Some(f)
+      else f.dataType match {
+        case s: StructType => fieldAtPath(s, path.tail)
+        case _ => None
+      }
+    }
   }
 
   /** Eager single-scan enforcement (used where the frame is an incoming
@@ -1983,8 +2048,8 @@ object DeltaLog {
     // delta-spark/delta-rs do). Supported here: minReaderVersion 1;
     // minReaderVersion 2 (column mapping — NAME mode handled at read
     // time via the metaData rename, id mode refused below); and
-    // minReaderVersion 3 when readerFeatures ⊆ {columnMapping,
-    // deletionVectors} (DV descriptors are parsed onto the add entries
+    // minReaderVersion 3 when readerFeatures ⊆ [[SupportedReaderFeatures]]
+    // (DV descriptors are parsed onto the add entries
     // and applied as a row filter at scan — see applyDeletionVectors;
     // write/maintenance paths refuse on DV-bearing snapshots).
     def guard(cond: Boolean, what: => String): Unit =
@@ -1998,7 +2063,7 @@ object DeltaLog {
         Option(node.get("readerFeatures")).filter(_.isArray)
           .foreach(_.forEach(f => feats += f.asText))
         val unsupported =
-          feats.filterNot(Set("columnMapping", "deletionVectors"))
+          feats.filterNot(SupportedReaderFeatures)
         guard(v > 3 || unsupported.nonEmpty,
           s"protocol minReaderVersion $v, readerFeatures " +
             feats.mkString("[", ", ", "]"))
@@ -2105,7 +2170,7 @@ object DeltaLog {
           val feats = scala.collection.mutable.ArrayBuffer.empty[String]
           Option(node.get("readerFeatures")).filter(_.isArray)
             .foreach(_.forEach(f => feats += f.asText))
-          val unsupported = feats.filterNot(Set("columnMapping", "deletionVectors"))
+          val unsupported = feats.filterNot(SupportedReaderFeatures)
           if (v > 3 || unsupported.nonEmpty)
             throw graft.GraftError.InvalidOperation("load_delta",
               s"$path requires an unsupported reader capability (protocol " +

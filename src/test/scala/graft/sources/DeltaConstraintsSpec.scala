@@ -8,8 +8,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * delta-spark's ALTER TABLE ADD CONSTRAINT writes) and NOT NULL
   * invariants, enforced on every row-adding commit: create, append,
   * merge, overwrite (configuration is preserved, delta-spark
-  * semantics) and upsert changesets. SQL CHECK semantics throughout —
-  * FALSE rejects, NULL passes. Enforcement rides the staging scan via
+  * semantics) and upsert changesets. Delta CHECK semantics throughout
+  * (delta-spark's CheckDeltaInvariant, stricter than SQL CHECK): a row
+  * passes only when the expression evaluates TRUE — FALSE and NULL both
+  * reject. Enforcement rides the staging scan via
   * `Dataset.observe` (one pass) and aborts BEFORE the log commit, so a
   * violating write leaves the table byte-identical and sweeps its stage.
   */
@@ -47,7 +49,7 @@ class DeltaConstraintsSpec extends SparkSpec {
       }
   }
 
-  test("CHECK constraint gates create, append and merge; NULL passes") {
+  test("CHECK constraint gates create, append and merge; NULL rejects") {
     val sp = spark; import sp.implicits._
     val p = freshDir("check")
     // violating initial data: no table may appear at all
@@ -63,7 +65,8 @@ class DeltaConstraintsSpec extends SparkSpec {
     // valid create declares the checkConstraints writer floor (qty is
     // OPTION-wrapped so the declared schema keeps it nullable — a bare
     // Seq[(Long, Long)] frame would additionally declare a NOT NULL
-    // invariant on qty and mask the CHECK-passes-on-NULL leg below)
+    // invariant on qty and the NULL leg below would report that
+    // invariant instead of the CHECK rejection it exercises)
     DeltaLog.write(Seq((1L, Some(5L)), (2L, Some(3L))).toDF("id", "qty"),
       "overwrite", p,
       tableProperties = Map("delta.constraints.qty_pos" -> "qty > 0"))
@@ -71,8 +74,16 @@ class DeltaConstraintsSpec extends SparkSpec {
       java.nio.file.Paths.get(p, "_delta_log", f"${0L}%020d.json"))
     assert(v0.contains(""""minWriterVersion":3"""),
       "a constrained table declares minWriterVersion 3")
-    // NULL satisfies CHECK (SQL semantics) — nullable qty appends fine
-    DeltaLog.write(Seq((3L, Some(7L)), (4L, None))
+    // a NULL-evaluating CHECK row REJECTS: delta-spark's
+    // CheckDeltaInvariant requires the expression to evaluate TRUE for
+    // every written row (deliberately stricter than SQL CHECK, where
+    // NULL passes) — committing the NULL row would write data other
+    // delta engines refuse
+    intercept[graft.GraftError.ConstraintViolation] {
+      DeltaLog.write(Seq((3L, Some(7L)), (4L, None))
+        .toDF("id", "qty"), "append", p)
+    }
+    DeltaLog.write(Seq((3L, Some(7L)), (4L, Some(9L)))
       .toDF("id", "qty"), "append", p)
     assert(DeltaLog.read(spark, p).count() == 4L)
     // a FALSE row rejects the whole append, table unchanged
@@ -142,6 +153,53 @@ class DeltaConstraintsSpec extends SparkSpec {
     DeltaLog.write(sp.createDataFrame(
       java.util.Arrays.asList(Row(3L, null)), schema), "append", p)
     assert(DeltaLog.read(spark, p).count() == 3L)
+  }
+
+  test("NOT NULL invariants recurse into nested struct fields") {
+    val sp = spark
+    val p = freshDir("notnull_nested")
+    // addr is NULLABLE, addr.zip is NOT NULL: a NULL zip under a present
+    // addr violates; a wholly-NULL addr does not (no value exists at the
+    // nested path — delta-spark's invariants guard on the parent too)
+    val inner = StructType(Seq(
+      StructField("zip", StringType, nullable = false),
+      StructField("city", StringType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("addr", inner, nullable = true)))
+    DeltaLog.write(sp.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Row("z1", "c1"))), schema),
+      "overwrite", p)
+    // nested NULL under a non-null parent → rejected, path named
+    val relaxed = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("addr", StructType(Seq(
+        StructField("zip", StringType, nullable = true),
+        StructField("city", StringType, nullable = true))),
+        nullable = true)))
+    val err = intercept[graft.GraftError.ConstraintViolation] {
+      DeltaLog.write(sp.createDataFrame(
+        java.util.Arrays.asList(Row(2L, Row(null, "c2"))), relaxed),
+        "append", p)
+    }
+    assert(err.getMessage.contains("NOT NULL invariant on addr.zip"))
+    assert(DeltaLog.read(spark, p).count() == 1L)
+    // NULL parent: nothing exists at addr.zip, nullable addr accepts it
+    DeltaLog.write(sp.createDataFrame(
+      java.util.Arrays.asList(Row(3L, null)), relaxed), "append", p)
+    assert(DeltaLog.read(spark, p).count() == 2L)
+    // frame whose struct LACKS the declared NOT NULL nested field →
+    // typed refusal (rows would read back NULL at addr.zip)
+    val noZip = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("addr", StructType(Seq(
+        StructField("city", StringType, nullable = true))),
+        nullable = true)))
+    val miss = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.write(sp.createDataFrame(
+        java.util.Arrays.asList(Row(4L, Row("c4"))), noZip), "append", p)
+    }
+    assert(miss.getMessage.contains("addr.zip"))
   }
 
   test("upsert enforces constraints on the changeset") {

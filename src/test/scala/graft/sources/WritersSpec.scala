@@ -329,6 +329,27 @@ class WritersSpec extends SparkSpec {
     appendCommit(p5,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""")
     assert(DeltaLog.read(spark, p5).count() == 2)
+    // timestampNtz is a supported reader feature (Loaders normalizes
+    // NTZ on load): a foreign minReaderVersion-3 table declaring it —
+    // and actually carrying a TIMESTAMP_NTZ column — reads, matching
+    // the writer whitelist, which always carried it
+    val p6 = tmp("delta_proto_v3_ntz")
+    if (Files.exists(Paths.get(p6))) {
+      Files.walk(Paths.get(p6)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    Writers.writeDeltaTable(
+      Seq((1L, "2024-03-01 10:00:00"), (2L, "2024-03-02 11:30:00"))
+        .toDF("id", "ts_s")
+        .select($"id", org.apache.spark.sql.functions
+          .to_timestamp_ntz($"ts_s").as("ts")),
+      "overwrite", p6)
+    appendCommit(p6,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""")
+    val ntzBack = DeltaLog.read(spark, p6)
+    assert(ntzBack.count() == 2)
+    assert(ntzBack.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
     // our own tables keep reading
     assert(DeltaLog.read(spark, freshTable("delta_proto_ok")).count() == 2)
   }
