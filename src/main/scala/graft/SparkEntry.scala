@@ -741,6 +741,45 @@ object SparkEntry {
         .select("_change_type", "n", "key_sum", "total_price")
     }),
 
+    // Change feed bounded by TIMESTAMPS (delta-spark's
+    // startingTimestamp/endingTimestamp CDF reads): commit mtimes are
+    // stamped deterministically, then the window [t(v2), t(v3)] must
+    // serve exactly the delete + update pre/post images of versions 2-3
+    // — resolved via the same monotonized-mtime rule as timestamp time
+    // travel. The oracle recomputes the change rows from orders.
+    "q_delta_cdf_ts" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_cdf_ts"
+      val o = t(s, d, "orders").toDF
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val hfs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hfs.exists(hp)) hfs.delete(hp, true)
+      Writers.writeDeltaTable(o, "overwrite", path,
+        tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+      Writers.writeDeltaTable(o.where(col("o_orderkey") % 10 === 0),
+        "append", path)
+      graft.sources.DeltaLog.deleteWhere(s, path, "o_orderkey % 10 = 7")
+      graft.sources.DeltaLog.upsert(
+        o.where(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        Seq("o_orderkey"), path)
+      // stamp commit mtimes 60 s apart so the timestamp window resolves
+      // deterministically (same-millisecond commits would be ambiguous)
+      val base = 1700000000000L
+      (0L to 3L).foreach { v =>
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(path, "_delta_log", f"$v%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis(base + v * 60000L))
+      }
+      import org.apache.spark.sql.functions.{count, sum, expr => sexpr}
+      graft.sources.DeltaLog.readChangesByTimestamp(s, path,
+        base + 120000L, Some(base + 180000L))
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+          sexpr("round(sum(o_totalprice), 2)").as("total_price"))
+        .select("_change_type", "n", "key_sum", "total_price")
+    }),
+
     // GENERATED columns (delta.generationExpression field metadata, the
     // shape delta-spark's GENERATED ALWAYS AS writes): the table is
     // created with the column declared+populated (and the v0 protocol
@@ -3150,6 +3189,21 @@ object SparkEntry {
         "UNION ALL SELECT o_orderstatus, o_totalprice AS price " +
         "FROM orders WHERE o_orderkey % 10 = 0" +
         ") GROUP BY o_orderstatus"),
+
+    // the timestamp-bounded window [t(v2), t(v3)] = versions 2-3 only:
+    // the v2 cdc-exact delete of %10==7 and the v3 update pre/post
+    // images of %10==3 — the v1 append's inserts fall OUTSIDE the window
+    "q_delta_cdf_ts" ->
+      ("SELECT _change_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "round(sum(price), 2) AS total_price FROM (" +
+        "SELECT 'delete' AS _change_type, o_orderkey, o_totalprice AS price " +
+        "FROM orders WHERE o_orderkey % 10 = 7 " +
+        "UNION ALL SELECT 'update_preimage', o_orderkey, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 = 3 " +
+        "UNION ALL SELECT 'update_postimage', o_orderkey, o_totalprice + 1000 " +
+        "FROM orders WHERE o_orderkey % 10 = 3" +
+        ") GROUP BY _change_type"),
 
     // the change feed recomputed from orders: v1 inserts the %10==0
     // append, v2 deletes %10==7 (cdc-exact), v3 updates %10==3 with

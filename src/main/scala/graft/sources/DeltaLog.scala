@@ -378,7 +378,8 @@ object DeltaLog {
       partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10,
       txn: Option[(String, Long)] = None,
       tableProperties: Map[String, String] = Map.empty,
-      columnMapping: Option[String] = None): Unit = {
+      columnMapping: Option[String] = None,
+      acceptCdfOverwrite: Boolean = false): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val tbl = new HPath(path)
@@ -411,9 +412,16 @@ object DeltaLog {
     // writer features we would silently break (CDF deletes without cdc
     // actions, row tracking, generated/identity columns, unknown v7
     // features). Overwrite both removes every live row and restages.
+    // CDF + overwrite: refused by default — OUR overwrite restarts the
+    // log at version 0, destroying the change history a CDF reader is
+    // tracking (delta-spark's overwrite preserves versions and serves
+    // such commits at add/remove granularity — a deliberate divergence).
+    // `acceptCdfOverwrite=true` is the documented opt-in for callers who
+    // accept the history reset.
     if (hasLog)
       requireWriterCapability(spark, fs, tbl, "write_delta",
-        adds = true, removes = m == "overwrite", rewrites = m == "overwrite")
+        adds = true, removes = m == "overwrite", rewrites = m == "overwrite",
+        cdfRestartOptIn = m == "overwrite" && acceptCdfOverwrite)
     // table properties only take effect on the commit that CREATES the
     // log (version 0); silently ignoring them on an append/merge into an
     // existing table would let a caller believe they set appendOnly (or
@@ -1298,7 +1306,8 @@ object DeltaLog {
     */
   private def requireWriterCapability(spark: SparkSession, fs: FileSystem,
       tbl: HPath, op: String, adds: Boolean, removes: Boolean,
-      rewrites: Boolean, emitsCdc: Boolean = false): Unit = {
+      rewrites: Boolean, emitsCdc: Boolean = false,
+      cdfRestartOptIn: Boolean = false): Unit = {
     def refuse(what: String): Nothing =
       throw graft.GraftError.InvalidOperation(op,
         s"$tbl requires an unsupported writer capability ($what); " +
@@ -1318,11 +1327,14 @@ object DeltaLog {
     // emitsCdc: the caller writes _change_data files + cdc actions for
     // this commit (deleteWhere/upsert on plain tables), so the CDF
     // contract is honored, not broken
-    if (removes && !emitsCdc &&
+    if (removes && !emitsCdc && !cdfRestartOptIn &&
         confEnabled(conf, "delta.enableChangeDataFeed"))
       refuse("change data feed on a row-removing commit — no " +
         "_change_data/cdc actions are emitted, so CDF readers would " +
-        "miss these deletes")
+        "miss these deletes; for mode=overwrite (which RESTARTS the log " +
+        "and destroys the change history, a deliberate divergence from " +
+        "delta-spark's version-preserving overwrite) pass " +
+        "acceptCdfOverwrite=true to opt in")
     if ((adds || removes || rewrites) &&
         confEnabled(conf, "delta.enableRowTracking"))
       refuse("row tracking — row ids are not minted or preserved " +
@@ -1545,12 +1557,7 @@ object DeltaLog {
     if (!fs.exists(log))
       throw graft.GraftError.InvalidOperation("load_delta",
         s"$path is not a delta table (no _delta_log)")
-    val raw = existingVersions(fs, log).sorted.map(v =>
-      v -> fs.getFileStatus(new HPath(log, commitName(v))).getModificationTime)
-    var runningMax = Long.MinValue
-    val stamped = raw.map { case (v, ts) =>
-      runningMax = math.max(runningMax, ts); v -> runningMax
-    }
+    val stamped = monotonizedCommitTimes(fs, log)
     stamped.lastOption.filter(_._2 < tsMillis).foreach { case (v, ts) =>
       throw graft.GraftError.InvalidOperation("load_delta",
         s"$path has no commit as late as timestamp $tsMillis (the newest " +
@@ -1564,6 +1571,71 @@ object DeltaLog {
             s" (earliest visible commit is at ${s._2})").getOrElse(
             " (no visible commits — log fully folded into a checkpoint)")))
     read(spark, path, Some(chosen))
+  }
+
+  /** Commit-file mtimes MONOTONIZED in version order (running max —
+    * DeltaHistoryManager's adjustment): filesystem mtimes carry no
+    * ordering guarantee, and an out-of-order stamp would otherwise
+    * resolve version N while version N-1 "happened later". Shared by
+    * timestamp time travel and the timestamp-bounded change feed.
+    */
+  private def monotonizedCommitTimes(fs: FileSystem,
+      log: HPath): Seq[(Long, Long)] = {
+    val raw = existingVersions(fs, log).sorted.map(v =>
+      v -> fs.getFileStatus(new HPath(log, commitName(v))).getModificationTime)
+    var runningMax = Long.MinValue
+    raw.map { case (v, ts) =>
+      runningMax = math.max(runningMax, ts); v -> runningMax
+    }
+  }
+
+  /** Change feed bounded by TIMESTAMPS (delta-spark's
+    * startingTimestamp/endingTimestamp CDF reads), resolved via the same
+    * monotonized-mtime rule as [[readAsOfTimestamp]]: the window starts
+    * at the EARLIEST commit stamped at-or-after `startTsMillis` and ends
+    * at the NEWEST commit stamped at-or-before `endTsMillis` (the newest
+    * commit when None). Refusals match delta-spark's: a start past the
+    * newest commit refuses typed (silently serving an empty feed would
+    * hide a caller's clock bug), as does a window no commit falls into.
+    * Note the asymmetry with [[readChanges]]' version window: version 0
+    * CANNOT be served (the feed needs the pre-commit state), so a start
+    * timestamp resolving to version 0 serves from version 1 — same floor
+    * as delta-spark, whose CDF also starts at the first change-bearing
+    * commit.
+    */
+  def readChangesByTimestamp(spark: SparkSession, path: String,
+      startTsMillis: Long, endTsMillis: Option[Long] = None): DataFrame = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = logDir(tbl)
+    if (!fs.exists(log))
+      throw graft.GraftError.InvalidOperation("read_changes",
+        s"$path is not a delta table (no _delta_log)")
+    endTsMillis.filter(_ < startTsMillis).foreach { e =>
+      throw graft.GraftError.InvalidOperation("read_changes",
+        s"endingTimestamp $e precedes startingTimestamp $startTsMillis")
+    }
+    val stamped = monotonizedCommitTimes(fs, log)
+    val startV = stamped.filter(_._2 >= startTsMillis).map(_._1).minOption
+      .getOrElse(throw graft.GraftError.InvalidOperation("read_changes",
+        s"$path has no commit at or after timestamp $startTsMillis" +
+          stamped.lastOption.map(s =>
+            s" (newest commit, version ${s._1}, is at ${s._2})")
+            .getOrElse(" (no visible commits)")))
+    val endV = endTsMillis match {
+      case Some(e) => stamped.filter(_._2 <= e).map(_._1).maxOption
+        .getOrElse(throw graft.GraftError.InvalidOperation("read_changes",
+          s"$path has no commit at or before timestamp $e" +
+            stamped.headOption.map(s =>
+              s" (earliest visible commit is at ${s._2})").getOrElse("")))
+      case None => stamped.last._1
+    }
+    if (startV > endV)
+      throw graft.GraftError.InvalidOperation("read_changes",
+        s"no commit of $path falls inside [$startTsMillis, " +
+          s"${endTsMillis.getOrElse("latest")}] — the window resolves to " +
+          s"versions ($startV, $endV)")
+    readChanges(spark, path, math.max(startV - 1, 0L), endV)
   }
 
   /** Stats-surviving subset of `adds` for `predicate` — the conservative
@@ -1720,24 +1792,31 @@ object DeltaLog {
         throw new IllegalStateException(s"delta data move failed: $target")
     }
     fs.delete(stage, true)
-    // change-data files: staged like data files, moved under
-    // _change_data/ (invisible to table listings — the '_' prefix), and
-    // referenced by cdc actions in this same commit
+    // change-data files: staged like data files — PARTITIONED by the
+    // table's partition columns (the AddCDCFile contract carries
+    // partitionValues like add actions, and delta-spark's CDF reader
+    // resolves partition columns from the action/dir layout; an
+    // unpartitioned cdc file on a partitioned table would read back
+    // NULL partition values in every change row) — then moved under
+    // _change_data/<col>=<val>/ (invisible to table listings, the '_'
+    // prefix) and referenced by cdc actions in this same commit
     val cdcRels: Seq[(String, Long)] = cdcDf.toSeq.flatMap { cdf =>
       val cdcStage = new HPath(tbl, s".graft_stage_cdc_${java.util.UUID.randomUUID()}")
-      cdf.write.mode("overwrite").parquet(cdcStage.toString)
-      val parts = fs.listStatus(cdcStage).toSeq
-        .filter(s => s.getPath.getName.startsWith("part-") &&
-          s.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
+      val w = cdf.write.mode("overwrite")
+      (if (stagePartitionBy.nonEmpty) w.partitionBy(stagePartitionBy: _*)
+       else w).parquet(cdcStage.toString)
+      val parts = dataFiles(fs, cdcStage).toSeq.sortBy(_._1)
       val dir = new HPath(tbl, "_change_data")
       fs.mkdirs(dir)
-      val moved = parts.zipWithIndex.map { case (s, i) =>
+      val moved = parts.zipWithIndex.map { case ((rel, _), i) =>
+        val partDirs = rel.split('/').dropRight(1)
         val name = s"cdc-${java.util.UUID.randomUUID()}-$i.parquet"
-        val target = new HPath(dir, name)
-        if (!fs.rename(s.getPath, target))
+        val relOut = ("_change_data" +: partDirs :+ name).mkString("/")
+        val target = new HPath(tbl, relOut)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(new HPath(cdcStage, rel), target))
           throw new IllegalStateException(s"cdc data move failed: $target")
-        s"_change_data/$name" -> fs.getFileStatus(target).getLen
+        relOut -> fs.getFileStatus(target).getLen
       }
       fs.delete(cdcStage, true)
       moved
@@ -1747,8 +1826,12 @@ object DeltaLog {
     actions += s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
     val now = System.currentTimeMillis()
     cdcRels.foreach { case (rel, size) =>
+      // partitionValues from the col=val segments under _change_data/,
+      // exactly as addAction derives them for data files
+      val pv = partitionValues(rel.stripPrefix("_change_data/"))
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
       actions +=
-        s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{},"size":$size,"dataChange":false}}"""
+        s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{$pv},"size":$size,"dataChange":false}}"""
     }
     removesRel.foreach { r =>
       // PURGE removes echo the superseded DV descriptor (protocol shape —

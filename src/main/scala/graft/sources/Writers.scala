@@ -239,9 +239,11 @@ object Writers {
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       tableProperties: Map[String, String] = Map.empty,
-      columnMapping: Option[String] = None): Unit =
+      columnMapping: Option[String] = None,
+      acceptCdfOverwrite: Boolean = false): Unit =
     DeltaLog.write(df, mode, path, partitionBy, txn = txn,
-      tableProperties = tableProperties, columnMapping = columnMapping)
+      tableProperties = tableProperties, columnMapping = columnMapping,
+      acceptCdfOverwrite = acceptCdfOverwrite)
 
   /** Copy-on-write MERGE/UPSERT into a delta table — see [[DeltaLog.upsert]]. */
   def upsertDeltaTable(updates: DataFrame, keys: Seq[String], path: String): Unit =

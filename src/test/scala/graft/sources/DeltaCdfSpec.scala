@@ -213,6 +213,106 @@ class DeltaCdfSpec extends SparkSpec {
       s"partition value recovered from the directory layout: $rows")
   }
 
+  test("partitioned CDF table: cdc files stage partitioned, actions carry partitionValues") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("partwrite")
+    DeltaLog.write(
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 1L), (4L, "d", 2L))
+        .toDF("id", "s", "part"),
+      "overwrite", p, partitionBy = Seq("part"),
+      tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+    assert(DeltaLog.deleteWhere(spark, p, "id IN (2, 3)") >= 1)
+    // the cdc ACTIONS carry the partition values (the AddCDCFile
+    // contract — delta-spark's CDF reader resolves partition columns
+    // from the action/dir layout; {} would read back NULLs there)
+    val v1 = Files.readString(Paths.get(p, "_delta_log", "0" * 19 + "1.json"))
+    val cdcLines = v1.linesIterator.filter(_.contains(""""cdc":{""")).toSeq
+    assert(cdcLines.nonEmpty, "delete commit must carry cdc actions")
+    assert(cdcLines.forall(l => l.contains(""""partitionValues":{"part":""")),
+      s"cdc actions must carry partitionValues: $cdcLines")
+    // and the FILES are laid out under _change_data/part=<val>/
+    assert(cdcLines.forall(_.contains("_change_data/part=")),
+      s"cdc files must stage under partition dirs: $cdcLines")
+    // the feed returns the partition column values, never NULL
+    val del = DeltaLog.readChanges(spark, p, 0L, 1L)
+      .select("_change_type", "id", "part").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2).toString))
+      .toSeq.sortBy(_._2)
+    assert(del == Seq(("delete", 2L, "2"), ("delete", 3L, "1")), s"$del")
+    // upsert on the partitioned CDF table: pre/post images carry the
+    // partition value too
+    DeltaLog.upsert(Seq((4L, "D", 2L)).toDF("id", "s", "part"),
+      Seq("id"), p)
+    val ups = DeltaLog.readChanges(spark, p, 1L, 2L)
+      .select("_change_type", "id", "part").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2).toString)).toSet
+    assert(ups == Set(("update_preimage", 4L, "2"),
+      ("update_postimage", 4L, "2")), s"$ups")
+  }
+
+  test("CDF overwrite refuses typed; acceptCdfOverwrite opts into the log restart") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("ovr")
+    DeltaLog.write(Seq((1L, "a")).toDF("id", "s"), "overwrite", p,
+      tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+    // default: refused, message names the escape hatch (our overwrite
+    // restarts the log and destroys the change history — a documented
+    // divergence from delta-spark's version-preserving overwrite)
+    val e = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.write(Seq((2L, "b")).toDF("id", "s"), "overwrite", p,
+        tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+    }
+    assert(e.getMessage.contains("acceptCdfOverwrite"))
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // opt-in: the overwrite lands, the log restarts at version 0
+    DeltaLog.write(Seq((2L, "b")).toDF("id", "s"), "overwrite", p,
+      tableProperties = Map("delta.enableChangeDataFeed" -> "true"),
+      acceptCdfOverwrite = true)
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Files.exists(Paths.get(p, "_delta_log", "0" * 20 + ".json")))
+    assert(!Files.exists(Paths.get(p, "_delta_log", "0" * 19 + "1.json")))
+  }
+
+  test("readChangesByTimestamp resolves windows by monotonized mtime; out-of-range refuses") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("byts")
+    DeltaLog.write(Seq((1L, "a")).toDF("id", "s"), "overwrite", p,
+      tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.write(Seq((2L, "b")).toDF("id", "s"), "append", p)
+    DeltaLog.deleteWhere(spark, p, "id = 1")
+    val base = 1700000000000L
+    (0L to 2L).foreach { v =>
+      Files.setLastModifiedTime(
+        Paths.get(p, "_delta_log", f"$v%020d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(base + v * 60000L))
+    }
+    // window [t(v1), t(v2)]: the append's insert and the delete
+    val w = DeltaLog.readChangesByTimestamp(spark, p,
+      base + 60000L, Some(base + 120000L))
+      .select("_change_type", "id", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(w == Set(("insert", 2L, 1L), ("delete", 1L, 2L)), s"$w")
+    // open-ended start mid-log: everything from v2 on
+    val tail = DeltaLog.readChangesByTimestamp(spark, p, base + 120000L)
+      .select("_change_type").collect().map(_.getString(0)).toSeq
+    assert(tail == Seq("delete"))
+    // start past the newest commit: typed refusal, not a silent empty
+    val late = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.readChangesByTimestamp(spark, p, base + 999999L)
+    }
+    assert(late.getMessage.contains("at or after"))
+    // a window between two commits that contains neither: typed refusal
+    val gap = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.readChangesByTimestamp(spark, p,
+        base + 61000L, Some(base + 119000L))
+    }
+    assert(gap.getMessage.contains("falls inside"))
+    // end before start: typed refusal
+    intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.readChangesByTimestamp(spark, p, base + 120000L, Some(base))
+    }
+  }
+
   test("vacuum keeps referenced cdc files, sweeps aged unreferenced ones") {
     val sp = spark; import sp.implicits._
     val p = freshDir("vac")
