@@ -3286,7 +3286,10 @@ object DeltaLog {
     * writer's fast-delete path. Contrast the copy-on-write [[deleteWhere]],
     * which rewrites touched files (applying any existing DVs so deleted
     * rows never resurrect); this path instead avoids the rewrite entirely
-    * — the right trade for small deletes against huge files.
+    * — the right trade for small deletes against huge files. That
+    * smallness contract is ENFORCED: a predicate touching more than
+    * `maxTouchedFiles` files refuses typed before any payload is
+    * collected (see [[DvDeleteMaxTouchedFiles]]).
     * Existing DVs are unioned in; per the protocol the
     * commit removes and re-adds each touched file with its new
     * descriptor. Gated on the table already declaring
@@ -3304,7 +3307,8 @@ object DeltaLog {
     */
   def deleteWhereViaDv(spark: SparkSession, path: String,
       predicate: String, checkpointInterval: Int = 10,
-      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Long = {
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes,
+      maxTouchedFiles: Int = DvDeleteMaxTouchedFiles): Long = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (tableConfiguration(spark, fs, tbl)
@@ -3346,6 +3350,22 @@ object DeltaLog {
     val newDf = live.where(expr(predicate))
       .select(col(DvFileCol).as("f"), col(DvRowCol).as("ri"),
         lit(1).as("graft_new"))
+    // smallness contract, ENFORCED rather than documented: the driver
+    // collects one compressed bitmap payload per touched file below —
+    // fine for the intended regime (small deletes against huge files),
+    // but a predicate touching 10⁶ files would pull GBs of payload.
+    // Count the touched files first (one bounded job over the
+    // stats-surviving candidates) and refuse typed above the budget;
+    // the copy-on-write deleteWhere is the route for large deletes.
+    val touchedCount = newDf.select("f").distinct().count()
+    if (touchedCount == 0L) return 0L
+    if (touchedCount > maxTouchedFiles)
+      throw graft.GraftError.InvalidOperation("delete_delta_dv",
+        s"$path: predicate touches $touchedCount files, over the DV-delete " +
+          s"budget of $maxTouchedFiles — the driver would collect one " +
+          "bitmap payload per touched file; use the copy-on-write " +
+          "deleteWhere for deletes of this breadth (or raise " +
+          "maxTouchedFiles deliberately)")
     // existing deleted rows of the TOUCHED files union into the fresh
     // payloads (a descriptor replaces, never stacks); untouched DV'd
     // files keep their current descriptors. Candidates suffice here: a
@@ -4593,6 +4613,13 @@ object DeltaLog {
     * mid-query on the previous version, or any time-travel read inside
     * the window, must not race the sweep.
     */
+  /** Default touched-file budget for [[deleteWhereViaDv]]: above this
+    * many touched files the per-file payload collect stops being "a few
+    * MB on the driver" and the copy-on-write route wins anyway (most of
+    * every file is being rewritten as bitmap instead of data).
+    */
+  val DvDeleteMaxTouchedFiles: Int = 10000
+
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
 
   def vacuum(spark: SparkSession, path: String,

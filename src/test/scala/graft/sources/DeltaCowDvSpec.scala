@@ -148,6 +148,25 @@ class DeltaCowDvSpec extends SparkSpec {
       Seq(1L, 2L, 4L), "DV delete removed NULL-condition rows")
   }
 
+  test("DV delete refuses typed above the touched-file budget") {
+    val sp = spark; import sp.implicits._
+    val p = fixture("budget")
+    // the fixture spreads ids over 4 files; a broad predicate touches
+    // them all — with a budget of 1 the smallness contract refuses
+    // BEFORE any payload collect, and the table is untouched
+    val before = DeltaLog.read(spark, p).count()
+    val e = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.deleteWhereViaDv(spark, p, "id % 2 = 1", maxTouchedFiles = 1)
+    }
+    assert(e.getMessage.contains("budget"))
+    assert(e.getMessage.contains("deleteWhere"))
+    assert(DeltaLog.read(spark, p).count() == before, "refusal mutates nothing")
+    // within budget the same delete lands
+    val n = DeltaLog.deleteWhereViaDv(spark, p, "id = 1", maxTouchedFiles = 1)
+    assert(n == 1L)
+    assert(DeltaLog.read(spark, p).count() == before - 1)
+  }
+
   test("vacuum associates the bins orphaned by a copy-on-write rewrite") {
     val sp = spark; import sp.implicits._
     val p = fixture("vacuum")
