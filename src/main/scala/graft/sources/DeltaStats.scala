@@ -50,7 +50,9 @@ object DeltaStats {
 
   case class AddEntry(rel: String, partitionValues: Map[String, String],
       stats: Option[String], size: Long,
-      dv: Option[DvDescriptor] = None)
+      dv: Option[DvDescriptor] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   // ───────────────────────── harvest (write side) ────────────────────────
 
@@ -60,6 +62,16 @@ object DeltaStats {
     * can't compare safely are left out of min/max but keep nullCount.
     * Returns None only if the footer can't be read at all.
     */
+  /** Row count of one parquet file from its footer — the O(1)-metadata
+    * read row-tracking base-row-id assignment needs when an add carries
+    * no stats JSON.
+    */
+  def rowCount(conf: Configuration, file: HPath): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   def harvest(conf: Configuration, file: HPath, maxCols: Int = 32): Option[String] = {
     val reader =
       try ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))

@@ -1,0 +1,165 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
+
+/** V2 (UUID-named) checkpoints — the modern delta-spark/kernel layout:
+  * a `%020d.checkpoint.<uuid>.{parquet|json}` MANIFEST carrying the
+  * non-file actions (checkpointMetadata, protocol, metaData, txn) plus
+  * `sidecar` actions, and the file actions (add/remove) living in
+  * sidecar parquets under `_delta_log/_sidecars/`. The reader folds
+  * manifest ∪ sidecars into the same frame classic checkpoints feed:
+  * adds survive, remove tombstones never resurrect, DV descriptors on
+  * sidecar adds filter rows at scan, and post-checkpoint commits replay
+  * on top. Foreign fixtures are synthesized BY HAND here (action JSON →
+  * parquet), never written by this engine — exactly what a table
+  * checkpointed by delta-spark looks like on disk.
+  */
+class DeltaV2CheckpointSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = s"target/tmp/v2cp/$name"
+    val pp = Paths.get(p)
+    if (Files.exists(pp))
+      Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    p
+  }
+
+  /** Action JSON lines → a single parquet file at `out` (how foreign
+    * engines lay out v2 manifests and sidecars).
+    */
+  private def jsonToParquet(lines: Seq[String], out: String): Unit = {
+    val sp = spark
+    import sp.implicits._
+    val tmp = s"$out.tmpdir"
+    sp.read.json(lines.toDS()).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(out).getParent)
+    Files.move(part, Paths.get(out))
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+  }
+
+  private def metaDataLine(p: String, version: Long): String =
+    Files.readString(Paths.get(p, "_delta_log", f"$version%020d.json"))
+      .linesIterator.find(_.contains("\"metaData\"")).get
+
+  /** Two-commit table (v0: ids 0..9 sorted in one file; v1: ids 10..14),
+    * then a HAND-SYNTHESIZED v2 checkpoint at version 1: sidecar1 holds
+    * file A's add with an inline DV deleting row positions 0 and 3
+    * (ids 0 and 3 — A is written sorted, position == id) plus a remove
+    * tombstone, sidecar2 holds file B's add; the manifest carries
+    * checkpointMetadata/protocol/metaData and the two sidecar actions.
+    * Commit 0 is deleted so the fold MUST seed from the checkpoint.
+    */
+  private def synthesize(name: String, manifestJson: Boolean): String = {
+    val sp = spark
+    import sp.implicits._
+    val p = freshDir(name)
+    DeltaLog.write(
+      sp.range(10).toDF("id").repartition(1).sortWithinPartitions("id"),
+      "overwrite", p)
+    DeltaLog.write(
+      sp.range(10, 15).toDF("id").repartition(1).sortWithinPartitions("id"),
+      "append", p)
+    val adds = DeltaLog.activeAddsAsOf(spark, p)
+    assert(adds.size == 2)
+    // file A carries ids 0..9 (the larger file), B ids 10..14
+    val Seq(a, b) = adds.sortBy(-_.size)
+    def addJson(rel: String, size: Long, dv: Option[String]) =
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,""" +
+        s""""modificationTime":0,"dataChange":true""" +
+        dv.map(d => s""","deletionVector":$d""").getOrElse("") + "}}"
+    val dvA = DeltaLog.inlineDvJson(Array(0L, 3L))
+    val sidecarDir = Paths.get(p, "_delta_log", "_sidecars")
+    val sc1 = "sc-1111.parquet"
+    val sc2 = "sc-2222.parquet"
+    jsonToParquet(Seq(
+      addJson(a.rel, a.size, Some(dvA)),
+      """{"remove":{"path":"long-gone.parquet","deletionTimestamp":0,"dataChange":false}}"""),
+      sidecarDir.resolve(sc1).toString)
+    jsonToParquet(Seq(addJson(b.rel, b.size, None)),
+      sidecarDir.resolve(sc2).toString)
+    def sidecarAction(n: String) = {
+      val sz = Files.size(sidecarDir.resolve(n))
+      s"""{"sidecar":{"path":"$n","sizeInBytes":$sz,"modificationTime":0}}"""
+    }
+    val manifestLines = Seq(
+      """{"checkpointMetadata":{"version":1}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint","deletionVectors"],""" +
+        """"writerFeatures":["v2Checkpoint","deletionVectors"]}}""",
+      metaDataLine(p, 0L),
+      sidecarAction(sc1), sidecarAction(sc2))
+    val manifest = Paths.get(p, "_delta_log",
+      "0" * 19 + "1.checkpoint.1f0e2d3c-aaaa-bbbb-cccc-000000000001." +
+        (if (manifestJson) "json" else "parquet"))
+    if (manifestJson)
+      Files.writeString(manifest, manifestLines.mkString("", "\n", "\n"))
+    else jsonToParquet(manifestLines, manifest.toString)
+    Files.writeString(Paths.get(p, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""")
+    // commit 0 deleted: replay can only seed from the checkpoint
+    Files.delete(Paths.get(p, "_delta_log", "0" * 20 + ".json"))
+    p
+  }
+
+  private def ids(p: String): Seq[Long] =
+    DeltaLog.read(spark, p).collect().map(_.getLong(0)).toSeq.sorted
+
+  test("parquet manifest + sidecars: adds, tombstones and DVs survive the fold") {
+    val p = synthesize("parquet_manifest", manifestJson = false)
+    // ids 0 and 3 DV-deleted via the SIDECAR add's descriptor; the
+    // tombstone resurrects nothing; both sidecars' adds are present
+    assert(ids(p) == ((1L to 9L).filterNot(_ == 3L) ++ (10L to 14L)))
+    // post-checkpoint commits replay on top (and the writer-capability
+    // gate accepts the v2Checkpoint writer feature)
+    val sp = spark; import sp.implicits._
+    DeltaLog.write(Seq(15L, 16L).toDF("id"), "append", p)
+    assert(ids(p) == ((1L to 9L).filterNot(_ == 3L) ++ (10L to 16L)))
+  }
+
+  test("json manifest variant folds identically") {
+    val p = synthesize("json_manifest", manifestJson = true)
+    assert(ids(p) == ((1L to 9L).filterNot(_ == 3L) ++ (10L to 14L)))
+  }
+
+  test("our classic checkpoint over a v2-seeded table is single-file and carries the DVs") {
+    val sp = spark; import sp.implicits._
+    val p = synthesize("recheckpoint", manifestJson = false)
+    DeltaLog.write(Seq(15L).toDF("id"), "append", p) // version 2
+    DeltaLog.writeCheckpoint(spark, p, 2L)
+    // v2Checkpoint tables forbid multi-part: the classic SINGLE file
+    assert(Files.exists(Paths.get(p, "_delta_log",
+      "0" * 19 + "2.checkpoint.parquet")))
+    // fold away every commit: the new classic checkpoint alone must
+    // reproduce the snapshot, sidecar DVs included
+    DeltaLog.cleanupLog(spark, p)
+    assert(!Files.exists(Paths.get(p, "_delta_log", "0" * 19 + "1.json")))
+    assert(ids(p) == ((1L to 9L).filterNot(_ == 3L) ++ (10L to 15L)))
+  }
+
+  test("manifest referencing a missing sidecar refuses typed") {
+    val p = synthesize("missing_sidecar", manifestJson = false)
+    Files.delete(Paths.get(p, "_delta_log", "_sidecars", "sc-2222.parquet"))
+    val e = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.read(spark, p).count()
+    }
+    assert(e.getMessage.contains("sidecar"))
+  }
+
+  test("the distributed fold route reads v2 checkpoints too") {
+    val p = synthesize("dist_fold", manifestJson = false)
+    // force the distributed snapshot fold (threshold 0): same rows
+    val df = DeltaLog.activeAddsDfAsOf(spark, p)
+    assert(df.isDefined)
+    val rels = df.get.select("graft_path").collect()
+      .map(_.getString(0)).toSet
+    assert(rels == DeltaLog.activeAddsAsOf(spark, p).map(_.rel).toSet)
+  }
+}
