@@ -807,6 +807,42 @@ object SparkEntry {
         .groupBy("o_orderstatus").toDF
     }),
 
+    // Row tracking (delta's rowTracking writer feature): the table is
+    // created with delta.enableRowTracking=true — adds carry
+    // baseRowId/defaultRowCommitVersion, the high-water mark rides a
+    // domainMetadata action, the upsert preserves survivor/updated ids
+    // through the materialized hidden columns, and the DV delete echoes
+    // base ids. readWithRowIds resolves _row_id per the protocol rule;
+    // count(distinct _row_id) == count(*) per group proves ids stay
+    // unique through append + upsert + DV delete, and the oracle
+    // recomputes every group from orders.
+    "q_delta_rowtracking" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_rowtrack"
+      val o = t(s, d, "orders").toDF
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val hfs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hfs.exists(hp)) hfs.delete(hp, true)
+      Writers.writeDeltaTable(o.where(col("o_orderkey") % 2 === 0),
+        "overwrite", path,
+        tableProperties = Map(
+          "delta.enableRowTracking" -> "true",
+          "delta.enableDeletionVectors" -> "true"))
+      Writers.writeDeltaTable(o.where(col("o_orderkey") % 2 === 1),
+        "append", path)
+      graft.sources.DeltaLog.upsert(
+        o.where(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        Seq("o_orderkey"), path)
+      graft.sources.DeltaLog.deleteWhereViaDv(s, path, "o_orderkey % 10 = 7")
+      import org.apache.spark.sql.functions.{count, countDistinct, sum, expr => sexpr}
+      graft.sources.DeltaLog.readWithRowIds(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sexpr("round(sum(o_totalprice), 2)").as("total_price"),
+          countDistinct(col("_row_id")).cast("bigint").as("n_row_ids"))
+        .select("o_orderstatus", "n", "total_price", "n_row_ids")
+    }),
+
     // V2 (UUID-named) checkpoints — the modern delta-spark/kernel
     // layout: a hand-synthesized manifest (checkpointMetadata, protocol
     // with the v2Checkpoint reader feature, metaData, sidecar actions)
@@ -3272,6 +3308,17 @@ object SparkEntry {
         "FROM orders " +
         "UNION ALL SELECT o_orderstatus, o_totalprice AS price " +
         "FROM orders WHERE o_orderkey % 10 = 0" +
+        ") GROUP BY o_orderstatus"),
+
+    // the row-tracked table after append + upsert(+1000 on %10==3) +
+    // DV-delete(%10==7); row ids stay unique, so n_row_ids == n
+    "q_delta_rowtracking" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(price), 2) AS total_price, " +
+        "CAST(count(*) AS BIGINT) AS n_row_ids FROM (" +
+        "SELECT o_orderstatus, CASE WHEN o_orderkey % 10 = 3 " +
+        "THEN o_totalprice + 1000 ELSE o_totalprice END AS price " +
+        "FROM orders WHERE o_orderkey % 10 <> 7" +
         ") GROUP BY o_orderstatus"),
 
     // the v2-checkpoint snapshot: every customer row except the SMALLEST

@@ -1045,11 +1045,23 @@ object DeltaLog {
     // change-data-feed tables get exact MERGE change rows
     // (update_preimage / update_postimage / insert) as _change_data +
     // cdc actions; mapped CDF tables stay refused by the gate
-    val cdfEmit = confEnabled(tableConfiguration(spark, fs, tbl),
-      "delta.enableChangeDataFeed") &&
+    val rtConf = tableConfiguration(spark, fs, tbl)
+    val cdfEmit = confEnabled(rtConf, "delta.enableChangeDataFeed") &&
       columnMappingMode(spark, fs, tbl) == "none"
+    // row tracking: survivors keep their ids (materialized through the
+    // hidden columns), updated rows inherit the matched row's id, and
+    // inserts take the new file's fresh positional defaults
+    val rowTrack = rowTrackingEnabled(rtConf) &&
+      columnMappingMode(spark, fs, tbl) == "none"
+    val matCols: Option[(String, String)] =
+      if (rowTrack) Some(matColNames(rtConf, tbl, "upsert_delta")) else None
+    val rtExtraCols: Seq[StructField] = matCols.toSeq.flatMap {
+      case (id, ver) => Seq(
+        StructField(id, org.apache.spark.sql.types.LongType),
+        StructField(ver, org.apache.spark.sql.types.LongType)) }
     requireWriterCapability(spark, fs, tbl, "upsert_delta",
-      adds = true, removes = true, rewrites = true, emitsCdc = cdfEmit)
+      adds = true, removes = true, rewrites = true, emitsCdc = cdfEmit,
+      rowIdsHandled = rowTrack)
     // generated columns: compute the ones absent from the changeset,
     // validate caller-supplied values; then constraints + invariants
     // gate the CHANGESET (survivors were already live rows) in one
@@ -1084,23 +1096,43 @@ object DeltaLog {
           .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
         kept.filter(a => names(relKey(path, a.rel, keyDepth)))
       }
+    // row tracking: one scan of the touched files with the hidden
+    // materialized columns read alongside, every row's CURRENT id
+    // attached (materialized value else positional default) — survivors
+    // AND the matched-row id lookup both come from it
+    val scannedWithIds: Option[DataFrame] = matCols.flatMap {
+      case (mid, mver) =>
+        if (touched.isEmpty) None
+        else Some(withMaterializedRowIds(spark, path, touched,
+          applyDeletionVectors(spark, path, touched,
+            readDataFiles(spark, path,
+              touched.map(a => new HPath(tbl, a.rel).toString),
+              withRowMeta = true, keyDepth = keyDepth,
+              extraCols = rtExtraCols),
+            keepMeta = true, keyDepth = keyDepth),
+          mid, mver, keyDepth))
+    }
     val survivors =
       if (touched.isEmpty) {
         // pure insert: an empty frame with the table's logical columns —
         // built from the log's schema so no data file is even PLANNED
         // (the full-snapshot scan would open every file's path)
-        parsedTableSchema(spark, fs, tbl) match {
+        val base = parsedTableSchema(spark, fs, tbl) match {
           case Some(s) => spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](),
             stripMeta(s).asInstanceOf[StructType])
           case None => read(spark, path).limit(0)
         }
+        matCols.map { case (mid, mver) =>
+          base.withColumn(mid, lit(null).cast("long"))
+            .withColumn(mver, lit(null).cast("long")) }.getOrElse(base)
       }
-      else applyDeletionVectors(spark, path, touched,
-        readDataFiles(spark, path,
-          touched.map(a => new HPath(tbl, a.rel).toString),
-          withRowMeta = true, keyDepth = keyDepth),
-        keepMeta = true, keyDepth = keyDepth)
+      else scannedWithIds.getOrElse(
+        applyDeletionVectors(spark, path, touched,
+          readDataFiles(spark, path,
+            touched.map(a => new HPath(tbl, a.rel).toString),
+            withRowMeta = true, keyDepth = keyDepth),
+          keepMeta = true, keyDepth = keyDepth))
         .join(updKeys, keys, "left_anti")
         .drop(DvFileCol, DvRowCol)
     // CDF: exact MERGE change rows. Matched rows emit their pre- and
@@ -1110,7 +1142,10 @@ object DeltaLog {
     val cdcDf =
       if (!cdfEmit) None
       else {
+        // cdc rows carry the LOGICAL columns only — the materialized
+        // row-id columns are physical table internals, not change data
         val cols = survivors.columns.toSeq
+          .filterNot(c => matCols.exists(m => m._1 == c || m._2 == c))
         val ct = (f: DataFrame, t: String) =>
           f.select(cols.map(col): _*).withColumn("_change_type", lit(t))
         if (touched.isEmpty) Some(ct(upd, "insert"))
@@ -1136,8 +1171,29 @@ object DeltaLog {
             .unionByName(ct(ins, "insert")))
         }
       }
+    // row tracking: an updated row KEEPS the matched snapshot row's id
+    // (row lineage — delta-spark's rule) and takes the new commit
+    // version via the fresh file's positional default (matVer NULL);
+    // a genuinely new row leaves both NULL and gets fresh defaults
+    val updFrame = matCols match {
+      case Some((mid, mver)) =>
+        val withPrev = scannedWithIds match {
+          case Some(sc) =>
+            val matched = sc.join(updKeys, keys, "left_semi")
+              .groupBy(keys.map(col): _*)
+              .agg(org.apache.spark.sql.functions.min(col(s"`$mid`"))
+                .as("graft_prev_rid"))
+            upd.join(matched, keys, "left")
+          case None =>
+            upd.withColumn("graft_prev_rid", lit(null).cast("long"))
+        }
+        withPrev.withColumn(mid, col("graft_prev_rid"))
+          .withColumn(mver, lit(null).cast("long"))
+          .drop("graft_prev_rid")
+      case None => upd
+    }
     commitRewrite(spark, path, "UPSERT", touched.map(_.rel).sorted,
-      survivors.unionByName(upd.select(survivors.columns.map(col): _*)),
+      survivors.unionByName(updFrame.select(survivors.columns.map(col): _*)),
       removeDvJson = touched.flatMap(a =>
         a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap,
       cdcDf = cdcDf)
@@ -1180,11 +1236,22 @@ object DeltaLog {
     // cdc actions in the same commit (exact row-level feed); mapped CDF
     // tables stay refused by the gate (cdc files would need physical
     // column names this writer does not emit for them)
-    val cdfEmit = confEnabled(tableConfiguration(spark, fs, tbl),
-      "delta.enableChangeDataFeed") &&
+    val rtConf = tableConfiguration(spark, fs, tbl)
+    val cdfEmit = confEnabled(rtConf, "delta.enableChangeDataFeed") &&
       columnMappingMode(spark, fs, tbl) == "none"
+    // row tracking: surviving rows keep their ids via the materialized
+    // columns (same mechanism as upsert)
+    val rowTrack = rowTrackingEnabled(rtConf) &&
+      columnMappingMode(spark, fs, tbl) == "none"
+    val matCols: Option[(String, String)] =
+      if (rowTrack) Some(matColNames(rtConf, tbl, "delete_delta")) else None
+    val rtExtraCols: Seq[StructField] = matCols.toSeq.flatMap {
+      case (id, ver) => Seq(
+        StructField(id, org.apache.spark.sql.types.LongType),
+        StructField(ver, org.apache.spark.sql.types.LongType)) }
     requireWriterCapability(spark, fs, tbl, "delete_delta",
-      adds = false, removes = true, rewrites = true, emitsCdc = cdfEmit)
+      adds = false, removes = true, rewrites = true, emitsCdc = cdfEmit,
+      rowIdsHandled = rowTrack)
     // snapshot fold + stats pruning run distributedly above the log-size
     // threshold — the driver materializes only the CANDIDATE entries
     val kept = activeAddsWhere(spark, path, Some(predicate),
@@ -1202,11 +1269,15 @@ object DeltaLog {
       .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
     if (touchedNames.isEmpty) return 0
     val touched = kept.filter(a => touchedNames(relKey(path, a.rel, keyDepth)))
-    val survivors = applyDeletionVectors(spark, path, touched,
+    val survivorScan = applyDeletionVectors(spark, path, touched,
       readDataFiles(spark, path,
         touched.map(a => new HPath(tbl, a.rel).toString),
-        withRowMeta = true, keyDepth = keyDepth),
+        withRowMeta = true, keyDepth = keyDepth,
+        extraCols = rtExtraCols),
       keepMeta = true, keyDepth = keyDepth)
+    val survivors = matCols.map { case (mid, mver) =>
+        withMaterializedRowIds(spark, path, touched, survivorScan,
+          mid, mver, keyDepth) }.getOrElse(survivorScan)
       // NULL-condition rows survive (SQL DELETE semantics): only rows
       // where the predicate is provably TRUE are removed
       .where(!coalesce(expr(predicate), lit(false)))
@@ -2102,12 +2173,13 @@ object DeltaLog {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the fold keeps add/metaData/protocol/txn rows ONLY — on a table
-    // whose writer features hang state off OTHER action kinds (row
-    // tracking's domainMetadata high watermarks), folding would
-    // silently drop that state and cleanupLog would then delete the
-    // commits carrying it. Same gate as the other maintenance restages.
+    // the fold carries add/metaData/protocol/txn AND domainMetadata
+    // (newest per domain — row tracking's high-water mark survives), so
+    // row-tracked tables checkpoint fine (rowIdsHandled); an unknown v7
+    // feature hanging state off other action kinds still refuses.
     requireWriterCapability(spark, fs, tbl, "write_checkpoint",
-      adds = false, removes = false, rewrites = true)
+      adds = false, removes = false, rewrites = true,
+      rowIdsHandled = true)
     val log = logDir(tbl)
     // sources: the previous checkpoint (older commits may be gone) plus
     // the commits after it, up to `version`
@@ -3181,6 +3253,51 @@ object DeltaLog {
       keyDepth = keyDepth)
   }
 
+  /** Snapshot read PLUS the row-tracking columns `_row_id` and
+    * `_row_commit_version`, resolved per the protocol's rule: the
+    * materialized column value when present, else the positional
+    * default baseRowId + row_index (and defaultRowCommitVersion).
+    * DV-deleted rows are filtered first, so surviving ids are exactly
+    * the live rows'. Refuses typed when the table does not enable row
+    * tracking (the columns would be meaningless).
+    */
+  def readWithRowIds(spark: SparkSession, path: String): DataFrame = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = tableConfiguration(spark, fs, tbl)
+    if (!rowTrackingEnabled(conf))
+      throw graft.GraftError.InvalidOperation("load_delta",
+        s"$path does not enable row tracking — _row_id has no meaning " +
+          "on this table")
+    val adds = activeAddsAsOf(spark, path)
+    require(adds.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
+    val keyDepth = dvKeyDepth(path, adds.map(_.rel))
+    val files = adds.map(a => new HPath(tbl, a.rel).toString)
+    val names = (conf.get(MatRowIdKey), conf.get(MatRowVerKey)) match {
+      case (Some(i), Some(v)) => Some((i, v))
+      case _ => None // foreign enablement without materialization:
+                     // every id is the positional default
+    }
+    val extraCols = names.toSeq.flatMap { case (i, v) => Seq(
+      StructField(i, org.apache.spark.sql.types.LongType),
+      StructField(v, org.apache.spark.sql.types.LongType)) }
+    val filtered = applyDeletionVectors(spark, path, adds,
+      readDataFiles(spark, path, files, withRowMeta = true,
+        keyDepth = keyDepth, extraCols = extraCols),
+      keepMeta = true, keyDepth = keyDepth)
+    val (idCol, verCol, scanned) = names match {
+      case Some((i, v)) => (i, v, filtered)
+      case None => ("graft_mat_rid", "graft_mat_ver",
+        filtered.withColumn("graft_mat_rid", lit(null).cast("long"))
+          .withColumn("graft_mat_ver", lit(null).cast("long")))
+    }
+    withMaterializedRowIds(spark, path, adds, scanned, idCol, verCol,
+        keyDepth)
+      .withColumnRenamed(idCol, "_row_id")
+      .withColumnRenamed(verCol, "_row_commit_version")
+      .drop(DvFileCol, DvRowCol)
+  }
+
   /** Scan `files` of the table at `path`, column-mapping-aware. With
     * `withRowMeta` the frame also carries each row's source file name and
     * physical row index (`_metadata` columns) — what the deletion-vector
@@ -3691,8 +3808,12 @@ object DeltaLog {
     // self-describing — CDF readers (readChanges' row-level bitmap
     // difference, delta-spark's CDCReader) derive the exact deleted
     // rows from the descriptors themselves
+    // rowIdsHandled: a DV delete never rewrites the file — the re-add
+    // echoes the original baseRowId/defaultRowCommitVersion, so every
+    // surviving row keeps its positional id
     requireWriterCapability(spark, fs, tbl, "delete_delta_dv",
-      adds = false, removes = true, rewrites = false, emitsCdc = true)
+      adds = false, removes = true, rewrites = false, emitsCdc = true,
+      rowIdsHandled = true)
     // DISCOVERY scans only the stats-surviving files for the predicate
     // (same conservative kernel as deleteWhere/readWhere — a DV delete
     // of one key in a 100 TB table reads O(candidate files)); fold and
@@ -3820,9 +3941,16 @@ object DeltaLog {
       val removedDv = add.dv.map(d =>
         s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
       actions += s"""{"remove":{"path":"${esc(add.rel)}","deletionTimestamp":$now,"dataChange":true$removedDv}}"""
+      // row tracking: the re-add is the SAME physical file — echo its
+      // baseRowId/defaultRowCommitVersion so positional ids survive
+      val rowField = (add.baseRowId, add.defaultRowCommitVersion) match {
+        case (Some(b), Some(v)) =>
+          s""","baseRowId":$b,"defaultRowCommitVersion":$v"""
+        case _ => ""
+      }
       actions += s"""{"add":{"path":"${esc(add.rel)}","partitionValues":$pvJson,""" +
         s""""size":${add.size},"modificationTime":$now,"dataChange":true""" +
-        s"""$stats,"deletionVector":${descriptors(add.rel)}}}"""
+        s"""$stats$rowField,"deletionVector":${descriptors(add.rel)}}}"""
     }
     if (!acquireCommitSlot(fs, log, version, txnId, actions.mkString("\n") + "\n")) {
       fs.delete(dvFile, false)
@@ -3850,11 +3978,24 @@ object DeltaLog {
     */
   def purgeDeletionVectors(spark: SparkSession, path: String,
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Int = {
-    locally {
+    val (rowTrack, matCols, rtExtraCols) = locally {
       val tbl = new HPath(path)
       val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // row tracking: the purge rewrite drops DV'd rows, shifting the
+      // survivors' positions — ids are materialized like the other
+      // copy-on-write restages
+      val rtConf = tableConfiguration(spark, fs, tbl)
+      val rt = rowTrackingEnabled(rtConf) &&
+        columnMappingMode(spark, fs, tbl) == "none"
+      val mc: Option[(String, String)] =
+        if (rt) Some(matColNames(rtConf, tbl, "purge_deletion_vectors"))
+        else None
       requireWriterCapability(spark, fs, tbl, "purge_deletion_vectors",
-        adds = false, removes = false, rewrites = true)
+        adds = false, removes = false, rewrites = true,
+        rowIdsHandled = rt)
+      (rt, mc, mc.toSeq.flatMap { case (id, ver) => Seq(
+        StructField(id, org.apache.spark.sql.types.LongType),
+        StructField(ver, org.apache.spark.sql.types.LongType)) })
     }
     // fold + DV filter run distributedly above the log-size threshold:
     // the driver materializes only the DV-BEARING entries — the files a
@@ -3870,9 +4011,14 @@ object DeltaLog {
     // their descriptors, drop the bookkeeping columns. Key depth over
     // the victims — the only files this scan and anti-join ever see
     val keyDepth = dvKeyDepth(path, victims.map(_.rel))
-    val live = applyDeletionVectors(spark, path, victims,
+    val live0 = applyDeletionVectors(spark, path, victims,
       readDataFiles(spark, path, files, withRowMeta = true,
-        keyDepth = keyDepth), keyDepth = keyDepth)
+        keyDepth = keyDepth, extraCols = rtExtraCols),
+      keepMeta = rowTrack, keyDepth = keyDepth)
+    val live = matCols.map { case (mid, mver) =>
+        withMaterializedRowIds(spark, path, victims, live0,
+          mid, mver, keyDepth).drop(DvFileCol, DvRowCol) }
+      .getOrElse(live0)
     val dvJson = victims.map(a => a.rel -> dvDescriptorJson(a.dv.get)).toMap
     // keep the victims' file granularity: without the hint the restage
     // inherits the anti-join's shuffle partitioning (spark.sql.shuffle
@@ -4630,8 +4776,21 @@ object DeltaLog {
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Int = {
     val tbl0 = new HPath(path)
     val fs0 = tbl0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // row tracking: compaction reorders rows across files, so positional
+    // id defaults break — every restaged row's id/commit-version is
+    // materialized into the hidden columns before the rewrite
+    val rtConf = tableConfiguration(spark, fs0, tbl0)
+    val rowTrack = rowTrackingEnabled(rtConf) &&
+      columnMappingMode(spark, fs0, tbl0) == "none"
+    val matCols: Option[(String, String)] =
+      if (rowTrack) Some(matColNames(rtConf, tbl0, "optimize")) else None
+    val rtExtraCols: Seq[StructField] = matCols.toSeq.flatMap {
+      case (id, ver) => Seq(
+        StructField(id, org.apache.spark.sql.types.LongType),
+        StructField(ver, org.apache.spark.sql.types.LongType)) }
     requireWriterCapability(spark, fs0, tbl0, "optimize",
-      adds = false, removes = false, rewrites = true)
+      adds = false, removes = false, rewrites = true,
+      rowIdsHandled = rowTrack)
     // fold + small-file filter run distributedly above the log-size
     // threshold: the driver materializes only the VICTIM entries (a
     // z-order rewrite is inherently O(table) — every file restages and
@@ -4662,9 +4821,14 @@ object DeltaLog {
       // tables, re-emits the parquet field ids (the by-id read comes back
       // logical-named; commitRewrite's id staging annotates the rewrite).
       val keyDepth = dvKeyDepth(path, victims.map(_.rel))
-      val live = applyDeletionVectors(spark, path, victims,
+      val live0 = applyDeletionVectors(spark, path, victims,
         readDataFiles(spark, path, files, withRowMeta = true,
-          keyDepth = keyDepth), keyDepth = keyDepth)
+          keyDepth = keyDepth, extraCols = rtExtraCols),
+        keepMeta = rowTrack, keyDepth = keyDepth)
+      val live = matCols.map { case (mid, mver) =>
+          withMaterializedRowIds(spark, path, victims, live0,
+            mid, mver, keyDepth).drop(DvFileCol, DvRowCol) }
+        .getOrElse(live0)
       val (toWrite, packed) =
         if (zorderBy.isEmpty) (live, Some(nOut))
         else (zorderCluster(live, zorderBy, nOut), None)
@@ -4678,13 +4842,24 @@ object DeltaLog {
     // footer merge only when the log has no parseable schemaString.
     // Mapped tables never reach here — they take the logical-read route
     // above, which re-emits physical names (and field ids) on restage.
-    val restageSchema = parsedTableSchema(spark, fs0, tbl0)
-      .map(declared => stripMeta(declared).asInstanceOf[StructType])
-    val reader0 = spark.read.option("basePath", path)
-    val df = restageSchema match {
-      case Some(s) => reader0.schema(s).parquet(files: _*)
+    val df = matCols match {
+      case Some((mid, mver)) =>
+        // row-tracked compaction: scan with row meta + the hidden
+        // columns, attach every row's current id, drop the meta
+        val keyDepth = dvKeyDepth(path, victims.map(_.rel))
+        withMaterializedRowIds(spark, path, victims,
+          readDataFiles(spark, path, files, withRowMeta = true,
+            keyDepth = keyDepth, extraCols = rtExtraCols),
+          mid, mver, keyDepth).drop(DvFileCol, DvRowCol)
       case None =>
-        reader0.option("mergeSchema", "true").parquet(files: _*)
+        val restageSchema = parsedTableSchema(spark, fs0, tbl0)
+          .map(declared => stripMeta(declared).asInstanceOf[StructType])
+        val reader0 = spark.read.option("basePath", path)
+        restageSchema match {
+          case Some(s) => reader0.schema(s).parquet(files: _*)
+          case None =>
+            reader0.option("mergeSchema", "true").parquet(files: _*)
+        }
     }
     val (toWrite, packed) =
       if (zorderBy.isEmpty) (df, Some(nOut))
@@ -4767,8 +4942,12 @@ object DeltaLog {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNotAppendOnly(spark, fs, tbl, "restore")
+    // rowIdsHandled: restore re-references ORIGINAL files, echoing their
+    // baseRowId/defaultRowCommitVersion — ids come back exactly as they
+    // were at the target version
     requireWriterCapability(spark, fs, tbl, "restore",
-      adds = true, removes = true, rewrites = true)
+      adds = true, removes = true, rewrites = true,
+      rowIdsHandled = true)
     // DV-aware: snapshots compare as (path, DV descriptor) pairs — a file
     // live at both endpoints but with a DIFFERENT deletion vector is
     // remove+re-added with the TARGET's descriptor (the protocol shape of
@@ -4923,9 +5102,17 @@ object DeltaLog {
       val stats = a.stats.map(js => s""","stats":"${esc(js)}"""").getOrElse("")
       val dvJson = a.dv.map(d =>
         s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
+      // row tracking: restore re-references the ORIGINAL unmodified
+      // files — echoing their baseRowId/defaultRowCommitVersion keeps
+      // every positional id exactly what it was at the target version
+      val rowField = (a.baseRowId, a.defaultRowCommitVersion) match {
+        case (Some(b), Some(v)) =>
+          s""","baseRowId":$b,"defaultRowCommitVersion":$v"""
+        case _ => ""
+      }
       actions += s"""{"add":{"path":"${esc(a.rel)}","partitionValues":$pvJson,""" +
         s""""size":${a.size},"modificationTime":$now,"dataChange":true""" +
-        s"""$stats$dvJson}}"""
+        s"""$stats$dvJson$rowField}}"""
     }
     if (!acquireCommitSlot(fs, log, next, txnId, actions.mkString("\n") + "\n"))
       throw graft.GraftError.WriteError(path, "restore",
@@ -4947,9 +5134,11 @@ object DeltaLog {
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
     // deleting folded commits destroys any action kinds the checkpoint
-    // fold didn't carry — gate like writeCheckpoint
+    // fold didn't carry — gate like writeCheckpoint (domainMetadata
+    // folds, so row-tracked tables clean up fine)
     requireWriterCapability(spark, fs, tbl, "cleanup_log",
-      adds = false, removes = false, rewrites = true)
+      adds = false, removes = false, rewrites = true,
+      rowIdsHandled = true)
     val cp = lastCheckpointVersion(fs, log).getOrElse(return Nil)
     val victims = existingVersions(fs, log).filter(_ <= cp).map(commitName)
     victims.foreach(n => fs.delete(new HPath(log, n), false))

@@ -94,16 +94,28 @@ class DeltaWriterGateSpec extends SparkSpec {
     assert(DeltaLog.read(spark, ok).count() == 3L)
   }
 
-  test("rowTracking: listed-but-inactive writes fine, active refuses") {
+  test("rowTracking: appends mint ids; rewrites without materialized names refuse") {
     val inactive = foreign("rtInactive",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""")
     append(inactive)
     assert(DeltaLog.read(spark, inactive).count() == 3L)
+    // ACTIVE row tracking: appends are handled (fresh base row ids +
+    // the domainMetadata high-water mark ride the commit)
     val active = foreign("rtActive",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
       configuration = Map("delta.enableRowTracking" -> "true"))
-    assert(refused(append(active)).contains("row tracking"))
-    assert(refused(DeltaLog.optimize(spark, active)).contains("row tracking"))
+    append(active)
+    val v1 = Files.readString(
+      Paths.get(active, "_delta_log", "0" * 19 + "1.json"))
+    assert(v1.contains(""""baseRowId":"""), "append must mint base row ids")
+    assert(v1.contains("rowIdHighWaterMark"), "append must advance the hwm")
+    // rewrites need the materialized columns to preserve ids — this
+    // foreign enablement never declared their names, so refuse typed
+    // (DeltaRowTrackingSpec covers the preserving path on our tables)
+    val sp = spark; import sp.implicits._
+    assert(refused(DeltaLog.upsert(Seq((1L, "A")).toDF("id", "s"),
+      Seq("id"), active)).contains("materialized"))
+    assert(refused(DeltaLog.optimize(spark, active)).contains("materialized"))
   }
 
   test("change data feed: appends and cdc-emitting mutations allowed, overwrite refuses") {
@@ -179,8 +191,8 @@ class DeltaWriterGateSpec extends SparkSpec {
     val log = Paths.get(p, "_delta_log")
     Files.createDirectories(log)
     val cpRows = Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
-      s"""{"metaData":{"id":"cpgate","format":{"provider":"parquet","options":{}},"schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[{\\"name\\":\\"id\\",\\"type\\":\\"long\\",\\"nullable\\":true,\\"metadata\\":{}},{\\"name\\":\\"s\\",\\"type\\":\\"string\\",\\"nullable\\":true,\\"metadata\\":{}}]}","partitionColumns":[],"configuration":{"delta.enableRowTracking":"true"}}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["futureFeatureX"]}}""",
+      s"""{"metaData":{"id":"cpgate","format":{"provider":"parquet","options":{}},"schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[{\\"name\\":\\"id\\",\\"type\\":\\"long\\",\\"nullable\\":true,\\"metadata\\":{}},{\\"name\\":\\"s\\",\\"type\\":\\"string\\",\\"nullable\\":true,\\"metadata\\":{}}]}","partitionColumns":[],"configuration":{}}}""",
       s"""{"add":{"path":"$dataFile","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}""")
     val cpStage = s"$p/_cp_stage"
     sp.read.json(sp.createDataset(cpRows)).coalesce(1)
@@ -198,20 +210,21 @@ class DeltaWriterGateSpec extends SparkSpec {
     Files.writeString(log.resolve("_last_checkpoint"), """{"version":0}""")
     assert(!Files.exists(log.resolve("0" * 20 + ".json")),
       "fixture is checkpoint-only — no commit json carries the protocol")
-    assert(refused(append(p)).contains("row tracking"))
+    assert(refused(append(p)).contains("futureFeatureX"))
     assert(DeltaLog.read(spark, p).count() == 2L)
   }
 
   test("checkpoint and log cleanup refuse on unmaintainable writer features") {
-    // the checkpoint fold keeps add/metaData/protocol/txn rows only —
-    // on a row-tracking table it would drop the feature's state and
-    // cleanupLog would delete the commits carrying it
+    // the checkpoint fold keeps add/metaData/protocol/txn/domainMetadata
+    // rows — an UNKNOWN v7 feature may hang state off action kinds the
+    // fold doesn't carry, and cleanupLog would delete the commits
+    // holding it (row-tracked tables checkpoint fine since the fold
+    // carries domainMetadata — DeltaRowTrackingSpec pins that)
     val p = foreign("cpRefuse",
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
-      configuration = Map("delta.enableRowTracking" -> "true"))
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["futureFeatureX"]}}""")
     assert(refused(DeltaLog.writeCheckpoint(spark, p, 0L))
-      .contains("row tracking"))
-    assert(refused(DeltaLog.cleanupLog(spark, p)).contains("row tracking"))
+      .contains("futureFeatureX"))
+    assert(refused(DeltaLog.cleanupLog(spark, p)).contains("futureFeatureX"))
     assert(DeltaLog.read(spark, p).count() == 2L)
   }
 
