@@ -807,6 +807,39 @@ object SparkEntry {
         .groupBy("o_orderstatus").toDF
     }),
 
+    // Identity columns (delta's identityColumns writer feature): the
+    // table is created with row_seq GENERATED BY DEFAULT AS IDENTITY
+    // (START 1000 STEP 2), seeded explicitly as 2*o_orderkey+1000; the
+    // append OMITS the column, so the writer assigns gapless values
+    // stepping past the recorded high-water mark and refreshes the mark
+    // via a metaData action. The oracle recomputes the whole sequence.
+    "q_delta_identity" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_identity"
+      val o = t(s, d, "orders").toDF
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val hfs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hfs.exists(hp)) hfs.delete(hp, true)
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("delta.identity.start", 1000L)
+        .putLong("delta.identity.step", 2L)
+        .putBoolean("delta.identity.allowExplicitInsert", true)
+        .build()
+      Writers.writeDeltaTable(
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") * 2 + 1000).as("row_seq", meta)),
+        "overwrite", path)
+      Writers.writeDeltaTable(
+        o.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        "append", path)
+      import org.apache.spark.sql.functions.{count, sum, min => smin, max => smax}
+      Loaders.load(s, path, "orders_identity").toDF
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          smin(col("row_seq")).cast("bigint").as("min_seq"),
+          smax(col("row_seq")).cast("bigint").as("max_seq"),
+          sum(col("row_seq")).cast("bigint").as("sum_seq"))
+    }),
+
     // Row tracking (delta's rowTracking writer feature): the table is
     // created with delta.enableRowTracking=true — adds carry
     // baseRowId/defaultRowCommitVersion, the high-water mark rides a
@@ -3309,6 +3342,20 @@ object SparkEntry {
         "UNION ALL SELECT o_orderstatus, o_totalprice AS price " +
         "FROM orders WHERE o_orderkey % 10 = 0" +
         ") GROUP BY o_orderstatus"),
+
+    // base rows carry seq = 2*o_orderkey+1000; the append of the %10==0
+    // rows is assigned hwm+2, hwm+4, ... gaplessly where hwm is the
+    // base extreme — the whole sequence is recomputable
+    "q_delta_identity" ->
+      ("WITH base AS (SELECT 2*o_orderkey + 1000 AS seq FROM orders), " +
+        "hw AS (SELECT max(seq) AS h FROM base), " +
+        "app AS (SELECT (SELECT h FROM hw) + 2*ROW_NUMBER() OVER () AS seq " +
+        "FROM orders WHERE o_orderkey % 10 = 0) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(min(seq) AS BIGINT) AS min_seq, " +
+        "CAST(max(seq) AS BIGINT) AS max_seq, " +
+        "CAST(sum(seq) AS BIGINT) AS sum_seq " +
+        "FROM (SELECT seq FROM base UNION ALL SELECT seq FROM app)"),
 
     // the row-tracked table after append + upsert(+1000 on %10==3) +
     // DV-delete(%10==7); row ids stay unique, so n_row_ids == n

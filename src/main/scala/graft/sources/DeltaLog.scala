@@ -161,13 +161,17 @@ object DeltaLog {
     * mapped 5 already covers constraints.
     */
   private def protocolAction(mapped: Boolean, constrained: Boolean,
-      v4Feature: Boolean = false, rowTracking: Boolean = false): String =
-    if (rowTracking) {
-      // rowTracking exists only as a v7 table feature; list exactly the
-      // features this table uses (over-declaring would make other
-      // writers refuse needlessly). rowTracking requires domainMetadata
-      // (the high-water mark rides a domainMetadata action).
-      val feats = Seq("rowTracking", "domainMetadata") ++
+      v4Feature: Boolean = false, rowTracking: Boolean = false,
+      identity: Boolean = false): String =
+    if (rowTracking || identity) {
+      // rowTracking/identityColumns exist only as v7 table features;
+      // list exactly the features this table uses (over-declaring would
+      // make other writers refuse needlessly). rowTracking requires
+      // domainMetadata (the high-water mark rides a domainMetadata
+      // action).
+      val feats =
+        (if (rowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
+        (if (identity) Seq("identityColumns") else Nil) ++
         (if (constrained) Seq("invariants", "checkConstraints") else Nil) ++
         (if (v4Feature) Seq("generatedColumns", "changeDataFeed") else Nil)
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
@@ -628,7 +632,56 @@ object DeltaLog {
     // initial values would violate the invariant every later writer
     // (ours and delta-spark's) assumes held from version 0
     val genCols = generatedColumns(enforceSchema.orElse(Some(df.schema)))
-    val dfIn = materializeGenerated(df, genCols, enforceSchema)
+    val dfGen = materializeGenerated(df, genCols, enforceSchema)
+    // identity columns: rows OMITTING the column get gapless values
+    // stepping past the recorded high-water mark (metaData refreshes
+    // with the new mark in this same commit); explicit values need
+    // delta.identity.allowExplicitInsert=true and advance the mark past
+    // their extreme
+    val idColsW = identityCols(enforceSchema.orElse(Some(df.schema)))
+    if (idColsW.nonEmpty && (freshMappedMode != "none" ||
+        (hasLog && columnMappingMode(spark, fs, tbl) != "none")))
+      throw graft.GraftError.InvalidOperation("write_delta",
+        s"$tbl: identity columns with column mapping are not supported " +
+          "by this writer")
+    var identitySchemaBase: StructType =
+      enforceSchema.getOrElse(df.schema)
+    var identityEvolved = false
+    val dfIn = idColsW.foldLeft(dfGen) { (cur, ic) =>
+      val supplied = cur.columns.exists(_.equalsIgnoreCase(ic.name))
+      if (supplied && !ic.allowExplicit)
+        throw graft.GraftError.InvalidOperation("write_delta",
+          s"$tbl: column ${ic.name} is GENERATED ALWAYS AS IDENTITY — " +
+            "explicit values are not allowed (omit the column, or " +
+            "declare delta.identity.allowExplicitInsert=true)")
+      else if (supplied) {
+        import org.apache.spark.sql.functions.{max => smax, min => smin}
+        val agg = if (ic.step >= 0) smax(col(s"`${ic.name}`"))
+          else smin(col(s"`${ic.name}`"))
+        val row = cur.agg(agg.cast("long")).first()
+        val extreme = if (row.isNullAt(0)) None else Some(row.getLong(0))
+        val newHwm = (ic.hwm.toSeq ++ extreme.toSeq) match {
+          case Nil => None
+          case vs => Some(if (ic.step >= 0) vs.max else vs.min)
+        }
+        if (newHwm != ic.hwm || enforceSchema.isEmpty) {
+          newHwm.foreach { h =>
+            identitySchemaBase = withIdentityHwm(identitySchemaBase,
+              ic.name, h)
+            identityEvolved = true
+          }
+        }
+        cur
+      } else {
+        val (withCol, newHwm) = assignIdentityValues(cur, ic)
+        identitySchemaBase = withIdentityHwm(identitySchemaBase,
+          ic.name, newHwm)
+        identityEvolved = true
+        withCol
+      }
+    }
+    val identityUpdatedSchema: Option[StructType] =
+      if (identityEvolved) Some(identitySchemaBase) else None
     val enforceChecks = enforcementChecks(spark, enforceConf, enforceSchema,
       dfIn.schema, tbl, "write_delta") ++
       generatedChecks(genCols, df.columns.toSeq)
@@ -797,14 +850,25 @@ object DeltaLog {
         df.schema.fields.exists(
           _.metadata.contains("delta.generationExpression")) ||
           confEnabled(enforceConf, "delta.enableChangeDataFeed"),
-        rowTracking = rowTrackingEnabled(enforceConf))
+        rowTracking = rowTrackingEnabled(enforceConf),
+        identity = idColsW.nonEmpty)
       // merge commits refresh metaData with the post-write merged schema —
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping
       // annotations) must be preserved, not re-minted from the raw frame
       if (version == 0L || (m == "merge" && mappedSchema.isEmpty) ||
-          evolvedAppendSchema.nonEmpty || mappedEvolved.nonEmpty) {
-        val schema =
+          evolvedAppendSchema.nonEmpty || mappedEvolved.nonEmpty ||
+          identityUpdatedSchema.nonEmpty) {
+        // identity high-water marks ride the field metadata of whatever
+        // schema this commit records — applied LAST so merge/evolution
+        // branches carry the fresh mark too
+        def withHwms(s: StructType): StructType =
+          identityUpdatedSchema.map { upd =>
+            identityCols(Some(upd)).foldLeft(s)((acc, ic) =>
+              ic.hwm.map(h => withIdentityHwm(acc, ic.name, h))
+                .getOrElse(acc))
+          }.getOrElse(s)
+        val schema = withHwms(
           if (mappedEvolved.nonEmpty) mappedEvolved.get
           else if (m == "merge" && version > 0L)
             // merged schema = declared table schema ⊕ the frame's — pure
@@ -816,12 +880,15 @@ object DeltaLog {
             parsedTableSchema(spark, fs, tbl)
               .map(t => mergeSchemas(t, df.schema, path)).getOrElse(
               spark.read.option("mergeSchema", "true").parquet(path).schema)
-          else if (version > 0L) evolvedAppendSchema.get
+          else if (version > 0L && evolvedAppendSchema.nonEmpty)
+            evolvedAppendSchema.get
+          else if (version > 0L) identityUpdatedSchema.get
           else if (m == "merge" || bootstrapped)
             // version-0 bootstrap: the dir's pre-delta content is unknown
             // — the one case that warrants reading file footers
             spark.read.option("mergeSchema", "true").parquet(path).schema
-          else freshMinted.map(_._2).getOrElse(df.schema)
+          else identityUpdatedSchema.orElse(freshMinted.map(_._2))
+            .getOrElse(df.schema))
         // a metaData refresh of an EXISTING table must not re-derive
         // partitionColumns from the caller (who may pass none on an
         // already-partitioned table) nor wipe the table's configuration
@@ -1070,10 +1137,19 @@ object DeltaLog {
     val declared = parsedTableSchema(spark, fs, tbl)
     val genCols = generatedColumns(declared)
     val upd = materializeGenerated(updates, genCols, declared)
-    enforceEager(upd, enforcementChecks(spark,
-      tableConfiguration(spark, fs, tbl), declared,
-      upd.schema, tbl, "upsert_delta") ++
-      generatedChecks(genCols, updates.columns.toSeq), path, "upsert_delta")
+    // identity columns resolve AFTER touched-file discovery (matched
+    // rows inherit their snapshot identity, inserts draw fresh values);
+    // constraint enforcement runs on the FINAL changeset below. Only
+    // the explicit-insert gate runs up front.
+    val idColsU = identityCols(declared)
+    idColsU.foreach { ic =>
+      if (upd.columns.exists(_.equalsIgnoreCase(ic.name)) &&
+          !ic.allowExplicit)
+        throw graft.GraftError.InvalidOperation("upsert_delta",
+          s"$tbl: column ${ic.name} is GENERATED ALWAYS AS IDENTITY — " +
+            "explicit values are not allowed (omit the column, or " +
+            "declare delta.identity.allowExplicitInsert=true)")
+    }
     val updKeys = upd.select(keys.map(col): _*).distinct()
     // snapshot fold + key-bounds pruning run distributedly above the
     // log-size threshold — the driver materializes only the CANDIDATE
@@ -1096,22 +1172,22 @@ object DeltaLog {
           .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
         kept.filter(a => names(relKey(path, a.rel, keyDepth)))
       }
-    // row tracking: one scan of the touched files with the hidden
-    // materialized columns read alongside, every row's CURRENT id
-    // attached (materialized value else positional default) — survivors
-    // AND the matched-row id lookup both come from it
-    val scannedWithIds: Option[DataFrame] = matCols.flatMap {
-      case (mid, mver) =>
-        if (touched.isEmpty) None
-        else Some(withMaterializedRowIds(spark, path, touched,
-          applyDeletionVectors(spark, path, touched,
-            readDataFiles(spark, path,
-              touched.map(a => new HPath(tbl, a.rel).toString),
-              withRowMeta = true, keyDepth = keyDepth,
-              extraCols = rtExtraCols),
-            keepMeta = true, keyDepth = keyDepth),
-          mid, mver, keyDepth))
-    }
+    // ONE scan of the touched files feeds survivors, the row-tracking
+    // id lookup AND identity inheritance — with the hidden materialized
+    // columns read alongside when row tracking is on
+    val touchedScan: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val base = applyDeletionVectors(spark, path, touched,
+          readDataFiles(spark, path,
+            touched.map(a => new HPath(tbl, a.rel).toString),
+            withRowMeta = true, keyDepth = keyDepth,
+            extraCols = rtExtraCols),
+          keepMeta = true, keyDepth = keyDepth)
+        Some(matCols.map { case (mid, mver) =>
+          withMaterializedRowIds(spark, path, touched, base,
+            mid, mver, keyDepth) }.getOrElse(base))
+      }
     val survivors =
       if (touched.isEmpty) {
         // pure insert: an empty frame with the table's logical columns —
@@ -1127,14 +1203,61 @@ object DeltaLog {
           base.withColumn(mid, lit(null).cast("long"))
             .withColumn(mver, lit(null).cast("long")) }.getOrElse(base)
       }
-      else scannedWithIds.getOrElse(
-        applyDeletionVectors(spark, path, touched,
-          readDataFiles(spark, path,
-            touched.map(a => new HPath(tbl, a.rel).toString),
-            withRowMeta = true, keyDepth = keyDepth),
-          keepMeta = true, keyDepth = keyDepth))
+      else touchedScan.get
         .join(updKeys, keys, "left_anti")
         .drop(DvFileCol, DvRowCol)
+    // identity columns: matched rows INHERIT the snapshot row's value,
+    // inserts draw fresh gapless values past the high-water mark; the
+    // refreshed mark rides a metaData action in this same commit.
+    // Supplied identity values (allowExplicit, gated above) advance the
+    // mark past their extreme.
+    var identityMetaSchema: Option[StructType] = None
+    val updFinal: DataFrame = idColsU.foldLeft(upd) { (cur, ic) =>
+      val supplied = cur.columns.exists(_.equalsIgnoreCase(ic.name))
+      if (supplied) {
+        import org.apache.spark.sql.functions.{max => smax, min => smin}
+        val agg = if (ic.step >= 0) smax(col(s"`${ic.name}`"))
+          else smin(col(s"`${ic.name}`"))
+        val row = cur.agg(agg.cast("long")).first()
+        if (!row.isNullAt(0)) {
+          val ext = row.getLong(0)
+          val newHwm = ic.hwm.map(h =>
+            if (ic.step >= 0) math.max(h, ext) else math.min(h, ext))
+            .getOrElse(ext)
+          if (!ic.hwm.contains(newHwm))
+            identityMetaSchema = Some(withIdentityHwm(
+              identityMetaSchema.orElse(declared).get, ic.name, newHwm))
+        }
+        cur
+      } else {
+        val withPrev = touchedScan match {
+          case Some(ts) =>
+            val matched = ts.join(updKeys, keys, "left_semi")
+              .groupBy(keys.map(col): _*)
+              .agg(org.apache.spark.sql.functions.min(col(s"`${ic.name}`"))
+                .as("graft_prev_idv"))
+            cur.join(matched, keys, "left")
+          case None =>
+            cur.withColumn("graft_prev_idv", lit(null).cast("long"))
+        }
+        val haveId = withPrev.where(col("graft_prev_idv").isNotNull)
+          .withColumn(ic.name, col("graft_prev_idv"))
+          .drop("graft_prev_idv")
+        val needId = withPrev.where(col("graft_prev_idv").isNull)
+          .drop("graft_prev_idv")
+        val (assigned, newHwm) = assignIdentityValues(needId, ic)
+        if (!ic.hwm.contains(newHwm))
+          identityMetaSchema = Some(withIdentityHwm(
+            identityMetaSchema.orElse(declared).get, ic.name, newHwm))
+        haveId.unionByName(assigned)
+      }
+    }
+    // constraints / invariants / generated checks gate the FINAL
+    // changeset (identity values resolved) in one aggregate pass,
+    // bounded by the changeset size, never the table
+    enforceEager(updFinal, enforcementChecks(spark, rtConf, declared,
+      updFinal.schema, tbl, "upsert_delta") ++
+      generatedChecks(genCols, updates.columns.toSeq), path, "upsert_delta")
     // CDF: exact MERGE change rows. Matched rows emit their pre- and
     // post-image; unmatched update rows emit as inserts. The preimage
     // scan is one extra read bounded by the TOUCHED files; pure inserts
@@ -1148,7 +1271,7 @@ object DeltaLog {
           .filterNot(c => matCols.exists(m => m._1 == c || m._2 == c))
         val ct = (f: DataFrame, t: String) =>
           f.select(cols.map(col): _*).withColumn("_change_type", lit(t))
-        if (touched.isEmpty) Some(ct(upd, "insert"))
+        if (touched.isEmpty) Some(ct(updFinal, "insert"))
         else {
           val touchedLive = applyDeletionVectors(spark, path, touched,
             readDataFiles(spark, path,
@@ -1164,8 +1287,8 @@ object DeltaLog {
           val pre = touchedLive.join(updKeys, keys, "left_semi")
             .localCheckpoint(true)
           val matchedKeys = pre.select(keys.map(col): _*).distinct()
-          val post = upd.join(matchedKeys, keys, "left_semi")
-          val ins = upd.join(matchedKeys, keys, "left_anti")
+          val post = updFinal.join(matchedKeys, keys, "left_semi")
+          val ins = updFinal.join(matchedKeys, keys, "left_anti")
           Some(ct(pre, "update_preimage")
             .unionByName(ct(post, "update_postimage"))
             .unionByName(ct(ins, "insert")))
@@ -1177,26 +1300,29 @@ object DeltaLog {
     // a genuinely new row leaves both NULL and gets fresh defaults
     val updFrame = matCols match {
       case Some((mid, mver)) =>
-        val withPrev = scannedWithIds match {
+        val withPrev = touchedScan match {
           case Some(sc) =>
             val matched = sc.join(updKeys, keys, "left_semi")
               .groupBy(keys.map(col): _*)
               .agg(org.apache.spark.sql.functions.min(col(s"`$mid`"))
                 .as("graft_prev_rid"))
-            upd.join(matched, keys, "left")
+            updFinal.join(matched, keys, "left")
           case None =>
-            upd.withColumn("graft_prev_rid", lit(null).cast("long"))
+            updFinal.withColumn("graft_prev_rid", lit(null).cast("long"))
         }
         withPrev.withColumn(mid, col("graft_prev_rid"))
           .withColumn(mver, lit(null).cast("long"))
           .drop("graft_prev_rid")
-      case None => upd
+      case None => updFinal
     }
     commitRewrite(spark, path, "UPSERT", touched.map(_.rel).sorted,
       survivors.unionByName(updFrame.select(survivors.columns.map(col): _*)),
       removeDvJson = touched.flatMap(a =>
         a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap,
-      cdcDf = cdcDf)
+      cdcDf = cdcDf,
+      extraMetaData = identityMetaSchema.map(s =>
+        metaDataAction(s.json,
+          tablePartitionColumns(spark, fs, tbl).getOrElse(Nil), rtConf)))
   }
 
   /** Copy-on-write DELETE of the rows matching `predicate` (SQL text over
@@ -1624,14 +1750,95 @@ object DeltaLog {
         confEnabled(conf, "delta.enableRowTracking"))
       refuse("row tracking — this operation neither mints nor preserves " +
         "row ids")
-    if (adds) parsedTableSchema(spark, fs, tbl).foreach { s =>
-      val ident = s.fields.filter(f =>
-        f.metadata.contains("delta.identity.start") ||
-          f.metadata.contains("delta.identity.step")).map(_.name)
-      if (ident.nonEmpty)
-        refuse(s"identity columns (${ident.mkString(", ")}) — identity " +
-          "sequences are not maintained on write")
+    // identity columns impose no gate here: [[write]] and [[upsert]]
+    // assign omitted values and maintain delta.identity.highWaterMark,
+    // restaging/echo paths carry the column's stored values unchanged
+  }
+
+  // ───────────────────────── identity columns ─────────────────────────
+  //
+  // Delta's identityColumns writer feature (PROTOCOL.md "Identity
+  // Columns"): a field carrying delta.identity.start/step metadata is a
+  // sequence the WRITER maintains — rows that omit the column get
+  // values stepping past delta.identity.highWaterMark (recorded back
+  // into the field metadata via a metaData action in the same commit);
+  // explicit values are legal only when
+  // delta.identity.allowExplicitInsert=true (GENERATED BY DEFAULT),
+  // and then the high-water mark advances past them.
+
+  private case class IdentityCol(name: String, start: Long, step: Long,
+      hwm: Option[Long], allowExplicit: Boolean)
+
+  private def identityCols(schema: Option[StructType]): Seq[IdentityCol] =
+    schema.toSeq.flatMap(_.fields).filter(f =>
+      f.metadata.contains("delta.identity.start") ||
+        f.metadata.contains("delta.identity.step")).map { f =>
+      val m = f.metadata
+      // foreign writers may store the numbers as longs, doubles or
+      // strings — accept all three (a misparse would corrupt the
+      // sequence)
+      def lng(k: String, d: Long): Long =
+        if (!m.contains(k)) d
+        else try m.getLong(k) catch { case _: Exception =>
+          try m.getDouble(k).toLong catch { case _: Exception =>
+            try m.getString(k).trim.toLong catch { case _: Exception => d }
+          }
+        }
+      IdentityCol(f.name, lng("delta.identity.start", 1L),
+        lng("delta.identity.step", 1L),
+        if (m.contains("delta.identity.highWaterMark"))
+          Some(lng("delta.identity.highWaterMark", 0L)) else None,
+        m.contains("delta.identity.allowExplicitInsert") &&
+          (try m.getBoolean("delta.identity.allowExplicitInsert")
+           catch { case _: Exception =>
+             try m.getString("delta.identity.allowExplicitInsert")
+               .trim.equalsIgnoreCase("true")
+             catch { case _: Exception => false } }))
     }
+
+  /** `schema` with the identity column's high-water mark replaced. */
+  private def withIdentityHwm(schema: StructType, name: String,
+      hwm: Long): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.name.equalsIgnoreCase(name)) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.identity.highWaterMark", hwm).build())
+    })
+
+  /** Append gapless identity values (hwm+step, hwm+2·step, … — `start`
+    * when no mark exists yet) to every row: per-partition counts →
+    * offsets → a locally-seeded counter, the scalable zipWithIndex
+    * shape (no global sort, no single-partition collapse). Returns the
+    * frame plus the new high-water mark.
+    */
+  private def assignIdentityValues(df: DataFrame,
+      ic: IdentityCol): (DataFrame, Long) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val first = ic.hwm.map(_ + ic.step).getOrElse(ic.start)
+    val rdd0 = df.rdd
+    val counts = rdd0.mapPartitionsWithIndex((pid, it) =>
+      Iterator.single((pid, it.size.toLong))).collect().toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val offsets = new Array[Long](math.max(maxPid + 2, 1))
+    for (p <- 0 to maxPid)
+      offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L)
+    val total = if (maxPid < 0) 0L else offsets(maxPid + 1)
+    val step = ic.step
+    val schema = StructType(df.schema.fields :+
+      StructField(ic.name, LongType, nullable = true))
+    val out = df.sparkSession.createDataFrame(
+      rdd0.mapPartitionsWithIndex { (pid, it) =>
+        var k = offsets(math.min(pid, offsets.length - 1))
+        it.map { r => val v = first + step * k; k += 1
+          Row.fromSeq(r.toSeq :+ v) }
+      }, schema)
+    val newHwm =
+      if (total == 0) ic.hwm.getOrElse(ic.start - ic.step)
+      else first + step * (total - 1)
+    (out, newHwm)
   }
 
   /** Generated columns declared by a schema: (name, generation SQL) for
@@ -2003,7 +2210,8 @@ object DeltaLog {
       checkpointInterval: Int = 10, dataChange: Boolean = true,
       numFiles: Option[Int] = None, logicalFrame: Boolean = true,
       removeDvJson: Map[String, String] = Map.empty,
-      cdcDf: Option[DataFrame] = None): Unit = {
+      cdcDf: Option[DataFrame] = None,
+      extraMetaData: Option[String] = None): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
@@ -2109,6 +2317,9 @@ object DeltaLog {
     val txnId = java.util.UUID.randomUUID().toString
     val actions = ListBuffer.empty[String]
     actions += s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
+    // metaData refresh riding a rewrite commit (identity high-water
+    // mark bumps) — the caller supplies the full action
+    extraMetaData.foreach(actions += _)
     val now = System.currentTimeMillis()
     cdcRels.foreach { case (rel, size) =>
       // partitionValues from the col=val segments under _change_data/,

@@ -252,13 +252,24 @@ class DeltaWriterGateSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).count() == 1L)
   }
 
-  test("identity columns refuse row-adding commits") {
+  test("identity columns: ALWAYS refuses supplied values, omitted get assigned") {
+    val sp = spark; import sp.implicits._
     val ident = foreign("identity",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
-      idFieldMetadata = Map("delta.identity.start" -> "1"))
-    assert(refused(append(ident)).contains("identity columns"))
-    // row-removing paths that add no rows stay available
+      idFieldMetadata = Map("delta.identity.start" -> "100"))
+    // the frame SUPPLIES id but the column is GENERATED ALWAYS (no
+    // allowExplicitInsert) → typed refusal
+    assert(refused(append(ident)).contains("GENERATED ALWAYS"))
+    // omitted → the writer assigns from start (no high-water mark yet)
+    // and records the new mark; the next append continues the sequence
+    DeltaLog.write(Seq("q").toDF("s"), "append", ident)
+    DeltaLog.write(Seq("r").toDF("s"), "append", ident)
+    val got = DeltaLog.read(spark, ident).where("s IN ('q','r')")
+      .select("s", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("q" -> 100L, "r" -> 101L), s"$got")
+    // row-removing paths stay available
     assert(DeltaLog.deleteWhere(spark, ident, "id = 1") == 1)
-    assert(DeltaLog.read(spark, ident).count() == 1L)
+    assert(DeltaLog.read(spark, ident).count() == 3L)
   }
 }
