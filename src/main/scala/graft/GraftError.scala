@@ -89,6 +89,13 @@ object GraftError {
             .mkString("; "),
         "CHECK constraints reject rows where the expression is not TRUE (a NULL result rejects too — delta-spark's CheckDeltaInvariant rule, stricter than SQL CHECK); NOT NULL invariants reject NULL values, nested struct fields included. Fix the offending rows, or recreate the table without the constraint")
 
+  final case class ConcurrentModification(path: String, operation: String,
+      detail: String)
+      extends GraftError(
+        s"$operation on '$path' lost to a concurrent writer whose commit " +
+          s"logically conflicts: $detail",
+        "The operation's file sets were computed against a snapshot the concurrent commit invalidated; re-run it against the fresh snapshot (logically DISJOINT concurrent commits rebase automatically and never raise this)")
+
   final case class MissingColumnWithContext(column: String,
       available: Seq[String], context: String, location: String)
       extends GraftError(

@@ -1064,10 +1064,12 @@ object DeltaLog {
     * actions real delta MERGE emits, so any replaying reader (ours or
     * delta-rs) sees the swap atomically.
     *
-    * Concurrency: unlike append, a lost commit slot is NOT rebased — the
-    * remove set was computed against a snapshot that is now stale, and
-    * re-committing it could resurrect rows a concurrent writer removed.
-    * Losers throw; the caller re-runs the whole upsert against the fresh
+    * Concurrency: a lost commit slot REBASES when every commit that
+    * landed since is logically disjoint (no metadata change, no overlap
+    * with our removes, no added file whose stats may hold our keys —
+    * [[requireNoLogicalConflict]], the delta-spark ConflictChecker
+    * contract); a genuinely conflicting winner raises the typed
+    * ConcurrentModification and the caller re-runs against the fresh
     * snapshot. `updates` must be key-unique (two update rows with the same
     * key would both land — classic MERGE cardinality contract).
     *
@@ -1155,7 +1157,8 @@ object DeltaLog {
     // log-size threshold — the driver materializes only the CANDIDATE
     // entries (the whole snapshot only when the keys admit no bounds
     // predicate, i.e. when discovery must scan every file anyway)
-    val kept = activeAddsWhere(spark, path, keyBoundsPredicate(upd, keys),
+    val keyBounds = keyBoundsPredicate(upd, keys)
+    val kept = activeAddsWhere(spark, path, keyBounds,
       snapshotDriverMaxBytes = snapshotDriverMaxBytes)
     // key depth over the candidates: discovery scans only kept files,
     // so touched keys both originate from and resolve within them
@@ -1322,12 +1325,16 @@ object DeltaLog {
       cdcDf = cdcDf,
       extraMetaData = identityMetaSchema.map(s =>
         metaDataAction(s.json,
-          tablePartitionColumns(spark, fs, tbl).getOrElse(Nil), rtConf)))
+          tablePartitionColumns(spark, fs, tbl).getOrElse(Nil), rtConf)),
+      // a lost slot rebases when the winners are key-disjoint (the
+      // bounds predicate mirrors the discovery scan's read set);
+      // non-integral keys admit no bounds ⇒ any winner add conflicts
+      readPredicate = keyBounds)
   }
 
   /** Copy-on-write DELETE of the rows matching `predicate` (SQL text over
     * the snapshot's columns). Same touched-file shape, same
-    * stale-loser-throws concurrency contract, and same DV handling as
+    * rebase-when-disjoint concurrency contract, and same DV handling as
     * [[upsert]] (survivors from live rows, removes echo superseded
     * descriptors). DISCOVERY scans only the files whose stats may match
     * the predicate (the [[readWhere]] skipping kernel); survivors scan
@@ -1422,7 +1429,10 @@ object DeltaLog {
     commitRewrite(spark, path, "DELETE", touched.map(_.rel).sorted,
       survivors, removeDvJson = touched.flatMap(a =>
         a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap,
-      cdcDf = cdcDf)
+      cdcDf = cdcDf,
+      // a lost slot rebases when the winners' adds provably cannot
+      // match this DELETE's predicate
+      readPredicate = Some(predicate))
     touched.size
   }
 
@@ -2205,13 +2215,81 @@ object DeltaLog {
     * that honor cdc actions ([[readChanges]], delta-spark) use them
     * INSTEAD of this commit's add/remove actions.
     */
+  /** Logical conflict check of OUR pending rewrite against commit `w`,
+    * which won a slot we wanted (delta-spark's ConflictChecker rules,
+    * distilled to this writer's rewrite shape). Throws typed
+    * [[graft.GraftError.ConcurrentModification]] when:
+    *  - `w` carries a protocol or metaData action (the table was
+    *    redefined mid-flight — including a concurrent identity/hwm
+    *    bump, whose metaData our rebase would clobber);
+    *  - `w` REMOVES a file our rewrite also removes (our survivors
+    *    were computed from rows the winner already superseded);
+    *  - for dataChange rewrites (DELETE/MERGE), `w` ADDS files whose
+    *    stats may satisfy our read predicate — rows this operation
+    *    should have read (an absent/unparseable predicate treats every
+    *    add as conflicting, the conservative floor).
+    * dataChange=false restages (OPTIMIZE/PURGE) read no rows
+    * semantically, so winner adds never conflict with them.
+    */
+  private def requireNoLogicalConflict(spark: SparkSession, fs: FileSystem,
+      tbl: HPath, path: String, op: String, w: Long,
+      ourRemoves: Set[String], dataChange: Boolean,
+      readPredicate: Option[String]): Unit = {
+    def conflict(detail: String): Nothing =
+      throw graft.GraftError.ConcurrentModification(path, op.toLowerCase,
+        s"version $w $detail")
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val schemaOpt = parsedTableSchema(spark, fs, tbl)
+    val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+    val conj = readPredicate.flatMap(p =>
+      schemaOpt.flatMap(_ => DeltaStats.parseConjuncts(spark, p)))
+    readString(fs, new HPath(logDir(tbl), commitName(w)))
+      .linesIterator.foreach { line =>
+      val node = try mapper.readTree(line) catch { case _: Exception => null }
+      if (node != null) {
+        if (node.has("protocol")) conflict("changes the table protocol")
+        if (node.has("metaData")) conflict("changes the table metadata")
+        val rem = node.get("remove")
+        if (rem != null && rem.get("path") != null &&
+            ourRemoves(rem.get("path").asText))
+          conflict(s"already removed ${rem.get("path").asText}, which " +
+            "this rewrite also supersedes")
+        val add = node.get("add")
+        if (add != null && add.get("path") != null && dataChange) {
+          val mayRead = (schemaOpt, conj) match {
+            case (Some(schema), Some(conjuncts)) =>
+              parseAddEntry(add).forall(e =>
+                DeltaStats.entryMayMatch(conjuncts, schema, pcols, e,
+                  mapper))
+            case _ => true
+          }
+          if (mayRead)
+            conflict(s"added ${add.get("path").asText} whose rows may " +
+              "match this operation's read predicate")
+        }
+      }
+    }
+  }
+
+  /** Test-only interception point, invoked with (op, targetVersion)
+    * right before a rewrite's first slot acquisition — lets the
+    * concurrency specs deterministically steal the slot (a foreign
+    * commit written here makes the acquire LOSE, exercising the
+    * conflict-check/rebase path without sleep-based races). Always None
+    * in production.
+    */
+  private[sources] var commitSlotTestHook: Option[(String, Long) => Unit] =
+    None
+
   private def commitRewrite(spark: SparkSession, path: String, op: String,
       removesRel: Seq[String], addDf: DataFrame,
       checkpointInterval: Int = 10, dataChange: Boolean = true,
       numFiles: Option[Int] = None, logicalFrame: Boolean = true,
       removeDvJson: Map[String, String] = Map.empty,
       cdcDf: Option[DataFrame] = None,
-      extraMetaData: Option[String] = None): Unit = {
+      extraMetaData: Option[String] = None,
+      readPredicate: Option[String] = None): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
@@ -2315,53 +2393,78 @@ object DeltaLog {
       moved
     }
     val txnId = java.util.UUID.randomUUID().toString
-    val actions = ListBuffer.empty[String]
-    actions += s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
-    // metaData refresh riding a rewrite commit (identity high-water
-    // mark bumps) — the caller supplies the full action
-    extraMetaData.foreach(actions += _)
-    val now = System.currentTimeMillis()
-    cdcRels.foreach { case (rel, size) =>
-      // partitionValues from the col=val segments under _change_data/,
-      // exactly as addAction derives them for data files
-      val pv = partitionValues(rel.stripPrefix("_change_data/"))
-        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
-      actions +=
-        s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{$pv},"size":$size,"dataChange":false}}"""
-    }
-    removesRel.foreach { r =>
-      // PURGE removes echo the superseded DV descriptor (protocol shape —
-      // lets an external vacuum associate the orphaned bin file)
-      val dvJson = removeDvJson.get(r)
-        .map(d => s""","deletionVector":$d""").getOrElse("")
-      actions +=
-        s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":$dataChange$dvJson}}"""
-    }
     val stagedRels = staged.keys.toSeq.sorted
     val statsByRel = statsForAll(spark, fs, tbl, stagedRels)
-    // row tracking: restaged files get fresh base-row-id ranges (the
-    // positional DEFAULT for any row whose materialized id is NULL —
-    // the caller materialized every SURVIVING row's original id into
-    // the hidden column, so fresh ranges only ever bind new rows)
-    val rowIdsByRel: Map[String, Long] =
-      if (!rowTrackingEnabled(tableConfiguration(spark, fs, tbl))) Map.empty
-      else {
-        val (byRel, newHwm) = assignBaseRowIds(fs, tbl, stagedRels,
-          statsByRel, rowIdHighWaterMark(spark, fs, tbl))
-        actions += domainMetadataAction(newHwm)
-        byRel
+    def actionsFor(v: Long): String = {
+      val actions = ListBuffer.empty[String]
+      actions += s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
+      // metaData refresh riding a rewrite commit (identity high-water
+      // mark bumps) — the caller supplies the full action
+      extraMetaData.foreach(actions += _)
+      val now = System.currentTimeMillis()
+      cdcRels.foreach { case (rel, size) =>
+        // partitionValues from the col=val segments under _change_data/,
+        // exactly as addAction derives them for data files
+        val pv = partitionValues(rel.stripPrefix("_change_data/"))
+          .map { case (k, vv) => s""""${esc(k)}":"${esc(vv)}"""" }.mkString(",")
+        actions +=
+          s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{$pv},"size":$size,"dataChange":false}}"""
       }
-    stagedRels.foreach { rel =>
-      actions += addAction(rel, fs.getFileStatus(new HPath(tbl, rel)),
-        statsByRel.getOrElse(rel, None), dataChange = dataChange,
-        rowIds = rowIdsByRel.get(rel).map(b => (b, version)))
+      removesRel.foreach { r =>
+        // PURGE removes echo the superseded DV descriptor (protocol shape —
+        // lets an external vacuum associate the orphaned bin file)
+        val dvJson = removeDvJson.get(r)
+          .map(d => s""","deletionVector":$d""").getOrElse("")
+        actions +=
+          s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":$dataChange$dvJson}}"""
+      }
+      // row tracking: restaged files get fresh base-row-id ranges (the
+      // positional DEFAULT for any row whose materialized id is NULL —
+      // the caller materialized every SURVIVING row's original id into
+      // the hidden column, so fresh ranges only ever bind new rows).
+      // Re-read per attempt: a rebase may follow a concurrent writer
+      // who advanced the mark.
+      val rowIdsByRel: Map[String, Long] =
+        if (!rowTrackingEnabled(tableConfiguration(spark, fs, tbl))) Map.empty
+        else {
+          val (byRel, newHwm) = assignBaseRowIds(fs, tbl, stagedRels,
+            statsByRel, rowIdHighWaterMark(spark, fs, tbl))
+          actions += domainMetadataAction(newHwm)
+          byRel
+        }
+      stagedRels.foreach { rel =>
+        actions += addAction(rel, fs.getFileStatus(new HPath(tbl, rel)),
+          statsByRel.getOrElse(rel, None), dataChange = dataChange,
+          rowIds = rowIdsByRel.get(rel).map(b => (b, v)))
+      }
+      actions.mkString("\n") + "\n"
     }
-    if (!acquireCommitSlot(fs, log, version, txnId, actions.mkString("\n") + "\n"))
+    // Optimistic commit with LOGICAL conflict detection: a lost slot
+    // rebases when every commit that landed since is disjoint from this
+    // rewrite (requireNoLogicalConflict), else refuses typed — the
+    // delta-spark ConflictChecker contract, replacing the old
+    // always-throw.
+    commitSlotTestHook.foreach(_(op, version))
+    var v = version
+    var committed = false
+    var attempts = 0
+    val maxAttempts = 20
+    while (!committed && attempts < maxAttempts) {
+      attempts += 1
+      if (acquireCommitSlot(fs, log, v, txnId, actionsFor(v))) committed = true
+      else {
+        existingVersions(fs, log).filter(_ >= v).foreach(w =>
+          requireNoLogicalConflict(spark, fs, tbl, path, op, w,
+            removesRel.toSet, dataChange, readPredicate))
+        v = math.max(v + 1, nextVersion(fs, log).getOrElse(0L))
+      }
+    }
+    if (!committed)
       throw graft.GraftError.WriteError(path, op.toLowerCase,
-        s"version-$version commit lost to a concurrent writer — the rewrite's " +
-          "remove set is stale; re-run the operation against the fresh snapshot")
-    if (checkpointInterval > 0 && version % checkpointInterval == 0)
-      writeCheckpoint(spark, path, version)
+        s"gave up after $maxAttempts optimistic-commit attempts (heavy " +
+          "concurrent writer load?)")
+    if (checkpointInterval > 0 && v % checkpointInterval == 0)
+      writeCheckpoint(spark, path, v)
   }
 
   /** Checkpoint version `v`: the RECONCILED snapshot (active add rows +
@@ -3989,8 +4092,9 @@ object DeltaLog {
     * commit removes and re-adds each touched file with its new
     * descriptor. Gated on the table already declaring
     * `delta.enableDeletionVectors=true` — this writer never upgrades a
-    * table's protocol silently. Losing the commit slot throws (the
-    * computed row sets are stale); re-run against the fresh snapshot.
+    * table's protocol silently. A lost commit slot rebases when the
+    * winners are logically disjoint ([[requireNoLogicalConflict]]),
+    * else throws typed; re-run against the fresh snapshot.
     *
     * Scale note: the bitmaps are BUILT IN EXECUTORS (one group per
     * touched file: new matches ∪ that file's existing deleted rows,
@@ -4163,16 +4267,36 @@ object DeltaLog {
         s""""size":${add.size},"modificationTime":$now,"dataChange":true""" +
         s"""$stats$rowField,"deletionVector":${descriptors(add.rel)}}}"""
     }
-    if (!acquireCommitSlot(fs, log, version, txnId, actions.mkString("\n") + "\n")) {
+    // lost slots rebase when the winners are logically disjoint (same
+    // ConflictChecker rules as commitRewrite): the descriptor swap's
+    // removes are the touched files, its read set the delete predicate
+    commitSlotTestHook.foreach(_("DELETE_DV", version))
+    var v = version
+    var committed = false
+    var attempts = 0
+    while (!committed && attempts < 20) {
+      attempts += 1
+      if (acquireCommitSlot(fs, log, v, txnId,
+          actions.mkString("\n") + "\n")) committed = true
+      else {
+        try existingVersions(fs, log).filter(_ >= v).foreach(w =>
+          requireNoLogicalConflict(spark, fs, tbl, path, "delete_delta_dv",
+            w, mergedSets.map(_._1.rel).toSet, dataChange = true,
+            readPredicate = Some(predicate)))
+        catch { case e: Throwable => fs.delete(dvFile, false); throw e }
+        v = math.max(v + 1, nextVersion(fs, log).getOrElse(0L))
+      }
+    }
+    if (!committed) {
       fs.delete(dvFile, false)
       throw graft.GraftError.WriteError(path, "delete_delta_dv",
-        s"version-$version commit lost to a concurrent writer — the DV " +
-          "row sets are stale; re-run against the fresh snapshot")
+        "gave up after 20 optimistic-commit attempts (heavy concurrent " +
+          "writer load?)")
     }
     // checkpoints fold DV descriptors (newest add per path wins), so the
     // delete-heavy tables DVs target keep their log replay bounded too
-    if (checkpointInterval > 0 && version % checkpointInterval == 0)
-      writeCheckpoint(spark, path, version)
+    if (checkpointInterval > 0 && v % checkpointInterval == 0)
+      writeCheckpoint(spark, path, v)
     packed.map(_._4).sum
   }
 
@@ -4758,11 +4882,18 @@ object DeltaLog {
     * construction — unknown stats keep the file, and the re-applied
     * predicate makes pruning invisible to results.
     */
-  def readWhere(spark: SparkSession, path: String, predicate: String,
+  def readWhere(spark: SparkSession, path: String, predicate0: String,
       versionAsOf: Option[Long] = None,
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // equality predicates on a generated partition column's SOURCE prune
+    // through the generation expression (implied conjuncts; sound for
+    // deterministic expressions) — both the file-skipping kernel below
+    // and the scan's own partition-dir pushdown see the augmented form
+    val predicate = augmentThroughGenerated(spark,
+      parsedTableSchema(spark, fs, tbl, versionAsOf),
+      tablePartitionColumns(spark, fs, tbl).getOrElse(Nil), predicate0)
     // large log: snapshot fold AND stats pruning both run DISTRIBUTEDLY —
     // DeltaStats.entryMayMatch is session-free, so the parsed conjuncts
     // ship to executors and the driver sees only the SURVIVING file paths
@@ -4944,10 +5075,80 @@ object DeltaLog {
     * snapshot total — the observable skipping ratio (spec-asserted; also a
     * planning aid: ~(kept/total) of the table gets scanned).
     */
-  def skippingStats(spark: SparkSession, path: String, predicate: String,
+  /** Augment `predicate` with partition-pruning conjuncts derived
+    * THROUGH generated partition columns (delta-spark's
+    * OptimizeGeneratedColumn idea, restricted to the sound equality
+    * case): for each top-level `src = <literal>` conjunct and each
+    * PARTITION column whose `delta.generationExpression` references
+    * only `src`, the expression is evaluated AT the literal and
+    * `part = <value>` is appended — a deterministic expression maps
+    * equal inputs to equal outputs, so the conjunct is implied. Range
+    * predicates are left alone (they would need per-expression
+    * monotonicity analysis). Returns the predicate unchanged when
+    * nothing applies.
+    */
+  private def augmentThroughGenerated(spark: SparkSession,
+      schemaOpt: Option[StructType], pcols: Seq[String],
+      predicate: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Literal => CLit}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val genParts = generatedColumns(schemaOpt)
+      .filter { case (name, _) => pcols.exists(_.equalsIgnoreCase(name)) }
+    if (genParts.isEmpty) return predicate
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(predicate)
+      catch { case _: Exception => return predicate }
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+    val equalities: Seq[(String, CLit)] = conjuncts(parsed).collect {
+      case CEq(a: UnresolvedAttribute, l: CLit) if a.nameParts.length == 1 =>
+        (a.nameParts.head, l)
+      case CEq(l: CLit, a: UnresolvedAttribute) if a.nameParts.length == 1 =>
+        (a.nameParts.head, l)
+    }
+    if (equalities.isEmpty) return predicate
+    val extra = genParts.flatMap { case (pname, genSql) =>
+      val refs =
+        try spark.sessionState.sqlParser.parseExpression(genSql).collect {
+          case a: UnresolvedAttribute => a.nameParts.head
+        }.distinct
+        catch { case _: Exception => Nil }
+      refs match {
+        case Seq(src) =>
+          equalities.find(_._1.equalsIgnoreCase(src)).flatMap {
+            case (_, lit) =>
+              try {
+                // evaluate the generation expression at the literal; the
+                // result renders back as a SQL literal for the conjunct
+                val row = spark.sql(
+                  s"SELECT ($genSql) AS g FROM (SELECT ${lit.sql} AS `$src`)")
+                  .first()
+                if (row.isNullAt(0)) Some(s"`$pname` IS NULL")
+                else {
+                  val out = CLit.create(row.get(0),
+                    row.schema.fields(0).dataType)
+                  Some(s"`$pname` = ${out.sql}")
+                }
+              } catch { case _: Exception => None }
+          }
+        case _ => None
+      }
+    }
+    if (extra.isEmpty) predicate
+    else s"($predicate) AND ${extra.mkString(" AND ")}"
+  }
+
+  def skippingStats(spark: SparkSession, path: String, predicate0: String,
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): (Int, Int) = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val predicate = augmentThroughGenerated(spark,
+      parsedTableSchema(spark, fs, tbl),
+      tablePartitionColumns(spark, fs, tbl).getOrElse(Nil), predicate0)
     // above the log-size threshold both counts come from distributed
     // aggregates — the driver holds two ints, never the add metadata
     keptAddJsonsDf(spark, path, Some(predicate), None, None,

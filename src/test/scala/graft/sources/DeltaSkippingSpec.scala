@@ -141,6 +141,52 @@ class DeltaSkippingSpec extends SparkSpec {
     assert(pruned.select(countDistinct(col("seg"))).first.getLong(0) == 1L)
   }
 
+  test("generated partition columns prune through the generation expression") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("genpart")
+    rm(p)
+    // bucket GENERATED ALWAYS AS (id % 4), the table's PARTITION column
+    val genMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.generationExpression", "id % 4").build()
+    // repartition(4) shuffles rows so EVERY file spans ~the full id
+    // range — plain min/max stats on id cannot prune anything, and any
+    // skipping below is attributable to the generated-partition rewrite
+    DeltaLog.write(
+      (0L until 400L).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartition(4)
+        .withColumn("bucket", (col("id") % 4).as("bucket", genMeta)),
+      "overwrite", p, partitionBy = Seq("bucket"))
+    // predicate on the SOURCE column only: id = 7 ⇒ bucket = 3 is
+    // implied through the generation expression — only partition 3's
+    // files survive the skip
+    val (kept, total) = DeltaLog.skippingStats(spark, p, "id = 7")
+    assert(total >= 4, s"several files across 4 partitions: $total")
+    assert(kept <= total / 4,
+      s"generated-partition pruning must keep only partition 3's files: " +
+        s"$kept of $total")
+    // the control: WITHOUT the rewrite (predicate on id, stats useless)
+    // a non-equality shape keeps everything — proving the skip above
+    // came from the generated-column rewrite, not id stats
+    val (keptCtl, totalCtl) = DeltaLog.skippingStats(spark, p, "id >= 7")
+    assert(keptCtl == totalCtl,
+      s"control must keep all files: $keptCtl of $totalCtl")
+    // the pruned read equals the full-scan filter
+    val got = DeltaLog.readWhere(spark, p, "id = 7")
+      .select("id", "s", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((7L, "v7", 3L)))
+    // and the augmented conjunct reaches the SCAN as a partition filter
+    val plan = DeltaLog.readWhere(spark, p, "id = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+      s"partition filter must reach the scan:\n$plan")
+    // a NULL-evaluating generation (null literal source) maps to the
+    // null partition; non-equality predicates stay un-augmented but
+    // exact
+    val all = DeltaLog.readWhere(spark, p, "id >= 396").collect()
+    assert(all.length == 4)
+  }
+
   test("randomized predicates: pruned read ALWAYS equals the full-scan filter") {
     val p = tmp("skip_random")
     writeRanged(p)
