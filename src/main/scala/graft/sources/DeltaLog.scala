@@ -162,19 +162,31 @@ object DeltaLog {
     */
   private def protocolAction(mapped: Boolean, constrained: Boolean,
       v4Feature: Boolean = false, rowTracking: Boolean = false,
-      identity: Boolean = false): String =
-    if (rowTracking || identity) {
-      // rowTracking/identityColumns exist only as v7 table features;
-      // list exactly the features this table uses (over-declaring would
-      // make other writers refuse needlessly). rowTracking requires
-      // domainMetadata (the high-water mark rides a domainMetadata
-      // action).
+      identity: Boolean = false, dv: Boolean = false): String =
+    if (rowTracking || identity || dv) {
+      // rowTracking/identityColumns/deletionVectors exist only as v7
+      // table features; list exactly the features this table uses
+      // (over-declaring would make other writers refuse needlessly).
+      // rowTracking requires domainMetadata (the high-water mark rides
+      // a domainMetadata action); deletionVectors is a READER feature
+      // too, bumping minReaderVersion to 3 — without the declaration a
+      // compliant reader would ignore the descriptors and resurrect
+      // deleted rows.
       val feats =
         (if (rowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
         (if (identity) Seq("identityColumns") else Nil) ++
+        (if (dv) Seq("deletionVectors") else Nil) ++
         (if (constrained) Seq("invariants", "checkConstraints") else Nil) ++
-        (if (v4Feature) Seq("generatedColumns", "changeDataFeed") else Nil)
-      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        (if (v4Feature) Seq("generatedColumns", "changeDataFeed") else Nil) ++
+        (if (mapped) Seq("columnMapping") else Nil)
+      val readerV = if (dv) 3 else if (mapped) 2 else 1
+      val readerFeats =
+        if (dv) s""""readerFeatures":[${
+          (Seq("deletionVectors") ++ (if (mapped) Seq("columnMapping") else Nil))
+            .map(f => s""""$f"""").mkString(",")}],"""
+        else ""
+      s"""{"protocol":{"minReaderVersion":$readerV,"minWriterVersion":7,""" +
+        readerFeats +
         s""""writerFeatures":[${feats.map(f => s""""$f"""").mkString(",")}]}}"""
     }
     else if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
@@ -185,16 +197,52 @@ object DeltaLog {
     else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   private def metaDataAction(schemaJson: String, partitionBy: Seq[String],
-      configuration: Map[String, String] = Map.empty): String = {
+      configuration: Map[String, String] = Map.empty,
+      tableId: Option[String] = None): String = {
     val parts = partitionBy.map(p => s""""${esc(p)}"""").mkString(",")
     val conf = configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(Option(v).getOrElse(""))}"""" }
       .mkString(",")
-    s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+    // metaData.id is the table's STABLE unique identifier (the protocol
+    // creates it once; streaming sources and CDF readers checkpoint
+    // against it) — refreshes of an existing table must echo it, only
+    // a table CREATION mints a fresh one
+    s"""{"metaData":{"id":"${esc(tableId.getOrElse(
+      java.util.UUID.randomUUID().toString))}",""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":"${esc(schemaJson)}",""" +
       s""""partitionColumns":[$parts],"configuration":{$conf},""" +
       s""""createdTime":${System.currentTimeMillis()}}}"""
+  }
+
+  /** The table's stable metaData.id from the newest metaData action —
+    * post-checkpoint commits newest→oldest, checkpoint fallback.
+    */
+  private def tableMetaDataId(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Option[String] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    def idOf(json: String): Option[String] = {
+      val node = try mapper.readTree(json) catch { case _: Exception => null }
+      val m = if (node == null) null
+        else if (node.has("metaData")) node.get("metaData") else node
+      if (m == null || !m.isObject) None
+      else Option(m.get("id")).filterNot(_.isNull).map(_.asText)
+    }
+    val log = logDir(tbl)
+    val cpFloor = lastCheckpointVersion(fs, log)
+    existingVersions(fs, log).filter(v => cpFloor.forall(v > _))
+      .reverse.iterator.flatMap { v =>
+        readString(fs, new HPath(log, commitName(v))).linesIterator
+          .filter(_.contains("\"metaData\"")).flatMap(idOf).toSeq.lastOption
+      }.nextOption()
+      .orElse(cpFloor.flatMap(v => readCheckpoint(spark, fs, log, v))
+        .flatMap { cp =>
+          if (!cp.columns.contains("metaData")) None
+          else cp.where(col("metaData").isNotNull)
+            .select(org.apache.spark.sql.functions.to_json(col("metaData")))
+            .collect().headOption.flatMap(r => idOf(r.getString(0)))
+        })
   }
 
   /** Newest committed SetTransaction version for `appId` — commits
@@ -851,7 +899,8 @@ object DeltaLog {
           _.metadata.contains("delta.generationExpression")) ||
           confEnabled(enforceConf, "delta.enableChangeDataFeed"),
         rowTracking = rowTrackingEnabled(enforceConf),
-        identity = idColsW.nonEmpty)
+        identity = idColsW.nonEmpty,
+        dv = confEnabled(enforceConf, "delta.enableDeletionVectors"))
       // merge commits refresh metaData with the post-write merged schema —
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping
@@ -936,7 +985,9 @@ object DeltaLog {
               case None => base
             }
           }
-        actions += metaDataAction(schema.json, metaParts, metaConf)
+        actions += metaDataAction(schema.json, metaParts, metaConf,
+          tableId = if (version == 0L) None
+            else tableMetaDataId(spark, fs, tbl))
       }
       // row tracking: assign fresh base-row-id ranges to this commit's
       // files and advance the high-water mark in the same commit (the
@@ -983,8 +1034,30 @@ object DeltaLog {
         if (txn.exists { case (appId, v) =>
             latestTxnVersion(spark, fs, logDir(tbl), appId).exists(_ >= v) })
           committed = true
-        else version = math.max(version + 1,
-          nextVersion(fs, logDir(tbl)).getOrElse(0L))
+        else {
+          // identity appends assigned their sequence values from the
+          // high-water mark read at ENTRY — a winner that refreshed the
+          // table metadata (another identity append bumping the mark, a
+          // schema change) invalidates them; rebasing would commit
+          // duplicate "unique" values and clobber the winner's mark.
+          // Winners WITHOUT a metaData/protocol action left the mark
+          // untouched, so the plain rebase stays safe.
+          if (identityUpdatedSchema.nonEmpty)
+            existingVersions(fs, logDir(tbl)).filter(_ >= version)
+              .foreach { w =>
+                readString(fs, new HPath(logDir(tbl), commitName(w)))
+                  .linesIterator.foreach { line =>
+                  if (line.contains("\"metaData\"") ||
+                      line.contains("\"protocol\""))
+                    throw graft.GraftError.ConcurrentModification(path, m,
+                      s"version $w changed the table metadata while this " +
+                        "write held stale identity-sequence values; " +
+                        "re-run the write against the fresh snapshot")
+                }
+              }
+          version = math.max(version + 1,
+            nextVersion(fs, logDir(tbl)).getOrElse(0L))
+        }
       }
     }
     if (!committed)
@@ -1120,14 +1193,8 @@ object DeltaLog {
     // row tracking: survivors keep their ids (materialized through the
     // hidden columns), updated rows inherit the matched row's id, and
     // inserts take the new file's fresh positional defaults
-    val rowTrack = rowTrackingEnabled(rtConf) &&
-      columnMappingMode(spark, fs, tbl) == "none"
-    val matCols: Option[(String, String)] =
-      if (rowTrack) Some(matColNames(rtConf, tbl, "upsert_delta")) else None
-    val rtExtraCols: Seq[StructField] = matCols.toSeq.flatMap {
-      case (id, ver) => Seq(
-        StructField(id, org.apache.spark.sql.types.LongType),
-        StructField(ver, org.apache.spark.sql.types.LongType)) }
+    val (rowTrack, matCols, rtExtraCols) =
+      rowTrackingRewriteInfo(spark, fs, tbl, "upsert_delta")
     requireWriterCapability(spark, fs, tbl, "upsert_delta",
       adds = true, removes = true, rewrites = true, emitsCdc = cdfEmit,
       rowIdsHandled = rowTrack)
@@ -1177,7 +1244,12 @@ object DeltaLog {
       }
     // ONE scan of the touched files feeds survivors, the row-tracking
     // id lookup AND identity inheritance — with the hidden materialized
-    // columns read alongside when row tracking is on
+    // columns read alongside when row tracking is on. With multiple
+    // consumers (row tracking's matched-id lookup, identity
+    // inheritance) the frame is PINNED, or each consumer would re-scan
+    // the touched files and re-run the DV anti-join (the same
+    // multi-consumer re-run the r10 plan audit hunted down); the plain
+    // single-consumer upsert keeps the lazy plan.
     val touchedScan: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
@@ -1187,9 +1259,11 @@ object DeltaLog {
             withRowMeta = true, keyDepth = keyDepth,
             extraCols = rtExtraCols),
           keepMeta = true, keyDepth = keyDepth)
-        Some(matCols.map { case (mid, mver) =>
+        val withIds = matCols.map { case (mid, mver) =>
           withMaterializedRowIds(spark, path, touched, base,
-            mid, mver, keyDepth) }.getOrElse(base))
+            mid, mver, keyDepth) }.getOrElse(base)
+        Some(if (matCols.nonEmpty || idColsU.nonEmpty)
+          withIds.localCheckpoint(true) else withIds)
       }
     val survivors =
       if (touched.isEmpty) {
@@ -1325,7 +1399,8 @@ object DeltaLog {
       cdcDf = cdcDf,
       extraMetaData = identityMetaSchema.map(s =>
         metaDataAction(s.json,
-          tablePartitionColumns(spark, fs, tbl).getOrElse(Nil), rtConf)),
+          tablePartitionColumns(spark, fs, tbl).getOrElse(Nil), rtConf,
+          tableId = tableMetaDataId(spark, fs, tbl))),
       // a lost slot rebases when the winners are key-disjoint (the
       // bounds predicate mirrors the discovery scan's read set);
       // non-integral keys admit no bounds ⇒ any winner add conflicts
@@ -1374,14 +1449,8 @@ object DeltaLog {
       columnMappingMode(spark, fs, tbl) == "none"
     // row tracking: surviving rows keep their ids via the materialized
     // columns (same mechanism as upsert)
-    val rowTrack = rowTrackingEnabled(rtConf) &&
-      columnMappingMode(spark, fs, tbl) == "none"
-    val matCols: Option[(String, String)] =
-      if (rowTrack) Some(matColNames(rtConf, tbl, "delete_delta")) else None
-    val rtExtraCols: Seq[StructField] = matCols.toSeq.flatMap {
-      case (id, ver) => Seq(
-        StructField(id, org.apache.spark.sql.types.LongType),
-        StructField(ver, org.apache.spark.sql.types.LongType)) }
+    val (rowTrack, matCols, rtExtraCols) =
+      rowTrackingRewriteInfo(spark, fs, tbl, "delete_delta")
     requireWriterCapability(spark, fs, tbl, "delete_delta",
       adds = false, removes = true, rewrites = true, emitsCdc = cdfEmit,
       rowIdsHandled = rowTrack)
@@ -1629,6 +1698,24 @@ object DeltaLog {
           "preserves ids only through materialized columns")
     }
 
+  /** Row-tracking rewrite bundle for a mutation path: (active-and-
+    * handled, materialized column names, hidden LongType read columns).
+    * Active row tracking on a column-mapped table reports inactive —
+    * the gate then refuses via rowIdsHandled=false; missing materialized
+    * names refuse typed inside [[matColNames]].
+    */
+  private def rowTrackingRewriteInfo(spark: SparkSession, fs: FileSystem,
+      tbl: HPath, op: String)
+      : (Boolean, Option[(String, String)], Seq[StructField]) = {
+    val conf = tableConfiguration(spark, fs, tbl)
+    val rt = rowTrackingEnabled(conf) &&
+      columnMappingMode(spark, fs, tbl) == "none"
+    val mc = if (rt) Some(matColNames(conf, tbl, op)) else None
+    (rt, mc, mc.toSeq.flatMap { case (i, v) => Seq(
+      StructField(i, org.apache.spark.sql.types.LongType),
+      StructField(v, org.apache.spark.sql.types.LongType)) })
+  }
+
   /** Overwrite `matId`/`matVer` on a scanned frame (which carries
     * [[DvFileCol]]/[[DvRowCol]] plus the materialized extra columns)
     * with each row's CURRENT row id / commit version: the materialized
@@ -1760,6 +1847,17 @@ object DeltaLog {
         confEnabled(conf, "delta.enableRowTracking"))
       refuse("row tracking — this operation neither mints nor preserves " +
         "row ids")
+    // the protocol makes rowTracking DEPEND on domainMetadata (the
+    // high-water mark rides a domainMetadata action, which writers may
+    // only emit when the feature is declared) — a v7 table declaring
+    // rowTracking without it is malformed, and our hwm emission on its
+    // adds would be protocol-violating for other engines
+    if ((adds || removes || rewrites) &&
+        confEnabled(conf, "delta.enableRowTracking") &&
+        v == 7 && feats.contains("rowTracking") &&
+        !feats.contains("domainMetadata"))
+      refuse("row tracking without the domainMetadata writer feature — " +
+        "the high-water mark cannot be legally committed on this table")
     // identity columns impose no gate here: [[write]] and [[upsert]]
     // assign omitted values and maintain delta.identity.highWaterMark,
     // restaging/echo paths carry the column's stored values unchanged
@@ -1964,15 +2062,25 @@ object DeltaLog {
     val notNull = declaredSchema.toSeq.flatMap(s => notNullFieldPaths(s))
     // presence is CASE-INSENSITIVE like Spark's own resolution — a frame
     // spelling a declared `id` as `ID` stores and resolves fine; nested
-    // paths resolve segment-by-segment through the frame's struct types
-    val missing = notNull.filterNot(p => fieldAtPath(frameSchema, p).isDefined)
+    // paths resolve segment-by-segment through the frame's struct types.
+    // A path is a REFUSABLE absence only when the FIELD ITSELF is
+    // missing from a parent the frame carries (rows would read back NULL
+    // under a possibly non-null parent); a path whose nullable ANCESTOR
+    // is wholly absent is legal — every row reads that ancestor as NULL,
+    // so the nested invariant has no value to violate (a non-nullable
+    // absent ancestor is its own path's refusal).
+    val missing = notNull.filter(p =>
+      failDepth(frameSchema, p) == p.length - 1)
     if (missing.nonEmpty)
       throw graft.GraftError.InvalidOperation(op,
         s"$tbl declares NOT NULL column(s) " +
           missing.map(_.mkString(".")).mkString(", ") +
           " but the incoming frame lacks them — appended rows would read " +
           "back NULL through the declared schema")
-    checks ++ notNull.map { p =>
+    // violation predicates only for paths the frame can RESOLVE — an
+    // absent nullable ancestor makes the nested reference unevaluable
+    // (and unviolable) rather than wrong
+    checks ++ notNull.filter(p => failDepth(frameSchema, p) < 0).map { p =>
       val dotted = p.map(s => s"`$s`").mkString(".")
       // a nested field under a NULL (nullable) parent has no value to
       // violate — guard on the parent chain, matching delta-spark; a
@@ -1982,6 +2090,26 @@ object DeltaLog {
       (s"NOT NULL invariant on ${p.mkString(".")}",
         parentsNotNull.foldLeft(col(dotted).isNull)((acc, c) => acc && c))
     }
+  }
+
+  /** Segment index at which `path` stops resolving through nested struct
+    * types of `st` (case-insensitive), or -1 when fully resolvable.
+    * Descending into a non-struct counts as failing at that child.
+    */
+  private def failDepth(st: StructType, path: Seq[String]): Int = {
+    var cur: org.apache.spark.sql.types.DataType = st
+    var i = 0
+    while (i < path.length) {
+      cur match {
+        case s: StructType =>
+          s.fields.find(_.name.equalsIgnoreCase(path(i))) match {
+            case Some(f) => cur = f.dataType; i += 1
+            case None => return i
+          }
+        case _ => return i
+      }
+    }
+    -1
   }
 
   /** Every non-nullable field path of `schema`, recursing into struct
@@ -2000,22 +2128,6 @@ object DeltaLog {
       }
       own ++ nested
     }
-
-  /** Case-insensitive resolution of a dotted field path through nested
-    * struct types; None when any segment is absent or a non-struct is
-    * descended into.
-    */
-  private def fieldAtPath(st: StructType,
-      path: Seq[String]): Option[StructField] = {
-    val hit = st.fields.find(_.name.equalsIgnoreCase(path.head))
-    hit.flatMap { f =>
-      if (path.length == 1) Some(f)
-      else f.dataType match {
-        case s: StructType => fieldAtPath(s, path.tail)
-        case _ => None
-      }
-    }
-  }
 
   /** Eager single-scan enforcement (used where the frame is an incoming
     * CHANGESET — upsert's updates — whose one extra aggregate pass is
@@ -2137,6 +2249,11 @@ object DeltaLog {
         s"no commit of $path falls inside [$startTsMillis, " +
           s"${endTsMillis.getOrElse("latest")}] — the window resolves to " +
           s"versions ($startV, $endV)")
+    if (endV == 0L)
+      throw graft.GraftError.InvalidOperation("read_changes",
+        s"the window resolves to version 0 only, which the change feed " +
+          "cannot serve (a change needs the pre-commit state) — widen " +
+          "the ending timestamp past the next commit")
     readChanges(spark, path, math.max(startV - 1, 0L), endV)
   }
 
@@ -4319,18 +4436,12 @@ object DeltaLog {
       // row tracking: the purge rewrite drops DV'd rows, shifting the
       // survivors' positions — ids are materialized like the other
       // copy-on-write restages
-      val rtConf = tableConfiguration(spark, fs, tbl)
-      val rt = rowTrackingEnabled(rtConf) &&
-        columnMappingMode(spark, fs, tbl) == "none"
-      val mc: Option[(String, String)] =
-        if (rt) Some(matColNames(rtConf, tbl, "purge_deletion_vectors"))
-        else None
+      val info = rowTrackingRewriteInfo(spark, fs, tbl,
+        "purge_deletion_vectors")
       requireWriterCapability(spark, fs, tbl, "purge_deletion_vectors",
         adds = false, removes = false, rewrites = true,
-        rowIdsHandled = rt)
-      (rt, mc, mc.toSeq.flatMap { case (id, ver) => Seq(
-        StructField(id, org.apache.spark.sql.types.LongType),
-        StructField(ver, org.apache.spark.sql.types.LongType)) })
+        rowIdsHandled = info._1)
+      info
     }
     // fold + DV filter run distributedly above the log-size threshold:
     // the driver materializes only the DV-BEARING entries — the files a
@@ -5104,10 +5215,28 @@ object DeltaLog {
         case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
+    // the literal's type must match the source column's declared type,
+    // or widen to it LOSSLESSLY within the integral family: Spark's
+    // equality may otherwise coerce the COLUMN (many-to-one — e.g.
+    // string src = int literal casts src to int, so '05' satisfies
+    // src = 5), and evaluating the generation expression at the raw
+    // literal would then prune files holding rows the coerced
+    // comparison keeps
+    def typeMatches(src: String, l: CLit): Boolean = {
+      import org.apache.spark.sql.types._
+      val rank = Map[org.apache.spark.sql.types.DataType, Int](
+        ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+      schemaOpt.exists(_.fields.exists(f =>
+        f.name.equalsIgnoreCase(src) && (f.dataType == l.dataType ||
+          (rank.contains(l.dataType) && rank.contains(f.dataType) &&
+            rank(l.dataType) <= rank(f.dataType)))))
+    }
     val equalities: Seq[(String, CLit)] = conjuncts(parsed).collect {
-      case CEq(a: UnresolvedAttribute, l: CLit) if a.nameParts.length == 1 =>
+      case CEq(a: UnresolvedAttribute, l: CLit)
+          if a.nameParts.length == 1 && typeMatches(a.nameParts.head, l) =>
         (a.nameParts.head, l)
-      case CEq(l: CLit, a: UnresolvedAttribute) if a.nameParts.length == 1 =>
+      case CEq(l: CLit, a: UnresolvedAttribute)
+          if a.nameParts.length == 1 && typeMatches(a.nameParts.head, l) =>
         (a.nameParts.head, l)
     }
     if (equalities.isEmpty) return predicate
@@ -5191,15 +5320,8 @@ object DeltaLog {
     // row tracking: compaction reorders rows across files, so positional
     // id defaults break — every restaged row's id/commit-version is
     // materialized into the hidden columns before the rewrite
-    val rtConf = tableConfiguration(spark, fs0, tbl0)
-    val rowTrack = rowTrackingEnabled(rtConf) &&
-      columnMappingMode(spark, fs0, tbl0) == "none"
-    val matCols: Option[(String, String)] =
-      if (rowTrack) Some(matColNames(rtConf, tbl0, "optimize")) else None
-    val rtExtraCols: Seq[StructField] = matCols.toSeq.flatMap {
-      case (id, ver) => Seq(
-        StructField(id, org.apache.spark.sql.types.LongType),
-        StructField(ver, org.apache.spark.sql.types.LongType)) }
+    val (rowTrack, matCols, rtExtraCols) =
+      rowTrackingRewriteInfo(spark, fs0, tbl0, "optimize")
     requireWriterCapability(spark, fs0, tbl0, "optimize",
       adds = false, removes = false, rewrites = true,
       rowIdsHandled = rowTrack)

@@ -200,6 +200,16 @@ class DeltaConstraintsSpec extends SparkSpec {
         java.util.Arrays.asList(Row(4L, Row("c4"))), noZip), "append", p)
     }
     assert(miss.getMessage.contains("addr.zip"))
+    // a frame omitting the NULLABLE addr column ENTIRELY is legal —
+    // every row reads addr NULL, so addr.zip has no value to violate
+    // (delta-spark accepts the same write)
+    val before = DeltaLog.read(spark, p).count()
+    val idOnly = StructType(Seq(StructField("id", LongType, nullable = false)))
+    DeltaLog.write(sp.createDataFrame(
+      java.util.Arrays.asList(Row(5L)), idOnly), "append", p)
+    assert(DeltaLog.read(spark, p).count() == before + 1)
+    assert(DeltaLog.read(spark, p).where("id = 5 AND addr IS NULL")
+      .count() == 1L)
   }
 
   test("upsert enforces constraints on the changeset") {

@@ -99,10 +99,18 @@ class DeltaWriterGateSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""")
     append(inactive)
     assert(DeltaLog.read(spark, inactive).count() == 3L)
-    // ACTIVE row tracking: appends are handled (fresh base row ids +
-    // the domainMetadata high-water mark ride the commit)
-    val active = foreign("rtActive",
+    // ACTIVE row tracking declared WITHOUT domainMetadata is malformed
+    // (the protocol makes rowTracking depend on it — our high-water
+    // mark emission would be protocol-violating): typed refusal
+    val malformed = foreign("rtNoDomain",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      configuration = Map("delta.enableRowTracking" -> "true"))
+    assert(refused(append(malformed)).contains("domainMetadata"))
+    // ACTIVE row tracking with the dependency declared: appends are
+    // handled (fresh base row ids + the domainMetadata high-water mark
+    // ride the commit)
+    val active = foreign("rtActive",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}""",
       configuration = Map("delta.enableRowTracking" -> "true"))
     append(active)
     val v1 = Files.readString(
