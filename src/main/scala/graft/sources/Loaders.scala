@@ -224,6 +224,26 @@ object Loaders {
       DeltaLog.readChanges(spark, path, fromVersion, toVersion)), alias)
   }
 
+  /** Timestamp-bounded change-feed load — delta-spark's
+    * startingTimestamp/endingTimestamp CDF reads, resolved via the
+    * monotonized-mtime rule; see [[DeltaLog.readChangesByTimestamp]].
+    */
+  def loadDeltaChangesByTimestamp(spark: SparkSession, path: String,
+      alias: String, startTsMillis: Long,
+      endTsMillis: Option[Long] = None): GraftFrame =
+    GraftFrame(normalizeNtzTimestamps(
+      DeltaLog.readChangesByTimestamp(spark, path, startTsMillis,
+        endTsMillis)), alias)
+
+  /** Row-tracked snapshot load: the table plus `_row_id` /
+    * `_row_commit_version` resolved per the protocol's rule — see
+    * [[DeltaLog.readWithRowIds]].
+    */
+  def loadDeltaWithRowIds(spark: SparkSession, path: String,
+      alias: String): GraftFrame =
+    GraftFrame(normalizeNtzTimestamps(
+      DeltaLog.readWithRowIds(spark, path)), alias)
+
   def loadDeltaWhere(spark: SparkSession, path: String, alias: String,
       predicate: String, versionAsOf: Option[Long] = None): GraftFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
