@@ -2707,16 +2707,78 @@ object DeltaLog {
     // layout real delta uses, because coalesce(1) would serialize
     // O(active files) add rows through ONE task (the checkpoint write
     // itself must scale with the table)
-    // v2Checkpoint tables FORBID multi-part checkpoints (the protocol
-    // allows classic single-file or v2 manifests only) — force the
-    // single classic file there, scale trade accepted and explicit
+    // v2Checkpoint tables FORBID multi-part checkpoints — there the
+    // scale path is the V2 LAYOUT ITSELF: file actions fan out across
+    // sidecar parquets (written distributed, nParts ways) while a tiny
+    // UUID-named manifest carries the non-file actions + sidecar refs.
+    // Plain tables keep the classic single/multi-part layout.
     val v2Table = tableWriterProtocol(spark, fs, tbl)._2
       .contains("v2Checkpoint")
-    val nParts =
-      if (v2Table) 1
-      else math.max(1,
-        math.ceil(activeCount.toDouble / math.max(1, rowsPerPart)).toInt)
+    val nParts = math.max(1,
+      math.ceil(activeCount.toDouble / math.max(1, rowsPerPart)).toInt)
     val tmpDir = new HPath(log, s".cp_tmp_$version")
+    val size: Long =
+    if (v2Table) {
+      // sidecars: the add rows only (the protocol's file-action files),
+      // repartitioned so a 10⁷-file snapshot never serializes through
+      // one task
+      // a re-checkpointed version must not leave stale CLASSIC files
+      // behind — readCheckpoint prefers them over the fresh manifest
+      checkpointPaths(fs, log, version)
+        .foreach(p => fs.delete(new HPath(p), false))
+      val addRows =
+        if (snapshot.columns.contains("add"))
+          snapshot.where(col("add").isNotNull).select(col("add"))
+        else snapshot.limit(0).select(lit(null).as("add"))
+      (if (nParts == 1) addRows.coalesce(1)
+       else addRows.repartition(nParts))
+        .write.mode("overwrite").parquet(tmpDir.toString)
+      val parts = fs.listStatus(tmpDir).toSeq
+        .filter(s => s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      val sidecarDir = new HPath(log, "_sidecars")
+      fs.mkdirs(sidecarDir)
+      val sidecars = parts.map { st =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        val target = new HPath(sidecarDir, name)
+        if (!fs.rename(st.getPath, target))
+          throw new IllegalStateException(s"sidecar rename failed: $target")
+        val t = fs.getFileStatus(target)
+        (name, t.getLen, t.getModificationTime)
+      }
+      fs.delete(tmpDir, true)
+      // manifest: checkpointMetadata + the tiny non-file action rows
+      // (metaData/protocol/txn/domainMetadata — a handful regardless of
+      // table size, collected as JSON) + the sidecar actions
+      def jsonRows(c: String): Seq[String] =
+        if (!snapshot.columns.contains(c)) Nil
+        else snapshot.where(col(c).isNotNull)
+          .select(org.apache.spark.sql.functions.to_json(col(c)))
+          .collect().toSeq.map(r => s"""{"$c":${r.getString(0)}}""")
+      val manifestLines =
+        Seq(s"""{"checkpointMetadata":{"version":$version}}""") ++
+          jsonRows("protocol") ++ jsonRows("metaData") ++
+          jsonRows("txn") ++ jsonRows("domainMetadata") ++
+          sidecars.map { case (n, sz, mt) =>
+            s"""{"sidecar":{"path":"$n","sizeInBytes":$sz,"modificationTime":$mt}}""" }
+      val sess = spark
+      import sess.implicits._
+      val mTmp = new HPath(log, s".cp_manifest_tmp_$version")
+      spark.read.json(manifestLines.toDS()).coalesce(1)
+        .write.mode("overwrite").parquet(mTmp.toString)
+      val mPart = fs.listStatus(mTmp).toSeq
+        .find(s => s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          "v2 manifest write produced no part file")).getPath
+      val manifest = new HPath(log,
+        f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+      if (!fs.rename(mPart, manifest))
+        throw new IllegalStateException(s"manifest rename failed: $manifest")
+      fs.delete(mTmp, true)
+      activeCount.toLong + manifestLines.length - sidecars.length - 1
+    } else {
     (if (nParts == 1) snapshot.coalesce(1) else snapshot.repartition(nParts))
       .write.mode("overwrite").parquet(tmpDir.toString)
     val written = fs.listStatus(tmpDir).toSeq
@@ -2742,10 +2804,11 @@ object DeltaLog {
     }
     fs.delete(tmpDir, true)
     // size from the just-written files — not a second full log replay
-    val size = readCheckpoint(spark, fs, log, version)
+    readCheckpoint(spark, fs, log, version)
       .map(_.count()).getOrElse(0L)
+    }
     val partsField =
-      if (written.size > 1 || nParts > 1) s""","parts":${written.size}""" else ""
+      if (!v2Table && nParts > 1) s""","parts":$nParts""" else ""
     val lc = fs.create(new HPath(log, "_last_checkpoint"), true)
     try lc.write(
       s"""{"version":$version,"size":$size$partsField}""".getBytes("UTF-8"))
@@ -5684,7 +5747,41 @@ object DeltaLog {
         n.take(20).toLong < cp)
       .sorted
     staleCps.foreach(n => fs.delete(new HPath(log, n), false))
-    victims ++ staleCps
+    // superseded V2 manifests (UUID-named, version < the newest
+    // checkpoint) sweep like stale classic checkpoints do
+    val v2Name = "^(\\d{20})\\.checkpoint\\.([^.]+)\\.(parquet|json)$".r
+    def isV2Manifest(n: String): Boolean = n match {
+      case v2Name(_, mid, _) => !mid.forall(_.isDigit)
+      case _ => false
+    }
+    val v2Stale = fs.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(n => isV2Manifest(n) && n.take(20).toLong < cp)
+      .sorted
+    v2Stale.foreach(n => fs.delete(new HPath(log, n), false))
+    // sidecar files referenced by NO remaining manifest are orphans
+    // (sidecars may be SHARED across manifests, so the reference set is
+    // the union over every manifest that survives)
+    val sidecarDir = new HPath(log, "_sidecars")
+    val sweptSidecars: Seq[String] =
+      if (!fs.exists(sidecarDir)) Nil
+      else {
+        val remaining = fs.listStatus(log).toSeq.map(_.getPath.getName)
+          .filter(isV2Manifest)
+        val referenced: Set[String] = remaining.flatMap { n =>
+          val p = new HPath(log, n)
+          val df = if (n.endsWith(".json")) spark.read.json(p.toString)
+            else spark.read.parquet(p.toString)
+          if (!df.columns.contains("sidecar")) Nil
+          else df.where(col("sidecar").isNotNull)
+            .select(col("sidecar.path")).collect()
+            .map(_.getString(0)).toSeq
+        }.map(sp =>
+          if (sp.contains("/")) new HPath(sp).getName else sp).toSet
+        fs.listStatus(sidecarDir).toSeq.map(_.getPath.getName)
+          .filterNot(referenced).sorted
+      }
+    sweptSidecars.foreach(n => fs.delete(new HPath(sidecarDir, n), false))
+    victims ++ staleCps ++ v2Stale ++ sweptSidecars.map(n => s"_sidecars/$n")
   }
 
   /** Delete data files not referenced by the CURRENT snapshot — the

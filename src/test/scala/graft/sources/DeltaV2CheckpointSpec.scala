@@ -129,19 +129,38 @@ class DeltaV2CheckpointSpec extends SparkSpec {
     assert(ids(p) == ((1L to 9L).filterNot(_ == 3L) ++ (10L to 14L)))
   }
 
-  test("our classic checkpoint over a v2-seeded table is single-file and carries the DVs") {
+  test("our checkpoint of a v2 table writes manifest + sidecars; cleanup sweeps the old generation") {
     val sp = spark; import sp.implicits._
     val p = synthesize("recheckpoint", manifestJson = false)
     DeltaLog.write(Seq(15L).toDF("id"), "append", p) // version 2
-    DeltaLog.writeCheckpoint(spark, p, 2L)
-    // v2Checkpoint tables forbid multi-part: the classic SINGLE file
-    assert(Files.exists(Paths.get(p, "_delta_log",
-      "0" * 19 + "2.checkpoint.parquet")))
-    // fold away every commit: the new classic checkpoint alone must
-    // reproduce the snapshot, sidecar DVs included
-    DeltaLog.cleanupLog(spark, p)
-    assert(!Files.exists(Paths.get(p, "_delta_log", "0" * 19 + "1.json")))
+    // rowsPerPart=1 forces one sidecar per active file — the layout's
+    // scale path (file actions fan out, never one serializing task)
+    DeltaLog.writeCheckpoint(spark, p, 2L, rowsPerPart = 1)
+    val logDirP = Paths.get(p, "_delta_log")
+    val v2Manifests = Files.list(logDirP).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.matches("0{19}2\\.checkpoint\\.[^.]+\\.parquet"))
+    assert(v2Manifests.length == 1,
+      s"a v2 table checkpoints as a UUID manifest: ${v2Manifests.toSeq}")
+    // no classic multi-part or single file of that version
+    assert(!Files.exists(logDirP.resolve("0" * 19 + "2.checkpoint.parquet")))
+    val sidecarsAfter = Files.list(logDirP.resolve("_sidecars")).count()
+    assert(sidecarsAfter >= 3 + 2, // 3 fresh (1/file) + the 2 foreign
+      s"one sidecar per active file: $sidecarsAfter")
+    // fold away every commit: the NEW manifest+sidecars alone must
+    // reproduce the snapshot, the synthesized generation's DVs included
+    val swept = DeltaLog.cleanupLog(spark, p)
+    assert(!Files.exists(logDirP.resolve("0" * 19 + "1.json")))
+    // the superseded v1 manifest and its now-unreferenced foreign
+    // sidecars are swept; the fresh generation survives
+    assert(swept.exists(_.contains("1.checkpoint.")), s"swept: $swept")
+    assert(swept.count(_.startsWith("_sidecars/")) == 2, s"swept: $swept")
+    assert(Files.list(logDirP.resolve("_sidecars")).count() ==
+      sidecarsAfter - 2)
     assert(ids(p) == ((1L to 9L).filterNot(_ == 3L) ++ (10L to 15L)))
+    // and the table keeps evolving on top of its own v2 checkpoint
+    DeltaLog.write(Seq(16L).toDF("id"), "append", p)
+    assert(ids(p) == ((1L to 9L).filterNot(_ == 3L) ++ (10L to 16L)))
   }
 
   test("manifest referencing a missing sidecar refuses typed") {
