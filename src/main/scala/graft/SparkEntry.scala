@@ -884,7 +884,10 @@ object SparkEntry {
     // inline DV deleting row 0 (the smallest %3==0 custkey — A is
     // written custkey-sorted), the
     // tombstoned file C never resurrects, and a post-checkpoint append
-    // replays on top. The oracle recomputes from customer.
+    // replays on top; then OUR v2 checkpoint (manifest + sidecars) is
+    // written at v3 and the commits folded away, so the final read
+    // exercises this engine's v2 WRITE as well as its read. The oracle
+    // recomputes from customer.
     "q_delta_v2_checkpoint" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_delta_v2cp"
       val c = t(s, d, "customer").toDF
@@ -954,6 +957,12 @@ object SparkEntry {
         java.nio.file.Paths.get(path, "_delta_log", f"$v%020d.json")))
       // post-checkpoint append brings the %3==2 rows back as a new file
       DeltaLog.write(one(col("c_custkey") % 3 === 2), "append", path)
+      // and OUR OWN v2 checkpoint on top: manifest + sidecars written at
+      // v3, every commit folded away — the read below must reproduce the
+      // snapshot from this engine's v2 generation alone (foreign DV
+      // descriptors carried through the fold)
+      DeltaLog.writeCheckpoint(s, path, 3L)
+      DeltaLog.cleanupLog(s, path)
       Loaders.load(s, path, "customer_v2cp")
         .select("c_mktsegment")
         .agg("COUNT(*) AS n", "ROUND(SUM(c_acctbal), 2) AS total_bal")
