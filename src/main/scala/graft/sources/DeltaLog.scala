@@ -2717,6 +2717,7 @@ object DeltaLog {
     val nParts = math.max(1,
       math.ceil(activeCount.toDouble / math.max(1, rowsPerPart)).toInt)
     val tmpDir = new HPath(log, s".cp_tmp_$version")
+    var classicParts = 0 // actual part-file count of the classic layout
     val size: Long =
     if (v2Table) {
       // sidecars: the add rows only (the protocol's file-action files),
@@ -2787,6 +2788,7 @@ object DeltaLog {
       .sortBy(_.getPath.getName)
     if (written.isEmpty)
       throw new IllegalStateException("checkpoint write produced no part file")
+    classicParts = written.size
     // clear any stale files of a re-checkpointed version (either layout)
     checkpointPaths(fs, log, version).foreach(p => fs.delete(new HPath(p), false))
     if (written.size == 1 && nParts == 1) {
@@ -2807,8 +2809,12 @@ object DeltaLog {
     readCheckpoint(spark, fs, log, version)
       .map(_.count()).getOrElse(0L)
     }
+    // "parts" must equal the ACTUAL file count the multi-part names
+    // carry (written.size can differ from nParts when a repartition
+    // slice comes up empty) — foreign readers enumerate files from it
     val partsField =
-      if (!v2Table && nParts > 1) s""","parts":$nParts""" else ""
+      if (!v2Table && (classicParts > 1 || nParts > 1))
+        s""","parts":$classicParts""" else ""
     val lc = fs.create(new HPath(log, "_last_checkpoint"), true)
     try lc.write(
       s"""{"version":$version,"size":$size$partsField}""".getBytes("UTF-8"))
