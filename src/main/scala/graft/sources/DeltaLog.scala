@@ -2599,6 +2599,76 @@ object DeltaLog {
     * tables (exactly the long-lived, delete-heavy tables DVs exist for)
     * can bound their log replay too instead of refusing to checkpoint.
     */
+  // ─────────────── canonical checkpoint action schemas ───────────────
+  //
+  // Checkpoint parquet must store actions under the delta PROTOCOL.md
+  // checkpoint schema — partitionValues/configuration/options/tags as
+  // MAP<string,string>, feature lists as ARRAY<string> — or foreign
+  // engines, which read checkpoints with that FIXED schema, cannot
+  // consume them. The log fold assembles rows via spark.read.json,
+  // whose inference yields STRUCTs with one field per key, so every
+  // action column round-trips through from_json(to_json(...), canonical
+  // type) before a checkpoint writes. Our own readers are agnostic
+  // (they re-serialize through to_json, which renders maps and structs
+  // identically).
+
+  private val MapSS = org.apache.spark.sql.types.MapType(
+    org.apache.spark.sql.types.StringType,
+    org.apache.spark.sql.types.StringType)
+
+  private val CanonicalActionTypes: Map[String, StructType] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "add" -> StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapSS),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("tags", MapSS),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType),
+        StructField("stats", StringType))),
+      "metaData" -> StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("description", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapSS)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType),
+        StructField("configuration", MapSS))),
+      "protocol" -> StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))),
+      "txn" -> StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType))),
+      "domainMetadata" -> StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))
+  }
+
+  /** `col(name)` re-typed to the protocol's canonical checkpoint shape
+    * (NULL rows stay NULL — to_json of null is null).
+    */
+  private def canonicalAction(name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{from_json, to_json}
+    from_json(to_json(col(name)), CanonicalActionTypes(name)).as(name)
+  }
+
   def writeCheckpoint(spark: SparkSession, path: String, version: Long,
       rowsPerPart: Int = 1000000): Unit = {
     val tbl = new HPath(path)
@@ -2634,13 +2704,16 @@ object DeltaLog {
     val activeDf = activeRels.toDF("graft_active_path")
     // recency: previous-checkpoint rows are older than every replayed
     // commit; commit rows rank by their version (from the file name)
+    // both sides canonicalize BEFORE the union: a previous checkpoint
+    // stores canonical types (maps) while commit JSONs infer structs —
+    // a raw union of the two shapes would not resolve
     val prevAdds = prev.flatMap(p =>
       if (!p.columns.contains("add")) None
       else Some(p.where(col("add").isNotNull)
-        .select(col("add"), lit(-1L).as("graft_rec"))))
+        .select(canonicalAction("add"), lit(-1L).as("graft_rec"))))
     val commitAdds =
       if (!logF.columns.contains("add")) None
-      else Some(logF.where(col("add").isNotNull).select(col("add"),
+      else Some(logF.where(col("add").isNotNull).select(canonicalAction("add"),
         org.apache.spark.sql.functions.regexp_extract(col("graft_f"),
           "(\\d{20})\\.json", 1).cast("long").as("graft_rec")))
     val adds = (prevAdds.toSeq ++ commitAdds.toSeq)
@@ -2659,9 +2732,11 @@ object DeltaLog {
       part(logF.orderBy(col("graft_f").desc), c).map(_.limit(1))
         .filter(!_.isEmpty) // probe runs on the 1-row plan, not the full log
         .orElse(prev.flatMap(part(_, c)).map(_.limit(1)))
+        .map(_.select(canonicalAction(c)))
     // SetTransaction watermarks must survive log cleanup (the delta spec
     // retains them in checkpoints): fold to the newest version per appId
     val txns = (prev.flatMap(part(_, "txn")).toSeq ++ part(logF, "txn").toSeq)
+      .map(_.select(canonicalAction("txn")))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .map { df =>
         val w = org.apache.spark.sql.expressions.Window
@@ -2679,11 +2754,11 @@ object DeltaLog {
     val prevDomains = prev.flatMap(p =>
       if (!p.columns.contains("domainMetadata")) None
       else Some(p.where(col("domainMetadata").isNotNull)
-        .select(col("domainMetadata"), lit(-1L).as("graft_rec"))))
+        .select(canonicalAction("domainMetadata"), lit(-1L).as("graft_rec"))))
     val commitDomains =
       if (!logF.columns.contains("domainMetadata")) None
       else Some(logF.where(col("domainMetadata").isNotNull)
-        .select(col("domainMetadata"),
+        .select(canonicalAction("domainMetadata"),
           org.apache.spark.sql.functions.regexp_extract(col("graft_f"),
             "(\\d{20})\\.json", 1).cast("long").as("graft_rec")))
     val domains = (prevDomains.toSeq ++ commitDomains.toSeq)
@@ -2766,7 +2841,27 @@ object DeltaLog {
       val sess = spark
       import sess.implicits._
       val mTmp = new HPath(log, s".cp_manifest_tmp_$version")
-      spark.read.json(manifestLines.toDS()).coalesce(1)
+      // explicit canonical schema — JSON inference would store the map
+      // fields as structs, which foreign fixed-schema readers reject
+      val manifestSchema = {
+        import org.apache.spark.sql.types._
+        StructType(Seq(
+          StructField("checkpointMetadata", StructType(Seq(
+            StructField("version", LongType),
+            StructField("tags", MapSS)))),
+          StructField("protocol", CanonicalActionTypes("protocol")),
+          StructField("metaData", CanonicalActionTypes("metaData")),
+          StructField("txn", CanonicalActionTypes("txn")),
+          StructField("domainMetadata",
+            CanonicalActionTypes("domainMetadata")),
+          StructField("sidecar", StructType(Seq(
+            StructField("path", StringType),
+            StructField("sizeInBytes", LongType),
+            StructField("modificationTime", LongType),
+            StructField("tags", MapSS))))))
+      }
+      spark.read.schema(manifestSchema).json(manifestLines.toDS())
+        .coalesce(1)
         .write.mode("overwrite").parquet(mTmp.toString)
       val mPart = fs.listStatus(mTmp).toSeq
         .find(s => s.getPath.getName.startsWith("part-") &&

@@ -170,4 +170,54 @@ class DeltaCheckpointFoldSpec extends SparkSpec {
     assert(DeltaLog.readWhere(spark, p, "part = 'g1'").count() ==
       before.count(_._2 == "g1"))
   }
+
+  test("checkpoint parquet stores the protocol's CANONICAL action types") {
+    import org.apache.spark.sql.types._
+    val sp = spark
+    import sp.implicits._
+    val p = tmp("canonical")
+    val pp = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(pp)) {
+      java.nio.file.Files.walk(pp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    // partitioned + properties + txn + row tracking: every action kind
+    // lands in the checkpoint
+    DeltaLog.write(
+      (1L to 6L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "part", "v"),
+      "overwrite", p, partitionBy = Seq("part"),
+      tableProperties = Map("delta.enableRowTracking" -> "true"),
+      txn = Some(("app-x", 1L)), checkpointInterval = 0)
+    DeltaLog.writeCheckpoint(spark, p, 0L)
+    // foreign engines read checkpoints with a FIXED schema:
+    // partitionValues/configuration/options as MAP<string,string>,
+    // feature lists as ARRAY<string> — json-inferred structs would
+    // make the checkpoint unreadable to them
+    val cpFile = java.nio.file.Files.list(
+      java.nio.file.Paths.get(p, "_delta_log")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".checkpoint.parquet")).get
+    val raw = spark.read.parquet(cpFile.toString)
+    def fieldType(c: String, f: String): DataType =
+      raw.schema(c).dataType.asInstanceOf[StructType](f).dataType
+    assert(fieldType("add", "partitionValues").isInstanceOf[MapType],
+      s"add.partitionValues must be a MAP: ${fieldType("add", "partitionValues")}")
+    assert(fieldType("metaData", "configuration").isInstanceOf[MapType])
+    assert(fieldType("metaData", "partitionColumns").isInstanceOf[ArrayType])
+    assert(fieldType("protocol", "writerFeatures").isInstanceOf[ArrayType])
+    assert(fieldType("protocol", "minWriterVersion") == IntegerType)
+    assert(fieldType("txn", "appId") == StringType)
+    assert(fieldType("domainMetadata", "configuration") == StringType)
+    assert(fieldType("add", "baseRowId") == LongType)
+    // and our own fold consumes the canonical shapes: cleanup + read
+    DeltaLog.write(
+      Seq((10L, "g0", 1.0)).toDF("id", "part", "v"), "append", p,
+      partitionBy = Seq("part"), checkpointInterval = 0)
+    DeltaLog.cleanupLog(spark, p)
+    assert(DeltaLog.read(spark, p).count() == 7L)
+    assert(DeltaLog.readWhere(spark, p, "part = 'g0'").count() == 4L)
+    assert(DeltaLog.readWithRowIds(spark, p)
+      .select("_row_id").collect().map(_.getLong(0)).distinct.length == 7)
+  }
 }
