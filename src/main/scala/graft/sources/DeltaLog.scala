@@ -162,27 +162,31 @@ object DeltaLog {
     */
   private def protocolAction(mapped: Boolean, constrained: Boolean,
       v4Feature: Boolean = false, rowTracking: Boolean = false,
-      identity: Boolean = false, dv: Boolean = false): String =
-    if (rowTracking || identity || dv) {
-      // rowTracking/identityColumns/deletionVectors exist only as v7
-      // table features; list exactly the features this table uses
-      // (over-declaring would make other writers refuse needlessly).
-      // rowTracking requires domainMetadata (the high-water mark rides
-      // a domainMetadata action); deletionVectors is a READER feature
-      // too, bumping minReaderVersion to 3 — without the declaration a
-      // compliant reader would ignore the descriptors and resurrect
-      // deleted rows.
+      identity: Boolean = false, dv: Boolean = false,
+      v2cp: Boolean = false): String =
+    if (rowTracking || identity || dv || v2cp) {
+      // rowTracking/identityColumns/deletionVectors/v2Checkpoint exist
+      // only as v7 table features; list exactly the features this table
+      // uses (over-declaring would make other writers refuse
+      // needlessly). rowTracking requires domainMetadata (the
+      // high-water mark rides a domainMetadata action); deletionVectors
+      // and v2Checkpoint are READER features too, bumping
+      // minReaderVersion to 3 — without the declaration a compliant
+      // reader would misread the table.
       val feats =
         (if (rowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
         (if (identity) Seq("identityColumns") else Nil) ++
         (if (dv) Seq("deletionVectors") else Nil) ++
+        (if (v2cp) Seq("v2Checkpoint") else Nil) ++
         (if (constrained) Seq("invariants", "checkConstraints") else Nil) ++
         (if (v4Feature) Seq("generatedColumns", "changeDataFeed") else Nil) ++
         (if (mapped) Seq("columnMapping") else Nil)
-      val readerV = if (dv) 3 else if (mapped) 2 else 1
+      val readerV = if (dv || v2cp) 3 else if (mapped) 2 else 1
       val readerFeats =
-        if (dv) s""""readerFeatures":[${
-          (Seq("deletionVectors") ++ (if (mapped) Seq("columnMapping") else Nil))
+        if (dv || v2cp) s""""readerFeatures":[${
+          ((if (dv) Seq("deletionVectors") else Nil) ++
+            (if (v2cp) Seq("v2Checkpoint") else Nil) ++
+            (if (mapped) Seq("columnMapping") else Nil))
             .map(f => s""""$f"""").mkString(",")}],"""
         else ""
       s"""{"protocol":{"minReaderVersion":$readerV,"minWriterVersion":7,""" +
@@ -900,7 +904,12 @@ object DeltaLog {
           confEnabled(enforceConf, "delta.enableChangeDataFeed"),
         rowTracking = rowTrackingEnabled(enforceConf),
         identity = idColsW.nonEmpty,
-        dv = confEnabled(enforceConf, "delta.enableDeletionVectors"))
+        dv = confEnabled(enforceConf, "delta.enableDeletionVectors"),
+        // delta.checkpointPolicy=v2 (delta-spark's opt-in property):
+        // declares the v2Checkpoint feature, so writeCheckpoint emits
+        // the sidecar layout on this table from the start
+        v2cp = enforceConf.get("delta.checkpointPolicy")
+          .exists(_.trim.equalsIgnoreCase("v2")))
       // merge commits refresh metaData with the post-write merged schema —
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping

@@ -163,6 +163,32 @@ class DeltaV2CheckpointSpec extends SparkSpec {
     assert(ids(p) == ((1L to 9L).filterNot(_ == 3L) ++ (10L to 16L)))
   }
 
+  test("delta.checkpointPolicy=v2 creates a native v2-checkpointing table") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("policy")
+    DeltaLog.write((0L until 6L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", p,
+      tableProperties = Map("delta.checkpointPolicy" -> "v2"),
+      checkpointInterval = 0)
+    val v0 = Files.readString(Paths.get(p, "_delta_log", "0" * 20 + ".json"))
+    assert(v0.contains(""""minReaderVersion":3"""))
+    assert(v0.contains(""""v2Checkpoint""""))
+    DeltaLog.write(Seq((10L, "x")).toDF("id", "s"), "append", p,
+      checkpointInterval = 0)
+    DeltaLog.writeCheckpoint(spark, p, 1L)
+    // the checkpoint is the v2 layout: UUID manifest + sidecars
+    val names = Files.list(Paths.get(p, "_delta_log")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    assert(names.exists(_.matches("0{19}1\\.checkpoint\\.[^.]+\\.parquet")),
+      s"v2 manifest expected: ${names.toSeq.sorted}")
+    assert(!names.contains("0" * 19 + "1.checkpoint.parquet"))
+    assert(Files.list(Paths.get(p, "_delta_log", "_sidecars")).count() >= 1)
+    // cleanup + read round-trip from the v2 generation alone
+    DeltaLog.cleanupLog(spark, p)
+    assert(!Files.exists(Paths.get(p, "_delta_log", "0" * 20 + ".json")))
+    assert(DeltaLog.read(spark, p).count() == 7L)
+  }
+
   test("manifest referencing a missing sidecar refuses typed") {
     val p = synthesize("missing_sidecar", manifestJson = false)
     Files.delete(Paths.get(p, "_delta_log", "_sidecars", "sc-2222.parquet"))
