@@ -717,9 +717,9 @@ object SparkEntry {
     "q_delta_cdf" -> ((s, d) => {
       val path = "/root/repo/target/tmp/orders_delta_cdf"
       val o = t(s, d, "orders").toDF
-      // overwrite on a CDF table is refused BY DESIGN (our overwrite
-      // restarts the log, physically destroying the change history a
-      // CDF table promises) — the fixture resets by wiping the dir
+      // wipe-reset: the version window below (0..3) needs the log
+      // anchored at THIS run's commits (overwrite is version-preserving,
+      // so it would otherwise extend a previous run's history)
       val hp = new org.apache.hadoop.fs.Path(path)
       val hfs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (hfs.exists(hp)) hfs.delete(hp, true)
@@ -778,6 +778,113 @@ object SparkEntry {
           sum(col("o_orderkey")).cast("bigint").as("key_sum"),
           sexpr("round(sum(o_totalprice), 2)").as("total_price"))
         .select("_change_type", "n", "key_sum", "total_price")
+    }),
+
+    // VERSION-PRESERVING OVERWRITE (delta-spark semantics): overwriting
+    // an existing table commits remove-every-active-file + add-the-new-
+    // data at the NEXT version — metaData.id, configuration and history
+    // all survive. Three faces proven at once, every leg recomputed by
+    // the oracle straight from customer: (pre) time travel to the
+    // pre-overwrite version, (cdf) the change feed ACROSS the overwrite
+    // boundary — whole-file removes read back as deletes and the staged
+    // adds as inserts, no cdc actions owed, exactly delta-spark's
+    // overwrite feed — and (now) the current snapshot.
+    "q_delta_overwrite_history" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/customer_delta_ovr"
+      val pp = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val c = t(s, d, "customer").toDF
+      val D = graft.sources.DeltaLog
+      D.write(c.where(col("c_custkey") % 10 < 5), "overwrite", path,
+        tableProperties =
+          Map("delta.enableChangeDataFeed" -> "true"))              // v0
+      D.write(c.where(col("c_custkey") % 10 === 6), "append", path) // v1
+      D.write(c.where(col("c_custkey") % 10 >= 8), "overwrite", path) // v2
+      def leg(df: org.apache.spark.sql.DataFrame, name: String,
+          ct: org.apache.spark.sql.Column) =
+        df.groupBy(ct.as("change_type"), col("c_mktsegment"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            round(sum(col("c_acctbal")), 2).as("total_bal"))
+          .select(lit(name).as("leg"), col("change_type"),
+            col("c_mktsegment"), col("n"), col("total_bal"))
+      val pre = leg(D.read(s, path, Some(1L)), "pre", lit("none"))
+      val cdf = leg(D.readChanges(s, path, 1L, 2L), "cdf",
+        col("_change_type"))
+      val now = leg(D.read(s, path), "now", lit("none"))
+      pre.unionByName(cdf).unionByName(now)
+    }),
+
+    // CDF on a COLUMN-MAPPED table: cdc files stage under PHYSICAL
+    // column names exactly like data files (delta-spark's shape), and
+    // the feed reads back logical — same change mix as q_delta_cdf but
+    // on a name-mapped table. Oracle recomputes every change row from
+    // orders.
+    "q_delta_cdf_mapped" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_cdf_mapped"
+      val o = t(s, d, "orders").toDF
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val hfs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hfs.exists(hp)) hfs.delete(hp, true)
+      Writers.writeDeltaTable(o, "overwrite", path,
+        columnMapping = Some("name"),
+        tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+      Writers.writeDeltaTable(o.where(col("o_orderkey") % 10 === 0),
+        "append", path)
+      graft.sources.DeltaLog.deleteWhere(s, path, "o_orderkey % 10 = 7")
+      graft.sources.DeltaLog.upsert(
+        o.where(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        Seq("o_orderkey"), path)
+      import org.apache.spark.sql.functions.{count, sum, expr => sexpr}
+      graft.sources.DeltaLog.readChanges(s, path, 0L, 3L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+          sexpr("round(sum(o_totalprice), 2)").as("total_price"))
+        .select("_change_type", "n", "key_sum", "total_price")
+    }),
+
+    // inCommitTimestamp (delta's ICT writer feature): the table's clock
+    // lives IN the log — every commit stamps a monotonic
+    // commitInfo.inCommitTimestamp, and timestamp time travel resolves
+    // via ICT. The fixture SABOTAGES the commit files' mtimes (reversed,
+    // years in the past), so an mtime-based resolution would read the
+    // wrong snapshot — only ICT resolution matches the oracle, which
+    // recomputes the version-1 snapshot straight from orders.
+    "q_delta_ict_travel" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_ict"
+      val pp = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val o = t(s, d, "orders").toDF
+      val D = graft.sources.DeltaLog
+      D.write(o.where(col("o_orderkey") % 10 < 4), "overwrite", path,
+        tableProperties =
+          Map("delta.enableInCommitTimestamps" -> "true"))           // v0
+      D.write(o.where(col("o_orderkey") % 10 === 5), "append", path) // v1
+      D.write(o.where(col("o_orderkey") % 10 === 7), "append", path) // v2
+      val log = java.nio.file.Paths.get(path, "_delta_log")
+      (0L to 2L).foreach { v =>
+        java.nio.file.Files.setLastModifiedTime(
+          log.resolve(f"$v%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            1600000000000L - v * 86400000L))
+      }
+      val t1 = {
+        val txt = java.nio.file.Files.readString(
+          log.resolve(f"${1L}%020d.json"))
+        """"inCommitTimestamp":(\d+)""".r.findFirstMatchIn(txt)
+          .get.group(1).toLong
+      }
+      D.readAsOfTimestamp(s, path, t1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
     // GENERATED columns (delta.generationExpression field metadata, the
@@ -1359,6 +1466,14 @@ object SparkEntry {
 
     "q_delta_time_travel" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_delta_tt"
+      // wipe: overwrite is version-preserving now, so a leftover table
+      // from another scale factor's run would keep ITS version 0 — the
+      // fixture needs version numbers anchored at this run's data
+      val pp = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
       val c = t(s, d, "customer").toDF
       Writers.writeDeltaTable(c, "overwrite", path, partitionBy = Seq("c_mktsegment"))
       Writers.writeDeltaTable(c.where(col("c_custkey") % 10 === 0), "append", path,
@@ -1375,6 +1490,13 @@ object SparkEntry {
     // pre-append snapshot the oracle recomputes straight from customer
     "q_delta_time_travel_ts" -> ((s, d) => {
       val path = "/root/repo/target/tmp/customer_delta_tt_ts"
+      // wipe: version-preserving overwrite would keep a previous run's
+      // commits — the mtime stamping below enumerates versions 0..1
+      val pp = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
       val c = t(s, d, "customer").toDF
       Writers.writeDeltaTable(c, "overwrite", path)
       Writers.writeDeltaTable(
@@ -3402,6 +3524,50 @@ object SparkEntry {
         "UNION ALL SELECT 'update_postimage', o_orderkey, o_totalprice + 1000 " +
         "FROM orders WHERE o_orderkey % 10 = 3" +
         ") GROUP BY _change_type"),
+
+    // every leg recomputed from customer: pre = the v1 snapshot
+    // (creation %10<5 plus the %10==6 append); the overwrite-boundary
+    // feed = delete-all-of-pre + insert-the-replacement; now = the
+    // replacement (%10>=8)
+    "q_delta_overwrite_history" ->
+      ("SELECT leg, change_type, c_mktsegment, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(c_acctbal), 2) AS total_bal FROM (" +
+        "SELECT 'pre' AS leg, 'none' AS change_type, c_mktsegment, " +
+        "c_acctbal FROM customer " +
+        "WHERE c_custkey % 10 < 5 OR c_custkey % 10 = 6 " +
+        "UNION ALL SELECT 'cdf', 'delete', c_mktsegment, c_acctbal " +
+        "FROM customer WHERE c_custkey % 10 < 5 OR c_custkey % 10 = 6 " +
+        "UNION ALL SELECT 'cdf', 'insert', c_mktsegment, c_acctbal " +
+        "FROM customer WHERE c_custkey % 10 >= 8 " +
+        "UNION ALL SELECT 'now', 'none', c_mktsegment, c_acctbal " +
+        "FROM customer WHERE c_custkey % 10 >= 8" +
+        ") GROUP BY leg, change_type, c_mktsegment"),
+
+    // same change mix as q_delta_cdf, on a name-mapped table — physical
+    // cdc staging must not change a single served row
+    "q_delta_cdf_mapped" ->
+      ("SELECT _change_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "round(sum(price), 2) AS total_price FROM (" +
+        "SELECT 'insert' AS _change_type, o_orderkey, o_totalprice AS price " +
+        "FROM orders WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT 'delete', o_orderkey, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 = 7 " +
+        "UNION ALL SELECT 'update_preimage', o_orderkey, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 = 3 " +
+        "UNION ALL SELECT 'update_postimage', o_orderkey, o_totalprice + 1000 " +
+        "FROM orders WHERE o_orderkey % 10 = 3" +
+        ") GROUP BY _change_type"),
+
+    // the version-1 snapshot recomputed from orders: the creation's
+    // %10<4 rows plus the first append's %10==5 rows — NOT the %10==7
+    // rows of version 2, which only an mtime-misresolved read would add
+    "q_delta_ict_travel" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders " +
+        "WHERE o_orderkey % 10 < 4 OR o_orderkey % 10 = 5 " +
+        "GROUP BY o_orderpriority"),
 
     // the change feed recomputed from orders: v1 inserts the %10==0
     // append, v2 deletes %10==7 (cdc-exact), v3 updates %10==3 with

@@ -163,8 +163,8 @@ object DeltaLog {
   private def protocolAction(mapped: Boolean, constrained: Boolean,
       v4Feature: Boolean = false, rowTracking: Boolean = false,
       identity: Boolean = false, dv: Boolean = false,
-      v2cp: Boolean = false): String =
-    if (rowTracking || identity || dv || v2cp) {
+      v2cp: Boolean = false, ict: Boolean = false): String =
+    if (rowTracking || identity || dv || v2cp || ict) {
       // rowTracking/identityColumns/deletionVectors/v2Checkpoint exist
       // only as v7 table features; list exactly the features this table
       // uses (over-declaring would make other writers refuse
@@ -178,6 +178,7 @@ object DeltaLog {
         (if (identity) Seq("identityColumns") else Nil) ++
         (if (dv) Seq("deletionVectors") else Nil) ++
         (if (v2cp) Seq("v2Checkpoint") else Nil) ++
+        (if (ict) Seq("inCommitTimestamp") else Nil) ++
         (if (constrained) Seq("invariants", "checkConstraints") else Nil) ++
         (if (v4Feature) Seq("generatedColumns", "changeDataFeed") else Nil) ++
         (if (mapped) Seq("columnMapping") else Nil)
@@ -440,11 +441,18 @@ object DeltaLog {
   }
 
   /** Write `df` as a delta table: parquet data files + a numbered commit.
-    * mode: overwrite (wipe + version 0), append (next version, add
-    * actions for the new files only), merge (append + refreshed metaData
+    * mode: overwrite (an EXISTING table gets one version-preserving
+    * commit that removes every active file and adds the new data —
+    * delta-spark semantics, history/time-travel/CDF survive; a fresh
+    * directory creates version 0), append (next version, add actions
+    * for the new files only), merge (append + refreshed metaData
     * carrying the merged schema). Every `checkpointInterval` commits the
     * reconciled snapshot is checkpointed (see [[writeCheckpoint]]) so log
     * replay stays O(interval) commits instead of O(history).
+    *
+    * `acceptCdfOverwrite` is a retired compatibility alias: overwrite no
+    * longer restarts the log, so CDF tables overwrite without any opt-in
+    * (the commit's whole-file removes/adds serve the feed exactly).
     */
   def write(df: DataFrame, mode: String, path: String,
       partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10,
@@ -468,35 +476,35 @@ object DeltaLog {
     if (txn.exists { case (appId, v) =>
         latestTxnVersion(spark, fs, logDir(tbl), appId).exists(_ >= v) })
       return
-    // "fresh" = this commit starts a new log (version 0). Overwrite always
-    // does; append/merge only when the log doesn't exist yet. In the
-    // latter case any parquet already in the directory is BOOTSTRAPPED
-    // into the version-0 snapshot, never wiped — an append must not
-    // destroy a pre-delta table.
+    // "fresh" = this commit starts a new log (version 0): any mode when
+    // the log doesn't exist yet. An append/merge bootstrap ADOPTS any
+    // parquet already in the directory into the version-0 snapshot,
+    // never wipes it — an append must not destroy a pre-delta table.
+    // OVERWRITE of an EXISTING table is VERSION-PRESERVING (delta-spark
+    // semantics): one commit at the next version that removes every
+    // active file and adds the new data — metaData.id, configuration and
+    // history all survive, so time travel to pre-overwrite versions and
+    // CDF across the boundary keep working (old files stay on disk until
+    // vacuum's retention expires them).
     val hasLog = nextVersion(fs, logDir(tbl)).isDefined
     // delta.appendOnly forbids OVERWRITE too (delta-spark's
-    // assertRemovable): restarting the log is the biggest row-removing
-    // mutation there is, and it would additionally wipe the table's
-    // configuration — including the appendOnly marker itself
+    // assertRemovable): it removes every live row
     if (m == "overwrite" && hasLog)
       requireNotAppendOnly(spark, fs, tbl, "write_delta")
     // writer-protocol fidelity: refuse to mutate a table whose declared
     // writer features we would silently break (CDF deletes without cdc
     // actions, row tracking, generated/identity columns, unknown v7
     // features). Overwrite both removes every live row and restages.
-    // CDF + overwrite: refused by default — OUR overwrite restarts the
-    // log at version 0, destroying the change history a CDF reader is
-    // tracking (delta-spark's overwrite preserves versions and serves
-    // such commits at add/remove granularity — a deliberate divergence).
-    // `acceptCdfOverwrite=true` is the documented opt-in for callers who
-    // accept the history reset.
+    // CDF + overwrite needs no cdc files: the commit removes WHOLE files
+    // and adds pure new data, which CDF readers serve exactly from the
+    // add/remove actions (delta-spark's overwrite emits no cdc either).
     if (hasLog)
       requireWriterCapability(spark, fs, tbl, "write_delta",
         adds = true, removes = m == "overwrite", rewrites = m == "overwrite",
-        cdfRestartOptIn = m == "overwrite" && acceptCdfOverwrite,
-        // append/merge mint fresh base row ids; overwrite recreates the
-        // table (fresh ids from a fresh hwm) — but only on UNMAPPED
-        // tables (the materialization path does not speak physical names)
+        removesWholeFiles = m == "overwrite",
+        // append/merge/overwrite all mint fresh base row ids stepping
+        // past the recorded hwm — but only on UNMAPPED tables (the
+        // materialization path does not speak physical names)
         rowIdsHandled = columnMappingMode(spark, fs, tbl) == "none")
     // table properties only take effect on the commit that CREATES the
     // log (version 0); silently ignoring them on an append/merge into an
@@ -506,9 +514,9 @@ object DeltaLog {
       throw graft.GraftError.InvalidOperation("write_delta",
         s"$tbl already exists — tableProperties are applied only when a " +
           "table is created (version 0); altering properties of an " +
-          "existing table is not supported (write with mode=overwrite " +
-          "to recreate it with the new properties)")
-    val fresh = m == "overwrite" || !hasLog
+          "existing table is not supported (write with mode=overwrite, " +
+          "whose version-preserving metaData refresh applies them)")
+    val fresh = !hasLog
     // Column-mapped tables: APPEND is supported by renaming the incoming
     // frame's logical columns to the table's physical names (from the
     // metaData annotations) before staging — what a streaming ingest
@@ -847,9 +855,21 @@ object DeltaLog {
     }
 
     def swapAndCommit(): Unit = {
-    // overwrite wipes the table only now, with the replacement fully
-    // staged — the table is never missing while the heavy job runs
-    if (m == "overwrite" && fs.exists(tbl)) fs.delete(tbl, true)
+    // version-preserving overwrite: the files to REMOVE are the active
+    // set of the pre-commit snapshot, captured HERE — inside the
+    // overwrite lock, after any same-driver predecessor committed —
+    // so back-to-back overwrites each remove their predecessor's adds
+    // (a stale capture would leave them alive and turn the overwrite
+    // into a union). Their DV descriptors echo on the removes so a
+    // foreign vacuum can associate orphaned bin files, like PURGE does.
+    val overwriteRemoves: Seq[DeltaStats.AddEntry] =
+      if (m == "overwrite" && hasLog) activeAddsAsOf(spark, path, None)
+      else Nil
+    // overwrite of a NON-delta directory wipes it only now, with the
+    // replacement fully staged — the dir is never missing while the
+    // heavy job runs. An existing TABLE is never wiped: its old files
+    // back time travel until vacuum retention expires them.
+    if (m == "overwrite" && !hasLog && fs.exists(tbl)) fs.delete(tbl, true)
     val staged = dataFiles(fs, stage)
     staged.foreach { case (rel, _) =>
       val target = new HPath(tbl, rel)
@@ -892,12 +912,21 @@ object DeltaLog {
       }
     def actionsFor(version: Long): String = {
       val actions = ListBuffer.empty[String]
-      actions += s"""{"commitInfo":{"operation":"${m.toUpperCase}","txnId":"$txnId"}}"""
+      // in-commit timestamp: evaluated per slot attempt (a rebase retry
+      // follows a winner whose ICT this commit must exceed); the value
+      // is shared with the enablement-property stamp below
+      val ictVal = ictFor(fs, tbl, enforceConf)
+      actions += (ictVal match {
+        case Some(ict) =>
+          s"""{"commitInfo":{"inCommitTimestamp":$ict,"operation":"${m.toUpperCase}","txnId":"$txnId"}}"""
+        case None =>
+          s"""{"commitInfo":{"operation":"${m.toUpperCase}","txnId":"$txnId"}}"""
+      })
       txn.foreach { case (appId, v) =>
         actions += s"""{"txn":{"appId":"${esc(appId)}","version":$v,""" +
           s""""lastUpdated":${System.currentTimeMillis()}}}"""
       }
-      if (version == 0L) actions += protocolAction(freshMinted.nonEmpty,
+      val requiredProtocol = protocolAction(freshMinted.nonEmpty,
         enforceConf.keys.exists(_.startsWith("delta.constraints.")),
         df.schema.fields.exists(
           _.metadata.contains("delta.generationExpression")) ||
@@ -909,12 +938,21 @@ object DeltaLog {
         // declares the v2Checkpoint feature, so writeCheckpoint emits
         // the sidecar layout on this table from the start
         v2cp = enforceConf.get("delta.checkpointPolicy")
-          .exists(_.trim.equalsIgnoreCase("v2")))
+          .exists(_.trim.equalsIgnoreCase("v2")),
+        ict = confEnabled(enforceConf, "delta.enableInCommitTimestamps"))
+      if (version == 0L) actions += requiredProtocol
+      else if (m == "overwrite")
+        // version-preserving overwrite: the existing protocol stays
+        // unless the new content NEEDS more (preserved configuration
+        // means features never shrink, so only upgrades ever emit)
+        protocolUpgradeFor(tableFullProtocol(spark, fs, tbl),
+          requiredProtocol).foreach(actions += _)
       // merge commits refresh metaData with the post-write merged schema —
       // EXCEPT on a mapped table, where the gate above already proved the
       // merge schema-stable and the existing metaData (the mapping
       // annotations) must be preserved, not re-minted from the raw frame
-      if (version == 0L || (m == "merge" && mappedSchema.isEmpty) ||
+      if (version == 0L || m == "overwrite" ||
+          (m == "merge" && mappedSchema.isEmpty) ||
           evolvedAppendSchema.nonEmpty || mappedEvolved.nonEmpty ||
           identityUpdatedSchema.nonEmpty) {
         // identity high-water marks ride the field metadata of whatever
@@ -928,6 +966,13 @@ object DeltaLog {
           }.getOrElse(s)
         val schema = withHwms(
           if (mappedEvolved.nonEmpty) mappedEvolved.get
+          else if (m == "overwrite")
+            // overwrite's schema is the frame's own (re-minted under the
+            // preserved mapping mode when the table is mapped) — at ANY
+            // version: the version>0 branches below are append/merge
+            // evolutions of a DECLARED schema the overwrite replaces
+            identityUpdatedSchema.orElse(freshMinted.map(_._2))
+              .getOrElse(df.schema)
           else if (m == "merge" && version > 0L)
             // merged schema = declared table schema ⊕ the frame's — pure
             // metadata. The old raw mergeSchema read opened EVERY parquet
@@ -953,11 +998,14 @@ object DeltaLog {
         // (delta.enableDeletionVectors, columnMapping.*): preserve both,
         // bumping maxColumnId when mapping annotations were minted
         val metaParts =
-          if (version > 0L && partitionBy.isEmpty)
+          // overwrite's partitioning is the CALLER's, even when empty
+          // (an overwrite may de-partition a table — the new layout
+          // replaces the old, exactly like the schema does)
+          if (version > 0L && partitionBy.isEmpty && m != "overwrite")
             tablePartitionColumns(spark, fs, tbl).getOrElse(partitionBy)
           else partitionBy
         val metaConf =
-          if (version == 0L) {
+          if (version == 0L || m == "overwrite") {
             // overwrite preserves the table's configuration (delta-spark
             // save(overwrite) semantics: enableDeletionVectors & co stay)
             // under the caller's tableProperties; column-mapping keys are
@@ -973,7 +1021,21 @@ object DeltaLog {
                   maxMappingId(minted).toString)
               case None => Map.empty[String, String]
             }
-            val base = preserved ++ cmConf ++ tableProperties
+            val base0 = preserved ++ cmConf ++ tableProperties
+            // ICT enabled MID-LIFE (an overwrite's tableProperties on an
+            // existing table): the protocol requires recording WHERE the
+            // in-log clock starts — readers resolve pre-enablement
+            // versions by mtime, post-enablement by ICT
+            val base =
+              if (version > 0L &&
+                  confEnabled(base0, "delta.enableInCommitTimestamps") &&
+                  !confEnabled(priorConf, "delta.enableInCommitTimestamps"))
+                base0 +
+                  ("delta.inCommitTimestampEnablementVersion" ->
+                    version.toString) +
+                  ("delta.inCommitTimestampEnablementTimestamp" ->
+                    ictVal.getOrElse(System.currentTimeMillis()).toString)
+              else base0
             // row tracking mints the hidden materialized-column names at
             // creation (the delta-spark shape) — rewrites store each
             // surviving row's id/commit-version under them
@@ -997,6 +1059,18 @@ object DeltaLog {
         actions += metaDataAction(schema.json, metaParts, metaConf,
           tableId = if (version == 0L) None
             else tableMetaDataId(spark, fs, tbl))
+      }
+      // version-preserving overwrite: remove every file of the
+      // pre-commit active set (dataChange=true — rows disappear), the
+      // adds below stage the replacement in the SAME commit
+      if (overwriteRemoves.nonEmpty) {
+        val now = System.currentTimeMillis()
+        overwriteRemoves.foreach { a =>
+          val dvJson = a.dv.map(d =>
+            s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
+          actions += s"""{"remove":{"path":"${esc(a.rel)}",""" +
+            s""""deletionTimestamp":$now,"dataChange":true$dvJson}}"""
+        }
       }
       // row tracking: assign fresh base-row-id ranges to this commit's
       // files and advance the high-water mark in the same commit (the
@@ -1035,8 +1109,10 @@ object DeltaLog {
       else {
         if (m == "overwrite")
           throw graft.GraftError.WriteError(path, "overwrite",
-            s"version-$version commit lost to a concurrent writer — " +
-              "concurrent overwrites are destructive and are not retried")
+            s"version-$version commit lost to a concurrent writer — an " +
+              "overwrite's remove set was computed from the pre-commit " +
+              "snapshot, which the winner has superseded; re-run the " +
+              "overwrite against the fresh table")
         // the slot winner may be our own replayed twin (same txn) —
         // stop rather than double-commit; the just-moved files stay
         // unreferenced orphans for vacuum
@@ -1051,19 +1127,27 @@ object DeltaLog {
           // duplicate "unique" values and clobber the winner's mark.
           // Winners WITHOUT a metaData/protocol action left the mark
           // untouched, so the plain rebase stays safe.
-          if (identityUpdatedSchema.nonEmpty)
+          if (identityUpdatedSchema.nonEmpty) {
+            // parse, don't substring-match: a foreign winner whose
+            // commitInfo merely EMBEDS "metaData"/"protocol" text (e.g.
+            // in operationParameters) is not a metadata change — match
+            // requireNoLogicalConflict's JSON top-level check
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
             existingVersions(fs, logDir(tbl)).filter(_ >= version)
               .foreach { w =>
                 readString(fs, new HPath(logDir(tbl), commitName(w)))
                   .linesIterator.foreach { line =>
-                  if (line.contains("\"metaData\"") ||
-                      line.contains("\"protocol\""))
+                  val node = try mapper.readTree(line)
+                    catch { case _: Exception => null }
+                  if (node != null &&
+                      (node.has("metaData") || node.has("protocol")))
                     throw graft.GraftError.ConcurrentModification(path, m,
                       s"version $w changed the table metadata while this " +
                         "write held stale identity-sequence values; " +
                         "re-run the write against the fresh snapshot")
                 }
               }
+          }
           version = math.max(version + 1,
             nextVersion(fs, logDir(tbl)).getOrElse(0L))
         }
@@ -1078,16 +1162,17 @@ object DeltaLog {
 
     if (m == "overwrite") {
       // same-driver overwrites serialize on the cheap swap phase (the
-      // heavy staging job above runs unlocked); cross-process races stay
-      // destructive by design but fail TYPED, never as a raw FS error
+      // heavy staging job above runs unlocked), so each captures its
+      // predecessor's committed snapshot as its remove set; cross-process
+      // races fail TYPED (lost commit slot), never as a raw FS error
       overwriteLock(fs.makeQualified(tbl).toString).synchronized {
         try swapAndCommit()
         catch {
           case e: graft.GraftError => throw e
           case scala.util.control.NonFatal(e) =>
             throw graft.GraftError.WriteError(path, m,
-              "overwrite swap interfered with by a concurrent writer " +
-                s"(cross-process overwrites are destructive by design): $e")
+              "overwrite swap interfered with by a concurrent writer: " +
+                s"$e")
         }
       }
     } else swapAndCommit()
@@ -1195,10 +1280,10 @@ object DeltaLog {
     requireNotAppendOnly(spark, fs, tbl, "upsert_delta")
     // change-data-feed tables get exact MERGE change rows
     // (update_preimage / update_postimage / insert) as _change_data +
-    // cdc actions; mapped CDF tables stay refused by the gate
+    // cdc actions; on MAPPED tables commitRewrite stages the cdc files
+    // under physical column names like data files
     val rtConf = tableConfiguration(spark, fs, tbl)
-    val cdfEmit = confEnabled(rtConf, "delta.enableChangeDataFeed") &&
-      columnMappingMode(spark, fs, tbl) == "none"
+    val cdfEmit = confEnabled(rtConf, "delta.enableChangeDataFeed")
     // row tracking: survivors keep their ids (materialized through the
     // hidden columns), updated rows inherit the matched row's id, and
     // inserts take the new file's fresh positional defaults
@@ -1450,12 +1535,11 @@ object DeltaLog {
     }
     requireNotAppendOnly(spark, fs, tbl, "delete_delta")
     // change-data-feed tables get their deleted rows as _change_data +
-    // cdc actions in the same commit (exact row-level feed); mapped CDF
-    // tables stay refused by the gate (cdc files would need physical
-    // column names this writer does not emit for them)
+    // cdc actions in the same commit (exact row-level feed); on MAPPED
+    // tables commitRewrite stages the cdc files under physical column
+    // names like data files
     val rtConf = tableConfiguration(spark, fs, tbl)
-    val cdfEmit = confEnabled(rtConf, "delta.enableChangeDataFeed") &&
-      columnMappingMode(spark, fs, tbl) == "none"
+    val cdfEmit = confEnabled(rtConf, "delta.enableChangeDataFeed")
     // row tracking: surviving rows keep their ids via the materialized
     // columns (same mechanism as upsert)
     val (rowTrack, matCols, rtExtraCols) =
@@ -1589,6 +1673,103 @@ object DeltaLog {
     if (writerProtoCache.size > 256) writerProtoCache.clear() // bound, not LRU
     writerProtoCache.put(cacheKey, result)
     result
+  }
+
+  // ─────────────── protocol cover/union (overwrite upgrades) ───────────────
+
+  /** (minReader, minWriter, readerFeatures, writerFeatures) parsed from a
+    * `{"protocol":{...}}` action line. */
+  private def parseProtocolJson(json: String): (Int, Int, Seq[String], Seq[String]) = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val p = if (node.has("protocol")) node.get("protocol") else node
+    def feats(k: String): Seq[String] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      Option(p.get(k)).filter(_.isArray).foreach(_.forEach(f => b += f.asText))
+      b.toSeq
+    }
+    (Option(p.get("minReaderVersion")).map(_.asInt(1)).getOrElse(1),
+      Option(p.get("minWriterVersion")).map(_.asInt(1)).getOrElse(1),
+      feats("readerFeatures"), feats("writerFeatures"))
+  }
+
+  /** Writer features a LEGACY minWriterVersion implies (PROTOCOL.md's
+    * version→feature table) — the translation an upgrade-to-v7 must list.
+    */
+  private def impliedWriterFeatures(v: Int): Seq[String] =
+    Seq(2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns").collect { case (mv, f) if v >= mv => f }
+
+  private def impliedReaderFeatures(v: Int): Seq[String] =
+    if (v >= 2) Seq("columnMapping") else Nil
+
+  /** The protocol action a version-preserving OVERWRITE must emit, if
+    * any: None when the table's CURRENT protocol already covers what the
+    * new content `required` needs (versions not exceeded, feature lists
+    * subsumed — the common case, no action owed); otherwise the UNION of
+    * the two (preserved configuration means features never shrink, so an
+    * overwrite only ever upgrades). Legacy versions translate to their
+    * implied feature lists when either side is table-features (v7/r3).
+    */
+  private def protocolUpgradeFor(current: (Int, Int, Seq[String], Seq[String]),
+      requiredJson: String): Option[String] = {
+    val (cr, cw, crf, cwf) = current
+    val (nr, nw, nrf, nwf) = parseProtocolJson(requiredJson)
+    def wFeats(v: Int, f: Seq[String]): Set[String] =
+      (if (v >= 7) f else impliedWriterFeatures(v)).toSet
+    def rFeats(v: Int, f: Seq[String]): Set[String] =
+      (if (v >= 3) f else impliedReaderFeatures(v)).toSet
+    val writerCovered =
+      if (cw >= 7) wFeats(nw, nwf).subsetOf(cwf.toSet)
+      else nw <= cw || (nw >= 7 && nwf.toSet.subsetOf(impliedWriterFeatures(cw).toSet))
+    val readerCovered =
+      if (cr >= 3) rFeats(nr, nrf).subsetOf(crf.toSet)
+      else nr <= cr || (nr >= 3 && nrf.toSet.subsetOf(impliedReaderFeatures(cr).toSet))
+    if (writerCovered && readerCovered) return None
+    val wIsFeat = cw >= 7 || nw >= 7
+    val rIsFeat = cr >= 3 || nr >= 3
+    val uw = if (wIsFeat) 7 else math.max(cw, nw)
+    val ur = if (rIsFeat) 3 else math.max(cr, nr)
+    val uwf = if (wIsFeat)
+      (wFeats(cw, cwf) ++ wFeats(nw, nwf)).toSeq.sorted else Nil
+    val urf = if (rIsFeat)
+      (rFeats(cr, crf) ++ rFeats(nr, nrf)).toSeq.sorted else Nil
+    val fields = Seq(
+      Some(s""""minReaderVersion":$ur"""),
+      Some(s""""minWriterVersion":$uw"""),
+      if (rIsFeat) Some(s""""readerFeatures":[${
+        urf.map(f => s""""$f"""").mkString(",")}]""") else None,
+      if (wIsFeat) Some(s""""writerFeatures":[${
+        uwf.map(f => s""""$f"""").mkString(",")}]""") else None).flatten
+    Some(s"""{"protocol":{${fields.mkString(",")}}}""")
+  }
+
+  /** Full newest protocol of an existing table — reader AND writer
+    * halves, same post-checkpoint walk as [[tableWriterProtocol]].
+    * Floor (1, 1, Nil, Nil) when no protocol action exists.
+    */
+  private def tableFullProtocol(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): (Int, Int, Seq[String], Seq[String]) = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val log = logDir(tbl)
+    val cpFloor = lastCheckpointVersion(fs, log)
+    val fromCommits = existingVersions(fs, log)
+      .filter(v => cpFloor.forall(v > _))
+      .reverse.iterator.flatMap { v =>
+        readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
+          val node = try mapper.readTree(line) catch { case _: Exception => null }
+          if (node != null && node.has("protocol"))
+            Some(parseProtocolJson(line)) else None
+        }.toSeq.lastOption
+      }.nextOption()
+    fromCommits.orElse(cpFloor
+        .flatMap(v => readCheckpoint(spark, fs, log, v)).flatMap { cp =>
+      if (!cp.columns.contains("protocol")) None
+      else cp.where(col("protocol").isNotNull)
+        .select(org.apache.spark.sql.functions.to_json(col("protocol")))
+        .collect().headOption.map(r => parseProtocolJson(r.getString(0)))
+    }).getOrElse((1, 1, Nil, Nil))
   }
 
   // ───────────────────────── row tracking ─────────────────────────
@@ -1770,7 +1951,23 @@ object DeltaLog {
     // domainMetadata: [[writeCheckpoint]] folds the newest live action
     // per domain, so domain state (row tracking's high-water mark)
     // survives checkpoint + log cleanup
-    "domainMetadata")
+    "domainMetadata",
+    // inCommitTimestamp: every commit-producing path stamps
+    // commitInfo.inCommitTimestamp monotonically when the table enables
+    // delta.enableInCommitTimestamps (see [[commitInfoJson]]), and
+    // timestamp time travel / CDF-by-timestamp resolve via ICT instead
+    // of file mtimes ([[monotonizedCommitTimes]])
+    "inCommitTimestamp",
+    // clustering (liquid clustering — delta-spark's current default
+    // recommendation): the protocol says clustering is BEST-EFFORT —
+    // writers may add unclustered files, they must only preserve the
+    // `delta.clustering` domainMetadata, which the checkpoint fold's
+    // newest-per-domain rule already does; OPTIMIZE re-clusters
+    "clustering",
+    // vacuumProtocolCheck: obliges vacuum to check the protocol before
+    // deleting — [[vacuum]] gates through requireWriterCapability, which
+    // IS that check
+    "vacuumProtocolCheck")
 
   /** Reader features the replay-based read path honors end-to-end:
     * column mapping (name + id modes resolved at read), deletion
@@ -1784,7 +1981,12 @@ object DeltaLog {
     * unknown reader feature returns wrong rows.
     */
   private val SupportedReaderFeatures: Set[String] =
-    Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint")
+    // vacuumProtocolCheck only obliges VACUUM implementations to check
+    // the table protocol before deleting files — which [[vacuum]]'s
+    // requireWriterCapability gate already does; plain reads are
+    // unaffected by the feature
+    Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+      "vacuumProtocolCheck")
 
   /** Writer-protocol fidelity gate, run before any mutation of an
     * EXISTING delta table. `adds`/`removes` describe the commit this
@@ -1819,7 +2021,7 @@ object DeltaLog {
   private def requireWriterCapability(spark: SparkSession, fs: FileSystem,
       tbl: HPath, op: String, adds: Boolean, removes: Boolean,
       rewrites: Boolean, emitsCdc: Boolean = false,
-      cdfRestartOptIn: Boolean = false,
+      removesWholeFiles: Boolean = false,
       rowIdsHandled: Boolean = false): Unit = {
     def refuse(what: String): Nothing =
       throw graft.GraftError.InvalidOperation(op,
@@ -1839,15 +2041,18 @@ object DeltaLog {
     val conf = tableConfiguration(spark, fs, tbl)
     // emitsCdc: the caller writes _change_data files + cdc actions for
     // this commit (deleteWhere/upsert on plain tables), so the CDF
-    // contract is honored, not broken
-    if (removes && !emitsCdc && !cdfRestartOptIn &&
+    // contract is honored, not broken.
+    // removesWholeFiles: every removed file disappears ENTIRELY and
+    // every add is pure new data (the version-preserving overwrite
+    // shape) — the protocol lets CDF readers serve such commits exactly
+    // from the add/remove actions themselves (removes → deletes, adds →
+    // inserts; delta-spark's overwrite emits no cdc either), so no cdc
+    // files are owed
+    if (removes && !emitsCdc && !removesWholeFiles &&
         confEnabled(conf, "delta.enableChangeDataFeed"))
       refuse("change data feed on a row-removing commit — no " +
         "_change_data/cdc actions are emitted, so CDF readers would " +
-        "miss these deletes; for mode=overwrite (which RESTARTS the log " +
-        "and destroys the change history, a deliberate divergence from " +
-        "delta-spark's version-preserving overwrite) pass " +
-        "acceptCdfOverwrite=true to opt in")
+        "miss these deletes")
     // rowIdsHandled: the caller mints base row ids on its adds and/or
     // preserves surviving rows' ids (materialized column or baseRowId
     // echo) — the write/upsert/deleteWhere/optimize/DV-delete paths all
@@ -2196,16 +2401,66 @@ object DeltaLog {
     read(spark, path, Some(chosen))
   }
 
-  /** Commit-file mtimes MONOTONIZED in version order (running max —
-    * DeltaHistoryManager's adjustment): filesystem mtimes carry no
-    * ordering guarantee, and an out-of-order stamp would otherwise
-    * resolve version N while version N-1 "happened later". Shared by
-    * timestamp time travel and the timestamp-bounded change feed.
+  /** `commitInfo.inCommitTimestamp` of commit `v`, if stamped — the
+    * protocol's in-log clock (inCommitTimestamp writer feature), the
+    * source of truth for timestamp resolution on tables that enable it
+    * (file mtimes lie on exactly such tables: copies, restores and
+    * object-store rewrites all reset them).
+    */
+  private def commitIct(fs: FileSystem, log: HPath, v: Long): Option[Long] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    readString(fs, new HPath(log, commitName(v))).linesIterator
+      .flatMap { line =>
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        val ci = if (node == null) null else node.get("commitInfo")
+        if (ci != null && ci.has("inCommitTimestamp") &&
+            !ci.get("inCommitTimestamp").isNull)
+          Some(ci.get("inCommitTimestamp").asLong) else None
+      }.nextOption()
+  }
+
+  /** The commitInfo line every commit-producing path emits FIRST: when
+    * the table declares `delta.enableInCommitTimestamps`, it carries the
+    * protocol's `inCommitTimestamp` — wall clock, forced STRICTLY past
+    * the previous commit's ICT (the protocol requires monotonicity even
+    * across clock skew between writers).
+    */
+  private def commitInfoJson(op: String, txnId: String, fs: FileSystem,
+      tbl: HPath, conf: Map[String, String]): String =
+    ictFor(fs, tbl, conf) match {
+      case Some(ict) =>
+        s"""{"commitInfo":{"inCommitTimestamp":$ict,"operation":"$op","txnId":"$txnId"}}"""
+      case None =>
+        s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
+    }
+
+  /** The ICT value the next commit must carry, or None when the table
+    * doesn't enable the feature. Re-evaluate per slot attempt — a rebase
+    * retry follows a winner whose ICT this one must exceed.
+    */
+  private def ictFor(fs: FileSystem, tbl: HPath,
+      conf: Map[String, String]): Option[Long] = {
+    if (!confEnabled(conf, "delta.enableInCommitTimestamps")) return None
+    val log = logDir(tbl)
+    val prev = (if (fs.exists(log)) existingVersions(fs, log) else Nil)
+      .lastOption.flatMap(v => commitIct(fs, log, v)).getOrElse(0L)
+    Some(math.max(System.currentTimeMillis(), prev + 1))
+  }
+
+  /** Commit timestamps MONOTONIZED in version order (running max —
+    * DeltaHistoryManager's adjustment). Per commit, the in-commit
+    * timestamp wins when stamped (ICT tables carry their clock IN the
+    * log); otherwise the file mtime, which carries no ordering
+    * guarantee — an out-of-order stamp would otherwise resolve version
+    * N while version N-1 "happened later". Mixed logs (ICT enabled
+    * mid-life) monotonize across the boundary too. Shared by timestamp
+    * time travel and the timestamp-bounded change feed.
     */
   private def monotonizedCommitTimes(fs: FileSystem,
       log: HPath): Seq[(Long, Long)] = {
     val raw = existingVersions(fs, log).sorted.map(v =>
-      v -> fs.getFileStatus(new HPath(log, commitName(v))).getModificationTime)
+      v -> commitIct(fs, log, v).getOrElse(
+        fs.getFileStatus(new HPath(log, commitName(v))).getModificationTime))
     var runningMax = Long.MinValue
     raw.map { case (v, ts) =>
       runningMax = math.max(runningMax, ts); v -> runningMax
@@ -2220,11 +2475,13 @@ object DeltaLog {
     * commit when None). Refusals match delta-spark's: a start past the
     * newest commit refuses typed (silently serving an empty feed would
     * hide a caller's clock bug), as does a window no commit falls into.
-    * Note the asymmetry with [[readChanges]]' version window: version 0
-    * CANNOT be served (the feed needs the pre-commit state), so a start
-    * timestamp resolving to version 0 serves from version 1 — same floor
-    * as delta-spark, whose CDF also starts at the first change-bearing
-    * commit.
+    * A start timestamp resolving to version 0 SERVES version 0's adds as
+    * inserts (the pre-commit state of a creation is empty, so the commit
+    * IS fully describable — delta-spark's startingTimestamp CDF serves
+    * the initial commit too); an end resolving to version 0 ONLY still
+    * refuses typed, because a one-commit window pinned at creation needs
+    * the same pre-commit state every other single-version window does
+    * and is almost always a caller clock bug.
     */
   def readChangesByTimestamp(spark: SparkSession, path: String,
       startTsMillis: Long, endTsMillis: Option[Long] = None): DataFrame = {
@@ -2263,7 +2520,11 @@ object DeltaLog {
         s"the window resolves to version 0 only, which the change feed " +
           "cannot serve (a change needs the pre-commit state) — widen " +
           "the ending timestamp past the next commit")
-    readChanges(spark, path, math.max(startV - 1, 0L), endV)
+    // startV == 0 → fromVersion = -1: readChanges' (from, to] window
+    // then INCLUDES version 0, whose adds serve as inserts — the old
+    // max(startV-1, 0) silently dropped the initial commit's rows even
+    // though the caller's window covered it
+    readChanges(spark, path, startV - 1, endV)
   }
 
   /** Stats-surviving subset of `adds` for `predicate` — the conservative
@@ -2497,11 +2758,34 @@ object DeltaLog {
     // NULL partition values in every change row) — then moved under
     // _change_data/<col>=<val>/ (invisible to table listings, the '_'
     // prefix) and referenced by cdc actions in this same commit
-    val cdcRels: Seq[(String, Long)] = cdcDf.toSeq.flatMap { cdf =>
+    val cdcRels: Seq[(String, Long)] = cdcDf.toSeq.flatMap { cdf0 =>
+      // mapped tables: cdc files carry PHYSICAL column names exactly like
+      // data files (delta-spark's shape — its CDF reader renames through
+      // the mapping annotations, and so does [[readChanges]]); the
+      // _change_type metadata column stays literal. Id-mode cdc files
+      // stage with parquet field ids like data files do.
+      val cdf = mappedInfo match {
+        case Some((mode, logical)) =>
+          val physical = physicalType(logical).asInstanceOf[StructType]
+          val dataCols = logical.fields.zip(physical.fields)
+            .filter { case (lf, _) => cdf0.columns.contains(lf.name) }
+            .map { case (lf, pf) =>
+              if (mode == "id")
+                col(s"`${lf.name}`").cast(physicalFieldIdType(lf.dataType, tbl))
+                  .as(pf.name, new org.apache.spark.sql.types.MetadataBuilder()
+                    .putLong(ParquetFieldIdKey,
+                      lf.metadata.getLong(MappingIdKey)).build())
+              else col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
+            }
+          cdf0.select(dataCols :+ col("_change_type"): _*)
+        case None => cdf0
+      }
       val cdcStage = new HPath(tbl, s".graft_stage_cdc_${java.util.UUID.randomUUID()}")
-      val w = cdf.write.mode("overwrite")
-      (if (stagePartitionBy.nonEmpty) w.partitionBy(stagePartitionBy: _*)
-       else w).parquet(cdcStage.toString)
+      withFieldIdWriteIf(spark, idMapped) {
+        val w = cdf.write.mode("overwrite")
+        (if (stagePartitionBy.nonEmpty) w.partitionBy(stagePartitionBy: _*)
+         else w).parquet(cdcStage.toString)
+      }
       val parts = dataFiles(fs, cdcStage).toSeq.sortBy(_._1)
       val dir = new HPath(tbl, "_change_data")
       fs.mkdirs(dir)
@@ -2523,7 +2807,8 @@ object DeltaLog {
     val statsByRel = statsForAll(spark, fs, tbl, stagedRels)
     def actionsFor(v: Long): String = {
       val actions = ListBuffer.empty[String]
-      actions += s"""{"commitInfo":{"operation":"$op","txnId":"$txnId"}}"""
+      actions += commitInfoJson(op, txnId, fs, tbl,
+        tableConfiguration(spark, fs, tbl))
       // metaData refresh riding a rewrite commit (identity high-water
       // mark bumps) — the caller supplies the full action
       extraMetaData.foreach(actions += _)
@@ -2625,6 +2910,16 @@ object DeltaLog {
     org.apache.spark.sql.types.StringType,
     org.apache.spark.sql.types.StringType)
 
+  private val DvStruct: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+  }
+
   private val CanonicalActionTypes: Map[String, StructType] = {
     import org.apache.spark.sql.types._
     Map(
@@ -2635,15 +2930,20 @@ object DeltaLog {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         StructField("tags", MapSS),
-        StructField("deletionVector", StructType(Seq(
-          StructField("storageType", StringType),
-          StructField("pathOrInlineDv", StringType),
-          StructField("offset", IntegerType),
-          StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))),
+        StructField("deletionVector", DvStruct),
         StructField("baseRowId", LongType),
         StructField("defaultRowCommitVersion", LongType),
         StructField("stats", StringType))),
+      "remove" -> StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("extendedFileMetadata", BooleanType),
+        StructField("partitionValues", MapSS),
+        StructField("size", LongType),
+        StructField("deletionVector", DvStruct),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType))),
       "metaData" -> StructType(Seq(
         StructField("id", StringType),
         StructField("name", StringType),
@@ -2679,7 +2979,8 @@ object DeltaLog {
   }
 
   def writeCheckpoint(spark: SparkSession, path: String, version: Long,
-      rowsPerPart: Int = 1000000): Unit = {
+      rowsPerPart: Int = 1000000,
+      removeRetentionMs: Long = DefaultVacuumRetentionMs): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the fold keeps add/metaData/protocol/txn rows ONLY — on a table
@@ -2692,14 +2993,25 @@ object DeltaLog {
       rowIdsHandled = true)
     val log = logDir(tbl)
     // sources: the previous checkpoint (older commits may be gone) plus
-    // the commits after it, up to `version`
-    val prevCp = lastCheckpointVersion(fs, log).filter(_ < version)
+    // the commits after it, up to `version`. `<=` matters: RE-writing
+    // the checkpoint of the version _last_checkpoint already points at
+    // (tombstone-expiry rewrites, racing checkpointers) must seed from
+    // that checkpoint itself — its folded commits may be cleaned up, so
+    // a `<` filter would silently fold from the surviving tail only and
+    // drop every older add
+    val prevCp = lastCheckpointVersion(fs, log).filter(_ <= version)
     val prev = prevCp.flatMap(v => readCheckpoint(spark, fs, log, v))
     val commits = existingVersions(fs, log)
       .filter(v => v <= version && prevCp.forall(v > _))
       .map(v => new HPath(log, commitName(v)).toString)
-    val logF = spark.read.json(commits: _*)
-      .withColumn("graft_f", org.apache.spark.sql.functions.input_file_name())
+    // a same-version REWRITE folds from the checkpoint alone — zero
+    // post-checkpoint commits, and spark.read.json of an empty path list
+    // cannot infer a schema
+    val logF =
+      if (commits.nonEmpty) spark.read.json(commits: _*)
+        .withColumn("graft_f", org.apache.spark.sql.functions.input_file_name())
+      else spark.range(0)
+        .select(lit(null).cast("string").as("graft_f"))
     def part(df: DataFrame, c: String): Option[DataFrame] =
       if (df.columns.contains(c)) Some(df.where(col(c).isNotNull).select(col(c)))
       else None
@@ -2735,6 +3047,40 @@ object DeltaLog {
         alive.withColumn("graft_rn",
             org.apache.spark.sql.functions.row_number().over(w))
           .where(col("graft_rn") === 1).select(col("add"))
+      }
+    // remove TOMBSTONES within the retention window (protocol: "a
+    // checkpoint must contain remove actions whose deletionTimestamp is
+    // newer than the retention boundary" — foreign vacuum bookkeeping
+    // and concurrent-reader protection read them). Newest remove per
+    // path; paths active again (re-added later — RESTORE) reconcile to
+    // the ADD, so their tombstones drop; expired tombstones drop (the
+    // protocol allows, and keeping them forever would grow checkpoints
+    // unboundedly on rewrite-heavy tables). A NULL deletionTimestamp
+    // keeps conservatively.
+    val removeCutoff = System.currentTimeMillis() - removeRetentionMs
+    val prevRemoves = prev.flatMap(p =>
+      if (!p.columns.contains("remove")) None
+      else Some(p.where(col("remove").isNotNull)
+        .select(canonicalAction("remove"), lit(-1L).as("graft_rec"))))
+    val commitRemoves =
+      if (!logF.columns.contains("remove")) None
+      else Some(logF.where(col("remove").isNotNull)
+        .select(canonicalAction("remove"),
+          org.apache.spark.sql.functions.regexp_extract(col("graft_f"),
+            "(\\d{20})\\.json", 1).cast("long").as("graft_rec")))
+    val removes = (prevRemoves.toSeq ++ commitRemoves.toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map { u =>
+        val dead = u.join(activeDf,
+          u("remove.path") === activeDf("graft_active_path"), "left_anti")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("remove.path")).orderBy(col("graft_rec").desc)
+        dead.withColumn("graft_rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("graft_rn") === 1 &&
+            (col("remove.deletionTimestamp").isNull ||
+              col("remove.deletionTimestamp") >= lit(removeCutoff)))
+          .select(col("remove"))
       }
     // newest metaData/protocol: commits win over the previous checkpoint
     def newest(c: String): Option[DataFrame] =
@@ -2782,7 +3128,7 @@ object DeltaLog {
             !coalesce(col("domainMetadata.removed"), lit(false)))
           .select(col("domainMetadata"))
       }
-    val parts = adds.toSeq ++ newest("metaData").toSeq ++
+    val parts = adds.toSeq ++ removes.toSeq ++ newest("metaData").toSeq ++
       newest("protocol").toSeq ++ txns.toSeq ++ domains.toSeq
     val snapshot = parts
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2811,10 +3157,14 @@ object DeltaLog {
       // behind — readCheckpoint prefers them over the fresh manifest
       checkpointPaths(fs, log, version)
         .foreach(p => fs.delete(new HPath(p), false))
+      // FILE actions — adds AND remove tombstones — are what sidecars
+      // carry per the protocol; non-file actions stay in the manifest
+      val fileCols = Seq("add", "remove").filter(snapshot.columns.contains)
       val addRows =
-        if (snapshot.columns.contains("add"))
-          snapshot.where(col("add").isNotNull).select(col("add"))
-        else snapshot.limit(0).select(lit(null).as("add"))
+        if (fileCols.isEmpty) snapshot.limit(0).select(lit(null).as("add"))
+        else snapshot
+          .where(fileCols.map(c => col(c).isNotNull).reduce(_ || _))
+          .select(fileCols.map(col): _*)
       (if (nParts == 1) addRows.coalesce(1)
        else addRows.repartition(nParts))
         .write.mode("overwrite").parquet(tmpDir.toString)
@@ -2882,7 +3232,11 @@ object DeltaLog {
       if (!fs.rename(mPart, manifest))
         throw new IllegalStateException(s"manifest rename failed: $manifest")
       fs.delete(mTmp, true)
-      activeCount.toLong + manifestLines.length - sidecars.length - 1
+      // size = file actions (adds + retained tombstones) + the manifest's
+      // non-file action lines (checkpointMetadata/sidecar rows excluded)
+      val tombstoneCount = removes.map(_.count()).getOrElse(0L)
+      activeCount.toLong + tombstoneCount +
+        manifestLines.length - sidecars.length - 1
     } else {
     (if (nParts == 1) snapshot.coalesce(1) else snapshot.repartition(nParts))
       .write.mode("overwrite").parquet(tmpDir.toString)
@@ -2970,7 +3324,12 @@ object DeltaLog {
           (n.endsWith(".parquet") || n.endsWith(".json")) && {
             val stem = n.stripPrefix(prefix)
               .stripSuffix(".parquet").stripSuffix(".json")
-            stem.nonEmpty && !stem.contains('.') && !stem.forall(_.isDigit)
+            // the protocol names v2 manifests <v>.checkpoint.<uuid>.<ext>
+            // — require the UUID shape, or the classic single-file name
+            // <v>.checkpoint.parquet (stem "parquet": non-empty, dot-free,
+            // non-numeric) would be misread as a manifest and fold zero
+            // file actions
+            stem.matches("[0-9a-fA-F-]{32,36}") && !stem.forall(_.isDigit)
           }
       }
       .sortBy(_.getName).headOption
@@ -4534,7 +4893,8 @@ object DeltaLog {
     val txnId = java.util.UUID.randomUUID().toString
     val now = System.currentTimeMillis()
     val actions = ListBuffer.empty[String]
-    actions += s"""{"commitInfo":{"operation":"DELETE","txnId":"$txnId"}}"""
+    actions += commitInfoJson("DELETE", txnId, fs, tbl,
+      tableConfiguration(spark, fs, tbl))
     mergedSets.foreach { case (add, _, _) =>
       val pvJson = add.partitionValues.map { case (k, v) =>
         s""""${esc(k)}":${if (v == null) "null" else "\"" + esc(v) + "\""}"""
@@ -5424,10 +5784,20 @@ object DeltaLog {
           equalities.find(_._1.equalsIgnoreCase(src)).flatMap {
             case (_, lit) =>
               try {
-                // evaluate the generation expression at the literal; the
-                // result renders back as a SQL literal for the conjunct
+                // evaluate the generation expression at the literal CAST
+                // TO THE DECLARED SOURCE TYPE — typeMatches admits
+                // lossless integral widening (int literal, long column),
+                // but type-SENSITIVE expressions (hash(src) % 16) yield
+                // different values per input type, and a probe at the raw
+                // literal's type would imply a wrong partition conjunct
+                // that both prunes the matching files and re-filters the
+                // surviving rows to empty
+                val srcType = schemaOpt.flatMap(_.fields.find(
+                  _.name.equalsIgnoreCase(src))).map(_.dataType)
+                  .getOrElse(lit.dataType)
                 val row = spark.sql(
-                  s"SELECT ($genSql) AS g FROM (SELECT ${lit.sql} AS `$src`)")
+                  s"SELECT ($genSql) AS g FROM (SELECT " +
+                    s"CAST(${lit.sql} AS ${srcType.sql}) AS `$src`)")
                   .first()
                 if (row.isNullAt(0)) Some(s"`$pname` IS NULL")
                 else {
@@ -5794,7 +6164,8 @@ object DeltaLog {
     val next = nextVersion(fs, log).getOrElse(0L)
     val txnId = java.util.UUID.randomUUID().toString
     val actions = ListBuffer.empty[String]
-    actions += s"""{"commitInfo":{"operation":"RESTORE","txnId":"$txnId"}}"""
+    actions += commitInfoJson("RESTORE", txnId, fs, tbl,
+      tableConfiguration(spark, fs, tbl))
     val now = System.currentTimeMillis()
     removeEntries.foreach { a =>
       val removedDv = a.dv.map(d =>
@@ -5836,7 +6207,8 @@ object DeltaLog {
     * commit is gone — same visibility rule as real delta's log retention).
     * Returns the deleted commit file names.
     */
-  def cleanupLog(spark: SparkSession, path: String): Seq[String] = {
+  def cleanupLog(spark: SparkSession, path: String,
+      sidecarGraceMs: Long = 3600000L): Seq[String] = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = logDir(tbl)
@@ -5887,7 +6259,17 @@ object DeltaLog {
             .map(_.getString(0)).toSeq
         }.map(sp =>
           if (sp.contains("/")) new HPath(sp).getName else sp).toSet
-        fs.listStatus(sidecarDir).toSeq.map(_.getPath.getName)
+        // grace window: a concurrent writeCheckpoint renames sidecars
+        // into place BEFORE its manifest lands, so an unreferenced-but-
+        // fresh sidecar may belong to a checkpoint mid-write — sweeping
+        // it would leave the about-to-land manifest referencing missing
+        // files and every later load refusing. Only sidecars older than
+        // `sidecarGraceMs` are treated as true orphans (same stance as
+        // vacuum's stage retention).
+        val now = System.currentTimeMillis()
+        fs.listStatus(sidecarDir).toSeq
+          .filter(s => now - s.getModificationTime > sidecarGraceMs)
+          .map(_.getPath.getName)
           .filterNot(referenced).sorted
       }
     sweptSidecars.foreach(n => fs.delete(new HPath(sidecarDir, n), false))

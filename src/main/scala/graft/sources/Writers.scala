@@ -233,7 +233,10 @@ object Writers {
     * overwrite/append/merge-schema + partition columns). Writes a REAL
     * `_delta_log` (protocol + metaData + add commit actions, numbered
     * versions) over Spark-written parquet — see [[DeltaLog]] for the
-    * protocol subset.
+    * protocol subset. Overwrite of an existing table is
+    * VERSION-PRESERVING (delta-spark semantics): one remove-all+add
+    * commit, history/time-travel/CDF intact. `acceptCdfOverwrite` is a
+    * retired no-op compatibility alias from the log-restarting era.
     */
   def writeDeltaTable(df: DataFrame, mode: String, path: String,
       partitionBy: Seq[String] = Nil,

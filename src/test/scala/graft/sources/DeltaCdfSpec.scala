@@ -250,27 +250,59 @@ class DeltaCdfSpec extends SparkSpec {
       ("update_postimage", 4L, "2")), s"$ups")
   }
 
-  test("CDF overwrite refuses typed; acceptCdfOverwrite opts into the log restart") {
+  test("overwrite of a CDF table preserves history; the feed serves across the boundary") {
     val sp = spark; import sp.implicits._
     val p = freshDir("ovr")
     DeltaLog.write(Seq((1L, "a")).toDF("id", "s"), "overwrite", p,
       tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
-    // default: refused, message names the escape hatch (our overwrite
-    // restarts the log and destroys the change history — a documented
-    // divergence from delta-spark's version-preserving overwrite)
-    val e = intercept[graft.GraftError.InvalidOperation] {
-      DeltaLog.write(Seq((2L, "b")).toDF("id", "s"), "overwrite", p,
-        tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
-    }
-    assert(e.getMessage.contains("acceptCdfOverwrite"))
-    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).toSeq == Seq(1L))
-    // opt-in: the overwrite lands, the log restarts at version 0
-    DeltaLog.write(Seq((2L, "b")).toDF("id", "s"), "overwrite", p,
-      tableProperties = Map("delta.enableChangeDataFeed" -> "true"),
-      acceptCdfOverwrite = true)
+    // version-preserving overwrite: no opt-in needed — the commit's
+    // whole-file removes/adds serve the feed exactly (delta-spark's
+    // overwrite emits no cdc files either)
+    DeltaLog.write(Seq((2L, "b")).toDF("id", "s"), "overwrite", p)
     assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the log did NOT restart: version 1 exists, version 0 survives
     assert(Files.exists(Paths.get(p, "_delta_log", "0" * 20 + ".json")))
-    assert(!Files.exists(Paths.get(p, "_delta_log", "0" * 19 + "1.json")))
+    assert(Files.exists(Paths.get(p, "_delta_log", "0" * 19 + "1.json")))
+    // CDF across the overwrite: old row deleted, new row inserted, at v1
+    val w = DeltaLog.readChanges(spark, p, 0L, 1L)
+      .select("_change_type", "id", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(w == Set(("delete", 1L, 1L), ("insert", 2L, 1L)), s"$w")
+    // time travel to the pre-overwrite version still reads the old rows
+    assert(DeltaLog.read(spark, p, Some(0L)).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("column-mapped CDF tables: cdc files stage under PHYSICAL names, feed reads logical") {
+    val sp = spark; import sp.implicits._
+    for (mode <- Seq("name", "id")) {
+      val p = freshDir(s"mapped_$mode")
+      DeltaLog.write((1L to 6L).map(i => (i, s"v$i")).toDF("id", "s"),
+        "overwrite", p, columnMapping = Some(mode),
+        tableProperties = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaLog.deleteWhere(spark, p, "id <= 2")                  // v1 cdc
+      DeltaLog.upsert(Seq((3L, "up")).toDF("id", "s"), Seq("id"), p) // v2 cdc
+      // the cdc parquet files carry PHYSICAL column names, like data
+      // files (delta-spark's CDF reader resolves them through the
+      // mapping annotations)
+      val cdcFiles = Files.walk(Paths.get(p, "_change_data")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].toString)
+        .filter(_.endsWith(".parquet"))
+      assert(cdcFiles.nonEmpty)
+      val cdcCols = spark.read.parquet(cdcFiles: _*).columns.toSet
+      assert(!cdcCols.contains("id") && !cdcCols.contains("s"),
+        s"cdc files must carry physical names: $cdcCols")
+      assert(cdcCols.contains("_change_type"))
+      // the FEED surfaces logical names and the exact row-level changes
+      val ch = DeltaLog.readChanges(spark, p, 0L, 2L)
+        .select("_change_type", "id", "s", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(ch == Set(
+        ("delete", 1L, "v1", 1L), ("delete", 2L, "v2", 1L),
+        ("update_preimage", 3L, "v3", 2L),
+        ("update_postimage", 3L, "up", 2L)), s"$mode: $ch")
+    }
   }
 
   test("readChangesByTimestamp resolves windows by monotonized mtime; out-of-range refuses") {
@@ -311,6 +343,19 @@ class DeltaCdfSpec extends SparkSpec {
     intercept[graft.GraftError.InvalidOperation] {
       DeltaLog.readChangesByTimestamp(spark, p, base + 120000L, Some(base))
     }
+    // a start resolving to version 0 serves the INITIAL commit's adds as
+    // inserts (delta-spark's startingTimestamp CDF does too) — the old
+    // max(startV-1, 0) floor silently dropped them
+    val fromCreation = DeltaLog.readChangesByTimestamp(spark, p, base)
+      .select("_change_type", "id", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromCreation == Set(("insert", 1L, 0L), ("insert", 2L, 1L),
+      ("delete", 1L, 2L)), s"$fromCreation")
+    // a window pinned to version 0 ONLY still refuses typed
+    val only0 = intercept[graft.GraftError.InvalidOperation] {
+      DeltaLog.readChangesByTimestamp(spark, p, base, Some(base + 1000L))
+    }
+    assert(only0.getMessage.contains("version 0"))
   }
 
   test("vacuum keeps referenced cdc files, sweeps aged unreferenced ones") {

@@ -220,4 +220,109 @@ class DeltaCheckpointFoldSpec extends SparkSpec {
     assert(DeltaLog.readWithRowIds(spark, p)
       .select("_row_id").collect().map(_.getLong(0)).distinct.length == 7)
   }
+
+  private def wipe(name: String): String = {
+    val p = tmp(name)
+    val pp = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(pp)) {
+      java.nio.file.Files.walk(pp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    p
+  }
+
+  test("checkpoints retain unexpired remove tombstones; expired and re-added drop") {
+    val sp = spark; import sp.implicits._
+    val p = wipe("tombstones")
+    DeltaLog.write((1L to 6L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", p, checkpointInterval = 0)                      // v0
+    DeltaLog.deleteWhere(spark, p, "id <= 2")                      // v1: removes
+    DeltaLog.writeCheckpoint(spark, p, 1L)
+    // a foreign-style reader of the checkpoint parquet sees the
+    // tombstones (delta requires them within the retention window —
+    // its VACUUM bookkeeping and concurrent-reader grace read them)
+    def cpRemoves(v: Long): Seq[String] = {
+      val cp = java.nio.file.Paths.get(p, "_delta_log",
+        f"$v%020d.checkpoint.parquet")
+      val df = spark.read.parquet(cp.toString)
+      if (!df.columns.contains("remove")) Nil
+      else df.where(col("remove").isNotNull)
+        .select(col("remove.path"), col("remove.deletionTimestamp"))
+        .collect().map(r => { assert(!r.isNullAt(1),
+          "tombstones must carry deletionTimestamp"); r.getString(0) }).toSeq
+    }
+    val t1 = cpRemoves(1L)
+    assert(t1.nonEmpty, "the delete's removed file must survive the fold")
+    // the snapshot read THROUGH the tombstone-bearing checkpoint is
+    // unchanged, both fold routes
+    DeltaLog.cleanupLog(spark, p)
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq ==
+      (3L to 6L))
+    // vacuum behavior unchanged: within retention nothing sweeps, past
+    // retention the tombstoned file goes
+    assert(DeltaLog.vacuum(spark, p).isEmpty)
+    // tombstones CARRY FORWARD through the next fold (prev-checkpoint
+    // seeding) while unexpired…
+    DeltaLog.write(Seq((9L, "z")).toDF("id", "s"), "append", p,
+      checkpointInterval = 0)                                      // v2
+    DeltaLog.writeCheckpoint(spark, p, 2L)
+    assert(cpRemoves(2L).toSet == t1.toSet,
+      "unexpired tombstones must survive re-checkpointing")
+    // …and DROP once expired (retention 0 expires everything)
+    DeltaLog.writeCheckpoint(spark, p, 2L, removeRetentionMs = 0L)
+    assert(cpRemoves(2L).isEmpty, "expired tombstones must drop")
+    // a removed-then-RE-ADDED path reconciles to the add: restore brings
+    // the deleted rows back, and the next checkpoint holds no tombstone
+    // for the resurrected files
+    val pr = wipe("tombstones_restore")
+    DeltaLog.write((1L to 4L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", pr, checkpointInterval = 0)                     // v0
+    DeltaLog.deleteWhere(spark, pr, "id <= 2")                     // v1
+    DeltaLog.restore(spark, pr, 0L)                                // v2: re-add
+    DeltaLog.writeCheckpoint(spark, pr, 2L)
+    val cpR = spark.read.parquet(java.nio.file.Paths.get(pr, "_delta_log",
+      "0" * 19 + "2.checkpoint.parquet").toString)
+    val addPaths = cpR.where(col("add").isNotNull)
+      .select(col("add.path")).collect().map(_.getString(0)).toSet
+    val remPaths = if (!cpR.columns.contains("remove")) Set.empty[String]
+      else cpR.where(col("remove").isNotNull)
+        .select(col("remove.path")).collect().map(_.getString(0)).toSet
+    assert(remPaths.intersect(addPaths).isEmpty,
+      s"re-added paths must not carry tombstones: ${remPaths.intersect(addPaths)}")
+    DeltaLog.cleanupLog(spark, pr)
+    assert(DeltaLog.read(spark, pr).count() == 4L)
+  }
+
+  test("v2 checkpoints carry tombstones in their sidecars") {
+    val sp = spark; import sp.implicits._
+    val p = wipe("tombstones_v2")
+    DeltaLog.write((1L to 6L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", p,
+      tableProperties = Map("delta.checkpointPolicy" -> "v2"),
+      checkpointInterval = 0)                                      // v0
+    DeltaLog.deleteWhere(spark, p, "id <= 2")                      // v1
+    DeltaLog.writeCheckpoint(spark, p, 1L)
+    val sidecarDir = java.nio.file.Paths.get(p, "_delta_log", "_sidecars")
+    val sidecars = java.nio.file.Files.list(sidecarDir).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    val sc = spark.read.parquet(sidecars: _*)
+    assert(sc.columns.contains("remove"), "sidecars must carry tombstones")
+    assert(sc.where(col("remove").isNotNull).count() >= 1L)
+    // the manifest itself holds NO file actions
+    val manifest = java.nio.file.Files.list(
+      java.nio.file.Paths.get(p, "_delta_log")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].toString)
+      .find(_.matches(".*0{19}1\\.checkpoint\\.[0-9a-f-]{36}\\.parquet")).get
+    val m = spark.read.parquet(manifest)
+    Seq("add", "remove").foreach { c =>
+      if (m.columns.contains(c))
+        assert(m.where(col(c).isNotNull).count() == 0L,
+          s"manifest must hold no $c actions")
+    }
+    // fold through the tombstone-bearing v2 checkpoint is unchanged
+    DeltaLog.cleanupLog(spark, p)
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq ==
+      (3L to 6L))
+  }
 }

@@ -187,6 +187,37 @@ class DeltaSkippingSpec extends SparkSpec {
     assert(all.length == 4)
   }
 
+  test("generated-partition probe evaluates at the DECLARED source type") {
+    val sp = spark; import sp.implicits._
+    val p = tmp("genpart_widen")
+    rm(p)
+    // type-SENSITIVE generation expression: hash() of an int literal and
+    // of the same value as a long differ, so a probe evaluated at the
+    // raw literal's type (int 7) implies a WRONG bucket for the long
+    // column and silently empties the read
+    val genMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.generationExpression", "abs(hash(id)) % 4").build()
+    DeltaLog.write(
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartition(4)
+        .withColumn("bucket",
+          org.apache.spark.sql.functions.abs(
+            org.apache.spark.sql.functions.hash(col("id"))).cast("long")
+            .%(4).as("bucket", genMeta)),
+      "overwrite", p, partitionBy = Seq("bucket"))
+    // "id = 7": an INT literal against the LONG column — typeMatches
+    // admits the widening, so the augmented conjunct must come from
+    // hash(CAST(7 AS BIGINT)), not hash(7)
+    val got = DeltaLog.readWhere(spark, p, "id = 7")
+      .select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((7L, "v7")),
+      s"widened-literal probe must not misdirect the bucket: $got")
+    // and the augmentation still PRUNES (to the correct partition)
+    val (kept, total) = DeltaLog.skippingStats(spark, p, "id = 7")
+    assert(kept < total, s"still prunes: $kept of $total")
+  }
+
   test("randomized predicates: pruned read ALWAYS equals the full-scan filter") {
     val p = tmp("skip_random")
     writeRanged(p)

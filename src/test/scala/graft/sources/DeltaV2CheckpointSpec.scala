@@ -149,7 +149,10 @@ class DeltaV2CheckpointSpec extends SparkSpec {
       s"one sidecar per active file: $sidecarsAfter")
     // fold away every commit: the NEW manifest+sidecars alone must
     // reproduce the snapshot, the synthesized generation's DVs included
-    val swept = DeltaLog.cleanupLog(spark, p)
+    // grace = 0: the synthesized foreign sidecars are brand-new, and the
+    // default grace window would (correctly) protect them as possibly
+    // mid-checkpoint — this test exercises the orphan logic itself
+    val swept = DeltaLog.cleanupLog(spark, p, sidecarGraceMs = 0L)
     assert(!Files.exists(logDirP.resolve("0" * 19 + "1.json")))
     // the superseded v1 manifest and its now-unreferenced foreign
     // sidecars are swept; the fresh generation survives
@@ -187,6 +190,30 @@ class DeltaV2CheckpointSpec extends SparkSpec {
     DeltaLog.cleanupLog(spark, p)
     assert(!Files.exists(Paths.get(p, "_delta_log", "0" * 20 + ".json")))
     assert(DeltaLog.read(spark, p).count() == 7L)
+  }
+
+  test("fresh unreferenced sidecars survive the default-grace sweep") {
+    val sp = spark; import sp.implicits._
+    val p = synthesize("sidecar_grace", manifestJson = false)
+    DeltaLog.write(Seq(15L).toDF("id"), "append", p) // version 2
+    DeltaLog.writeCheckpoint(spark, p, 2L)
+    // simulate a concurrent writeCheckpoint mid-flight: a sidecar renamed
+    // into _sidecars/ whose manifest has NOT landed yet — referenced by
+    // nothing, but brand-new. The default grace must skip it (sweeping it
+    // would strand the about-to-land manifest on missing files).
+    val orphan = Paths.get(p, "_delta_log", "_sidecars",
+      "00000000-0000-4000-8000-00000000fee1.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    val swept = DeltaLog.cleanupLog(spark, p)
+    assert(!swept.exists(_.contains("fee1")), s"swept: $swept")
+    assert(Files.exists(orphan))
+    // aged past the grace window, the same orphan IS swept
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    val swept2 = DeltaLog.cleanupLog(spark, p)
+    assert(swept2.exists(_.contains("fee1")), s"swept: $swept2")
+    assert(!Files.exists(orphan))
   }
 
   test("manifest referencing a missing sidecar refuses typed") {

@@ -126,7 +126,7 @@ class DeltaWriterGateSpec extends SparkSpec {
     assert(refused(DeltaLog.optimize(spark, active)).contains("materialized"))
   }
 
-  test("change data feed: appends and cdc-emitting mutations allowed, overwrite refuses") {
+  test("change data feed: appends, cdc-emitting mutations and overwrite all honor the feed") {
     val sp = spark; import sp.implicits._
     val p = foreign("cdf",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
@@ -139,13 +139,19 @@ class DeltaWriterGateSpec extends SparkSpec {
     assert(DeltaLog.deleteWhere(spark, p, "id = 1") == 1)
     DeltaLog.upsert(Seq((2L, "y")).toDF("id", "s"), Seq("id"), p)
     assert(DeltaLog.read(spark, p).count() == 2L)
-    // overwrite restarts the log — the change history a CDF table
-    // promises would be silently destroyed, still refused
-    assert(refused(DeltaLog.write(Seq((5L, "w")).toDF("id", "s"),
-      "overwrite", p)).contains("change data feed"))
+    // overwrite is version-preserving: whole-file removes + adds serve
+    // the feed exactly (delta-spark's overwrite emits no cdc either) —
+    // allowed, and the boundary reads back as delete-all + insert
+    val preV = DeltaLog.history(spark, p).head._1
+    DeltaLog.write(Seq((5L, "w")).toDF("id", "s"), "overwrite", p)
+    val ow = DeltaLog.readChanges(spark, p, preV, preV + 1)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ow == Set(("delete", 2L), ("delete", 9L), ("insert", 5L)),
+      s"$ow")
     // dataChange=false restage carries no row delta — allowed
     DeltaLog.optimize(spark, p)
-    assert(DeltaLog.read(spark, p).count() == 2L)
+    assert(DeltaLog.read(spark, p).count() == 1L)
   }
 
   test("generated columns compute when absent, validate when supplied") {
@@ -174,6 +180,53 @@ class DeltaWriterGateSpec extends SparkSpec {
     intercept[graft.GraftError.ConstraintViolation] {
       DeltaLog.upsert(Seq((99L, "wxyz")).toDF("id", "s"), Seq("s"), gen)
     }
+  }
+
+  test("liquid-clustered + vacuumProtocolCheck tables mutate; clustering domain survives checkpoints") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("clustered")
+    // synthesize a foreign liquid-clustered table: v7/r3 with clustering,
+    // vacuumProtocolCheck and domainMetadata, plus the delta.clustering
+    // domain carrying the clustering columns — the shape delta-spark
+    // 3.x+ writes by default recommendation
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val dataFile = Files.list(Paths.get(p)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
+    val size = Files.size(Paths.get(p, dataFile))
+    val log = Paths.get(p, "_delta_log")
+    Files.createDirectories(log)
+    Files.writeString(log.resolve("0" * 20 + ".json"), Seq(
+      """{"commitInfo":{"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["clustering","domainMetadata","vacuumProtocolCheck"]}}""",
+      """{"metaData":{"id":"clustered-x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}""",
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"id\"]]}","removed":false}}""",
+      s"""{"add":{"path":"$dataFile","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}""")
+      .mkString("", "\n", "\n"))
+    // clustering is BEST-EFFORT per the protocol: unclustered adds are
+    // legal, so append/upsert/delete must all work — not refuse
+    DeltaLog.write(Seq((9L, "z")).toDF("id", "s"), "append", p)
+    DeltaLog.upsert(Seq((2L, "up")).toDF("id", "s"), Seq("id"), p)
+    assert(DeltaLog.deleteWhere(spark, p, "id = 1") == 1)
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 9L))
+    // the clustering domain SURVIVES checkpoint + cleanup (fold keeps the
+    // newest live action per domain)
+    DeltaLog.writeCheckpoint(spark, p, 3L)
+    DeltaLog.cleanupLog(spark, p)
+    val cp = spark.read.parquet(
+      Paths.get(p, "_delta_log", "0" * 19 + "3.checkpoint.parquet").toString)
+    val domains = cp.where(org.apache.spark.sql.functions.col(
+        "domainMetadata").isNotNull)
+      .select("domainMetadata.domain").collect().map(_.getString(0)).toSet
+    assert(domains.contains("delta.clustering"),
+      s"clustering domain must survive the fold: $domains")
+    assert(DeltaLog.read(spark, p).count() == 2L)
+    // vacuumProtocolCheck: vacuum runs (the capability gate IS the check)
+    assert(DeltaLog.vacuum(spark, p).isEmpty) // within retention
+    assert(DeltaLog.vacuum(spark, p, retentionMs = 0L).nonEmpty)
+    assert(DeltaLog.read(spark, p).count() == 2L)
   }
 
   test("gate resolves the protocol from a foreign checkpoint-only log") {

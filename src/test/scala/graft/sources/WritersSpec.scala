@@ -12,6 +12,19 @@ class WritersSpec extends SparkSpec {
     dir.resolve(name).toString
   }
 
+  /** `tmp` wiped first — for delta tests whose assertions count versions
+    * or files: overwrite is VERSION-PRESERVING now, so a leftover table
+    * from a previous run keeps its history instead of restarting at v0.
+    */
+  private def fresh(name: String): String = {
+    val p = tmp(name)
+    val pp = Paths.get(p)
+    if (Files.exists(pp))
+      Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    p
+  }
+
   private lazy val df = {
     val sp = spark; import sp.implicits._
     Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
@@ -248,7 +261,7 @@ class WritersSpec extends SparkSpec {
 
   test("delta time travel reads earlier snapshots; vacuum drops orphans") {
     val sp = spark; import sp.implicits._
-    val p = tmp("delta_tt")
+    val p = fresh("delta_tt")
     Writers.writeDeltaTable(df, "overwrite", p) // v0: 2 rows
     Writers.writeDeltaTable(Seq((3L, "c", 3.5)).toDF("id", "name", "v"),
       "append", p) // v1: 3 rows
@@ -1132,7 +1145,7 @@ class WritersSpec extends SparkSpec {
 
   test("delta history lists operations; restore reinstates an old snapshot additively") {
     val sp = spark; import sp.implicits._
-    val p = tmp("delta_restore")
+    val p = fresh("delta_restore")
     Writers.writeDeltaTable(Seq((1L, "a", 1.0)).toDF("id", "name", "v"), "overwrite", p)
     Writers.writeDeltaTable(Seq((2L, "b", 2.0)).toDF("id", "name", "v"), "append", p)
     Writers.deleteFromDeltaTable(spark, p, "id = 1")
@@ -1189,7 +1202,7 @@ class WritersSpec extends SparkSpec {
 
   test("two concurrent delta appends both land, on distinct versions") {
     val sp = spark; import sp.implicits._
-    val p = tmp("delta_race2")
+    val p = fresh("delta_race2")
     Writers.writeDeltaTable(df, "overwrite", p)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
@@ -1209,7 +1222,7 @@ class WritersSpec extends SparkSpec {
 
   test("8-way append race: every writer lands once, versions are gapless") {
     val sp = spark; import sp.implicits._
-    val p = tmp("delta_race8")
+    val p = fresh("delta_race8")
     Writers.writeDeltaTable(df, "overwrite", p)
     // all 8 writers start from the SAME observed version, so every slot
     // is contested: 1 winner + 7 rebases, then 1 + 6, ... — the
@@ -1245,14 +1258,15 @@ class WritersSpec extends SparkSpec {
 
   test("two racing overwrites never mix state: one table wins whole") {
     val sp = spark; import sp.implicits._
-    val p = tmp("delta_ow_race")
+    val p = fresh("delta_ow_race")
     Writers.writeDeltaTable(df, "overwrite", p)
-    // Two overwrites both target slot 0 (overwrite always restarts the
-    // log) — unlike appends they must NOT rebase: a loser either throws
-    // typed (lost the slot to the concurrent winner) or the writers
-    // serialized and the later one replaced the earlier wholesale. Either
-    // way the invariant is atomicity: the final table is EXACTLY one
-    // writer's rows — never a blend — and the log holds one commit.
+    // Version-preserving overwrites must NOT rebase past each other: a
+    // loser either throws typed (its remove set was computed from a
+    // snapshot the winner superseded) or the writers serialized — same-
+    // driver overwrites do, on the swap lock — and the later one
+    // replaced the earlier wholesale. Either way the invariant is
+    // atomicity: the final table is EXACTLY one writer's rows, never a
+    // blend, and every commit version is a complete consistent snapshot.
     val gate = new java.util.concurrent.CountDownLatch(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -1280,10 +1294,21 @@ class WritersSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq
     assert(ids == Seq(200L) || ids == Seq(201L),
       s"final table must be exactly one writer's rows, got $ids")
+    // version-preserving: the create plus one commit per SUCCEEDED
+    // overwrite — history intact, each version a whole table
     val versions = Files.list(Paths.get(p, "_delta_log")).toArray.map(_.toString)
       .filter(_.endsWith(".json"))
-    assert(versions.length == 1,
-      s"overwrite must restart the log at a single version-0 commit: ${versions.toSeq}")
+    assert(versions.length == 3 - errors.size,
+      s"one commit per landed overwrite: ${versions.toSeq}")
+    // time travel to the pre-race version still reads the ORIGINAL rows
+    assert(DeltaLog.read(spark, p, versionAsOf = Some(0L)).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // and every intermediate version is a complete single-writer state
+    (1L until (3 - errors.size).toLong).foreach { v =>
+      val rows = DeltaLog.read(spark, p, versionAsOf = Some(v)).collect()
+        .map(_.getLong(0)).toSeq
+      assert(rows == Seq(200L) || rows == Seq(201L), s"v$v: $rows")
+    }
   }
 
   test("delta append with a different partition spec is a PartitionError") {
@@ -1303,7 +1328,7 @@ class WritersSpec extends SparkSpec {
 
   test("delta checkpoint bounds log replay: reads survive cleaned-up commits") {
     val sp = spark; import sp.implicits._
-    val p = tmp("delta_checkpoint")
+    val p = fresh("delta_checkpoint")
     def row(i: Long) = Seq((i, s"n$i", i * 1.0)).toDF("id", "name", "v")
     Writers.writeDeltaTable(row(0), "overwrite", p) // v0
     DeltaLog.write(row(1), "append", p, checkpointInterval = 2) // v1
@@ -1347,7 +1372,7 @@ class WritersSpec extends SparkSpec {
 
   test("delta snapshot reader ignores files not referenced by the log") {
     val sp = spark; import sp.implicits._
-    val p = tmp("delta_orphan")
+    val p = fresh("delta_orphan")
     Writers.writeDeltaTable(df, "overwrite", p)
     // an orphan parquet dropped into the dir (failed job debris) must be
     // invisible to the snapshot — this is what distinguishes a delta read
