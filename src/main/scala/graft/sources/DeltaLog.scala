@@ -503,9 +503,9 @@ object DeltaLog {
         adds = true, removes = m == "overwrite", rewrites = m == "overwrite",
         removesWholeFiles = m == "overwrite",
         // append/merge/overwrite all mint fresh base row ids stepping
-        // past the recorded hwm — but only on UNMAPPED tables (the
-        // materialization path does not speak physical names)
-        rowIdsHandled = columnMappingMode(spark, fs, tbl) == "none")
+        // past the recorded hwm — a log-side assignment, independent of
+        // column mapping (fresh rows take the positional default)
+        rowIdsHandled = true)
     // table properties only take effect on the commit that CREATES the
     // log (version 0); silently ignoring them on an append/merge into an
     // existing table would let a caller believe they set appendOnly (or
@@ -558,18 +558,11 @@ object DeltaLog {
       if (m != "overwrite") "none"
       else columnMapping.getOrElse(
         priorConf.getOrElse("delta.columnMapping.mode", "none"))
-    // row tracking + column mapping together is out of scope: the
-    // materialized row-id columns would need PHYSICAL names and mapping
-    // annotations of their own — refuse the combination typed
-    if (rowTrackingEnabled(
-        (if (hasLog) priorConf else Map.empty[String, String]) ++
-          tableProperties) &&
-        (freshMappedMode != "none" ||
-          (hasLog && columnMappingMode(spark, fs, tbl) != "none")))
-      throw graft.GraftError.InvalidOperation("write_delta",
-        s"$tbl: delta.enableRowTracking with column mapping is not " +
-          "supported by this writer — create the table with one or the " +
-          "other")
+    // row tracking + column mapping compose: the materialized row-id
+    // columns are PHYSICAL-only identifiers (named in the table
+    // configuration, absent from the logical schema), so they need no
+    // mapping annotations — scans read them by name, rewrites restage
+    // them verbatim alongside the renamed data columns
     val freshMinted: Option[(String, StructType)] =
       if (m == "overwrite" && freshMappedMode != "none") {
         if (freshMappedMode != "name" && freshMappedMode != "id")
@@ -698,14 +691,18 @@ object DeltaLog {
     // with the new mark in this same commit); explicit values need
     // delta.identity.allowExplicitInsert=true and advance the mark past
     // their extreme
+    // identity + mapping compose too: identity is a LOGICAL schema
+    // concern (metadata on the declared field, values assigned before
+    // staging), and the logical→physical rename below carries the
+    // assigned column like any other
     val idColsW = identityCols(enforceSchema.orElse(Some(df.schema)))
-    if (idColsW.nonEmpty && (freshMappedMode != "none" ||
-        (hasLog && columnMappingMode(spark, fs, tbl) != "none")))
-      throw graft.GraftError.InvalidOperation("write_delta",
-        s"$tbl: identity columns with column mapping are not supported " +
-          "by this writer")
+    // identity hwm updates rebase on the schema the commit will DECLARE:
+    // the table's own on appends, the freshly MINTED mapped schema on a
+    // mapped create/overwrite (starting from the raw frame schema would
+    // record a schemaString without the mapping annotations — every
+    // later read would resolve the logical names to nothing)
     var identitySchemaBase: StructType =
-      enforceSchema.getOrElse(df.schema)
+      enforceSchema.orElse(freshMinted.map(_._2)).getOrElse(df.schema)
     var identityEvolved = false
     val dfIn = idColsW.foldLeft(dfGen) { (cur, ic) =>
       val supplied = cur.columns.exists(_.equalsIgnoreCase(ic.name))
@@ -1890,16 +1887,16 @@ object DeltaLog {
 
   /** Row-tracking rewrite bundle for a mutation path: (active-and-
     * handled, materialized column names, hidden LongType read columns).
-    * Active row tracking on a column-mapped table reports inactive —
-    * the gate then refuses via rowIdsHandled=false; missing materialized
-    * names refuse typed inside [[matColNames]].
+    * Column-mapped tables are handled too: the materialized names are
+    * PHYSICAL-only identifiers the scan reads and the rewrite restages
+    * verbatim, orthogonal to the logical↔physical rename. Missing
+    * materialized names refuse typed inside [[matColNames]].
     */
   private def rowTrackingRewriteInfo(spark: SparkSession, fs: FileSystem,
       tbl: HPath, op: String)
       : (Boolean, Option[(String, String)], Seq[StructField]) = {
     val conf = tableConfiguration(spark, fs, tbl)
-    val rt = rowTrackingEnabled(conf) &&
-      columnMappingMode(spark, fs, tbl) == "none"
+    val rt = rowTrackingEnabled(conf)
     val mc = if (rt) Some(matColNames(conf, tbl, op)) else None
     (rt, mc, mc.toSeq.flatMap { case (i, v) => Seq(
       StructField(i, org.apache.spark.sql.types.LongType),
@@ -1984,9 +1981,15 @@ object DeltaLog {
     // vacuumProtocolCheck only obliges VACUUM implementations to check
     // the table protocol before deleting files — which [[vacuum]]'s
     // requireWriterCapability gate already does; plain reads are
-    // unaffected by the feature
+    // unaffected by the feature.
+    // typeWidening (delta 4.x, + its preview spelling): files written
+    // before a widening carry the NARROWER physical type — the
+    // declared-schema scan upcasts them, which Spark 4's vectorized
+    // parquet reader supports natively for the protocol's legal
+    // widenings (int→long, float→double, decimal scale/precision
+    // growth, date→timestampNtz); DeltaTypeWideningSpec pins it.
     Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
-      "vacuumProtocolCheck")
+      "vacuumProtocolCheck", "typeWidening", "typeWidening-preview")
 
   /** Writer-protocol fidelity gate, run before any mutation of an
     * EXISTING delta table. `adds`/`removes` describe the commit this
@@ -2700,9 +2703,13 @@ object DeltaLog {
     val renamed = mappedInfo match {
       case Some((mode, logical)) =>
         if (mode == "id") requireIdWritable(logical, tbl, op.toLowerCase)
-        require(addDf.columns.toSet == logical.fieldNames.toSet,
-          s"$op rewrite frame columns ${addDf.columns.mkString(",")} != " +
+        require(logical.fieldNames.forall(addDf.columns.contains),
+          s"$op rewrite frame columns ${addDf.columns.mkString(",")} lack " +
             s"mapped table schema ${logical.fieldNames.mkString(",")}")
+        // columns BEYOND the logical schema are physical-only internals
+        // (row tracking's materialized id/commit-version) — restaged
+        // verbatim under their own names, no mapping annotation applies
+        val extras = addDf.columns.filterNot(logical.fieldNames.contains)
         val physical = physicalType(logical).asInstanceOf[StructType]
         addDf.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
           // id mode: nested field ids ride on the cast target's metadata
@@ -2713,7 +2720,7 @@ object DeltaLog {
                 .putLong(ParquetFieldIdKey, lf.metadata.getLong(MappingIdKey))
                 .build())
           else col(s"`${lf.name}`").cast(stripMeta(pf.dataType)).as(pf.name)
-        }: _*)
+        } ++ extras.map(e => col(s"`$e`")): _*)
       case None => addDf
     }
     // mapped tables stage under PHYSICAL partition dir names; the log's
@@ -4277,18 +4284,18 @@ object DeltaLog {
       else Seq(dvKeyExpr(keyDepth).as(DvFileCol),
         col("_metadata.row_index").as(DvRowCol))
     // extraCols: HIDDEN physical columns (row tracking's materialized
-    // id/commit-version) appended to the declared read schema — files
-    // written before materialization fill them with NULL. Mapped tables
-    // never pass them (rowTracking + mapping is refused at write).
-    require(extraCols.isEmpty ||
-      logicalSchemaIfMapped(spark, fs, tbl).isEmpty,
-      "extraCols unsupported on column-mapped tables")
+    // id/commit-version) appended to the read schema — files written
+    // before materialization fill them with NULL. The materialized
+    // names are PHYSICAL-only identifiers (they live in the table
+    // configuration, not the logical schema), so on mapped tables they
+    // append to the physical read schema and pass through the rename
+    // untouched.
     logicalSchemaIfMapped(spark, fs, tbl) match {
       case Some(("name", logical)) =>
         val physical = physicalType(logical).asInstanceOf[StructType]
         val df = spark.read
           .option("basePath", path)
-          .schema(physical)
+          .schema(StructType(physical.fields ++ extraCols))
           .parquet(files: _*)
         // physical → logical is a positional struct rename: same types,
         // so the casts are name rewrites Catalyst folds into the scan
@@ -4297,7 +4304,7 @@ object DeltaLog {
           // nullable, and a NOT NULL nested field in the logical schema
           // would otherwise make the rename cast unresolvable
           col(s"`${pf.name}`").cast(stripMeta(lf.dataType)).as(lf.name)
-        } ++ meta: _*)
+        } ++ extraCols.map(f => col(s"`${f.name}`")) ++ meta: _*)
       case Some(("id", logical)) =>
         // id-mode: columns resolve against the files BY parquet field id
         // (the reader contract delta-spark implements) — Spark's native
@@ -4345,7 +4352,12 @@ object DeltaLog {
           fieldIdReadType(dataLogical, tbl).asInstanceOf[StructType].fields ++
             partFields.map { case (f, phys) =>
               org.apache.spark.sql.types.StructField(phys,
-                stripMeta(f.dataType), nullable = true) })
+                stripMeta(f.dataType), nullable = true) } ++
+            // extraCols carry no field-id metadata, so Spark's field-id
+            // reader falls back to BY-NAME resolution for exactly them —
+            // the materialized columns are written by name on id-mode
+            // tables too
+            extraCols)
         val df = spark.read
           .option("basePath", path)
           .schema(readSchema)
@@ -4356,7 +4368,7 @@ object DeltaLog {
         df.select(logical.fields.map { lf =>
           val src = physByLogical.getOrElse(lf.name, lf.name)
           col(s"`$src`").cast(stripMeta(lf.dataType)).as(lf.name)
-        } ++ meta: _*)
+        } ++ extraCols.map(f => col(s"`${f.name}`")) ++ meta: _*)
       case _ =>
         // declared-schema scan: the log's metaData.schemaString IS the
         // table schema (delta PROTOCOL.md — readers resolve columns

@@ -175,6 +175,73 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(e.getMessage.contains("materialized"))
   }
 
+  test("row tracking composes with column mapping: upsert/delete preserve ids") {
+    val sp = spark; import sp.implicits._
+    for (mode <- Seq("name", "id")) {
+      val p = freshDir(s"mapped_$mode")
+      DeltaLog.write((0L until 8L).map(i => (i, s"v$i")).toDF("id", "s"),
+        "overwrite", p, columnMapping = Some(mode), tableProperties = RT)
+      // the data files carry PHYSICAL column names; the materialized
+      // row-id columns are physical-only identifiers on top
+      val before = rowIds(p)
+      assert(before.values.toSeq.sorted == (0L until 8L), s"$mode: $before")
+      // upsert: survivors and the updated row keep their ids, the
+      // insert gets a fresh one past the mark
+      DeltaLog.upsert(Seq((3L, "up"), (100L, "new")).toDF("id", "s"),
+        Seq("id"), p)
+      val after = rowIds(p)
+      assert(after(3L) == before(3L),
+        s"$mode: updated row must keep its id")
+      assert((0L until 8L).filterNot(_ == 3L)
+        .forall(i => after(i) == before(i)),
+        s"$mode: survivors must keep ids: $before -> $after")
+      assert(after(100L) > before.values.max,
+        s"$mode: insert mints past the mark")
+      // deleteWhere: remaining rows keep their ids through the rewrite
+      DeltaLog.deleteWhere(spark, p, "id = 0")
+      val afterDel = rowIds(p)
+      assert(afterDel == (after - 0L), s"$mode: $after -> $afterDel")
+      // logical reads stay clean: no physical/materialized leakage
+      assert(DeltaLog.read(spark, p).columns.toSeq == Seq("id", "s"))
+      // and the feed/scan columns resolve logically after a checkpoint
+      DeltaLog.writeCheckpoint(spark, p, 2L)
+      DeltaLog.cleanupLog(spark, p)
+      assert(rowIds(p) == afterDel, s"$mode: ids survive the fold")
+    }
+  }
+
+  test("identity columns compose with column mapping") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("identity_mapped")
+    val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build()
+    // create a name-mapped table whose id column is IDENTITY (GENERATED
+    // BY DEFAULT): supplied at creation, assigned on appends
+    DeltaLog.write(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+        .select(col("id").as("id", idMeta), col("s")),
+      "overwrite", p, columnMapping = Some("name"))
+    val v0 = Files.readString(Paths.get(p, "_delta_log", "0" * 20 + ".json"))
+    assert(v0.contains(""""identityColumns""""))
+    assert(v0.contains(""""columnMapping""""))
+    // append OMITTING the identity column: values assigned past the mark
+    DeltaLog.write(Seq("c", "d").toDF("s"), "append", p)
+    val got = DeltaLog.read(spark, p).select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")), s"$got")
+    // the refreshed metaData carries the bumped mark AND the mapping
+    // annotations (a clobbered annotation would break every later read)
+    val v1 = Files.readString(Paths.get(p, "_delta_log", "0" * 19 + "1.json"))
+    assert(v1.contains("highWaterMark\\\":4") ||
+      v1.contains("""highWaterMark\":4"""), s"$v1")
+    assert(v1.contains("delta.columnMapping.physicalName"))
+    // and appends keep working on top of the refreshed schema
+    DeltaLog.write(Seq("e").toDF("s"), "append", p)
+    assert(DeltaLog.read(spark, p).where(col("id") === 5L).count() == 1L)
+  }
+
   test("readWithRowIds refuses tables without row tracking") {
     val sp = spark; import sp.implicits._
     val p = freshDir("plain")

@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** typeWidening reader feature (delta 4.x): a foreign table may declare
+  * a WIDENED schema type (int→long, float→double, decimal growth) while
+  * files written before the widening keep the narrower physical type.
+  * The declared-schema scan must upcast those files — Spark 4's
+  * vectorized parquet reader supports the protocol's legal widenings
+  * natively, so whitelisting the feature suffices; this spec pins that
+  * assumption against the actual reader.
+  */
+class DeltaTypeWideningSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = s"target/tmp/typewiden/$name"
+    val pp = Paths.get(p)
+    if (Files.exists(pp))
+      Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    p
+  }
+
+  test("foreign table with widened int->long and float->double reads green") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("widened")
+    // the OLD file: written before the widening — int32 / float physical
+    Seq((1, 1.5f), (2, 2.5f)).toDF("i", "f").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val oldFile = Files.list(Paths.get(p)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
+    val oldSize = Files.size(Paths.get(p, oldFile))
+    // the NEW file: written after — long / double physical
+    val post = freshDir("widened_post")
+    Seq((3L, 3.5d)).toDF("i", "f").coalesce(1)
+      .write.mode("overwrite").parquet(post)
+    val newName = Files.list(Paths.get(post)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
+    Files.copy(Paths.get(post, newName), Paths.get(p, newName))
+    val newSize = Files.size(Paths.get(p, newName))
+    // schemaString declares the WIDE types + the typeChanges metadata
+    // delta-spark records on widened fields
+    val schema = """{\"type\":\"struct\",\"fields\":[""" +
+      """{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"integer\",\"toType\":\"long\"}]}},""" +
+      """{\"name\":\"f\",\"type\":\"double\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"float\",\"toType\":\"double\"}]}}]}"""
+    val log = Paths.get(p, "_delta_log")
+    Files.createDirectories(log)
+    Files.writeString(log.resolve("0" * 20 + ".json"), Seq(
+      """{"commitInfo":{"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":"tw-x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$oldFile","partitionValues":{},"size":$oldSize,"modificationTime":0,"dataChange":true}}""",
+      s"""{"add":{"path":"$newName","partitionValues":{},"size":$newSize,"modificationTime":0,"dataChange":true}}""")
+      .mkString("", "\n", "\n"))
+    val df = DeltaLog.read(spark, p)
+    assert(df.schema("i").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.schema("f").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(rows.toSeq == Seq((1L, 1.5d), (2L, 2.5d), (3L, 3.5d)),
+      s"${rows.toSeq}")
+    // predicate reads work across the physical-type boundary too
+    assert(DeltaLog.readWhere(spark, p, "i >= 2").count() == 2L)
+  }
+
+  test("typeWidening-preview spelling is accepted too") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("preview")
+    Seq((7, "x")).toDF("i", "s").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val f = Files.list(Paths.get(p)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
+    val size = Files.size(Paths.get(p, f))
+    val schema = """{\"type\":\"struct\",\"fields\":[""" +
+      """{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    val log = Paths.get(p, "_delta_log")
+    Files.createDirectories(log)
+    Files.writeString(log.resolve("0" * 20 + ".json"), Seq(
+      """{"commitInfo":{"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening-preview"],"writerFeatures":["typeWidening-preview"]}}""",
+      s"""{"metaData":{"id":"tw-p","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$f","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}""")
+      .mkString("", "\n", "\n"))
+    assert(DeltaLog.read(spark, p).collect().map(_.getLong(0)).toSeq ==
+      Seq(7L))
+  }
+}

@@ -308,10 +308,10 @@ class WritersSpec extends SparkSpec {
     // supported read features now — see the DV spec below)
     val p1 = freshTable("delta_proto_v3")
     appendCommit(p1,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}""")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","futureReaderX"]}}""")
     val e1 = intercept[graft.GraftError.InvalidOperation] { DeltaLog.read(spark, p1) }
     assert(e1.getMessage.contains("minReaderVersion 3") &&
-      e1.getMessage.contains("typeWidening"))
+      e1.getMessage.contains("futureReaderX"))
     // an add whose DV uses a storage type we can't load: typed refusal
     // at read assembly, before any row is returned
     val p2 = freshTable("delta_proto_dv")
