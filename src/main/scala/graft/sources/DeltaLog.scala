@@ -1964,7 +1964,13 @@ object DeltaLog {
     // vacuumProtocolCheck: obliges vacuum to check the protocol before
     // deleting — [[vacuum]] gates through requireWriterCapability, which
     // IS that check
-    "vacuumProtocolCheck")
+    "vacuumProtocolCheck",
+    // typeWidening's WRITER obligation is recording delta.typeChanges
+    // metadata when the writer CHANGES a column's type — this writer
+    // never does: [[mergeSchemas]] refuses scalar type mismatches
+    // typed, schema evolution only ever ADDS columns, and rewrites
+    // restage at the declared type. Zero obligations ⇒ tolerate.
+    "typeWidening", "typeWidening-preview")
 
   /** Reader features the replay-based read path honors end-to-end:
     * column mapping (name + id modes resolved at read), deletion
@@ -4938,6 +4944,11 @@ object DeltaLog {
     var attempts = 0
     while (!committed && attempts < 20) {
       attempts += 1
+      // re-stamp the commitInfo per attempt: a rebase follows a winner
+      // whose in-commit timestamp (ICT tables) this commit must exceed —
+      // replaying the pre-built line would break ICT monotonicity
+      actions(0) = commitInfoJson("DELETE", txnId, fs, tbl,
+        tableConfiguration(spark, fs, tbl))
       if (acquireCommitSlot(fs, log, v, txnId,
           actions.mkString("\n") + "\n")) committed = true
       else {

@@ -153,6 +153,31 @@ class DeltaConflictSpec extends SparkSpec with BeforeAndAfterEach {
     assert(e2.getMessage.contains("metadata"))
   }
 
+  test("DV-delete rebase re-stamps ICT past a slot-stealing future winner") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("ict_rebase")
+    DeltaLog.write((0L until 8L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(2), "overwrite", p,
+      tableProperties = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableInCommitTimestamps" -> "true"))
+    // the winner carries an ICT an HOUR in the future (clock skew) —
+    // the rebased commit must still exceed it, or the table's in-log
+    // clock goes backwards
+    val future = System.currentTimeMillis() + 3600000L
+    val (rel, size) = foreignFile(p, "foreign-ict.parquet", 500L, 507L)
+    stealNextSlot(p)(Seq(
+      s"""{"commitInfo":{"inCommitTimestamp":$future,"operation":"APPEND","txnId":"ict-race"}}""",
+      addLine(rel, size, Some(statsJson(500L, 507L, 8L)))))
+    assert(DeltaLog.deleteWhereViaDv(spark, p, "id = 3") == 1L)
+    // the rebased DELETE landed at v2 with ICT strictly past the winner
+    val v2 = Files.readString(Paths.get(p, "_delta_log", "0" * 19 + "2.json"))
+    val ict = """"inCommitTimestamp":(\d+)""".r
+      .findFirstMatchIn(v2).get.group(1).toLong
+    assert(ict > future, s"rebase must exceed the winner's ICT: $ict")
+    assert(DeltaLog.read(spark, p).count() == 15L)
+  }
+
   test("DV delete rebases past a disjoint append") {
     val sp = spark; import sp.implicits._
     val p = freshDir("dvdelete")

@@ -67,6 +67,35 @@ class DeltaTypeWideningSpec extends SparkSpec {
     assert(DeltaLog.readWhere(spark, p, "i >= 2").count() == 2L)
   }
 
+  test("appends and rewrites on a typeWidening table work (writer has no obligation)") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("writes")
+    Seq((1, 9.5f)).toDF("i", "f").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val f = Files.list(Paths.get(p)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
+    val size = Files.size(Paths.get(p, f))
+    val schema = """{\"type\":\"struct\",\"fields\":[""" +
+      """{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"integer\",\"toType\":\"long\"}]}},""" +
+      """{\"name\":\"f\",\"type\":\"double\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"float\",\"toType\":\"double\"}]}}]}"""
+    val log = Paths.get(p, "_delta_log")
+    Files.createDirectories(log)
+    Files.writeString(log.resolve("0" * 20 + ".json"), Seq(
+      """{"commitInfo":{"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":"tw-w","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$f","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}""")
+      .mkString("", "\n", "\n"))
+    // writer obligation = record typeChanges WHEN CHANGING a type; this
+    // writer never changes types, so mutations must not refuse
+    DeltaLog.write(Seq((2L, 2.5d)).toDF("i", "f"), "append", p)
+    assert(DeltaLog.deleteWhere(spark, p, "i = 1") == 1)
+    val rows = DeltaLog.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((2L, 2.5d)), s"$rows")
+  }
+
   test("typeWidening-preview spelling is accepted too") {
     val sp = spark; import sp.implicits._
     val p = freshDir("preview")

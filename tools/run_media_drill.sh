@@ -1,0 +1,17 @@
+#!/bin/bash
+set -e
+cd /root/repo
+ADDOPENS=$(for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect java.base/java.io java.base/java.net java.base/java.nio java.base/java.util java.base/java.util.concurrent java.base/java.util.concurrent.atomic java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action java.base/sun.util.calendar; do echo --add-opens=$p=ALL-UNNAMED; done)
+mkdir -p target/media_drill
+for leg in 1 2; do
+  for side in old new; do
+    CP=$([ $side = old ] && echo ".claude/worktrees/r18bench/target/scala-2.13/classes:/opt/spark/jars/*" || echo "target/scala-2.13/classes:/opt/spark/jars/*")
+    echo "=== drill leg $leg side $side $(date)" >&2
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_BENCH_ONLY=q_media_pipeline,q_winsorize,q_sim_pq_indexed \
+      SPARK_GRAFT_BENCH_REPS=9 \
+      java $ADDOPENS -Xmx32g -cp "$CP" graft.Bench \
+      > target/media_drill/${side}_leg${leg}.json 2> target/media_drill/${side}_leg${leg}.err
+  done
+done
+echo DRILLDONE
