@@ -1959,7 +1959,8 @@ object DeltaLog {
     // recommendation): the protocol says clustering is BEST-EFFORT —
     // writers may add unclustered files, they must only preserve the
     // `delta.clustering` domainMetadata, which the checkpoint fold's
-    // newest-per-domain rule already does; OPTIMIZE re-clusters
+    // newest-per-domain rule already does; a caller can re-cluster on
+    // demand with a z-order [[optimize]] naming the clustering columns
     "clustering",
     // vacuumProtocolCheck: obliges vacuum to check the protocol before
     // deleting — [[vacuum]] gates through requireWriterCapability, which
