@@ -1837,6 +1837,78 @@ object DeltaLog {
       s""""configuration":"{\\"rowIdHighWaterMark\\":$hwm}",""" +
       s""""removed":false}}"""
 
+  /** LOGICAL clustering columns of a liquid-clustered table — the newest
+    * live `delta.clustering` domainMetadata's clusteringColumns, each a
+    * name PATH (delta-spark stores physical names on mapped tables; they
+    * map back through the annotations). Nil when the table isn't
+    * clustered, the domain is removed, a path is nested (our z-order
+    * kernel takes top-level columns), or a name doesn't resolve —
+    * clustering is best-effort, so Nil just means "plain bin-packing".
+    */
+  private def clusteringColumns(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Seq[String] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    def colsOf(json: String): Option[Seq[Seq[String]]] = {
+      val node = try mapper.readTree(json) catch { case _: Exception => null }
+      if (node == null) return None
+      val dm = if (node.has("domainMetadata")) node.get("domainMetadata")
+        else node
+      if (dm == null || dm.get("domain") == null ||
+          dm.get("domain").asText != "delta.clustering")
+        None
+      else if (dm.get("removed") != null && dm.get("removed").asBoolean(false))
+        Some(Nil) // removed domain: clustering explicitly dropped
+      else Option(dm.get("configuration")).map(_.asText).flatMap { cs =>
+        val cn = try mapper.readTree(cs) catch { case _: Exception => null }
+        Option(cn).flatMap(c => Option(c.get("clusteringColumns")))
+          .filter(_.isArray).map { arr =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+            arr.forEach { pathNode =>
+              val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+              if (pathNode.isArray) pathNode.forEach(p => parts += p.asText)
+              else parts += pathNode.asText
+              out += parts.toSeq
+            }
+            out.toSeq
+          }
+      }
+    }
+    val log = logDir(tbl)
+    if (!fs.exists(log)) return Nil
+    val cpFloor = lastCheckpointVersion(fs, log)
+    val newest: Option[Seq[Seq[String]]] = existingVersions(fs, log)
+      .filter(v => cpFloor.forall(v > _))
+      .reverse.iterator.flatMap { v =>
+        readString(fs, new HPath(log, commitName(v))).linesIterator
+          .filter(_.contains("\"domainMetadata\""))
+          .flatMap(colsOf).toSeq.lastOption
+      }.nextOption()
+      .orElse(cpFloor.flatMap(v => readCheckpoint(spark, fs, log, v))
+        .flatMap { cp =>
+          if (!cp.columns.contains("domainMetadata")) None
+          else cp.where(col("domainMetadata").isNotNull)
+            .select(org.apache.spark.sql.functions.to_json(
+              col("domainMetadata")))
+            .collect().toSeq.flatMap(r => colsOf(r.getString(0))).headOption
+        })
+    val paths = newest.getOrElse(Nil)
+    if (paths.isEmpty || paths.exists(_.length != 1)) return Nil
+    val names = paths.map(_.head)
+    logicalSchemaIfMapped(spark, fs, tbl) match {
+      case Some((_, logical)) =>
+        val m = physToLogMap(logical)
+        val mapped = names.map(n => m.getOrElse(n,
+          if (logical.fieldNames.contains(n)) n else null))
+        if (mapped.contains(null)) Nil else mapped
+      case None =>
+        val declared = parsedTableSchema(spark, fs, tbl)
+        if (declared.exists(s => names.forall(s.fieldNames.contains)))
+          names
+        else Nil
+    }
+  }
+
   /** numRecords of a staged file — from its harvested stats JSON, with
     * an O(1) footer read as the fallback; row-id range assignment needs
     * an exact per-file count.
@@ -1959,8 +2031,8 @@ object DeltaLog {
     // recommendation): the protocol says clustering is BEST-EFFORT —
     // writers may add unclustered files, they must only preserve the
     // `delta.clustering` domainMetadata, which the checkpoint fold's
-    // newest-per-domain rule already does; a caller can re-cluster on
-    // demand with a z-order [[optimize]] naming the clustering columns
+    // newest-per-domain rule already does; [[optimize]] without explicit
+    // columns re-clusters on the declared clustering columns
     "clustering",
     // vacuumProtocolCheck: obliges vacuum to check the protocol before
     // deleting — [[vacuum]] gates through requireWriterCapability, which
@@ -5884,6 +5956,14 @@ object DeltaLog {
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Int = {
     val tbl0 = new HPath(path)
     val fs0 = tbl0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // liquid-clustered tables (delta.clustering domainMetadata): OPTIMIZE
+    // without explicit columns clusters on the TABLE's declared
+    // clustering columns, like delta-spark's — z-order is our clustering
+    // kernel, and its interleaved-bit layout serves the same
+    // skip-on-any-clustered-column contract. Explicit zorderBy wins.
+    val zCols =
+      if (zorderBy.nonEmpty) zorderBy
+      else clusteringColumns(spark, fs0, tbl0)
     // row tracking: compaction reorders rows across files, so positional
     // id defaults break — every restaged row's id/commit-version is
     // materialized into the hidden columns before the rewrite
@@ -5898,13 +5978,13 @@ object DeltaLog {
     // must be listed in the commit's remove set)
     val bytesCap = targetBytes
     val victims =
-      if (zorderBy.nonEmpty)
+      if (zCols.nonEmpty)
         activeAddsWhere(spark, path,
           snapshotDriverMaxBytes = snapshotDriverMaxBytes)
       else activeAddsWhere(spark, path,
         keep = Some((a: DeltaStats.AddEntry) => a.size < bytesCap),
         snapshotDriverMaxBytes = snapshotDriverMaxBytes)
-    if (victims.size <= 1 && zorderBy.isEmpty) return 0
+    if (victims.size <= 1 && zCols.isEmpty) return 0
     if (victims.isEmpty) return 0
     val tbl = new HPath(path)
     val files = victims.map(a => new HPath(tbl, a.rel).toString)
@@ -5931,8 +6011,8 @@ object DeltaLog {
             mid, mver, keyDepth).drop(DvFileCol, DvRowCol) }
         .getOrElse(live0)
       val (toWrite, packed) =
-        if (zorderBy.isEmpty) (live, Some(nOut))
-        else (zorderCluster(live, zorderBy, nOut), None)
+        if (zCols.isEmpty) (live, Some(nOut))
+        else (zorderCluster(live, zCols, nOut), None)
       commitRewrite(spark, path, "OPTIMIZE", victims.map(_.rel).sorted, toWrite,
         dataChange = false, numFiles = packed, logicalFrame = true,
         removeDvJson = dvVictims.map(a =>
@@ -5963,8 +6043,8 @@ object DeltaLog {
         }
     }
     val (toWrite, packed) =
-      if (zorderBy.isEmpty) (df, Some(nOut))
-      else (zorderCluster(df, zorderBy, nOut), None)
+      if (zCols.isEmpty) (df, Some(nOut))
+      else (zorderCluster(df, zCols, nOut), None)
     commitRewrite(spark, path, "OPTIMIZE", victims.map(_.rel).sorted, toWrite,
       dataChange = false, numFiles = packed, logicalFrame = false)
     victims.size

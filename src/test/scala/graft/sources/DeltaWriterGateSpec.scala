@@ -227,6 +227,24 @@ class DeltaWriterGateSpec extends SparkSpec {
     assert(DeltaLog.vacuum(spark, p).isEmpty) // within retention
     assert(DeltaLog.vacuum(spark, p, retentionMs = 0L).nonEmpty)
     assert(DeltaLog.read(spark, p).count() == 2L)
+    // OPTIMIZE with no explicit columns CLUSTERS on the table's declared
+    // clustering columns (delta-spark's clustered-OPTIMIZE): shuffled
+    // appends make per-file id stats useless, the re-cluster makes them
+    // selective again
+    DeltaLog.write(
+      (100L until 4100L).map(i => (i, s"name-$i-" + "x" * 40))
+        .toDF("id", "s").repartition(4), "append", p)
+    // the 4 shuffled append files all span ~the full 100..4100 range, so
+    // every one of them survives an id probe pre-optimize
+    val (keptBefore, totalBefore) =
+      DeltaLog.skippingStats(spark, p, "id = 2000")
+    assert(keptBefore >= 4,
+      s"shuffled append files cannot prune: $keptBefore/$totalBefore")
+    assert(DeltaLog.optimize(spark, p, targetBytes = 16L * 1024) > 0)
+    val (kept, total) = DeltaLog.skippingStats(spark, p, "id = 2000")
+    assert(total > 1 && kept == 1,
+      s"auto-clustered optimize must make id stats selective: $kept/$total")
+    assert(DeltaLog.read(spark, p).count() == 4002L)
   }
 
   test("gate resolves the protocol from a foreign checkpoint-only log") {
