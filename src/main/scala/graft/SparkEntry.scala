@@ -847,6 +847,43 @@ object SparkEntry {
         .select("_change_type", "n", "key_sum", "total_price")
     }),
 
+    // TYPE WIDENING performed BY the engine (delta.enableTypeWidening):
+    // the table is created with an int column, a date column and a
+    // decimal(12,2) column; the append supplies long / timestampNtz /
+    // decimal(18,4) — the commit widens the declared schema in place,
+    // records the protocol's delta.typeChanges field metadata, and the
+    // pre-widening narrow-physical files upcast at scan. The oracle
+    // recomputes the union straight from orders at the WIDE types.
+    "q_delta_widen" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/orders_delta_widen"
+      val pp = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val o = t(s, d, "orders").toDF
+      val D = graft.sources.DeltaLog
+      D.write(o.where(col("o_orderkey") % 10 < 5)
+        .select(col("o_orderpriority").as("prio"),
+          col("o_custkey").cast("int").as("cust"),
+          col("o_orderdate").cast("date").as("d"),
+          col("o_totalprice").cast("decimal(12,2)").as("price")),
+        "overwrite", path,
+        tableProperties = Map("delta.enableTypeWidening" -> "true")) // v0
+      D.write(o.where(col("o_orderkey") % 10 >= 8)
+        .select(col("o_orderpriority").as("prio"),
+          col("o_custkey").cast("bigint").as("cust"),
+          col("o_orderdate").cast("timestamp_ntz").as("d"),
+          col("o_totalprice").cast("decimal(18,4)").as("price")),
+        "append", path)                                              // v1: widens
+      D.read(s, path)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("cust")).cast("bigint").as("cust_sum"),
+          date_format(max(col("d")), "yyyy-MM-dd HH:mm:ss").as("last_d"),
+          round(sum(col("price")).cast("double"), 2).as("total_price"))
+    }),
+
     // inCommitTimestamp (delta's ICT writer feature): the table's clock
     // lives IN the log — every commit stamps a monotonic
     // commitInfo.inCommitTimestamp, and timestamp time travel resolves
@@ -3559,6 +3596,24 @@ object SparkEntry {
         "UNION ALL SELECT 'update_postimage', o_orderkey, o_totalprice + 1000 " +
         "FROM orders WHERE o_orderkey % 10 = 3" +
         ") GROUP BY _change_type"),
+
+    // the widened union recomputed from orders at the WIDE types: the
+    // creation's %10<5 rows (int cust / date d / decimal(12,2) price,
+    // all upcast at scan after the widening) plus the %10>=8 append
+    "q_delta_widen" ->
+      ("SELECT prio, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cust) AS BIGINT) AS cust_sum, " +
+        "strftime(max(d), '%Y-%m-%d %H:%M:%S') AS last_d, " +
+        "round(CAST(sum(price) AS DOUBLE), 2) AS total_price FROM (" +
+        "SELECT o_orderpriority AS prio, CAST(o_custkey AS BIGINT) AS cust, " +
+        "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4)) AS price " +
+        "FROM orders WHERE o_orderkey % 10 < 5 " +
+        "UNION ALL SELECT o_orderpriority, CAST(o_custkey AS BIGINT), " +
+        "CAST(o_orderdate AS TIMESTAMP), " +
+        "CAST(o_totalprice AS DECIMAL(18,4)) " +
+        "FROM orders WHERE o_orderkey % 10 >= 8" +
+        ") GROUP BY prio"),
 
     // the version-1 snapshot recomputed from orders: the creation's
     // %10<4 rows plus the first append's %10==5 rows — NOT the %10==7

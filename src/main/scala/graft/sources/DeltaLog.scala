@@ -163,8 +163,9 @@ object DeltaLog {
   private def protocolAction(mapped: Boolean, constrained: Boolean,
       v4Feature: Boolean = false, rowTracking: Boolean = false,
       identity: Boolean = false, dv: Boolean = false,
-      v2cp: Boolean = false, ict: Boolean = false): String =
-    if (rowTracking || identity || dv || v2cp || ict) {
+      v2cp: Boolean = false, ict: Boolean = false,
+      typeWiden: Boolean = false): String =
+    if (rowTracking || identity || dv || v2cp || ict || typeWiden) {
       // rowTracking/identityColumns/deletionVectors/v2Checkpoint exist
       // only as v7 table features; list exactly the features this table
       // uses (over-declaring would make other writers refuse
@@ -179,14 +180,18 @@ object DeltaLog {
         (if (dv) Seq("deletionVectors") else Nil) ++
         (if (v2cp) Seq("v2Checkpoint") else Nil) ++
         (if (ict) Seq("inCommitTimestamp") else Nil) ++
+        (if (typeWiden) Seq("typeWidening") else Nil) ++
         (if (constrained) Seq("invariants", "checkConstraints") else Nil) ++
         (if (v4Feature) Seq("generatedColumns", "changeDataFeed") else Nil) ++
         (if (mapped) Seq("columnMapping") else Nil)
-      val readerV = if (dv || v2cp) 3 else if (mapped) 2 else 1
+      // typeWidening is a READER feature too: narrow-physical files
+      // under a widened declared schema need the scan-time upcast
+      val readerV = if (dv || v2cp || typeWiden) 3 else if (mapped) 2 else 1
       val readerFeats =
-        if (dv || v2cp) s""""readerFeatures":[${
+        if (dv || v2cp || typeWiden) s""""readerFeatures":[${
           ((if (dv) Seq("deletionVectors") else Nil) ++
             (if (v2cp) Seq("v2Checkpoint") else Nil) ++
+            (if (typeWiden) Seq("typeWidening") else Nil) ++
             (if (mapped) Seq("columnMapping") else Nil))
             .map(f => s""""$f"""").mkString(",")}],"""
         else ""
@@ -286,10 +291,12 @@ object DeltaLog {
     * commit wins — merge commits refresh metaData). Driver-side Jackson
     * parse of the tiny commit files.
     */
-  private def latestPartitionColumns(fs: FileSystem, log: HPath): Option[Seq[String]] = {
+  private def latestPartitionColumns(fs: FileSystem, log: HPath,
+      asOf: Option[Long] = None): Option[Seq[String]] = {
     import com.fasterxml.jackson.databind.ObjectMapper
     val mapper = new ObjectMapper()
-    existingVersions(fs, log).reverse.iterator.flatMap { v =>
+    existingVersions(fs, log).filter(v => asOf.forall(v <= _))
+      .reverse.iterator.flatMap { v =>
       val text = readString(fs, new HPath(log, commitName(v)))
       text.linesIterator.flatMap { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
@@ -305,15 +312,19 @@ object DeltaLog {
   }
 
   /** Table partition columns from the newest metaData — commits first,
-    * checkpoint fallback when older commits were cleaned up.
+    * checkpoint fallback when older commits were cleaned up. `asOf`
+    * bounds the search like [[tableSchemaJson]]: a time-travel read
+    * resolves against the metaData AS OF that version (an overwrite may
+    * re-partition a table; its layout must not leak backwards).
     */
   private def tablePartitionColumns(spark: SparkSession, fs: FileSystem,
-      tbl: HPath): Option[Seq[String]] = {
-    val cacheKey = logIdentity(fs, tbl)
+      tbl: HPath, asOf: Option[Long] = None): Option[Seq[String]] = {
+    val cacheKey = (logIdentity(fs, tbl), asOf.getOrElse(-1L))
     val hit = partColsCache.get(cacheKey)
     if (hit != null) return hit
-    val result = latestPartitionColumns(fs, logDir(tbl))
-      .orElse(lastCheckpointVersion(fs, logDir(tbl)).flatMap { v =>
+    val result = latestPartitionColumns(fs, logDir(tbl), asOf)
+      .orElse(lastCheckpointVersion(fs, logDir(tbl))
+        .filter(v => asOf.forall(v <= _)).flatMap { v =>
         readCheckpoint(spark, fs, logDir(tbl), v).flatMap { cp =>
         if (cp.columns.contains("metaData")) {
           val rows = cp.where(col("metaData").isNotNull)
@@ -377,16 +388,131 @@ object DeltaLog {
       catch { case _: Exception => None }
     }
 
+  /** The protocol's legal LOSSLESS scalar widenings (typeWidening table
+    * feature): the integral chain, float→double, integrals→double,
+    * date→timestampNtz, and decimal growth whose integer-digit capacity
+    * never shrinks (precision grows at least as much as scale). Spark
+    * 4's vectorized parquet reader upcasts all of these at scan, so
+    * files written before the widening stay readable in place.
+    */
+  private[sources] def isLosslessWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        (b.precision > a.precision || b.scale > a.scale) &&
+          b.scale >= a.scale &&
+          (b.precision - a.precision) >= (b.scale - a.scale)
+      case _ => false
+    }
+  }
+
+  /** Append a `delta.typeChanges` entry (PROTOCOL.md's typeWidening
+    * writer obligation) onto a field's metadata, preserving any prior
+    * widenings of the same field.
+    */
+  private def withTypeChange(meta: org.apache.spark.sql.types.Metadata,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.Metadata = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+    val entry = new MetadataBuilder()
+      .putString("fromType", from.typeName)
+      .putString("toType", to.typeName).build()
+    val prior: Array[Metadata] =
+      if (meta.contains("delta.typeChanges"))
+        try meta.getMetadataArray("delta.typeChanges")
+        catch { case _: Exception => Array.empty }
+      else Array.empty
+    new MetadataBuilder().withMetadata(meta)
+      .putMetadataArray("delta.typeChanges", prior :+ entry).build()
+  }
+
+  /** Type conflicts an APPEND's frame has against the declared schema
+    * (exact-name fields; nested structs recurse; array/map elements
+    * compare structurally). A frame field NARROWER than the declared
+    * type is fine — its file upcasts at scan, like a pre-widening file.
+    * A WIDER frame field is fine only when `widen` (the table enables
+    * typeWidening — the commit refreshes metaData), except inside
+    * array/map elements where the protocol's typeChanges bookkeeping
+    * isn't carried here. Anything else would commit files the declared
+    * schema cannot read back — refuse typed instead.
+    */
+  private def appendTypeConflicts(table: StructType, frame: StructType,
+      widen: Boolean): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def conf(x: DataType, y: DataType, at: String,
+        inElement: Boolean): Seq[String] = (x, y) match {
+      case (x, y) if x == y => Nil
+      case (x: StructType, y: StructType) => walk(x, y, at, inElement)
+      case (x: ArrayType, y: ArrayType) =>
+        conf(x.elementType, y.elementType, s"$at[]", inElement = true)
+      case (x: MapType, y: MapType) =>
+        conf(x.keyType, y.keyType, s"$at<key>", inElement = true) ++
+          conf(x.valueType, y.valueType, s"$at<value>", inElement = true)
+      case (x, y) if isLosslessWidening(y, x) => Nil // narrower write
+      case (x, y) if widen && !inElement && isLosslessWidening(x, y) => Nil
+      case (x, y) => Seq(s"'$at' is $x in the table but $y in the frame" +
+        (if (isLosslessWidening(x, y))
+          (if (inElement)
+            " (array/map element widening is not supported)"
+          else " (enable delta.enableTypeWidening to widen it in place)")
+        else ""))
+    }
+    def walk(a: StructType, b: StructType, at: String,
+        inElement: Boolean): Seq[String] = {
+      val byName = a.fields.map(f => f.name -> f).toMap
+      b.fields.toSeq.flatMap { bf =>
+        byName.get(bf.name).toSeq.flatMap { f =>
+          conf(f.dataType, bf.dataType,
+            if (at.isEmpty) f.name else s"$at.${f.name}", inElement)
+        }
+      }
+    }
+    walk(table, frame, "", inElement = false)
+  }
+
+  /** True when widening-aware merging of `frame` into `table` would
+    * change at least one field's type — the signal an append needs a
+    * metaData refresh even though it adds no columns.
+    */
+  private def wouldWiden(table: StructType, frame: StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    def structWidens(a: StructType, b: StructType): Boolean = {
+      val byName = b.fields.map(f => f.name -> f).toMap
+      a.fields.exists(f => byName.get(f.name).exists(bf =>
+        typeWidens(f.dataType, bf.dataType)))
+    }
+    def typeWidens(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (x: StructType, y: StructType) => structWidens(x, y)
+      case (x, y) => isLosslessWidening(x, y)
+    }
+    structWidens(table, frame)
+  }
+
   /** Parquet-mergeSchema-shaped union of the table's declared schema and
     * an incoming frame's: table fields keep their position and type (an
     * incompatible same-name type refuses typed — exactly where the old
     * footer-merging read would have failed, but without opening a single
     * file), new frame fields append in frame order, nested structs merge
     * recursively, everything nullable (a merged table has rows missing
-    * either side's new fields).
+    * either side's new fields). With `widen` (the table enables
+    * `delta.enableTypeWidening`), a frame field whose type is a LEGAL
+    * LOSSLESS widening of the table's ([[isLosslessWidening]]) widens
+    * the declared type instead of refusing, recording the protocol's
+    * `delta.typeChanges` metadata on the field — old narrow-physical
+    * files stay readable through the declared-schema scan's upcast.
+    * Widening is supported on struct fields at any nesting depth;
+    * array/map ELEMENT widening (which needs fieldPath-style typeChanges
+    * entries) still refuses typed.
     */
   private[sources] def mergeSchemas(table: StructType,
-      frame: StructType, path: String): StructType = {
+      frame: StructType, path: String, widen: Boolean = false): StructType = {
     import org.apache.spark.sql.types._
     def mergeType(a: DataType, b: DataType, at: String): DataType = (a, b) match {
       case (x, y) if x == y => x
@@ -401,15 +527,23 @@ object DeltaLog {
       case (x, y) =>
         throw graft.GraftError.InvalidOperation("write_delta",
           s"merge into $path: column '$at' is $x in the table but $y in " +
-            "the frame — incompatible types cannot merge")
+            "the frame — incompatible types cannot merge" +
+            (if (isLosslessWidening(x, y))
+              " (enable delta.enableTypeWidening to widen it in place)"
+            else ""))
     }
     def mergeStruct(a: StructType, b: StructType, at: String): StructType = {
       val byName = b.fields.map(f => f.name -> f).toMap
       val merged = a.fields.map { f =>
         byName.get(f.name) match {
+          case Some(bf) if widen &&
+              isLosslessWidening(f.dataType, bf.dataType) =>
+            StructField(f.name, bf.dataType, nullable = true,
+              withTypeChange(f.metadata, f.dataType, bf.dataType))
           case Some(bf) => StructField(f.name,
             mergeType(f.dataType, bf.dataType,
-              if (at.isEmpty) f.name else s"$at.${f.name}"), nullable = true)
+              if (at.isEmpty) f.name else s"$at.${f.name}"),
+            nullable = true, f.metadata)
           case None => f.copy(nullable = true)
         }
       }
@@ -459,7 +593,8 @@ object DeltaLog {
       txn: Option[(String, Long)] = None,
       tableProperties: Map[String, String] = Map.empty,
       columnMapping: Option[String] = None,
-      acceptCdfOverwrite: Boolean = false): Unit = {
+      acceptCdfOverwrite: Boolean = false,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val tbl = new HPath(path)
@@ -859,9 +994,21 @@ object DeltaLog {
     // (a stale capture would leave them alive and turn the overwrite
     // into a union). Their DV descriptors echo on the removes so a
     // foreign vacuum can associate orphaned bin files, like PURGE does.
-    val overwriteRemoves: Seq[DeltaStats.AddEntry] =
-      if (m == "overwrite" && hasLog) activeAddsAsOf(spark, path, None)
-      else Nil
+    // The capture records the log version it reflects: a cross-process
+    // commit landing between this capture and the commit-slot grab would
+    // otherwise bump nextVersion and let the overwrite win a LATER slot
+    // with a remove set missing the interloper's files (silent union) —
+    // the pre-acquire recheck below recaptures on any version movement.
+    var overwriteRemoveBase: Long = -1L
+    var overwriteRemoves: Seq[(String, Option[String])] = Nil
+    def captureOverwriteRemoves(): Unit =
+      if (m == "overwrite" && hasLog) {
+        val (base, pairs) =
+          overwriteRemoveSet(spark, path, snapshotDriverMaxBytes)
+        overwriteRemoveBase = base
+        overwriteRemoves = pairs
+      }
+    captureOverwriteRemoves()
     // overwrite of a NON-delta directory wipes it only now, with the
     // replacement fully staged — the dir is never missing while the
     // heavy job runs. An existing TABLE is never wiped: its old files
@@ -895,6 +1042,15 @@ object DeltaLog {
     // so the log must record the widened schema or the new columns would
     // be invisible. A log with no parseable schemaString stays untouched
     // (its readers fall back to footer merging anyway).
+    // widening appends: a table that enables delta.enableTypeWidening
+    // accepts a frame whose field types are LEGAL LOSSLESS widenings of
+    // the declared ones — the commit widens the declared schema in place
+    // and records delta.typeChanges (the protocol's writer obligation);
+    // files written before the widening keep their narrow physical type
+    // and upcast at scan (the reader side this engine already carries)
+    val typeWidenEnabled = !fresh &&
+      confEnabled(tableConfiguration(spark, fs, tbl),
+        "delta.enableTypeWidening")
     val evolvedAppendSchema: Option[StructType] =
       if (fresh || m != "append" || mappedSchema.nonEmpty) None
       else parsedTableSchema(spark, fs, tbl).flatMap { t =>
@@ -903,9 +1059,24 @@ object DeltaLog {
         // it against the declared name), not a schema evolution — the
         // merged schema would carry both spellings and every later read
         // would fail with a duplicate-column error
-        if (df.schema.fields.forall(f =>
-            t.fieldNames.exists(_.equalsIgnoreCase(f.name)))) None
-        else Some(mergeSchemas(t, df.schema, path))
+        val noNewCols = df.schema.fields.forall(f =>
+          t.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        if (noNewCols && !(typeWidenEnabled && wouldWiden(t, df.schema)))
+          None
+        else Some(mergeSchemas(t, df.schema, path,
+          widen = typeWidenEnabled))
+      }
+    // same-name-different-type appends that are NOT legal (narrower
+    // writes upcast at scan and pass; widenings pass only with the
+    // property, via the metaData refresh above): staging such files
+    // would break every later declared-schema read — refuse typed
+    if (m == "append" && !fresh && mappedSchema.isEmpty &&
+        evolvedAppendSchema.isEmpty)
+      parsedTableSchema(spark, fs, tbl).foreach { t =>
+        val conflicts = appendTypeConflicts(t, df.schema, typeWidenEnabled)
+        if (conflicts.nonEmpty)
+          throw graft.GraftError.InvalidOperation("write_delta",
+            s"append into $path: ${conflicts.mkString("; ")}")
       }
     def actionsFor(version: Long): String = {
       val actions = ListBuffer.empty[String]
@@ -936,7 +1107,8 @@ object DeltaLog {
         // the sidecar layout on this table from the start
         v2cp = enforceConf.get("delta.checkpointPolicy")
           .exists(_.trim.equalsIgnoreCase("v2")),
-        ict = confEnabled(enforceConf, "delta.enableInCommitTimestamps"))
+        ict = confEnabled(enforceConf, "delta.enableInCommitTimestamps"),
+        typeWiden = confEnabled(enforceConf, "delta.enableTypeWidening"))
       if (version == 0L) actions += requiredProtocol
       else if (m == "overwrite")
         // version-preserving overwrite: the existing protocol stays
@@ -978,7 +1150,8 @@ object DeltaLog {
             // with no parseable schemaString (foreign writers) falls back
             // to the footer read.
             parsedTableSchema(spark, fs, tbl)
-              .map(t => mergeSchemas(t, df.schema, path)).getOrElse(
+              .map(t => mergeSchemas(t, df.schema, path,
+                widen = typeWidenEnabled)).getOrElse(
               spark.read.option("mergeSchema", "true").parquet(path).schema)
           else if (version > 0L && evolvedAppendSchema.nonEmpty)
             evolvedAppendSchema.get
@@ -1062,10 +1235,9 @@ object DeltaLog {
       // adds below stage the replacement in the SAME commit
       if (overwriteRemoves.nonEmpty) {
         val now = System.currentTimeMillis()
-        overwriteRemoves.foreach { a =>
-          val dvJson = a.dv.map(d =>
-            s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
-          actions += s"""{"remove":{"path":"${esc(a.rel)}",""" +
+        overwriteRemoves.foreach { case (rel, dv) =>
+          val dvJson = dv.map(j => s""","deletionVector":$j""").getOrElse("")
+          actions += s"""{"remove":{"path":"${esc(rel)}",""" +
             s""""deletionTimestamp":$now,"dataChange":true$dvJson}}"""
         }
       }
@@ -1101,6 +1273,19 @@ object DeltaLog {
     val maxAttempts = 20
     while (!committed && attempts < maxAttempts) {
       attempts += 1
+      // overwrite: the remove set was captured at a specific log version;
+      // file renames + the stats job ran since. If ANY commit landed in
+      // that window (nextVersion moved), the capture is stale — recapture
+      // so the remove set covers the interloper's files too. A commit
+      // racing AFTER this recheck loses nothing: the slot grab below is
+      // atomic, and a lost overwrite slot throws typed.
+      if (m == "overwrite" && hasLog) {
+        val freshBase = nextVersion(fs, logDir(tbl)).getOrElse(0L)
+        if (freshBase != overwriteRemoveBase) {
+          captureOverwriteRemoves()
+          version = math.max(version, freshBase)
+        }
+      }
       val won = acquireCommitSlot(fs, logDir(tbl), version, txnId, actionsFor(version))
       if (won) committed = true
       else {
@@ -2039,10 +2224,10 @@ object DeltaLog {
     // IS that check
     "vacuumProtocolCheck",
     // typeWidening's WRITER obligation is recording delta.typeChanges
-    // metadata when the writer CHANGES a column's type — this writer
-    // never does: [[mergeSchemas]] refuses scalar type mismatches
-    // typed, schema evolution only ever ADDS columns, and rewrites
-    // restage at the declared type. Zero obligations ⇒ tolerate.
+    // metadata when the writer CHANGES a column's type — which
+    // [[mergeSchemas]] does for every widening it performs (appends on
+    // delta.enableTypeWidening tables widen in place); non-widening
+    // mutations restage at the declared type and owe nothing.
     "typeWidening", "typeWidening-preview")
 
   /** Reader features the replay-based read path honors end-to-end:
@@ -3066,7 +3251,8 @@ object DeltaLog {
 
   def writeCheckpoint(spark: SparkSession, path: String, version: Long,
       rowsPerPart: Int = 1000000,
-      removeRetentionMs: Long = DefaultVacuumRetentionMs): Unit = {
+      removeRetentionMs: Long = DefaultVacuumRetentionMs,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Unit = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the fold keeps add/metaData/protocol/txn rows ONLY — on a table
@@ -3101,14 +3287,24 @@ object DeltaLog {
     def part(df: DataFrame, c: String): Option[DataFrame] =
       if (df.columns.contains(c)) Some(df.where(col(c).isNotNull).select(col(c)))
       else None
-    // driver replay is O(active files) — the same cost profile the
-    // snapshot read already pays; the survivor filter below is a
-    // semi-join, never a collected literal
+    // survivor set: above the log-size threshold the fold runs
+    // DISTRIBUTEDLY and the semi/anti-joins below consume its DataFrame
+    // — the driver holds ONE count, never a LocalRelation of the add
+    // set (a 10⁷-file table's path list alone is ~GBs); small logs keep
+    // the driver fold (cheaper than three extra jobs over the log)
     val sess = spark
     import sess.implicits._
-    val activeRels = activeAddsAsOf(spark, path, Some(version)).map(_.rel)
-    val activeCount = activeRels.length
-    val activeDf = activeRels.toDF("graft_active_path")
+    val (activeDf, activeCount): (DataFrame, Long) =
+      if (snapshotLogBytes(fs, log, Some(version)) > snapshotDriverMaxBytes) {
+        val snap = activeAddsDfAsOf(spark, path, Some(version))
+          .map(_.select(col("graft_path").as("graft_active_path"))
+            .localCheckpoint(true)) // consumed 3× (semi, anti, count)
+          .getOrElse(Seq.empty[String].toDF("graft_active_path"))
+        (snap, snap.count())
+      } else {
+        val activeRels = activeAddsAsOf(spark, path, Some(version)).map(_.rel)
+        (activeRels.toDF("graft_active_path"), activeRels.length.toLong)
+      }
     // recency: previous-checkpoint rows are older than every replayed
     // commit; commit rows rank by their version (from the file name)
     // both sides canonicalize BEFORE the union: a previous checkpoint
@@ -3143,7 +3339,17 @@ object DeltaLog {
     // protocol allows, and keeping them forever would grow checkpoints
     // unboundedly on rewrite-heavy tables). A NULL deletionTimestamp
     // keeps conservatively.
-    val removeCutoff = System.currentTimeMillis() - removeRetentionMs
+    // the table's own delta.deletedFileRetentionDuration wins over the
+    // parameter default: a table configured with LONGER retention must
+    // keep its tombstones in the checkpoint that long (the protocol's
+    // concurrent-reader / foreign-vacuum protection), and a shorter one
+    // may trim them sooner
+    val effectiveRetentionMs =
+      tableConfiguration(spark, fs, tbl)
+        .get("delta.deletedFileRetentionDuration")
+        .flatMap(parseDeltaInterval)
+        .getOrElse(removeRetentionMs)
+    val removeCutoff = System.currentTimeMillis() - effectiveRetentionMs
     val prevRemoves = prev.flatMap(p =>
       if (!p.columns.contains("remove")) None
       else Some(p.where(col("remove").isNotNull)
@@ -3877,12 +4083,42 @@ object DeltaLog {
         keep.map(f => pruned.filter(f)).getOrElse(pruned)
     }
 
+  /** An overwrite's remove set: every active file's (path, raw
+    * deletionVector json) plus the log version the capture reflects
+    * (nextVersion at capture — the caller re-verifies it before taking
+    * the commit slot). Above `snapshotDriverMaxBytes` of log state the
+    * snapshot folds DISTRIBUTEDLY and the driver collects ONLY these
+    * two strings per file — the same O(paths) floor as the remove
+    * actions the overwrite's commit JSON must spell out anyway — never
+    * the full stats/partitionValues metadata ([[activeAddsAsOf]]'s
+    * driver shape, GBs at a 100 TB table's ~10⁶ files).
+    */
+  private def overwriteRemoveSet(spark: SparkSession, path: String,
+      snapshotDriverMaxBytes: Long): (Long, Seq[(String, Option[String])]) = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = nextVersion(fs, logDir(tbl)).getOrElse(0L)
+    val pairs: Seq[(String, Option[String])] =
+      if (fs.exists(logDir(tbl)) &&
+          snapshotLogBytes(fs, logDir(tbl), None) > snapshotDriverMaxBytes)
+        activeAddsDfAsOf(spark, path, None).map { snap =>
+          snap.select(col("graft_path"),
+              org.apache.spark.sql.functions.get_json_object(
+                col("graft_add"), "$.deletionVector"))
+            .collect().toSeq
+            .map(r => (r.getString(0), Option(r.getString(1))))
+        }.getOrElse(Nil)
+      else activeAddsAsOf(spark, path, None).map(a =>
+        (a.rel, a.dv.map(dvDescriptorJson)))
+    (base, pairs)
+  }
+
   /** The table's `delta.columnMapping.mode` from the newest metaData —
     * commits first, checkpoint fallback; "none" when unset.
     */
   private def columnMappingMode(spark: SparkSession, fs: FileSystem,
-      tbl: HPath): String =
-    tableConfiguration(spark, fs, tbl)
+      tbl: HPath, asOf: Option[Long] = None): String =
+    tableConfiguration(spark, fs, tbl, asOf)
       .getOrElse("delta.columnMapping.mode", "none")
 
   /** Cache identity of a table's log: path + newest commit version +
@@ -3942,7 +4178,7 @@ object DeltaLog {
     * metaData).
     */
   private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), Map[String, String]]()
+    new java.util.concurrent.ConcurrentHashMap[((String, Long, Long, Long, Long), Long), Map[String, String]]()
 
   /** Memo for [[tableSchemaJson]] under the same log identity (+ as-of
     * version — older versions are immutable, so identity alone pins
@@ -3955,14 +4191,15 @@ object DeltaLog {
 
   /** Memo for [[tablePartitionColumns]] — same shape as [[schemaCache]]. */
   private val partColsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), Option[Seq[String]]]()
+    new java.util.concurrent.ConcurrentHashMap[((String, Long, Long, Long, Long), Long), Option[Seq[String]]]()
 
   /** Table configuration map from the newest metaData (same visibility
-    * rule as [[tableSchemaJson]]).
+    * rule as [[tableSchemaJson]]; `asOf` bounds the search to commits ≤
+    * that version — configuration time-travels with the data).
     */
   private def tableConfiguration(spark: SparkSession, fs: FileSystem,
-      tbl: HPath): Map[String, String] = {
-    val cacheKey = logIdentity(fs, tbl)
+      tbl: HPath, asOf: Option[Long] = None): Map[String, String] = {
+    val cacheKey = (logIdentity(fs, tbl), asOf.getOrElse(-1L))
     val hit = confCache.get(cacheKey)
     if (hit != null) return hit
     import com.fasterxml.jackson.databind.ObjectMapper
@@ -3975,7 +4212,8 @@ object DeltaLog {
       b.result()
     }
     val log = logDir(tbl)
-    val fromCommits = existingVersions(fs, log).reverse.iterator.flatMap { v =>
+    val fromCommits = existingVersions(fs, log)
+      .filter(v => asOf.forall(v <= _)).reverse.iterator.flatMap { v =>
       readString(fs, new HPath(log, commitName(v))).linesIterator.flatMap { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         val md = if (node == null) null else node.get("metaData")
@@ -3984,6 +4222,7 @@ object DeltaLog {
       }.toSeq.lastOption
     }.nextOption()
     val result = fromCommits.orElse(lastCheckpointVersion(fs, log)
+        .filter(v => asOf.forall(v <= _))
         .flatMap(v => readCheckpoint(spark, fs, log, v)).flatMap { cp =>
       val hasConf = cp.schema.fields.find(_.name == "metaData").exists(
         _.dataType match {
@@ -4108,7 +4347,14 @@ object DeltaLog {
         withRowMeta = withMeta, versionAsOf = Some(v), keyDepth = keyDepth)
     def dvEntry(rel: String, dv: Option[DeltaStats.DvDescriptor]) =
       DeltaStats.AddEntry(rel, Map.empty, None, 0L, dv)
-    def liveRows(v: Long, rels: Map[String, Option[DeltaStats.DvDescriptor]],
+    // `schemaV`: the version whose metaData the files resolve against.
+    // Adds read under their own commit's schema; REMOVES read under the
+    // PRE-commit schema (v-1) — a version-preserving overwrite may change
+    // the schema (or re-mint a mapped table's physical names) in the very
+    // commit that removes the old files, and reading them under the
+    // post-commit metaData would null or mistype the delete-leg rows
+    def liveRows(v: Long, schemaV: Long,
+        rels: Map[String, Option[DeltaStats.DvDescriptor]],
         ct: String): Option[DataFrame] =
       if (rels.isEmpty) None
       else {
@@ -4116,7 +4362,7 @@ object DeltaLog {
         val keyDepth = if (withMeta) dvKeyDepth(path, rels.keys.toSeq) else 1
         Some(applyDeletionVectors(spark, path,
           rels.map { case (r, dv) => dvEntry(r, dv) }.toSeq,
-          rowsOf(v, rels.keys.toSeq, withMeta = withMeta,
+          rowsOf(schemaV, rels.keys.toSeq, withMeta = withMeta,
             keyDepth = keyDepth), keyDepth = keyDepth)
           .withColumn("_change_type", lit(ct))
           .withColumn("_commit_version", lit(v)))
@@ -4135,7 +4381,9 @@ object DeltaLog {
         val raw = spark.read
           .option("basePath", new HPath(tbl, "_change_data").toString)
           .parquet(cdc.map(r => new HPath(tbl, r).toString): _*)
-        val logicalized = logicalSchemaIfMapped(spark, fs, tbl) match {
+        // mapping resolved AS-OF the cdc files' own commit: a later
+        // overwrite may have re-minted the physical names
+        val logicalized = logicalSchemaIfMapped(spark, fs, tbl, Some(v)) match {
           case Some((_, logical)) =>
             val m = physToLogMap(logical)
             raw.select(raw.columns.map(c =>
@@ -4181,8 +4429,9 @@ object DeltaLog {
               .withColumn("_commit_version", lit(v))
           Seq(pick(deletedNow, "delete"), pick(restoredNow, "insert"))
         }
-      liveRows(v, adds.filter(kv => !regen(kv._1)), "insert").toSeq ++
-        liveRows(v, removes.filter(kv => !regen(kv._1)), "delete").toSeq ++
+      liveRows(v, v, adds.filter(kv => !regen(kv._1)), "insert").toSeq ++
+        liveRows(v, math.max(0L, v - 1),
+          removes.filter(kv => !regen(kv._1)), "delete").toSeq ++
         regenFrames
       }
     }
@@ -4369,7 +4618,7 @@ object DeltaLog {
     // configuration, not the logical schema), so on mapped tables they
     // append to the physical read schema and pass through the rename
     // untouched.
-    logicalSchemaIfMapped(spark, fs, tbl) match {
+    logicalSchemaIfMapped(spark, fs, tbl, versionAsOf) match {
       case Some(("name", logical)) =>
         val physical = physicalType(logical).asInstanceOf[StructType]
         val df = spark.read
@@ -4393,7 +4642,8 @@ object DeltaLog {
         // in directory names, not files, so they resolve by NAME against
         // the physical-named `col=val` segments — mapped back to logical
         // through the schema's physicalName annotations.
-        val pcols = tablePartitionColumns(spark, fs, tbl).getOrElse(Nil)
+        val pcols = tablePartitionColumns(spark, fs, tbl, versionAsOf)
+          .getOrElse(Nil)
         // metaData.partitionColumns may spell a partition column either
         // logically (delta-spark) or physically (other writers) — match
         // both against the annotated schema
@@ -5377,12 +5627,18 @@ object DeltaLog {
     * missing/unparseable must refuse, not fall back to raw physical
     * names.
     */
+  /** `asOf` resolves the mapping FROM THE METADATA OF THAT VERSION — a
+    * version-preserving overwrite of a mapped table re-mints physical
+    * column names, so a time-travel read resolving against the LATEST
+    * mapping would read pre-overwrite files under post-overwrite
+    * physical names and silently null every data column.
+    */
   private def logicalSchemaIfMapped(spark: SparkSession, fs: FileSystem,
-      tbl: HPath): Option[(String, StructType)] = {
-    val mode = columnMappingMode(spark, fs, tbl)
+      tbl: HPath, asOf: Option[Long] = None): Option[(String, StructType)] = {
+    val mode = columnMappingMode(spark, fs, tbl, asOf)
     if (mode != "name" && mode != "id") None
     else {
-      val schema = parsedTableSchema(spark, fs, tbl)
+      val schema = parsedTableSchema(spark, fs, tbl, asOf)
       Some(mode -> schema.getOrElse(throw graft.GraftError.InvalidOperation(
         "load_delta", s"$tbl uses $mode-mode column mapping but its " +
           "metaData.schemaString is missing or unparseable — cannot " +
@@ -6404,6 +6660,29 @@ object DeltaLog {
   val DvDeleteMaxTouchedFiles: Int = 10000
 
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Delta's retention-property syntax — `interval N unit(s)` (the
+    * CalendarInterval subset table properties use, e.g. "interval 1
+    * week", "interval 30 days") — parsed to milliseconds. None on
+    * anything unparseable: the caller falls back to its default rather
+    * than guessing.
+    */
+  private[sources] def parseDeltaInterval(s: String): Option[Long] = {
+    val m = "(?i)^\\s*(?:interval\\s+)?(\\d+)\\s*(millisecond|second|minute|hour|day|week)s?\\s*$"
+      .r.findFirstMatchIn(s)
+    m.flatMap { g =>
+      val n = scala.util.Try(g.group(1).toLong).toOption
+      val unit = g.group(2).toLowerCase match {
+        case "millisecond" => 1L
+        case "second" => 1000L
+        case "minute" => 60L * 1000
+        case "hour" => 3600L * 1000
+        case "day" => 24L * 3600 * 1000
+        case "week" => 7L * 24 * 3600 * 1000
+      }
+      n.map(_ * unit)
+    }
+  }
 
   def vacuum(spark: SparkSession, path: String,
       stageRetentionMs: Long = 3600000L,

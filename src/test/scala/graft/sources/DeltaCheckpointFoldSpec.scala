@@ -294,6 +294,51 @@ class DeltaCheckpointFoldSpec extends SparkSpec {
     assert(DeltaLog.read(spark, pr).count() == 4L)
   }
 
+  test("tombstone expiry honors the table's own deletedFileRetentionDuration") {
+    val sp = spark; import sp.implicits._
+    val p = wipe("tombstones_prop")
+    // table configured with LONG retention: the property must win over
+    // the (shorter) parameter — dropping its tombstones early would
+    // weaken the concurrent-reader/foreign-vacuum protection the
+    // protocol's retention rule provides
+    DeltaLog.write((1L to 4L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", p, checkpointInterval = 0,
+      tableProperties =
+        Map("delta.deletedFileRetentionDuration" -> "interval 30 days"))
+    DeltaLog.deleteWhere(spark, p, "id <= 2")                      // v1
+    DeltaLog.writeCheckpoint(spark, p, 1L, removeRetentionMs = 0L)
+    def cpRemoveCount(path: String): Long = {
+      val cp = java.nio.file.Paths.get(path, "_delta_log",
+        "0" * 19 + "1.checkpoint.parquet")
+      val df = spark.read.parquet(cp.toString)
+      if (!df.columns.contains("remove")) 0L
+      else df.where(col("remove").isNotNull).count()
+    }
+    assert(cpRemoveCount(p) > 0L,
+      "a 30-day table retention must keep fresh tombstones even when " +
+        "the caller's parameter says 0")
+    // and a SHORT table retention expires them ahead of the 7-day default
+    val ps = wipe("tombstones_prop_short")
+    DeltaLog.write((1L to 4L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", ps, checkpointInterval = 0,
+      tableProperties =
+        Map("delta.deletedFileRetentionDuration" -> "interval 1 millisecond"))
+    DeltaLog.deleteWhere(spark, ps, "id <= 2")
+    Thread.sleep(10)
+    DeltaLog.writeCheckpoint(spark, ps, 1L) // parameter default: 7 days
+    assert(cpRemoveCount(ps) == 0L,
+      "a 1 ms table retention must expire tombstones ahead of the default")
+    // parser sanity
+    assert(DeltaLog.parseDeltaInterval("interval 1 week").contains(
+      7L * 24 * 3600 * 1000))
+    assert(DeltaLog.parseDeltaInterval("INTERVAL 2 HOURS").contains(
+      2L * 3600 * 1000))
+    assert(DeltaLog.parseDeltaInterval("3 days").contains(
+      3L * 24 * 3600 * 1000))
+    assert(DeltaLog.parseDeltaInterval("interval 1 fortnight").isEmpty)
+    assert(DeltaLog.parseDeltaInterval("garbage").isEmpty)
+  }
+
   test("v2 checkpoints carry tombstones in their sidecars") {
     val sp = spark; import sp.implicits._
     val p = wipe("tombstones_v2")

@@ -206,6 +206,66 @@ class DeltaOverwriteHistorySpec extends SparkSpec {
       Seq(2L))
   }
 
+  test("mapped table: time travel and CDF across the overwrite boundary " +
+      "resolve the mapping AS-OF each version") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("mapped")
+    // name-mapped table: physical column names are minted uuids
+    DeltaLog.write((1L to 3L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", p, columnMapping = Some("name"))
+    DeltaLog.write(Seq((4L, "v4")).toDF("id", "s"), "append", p)
+    // overwrite RE-MINTS the physical names (fresh id window) — the
+    // pre-overwrite files exist only under the OLD physical names
+    DeltaLog.write(Seq((9L, "z9"), (10L, "z10")).toDF("id", "s"),
+      "overwrite", p)
+    // snapshot = new data under the new mapping
+    assert(DeltaLog.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((9L, "z9"), (10L, "z10")))
+    // time travel to BOTH pre-overwrite versions must resolve the OLD
+    // mapping: under the new one every data column would be silently NULL
+    val v0 = DeltaLog.read(spark, p, Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(v0 == Seq((1L, "v1"), (2L, "v2"), (3L, "v3")),
+      s"pre-overwrite time travel must read the old physical names: $v0")
+    val v1 = DeltaLog.read(spark, p, Some(1L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(v1.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(v1.forall(_._2 != null), s"no nulled column values: $v1")
+    // CDF across the boundary: the overwrite's DELETE leg reads the old
+    // files under the PRE-commit mapping, its insert leg under the new
+    val feed = DeltaLog.readChanges(spark, p, 0L, 2L).collect()
+    val dels = feed.filter(_.getAs[String]("_change_type") == "delete")
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).sorted.toSeq
+    assert(dels == Seq((1L, "v1"), (2L, "v2"), (3L, "v3"), (4L, "v4")),
+      s"delete leg must carry the pre-overwrite values: $dels")
+    val ins = feed.filter(r =>
+        r.getAs[String]("_change_type") == "insert" &&
+          r.getAs[Long]("_commit_version") == 2L)
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).sorted.toSeq
+    assert(ins == Seq((9L, "z9"), (10L, "z10")))
+  }
+
+  test("unmapped schema-changing overwrite: CDF delete leg reads the " +
+      "pre-commit schema, not the new one") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("cdfschema")
+    DeltaLog.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      "overwrite", p)
+    // overwrite with RENAMED/different columns
+    DeltaLog.write(Seq(("x", 1.5)).toDF("name", "score"), "overwrite", p)
+    val feed = DeltaLog.readChanges(spark, p, 0L, 1L).collect()
+    val dels = feed.filter(_.getAs[String]("_change_type") == "delete")
+    // old rows come back with their OWN columns populated (the new
+    // schema's columns are null-filled by the union, never the reverse)
+    assert(dels.map(r => (r.getAs[Long]("id"), r.getAs[String]("s")))
+      .sorted.toSeq == Seq((1L, "a"), (2L, "b")),
+      "delete-leg rows must carry pre-overwrite values")
+    val ins = feed.filter(_.getAs[String]("_change_type") == "insert")
+    assert(ins.map(r => (r.getAs[String]("name"), r.getAs[Double]("score")))
+      .toSeq == Seq(("x", 1.5)))
+  }
+
   test("checkpointed overwrite folds correctly: snapshot excludes removed files") {
     val sp = spark; import sp.implicits._
     val p = freshDir("cp")
