@@ -884,6 +884,35 @@ object SparkEntry {
           round(sum(col("price")).cast("double"), 2).as("total_price"))
     }),
 
+    // VARIANT columns (delta's variantType feature, Spark 4's native
+    // VariantType): per-document JSON parsed to variant, written to a
+    // delta table (creation declares the variantType reader+writer
+    // feature), read back, and the fields re-extracted with
+    // variant_get. The oracle recomputes the aggregate straight from
+    // the documents table — the variant layer must be value-lossless.
+    "q_delta_variant" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/docs_delta_variant"
+      val pp = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pp)) {
+        java.nio.file.Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val docs = t(s, d, "documents").toDF
+      val D = graft.sources.DeltaLog
+      val frame = docs.select(col("doc_id"),
+        parse_json(to_json(struct(col("lang"), col("source").as("src"),
+          col("n_chars").as("n")))).as("v"))
+      D.write(frame.where(col("doc_id") % 2 === 0), "overwrite", path)
+      D.write(frame.where(col("doc_id") % 2 === 1), "append", path)
+      D.read(s, path)
+        .select(expr("variant_get(v, '$.lang', 'string')").as("lang"),
+          expr("variant_get(v, '$.src', 'string')").as("src"),
+          expr("variant_get(v, '$.n', 'bigint')").as("nc"))
+        .groupBy(col("lang"), col("src"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("nc")).cast("bigint").as("total_chars"))
+    }),
+
     // inCommitTimestamp (delta's ICT writer feature): the table's clock
     // lives IN the log — every commit stamps a monotonic
     // commitInfo.inCommitTimestamp, and timestamp time travel resolves
@@ -3596,6 +3625,13 @@ object SparkEntry {
         "UNION ALL SELECT 'update_postimage', o_orderkey, o_totalprice + 1000 " +
         "FROM orders WHERE o_orderkey % 10 = 3" +
         ") GROUP BY _change_type"),
+
+    // ground truth straight from documents — the variant encode/decode
+    // round trip must be value-lossless
+    "q_delta_variant" ->
+      ("SELECT lang, source AS src, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY lang, source"),
 
     // the widened union recomputed from orders at the WIDE types: the
     // creation's %10<5 rows (int cust / date d / decimal(12,2) price,

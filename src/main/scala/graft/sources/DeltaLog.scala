@@ -164,8 +164,9 @@ object DeltaLog {
       v4Feature: Boolean = false, rowTracking: Boolean = false,
       identity: Boolean = false, dv: Boolean = false,
       v2cp: Boolean = false, ict: Boolean = false,
-      typeWiden: Boolean = false): String =
-    if (rowTracking || identity || dv || v2cp || ict || typeWiden) {
+      typeWiden: Boolean = false, variant: Boolean = false): String =
+    if (rowTracking || identity || dv || v2cp || ict || typeWiden ||
+        variant) {
       // rowTracking/identityColumns/deletionVectors/v2Checkpoint exist
       // only as v7 table features; list exactly the features this table
       // uses (over-declaring would make other writers refuse
@@ -181,17 +182,21 @@ object DeltaLog {
         (if (v2cp) Seq("v2Checkpoint") else Nil) ++
         (if (ict) Seq("inCommitTimestamp") else Nil) ++
         (if (typeWiden) Seq("typeWidening") else Nil) ++
+        (if (variant) Seq("variantType") else Nil) ++
         (if (constrained) Seq("invariants", "checkConstraints") else Nil) ++
         (if (v4Feature) Seq("generatedColumns", "changeDataFeed") else Nil) ++
         (if (mapped) Seq("columnMapping") else Nil)
       // typeWidening is a READER feature too: narrow-physical files
-      // under a widened declared schema need the scan-time upcast
-      val readerV = if (dv || v2cp || typeWiden) 3 else if (mapped) 2 else 1
+      // under a widened declared schema need the scan-time upcast;
+      // variantType likewise (the parquet variant encoding)
+      val readerV = if (dv || v2cp || typeWiden || variant) 3
+        else if (mapped) 2 else 1
       val readerFeats =
-        if (dv || v2cp || typeWiden) s""""readerFeatures":[${
+        if (dv || v2cp || typeWiden || variant) s""""readerFeatures":[${
           ((if (dv) Seq("deletionVectors") else Nil) ++
             (if (v2cp) Seq("v2Checkpoint") else Nil) ++
             (if (typeWiden) Seq("typeWidening") else Nil) ++
+            (if (variant) Seq("variantType") else Nil) ++
             (if (mapped) Seq("columnMapping") else Nil))
             .map(f => s""""$f"""").mkString(",")}],"""
         else ""
@@ -205,6 +210,21 @@ object DeltaLog {
     else if (constrained)
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}"""
     else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  /** Whether `dt` carries a Spark VariantType anywhere — the signal a
+    * fresh table must declare the variantType reader+writer feature.
+    */
+  private def hasVariantType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: VariantType => true
+      case st: StructType => st.fields.exists(f => hasVariantType(f.dataType))
+      case at: ArrayType => hasVariantType(at.elementType)
+      case mt: MapType =>
+        hasVariantType(mt.keyType) || hasVariantType(mt.valueType)
+      case _ => false
+    }
+  }
 
   private def metaDataAction(schemaJson: String, partitionBy: Seq[String],
       configuration: Map[String, String] = Map.empty,
@@ -449,6 +469,9 @@ object DeltaLog {
     def conf(x: DataType, y: DataType, at: String,
         inElement: Boolean): Seq[String] = (x, y) match {
       case (x, y) if x == y => Nil
+      // collation-only differences are byte-identical on disk — a plain
+      // string stages fine into a collated column (and vice versa)
+      case (_: StringType, _: StringType) => Nil
       case (x: StructType, y: StructType) => walk(x, y, at, inElement)
       case (x: ArrayType, y: ArrayType) =>
         conf(x.elementType, y.elementType, s"$at[]", inElement = true)
@@ -516,6 +539,9 @@ object DeltaLog {
     import org.apache.spark.sql.types._
     def mergeType(a: DataType, b: DataType, at: String): DataType = (a, b) match {
       case (x, y) if x == y => x
+      // collation-only differences: the TABLE's (possibly collated)
+      // declaration wins — storage is identical bytes either way
+      case (x: StringType, _: StringType) => x
       case (x: StructType, y: StructType) => mergeStruct(x, y, at)
       case (x: ArrayType, y: ArrayType) =>
         ArrayType(mergeType(x.elementType, y.elementType, s"$at[]"),
@@ -1000,7 +1026,7 @@ object DeltaLog {
     // with a remove set missing the interloper's files (silent union) —
     // the pre-acquire recheck below recaptures on any version movement.
     var overwriteRemoveBase: Long = -1L
-    var overwriteRemoves: Seq[(String, Option[String])] = Nil
+    var overwriteRemoves: Seq[(String, Long, Option[String])] = Nil
     def captureOverwriteRemoves(): Unit =
       if (m == "overwrite" && hasLog) {
         val (base, pairs) =
@@ -1108,7 +1134,8 @@ object DeltaLog {
         v2cp = enforceConf.get("delta.checkpointPolicy")
           .exists(_.trim.equalsIgnoreCase("v2")),
         ict = confEnabled(enforceConf, "delta.enableInCommitTimestamps"),
-        typeWiden = confEnabled(enforceConf, "delta.enableTypeWidening"))
+        typeWiden = confEnabled(enforceConf, "delta.enableTypeWidening"),
+        variant = hasVariantType(df.schema))
       if (version == 0L) actions += requiredProtocol
       else if (m == "overwrite")
         // version-preserving overwrite: the existing protocol stays
@@ -1235,10 +1262,10 @@ object DeltaLog {
       // adds below stage the replacement in the SAME commit
       if (overwriteRemoves.nonEmpty) {
         val now = System.currentTimeMillis()
-        overwriteRemoves.foreach { case (rel, dv) =>
+        overwriteRemoves.foreach { case (rel, size, dv) =>
           val dvJson = dv.map(j => s""","deletionVector":$j""").getOrElse("")
           actions += s"""{"remove":{"path":"${esc(rel)}",""" +
-            s""""deletionTimestamp":$now,"dataChange":true$dvJson}}"""
+            s""""deletionTimestamp":$now,"dataChange":true,"size":$size$dvJson}}"""
         }
       }
       // row tracking: assign fresh base-row-id ranges to this commit's
@@ -1401,7 +1428,122 @@ object DeltaLog {
         renamed && readString(fs, commit).contains(txnId)
       }
     fs.delete(tmp, false)
+    if (won) writeVersionChecksum(fs, log, version, txnId, content)
     won
+  }
+
+  private[sources] def crcName(v: Long): String = f"$v%020d.crc"
+
+  /** Per-version checksum files (delta-spark's VersionChecksum shape):
+    * every won commit slot writes `<version>.crc` with the POST-commit
+    * snapshot's `numFiles` and `tableSizeBytes`, computed INCREMENTALLY
+    * from the predecessor's crc plus this commit's add/remove actions —
+    * O(commit actions), never a snapshot fold, so the cost holds at a
+    * 10⁶-file table. The chain seeds at version 0; when the predecessor
+    * crc is missing (foreign writers, crafted logs, a pre-crc history)
+    * or a remove action carries no size, the file is SKIPPED — a wrong
+    * checksum would poison readers ([[read]] refuses typed on mismatch),
+    * a missing one merely skips validation. Best-effort by construction:
+    * any I/O failure here must never fail the already-won commit.
+    */
+  private def writeVersionChecksum(fs: FileSystem, log: HPath,
+      version: Long, txnId: String, content: String): Unit = {
+    try {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val mapper = new ObjectMapper()
+      var files = 0L; var bytes = 0L; var sizesOk = true
+      content.linesIterator.foreach { line =>
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        if (node != null) {
+          val add = node.get("add"); val rem = node.get("remove")
+          if (add != null && add.get("path") != null) {
+            files += 1
+            bytes += Option(add.get("size")).filterNot(_.isNull)
+              .map(_.asLong(0L)).getOrElse(0L)
+          }
+          if (rem != null && rem.get("path") != null) {
+            files -= 1
+            Option(rem.get("size")).filterNot(_.isNull) match {
+              case Some(s) => bytes -= s.asLong(0L)
+              case None => sizesOk = false
+            }
+          }
+        }
+      }
+      val base: Option[(Long, Long)] =
+        if (version == 0L) Some((0L, 0L))
+        else {
+          val prev = new HPath(log, crcName(version - 1))
+          if (!fs.exists(prev)) None
+          else {
+            val n = try mapper.readTree(readString(fs, prev))
+              catch { case _: Exception => null }
+            if (n == null) None
+            else (Option(n.get("numFiles")).filterNot(_.isNull),
+                Option(n.get("tableSizeBytes")).filterNot(_.isNull)) match {
+              case (Some(a), Some(b)) => Some((a.asLong(), b.asLong()))
+              case _ => None
+            }
+          }
+        }
+      base match {
+        case Some((pf, pb)) if sizesOk =>
+          val body =
+            s"""{"tableSizeBytes":${pb + bytes},"numFiles":${pf + files},""" +
+              s""""numMetadata":1,"numProtocol":1,"txnId":"$txnId"}"""
+          val out = fs.create(new HPath(log, crcName(version)), true)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** The (numFiles, tableSizeBytes) a `<version>.crc` declares, when one
+    * exists and parses. */
+  private def versionChecksumOf(fs: FileSystem, log: HPath,
+      version: Long): Option[(Long, Long)] = {
+    val p = new HPath(log, crcName(version))
+    if (!fs.exists(p)) return None
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(fs, p))
+      (Option(n.get("numFiles")).filterNot(_.isNull),
+        Option(n.get("tableSizeBytes")).filterNot(_.isNull)) match {
+        case (Some(a), Some(b)) => Some((a.asLong(), b.asLong()))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Validate a snapshot's folded (numFiles, tableSizeBytes) against the
+    * version's `.crc` when present — delta-spark's VersionChecksum
+    * verification. A mismatch means the log replay and the writer's own
+    * bookkeeping disagree (corruption, a torn log) — refuse typed rather
+    * than serve rows from a snapshot that provably lost or gained files.
+    *
+    * The caller must gate this to PURE-COMMIT-REPLAY folds: a checkpoint
+    * is authoritative over commit granularity (a foreign checkpoint may
+    * legally fold state whose commits were cleaned away, or even
+    * redefine the active set), so a checkpoint-seeded fold and a
+    * commit-incremental checksum chain are not comparable.
+    */
+  private def validateVersionChecksum(fs: FileSystem, log: HPath,
+      version: Long, numFiles: => Long, sizeBytes: => Long,
+      path: String): Unit = {
+    versionChecksumOf(fs, log, version).foreach { case (cf, cb) =>
+      val nf = numFiles
+      if (nf != cf)
+        throw graft.GraftError.InvalidOperation("load_delta",
+          s"$path: version-$version checksum declares $cf active files " +
+            s"but the log replay finds $nf — the table's log is " +
+            "corrupted (version checksum mismatch)")
+      val sb = sizeBytes
+      if (sb != cb)
+        throw graft.GraftError.InvalidOperation("load_delta",
+          s"$path: version-$version checksum declares $cb table bytes " +
+            s"but the log replay finds $sb — the table's log is " +
+            "corrupted (version checksum mismatch)")
+    }
   }
 
   /** Copy-on-write UPSERT (MERGE keyed on `keys`): update rows replace
@@ -1442,6 +1584,8 @@ object DeltaLog {
     val spark = updates.sparkSession
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refuseOnCollatedColumns(spark, fs, tbl, "upsert_delta",
+      keys.mkString(","))
     if (!fs.exists(logDir(tbl))) {
       // not a delta table: keep the legacy discovery so commitRewrite
       // raises its typed "not a delta table" failure unchanged
@@ -1672,6 +1816,7 @@ object DeltaLog {
       survivors.unionByName(updFrame.select(survivors.columns.map(col): _*)),
       removeDvJson = touched.flatMap(a =>
         a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap,
+      removeSize = touched.map(a => a.rel -> a.size).toMap,
       cdcDf = cdcDf,
       extraMetaData = identityMetaSchema.map(s =>
         metaDataAction(s.json,
@@ -1697,6 +1842,7 @@ object DeltaLog {
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Int = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refuseOnCollatedColumns(spark, fs, tbl, "delete_delta", predicate)
     if (!fs.exists(logDir(tbl))) {
       // not a delta table: legacy shape (commitRewrite raises typed)
       val base = fs.makeQualified(tbl).toUri.getPath.stripSuffix("/")
@@ -1773,6 +1919,7 @@ object DeltaLog {
     commitRewrite(spark, path, "DELETE", touched.map(_.rel).sorted,
       survivors, removeDvJson = touched.flatMap(a =>
         a.dv.map(d => a.rel -> dvDescriptorJson(d))).toMap,
+      removeSize = touched.map(a => a.rel -> a.size).toMap,
       cdcDf = cdcDf,
       // a lost slot rebases when the winners' adds provably cannot
       // match this DELETE's predicate
@@ -2228,7 +2375,30 @@ object DeltaLog {
     // [[mergeSchemas]] does for every widening it performs (appends on
     // delta.enableTypeWidening tables widen in place); non-widening
     // mutations restage at the declared type and owe nothing.
-    "typeWidening", "typeWidening-preview")
+    "typeWidening", "typeWidening-preview",
+    // checkpointProtection (delta 4.x): obliges log cleanup to never
+    // sweep or rewrite checkpoints below
+    // delta.requireCheckpointProtectionBeforeVersion — [[cleanupLog]]
+    // keeps every commit/checkpoint below the boundary and
+    // [[writeCheckpoint]] refuses to rewrite a protected checkpoint
+    "checkpointProtection",
+    // collations: collation annotations (__COLLATIONS field metadata)
+    // ride the schemaString, which appends/rewrites preserve verbatim
+    // (metaData is only re-minted by overwrite, whose schema is the
+    // frame's own by contract); operations whose SEMANTICS depend on a
+    // non-default collation (predicates/merge keys over a collated
+    // column evaluated under binary collation) refuse typed instead of
+    // returning wrong rows ([[refuseOnCollatedColumns]])
+    "collations", "collations-preview",
+    // variantType: Spark 4 carries VariantType natively — staging,
+    // declared-schema scans and stats harvesting all treat it as an
+    // opaque (metadata, value) pair, so reads and appends round-trip
+    "variantType", "variantType-preview",
+    // icebergCompatV1/V2 constrain WHAT may be written (no deletion
+    // vectors; V2 pins column mapping): the DV-creating path refuses on
+    // such tables ([[requireNoIcebergCompatDv]]), everything else this
+    // writer emits is already inside the compat envelope
+    "icebergCompatV1", "icebergCompatV2")
 
   /** Reader features the replay-based read path honors end-to-end:
     * column mapping (name + id modes resolved at read), deletion
@@ -2252,8 +2422,15 @@ object DeltaLog {
     // parquet reader supports natively for the protocol's legal
     // widenings (int→long, float→double, decimal scale/precision
     // growth, date→timestampNtz); DeltaTypeWideningSpec pins it.
+    // collations: storage is collation-agnostic (strings round-trip
+    // verbatim); plain snapshot reads return the same rows regardless
+    // of collation, and predicate evaluation is gated writer-side.
+    // variantType: Spark 4's native VariantType reads the parquet
+    // (metadata, value) encoding directly through the declared schema.
     Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
-      "vacuumProtocolCheck", "typeWidening", "typeWidening-preview")
+      "vacuumProtocolCheck", "typeWidening", "typeWidening-preview",
+      "collations", "collations-preview",
+      "variantType", "variantType-preview")
 
   /** Writer-protocol fidelity gate, run before any mutation of an
     * EXISTING delta table. `adds`/`removes` describe the commit this
@@ -2941,6 +3118,7 @@ object DeltaLog {
       checkpointInterval: Int = 10, dataChange: Boolean = true,
       numFiles: Option[Int] = None, logicalFrame: Boolean = true,
       removeDvJson: Map[String, String] = Map.empty,
+      removeSize: Map[String, Long] = Map.empty,
       cdcDf: Option[DataFrame] = None,
       extraMetaData: Option[String] = None,
       readPredicate: Option[String] = None): Unit = {
@@ -3094,11 +3272,14 @@ object DeltaLog {
       }
       removesRel.foreach { r =>
         // PURGE removes echo the superseded DV descriptor (protocol shape —
-        // lets an external vacuum associate the orphaned bin file)
+        // lets an external vacuum associate the orphaned bin file); the
+        // size rides along so the incremental version checksum can
+        // subtract it without a snapshot fold
         val dvJson = removeDvJson.get(r)
           .map(d => s""","deletionVector":$d""").getOrElse("")
+        val sizeJson = removeSize.get(r).map(s => s""","size":$s""").getOrElse("")
         actions +=
-          s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":$dataChange$dvJson}}"""
+          s"""{"remove":{"path":"${esc(r)}","deletionTimestamp":$now,"dataChange":$dataChange$sizeJson$dvJson}}"""
       }
       // row tracking: restaged files get fresh base-row-id ranges (the
       // positional DEFAULT for any row whose materialized id is NULL —
@@ -3264,6 +3445,17 @@ object DeltaLog {
       adds = false, removes = false, rewrites = true,
       rowIdsHandled = true)
     val log = logDir(tbl)
+    // checkpointProtection: REWRITING a checkpoint below the boundary is
+    // forbidden (it may have been produced by a history-compaction this
+    // replay cannot reproduce); fresh checkpoints at/above it are fine
+    if (version < checkpointProtectionVersion(spark, fs, tbl) &&
+        (checkpointPaths(fs, log, version).nonEmpty ||
+          v2ManifestPath(fs, log, version).isDefined))
+      throw graft.GraftError.InvalidOperation("write_checkpoint",
+        s"$tbl protects checkpoints below version " +
+          s"${checkpointProtectionVersion(spark, fs, tbl)} " +
+          "(delta.requireCheckpointProtectionBeforeVersion) — the " +
+          s"version-$version checkpoint cannot be rewritten")
     // sources: the previous checkpoint (older commits may be gone) plus
     // the commits after it, up to `version`. `<=` matters: RE-writing
     // the checkpoint of the version _last_checkpoint already points at
@@ -4094,23 +4286,97 @@ object DeltaLog {
     * driver shape, GBs at a 100 TB table's ~10⁶ files).
     */
   private def overwriteRemoveSet(spark: SparkSession, path: String,
-      snapshotDriverMaxBytes: Long): (Long, Seq[(String, Option[String])]) = {
+      snapshotDriverMaxBytes: Long): (Long, Seq[(String, Long, Option[String])]) = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = nextVersion(fs, logDir(tbl)).getOrElse(0L)
-    val pairs: Seq[(String, Option[String])] =
+    val pairs: Seq[(String, Long, Option[String])] =
       if (fs.exists(logDir(tbl)) &&
           snapshotLogBytes(fs, logDir(tbl), None) > snapshotDriverMaxBytes)
         activeAddsDfAsOf(spark, path, None).map { snap =>
           snap.select(col("graft_path"),
               org.apache.spark.sql.functions.get_json_object(
+                col("graft_add"), "$.size").cast("long"),
+              org.apache.spark.sql.functions.get_json_object(
                 col("graft_add"), "$.deletionVector"))
             .collect().toSeq
-            .map(r => (r.getString(0), Option(r.getString(1))))
+            .map(r => (r.getString(0),
+              if (r.isNullAt(1)) 0L else r.getLong(1),
+              Option(r.getString(2))))
         }.getOrElse(Nil)
       else activeAddsAsOf(spark, path, None).map(a =>
-        (a.rel, a.dv.map(dvDescriptorJson)))
+        (a.rel, a.size, a.dv.map(dvDescriptorJson)))
     (base, pairs)
+  }
+
+  /** `delta.requireCheckpointProtectionBeforeVersion` (the
+    * checkpointProtection feature's boundary) — 0 when unset/unparseable,
+    * i.e. nothing is protected.
+    */
+  private def checkpointProtectionVersion(spark: SparkSession,
+      fs: FileSystem, tbl: HPath): Long =
+    tableConfiguration(spark, fs, tbl)
+      .get("delta.requireCheckpointProtectionBeforeVersion")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(0L)
+
+  /** Column names (top level) carrying a NON-DEFAULT collation:
+    * Spark's DataType.fromJson consumes the delta collations feature's
+    * `__COLLATIONS` field metadata into collated StringTypes, so the
+    * signal is the parsed TYPE (the raw metadata key is kept as a belt
+    * for shapes Spark doesn't recognize). Predicate evaluation over
+    * them under this engine's binary collation would return wrong rows
+    * (and stats-skipping would prune unsoundly), so predicate-bearing
+    * operations refuse.
+    */
+  private def collatedColumns(spark: SparkSession, fs: FileSystem,
+      tbl: HPath): Set[String] = {
+    import org.apache.spark.sql.types._
+    def collated(dt: DataType): Boolean = dt match {
+      case s: StringType => s != StringType
+      case st: StructType => st.fields.exists(f => collated(f.dataType))
+      case at: ArrayType => collated(at.elementType)
+      case mt: MapType => collated(mt.keyType) || collated(mt.valueType)
+      case _ => false
+    }
+    parsedTableSchema(spark, fs, tbl).toSeq.flatMap(_.fields)
+      .filter(f => collated(f.dataType) ||
+        f.metadata.contains("__COLLATIONS")).map(_.name).toSet
+  }
+
+  /** Refuse typed when `predicateOrKeys` references a collated column —
+    * conservative word-boundary match, the same stance stats-skipping
+    * takes on unparseable predicates (here the safe direction is
+    * refusal: binary evaluation over an ICU-collated column silently
+    * returns wrong rows, delta-spark without collation support refuses
+    * too).
+    */
+  private def refuseOnCollatedColumns(spark: SparkSession, fs: FileSystem,
+      tbl: HPath, op: String, predicateOrKeys: String): Unit = {
+    val collated = collatedColumns(spark, fs, tbl)
+    if (collated.isEmpty) return
+    val hit = collated.find(c =>
+      ("(?i)(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(c) +
+        "($|[^A-Za-z0-9_`])").r.findFirstIn(predicateOrKeys).isDefined ||
+        predicateOrKeys.contains(s"`$c`"))
+    hit.foreach(c => throw graft.GraftError.InvalidOperation(op,
+      s"$tbl: column '$c' carries a non-default collation " +
+        "(__COLLATIONS annotation) — evaluating a predicate or merge " +
+        "key over it under this engine's binary collation would return " +
+        "wrong rows; rewrite the operation to avoid the collated column"))
+  }
+
+  /** icebergCompatV1/V2 forbid deletion vectors in the table — refuse
+    * the DV-creating path typed on such tables.
+    */
+  private def requireNoIcebergCompatDv(spark: SparkSession, fs: FileSystem,
+      tbl: HPath, op: String): Unit = {
+    val conf = tableConfiguration(spark, fs, tbl)
+    if (confEnabled(conf, "delta.enableIcebergCompatV1") ||
+        confEnabled(conf, "delta.enableIcebergCompatV2"))
+      throw graft.GraftError.InvalidOperation(op,
+        s"$tbl enables icebergCompat, which forbids deletion vectors — " +
+          "use the copy-on-write delete instead")
   }
 
   /** The table's `delta.columnMapping.mode` from the newest metaData —
@@ -4517,6 +4783,24 @@ object DeltaLog {
         throw new IllegalArgumentException(
           s"loadDelta: empty or missing _delta_log in $path"))
         .localCheckpoint(true) // consumed 2-3×; never refold the log
+      // version-checksum verification (delta-spark VersionChecksum):
+      // when the snapshot version carries a .crc, the fold must agree —
+      // one extra aggregate over the already-checkpointed fold, never
+      // per-file driver state
+      val effVDist = versionAsOf
+        .orElse(nextVersion(fs, logDir(tbl)).map(_ - 1)).getOrElse(-1L)
+      if (effVDist >= 0 &&
+          lastCheckpointVersion(fs, logDir(tbl))
+            .filter(cp => versionAsOf.forall(cp <= _)).isEmpty &&
+          versionChecksumOf(fs, logDir(tbl), effVDist).isDefined) {
+        val row = snap.agg(
+          org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.get_json_object(
+              col("graft_add"), "$.size").cast("long"))).head()
+        validateVersionChecksum(fs, logDir(tbl), effVDist,
+          row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1), path)
+      }
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val dvAdds: Seq[DeltaStats.AddEntry] = snap
         .where(col("graft_add").contains("\"deletionVector\""))
@@ -4542,6 +4826,12 @@ object DeltaLog {
     }
     val adds = activeAddsAsOf(spark, path, versionAsOf)
     require(adds.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
+    val effV = versionAsOf
+      .orElse(nextVersion(fs, logDir(tbl)).map(_ - 1)).getOrElse(-1L)
+    if (effV >= 0 && lastCheckpointVersion(fs, logDir(tbl))
+        .filter(cp => versionAsOf.forall(cp <= _)).isEmpty)
+      validateVersionChecksum(fs, logDir(tbl), effV,
+        adds.length.toLong, adds.map(_.size).sum, path)
     val files = adds.map(a => new HPath(new HPath(path), a.rel).toString)
     val withMeta = adds.exists(_.dv.isDefined)
     val keyDepth = if (withMeta) dvKeyDepth(path, adds.map(_.rel)) else 1
@@ -5100,6 +5390,8 @@ object DeltaLog {
       maxTouchedFiles: Int = DvDeleteMaxTouchedFiles): Long = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refuseOnCollatedColumns(spark, fs, tbl, "delete_delta_dv", predicate)
+    requireNoIcebergCompatDv(spark, fs, tbl, "delete_delta_dv")
     if (tableConfiguration(spark, fs, tbl)
         .getOrElse("delta.enableDeletionVectors", "false") != "true")
       throw graft.GraftError.InvalidOperation("delete_delta_dv",
@@ -5246,7 +5538,7 @@ object DeltaLog {
       // associate the old deletion_vector_*.bin with the removed entry
       val removedDv = add.dv.map(d =>
         s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
-      actions += s"""{"remove":{"path":"${esc(add.rel)}","deletionTimestamp":$now,"dataChange":true$removedDv}}"""
+      actions += s"""{"remove":{"path":"${esc(add.rel)}","deletionTimestamp":$now,"dataChange":true,"size":${add.size}$removedDv}}"""
       // row tracking: the re-add is the SAME physical file — echo its
       // baseRowId/defaultRowCommitVersion so positional ids survive
       val rowField = (add.baseRowId, add.defaultRowCommitVersion) match {
@@ -5349,7 +5641,8 @@ object DeltaLog {
     // inherits the anti-join's shuffle partitioning (spark.sql.shuffle
     // .partitions files regardless of victim count)
     commitRewrite(spark, path, "PURGE", victims.map(_.rel).sorted, live,
-      removeDvJson = dvJson, numFiles = Some(victims.size))
+      removeDvJson = dvJson, numFiles = Some(victims.size),
+      removeSize = victims.map(a => a.rel -> a.size).toMap)
     victims.size
   }
 
@@ -5865,6 +6158,14 @@ object DeltaLog {
       case at: ArrayType => ArrayType(stripMeta(at.elementType), containsNull = true)
       case mt: MapType => MapType(stripMeta(mt.keyType),
         stripMeta(mt.valueType), valueContainsNull = true)
+      // collated strings (the delta collations feature — Spark's
+      // DataType.fromJson consumes __COLLATIONS annotations into
+      // collated StringTypes): this engine serves the BYTES verbatim
+      // under the default binary collation, so reads stay deterministic
+      // and joins against uncollated frames never hit indeterminate-
+      // collation errors; predicate operations over collated columns
+      // refuse typed instead ([[refuseOnCollatedColumns]])
+      case s: StringType if s != StringType => StringType
       case other => other
     }
   }
@@ -5883,6 +6184,7 @@ object DeltaLog {
       snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refuseOnCollatedColumns(spark, fs, tbl, "load_delta", predicate0)
     // equality predicates on a generated partition column's SOURCE prune
     // through the generation expression (implied conjuncts; sound for
     // deterministic expressions) — both the file-skipping kernel below
@@ -6272,7 +6574,8 @@ object DeltaLog {
       commitRewrite(spark, path, "OPTIMIZE", victims.map(_.rel).sorted, toWrite,
         dataChange = false, numFiles = packed, logicalFrame = true,
         removeDvJson = dvVictims.map(a =>
-          a.rel -> dvDescriptorJson(a.dv.get)).toMap)
+          a.rel -> dvDescriptorJson(a.dv.get)).toMap,
+        removeSize = victims.map(a => a.rel -> a.size).toMap)
       return victims.size
     }
     // plain (mode=none) tables restage under the log-declared schema;
@@ -6302,7 +6605,8 @@ object DeltaLog {
       if (zCols.isEmpty) (df, Some(nOut))
       else (zorderCluster(df, zCols, nOut), None)
     commitRewrite(spark, path, "OPTIMIZE", victims.map(_.rel).sorted, toWrite,
-      dataChange = false, numFiles = packed, logicalFrame = false)
+      dataChange = false, numFiles = packed, logicalFrame = false,
+      removeSize = victims.map(a => a.rel -> a.size).toMap)
     victims.size
   }
 
@@ -6531,7 +6835,7 @@ object DeltaLog {
       val removedDv = a.dv.map(d =>
         s""","deletionVector":${dvDescriptorJson(d)}""").getOrElse("")
       actions += s"""{"remove":{"path":"${esc(a.rel)}",""" +
-        s""""deletionTimestamp":$now,"dataChange":true$removedDv}}"""
+        s""""deletionTimestamp":$now,"dataChange":true,"size":${a.size}$removedDv}}"""
     }
     addEntries.foreach { a =>
       val pvJson = a.partitionValues.map { case (k, v) =>
@@ -6579,14 +6883,30 @@ object DeltaLog {
       adds = false, removes = false, rewrites = true,
       rowIdsHandled = true)
     val cp = lastCheckpointVersion(fs, log).getOrElse(return Nil)
-    val victims = existingVersions(fs, log).filter(_ <= cp).map(commitName)
+    // checkpointProtection (delta 4.x): NOTHING below
+    // delta.requireCheckpointProtectionBeforeVersion may be swept or
+    // rewritten — a protected checkpoint backs readers that cannot
+    // replay the (possibly foreign-compacted) history beneath it. The
+    // conservative stance the protocol allows: skip cleanup below the
+    // boundary entirely.
+    val protV = checkpointProtectionVersion(spark, fs, tbl)
+    val victims = existingVersions(fs, log)
+      .filter(v => v <= cp && v >= protV).map(commitName)
     victims.foreach(n => fs.delete(new HPath(log, n), false))
+    // version checksums of the cleaned commits go too — EXCEPT the
+    // newest one (≤ cp): the next commit's incremental crc seeds from
+    // its predecessor, and sweeping the seed would end the chain
+    val crcVictims = fs.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(n => n.matches("\\d{20}\\.crc") && n.take(20).toLong <= cp &&
+        n.take(20).toLong >= protV)
+      .sorted.dropRight(1)
+    crcVictims.foreach(n => fs.delete(new HPath(log, n), false))
     // checkpoints OLDER than the newest are superseded (replay always
     // seeds from the newest) — without this sweep a long-lived table
     // accumulates one checkpoint's worth of parquet per interval forever
     val staleCps = fs.listStatus(log).toSeq.map(_.getPath.getName)
       .filter(n => n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") &&
-        n.take(20).toLong < cp)
+        n.take(20).toLong < cp && n.take(20).toLong >= protV)
       .sorted
     staleCps.foreach(n => fs.delete(new HPath(log, n), false))
     // superseded V2 manifests (UUID-named, version < the newest
@@ -6597,7 +6917,8 @@ object DeltaLog {
       case _ => false
     }
     val v2Stale = fs.listStatus(log).toSeq.map(_.getPath.getName)
-      .filter(n => isV2Manifest(n) && n.take(20).toLong < cp)
+      .filter(n => isV2Manifest(n) && n.take(20).toLong < cp &&
+        n.take(20).toLong >= protV)
       .sorted
     v2Stale.foreach(n => fs.delete(new HPath(log, n), false))
     // sidecar files referenced by NO remaining manifest are orphans

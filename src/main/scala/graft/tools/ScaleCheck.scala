@@ -60,7 +60,7 @@ object ScaleCheck {
     "q_asof_join", "q_asof_fwd", "q_asof_nearest", "q_range_join",
     "q_rolling_features", "q_events_tumbling", "q_events_sliding")
 
-  private def hashShuffleText(spark: SparkSession, docs: DataFrame,
+  private[tools] def hashShuffleText(spark: SparkSession, docs: DataFrame,
       copies: Int, idStep: Long): DataFrame = {
     val shuffleWords = udf((text: String, seed: Long) => {
       val words = text.split("\\s+")
@@ -85,7 +85,7 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
   }
 
-  private def freshEmbeddings(spark: SparkSession, emb: DataFrame,
+  private[tools] def freshEmbeddings(spark: SparkSession, emb: DataFrame,
       copies: Int, idStep: Long, dim: Int): DataFrame = {
     val mkVec = udf((id: Long) => {
       val v = Array.tabulate(dim) { j =>
@@ -114,7 +114,7 @@ object ScaleCheck {
     * Loaded through Loaders.loadParquet so the TIMESTAMP(NANOS) column
     * lands as a real TimestampType and writes back as micros.
     */
-  private def scaledEvents(spark: SparkSession, srcDir: String,
+  private[tools] def scaledEvents(spark: SparkSession, srcDir: String,
       copies: Int): DataFrame = {
     val ev = graft.sources.Loaders.loadParquet(
       spark, s"$srcDir/events.parquet", "ev").df
