@@ -50,11 +50,23 @@ object FullScaleGen {
     write(src("region"), "region", parts = 1)
     write(src("nation"), "nation", parts = 1)
 
+    // fresh-copy names carry a 4-char DOUBLED-letter tag ("bbbb-", …):
+    // any two copies' names differ by ≥ 4 edits AND ≥ 4 q-grams, so the
+    // edit-distance dedup surface (q_dedup_fuzzy, maxDist=1, q=2) prunes
+    // cross-copy pairs at the CANDIDATE count filter, not just at
+    // verification — scaling the INPUT, never planting cross-copy
+    // near-duplicate answers or borderline candidates (plain name
+    // duplication made the answer quadratic in copies; a 2-char suffix
+    // kept distance-2 pairs INSIDE the q-gram count threshold and a
+    // single verification task ran for the better part of an hour)
+    def nameTag(c: Int): String = { val l = ('a' + c).toChar; s"$l$l$l$l-" }
     write(copiesOf(src("customer"), copies) { (df, c) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(c * CustStep))
+        .withColumn("c_name", concat(lit(nameTag(c)), col("c_name")))
     }, "customer")
     write(copiesOf(src("supplier"), copies) { (df, c) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(c * SuppStep))
+        .withColumn("s_name", concat(lit(nameTag(c)), col("s_name")))
     }, "supplier", parts = 4)
     write(copiesOf(src("part"), copies) { (df, c) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(c * PartStep))

@@ -51,10 +51,20 @@ def main():
     json_out = None
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
+    # optional: --skip a,b,c marks queries ORACLE-INFEASIBLE at this scale
+    # (e.g. a brute-force N^2 oracle at sf1) — recorded as skipped, not
+    # silently green
+    skip = set()
+    if "--skip" in sys.argv:
+        skip = set(sys.argv[sys.argv.index("--skip") + 1].split(","))
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():
+            # Spark-written table dir (the FullScaleGen sf1 set): glob
+            # its part files instead of the single-file driver layout
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif p.exists():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     results = {}
@@ -67,6 +77,13 @@ def main():
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
+        if name in skip:
+            results[name] = ("ORACLE-INFEASIBLE (skipped at this scale; "
+                             f"spark rows {len(spark_df)})" +
+                             (" OK" if len(spark_df) > 0 else " EMPTY!"))
+            continue
+        import time as _t
+        _t0 = _t.time()
         if name not in oracles:
             results[name] = f"rows-only ({len(spark_df)} rows)" + \
                 (" OK" if len(spark_df) > 0 else " EMPTY!")
@@ -96,10 +113,15 @@ def main():
                     break
         else:
             results[name] = f"OK ({sn} rows)"
+        print(f"[progress] {name}: {results[name].split()[0]} "
+              f"({_t.time() - _t0:.1f}s)", file=sys.stderr, flush=True)
     n_ok = sum(1 for v in results.values() if v.startswith("OK") or "rows-only" in v and "EMPTY" not in v)
+    n_skip = sum(1 for v in results.values()
+                 if v.startswith("ORACLE-INFEASIBLE") and "EMPTY" not in v)
     for k in sorted(results):
         print(f"{results[k].split()[0]:>14}  {k}: {results[k]}")
-    print(f"\n{n_ok}/{len(results)} passing")
+    print(f"\n{n_ok}/{len(results)} passing" +
+          (f" ({n_skip} oracle-infeasible, rows>0 only)" if n_skip else ""))
     if json_out:
         rec = {}
         for k, v in sorted(results.items()):
