@@ -28,7 +28,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        r = round(v, 9)
+        if r == 0.0:
+            r = 0.0  # normalize -0.0 (projection outputs can round to it)
+        return repr(r)
     return str(v)
 
 
