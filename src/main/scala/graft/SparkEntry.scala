@@ -2194,8 +2194,11 @@ object SparkEntry {
         TF.tokenCount(col("text")).cast("bigint").as("ws_tokens"),
         TF.bpeTokenCount(col("text")).cast("bigint").as("bpe_tokens"))),
 
+    // fanOut: same rationale as q_text_langid (map-only regex battery)
     "q_text_quality" -> ((s, d) =>
-      t(s, d, "documents").df.select(col("doc_id"),
+      graft.operators.Par.fanOut(
+        t(s, d, "documents").df.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
         length(col("text")).cast("bigint").as("n_chars_calc"),
         TF.tokenCount(col("text")).cast("bigint").as("word_count"),
         round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
@@ -2323,9 +2326,13 @@ object SparkEntry {
           sum(length(col("text"))).cast("bigint").as("chars"))
     }),
 
+    // fanOut: langId is regex-heavy per row and the query is otherwise
+    // map-only — without it the whole scoring pass runs in the scan's
+    // single task (guide §2.5); per-row output, partition-invariant
     "q_text_langid" -> ((s, d) =>
-      t(s, d, "documents").df.select(col("doc_id"),
-        TF.langId(col("text")).as("detected_lang"))),
+      graft.operators.Par.fanOut(
+        t(s, d, "documents").df.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TF.langId(col("text")).as("detected_lang"))),
 
     "q_text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").df.select(col("doc_id"),
@@ -3016,7 +3023,9 @@ object SparkEntry {
       val lat = regexp_count(col("text"), lit("\\p{IsLatin}")).cast("double")
       val dig = regexp_count(col("text"), lit("[0-9]")).cast("double")
       val spc = regexp_count(col("text"), lit("\\s")).cast("double")
-      t(s, d, "documents").df.where(length(col("text")) > 0)
+      graft.operators.Par.fanOut(
+        t(s, d, "documents").df.select(col("doc_id"), col("text")))
+        .where(length(col("text")) > 0)
         .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"),
           round(lat / len, 6).as("latin_frac"),
           round(dig / len, 6).as("digit_frac"),

@@ -1308,7 +1308,8 @@ object Corpus {
       sourceCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol)).orderBy(col("quality"))
-    docs.select(col(idCol), col(sourceCol),
+    Par.fanOut(docs.select(col(idCol), col(sourceCol), col(textCol)))
+      .select(col(idCol), col(sourceCol),
         round(T.qualityScore(col(textCol)), 6).as("quality"))
       .withColumn("calibrated", round(percent_rank().over(w), 6))
   }

@@ -158,9 +158,10 @@ object Dedup {
     val extra = bits % blocks
     val widths = Seq.tabulate(blocks)(i => if (i < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val hashed = df.select(col(idCol).as("id"),
-      HashExpressions.simhashMd5Wide(
-        split(T.normalizeText(col(textCol)), " "), bits).as("sh"))
+    val hashed = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        HashExpressions.simhashMd5Wide(
+          split(T.normalizeText(col(textCol)), " "), bits).as("sh"))
     // chunk i covers fingerprint bits [offset, offset+width) — may straddle
     // the 60-bit word boundary, in which case low bits come from word w and
     // high bits from word w+1
@@ -518,7 +519,9 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleWords: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    df.select(
+    // shingling + numHashes mins per doc run map-side on the scan's
+    // partitioning — fan an under-parallel scan out first (guide §2.5)
+    Par.fanOut(df.select(col(idCol), col(textCol))).select(
       col(idCol).as("id"),
       HashExpressions.minhashSketch(
         T.wordShingles(col(textCol), shingleWords), numHashes).as("sketch"))
@@ -994,7 +997,10 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, lshBits: Int = 0, dim: Int = 64,
       lshTables: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // both regimes do their per-vector work (hyperplane signatures, or
+    // the exact path's nested-loop cosines) map-side on this frame's
+    // partitioning — fan an under-parallel scan out first
+    val base = Par.fanOut(df.select(col(idCol).as("id"), col(vecCol).as("v")))
     if (lshBits == 0) {
       // exact path: vectors stay inline, one nested-loop pass
       return base.alias("a").join(base.alias("b"), col("a.id") < col("b.id"))

@@ -57,7 +57,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    // Q×N cosines evaluate map-side on the corpus scan's partitioning —
+    // fan a narrow scan out first (guide §2.5) or one core does them all
+    val c = Par.fanOut(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
@@ -352,7 +355,12 @@ object Similarity {
     // pin the training vectors for the duration of the Lloyd passes —
     // every iteration re-scans them, and without this each pass re-reads
     // and re-projects the source (the standard cache-the-training-set
-    // pattern; spills to disk if the sample outgrows memory)
+    // pattern; spills to disk if the sample outgrows memory).
+    // Deliberately NOT fanned out (Par.fanOut): the Lloyd pass costs
+    // nlist distances per row and the measured bench A/B showed the
+    // extra exchange + 32-task stages LOSING on every Lloyd consumer
+    // (q_kmeans 1.42×, q_sim_ivf_twolevel 1.33×) — per-task overhead
+    // outweighs distance work at any under-parallel (i.e. small) scale.
     val c = c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Seed pick, threshold-gated like the assign/probe routing:
     // below it, the first nlist vectors by id (a TakeOrdered — fine at
@@ -824,7 +832,7 @@ object Similarity {
     */
   def prototypeScores(corpus: DataFrame, vecCol: String, idCol: String,
       labelCol: String, dim: Int = 64): DataFrame =
-    corpus.select(col(idCol), col(labelCol), col(vecCol))
+    Par.fanOut(corpus.select(col(idCol), col(labelCol), col(vecCol)))
       .join(broadcast(labelPrototypes(corpus, vecCol, labelCol, dim)),
         Seq(labelCol))
       .select(col(idCol), col(labelCol),
@@ -838,7 +846,10 @@ object Similarity {
     val sums = (0 until dim).map(i =>
       (sum(element_at(col(vecCol), i + 1).cast(DecimalType(38, 18)))
         .cast(DoubleType) / count(lit(1))).as(s"graft_m$i"))
-    corpus.groupBy(col(labelCol))
+    // dim decimal partial-sums per row are the heavy map work here; the
+    // decimal sums make the fan-out value-exact (order-independent)
+    Par.fanOut(corpus.select(col(labelCol), col(vecCol)))
+      .groupBy(col(labelCol))
       .agg(sums.head, sums.tail: _*)
       .select(col(labelCol),
         array((0 until dim).map(i => col(s"graft_m$i")): _*).as("graft_proto"))
@@ -851,7 +862,7 @@ object Similarity {
   def prototypeOutliers(corpus: DataFrame, vecCol: String, idCol: String,
       labelCol: String, k: Int, dim: Int = 64): DataFrame = {
     require(k >= 1, "prototypeOutliers: k must be >= 1")
-    val scored = corpus.select(col(idCol), col(labelCol), col(vecCol))
+    val scored = Par.fanOut(corpus.select(col(idCol), col(labelCol), col(vecCol)))
       .join(broadcast(labelPrototypes(corpus, vecCol, labelCol, dim)),
         Seq(labelCol))
       .select(col(labelCol).as("query_id"), col(idCol).as("corpus_id"),

@@ -385,6 +385,18 @@ object EventStreams {
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing (Spark 3.4+): commit uploads the batch's
+    // changelog instead of a full RocksDB snapshot — the standard
+    // production setting for exactly the per-micro-batch fixed cost this
+    // drill measures (optimization guide §1.2: fix the algorithmic cost,
+    // here per-commit I/O, before configs). State semantics identical;
+    // snapshots still happen in the background at the maintenance
+    // interval.
+    val priorChangelog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     val outRows = new java.util.concurrent.atomic.AtomicLong(0L)
     val t0 = System.nanoTime()
     val stream = spark.readStream.schema(schema)
@@ -403,6 +415,12 @@ object EventStreams {
           spark.conf.set("spark.sql.streaming.stateStore.providerClass", pv)
         case None =>
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      priorChangelog match {
+        case Some(pv) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", pv)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       }
     }
     (inputRows, outRows.get(), (System.nanoTime() - t0) / 1e9)
