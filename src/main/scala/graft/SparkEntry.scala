@@ -2033,7 +2033,7 @@ object SparkEntry {
     "q_sim_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
-        "embedding", "vec_id", k = 10)
+        "embedding", "vec_id", k = 10, fanOutCorpus = false)
         .select(col("query_id"), col("corpus_id"), col("cosine"),
           col("rank").cast("bigint").as("rnk"))
     }),
@@ -2124,7 +2124,8 @@ object SparkEntry {
       val enc = Similarity.pqEncode(emb, "embedding", "vec_id", cb)
       val pq = Similarity.pqTopK(enc, cb, emb, queries, "embedding", "vec_id",
         k = 10, m = 8, dim = 64, rerank = 200)
-      val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+      val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id",
+        k = 10, fanOutCorpus = false)
       pqRecallFrame(pq, bf)
     }),
 
@@ -2139,7 +2140,8 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
       val pq = Similarity.pqTopKIndexed(idxPath, queries, "embedding", "vec_id",
         k = 10, rerank = 200)
-      val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+      val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id",
+        k = 10, fanOutCorpus = false)
       pqRecallFrame(pq, bf)
     }),
 
@@ -2159,7 +2161,8 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
       val pq = Similarity.ivfPqTopK(idxPath, queries, "embedding", "vec_id",
         k = 10, nprobe = 8, rerank = 200)
-      val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+      val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id",
+        k = 10, fanOutCorpus = false)
       pqRecallFrame(pq, bf)
     }),
 
@@ -2290,7 +2293,8 @@ object SparkEntry {
           "/ CAST(1152921504606846976 AS DOUBLE))"))
         .select(col("cid"), col("v"))
       val queries = emb.where(col("cid") % 1000 === 0 && col("cid") < 3000)
-      Similarity.bruteForceTopK(emb, queries, "v", "cid", k = 5)
+      Similarity.bruteForceTopK(emb, queries, "v", "cid", k = 5,
+        fanOutCorpus = false)
         .select(col("query_id"), col("corpus_id"), col("cosine"),
           col("rank").cast("bigint").as("rnk"))
     }),
@@ -2996,7 +3000,8 @@ object SparkEntry {
       val bm25 = graft.operators.Corpus.bm25Search(docs, "text", "doc_id",
         Seq("hash", "join", "vector"), k = 50)
       val ann = Similarity.bruteForceTopK(emb,
-          emb.where(col("vec_id") === 0L), "embedding", "vec_id", k = 50)
+          emb.where(col("vec_id") === 0L), "embedding", "vec_id", k = 50,
+          fanOutCorpus = false)
         .select(col("corpus_id").as("doc_id"), col("rank"))
       Similarity.rrfFuse(Seq(bm25.select(col("doc_id"), col("rank")), ann),
         "doc_id", k = 20)

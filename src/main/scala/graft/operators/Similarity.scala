@@ -56,11 +56,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, fanOutCorpus: Boolean = true): DataFrame = {
     // Q×N cosines evaluate map-side on the corpus scan's partitioning —
-    // fan a narrow scan out first (guide §2.5) or one core does them all
-    val c = Par.fanOut(
-      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
+    // fan a narrow scan out first (guide §2.5) or one core does them all.
+    // Callers with a HANDFUL of queries (Q×N still sub-second) pass
+    // fanOutCorpus = false: the exchange there costs more than the
+    // parallelism buys (paired drill: q_sim_topk 1.32× with it on).
+    val c0 = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val c = if (fanOutCorpus) Par.fanOut(c0) else c0
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
@@ -832,7 +835,7 @@ object Similarity {
     */
   def prototypeScores(corpus: DataFrame, vecCol: String, idCol: String,
       labelCol: String, dim: Int = 64): DataFrame =
-    Par.fanOut(corpus.select(col(idCol), col(labelCol), col(vecCol)))
+    corpus.select(col(idCol), col(labelCol), col(vecCol))
       .join(broadcast(labelPrototypes(corpus, vecCol, labelCol, dim)),
         Seq(labelCol))
       .select(col(idCol), col(labelCol),
@@ -846,10 +849,7 @@ object Similarity {
     val sums = (0 until dim).map(i =>
       (sum(element_at(col(vecCol), i + 1).cast(DecimalType(38, 18)))
         .cast(DoubleType) / count(lit(1))).as(s"graft_m$i"))
-    // dim decimal partial-sums per row are the heavy map work here; the
-    // decimal sums make the fan-out value-exact (order-independent)
-    Par.fanOut(corpus.select(col(labelCol), col(vecCol)))
-      .groupBy(col(labelCol))
+    corpus.groupBy(col(labelCol))
       .agg(sums.head, sums.tail: _*)
       .select(col(labelCol),
         array((0 until dim).map(i => col(s"graft_m$i")): _*).as("graft_proto"))
@@ -862,7 +862,7 @@ object Similarity {
   def prototypeOutliers(corpus: DataFrame, vecCol: String, idCol: String,
       labelCol: String, k: Int, dim: Int = 64): DataFrame = {
     require(k >= 1, "prototypeOutliers: k must be >= 1")
-    val scored = Par.fanOut(corpus.select(col(idCol), col(labelCol), col(vecCol)))
+    val scored = corpus.select(col(idCol), col(labelCol), col(vecCol))
       .join(broadcast(labelPrototypes(corpus, vecCol, labelCol, dim)),
         Seq(labelCol))
       .select(col(labelCol).as("query_id"), col(idCol).as("corpus_id"),
