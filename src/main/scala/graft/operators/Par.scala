@@ -35,11 +35,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 private[graft] object Par {
 
   /** Estimated scan-task count if `df`'s leaves are all file relations:
-    * Σ ceil(bytes / maxPartitionBytes) per leaf (the openCost/file-pack
-    * refinement only ever INCREASES the real count, so the estimate is
-    * conservative for the no-op direction). None when any leaf is not a
-    * file scan (checkpointed / in-memory / JDBC inputs are usually
-    * post-shuffle already — leave them alone).
+    * Σ ceil(bytes / maxPartitionBytes) per leaf. This UNDER-estimates
+    * a many-small-files scan (the openCostInBytes file-packing charge
+    * only ever raises the real split count), so the guard can fire on
+    * an input that would have planned a few more tasks than estimated —
+    * an extra exchange on a small input, never a lost fan-out on a big
+    * one: bytes large enough to matter ⇒ estimate large ⇒ no-op.
+    * None when any leaf is not a file scan (checkpointed / in-memory /
+    * JDBC inputs are usually post-shuffle already — leave them alone).
     */
   private def estScanTasks(df: DataFrame): Option[Long] = {
     val leaves = df.queryExecution.analyzed.collectLeaves()
