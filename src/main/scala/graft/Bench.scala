@@ -113,6 +113,17 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(" ")
       catch { case _: Throwable => "n/a" }
     val loadStart = loadavg
+    // contention self-defense: a bench started on a box still settling
+    // from other work (the r20 driver run started at loadavg 3-5 after a
+    // 14-min test suite) produces medians that are not comparable
+    // round-over-round. Flag it loudly at entry AND in the compact JSON
+    // line so a contaminated run is self-describing.
+    val loadHot = loadStart.split("\\s+").headOption
+      .flatMap(_.toDoubleOption).exists(_ > 1.0)
+    if (loadHot)
+      System.err.println(s"[bench] WARNING: loadavg at entry is $loadStart " +
+        "(> 1.0) — the box is not idle; medians from this run are " +
+        "load-contaminated, compare mins only")
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
@@ -242,6 +253,37 @@ object Bench {
         java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
+    // ——— driver-contract compact line (LAST stdout line) ———
+    // The driver grades the bench from a ~2,000-char tail of stdout; the
+    // full line above is ~6 KB (115 queries × medians + mins + runs ride
+    // the file sinks), so it has NEVER parsed (BENCH_r08…r20 all carry
+    // parsed: null). This line is a measurement-reporting fix, not a
+    // methodology change: same runs, same queries, same timing — it
+    // re-prints the headline totals plus per-query MINs (the statistic
+    // the repo's measured noise protocol trusts; medians stay on the full
+    // line) at 2 decimals for as many queries as fit a hard 1,880-char
+    // budget. 115 query names alone sum to ~1.7 KB, so the full map can
+    // never fit the tail — the shown subset is DETERMINISTIC (the frozen
+    // 26-query core first, then headline order), identical across runs
+    // and binaries, so c32-vs-c8 and round-over-round ratios stay
+    // well-defined on the shown set. nq/nq_shown make the cut explicit.
+    val compactBudget = 1880
+    val compactPrefix =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_total":$coreTotal%.3f,"core_total_min":$coreTotalMin%.3f,"contended":$contended,"load_hot":$loadHot,"stat":"min","nq":${results.length},"nq_shown":NNN,"queries":{"""
+    val compactSuffix = s"""},"sf":"$sfDir"}"""
+    val compactOrder =
+      core.filter(byNameMin.contains) ++
+        selected.filterNot(coreSet.contains).filter(byNameMin.contains)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = compactPrefix.length + compactSuffix.length
+    for (n <- compactOrder) {
+      val e = "\"" + n + "\":" + f"${byNameMin(n)}%.2f"
+      val cost = e.length + (if (entries.nonEmpty) 1 else 0)
+      if (used + cost <= compactBudget) { entries += e; used += cost }
+    }
+    val compactLine = compactPrefix.replace("NNN", entries.length.toString) +
+      entries.mkString(",") + compactSuffix
+    println(compactLine)
     spark.stop()
   }
 }
