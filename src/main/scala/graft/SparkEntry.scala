@@ -2123,7 +2123,7 @@ object SparkEntry {
         m = 8, ksub = 16, refineIterations = 2, dim = 64, trainFraction = 0.5)
       val enc = Similarity.pqEncode(emb, "embedding", "vec_id", cb)
       val pq = Similarity.pqTopK(enc, cb, emb, queries, "embedding", "vec_id",
-        k = 10, m = 8, dim = 64, rerank = 200)
+        k = 10, m = 8, dim = 64, rerank = 200, ksub = 16)
       val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id",
         k = 10, fanOutCorpus = false)
       pqRecallFrame(pq, bf)

@@ -565,17 +565,29 @@ object Corpus {
     */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       corpus: DataFrame, smoothingK: Double = 1.0): DataFrame = {
+    // self-scoring (docs IS corpus — reference equality, the common
+    // "score the training corpus" call): the per-doc bigram explode is
+    // the expensive pass, and training counts are a pure rollup of it —
+    // pin the per-doc rows ONCE and derive the model by grouping them,
+    // instead of exploding the same table twice (one fewer source scan
+    // + tokenize; counts are identical, the id column just rides along
+    // until the rollup drops it)
+    val selfScore = docs eq corpus
+    val docRows =
+      if (selfScore) bigramRows(docs, textCol, Seq(idCol)).localCheckpoint(true)
+      else bigramRows(docs, textCol, Seq(idCol))
     // pinned: the bigram model frame (distinct-bigram counts, the
     // "train once" artifact) feeds both the unigram rollup and the
     // scoring join — without the pin the corpus bigram explode+count
     // runs once per consumer
-    val c12 = bigramRows(corpus, textCol, Nil)
+    val c12 = (if (selfScore) docRows.select(col("w1"), col("w2"))
+        else bigramRows(corpus, textCol, Nil))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("double").as("c12"))
       .localCheckpoint(true)
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = vocabSize(corpus, textCol)
-    bigramRows(docs, textCol, Seq(idCol))
+    docRows
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v))

@@ -454,16 +454,18 @@ object Dedup {
     // a sliver of the corpus
     val candIds = pinned.select(col("id_a").as("sid"))
       .union(pinned.select(col("id_b").as("sid"))).distinct()
-    val shingleSets =
-      if (cap > 0L)
-        // capped contract: intersections must count sub-cap shingles only
-        posting.join(candIds, col("id") === col("sid"), "left_semi")
-          .groupBy(col("id")).agg(collect_list(col("g")).as("sh"))
-          .select(col("id").as("sid"), col("sh"))
-      else
-        df.join(candIds, col(idCol) === col("sid"), "left_semi")
-          .select(col(idCol).as("sid"),
-            array_distinct(T.wordShingles(col(textCol), shingleWords)).as("sh"))
+    // verify sets come from the PINNED posting in both regimes — the
+    // uncapped branch used to re-scan the source table and re-shingle
+    // the candidate docs (one extra `Scan parquet` of documents per
+    // query); posting0 already holds exactly each doc's distinct
+    // shingles in memory, and the verifier only consumes the
+    // intersection SIZE, so collect_list order is immaterial
+    val shingleSets = {
+      val side = if (cap > 0L) posting else posting0
+      side.join(candIds, col("id") === col("sid"), "left_semi")
+        .groupBy(col("id")).agg(collect_list(col("g")).as("sh"))
+        .select(col("id").as("sid"), col("sh"))
+    }
     (pinned, sizes, shingleSets)
   }
 
@@ -997,25 +999,32 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, lshBits: Int = 0, dim: Int = 64,
       lshTables: Int = 8): DataFrame = {
-    // both regimes do their per-vector work (hyperplane signatures, or
-    // the exact path's nested-loop cosines) map-side on this frame's
-    // partitioning — fan an under-parallel scan out first
-    val base = Par.fanOut(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     if (lshBits == 0) {
-      // exact path: vectors stay inline, one nested-loop pass
+      // exact path: the nested-loop cosines run map-side on this frame's
+      // partitioning — fan an under-parallel scan out first
+      val base = Par.fanOut(base0)
       return base.alias("a").join(base.alias("b"), col("a.id") < col("b.id"))
         .withColumn("cos", V.cosine(col("a.v"), col("b.v")))
         .where(col("cos") >= threshold)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           round(col("cos"), 6).as("cosine"))
     }
-    // no pin here: the verify joins shuffle `base` by id on both sides
+    // Fan out ONLY the signature arm: the hyperplane-signature explode
+    // (bits × dim dot products per table per row) is the heavy map work
+    // fused into the scan. The verify joins below do their cosine AFTER
+    // a join (post-shuffle or on the pinned candidate partitioning), so
+    // their map-side work is a bare projection — fanning that arm buys
+    // no parallelism and costs an exchange per side (measured r20:
+    // q_dedup_embedding_tight paid 1.13–1.49× for it while its sibling
+    // won 0.52; r21 re-gates the fan-out to the signature arm only).
+    // No pin on `base0`: the verify joins shuffle it by id on both sides
     // with identical subplans, so ReusedExchange already shares the scan
     // (measured: an eager checkpoint adds a materialization pass and
     // saves nothing)
-    signLshCandidates(base, lshBits, dim, lshTables)
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+    signLshCandidates(Par.fanOut(base0), lshBits, dim, lshTables)
+      .join(base0.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base0.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", V.cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))

@@ -269,7 +269,11 @@ object Similarity {
   /** Per-point `n` nearest centroid ids over the two-level candidate set,
     * under the same (distance asc, cent_id asc) total order as the flat
     * route — identical to flat whenever the candidate cells cover the
-    * true nearest centroids (always when metaProbes ≥ m).
+    * true nearest centroids (always when metaProbes ≥ m). The point's own
+    * vector (`graft_pv`) rides through the pick (it already rides the
+    * candidate kernel via min_by), so single-vector callers never need a
+    * key-partitioned re-join to re-attach it — removing that join is two
+    * exchanges and a sort saved per assign/probe (guide §2.4).
     */
   private[operators] def twoLevelNearestLists(points: DataFrame,
       centroids: DataFrame, n: Int, nlistHint: Long,
@@ -278,11 +282,13 @@ object Similarity {
     twoLevelCandidates(points, centroids, nlistHint, metaProbes, pre)
       .withColumn("graft_d", V.l2Distance(col("graft_pv"), col("centv")))
       .groupBy(col("graft_pid"))
-      .agg(graft.plans.TopKAgg.topKPairs(col("graft_d"),
-        col("cent_id").cast("long"), n, scoreDesc = false).as("graft_tk"))
-      .select(col("graft_pid"),
+      .agg(min_by(col("graft_pv"), col("cent_id")).as("graft_pv"),
+        graft.plans.TopKAgg.topKPairs(col("graft_d"),
+          col("cent_id").cast("long"), n, scoreDesc = false).as("graft_tk"))
+      .select(col("graft_pid"), col("graft_pv"),
         explode(col("graft_tk.id")).as("graft_list"))
-      .select(col("graft_pid"), col("graft_list").cast(idt).as("list_id"))
+      .select(col("graft_pid"), col("graft_pv"),
+        col("graft_list").cast(idt).as("list_id"))
   }
 
   /** Candidate (point, centroid) pair count and meta width of the
@@ -320,14 +326,22 @@ object Similarity {
       s"column name(s) ${clash.mkString(", ")} — rename before probing")
     val nlist = if (nlistHint >= 0L) nlistHint else centroids.count()
     if (nlist > TwoLevelThreshold) {
-      val pairs = twoLevelNearestLists(
+      val picks = twoLevelNearestLists(
         q.select(col("query_id").as("graft_pid"), col("qv").as("graft_pv")),
         centroids, nprobe, nlist, metaProbes, metaPre)
-        .select(col("graft_pid").as("query_id"), col("list_id"))
-      // join the (query_id, list_id) picks back so every query-side
-      // column (label carriers etc.) rides through, like the flat route
-      q.join(pairs, Seq("query_id"))
-        .select(q.columns.map(col) :+ col("list_id"): _*)
+      if (q.columns.toSeq == Seq("query_id", "qv"))
+        // the common (query_id, qv) shape: the vector already rode the
+        // pick kernel — emit it directly instead of re-joining the query
+        // frame by id (saves two exchanges and a join per probe)
+        picks.select(col("graft_pid").as("query_id"),
+          col("graft_pv").as("qv"), col("list_id"))
+      else {
+        // join the (query_id, list_id) picks back so every query-side
+        // column (label carriers etc.) rides through, like the flat route
+        val pairs = picks.select(col("graft_pid").as("query_id"), col("list_id"))
+        q.join(pairs, Seq("query_id"))
+          .select(q.columns.map(col) :+ col("list_id"): _*)
+      }
     } else q.join(broadcast(centroids))
       .withColumn("d", V.l2Distance(col("qv"), col("centv")))
       .withColumn("rn", row_number().over(
@@ -425,13 +439,21 @@ object Similarity {
     val nlist = if (nlistHint >= 0L) nlistHint else centroids.count()
     if (nlist > TwoLevelThreshold) {
       // two-level argmin (n = 1): the pick rides the same kernel as the
-      // probe route; carriers re-join by id (a key-partitioned shuffle —
-      // at this nlist the flat broadcast would be the thing that breaks)
+      // probe route
       val picks = twoLevelNearestLists(
         c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
         centroids, n = 1, nlist, metaProbes, metaPre)
-        .select(col("graft_pid").as("corpus_id"), col("list_id"))
-      return c.join(picks, Seq("corpus_id"))
+      if (carry.toSeq == Seq("cv"))
+        // plain (corpus_id, cv) assignment: the vector already rode the
+        // pick kernel — no key-partitioned re-join needed (two exchanges
+        // and a sort-merge join saved on every Lloyd pass and index
+        // assign at nlist > threshold)
+        return picks.select(col("graft_pid").as("corpus_id"),
+          col("graft_pv").as("cv"), col("list_id"))
+      // label/extra carriers re-join by id (a key-partitioned shuffle —
+      // at this nlist the flat broadcast would be the thing that breaks)
+      return c.join(picks.select(col("graft_pid").as("corpus_id"), col("list_id")),
+          Seq("corpus_id"))
         .select(col("corpus_id") +: carry.map(col) :+ col("list_id"): _*)
     }
     c.join(broadcast(centroids))
@@ -1060,14 +1082,23 @@ object Similarity {
     * and fill with 0.
     */
   private def adcLutFlat(queries: DataFrame, codebook: DataFrame,
-      vecCol: String, idCol: String, m: Int, dim: Int): DataFrame = {
-    // read the max as nullable and fail typed: an empty codebook frame
-    // would otherwise surface as an opaque NPE from getInt on a null row
-    val maxCent = codebook.agg(max(col("cent_id"))).first()
-    require(!maxCent.isNullAt(0),
-      "PQ codebook is empty — train it first (pqTrain) or point at the " +
-        "persisted codebook parquet, not an empty frame")
-    val ksub = maxCent.getInt(0) + 1
+      vecCol: String, idCol: String, m: Int, dim: Int,
+      ksubHint: Int = -1): DataFrame = {
+    // ksubHint skips the driver max() job when the caller KNOWS the
+    // trained ksub (the in-process pipelines do): adcSum derives ksub
+    // from lut.length/m at lookup time, so any hint ≥ max(cent_id)+1
+    // yields bit-identical sums — slots of dropped centroids fill 0 and
+    // are never referenced by any code. Persisted-codebook callers keep
+    // the derive (-1): the codebook's true ksub is not recorded at rest.
+    val ksub = if (ksubHint >= 1) ksubHint else {
+      // read the max as nullable and fail typed: an empty codebook frame
+      // would otherwise surface as an opaque NPE from getInt on a null row
+      val maxCent = codebook.agg(max(col("cent_id"))).first()
+      require(!maxCent.isNullAt(0),
+        "PQ codebook is empty — train it first (pqTrain) or point at the " +
+          "persisted codebook parquet, not an empty frame")
+      maxCent.getInt(0) + 1
+    }
     adcLut(queries, codebook, vecCol, idCol, m, dim)
       .groupBy(col("query_id"))
       .agg(map_from_entries(collect_list(struct(
@@ -1079,9 +1110,10 @@ object Similarity {
 
   def pqTopK(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
       queries: DataFrame, vecCol: String, idCol: String, k: Int,
-      m: Int = 8, dim: Int = 64, rerank: Int = 50): DataFrame = {
+      m: Int = 8, dim: Int = 64, rerank: Int = 50,
+      ksub: Int = -1): DataFrame = {
     require(rerank >= k, "pqTopK: rerank must be >= k")
-    val lut = adcLutFlat(queries, codebook, vecCol, idCol, m, dim)
+    val lut = adcLutFlat(queries, codebook, vecCol, idCol, m, dim, ksub)
     val adc = encoded
       .crossJoin(broadcast(lut))
       .where(col("corpus_id") =!= col("query_id"))

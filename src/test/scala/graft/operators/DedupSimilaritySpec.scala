@@ -1003,6 +1003,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val twoLevel = Similarity.twoLevelNearestLists(
       c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
       cents, n = 1, nlistHint = nlist, metaProbes = m)
+      .select("graft_pid", "list_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(twoLevel == flat, "full-coverage two-level argmin must equal flat")
     // top-4 probe vs an independically computed flat window top-4
@@ -1017,6 +1018,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val twoLevel4 = Similarity.twoLevelNearestLists(
       c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
       cents, n = 4, nlistHint = nlist, metaProbes = m)
+      .select("graft_pid", "list_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(twoLevel4 == flat4, "full-coverage two-level top-4 must equal flat")
   }
@@ -1064,6 +1066,7 @@ class DedupSimilaritySpec extends SparkSpec {
       c.select(col("corpus_id").as("graft_pid"), col("cv").as("graft_pv")),
       cents, n = 1, nlistHint = nlist,
       metaProbes = Similarity.DefaultMetaProbes)
+      .select("graft_pid", "list_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(twoLevel.size == n, s"totality: ${twoLevel.size} of $n assigned")
     val agree = flat.count { case (id, cent) => twoLevel.get(id).contains(cent) }
