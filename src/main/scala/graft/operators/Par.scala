@@ -69,15 +69,37 @@ private[graft] object Par {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (target <= 2) df
     else {
-      // idempotence: operators compose (ivfTopK → seedAndRefine → …), so
-      // an input a caller already fanned out must not be exchanged again
-      import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
-      val already = df.queryExecution.analyzed.exists {
-        case _: Repartition => true
-        case _: RepartitionByExpression => true
-        case _ => false
+      import org.apache.spark.sql.catalyst.plans.logical._
+      // Two no-op conditions, checked on the analyzed plan:
+      //  - idempotence: operators compose (ivfTopK → seedAndRefine → …),
+      //    so an input a caller already fanned out (a SHUFFLE round-robin
+      //    Repartition) must not be exchanged again. A coalesce()
+      //    (Repartition with shuffle=false — it NARROWS partitioning) or
+      //    a keyed RepartitionByExpression is not a fan-out;
+      //  - narrow-over-scan only: a frame whose plan contains any
+      //    shuffle-introducing or row-regrouping node (aggregate, join,
+      //    window, sort, distinct, keyed repartition) is already as wide
+      //    as its shuffle made it — estScanTasks sees only the LEAVES and
+      //    would under-estimate, inserting a redundant exchange (and a
+      //    fan-out after a keyed repartition would destroy partitioning a
+      //    caller established deliberately). Unknown node types land in
+      //    the conservative branch: no exchange inserted.
+      sealed trait Verdict
+      object Fanned extends Verdict; object Bail extends Verdict
+      object Narrow extends Verdict
+      def classify(p: LogicalPlan): Verdict = p match {
+        case r: Repartition if r.shuffle => Fanned
+        case r: Repartition if !r.shuffle => Narrow // coalesce: transparent
+        case _: Project | _: Filter | _: SubqueryAlias | _: Union |
+             _: Generate | _: LocalLimit | _: GlobalLimit => Narrow
+        case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+          Narrow
+        case _ => Bail
       }
-      if (already) df
+      val verdicts = df.queryExecution.analyzed.collect {
+        case p => classify(p)
+      }
+      if (verdicts.contains(Fanned) || verdicts.contains(Bail)) df
       else estScanTasks(df) match {
         case Some(est) if est * 2 <= target => df.repartition(target)
         case _ => df

@@ -47,16 +47,33 @@ object QueryProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // marker-job handshake replaces the old fixed Thread.sleep(300): the
+    // listener bus is async FIFO, so once the listener has OBSERVED the
+    // end of a sentinel job submitted after the query, every event of the
+    // query itself has drained too — no lost late events on a loaded box,
+    // and no previous query's stragglers bleeding into the next Acc
     @volatile var acc = new Acc
+    @volatile var markerSeen: String = ""
+    val markerStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        acc.jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .map(_.getProperty("spark.job.description", "")).getOrElse("")
+        if (desc.startsWith("graft-profile-marker:")) {
+          j.stageIds.foreach(markerStages.add(_))
+          markerSeen = desc
+        } else acc.jobs.incrementAndGet()
+        ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        acc.stages.incrementAndGet()
-        acc.stageNames.put(s.stageInfo.stageId, s.stageInfo.name)
+        if (!markerStages.contains(s.stageInfo.stageId)) {
+          acc.stages.incrementAndGet()
+          acc.stageNames.put(s.stageInfo.stageId, s.stageInfo.name)
+        }
         ()
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        if (markerStages.contains(t.stageId)) return
         acc.tasks.incrementAndGet()
         val m = t.taskMetrics
         if (m != null) {
@@ -70,6 +87,19 @@ object QueryProfile {
         }
       }
     })
+    // run a tiny sentinel job and wait until the listener reports it —
+    // all earlier events are then drained (FIFO bus); the sentinel's own
+    // job/stage/task events are excluded from the Acc via the marker
+    // description (jobs) and its stage-id set (stages/tasks)
+    def drain(tag: String): Unit = {
+      val marker = s"graft-profile-marker:$tag"
+      spark.sparkContext.setJobDescription(marker)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (markerSeen != marker && System.nanoTime() < deadline)
+        Thread.sleep(10)
+    }
 
     // one warm pass (codegen/JIT) at the smallest SF, mirroring Bench
     names.foreach { n =>
@@ -77,13 +107,14 @@ object QueryProfile {
       catch { case _: Throwable => () }
     }
 
+    // drain warm-up events so they never land in the first query's Acc
+    drain("warmup")
     names.foreach { n =>
       acc = new Acc
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, sfDir).foreach(_ => ())
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener bus is async; give it a beat to drain
-      Thread.sleep(300)
+      drain(n)
       val singles = {
         import scala.jdk.CollectionConverters._
         acc.stageTasks.asScala.toSeq.sortBy(-_._2._2).take(8)
