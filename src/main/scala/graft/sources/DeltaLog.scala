@@ -2316,14 +2316,25 @@ object DeltaLog {
     */
   private def withMaterializedRowIds(spark: SparkSession, path: String,
       adds: Seq[DeltaStats.AddEntry], df: DataFrame,
-      matId: String, matVer: String, keyDepth: Int): DataFrame = {
+      matId: String, matVer: String, keyDepth: Int): DataFrame =
+    withMaterializedRowIdTriples(spark,
+      adds.map(a => (relKey(path, a.rel, keyDepth),
+        a.baseRowId.getOrElse(-1L),
+        a.defaultRowCommitVersion.getOrElse(-1L))),
+      df, matId, matVer)
+
+  /** Same row-id attach from bare (fileKey, baseRowId, defaultVer)
+    * triples — what the large-log read collects from the distributed
+    * fold (3 small fields per file, the same O(paths) floor as the
+    * scan's file list) instead of full AddEntries.
+    */
+  private def withMaterializedRowIdTriples(spark: SparkSession,
+      triples: Seq[(String, Long, Long)], df: DataFrame,
+      matId: String, matVer: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, when}
     val sess = spark
     import sess.implicits._
-    val baseMap = adds.map(a => (relKey(path, a.rel, keyDepth),
-        a.baseRowId.getOrElse(-1L),
-        a.defaultRowCommitVersion.getOrElse(-1L)))
-      .toDF(DvFileCol, "graft_base_rid", "graft_def_ver")
+    val baseMap = triples.toDF(DvFileCol, "graft_base_rid", "graft_def_ver")
     df.join(broadcast(baseMap), Seq(DvFileCol), "left")
       .withColumn(matId, coalesce(col(s"`$matId`"),
         when(col("graft_base_rid") >= 0,
@@ -3897,6 +3908,26 @@ object DeltaLog {
     activeAddsAsOf(spark, path, versionAsOf)
       .map(a => new HPath(new HPath(path), a.rel).toString)
 
+  /** Active data-file paths (qualified against `path`), with the
+    * snapshot folded DISTRIBUTEDLY above the log-size threshold: the
+    * driver collects only the path list — the irreducible input to a
+    * file scan — never every add's stats/partitionValues metadata
+    * ([[activeAddsAsOf]]'s driver shape, GBs at ~10⁶ files). The
+    * declared-schema delta load (Loaders) lists through this.
+    */
+  def activeFilePathsScalable(spark: SparkSession, path: String,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): Seq[String] = {
+    val tbl = new HPath(path)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(logDir(tbl)) &&
+        snapshotLogBytes(fs, logDir(tbl), None) > snapshotDriverMaxBytes)
+      activeAddsDfAsOf(spark, path, None).map(
+        _.select("graft_path").collect().toSeq
+          .map(r => new HPath(tbl, r.getString(0)).toString))
+        .getOrElse(Nil)
+    else activeFiles(spark, path)
+  }
+
   /** One `add` action's JSON node parsed to the typed entry the reader
     * and maintenance paths consume.
     */
@@ -4849,7 +4880,8 @@ object DeltaLog {
     * the live rows'. Refuses typed when the table does not enable row
     * tracking (the columns would be meaningless).
     */
-  def readWithRowIds(spark: SparkSession, path: String): DataFrame = {
+  def readWithRowIds(spark: SparkSession, path: String,
+      snapshotDriverMaxBytes: Long = SnapshotDriverMaxBytes): DataFrame = {
     val tbl = new HPath(path)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val conf = tableConfiguration(spark, fs, tbl)
@@ -4857,10 +4889,46 @@ object DeltaLog {
       throw graft.GraftError.InvalidOperation("load_delta",
         s"$path does not enable row tracking — _row_id has no meaning " +
           "on this table")
-    val adds = activeAddsAsOf(spark, path)
-    require(adds.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
-    val keyDepth = dvKeyDepth(path, adds.map(_.rel))
-    val files = adds.map(a => new HPath(tbl, a.rel).toString)
+    // large log: fold the snapshot distributedly and collect per file
+    // only (path, baseRowId, defaultRowCommitVersion) — 3 small fields,
+    // the same O(paths) floor as the scan's file list — plus the
+    // DV-bearing entries; never every file's stats/partition metadata
+    // (the [[read]] large-branch contract, row-id flavored)
+    val large = fs.exists(logDir(tbl)) &&
+      snapshotLogBytes(fs, logDir(tbl), None) > snapshotDriverMaxBytes
+    val (adds, ridTriples): (Seq[DeltaStats.AddEntry],
+        Option[Seq[(String, Long, Long)]]) =
+      if (!large) (activeAddsAsOf(spark, path), None)
+      else {
+        val snap = activeAddsDfAsOf(spark, path, None).getOrElse(
+          throw new IllegalArgumentException(
+            s"loadDelta: empty or missing _delta_log in $path"))
+          .localCheckpoint(true) // consumed 2× (rid triples + DV subset)
+        import org.apache.spark.sql.functions.get_json_object
+        val trips = snap.select(col("graft_path"),
+            get_json_object(col("graft_add"), "$.baseRowId").cast("long"),
+            get_json_object(col("graft_add"), "$.defaultRowCommitVersion")
+              .cast("long"))
+          .collect().toSeq
+          .map(r => (r.getString(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2)))
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val dvAdds = snap.where(col("graft_add").contains("\"deletionVector\""))
+          .select("graft_add").collect().toSeq
+          .flatMap { r =>
+            val node = try mapper.readTree(r.getString(0)) catch { case _: Exception => null }
+            Option(node).flatMap(parseAddEntry)
+          }.filter(_.dv.isDefined)
+        // `adds` carries only the DV subset downstream (applyDeletionVectors
+        // consumes just the DV'd entries); the scan file list and the
+        // row-id attach come from the triples
+        (dvAdds, Some(trips))
+      }
+    val rels = ridTriples.map(_.map(_._1)).getOrElse(adds.map(_.rel))
+    require(rels.nonEmpty, s"loadDelta: empty or missing _delta_log in $path")
+    val keyDepth = dvKeyDepth(path, rels)
+    val files = rels.map(r => new HPath(tbl, r).toString)
     val names = (conf.get(MatRowIdKey), conf.get(MatRowVerKey)) match {
       case (Some(i), Some(v)) => Some((i, v))
       case _ => None // foreign enablement without materialization:
@@ -4879,8 +4947,14 @@ object DeltaLog {
         filtered.withColumn("graft_mat_rid", lit(null).cast("long"))
           .withColumn("graft_mat_ver", lit(null).cast("long")))
     }
-    withMaterializedRowIds(spark, path, adds, scanned, idCol, verCol,
-        keyDepth)
+    (ridTriples match {
+      case Some(trips) => withMaterializedRowIdTriples(spark,
+        trips.map { case (rel, rid, ver) =>
+          (relKey(path, rel, keyDepth), rid, ver) },
+        scanned, idCol, verCol)
+      case None => withMaterializedRowIds(spark, path, adds, scanned,
+        idCol, verCol, keyDepth)
+    })
       .withColumnRenamed(idCol, "_row_id")
       .withColumnRenamed(verCol, "_row_commit_version")
       .drop(DvFileCol, DvRowCol)

@@ -331,9 +331,10 @@ object Loaders {
       else if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "_delta_log")))
         // delta-with-schema (reference load_delta_with_schema,
         // with_schema.rs:299-335): declared schema over the log's
-        // active-file snapshot
+        // active-file snapshot; the path list folds distributedly above
+        // the log-size threshold (driver holds only the paths)
         spark.read.schema(st).option("basePath", path)
-          .parquet(DeltaLog.activeFiles(spark, path): _*)
+          .parquet(DeltaLog.activeFilePathsScalable(spark, path): _*)
       else spark.read.schema(st).parquet(path)
     GraftFrame(df, alias)
   }
