@@ -189,6 +189,38 @@ object Bench {
         System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
         Nil
       }
+    // second, separately-named drill (round-20 verdict item 7): the
+    // remaining ~0.6 s/micro-batch fixed cost is RocksDB instance
+    // open/commit across the session's 32 state partitions; this drill
+    // documents the state-partition sizing dial by running the SAME 10×
+    // workload with the stream's state sized to 8 partitions (set at
+    // first checkpoint; conf restored after). The original drill keeps
+    // its methodology untouched — compare the two to see the fixed-cost
+    // share, not to each other's history.
+    val streamSized: Seq[(Long, Long, Double)] =
+      if (streamStats.isEmpty) Nil
+      else try {
+        val ev = graft.sources.Loaders
+          .loadParquet(spark, s"$sfDir/events.parquet", "events").df
+        import org.apache.spark.sql.functions.{col, lit}
+        val ev10 = (0 until 10).map { c =>
+          if (c == 0) ev
+          else ev.select(
+            (col("event_id") + lit(c * 1000000L)).as("event_id"), col("ts"),
+            (col("user_id") + lit(c * 100000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+        val streamReps = sys.env.get("SPARK_GRAFT_STREAM_REPS")
+          .flatMap(_.toIntOption).getOrElse(3)
+        (0 until streamReps).map { r =>
+          graft.streaming.EventStreams.streamThroughput(
+            spark, ev10, s"target/tmp/stream_bench_sized_r$r",
+            statePartitions = 8)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sized stream drill failed: ${e.getMessage}")
+        Nil
+      }
     val loadEnd = loadavg
     val streamJson =
       if (streamStats.isEmpty) ""
@@ -204,6 +236,18 @@ object Bench {
           f""""sec_runs":$runsJson,""" +
           f""""rows_per_sec":${in / math.max(secMin, 1e-9)}%.0f}"""
       }.mkString(""","stream_throughput":[""", ",", "]")
+    val streamSizedJson =
+      if (streamSized.isEmpty) ""
+      else {
+        val in = streamSized.head._1
+        val out = streamSized.head._2
+        val secs = streamSized.map(_._3)
+        val secMin = secs.min
+        val runsJson = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
+        f""","stream_throughput_sized":[{"state_partitions":8,"rows":$in,""" +
+          f""""out_rows":$out,"sec":$secMin%.3f,"sec_runs":$runsJson,""" +
+          f""""rows_per_sec":${in / math.max(secMin, 1e-9)}%.0f}]"""
+      }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, m, _) => "\"" + k + "\":" + f"$m%.3f" }
@@ -227,7 +271,7 @@ object Bench {
         " — medians are load-contaminated; compare min (core_total_min) instead")
     }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_total":$coreTotal%.3f,"core_total_min":$coreTotalMin%.3f,"contended":$contended,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd"$streamJson,"queries":$qs,"mins":$mins,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_total":$coreTotal%.3f,"core_total_min":$coreTotalMin%.3f,"contended":$contended,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd"$streamJson$streamSizedJson,"queries":$qs,"mins":$mins,"sf":"$sfDir"}"""
     println(line)
     // all raw runs per query, not just the median — round-over-round
     // drift is unattributable without per-run spread (the r6→r9 core_total

@@ -372,7 +372,8 @@ object EventStreams {
     * capacity plan for a 100 TB event stream actually needs.
     */
   def streamThroughput(spark: SparkSession, events: DataFrame,
-      workDir: String, numShards: Int = 8): (Long, Long, Double) = {
+      workDir: String, numShards: Int = 8,
+      statePartitions: Int = -1): (Long, Long, Double) = {
     val root = new org.apache.hadoop.fs.Path(workDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
@@ -382,6 +383,15 @@ object EventStreams {
       .repartition(numShards).write.mode("overwrite").parquet(src)
     val inputRows = spark.read.parquet(src).count()
     val schema = spark.read.parquet(src).schema
+    // statePartitions > 0: size the state-store partition count for the
+    // drill (a REAL production dial — the stream's shuffle-partition
+    // setting at FIRST checkpoint fixes how many RocksDB instances every
+    // micro-batch must open/commit; 32 one-core instances at local bench
+    // scale is mostly fixed cost). Separately-named drill in Bench — the
+    // default-sized drill keeps its methodology. Prior conf restored.
+    val priorShuffle = spark.conf.getOption("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -421,6 +431,10 @@ object EventStreams {
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", pv)
         case None => spark.conf.unset(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
+      if (statePartitions > 0) priorShuffle match {
+        case Some(pv) => spark.conf.set("spark.sql.shuffle.partitions", pv)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
       }
     }
     (inputRows, outRows.get(), (System.nanoTime() - t0) / 1e9)

@@ -242,6 +242,24 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(DeltaLog.read(spark, p).where(col("id") === 5L).count() == 1L)
   }
 
+  test("readWithRowIds routes distributed above the log-size threshold, same rows") {
+    val sp = spark; import sp.implicits._
+    val p = freshDir("distrib")
+    DeltaLog.write((0L until 10L).map(i => (i, s"v$i")).toDF("id", "s"),
+      "overwrite", p,
+      tableProperties = RT + ("delta.enableDeletionVectors" -> "true"))
+    DeltaLog.write(Seq((100L, "x"), (101L, "y")).toDF("id", "s"), "append", p)
+    // DV delete so the distributed route exercises its DV subset too
+    DeltaLog.deleteWhereViaDv(spark, p, "id = 3")
+    def rowsVia(maxBytes: Long) =
+      DeltaLog.readWithRowIds(spark, p, snapshotDriverMaxBytes = maxBytes)
+        .select(col("id"), col("_row_id"), col("_row_commit_version"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // snapshotDriverMaxBytes = 0 forces the distributed fold; rows,
+    // materialized ids and commit versions must match the driver route
+    assert(rowsVia(0L) == rowsVia(Long.MaxValue))
+  }
+
   test("readWithRowIds refuses tables without row tracking") {
     val sp = spark; import sp.implicits._
     val p = freshDir("plain")

@@ -101,6 +101,21 @@ class DeltaSnapshotScaleSpec extends SparkSpec {
       Seq(777L))
   }
 
+  test("declared-schema path listing folds the 50k-add snapshot distributedly") {
+    val (p, v0Adds) = manyAddFixture("pathlist")
+    // the Loaders declared-schema delta load lists through this: above
+    // the threshold the driver collects ONLY path strings (never a
+    // Seq[AddEntry] of all 50k adds' stats/partition metadata)
+    val paths = DeltaLog.activeFilePathsScalable(spark, p,
+      snapshotDriverMaxBytes = 0L)
+    assert(paths.length == N + v0Adds)
+    assert(paths.count(_.endsWith("survivor.parquet")) == 1)
+    // parity with the driver-fold listing
+    assert(paths.toSet ==
+      DeltaLog.activeFilePathsScalable(spark, p,
+        snapshotDriverMaxBytes = Long.MaxValue).toSet)
+  }
+
   test("checkpoint survivor filter folds the 50k-add snapshot distributedly") {
     val (p, v0Adds) = manyAddFixture("checkpoint")
     DeltaLog.writeCheckpoint(spark, p, 1L, snapshotDriverMaxBytes = 0L)
