@@ -573,6 +573,11 @@ object Corpus {
     // + tokenize; counts are identical, the id column just rides along
     // until the rollup drops it)
     val selfScore = docs eq corpus
+    // NOT fanned out (Par.fanOut measured r21: wall 2.62 → 2.24 s at
+    // sf0.1 but total task CPU 2.2 s → 25.5 s — each of the 32 partial
+    // aggregations re-hashes the near-unique bigram vocabulary, the
+    // §2.3 partial-agg duplication the r20 tokenize-family reverts
+    // documented; a 0.85× wall for 11× CPU loses at any real scale)
     val docRows =
       if (selfScore) bigramRows(docs, textCol, Seq(idCol)).localCheckpoint(true)
       else bigramRows(docs, textCol, Seq(idCol))
