@@ -240,6 +240,9 @@ object Similarity {
       .select(col("cent_id"), col("centv"),
         col("graft_pick.graft_meta").cast("long").as("graft_cell"))
       .localCheckpoint(true)
+    // NOT pinned (tried r21: an eager checkpoint here ADDED jobs, 45 →
+    // 47 on q_sim_ivf_twolevel — the two pm consumers already share the
+    // tiny distinct+semi-join inside their own broadcast jobs)
     val nonEmpty = metas.join(
       cmap.select(col("graft_cell")).distinct(),
       metas("graft_meta").cast("long") === cmap("graft_cell"), "left_semi")
