@@ -311,7 +311,10 @@ object Bench {
     // 26-query core first, then headline order), identical across runs
     // and binaries, so c32-vs-c8 and round-over-round ratios stay
     // well-defined on the shown set. nq/nq_shown make the cut explicit.
-    val compactBudget = 1880
+    // 1820 keeps the line + sbt's ~72-char "[success] Total time …"
+    // trailer ≳ 100 chars clear of the 2,000-char tail cliff (a single
+    // unexpected trailing stdout line must not decapitate the JSON)
+    val compactBudget = 1820
     val compactPrefix =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_total":$coreTotal%.3f,"core_total_min":$coreTotalMin%.3f,"contended":$contended,"load_hot":$loadHot,"stat":"min","nq":${results.length},"nq_shown":NNN,"queries":{"""
     val compactSuffix = s"""},"sf":"$sfDir"}"""
