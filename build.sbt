@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// raw pass-through for forked run output: sbt's batch-mode logger
+// otherwise prefixes every stdout line with "[info] ", which makes the
+// bench's machine-readable JSON line unparseable to anything that
+// json-loads the captured output (verified: `sbt "runMain graft.Bench"`
+// emitted "[info] {\"metric\":...}" — a driver-side json.loads of that
+// line fails no matter how short the line is)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
